@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.model.Schemas
+
+/** Sources/sinks (SURVEY §2.1, S1–S9).
+  *
+  * The reference's wire formats are CSV (generator → GCS) and BigQuery
+  * tables; here the store is parquet on the local FS and CSV for the
+  * reference corpus. All loads use explicit schemas — autodetect is
+  * deliberately off, matching the reference (dags/clv_data_dag.py:73).
+  */
+object Sources {
+
+  /** Scan one testdata table: `spark.read.parquet(dir/name.parquet)`.
+    * Column pruning + predicate pushdown reach the parquet scan because the
+    * schema comes from parquet metadata and filters stay declarative.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark rejects by
+    * default; it is read as long nanos (legacy conf) and truncated to
+    * Spark's µs precision — the same truncation DuckDB applies on cast.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Ingest the reference CSV corpus (S3): explicit schema, header skipped,
+    * float-formatted CustomerID absorbed via double→long cast, nanosecond
+    * timestamps truncated to Spark's µs precision, session in UTC.
+    * (reference: dags/clv_data_dag.py:58–75; quirks per SURVEY §1.4)
+    */
+  def referenceTransactionsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.transactionsCsvRaw)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSSSSS][XXX]")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+      .withColumn("CustomerID", col("CustomerID").cast(LongType))
+
+  /** Append-only staging write (reference WRITE_APPEND, dags/clv_data_dag.py:68). */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Snapshot write (reference CREATE OR REPLACE / WRITE_TRUNCATE,
+    * dags/clv_data_dag.py:80, dags/clv_models.py:96–97).
+    */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

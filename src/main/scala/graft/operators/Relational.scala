@@ -1,0 +1,509 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+import graft.io.Sources
+
+/** The standard relational operator surface (SURVEY §2.2–§2.8) expressed
+  * over the testdata star schema, one named query per operator family, each
+  * with a DuckDB-equivalent oracle SQL string.
+  *
+  * Conventions for oracle parity (the driver sorts columns by name and
+  * hashes values):
+  *  - every computed integer column is cast to BIGINT on both sides;
+  *  - every double aggregate is rounded to 2 (or 4) decimals on both sides;
+  *  - every query ends in a deterministic ORDER BY with a unique tie-break;
+  *  - ROLLUP/CUBE null rows use NULLS FIRST ordering on both sides.
+  *
+  * Scale notes are attached per query; the common theme: group-by keys are
+  * the natural shuffle keys, dimension tables are broadcast, and filters/
+  * projections sit directly on the parquet scan so pushdown applies.
+  */
+object Relational {
+
+  /** Portable 2/4-dp rounding: floor(x*scale + 0.500001)/scale, computed with
+    * the same IEEE ops in Spark and the DuckDB oracle so boundary values
+    * (.xx5) round identically; the epsilon absorbs sum-order noise.
+    */
+  private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- flagship: RFM-T features (A1, E1–E5, P2) --------------------------
+    // One hash-agg shuffle on the customer key; partial agg map-side.
+    "q_rfm_features" -> ((s, dir) => {
+      Rfm.customerFeatures(t(s, dir, "orders"), to_date(lit("1998-12-31")),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn("monetary_value", r2(col("monetary_value")))
+        .orderBy("customer_id")
+    }),
+
+    // ---- projection + filter (P1/P2/P5) — fully pushed into the scan ------
+    "q_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 25 && col("l_discount") > 0.02)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          r2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- casts + renames (P3/P4/P9) ---------------------------------------
+    "q_cast_rename" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast(LongType).as("price_int"),
+          lower(col("o_orderpriority")).as("priority"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- conditional projection / clamp (P7/P8, E10/E11) ------------------
+    "q_conditional_flags" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 150000.0, 1L).otherwise(0L).as("big_flag"),
+          r2(greatest(col("o_totalprice") - 100000.0, lit(0.0))).as("over_base"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- global aggregates (A2/A3/A6/A8) — single partial+final agg -------
+    "q_global_agg" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        max(col("o_custkey")).as("max_cust"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        r2(avg(col("o_totalprice"))).as("avg_price"),
+        r2(sum(col("o_totalprice"))).as("sum_price"))
+    }),
+
+    // ---- filtered counts, firewall-style (A4/P6) --------------------------
+    "q_filtered_count" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        sum(when(col("l_quantity") < 0 || col("l_extendedprice") < 0 || col("l_discount") < 0, 1L)
+          .otherwise(0L)).as("n_violations"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_highdisc"))
+    }),
+
+    // ---- grouped aggregation, TPC-H Q1 shape (A1/A7) ----------------------
+    "q_group_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- joins (J1/J2 + harness surface) ----------------------------------
+    // customer is a dimension → broadcast; orders shuffles only for the agg.
+    "q_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          r2(coalesce(sum(col("o_totalprice")), lit(0.0))).as("spend"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // Star join: fact lineitem ⋈ orders (shuffle) with broadcast dims.
+    "q_join_star" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Reference J1: two uncorrelated scalar subqueries → one row.
+    "q_scalar_subqueries" -> ((s, dir) => {
+      val raw = t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("raw_count"))
+      val feat = t(s, dir, "customer").agg(countDistinct(col("c_custkey")).as("feature_count"))
+      raw.crossJoin(feat)
+    }),
+
+    // ---- window functions (W1 + ranking/lag surface) ----------------------
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"), col("rn"))
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          r2(sum(col("o_totalprice")).over(w)).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(w)))
+            .cast(LongType).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- sort / limit / top-k (O1–O3) — TakeOrderedAndProject -------------
+    "q_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // ---- set operations (U1/U2) -------------------------------------------
+    "q_union" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      val b = t(s, dir, "customer").select(col("c_custkey").as("key"))
+      a.unionAll(b).groupBy(col("key")).agg(count(lit(1)).as("n")).orderBy("key")
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.intersect(o).orderBy("c_custkey")
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.except(o).orderBy("c_custkey")
+    }),
+
+    // ---- grouping sets ----------------------------------------------------
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- date/time scalar functions (E1–E8) -------------------------------
+    "q_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mon"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).cast(LongType).as("age_days"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- exact percentiles / median ---------------------------------------
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(r2(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+          r2(expr("percentile(o_totalprice, 0.9)")).as("p90_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- string scalar functions ------------------------------------------
+    "q_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast(LongType).as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- JSON scalar ops on events.props ----------------------------------
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k_val")).as("sum_k"), count(lit(1)).as("n"),
+          r2(sum(col("value"))).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- event-time bucketing (tumbling window, batch form) ---------------
+    "q_time_bucket" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          r2(sum(col("value"))).as("sum_value"))
+        .orderBy("hour_start")
+    }),
+
+    // ---- firewall scalars (E12, J1, A4 combined; reference validate_features.py) ----
+    "q_validation_scalars" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val feats = Rfm.customerFeatures(o, to_date(lit("1998-12-31")),
+        "o_custkey", "o_orderdate", "o_totalprice")
+      val raw = o.agg(countDistinct(col("o_custkey")).as("raw_count"))
+      val feat = feats.agg(countDistinct(col("customer_id")).as("feature_count"))
+      val invalid = feats.agg(
+        sum(when(col("t") < 0 || col("frequency") < 0 || col("recency") < 0 ||
+          col("monetary_value") < 0, 1L).otherwise(0L)).as("invalid_count"))
+      raw.crossJoin(feat).crossJoin(invalid)
+        .withColumn("ratio",
+          when(col("raw_count") > 0,
+            r4(col("feature_count").cast("double") / col("raw_count"))).otherwise(0.0))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rfm_features" ->
+      """SELECT o_custkey AS customer_id,
+        |  CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS recency,
+        |  CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE), DATE '1998-12-31') AS BIGINT) AS t,
+        |  CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS frequency,
+        |  FLOOR((AVG(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS monetary_value,
+        |  CAST(MIN(o_orderdate) AS DATE) AS first_purchase,
+        |  CAST(MAX(o_orderdate) AS DATE) AS last_purchase
+        |FROM orders GROUP BY o_custkey ORDER BY customer_id""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.500001) / 100.0 AS revenue
+        |FROM lineitem WHERE l_quantity > 25 AND l_discount > 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_cast_rename" ->
+      """SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+        |  LOWER(o_orderpriority) AS priority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_conditional_flags" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS BIGINT) AS big_flag,
+        |  FLOOR((GREATEST(o_totalprice - 100000.0, 0.0)) * 100.0 + 0.500001) / 100.0 AS over_base
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_global_agg" ->
+      """SELECT MAX(o_custkey) AS max_cust, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  FLOOR((AVG(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS avg_price,
+        |  FLOOR((SUM(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS sum_price
+        |FROM orders""".stripMargin,
+
+    "q_filtered_count" ->
+      """SELECT CAST(SUM(CASE WHEN l_quantity < 0 OR l_extendedprice < 0 OR l_discount < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_highdisc
+        |FROM lineitem""".stripMargin,
+
+    "q_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  FLOOR((SUM(l_quantity)) * 100.0 + 0.500001) / 100.0 AS sum_qty,
+        |  FLOOR((SUM(l_extendedprice)) * 100.0 + 0.500001) / 100.0 AS sum_base_price,
+        |  FLOOR((SUM(l_extendedprice * (1.0 - l_discount))) * 100.0 + 0.500001) / 100.0 AS sum_disc_price,
+        |  FLOOR((AVG(l_quantity)) * 100.0 + 0.500001) / 100.0 AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders, FLOOR((SUM(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  FLOOR((COALESCE(SUM(o_totalprice), 0.0)) * 100.0 + 0.500001) / 100.0 AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        |  FLOOR((SUM(l_extendedprice * (1.0 - l_discount))) * 100.0 + 0.500001) / 100.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_scalar_subqueries" ->
+      """SELECT (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS raw_count,
+        |  (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS feature_count""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FLOOR((SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.500001) / 100.0 AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_union" ->
+      """SELECT key, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS key FROM orders
+        |  UNION ALL SELECT c_custkey AS key FROM customer)
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  FLOOR((SUM(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, FLOOR((SUM(l_quantity)) * 100.0 + 0.500001) / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+        |  CAST(DAY(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |  FLOOR((quantile_cont(o_totalprice, 0.5)) * 100.0 + 0.500001) / 100.0 AS median_price,
+        |  FLOOR((quantile_cont(o_totalprice, 0.9)) * 100.0 + 0.500001) / 100.0 AS p90_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, UPPER(c_name) AS name_upper,
+        |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        |  SUBSTRING(c_name, 1, 8) AS name_prefix,
+        |  CONCAT_WS('-', c_mktsegment, c_name) AS seg_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n, FLOOR((SUM(value)) * 100.0 + 0.500001) / 100.0 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users, FLOOR((SUM(value)) * 100.0 + 0.500001) / 100.0 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+
+    "q_validation_scalars" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS customer_id,
+        |    date_diff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS recency,
+        |    date_diff('day', CAST(MIN(o_orderdate) AS DATE), DATE '1998-12-31') AS t,
+        |    COUNT(DISTINCT CAST(o_orderdate AS DATE)) - 1 AS frequency,
+        |    AVG(o_totalprice) AS monetary_value
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS raw_count,
+        |  (SELECT COUNT(DISTINCT customer_id) FROM feats) AS feature_count,
+        |  (SELECT CAST(SUM(CASE WHEN t < 0 OR frequency < 0 OR recency < 0 OR monetary_value < 0
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM feats) AS invalid_count,
+        |  CASE WHEN (SELECT COUNT(DISTINCT o_custkey) FROM orders) > 0
+        |    THEN FLOOR((CAST((SELECT COUNT(DISTINCT customer_id) FROM feats) AS DOUBLE)
+        |      / (SELECT COUNT(DISTINCT o_custkey) FROM orders)) * 10000.0 + 0.500001) / 10000.0
+        |    ELSE 0.0 END AS ratio""".stripMargin
+  )
+}
