@@ -1,0 +1,103 @@
+/** BG/NBD customer-lifetime model (Fader–Hardie–Lee 2005, "Counting Your
+  * Customers the Easy Way" — public math, SURVEY Appendix A).
+  *
+  * Replicates the reference's `BetaGeoFitter(penalizer_coef=0.1)` fit and
+  * `bgf.predict(t, f, r, T)` (reference: dags/clv_models.py:62–63,70,76):
+  * penalized maximum likelihood over log-params, objective = mean NLL over
+  * customers + penalizer · Σ params².
+  *
+  * Scale design (100 TB): the fit input is one row per customer with
+  * (frequency, recency, T) all *integer day counts* — so the observation
+  * space collapses onto distinct (x, t_x, T) triples. We aggregate once
+  * (`groupBy(f, r, t).count()`, a single shuffle over the already-aggregated
+  * features table) and collect only the weighted triples: bounded by the
+  * day-grid cardinality, not the customer count, so the driver-side
+  * optimizer loop runs on a few thousand rows no matter how many customers
+  * exist. No per-iteration Spark job, no driver-side scan of raw data.
+  */
+package graft.clv
+
+import org.apache.commons.math3.special.Gamma.logGamma
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fitted BG/NBD parameters (all > 0 by construction — optimized in
+  * log-space exactly like lifetimes).
+  */
+final case class BetaGeoParams(r: Double, alpha: Double, a: Double, b: Double)
+
+object BetaGeo {
+
+  /** One compressed observation: weight = number of customers sharing the
+    * (frequency, recency, T) triple.
+    */
+  final case class Obs(x: Double, tx: Double, big: Double, w: Double)
+
+  /** Weighted penalized mean NLL — the exact objective lifetimes minimizes
+    * (log-params in, penalizer on the exponentiated params).
+    */
+  def negLogLikelihood(logParams: Array[Double], obs: Array[Obs], penalizer: Double): Double = {
+    val r = math.exp(logParams(0)); val alpha = math.exp(logParams(1))
+    val a = math.exp(logParams(2)); val b = math.exp(logParams(3))
+    var llSum = 0.0
+    var wSum = 0.0
+    var i = 0
+    while (i < obs.length) {
+      val o = obs(i)
+      val x = o.x
+      val a1 = logGamma(r + x) - logGamma(r) + r * math.log(alpha)
+      val a2 = logGamma(a + b) + logGamma(b + x) - logGamma(b) - logGamma(a + b + x)
+      val a3 = -(r + x) * math.log(alpha + o.big)
+      val ll =
+        if (x > 0) {
+          val a4 = math.log(a) - math.log(b + x - 1) - (r + x) * math.log(alpha + o.tx)
+          val m = math.max(a3, a4)
+          a1 + a2 + m + math.log(math.exp(a3 - m) + math.exp(a4 - m))
+        } else a1 + a2 + a3
+      llSum += o.w * ll
+      wSum += o.w
+      i += 1
+    }
+    -llSum / wSum + penalizer * (r * r + alpha * alpha + a * a + b * b)
+  }
+
+  /** Fit on pre-collected weighted observations (driver-side NM loop). */
+  def fit(obs: Array[Obs], penalizer: Double = 0.1): BetaGeoParams = {
+    require(obs.nonEmpty, "BG/NBD fit needs at least one observation")
+    val sol = NelderMead.minimize(negLogLikelihood(_, obs, penalizer),
+      Array.fill(4)(0.1))
+    BetaGeoParams(math.exp(sol(0)), math.exp(sol(1)), math.exp(sol(2)), math.exp(sol(3)))
+  }
+
+  /** Fit from a features frame: one aggregation shuffle compresses customers
+    * onto distinct integer (frequency, recency, T) triples; only those
+    * weighted triples reach the driver.
+    */
+  def fit(features: DataFrame, fCol: String, rCol: String, tCol: String): BetaGeoParams = {
+    val compressed = features
+      .groupBy(col(fCol).cast("double").as("x"),
+        col(rCol).cast("double").as("tx"),
+        col(tCol).cast("double").as("big"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .collect()
+      .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    fit(compressed)
+  }
+
+  /** E[X(t) | x, t_x, T] — conditional expected purchases in the next `t`
+    * days (Fader–Hardie–Lee 2005 eq. 10; lifetimes' `predict`). Pure scalar
+    * math so it runs row-parallel inside a UDF; z = t/(α+T+t) < 1 keeps the
+    * ₂F₁ series convergent.
+    */
+  def expectedPurchases(p: BetaGeoParams, t: Double, x: Double, tx: Double, big: Double): Double = {
+    import p._
+    val z = t / (alpha + big + t)
+    val hyp = Hyp2f1.hyp2f1(r + x, b + x, a + b + x - 1, z)
+    val first = (a + b + x - 1) / (a - 1)
+    val second = 1.0 - hyp * math.pow((alpha + big) / (alpha + big + t), r + x)
+    val den =
+      if (x > 0) 1.0 + (a / (b + x - 1)) * math.pow((alpha + big) / (alpha + tx), r + x)
+      else 1.0
+    first * second / den
+  }
+}

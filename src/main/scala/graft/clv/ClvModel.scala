@@ -1,0 +1,113 @@
+/** CLV scoring — the reference pipeline's actual product (reference:
+  * dags/clv_models.py:39–112 → the `predicted_clv` table).
+  *
+  * Stage-for-stage mapping (SURVEY §2.9 M1–M5 + §3.2):
+  *   prepare        = get_data's lowercase + monetary_value→monetary rename
+  *   runClvLogic    = guards (P10/P11) → returning-customer filter (P5) →
+  *                    casts (P9) → BG/NBD + Gamma-Gamma fit (M1/M2) →
+  *                    predict 30d purchases (M3) + expected value (M4) →
+  *                    1-yr CLV compose with flat 0.99 discount (M5) →
+  *                    applyDataQualityFixes (P7/P8/A7)
+  *   outputColumns  = save_data's projection (S6)
+  *
+  * Error messages replicate the reference byte-for-byte — its own tests
+  * assert on them (tests/test_clv_logic.py:39–95).
+  *
+  * Scale: both fits collect only weighted sufficient observations (see
+  * BetaGeo/GammaGamma scaladoc); the 7 fitted parameters then come back as
+  * literals in column expressions, so scoring is one embarrassingly
+  * parallel projection — the ₂F₁ UDF per row, everything else
+  * codegen-friendly arithmetic. No shuffle in the scoring pass at all.
+  */
+package graft.clv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+final case class FittedClvModel(bg: BetaGeoParams, gg: GammaGammaParams)
+
+object ClvModel {
+
+  /** Ordered column contract — order-sensitive, unlike the firewall's
+    * set-based check (reference: dags/clv_models.py:47 vs
+    * dags/validate_features.py:16).
+    */
+  val expectedColumns: Seq[String] =
+    Seq("customer_id", "recency", "t", "frequency", "monetary", "first_purchase", "last_purchase")
+
+  /** get_data's frame normalization (reference: dags/clv_models.py:15–17). */
+  def prepare(df: DataFrame): DataFrame = {
+    val lowered = df.toDF(df.columns.map(_.toLowerCase): _*)
+    if (lowered.columns.contains("monetary_value"))
+      lowered.withColumnRenamed("monetary_value", "monetary")
+    else lowered
+  }
+
+  /** apply_data_quality_fixes (reference: dags/clv_models.py:21–37):
+    * flag + floor negative CLV, flag > 1e6 outliers. Kept standalone so the
+    * clipping test mirrors tests/test_clv_logic.py:60–82 exactly.
+    */
+  def applyDataQualityFixes(df: DataFrame): DataFrame =
+    df.withColumn("negatif_clv_flag", when(col("clv") < 0, 1).otherwise(0))
+      .withColumn("clv", greatest(col("clv"), lit(0.0)))
+      .withColumn("outliners_flag", when(col("clv") > 1000000, 1).otherwise(0))
+
+  /** The model brain (reference: dags/clv_models.py:39–84). Input must be
+    * the prepared features frame; output is scored returning customers.
+    */
+  def runClvLogic(df: DataFrame, penalizer: Double = 0.1): DataFrame = {
+    if (df.isEmpty)
+      throw new IllegalArgumentException("INPUT ERROR: Dataframe is empty")
+    if (df.columns.toSeq != expectedColumns)
+      throw new IllegalArgumentException(
+        s"Bad Schema! Expected ${expectedColumns.mkString("[", ", ", "]")}, " +
+          s"got ${df.columns.mkString("[", ", ", "]")}")
+
+    val returning = df
+      .filter(col("frequency") > 0 && col("monetary") > 0)
+      .withColumn("frequency", col("frequency").cast("double"))
+      .withColumn("recency", col("recency").cast("double"))
+      .withColumn("t", col("t").cast("double"))
+      .withColumn("monetary", col("monetary").cast("double"))
+
+    val model = fitModel(returning, penalizer)
+    score(returning, model)
+  }
+
+  /** M1 + M2: fit both models on the returning-customer slice. */
+  def fitModel(returning: DataFrame, penalizer: Double = 0.1): FittedClvModel = {
+    val cached = returning.select(col("frequency"), col("recency"), col("t"), col("monetary")).cache()
+    try {
+      val bg = BetaGeo.fit(cached, "frequency", "recency", "t")
+      val gg = GammaGamma.fit(cached, "frequency", "monetary")
+      FittedClvModel(bg, gg)
+    } finally cached.unpersist()
+  }
+
+  /** M3–M5 + quality fixes as one shuffle-free projection; the fitted params
+    * ride into the closure (7 doubles — effectively broadcast literals).
+    */
+  def score(returning: DataFrame, model: FittedClvModel): DataFrame = {
+    val bg = model.bg
+    val gg = model.gg
+    val predictUdf = udf((t: Double, x: Double, tx: Double, big: Double) =>
+      BetaGeo.expectedPurchases(bg, t, x, tx, big))
+    def expProfit(x: Column, m: Column): Column =
+      (lit(gg.p) * (lit(gg.v) + m * x)) / (lit(gg.p) * x + lit(gg.q) - lit(1.0))
+
+    val scored = returning
+      .withColumn("predicted_purchases",
+        predictUdf(lit(30.0), col("frequency"), col("recency"), col("t")))
+      .withColumn("predicted_avg_value", expProfit(col("frequency"), col("monetary")))
+      .withColumn("clv",
+        predictUdf(lit(365.0), col("frequency"), col("recency"), col("t")) *
+          col("predicted_avg_value") * lit(0.99))
+    applyDataQualityFixes(scored)
+  }
+
+  /** save_data's output projection (reference: dags/clv_models.py:93). */
+  def outputColumns(df: DataFrame): DataFrame =
+    df.select(col("customer_id"), col("predicted_purchases"),
+      col("predicted_avg_value"), col("clv"),
+      col("negatif_clv_flag"), col("outliners_flag"))
+}

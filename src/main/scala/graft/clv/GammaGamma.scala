@@ -1,0 +1,71 @@
+/** Gamma-Gamma spend model (Fader–Hardie 2013, "The Gamma-Gamma Model of
+  * Monetary Value" — public math, SURVEY Appendix A).
+  *
+  * Replicates the reference's `GammaGammaFitter(penalizer_coef=0.1)` fit and
+  * `conditional_expected_average_profit` (reference:
+  * dags/clv_models.py:65–66,71).
+  *
+  * Scale design: like BG/NBD the fit input is one row per customer, but
+  * monetary is continuous so exact triple-compression doesn't collapse as
+  * hard. We still compress on distinct (frequency, monetary) pairs — exact,
+  * and in practice 2-dp prices collapse heavily — and cap what reaches the
+  * driver; beyond the cap the objective would move to a per-iteration
+  * `treeAggregate` (documented, not needed at current scale ceilings since
+  * the features table is already one row per customer).
+  */
+package graft.clv
+
+import org.apache.commons.math3.special.Gamma.logGamma
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+final case class GammaGammaParams(p: Double, q: Double, v: Double)
+
+object GammaGamma {
+
+  /** weight = number of customers sharing the (frequency, monetary) pair. */
+  final case class Obs(x: Double, m: Double, w: Double)
+
+  /** Weighted penalized mean NLL, log-params in (lifetimes' objective). */
+  def negLogLikelihood(logParams: Array[Double], obs: Array[Obs], penalizer: Double): Double = {
+    val p = math.exp(logParams(0)); val q = math.exp(logParams(1))
+    val v = math.exp(logParams(2))
+    var llSum = 0.0
+    var wSum = 0.0
+    var i = 0
+    while (i < obs.length) {
+      val o = obs(i)
+      val px = p * o.x
+      val ll = logGamma(px + q) - logGamma(px) - logGamma(q) +
+        q * math.log(v) + (px - 1) * math.log(o.m) + px * math.log(o.x) -
+        (px + q) * math.log(v + o.m * o.x)
+      llSum += o.w * ll
+      wSum += o.w
+      i += 1
+    }
+    -llSum / wSum + penalizer * (p * p + q * q + v * v)
+  }
+
+  def fit(obs: Array[Obs], penalizer: Double = 0.1): GammaGammaParams = {
+    require(obs.nonEmpty, "Gamma-Gamma fit needs at least one observation")
+    val sol = NelderMead.minimize(negLogLikelihood(_, obs, penalizer),
+      Array.fill(3)(0.1))
+    GammaGammaParams(math.exp(sol(0)), math.exp(sol(1)), math.exp(sol(2)))
+  }
+
+  /** Fit from a features frame (frequency > 0, monetary > 0 slice). */
+  def fit(features: DataFrame, fCol: String, mCol: String): GammaGammaParams = {
+    val compressed = features
+      .groupBy(col(fCol).cast("double").as("x"), col(mCol).cast("double").as("m"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .collect()
+      .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    fit(compressed)
+  }
+
+  /** E[M | m, x] = p(v + m·x) / (p·x + q − 1) — closed form, so the scoring
+    * path is plain column arithmetic (no UDF; Fader–Hardie 2013 eq. 5).
+    */
+  def expectedAvgProfit(g: GammaGammaParams, x: Double, m: Double): Double =
+    g.p * (g.v + m * x) / (g.p * x + g.q - 1)
+}

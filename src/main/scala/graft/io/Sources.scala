@@ -24,7 +24,11 @@ object Sources {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanosAsLong is set at session build (graft.Sessions); this is an
+      // idempotent safety net for sessions built elsewhere, set before any
+      // query in this lineage executes (not flipped mid-flight).
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -106,11 +106,12 @@ object Relational {
     }),
 
     // ---- joins (J1/J2 + harness surface) ----------------------------------
-    // customer is a dimension → broadcast; orders shuffles only for the agg.
+    // customer grows with scale factor — no forced broadcast; AQE +
+    // autoBroadcastJoinThreshold pick broadcast vs shuffle at runtime.
     "q_join_inner" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("revenue"))
         .orderBy("c_mktsegment")
@@ -142,7 +143,8 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
-    // Star join: fact lineitem ⋈ orders (shuffle) with broadcast dims.
+    // Star join: fact lineitem ⋈ orders (shuffle); nation/region are
+    // fixed-size dims → broadcast; customer scales with SF → let AQE decide.
     "q_join_star" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
@@ -150,7 +152,7 @@ object Relational {
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -300,19 +302,22 @@ object Relational {
     }),
 
     // ---- firewall scalars (E12, J1, A4 combined; reference validate_features.py) ----
+    // feature_count and invalid_count share ONE aggregate over feats (the
+    // round-1 two-aggregate version doubled the most expensive subplan).
     "q_validation_scalars" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val feats = Rfm.customerFeatures(o, to_date(lit("1998-12-31")),
         "o_custkey", "o_orderdate", "o_totalprice")
       val raw = o.agg(countDistinct(col("o_custkey")).as("raw_count"))
-      val feat = feats.agg(countDistinct(col("customer_id")).as("feature_count"))
-      val invalid = feats.agg(
+      val featAgg = feats.agg(
+        countDistinct(col("customer_id")).as("feature_count"),
         sum(when(col("t") < 0 || col("frequency") < 0 || col("recency") < 0 ||
           col("monetary_value") < 0, 1L).otherwise(0L)).as("invalid_count"))
-      raw.crossJoin(feat).crossJoin(invalid)
+      raw.crossJoin(featAgg)
         .withColumn("ratio",
           when(col("raw_count") > 0,
             r4(col("feature_count").cast("double") / col("raw_count"))).otherwise(0.0))
+        .select(col("raw_count"), col("feature_count"), col("invalid_count"), col("ratio"))
     })
   )
 
