@@ -22,10 +22,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.Relational.queries ++
+      graft.operators.LlmQueries.queries ++
       graft.clv.ClvQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.operators.Relational.oracleSql
+    graft.operators.Relational.oracleSql ++
+      graft.operators.LlmQueries.oracleSql
 }

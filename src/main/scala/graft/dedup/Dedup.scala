@@ -1,0 +1,133 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.text.TextOps
+
+/** Deduplication operators for a training-data pipeline, each designed
+  * around buckets — candidate pairs come from equi-joins on band/chunk
+  * keys, NEVER an all-pairs crossJoin (an all-pairs design dies at 100 TB;
+  * banded LSH is the published scale path: Broder 1997 resemblance +
+  * Leskovec–Rajaraman–Ullman "Mining of Massive Datasets" ch. 3).
+  *
+  * Plan shapes:
+  *  - exact:    one hash aggregate on md5(text). One shuffle.
+  *  - minhash:  signatures are per-row HOF expressions (no shuffle), bands
+  *              explode → self-equi-join on (band_id, band_hash) → distinct
+  *              pairs → estimated Jaccard from signature agreement.
+  *  - simhash:  64-bit signature per row (HOF), 16-bit chunk explode →
+  *              self-equi-join on (chunk_id, chunk) → Hamming ≤ 3 filter
+  *              (pigeonhole: any pair within distance 3 shares ≥1 of 4
+  *              chunks, so the buckets are exhaustive for that radius).
+  *  - ngram Jaccard: exact verification on LSH candidates only.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts by md5; keeper = min doc_id
+    * (SQL-expressible → oracle-backed).
+    */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+
+  /** Word-k-gram shingle set per document (HOF, per-row). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: numHashes independent min-hashes of the shingle
+    * set, each via xxhash64(shingle, seed_i). Pure projection — signatures
+    * for 100 TB of docs cost one scan, zero shuffles.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64, k: Int = 3): DataFrame = {
+    val sh = shingles(col("text"), k)
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+    docs.select(col("doc_id"), sig.as("signature"))
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rows = numHashes/bands` hashes, hash each band, and equi-join
+    * documents sharing a (band_id, band_hash) bucket. Probability a pair
+    * with Jaccard s becomes a candidate: 1 − (1 − s^rows)^bands.
+    */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16, numHashes: Int = 64): DataFrame = {
+    val rows = numHashes / bands
+    val banded = signatures.select(col("doc_id"), col("signature"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows))))))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("signature").as("sig_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+      .groupBy("doc_a", "doc_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Near-duplicate pairs: LSH candidates ≥ estimated-Jaccard threshold. */
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame =
+    minhashCandidates(minhashSignatures(docs, numHashes, k), bands, numHashes)
+      .where(col("est_jaccard") >= threshold)
+
+  /** Exact n-gram Jaccard verification over candidate pairs only (the
+    * expensive exact measure runs on the tiny LSH-filtered set, not n²).
+    */
+  def verifyJaccard(docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    candidates
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash (Charikar 2002): per token-hash bit, sum ±1 across
+    * tokens; signature bit i = sign of the sum. All HOF, per-row.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val bitSums = transform(sequence(lit(0), lit(63)), i =>
+      aggregate(toks, lit(0L),
+        (acc, w) => acc + when(call_function("shiftright", xxhash64(w), i)
+          .bitwiseAND(lit(1L)) === lit(1L), 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with
+    * 4 chunks, by pigeonhole) via 16-bit chunk buckets.
+    */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          j => call_function("shiftright", col("simhash"), (j * 16).cast("int"))
+            .bitwiseAND(lit(0xFFFFL)))))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
+    val a = chunked.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.multimodal.Multimodal
+
+/** Harness entries for the training-data-pipeline operator families
+  * (dedup / similarity / text analysis / multimodal) over
+  * `documents.parquet` and `embeddings.parquet`.
+  *
+  * SQL-expressible stats are oracle-backed; LSH/ANN/fingerprint entries are
+  * rows-only (no DuckDB equivalent) and covered by ScalaTest instead.
+  *
+  * The near-dup queries run on the corpus UNION a deterministically
+  * perturbed copy (last two tokens dropped, doc_id offset by 1e6): the
+  * planted pairs guarantee non-empty candidate output at every SF while
+  * exercising exactly the bucketed join path that matters at 100 TB.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+
+  /** Corpus + planted near-duplicates (deterministic perturbation). */
+  def withPlantedNearDups(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(perturbed)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis (oracle-backed) ------------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      TextOps.textStats(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      TextOps.qualityScore(t(s, dir, "documents"))
+        .withColumn("stop_ratio", r4(col("stop_ratio")))
+        .withColumn("avg_token_len", r4(col("avg_token_len")))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          r2(avg(length(col("text")))).as("avg_len"))
+        .orderBy("lang")
+    }),
+
+    // ---- dedup ------------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicates(t(s, dir, "documents")).orderBy("text_hash")
+    }),
+
+    // rows-only: banded minhash-LSH candidates on corpus + planted near-dups
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDuplicates(withPlantedNearDups(t(s, dir, "documents")),
+          threshold = 0.3)
+        .withColumn("est_jaccard", r4(col("est_jaccard")))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // rows-only: exact n-gram Jaccard verification of the LSH candidates
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = withPlantedNearDups(t(s, dir, "documents"))
+      val cands = Dedup.minhashNearDuplicates(docs, threshold = 0.3)
+      Dedup.verifyJaccard(docs, cands)
+        .withColumn("jaccard", r4(col("jaccard")))
+        .withColumn("est_jaccard", r4(col("est_jaccard")))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // rows-only: simhash chunk-bucket near-dups on the planted corpus
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDuplicates(withPlantedNearDups(t(s, dir, "documents")),
+          maxHamming = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- similarity -------------------------------------------------------
+    "q_embed_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          r4(avg(element_at(col("embedding"), 1).cast("double"))).as("avg_dim0"))
+        .orderBy("label")
+    }),
+
+    // rows-only: exact brute-force cosine top-5 for a bounded probe batch
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("probe_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // rows-only: LSH-bucketed approximate top-5, no crossJoin in the plan.
+    // Short hashes + more tables: random synthetic vectors are near-
+    // orthogonal, so top-k recall needs high per-table collision probability.
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+          tables = 8, bits = 4)
+        .select(col("probe_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // rows-only: embedding-cosine near-dup pairs via LSH buckets
+    "q_embed_neardup" -> ((s, dir) => {
+      Ann.cosineNearDuplicates(t(s, dir, "embeddings"), threshold = 0.5,
+          tables = 8, bits = 8)
+        .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- language ID + fingerprint (rows-only) ----------------------------
+    "q_lang_id" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.langId(docs, docs).orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      TextOps.fingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_grams"),
+          col("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal plumbing (rows-only) ----------------------------------
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("mime"), col("byte_len"),
+          col("width"), col("height"), element_at(col("feature"), 1).as("f0"))
+        .orderBy("media_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS char_len,
+        |  CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+        |    x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stopwords,
+        |  FLOOR((CAST(len(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |    / array_length(regexp_split_to_array(TRIM(text), '\s+'))) * 10000.0 + 0.500001) / 10000.0 AS stop_ratio,
+        |  FLOOR((CAST(LENGTH(text) AS DOUBLE)
+        |    / array_length(regexp_split_to_array(TRIM(text), '\s+'))) * 10000.0 + 0.500001) / 10000.0 AS avg_token_len,
+        |  CAST(CASE WHEN array_length(regexp_split_to_array(TRIM(text), '\s+')) >= 5
+        |    AND LENGTH(text) >= 20 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  FLOOR((AVG(LENGTH(text))) * 100.0 + 0.500001) / 100.0 AS avg_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "q_embed_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        |  FLOOR((AVG(CAST(embedding[1] AS DOUBLE))) * 10000.0 + 0.500001) / 10000.0 AS avg_dim0
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}

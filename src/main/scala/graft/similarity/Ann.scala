@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.util.Random
+
+/** Similarity search over an embedding column (`embeddings` table:
+  * vec_id, embedding Array[Float], label).
+  *
+  * Two paths, as a scale ladder:
+  *  - brute-force cosine top-k: the exact baseline. A SMALL probe batch is
+  *    broadcast against the corpus — one corpus scan per batch, cost
+  *    O(|probes|·N). This is a broadcast nested-loop by construction (the
+  *    probe side is bounded, the corpus side streams); it is NOT an
+  *    all-pairs corpus×corpus join.
+  *  - random-hyperplane LSH (Charikar 2002 SimHash-for-cosine): L tables of
+  *    H sign-bits; candidates come from equi-joins on (table, bucket);
+  *    exact cosine is computed only within buckets. Sub-linear candidate
+  *    sets at 100 TB; recall tuned by (L, H).
+  *
+  * All vector math is higher-order-function expressions (zip_with +
+  * aggregate) over the array column — no UDF, no driver loop.
+  */
+object Ann {
+
+  /** Elementwise dot product of two array columns (double math). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours for each probe vector. `probes` must be small
+    * (it is broadcast); pre-normalized norms keep the inner loop to one
+    * zip_with pass per (probe, vector).
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("c_norm"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_vec"), norm(col("embedding")).as("p_norm"))
+    val scored = c.join(broadcast(p),
+        col("vec_id") =!= col("probe_id"), "inner")
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("embedding"), col("probe_vec")) / (col("c_norm") * col("p_norm"))).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `tables` × `bits` planes in `dim`
+    * dimensions, from a fixed seed.
+    */
+  private def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new Random(seed)
+    Array.fill(tables, bits, dim)(rng.nextGaussian())
+  }
+
+  /** LSH bucket ids, one per table, as an array column. Bucket = H sign
+    * bits of hyperplane projections packed into an int.
+    */
+  def lshBuckets(vec: Column, tables: Int = 4, bits: Int = 12, dim: Int = 64,
+      seed: Long = 42L): Column = {
+    val planes = hyperplanes(tables, bits, dim, seed)
+    array(planes.map { tablePlanes =>
+      tablePlanes.zipWithIndex.map { case (plane, i) =>
+        val planeLit = array(plane.map(lit): _*)
+        when(dot(vec, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Approximate top-k: candidates share an LSH bucket in ≥1 table; exact
+    * cosine only within candidates. Equi-join on (table, bucket) — no
+    * crossJoin anywhere in the plan.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10,
+      tables: Int = 4, bits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+          posexplode(lshBuckets(col("embedding"), tables, bits, dim, seed)))
+        .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
+    val c = withBuckets(corpus, "vec_id", "c_vec")
+    val p = withBuckets(probes, "probe_id", "p_vec")
+    val candidates = c.join(p, Seq("table_id", "bucket"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("p_vec"), col("c_vec"))
+      .groupBy("probe_id", "vec_id")
+      .agg(first(col("p_vec")).as("p_vec"), first(col("c_vec")).as("c_vec"))
+    val scored = candidates.select(col("probe_id"), col("vec_id"),
+      cosine(col("p_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the same
+    * LSH buckets, corpus against itself — still equi-join, still no
+    * crossJoin: only same-bucket pairs are scored.
+    */
+  def cosineNearDuplicates(corpus: DataFrame, threshold: Double = 0.95,
+      tables: Int = 4, bits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+        posexplode(lshBuckets(col("embedding"), tables, bits, dim, seed)))
+      .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
+    val a = bucketed.select(col("table_id"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = bucketed.select(col("table_id"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.join(b, Seq("table_id", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("vec_a")).as("vec_a"), first(col("vec_b")).as("vec_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

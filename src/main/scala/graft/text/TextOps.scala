@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (doc_id, text, lang, source, n_chars): token counting
+  * (whitespace + BPE-ish regex), quality scoring, document fingerprinting
+  * (rolling hash + winnowing), and n-gram language ID.
+  *
+  * Scale design: every per-document computation is a higher-order-function
+  * expression over the text column — no UDF, no explode unless a join needs
+  * the exploded shape, no shuffle for the per-doc stats (pure projection,
+  * pushdown-friendly). The language-ID profile is a tiny model broadcast
+  * into an equi-join.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword-ish tokens: letter runs, digit runs, single punct —
+    * the standard pre-tokenizer split (public convention, e.g. GPT-2's
+    * regex family), minus the unicode categories this corpus lacks.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document stats (projection only; SQL-expressible → oracle-backed). */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("char_len"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+      size(bpeishTokens(col("text"))).cast(LongType).as("n_bpe_tokens"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType).as("n_punct"))
+
+  /** Quality score: stopword ratio + mean token length + length gates —
+    * the standard cheap quality heuristics (length/punct/stopword ratios).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopList = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopList, t)))
+    docs.select(
+      col("doc_id"),
+      nTok.cast(LongType).as("n_tokens"),
+      nStop.cast(LongType).as("n_stopwords"),
+      (nStop.cast("double") / nTok).as("stop_ratio"),
+      (length(col("text")).cast("double") / nTok).as("avg_token_len"),
+      when(nTok >= lit(5) && length(col("text")) >= 20, 1L).otherwise(0L).as("quality_ok"))
+  }
+
+  /** Rolling-hash fingerprint with winnowing (public algorithm: Schleimer,
+    * Wilkerson & Aiken 2003 "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): hash word k-grams, slide a window of `w`, keep each
+    * window's min hash, dedupe. Output: doc_id + sorted fingerprint array.
+    * All HOF expressions — per-row, shuffle-free.
+    */
+  def fingerprint(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    val hashes = transform(grams, g => xxhash64(g))
+    val mins = transform(
+      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(w))))
+    docs.select(col("doc_id"),
+      array_sort(array_distinct(mins)).as("fingerprint"))
+  }
+
+  /** Character n-grams of the (lowercased, squashed-whitespace) text. */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => norm.substr(i, lit(n)))
+  }
+
+  /** Language ID by character-trigram profiles (the classic n-gram method,
+    * Cavnar & Trenkle 1994): learn per-language trigram log-frequencies from
+    * a labeled sample, broadcast the tiny profile, score each document by
+    * summed log-probability, take the argmax language.
+    *
+    * Plan shape: train = explode + one groupBy (bounded: ≤ langs × |trigram
+    * space|); classify = explode + broadcast equi-join on trigram + one
+    * groupBy(doc) + max_by. No crossJoin; profile is broadcast.
+    */
+  def langId(docs: DataFrame, train: DataFrame, n: Int = 3): DataFrame = {
+    val explodeGrams = (df: DataFrame) => df
+      .select(col("doc_id"), col("lang"),
+        explode(charNgrams(col("text"), n)).as("tg"))
+
+    val grams = explodeGrams(train)
+    val langTotals = grams.groupBy("lang").agg(count(lit(1)).as("lang_total"))
+    val profile = grams.groupBy("lang", "tg").agg(count(lit(1)).as("tg_n"))
+      .join(langTotals, "lang")
+      .select(col("lang").as("p_lang"), col("tg"),
+        log((col("tg_n") + 1.0) / (col("lang_total") + 1000.0)).as("logp"))
+
+    val docGrams = explodeGrams(docs).withColumnRenamed("lang", "lang_true")
+    val scored = docGrams
+      .join(broadcast(profile), "tg")
+      .groupBy(col("doc_id"), col("lang_true"), col("p_lang"))
+      .agg(sum(col("logp")).as("score"))
+    scored.groupBy(col("doc_id"), col("lang_true"))
+      .agg(max_by(col("p_lang"), col("score")).as("lang_pred"))
+  }
+}

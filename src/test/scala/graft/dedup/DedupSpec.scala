@@ -1,0 +1,79 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.operators.LlmQueries
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),     // near-dup of 0
+      (2L, "spark executes distributed queries with partitioned shuffles and broadcast joins", "en"),
+      (3L, "completely different content about gardens flowers bees and honey production", "en"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today", "en") // exact dup of 0
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+  }
+
+  test("exact dedup groups identical texts under one hash with min-id keeper") {
+    val groups = Dedup.exactDuplicates(docs).collect()
+    assert(groups.length == 4)                       // 5 docs, one exact pair
+    val dupGroup = groups.filter(_.getAs[Long]("n_copies") == 2)
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keeper") == 0L)
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair, not the unrelated ones") {
+    val pairs = Dedup.minhashNearDuplicates(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"expected near-dup (0,1) in $pairs")
+    assert(pairs.contains((0L, 4L)) && pairs.contains((1L, 4L))) // exact dup pairs everywhere
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("estimated jaccard tracks exact n-gram jaccard on candidates") {
+    val cands = Dedup.minhashNearDuplicates(docs, threshold = 0.1)
+    val verified = Dedup.verifyJaccard(docs, cands).collect()
+    verified.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("jaccard")
+      assert(math.abs(est - exact) < 0.35, s"est $est vs exact $exact")
+    }
+    // exact duplicate pair has jaccard exactly 1
+    val exactPair = verified.find(r => r.getLong(0) == 0L && r.getLong(1) == 4L)
+    assert(exactPair.exists(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(3L)))
+  }
+
+  test("simhash near-dup query finds the exact pair via chunk buckets") {
+    val pairs = Dedup.simhashNearDuplicates(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("LSH plans contain no cartesian/broadcast-nested-loop join") {
+    val plan = Dedup.minhashNearDuplicates(docs, threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val simPlan = Dedup.simhashNearDuplicates(docs).queryExecution.executedPlan.toString
+    assert(!simPlan.contains("CartesianProduct") && !simPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("planted near-dups from the harness helper pair with their source doc") {
+    val planted = LlmQueries.withPlantedNearDups(docs)
+    val pairs = Dedup.minhashNearDuplicates(planted, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every original doc with >3 tokens should pair with its perturbed twin
+    assert(pairs.contains((0L, 1000000L)) && pairs.contains((2L, 1000002L)))
+  }
+}

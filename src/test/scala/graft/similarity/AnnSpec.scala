@@ -1,0 +1,60 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.io.Sources
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = Sources.table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+  test("brute-force top-k matches a driver-side exact computation") {
+    val all = emb.collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      r.getLong(r.fieldIndex("vec_id")) -> v
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probeId = all.head._1
+    val probeVec = all.head._2
+    val expect = all.filter(_._1 != probeId)
+      .map { case (id, v) => (id, cos(probeVec, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+
+    val got = Ann.bruteForceTopK(emb, emb.where(col("vec_id") === probeId), k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == expect, s"got $got expected $expect")
+  }
+
+  test("LSH top-k achieves reasonable recall against brute force") {
+    val probes = emb.where(col("vec_id") < 20)
+    val brute = Ann.bruteForceTopK(emb, probes, k = 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    // top-k over near-orthogonal random vectors needs short hashes + many
+    // tables (collision prob at cos≈0.35 with 4 bits ≈ 0.14/table); long
+    // hashes (the default) are for high-cosine near-dup detection instead
+    val lsh = Ann.lshTopK(emb, probes, k = 5, tables = 8, bits = 4).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.4, s"recall $recall too low (|brute|=${brute.size}, |lsh|=${lsh.size})")
+  }
+
+  test("LSH plan contains no cartesian/broadcast-nested-loop join") {
+    val plan = Ann.lshTopK(emb, emb.where(col("vec_id") < 5), k = 3,
+      tables = 4, bits = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val ndPlan = Ann.cosineNearDuplicates(emb, 0.5, tables = 4, bits = 8)
+      .queryExecution.executedPlan.toString
+    assert(!ndPlan.contains("CartesianProduct") && !ndPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cosine column math: self-similarity is 1, near-dup pairs are ordered") {
+    val self = emb.limit(3)
+      .select(Ann.cosine(col("embedding"), col("embedding")).as("c")).collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    Ann.cosineNearDuplicates(emb, threshold = 0.0, tables = 2, bits = 6)
+      .collect().foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox, jumps over the lazy dog!", "en"),
+      (1L, "a b c", "en"),
+      (2L, "word", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+  }
+
+  test("textStats counts chars, tokens, bpe-ish tokens, punctuation") {
+    val r = TextOps.textStats(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("char_len") == 45L)
+    assert(r(0).getAs[Long]("n_tokens") == 9L)
+    assert(r(0).getAs[Long]("n_bpe_tokens") == 11L)  // 9 words + ',' + '!'
+    assert(r(0).getAs[Long]("n_punct") == 2L)
+    assert(r(1).getAs[Long]("n_tokens") == 3L)
+    assert(r(2).getAs[Long]("n_tokens") == 1L)
+  }
+
+  test("qualityScore: stopword ratio and gates") {
+    val r = TextOps.qualityScore(docs).orderBy("doc_id").collect()
+    // doc 0 tokens: the quick brown fox, jumps over the lazy dog! → 'the' ×2
+    assert(r(0).getAs[Long]("n_stopwords") == 2L)
+    assert(math.abs(r(0).getAs[Double]("stop_ratio") - 2.0 / 9) < 1e-9)
+    assert(r(0).getAs[Long]("quality_ok") == 1L)
+    assert(r(2).getAs[Long]("quality_ok") == 0L)  // 1 token, 4 chars
+  }
+
+  test("fingerprint: deterministic, subset-stable under winnowing") {
+    val f1 = TextOps.fingerprint(docs).orderBy("doc_id").collect()
+    val f2 = TextOps.fingerprint(docs).orderBy("doc_id").collect()
+    assert(f1.map(_.getSeq[Long](1)).toSeq == f2.map(_.getSeq[Long](1)).toSeq)
+    // identical prefix docs share fingerprints: winnowing guarantees overlap
+    import spark.implicits._
+    val pair = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(pair).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(10L) & fps(11L)).nonEmpty)
+  }
+
+  test("langId returns one prediction per doc from the label set") {
+    val out = TextOps.langId(docs, docs).collect()
+    assert(out.length == 3)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    out.foreach(r => assert(langs.contains(r.getAs[String]("lang_pred"))))
+  }
+}
