@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.Relational.queries ++
       graft.operators.LlmQueries.queries ++
-      graft.clv.ClvQueries.queries
+      graft.clv.ClvQueries.queries ++
+      graft.sim.SimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
