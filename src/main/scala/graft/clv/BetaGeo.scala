@@ -39,33 +39,61 @@ object BetaGeo {
   def negLogLikelihood(logParams: Array[Double], obs: Array[Obs], penalizer: Double): Double = {
     val r = math.exp(logParams(0)); val alpha = math.exp(logParams(1))
     val a = math.exp(logParams(2)); val b = math.exp(logParams(3))
-    var llSum = 0.0
-    var wSum = 0.0
-    var i = 0
-    while (i < obs.length) {
-      val o = obs(i)
-      val x = o.x
-      val a1 = logGamma(r + x) - logGamma(r) + r * math.log(alpha)
-      val a2 = logGamma(a + b) + logGamma(b + x) - logGamma(b) - logGamma(a + b + x)
-      val a3 = -(r + x) * math.log(alpha + o.big)
-      val ll =
-        if (x > 0) {
-          val a4 = math.log(a) - math.log(b + x - 1) - (r + x) * math.log(alpha + o.tx)
-          val m = math.max(a3, a4)
-          a1 + a2 + m + math.log(math.exp(a3 - m) + math.exp(a4 - m))
-        } else a1 + a2 + a3
-      llSum += o.w * ll
-      wSum += o.w
-      i += 1
+    // the logGamma terms depend only on x (given params); frequencies are
+    // small integers, so caching per distinct x turns the per-observation
+    // cost into plain log arithmetic (~10× on real feature tables)
+    // concurrent: populated lazily from the parallel chunks below; values
+    // are pure functions of (x, params) so racing puts are idempotent
+    val xCache = new java.util.concurrent.ConcurrentHashMap[Double, (Double, Double)]()
+    def xTerms(x: Double): (Double, Double) = {
+      val hit = xCache.get(x)
+      if (hit != null) hit
+      else {
+        val a1 = logGamma(r + x) - logGamma(r) + r * math.log(alpha)
+        val a2 = logGamma(a + b) + logGamma(b + x) - logGamma(b) - logGamma(a + b + x)
+        val v = (a1, a2)
+        xCache.put(x, v)
+        v
+      }
     }
-    -llSum / wSum + penalizer * (r * r + alpha * alpha + a * a + b * b)
+    // fixed-boundary chunks summed in chunk order: parallel across cores yet
+    // bit-deterministic (FP addition order never varies between runs)
+    val partials = Optim.chunkedParallelSum(obs.length) { (from, until) =>
+      var llSum = 0.0
+      var wSum = 0.0
+      var i = from
+      while (i < until) {
+        val o = obs(i)
+        val x = o.x
+        val (a1, a2) = xTerms(x)
+        val a3 = -(r + x) * math.log(alpha + o.big)
+        val ll =
+          if (x > 0) {
+            val a4 = math.log(a) - math.log(b + x - 1) - (r + x) * math.log(alpha + o.tx)
+            val m = math.max(a3, a4)
+            a1 + a2 + m + math.log(math.exp(a3 - m) + math.exp(a4 - m))
+          } else a1 + a2 + a3
+        llSum += o.w * ll
+        wSum += o.w
+        i += 1
+      }
+      (llSum, wSum)
+    }
+    -partials._1 / partials._2 + penalizer * (r * r + alpha * alpha + a * a + b * b)
   }
 
   /** Fit on pre-collected weighted observations (driver-side NM loop). */
   def fit(obs: Array[Obs], penalizer: Double = 0.1): BetaGeoParams = {
     require(obs.nonEmpty, "BG/NBD fit needs at least one observation")
-    val sol = NelderMead.minimize(negLogLikelihood(_, obs, penalizer),
-      Array.fill(4)(0.1))
+    val x0 = Array.fill(4)(0.1)
+    val f0 = negLogLikelihood(x0, obs, penalizer)
+    // fail fast instead of silently returning the unmoved initial simplex:
+    // a NaN objective means corrupt inputs (e.g. negative T from a run date
+    // earlier than the data, recency > T)
+    require(java.lang.Double.isFinite(f0),
+      "BG/NBD fit: non-finite objective at init — check that T >= recency >= 0 " +
+        "(is the asOfDate earlier than the data?)")
+    val sol = NelderMead.minimize(negLogLikelihood(_, obs, penalizer), x0)
     BetaGeoParams(math.exp(sol(0)), math.exp(sol(1)), math.exp(sol(2)), math.exp(sol(3)))
   }
 

@@ -17,8 +17,11 @@ object ClvQueries {
     * projection.
     */
   def clvScores(s: SparkSession, dir: String): DataFrame = {
+    // cache: the features feed the empty-guard, both fit compressions, and
+    // the scoring projection — without it the RFM aggregate re-runs 4×
     val feats = Rfm.customerFeatures(Sources.table(s, dir, "orders"),
-      to_date(lit("1998-12-31")), "o_custkey", "o_orderdate", "o_totalprice")
+      to_date(lit("2001-08-02")), "o_custkey", "o_orderdate", "o_totalprice")
+      .cache()
     val scored = ClvModel.runClvLogic(ClvModel.prepare(feats))
     ClvModel.outputColumns(scored).orderBy("customer_id")
   }

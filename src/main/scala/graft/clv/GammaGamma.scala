@@ -30,26 +30,49 @@ object GammaGamma {
   def negLogLikelihood(logParams: Array[Double], obs: Array[Obs], penalizer: Double): Double = {
     val p = math.exp(logParams(0)); val q = math.exp(logParams(1))
     val v = math.exp(logParams(2))
-    var llSum = 0.0
-    var wSum = 0.0
-    var i = 0
-    while (i < obs.length) {
-      val o = obs(i)
-      val px = p * o.x
-      val ll = logGamma(px + q) - logGamma(px) - logGamma(q) +
-        q * math.log(v) + (px - 1) * math.log(o.m) + px * math.log(o.x) -
-        (px + q) * math.log(v + o.m * o.x)
-      llSum += o.w * ll
-      wSum += o.w
-      i += 1
+    val lgq = logGamma(q)
+    val qlnv = q * math.log(v)
+    // logGamma terms depend only on x (given params) — cache per distinct
+    // frequency (see BetaGeo.negLogLikelihood)
+    // concurrent: populated lazily from the parallel chunks (see BetaGeo)
+    val xCache = new java.util.concurrent.ConcurrentHashMap[Double, java.lang.Double]()
+    def xTerm(x: Double): Double = {
+      val hit = xCache.get(x)
+      if (hit != null) hit.doubleValue()
+      else {
+        val px = p * x
+        val t = logGamma(px + q) - logGamma(px) - lgq + px * math.log(x)
+        xCache.put(x, t)
+        t
+      }
     }
-    -llSum / wSum + penalizer * (p * p + q * q + v * v)
+    // chunk-ordered parallel sum — deterministic, see BetaGeo
+    val partials = Optim.chunkedParallelSum(obs.length) { (from, until) =>
+      var llSum = 0.0
+      var wSum = 0.0
+      var i = from
+      while (i < until) {
+        val o = obs(i)
+        val px = p * o.x
+        val ll = xTerm(o.x) + qlnv + (px - 1) * math.log(o.m) -
+          (px + q) * math.log(v + o.m * o.x)
+        llSum += o.w * ll
+        wSum += o.w
+        i += 1
+      }
+      (llSum, wSum)
+    }
+    -partials._1 / partials._2 + penalizer * (p * p + q * q + v * v)
   }
 
   def fit(obs: Array[Obs], penalizer: Double = 0.1): GammaGammaParams = {
     require(obs.nonEmpty, "Gamma-Gamma fit needs at least one observation")
-    val sol = NelderMead.minimize(negLogLikelihood(_, obs, penalizer),
-      Array.fill(3)(0.1))
+    val x0 = Array.fill(3)(0.1)
+    val f0 = negLogLikelihood(x0, obs, penalizer)
+    require(java.lang.Double.isFinite(f0),
+      "Gamma-Gamma fit: non-finite objective at init — check that frequency > 0 " +
+        "and monetary > 0 on the fit slice")
+    val sol = NelderMead.minimize(negLogLikelihood(_, obs, penalizer), x0)
     GammaGammaParams(math.exp(sol(0)), math.exp(sol(1)), math.exp(sol(2)))
   }
 

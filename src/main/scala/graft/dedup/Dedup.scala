@@ -31,23 +31,34 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
 
-  /** Word-k-gram shingle set per document (HOF, per-row). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** Word-k-gram shingle set per document (HOF, per-row). The token array
+    * is let-bound so the text is split once, not once per shingle position.
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.ColumnOps.bind(TextOps.tokens(text)) { toks =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    }
 
   /** MinHash signature: numHashes independent min-hashes of the shingle
-    * set, each via xxhash64(shingle, seed_i). Pure projection — signatures
-    * for 100 TB of docs cost one scan, zero shuffles.
+    * set. The shingle STRINGS are hashed exactly once; the hash families
+    * come from re-mixing the resulting 64-bit values (xxhash64 over a long
+    * is ~10× cheaper than over a 20-char string — the standard
+    * one-hash + k-mixes construction). Pure projection — signatures for
+    * 100 TB of docs cost one scan, zero shuffles.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, k: Int = 3): DataFrame = {
-    val sh = shingles(col("text"), k)
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
+    val baseHashes = transform(shingles(col("text"), k), s => xxhash64(s))
+    // one fold over the shingle hashes updating all `numHashes` minimum
+    // lanes per element: the aggregate's lambda variable is evaluated once
+    // per shingle, so each shingle string is hashed exactly once (a naive
+    // per-lane transform would re-inline the string hashing numHashes times)
+    val sig = aggregate(
+      baseHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m, xxhash64(h, i))))
     docs.select(col("doc_id"), sig.as("signature"))
   }
 
@@ -95,13 +106,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash (Charikar 2002): per token-hash bit, sum ±1 across
-    * tokens; signature bit i = sign of the sum. All HOF, per-row.
+    * tokens; signature bit i = sign of the sum. Token strings are hashed
+    * once (the 64 bit-tests then operate on the cached longs). All HOF,
+    * per-row.
     */
   def simhash(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    val bitSums = transform(sequence(lit(0), lit(63)), i =>
-      aggregate(toks, lit(0L),
-        (acc, w) => acc + when(call_function("shiftright", xxhash64(w), i)
+    val tokHashes = transform(TextOps.tokens(text), w => xxhash64(w))
+    // single fold over tokens updating all 64 bit-sum lanes per token —
+    // each token string is hashed once (see minhashSignatures note)
+    val bitSums = aggregate(
+      tokHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftright", h, i)
           .bitwiseAND(lit(1L)) === lit(1L), 1L).otherwise(-1L)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),

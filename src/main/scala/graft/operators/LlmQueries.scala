@@ -25,6 +25,16 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
 
+  /** documents scan fanned out to the session's full parallelism: the local
+    * testdata is one parquet file → one input task, which would serialize
+    * the CPU-heavy per-row signature/trigram work onto a single core. One
+    * tiny shuffle of doc rows buys full-width parallelism; on a real
+    * many-file 100 TB table the scan parallelizes naturally and this
+    * repartition collapses into normal input splits.
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -70,7 +80,7 @@ object LlmQueries {
 
     // rows-only: banded minhash-LSH candidates on corpus + planted near-dups
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashNearDuplicates(withPlantedNearDups(t(s, dir, "documents")),
+      Dedup.minhashNearDuplicates(withPlantedNearDups(docs(s, dir)),
           threshold = 0.3)
         .withColumn("est_jaccard", r4(col("est_jaccard")))
         .orderBy("doc_a", "doc_b")
@@ -78,9 +88,9 @@ object LlmQueries {
 
     // rows-only: exact n-gram Jaccard verification of the LSH candidates
     "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = withPlantedNearDups(t(s, dir, "documents"))
-      val cands = Dedup.minhashNearDuplicates(docs, threshold = 0.3)
-      Dedup.verifyJaccard(docs, cands)
+      val d = withPlantedNearDups(docs(s, dir))
+      val cands = Dedup.minhashNearDuplicates(d, threshold = 0.3)
+      Dedup.verifyJaccard(d, cands)
         .withColumn("jaccard", r4(col("jaccard")))
         .withColumn("est_jaccard", r4(col("est_jaccard")))
         .orderBy("doc_a", "doc_b")
@@ -88,7 +98,7 @@ object LlmQueries {
 
     // rows-only: simhash chunk-bucket near-dups on the planted corpus
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDuplicates(withPlantedNearDups(t(s, dir, "documents")),
+      Dedup.simhashNearDuplicates(withPlantedNearDups(docs(s, dir)),
           maxHamming = 8)
         .orderBy("doc_a", "doc_b")
     }),
@@ -131,12 +141,12 @@ object LlmQueries {
 
     // ---- language ID + fingerprint (rows-only) ----------------------------
     "q_lang_id" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextOps.langId(docs, docs).orderBy("doc_id")
+      val d = docs(s, dir)
+      TextOps.langId(d, d).orderBy("doc_id")
     }),
 
     "q_fingerprint" -> ((s, dir) => {
-      TextOps.fingerprint(t(s, dir, "documents"))
+      TextOps.fingerprint(docs(s, dir))
         .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_grams"),
           col("fingerprint"))
         .orderBy("doc_id")

@@ -40,7 +40,7 @@ object Relational {
     // ---- flagship: RFM-T features (A1, E1–E5, P2) --------------------------
     // One hash-agg shuffle on the customer key; partial agg map-side.
     "q_rfm_features" -> ((s, dir) => {
-      Rfm.customerFeatures(t(s, dir, "orders"), to_date(lit("1998-12-31")),
+      Rfm.customerFeatures(t(s, dir, "orders"), to_date(lit("2001-08-02")),
           "o_custkey", "o_orderdate", "o_totalprice")
         .withColumn("monetary_value", r2(col("monetary_value")))
         .orderBy("customer_id")
@@ -257,7 +257,7 @@ object Relational {
           dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
           quarter(col("o_orderdate")).cast(LongType).as("qtr"),
           to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
-          datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).cast(LongType).as("age_days"))
+          datediff(to_date(lit("2001-08-02")), to_date(col("o_orderdate"))).cast(LongType).as("age_days"))
         .orderBy("o_orderkey")
     }),
 
@@ -306,7 +306,7 @@ object Relational {
     // round-1 two-aggregate version doubled the most expensive subplan).
     "q_validation_scalars" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val feats = Rfm.customerFeatures(o, to_date(lit("1998-12-31")),
+      val feats = Rfm.customerFeatures(o, to_date(lit("2001-08-02")),
         "o_custkey", "o_orderdate", "o_totalprice")
       val raw = o.agg(countDistinct(col("o_custkey")).as("raw_count"))
       val featAgg = feats.agg(
@@ -325,7 +325,7 @@ object Relational {
     "q_rfm_features" ->
       """SELECT o_custkey AS customer_id,
         |  CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS recency,
-        |  CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE), DATE '1998-12-31') AS BIGINT) AS t,
+        |  CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE), DATE '2001-08-02') AS BIGINT) AS t,
         |  CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS frequency,
         |  FLOOR((AVG(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS monetary_value,
         |  CAST(MIN(o_orderdate) AS DATE) AS first_purchase,
@@ -466,7 +466,7 @@ object Relational {
         |  CAST(DAY(o_orderdate) AS BIGINT) AS dom,
         |  CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-02') AS BIGINT) AS age_days
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_percentile" ->
@@ -497,7 +497,7 @@ object Relational {
       """WITH feats AS (
         |  SELECT o_custkey AS customer_id,
         |    date_diff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS recency,
-        |    date_diff('day', CAST(MIN(o_orderdate) AS DATE), DATE '1998-12-31') AS t,
+        |    date_diff('day', CAST(MIN(o_orderdate) AS DATE), DATE '2001-08-02') AS t,
         |    COUNT(DISTINCT CAST(o_orderdate AS DATE)) - 1 AS frequency,
         |    AVG(o_totalprice) AS monetary_value
         |  FROM orders GROUP BY o_custkey)

@@ -62,24 +62,31 @@ object TextOps {
     * All HOF expressions — per-row, shuffle-free.
     */
   def fingerprint(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = tokens(col("text"))
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
-    val hashes = transform(grams, g => xxhash64(g))
-    val mins = transform(
-      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
-      i => array_min(slice(hashes, i + 1, lit(w))))
+    import graft.functions.ColumnOps.bind
+    // let-bind both arrays: the text is tokenized once and the k-gram hash
+    // array is built once, instead of once per sliding-window position
+    val mins = bind(tokens(col("text"))) { toks =>
+      bind(transform(
+          sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))) { hashes =>
+        transform(
+          sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+          i => array_min(slice(hashes, i + 1, lit(w))))
+      }
+    }
     docs.select(col("doc_id"),
       array_sort(array_distinct(mins)).as("fingerprint"))
   }
 
-  /** Character n-grams of the (lowercased, squashed-whitespace) text. */
-  def charNgrams(text: Column, n: Int = 3): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
-    transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => norm.substr(i, lit(n)))
-  }
+  /** Character n-grams of the (lowercased, squashed-whitespace) text. The
+    * normalized string is let-bound: one regexp pass per document, not one
+    * per character position.
+    */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    graft.functions.ColumnOps.bind(regexp_replace(lower(text), "\\s+", " ")) { norm =>
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n)))
+    }
 
   /** Language ID by character-trigram profiles (the classic n-gram method,
     * Cavnar & Trenkle 1994): learn per-language trigram log-frequencies from
