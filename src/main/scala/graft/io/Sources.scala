@@ -57,4 +57,10 @@ object Sources {
     */
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** CSV sink (S1: the generator's batch file, header on, no index column —
+    * reference: dags/simulate_data.py:233).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
 }

@@ -257,8 +257,18 @@ object Relational {
           dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
           quarter(col("o_orderdate")).cast(LongType).as("qtr"),
           to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
-          datediff(to_date(lit("2001-08-02")), to_date(col("o_orderdate"))).cast(LongType).as("age_days"))
+          datediff(to_date(lit("2001-08-02")), to_date(col("o_orderdate"))).cast(LongType).as("age_days"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt_date"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- approximate distinct (the 100 TB opt-in variant of A3) -----------
+    // rows-only: HLL estimates are engine-specific; the spec asserts the
+    // estimate lands within the published error bound of the exact count.
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
     }),
 
     // ---- exact percentiles / median ---------------------------------------
@@ -466,7 +476,8 @@ object Relational {
         |  CAST(DAY(o_orderdate) AS BIGINT) AS dom,
         |  CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-02') AS BIGINT) AS age_days
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-02') AS BIGINT) AS age_days,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS fmt_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_percentile" ->

@@ -93,6 +93,24 @@ class PipelineSpec extends SparkSpec {
     assert(!Catalog.tableExists(spark, dirs.predictedClv))
   }
 
+  test("CSV sink round-trips a generated batch (S1)") {
+    val base = Files.createTempDirectory("graft_csv").toString
+    val (batch, _) = graft.sim.Generate.dailyBatch(spark, 50, "2026-01-24 00:00:00", 3)
+    Sources.writeCsv(batch, s"$base/batch_csv")
+    val back = spark.read.schema(graft.model.Schemas.transactions)
+      .option("header", "true").csv(s"$base/batch_csv")
+    assert(back.count() == batch.count())
+    assert(back.columns.toSeq == batch.columns.toSeq)
+  }
+
+  test("approximate distinct lands within HLL error of the exact count") {
+    val row = graft.SparkEntry.queries("q_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .first()
+    val approx = row.getLong(0).toDouble
+    val exact = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("catalog ops: exists / create-if-needed / introspection (S8/S9/C4)") {
     val base = Files.createTempDirectory("graft_cat").toString
     val p = s"$base/master_users"
