@@ -33,6 +33,21 @@ object BetaGeo {
     */
   final case class Obs(x: Double, tx: Double, big: Double, w: Double)
 
+  /** Unweighted log-likelihood of one observation (shared by the driver
+    * loop and the treeAggregate objective).
+    */
+  def llObs(r: Double, alpha: Double, a: Double, b: Double, o: Obs): Double = {
+    val x = o.x
+    val a1 = logGamma(r + x) - logGamma(r) + r * math.log(alpha)
+    val a2 = logGamma(a + b) + logGamma(b + x) - logGamma(b) - logGamma(a + b + x)
+    val a3 = -(r + x) * math.log(alpha + o.big)
+    if (x > 0) {
+      val a4 = math.log(a) - math.log(b + x - 1) - (r + x) * math.log(alpha + o.tx)
+      val m = math.max(a3, a4)
+      a1 + a2 + m + math.log(math.exp(a3 - m) + math.exp(a4 - m))
+    } else a1 + a2 + a3
+  }
+
   /** Weighted penalized mean NLL — the exact objective lifetimes minimizes
     * (log-params in, penalizer on the exponentiated params).
     */
@@ -99,17 +114,50 @@ object BetaGeo {
 
   /** Fit from a features frame: one aggregation shuffle compresses customers
     * onto distinct integer (frequency, recency, T) triples; only those
-    * weighted triples reach the driver.
+    * weighted triples reach the driver. If the compressed cardinality still
+    * exceeds `maxDriverRows` (degenerate day-grids at extreme scale), the
+    * optimizer switches to the cluster-side objective — each Nelder–Mead
+    * evaluation becomes one `treeAggregate` over the cached triples instead
+    * of a driver loop, so driver memory stays O(1).
     */
-  def fit(features: DataFrame, fCol: String, rCol: String, tCol: String): BetaGeoParams = {
+  def fitFeatures(features: DataFrame, fCol: String, rCol: String, tCol: String,
+      maxDriverRows: Long = 2000000L): BetaGeoParams = {
     val compressed = features
       .groupBy(col(fCol).cast("double").as("x"),
         col(rCol).cast("double").as("tx"),
         col(tCol).cast("double").as("big"))
       .agg(count(lit(1)).cast("double").as("w"))
-      .collect()
-      .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-    fit(compressed)
+    val n = compressed.count()
+    if (n <= maxDriverRows)
+      fit(compressed.collect()
+        .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+    else fitDistributed(compressed)
+  }
+
+  /** Cluster-side penalized MLE: the weighted-NLL sum runs as a
+    * `treeAggregate` per objective evaluation over the cached compressed
+    * triples. ~2 jobs per Nelder–Mead iteration on a small cached dataset —
+    * the trade for unbounded input cardinality.
+    */
+  def fitDistributed(compressed: DataFrame, penalizer: Double = 0.1): BetaGeoParams = {
+    val rdd = compressed.select(col("x"), col("tx"), col("big"), col("w"))
+      .rdd.map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def objective(logParams: Array[Double]): Double = {
+        val r = math.exp(logParams(0)); val alpha = math.exp(logParams(1))
+        val a = math.exp(logParams(2)); val b = math.exp(logParams(3))
+        val (llSum, wSum) = rdd.treeAggregate((0.0, 0.0))(
+          seqOp = { case ((ll, w), o) => (ll + o.w * llObs(r, alpha, a, b, o), w + o.w) },
+          combOp = { case ((l1, w1), (l2, w2)) => (l1 + l2, w1 + w2) })
+        -llSum / wSum + penalizer * (r * r + alpha * alpha + a * a + b * b)
+      }
+      val x0 = Array.fill(4)(0.1)
+      require(java.lang.Double.isFinite(objective(x0)),
+        "BG/NBD fitDistributed: non-finite objective at init")
+      val sol = NelderMead.minimize(objective, x0)
+      BetaGeoParams(math.exp(sol(0)), math.exp(sol(1)), math.exp(sol(2)), math.exp(sol(3)))
+    } finally rdd.unpersist()
   }
 
   /** E[X(t) | x, t_x, T] — conditional expected purchases in the next `t`

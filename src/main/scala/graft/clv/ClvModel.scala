@@ -16,8 +16,9 @@
   * Scale: both fits collect only weighted sufficient observations (see
   * BetaGeo/GammaGamma scaladoc); the 7 fitted parameters then come back as
   * literals in column expressions, so scoring is one embarrassingly
-  * parallel projection — the ₂F₁ UDF per row, everything else
-  * codegen-friendly arithmetic. No shuffle in the scoring pass at all.
+  * parallel projection — ₂F₁ runs as a native codegen expression
+  * (Hyp2f1Expression), everything else plain column arithmetic. No shuffle
+  * in the scoring pass at all.
   */
 package graft.clv
 
@@ -78,30 +79,47 @@ object ClvModel {
   def fitModel(returning: DataFrame, penalizer: Double = 0.1): FittedClvModel = {
     val cached = returning.select(col("frequency"), col("recency"), col("t"), col("monetary")).cache()
     try {
-      val bg = BetaGeo.fit(cached, "frequency", "recency", "t")
-      val gg = GammaGamma.fit(cached, "frequency", "monetary")
+      val bg = BetaGeo.fitFeatures(cached, "frequency", "recency", "t")
+      val gg = GammaGamma.fitFeatures(cached, "frequency", "monetary")
       FittedClvModel(bg, gg)
     } finally cached.unpersist()
   }
 
-  /** M3–M5 + quality fixes as one shuffle-free projection; the fitted params
-    * ride into the closure (7 doubles — effectively broadcast literals).
+  /** E[X(t)] as pure column arithmetic over the native ₂F₁ expression —
+    * the whole scoring projection stays inside whole-stage codegen (the
+    * round-1 plan used a scala UDF here; SURVEY §4.3 promotion applied).
+    * The 4 fitted params are literals (constant-folded).
+    */
+  def expectedPurchasesCol(bg: BetaGeoParams, t: Column, x: Column,
+      tx: Column, big: Column): Column = {
+    val r = lit(bg.r); val alpha = lit(bg.alpha)
+    val a = lit(bg.a); val b = lit(bg.b)
+    val z = t / (alpha + big + t)
+    val hyp = call_function("hyp2f1", r + x, b + x, a + b + x - 1, z)
+    val first = (a + b + x - 1) / (a - 1)
+    val second = lit(1.0) - hyp * pow((alpha + big) / (alpha + big + t), r + x)
+    val den = when(x > 0,
+      lit(1.0) + (a / (b + x - 1)) * pow((alpha + big) / (alpha + tx), r + x))
+      .otherwise(lit(1.0))
+    first * second / den
+  }
+
+  /** M3–M5 + quality fixes as one shuffle-free, fully-codegen projection;
+    * the fitted params ride as literals (7 doubles).
     */
   def score(returning: DataFrame, model: FittedClvModel): DataFrame = {
-    val bg = model.bg
+    Hyp2f1Expression.register(returning.sparkSession)
     val gg = model.gg
-    val predictUdf = udf((t: Double, x: Double, tx: Double, big: Double) =>
-      BetaGeo.expectedPurchases(bg, t, x, tx, big))
+    def predict(t: Column): Column =
+      expectedPurchasesCol(model.bg, t, col("frequency"), col("recency"), col("t"))
     def expProfit(x: Column, m: Column): Column =
       (lit(gg.p) * (lit(gg.v) + m * x)) / (lit(gg.p) * x + lit(gg.q) - lit(1.0))
 
     val scored = returning
-      .withColumn("predicted_purchases",
-        predictUdf(lit(30.0), col("frequency"), col("recency"), col("t")))
+      .withColumn("predicted_purchases", predict(lit(30.0)))
       .withColumn("predicted_avg_value", expProfit(col("frequency"), col("monetary")))
       .withColumn("clv",
-        predictUdf(lit(365.0), col("frequency"), col("recency"), col("t")) *
-          col("predicted_avg_value") * lit(0.99))
+        predict(lit(365.0)) * col("predicted_avg_value") * lit(0.99))
     applyDataQualityFixes(scored)
   }
 

@@ -77,7 +77,7 @@ object GammaGamma {
   }
 
   /** Fit from a features frame (frequency > 0, monetary > 0 slice). */
-  def fit(features: DataFrame, fCol: String, mCol: String): GammaGammaParams = {
+  def fitFeatures(features: DataFrame, fCol: String, mCol: String): GammaGammaParams = {
     val compressed = features
       .groupBy(col(fCol).cast("double").as("x"), col(mCol).cast("double").as("m"))
       .agg(count(lit(1)).cast("double").as("w"))
