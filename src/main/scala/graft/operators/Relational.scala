@@ -311,6 +311,36 @@ object Relational {
         .orderBy("hour_start")
     }),
 
+    // ---- salted two-phase aggregation (skew path) -------------------------
+    // lineitem's 3 returnflag values are maximal key skew; the salted plan
+    // spreads each across 16 sub-keys before merging. The oracle is the
+    // PLAIN group-by — same answer, which is the point.
+    "q_salted_agg" -> ((s, dir) => {
+      Skew.saltedAggregate(t(s, dir, "lineitem"), Seq("l_returnflag"), salts = 16,
+        Seq(Skew.AggSpec("sum", "l_quantity", "sum_qty"),
+          Skew.AggSpec("count", "l_orderkey", "n"),
+          Skew.AggSpec("min", "l_extendedprice", "min_price"),
+          Skew.AggSpec("max", "l_extendedprice", "max_price"),
+          Skew.AggSpec("avg", "l_quantity", "avg_qty")))
+        .select(col("l_returnflag"), r2(col("sum_qty")).as("sum_qty"), col("n"),
+          r2(col("min_price")).as("min_price"), r2(col("max_price")).as("max_price"),
+          r2(col("avg_qty")).as("avg_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- gap-based session windows (batch form of §2.10 sessionization) ---
+    // Spark's native session_window; the oracle reproduces it with the
+    // standard lag-gap-cumsum construction — same sessions, both engines.
+    "q_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- firewall scalars (E12, J1, A4 combined; reference validate_features.py) ----
     // feature_count and invalid_count share ONE aggregate over feats (the
     // round-1 two-aggregate version doubled the most expensive subplan).
@@ -503,6 +533,32 @@ object Relational {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users, FLOOR((SUM(value)) * 100.0 + 0.500001) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  FLOOR((SUM(l_quantity)) * 100.0 + 0.500001) / 100.0 AS sum_qty,
+        |  COUNT(l_orderkey) AS n,
+        |  FLOOR((MIN(l_extendedprice)) * 100.0 + 0.500001) / 100.0 AS min_price,
+        |  FLOOR((MAX(l_extendedprice)) * 100.0 + 0.500001) / 100.0 AS max_price,
+        |  FLOOR((AVG(l_quantity)) * 100.0 + 0.500001) / 100.0 AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      >= INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  FLOOR((SUM(value)) * 100.0 + 0.500001) / 100.0 AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_validation_scalars" ->
       """WITH feats AS (

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling: two-phase salted aggregation.
+  *
+  * Spark's map-side partial aggregation already absorbs most heavy-key agg
+  * skew; salting matters when partial aggregation can't compress — distinct
+  * accumulators, collect-style aggregates, or extreme single-key skew where
+  * even the combined partials overload one reducer. The pattern: scatter
+  * each key across `salts` sub-keys, aggregate partials per (key, salt),
+  * then merge partials per key. Both phases are hash aggregations; the
+  * first shuffle spreads a hot key over `salts` reducers.
+  *
+  * Supported merge-able aggregates: sum, count, min, max, avg (decomposed
+  * into sum+count and finalized after the merge).
+  */
+object Skew {
+
+  final case class AggSpec(func: String, column: String, alias: String)
+
+  def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
+      aggs: Seq[AggSpec]): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+
+    def partial(a: AggSpec): Seq[Column] = a.func match {
+      case "sum"   => Seq(sum(col(a.column)).as(s"__p_sum_${a.alias}"))
+      case "count" => Seq(count(col(a.column)).as(s"__p_cnt_${a.alias}"))
+      case "min"   => Seq(min(col(a.column)).as(s"__p_min_${a.alias}"))
+      case "max"   => Seq(max(col(a.column)).as(s"__p_max_${a.alias}"))
+      case "avg"   => Seq(sum(col(a.column)).as(s"__p_sum_${a.alias}"),
+        count(col(a.column)).as(s"__p_cnt_${a.alias}"))
+      case other   => throw new IllegalArgumentException(
+        s"saltedAggregate: '$other' is not a mergeable aggregate")
+    }
+
+    def merge(a: AggSpec): Column = a.func match {
+      case "sum"   => sum(col(s"__p_sum_${a.alias}")).as(a.alias)
+      case "count" => sum(col(s"__p_cnt_${a.alias}")).as(a.alias)
+      case "min"   => min(col(s"__p_min_${a.alias}")).as(a.alias)
+      case "max"   => max(col(s"__p_max_${a.alias}")).as(a.alias)
+      case "avg"   => (sum(col(s"__p_sum_${a.alias}")) /
+        sum(col(s"__p_cnt_${a.alias}"))).as(a.alias)
+    }
+
+    val partialCols = aggs.flatMap(partial)
+    val phase1 = df
+      .withColumn("__salt", salt)
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(merge(aggs.head), aggs.tail.map(merge): _*)
+  }
+}

@@ -36,6 +36,27 @@ object StreamingOps {
       .schema(graft.model.Schemas.transactions)
       .parquet(dir)
 
+  /** Incremental RFM-T feature maintenance (the streaming alternative to
+    * the reference's full recompute): a complete-mode aggregation over the
+    * staging stream keeps per-customer state; each AvailableNow run folds
+    * ONLY newly-arrived files into that state instead of re-reading
+    * history. `frequency` uses approx_count_distinct — exact distinct
+    * aggregation is unsupported on streams, and the HLL sketch is the
+    * documented 100 TB trade (SURVEY §7.1 step 8); everything else is
+    * exact and matches the batch transform.
+    */
+  def incrementalFeatures(staged: DataFrame, asOfDate: org.apache.spark.sql.Column): DataFrame = {
+    val ts = col("order_timestamp")
+    staged.groupBy(col("CustomerID").cast("long").as("customer_id"))
+      .agg(
+        datediff(to_date(max(ts)), to_date(min(ts))).cast("long").as("recency"),
+        datediff(asOfDate, to_date(min(ts))).cast("long").as("t"),
+        (approx_count_distinct(to_date(ts)) - 1).cast("long").as("frequency"),
+        avg(col("TotalPurchase")).as("monetary_value"),
+        to_date(min(ts)).as("first_purchase"),
+        to_date(max(ts)).as("last_purchase"))
+  }
+
   /** Tumbling event-time counts with a watermark: one row per
     * (window, event_type) once the watermark passes — late rows beyond
     * `lateness` are dropped, explicitly.

@@ -36,6 +36,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(byId == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("incremental features: streaming state matches the batch transform") {
+    val base = Files.createTempDirectory("graft_incr").toString
+    val staging = s"$base/staging"
+    val (batch1, _) = graft.sim.Generate.dailyBatch(spark, 100, "2026-01-24 00:00:00", 21)
+    Sources.appendParquet(batch1, staging)
+    val asOf = org.apache.spark.sql.functions.to_date(lit("2026-01-27"))
+
+    def run(name: String) = StreamingOps.runAvailableNow(
+      StreamingOps.incrementalFeatures(
+        StreamingOps.stagingStream(spark, staging), asOf),
+      name, s"$base/ckpt", org.apache.spark.sql.streaming.OutputMode.Complete())
+
+    run("incr_1")
+    // day 2 arrives; same checkpoint folds only the delta into state
+    val (batch2, _) = graft.sim.Generate.dailyBatch(spark, 110, "2026-01-25 00:00:00", 22)
+    Sources.appendParquet(batch2, staging)
+    val streamed = run("incr_2")
+
+    val batchFeats = graft.operators.Rfm.customerFeatures(
+      spark.read.parquet(staging), asOf)
+    val joined = streamed.as("s").join(batchFeats.as("b"), "customer_id")
+    assert(streamed.count() == batchFeats.count())
+    // exact columns agree everywhere
+    assert(joined.where(col("s.recency") =!= col("b.recency") ||
+      col("s.t") =!= col("b.t") ||
+      col("s.first_purchase") =!= col("b.first_purchase") ||
+      col("s.last_purchase") =!= col("b.last_purchase") ||
+      abs(col("s.monetary_value") - col("b.monetary_value")) > 1e-9).isEmpty)
+    // frequency is an HLL estimate: tiny per-customer counts ⇒ tight bound
+    assert(joined.where(abs(col("s.frequency") - col("b.frequency")) > 1).isEmpty)
+  }
+
   test("watermarked tumbling windows aggregate the events table") {
     val base = Files.createTempDirectory("graft_stream_ev").toString
     // batch-source parity: run the same windowed agg over a file stream fed
