@@ -76,14 +76,50 @@ object GammaGamma {
     GammaGammaParams(math.exp(sol(0)), math.exp(sol(1)), math.exp(sol(2)))
   }
 
-  /** Fit from a features frame (frequency > 0, monetary > 0 slice). */
-  def fitFeatures(features: DataFrame, fCol: String, mCol: String): GammaGammaParams = {
+  /** Per-observation log-likelihood (shared by driver + cluster paths). */
+  def llObs(p: Double, q: Double, v: Double, o: Obs): Double = {
+    val px = p * o.x
+    logGamma(px + q) - logGamma(px) - logGamma(q) + q * math.log(v) +
+      (px - 1) * math.log(o.m) + px * math.log(o.x) -
+      (px + q) * math.log(v + o.m * o.x)
+  }
+
+  /** Fit from a features frame (frequency > 0, monetary > 0 slice). Like
+    * BetaGeo.fitFeatures: compress on distinct (frequency, monetary) pairs,
+    * collect if bounded, else run the objective as treeAggregate jobs.
+    */
+  def fitFeatures(features: DataFrame, fCol: String, mCol: String,
+      maxDriverRows: Long = 2000000L): GammaGammaParams = {
     val compressed = features
       .groupBy(col(fCol).cast("double").as("x"), col(mCol).cast("double").as("m"))
       .agg(count(lit(1)).cast("double").as("w"))
-      .collect()
-      .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
-    fit(compressed)
+    if (compressed.count() <= maxDriverRows)
+      fit(compressed.collect().map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2))))
+    else fitDistributed(compressed)
+  }
+
+  /** Cluster-side objective: one treeAggregate per Nelder–Mead evaluation
+    * over the cached compressed pairs (see BetaGeo.fitDistributed).
+    */
+  def fitDistributed(compressed: DataFrame, penalizer: Double = 0.1): GammaGammaParams = {
+    val rdd = compressed.select(col("x"), col("m"), col("w"))
+      .rdd.map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def objective(logParams: Array[Double]): Double = {
+        val p = math.exp(logParams(0)); val q = math.exp(logParams(1))
+        val v = math.exp(logParams(2))
+        val (llSum, wSum) = rdd.treeAggregate((0.0, 0.0))(
+          seqOp = { case ((ll, w), o) => (ll + o.w * llObs(p, q, v, o), w + o.w) },
+          combOp = { case ((l1, w1), (l2, w2)) => (l1 + l2, w1 + w2) })
+        -llSum / wSum + penalizer * (p * p + q * q + v * v)
+      }
+      val x0 = Array.fill(3)(0.1)
+      require(java.lang.Double.isFinite(objective(x0)),
+        "Gamma-Gamma fitDistributed: non-finite objective at init")
+      val sol = NelderMead.minimize(objective, x0)
+      GammaGammaParams(math.exp(sol(0)), math.exp(sol(1)), math.exp(sol(2)))
+    } finally rdd.unpersist()
   }
 
   /** E[M | m, x] = p(v + m·x) / (p·x + q − 1) — closed form, so the scoring
