@@ -21,6 +21,9 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine extension functions (native codegen expressions)
+    graft.clv.Hyp2f1Expression.register(spark)
+    graft.similarity.VecOps.register(spark)
     spark
   }
 }

@@ -24,10 +24,14 @@ import scala.util.Random
   */
 object Ann {
 
-  /** Elementwise dot product of two array columns (double math). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product of two array columns via the native codegen
+    * expression (DotProductExpression — registered as `vec_dot`); the HOF
+    * form it replaces paid an interpreted lambda per element. Callers going
+    * through the DataFrame entry points below get registration for free;
+    * ad-hoc Column use needs `VecOps.register(spark)` (graft.Sessions does
+    * it at session build).
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -38,6 +42,7 @@ object Ann {
     * zip_with pass per (probe, vector).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10): DataFrame = {
+    VecOps.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("c_norm"))
     val p = probes.select(col("vec_id").as("probe_id"),
@@ -78,6 +83,7 @@ object Ann {
     */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10,
       tables: Int = 4, bits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    VecOps.register(corpus.sparkSession)
     def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
           posexplode(lshBuckets(col("embedding"), tables, bits, dim, seed)))
@@ -101,6 +107,7 @@ object Ann {
     */
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double = 0.95,
       tables: Int = 4, bits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    VecOps.register(corpus.sparkSession)
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
         posexplode(lshBuckets(col("embedding"), tables, bits, dim, seed)))
       .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))

@@ -1,0 +1,64 @@
+package graft.similarity
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Vector dot product as a native codegen expression: one tight loop over
+  * the two `ArrayData` buffers, no per-element lambda dispatch — the
+  * whole-stage-codegen replacement for `aggregate(zip_with(...))`, which
+  * evaluates an interpreted lambda per element (~20× slower on 64-dim
+  * float vectors). Handles float and double element types.
+  */
+case class DotProductExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecOps.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.similarity.VecOps.dot($l, $r, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel shared by interpreted eval and generated code. */
+object VecOps {
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Register `vec_dot` in a session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "vec_dot(a, b) takes 2 arguments")
+        DotProductExpression(exprs(0), exprs(1))
+      },
+      "built-in")
+}
