@@ -24,6 +24,7 @@ object Sessions {
     // engine extension functions (native codegen expressions)
     graft.clv.Hyp2f1Expression.register(spark)
     graft.similarity.VecOps.register(spark)
+    graft.dedup.DedupKernels.register(spark)
     spark
   }
 }

@@ -42,24 +42,16 @@ object Dedup {
     }
 
   /** MinHash signature: numHashes independent min-hashes of the shingle
-    * set. The shingle STRINGS are hashed exactly once; the hash families
-    * come from re-mixing the resulting 64-bit values (xxhash64 over a long
-    * is ~10× cheaper than over a 20-char string — the standard
-    * one-hash + k-mixes construction). Pure projection — signatures for
-    * 100 TB of docs cost one scan, zero shuffles.
+    * set (distinct-by-hash), via the native MinHashSignatureExpression —
+    * each shingle string hashed once, lanes derived by re-mixing the
+    * 64-bit base hash (the one-hash + k-mixes construction), all inside
+    * whole-stage codegen. Pure projection — signatures for 100 TB of docs
+    * cost one scan, zero shuffles.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, k: Int = 3): DataFrame = {
-    val baseHashes = transform(shingles(col("text"), k), s => xxhash64(s))
-    // one fold over the shingle hashes updating all `numHashes` minimum
-    // lanes per element: the aggregate's lambda variable is evaluated once
-    // per shingle, so each shingle string is hashed exactly once (a naive
-    // per-lane transform would re-inline the string hashing numHashes times)
-    val sig = aggregate(
-      baseHashes,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, i) => least(m, xxhash64(h, i))))
-    docs.select(col("doc_id"), sig.as("signature"))
+    DedupKernels.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("minhash_sig", col("text"), lit(k), lit(numHashes)).as("signature"))
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
@@ -105,31 +97,18 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** 64-bit SimHash (Charikar 2002): per token-hash bit, sum ±1 across
-    * tokens; signature bit i = sign of the sum. Token strings are hashed
-    * once (the 64 bit-tests then operate on the cached longs). All HOF,
-    * per-row.
+  /** 64-bit SimHash (Charikar 2002) via the native SimHash64Expression:
+    * per token-hash bit, sum ±1 across tokens; signature bit i = sign of
+    * the sum. Registered at session build (graft.Sessions) and by the
+    * DataFrame entry points.
     */
-  def simhash(text: Column): Column = {
-    val tokHashes = transform(TextOps.tokens(text), w => xxhash64(w))
-    // single fold over tokens updating all 64 bit-sum lanes per token —
-    // each token string is hashed once (see minhashSignatures note)
-    val bitSums = aggregate(
-      tokHashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(call_function("shiftright", h, i)
-          .bitwiseAND(lit(1L)) === lit(1L), 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simhash(text: Column): Column = call_function("simhash64", text)
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with
     * 4 chunks, by pigeonhole) via 16-bit chunk buckets.
     */
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    DedupKernels.register(docs.sparkSession)
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(3)),

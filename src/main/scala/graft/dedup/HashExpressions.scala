@@ -1,0 +1,136 @@
+package graft.dedup
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen expressions for the hot dedup kernels (the preference
+  * order from the build brief: compose built-ins where cheap, but a custom
+  * `Expression` with `doGenCode` beats interpreted HOF lambdas on hot
+  * paths — the HOF forms paid one interpreted lambda dispatch per token
+  * per lane).
+  *
+  * Both kernels are static methods over `UTF8String`, shared by the
+  * interpreted and generated paths; hashing is xxhash64 (Spark's own XXH64)
+  * over utf-8 bytes.
+  */
+object DedupKernels {
+
+  private val SEED = 42L
+
+  private def hashBytes(s: String, seed: Long): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
+  }
+
+  /** MinHash signature: distinct word-k-gram shingles (distinct by base
+    * hash), `numHashes` lanes derived by re-mixing each base hash.
+    */
+  def minhashSignature(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val nShingles = math.max(toks.length - k + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      val kk = math.min(k, toks.length - i)
+      while (j < kk) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val base = hashBytes(sb.toString, SEED)
+      if (seen.add(base)) {
+        var lane = 0
+        while (lane < numHashes) {
+          val mixed = XXH64.hashLong(base, lane.toLong)
+          if (mixed < sig(lane)) sig(lane) = mixed
+          lane += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over whitespace tokens (Charikar 2002). */
+  def simhash64(text: UTF8String): Long = {
+    val toks = text.toString.trim.split("\\s+")
+    val bitSums = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashBytes(toks(i), SEED)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) bitSums(b) += 1 else bitSums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (bitSums(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Register `minhash_sig` and `simhash64` in a session's registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "minhash_sig(text, k, numHashes)")
+        MinHashSignatureExpression(exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "simhash64(text)")
+        SimHash64Expression(exprs(0))
+      },
+      "built-in")
+  }
+}
+
+case class MinHashSignatureExpression(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(text: Any, k: Any, n: Any): Any =
+    DedupKernels.minhashSignature(text.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, n) =>
+      s"graft.dedup.DedupKernels.minhashSignature($t, $k, $n)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+case class SimHash64Expression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(text: Any): Any =
+    DedupKernels.simhash64(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.dedup.DedupKernels.simhash64($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
