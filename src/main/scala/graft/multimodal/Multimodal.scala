@@ -52,6 +52,37 @@ object Multimodal {
     }
   }
 
+  /** STUB resize kernel: a real implementation scales pixel buffers; the
+    * stub rescales the pseudo-dimensions deterministically so the batch
+    * plumbing (same mapPartitions shape as extractFeatures) is testable.
+    */
+  def resizeStub(f: MediaFeatures, maxSide: Int): MediaFeatures = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+    f.copy(width = math.max(1, (f.width * scale).toInt),
+      height = math.max(1, (f.height * scale).toInt))
+  }
+
+  def resize(features: Dataset[MediaFeatures], maxSide: Int = 256,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions(_.grouped(batchSize).flatMap(_.map(resizeStub(_, maxSide))))
+  }
+
+  /** STUB frame sampling: a real implementation decodes every k-th video
+    * frame; the stub derives `n` deterministic frame payloads from the
+    * source bytes. One media row → n frame rows (the flatMap/explode shape
+    * of frame extraction).
+    */
+  def sampleFrames(media: Dataset[MediaRow], n: Int = 4): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      (0 until n).map { i =>
+        val frame = m.payload.map(b => (b ^ i).toByte)
+        MediaRow(m.media_id * 1000 + i, frame, "image/frame")
+      }
+    }
+  }
+
   /** Build a media table from any text corpus (payload = utf-8 bytes) —
     * a deterministic fixture generator for the plumbing tests and the
     * rows-only harness query.

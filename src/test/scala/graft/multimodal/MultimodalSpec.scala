@@ -22,4 +22,19 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
     assert(feats.map(f => (f.width, f.height)).toSeq == again.map(f => (f.width, f.height)).toSeq)
   }
+
+  test("resize bounds dimensions; frame sampling expands 1 row to n frames") {
+    import spark.implicits._
+    val docs = Seq((0L, "some media payload"), (1L, "another")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val resized = Multimodal.resize(
+      Multimodal.extractFeatures(media), maxSide = 100).collect()
+    assert(resized.forall(f => f.width <= 100 && f.height <= 100))
+    val frames = Multimodal.sampleFrames(media, n = 4).collect()
+    assert(frames.length == 8)
+    assert(frames.forall(_.mime == "image/frame"))
+    // frame payloads are deterministic derivations of the source
+    val again = Multimodal.sampleFrames(media, n = 4).collect()
+    assert(frames.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
 }
