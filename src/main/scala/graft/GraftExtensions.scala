@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The library's `SparkSessionExtensions` hook — the idiomatic way to ship
+  * the engine's native expressions to ANY session, including spark-submit
+  * clusters, via `spark.sql.extensions=graft.GraftExtensions` (no code
+  * changes in the host application).
+  *
+  * `graft.Sessions.local` also registers the same functions directly so
+  * already-created sessions (tests, getOrCreate reuse) see them either way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("hyp2f1"),
+      info("hyp2f1", "hyp2f1(a, b, c, z) - Gauss hypergeometric series"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 4, "hyp2f1(a, b, c, z) takes 4 arguments")
+        graft.clv.Hyp2f1Expression(exprs(0), exprs(1), exprs(2), exprs(3))
+      }))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "vec_dot(a, b) takes 2 arguments")
+        graft.similarity.DotProductExpression(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text, k, numHashes) - minhash signature of word k-grams"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "minhash_sig(text, k, numHashes) takes 3 arguments")
+        graft.dedup.MinHashSignatureExpression(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit simhash over whitespace tokens"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "simhash64(text) takes 1 argument")
+        graft.dedup.SimHash64Expression(exprs(0))
+      }))
+  }
+}

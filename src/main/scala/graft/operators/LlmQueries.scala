@@ -131,9 +131,10 @@ object LlmQueries {
         .orderBy("probe_id", "rank")
     }),
 
-    // rows-only: embedding-cosine near-dup pairs via LSH buckets
+    // rows-only: embedding-cosine near-dup pairs via LSH buckets (0.4 on
+    // random synthetic vectors keeps the result non-empty at every SF)
     "q_embed_neardup" -> ((s, dir) => {
-      Ann.cosineNearDuplicates(t(s, dir, "embeddings"), threshold = 0.5,
+      Ann.cosineNearDuplicates(t(s, dir, "embeddings"), threshold = 0.4,
           tables = 8, bits = 8)
         .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
         .orderBy("id_a", "id_b")
