@@ -129,7 +129,10 @@ object BetaGeo {
       .agg(count(lit(1)).cast("double").as("w"))
     val n = compressed.count()
     if (n <= maxDriverRows)
-      fit(compressed.collect()
+      // sort before collecting: shuffle output order is not deterministic
+      // across runs, and the FP summation order must be for the fitted
+      // params (and therefore the scored output) to be bit-reproducible
+      fit(compressed.sort("x", "tx", "big").collect()
         .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
     else fitDistributed(compressed)
   }

@@ -94,7 +94,9 @@ object GammaGamma {
       .groupBy(col(fCol).cast("double").as("x"), col(mCol).cast("double").as("m"))
       .agg(count(lit(1)).cast("double").as("w"))
     if (compressed.count() <= maxDriverRows)
-      fit(compressed.collect().map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2))))
+      // sorted collect → deterministic FP summation order (see BetaGeo)
+      fit(compressed.sort("x", "m").collect()
+        .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2))))
     else fitDistributed(compressed)
   }
 

@@ -38,11 +38,16 @@ object Ann {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbours for each probe vector. `probes` must be small
-    * (it is broadcast); pre-normalized norms keep the inner loop to one
-    * zip_with pass per (probe, vector).
+    * (it is broadcast); the native vec_dot scores one corpus pass, then a
+    * TWO-PHASE top-k: bounded per-partition heaps keep k candidates per
+    * probe locally, so the shuffle carries partitions × |probes| × k rows
+    * instead of N × |probes| — the difference between a merge of scraps
+    * and a cluster-wide sort at 100 TB.
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10): DataFrame = {
     VecOps.register(corpus.sparkSession)
+    val session = corpus.sparkSession
+    import session.implicits._
     val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("c_norm"))
     val p = probes.select(col("vec_id").as("probe_id"),
@@ -51,8 +56,30 @@ object Ann {
         col("vec_id") =!= col("probe_id"), "inner")
       .select(col("probe_id"), col("vec_id"),
         (dot(col("embedding"), col("probe_vec")) / (col("c_norm") * col("p_norm"))).as("cos"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .as[(Long, Long, Double)]
+
+    // phase 1: one bounded min-heap per probe per partition
+    val partial = scored.mapPartitions { iter =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      // min-heap via reversed ordering on (cos, then vec_id desc so the
+      // kept set matches an ascending-vec_id tie-break)
+      val ord = Ordering.by[(Double, Long), (Double, Long)] { case (c0, id) => (-c0, id) }
+      iter.foreach { case (pid, vid, cos) =>
+        val h = heaps.getOrElseUpdate(pid,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        if (h.size < k) h.enqueue((cos, vid))
+        else if (ord.lt((cos, vid), h.head)) { h.dequeue(); h.enqueue((cos, vid)) }
+      }
+      heaps.iterator.flatMap { case (pid, h) => h.iterator.map { case (c0, v) => (pid, v, c0) } }
+    }
+    // phase 2: merge the scraps (partitions × k per probe) and rank
+    partial.groupByKey(_._1)
+      .flatMapGroups { (pid, rows) =>
+        rows.toSeq.sortBy { case (_, v, c0) => (-c0, v) }.take(k).zipWithIndex
+          .map { case ((_, v, c0), i) => (pid, v, c0, i + 1) }
+      }
+      .toDF("probe_id", "vec_id", "cos", "rank")
   }
 
   /** Deterministic random hyperplanes: `tables` × `bits` planes in `dim`

@@ -49,6 +49,26 @@ class PipelineSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("golden fit parameters on the corpus are bit-reproducible") {
+    // recorded from two independent runs (identical to 8 dp); the sorted
+    // compressed-stats collect makes the FP summation order, and therefore
+    // the fitted params, deterministic. a→0 is the correct boundary here:
+    // the reference's generator never retires a customer, so the fitted
+    // dropout probability collapses to zero.
+    val feats = Rfm.customerFeatures(
+      Sources.referenceTransactionsCsv(spark, corpus), to_date(lit(asOf)))
+      .filter(col("frequency") > 0 && col("monetary_value") > 0)
+    val bg = graft.clv.BetaGeo.fitFeatures(feats, "frequency", "recency", "t")
+    val gg = graft.clv.GammaGamma.fitFeatures(feats, "frequency", "monetary_value")
+    assert(math.abs(bg.r - 0.35172523) < 1e-6, s"bg=$bg")
+    assert(math.abs(bg.alpha - 1.15258973) < 1e-6, s"bg=$bg")
+    assert(math.abs(gg.p - 1.05815827) < 1e-6, s"gg=$gg")
+    assert(math.abs(gg.q - 0.21577432) < 1e-6, s"gg=$gg")
+    assert(math.abs(gg.v - 1.01797864) < 1e-6, s"gg=$gg")
+    val e30 = graft.clv.BetaGeo.expectedPurchases(bg, 30, 5, 80, 100)
+    assert(math.abs(e30 - 1.58722339) < 1e-6, s"e30=$e30")
+  }
+
   test("e2e corpus pipeline: ingest → RFM → firewall → CLV scores written") {
     val dirs = tmpDirs()
     val scored = Pipeline.runOnCorpus(spark, corpus, dirs, asOf)
