@@ -38,7 +38,7 @@ object ClvModel {
 
   /** get_data's frame normalization (reference: dags/clv_models.py:15–17). */
   def prepare(df: DataFrame): DataFrame = {
-    val lowered = df.toDF(df.columns.map(_.toLowerCase): _*)
+    val lowered = df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
     if (lowered.columns.contains("monetary_value"))
       lowered.withColumnRenamed("monetary_value", "monetary")
     else lowered

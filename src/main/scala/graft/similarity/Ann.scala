@@ -19,8 +19,8 @@ import scala.util.Random
   *    exact cosine is computed only within buckets. Sub-linear candidate
   *    sets at 100 TB; recall tuned by (L, H).
   *
-  * All vector math is higher-order-function expressions (zip_with +
-  * aggregate) over the array column — no UDF, no driver loop.
+  * All vector math routes through the native codegen dot product
+  * (DotProductExpression) — no UDF, no interpreted lambdas, no driver loop.
   */
 object Ann {
 
@@ -96,9 +96,9 @@ object Ann {
   def lshBuckets(vec: Column, tables: Int = 4, bits: Int = 12, dim: Int = 64,
       seed: Long = 42L): Column = {
     val planes = hyperplanes(tables, bits, dim, seed)
-    array(planes.map { tablePlanes =>
+    array(planes.toIndexedSeq.map { tablePlanes =>
       tablePlanes.zipWithIndex.map { case (plane, i) =>
-        val planeLit = array(plane.map(lit): _*)
+        val planeLit = array(plane.toIndexedSeq.map(lit): _*)
         when(dot(vec, planeLit) > 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
