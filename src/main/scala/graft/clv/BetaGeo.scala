@@ -127,13 +127,13 @@ object BetaGeo {
         col(rCol).cast("double").as("tx"),
         col(tCol).cast("double").as("big"))
       .agg(count(lit(1)).cast("double").as("w"))
-    val n = compressed.count()
-    if (n <= maxDriverRows)
-      // sort before collecting: shuffle output order is not deterministic
-      // across runs, and the FP summation order must be for the fitted
-      // params (and therefore the scored output) to be bit-reproducible
-      fit(compressed.sort("x", "tx", "big").collect()
-        .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+    // one bounded job: limit(cap+1) both answers "does it fit the driver?"
+    // and fetches the rows when it does (no separate count). Sorted collect:
+    // shuffle output order is not deterministic across runs, and the FP
+    // summation order must be for the fitted params to be bit-reproducible.
+    val capped = compressed.sort("x", "tx", "big").limit(maxDriverRows.toInt + 1).collect()
+    if (capped.length <= maxDriverRows)
+      fit(capped.map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
     else fitDistributed(compressed)
   }
 

@@ -93,10 +93,10 @@ object GammaGamma {
     val compressed = features
       .groupBy(col(fCol).cast("double").as("x"), col(mCol).cast("double").as("m"))
       .agg(count(lit(1)).cast("double").as("w"))
-    if (compressed.count() <= maxDriverRows)
-      // sorted collect → deterministic FP summation order (see BetaGeo)
-      fit(compressed.sort("x", "m").collect()
-        .map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2))))
+    // bounded single-job routing + deterministic sorted collect (see BetaGeo)
+    val capped = compressed.sort("x", "m").limit(maxDriverRows.toInt + 1).collect()
+    if (capped.length <= maxDriverRows)
+      fit(capped.map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2))))
     else fitDistributed(compressed)
   }
 
