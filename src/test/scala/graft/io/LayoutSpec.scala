@@ -1,0 +1,58 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed join on the bucket key runs without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Sources.table(spark, dir, "orders")
+      val customer = Sources.table(spark, dir, "customer")
+      Layout.writeBucketed(orders, "orders_b", "o_custkey", 8)
+      Layout.writeBucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b", "o_custkey", 8)
+
+      val plain = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+      assert(Layout.hasShuffle(plain), "unbucketed shuffle-join expected as control")
+
+      val bucketed = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      bucketed.write.format("noop").mode("overwrite").save()
+      assert(!Layout.hasShuffle(bucketed),
+        "bucketed join must be co-located (no exchange)")
+      // same answer either way
+      assert(bucketed.count() == plain.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("partitioned layout prunes to the filtered day's files") {
+    val base = Files.createTempDirectory("graft_layout").toString
+    val orders = Sources.table(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    Layout.writePartitioned(orders, s"$base/orders_p", "order_month")
+
+    val all = spark.read.parquet(s"$base/orders_p")
+    val filtered = all.where(col("order_month") === "1997-03")
+    // pruning shows in the physical plan's partition filters AND in the
+    // scan width (splits for one month vs ~80 months)
+    val planStr = filtered.queryExecution.executedPlan.toString
+    assert(planStr.contains("order_month"), planStr.take(400))
+    val prunedSplits = Layout.scanSplits(filtered.select(col("o_orderkey")))
+    val totalSplits = Layout.scanSplits(all.select(col("o_orderkey")))
+    // small files bin-pack into few splits; the pruned scan must still be
+    // strictly narrower (one month's file vs all ~80 months)
+    assert(prunedSplits > 0 && prunedSplits < totalSplits,
+      s"pruning must cut the scan: $prunedSplits of $totalSplits splits")
+    // and the filtered count is exactly that month's rows
+    val expected = orders.where(col("order_month") === "1997-03").count()
+    assert(filtered.count() == expected)
+  }
+}
