@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the LATEST right row with
+  * right.ts <= left.ts within the same key (the time-series join Spark's
+  * built-in operators don't express directly; the composition below is the
+  * standard scale shape).
+  *
+  * Plan: tag and union both sides, one shuffle+sort on (key, ts, side),
+  * then a last-non-null carry window — cost is a single sort-merge pass
+  * over |L| + |R| rows. The naive alternative (equi-join on key + ts
+  * inequality filter + per-left max) materializes every (left, earlier
+  * right) pair first: quadratic per key, dead at 100 TB. Equal timestamps
+  * match (right sorts before left at the same instant).
+  */
+object AsOfJoin {
+
+  /** Left as-of join carrying `valueCols` from the matching right row.
+    * Output: all left columns + `asof_<col>` for each value column (null
+    * when no right row precedes the left row).
+    */
+  def leftAsOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val carry = valueCols.map(v => v -> s"__asof_$v")
+
+    // left side: original columns + null-typed carry slots
+    val lSide = carry.foldLeft(
+        left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))) {
+      case (df, (v, slot)) => df.withColumn(slot, lit(null).cast(right.schema(v).dataType))
+    }
+    // right side: key + ts + populated carry slots; left-only columns null
+    val rBase = right.select(
+      (Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        carry.map { case (v, slot) => col(v).as(slot) }): _*)
+    val rSide = lSide.columns.foldLeft(rBase) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
+    }
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(lSide.unionByName(rSide)) { case (df, (_, slot)) =>
+      df.withColumn(slot, last(col(slot), ignoreNulls = true).over(w))
+    }
+    carry.foldLeft(carried.where(col("__side") === 1).drop("__side", "__ts")) {
+      case (df, (v, slot)) => df.withColumnRenamed(slot, s"asof_$v")
+    }
+  }
+}

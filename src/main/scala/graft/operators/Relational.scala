@@ -311,6 +311,21 @@ object Relational {
         .orderBy("hour_start")
     }),
 
+    // ---- as-of join (time-series operator Spark lacks natively) -----------
+    // For each purchase, the latest prior view by the same user — one
+    // union + sort + carry window, no pair blowup (see AsOfJoin scaladoc).
+    // DuckDB's native ASOF LEFT JOIN is the oracle.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.leftAsOf(purchases, views, "user_id", "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), r4(col("asof_value")).as("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- salted two-phase aggregation (skew path) -------------------------
     // lineitem's 3 returnflag values are maximal key skew; the salted plan
     // spreads each across 16 sub-keys before merging. The oracle is the
@@ -533,6 +548,14 @@ object Relational {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users, FLOOR((SUM(value)) * 100.0 + 0.500001) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  FLOOR((r.value) * 10000.0 + 0.500001) / 10000.0 AS asof_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("as-of semantics: latest right row at or before each left timestamp") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")),   // after r@09:00 and r@09:30 → 9:30's value
+      (2L, 10L, ts("2026-01-01 09:30:00")),   // exactly at r@09:30 → matches (>=)
+      (3L, 10L, ts("2026-01-01 08:00:00")),   // before any right row → null
+      (4L, 20L, ts("2026-01-01 12:00:00")))   // other key, single right row
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2026-01-01 09:00:00"), 1.0),
+      (10L, ts("2026-01-01 09:30:00"), 2.0),
+      (10L, ts("2026-01-01 11:00:00"), 3.0),  // after all left rows for key 10
+      (20L, ts("2026-01-01 11:59:00"), 9.0))
+      .toDF("user_id", "ts", "value")
+
+    val out = AsOfJoin.leftAsOf(left, right, "user_id", "ts", "ts", Seq("value"))
+      .orderBy("event_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Double]("asof_value") == 2.0)
+    assert(out(1).getAs[Double]("asof_value") == 2.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_value")))
+    assert(out(3).getAs[Double]("asof_value") == 9.0)
+  }
+
+  test("plan shape: one sort-carry pass, no join node at all") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 09:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val plan = AsOfJoin.leftAsOf(l, r, "user_id", "ts", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must be union+window, not a join")
+    assert(plan.contains("Window"))
+  }
+}
