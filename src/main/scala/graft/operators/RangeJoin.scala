@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range join (point-in-interval) — the other time/interval operator Spark
+  * has no native physical strategy for: naively it plans an inequality
+  * join as BroadcastNestedLoop/Cartesian, O(|P|·|I|).
+  *
+  * Bucketed composition instead: quantize the value axis with `bucketWidth`,
+  * explode each interval onto the buckets it covers (intervals spanning b
+  * buckets emit b rows — pick the width near the median interval length so
+  * b stays small), give each point its single bucket, equi-join on the
+  * bucket key, then apply the exact containment predicate. Cost:
+  * |P| + Σ buckets(I) shuffled rows and a hash join — no pair blowup, skew
+  * bounded by points-per-bucket.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval containing them:
+    * lo <= point <= hi. Output: all point columns + all interval columns.
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+
+    val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    p.join(i, "__bucket")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

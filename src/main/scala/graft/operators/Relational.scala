@@ -326,6 +326,21 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // ---- range join (bucketed point-in-interval; see RangeJoin) -----------
+    // Orders priced into overlapping 4000-wide bands: bucketed equi-join +
+    // exact predicate, vs DuckDB's BETWEEN join as the oracle.
+    "q_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bands = s.range(0, 100).select(
+        col("id").as("band_id"),
+        (col("id") * 2000.0).as("lo"),
+        (col("id") * 2000.0 + 3999.99).as("hi"))
+      RangeJoin.pointInInterval(pts, "o_totalprice", bands, "lo", "hi", 2000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_orders"), r2(avg(col("o_totalprice"))).as("avg_price"))
+        .orderBy("band_id")
+    }),
+
     // ---- salted two-phase aggregation (skew path) -------------------------
     // lineitem's 3 returnflag values are maximal key skew; the salted plan
     // spreads each across 16 sub-keys before merging. The oracle is the
@@ -556,6 +571,15 @@ object Relational {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT i.band_id, COUNT(*) AS n_orders,
+        |  FLOOR((AVG(p.o_totalprice)) * 100.0 + 0.500001) / 100.0 AS avg_price
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders) p
+        |JOIN (SELECT range AS band_id, range * 2000.0 AS lo, range * 2000.0 + 3999.99 AS hi
+        |      FROM range(0, 100)) i
+        |  ON p.o_totalprice BETWEEN i.lo AND i.hi
+        |GROUP BY i.band_id ORDER BY i.band_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,
