@@ -121,7 +121,7 @@ object BetaGeo {
     * of a driver loop, so driver memory stays O(1).
     */
   def fitFeatures(features: DataFrame, fCol: String, rCol: String, tCol: String,
-      maxDriverRows: Long = 2000000L): BetaGeoParams = {
+      penalizer: Double = 0.1, maxDriverRows: Long = 2000000L): BetaGeoParams = {
     val compressed = features
       .groupBy(col(fCol).cast("double").as("x"),
         col(rCol).cast("double").as("tx"),
@@ -133,8 +133,9 @@ object BetaGeo {
     // summation order must be for the fitted params to be bit-reproducible.
     val capped = compressed.sort("x", "tx", "big").limit(maxDriverRows.toInt + 1).collect()
     if (capped.length <= maxDriverRows)
-      fit(capped.map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
-    else fitDistributed(compressed)
+      fit(capped.map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))),
+        penalizer)
+    else fitDistributed(compressed, penalizer)
   }
 
   /** Cluster-side penalized MLE: the weighted-NLL sum runs as a

@@ -79,8 +79,8 @@ object ClvModel {
   def fitModel(returning: DataFrame, penalizer: Double = 0.1): FittedClvModel = {
     val cached = returning.select(col("frequency"), col("recency"), col("t"), col("monetary")).cache()
     try {
-      val bg = BetaGeo.fitFeatures(cached, "frequency", "recency", "t")
-      val gg = GammaGamma.fitFeatures(cached, "frequency", "monetary")
+      val bg = BetaGeo.fitFeatures(cached, "frequency", "recency", "t", penalizer)
+      val gg = GammaGamma.fitFeatures(cached, "frequency", "monetary", penalizer)
       FittedClvModel(bg, gg)
     } finally cached.unpersist()
   }

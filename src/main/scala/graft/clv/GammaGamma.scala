@@ -89,15 +89,15 @@ object GammaGamma {
     * collect if bounded, else run the objective as treeAggregate jobs.
     */
   def fitFeatures(features: DataFrame, fCol: String, mCol: String,
-      maxDriverRows: Long = 2000000L): GammaGammaParams = {
+      penalizer: Double = 0.1, maxDriverRows: Long = 2000000L): GammaGammaParams = {
     val compressed = features
       .groupBy(col(fCol).cast("double").as("x"), col(mCol).cast("double").as("m"))
       .agg(count(lit(1)).cast("double").as("w"))
     // bounded single-job routing + deterministic sorted collect (see BetaGeo)
     val capped = compressed.sort("x", "m").limit(maxDriverRows.toInt + 1).collect()
     if (capped.length <= maxDriverRows)
-      fit(capped.map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2))))
-    else fitDistributed(compressed)
+      fit(capped.map(r => Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2))), penalizer)
+    else fitDistributed(compressed, penalizer)
   }
 
   /** Cluster-side objective: one treeAggregate per Nelder–Mead evaluation

@@ -3,7 +3,7 @@ package graft.clv
 /** Shared optimizer-support utilities. */
 object Optim {
 
-  /** Sum (ll, w) partials over [0, n) split into fixed 8192-element chunks,
+  /** Sum (ll, w) partials over [0, n) split into fixed 1024-element chunks,
     * evaluated in parallel but REDUCED IN CHUNK ORDER — results are
     * bit-identical to a sequential left fold over the same chunking, run
     * after run, regardless of thread scheduling. Small inputs stay on the

@@ -104,16 +104,33 @@ object Dedup {
     */
   def simhash(text: Column): Column = call_function("simhash64", text)
 
-  /** SimHash near-dup pairs within Hamming distance `maxHamming` (≤ 3 with
-    * 4 chunks, by pigeonhole) via 16-bit chunk buckets.
+  /** SimHash near-dup pairs within Hamming distance `maxHamming` via chunk
+    * buckets. Chunk count = maxHamming + 1, so by pigeonhole every pair
+    * within the radius shares at least one identical chunk — the buckets
+    * are exhaustive for exactly the requested radius (r2 ADVICE: the fixed
+    * 4-chunk layout silently missed distance-4..8 pairs when callers asked
+    * for a larger radius). Chunk width shrinks as 64/(d+1): beyond d≈5 the
+    * buckets get too coarse (≤9 bits → ≤512 buckets) to prune a 100 TB
+    * corpus, hence the cap.
     */
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"simhashNearDuplicates: maxHamming must be in [0, 7] (got $maxHamming) — " +
+        "64/(d+1)-bit chunk buckets stop pruning beyond that radius")
     DedupKernels.register(docs.sparkSession)
+    val nChunks = maxHamming + 1
+    // distribute 64 bits as evenly as possible; first (64 % nChunks) chunks
+    // get the extra bit. offsets/widths are tiny literals baked in the plan.
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until nChunks).map { j =>
+      val mask = if (widths(j) == 64) -1L else (1L << widths(j)) - 1L
+      call_function("shiftright", col("simhash"), lit(offsets(j)))
+        .bitwiseAND(lit(mask))
+    }
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          j => call_function("shiftright", col("simhash"), (j * 16).cast("int"))
-            .bitwiseAND(lit(0xFFFFL)))))
+        posexplode(array(chunkCols: _*)))
       .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
     val a = chunked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))

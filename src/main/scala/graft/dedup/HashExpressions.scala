@@ -82,6 +82,51 @@ object DedupKernels {
     out
   }
 
+  /** Winnowing fingerprint (Schleimer–Wilkerson–Aiken 2003): hash word
+    * k-grams, slide a window of `w` over the hash sequence, keep each
+    * window's min, return the sorted distinct mins. Single pass with a
+    * monotonic deque for the sliding min — O(tokens), vs the HOF form's
+    * O(tokens·w) slice-per-position with interpreted lambda dispatch.
+    */
+  def winnowFingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val nGrams = math.max(toks.length - k + 1, 1)
+    val hashes = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      val kk = math.min(k, toks.length - i)
+      while (j < kk) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      hashes(i) = hashBytes(sb.toString, SEED)
+      i += 1
+    }
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    // monotonic ascending deque of indices into `hashes`
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val winStart = i - w + 1
+      while (deque(head) < winStart) head += 1
+      if (i >= w - 1 || i == nGrams - 1) mins.add(hashes(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Register `minhash_sig` and `simhash64` in a session's registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -96,6 +141,13 @@ object DedupKernels {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "simhash64(text)")
         SimHash64Expression(exprs(0))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fp",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "winnow_fp(text, k, w)")
+        WinnowFingerprintExpression(exprs(0), exprs(1), exprs(2))
       },
       "built-in")
   }
@@ -114,6 +166,25 @@ case class MinHashSignatureExpression(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (t, k, n) =>
       s"graft.dedup.DedupKernels.minhashSignature($t, $k, $n)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+case class WinnowFingerprintExpression(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(text: Any, k: Any, w: Any): Any =
+    DedupKernels.winnowFingerprint(text.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) =>
+      s"graft.dedup.DedupKernels.winnowFingerprint($t, $k, $w)")
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =

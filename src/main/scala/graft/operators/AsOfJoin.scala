@@ -21,20 +21,30 @@ object AsOfJoin {
   /** Left as-of join carrying `valueCols` from the matching right row.
     * Output: all left columns + `asof_<col>` for each value column (null
     * when no right row precedes the left row).
+    *
+    * Each carry slot is a (marker, value) struct, not the bare value: the
+    * last-ignoreNulls carry keys on the never-null struct, so a right row
+    * whose value is genuinely NULL still matches (and carries its NULL)
+    * instead of being skipped in favor of an older row — DuckDB ASOF
+    * semantics (r2 ADVICE fix).
     */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val carry = valueCols.map(v => v -> s"__asof_$v")
+    def slotType(v: String) = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", right.schema(v).dataType)))
 
     // left side: original columns + null-typed carry slots
     val lSide = carry.foldLeft(
         left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))) {
-      case (df, (v, slot)) => df.withColumn(slot, lit(null).cast(right.schema(v).dataType))
+      case (df, (v, slot)) => df.withColumn(slot, lit(null).cast(slotType(v)))
     }
     // right side: key + ts + populated carry slots; left-only columns null
     val rBase = right.select(
       (Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        carry.map { case (v, slot) => col(v).as(slot) }): _*)
+        carry.map { case (v, slot) =>
+          struct(lit(1).as("m"), col(v).as("v")).as(slot) }): _*)
     val rSide = lSide.columns.foldLeft(rBase) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
@@ -47,7 +57,8 @@ object AsOfJoin {
       df.withColumn(slot, last(col(slot), ignoreNulls = true).over(w))
     }
     carry.foldLeft(carried.where(col("__side") === 1).drop("__side", "__ts")) {
-      case (df, (v, slot)) => df.withColumnRenamed(slot, s"asof_$v")
+      case (df, (v, slot)) =>
+        df.withColumn(s"asof_$v", col(slot).getField("v")).drop(slot)
     }
   }
 }

@@ -96,10 +96,12 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // rows-only: simhash chunk-bucket near-dups on the planted corpus
+    // rows-only: simhash chunk-bucket near-dups on the planted corpus.
+    // radius 3 → 4×16-bit chunks: buckets stay fine-grained enough to prune
+    // at 100 TB (r2 ADVICE: radius 8 exceeded the pigeonhole guarantee)
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(withPlantedNearDups(docs(s, dir)),
-          maxHamming = 8)
+          maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -146,10 +148,13 @@ object LlmQueries {
       TextOps.langId(d, d).orderBy("doc_id")
     }),
 
+    // scalar columns only: the driver's pandas compare can't sort/hash an
+    // array column (r2: q_fingerprint errored on exactly that), so the
+    // per-doc fingerprint set is reported as (size, order-sensitive digest)
     "q_fingerprint" -> ((s, dir) => {
       TextOps.fingerprint(docs(s, dir))
         .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_grams"),
-          col("fingerprint"))
+          xxhash64(col("fingerprint")).as("fp_digest"))
         .orderBy("doc_id")
     }),
 

@@ -40,7 +40,9 @@ case class DotProductExpression(left: Expression, right: Expression)
 /** Static kernel shared by interpreted eval and generated code. */
 object VecOps {
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vec_dot: embedding dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -59,9 +59,20 @@ object TextOps {
     * Wilkerson & Aiken 2003 "Winnowing: Local Algorithms for Document
     * Fingerprinting"): hash word k-grams, slide a window of `w`, keep each
     * window's min hash, dedupe. Output: doc_id + sorted fingerprint array.
-    * All HOF expressions — per-row, shuffle-free.
+    * Runs as the native codegen kernel (DedupKernels.winnowFingerprint,
+    * O(tokens) monotonic-deque sliding min) — per-row, shuffle-free.
     */
   def fingerprint(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    graft.dedup.DedupKernels.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("winnow_fp", col("text"), lit(k), lit(w)).as("fingerprint"))
+  }
+
+  /** HOF-composition form of [[fingerprint]] — semantically identical
+    * (same xxhash64 seed-42 k-gram hashes, same window mins); kept as the
+    * built-ins-only cross-check for the native kernel in TextOpsSpec.
+    */
+  private[graft] def fingerprintHof(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     import graft.functions.ColumnOps.bind
     // let-bind both arrays: the text is tokenized once and the k-gram hash
     // array is built once, instead of once per sliding-window position

@@ -123,6 +123,24 @@ class FitSpec extends AnyFunSuite {
     assert(math.abs(large - m) < math.abs(small - m))
   }
 
+  test("penalizer threads end-to-end through fitFeatures (r2 ADVICE)") {
+    val spark = graft.Sessions.local("4")
+    import spark.implicits._
+    val obs = simulateBgNbd(500, 0.8, 6.0, 0.7, 2.5, 120.0, seed = 23)
+    val feats = obs.toSeq.map(o => (o.x, o.tx, o.big, math.max(o.x, 1.0) * 12.5))
+      .toDF("frequency", "recency", "t", "monetary")
+    val light = BetaGeo.fitFeatures(feats, "frequency", "recency", "t", penalizer = 1e-8)
+    val heavy = BetaGeo.fitFeatures(feats, "frequency", "recency", "t", penalizer = 10.0)
+    def norm(p: BetaGeoParams) = p.r * p.r + p.alpha * p.alpha + p.a * p.a + p.b * p.b
+    assert(norm(heavy) < norm(light),
+      s"penalizer must shrink params: heavy $heavy vs light $light")
+    val positives = feats.where($"frequency" > 0)
+    val ggLight = GammaGamma.fitFeatures(positives, "frequency", "monetary", penalizer = 1e-8)
+    val ggHeavy = GammaGamma.fitFeatures(positives, "frequency", "monetary", penalizer = 10.0)
+    def ggNorm(g: GammaGammaParams) = g.p * g.p + g.q * g.q + g.v * g.v
+    assert(ggNorm(ggHeavy) < ggNorm(ggLight))
+  }
+
   test("NelderMead minimizes a known quartic bowl") {
     val sol = NelderMead.minimize(
       x => math.pow(x(0) - 3, 4) + math.pow(x(1) + 1, 2) + 5, Array(0.0, 0.0))

@@ -54,10 +54,22 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(3L)))
   }
 
-  test("simhash near-dup query finds the exact pair via chunk buckets") {
-    val pairs = Dedup.simhashNearDuplicates(docs, maxHamming = 8)
+  test("simhash chunk buckets are exhaustive for the requested radius") {
+    // radius 5 → 6 chunks of 10-11 bits (the generalized layout, not the
+    // old fixed 4×16): result must equal brute-force hamming over all pairs
+    val maxHamming = 5
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxHamming
+    } yield (a, b)).toSet
+    val pairs = Dedup.simhashNearDuplicates(docs, maxHamming)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 4L)))
+    assert(pairs == expected, s"bucketed $pairs vs brute-force $expected")
+    assert(pairs.contains((0L, 4L))) // the exact-dup pair is at distance 0
+    // radius beyond the bucket guarantee is rejected, not silently lossy
+    intercept[IllegalArgumentException](Dedup.simhashNearDuplicates(docs, 8))
   }
 
   test("LSH plans contain no cartesian/broadcast-nested-loop join") {

@@ -30,6 +30,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3).getAs[Double]("asof_value") == 9.0)
   }
 
+  test("a right row with a NULL value matches (its NULL carries) instead of being skipped") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")))  // newest preceding right row has NULL value
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2026-01-01 09:00:00"), Some(1.0)),
+      (10L, ts("2026-01-01 09:30:00"), None))  // DuckDB ASOF would match this row
+      .toDF("user_id", "ts", "value")
+    val out = AsOfJoin.leftAsOf(left, right, "user_id", "ts", "ts", Seq("value")).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_value")),
+      "the 09:30 NULL-valued row must win, not the older 09:00 row")
+  }
+
   test("plan shape: one sort-carry pass, no join node at all") {
     import spark.implicits._
     val l = Seq((1L, 1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))

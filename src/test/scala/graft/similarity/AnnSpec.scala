@@ -50,6 +50,19 @@ class AnnSpec extends SparkSpec {
     assert(!ndPlan.contains("CartesianProduct") && !ndPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("vec_dot fails loudly on mismatched embedding dimensions") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Ann.dot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("dimension mismatch")),
+      s"expected a dimension-mismatch failure, got $e")
+  }
+
   test("cosine column math: self-similarity is 1, near-dup pairs are ordered") {
     val self = emb.limit(3)
       .select(Ann.cosine(col("embedding"), col("embedding")).as("c")).collect()

@@ -49,6 +49,19 @@ class TextOpsSpec extends SparkSpec {
     assert((fps(10L) & fps(11L)).nonEmpty)
   }
 
+  test("native winnow_fp kernel matches the HOF composition exactly") {
+    // same xxhash64 seed-42 k-gram hashes, same window mins — the kernel is
+    // a drop-in replacement, verified on real corpus text
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = TextOps.fingerprint(corpus).orderBy("doc_id").collect()
+    val hof = TextOps.fingerprintHof(corpus).orderBy("doc_id").collect()
+    assert(native.length == hof.length && native.length > 0)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n.getLong(0) == h.getLong(0))
+      assert(n.getSeq[Long](1) == h.getSeq[Long](1), s"doc ${n.getLong(0)} differs")
+    }
+  }
+
   test("langId returns one prediction per doc from the label set") {
     val out = TextOps.langId(docs, docs).collect()
     assert(out.length == 3)
