@@ -114,11 +114,13 @@ object LlmQueries {
         .orderBy("label")
     }),
 
-    // rows-only: exact brute-force cosine top-5 for a bounded probe batch
+    // oracle-backed: exact brute-force cosine top-5 for a bounded probe
+    // batch (DuckDB list_dot_product over DOUBLE[] is bit-identical)
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
-        .select(col("probe_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .select(col("probe_id"), col("vec_id"), r4(col("cos")).as("cos"),
+          col("rank").cast("long").as("rank"))
         .orderBy("probe_id", "rank")
     }),
 
@@ -142,7 +144,7 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- language ID + fingerprint (rows-only) ----------------------------
+    // ---- language ID (oracle-backed) + fingerprint (rows-only) ------------
     "q_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
       TextOps.langId(d, d).orderBy("doc_id")
@@ -202,6 +204,55 @@ object LlmQueries {
     "q_embed_stats" ->
       """SELECT label, COUNT(*) AS n,
         |  FLOOR((AVG(CAST(embedding[1] AS DOUBLE))) * 10000.0 + 0.500001) / 10000.0 AS avg_dim0
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // brute-force cosine top-k is FP-bit-identical cross-engine: both sides
+    // cast float→double and accumulate the dot product in index order, so
+    // the ranks and the 4-dp rounded cosines agree exactly
+    "q_ann_brute" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+        |), scored AS (
+        |  SELECT p.probe_id, c.vec_id,
+        |    list_dot_product(c.cvec, p.pvec) /
+        |      (sqrt(list_dot_product(c.cvec, c.cvec)) * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_exact
+        |  FROM corpus c, probes p WHERE c.vec_id <> p.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, cos_exact,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_exact DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT probe_id, vec_id,
+        |  FLOOR(cos_exact * 10000.0 + 0.500001) / 10000.0 AS cos,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // the n-gram language-ID algorithm is deterministic end-to-end (argmax
+    // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)
+    "q_lang_id" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS tg
+        |  FROM norm, LATERAL unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)
+        |), lang_totals AS (
+        |  SELECT lang, COUNT(*) AS lang_total FROM grams GROUP BY lang
+        |), profile AS (
+        |  SELECT g.lang AS p_lang, g.tg,
+        |    ln((COUNT(*) + 1.0) / (ANY_VALUE(lt.lang_total) + 1000.0)) AS logp
+        |  FROM grams g JOIN lang_totals lt ON g.lang = lt.lang
+        |  GROUP BY g.lang, g.tg
+        |), scored AS (
+        |  SELECT dg.doc_id, dg.lang AS lang_true, p.p_lang, SUM(p.logp) AS score
+        |  FROM grams dg JOIN profile p ON dg.tg = p.tg
+        |  GROUP BY dg.doc_id, dg.lang, p.p_lang
+        |)
+        |SELECT doc_id, lang_true, p_lang AS lang_pred
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang DESC) = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

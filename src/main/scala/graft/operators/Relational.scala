@@ -265,10 +265,17 @@ object Relational {
     // ---- approximate distinct (the 100 TB opt-in variant of A3) -----------
     // rows-only: HLL estimates are engine-specific; the spec asserts the
     // estimate lands within the published error bound of the exact count.
+    // the sketch value itself is engine-specific (HLL++ register layout), so
+    // what the oracle verifies is the semantic contract: the estimate lands
+    // within a 5σ envelope of the exact count (rsd 0.02 → 10% band). Both
+    // the exact count and the flag are DuckDB-reproducible.
     "q_approx_distinct" -> ((s, dir) => {
       t(s, dir, "orders").agg(
-        approx_count_distinct(col("o_custkey")).as("approx_cust"),
-        countDistinct(col("o_custkey")).as("exact_cust"))
+          approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust")).cast("double") /
+            col("exact_cust") <= 0.10).cast("long").as("approx_within_10pct"))
     }),
 
     // ---- exact percentiles / median ---------------------------------------
@@ -545,6 +552,13 @@ object Relational {
         |  FLOOR((quantile_cont(o_totalprice, 0.5)) * 100.0 + 0.500001) / 100.0 AS median_price,
         |  FLOOR((quantile_cont(o_totalprice, 0.9)) * 100.0 + 0.500001) / 100.0 AS p90_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // verifies the HLL sketch's semantic contract (estimate within the 5σ
+    // envelope of exact), not the engine-specific register values
+    "q_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        |  CAST(1 AS BIGINT) AS approx_within_10pct
+        |FROM orders""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT c_custkey, UPPER(c_name) AS name_upper,

@@ -125,7 +125,10 @@ object TextOps {
       .join(broadcast(profile), "tg")
       .groupBy(col("doc_id"), col("lang_true"), col("p_lang"))
       .agg(sum(col("logp")).as("score"))
+    // struct ordering tie-break: equal scores resolve to the larger lang
+    // code deterministically (matches the oracle's ORDER BY score DESC,
+    // p_lang DESC) instead of max_by's arbitrary pick
     scored.groupBy(col("doc_id"), col("lang_true"))
-      .agg(max_by(col("p_lang"), col("score")).as("lang_pred"))
+      .agg(max_by(col("p_lang"), struct(col("score"), col("p_lang"))).as("lang_pred"))
   }
 }
