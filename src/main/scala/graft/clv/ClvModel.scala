@@ -75,13 +75,23 @@ object ClvModel {
     score(returning, model)
   }
 
-  /** M1 + M2: fit both models on the returning-customer slice. */
+  /** M1 + M2: fit both models on the returning-customer slice. The two
+    * compression aggregates are independent, so they run as concurrent
+    * Spark jobs over the shared cache — overlapping their shuffles instead
+    * of serializing two cluster round-trips.
+    */
   def fitModel(returning: DataFrame, penalizer: Double = 0.1): FittedClvModel = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val cached = returning.select(col("frequency"), col("recency"), col("t"), col("monetary")).cache()
     try {
-      val bg = BetaGeo.fitFeatures(cached, "frequency", "recency", "t", penalizer)
-      val gg = GammaGamma.fitFeatures(cached, "frequency", "monetary", penalizer)
-      FittedClvModel(bg, gg)
+      // materialize once so the concurrent fits read the cache instead of
+      // racing to compute the same partitions twice
+      cached.count()
+      val bgF = Future(BetaGeo.fitFeatures(cached, "frequency", "recency", "t", penalizer))
+      val ggF = Future(GammaGamma.fitFeatures(cached, "frequency", "monetary", penalizer))
+      FittedClvModel(Await.result(bgF, Duration.Inf), Await.result(ggF, Duration.Inf))
     } finally cached.unpersist()
   }
 

@@ -88,6 +88,10 @@ object Dedup {
     * expensive exact measure runs on the tiny LSH-filtered set, not n²).
     */
   def verifyJaccard(docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
+    // the equi-joins below are themselves the candidate filter; deriving an
+    // id set from `candidates` for a pre-filter would put the (expensive)
+    // LSH subtree in the plan twice — at 100 TB, materialize `candidates`
+    // first and semi-join, but never fork an unmaterialized LSH lineage
     val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
     candidates
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")

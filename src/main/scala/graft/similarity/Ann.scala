@@ -117,13 +117,16 @@ object Ann {
         .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
     val c = withBuckets(corpus, "vec_id", "c_vec")
     val p = withBuckets(probes, "probe_id", "p_vec")
-    val candidates = c.join(p, Seq("table_id", "bucket"))
+    // cosine computed per bucket match, BEFORE the pair dedup: a pair
+    // colliding in several tables scores redundantly (cheap, codegen'd),
+    // but the dedup groupBy then shuffles 3 scalars per row instead of two
+    // full embedding vectors — the vector bytes never leave the join stage
+    val scored = c.join(p, Seq("table_id", "bucket"))
       .where(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("p_vec"), col("c_vec"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("p_vec"), col("c_vec")).as("cos"))
       .groupBy("probe_id", "vec_id")
-      .agg(first(col("p_vec")).as("p_vec"), first(col("c_vec")).as("c_vec"))
-    val scored = candidates.select(col("probe_id"), col("vec_id"),
-      cosine(col("p_vec"), col("c_vec")).as("cos"))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -142,11 +145,13 @@ object Ann {
       col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = bucketed.select(col("table_id"), col("bucket"),
       col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    // score before dedup (see lshTopK): shuffle carries (id, id, cos), not
+    // embedding vectors; the threshold filter also prunes pre-shuffle
     a.join(b, Seq("table_id", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first(col("vec_a")).as("vec_a"), first(col("vec_b")).as("vec_b"))
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("cos")).as("cos"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -113,10 +114,15 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(charNgrams(col("text"), n)).as("tg"))
 
-    val grams = explodeGrams(train)
-    val langTotals = grams.groupBy("lang").agg(count(lit(1)).as("lang_total"))
-    val profile = grams.groupBy("lang", "tg").agg(count(lit(1)).as("tg_n"))
-      .join(langTotals, "lang")
+    // one explode + one aggregation builds the (lang, tg) counts; the
+    // per-language totals re-aggregate that TINY result (≤ langs × trigram
+    // space rows) instead of exploding the training corpus a second time —
+    // at 100 TB the train scan runs once, and the totals join is a window
+    // over the bounded profile, not another corpus pass
+    val tgCounts = explodeGrams(train).groupBy("lang", "tg").agg(count(lit(1)).as("tg_n"))
+    val totalW = Window.partitionBy(col("lang"))
+    val profile = tgCounts
+      .withColumn("lang_total", sum(col("tg_n")).over(totalW))
       .select(col("lang").as("p_lang"), col("tg"),
         log((col("tg_n") + 1.0) / (col("lang_total") + 1000.0)).as("logp"))
 
