@@ -13,7 +13,8 @@ object Bench {
     // warmup at the smallest SF: JIT the noop sink, whole-stage codegen
     // infra, parquet readers, and the native kernels once, so the first
     // timed query measures the engine rather than JVM spin-up
-    Seq("q_rfm_features", "q_ann_brute", "q_dedup_minhash", "q_text_stats")
+    Seq("q_rfm_features", "q_ann_brute", "q_dedup_minhash", "q_text_stats",
+        "q_clv_scores", "q_lang_id", "q_ngram_jaccard", "q_ann_ivf")
       .foreach { name =>
         try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()

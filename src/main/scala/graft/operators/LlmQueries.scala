@@ -135,6 +135,29 @@ object LlmQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // oracle-backed: exact n-gram Jaccard on the planted (original,
+    // perturbed) pairs — the candidate set is SQL-expressible by
+    // construction, so the shingle + Jaccard kernel gets a DuckDB
+    // hash-match independent of the LSH candidate generator
+    "q_jaccard_exact" -> ((s, dir) => {
+      val d = withPlantedNearDups(docs(s, dir))
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"),
+          lit(1.0).as("est_jaccard"))
+      Dedup.verifyJaccard(d, pairs)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a")
+    }),
+
+    // oracle-backed: exact cosine near-dup pairs on a bounded slice (the
+    // brute-force anchor for the LSH path below; DuckDB list_dot_product)
+    "q_embed_neardup_brute" -> ((s, dir) => {
+      Ann.bruteForcePairs(
+          t(s, dir, "embeddings").where(col("vec_id") < 128), threshold = 0.2)
+        .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // rows-only: embedding-cosine near-dup pairs via LSH buckets (0.4 on
     // random synthetic vectors keeps the result non-empty at every SF)
     "q_embed_neardup" -> ((s, dir) => {
@@ -142,6 +165,17 @@ object LlmQueries {
           tables = 8, bits = 8)
         .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // rows-only: IVF (KMeans-cell) approximate top-5 — the second ANN
+    // scale path; cell assignment is codegen'd literal-centroid argmax,
+    // search is an equi-join on the cell id (no crossJoin)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+          nlist = 16, nprobe = 4)
+        .select(col("probe_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
+        .orderBy("probe_id", "rank")
     }),
 
     // ---- language ID (oracle-backed) + fingerprint (rows-only) ------------
@@ -229,6 +263,46 @@ object LlmQueries {
         |  FLOOR(cos_exact * 10000.0 + 0.500001) / 10000.0 AS cos,
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // shingling replicated in DuckDB list ops: same tokenizer split, same
+    // k=3 word windows (slice clamps at the end on both engines), same
+    // drop-last-2-tokens perturbation; |A∩B|/|A∪B| on integer set sizes
+    // is FP-exact cross-engine
+    "q_jaccard_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), pert AS (
+        |  SELECT doc_id, w[1 : greatest(len(w)-2, 1)] AS w2 FROM toks
+        |), sh_a AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w)-3, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+3], ' '))) AS sh
+        |  FROM toks
+        |), sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w2)-3, 0) + 1),
+        |    i -> array_to_string(w2[i+1 : i+3], ' '))) AS sh
+        |  FROM pert
+        |)
+        |SELECT a.doc_id AS doc_a, a.doc_id + 1000000 AS doc_b,
+        |  FLOOR((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh)))) * 10000.0 + 0.500001) / 10000.0 AS jaccard
+        |FROM sh_a a JOIN sh_b b USING (doc_id)
+        |ORDER BY doc_a""".stripMargin,
+
+    // same float→double index-order accumulation as q_ann_brute; the
+    // threshold filters the unrounded cosine on both engines
+    "q_embed_neardup_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 128
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, FLOOR(c * 10000.0 + 0.500001) / 10000.0 AS cos
+        |FROM scored WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)

@@ -3,6 +3,8 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import scala.util.Random
 
 /** Similarity search over an embedding column (`embeddings` table:
@@ -82,6 +84,21 @@ object Ann {
       .toDF("probe_id", "vec_id", "cos", "rank")
   }
 
+  /** Exact cosine pairs (cos ≥ threshold) over a BOUNDED corpus slice —
+    * the brute-force anchor for [[cosineNearDuplicates]]'s LSH path, the
+    * way [[bruteForceTopK]] anchors [[lshTopK]]. The slice must be small
+    * enough to broadcast (it appears on both join sides); this is the
+    * correctness oracle, not the 100 TB path.
+    */
+  def bruteForcePairs(slice: DataFrame, threshold: Double): DataFrame = {
+    VecOps.register(slice.sparkSession)
+    val a = slice.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = slice.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Deterministic random hyperplanes: `tables` × `bits` planes in `dim`
     * dimensions, from a fixed seed.
     */
@@ -127,6 +144,55 @@ object Ann {
         cosine(col("p_vec"), col("c_vec")).as("cos"))
       .groupBy("probe_id", "vec_id")
       .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next to
+    * LSH, per the standard ANN ladder (Jégou–Douze–Schmid 2011 IVFADC,
+    * minus the PQ compression): partition the corpus into `nlist` Voronoi
+    * cells around KMeans centroids, then search only the `nprobe` cells
+    * nearest each probe.
+    *
+    * Plan shape: centroids are FIT once (MLlib KMeans on a seeded sample —
+    * at 100 TB you fit on a ~1M-row sample, never the full corpus, via
+    * `sampleFraction`), then baked into the plan as literals. Cell
+    * assignment is argmax over `nlist` codegen'd vec_dot scores —
+    * nearest-in-L2 via dot(v,c) − ‖c‖²/2, no per-row norm. The search is a
+    * plain equi-join on the cell id: corpus rows land in exactly one cell
+    * and each probe explodes to `nprobe` cells, so there are no duplicate
+    * candidate pairs and no dedup aggregate (cheaper than the LSH path,
+    * which must max-merge multi-table collisions).
+    *
+    * Literal-centroid assignment is right for nlist ≲ a few hundred; a
+    * 100 TB deployment with nlist ≥ 4096 would broadcast the centroid
+    * matrix and assign in a custom expression instead of plan literals.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L, sampleFraction: Double = 1.0): DataFrame = {
+    VecOps.register(corpus.sparkSession)
+    val train = (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus)
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
+    val centers = km.clusterCenters.map(_.toArray)
+    val halfSq = centers.map(c => c.map(x => x * x).sum / 2.0)
+    // array of (score, cid) structs; struct ordering = score then cid, so
+    // array_max / array_sort give a deterministic larger-cid tie-break
+    def cellScores(vec: Column): Column = array(centers.indices.map { i =>
+      struct((dot(vec, array(centers(i).toIndexedSeq.map(lit): _*)) - lit(halfSq(i))).as("score"),
+        lit(i).as("cid"))
+    }: _*)
+
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      array_max(cellScores(col("embedding"))).getField("cid").as("cell"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+      explode(transform(slice(array_sort(cellScores(col("embedding"))), -nprobe, nprobe),
+        s => s.getField("cid"))).as("cell"))
+    val scored = c.join(p, Seq("cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(col("probe_vec"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

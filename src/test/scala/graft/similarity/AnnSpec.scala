@@ -50,6 +50,51 @@ class AnnSpec extends SparkSpec {
     assert(!ndPlan.contains("CartesianProduct") && !ndPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("IVF with nprobe = nlist is exhaustive: exactly matches brute force") {
+    val probes = emb.where(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(emb, probes, k = 5)
+      .select("probe_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // every cell searched → the candidate set is the whole corpus, so the
+    // ranking (cos desc, vec_id asc) must agree with brute force row-for-row
+    val ivf = Ann.ivfTopK(emb, probes, k = 5, nlist = 8, nprobe = 8)
+      .select("probe_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute, s"ivf exhaustive mismatch: ${(ivf diff brute) ++ (brute diff ivf)}")
+  }
+
+  test("IVF with partial probe achieves reasonable recall and a join-only plan") {
+    val probes = emb.where(col("vec_id") < 20)
+    val brute = Ann.bruteForceTopK(emb, probes, k = 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivfDf = Ann.ivfTopK(emb, probes, k = 5, nlist = 8, nprobe = 4)
+    val ivf = ivfDf.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall $recall too low (|brute|=${brute.size}, |ivf|=${ivf.size})")
+    val plan = ivfDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("brute-force pairs on a slice match driver-side exact pairs") {
+    val slice = emb.where(col("vec_id") < 40)
+    val all = slice.collect().map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      r.getLong(r.fieldIndex("vec_id")) -> v
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      c = cos(va, vb) if c >= 0.2
+    } yield (ia, ib)).toSet
+    val got = Ann.bruteForcePairs(slice, 0.2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == expect, s"pair mismatch: ${(got diff expect) ++ (expect diff got)}")
+  }
+
   test("vec_dot fails loudly on mismatched embedding dimensions") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
