@@ -248,6 +248,32 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // ---- pivot / unpivot (wide↔long reshaping) ----------------------------
+    // Explicit pivot values: with them the plan is ONE hash aggregate (the
+    // pivot columns are conditional aggs); without them Spark first runs a
+    // distinct-values job over the whole table — never do that at 100 TB.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(r2(sum(col("o_totalprice"))))
+        .orderBy("o_year")
+    }),
+
+    // Unpivot is a per-row expansion (Expand node) — no shuffle at all; the
+    // ORDER BY is harness determinism, not part of the operator.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"),
+          r4(avg(col("l_discount"))).as("avg_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
     // ---- date/time scalar functions (E1–E8) -------------------------------
     "q_date_funcs" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -535,6 +561,28 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, FLOOR((SUM(l_quantity)) * 100.0 + 0.500001) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // pivot = conditional aggregation in ANSI SQL; empty cells are NULL on
+    // both engines
+    "q_pivot" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  FLOOR((SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 100.0 + 0.500001) / 100.0 AS "F",
+        |  FLOOR((SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) * 100.0 + 0.500001) / 100.0 AS "O",
+        |  FLOOR((SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)) * 100.0 + 0.500001) / 100.0 AS "P"
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    FLOOR((SUM(l_quantity)) * 100.0 + 0.500001) / 100.0 AS sum_qty,
+        |    FLOOR((SUM(l_extendedprice)) * 100.0 + 0.500001) / 100.0 AS sum_price,
+        |    FLOOR((AVG(l_discount)) * 10000.0 + 0.500001) / 10000.0 AS avg_disc
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT o_orderkey,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape regression tests: the scale properties this engine claims
+  * (filter/column pushdown into the parquet scan, map-side partial
+  * aggregation, single-shuffle pivot, broadcast kept to dimension tables,
+  * no cartesian products outside the documented bounded brute-force
+  * anchors) asserted against the actual executed plans, so a future edit
+  * that silently regresses a 100 TB property fails CI — not just the
+  * benchmark three rounds later.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_filter_project pushes filters and prunes columns at the scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_quantity,25"), s"filter not pushed:\n$p")
+    // projection pruning: the scan schema must not include untouched wide
+    // columns like l_comment/l_shipdate
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("grouped aggregates run partial (map-side) then final") {
+    val p = plan("q_group_agg")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs:\n$p")
+  }
+
+  test("pivot with explicit values needs no distinct-values job") {
+    val p = plan("q_pivot")
+    // Spark's pivot is two-level: a full-data groupBy(year, status) whose
+    // output is |years × statuses| rows, then pivotfirst over that tiny
+    // set, then the orderBy range exchange — 3 Exchanges, only the first
+    // of which sees full data. A 4th would mean the distinct-values scan
+    // that implicit pivot values cost.
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 3,
+      s"pivot plans extra shuffles:\n$p")
+    assert(p.contains("pivotfirst") && !p.contains("CartesianProduct"))
+  }
+
+  test("star join broadcasts dimensions but never forces the fact side") {
+    val p = plan("q_join_star")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"dimension broadcast missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("LSH dedup and IVF candidate generation stay equi-join only") {
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join:\n$p")
+    }
+  }
+
+  test("windowed and session queries reuse the aggregation partitioning") {
+    // running-sum window over (customer) partitions: exactly one exchange
+    // feeds the Window — no redundant repartition
+    val p = plan("q_window_running")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"window query plans redundant shuffles:\n$p")
+  }
+}
