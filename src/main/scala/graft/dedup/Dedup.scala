@@ -101,6 +101,51 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the cluster
+    * step after candidate generation: every doc in a component is a copy of
+    * the same underlying document; `component` = min doc_id = the keeper.
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min label among itself and its neighbours), the standard
+    * MapReduce-era CC formulation; converges in O(graph diameter) rounds.
+    * Dup components are near-cliques (diameter ≤ ~3), so this beats the
+    * alternating large-star/small-star variant (Kiveris et al. 2014) in
+    * practice while staying 3 lines of DataFrame code; adversarial
+    * long-chain graphs would want the star variant's O(log n) bound.
+    *
+    * Scale notes baked in:
+    *  - the symmetric edge list is localCheckpoint'd ONCE — each round
+    *    re-reads materialized blocks instead of re-running the (possibly
+    *    LSH-shaped) edge lineage;
+    *  - labels are localCheckpoint'd per round — iterative lineage growth
+    *    is the classic Spark CC trap (plan doubles every round, driver
+    *    planning time goes exponential);
+    *  - convergence = sum(label) fixpoint: labels only ever decrease, so
+    *    equal consecutive sums ⇔ no label moved — one cheap agg per round
+    *    instead of a join-based diff.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).as("a"), col(edges.columns(1)).as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val msgs = sym.join(labels.withColumnRenamed("id", "a"), "a")
+        .select(col("b").as("id"), col("component"))
+      labels = labels.union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val s = labels.agg(sum("component")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** 64-bit SimHash (Charikar 2002) via the native SimHash64Expression:
     * per token-hash bit, sum ±1 across tokens; signature bit i = sign of
     * the sum. Registered at session build (graft.Sessions) and by the

@@ -105,6 +105,19 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // oracle-backed: duplicate-cluster resolution — connected components
+    // over a two-hop planted dup graph (id → id+1e6 → id+2e6), so the
+    // propagation genuinely merges across hops (diameter 2, ≥2 rounds).
+    // The edge set is SQL-expressible by construction; the oracle computes
+    // the same components via a recursive transitive-closure CTE.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val edges = ids.select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+        .unionByName(ids.select((col("doc_id") + 1000000L).as("a"),
+          (col("doc_id") + 2000000L).as("b")))
+      Dedup.connectedComponents(edges).orderBy("doc_id")
+    }),
+
     // ---- similarity -------------------------------------------------------
     "q_embed_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -263,6 +276,25 @@ object LlmQueries {
         |  FLOOR(cos_exact * 10000.0 + 0.500001) / 10000.0 AS cos,
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // transitive closure by recursive CTE = ground-truth components; the
+    // engine's label propagation must agree exactly
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS a, doc_id + 2000000 AS b FROM documents
+        |), sym AS (
+        |  SELECT a, b FROM e UNION SELECT b, a FROM e
+        |), nodes AS (
+        |  SELECT DISTINCT a AS id FROM sym
+        |), reach(src, dst) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        |)
+        |SELECT src AS doc_id, MIN(dst) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     // shingling replicated in DuckDB list ops: same tokenizer split, same
     // k=3 word windows (slice clamps at the end on both engines), same

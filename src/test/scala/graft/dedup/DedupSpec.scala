@@ -81,6 +81,19 @@ class DedupSpec extends SparkSpec {
     assert(!simPlan.contains("CartesianProduct") && !simPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("connected components merge chains, keep singleton pairs, and converge") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds), an
+    // isolated pair, and a triangle
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == expect, s"got $got")
+  }
+
   test("planted near-dups from the harness helper pair with their source doc") {
     val planted = LlmQueries.withPlantedNearDups(docs)
     val pairs = Dedup.minhashNearDuplicates(planted, threshold = 0.3)
