@@ -104,6 +104,20 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup with bounded state: drop documents whose
+    * `text` hash was already seen, where "already" is bounded by the
+    * event-time watermark — the state store only retains hashes newer
+    * than (max event time − lateness), so state size is bounded by the
+    * dedup window, not the stream's lifetime. This is the streaming face
+    * of Dedup.exactDuplicates: an unbounded-retention dropDuplicates
+    * would OOM the state store on a 100 TB/day feed.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      lateness: String = "1 hour"): DataFrame =
+    docs.withColumn("text_hash", md5(col("text")))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Run a streaming frame to completion with AvailableNow into an
     * in-memory table; returns the materialized result. The batch-parity
     * helper used by tests and the incremental-feature path.

@@ -36,6 +36,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(byId == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("streaming dedup drops in-window duplicate texts, state stays bounded") {
+    val base = Files.createTempDirectory("graft_dedup").toString
+    val staging = s"$base/staging"
+    import spark.implicits._
+    def docs(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "text", "ts_s")
+        .select(col("doc_id"), col("text"), col("ts_s").cast("timestamp").as("ts"))
+    // batch 1: two distinct texts + one in-batch duplicate
+    Sources.appendParquet(docs(
+      (1L, "alpha beta", "2026-01-24 10:00:00"),
+      (2L, "gamma delta", "2026-01-24 10:01:00"),
+      (3L, "alpha beta", "2026-01-24 10:02:00")), staging)
+    // parquet sink: the memory sink cannot recover an Append-mode
+    // checkpoint, and checkpoint reuse is exactly what's under test
+    def runBatch(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(staging)
+      val q = StreamingOps.dedupStream(stream).writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runBatch()
+    val out1 = spark.read.parquet(s"$base/out")
+    assert(out1.select("text").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("alpha beta", "gamma delta"))
+
+    // batch 2 on the same checkpoint: a cross-batch duplicate inside the
+    // watermark is dropped by the retained hash state; a new text passes
+    Sources.appendParquet(docs(
+      (4L, "alpha beta", "2026-01-24 10:30:00"),
+      (5L, "epsilon zeta", "2026-01-24 10:31:00")), staging)
+    runBatch()
+    val out2 = spark.read.parquet(s"$base/out")
+    assert(out2.select("text").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("alpha beta", "epsilon zeta", "gamma delta"))
+    assert(!out2.collect().map(_.getLong(0)).contains(4L),
+      "cross-batch duplicate doc 4 should have been dropped by retained state")
+  }
+
   test("incremental features: streaming state matches the batch transform") {
     val base = Files.createTempDirectory("graft_incr").toString
     val staging = s"$base/staging"
