@@ -42,5 +42,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "simhash64(text) takes 1 argument")
         graft.dedup.SimHash64Expression(exprs(0))
       }))
+    ext.injectFunction((FunctionIdentifier("winnow_fp"),
+      info("winnow_fp", "winnow_fp(text, k, w) - winnowing fingerprint of word k-gram hashes"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "winnow_fp(text, k, w) takes 3 arguments")
+        graft.dedup.WinnowFingerprintExpression(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, k) - sorted distinct xxhash64 word k-gram shingles"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "shingle_hashes(text, k) takes 2 arguments")
+        graft.dedup.ShingleHashesExpression(exprs(0), exprs(1))
+      }))
   }
 }

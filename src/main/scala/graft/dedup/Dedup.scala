@@ -33,13 +33,24 @@ object Dedup {
 
   /** Word-k-gram shingle set per document (HOF, per-row). The token array
     * is let-bound so the text is split once, not once per shingle position.
+    * Kept as the built-ins-only cross-check for [[shingleHashSet]] (the
+    * hot path) — same role fingerprintHof plays for the winnowing kernel.
     */
-  def shingles(text: Column, k: Int = 3): Column =
+  private[graft] def shingles(text: Column, k: Int = 3): Column =
     graft.functions.ColumnOps.bind(TextOps.tokens(text)) { toks =>
       array_distinct(transform(
         sequence(lit(0), greatest(size(toks) - k, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
     }
+
+  /** The shingle set as sorted distinct xxhash64 values via the native
+    * codegen kernel — set sizes (and hence Jaccard) are identical to the
+    * string form up to 64-bit collisions (~5·10⁻¹² per pair); intersect/
+    * union then run over longs instead of building every shingle string
+    * per candidate pair.
+    */
+  def shingleHashSet(text: Column, k: Int = 3): Column =
+    call_function("shingle_hashes", text, lit(k))
 
   /** MinHash signature: numHashes independent min-hashes of the shingle
     * set (distinct-by-hash), via the native MinHashSignatureExpression —
@@ -92,7 +103,8 @@ object Dedup {
     // id set from `candidates` for a pre-filter would put the (expensive)
     // LSH subtree in the plan twice — at 100 TB, materialize `candidates`
     // first and semi-join, but never fork an unmaterialized LSH lineage
-    val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    DedupKernels.register(docs.sparkSession)
+    val sets = docs.select(col("doc_id"), shingleHashSet(col("text"), k).as("sh"))
     candidates
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")

@@ -59,6 +59,38 @@ object DedupKernels {
     new GenericArrayData(sig)
   }
 
+  /** Distinct word-k-gram shingle set, represented by sorted xxhash64
+    * values — set algebra (Jaccard intersect/union) over sorted longs
+    * instead of interpreted per-position string building. Collision risk
+    * over per-doc shingle counts (≤ ~10⁴) against a 64-bit space is
+    * ~5·10⁻¹² per pair — far below the FP noise the oracle rounding
+    * already absorbs.
+    */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val nShingles = math.max(toks.length - k + 1, 1)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      val kk = math.min(k, toks.length - i)
+      while (j < kk) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(hashBytes(sb.toString, SEED))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over whitespace tokens (Charikar 2002). */
   def simhash64(text: UTF8String): Long = {
     val toks = text.toString.trim.split("\\s+")
@@ -144,6 +176,13 @@ object DedupKernels {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "shingle_hashes(text, k)")
+        ShingleHashesExpression(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fp",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3, "winnow_fp(text, k, w)")
@@ -189,6 +228,23 @@ case class WinnowFingerprintExpression(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+case class ShingleHashesExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(text: Any, k: Any): Any =
+    DedupKernels.shingleHashes(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.dedup.DedupKernels.shingleHashes($t, $k)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 case class SimHash64Expression(child: Expression) extends UnaryExpression {

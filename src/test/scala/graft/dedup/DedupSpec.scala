@@ -81,6 +81,25 @@ class DedupSpec extends SparkSpec {
     assert(!simPlan.contains("CartesianProduct") && !simPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("shingle_hashes kernel agrees with the HOF string-shingle form") {
+    val both = docs.select(col("doc_id"),
+        Dedup.shingleHashSet(col("text")).as("hashed"),
+        Dedup.shingles(col("text")).as("strs"))
+      .collect()
+    both.foreach { r =>
+      val hashed = r.getSeq[Long](1)
+      val strs = r.getSeq[String](2)
+      assert(hashed.length == strs.distinct.length,
+        s"doc ${r.getLong(0)}: ${hashed.length} hashes vs ${strs.distinct.length} shingles")
+      assert(hashed == hashed.sorted, "kernel output must be sorted")
+    }
+    // pairwise: intersection sizes must agree between representations
+    val Seq(a, b) = both.take(2).toSeq
+    val hInter = a.getSeq[Long](1).toSet.intersect(b.getSeq[Long](1).toSet).size
+    val sInter = a.getSeq[String](2).toSet.intersect(b.getSeq[String](2).toSet).size
+    assert(hInter == sInter)
+  }
+
   test("connected components merge chains, keep singleton pairs, and converge") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds), an
