@@ -65,17 +65,42 @@ object Dedup {
       call_function("minhash_sig", col("text"), lit(k), lit(numHashes)).as("signature"))
   }
 
+  /** Skew guard for bucket self-joins: drop buckets holding more than
+    * `cap` rows. A mega-bucket (mass-duplicated boilerplate all hashing
+    * to one band/chunk) makes the self-join quadratic INSIDE one task —
+    * the classic LSH skew failure at 100 TB. Content that saturates a
+    * bucket is near-identical by construction and is better collapsed by
+    * exact dedup first; the cap makes that trade explicit instead of
+    * letting one straggler task run for hours.
+    *
+    * The count is a window over the bucket key — the same partitioning
+    * the subsequent self-join shuffles on, so AQE/exchange-reuse keeps
+    * the extra cost to one pass over the exploded rows.
+    */
+  private def capBuckets(exploded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap == Int.MaxValue) exploded
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      exploded.withColumn("__bucket_n", count(lit(1)).over(w))
+        .where(col("__bucket_n") <= cap)
+        .drop("__bucket_n")
+    }
+
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rows = numHashes/bands` hashes, hash each band, and equi-join
     * documents sharing a (band_id, band_hash) bucket. Probability a pair
     * with Jaccard s becomes a candidate: 1 − (1 − s^rows)^bands.
+    * `bucketCap` bounds per-bucket membership (see [[capBuckets]]).
     */
-  def minhashCandidates(signatures: DataFrame, bands: Int = 16, numHashes: Int = 64): DataFrame = {
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16, numHashes: Int = 64,
+      bucketCap: Int = 10000): DataFrame = {
     val rows = numHashes / bands
-    val banded = signatures.select(col("doc_id"), col("signature"),
+    val banded0 = signatures.select(col("doc_id"), col("signature"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows))))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+    val banded = capBuckets(banded0, Seq("band_id", "band_hash"), bucketCap)
     val a = banded.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
@@ -91,8 +116,9 @@ object Dedup {
 
   /** Near-duplicate pairs: LSH candidates ≥ estimated-Jaccard threshold. */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame =
-    minhashCandidates(minhashSignatures(docs, numHashes, k), bands, numHashes)
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3,
+      bucketCap: Int = 10000): DataFrame =
+    minhashCandidates(minhashSignatures(docs, numHashes, k), bands, numHashes, bucketCap)
       .where(col("est_jaccard") >= threshold)
 
   /** Exact n-gram Jaccard verification over candidate pairs only (the
@@ -173,8 +199,13 @@ object Dedup {
     * for a larger radius). Chunk width shrinks as 64/(d+1): beyond d≈5 the
     * buckets get too coarse (≤9 bits → ≤512 buckets) to prune a 100 TB
     * corpus, hence the cap.
+    *
+    * `bucketCap` trades the exhaustiveness guarantee for skew safety:
+    * content saturating a chunk bucket past the cap is dropped from THIS
+    * candidate path (collapse it with exact dedup first).
     */
-  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"simhashNearDuplicates: maxHamming must be in [0, 7] (got $maxHamming) — " +
         "64/(d+1)-bit chunk buckets stop pruning beyond that radius")
@@ -190,9 +221,11 @@ object Dedup {
         .bitwiseAND(lit(mask))
     }
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
-        posexplode(array(chunkCols: _*)))
-      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk"))
+    val chunked = capBuckets(
+      sigs.select(col("doc_id"), col("simhash"),
+          posexplode(array(chunkCols: _*)))
+        .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk")),
+      Seq("chunk_id", "chunk"), bucketCap)
     val a = chunked.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = chunked.select(col("chunk_id"), col("chunk"),

@@ -169,12 +169,16 @@ object Ann {
     * matrix and assign in a custom expression instead of plan literals.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10, nlist: Int = 16,
-      nprobe: Int = 4, seed: Long = 42L, sampleFraction: Double = 1.0): DataFrame = {
+      nprobe: Int = 4, seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxIter: Int = 10): DataFrame = {
     VecOps.register(corpus.sparkSession)
     val train = (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
       else corpus)
       .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
+    // cell quality saturates quickly — IVF needs a reasonable Voronoi
+    // partition, not a converged clustering; every extra iteration is a
+    // full pass over the training sample
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
     val centers = km.clusterCenters.map(_.toArray)
     val halfSq = centers.map(c => c.map(x => x * x).sum / 2.0)
     // array of (score, cid) structs; struct ordering = score then cid, so

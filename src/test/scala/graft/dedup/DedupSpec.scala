@@ -81,6 +81,18 @@ class DedupSpec extends SparkSpec {
     assert(!simPlan.contains("CartesianProduct") && !simPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucket cap drops mega-buckets instead of going quadratic") {
+    import spark.implicits._
+    // 50 identical docs: every band bucket holds all 50 — the quadratic
+    // skew case. A cap below 50 excises those buckets entirely; the
+    // default cap keeps all 50·49/2 pairs.
+    val many = (0L until 50L).map(i => (i, "same text everywhere all fifty times over"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashNearDuplicates(many, threshold = 0.9, bucketCap = 10).count() == 0L)
+    assert(Dedup.minhashNearDuplicates(many, threshold = 0.9).count() == 1225L)
+    assert(Dedup.simhashNearDuplicates(many, maxHamming = 3, bucketCap = 10).count() == 0L)
+  }
+
   test("shingle_hashes kernel agrees with the HOF string-shingle form") {
     val both = docs.select(col("doc_id"),
         Dedup.shingleHashSet(col("text")).as("hashed"),
