@@ -73,6 +73,13 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // oracle-backed: smoothed TF-IDF top-3 terms per document
+    "q_tfidf" -> ((s, dir) => {
+      TextOps.tfidf(t(s, dir, "documents"), k = 3)
+        .withColumn("tfidf", r4(col("tfidf")))
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactDuplicates(t(s, dir, "documents")).orderBy("text_hash")
@@ -247,6 +254,31 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    // integer tf/df + one shared ln keep scores bit-identical; ties break
+    // on the term string on both engines
+    "q_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, tf, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf,
+        |  FLOOR(tfidf * 10000.0 + 0.500001) / 10000.0 AS tfidf, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_embed_stats" ->
       """SELECT label, COUNT(*) AS n,

@@ -100,6 +100,30 @@ object TextOps {
         i => norm.substr(i, lit(n)))
     }
 
+  /** TF-IDF top-k terms per document (smoothed idf = ln((N+1)/(df+1)) + 1,
+    * the sklearn-style variant). Plan: one explode + (doc, term) count
+    * shuffle; document frequency re-aggregates THOSE counts (vocab-sized,
+    * never a second corpus pass); N rides as a broadcast 1-row crossJoin;
+    * final top-k is a window per doc. Integer tf/df and a shared ln make
+    * the scores bit-reproducible cross-engine.
+    */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
   /** Language ID by character-trigram profiles (the classic n-gram method,
     * Cavnar & Trenkle 1994): learn per-language trigram log-frequencies from
     * a labeled sample, broadcast the tiny profile, score each document by
