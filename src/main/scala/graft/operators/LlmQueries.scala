@@ -73,6 +73,17 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // oracle-backed: reproducible content-addressed train/val/test split —
+    // pure projection on md5(doc_id), no RNG state, no shuffle before the
+    // summary aggregate
+    "q_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(t(s, dir, "documents"), col("doc_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("split")
+    }),
+
     // oracle-backed: smoothed TF-IDF top-3 terms per document
     "q_tfidf" -> ((s, dir) => {
       TextOps.tfidf(t(s, dir, "documents"), k = 3)
@@ -254,6 +265,15 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    // md5 hex strings compare identically in any engine; boundaries are
+    // the hex prefixes for cumulative fractions 0.8 and 0.9
+    "q_hash_split" ->
+      """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccc' THEN 'train'
+        |            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
     // integer tf/df + one shared ln keep scores bit-identical; ties break
     // on the term string on both engines

@@ -274,6 +274,23 @@ object Relational {
         .orderBy("l_returnflag", "metric")
     }),
 
+    // ---- array construction + HOFs ----------------------------------------
+    // collect_list is made deterministic by array_sort (collection order is
+    // partition-dependent; the sorted array is not). Scalars out, arrays
+    // internal — the harness compare can't hash list columns.
+    "q_array_funcs" -> ((s, dir) => {
+      val arr = array_sort(collect_list(col("o_totalprice")))
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(arr.as("arr"))
+        .select(col("o_custkey"),
+          size(col("arr")).cast(LongType).as("n_orders"),
+          r2(element_at(col("arr"), 1)).as("min_total"),
+          r2(element_at(col("arr"), -1)).as("max_total"),
+          r2(aggregate(slice(reverse(col("arr")), 1, 3), lit(0.0), _ + _)).as("top3_sum"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- date/time scalar functions (E1–E8) -------------------------------
     "q_date_funcs" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -583,6 +600,17 @@ object Relational {
         |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
         |UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM a
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // descending 3-element sum matches Spark's reverse-then-slice order
+    "q_array_funcs" ->
+      """WITH a AS (
+        |  SELECT o_custkey, list_sort(list(o_totalprice)) AS arr FROM orders GROUP BY 1
+        |)
+        |SELECT o_custkey, CAST(len(arr) AS BIGINT) AS n_orders,
+        |  FLOOR(arr[1] * 100.0 + 0.500001) / 100.0 AS min_total,
+        |  FLOOR(arr[-1] * 100.0 + 0.500001) / 100.0 AS max_total,
+        |  FLOOR(list_sum(list_sort(arr, 'DESC')[1:3]) * 100.0 + 0.500001) / 100.0 AS top3_sum
+        |FROM a ORDER BY o_custkey""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT o_orderkey,
