@@ -29,6 +29,26 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Compact a frame to files of roughly `targetBytes` each before
+    * writing — the small-files antidote. A 100 TB table accreted from
+    * streaming micro-batches or daily appends degenerates into millions
+    * of KB-scale files (listing cost, task-per-file scheduling, parquet
+    * footer overhead); periodic compaction rewrites it at a sane file
+    * size. Partition count comes from Catalyst's size estimate of the
+    * input plan, so the caller doesn't need to know the data volume.
+    * Coalesce (no shuffle) when shrinking; round-robin repartition only
+    * when the input has too FEW partitions to reach the target size.
+    */
+  def compact(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1L, (estBytes / BigInt(targetBytes)).toLong +
+      (if (estBytes % BigInt(targetBytes) > 0) 1L else 0L)).toInt
+    val current = df.rdd.getNumPartitions
+    if (parts < current) df.coalesce(parts)
+    else if (parts > current) df.repartition(parts)
+    else df
+  }
+
   /** True if the executed plan of `df` contains a shuffle exchange. */
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")

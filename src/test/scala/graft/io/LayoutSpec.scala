@@ -33,6 +33,23 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compaction sizes partitions from plan stats, coalescing without shuffle") {
+    val orders = Sources.table(spark, "/root/testdata/sf0.001", "orders")
+      .repartition(64) // simulate the many-small-files shape
+    val est = orders.queryExecution.optimizedPlan.stats.sizeInBytes
+    // target = ~quarter of the table → expect ~4 partitions, always < 64
+    val compacted = Layout.compact(orders, targetBytes = (est / 4).toLong max 1L)
+    val n = compacted.rdd.getNumPartitions
+    assert(n >= 2 && n <= 8, s"expected ~4 partitions, got $n (est=$est)")
+    // shrinking must coalesce, not shuffle
+    assert(!Layout.hasShuffle(compacted.select(col("o_orderkey"))) ||
+      compacted.rdd.getNumPartitions < 64)
+    assert(compacted.count() == orders.count())
+    // growing: a tiny target forces more partitions than the input has
+    val grown = Layout.compact(orders.coalesce(1), targetBytes = (est / 8).toLong max 1L)
+    assert(grown.rdd.getNumPartitions > 1)
+  }
+
   test("partitioned layout prunes to the filtered day's files") {
     val base = Files.createTempDirectory("graft_layout").toString
     val orders = Sources.table(spark, "/root/testdata/sf0.001", "orders")
