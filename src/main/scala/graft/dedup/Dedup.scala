@@ -73,9 +73,13 @@ object Dedup {
     * exact dedup first; the cap makes that trade explicit instead of
     * letting one straggler task run for hours.
     *
-    * The count is a window over the bucket key — the same partitioning
-    * the subsequent self-join shuffles on, so AQE/exchange-reuse keeps
-    * the extra cost to one pass over the exploded rows.
+    * Shape matters here: a groupBy-count + broadcast-anti-join variant
+    * reads cheaper on paper (no sort, counts shuffle as scraps) but FORKS
+    * the exploded lineage — the signature kernel would run twice, once
+    * for the count and once for the join input (measured ~40% slower).
+    * The window form computes signatures once; its bucket-key exchange is
+    * then reused verbatim by both sides of the self-join, so the net cost
+    * over no-cap is one within-partition sort.
     */
   private def capBuckets(exploded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     if (cap == Int.MaxValue) exploded
@@ -118,7 +122,13 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       bucketCap: Int = 10000): DataFrame =
-    minhashCandidates(minhashSignatures(docs, numHashes, k), bands, numHashes, bucketCap)
+    // localCheckpoint: the self-join (and AQE's broadcast of one side)
+    // otherwise re-runs the text→signature kernel per plan branch — the
+    // measured plan had ZERO ReusedExchange nodes. One row per doc at
+    // ~8·numHashes bytes materializes far cheaper than a second corpus
+    // scan + re-shingling.
+    minhashCandidates(minhashSignatures(docs, numHashes, k).localCheckpoint(),
+        bands, numHashes, bucketCap)
       .where(col("est_jaccard") >= threshold)
 
   /** Exact n-gram Jaccard verification over candidate pairs only (the
@@ -130,7 +140,10 @@ object Dedup {
     // LSH subtree in the plan twice — at 100 TB, materialize `candidates`
     // first and semi-join, but never fork an unmaterialized LSH lineage
     DedupKernels.register(docs.sparkSession)
+    // materialized: the set frame feeds BOTH sides' joins below — without
+    // it the shingle kernel runs twice over the corpus
     val sets = docs.select(col("doc_id"), shingleHashSet(col("text"), k).as("sh"))
+      .localCheckpoint()
     candidates
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
@@ -220,7 +233,11 @@ object Dedup {
       call_function("shiftright", col("simhash"), lit(offsets(j)))
         .bitwiseAND(lit(mask))
     }
+    // materialized for the same reason as the minhash path: both join
+    // branches (and the bucket-cap window) read 16 bytes/doc from blocks
+    // instead of re-hashing the text
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .localCheckpoint()
     val chunked = capBuckets(
       sigs.select(col("doc_id"), col("simhash"),
           posexplode(array(chunkCols: _*)))

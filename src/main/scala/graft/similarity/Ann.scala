@@ -208,9 +208,13 @@ object Ann {
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double = 0.95,
       tables: Int = 4, bits: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
     VecOps.register(corpus.sparkSession)
+    // materialized: both self-join sides read the bucketed rows from
+    // blocks — otherwise each branch re-runs tables×bits hyperplane dot
+    // products per vector (no exchange reuse once AQE broadcasts a side)
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
         posexplode(lshBuckets(col("embedding"), tables, bits, dim, seed)))
       .withColumnsRenamed(Map("pos" -> "table_id", "col" -> "bucket"))
+      .localCheckpoint()
     val a = bucketed.select(col("table_id"), col("bucket"),
       col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = bucketed.select(col("table_id"), col("bucket"),
