@@ -73,6 +73,20 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // oracle-backed: duplicate-n-gram fraction — the standard repeated-
+    // content quality filter for LLM corpora (high rep_ratio = boilerplate
+    // / degenerate repetition). Total vs distinct word-3-gram counts.
+    "q_text_repetition" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(size(toks) - 2, lit(1)).cast("long").as("n_grams"),
+          size(Dedup.shingleHashSet(col("text"), 3)).cast("long").as("n_unique"))
+        .withColumn("rep_ratio",
+          r4(lit(1.0) - col("n_unique").cast("double") / col("n_grams")))
+        .orderBy("doc_id")
+    }),
+
     // oracle-backed: reproducible content-addressed train/val/test split —
     // pure projection on md5(doc_id), no RNG state, no shuffle before the
     // summary aggregate
@@ -265,6 +279,22 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    // distinct-shingle counts via the same list pipeline as q_jaccard_exact
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, greatest(len(w) - 2, 1) AS n_grams,
+        |    len(list_distinct(list_transform(
+        |      range(0, greatest(len(w)-3, 0) + 1),
+        |      i -> array_to_string(w[i+1 : i+3], ' ')))) AS n_unique
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_unique AS BIGINT) AS n_unique,
+        |  FLOOR((1.0 - CAST(n_unique AS DOUBLE) / n_grams) * 10000.0 + 0.500001) / 10000.0 AS rep_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
 
     // md5 hex strings compare identically in any engine; boundaries are
     // the hex prefixes for cumulative fractions 0.8 and 0.9

@@ -330,6 +330,25 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // ---- approximate percentile (the 100 TB opt-in variant) ---------------
+    // same envelope pattern as q_approx_distinct: the t-digest-style value
+    // is engine-specific; what the oracle verifies is exact quantiles plus
+    // the contract that the sketch lands within 1% of them
+    "q_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+          r2(expr("percentile(o_totalprice, 0.5)")).as("exact_median"),
+          r2(expr("percentile(o_totalprice, 0.95)")).as("exact_p95"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("am"),
+          expr("approx_percentile(o_totalprice, 0.95, 10000)").as("a95"),
+          expr("percentile(o_totalprice, 0.5)").as("em"),
+          expr("percentile(o_totalprice, 0.95)").as("e95"))
+        .select(col("exact_median"), col("exact_p95"),
+          when(abs(col("am") - col("em")) / col("em") < 0.01, 1L).otherwise(0L)
+            .as("median_within_1pct"),
+          when(abs(col("a95") - col("e95")) / col("e95") < 0.01, 1L).otherwise(0L)
+            .as("p95_within_1pct"))
+    }),
+
     // ---- string scalar functions ------------------------------------------
     "q_string_funcs" -> ((s, dir) => {
       t(s, dir, "customer").select(
@@ -634,6 +653,14 @@ object Relational {
     "q_approx_distinct" ->
       """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
         |  CAST(1 AS BIGINT) AS approx_within_10pct
+        |FROM orders""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT
+        |  FLOOR((quantile_cont(o_totalprice, 0.5)) * 100.0 + 0.500001) / 100.0 AS exact_median,
+        |  FLOOR((quantile_cont(o_totalprice, 0.95)) * 100.0 + 0.500001) / 100.0 AS exact_p95,
+        |  CAST(1 AS BIGINT) AS median_within_1pct,
+        |  CAST(1 AS BIGINT) AS p95_within_1pct
         |FROM orders""".stripMargin,
 
     "q_string_funcs" ->
