@@ -427,6 +427,18 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // salted equi-join: the salt must be invisible in the result, so the
+    // oracle is simply the PLAIN inner join — correctness of the skew
+    // mitigation is exactly "same rows out"
+    "q_salted_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(t(s, dir, "orders"), cust, "o_custkey", salts = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+          r2(col("o_totalprice")).as("total"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- gap-based session windows (batch form of §2.10 sessionization) ---
     // Spark's native session_window; the oracle reproduces it with the
     // standard lag-gap-cumsum construction — same sessions, both engines.
@@ -697,6 +709,12 @@ object Relational {
         |      FROM range(0, 100)) i
         |  ON p.o_totalprice BETWEEN i.lo AND i.hi
         |GROUP BY i.band_id ORDER BY i.band_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment,
+        |  FLOOR(o_totalprice * 100.0 + 0.500001) / 100.0 AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,

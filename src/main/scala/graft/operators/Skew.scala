@@ -53,4 +53,27 @@ object Skew {
     phase1.groupBy(keys.map(col): _*)
       .agg(merge(aggs.head), aggs.tail.map(merge): _*)
   }
+
+  /** Salted equi-join for a skewed LARGE side: scatter each large-side row
+    * into one of `salts` sub-keys, replicate the small side across all of
+    * them, and equi-join on (key, salt) — a hot key's rows spread over
+    * `salts` reducers instead of hammering one. The result is EXACTLY the
+    * plain inner join (salting is invisible in the output), which is what
+    * the oracle verifies. Replication multiplies the small side ×salts —
+    * use when the small side is modest but (unlike a broadcastable dim)
+    * not tiny, and AQE's skew splitting isn't available (e.g. the join
+    * feeds a co-partitioned downstream op).
+    *
+    * The salt comes from hashing the large row's full struct — pure
+    * projection, deterministic per row content, no RNG state.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedLarge = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts.toLong)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
 }
