@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Trained trigram language model: the per-(language, trigram) log-
+  * probabilities collected off the (bounded) profile aggregate, packed for
+  * single-pass scoring. `langs` is sorted ascending so index order IS the
+  * tie-break order (larger index wins on equal scores, matching the
+  * join-based form's max_by(struct(score, p_lang)) and the oracle's
+  * ORDER BY score DESC, p_lang DESC).
+  *
+  * Serializable: the expression ships the model to executors inside the
+  * plan (a few hundred KB for real trigram profiles) — the broadcast-model
+  * alternative to shuffling an exploded corpus through join + groupBy.
+  */
+final class LangModel(val langs: Array[String],
+    table: java.util.HashMap[String, Array[Double]]) extends Serializable {
+
+  /** Predict the language of `text`, or null when no trigram overlaps the
+    * profile (the join-based form drops such docs — parity preserved).
+    * NaN slots mark (lang, trigram) pairs absent from the profile; they
+    * contribute nothing, and a language scores only if ≥1 term touched it.
+    */
+  def predict(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val norm = text.toString.toLowerCase.replaceAll("\\s+", " ")
+    val n = norm.length
+    val positions = math.max(n - 2, 1)
+    val scores = new Array[Double](langs.length)
+    val touched = new Array[Boolean](langs.length)
+    var i = 0
+    while (i < positions) {
+      val gram = norm.substring(i, math.min(i + 3, n))
+      val row = table.get(gram)
+      if (row != null) {
+        var l = 0
+        while (l < langs.length) {
+          val v = row(l)
+          if (!java.lang.Double.isNaN(v)) { scores(l) += v; touched(l) = true }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var l = 0
+    while (l < langs.length) {
+      // >= : ties resolve to the LARGER lang (langs sorted ascending)
+      if (touched(l) && (best < 0 || scores(l) >= scores(best))) best = l
+      l += 1
+    }
+    if (best < 0) null else UTF8String.fromString(langs(best))
+  }
+}
+
+/** Scores a text column against a [[LangModel]] — pure projection, whole-
+  * stage codegen, zero shuffle: the scale-correct replacement for
+  * exploding the corpus into trigrams and shuffling them through a
+  * broadcast join + two aggregations.
+  */
+case class LangScoreExpression(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    model: LangModel) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(text: Any): Any =
+    model.predict(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langModel", model, classOf[LangModel].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          ${ev.value} = $ref.predict(${childGen.value});
+          ${ev.isNull} = (${ev.value} == null);
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): LangScoreExpression =
+    copy(child = newChild)
+}

@@ -124,33 +124,72 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
-  /** Language ID by character-trigram profiles (the classic n-gram method,
-    * Cavnar & Trenkle 1994): learn per-language trigram log-frequencies from
-    * a labeled sample, broadcast the tiny profile, score each document by
-    * summed log-probability, take the argmax language.
-    *
-    * Plan shape: train = explode + one groupBy (bounded: ≤ langs × |trigram
-    * space|); classify = explode + broadcast equi-join on trigram + one
-    * groupBy(doc) + max_by. No crossJoin; profile is broadcast.
+  /** The (lang, trigram) → logp profile frame: train = one explode + one
+    * aggregation (bounded output: ≤ langs × |trigram space|); per-language
+    * totals re-aggregate that TINY result via a window instead of
+    * exploding the training corpus a second time.
     */
-  def langId(docs: DataFrame, train: DataFrame, n: Int = 3): DataFrame = {
-    val explodeGrams = (df: DataFrame) => df
-      .select(col("doc_id"), col("lang"),
-        explode(charNgrams(col("text"), n)).as("tg"))
-
-    // one explode + one aggregation builds the (lang, tg) counts; the
-    // per-language totals re-aggregate that TINY result (≤ langs × trigram
-    // space rows) instead of exploding the training corpus a second time —
-    // at 100 TB the train scan runs once, and the totals join is a window
-    // over the bounded profile, not another corpus pass
-    val tgCounts = explodeGrams(train).groupBy("lang", "tg").agg(count(lit(1)).as("tg_n"))
+  private def trigramProfile(train: DataFrame, n: Int): DataFrame = {
+    val tgCounts = train
+      .select(col("lang"), explode(charNgrams(col("text"), n)).as("tg"))
+      .groupBy("lang", "tg").agg(count(lit(1)).as("tg_n"))
     val totalW = Window.partitionBy(col("lang"))
-    val profile = tgCounts
+    tgCounts
       .withColumn("lang_total", sum(col("tg_n")).over(totalW))
       .select(col("lang").as("p_lang"), col("tg"),
         log((col("tg_n") + 1.0) / (col("lang_total") + 1000.0)).as("logp"))
+  }
 
-    val docGrams = explodeGrams(docs).withColumnRenamed("lang", "lang_true")
+  /** Collect the bounded profile into a packed scoring model. */
+  def trainLangModel(train: DataFrame, n: Int = 3): LangModel = {
+    val rows = trigramProfile(train, n).collect()
+    val langs = rows.map(_.getString(0)).distinct.sorted
+    val idx = langs.zipWithIndex.toMap
+    val table = new java.util.HashMap[String, Array[Double]]()
+    rows.foreach { r =>
+      val arr = table.computeIfAbsent(r.getString(1),
+        _ => Array.fill(langs.length)(Double.NaN))
+      arr(idx(r.getString(0))) = r.getDouble(2)
+    }
+    new LangModel(langs, table)
+  }
+
+  /** Language ID by character-trigram profiles (the classic n-gram method,
+    * Cavnar & Trenkle 1994): learn per-language trigram log-frequencies
+    * from a labeled sample, then score each document by summed
+    * log-probability and take the argmax language.
+    *
+    * The profile is a MODEL, not a table — so scoring ships it inside a
+    * native codegen expression ([[LangScoreExpression]]) and runs as a
+    * shuffle-free projection over the corpus: one scan, no explode, no
+    * join, no aggregation. (The previous join-based formulation shuffled
+    * every exploded trigram through a broadcast join + two groupBys —
+    * [[langIdJoin]] keeps it as the built-ins-only cross-check.)
+    */
+  def langId(docs: DataFrame, train: DataFrame, n: Int = 3): DataFrame = {
+    val model = trainLangModel(train, n)
+    val spark = docs.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lang_score",
+      { exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        LangScoreExpression(exprs.head, model)
+      },
+      "built-in")
+    // analysis is eager at Dataset creation, so the just-registered
+    // function resolves against THIS model before any re-registration
+    docs.select(col("doc_id"), col("lang").as("lang_true"),
+        call_function("graft_lang_score", col("text")).as("lang_pred"))
+      .where(col("lang_pred").isNotNull)
+  }
+
+  /** Join-based formulation of [[langId]] — semantically identical; kept
+    * as the cross-check for the model-scoring expression (TextOpsSpec).
+    */
+  private[graft] def langIdJoin(docs: DataFrame, train: DataFrame, n: Int = 3): DataFrame = {
+    val profile = trigramProfile(train, n)
+    val docGrams = docs
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        explode(charNgrams(col("text"), n)).as("tg"))
     val scored = docGrams
       .join(broadcast(profile), "tg")
       .groupBy(col("doc_id"), col("lang_true"), col("p_lang"))

@@ -68,4 +68,15 @@ class TextOpsSpec extends SparkSpec {
     val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
     out.foreach(r => assert(langs.contains(r.getAs[String]("lang_pred"))))
   }
+
+  test("model-scoring langId matches the join-based formulation on real docs") {
+    val corpus = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val model = asMap(TextOps.langId(corpus, corpus))
+    val joined = asMap(TextOps.langIdJoin(corpus, corpus))
+    assert(model.keySet == joined.keySet)
+    val diffs = model.keys.filter(k => model(k) != joined(k))
+    assert(diffs.isEmpty, s"predictions differ for docs: ${diffs.take(5)}")
+  }
 }
