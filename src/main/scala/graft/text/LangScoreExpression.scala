@@ -27,7 +27,9 @@ final class LangModel(val langs: Array[String],
     */
   def predict(text: UTF8String): UTF8String = {
     if (text == null) return null
-    val norm = text.toString.toLowerCase.replaceAll("\\s+", " ")
+    // UTF8String.toLowerCase = the exact primitive behind Spark's lower()
+    // (Java's String.toLowerCase is locale-sensitive — Turkish-I trap)
+    val norm = text.toLowerCase.toString.replaceAll("\\s+", " ")
     val n = norm.length
     val positions = math.max(n - 2, 1)
     val scores = new Array[Double](langs.length)
