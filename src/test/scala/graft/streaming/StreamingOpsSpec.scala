@@ -79,6 +79,24 @@ class StreamingOpsSpec extends SparkSpec {
       "cross-batch duplicate doc 4 should have been dropped by retained state")
   }
 
+  test("text operators run unchanged on a stream: stream/batch parity") {
+    val base = Files.createTempDirectory("graft_textstream").toString
+    val staging = s"$base/staging"
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    Sources.appendParquet(docs, staging)
+    // textStats/qualityScore are pure projections — the SAME operator
+    // works on a readStream frame with no code changes
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(staging)
+    val streamed = StreamingOps.runAvailableNow(
+      graft.text.TextOps.textStats(stream), "text_stream", s"$base/ckpt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val batch = graft.text.TextOps.textStats(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("incremental features: streaming state matches the batch transform") {
     val base = Files.createTempDirectory("graft_incr").toString
     val staging = s"$base/staging"
