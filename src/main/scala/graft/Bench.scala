@@ -18,7 +18,8 @@ object Bench {
       .foreach { name =>
         try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"warmup $name failed: ${e.getClass.getSimpleName}") }
       }
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

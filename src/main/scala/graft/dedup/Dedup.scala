@@ -180,20 +180,29 @@ object Dedup {
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    // coalesce: sum over ZERO rows is NULL — an empty edge set must yield
+    // an empty component frame, not an NPE
+    def labelSum(): Long =
+      labels.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum()
     var it = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && it < maxIter) {
       val msgs = sym.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("component"))
       labels = labels.union(msgs)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
-      val s = labels.agg(sum("component")).head().getLong(0)
+      val s = labelSum()
       converged = s == prevSum
       prevSum = s
       it += 1
     }
+    // silent non-convergence would hand downstream dedup UNMERGED clusters
+    // (multiple "keepers" for one document) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — graph " +
+        "diameter exceeds the round budget; raise maxIter")
     labels.select(col("id").as("doc_id"), col("component"))
   }
 

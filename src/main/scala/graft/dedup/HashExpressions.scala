@@ -30,6 +30,8 @@ object DedupKernels {
     * hash), `numHashes` lanes derived by re-mixing each base hash.
     */
   def minhashSignature(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    require(k >= 1 && numHashes >= 1,
+      s"minhash_sig: k and numHashes must be >= 1 (got k=$k, numHashes=$numHashes)")
     val toks = text.toString.trim.split("\\s+")
     val nShingles = math.max(toks.length - k + 1, 1)
     val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
@@ -67,6 +69,7 @@ object DedupKernels {
     * already absorbs.
     */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    require(k >= 1, s"shingle_hashes: k must be >= 1 (got $k)")
     val toks = text.toString.trim.split("\\s+")
     val nShingles = math.max(toks.length - k + 1, 1)
     val seen = new java.util.TreeSet[java.lang.Long]()
@@ -121,6 +124,9 @@ object DedupKernels {
     * O(tokens·w) slice-per-position with interpreted lambda dispatch.
     */
   def winnowFingerprint(text: UTF8String, k: Int, w: Int): ArrayData = {
+    require(k >= 1 && w >= 1,
+      s"winnow_fp: k and w must be >= 1 (got k=$k, w=$w) — w < 1 would scan " +
+        "the sliding-min deque past its initialized entries")
     val toks = text.toString.trim.split("\\s+")
     val nGrams = math.max(toks.length - k + 1, 1)
     val hashes = new Array[Long](nGrams)

@@ -35,18 +35,24 @@ object Layout {
     * of KB-scale files (listing cost, task-per-file scheduling, parquet
     * footer overhead); periodic compaction rewrites it at a sane file
     * size. Partition count comes from Catalyst's size estimate of the
-    * input plan, so the caller doesn't need to know the data volume.
-    * Coalesce (no shuffle) when shrinking; round-robin repartition only
-    * when the input has too FEW partitions to reach the target size.
+    * input plan, so the caller doesn't need to know the data volume —
+    * and crucially WITHOUT executing anything: reading `df.rdd` under AQE
+    * finalizes the adaptive plan by running every shuffle stage, so a
+    * partition-count peek would execute the query once inside compact and
+    * again at the caller's write.
+    *
+    * Default is `coalesce` (no shuffle; a target above the current
+    * partition count is a no-op — the safe reading of "cap the file
+    * count"). Pass `allowShuffle = true` to force an exact round-robin
+    * repartition when under-partitioned input must be SPLIT to reach the
+    * target file size.
     */
-  def compact(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
+  def compact(df: DataFrame, targetBytes: Long = 128L << 20,
+      allowShuffle: Boolean = false): DataFrame = {
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val parts = math.max(1L, (estBytes / BigInt(targetBytes)).toLong +
       (if (estBytes % BigInt(targetBytes) > 0) 1L else 0L)).toInt
-    val current = df.rdd.getNumPartitions
-    if (parts < current) df.coalesce(parts)
-    else if (parts > current) df.repartition(parts)
-    else df
+    if (allowShuffle) df.repartition(parts) else df.coalesce(parts)
   }
 
   /** True if the executed plan of `df` contains a shuffle exchange. */

@@ -22,17 +22,17 @@ object AsOfJoin {
     * Output: all left columns + `asof_<col>` for each value column (null
     * when no right row precedes the left row).
     *
-    * Each carry slot is a (marker, value) struct, not the bare value: the
-    * last-ignoreNulls carry keys on the never-null struct, so a right row
-    * whose value is genuinely NULL still matches (and carries its NULL)
-    * instead of being skipped in favor of an older row — DuckDB ASOF
-    * semantics (r2 ADVICE fix).
+    * Each carry slot is a single-field struct wrapping the value, not the
+    * bare value: CreateNamedStruct is non-null by construction, so the
+    * last-ignoreNulls carry keys on the struct and a right row whose
+    * value is genuinely NULL still matches (and carries its NULL) instead
+    * of being skipped in favor of an older row — DuckDB ASOF semantics
+    * (r2 ADVICE fix).
     */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val carry = valueCols.map(v => v -> s"__asof_$v")
     def slotType(v: String) = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("v", right.schema(v).dataType)))
 
     // left side: original columns + null-typed carry slots
@@ -44,7 +44,7 @@ object AsOfJoin {
     val rBase = right.select(
       (Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
         carry.map { case (v, slot) =>
-          struct(lit(1).as("m"), col(v).as("v")).as(slot) }): _*)
+          struct(col(v).as("v")).as(slot) }): _*)
     val rSide = lSide.columns.foldLeft(rBase) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))

@@ -171,6 +171,9 @@ object Ann {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10, nlist: Int = 16,
       nprobe: Int = 4, seed: Long = 42L, sampleFraction: Double = 1.0,
       maxIter: Int = 10): DataFrame = {
+    // slice(arr, -(nprobe>nlist), …) would silently return ZERO cells —
+    // clamp so "probe extra cells to be safe" degrades to exhaustive
+    val probeCells = math.min(nprobe, nlist)
     VecOps.register(corpus.sparkSession)
     val train = (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
       else corpus)
@@ -191,7 +194,7 @@ object Ann {
     val c = corpus.select(col("vec_id"), col("embedding"),
       array_max(cellScores(col("embedding"))).getField("cid").as("cell"))
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
-      explode(transform(slice(array_sort(cellScores(col("embedding"))), -nprobe, nprobe),
+      explode(transform(slice(array_sort(cellScores(col("embedding"))), -probeCells, probeCells),
         s => s.getField("cid"))).as("cell"))
     val scored = c.join(p, Seq("cell"))
       .where(col("vec_id") =!= col("probe_id"))

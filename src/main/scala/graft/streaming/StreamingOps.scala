@@ -117,6 +117,7 @@ object StreamingOps {
     docs.withColumn("text_hash", md5(col("text")))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("text_hash")
+      .drop("text_hash") // internal state key — keep the caller's schema
 
   /** Run a streaming frame to completion with AvailableNow into an
     * in-memory table; returns the materialized result. The batch-parity

@@ -30,13 +30,17 @@ final class LangModel(val langs: Array[String],
     // UTF8String.toLowerCase = the exact primitive behind Spark's lower()
     // (Java's String.toLowerCase is locale-sensitive — Turkish-I trap)
     val norm = text.toLowerCase.toString.replaceAll("\\s+", " ")
-    val n = norm.length
+    // code POINTS, not UTF-16 units: Spark's substr/length (and the
+    // DuckDB oracle) window trigrams by code point, so supplementary-
+    // plane characters must count as one position here too
+    val cps = norm.codePoints().toArray
+    val n = cps.length
     val positions = math.max(n - 2, 1)
     val scores = new Array[Double](langs.length)
     val touched = new Array[Boolean](langs.length)
     var i = 0
     while (i < positions) {
-      val gram = norm.substring(i, math.min(i + 3, n))
+      val gram = new String(cps, i, math.min(3, n - i))
       val row = table.get(gram)
       if (row != null) {
         var l = 0
@@ -56,6 +60,29 @@ final class LangModel(val langs: Array[String],
       l += 1
     }
     if (best < 0) null else UTF8String.fromString(langs(best))
+  }
+}
+
+/** Driver-side registry of trained models, keyed by id. The SQL function
+  * `graft_lang_score(text, modelId)` resolves its model from here at
+  * analysis time — the function registration itself is stateless and
+  * idempotent, so concurrent langId calls with different models cannot
+  * race on registry contents (each call passes its own id literal).
+  */
+object LangModels {
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val models = new java.util.concurrent.ConcurrentHashMap[Long, LangModel]()
+
+  def put(model: LangModel): Long = {
+    val id = nextId.incrementAndGet()
+    models.put(id, model)
+    id
+  }
+
+  def get(id: Long): LangModel = {
+    val m = models.get(id)
+    require(m != null, s"no LangModel registered under id $id")
+    m
   }
 }
 

@@ -167,18 +167,25 @@ object TextOps {
     * [[langIdJoin]] keeps it as the built-ins-only cross-check.)
     */
   def langId(docs: DataFrame, train: DataFrame, n: Int = 3): DataFrame = {
-    val model = trainLangModel(train, n)
+    val modelId = LangModels.put(trainLangModel(train, n))
     val spark = docs.sparkSession
+    // stateless, idempotent registration: the factory reads the model id
+    // from its literal argument, so concurrent langId calls (each with
+    // their own id) cannot race on registry contents
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lang_score",
       { exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        LangScoreExpression(exprs.head, model)
+        require(exprs.length == 2, "graft_lang_score(text, modelId)")
+        val id = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lang_score: modelId must be a long literal, got $other")
+        }
+        LangScoreExpression(exprs.head, LangModels.get(id))
       },
       "built-in")
-    // analysis is eager at Dataset creation, so the just-registered
-    // function resolves against THIS model before any re-registration
     docs.select(col("doc_id"), col("lang").as("lang_true"),
-        call_function("graft_lang_score", col("text")).as("lang_pred"))
+        call_function("graft_lang_score", col("text"), lit(modelId)).as("lang_pred"))
       .where(col("lang_pred").isNotNull)
   }
 

@@ -45,8 +45,10 @@ class LayoutSpec extends SparkSpec {
     assert(!Layout.hasShuffle(compacted.select(col("o_orderkey"))) ||
       compacted.rdd.getNumPartitions < 64)
     assert(compacted.count() == orders.count())
-    // growing: a tiny target forces more partitions than the input has
-    val grown = Layout.compact(orders.coalesce(1), targetBytes = (est / 8).toLong max 1L)
+    // growing: splitting under-partitioned input needs the explicit
+    // shuffle opt-in (coalesce cannot raise the partition count)
+    val grown = Layout.compact(orders.coalesce(1), targetBytes = (est / 8).toLong max 1L,
+      allowShuffle = true)
     assert(grown.rdd.getNumPartitions > 1)
   }
 
