@@ -93,6 +93,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashNearDuplicates(many, maxHamming = 3, bucketCap = 10).count() == 0L)
   }
 
+  test("connected components: empty edges yield empty output; over-budget chains fail loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+    // a 12-node path needs ~11 propagation rounds; a 3-round budget must
+    // throw rather than return partially-merged components
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException](Dedup.connectedComponents(chain, maxIter = 3))
+    val full = Dedup.connectedComponents(chain).collect()
+    assert(full.forall(_.getLong(1) == 0L), "all chain nodes merge to component 0")
+  }
+
   test("shingle_hashes kernel agrees with the HOF string-shingle form") {
     val both = docs.select(col("doc_id"),
         Dedup.shingleHashSet(col("text")).as("hashed"),

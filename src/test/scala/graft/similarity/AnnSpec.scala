@@ -76,6 +76,12 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("IVF clamps nprobe above nlist to exhaustive instead of returning nothing") {
+    val probes = emb.where(col("vec_id") < 5)
+    val rows = Ann.ivfTopK(emb, probes, k = 3, nlist = 4, nprobe = 16).count()
+    assert(rows == 15L, s"5 probes x top-3 expected, got $rows")
+  }
+
   test("brute-force pairs on a slice match driver-side exact pairs") {
     val slice = emb.where(col("vec_id") < 40)
     val all = slice.collect().map { r =>
