@@ -291,6 +291,22 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // ---- map type construction + lookup -----------------------------------
+    // maps stay internal (the harness compare can't hash map columns);
+    // scalars out via element_at / size / array_contains(map_keys)
+    "q_map_funcs" -> ((s, dir) => {
+      val meta = map(lit("status"), col("o_orderstatus"),
+        lit("priority"), col("o_orderpriority"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), meta.as("meta"))
+        .select(col("o_orderkey"),
+          element_at(col("meta"), "status").as("status"),
+          element_at(col("meta"), "priority").as("priority"),
+          size(col("meta")).cast(LongType).as("n_keys"),
+          array_contains(map_keys(col("meta")), "status").cast(LongType).as("has_status"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- date/time scalar functions (E1–E8) -------------------------------
     "q_date_funcs" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -631,6 +647,17 @@ object Relational {
         |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
         |UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM a
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // DuckDB map extraction returns a list — [1] unwraps the value
+    "q_map_funcs" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS meta
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, meta['status'][1] AS status, meta['priority'][1] AS priority,
+        |  CAST(cardinality(meta) AS BIGINT) AS n_keys,
+        |  CAST(list_contains(map_keys(meta), 'status') AS BIGINT) AS has_status
+        |FROM m ORDER BY o_orderkey""".stripMargin,
 
     // descending 3-element sum matches Spark's reverse-then-slice order
     "q_array_funcs" ->
