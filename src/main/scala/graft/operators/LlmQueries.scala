@@ -98,6 +98,18 @@ object LlmQueries {
         .orderBy("split")
     }),
 
+    // oracle-backed: corpus mixing — per-source keep fractions via the
+    // same content-addressed rule (keep all of src0, half of src1, a
+    // quarter of src2, drop the rest)
+    "q_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(t(s, dir, "documents"), col("doc_id"), col("source"),
+          Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    }),
+
     // oracle-backed: smoothed TF-IDF top-3 terms per document
     "q_tfidf" -> ((s, dir) => {
       TextOps.tfidf(t(s, dir, "documents"), k = 3)
@@ -295,6 +307,17 @@ object LlmQueries {
         |  CAST(n_unique AS BIGINT) AS n_unique,
         |  FLOOR((1.0 - CAST(n_unique AS DOUBLE) / n_grams) * 10000.0 + 0.500001) / 10000.0 AS rep_ratio
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // hex boundaries: 1.0→ffffffff, 0.5→80000000, 0.25→40000000
+    "q_weighted_sample" ->
+      """SELECT source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents
+        |WHERE CASE source
+        |  WHEN 'src0' THEN md5(CAST(doc_id AS VARCHAR)) < 'ffffffff'
+        |  WHEN 'src1' THEN md5(CAST(doc_id AS VARCHAR)) < '80000000'
+        |  WHEN 'src2' THEN md5(CAST(doc_id AS VARCHAR)) < '40000000'
+        |  ELSE FALSE END
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // md5 hex strings compare identically in any engine; boundaries are
     // the hex prefixes for cumulative fractions 0.8 and 0.9

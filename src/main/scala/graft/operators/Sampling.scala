@@ -45,4 +45,21 @@ object Sampling {
   def hashSplit(df: DataFrame, key: Column,
       fracs: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
     df.withColumn("split", splitColumn(key, fracs))
+
+  /** Corpus mixing: keep a per-group fraction of rows (e.g. downsample
+    * web crawl to 30% while keeping 100% of books), selected by the same
+    * content-addressed md5 rule — deterministic, shuffle-free, and stable
+    * under corpus growth. Groups absent from `weights` are dropped
+    * (weight 0), the explicit reading of a mixing spec.
+    */
+  def weightedSample(df: DataFrame, key: Column, group: Column,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.forall { case (_, w) => w >= 0.0 && w <= 1.0 },
+      s"weights must be in [0, 1]: $weights")
+    val h = md5(key.cast("string").cast("binary"))
+    val keep = weights.foldLeft(lit(false)) { case (els, (g, w)) =>
+      when(group === g, h < lit(hexBoundary(w))).otherwise(els)
+    }
+    df.where(keep)
+  }
 }

@@ -23,6 +23,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("test") / 2000.0 - 0.1) < 0.04, counts.toString)
   }
 
+  test("weighted sample keeps per-group fractions and drops unlisted groups") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val kept = Sampling.weightedSample(df, col("id"), col("g"),
+        Seq("g0" -> 1.0, "g1" -> 0.5))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("g2"), "unlisted group must be dropped")
+    assert(kept("g0") >= 999, s"g0 should keep ~all 1000, got ${kept.get("g0")}")
+    assert(math.abs(kept("g1") - 500) < 80, s"g1 should keep ~half, got ${kept.get("g1")}")
+    // determinism: same rows survive on a rerun
+    val again = Sampling.weightedSample(df, col("id"), col("g"),
+        Seq("g0" -> 1.0, "g1" -> 0.5)).collect().map(_.getLong(0)).toSet
+    val first = Sampling.weightedSample(df, col("id"), col("g"),
+        Seq("g0" -> 1.0, "g1" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("hash split boundaries quantize cumulative fractions to hex prefixes") {
     assert(Sampling.hexBoundary(0.8) == "cccccccc")
     assert(Sampling.hexBoundary(0.9) == "e6666666")
