@@ -73,6 +73,18 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // oracle-backed: edit distance between each doc and its perturbed twin
+    // (fuzzy matching; levenshtein is the same classic DP in both engines)
+    "q_edit_distance" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          levenshtein(col("text"),
+            concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))))
+            .cast("long").as("edit_dist"))
+        .orderBy("doc_id")
+    }),
+
     // oracle-backed: duplicate-n-gram fraction — the standard repeated-
     // content quality filter for LLM corpora (high rep_ratio = boilerplate
     // / degenerate repetition). Total vs distinct word-3-gram counts.
@@ -291,6 +303,14 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text FROM documents
+        |)
+        |SELECT doc_id, CAST(levenshtein(text,
+        |  array_to_string(w[1 : greatest(len(w)-2, 1)], ' ')) AS BIGINT) AS edit_dist
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     // distinct-shingle counts via the same list pipeline as q_jaccard_exact
     "q_text_repetition" ->

@@ -291,6 +291,19 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // ---- arbitrary grouping-set combinations (beyond rollup/cube) ---------
+    // one Expand over exactly the requested sets (3 here, vs cube's 2^k)
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // ---- map type construction + lookup -----------------------------------
     // maps stay internal (the harness compare can't hash map columns);
     // scalars out via element_at / size / array_contains(map_keys)
@@ -647,6 +660,13 @@ object Relational {
         |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
         |UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM a
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  FLOOR((SUM(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     // DuckDB map extraction returns a list — [1] unwraps the value
     "q_map_funcs" ->
