@@ -127,6 +127,20 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // full outer: both unmatched sides survive with NULL keys — summarized
+    // to side-presence counts so the result is compact and deterministic
+    "q_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("order_only"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("customer_only"),
+          sum(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1L)
+            .otherwise(0L)).as("matched"))
+    }),
+
     "q_join_semi" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
@@ -561,6 +575,13 @@ object Relational {
         |  FLOOR((COALESCE(SUM(o_totalprice), 0.0)) * 100.0 + 0.500001) / 100.0 AS spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS order_only,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customer_only,
+        |  CAST(SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
