@@ -126,7 +126,9 @@ object Dedup {
     // otherwise re-runs the text→signature kernel per plan branch — the
     // measured plan had ZERO ReusedExchange nodes. One row per doc at
     // ~8·numHashes bytes materializes far cheaper than a second corpus
-    // scan + re-shingling.
+    // scan + re-shingling. NB this makes construction eager, and local
+    // checkpoint blocks are unreplicated — under aggressive dynamic
+    // allocation swap in reliable .checkpoint() at the same point.
     minhashCandidates(minhashSignatures(docs, numHashes, k).localCheckpoint(),
         bands, numHashes, bucketCap)
       .where(col("est_jaccard") >= threshold)

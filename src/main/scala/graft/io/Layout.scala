@@ -50,8 +50,12 @@ object Layout {
   def compact(df: DataFrame, targetBytes: Long = 128L << 20,
       allowShuffle: Boolean = false): DataFrame = {
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1L, (estBytes / BigInt(targetBytes)).toLong +
-      (if (estBytes % BigInt(targetBytes) > 0) 1L else 0L)).toInt
+    // clamp BEFORE the Int narrowing: Catalyst's estimate can be
+    // Long.MaxValue (unknown stats) and the quotient would wrap to 0 or
+    // negative; 1M partitions is already past any sane job size
+    val parts = (BigInt(1).max(
+      estBytes / targetBytes + (if (estBytes % targetBytes > 0) 1 else 0))
+      .min(BigInt(1000000))).toInt
     if (allowShuffle) df.repartition(parts) else df.coalesce(parts)
   }
 

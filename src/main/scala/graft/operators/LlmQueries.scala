@@ -328,12 +328,13 @@ object LlmQueries {
         |  FLOOR((1.0 - CAST(n_unique AS DOUBLE) / n_grams) * 10000.0 + 0.500001) / 10000.0 AS rep_ratio
         |FROM sh ORDER BY doc_id""".stripMargin,
 
-    // hex boundaries: 1.0→ffffffff, 0.5→80000000, 0.25→40000000
+    // hex boundaries: 0.5→80000000, 0.25→40000000; weight 1.0 is a
+    // keep-all short-circuit on both sides (no md5 test at all)
     "q_weighted_sample" ->
       """SELECT source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents
         |WHERE CASE source
-        |  WHEN 'src0' THEN md5(CAST(doc_id AS VARCHAR)) < 'ffffffff'
+        |  WHEN 'src0' THEN TRUE
         |  WHEN 'src1' THEN md5(CAST(doc_id AS VARCHAR)) < '80000000'
         |  WHEN 'src2' THEN md5(CAST(doc_id AS VARCHAR)) < '40000000'
         |  ELSE FALSE END

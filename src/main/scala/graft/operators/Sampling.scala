@@ -34,6 +34,8 @@ object Sampling {
   def splitColumn(key: Column, fracs: Seq[(String, Double)]): Column = {
     require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1: $fracs")
+    require(fracs.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+      s"each split fraction must be in [0, 1]: $fracs")
     val h = md5(key.cast("string").cast("binary"))
     val cum = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
     fracs.init.zip(cum.init).foldRight(lit(fracs.last._1)) {
@@ -58,7 +60,11 @@ object Sampling {
       s"weights must be in [0, 1]: $weights")
     val h = md5(key.cast("string").cast("binary"))
     val keep = weights.foldLeft(lit(false)) { case (els, (g, w)) =>
-      when(group === g, h < lit(hexBoundary(w))).otherwise(els)
+      // w = 1.0 means KEEP ALL — short-circuit to true rather than test
+      // md5 < 'ffffffff', which would deterministically drop the ~2⁻³²
+      // of rows whose hash starts with that prefix
+      val cond = if (w >= 1.0) lit(true) else h < lit(hexBoundary(w))
+      when(group === g, cond).otherwise(els)
     }
     df.where(keep)
   }

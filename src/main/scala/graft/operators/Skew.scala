@@ -64,14 +64,17 @@ object Skew {
     * not tiny, and AQE's skew splitting isn't available (e.g. the join
     * feeds a co-partitioned downstream op).
     *
-    * The salt comes from hashing the large row's full struct — pure
-    * projection, deterministic per row content, no RNG state.
+    * The salt hashes a per-row id, NOT the row content: a hot key made of
+    * EXACT-duplicate rows (the common skew shape in a dedup corpus) would
+    * content-hash to a single salt and silently defeat the mitigation.
+    * The id is partition-dependent, which is fine — the salt is invisible
+    * in the output (same scheme as saltedAggregate).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int = 8): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

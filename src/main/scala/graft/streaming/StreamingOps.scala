@@ -114,10 +114,12 @@ object StreamingOps {
     */
   def dedupStream(docs: DataFrame, tsCol: String = "ts",
       lateness: String = "1 hour"): DataFrame =
-    docs.withColumn("text_hash", md5(col("text")))
+    docs.withColumn("__dedup_hash", md5(col("text")))
       .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark("text_hash")
-      .drop("text_hash") // internal state key — keep the caller's schema
+      .dropDuplicatesWithinWatermark("__dedup_hash")
+      // internal state key, collision-safe name — a caller-supplied
+      // text_hash column must survive untouched
+      .drop("__dedup_hash")
 
   /** Run a streaming frame to completion with AvailableNow into an
     * in-memory table; returns the materialized result. The batch-parity

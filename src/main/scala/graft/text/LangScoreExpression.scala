@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * alternative to shuffling an exploded corpus through join + groupBy.
   */
 final class LangModel(val langs: Array[String],
-    table: java.util.HashMap[String, Array[Double]]) extends Serializable {
+    table: java.util.HashMap[String, Array[Double]],
+    val n: Int = 3) extends Serializable {
 
   /** Predict the language of `text`, or null when no trigram overlaps the
     * profile (the join-based form drops such docs — parity preserved).
@@ -34,13 +35,15 @@ final class LangModel(val langs: Array[String],
     // DuckDB oracle) window trigrams by code point, so supplementary-
     // plane characters must count as one position here too
     val cps = norm.codePoints().toArray
-    val n = cps.length
-    val positions = math.max(n - 2, 1)
+    val len = cps.length
+    // gram width follows the TRAINED n (hardcoding 3 here silently
+    // returned null for every doc when the profile was trained with n≠3)
+    val positions = math.max(len - (n - 1), 1)
     val scores = new Array[Double](langs.length)
     val touched = new Array[Boolean](langs.length)
     var i = 0
     while (i < positions) {
-      val gram = new String(cps, i, math.min(3, n - i))
+      val gram = new String(cps, i, math.min(n, len - i))
       val row = table.get(gram)
       if (row != null) {
         var l = 0
@@ -70,8 +73,16 @@ final class LangModel(val langs: Array[String],
   * race on registry contents (each call passes its own id literal).
   */
 object LangModels {
+  private val MaxEntries = 64
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val models = new java.util.concurrent.ConcurrentHashMap[Long, LangModel]()
+  // access-bounded LRU: a long-lived session calling langId repeatedly
+  // must not grow driver memory without bound (models are 100s of KB);
+  // 64 live models is far beyond any sane concurrency
+  private val models = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Long, LangModel](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, LangModel]): Boolean = size() > MaxEntries
+    })
 
   def put(model: LangModel): Long = {
     val id = nextId.incrementAndGet()
@@ -81,9 +92,12 @@ object LangModels {
 
   def get(id: Long): LangModel = {
     val m = models.get(id)
-    require(m != null, s"no LangModel registered under id $id")
+    require(m != null, s"no LangModel registered under id $id (evicted or never put)")
     m
   }
+
+  /** Callers done with a model should release it promptly. */
+  def remove(id: Long): Unit = models.remove(id)
 }
 
 /** Scores a text column against a [[LangModel]] — pure projection, whole-

@@ -151,7 +151,7 @@ object TextOps {
         _ => Array.fill(langs.length)(Double.NaN))
       arr(idx(r.getString(0))) = r.getDouble(2)
     }
-    new LangModel(langs, table)
+    new LangModel(langs, table, n)
   }
 
   /** Language ID by character-trigram profiles (the classic n-gram method,

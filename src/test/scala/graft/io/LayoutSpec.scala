@@ -41,9 +41,11 @@ class LayoutSpec extends SparkSpec {
     val compacted = Layout.compact(orders, targetBytes = (est / 4).toLong max 1L)
     val n = compacted.rdd.getNumPartitions
     assert(n >= 2 && n <= 8, s"expected ~4 partitions, got $n (est=$est)")
-    // shrinking must coalesce, not shuffle
-    assert(!Layout.hasShuffle(compacted.select(col("o_orderkey"))) ||
-      compacted.rdd.getNumPartitions < 64)
+    // shrinking must coalesce, not shuffle: the Coalesce node must be in
+    // the plan (the input's own repartition exchange is still there, so
+    // "no exchange anywhere" would be the wrong assertion)
+    assert(compacted.queryExecution.executedPlan.toString.contains("Coalesce"),
+      "compact without allowShuffle must plan a Coalesce")
     assert(compacted.count() == orders.count())
     // growing: splitting under-partitioned input needs the explicit
     // shuffle opt-in (coalesce cannot raise the partition count)

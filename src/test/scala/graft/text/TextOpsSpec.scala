@@ -79,4 +79,14 @@ class TextOpsSpec extends SparkSpec {
     val diffs = model.keys.filter(k => model(k) != joined(k))
     assert(diffs.isEmpty, s"predictions differ for docs: ${diffs.take(5)}")
   }
+
+  test("langId honors a non-default n-gram width (model vs join parity at n=4)") {
+    val corpus = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val model = asMap(TextOps.langId(corpus, corpus, n = 4))
+    val joined = asMap(TextOps.langIdJoin(corpus, corpus, n = 4))
+    assert(model.nonEmpty, "n=4 scoring must not silently return empty")
+    assert(model == joined, "n=4 predictions must match the join form")
+  }
 }
