@@ -74,13 +74,20 @@ object LlmQueries {
     }),
 
     // oracle-backed: edit distance between each doc and its perturbed twin
-    // (fuzzy matching; levenshtein is the same classic DP in both engines)
+    // (fuzzy matching; levenshtein is the same classic DP in both engines).
+    // The 3-arg form bands the DP at width 100: the true distance is
+    // structurally ≤ 2 tokens + 2 spaces (≈20 chars), so the band never
+    // clips — same values at a fraction of the full O(len²) table. Like
+    // the other brute-force anchors the query runs on a bounded slice:
+    // char-level DP over full documents is a per-pair VERIFY step, never
+    // a corpus-wide sweep (that's what Jaccard/simhash candidates are for)
     "q_edit_distance" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
-      t(s, dir, "documents")
+      t(s, dir, "documents").where(col("doc_id") < 1000)
         .select(col("doc_id"),
           levenshtein(col("text"),
-            concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))))
+            concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))),
+            100)
             .cast("long").as("edit_dist"))
         .orderBy("doc_id")
     }),
@@ -306,7 +313,8 @@ object LlmQueries {
 
     "q_edit_distance" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text FROM documents
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text
+        |  FROM documents WHERE doc_id < 1000
         |)
         |SELECT doc_id, CAST(levenshtein(text,
         |  array_to_string(w[1 : greatest(len(w)-2, 1)], ' ')) AS BIGINT) AS edit_dist
