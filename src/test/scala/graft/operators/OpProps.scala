@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.dedup.DedupKernels
+import graft.similarity.VecOps
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** ScalaCheck properties for the operator kernels and sampling math —
+  * the driver-independent invariants the DataFrame tests build on.
+  */
+object OpProps extends Properties("graft.ops") {
+
+  private val frac = Gen.choose(0.0, 1.0)
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+
+  property("hexBoundary: 8 lowercase hex chars, monotone in the fraction") =
+    Prop.forAll(frac, frac) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val (bl, bh) = (Sampling.hexBoundary(lo), Sampling.hexBoundary(hi))
+      bl.length == 8 && bl.forall(c => c.isDigit || ('a' to 'f').contains(c)) &&
+        bl <= bh
+    }
+
+  property("hexBoundary endpoints") = Prop {
+    Sampling.hexBoundary(0.0) == "00000000" && Sampling.hexBoundary(1.0) == "ffffffff"
+  }
+
+  property("shingleHashes: deterministic, sorted, bounded by positions") =
+    Prop.forAll(text, Gen.choose(1, 5)) { (t, k) =>
+      val u = UTF8String.fromString(t)
+      val a = DedupKernels.shingleHashes(u, k).toLongArray()
+      val b = DedupKernels.shingleHashes(u, k).toLongArray()
+      val nTokens = t.trim.split("\\s+").length
+      (a sameElements b) && (a sameElements a.sorted) &&
+        a.length <= math.max(nTokens - k + 1, 1) && a.nonEmpty
+    }
+
+  property("simhash64: deterministic; identical texts at hamming 0") =
+    Prop.forAll(text) { t =>
+      val u = UTF8String.fromString(t)
+      DedupKernels.simhash64(u) == DedupKernels.simhash64(u)
+    }
+
+  property("winnowFingerprint is a subset of the k-gram hash universe") =
+    Prop.forAll(text, Gen.choose(2, 6)) { (t, w) =>
+      val u = UTF8String.fromString(t)
+      val fp = DedupKernels.winnowFingerprint(u, 3, w).toLongArray().toSet
+      // every winnowed min must be one of the document's k-gram hashes,
+      // which the shingle kernel enumerates (distinct by construction)
+      val universe = DedupKernels.shingleHashes(u, 3).toLongArray().toSet
+      fp.subsetOf(universe) && fp.nonEmpty
+    }
+
+  private val vec = Gen.listOfN(8, Gen.choose(-5.0, 5.0)).map(_.toArray)
+
+  property("vec_dot: symmetric and bilinear within FP tolerance") =
+    Prop.forAll(vec, vec, Gen.choose(-3.0, 3.0)) { (a, b, s) =>
+      def d(x: Array[Double], y: Array[Double]) =
+        VecOps.dot(new GenericArrayData(x), new GenericArrayData(y), false, false)
+      val sym = math.abs(d(a, b) - d(b, a)) < 1e-9
+      val scaled = math.abs(d(a.map(_ * s), b) - s * d(a, b)) < 1e-7
+      sym && scaled
+    }
+}
