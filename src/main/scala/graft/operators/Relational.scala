@@ -193,6 +193,20 @@ object Relational {
         .orderBy("o_custkey", "rn", "o_orderkey")
     }),
 
+    // distribution windows: quartile bucketing + rank fractions — the
+    // stratification primitives (e.g. length-quartile corpus splits).
+    // percent_rank/cume_dist are exact integer ratios → FP-identical
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          r4(percent_rank().over(w)).as("pct_rank"),
+          r4(cume_dist().over(w)).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -613,6 +627,15 @@ object Relational {
         |  SELECT o_custkey, o_orderkey, o_orderdate,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  FLOOR((PERCENT_RANK() OVER w) * 10000.0 + 0.500001) / 10000.0 AS pct_rank,
+        |  FLOOR((CUME_DIST() OVER w) * 10000.0 + 0.500001) / 10000.0 AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
