@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executes EVERY SparkEntry query at sf0.001 — without this, a broken
+  * harness entry only surfaces in the driver's Verify run, not in
+  * `sbt test`. Queries known to be legitimately empty at tiny SF are
+  * allowed to return 0 rows; everything else must produce output.
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // empty-by-construction at sf0.001: anti/except find no unmatched keys
+  // (every customer has orders); near-dup thresholds may prune everything
+  // at 200-row corpus scale
+  private val mayBeEmpty = Set("q_join_anti", "q_except", "q_embed_neardup",
+    "q_embed_neardup_brute", "q_dedup_minhash", "q_dedup_simhash",
+    "q_ngram_jaccard")
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, sf).count()
+        if (n == 0 && !mayBeEmpty.contains(name)) Some(s"$name: unexpectedly empty")
+        else None
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    assert(failures.isEmpty, s"${failures.size} queries failed:\n${failures.mkString("\n")}")
+  }
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+}
