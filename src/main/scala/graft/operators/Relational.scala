@@ -193,6 +193,20 @@ object Relational {
         .orderBy("o_custkey", "rn", "o_orderkey")
     }),
 
+    // frame-bounded first/last: each order annotated with its customer's
+    // first and most recent order key (explicit full-frame bounds —
+    // last_value over the default frame is the classic silent-wrong-answer)
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("latest_order"))
+        .orderBy("o_orderkey")
+    }),
+
     // distribution windows: quartile bucketing + rank fractions — the
     // stratification primitives (e.g. length-quartile corpus splits).
     // percent_rank/cume_dist are exact integer ratios → FP-identical
@@ -627,6 +641,15 @@ object Relational {
         |  SELECT o_custkey, o_orderkey, o_orderdate,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS latest_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderkey, o_orderstatus,
