@@ -21,6 +21,7 @@ object Bench {
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"warmup $name failed: ${e.getClass.getSimpleName}") }
       }
+    Blocks.releaseAll(spark)
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -28,7 +29,12 @@ object Bench {
       catch { case e: Throwable =>
         failures ::= s"$name: ${e.getMessage}"
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // UNTIMED state sweep: cache + localCheckpoint blocks from one query
+      // must not contaminate the next measurement (round-3 bench recorded
+      // neighbors' garbage: joins at 8-10 s vs 0.5-1.1 s fresh)
+      Blocks.releaseAll(spark)
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -17,13 +17,20 @@ object ClvQueries {
     * projection.
     */
   def clvScores(s: SparkSession, dir: String): DataFrame = {
-    // cache: the features feed the empty-guard, both fit compressions, and
-    // the scoring projection — without it the RFM aggregate re-runs 4×
+    // cache: the features feed the empty-guard and both fit compressions —
+    // all EAGER actions inside runClvLogic — so the RFM aggregate runs once
+    // for the three of them. The try/finally releases the cache before
+    // return (r3 ADVICE: the leak ratcheted block-manager memory up per
+    // invocation); the returned lazy projection then recomputes the RFM
+    // aggregate once at sink time — one shuffle, the price of a query that
+    // leaves zero session state behind.
     val feats = Rfm.customerFeatures(Sources.table(s, dir, "orders"),
       to_date(lit("2001-08-02")), "o_custkey", "o_orderdate", "o_totalprice")
       .cache()
-    val scored = ClvModel.runClvLogic(ClvModel.prepare(feats))
-    ClvModel.outputColumns(scored).orderBy("customer_id")
+    try {
+      val scored = ClvModel.runClvLogic(ClvModel.prepare(feats))
+      ClvModel.outputColumns(scored).orderBy("customer_id")
+    } finally feats.unpersist()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

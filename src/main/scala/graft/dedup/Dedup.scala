@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.Blocks
 import graft.text.TextOps
 
 /** Deduplication operators for a training-data pipeline, each designed
@@ -129,6 +130,9 @@ object Dedup {
     // scan + re-shingling. NB this makes construction eager, and local
     // checkpoint blocks are unreplicated — under aggressive dynamic
     // allocation swap in reliable .checkpoint() at the same point.
+    // The blocks must outlive this call (the result is lazy); release
+    // them after the terminal action via graft.Blocks.releaseAll —
+    // Bench/Verify do so between queries.
     minhashCandidates(minhashSignatures(docs, numHashes, k).localCheckpoint(),
         bands, numHashes, bucketCap)
       .where(col("est_jaccard") >= threshold)
@@ -170,34 +174,38 @@ object Dedup {
     *  - the symmetric edge list is localCheckpoint'd ONCE — each round
     *    re-reads materialized blocks instead of re-running the (possibly
     *    LSH-shaped) edge lineage;
-    *  - labels are localCheckpoint'd per round — iterative lineage growth
-    *    is the classic Spark CC trap (plan doubles every round, driver
-    *    planning time goes exponential);
-    *  - convergence = sum(label) fixpoint: labels only ever decrease, so
-    *    equal consecutive sums ⇔ no label moved — one cheap agg per round
-    *    instead of a join-based diff.
+    *  - labels are localCheckpoint'd per round and the PREVIOUS round's
+    *    blocks are released deterministically (graft.Blocks) — iterative
+    *    lineage growth is the classic Spark CC trap (plan doubles every
+    *    round) and fire-and-forget checkpoints were the r3 block-ratchet;
+    *  - convergence is STRUCTURAL (r3 ADVICE: the Long label-sum fixpoint
+    *    could in principle wrap): the per-round aggregate carries the
+    *    node's previous label alongside the new min, so "did any label
+    *    change" is an exact per-row comparison answered by one short-
+    *    circuiting isEmpty on the already-materialized round result — no
+    *    extra join, no arithmetic coincidence.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(edges.columns(0)).as("a"), col(edges.columns(1)).as("b"))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
-    // coalesce: sum over ZERO rows is NULL — an empty edge set must yield
-    // an empty component frame, not an NPE
-    def labelSum(): Long =
-      labels.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
-    var prevSum = labelSum()
     var it = 0
     var converged = labels.isEmpty
     while (!converged && it < maxIter) {
       val msgs = sym.join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("component"))
-      labels = labels.union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
+      // own rows tagged is_old ride the same shuffle as the messages, so the
+      // new label AND the previous label come out of ONE aggregation
+      val next = labels.select(col("id"), col("component"), lit(true).as("is_old"))
+        .union(msgs.select(col("id"), col("component"), lit(false).as("is_old")))
+        .groupBy("id")
+        .agg(min("component").as("component"),
+          min(when(col("is_old"), col("component"))).as("__prev"))
         .localCheckpoint()
-      val s = labelSum()
-      converged = s == prevSum
-      prevSum = s
+      converged = next.where(col("component") =!= col("__prev")).isEmpty
+      Blocks.releaseCheckpoint(labels) // previous round's blocks are dead
+      labels = next.drop("__prev")
       it += 1
     }
     // silent non-convergence would hand downstream dedup UNMERGED clusters
@@ -205,6 +213,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — graph " +
         "diameter exceeds the round budget; raise maxIter")
+    Blocks.releaseCheckpoint(sym) // the result reads only the final labels
     labels.select(col("id").as("doc_id"), col("component"))
   }
 
