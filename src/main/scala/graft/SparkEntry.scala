@@ -30,5 +30,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.Relational.oracleSql ++
-      graft.operators.LlmQueries.oracleSql
+      graft.operators.LlmQueries.oracleSql ++
+      graft.sim.SimQueries.oracleSql
 }

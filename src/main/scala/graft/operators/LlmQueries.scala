@@ -141,12 +141,27 @@ object LlmQueries {
       Dedup.exactDuplicates(t(s, dir, "documents")).orderBy("text_hash")
     }),
 
-    // rows-only: banded minhash-LSH candidates on corpus + planted near-dups
+    // envelope-contract oracle (the q_approx_distinct pattern): the pair
+    // list itself is engine-specific, but the semantic contract is not —
+    // the planted pairs are SQL-expressible by construction and their
+    // exact Jaccard is ≥ 0.75 on this generator, so banded LSH at
+    // threshold 0.3 must recover ≥ 95% of them (measured: 100% at every
+    // SF; per-pair detection prob ≥ 0.998 at s = 0.75 with 16 bands × 4
+    // rows). DuckDB recomputes n_planted via the q_jaccard_exact shingle
+    // pipeline and returns the contract flag as a constant.
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashNearDuplicates(withPlantedNearDups(docs(s, dir)),
-          threshold = 0.3)
-        .withColumn("est_jaccard", r4(col("est_jaccard")))
-        .orderBy("doc_a", "doc_b")
+      val d = withPlantedNearDups(docs(s, dir))
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"),
+          lit(1.0).as("est_jaccard"))
+      val target = Dedup.verifyJaccard(d, planted)
+        .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      val found = Dedup.minhashNearDuplicates(d, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      target.join(found, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+        .select(col("n").as("n_planted"),
+          (col("n_found") >= col("n") * 0.95).cast("long").as("recall_ge_095"))
     }),
 
     // rows-only: exact n-gram Jaccard verification of the LSH candidates
@@ -200,15 +215,24 @@ object LlmQueries {
         .orderBy("probe_id", "rank")
     }),
 
-    // rows-only: LSH-bucketed approximate top-5, no crossJoin in the plan.
-    // Short hashes + more tables: random synthetic vectors are near-
-    // orthogonal, so top-k recall needs high per-table collision probability.
+    // envelope-contract oracle: the approximate top-k list is engine-
+    // specific, but "recall vs exact brute force ≥ floor" is the published
+    // semantic contract of LSH ANN. Floor 0.4 carries ≥ 1.6× margin over
+    // the measured recall (0.80/0.74/0.64 at sf0.001/0.01/0.1); DuckDB
+    // recomputes n_exact from its own brute-force top-k and returns the
+    // flag as a constant. Short hashes + more tables because random
+    // synthetic vectors are near-orthogonal (low per-table collision prob).
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5,
-          tables = 8, bits = 4)
-        .select(col("probe_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
-        .orderBy("probe_id", "rank")
+      val probes = emb.where(col("vec_id") < 10)
+      val brute = Ann.bruteForceTopK(emb, probes, k = 5)
+        .select(col("probe_id"), col("vec_id"))
+      val lsh = Ann.lshTopK(emb, probes, k = 5, tables = 8, bits = 4)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      brute.join(lsh, Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("n").as("n_exact"),
+          (col("n_hit") >= col("n") * 0.4).cast("long").as("recall_ge_040"))
     }),
 
     // oracle-backed: exact n-gram Jaccard on the planted (original,
@@ -243,15 +267,21 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // rows-only: IVF (KMeans-cell) approximate top-5 — the second ANN
-    // scale path; cell assignment is codegen'd literal-centroid argmax,
-    // search is an equi-join on the cell id (no crossJoin)
+    // envelope-contract oracle, same shape as q_ann_lsh: IVF with
+    // nprobe/nlist = 1/4 must hold recall ≥ 0.4 vs brute force (measured
+    // 0.64-0.72 across SFs). Cell assignment is codegen'd literal-centroid
+    // argmax; search is an equi-join on the cell id (no crossJoin).
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
-          nlist = 16, nprobe = 4)
-        .select(col("probe_id"), col("vec_id"), r4(col("cos")).as("cos"), col("rank"))
-        .orderBy("probe_id", "rank")
+      val probes = emb.where(col("vec_id") < 10)
+      val brute = Ann.bruteForceTopK(emb, probes, k = 5)
+        .select(col("probe_id"), col("vec_id"))
+      val ivf = Ann.ivfTopK(emb, probes, k = 5, nlist = 16, nprobe = 4)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("n").as("n_exact"),
+          (col("n_hit") >= col("n") * 0.4).cast("long").as("recall_ge_040"))
     }),
 
     // ---- language ID (oracle-backed) + fingerprint (rows-only) ------------
@@ -469,6 +499,75 @@ object LlmQueries {
         |)
         |SELECT id_a, id_b, FLOOR(c * 10000.0 + 0.500001) / 10000.0 AS cos
         |FROM scored WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    // envelope contracts: DuckDB recomputes the SQL-expressible scalar
+    // (brute-force top-k size / planted-pair count) and returns the recall
+    // flag as the constant the engine must reproduce. Brute-force cosine
+    // is FP-bit-identical cross-engine (see q_ann_brute), and the planted
+    // jaccard threshold 0.5 is far from any pair's value (min 0.75).
+    "q_ann_lsh" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+        |), scored AS (
+        |  SELECT p.probe_id, c.vec_id,
+        |    list_dot_product(c.cvec, p.pvec) /
+        |      (sqrt(list_dot_product(c.cvec, c.cvec)) * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_exact
+        |  FROM corpus c, probes p WHERE c.vec_id <> p.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_exact DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_040
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+        |), scored AS (
+        |  SELECT p.probe_id, c.vec_id,
+        |    list_dot_product(c.cvec, p.pvec) /
+        |      (sqrt(list_dot_product(c.cvec, c.cvec)) * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_exact
+        |  FROM corpus c, probes p WHERE c.vec_id <> p.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_exact DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_040
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // same shingle pipeline as q_jaccard_exact, reduced to the planted-pair
+    // count above the target cutoff + the constant recall contract
+    "q_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), pert AS (
+        |  SELECT doc_id, w[1 : greatest(len(w)-2, 1)] AS w2 FROM toks
+        |), sh_a AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w)-3, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+3], ' '))) AS sh
+        |  FROM toks
+        |), sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w2)-3, 0) + 1),
+        |    i -> array_to_string(w2[i+1 : i+3], ' '))) AS sh
+        |  FROM pert
+        |), j AS (
+        |  SELECT a.doc_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM sh_a a JOIN sh_b b USING (doc_id)
+        |)
+        |SELECT COUNT(*) AS n_planted, CAST(1 AS BIGINT) AS recall_ge_095
+        |FROM j WHERE jaccard >= 0.5""".stripMargin,
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)

@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.{Blocks, Sessions}
+import graft.io.Sources
+import graft.similarity.Ann
+import graft.dedup.Dedup
+import graft.operators.LlmQueries
+import org.apache.spark.sql.functions._
+
+/** One-off measurement harness for picking envelope-oracle floors: prints
+  * LSH/IVF top-k recall vs brute force and minhash planted-pair recall at
+  * each SF, so the contract floors in LlmQueries are set from data with
+  * margin, not guessed.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val emb = Sources.table(spark, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+      val brute = Ann.bruteForceTopK(emb, probes, k = 5)
+        .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Ann.lshTopK(emb, probes, k = 5, tables = 8, bits = 4)
+        .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Ann.ivfTopK(emb, probes, k = 5, nlist = 16, nprobe = 4)
+        .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"$sf lsh_recall=${(brute & lsh).size.toDouble / brute.size}%.3f " +
+        f"ivf_recall=${(brute & ivf).size.toDouble / brute.size}%.3f n=${brute.size}")
+      Blocks.releaseAll(spark)
+
+      val docs = Sources.table(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val d = LlmQueries.withPlantedNearDups(docs)
+      val planted = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000000L).as("doc_b"), lit(1.0).as("est_jaccard"))
+      val truth = Dedup.verifyJaccard(d, planted)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val found = Dedup.minhashNearDuplicates(d, threshold = 0.3)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (cut <- Seq(0.5, 0.7, 0.8)) {
+        val target = truth.filter(_._2 >= cut).keySet
+        val rec = if (target.isEmpty) -1.0
+          else (target & found).size.toDouble / target.size
+        println(f"$sf minhash planted recall@j>=$cut: $rec%.3f (n=${target.size})")
+      }
+      println(s"$sf jaccard dist: min=${truth.values.min}, " +
+        s"frac>=0.5=${truth.values.count(_ >= 0.5).toDouble / truth.size}")
+      Blocks.releaseAll(spark)
+    }
+    spark.stop()
+  }
+}

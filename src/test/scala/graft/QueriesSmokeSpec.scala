@@ -15,8 +15,7 @@ class QueriesSmokeSpec extends SparkSpec {
   // (every customer has orders); near-dup thresholds may prune everything
   // at 200-row corpus scale
   private val mayBeEmpty = Set("q_join_anti", "q_except", "q_embed_neardup",
-    "q_embed_neardup_brute", "q_dedup_minhash", "q_dedup_simhash",
-    "q_ngram_jaccard")
+    "q_embed_neardup_brute", "q_dedup_simhash", "q_ngram_jaccard")
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -53,8 +53,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("LSH dedup and IVF candidate generation stay equi-join only") {
-    Seq("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh").foreach { q =>
+  test("LSH dedup candidate generation stays equi-join only") {
+    // q_ann_lsh/q_ann_ivf are not asserted here since r4: their envelope
+    // queries embed the documented bounded brute-force anchor (a broadcast
+    // nested-loop by construction); the LSH/IVF operator plans themselves
+    // are asserted equi-join-only in AnnSpec.
+    Seq("q_dedup_minhash", "q_dedup_simhash").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q plans an all-pairs join:\n$p")
