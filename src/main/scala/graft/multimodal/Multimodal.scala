@@ -1,32 +1,85 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed in partition-local batches.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB — but everything Spark-side is real
-  * and tested: the schema (binary payload + metadata struct), the
-  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas`: decode
-  * amortized over a batch, not per-row), partitioning, and the typed
-  * feature output that downstream queries aggregate.
+  * Images decode FOR REAL via `javax.imageio.ImageIO` (in the JDK: PNG,
+  * JPEG, GIF, BMP) — genuine width/height and luminance statistics out of
+  * genuine compressed bytes, exercised end-to-end by the oracle-backed
+  * q_multimodal (deterministic PNG encode inside the engine → decode →
+  * stats the oracle recomputes from the pixel formula). Audio/video decode
+  * stays a clearly-marked deterministic stub (no ffmpeg in the JDK); the
+  * Spark-side shape — binary payload, `mapPartitions` batching (the Scala
+  * analogue of `mapInPandas`: codec state amortized over a batch, not
+  * per-row), typed feature output — is identical for both, so swapping the
+  * stub for real codec bindings changes one function.
   */
 object Multimodal {
 
   /** One media row: payload + the metadata a real ingest would carry. */
   final case class MediaRow(media_id: Long, payload: Array[Byte], mime: String)
 
-  /** Extracted features (what a real decoder/extractor would emit). */
+  /** Extracted features (luminance stats for images; see [[decodeImage]]). */
   final case class MediaFeatures(
       media_id: Long, mime: String, byte_len: Long,
       width: Int, height: Int, feature: Array[Float])
 
-  /** STUB decode kernel — deterministic fake standing in for an image/audio
-    * decoder (e.g. libjpeg/ffmpeg bindings, absent in this container).
-    * Derives stable pseudo-dimensions and an 8-float pseudo-embedding from
-    * the payload bytes so tests are reproducible. Swap this function for a
+  /** Mimes [[decodeImage]] genuinely decodes (JDK ImageIO readers). */
+  private val ImageMimes = Set("image/png", "image/jpeg", "image/gif", "image/bmp")
+
+  /** Real image decode: parse the compressed payload, return true pixel
+    * dimensions plus an 8-float luminance profile —
+    * [mean, min, max, stddev, top-half mean, bottom-half mean, left-half
+    * mean, right-half mean], luminance = (r+g+b)/3 in [0,255].
+    * All accumulation in double; each stat quantizes to float32 once at
+    * the end (the oracle mirrors that single quantization with CAST AS
+    * REAL, keeping 4-dp parity exact).
+    */
+  def decodeImage(row: MediaRow): MediaFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(row.payload))
+    require(img != null,
+      s"media_id ${row.media_id}: payload is not a decodable ${row.mime} image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0.0; var sumSq = 0.0
+    var minL = Double.MaxValue; var maxL = Double.MinValue
+    var top = 0.0; var bottom = 0.0; var left = 0.0; var right = 0.0
+    var nTop = 0; var nBottom = 0; var nLeft = 0; var nRight = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+        sum += lum; sumSq += lum * lum
+        if (lum < minL) minL = lum
+        if (lum > maxL) maxL = lum
+        if (y < h / 2) { top += lum; nTop += 1 } else { bottom += lum; nBottom += 1 }
+        if (x < w / 2) { left += lum; nLeft += 1 } else { right += lum; nRight += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val mean = sum / n
+    val variance = math.max(0.0, sumSq / n - mean * mean)
+    def half(s: Double, c: Int): Float = if (c == 0) 0.0f else (s / c).toFloat
+    MediaFeatures(row.media_id, row.mime, row.payload.length.toLong, w, h,
+      Array(mean.toFloat, minL.toFloat, maxL.toFloat, math.sqrt(variance).toFloat,
+        half(top, nTop), half(bottom, nBottom), half(left, nLeft), half(right, nRight)))
+  }
+
+  /** STUB decode kernel for the modalities the JDK has no codec for
+    * (audio/video — real bindings would be ffmpeg/libsndfile). Derives
+    * stable pseudo-dimensions and an 8-float pseudo-embedding from the
+    * payload bytes so tests are reproducible. Swap this function for a
     * real codec; nothing else changes.
     */
   def decodeStub(row: MediaRow): MediaFeatures = {
@@ -38,6 +91,10 @@ object Multimodal {
     MediaFeatures(row.media_id, row.mime, row.payload.length.toLong, width, height, feature)
   }
 
+  /** Decode dispatch: real ImageIO for image mimes, stub otherwise. */
+  def decode(row: MediaRow): MediaFeatures =
+    if (ImageMimes.contains(row.mime)) decodeImage(row) else decodeStub(row)
+
   /** Batched feature extraction: partition-local, decode amortized over
     * `batchSize` rows (the mapInPandas batch shape). No shuffle — features
     * for 100 TB of media cost one scan.
@@ -46,14 +103,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
       iter.grouped(batchSize).flatMap { batch =>
-        // a real decoder would init codec state once per batch here
-        batch.map(decodeStub)
+        // codec state (ImageIO reader caches / a real ffmpeg context) is
+        // initialized once per batch here, not per row
+        batch.map(decode)
       }
     }
   }
 
   /** STUB resize kernel: a real implementation scales pixel buffers; the
-    * stub rescales the pseudo-dimensions deterministically so the batch
+    * stub rescales the decoded dimensions deterministically so the batch
     * plumbing (same mapPartitions shape as extractFeatures) is testable.
     */
   def resizeStub(f: MediaFeatures, maxSide: Int): MediaFeatures = {
@@ -71,7 +129,8 @@ object Multimodal {
   /** STUB frame sampling: a real implementation decodes every k-th video
     * frame; the stub derives `n` deterministic frame payloads from the
     * source bytes. One media row → n frame rows (the flatMap/explode shape
-    * of frame extraction).
+    * of frame extraction). `image/frame` is deliberately NOT in
+    * [[ImageMimes]]: the derived payloads are not valid codestreams.
     */
   def sampleFrames(media: Dataset[MediaRow], n: Int = 4): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
@@ -83,9 +142,47 @@ object Multimodal {
     }
   }
 
-  /** Build a media table from any text corpus (payload = utf-8 bytes) —
-    * a deterministic fixture generator for the plumbing tests and the
-    * rows-only harness query.
+  /** Encode one grayscale-valued RGB PNG (lossless, so decode returns the
+    * exact pixel function).
+    */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = pixel(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL-PNG media table from any id-carrying frame: image
+    * dims and pixels are closed-form in doc_id (width = 4 + id%13, height =
+    * 3 + id%7, luminance(x,y) = (31x + 17y + id) mod 256), so an oracle can
+    * recompute everything the decoder reports without ever seeing the
+    * bytes. Encode runs partition-local (one scan, no shuffle), exactly
+    * like a real binary-ingest path.
+    */
+  def pngMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { did =>
+        val w = (4 + did % 13).toInt
+        val h = (3 + did % 7).toInt
+        MediaRow(did, encodePng(w, h, (x, y) => ((x * 31 + y * 17 + did) % 256).toInt),
+          "image/png")
+      }
+    }
+  }
+
+  /** Text-payload media table (payload = utf-8 bytes, stub decode path) —
+    * the fixture for the non-image plumbing tests.
     */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._

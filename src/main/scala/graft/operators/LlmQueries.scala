@@ -300,12 +300,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal plumbing (rows-only) ----------------------------------
+    // ---- multimodal: REAL PNG encode → ImageIO decode (oracle-backed) -----
+    // The engine builds genuine PNGs whose dims/pixels are closed-form in
+    // doc_id, decodes them with javax.imageio, and reports true decoded
+    // width/height + mean luminance; DuckDB recomputes all three from the
+    // pixel formula without ever seeing the bytes. byte_len is deliberately
+    // NOT in the output (PNG encoder output is JDK-specific).
     "q_multimodal" -> ((s, dir) => {
-      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      val media = Multimodal.pngMediaFromDocuments(s, t(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("mime"), col("byte_len"),
-          col("width"), col("height"), element_at(col("feature"), 1).as("f0"))
+        .select(col("media_id"), col("mime"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(element_at(col("feature"), 1)).as("mean_lum"))
         .orderBy("media_id")
     })
   )
@@ -568,6 +575,24 @@ object LlmQueries {
         |)
         |SELECT COUNT(*) AS n_planted, CAST(1 AS BIGINT) AS recall_ge_095
         |FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    // the decoder's mean luminance quantizes through float32 once (Spark:
+    // Array[Float] feature; DuckDB: CAST AS REAL) so the 4-dp values agree
+    // bit-for-bit; dims/pixels are closed-form in doc_id by construction
+    "q_multimodal" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    CAST((x.x * 31 + y.y * 17 + d.doc_id) % 256 AS DOUBLE) AS v
+        |  FROM dims d,
+        |    LATERAL unnest(generate_series(0, d.w - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, d.h - 1)) AS y(y)
+        |)
+        |SELECT doc_id AS media_id, 'image/png' AS mime,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  FLOOR(CAST(CAST(AVG(v) AS REAL) AS DOUBLE) * 10000.0 + 0.500001) / 10000.0 AS mean_lum
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)

@@ -23,6 +23,44 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(f => (f.width, f.height)).toSeq == again.map(f => (f.width, f.height)).toSeq)
   }
 
+  test("real PNG decode: ImageIO reports true dimensions and exact pixel stats") {
+    import spark.implicits._
+    // 3x2 image with known luminances 10,20,30 / 40,50,60
+    val bytes = Multimodal.encodePng(3, 2, (x, y) => 10 + x * 10 + y * 30)
+    // a genuine PNG signature, not a stub hash
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte)
+    val f = Multimodal.decodeImage(Multimodal.MediaRow(7L, bytes, "image/png"))
+    assert(f.width == 3 && f.height == 2, s"true dims expected, got ${f.width}x${f.height}")
+    assert(f.feature(0) == 35.0f, s"mean lum: ${f.feature(0)}")   // (10+..+60)/6
+    assert(f.feature(1) == 10.0f && f.feature(2) == 60.0f)        // min / max
+    assert(f.feature(4) == 20.0f && f.feature(5) == 50.0f)        // top / bottom half
+    // the distributed path decodes the same bytes through the batch shape
+    val viaSpark = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(7L, bytes, "image/png")).toDS(), batchSize = 2)
+      .collect().head
+    assert(viaSpark.width == 3 && viaSpark.feature.toSeq == f.feature.toSeq)
+    // corrupt payloads fail loudly, not as garbage stats
+    val e = intercept[Exception] {
+      Multimodal.decodeImage(Multimodal.MediaRow(8L, Array[Byte](1, 2, 3), "image/png"))
+    }
+    assert(e.getMessage.contains("not a decodable"))
+  }
+
+  test("pngMediaFromDocuments dims/pixels follow the closed form the oracle uses") {
+    import spark.implicits._
+    val docs = Seq((0L, "a"), (5L, "b"), (17L, "c")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.pngMediaFromDocuments(spark, docs)).collect().sortBy(_.media_id)
+    feats.foreach { f =>
+      val did = f.media_id
+      assert(f.width == (4 + did % 13).toInt && f.height == (3 + did % 7).toInt)
+      val vs = for (y <- 0 until f.height; x <- 0 until f.width)
+        yield ((x * 31 + y * 17 + did) % 256).toDouble
+      assert(f.feature(0) == (vs.sum / vs.size).toFloat,
+        s"doc $did mean ${f.feature(0)} vs ${(vs.sum / vs.size).toFloat}")
+    }
+  }
+
   test("resize bounds dimensions; frame sampling expands 1 row to n frames") {
     import spark.implicits._
     val docs = Seq((0L, "some media payload"), (1L, "another")).toDF("doc_id", "text")
