@@ -26,6 +26,35 @@ object Sessions {
     graft.clv.Hyp2f1Expression.register(spark)
     graft.similarity.VecOps.register(spark)
     graft.dedup.DedupKernels.register(spark)
+    registerMetricsLogger(spark)
     spark
   }
+
+  // one listener per session (local() is getOrCreate — repeat calls must
+  // not stack duplicates)
+  private val metricsLoggerInstalled =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Surfaces the engine's observe() metrics: any rows dropped by an LSH
+    * bucket cap are logged instead of vanishing (r3 ADVICE). */
+  private def registerMetricsLogger(spark: SparkSession): Unit =
+    if (metricsLoggerInstalled.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_bucket_cap") &&
+                  row.getAs[Long]("dropped_rows") > 0L)
+                System.err.println(s"[graft] $name: ${row.getAs[Long]("dropped_rows")} " +
+                  s"rows in over-cap LSH buckets left the candidate path " +
+                  s"(largest bucket: ${row.getAs[Long]("max_bucket_rows")} rows); " +
+                  "mass-duplicated content should be collapsed by exact dedup first")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
 }

@@ -82,12 +82,27 @@ object Dedup {
     * then reused verbatim by both sides of the self-join, so the net cost
     * over no-cap is one within-partition sort.
     */
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def capBuckets(exploded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     if (cap == Int.MaxValue) exploded
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
+      // the lossy cap must be VISIBLE at runtime (r3 ADVICE: mass-duplicated
+      // boilerplate silently escaped the near-dup path): a CollectMetrics
+      // node counts the dropped rows in the same pass — zero extra jobs —
+      // and graft.Sessions' listener logs any nonzero count. Name is
+      // uniquified because one query may cap several bucket families.
+      // Caveat: if the cap empties the WHOLE result, AQE's empty-relation
+      // propagation replaces the plan (metrics node included) with an
+      // EmptyRelation — a query returning zero candidate pairs from a
+      // non-empty corpus is itself the signal to check the cap.
       exploded.withColumn("__bucket_n", count(lit(1)).over(w))
+        .observe(s"graft_bucket_cap_${capSeq.incrementAndGet()}",
+          sum(when(col("__bucket_n") > cap, lit(1L)).otherwise(lit(0L)))
+            .as("dropped_rows"),
+          coalesce(max(col("__bucket_n")), lit(0L)).as("max_bucket_rows"))
         .where(col("__bucket_n") <= cap)
         .drop("__bucket_n")
     }

@@ -83,12 +83,18 @@ object LlmQueries {
     // a corpus-wide sweep (that's what Jaccard/simhash candidates are for)
     "q_edit_distance" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
+      val banded = levenshtein(col("text"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))),
+        100).cast("long")
+      // the band-never-clips invariant is enforced, not assumed (r3
+      // ADVICE): a -1 from the banded DP means a generator change pushed
+      // the perturbation past 100 chars — fail loudly instead of silently
+      // diverging from the oracle's unbounded distance
       t(s, dir, "documents").where(col("doc_id") < 1000)
         .select(col("doc_id"),
-          levenshtein(col("text"),
-            concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))),
-            100)
-            .cast("long").as("edit_dist"))
+          when(banded >= 0, banded).otherwise(raise_error(concat(
+            lit("q_edit_distance: levenshtein band 100 clipped at doc_id="),
+            col("doc_id").cast("string")))).as("edit_dist"))
         .orderBy("doc_id")
     }),
 

@@ -98,6 +98,10 @@ object LangModels {
 
   /** Callers done with a model should release it promptly. */
   def remove(id: Long): Unit = models.remove(id)
+
+  /** Live-entry count — the eviction regression gate asserts this stays
+    * bounded under repeated langId calls. */
+  def size: Int = models.size()
 }
 
 /** Scores a text column against a [[LangModel]] — pure projection, whole-

@@ -143,7 +143,15 @@ object TextOps {
   /** Collect the bounded profile into a packed scoring model. */
   def trainLangModel(train: DataFrame, n: Int = 3): LangModel = {
     val rows = trigramProfile(train, n).collect()
-    val langs = rows.map(_.getString(0)).distinct.sorted
+    // UTF-8 BYTE order, not Java String (UTF-16 code unit) order: the
+    // model's index-order tie-break must match max_by(struct(score,
+    // p_lang)) / the oracle's ORDER BY p_lang, which compare UTF8String
+    // binary — the two orders diverge for supplementary-plane code points
+    // (r3 ADVICE)
+    val langs = rows.map(_.getString(0)).distinct.sortWith { (x, y) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    }
     val idx = langs.zipWithIndex.toMap
     val table = new java.util.HashMap[String, Array[Double]]()
     rows.foreach { r =>

@@ -144,4 +144,42 @@ class DedupSpec extends SparkSpec {
     // every original doc with >3 tokens should pair with its perturbed twin
     assert(pairs.contains((0L, 1000000L)) && pairs.contains((2L, 1000002L)))
   }
+
+  test("over-cap buckets drop rows VISIBLY: observe metrics count the loss") {
+    import spark.implicits._
+    // 12 identical boilerplate docs saturate their band buckets (12 > cap
+    // 5) and silently escape the candidate path — exactly the r3 ADVICE
+    // finding. Two near-dup docs stay under cap so the query still returns
+    // pairs (if the cap empties the WHOLE result, AQE's empty-relation
+    // propagation erases the metrics node with the rest of the plan — the
+    // documented corner; zero output from a non-empty corpus is itself
+    // the signal).
+    val corpus = ((0L until 12L).map(i =>
+        (i, "one single boilerplate page repeated verbatim across the crawl snapshot")) ++
+      Seq(
+        (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (101L, "the quick brown fox jumps over the lazy dog near the river bank")))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(corpus), bucketCap = 5)
+    // collect(), not count(): observed metrics attach to THIS dataset's
+    // QueryExecution, and count() plans a separate one
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"near-dup pair lost: $pairs")
+    assert(!pairs.exists(p => p._1 < 12L && p._2 < 12L),
+      "over-cap boilerplate pairs should have been dropped")
+    val metrics = cands.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("graft_bucket_cap") =>
+        (row.getAs[Long]("dropped_rows"), row.getAs[Long]("max_bucket_rows"))
+    }
+    assert(metrics.nonEmpty, "no graft_bucket_cap observation in the plan")
+    val (dropped, maxBucket) = metrics.head
+    // 16 bands × 12 boilerplate docs, every row over cap
+    assert(dropped == 192L, s"dropped_rows = $dropped, expected 192")
+    assert(maxBucket == 12L, s"max_bucket_rows = $maxBucket")
+    // and an uncapped run finds the boilerplate pairs too (the cap is the
+    // only loss): C(12,2) + the planted pair
+    assert(Dedup.minhashCandidates(Dedup.minhashSignatures(corpus),
+      bucketCap = Int.MaxValue).count() >= 67L)
+  }
 }

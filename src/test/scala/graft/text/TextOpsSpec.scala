@@ -89,4 +89,14 @@ class TextOpsSpec extends SparkSpec {
     assert(model.nonEmpty, "n=4 scoring must not silently return empty")
     assert(model == joined, "n=4 predictions must match the join form")
   }
+
+  test("LangModels registry stays bounded under repeated langId calls") {
+    import spark.implicits._
+    val tiny = Seq((0L, "the quick brown fox", "en"), (1L, "le renard brun", "fr"))
+      .toDF("doc_id", "text", "lang")
+    (1 to 80).foreach(_ => TextOps.langId(tiny, tiny).count())
+    // LRU cap is 64: 80 puts must not grow the registry past it
+    assert(graft.text.LangModels.size <= 64,
+      s"registry grew to ${graft.text.LangModels.size} entries")
+  }
 }
