@@ -31,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.operators.Relational.oracleSql ++
       graft.operators.LlmQueries.oracleSql ++
+      graft.clv.ClvQueries.oracleSql ++
       graft.sim.SimQueries.oracleSql
 }

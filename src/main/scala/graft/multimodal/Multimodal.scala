@@ -2,7 +2,8 @@ package graft.multimodal
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.awt.image.BufferedImage
-import javax.imageio.ImageIO
+import javax.imageio.{ImageIO, ImageReader, ImageWriter}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,6 +35,61 @@ object Multimodal {
   /** Mimes [[decodeImage]] genuinely decodes (JDK ImageIO readers). */
   private val ImageMimes = Set("image/png", "image/jpeg", "image/gif", "image/bmp")
 
+  /** Partition-local codec state: one `ImageReader`/`ImageWriter` per mime
+    * per task, fed by IN-MEMORY streams. The convenience `ImageIO.read`/
+    * `write` entry points cost two hidden taxes per call that are fine for
+    * a desktop app and wrong on a hot path: an SPI-registry scan to pick
+    * the codec, and (with the default `getUseCache=true`) a DISK-BACKED
+    * stream cache — a temp file created and deleted per image. Reusing the
+    * reader and wrapping the byte array in a `MemoryCacheImageInputStream`
+    * removes both; this is the "codec state amortized over the batch"
+    * contract of [[extractFeatures]], made literal. Not thread-safe — one
+    * instance per partition iterator, like any per-task codec context.
+    */
+  final class ImageCodec {
+    private val readers = new java.util.HashMap[String, ImageReader]()
+    private val writers = new java.util.HashMap[String, ImageWriter]()
+
+    def read(payload: Array[Byte], mime: String, mediaId: Long): BufferedImage = {
+      val reader = readers.computeIfAbsent(mime, m => {
+        val it = ImageIO.getImageReadersByMIMEType(m)
+        require(it.hasNext, s"media_id $mediaId: no JDK ImageIO reader for $m")
+        it.next()
+      })
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"media_id $mediaId: payload is not a decodable $mime image", e)
+      } finally {
+        reader.setInput(null)
+        iis.close()
+      }
+    }
+
+    def write(img: BufferedImage, mime: String): Array[Byte] = {
+      val writer = writers.computeIfAbsent(mime, m => {
+        val it = ImageIO.getImageWritersByMIMEType(m)
+        require(it.hasNext, s"no JDK ImageIO writer for $m")
+        it.next()
+      })
+      val bos = new ByteArrayOutputStream()
+      val ios = new MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+      } finally {
+        writer.setOutput(null)
+        ios.close()
+      }
+      bos.toByteArray
+    }
+  }
+
   /** Real image decode: parse the compressed payload, return true pixel
     * dimensions plus an 8-float luminance profile —
     * [mean, min, max, stddev, top-half mean, bottom-half mean, left-half
@@ -42,12 +98,13 @@ object Multimodal {
     * the end (the oracle mirrors that single quantization with CAST AS
     * REAL, keeping 4-dp parity exact).
     */
-  def decodeImage(row: MediaRow): MediaFeatures = {
-    val img = ImageIO.read(new ByteArrayInputStream(row.payload))
-    require(img != null,
-      s"media_id ${row.media_id}: payload is not a decodable ${row.mime} image")
+  def decodeImage(row: MediaRow, codec: ImageCodec = new ImageCodec): MediaFeatures = {
+    val img = codec.read(row.payload, row.mime, row.media_id)
     val w = img.getWidth
     val h = img.getHeight
+    // bulk pixel grab: one ColorModel conversion pass instead of a
+    // per-pixel getRGB call
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
     var sum = 0.0; var sumSq = 0.0
     var minL = Double.MaxValue; var maxL = Double.MinValue
     var top = 0.0; var bottom = 0.0; var left = 0.0; var right = 0.0
@@ -56,7 +113,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = rgbs(y * w + x)
         val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
         sum += lum; sumSq += lum * lum
         if (lum < minL) minL = lum
@@ -92,8 +149,8 @@ object Multimodal {
   }
 
   /** Decode dispatch: real ImageIO for image mimes, stub otherwise. */
-  def decode(row: MediaRow): MediaFeatures =
-    if (ImageMimes.contains(row.mime)) decodeImage(row) else decodeStub(row)
+  def decode(row: MediaRow, codec: ImageCodec): MediaFeatures =
+    if (ImageMimes.contains(row.mime)) decodeImage(row, codec) else decodeStub(row)
 
   /** Batched feature extraction: partition-local, decode amortized over
     * `batchSize` rows (the mapInPandas batch shape). No shuffle — features
@@ -102,11 +159,10 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
-      iter.grouped(batchSize).flatMap { batch =>
-        // codec state (ImageIO reader caches / a real ffmpeg context) is
-        // initialized once per batch here, not per row
-        batch.map(decode)
-      }
+      // codec state (ImageIO reader instances / a real ffmpeg context) is
+      // initialized once per partition, reused across batches
+      val codec = new ImageCodec
+      iter.grouped(batchSize).flatMap(_.map(decode(_, codec)))
     }
   }
 
@@ -145,7 +201,8 @@ object Multimodal {
   /** Encode one grayscale-valued RGB PNG (lossless, so decode returns the
     * exact pixel function).
     */
-  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int,
+      codec: ImageCodec = new ImageCodec): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
@@ -157,9 +214,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    codec.write(img, "image/png")
   }
 
   /** Deterministic REAL-PNG media table from any id-carrying frame: image
@@ -172,10 +227,11 @@ object Multimodal {
   def pngMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val codec = new ImageCodec
       it.map { did =>
         val w = (4 + did % 13).toInt
         val h = (3 + did % 7).toInt
-        MediaRow(did, encodePng(w, h, (x, y) => ((x * 31 + y * 17 + did) % 256).toInt),
+        MediaRow(did, encodePng(w, h, (x, y) => ((x * 31 + y * 17 + did) % 256).toInt, codec),
           "image/png")
       }
     }

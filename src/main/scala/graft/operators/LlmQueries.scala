@@ -89,10 +89,16 @@ object LlmQueries {
       // the band-never-clips invariant is enforced, not assumed (r3
       // ADVICE): a -1 from the banded DP means a generator change pushed
       // the perturbation past 100 chars — fail loudly instead of silently
-      // diverging from the oracle's unbounded distance
+      // diverging from the oracle's unbounded distance. The guard lives in
+      // a SECOND projection over the materialized attribute: both branches
+      // of a CaseWhen are conditional, so codegen subexpression elimination
+      // does not dedupe them, and a one-projection form runs the O(len·band)
+      // DP twice per row (measured 2.4×); CollapseProject keeps the split
+      // because levenshtein is non-cheap and referenced twice.
       t(s, dir, "documents").where(col("doc_id") < 1000)
+        .select(col("doc_id"), banded.as("edit_dist"))
         .select(col("doc_id"),
-          when(banded >= 0, banded).otherwise(raise_error(concat(
+          when(col("edit_dist") >= 0, col("edit_dist")).otherwise(raise_error(concat(
             lit("q_edit_distance: levenshtein band 100 clipped at doc_id="),
             col("doc_id").cast("string")))).as("edit_dist"))
         .orderBy("doc_id")
@@ -180,13 +186,26 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // rows-only: simhash chunk-bucket near-dups on the planted corpus.
-    // radius 3 → 4×16-bit chunks: buckets stay fine-grained enough to prune
-    // at 100 TB (r2 ADVICE: radius 8 exceeded the pigeonhole guarantee)
+    // envelope-contract oracle (same shape as q_dedup_minhash): simhash at
+    // maxHamming=3 — 4×16-bit chunks, pigeonhole-exhaustive, buckets stay
+    // fine-grained enough to prune at 100 TB (r2 ADVICE: radius 8 exceeded
+    // the guarantee) — must recover ≥ 60% of the planted pairs (measured
+    // 0.744–0.784 across SFs by RecallProbe: dropping 2 of ~40 tokens
+    // flips a minority of the 64 majority-vote bits, usually ≤ 3). The
+    // pair list is engine-specific; the planted count is not.
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDuplicates(withPlantedNearDups(docs(s, dir)),
-          maxHamming = 3)
-        .orderBy("doc_a", "doc_b")
+      val d = withPlantedNearDups(docs(s, dir))
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"),
+          lit(1.0).as("est_jaccard"))
+      val target = Dedup.verifyJaccard(d, planted)
+        .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      val found = Dedup.simhashNearDuplicates(d, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      target.join(found, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+        .select(col("n").as("n_planted"),
+          (col("n_found") >= col("n") * 0.6).cast("long").as("recall_ge_060"))
     }),
 
     // oracle-backed: duplicate-cluster resolution — connected components
@@ -264,13 +283,27 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // rows-only: embedding-cosine near-dup pairs via LSH buckets (0.4 on
-    // random synthetic vectors keeps the result non-empty at every SF)
+    // envelope-contract oracle: embedding-cosine near-dup pairs via LSH
+    // buckets vs the exact pair set (SQL-expressible: all-pairs cosine at
+    // the same threshold). bits MATCHES the threshold — cos 0.4 → hyperplane
+    // collision p≈0.63, so 4 bits/table × 8 tables → ~0.75 recall (measured
+    // 0.729–0.770 by RecallProbe; 8 bits gave 0.15: a tuning bug the
+    // contract would now catch). Soundness is structural — LSH scores the
+    // exact cosine before its threshold filter, so every reported pair is
+    // in the exact set; sound_lsh pins that too.
     "q_embed_neardup" -> ((s, dir) => {
-      Ann.cosineNearDuplicates(t(s, dir, "embeddings"), threshold = 0.4,
-          tables = 8, bits = 8)
-        .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
-        .orderBy("id_a", "id_b")
+      val exact = Ann.bruteForcePairs(t(s, dir, "embeddings"), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), lit(1L).as("ex"))
+      val lsh = Ann.cosineNearDuplicates(t(s, dir, "embeddings"), threshold = 0.4,
+          tables = 8, bits = 4)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("id_a", "id_b"), "full")
+        .agg(coalesce(sum(col("ex")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("ex") * col("hit")), lit(0L)).as("n_hit"),
+          coalesce(sum(when(col("ex").isNull, 1L).otherwise(0L)), lit(0L)).as("n_unsound"))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.5).cast("long").as("recall_ge_050"),
+          (col("n_unsound") === 0).cast("long").as("sound_lsh"))
     }),
 
     // envelope-contract oracle, same shape as q_ann_lsh: IVF with
@@ -296,13 +329,33 @@ object LlmQueries {
       TextOps.langId(d, d).orderBy("doc_id")
     }),
 
-    // scalar columns only: the driver's pandas compare can't sort/hash an
-    // array column (r2: q_fingerprint errored on exactly that), so the
-    // per-doc fingerprint set is reported as (size, order-sensitive digest)
+    // envelope-contract oracle: the fingerprint VALUES are xxhash64-specific
+    // (the kernel-vs-HOF cross-check in TextOpsSpec pins them), but
+    // winnowing's published guarantees (Schleimer–Wilkerson–Aiken 2003 §2)
+    // are not: with L k-grams and window w, every window selects one hash
+    // (n_fp ≥ 1), a selected position covers ≤ w consecutive windows (all
+    // L hashes distinct ⇒ n_fp ≥ ⌈W/w⌉, W = window count), and the distinct
+    // fingerprint set can't exceed either the window count or the distinct
+    // gram count. DuckDB recomputes L per doc from the text and returns the
+    // bounds flag as a constant — per-row hash-match on (doc_id, n_grams,
+    // bounds_ok), so a tokenizer or kernel regression breaks the oracle.
     "q_fingerprint" -> ((s, dir) => {
-      TextOps.fingerprint(docs(s, dir))
-        .select(col("doc_id"), size(col("fingerprint")).cast("long").as("n_grams"),
-          xxhash64(col("fingerprint")).as("fp_digest"))
+      val k = 3; val w = 4
+      graft.dedup.DedupKernels.register(s)
+      val toks = TextOps.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          greatest(size(toks) - (k - 1), lit(1)).cast("long").as("n_grams"),
+          size(Dedup.shingleHashSet(col("text"), k)).cast("long").as("n_distinct"),
+          size(call_function("winnow_fp", col("text"), lit(k), lit(w)))
+            .cast("long").as("n_fp"))
+        .withColumn("n_windows", greatest(col("n_grams") - (w - 1), lit(1L)))
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_fp") >= 1L &&
+            col("n_fp") <= least(col("n_windows"), col("n_distinct")) &&
+            (col("n_distinct") < col("n_grams") ||
+              col("n_fp") >= floor((col("n_windows") + (w - 1)) / w)))
+            .cast("long").as("bounds_ok"))
         .orderBy("doc_id")
     }),
 
@@ -581,6 +634,58 @@ object LlmQueries {
         |)
         |SELECT COUNT(*) AS n_planted, CAST(1 AS BIGINT) AS recall_ge_095
         |FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    // same planted-pair pipeline, simhash contract (floor 0.6: measured
+    // 0.744–0.784 across SFs at maxHamming=3; see RecallProbe)
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), pert AS (
+        |  SELECT doc_id, w[1 : greatest(len(w)-2, 1)] AS w2 FROM toks
+        |), sh_a AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w)-3, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+3], ' '))) AS sh
+        |  FROM toks
+        |), sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w2)-3, 0) + 1),
+        |    i -> array_to_string(w2[i+1 : i+3], ' '))) AS sh
+        |  FROM pert
+        |), j AS (
+        |  SELECT a.doc_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM sh_a a JOIN sh_b b USING (doc_id)
+        |)
+        |SELECT COUNT(*) AS n_planted, CAST(1 AS BIGINT) AS recall_ge_060
+        |FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    // exact pair count at the same threshold over the full corpus (the
+    // same float→double cosine as q_embed_neardup_brute, unbounded slice);
+    // recall and soundness flags come back as the contract constants
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS recall_ge_050, CAST(1 AS BIGINT) AS sound_lsh
+        |FROM scored WHERE c >= 0.4""".stripMargin,
+
+    // winnowing density bounds: DuckDB recomputes the k-gram count per doc
+    // (identical token/gram formula to q_text_repetition) and returns the
+    // SWA-guarantee flag as a constant
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(greatest(array_length(regexp_split_to_array(TRIM(text), '\s+')) - 2, 1)
+        |    AS BIGINT) AS n_grams,
+        |  CAST(1 AS BIGINT) AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the decoder's mean luminance quantizes through float32 once (Spark:
     // Array[Float] feature; DuckDB: CAST AS REAL) so the 4-dp values agree

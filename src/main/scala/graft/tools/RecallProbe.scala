@@ -48,6 +48,30 @@ object RecallProbe {
       println(s"$sf jaccard dist: min=${truth.values.min}, " +
         s"frac>=0.5=${truth.values.count(_ >= 0.5).toDouble / truth.size}")
       Blocks.releaseAll(spark)
+
+      // simhash planted recall at maxHamming=3, per jaccard cut
+      val simFound = Dedup.simhashNearDuplicates(d, maxHamming = 3)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (cut <- Seq(0.5, 0.7, 0.8)) {
+        val target = truth.filter(_._2 >= cut).keySet
+        val rec = if (target.isEmpty) -1.0
+          else (target & simFound).size.toDouble / target.size
+        println(f"$sf simhash planted recall@j>=$cut: $rec%.3f (n=${target.size})")
+      }
+      Blocks.releaseAll(spark)
+
+      // embedding near-dup: LSH-bucketed pairs vs the exact cosine pair set
+      val exactPairs = Ann.bruteForcePairs(emb, threshold = 0.4)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (bits <- Seq(4, 6, 8)) {
+        val lshPairs = Ann.cosineNearDuplicates(emb, threshold = 0.4, tables = 8, bits = bits)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val embRec = if (exactPairs.isEmpty) -1.0
+          else (exactPairs & lshPairs).size.toDouble / exactPairs.size
+        println(f"$sf embed_neardup bits=$bits recall=${embRec}%.3f " +
+          s"(n_exact=${exactPairs.size}, n_lsh=${lshPairs.size}, sound=${lshPairs.subsetOf(exactPairs)})")
+        Blocks.releaseAll(spark)
+      }
     }
     spark.stop()
   }

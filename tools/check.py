@@ -44,6 +44,11 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted([os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)])
     n_pass = n_fail = n_noorc = 0
+    # a query that errored in Verify leaves no result dir — that's a FAIL,
+    # not a silently shorter list (caught q_fingerprint erroring unseen)
+    for name in sorted(set(oracle) - set(names)):
+        print(f"FAIL {name}: in oracle_sql.json but no spark output dir")
+        n_fail += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
