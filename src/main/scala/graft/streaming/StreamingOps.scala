@@ -121,6 +121,31 @@ object StreamingOps {
       // text_hash column must survive untouched
       .drop("__dedup_hash")
 
+  /** Stream-stream interval join: match each left event to right events on
+    * the same key that happen within [leftTs, leftTs + within]. Both sides
+    * carry watermarks AND the join condition bounds event-time distance —
+    * the two requirements that let Spark evict buffered rows from the join
+    * state store once the watermark passes (an unconstrained stream-stream
+    * join buffers both streams forever: the 100 TB state-OOM shape). Output
+    * columns are the left columns plus the right's, right's suffixed `_r`.
+    *
+    * `joinType` inner or left_outer; outer rows emit only after the
+    * watermark proves no match can still arrive, so left-outer results are
+    * delayed by `lateness` — the documented semantics, not a bug.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String = "ts", within: String = "15 minutes",
+      lateness: String = "30 minutes", joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(tsCol, lateness)
+    val r0 = right.withWatermark(tsCol, lateness)
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"${c}_r"))
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col(s"${tsCol}_r") >= col(tsCol) &&
+        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $within"),
+      joinType)
+  }
+
   /** Run a streaming frame to completion with AvailableNow into an
     * in-memory table; returns the materialized result. The batch-parity
     * helper used by tests and the incremental-feature path.

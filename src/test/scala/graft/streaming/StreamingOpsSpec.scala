@@ -152,6 +152,56 @@ class StreamingOpsSpec extends SparkSpec {
     assert(joined.count() == out.count(), "streamed windows must match batch agg")
   }
 
+  test("stream-stream interval join: inner parity with batch, outer emits after watermark") {
+    val base = Files.createTempDirectory("graft_ssjoin").toString
+    import spark.implicits._
+    def ev(rows: (Long, String, Double)*) =
+      rows.toSeq.toDF("user_id", "ts_s", "value")
+        .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+    // left: user 1 matches, user 2 has no right event in [ts, ts+15m]
+    val left1 = ev((1L, "2026-01-24 10:00:00", 1.0), (2L, "2026-01-24 10:05:00", 2.0))
+    val right1 = ev((1L, "2026-01-24 10:10:00", 10.0), (2L, "2026-01-24 11:00:00", 20.0))
+    Sources.appendParquet(left1, s"$base/left")
+    Sources.appendParquet(right1, s"$base/right")
+
+    def stream(dir: String) = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(dir)
+    def runJoin(joinType: String, out: String): Unit = {
+      val q = StreamingOps.intervalJoin(stream(s"$base/left"), stream(s"$base/right"),
+          key = "user_id", joinType = joinType)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out_$joinType")
+        .option("checkpointLocation", s"$base/ckpt_$joinType")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    runJoin("inner", "out_inner")
+    val inner = spark.read.parquet(s"$base/out_inner")
+    // batch parity: the SAME operator on batch frames (watermark is a no-op)
+    val batchInner = StreamingOps.intervalJoin(
+      spark.read.parquet(s"$base/left"), spark.read.parquet(s"$base/right"),
+      key = "user_id")
+    assert(inner.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value_r"))).toSet ==
+      batchInner.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value_r"))).toSet)
+    assert(inner.count() == 1L && inner.head().getAs[Long]("user_id") == 1L)
+
+    // left-outer: the unmatched user-2 row emits only once the watermark
+    // passes 10:05+15m+30m — a later flush batch through the SAME
+    // checkpoint advances it and releases the null-padded row
+    runJoin("left_outer", "out1")
+    Sources.appendParquet(ev((9L, "2026-01-24 13:00:00", 0.0)), s"$base/left")
+    Sources.appendParquet(ev((9L, "2026-01-24 13:00:01", 0.0)), s"$base/right")
+    runJoin("left_outer", "out2")
+    val outer = spark.read.parquet(s"$base/out_left_outer")
+    val user2 = outer.where(col("user_id") === 2L).collect()
+    assert(user2.length == 1 && user2.head.isNullAt(user2.head.fieldIndex("value_r")),
+      s"unmatched left row should emit null-padded after watermark; got ${outer.collect().toSeq}")
+    // and the matched row is identical to the inner result
+    assert(outer.where(col("user_id") === 1L).head().getAs[Double]("value_r") == 10.0)
+  }
+
   test("sessionization state machine: one open session per active user") {
     val base = Files.createTempDirectory("graft_sess").toString
     import spark.implicits._
