@@ -292,10 +292,18 @@ object LlmQueries {
     // exact cosine before its threshold filter, so every reported pair is
     // in the exact set; sound_lsh pins that too.
     "q_embed_neardup" -> ((s, dir) => {
-      val exact = Ann.bruteForcePairs(t(s, dir, "embeddings"), threshold = 0.4)
+      // exact side bounded: pairs whose smaller id is in the 256-probe
+      // slice — O(256·n) like the top-k anchor, so the contract itself
+      // stays linear in the corpus (all-pairs brute force at sf1+ would
+      // dwarf the LSH path it is checking). LSH runs the full corpus; the
+      // comparison restricts to the same slice.
+      val emb = t(s, dir, "embeddings")
+      val exact = Ann.bruteForcePairsAgainst(emb.where(col("vec_id") < 256),
+          emb, threshold = 0.4)
         .select(col("id_a"), col("id_b"), lit(1L).as("ex"))
-      val lsh = Ann.cosineNearDuplicates(t(s, dir, "embeddings"), threshold = 0.4,
+      val lsh = Ann.cosineNearDuplicates(emb, threshold = 0.4,
           tables = 8, bits = 4)
+        .where(col("id_a") < 256)
         .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
       exact.join(lsh, Seq("id_a", "id_b"), "full")
         .agg(coalesce(sum(col("ex")), lit(0L)).as("n_exact"),
@@ -671,7 +679,7 @@ object LlmQueries {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.vec_id < 256
         |)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
         |  CAST(1 AS BIGINT) AS recall_ge_050, CAST(1 AS BIGINT) AS sound_lsh

@@ -99,6 +99,22 @@ object Ann {
       .where(col("cos") >= threshold)
   }
 
+  /** Exact cosine pairs between a BOUNDED probe slice and the full corpus
+    * (pairs ordered probe < corpus id, i.e. every pair whose smaller id is
+    * in the slice). The probe side broadcasts; the corpus streams — cost is
+    * O(|probes| · n), linear in the corpus like [[bruteForceTopK]], never
+    * the all-pairs O(n²). The exact-recall anchor usable at any SF.
+    */
+  def bruteForcePairsAgainst(probes: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    VecOps.register(corpus.sparkSession)
+    val a = probes.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    b.join(broadcast(a), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Deterministic random hyperplanes: `tables` × `bits` planes in `dim`
     * dimensions, from a fixed seed.
     */

@@ -60,11 +60,15 @@ object RecallProbe {
       }
       Blocks.releaseAll(spark)
 
-      // embedding near-dup: LSH-bucketed pairs vs the exact cosine pair set
-      val exactPairs = Ann.bruteForcePairs(emb, threshold = 0.4)
+      // embedding near-dup: LSH-bucketed pairs vs the exact cosine pair
+      // set, restricted to the q_embed_neardup probe slice (smaller id <
+      // 256) — the population the contract floor binds
+      val exactPairs = Ann.bruteForcePairsAgainst(
+          emb.where(col("vec_id") < 256), emb, threshold = 0.4)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      for (bits <- Seq(4, 6, 8)) {
+      for (bits <- Seq(4, 6)) {
         val lshPairs = Ann.cosineNearDuplicates(emb, threshold = 0.4, tables = 8, bits = bits)
+          .where(col("id_a") < 256)
           .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val embRec = if (exactPairs.isEmpty) -1.0
           else (exactPairs & lshPairs).size.toDouble / exactPairs.size
