@@ -176,14 +176,33 @@ object LlmQueries {
           (col("n_found") >= col("n") * 0.95).cast("long").as("recall_ge_095"))
     }),
 
-    // rows-only: exact n-gram Jaccard verification of the LSH candidates
+    // envelope-contract oracle: the candidate→verify loop. The candidate
+    // set is engine-specific (LSH), but two contracts over it are not:
+    // every planted pair must survive to the verified output (recall, the
+    // SQL-expressible planted count), and the 64-lane minhash estimate
+    // must track the exact Jaccard the verify step computes — max |est −
+    // exact| ≤ 0.30 ≈ 5σ of the lane-sampling noise (measured max 0.111–
+    // 0.164, avg 0.021 across SFs; RecallProbe). An estimator or shingle
+    // kernel regression breaks the band before it breaks recall.
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = withPlantedNearDups(docs(s, dir))
       val cands = Dedup.minhashNearDuplicates(d, threshold = 0.3)
-      Dedup.verifyJaccard(d, cands)
-        .withColumn("jaccard", r4(col("jaccard")))
-        .withColumn("est_jaccard", r4(col("est_jaccard")))
-        .orderBy("doc_a", "doc_b")
+      val verified = Dedup.verifyJaccard(d, cands)
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"),
+          lit(1.0).as("est_jaccard"))
+      val target = Dedup.verifyJaccard(d, planted)
+        .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      val recall = target.join(
+          verified.select(col("doc_a"), col("doc_b"), lit(1L).as("hit")),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      val band = verified
+        .agg(max(abs(col("est_jaccard") - col("jaccard"))).as("max_err"))
+      recall.crossJoin(band)
+        .select(col("n").as("n_planted"),
+          (col("n_found") >= col("n") * 0.95).cast("long").as("recall_ge_095"),
+          (col("max_err") <= 0.30).cast("long").as("est_band_ok"))
     }),
 
     // envelope-contract oracle (same shape as q_dedup_minhash): simhash at
@@ -641,6 +660,32 @@ object LlmQueries {
         |  FROM sh_a a JOIN sh_b b USING (doc_id)
         |)
         |SELECT COUNT(*) AS n_planted, CAST(1 AS BIGINT) AS recall_ge_095
+        |FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    // same planted-pair pipeline; recall + estimator-band contracts
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), pert AS (
+        |  SELECT doc_id, w[1 : greatest(len(w)-2, 1)] AS w2 FROM toks
+        |), sh_a AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w)-3, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+3], ' '))) AS sh
+        |  FROM toks
+        |), sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w2)-3, 0) + 1),
+        |    i -> array_to_string(w2[i+1 : i+3], ' '))) AS sh
+        |  FROM pert
+        |), j AS (
+        |  SELECT a.doc_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM sh_a a JOIN sh_b b USING (doc_id)
+        |)
+        |SELECT COUNT(*) AS n_planted, CAST(1 AS BIGINT) AS recall_ge_095,
+        |  CAST(1 AS BIGINT) AS est_band_ok
         |FROM j WHERE jaccard >= 0.5""".stripMargin,
 
     // same planted-pair pipeline, simhash contract (floor 0.6: measured

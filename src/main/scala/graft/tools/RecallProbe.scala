@@ -49,6 +49,15 @@ object RecallProbe {
         s"frac>=0.5=${truth.values.count(_ >= 0.5).toDouble / truth.size}")
       Blocks.releaseAll(spark)
 
+      // minhash estimator error over the LSH candidate pairs (for the
+      // q_ngram_jaccard est-accuracy band)
+      val errs = Dedup.verifyJaccard(d, Dedup.minhashNearDuplicates(d, threshold = 0.3))
+        .select(abs(col("est_jaccard") - col("jaccard")).as("err"))
+        .agg(max(col("err")), avg(col("err")), count(lit(1))).collect()(0)
+      println(f"$sf minhash est err: max=${errs.getDouble(0)}%.3f " +
+        f"avg=${errs.getDouble(1)}%.3f n=${errs.getLong(2)}")
+      Blocks.releaseAll(spark)
+
       // simhash planted recall at maxHamming=3, per jaccard cut
       val simFound = Dedup.simhashNearDuplicates(d, maxHamming = 3)
         .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
