@@ -72,4 +72,29 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
       s"window query plans redundant shuffles:\n$p")
   }
+
+  test("q_edit_distance evaluates the banded DP once per row") {
+    // the clip guard lives in a second projection over the materialized
+    // attribute; if CollapseProject ever merges them the levenshtein runs
+    // twice per row (measured 2.4× in r4) — count calls in the plan
+    // (1 real call + 1 occurrence inside the raise_error message string)
+    val p = plan("q_edit_distance")
+    val calls = "levenshtein\\(".r.findAllIn(p).size
+    assert(calls <= 2, s"levenshtein duplicated in plan ($calls occurrences):\n$p")
+  }
+
+  test("q_embed_neardup's exact anchor broadcasts the probe slice only") {
+    // the contract's brute-force side must stay O(probes·n): the bounded
+    // probe slice broadcasts; an all-pairs self-join (no probe filter)
+    // would be O(n²) and explode at sf1+
+    val p = plan("q_embed_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe-slice broadcast missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian:\n$p")
+    assert(p.contains("LessThan(vec_id,256)") || p.contains("vec_id#") ,
+      s"probe bound not pushed to scan:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("LessThan(vec_id,256)"),
+      s"probe slice filter not pushed to parquet:\n$pushed")
+  }
 }
