@@ -12,8 +12,9 @@ import graft.multimodal.Multimodal
   * (dedup / similarity / text analysis / multimodal) over
   * `documents.parquet` and `embeddings.parquet`.
   *
-  * SQL-expressible stats are oracle-backed; LSH/ANN/fingerprint entries are
-  * rows-only (no DuckDB equivalent) and covered by ScalaTest instead.
+  * Every entry is oracle-backed: SQL-expressible stats hash-match directly;
+  * LSH/ANN/fingerprint surfaces use envelope contracts (SQL-recomputable
+  * scalars + measured contract flags — see the per-query scaladoc).
   *
   * The near-dup queries run on the corpus UNION a deterministically
   * perturbed copy (last two tokens dropped, doc_id offset by 1e6): the
@@ -400,6 +401,52 @@ object LlmQueries {
           col("height").cast("long").as("height"),
           r4(element_at(col("feature"), 1)).as("mean_lum"))
         .orderBy("media_id")
+    }),
+
+    // ---- corpus scrubbing (oracle-backed) ---------------------------------
+    // PII redaction over deterministically planted emails/phones/cards/IPs;
+    // the md5 of the redacted text pins the FULL redaction output per doc
+    // cross-engine, not just the match counts. Pure projection — the C4-
+    // style scrub costs one scan at any corpus size.
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" call +141555500"),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" card 4242424242424242")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7"))).otherwise(lit(""))))
+      TextOps.redactPii(planted.withColumn("n_pii", TextOps.piiCount(col("text"))))
+        .select(col("doc_id"), col("n_pii"), md5(col("text")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: flag docs sharing an 8-gram with the eval
+    // set (doc_id % 97 == 0). Contamination is planted by appending the
+    // first 8 tokens of doc 0 to docs with doc_id % 13 == 5; benchmark
+    // docs self-flag (they are in the corpus). Bench grams broadcast; one
+    // corpus scan.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val probe = d.where(col("doc_id") === 0)
+        .select(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("p"))
+      val corpus = d.crossJoin(broadcast(probe))
+        .withColumn("text", when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" "), col("p"))).otherwise(col("text")))
+        .drop("p")
+      TextOps.decontaminate(corpus, d.where(col("doc_id") % 97 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // concat-and-chunk sequence packing: per-source greedy packing into
+    // 512-token training sequences; reports pack occupancy. The window is
+    // partitioned by source — no global single-task ordering.
+    "q_seq_pack" -> ((s, dir) => {
+      TextOps.packSequences(t(s, dir, "documents"), budget = 512, partitionCol = "source")
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source", "pack_id")
     })
   )
 
@@ -661,6 +708,78 @@ object LlmQueries {
         |)
         |SELECT COUNT(*) AS n_planted, CAST(1 AS BIGINT) AS recall_ge_095
         |FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    // PII scrub parity: identical RE2-compatible patterns, same planting
+    // arithmetic, md5 over the fully-redacted text
+    "q_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' call +141555500' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' card 4242424242424242' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t, '\+[0-9]{9,15}'))
+        |    + len(regexp_extract_all(t, '[0-9]{16}'))
+        |    + len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{9,15}', '<PHONE>', 'g'),
+        |    '[0-9]{16}', '<CARD>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // decontamination parity: same 8-gram windows, same planted probe,
+    // benchmark grams from the ORIGINAL texts
+    "q_decontaminate" ->
+      """WITH probe AS (
+        |  SELECT array_to_string((regexp_split_to_array(TRIM(text), '\s+'))[1:8], ' ') AS p
+        |  FROM documents WHERE doc_id = 0
+        |), corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 5
+        |    THEN text || ' ' || (SELECT p FROM probe) ELSE text END AS t
+        |  FROM documents
+        |), cg AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w)-8, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+8], ' '))) AS grams
+        |  FROM (SELECT doc_id, regexp_split_to_array(TRIM(t), '\s+') AS w FROM corpus)
+        |), bg AS (
+        |  SELECT list_distinct(flatten(list(grams))) AS all_grams
+        |  FROM (
+        |    SELECT list_distinct(list_transform(
+        |      range(0, greatest(len(w)-8, 0) + 1),
+        |      i -> array_to_string(w[i+1 : i+8], ' '))) AS grams
+        |    FROM (SELECT regexp_split_to_array(TRIM(text), '\s+') AS w
+        |          FROM documents WHERE doc_id % 97 = 0)
+        |  )
+        |)
+        |SELECT cg.doc_id,
+        |  CAST(CASE WHEN len(list_intersect(cg.grams, bg.all_grams)) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM cg, bg ORDER BY cg.doc_id""".stripMargin,
+
+    // packing parity: same per-source cumulative window, same ⌊cum/512⌋
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(array_length(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        |  FROM d
+        |)
+        |SELECT source, CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
 
     // same planted-pair pipeline; recall + estimator-band contracts
     "q_ngram_jaccard" ->

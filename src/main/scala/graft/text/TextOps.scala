@@ -56,6 +56,79 @@ object TextOps {
       when(nTok >= lit(5) && length(col("text")) >= 20, 1L).otherwise(0L).as("quality_ok"))
   }
 
+  /** PII patterns a training-corpus scrub redacts (the C4/CCNet-style
+    * cleanup stage). Deliberately RE2-compatible (no backrefs, no
+    * lookaround) so the same pattern strings run in Spark (java.util.regex)
+    * and any RE2-based engine — cross-engine semantics are part of the
+    * operator contract, not an accident.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+[0-9]{9,15}" -> "<PHONE>",
+    "[0-9]{16}" -> "<CARD>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** Redact PII in-place: one chained regexp_replace projection —
+    * shuffle-free, codegen, linear scan at any scale. Pattern order
+    * matters only if matches overlap; these four are disjoint by
+    * construction (anchored by @ / + / digit-run length / dots).
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      piiPatterns.foldLeft(col(textCol)) { case (c, (pat, tok)) =>
+        regexp_replace(c, pat, tok)
+      })
+
+  /** Count PII matches per row (the audit face of [[redactPii]]). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast(LongType)
+    }.reduce(_ + _)
+
+  /** Benchmark decontamination: flag corpus docs sharing any word n-gram
+    * with a benchmark/eval set (the train-test-overlap scrub every LLM
+    * corpus build runs; n=8+ is the published convention, e.g. GPT-3
+    * appendix C uses 13-gram overlap). Plan shape: the benchmark side is
+    * tiny by definition — its distinct n-grams broadcast into a left-semi
+    * join against the exploded corpus grams, then a doc-level distinct.
+    * One corpus scan, no corpus-side shuffle except the bounded flagged-id
+    * aggregation; grams join as strings here (exact, oracle-matchable) —
+    * at petabyte scale you'd hash them first (shingle kernel), trading
+    * oracle exactness for shuffle width.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.ColumnOps.bind(tokens(col("text"))) { toks =>
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+      }).as("gram"))
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    val hits = grams(corpus)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(1L))
+    corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+  }
+
+  /** Sequence packing, concat-and-chunk style: assign each document to the
+    * training pack its starting token offset falls in (pack = ⌊cum_before /
+    * budget⌋), packing greedily in (partitionCol, doc_id) order. The
+    * partition column bounds the window — cumulative sums run per source,
+    * never as one global single-partition window (the 100 TB constraint;
+    * a global pack order would serialize the whole corpus through one
+    * task). Returns per-doc pack assignment.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512,
+      partitionCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col(partitionCol),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("cum_before") / budget))
+  }
+
   /** Rolling-hash fingerprint with winnowing (public algorithm: Schleimer,
     * Wilkerson & Aiken 2003 "Winnowing: Local Algorithms for Document
     * Fingerprinting"): hash word k-grams, slide a window of `w`, keep each

@@ -99,4 +99,50 @@ class TextOpsSpec extends SparkSpec {
     assert(graft.text.LangModels.size <= 64,
       s"registry grew to ${graft.text.LangModels.size} entries")
   }
+
+  test("redactPii scrubs every planted pattern and leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jo.ann+x@sub.example.co.uk thanks"),
+      (2L, "call +4915123456789 or 10.0.42.7 tonight"),
+      (3L, "card 4242424242424242 on file"),
+      (4L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> thanks")
+    assert(out(2L) == "call <PHONE> or <IP> tonight")
+    assert(out(3L) == "card <CARD> on file")
+    assert(out(4L) == "nothing sensitive here at all")
+    val counts = docs.select(col("doc_id"), TextOps.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean words only nothing shared with anything benchmarked here"),
+      // full 8-gram of the benchmark embedded mid-document
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+      // 7-token overlap only — below the n=8 window, must NOT flag
+      (3L, "alpha beta gamma delta epsilon zeta eta mismatch"))
+      .toDF("doc_id", "text")
+    val flags = TextOps.decontaminate(corpus, bench, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flags == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("packSequences fills per-partition packs by starting offset, never globally") {
+    import spark.implicits._
+    // 3 docs of 4 tokens in one source: budget 8 → offsets 0,4,8 → packs 0,0,1
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "e f g h", "s1"), (3L, "i j k l", "s1"),
+      (4L, "m n o p", "s2")).toDF("doc_id", "text", "source")
+    val packs = TextOps.packSequences(docs, budget = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"))).toMap
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L),
+      s"unexpected packing: $packs")
+  }
 }
