@@ -63,4 +63,32 @@ object OpProps extends Properties("graft.ops") {
       val scaled = math.abs(d(a.map(_ * s), b) - s * d(a, b)) < 1e-7
       sym && scaled
     }
+
+  // the same Java-regex chain Spark's regexp_replace executes — pure
+  // mirror of TextOps.redactPii for property testing without a session
+  private def redact(s: String): String =
+    graft.text.TextOps.piiPatterns.foldLeft(s) { case (t, (pat, tok)) =>
+      t.replaceAll(pat, tok)
+    }
+
+  // adversarial fragment soup: clean words, bare/overlong digit runs,
+  // '+'-prefixed runs, email-ish and ip-ish shapes, stray @ . < >
+  private val piiFragment = Gen.oneOf(
+    word,
+    Gen.choose(1, 22).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString)),
+    Gen.choose(5, 18).flatMap(n => Gen.listOfN(n, Gen.numChar).map("+" + _.mkString)),
+    for { a <- word; b <- word; tld <- Gen.oneOf("com", "io", "co.uk") }
+      yield s"$a@$b.$tld",
+    Gen.listOfN(4, Gen.choose(0, 999)).map(_.mkString(".")),
+    Gen.oneOf("@", ".", "<", ">", "+", "a@b", "1.2.3"))
+  private val piiText = Gen.nonEmptyListOf(piiFragment).map(_.mkString(" "))
+
+  property("redactPii chain is idempotent and leaves no residual match") =
+    Prop.forAll(piiText) { t =>
+      val once = redact(t)
+      val residual = graft.text.TextOps.piiPatterns.exists { case (pat, _) =>
+        java.util.regex.Pattern.compile(pat).matcher(once).find()
+      }
+      redact(once) == once && !residual
+    }
 }
