@@ -191,14 +191,7 @@ object Ann {
     // clamp so "probe extra cells to be safe" degrades to exhaustive
     val probeCells = math.min(nprobe, nlist)
     VecOps.register(corpus.sparkSession)
-    val train = (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
-      else corpus)
-      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    // cell quality saturates quickly — IVF needs a reasonable Voronoi
-    // partition, not a converged clustering; every extra iteration is a
-    // full pass over the training sample
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
-    val centers = km.clusterCenters.map(_.toArray)
+    val centers = fitCentroids(corpus, nlist, seed, sampleFraction, maxIter)
     val halfSq = centers.map(c => c.map(x => x * x).sum / 2.0)
     // array of (score, cid) structs; struct ordering = score then cid, so
     // array_max / array_sort give a deterministic larger-cid tie-break
@@ -212,6 +205,75 @@ object Ann {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
       explode(transform(slice(array_sort(cellScores(col("embedding"))), -probeCells, probeCells),
         s => s.getField("cid"))).as("cell"))
+    ivfSearch(c, p, k)
+  }
+
+  /** Large-`nlist` IVF: identical Voronoi search to [[ivfTopK]], but cell
+    * assignment runs through [[IvfCellsExpression]] — the centroid matrix
+    * ships once as a plan reference object and scores in a tight loop,
+    * instead of nlist × dim plan literals (which blow codegen limits
+    * somewhere past a few hundred cells). This is the nlist ≥ 4096 path a
+    * 100 TB deployment uses; both forms share math and tie-break, and
+    * AnnSpec proves them equal on the same centroids.
+    */
+  def ivfTopKBroadcast(corpus: DataFrame, probes: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxIter: Int = 10): DataFrame = {
+    val centers = fitCentroids(corpus, nlist, seed, sampleFraction, maxIter)
+    ivfTopKWithCenters(corpus, probes, centers, k, nprobe)
+  }
+
+  /** Search with externally-supplied centroids (shared by
+    * [[ivfTopKBroadcast]] and the AnnSpec literal-vs-broadcast parity
+    * proof).
+    */
+  private[graft] def ivfTopKWithCenters(corpus: DataFrame, probes: DataFrame,
+      centers: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    VecOps.register(spark)
+    val probeCells = math.min(nprobe, centers.length)
+    val modelId = IvfModels.put(new IvfModel(centers))
+    // same stateless-registration contract as graft_lang_score: the model
+    // id rides as a literal, so concurrent queries cannot race
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells",
+      { exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        require(exprs.length == 3, "graft_ivf_cells(vec, modelId, nprobe)")
+        (exprs(1), exprs(2)) match {
+          case (org.apache.spark.sql.catalyst.expressions.Literal(id: Long, _),
+                org.apache.spark.sql.catalyst.expressions.Literal(np: Int, _)) =>
+            IvfCellsExpression(exprs.head, IvfModels.get(id), np)
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_cells: modelId/nprobe must be literals, got $other")
+        }
+      },
+      "built-in")
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      element_at(call_function("graft_ivf_cells",
+        col("embedding"), lit(modelId), lit(1)), 1).as("cell"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+      explode(call_function("graft_ivf_cells",
+        col("embedding"), lit(modelId), lit(probeCells))).as("cell"))
+    ivfSearch(c, p, k)
+  }
+
+  /** KMeans Voronoi centroids for IVF — fit on a seeded sample (at 100 TB
+    * you fit on ~1M rows, never the corpus). Cell quality saturates
+    * quickly: IVF needs a reasonable partition, not a converged
+    * clustering; every extra iteration is a full pass over the sample.
+    */
+  private def fitCentroids(corpus: DataFrame, nlist: Int, seed: Long,
+      sampleFraction: Double, maxIter: Int): Array[Array[Double]] = {
+    val train = (if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus)
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** Shared IVF candidate join + exact-cosine re-rank. */
+  private def ivfSearch(c: DataFrame, p: DataFrame, k: Int): DataFrame = {
     val scored = c.join(p, Seq("cell"))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

@@ -114,6 +114,29 @@ class AnnSpec extends SparkSpec {
       s"expected a dimension-mismatch failure, got $e")
   }
 
+  test("broadcast-model IVF ≡ literal-centroid IVF on the same centroids") {
+    val probes = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // same data + same seed ⇒ same KMeans centroids ⇒ the two assignment
+    // forms must agree row-for-row, ranks included
+    val lit = rows(Ann.ivfTopK(emb, probes, k = 5, nlist = 16, nprobe = 4))
+    val bc = rows(Ann.ivfTopKBroadcast(emb, probes, k = 5, nlist = 16, nprobe = 4))
+    assert(lit == bc, s"forms diverge: ${(lit diff bc) ++ (bc diff lit)}")
+  }
+
+  test("broadcast-model IVF runs at an nlist the literal form can't codegen") {
+    val probes = emb.where(col("vec_id") < 5)
+    // 128 cells × 64 dims = 8192 plan literals in the literal form; the
+    // broadcast form ships one model object. Smoke the scale path end to
+    // end and sanity-check k results per probe with nprobe=32.
+    val got = Ann.ivfTopKBroadcast(emb, probes, k = 3, nlist = 128, nprobe = 32)
+      .groupBy("probe_id").count().collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 3L),
+      s"expected 3 results for each of 5 probes: ${got.toSeq}")
+  }
+
   test("cosine column math: self-similarity is 1, near-dup pairs are ordered") {
     val self = emb.limit(3)
       .select(Ann.cosine(col("embedding"), col("embedding")).as("c")).collect()
