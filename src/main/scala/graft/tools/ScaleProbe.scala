@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.{Blocks, Sessions}
+import graft.io.Sources
+import graft.dedup.Dedup
+import graft.operators.LlmQueries
+import org.apache.spark.sql.functions._
+
+/** Scaling evidence for the dedup pipeline: runs minhash signatures +
+  * banded candidates + exact verify at 1×/4×/16× corpus multiplicity and
+  * prints wall times, so "would this hold at 100×" is answered with a
+  * measured curve instead of a claim.
+  *
+  * Copies get per-copy token suffixes (every token rewritten) so the
+  * copies share no shingles — the measurement isolates how the SCAN +
+  * signature + banding + join machinery scales with corpus size, without
+  * manufacturing a quadratic cross-copy near-dup pair set that no real
+  * corpus growth would produce. Planted near-dup pairs (the standard
+  * perturbed twins) scale 1:1 with the corpus inside each copy.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val base = Sources.table(spark, dir, "documents")
+    // JIT/codegen warmup so the 1× row measures the engine, not JVM spin-up
+    Dedup.minhashNearDuplicates(
+      LlmQueries.withPlantedNearDups(base.limit(500)), threshold = 0.3).count()
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val corpus = (0 until mult).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_c" + i).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val d = LlmQueries.withPlantedNearDups(corpus)
+      val t0 = System.nanoTime()
+      val cands = Dedup.minhashNearDuplicates(d, threshold = 0.3)
+      val verified = Dedup.verifyJaccard(d, cands).where(col("jaccard") >= 0.5).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] mult=$mult%2d docs=${mult * 2 * base.count()}%8d " +
+        f"verified_pairs=$verified%8d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+    spark.stop()
+  }
+}
