@@ -710,7 +710,10 @@ object LlmQueries {
         |FROM j WHERE jaccard >= 0.5""".stripMargin,
 
     // PII scrub parity: identical RE2-compatible patterns, same planting
-    // arithmetic, md5 over the fully-redacted text
+    // arithmetic, md5 over the fully-redacted text. n_pii is counted on
+    // the PROGRESSIVELY-redacted text (each pattern on the output of the
+    // previous replace), mirroring TextOps.piiCount — the count equals the
+    // replacements the chain actually performs, not raw-pattern hits.
     "q_pii_redact" ->
       """WITH planted AS (
         |  SELECT doc_id, text ||
@@ -722,18 +725,22 @@ object LlmQueries {
         |    CASE WHEN doc_id % 13 = 0
         |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS t
         |  FROM documents
+        |), staged AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM planted
+        |), staged2 AS (
+        |  SELECT *, regexp_replace(t1, '\+[0-9]{9,15}', '<PHONE>', 'g') AS t2 FROM staged
+        |), staged3 AS (
+        |  SELECT *, regexp_replace(t2, '[0-9]{16}', '<CARD>', 'g') AS t3 FROM staged2
         |)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |    + len(regexp_extract_all(t, '\+[0-9]{9,15}'))
-        |    + len(regexp_extract_all(t, '[0-9]{16}'))
-        |    + len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_pii,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+[0-9]{9,15}', '<PHONE>', 'g'),
-        |    '[0-9]{16}', '<CARD>', 'g'),
-        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
-        |FROM planted ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t1, '\+[0-9]{9,15}'))
+        |    + len(regexp_extract_all(t2, '[0-9]{16}'))
+        |    + len(regexp_extract_all(t3, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(t3, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM staged3 ORDER BY doc_id""".stripMargin,
 
     // decontamination parity: same 8-gram windows, same planted probe,
     // benchmark grams from the ORIGINAL texts

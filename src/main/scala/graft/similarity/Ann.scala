@@ -254,7 +254,13 @@ object Ann {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
       explode(call_function("graft_ivf_cells",
         col("embedding"), lit(modelId), lit(probeCells))).as("cell"))
-    ivfSearch(c, p, k)
+    val result = ivfSearch(c, p, k)
+    // the selects above analyzed eagerly, so graft_ivf_cells has already
+    // resolved and embedded the model object into the plans — release the
+    // registry entry now instead of waiting for 64 later puts to evict it
+    // (a nlist=4096 centroid matrix is ~25 MB of driver heap)
+    IvfModels.remove(modelId)
+    result
   }
 
   /** KMeans Voronoi centroids for IVF — fit on a seeded sample (at 100 TB

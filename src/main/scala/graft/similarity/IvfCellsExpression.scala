@@ -85,6 +85,15 @@ object IvfModels {
     m
   }
 
+  /** Callers done with a model should release it promptly: a centroid
+    * matrix at nlist=4096 is ~25 MB of driver heap, and the LRU cap alone
+    * would keep up to 64 of them pinned for the session lifetime.
+    * Ann.ivfTopKWithCenters removes its entry as soon as the result frame
+    * is analyzed (Dataset construction resolves the plan eagerly, so the
+    * model object is already embedded in the analyzed plan by then).
+    */
+  def remove(id: Long): Unit = models.remove(id)
+
   def size: Int = models.size()
 }
 

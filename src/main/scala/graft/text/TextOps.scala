@@ -79,11 +79,19 @@ object TextOps {
         regexp_replace(c, pat, tok)
       })
 
-  /** Count PII matches per row (the audit face of [[redactPii]]). */
+  /** Count PII matches per row (the audit face of [[redactPii]]): the
+    * number of replacements the redaction chain actually performs. Each
+    * pattern is counted on the text as redacted by the patterns BEFORE it
+    * (the same fold order as [[redactPii]]) — counting every pattern on
+    * the raw text instead would double-count overlaps (a 16-digit run
+    * inside an email local-part, an IP-shaped string inside a longer
+    * token) that the sequential replace only redacts once.
+    */
   def piiCount(text: Column): Column =
-    piiPatterns.map { case (pat, _) =>
-      size(regexp_extract_all(text, lit(pat), lit(0))).cast(LongType)
-    }.reduce(_ + _)
+    piiPatterns.foldLeft((lit(0L), text)) { case ((cnt, t), (pat, tok)) =>
+      (cnt + size(regexp_extract_all(t, lit(pat), lit(0))).cast(LongType),
+        regexp_replace(t, pat, tok))
+    }._1
 
   /** Benchmark decontamination: flag corpus docs sharing any word n-gram
     * with a benchmark/eval set (the train-test-overlap scrub every LLM
@@ -265,9 +273,14 @@ object TextOps {
         LangScoreExpression(exprs.head, LangModels.get(id))
       },
       "built-in")
-    docs.select(col("doc_id"), col("lang").as("lang_true"),
+    val scored = docs.select(col("doc_id"), col("lang").as("lang_true"),
         call_function("graft_lang_score", col("text"), lit(modelId)).as("lang_pred"))
       .where(col("lang_pred").isNotNull)
+    // eager analysis has already resolved graft_lang_score and embedded
+    // the model into the plan — release the registry entry promptly
+    // rather than waiting for LRU eviction (same contract as IvfModels)
+    LangModels.remove(modelId)
+    scored
   }
 
   /** Join-based formulation of [[langId]] — semantically identical; kept

@@ -12,10 +12,11 @@ class QueriesSmokeSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   // empty-by-construction at sf0.001: anti/except find no unmatched keys
-  // (every customer has orders); near-dup thresholds may prune everything
-  // at 200-row corpus scale
-  private val mayBeEmpty = Set("q_join_anti", "q_except", "q_embed_neardup",
-    "q_embed_neardup_brute", "q_dedup_simhash", "q_ngram_jaccard")
+  // (every customer has orders); the brute near-dup pair list may prune
+  // everything at 200-row corpus scale. The envelope-contract queries
+  // (simhash/ngram/embed near-dup) return one aggregate row unconditionally
+  // and must NOT be allowed here — emptiness would be a regression.
+  private val mayBeEmpty = Set("q_join_anti", "q_except", "q_embed_neardup_brute")
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

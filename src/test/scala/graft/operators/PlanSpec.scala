@@ -14,8 +14,15 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // plan-shape assertions must see the real scans: a sibling suite that
+    // ran first may have .cache()d a testdata table, and the CacheManager
+    // substitutes that fragment into ANY later query on the same plan —
+    // turning "filter pushed to parquet" into a filter over an
+    // InMemoryRelation and making these tests order-sensitive
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("q_filter_project pushes filters and prunes columns at the scan") {
     val p = plan("q_filter_project")
@@ -91,8 +98,6 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"probe-slice broadcast missing:\n$p")
     assert(!p.contains("CartesianProduct"), s"all-pairs cartesian:\n$p")
-    assert(p.contains("LessThan(vec_id,256)") || p.contains("vec_id#") ,
-      s"probe bound not pushed to scan:\n$p")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
     assert(pushed.contains("LessThan(vec_id,256)"),
       s"probe slice filter not pushed to parquet:\n$pushed")

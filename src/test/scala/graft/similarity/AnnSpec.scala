@@ -137,6 +137,18 @@ class AnnSpec extends SparkSpec {
       s"expected 3 results for each of 5 probes: ${got.toSeq}")
   }
 
+  test("ivfTopKBroadcast releases its model registry entry promptly") {
+    val probes = emb.where(col("vec_id") < 3)
+    val before = IvfModels.size
+    val out = Ann.ivfTopKBroadcast(emb, probes, k = 2, nlist = 8, nprobe = 2)
+    // the centroid matrix is embedded in the analyzed plan by the time the
+    // call returns; the registry must not pin another copy (a nlist=4096
+    // model is ~25 MB of driver heap), and the frame must still execute
+    assert(IvfModels.size <= before,
+      s"ivfTopKBroadcast left a model registered (${IvfModels.size} > $before)")
+    assert(out.count() > 0)
+  }
+
   test("cosine column math: self-similarity is 1, near-dup pairs are ordered") {
     val self = emb.limit(3)
       .select(Ann.cosine(col("embedding"), col("embedding")).as("c")).collect()

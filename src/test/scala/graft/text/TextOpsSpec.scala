@@ -118,6 +118,38 @@ class TextOpsSpec extends SparkSpec {
     assert(counts == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("piiCount equals the replacements redactPii performs on overlapping matches") {
+    import spark.implicits._
+    // a 16-digit run inside an email local-part: the email replace consumes
+    // it, so only ONE redaction happens — raw-pattern counting would say 2
+    val docs = Seq(
+      (1L, "pay x4242424242424242@bank.example.com today"),
+      // ip-shaped string inside the phone digits? the '+' run is matched
+      // first; the residual text has no ip left
+      (2L, "dial +19216801001234 now")).toDF("doc_id", "text")
+    val counts = docs.select(col("doc_id"), TextOps.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L),
+      s"audit count must match performed redactions, got $counts")
+    val redacted = TextOps.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(1L) == "pay <EMAIL> today")
+    assert(redacted(2L) == "dial <PHONE> now")
+  }
+
+  test("langId releases its model registry entry promptly, result still runs") {
+    import spark.implicits._
+    val tiny = Seq((0L, "the quick brown fox jumps", "en"),
+      (1L, "le renard brun saute", "fr")).toDF("doc_id", "text", "lang")
+    val before = graft.text.LangModels.size
+    val out = TextOps.langId(tiny, tiny)
+    // registry entry is released as soon as the frame is built (eager
+    // analysis embedded the model in the plan) — and the frame still runs
+    assert(graft.text.LangModels.size <= before,
+      "langId left its model registered after returning")
+    assert(out.count() == 2)
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
