@@ -142,6 +142,20 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // oracle-backed: corpus mixing under TOKEN budgets — fill each source's
+    // budget in content-addressed md5 order (partial cut on src0/src2,
+    // budget covers all of src1, zero budget empties src3, every other
+    // source unbudgeted → dropped). Exact per-doc running offsets are part
+    // of the output, so the oracle pins the whole prefix-sum, not just
+    // membership. Two-level bucket prefix sums — no per-source hot task.
+    "q_token_budget" -> ((s, dir) => {
+      Sampling.tokenBudgetMix(t(s, dir, "documents"), col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long"),
+          Seq("src0" -> 800L, "src1" -> 100000L, "src2" -> 400L, "src3" -> 0L))
+        .select(col("doc_id"), col("source"), col("cum_tokens_before"))
+        .orderBy("doc_id")
+    }),
+
     // oracle-backed: smoothed TF-IDF top-3 terms per document
     "q_tfidf" -> ((s, dir) => {
       TextOps.tfidf(t(s, dir, "documents"), k = 3)
@@ -517,6 +531,29 @@ object LlmQueries {
         |  WHEN 'src2' THEN md5(CAST(doc_id AS VARCHAR)) < '40000000'
         |  ELSE FALSE END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // token-budget mixing parity: the oracle runs the NAIVE single-window
+    // prefix sum (per source, (md5, doc_id) order) — the two-level bucket
+    // form must reproduce it row-for-row, offsets included. Keep rule:
+    // cumulative tokens BEFORE the doc < budget; unbudgeted sources drop.
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        |), c AS (
+        |  SELECT doc_id, source, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens_before
+        |  FROM t
+        |)
+        |SELECT doc_id, source, cum_tokens_before FROM c
+        |WHERE cum_tokens_before < CASE source
+        |  WHEN 'src0' THEN 800 WHEN 'src1' THEN 100000
+        |  WHEN 'src2' THEN 400 WHEN 'src3' THEN 0 END
+        |ORDER BY doc_id""".stripMargin,
 
     // md5 hex strings compare identically in any engine; boundaries are
     // the hex prefixes for cumulative fractions 0.8 and 0.9

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, content-addressed sampling — the reproducible
@@ -67,5 +68,95 @@ object Sampling {
       when(group === g, cond).otherwise(els)
     }
     df.where(keep)
+  }
+
+  /** Corpus mixing under TOKEN budgets: for each group (source), keep
+    * documents in content-addressed md5 order until the group's token
+    * budget is reached — the "sample N tokens of web, M tokens of books"
+    * recipe every LLM data-mixing spec is written in (budgets are stated
+    * in tokens, not document fractions, because document length varies by
+    * orders of magnitude across sources).
+    *
+    * Keep rule: a document stays iff the cumulative token count of the
+    * documents BEFORE it (same group, (md5, key) order) is < budget — the
+    * budget is met or overshot by at most one document, and a positive
+    * budget always selects at least one document (the same starting-offset
+    * convention as [[graft.text.TextOps.packSequences]]). Groups without a
+    * budget are dropped, like [[weightedSample]]'s weight-0 reading.
+    *
+    * Scale shape: the naive form — one window partitioned by the source
+    * column — serializes an entire source through a single task, which is
+    * exactly the skewed low-cardinality-partition trap at 100 TB. Instead
+    * the running sum is split two-level by an md5-PREFIX bucket
+    * (16^`bucketLen` buckets per group, hash-uniform by construction):
+    *  - per-(group, bucket) token sums roll up map-side into a frame of at
+    *    most groups × 16^bucketLen rows, whose per-group prefix sums are a
+    *    window over that TINY frame (never the corpus);
+    *  - each document's exact offset = its bucket's prefix (broadcast back)
+    *    + a within-bucket window partitioned by (group, bucket) — tens of
+    *    thousands of uniform partitions per group, no hot task.
+    * Prefix-bucket ordering agrees with full-hash ordering because the
+    * bucket IS the hash's leading hex digits, so the two-level sum equals
+    * the naive global one row-for-row ([[tokenBudgetMixNaive]] is the
+    * cross-check; SamplingSpec asserts equality).
+    */
+  def tokenBudgetMix(df: DataFrame, key: Column, group: Column, tokens: Column,
+      budgets: Seq[(String, Long)], bucketLen: Int = 4): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix needs at least one (group, budget)")
+    require(budgets.forall(_._2 >= 0L), s"budgets must be >= 0: $budgets")
+    require(bucketLen >= 1 && bucketLen <= 8, s"bucketLen in [1,8]: $bucketLen")
+    def budgetOf(g: Column): Column =
+      budgets.foldLeft(lit(null).cast("long")) { case (els, (name, b)) =>
+        when(g === name, lit(b)).otherwise(els)
+      }
+    val cols = df.columns.map(col).toIndexedSeq
+    val wide = df
+      .withColumn("__grp", group)
+      .withColumn("__k", key)
+      .withColumn("__h", md5(key.cast("string").cast("binary")))
+      .withColumn("__tok", tokens.cast("long"))
+      .where(budgetOf(col("__grp")).isNotNull)
+      .withColumn("__bkt", substring(col("__h"), 1, bucketLen))
+    // bucket-level prefix sums: ≤ |groups| · 16^bucketLen rows total —
+    // the ONLY per-group-ordered window runs over this bounded frame
+    val bktPrefix = wide.groupBy("__grp", "__bkt")
+      .agg(sum(col("__tok")).as("__bt"))
+      .withColumn("__bcum", coalesce(
+        sum(col("__bt")).over(Window.partitionBy("__grp").orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__grp", "__bkt", "__bcum")
+    // within-bucket exact offsets: hash-uniform (group, bucket) partitions
+    val wLocal = Window.partitionBy("__grp", "__bkt").orderBy("__h", "__k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    wide
+      .join(broadcast(bktPrefix), Seq("__grp", "__bkt"))
+      .withColumn("cum_tokens_before",
+        col("__bcum") + coalesce(sum(col("__tok")).over(wLocal), lit(0L)))
+      .where(col("cum_tokens_before") < budgetOf(col("__grp")))
+      .select(cols :+ col("cum_tokens_before"): _*)
+  }
+
+  /** Reference formulation of [[tokenBudgetMix]]: one window partitioned by
+    * the group column — correct, and the exact skew trap the two-level form
+    * avoids (a whole source streams through one task). Kept as the
+    * equivalence cross-check, not the production path.
+    */
+  private[graft] def tokenBudgetMixNaive(df: DataFrame, key: Column, group: Column,
+      tokens: Column, budgets: Seq[(String, Long)]): DataFrame = {
+    def budgetOf(g: Column): Column =
+      budgets.foldLeft(lit(null).cast("long")) { case (els, (name, b)) =>
+        when(g === name, lit(b)).otherwise(els)
+      }
+    val cols = df.columns.map(col).toIndexedSeq
+    val w = Window.partitionBy("__grp").orderBy("__h", "__k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__grp", group)
+      .withColumn("__k", key)
+      .withColumn("__h", md5(key.cast("string").cast("binary")))
+      .withColumn("__tok", tokens.cast("long"))
+      .where(budgetOf(col("__grp")).isNotNull)
+      .withColumn("cum_tokens_before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .where(col("cum_tokens_before") < budgetOf(col("__grp")))
+      .select(cols :+ col("cum_tokens_before"): _*)
   }
 }

@@ -40,6 +40,56 @@ class SamplingSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("token-budget mix: two-level bucket form ≡ naive single-window form") {
+    import spark.implicits._
+    // adversarial lengths: doc length varies 1..60 tokens so budget cuts
+    // land mid-bucket; 3 budgeted groups + 1 unbudgeted
+    val df = (0L until 2000L).map { i =>
+      (i, s"g${i % 4}", ("w " * (1 + (i * 37 % 60)).toInt).trim)
+    }.toDF("id", "g", "text")
+    val budgets = Seq("g0" -> 3000L, "g1" -> 100L, "g2" -> 0L)
+    val tok = size(split(trim(col("text")), "\\s+")).cast("long")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("id", "g", "cum_tokens_before").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val fast = rows(Sampling.tokenBudgetMix(df, col("id"), col("g"), tok, budgets))
+    val naive = rows(Sampling.tokenBudgetMixNaive(df, col("id"), col("g"), tok, budgets))
+    assert(fast == naive,
+      s"forms diverge: ${(fast diff naive) ++ (naive diff fast)}")
+    // a shorter bucket prefix (coarser buckets, different grouping) must
+    // not change the result either — the cut is a property of the hash
+    // order, not of the bucketing
+    val coarse = rows(Sampling.tokenBudgetMix(df, col("id"), col("g"), tok,
+      budgets, bucketLen = 1))
+    assert(coarse == naive)
+  }
+
+  test("token-budget mix: budget semantics — overshoot ≤ 1 doc, 0 empties, unlisted drops") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, "g0", ("w " * 10).trim))
+      .toDF("id", "g", "text") // 10 tokens per doc, 4000 total
+    val tok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val out = Sampling.tokenBudgetMix(df, col("id"), col("g"), tok,
+      Seq("g0" -> 95L)).collect()
+    // 95-token budget, 10-token docs: cum_before < 95 selects 10 docs
+    // (the 10th starts at 90) — met-or-overshot-by-one convention
+    assert(out.length == 10, s"expected 10 docs, got ${out.length}")
+    val zero = Sampling.tokenBudgetMix(df, col("id"), col("g"), tok,
+      Seq("g0" -> 0L)).count()
+    assert(zero == 0L, "zero budget must select nothing")
+    val unlisted = Sampling.tokenBudgetMix(df, col("id"), col("g"), tok,
+      Seq("gX" -> 1000L)).count()
+    assert(unlisted == 0L, "unbudgeted groups must be dropped")
+    // stability under growth: the selection for a budget is a prefix of
+    // the hash order, so adding MORE docs can change it; but re-running on
+    // identical data is bit-stable
+    val a = Sampling.tokenBudgetMix(df, col("id"), col("g"), tok,
+      Seq("g0" -> 500L)).collect().map(_.getLong(0)).toSet
+    val b = Sampling.tokenBudgetMix(df, col("id"), col("g"), tok,
+      Seq("g0" -> 500L)).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("hash split boundaries quantize cumulative fractions to hex prefixes") {
     assert(Sampling.hexBoundary(0.8) == "cccccccc")
     assert(Sampling.hexBoundary(0.9) == "e6666666")
