@@ -156,6 +156,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // envelope-contract oracle: TRAINED quality classifier (L2 logistic
+    // regression on per-doc stats, the classifier-filtered-corpus stage).
+    // Ground truth is linear in (n_tokens, avg_token_len) with 5% hash
+    // flips, so the fit must recover the boundary: accuracy ≥ 0.90 is the
+    // contract (flips alone bound it near 0.95). n_docs/n_pos pin the
+    // planting arithmetic in SQL; the flag pins the fit.
+    "q_quality_classifier" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTok = size(TextOps.tokens(col("text"))).cast("double")
+      val feats = d.select(col("doc_id"),
+        nTok.as("f_ntok"),
+        (length(col("text")).cast("double") / nTok).as("f_alen"),
+        length(col("text")).cast("double").as("f_nchars"))
+      val zTrue = (col("f_ntok") - 56.0) * 0.05 + (col("f_alen") - 5.4) * 1.5
+      val flip = md5(col("doc_id").cast("string").cast("binary")) < "0ccccccc"
+      val labeled = feats.withColumn("label", ((zTrue > 0.0) =!= flip).cast("long"))
+      val model = graft.quality.QualityClassifier.fit(labeled,
+        Seq("f_ntok", "f_alen", "f_nchars"), "label")
+      model.score(labeled)
+        .agg(count(lit(1)).as("nd"), sum(col("label")).as("np"),
+          avg((col("quality_pred") === col("label")).cast("double")).as("acc"))
+        .select(col("nd").as("n_docs"), col("np").as("n_pos"),
+          (col("acc") >= 0.90).cast("long").as("acc_ge_090"))
+    }),
+
     // oracle-backed: smoothed TF-IDF top-3 terms per document
     "q_tfidf" -> ((s, dir) => {
       TextOps.tfidf(t(s, dir, "documents"), k = 3)
@@ -554,6 +579,27 @@ object LlmQueries {
         |  WHEN 'src0' THEN 800 WHEN 'src1' THEN 100000
         |  WHEN 'src2' THEN 400 WHEN 'src3' THEN 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    // classifier envelope: the oracle re-derives the planted labels (same
+    // float arithmetic, same md5 flip boundary ≈ 5%) and pins n_docs/n_pos
+    // exactly; the accuracy flag is the fit's contract constant
+    "q_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS ntok,
+        |    CAST(length(text) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS alen
+        |  FROM documents
+        |), l AS (
+        |  SELECT CASE WHEN ((ntok - 56.0) * 0.05 + (alen - 5.4) * 1.5 > 0.0)
+        |              != (md5(CAST(doc_id AS VARCHAR)) < '0ccccccc')
+        |         THEN 1 ELSE 0 END AS label
+        |  FROM f
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(label) AS BIGINT) AS n_pos,
+        |  CAST(1 AS BIGINT) AS acc_ge_090
+        |FROM l""".stripMargin,
 
     // md5 hex strings compare identically in any engine; boundaries are
     // the hex prefixes for cumulative fractions 0.8 and 0.9
