@@ -4,6 +4,7 @@ import graft.{Blocks, Sessions}
 import graft.io.Sources
 import graft.dedup.Dedup
 import graft.operators.LlmQueries
+import graft.similarity.Ann
 import org.apache.spark.sql.functions._
 
 /** Scaling evidence for the dedup pipeline: runs minhash signatures +
@@ -41,6 +42,44 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scale] mult=$mult%2d docs=${mult * 2 * base.count()}%8d " +
         f"verified_pairs=$verified%8d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
+    // ANN LSH: corpus multiplied by jittered copies (distinct vectors, so
+    // bucket occupancy grows linearly — the realistic growth mode), fixed
+    // 50-probe batch. Measures the bucketed equi-join's corpus scaling.
+    val emb = Sources.table(spark, dir, "embeddings")
+    Ann.lshTopK(emb, emb.limit(5), k = 5, tables = 8, bits = 4).count()
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val corpus = (0 until mult).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(i.toFloat * 0.01f)).as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val probes = corpus.where(col("vec_id") < 50)
+      val t0 = System.nanoTime()
+      val n = Ann.lshTopK(corpus, probes, k = 10, tables = 8, bits = 6).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-ann] mult=$mult%2d vecs=${corpus.count()}%8d " +
+        f"results=$n%6d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
+    // Connected components: planted 2-chains (the dedup-cluster shape)
+    // multiplied; rounds stay O(diameter), per-round cost linear in edges.
+    for (mult <- Seq(1, 4, 16)) {
+      val ids = spark.range(0, mult.toLong * 2000L).select(col("id"))
+      val edges = ids.select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .where(col("id") % 3 =!= 2) // chains of 3 nodes, gaps every third
+      val t0 = System.nanoTime()
+      val nClusters = Dedup.connectedComponents(edges)
+        .agg(countDistinct(col("component"))).head().getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-cc] mult=$mult%2d edges=${mult * 2000 * 2 / 3}%8d " +
+        f"clusters=$nClusters%8d secs=$secs%.2f")
       Blocks.releaseAll(spark)
     }
     spark.stop()
