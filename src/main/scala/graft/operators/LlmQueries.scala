@@ -396,6 +396,19 @@ object LlmQueries {
       TextOps.langId(d, d).orderBy("doc_id")
     }),
 
+    // oracle-backed: LM-perplexity quality scoring (CCNet-style filter).
+    // Train the add-one-smoothed trigram LM on the doc_id%10<8 slice,
+    // score EVERY doc's average log-likelihood via the broadcast-model
+    // codegen kernel; the oracle recomputes profile and scores relationally
+    // — per-doc hash-match at 4 decimals pins kernel, normalization, and
+    // smoothing arithmetic cross-engine.
+    "q_lm_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.lmScore(d, d.where(col("doc_id") % 10 < 8))
+        .select(col("doc_id"), col("n_grams"), r4(col("avg_logprob")).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // envelope-contract oracle: the fingerprint VALUES are xxhash64-specific
     // (the kernel-vs-HOF cross-check in TextOpsSpec pins them), but
     // winnowing's published guarantees (Schleimer–Wilkerson–Aiken 2003 §2)
@@ -969,6 +982,30 @@ object LlmQueries {
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)
+    // LM-perplexity parity: same normalization (lower, whitespace collapse),
+    // same code-point trigram windows, add-one smoothing decomposed as
+    // SUM(ln(c+1)) − L·ln(N+V); FLOOR-form r4 absorbs summation-order ulps
+    "q_lm_perplexity" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents
+        |), tg AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+        |  FROM norm, LATERAL unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)
+        |), prof AS (
+        |  SELECT g, COUNT(*) AS c FROM tg WHERE doc_id % 10 < 8 GROUP BY g
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS DOUBLE) AS nn, CAST(COUNT(*) AS DOUBLE) AS vv FROM prof
+        |), sc AS (
+        |  SELECT tg.doc_id, SUM(ln(COALESCE(p.c, 0) + 1.0)) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM tg LEFT JOIN prof p USING (g)
+        |  GROUP BY tg.doc_id
+        |)
+        |SELECT doc_id, n_grams,
+        |  FLOOR(((s - n_grams * ln(nn + vv)) / n_grams) * 10000.0 + 0.500001)
+        |    / 10000.0 AS avg_logprob
+        |FROM sc, tot ORDER BY doc_id""".stripMargin,
+
     "q_lang_id" ->
       """WITH norm AS (
         |  SELECT doc_id, lang, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents

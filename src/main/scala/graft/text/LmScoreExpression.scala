@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Trained character-n-gram language model for PERPLEXITY scoring (the
+  * CCNet-style quality filter: score every document's likelihood under a
+  * reference LM and gate/bucket on it — a different face of the same
+  * trigram machinery as [[LangModel]], which answers "which language",
+  * not "how likely").
+  *
+  * Add-one smoothing over the training profile: p(g) = (c_g + 1)/(N + V)
+  * with N = total training grams, V = distinct training grams, so a
+  * document's log-likelihood decomposes as Σ ln(c_g + 1) − L·ln(N + V).
+  * The kernel returns ONLY the first (model-dependent) sum; the length
+  * normalization stays declarative column arithmetic, shared verbatim
+  * with the DuckDB oracle.
+  *
+  * Serializable: ships once inside the plan (vocab-bounded — at most the
+  * distinct-trigram count of the training corpus).
+  */
+final class LmModel(table: java.util.HashMap[String, Long],
+    val totalGrams: Long, val n: Int = 3) extends Serializable {
+
+  /** V = distinct training grams (the smoothing denominator's vocab term). */
+  val vocab: Long = table.size.toLong
+
+  /** Σ ln(c_g + 1) over the document's grams, same normalization and
+    * code-point windowing as [[LangModel.predict]] (and Spark's
+    * lower/regexp_replace/substr, and the oracle).
+    */
+  def logCountSum(text: UTF8String): Double = {
+    if (text == null) return 0.0
+    val norm = text.toLowerCase.toString.replaceAll("\\s+", " ")
+    val cps = norm.codePoints().toArray
+    val len = cps.length
+    val positions = math.max(len - (n - 1), 1)
+    var s = 0.0
+    var i = 0
+    while (i < positions) {
+      val gram = new String(cps, i, math.min(n, len - i))
+      val c = table.get(gram)
+      // unseen grams: ln(0 + 1) = 0 — they contribute only through the
+      // declarative −ln(N+V) per-gram term outside the kernel
+      if (c != null) s += math.log(c.toDouble + 1.0)
+      i += 1
+    }
+    s
+  }
+}
+
+/** Driver-side registry, same bounded-LRU + prompt-release contract as
+  * [[LangModels]] and graft.similarity.IvfModels.
+  */
+object LmModels {
+  private val MaxEntries = 64
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val models = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Long, LmModel](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, LmModel]): Boolean = size() > MaxEntries
+    })
+
+  def put(model: LmModel): Long = {
+    val id = nextId.incrementAndGet()
+    models.put(id, model)
+    id
+  }
+
+  def get(id: Long): LmModel = {
+    val m = models.get(id)
+    require(m != null, s"no LmModel registered under id $id (evicted or never put)")
+    m
+  }
+
+  def remove(id: Long): Unit = models.remove(id)
+
+  def size: Int = models.size()
+}
+
+/** Σ ln(c_g + 1) of a text column under a broadcast [[LmModel]] — pure
+  * projection, whole-stage codegen, zero shuffle: the corpus never
+  * explodes into grams on the cluster.
+  */
+case class LmScoreExpression(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    model: LmModel) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(text: Any): Any =
+    model.logCountSum(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmModel", model, classOf[LmModel].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.logCountSum(${childGen.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): LmScoreExpression =
+    copy(child = newChild)
+}

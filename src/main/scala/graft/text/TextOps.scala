@@ -283,6 +283,52 @@ object TextOps {
     scored
   }
 
+  /** Per-document average log-likelihood under a character-n-gram LM with
+    * add-one smoothing — the perplexity quality filter (CCNet-style: score
+    * docs against a reference corpus LM, gate or bucket on the result;
+    * Wenzek et al. 2020 describe the published pipeline). p(g) =
+    * (c_g+1)/(N+V), so avg_logprob = (Σ ln(c_g+1) − L·ln(N+V)) / L;
+    * perplexity would be exp(−avg_logprob).
+    *
+    * Plan shape: the training profile aggregates once (vocab-bounded
+    * collect), ships inside a codegen expression, and scoring is a
+    * shuffle-free projection — the corpus never explodes into grams.
+    */
+  def lmScore(docs: DataFrame, train: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    // vocab-bounded: at most the distinct-gram count of the training set
+    val counts = train.select(explode(charNgrams(col("text"), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c")).collect()
+    val table = new java.util.HashMap[String, Long](counts.length * 2)
+    var total = 0L
+    counts.foreach { r => table.put(r.getString(0), r.getLong(1)); total += r.getLong(1) }
+    val model = new LmModel(table, total, n)
+    val modelId = LmModels.put(model)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lm_logcount",
+      { exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        require(exprs.length == 2, "graft_lm_logcount(text, modelId)")
+        val id = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lm_logcount: modelId must be a long literal, got $other")
+        }
+        LmScoreExpression(exprs.head, LmModels.get(id))
+      },
+      "built-in")
+    // L stays declarative with the SAME normalization/windowing as the
+    // kernel, so the decomposition's terms match the oracle verbatim
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val nGrams = greatest(length(norm) - (n - 1), lit(1)).cast("long")
+    val lnNV = math.log((total + model.vocab).toDouble)
+    val scored = docs.select(col("doc_id"), nGrams.as("n_grams"),
+      ((call_function("graft_lm_logcount", col("text"), lit(modelId))
+        - nGrams.cast("double") * lit(lnNV)) / nGrams.cast("double")).as("avg_logprob"))
+    // eager analysis already embedded the model in the plan
+    LmModels.remove(modelId)
+    scored
+  }
+
   /** Join-based formulation of [[langId]] — semantically identical; kept
     * as the cross-check for the model-scoring expression (TextOpsSpec).
     */

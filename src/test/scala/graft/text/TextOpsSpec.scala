@@ -137,6 +137,52 @@ class TextOpsSpec extends SparkSpec {
     assert(redacted(2L) == "dial <PHONE> now")
   }
 
+  test("lmScore: hand-computed smoothing on a tiny corpus, unseen floor") {
+    import spark.implicits._
+    val train = Seq((0L, "aaab")).toDF("doc_id", "text") // grams: aaa, aab → N=2, V=2
+    val docs = Seq((1L, "aaa"), (2L, "zzz")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs, train).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // "aaa": one gram, c=1 → ln(2) − ln(4) = −ln 2
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - (math.log(2) - math.log(4))) < 1e-12)
+    // unseen-only doc scores exactly −ln(N+V): the smoothing floor
+    assert(math.abs(out(2L)._2 - (-math.log(4))) < 1e-12)
+  }
+
+  test("lmScore kernel matches the join-based formulation on real docs") {
+    val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val train = d.where(col("doc_id") % 10 < 8)
+    val kernel = TextOps.lmScore(d, train)
+    // built-ins-only cross-check: explode grams, left-join the profile,
+    // same decomposition Σ ln(c+1) − L·ln(N+V)
+    val prof = train.select(explode(TextOps.charNgrams(col("text"))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    val (nTot, vTot) = {
+      val r = prof.agg(sum("c"), count(lit(1))).head(); (r.getLong(0), r.getLong(1))
+    }
+    val joined = d.select(col("doc_id"), explode(TextOps.charNgrams(col("text"))).as("g"))
+      .join(prof, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(log(coalesce(col("c"), lit(0L)) + 1.0)).as("s"), count(lit(1)).as("l"))
+      .select(col("doc_id"),
+        ((col("s") - col("l") * math.log((nTot + vTot).toDouble)) / col("l")).as("ref"))
+    val delta = kernel.join(joined, "doc_id")
+      .agg(max(abs(col("avg_logprob") - col("ref")))).head().getDouble(0)
+    assert(delta < 1e-9, s"kernel diverges from join form: max |d| = $delta")
+  }
+
+  test("lmScore is a shuffle-free projection and releases its model entry") {
+    import spark.implicits._
+    val d = Seq((0L, "the quick brown fox"), (1L, "lazy dog sleeps")).toDF("doc_id", "text")
+    val before = graft.text.LmModels.size
+    val scored = TextOps.lmScore(d, d)
+    assert(graft.text.LmModels.size <= before, "lmScore left its model registered")
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"LM scoring must not shuffle:\n$plan")
+    assert(scored.count() == 2)
+  }
+
   test("langId releases its model registry entry promptly, result still runs") {
     import spark.implicits._
     val tiny = Seq((0L, "the quick brown fox jumps", "en"),
