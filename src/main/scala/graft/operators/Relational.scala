@@ -451,6 +451,62 @@ object Relational {
         .orderBy("hour_start")
     }),
 
+    // ---- time-series gap fill / resample (beyond reference) ---------------
+    // Resample per-user activity onto the full daily calendar: observed
+    // days aggregate once; the grid is each user crossed with the bounded
+    // global day range (broadcast 1-row bounds, sequence+explode — days
+    // are bounded by the calendar, users scale out); missing days
+    // forward-fill from the last observation via an ignoreNulls carry
+    // window partitioned by user (high-cardinality partitions, no hot
+    // task). The standard resample→ffill treatment time-series stores
+    // apply, expressed as one join + one window.
+    "q_gap_fill" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(r2(sum(col("value"))).as("day_value"))
+      val bounds = e.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("day_value"), lit(0.0)).as("day_value"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"),
+          col("day_value").isNull.cast(LongType).as("was_gap"))
+        .orderBy("user_id", "day")
+    }),
+
+    // ---- histogram / fixed-width binning ----------------------------------
+    // Plain floor arithmetic (portable; width_bucket is not in DuckDB) —
+    // one map-side-combinable aggregation, the at-scale shape of every
+    // numeric distribution profile.
+    "q_histogram" -> ((s, dir) => {
+      val bucket = floor((col("l_quantity") - 1.0) / 5.0).cast(LongType)
+      t(s, dir, "lineitem")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy("bucket")
+    }),
+
+    // ---- correlation / covariance / regression bundle ---------------------
+    // The co-moment aggregates every profiling pass needs; one pass, one
+    // partial-aggregated shuffle. r4 absorbs the streaming-co-moment
+    // summation-order ulps between engines.
+    "q_corr_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_s"),
+        r4(covar_pop(col("l_quantity"), col("l_extendedprice"))).as("covar_p"),
+        r4(stddev_samp(col("l_quantity"))).as("sd_q"),
+        r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+        r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept"))
+    }),
+
     // ---- as-of join (time-series operator Spark lacks natively) -----------
     // For each purchase, the latest prior view by the same user — one
     // union + sort + carry window, no pair blowup (see AsOfJoin scaladoc).
@@ -806,6 +862,47 @@ object Relational {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users, FLOOR((SUM(value)) * 100.0 + 0.500001) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+
+    // resample→ffill parity: the same bounded day grid (distinct users ×
+    // global date range), left join of rounded dailies, IGNORE NULLS carry
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    FLOOR(SUM(value) * 100.0 + 0.500001) / 100.0 AS day_value
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+        |         CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1 FROM events
+        |), grid AS (
+        |  SELECT u.user_id, CAST(g.g AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN bounds b
+        |  CROSS JOIN LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS g(g)
+        |)
+        |SELECT gr.user_id, gr.day,
+        |  COALESCE(d.day_value, 0.0) AS day_value,
+        |  LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY gr.user_id ORDER BY gr.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+        |  CAST(d.day_value IS NULL AS BIGINT) AS was_gap
+        |FROM grid gr LEFT JOIN daily d ON gr.user_id = d.user_id AND gr.day = d.day
+        |ORDER BY gr.user_id, gr.day""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi,
+        |  FLOOR(SUM(l_extendedprice) * 100.0 + 0.500001) / 100.0 AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_corr_stats" ->
+      """SELECT
+        |  FLOOR(corr(l_quantity, l_extendedprice) * 10000.0 + 0.500001) / 10000.0 AS corr_qp,
+        |  FLOOR(covar_samp(l_quantity, l_extendedprice) * 10000.0 + 0.500001) / 10000.0 AS covar_s,
+        |  FLOOR(covar_pop(l_quantity, l_extendedprice) * 10000.0 + 0.500001) / 10000.0 AS covar_p,
+        |  FLOOR(stddev_samp(l_quantity) * 10000.0 + 0.500001) / 10000.0 AS sd_q,
+        |  FLOOR(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.500001) / 10000.0 AS slope,
+        |  FLOOR(regr_intercept(l_extendedprice, l_quantity) * 10000.0 + 0.500001) / 10000.0 AS intercept
+        |FROM lineitem""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id,
