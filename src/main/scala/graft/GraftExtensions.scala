@@ -54,5 +54,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "shingle_hashes(text, k) takes 2 arguments")
         graft.dedup.ShingleHashesExpression(exprs(0), exprs(1))
       }))
+    // model-backed scorers: the modelId argument is a literal resolved
+    // against the driver-side registry at analysis time (register a model
+    // via TextOps.trainLangModel/lmScore or Ann.fitCentroids first); the
+    // factories are the ones the DataFrame API paths use
+    ext.injectFunction((FunctionIdentifier("graft_lang_score"),
+      info("graft_lang_score", "graft_lang_score(text, modelId) - language of text under a registered trigram model"),
+      graft.text.LangModels.factory))
+    ext.injectFunction((FunctionIdentifier("graft_lm_logcount"),
+      info("graft_lm_logcount", "graft_lm_logcount(text, modelId) - sum of smoothed trigram log-counts under a registered LM"),
+      graft.text.LmModels.factory))
+    ext.injectFunction((FunctionIdentifier("graft_ivf_cells"),
+      info("graft_ivf_cells", "graft_ivf_cells(vec, modelId, nprobe) - top-nprobe IVF cells of an embedding"),
+      graft.similarity.IvfModels.factory))
   }
 }

@@ -236,18 +236,7 @@ object Ann {
     // same stateless-registration contract as graft_lang_score: the model
     // id rides as a literal, so concurrent queries cannot race
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ivf_cells",
-      { exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        require(exprs.length == 3, "graft_ivf_cells(vec, modelId, nprobe)")
-        (exprs(1), exprs(2)) match {
-          case (org.apache.spark.sql.catalyst.expressions.Literal(id: Long, _),
-                org.apache.spark.sql.catalyst.expressions.Literal(np: Int, _)) =>
-            IvfCellsExpression(exprs.head, IvfModels.get(id), np)
-          case other => throw new IllegalArgumentException(
-            s"graft_ivf_cells: modelId/nprobe must be literals, got $other")
-        }
-      },
-      "built-in")
+      "graft_ivf_cells", IvfModels.factory, "built-in")
     val c = corpus.select(col("vec_id"), col("embedding"),
       element_at(call_function("graft_ivf_cells",
         col("embedding"), lit(modelId), lit(1)), 1).as("cell"))

@@ -95,6 +95,22 @@ object IvfModels {
   def remove(id: Long): Unit = models.remove(id)
 
   def size: Int = models.size()
+
+  /** Expression factory for `graft_ivf_cells(vec, modelId, nprobe)` —
+    * shared by the Ann temp-function registration and
+    * [[graft.GraftExtensions]].
+    */
+  val factory: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 3, "graft_ivf_cells(vec, modelId, nprobe)")
+    (exprs(1), exprs(2)) match {
+      case (org.apache.spark.sql.catalyst.expressions.Literal(id: Long, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(np: Int, _)) =>
+        IvfCellsExpression(exprs.head, get(id), np)
+      case other => throw new IllegalArgumentException(
+        s"graft_ivf_cells: modelId/nprobe must be literals, got $other")
+    }
+  }
 }
 
 /** `array<int>` of the top-`nprobe` IVF cells of an embedding — pure

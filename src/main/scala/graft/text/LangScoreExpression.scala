@@ -102,6 +102,20 @@ object LangModels {
   /** Live-entry count — the eviction regression gate asserts this stays
     * bounded under repeated langId calls. */
   def size: Int = models.size()
+
+  /** Expression factory for `graft_lang_score(text, modelId)` — shared by
+    * the TextOps temp-function registration and [[graft.GraftExtensions]].
+    */
+  val factory: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 2, "graft_lang_score(text, modelId)")
+    val id = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_lang_score: modelId must be a long literal, got $other")
+    }
+    LangScoreExpression(exprs.head, get(id))
+  }
 }
 
 /** Scores a text column against a [[LangModel]] — pure projection, whole-

@@ -79,6 +79,22 @@ object LmModels {
   def remove(id: Long): Unit = models.remove(id)
 
   def size: Int = models.size()
+
+  /** Expression factory for `graft_lm_logcount(text, modelId)` — shared by
+    * the TextOps temp-function registration and [[graft.GraftExtensions]].
+    * The model id must be a literal so the model resolves at analysis time
+    * and concurrent queries cannot race on registry contents.
+    */
+  val factory: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.length == 2, "graft_lm_logcount(text, modelId)")
+    val id = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_lm_logcount: modelId must be a long literal, got $other")
+    }
+    LmScoreExpression(exprs.head, get(id))
+  }
 }
 
 /** Σ ln(c_g + 1) of a text column under a broadcast [[LmModel]] — pure

@@ -262,17 +262,7 @@ object TextOps {
     // from its literal argument, so concurrent langId calls (each with
     // their own id) cannot race on registry contents
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lang_score",
-      { exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        require(exprs.length == 2, "graft_lang_score(text, modelId)")
-        val id = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_lang_score: modelId must be a long literal, got $other")
-        }
-        LangScoreExpression(exprs.head, LangModels.get(id))
-      },
-      "built-in")
+      "graft_lang_score", LangModels.factory, "built-in")
     val scored = docs.select(col("doc_id"), col("lang").as("lang_true"),
         call_function("graft_lang_score", col("text"), lit(modelId)).as("lang_pred"))
       .where(col("lang_pred").isNotNull)
@@ -305,17 +295,7 @@ object TextOps {
     val model = new LmModel(table, total, n)
     val modelId = LmModels.put(model)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lm_logcount",
-      { exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        require(exprs.length == 2, "graft_lm_logcount(text, modelId)")
-        val id = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_lm_logcount: modelId must be a long literal, got $other")
-        }
-        LmScoreExpression(exprs.head, LmModels.get(id))
-      },
-      "built-in")
+      "graft_lm_logcount", LmModels.factory, "built-in")
     // L stays declarative with the SAME normalization/windowing as the
     // kernel, so the decomposition's terms match the oracle verbatim
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
