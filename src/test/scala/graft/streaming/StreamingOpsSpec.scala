@@ -97,6 +97,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("model-backed scorers run unchanged on a stream: LM + classifier parity") {
+    val base = Files.createTempDirectory("graft_modelstream").toString
+    val staging = s"$base/staging"
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    Sources.appendParquet(docs, staging)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(staging)
+    // lmScore trains on the BATCH frame, then the returned scoring
+    // projection (broadcast model inside a codegen expression) applies to
+    // the stream with no code changes — models fit offline, score online
+    val train = docs.where(col("doc_id") % 10 < 8)
+    val streamed = StreamingOps.runAvailableNow(
+      graft.text.TextOps.lmScore(stream, train), "lm_stream", s"$base/ckpt_lm")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = graft.text.TextOps.lmScore(docs, train)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (id, v) =>
+      assert(math.abs(streamed(id) - v) < 1e-12, s"doc $id: $v vs ${streamed(id)}") }
+    // same deployment shape for the trained quality classifier: fit on
+    // batch features, score the stream as a projection
+    val featsOf = (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("double").as("f_ntok"),
+      length(col("text")).cast("double").as("f_nchars"))
+    val labeled = featsOf(docs).withColumn("label", (col("f_ntok") > 50).cast("long"))
+    val model = graft.quality.QualityClassifier.fit(labeled,
+      Seq("f_ntok", "f_nchars"), "label")
+    val sPred = StreamingOps.runAvailableNow(
+      model.score(featsOf(stream)), "clf_stream", s"$base/ckpt_clf")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val bPred = model.score(featsOf(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(sPred == bPred)
+  }
+
   test("incremental features: streaming state matches the batch transform") {
     val base = Files.createTempDirectory("graft_incr").toString
     val staging = s"$base/staging"
