@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.awt.image.BufferedImage
 import javax.imageio.{ImageIO, ImageReader, ImageWriter}
 import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,12 +16,15 @@ import org.apache.spark.sql.functions._
   * JPEG, GIF, BMP) — genuine width/height and luminance statistics out of
   * genuine compressed bytes, exercised end-to-end by the oracle-backed
   * q_multimodal (deterministic PNG encode inside the engine → decode →
-  * stats the oracle recomputes from the pixel formula). Audio/video decode
-  * stays a clearly-marked deterministic stub (no ffmpeg in the JDK); the
-  * Spark-side shape — binary payload, `mapPartitions` batching (the Scala
-  * analogue of `mapInPandas`: codec state amortized over a batch, not
-  * per-row), typed feature output — is identical for both, so swapping the
-  * stub for real codec bindings changes one function.
+  * stats the oracle recomputes from the pixel formula). Audio decodes FOR
+  * REAL too, via `javax.sound.sampled` (in the JDK: WAV/AIFF/AU) — see
+  * [[decodeAudio]] and the oracle-backed q_multimodal_audio. Only VIDEO
+  * decode remains a clearly-marked deterministic stub (the JDK has no
+  * ffmpeg); the Spark-side shape — binary payload, `mapPartitions`
+  * batching (the Scala analogue of `mapInPandas`: codec state amortized
+  * over a batch, not per-row), typed feature output — is identical for
+  * every modality, so swapping the stub for real codec bindings changes
+  * one function.
   */
 object Multimodal {
 
@@ -133,8 +137,113 @@ object Multimodal {
         half(top, nTop), half(bottom, nBottom), half(left, nLeft), half(right, nRight)))
   }
 
-  /** STUB decode kernel for the modalities the JDK has no codec for
-    * (audio/video — real bindings would be ffmpeg/libsndfile). Derives
+  /** Extracted audio features (see [[decodeAudio]]). */
+  final case class AudioFeatures(
+      media_id: Long, mime: String, byte_len: Long,
+      sample_rate: Int, n_channels: Int, n_frames: Long, feature: Array[Float])
+
+  /** REAL audio decode via `javax.sound.sampled` (in the JDK: WAV, AIFF,
+    * AU — the same "the codec was here all along" move as the r4 ImageIO
+    * upgrade; only video remains genuinely stubbed, the JDK has no ffmpeg).
+    * Parses the container header for format metadata, then streams PCM16
+    * frames and accumulates amplitude statistics in double:
+    * [rms, meanAbs, peak, min, max, zeroCrossRate, dcOffset, durationSec],
+    * each quantized to float32 once at the end (oracle mirrors with CAST
+    * AS REAL). Mono PCM16 only — the fixture format; a real ingest adds
+    * channel handling here and nothing else changes.
+    */
+  def decodeAudio(row: MediaRow): AudioFeatures = {
+    val in: AudioInputStream =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(row.payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"media_id ${row.media_id}: payload is not a decodable audio container", e)
+      }
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 &&
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"media_id ${row.media_id}: expected PCM16, got $fmt")
+      val channels = fmt.getChannels
+      val nFrames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      val sb = java.nio.ByteBuffer.wrap(bytes)
+        .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer()
+      var sum = 0.0; var sumAbs = 0.0; var sumSq = 0.0
+      var minS = Double.MaxValue; var maxS = Double.MinValue
+      var crossings = 0L
+      var prevNonNeg = true
+      val n = sb.remaining()
+      var i = 0
+      while (i < n) {
+        val s = sb.get(i).toDouble
+        sum += s; sumAbs += math.abs(s); sumSq += s * s
+        if (s < minS) minS = s
+        if (s > maxS) maxS = s
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      val nd = math.max(n, 1).toDouble
+      AudioFeatures(row.media_id, row.mime, row.payload.length.toLong,
+        fmt.getSampleRate.toInt, channels, nFrames,
+        Array((math.sqrt(sumSq / nd)).toFloat, (sumAbs / nd).toFloat,
+          math.max(math.abs(minS), math.abs(maxS)).toFloat,
+          minS.toFloat, maxS.toFloat,
+          (crossings / nd).toFloat, (sum / nd).toFloat,
+          (nFrames / fmt.getSampleRate.toDouble).toFloat))
+    } finally in.close()
+  }
+
+  /** Batched audio feature extraction — same partition-local batch shape
+    * as [[extractFeatures]]; one scan, no shuffle.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeAudio)))
+  }
+
+  /** Encode one mono PCM16 WAV (lossless, so decode returns the exact
+    * sample function).
+    */
+  def encodeWav(nFrames: Int, sampleRate: Float, sample: Int => Short): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames) { bb.putShort(i * 2, sample(i)); i += 1 }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16, 1,
+      2, sampleRate, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL-WAV media table: frame count and every sample are
+    * closed-form in doc_id (n = 400 + id%800 frames at 8 kHz, sample(i) =
+    * (i·37 + id·11) mod 2001 − 1000 — integer-valued, so sums of s and s²
+    * stay exact in doubles and an oracle recomputes rms/meanAbs/peak
+    * without seeing the bytes). Encode runs partition-local, like the PNG
+    * fixture.
+    */
+  def wavMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { did =>
+        val n = (400 + did % 800).toInt
+        MediaRow(did,
+          encodeWav(n, 8000f, i => (((i.toLong * 37 + did * 11) % 2001) - 1000).toShort),
+          "audio/wav")
+      }
+    }
+  }
+
+  /** STUB decode kernel for the modality the JDK has no codec for
+    * (video — real bindings would be ffmpeg). Derives
     * stable pseudo-dimensions and an 8-float pseudo-embedding from the
     * payload bytes so tests are reproducible. Swap this function for a
     * real codec; nothing else changes.

@@ -455,6 +455,23 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // REAL WAV encode → javax.sound decode: frame counts and every PCM16
+    // sample are closed-form in doc_id with INTEGER values, so amplitude
+    // sums stay exact in doubles and the oracle recomputes rms/meanAbs/
+    // peak from the sample formula without seeing the bytes.
+    "q_multimodal_audio" -> ((s, dir) => {
+      val media = Multimodal.wavMediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractAudioFeatures(media).toDF()
+        .select(col("media_id"), col("mime"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("n_frames"),
+          r4(element_at(col("feature"), 1)).as("rms"),
+          r4(element_at(col("feature"), 2)).as("mean_abs"),
+          element_at(col("feature"), 3).cast("long").as("peak"))
+        .orderBy("media_id")
+    }),
+
     // ---- corpus scrubbing (oracle-backed) ---------------------------------
     // PII redaction over deterministically planted emails/phones/cards/IPs;
     // the md5 of the redacted text pins the FULL redaction output per doc
@@ -979,6 +996,27 @@ object LlmQueries {
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  FLOOR(CAST(CAST(AVG(v) AS REAL) AS DOUBLE) * 10000.0 + 0.500001) / 10000.0 AS mean_lum
         |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+    // audio parity: integer-valued samples keep Σv and Σv² exact in
+    // doubles on both engines regardless of summation order; float32
+    // quantization mirrored via CAST AS REAL like q_multimodal
+    "q_multimodal_audio" ->
+      """WITH f AS (
+        |  SELECT doc_id, 400 + doc_id % 800 AS n FROM documents
+        |), smp AS (
+        |  SELECT f.doc_id, f.n,
+        |    CAST((i.i * 37 + f.doc_id * 11) % 2001 - 1000 AS DOUBLE) AS v
+        |  FROM f, LATERAL unnest(generate_series(0, f.n - 1)) AS i(i)
+        |)
+        |SELECT doc_id AS media_id, 'audio/wav' AS mime,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  FLOOR(CAST(CAST(sqrt(SUM(v * v) / n) AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS rms,
+        |  FLOOR(CAST(CAST(SUM(abs(v)) / n AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS mean_abs,
+        |  CAST(GREATEST(abs(MIN(v)), abs(MAX(v))) AS BIGINT) AS peak
+        |FROM smp GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)

@@ -61,6 +61,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV decode: javax.sound reports true format and exact amplitude stats") {
+    // 100 frames of a known integer ramp: every stat is hand-computable
+    val samples = Array.tabulate(100)(i => ((i * 37) % 2001 - 1000).toShort)
+    val wav = Multimodal.encodeWav(100, 8000f, samples(_))
+    val f = Multimodal.decodeAudio(Multimodal.MediaRow(7L, wav, "audio/wav"))
+    assert(f.sample_rate == 8000 && f.n_channels == 1 && f.n_frames == 100L)
+    val exp = samples.map(_.toDouble)
+    val rms = math.sqrt(exp.map(v => v * v).sum / 100.0)
+    val meanAbs = exp.map(math.abs).sum / 100.0
+    // PCM16 is lossless and the sums are integer-exact — equality, not
+    // tolerance
+    assert(f.feature(0) == rms.toFloat, s"rms ${f.feature(0)} vs $rms")
+    assert(f.feature(1) == meanAbs.toFloat)
+    assert(f.feature(2) == exp.map(math.abs).max.toFloat)
+    // garbage bytes fail loudly, not as silent zeros
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudio(Multimodal.MediaRow(8L, Array[Byte](1, 2, 3), "audio/wav")))
+  }
+
+  test("wavMediaFromDocuments frames/samples follow the closed form the oracle uses") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (13L, "y")).toDF("doc_id", "text")
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.wavMediaFromDocuments(spark, docs)).collect()
+      .map(f => f.media_id -> f).toMap
+    Seq(5L, 13L).foreach { did =>
+      val n = (400 + did % 800).toInt
+      val s = Array.tabulate(n)(i => ((i.toLong * 37 + did * 11) % 2001 - 1000).toDouble)
+      val f = feats(did)
+      assert(f.n_frames == n.toLong)
+      assert(f.feature(0) == math.sqrt(s.map(v => v * v).sum / n).toFloat)
+      assert(f.feature(1) == (s.map(math.abs).sum / n).toFloat)
+    }
+  }
+
   test("resize bounds dimensions; frame sampling expands 1 row to n frames") {
     import spark.implicits._
     val docs = Seq((0L, "some media payload"), (1L, "another")).toDF("doc_id", "text")
