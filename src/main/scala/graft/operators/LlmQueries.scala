@@ -142,6 +142,28 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // envelope-contract oracle: single-pass heavy hitters over the token
+    // stream (Spark's stat.freqItems — the Karp/Misra-Gries family whose
+    // published guarantee is NO FALSE NEGATIVES: every term with frequency
+    // > support·N is in the sketch, possibly plus false positives). The
+    // contract emits the exact heavy-hitter count (SQL-expressible) and a
+    // flag that the sketch caught every one — at 100 TB this is the
+    // one-pass bounded-memory alternative to a full vocab groupBy.
+    "q_freq_items" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val support = 0.01
+      val total = toks.count()
+      val sketch = toks.stat.freqItems(Seq("term"), support)
+        .head().getSeq[String](0).toArray
+      val truth = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        .where(col("c") > lit(support) * lit(total.toDouble))
+      truth.agg(count(lit(1)).as("n_heavy"),
+          coalesce(sum(when(col("term").isin(sketch.toIndexedSeq: _*), 0L)
+            .otherwise(1L)), lit(0L)).as("n_missed"))
+        .select(col("n_heavy"), (col("n_missed") === 0L).cast("long").as("all_found"))
+    }),
+
     // oracle-backed: corpus mixing under TOKEN budgets — fill each source's
     // budget in content-addressed md5 order (partial cut on src0/src2,
     // budget covers all of src1, zero budget empties src3, every other
@@ -586,6 +608,20 @@ object LlmQueries {
         |  WHEN 'src2' THEN md5(CAST(doc_id AS VARCHAR)) < '40000000'
         |  ELSE FALSE END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // heavy-hitter envelope: DuckDB recomputes the exact heavy-hitter
+    // count; the no-false-negative flag is the sketch's published contract
+    "q_freq_items" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks
+        |), hh AS (
+        |  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy, CAST(1 AS BIGINT) AS all_found
+        |FROM hh, tot WHERE c > 0.01 * n""".stripMargin,
 
     // token-budget mixing parity: the oracle runs the NAIVE single-window
     // prefix sum (per source, (md5, doc_id) order) — the two-level bucket
