@@ -90,6 +90,18 @@ class PlanSpec extends SparkSpec {
     assert(calls <= 2, s"levenshtein duplicated in plan ($calls occurrences):\n$p")
   }
 
+  test("q_gap_fill: grid explode is broadcast-bounded, fill joins by key") {
+    val p = plan("q_gap_fill")
+    // the day-range bounds are a 1-row broadcast; the only nested-loop
+    // join allowed is that bounds attach — user×day grid vs dailies must
+    // be a key join, and nothing may degrade to a cartesian product
+    assert(!p.contains("CartesianProduct"), s"cartesian in gap-fill:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds broadcast missing:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"daily fill join not a key join:\n$p")
+  }
+
   test("q_embed_neardup's exact anchor broadcasts the probe slice only") {
     // the contract's brute-force side must stay O(probes·n): the bounded
     // probe slice broadcasts; an all-pairs self-join (no probe filter)
