@@ -142,6 +142,21 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // oracle-backed: snapshot diff / CDC — deterministic planted deletes
+    // (k%97), updates (k%13, +1.5), and inserts (k%101, shifted keys)
+    // against the orders snapshot; one full-outer key join classifies
+    // every change, unchanged majority filtered at the join output.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val next = base.where(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, col("v") + 1.5).otherwise(col("v")).as("v"))
+        .unionByName(base.where(col("k") % 101 === 0)
+          .select((col("k") + 10000000L).as("k"), col("v")))
+      SnapshotDiff.diff(base, next, Seq("k")).orderBy("k")
+    }),
+
     // envelope-contract oracle: single-pass heavy hitters over the token
     // stream (Spark's stat.freqItems — the Karp/Misra-Gries family whose
     // published guarantee is NO FALSE NEGATIVES: every term with frequency
@@ -608,6 +623,25 @@ object LlmQueries {
         |  WHEN 'src2' THEN md5(CAST(doc_id AS VARCHAR)) < '40000000'
         |  ELSE FALSE END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // snapshot-diff parity: same planted change rules; +1.5 on a double is
+    // the same exact IEEE op in both engines, so update detection is exact
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        |), nxt AS (
+        |  SELECT k, CASE WHEN k % 13 = 0 THEN v + 1.5 ELSE v END AS v
+        |  FROM base WHERE k % 97 != 0
+        |  UNION ALL
+        |  SELECT k + 10000000, v FROM base WHERE k % 101 = 0
+        |)
+        |SELECT COALESCE(b.k, n.k) AS k,
+        |  CASE WHEN b.k IS NULL THEN 'insert'
+        |       WHEN n.k IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change
+        |FROM base b FULL OUTER JOIN nxt n ON b.k = n.k
+        |WHERE b.k IS NULL OR n.k IS NULL OR b.v IS DISTINCT FROM n.v
+        |ORDER BY k""".stripMargin,
 
     // heavy-hitter envelope: DuckDB recomputes the exact heavy-hitter
     // count; the no-false-negative flag is the sketch's published contract
