@@ -50,7 +50,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = sec(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // basename only: every byte of this line competes with the query map
+    // for the driver's ~2000-char stdout tail window
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
