@@ -451,6 +451,21 @@ object Relational {
         .orderBy("hour_start")
     }),
 
+    // ---- grouped approximate distinct (mergeable-sketch envelope) ---------
+    // HLL per group: the sketches merge associatively across partitions, so
+    // the plan is one partial-aggregated shuffle regardless of group count
+    // or cardinality — the 100 TB replacement for per-group exact distinct.
+    // Envelope contract: exact value emitted, approx within 10%.
+    "q_approx_group_distinct" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <= col("exact_users") * 0.1)
+            .cast(LongType).as("within_10pct"))
+        .orderBy("event_type")
+    }),
+
     // ---- time-series gap fill / resample (beyond reference) ---------------
     // Resample per-user activity onto the full daily calendar: observed
     // days aggregate once; the grid is each user crossed with the bounded
@@ -862,6 +877,11 @@ object Relational {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users, FLOOR((SUM(value)) * 100.0 + 0.500001) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+
+    "q_approx_group_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // resample→ffill parity: the same bounded day grid (distinct users ×
     // global date range), left join of rounded dailies, IGNORE NULLS carry
