@@ -55,9 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.dedup.ShingleHashesExpression(exprs(0), exprs(1))
       }))
     // model-backed scorers: the modelId argument is a literal resolved
-    // against the driver-side registry at analysis time (register a model
-    // via TextOps.trainLangModel/lmScore or Ann.fitCentroids first); the
-    // factories are the ones the DataFrame API paths use
+    // against the driver-side registry at analysis time. SQL callers
+    // register a model THEMSELVES — e.g. `LangModels.put(model)` /
+    // `LmModels.put(model)` / `IvfModels.put(new IvfModel(centers))` —
+    // pass the returned id as the literal, and `remove` it when done (the
+    // DataFrame-API operators release their own entries before returning,
+    // so their ids are NOT reusable from SQL). The factories are the same
+    // ones the DataFrame paths register as temp functions.
     ext.injectFunction((FunctionIdentifier("graft_lang_score"),
       info("graft_lang_score", "graft_lang_score(text, modelId) - language of text under a registered trigram model"),
       graft.text.LangModels.factory))

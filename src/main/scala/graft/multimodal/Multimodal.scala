@@ -162,9 +162,13 @@ object Multimodal {
       }
     try {
       val fmt = in.getFormat
+      // mono is part of the contract, not an assumption: the stats below
+      // treat consecutive samples as a single time series (zero-cross
+      // counting across interleaved L/R channels would be meaningless)
       require(fmt.getSampleSizeInBits == 16 &&
-        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
-        s"media_id ${row.media_id}: expected PCM16, got $fmt")
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getChannels == 1,
+        s"media_id ${row.media_id}: expected mono PCM16, got $fmt")
       val channels = fmt.getChannels
       val nFrames = in.getFrameLength
       val bytes = in.readAllBytes()
@@ -199,12 +203,15 @@ object Multimodal {
     } finally in.close()
   }
 
-  /** Batched audio feature extraction — same partition-local batch shape
-    * as [[extractFeatures]]; one scan, no shuffle.
+  /** Audio feature extraction — one scan, no shuffle. A plain per-row map
+    * (no batch grouping): unlike the image path, where the batch shape
+    * amortizes reusable ImageReader state, `javax.sound` exposes no
+    * reusable reader handle — `AudioSystem.getAudioInputStream` is a fresh
+    * SPI dispatch per payload, so grouping would be a no-op costume.
     */
-  def extractAudioFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeAudio)))
+    media.mapPartitions(_.map(decodeAudio))
   }
 
   /** Encode one mono PCM16 WAV (lossless, so decode returns the exact

@@ -168,11 +168,15 @@ object LlmQueries {
       val toks = t(s, dir, "documents")
         .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
       val support = 0.01
-      val total = toks.count()
+      // two corpus scans total: the sketch pass and ONE exact groupBy —
+      // the total token count is SUM(c) over the vocab-sized counts frame
+      // (cached: it is read twice and tiny; harness sweeps release it),
+      // not a third full-corpus count() job
+      val counts = toks.groupBy("term").agg(count(lit(1)).as("c")).cache()
+      val total = counts.agg(sum(col("c"))).head().getLong(0)
       val sketch = toks.stat.freqItems(Seq("term"), support)
         .head().getSeq[String](0).toArray
-      val truth = toks.groupBy("term").agg(count(lit(1)).as("c"))
-        .where(col("c") > lit(support) * lit(total.toDouble))
+      val truth = counts.where(col("c") > lit(support) * lit(total.toDouble))
       truth.agg(count(lit(1)).as("n_heavy"),
           coalesce(sum(when(col("term").isin(sketch.toIndexedSeq: _*), 0L)
             .otherwise(1L)), lit(0L)).as("n_missed"))

@@ -477,11 +477,15 @@ object Relational {
     // apply, expressed as one join + one window.
     "q_gap_fill" -> ((s, dir) => {
       val e = t(s, dir, "events")
+      // ONE corpus scan: bounds and the user list both derive from the
+      // (users × active days)-sized daily aggregate, which is cached so
+      // its three readers don't re-run the corpus agg (harness sweeps
+      // release the blocks after the query's terminal action)
       val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(r2(sum(col("value"))).as("day_value"))
-      val bounds = e.agg(to_date(min(col("ts"))).as("d0"),
-        to_date(max(col("ts"))).as("d1"))
-      val grid = e.select(col("user_id")).distinct()
+        .cache()
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = daily.select(col("user_id")).distinct()
         .crossJoin(broadcast(bounds))
         .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
       val w = Window.partitionBy("user_id").orderBy("day")

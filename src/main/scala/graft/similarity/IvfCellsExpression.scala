@@ -64,37 +64,7 @@ final class IvfModel(val centers: Array[Array[Double]]) extends Serializable {
   * contract as [[graft.text.LangModels]]): bounded LRU, each call passes
   * its own id literal so concurrent queries cannot race.
   */
-object IvfModels {
-  private val MaxEntries = 64
-  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val models = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[Long, IvfModel](16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, IvfModel]): Boolean = size() > MaxEntries
-    })
-
-  def put(model: IvfModel): Long = {
-    val id = nextId.incrementAndGet()
-    models.put(id, model)
-    id
-  }
-
-  def get(id: Long): IvfModel = {
-    val m = models.get(id)
-    require(m != null, s"no IvfModel registered under id $id (evicted or never put)")
-    m
-  }
-
-  /** Callers done with a model should release it promptly: a centroid
-    * matrix at nlist=4096 is ~25 MB of driver heap, and the LRU cap alone
-    * would keep up to 64 of them pinned for the session lifetime.
-    * Ann.ivfTopKWithCenters removes its entry as soon as the result frame
-    * is analyzed (Dataset construction resolves the plan eagerly, so the
-    * model object is already embedded in the analyzed plan by then).
-    */
-  def remove(id: Long): Unit = models.remove(id)
-
-  def size: Int = models.size()
+object IvfModels extends graft.ModelRegistry[IvfModel]("IvfModel") {
 
   /** Expression factory for `graft_ivf_cells(vec, modelId, nprobe)` —
     * shared by the Ann temp-function registration and

@@ -72,36 +72,7 @@ final class LangModel(val langs: Array[String],
   * idempotent, so concurrent langId calls with different models cannot
   * race on registry contents (each call passes its own id literal).
   */
-object LangModels {
-  private val MaxEntries = 64
-  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
-  // access-bounded LRU: a long-lived session calling langId repeatedly
-  // must not grow driver memory without bound (models are 100s of KB);
-  // 64 live models is far beyond any sane concurrency
-  private val models = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[Long, LangModel](16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, LangModel]): Boolean = size() > MaxEntries
-    })
-
-  def put(model: LangModel): Long = {
-    val id = nextId.incrementAndGet()
-    models.put(id, model)
-    id
-  }
-
-  def get(id: Long): LangModel = {
-    val m = models.get(id)
-    require(m != null, s"no LangModel registered under id $id (evicted or never put)")
-    m
-  }
-
-  /** Callers done with a model should release it promptly. */
-  def remove(id: Long): Unit = models.remove(id)
-
-  /** Live-entry count — the eviction regression gate asserts this stays
-    * bounded under repeated langId calls. */
-  def size: Int = models.size()
+object LangModels extends graft.ModelRegistry[LangModel]("LangModel") {
 
   /** Expression factory for `graft_lang_score(text, modelId)` — shared by
     * the TextOps temp-function registration and [[graft.GraftExtensions]].

@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Serializable: ships once inside the plan (vocab-bounded — at most the
   * distinct-trigram count of the training corpus).
   */
-final class LmModel(table: java.util.HashMap[String, Long],
+final class LmModel(table: java.util.HashMap[String, java.lang.Long],
     val totalGrams: Long, val n: Int = 3) extends Serializable {
 
   /** V = distinct training grams (the smoothing denominator's vocab term). */
@@ -42,10 +42,13 @@ final class LmModel(table: java.util.HashMap[String, Long],
     var i = 0
     while (i < positions) {
       val gram = new String(cps, i, math.min(n, len - i))
-      val c = table.get(gram)
+      // boxed lookup so a missing gram is a REAL null, not a silent
+      // unbox-to-0 (a scala.Long-valued map makes the null test dead code
+      // and the correctness coincidental to ln(0+1)=0)
+      val c: java.lang.Long = table.get(gram)
       // unseen grams: ln(0 + 1) = 0 — they contribute only through the
       // declarative −ln(N+V) per-gram term outside the kernel
-      if (c != null) s += math.log(c.toDouble + 1.0)
+      if (c != null) s += math.log(c.doubleValue() + 1.0)
       i += 1
     }
     s
@@ -55,30 +58,7 @@ final class LmModel(table: java.util.HashMap[String, Long],
 /** Driver-side registry, same bounded-LRU + prompt-release contract as
   * [[LangModels]] and graft.similarity.IvfModels.
   */
-object LmModels {
-  private val MaxEntries = 64
-  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val models = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[Long, LmModel](16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, LmModel]): Boolean = size() > MaxEntries
-    })
-
-  def put(model: LmModel): Long = {
-    val id = nextId.incrementAndGet()
-    models.put(id, model)
-    id
-  }
-
-  def get(id: Long): LmModel = {
-    val m = models.get(id)
-    require(m != null, s"no LmModel registered under id $id (evicted or never put)")
-    m
-  }
-
-  def remove(id: Long): Unit = models.remove(id)
-
-  def size: Int = models.size()
+object LmModels extends graft.ModelRegistry[LmModel]("LmModel") {
 
   /** Expression factory for `graft_lm_logcount(text, modelId)` — shared by
     * the TextOps temp-function registration and [[graft.GraftExtensions]].

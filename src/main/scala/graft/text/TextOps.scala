@@ -289,9 +289,12 @@ object TextOps {
     // vocab-bounded: at most the distinct-gram count of the training set
     val counts = train.select(explode(charNgrams(col("text"), n)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c")).collect()
-    val table = new java.util.HashMap[String, Long](counts.length * 2)
+    val table = new java.util.HashMap[String, java.lang.Long](counts.length * 2)
     var total = 0L
-    counts.foreach { r => table.put(r.getString(0), r.getLong(1)); total += r.getLong(1) }
+    counts.foreach { r =>
+      table.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1)))
+      total += r.getLong(1)
+    }
     val model = new LmModel(table, total, n)
     val modelId = LmModels.put(model)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

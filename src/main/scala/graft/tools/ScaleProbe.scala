@@ -71,14 +71,18 @@ object ScaleProbe {
     // Connected components: planted 2-chains (the dedup-cluster shape)
     // multiplied; rounds stay O(diameter), per-round cost linear in edges.
     for (mult <- Seq(1, 4, 16)) {
-      val ids = spark.range(0, mult.toLong * 2000L).select(col("id"))
+      val n = mult.toLong * 2000L
+      val ids = spark.range(0, n).select(col("id"))
+      // chains of 3 nodes with a gap every third id; the range guard keeps
+      // the last chain's dst inside the generated node set
       val edges = ids.select(col("id").as("src"), (col("id") + 1).as("dst"))
-        .where(col("id") % 3 =!= 2) // chains of 3 nodes, gaps every third
+        .where(col("id") % 3 =!= 2 && col("id") + 1 < n)
+      val nEdges = edges.count()
       val t0 = System.nanoTime()
       val nClusters = Dedup.connectedComponents(edges)
         .agg(countDistinct(col("component"))).head().getLong(0)
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[scale-cc] mult=$mult%2d edges=${mult * 2000 * 2 / 3}%8d " +
+      println(f"[scale-cc] mult=$mult%2d edges=$nEdges%8d " +
         f"clusters=$nClusters%8d secs=$secs%.2f")
       Blocks.releaseAll(spark)
     }
