@@ -114,7 +114,7 @@ object QualityClassifier {
     * supplied per-row op — the same closure drives the local loop and the
     * treeAggregate, so the two fit paths share all FP arithmetic.
     */
-  private def lossGrad(wb: Array[Double], l2: Double, d: Int, n: Long)(
+  private[graft] def lossGrad(wb: Array[Double], l2: Double, d: Int, n: Long)(
       sweep: (Array[Double], (Array[Double], Double, Array[Double]) => Unit) => Array[Double])
       : (Double, Array[Double]) = {
     val dot = (acc: Array[Double], y: Double, x: Array[Double]) => {

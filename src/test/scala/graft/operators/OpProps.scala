@@ -83,6 +83,40 @@ object OpProps extends Properties("graft.ops") {
     Gen.oneOf("@", ".", "<", ">", "+", "a@b", "1.2.3"))
   private val piiText = Gen.nonEmptyListOf(piiFragment).map(_.mkString(" "))
 
+  // the classifier's analytic gradient against central finite differences
+  // on random points — the whole fit rests on this derivative being right,
+  // and an e2e accuracy test can mask a subtly wrong gradient (the
+  // optimizer limps to a worse optimum instead of failing)
+  private val lrCase = for {
+    n <- Gen.choose(5, 25)
+    d <- Gen.choose(1, 4)
+    xs <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-2.0, 2.0)))
+    ys <- Gen.listOfN(n, Gen.oneOf(0.0, 1.0))
+    wb <- Gen.listOfN(d + 1, Gen.choose(-1.5, 1.5))
+    l2 <- Gen.choose(0.0, 0.1)
+  } yield (ys.toArray, xs.map(_.toArray).toArray, wb.toArray, l2, d)
+
+  property("logistic lossGrad matches central finite differences") =
+    Prop.forAll(lrCase) { case (y, x, wb, l2, d) =>
+      def sweep(acc: Array[Double],
+          dotF: (Array[Double], Double, Array[Double]) => Unit): Array[Double] = {
+        var k = 0
+        while (k < y.length) { dotF(acc, y(k), x(k)); k += 1 }
+        acc
+      }
+      def eval(w: Array[Double]) =
+        graft.quality.QualityClassifier.lossGrad(w, l2, d, y.length.toLong)(sweep)
+      val (_, g) = eval(wb)
+      val eps = 1e-6
+      (0 to d).forall { i =>
+        val up = wb.clone(); up(i) += eps
+        val dn = wb.clone(); dn(i) -= eps
+        val numeric = (eval(up)._1 - eval(dn)._1) / (2 * eps)
+        math.abs(numeric - g(i)) <= 1e-5 * math.max(1.0, math.abs(g(i))) ||
+          { println(s"dim $i: analytic ${g(i)} vs numeric $numeric"); false }
+      }
+    }
+
   property("redactPii chain is idempotent and leaves no residual match") =
     Prop.forAll(piiText) { t =>
       val once = redact(t)
