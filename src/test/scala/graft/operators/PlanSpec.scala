@@ -102,6 +102,23 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), s"daily fill join not a key join:\n$p")
   }
 
+  test("q_token_budget: bucket prefix broadcasts, corpus never cartesian-joins") {
+    val p = plan("q_token_budget")
+    // the bounded bucket-prefix frame must BROADCAST back to the corpus;
+    // a shuffled or nested-loop attach would defeat the two-level design
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket prefix not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in token budget:\n$p")
+  }
+
+  test("q_snapshot_diff: full-outer diff is a key join over both snapshots") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), s"full-outer classification missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff degraded to a non-equi join:\n$p")
+  }
+
   test("q_embed_neardup's exact anchor broadcasts the probe slice only") {
     // the contract's brute-force side must stay O(probes·n): the bounded
     // probe slice broadcasts; an all-pairs self-join (no probe filter)
