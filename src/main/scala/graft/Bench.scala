@@ -23,12 +23,16 @@ object Bench {
       }
     Blocks.releaseAll(spark)
     var failures = List.empty[String]
+    // rounds 3-4 both recorded transient contamination (GC pauses, block-
+    // manager churn, co-tenant CPU) on single-shot timings — joins at
+    // 8-10 s that run in 0.5-1.1 s fresh. Remedy: re-run and take the best
+    // SUCCESSFUL time. The re-run is conditional on the first measurement
+    // being slow or failed: a genuinely-fast first run cannot have been
+    // contamination-inflated, so skipping its re-run halves bench
+    // wall-clock without weakening the protection where it matters.
+    val RerunAbove = 0.75
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of 2 runs: rounds 3-4 both recorded transient contamination
-      // (GC pauses, block-manager churn, co-tenant CPU) on single-shot
-      // timings — joins at 8-10 s that run in 0.5-1.1 s fresh. The min of
-      // two runs measures the query; one-shot measures its neighborhood.
-      val attempts = (1 to 2).map { _ =>
+      def run(): (Boolean, Double) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -39,6 +43,8 @@ object Bench {
         Blocks.releaseAll(spark)
         (ok, elapsed)
       }
+      val first = run()
+      val attempts = if (!first._1 || first._2 > RerunAbove) Seq(first, run()) else Seq(first)
       // only SUCCESSFUL runs compete for the minimum — a fast abort (OOM
       // 0.2 s into attempt 2) must not beat a real 5 s completion; if every
       // attempt failed, report the elapsed of the failure and exit nonzero
