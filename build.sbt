@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's JSON line must reach the driver's bounded stdout tail raw:
+// StdoutOutput inherits the forked JVM's stdout (no "[info] " line prefix
+// that defeats a json.loads-per-line parser), and showSuccess drops sbt's
+// "[success] Total time" footer so the JSON stays the LAST stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,7 +14,8 @@ object Bench {
     // infra, parquet readers, and the native kernels once, so the first
     // timed query measures the engine rather than JVM spin-up
     Seq("q_rfm_features", "q_ann_brute", "q_dedup_minhash", "q_text_stats",
-        "q_clv_scores", "q_lang_id", "q_ngram_jaccard", "q_ann_ivf")
+        "q_clv_scores", "q_lang_id", "q_ngram_jaccard", "q_ann_ivf",
+        "q_dedup_clusters")
       .foreach { name =>
         try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
@@ -32,23 +33,27 @@ object Bench {
     // wall-clock without weakening the protection where it matters.
     val RerunAbove = 0.75
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def run(): (Boolean, Double) = {
+      def run(): (Option[String], Double) = {
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable => failures ::= s"$name: ${e.getMessage}"; false }
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // UNTIMED state sweep: cache + localCheckpoint blocks from one run
         // must not contaminate the next measurement
         Blocks.releaseAll(spark)
-        (ok, elapsed)
+        (err, elapsed)
       }
       val first = run()
-      val attempts = if (!first._1 || first._2 > RerunAbove) Seq(first, run()) else Seq(first)
+      val attempts =
+        if (first._1.isDefined || first._2 > RerunAbove) Seq(first, run()) else Seq(first)
       // only SUCCESSFUL runs compete for the minimum — a fast abort (OOM
-      // 0.2 s into attempt 2) must not beat a real 5 s completion; if every
-      // attempt failed, report the elapsed of the failure and exit nonzero
-      val succeeded = attempts.collect { case (true, t) => t }
+      // 0.2 s into attempt 2) must not beat a real 5 s completion. A
+      // transient first failure that the re-run recovers is NOT a bench
+      // failure (r5 ADVICE: it used to exit nonzero anyway); only a query
+      // with zero successful attempts fails the bench.
+      val succeeded = attempts.collect { case (None, t) => t }
+      if (succeeded.isEmpty) failures :::= attempts.flatMap(_._1).toList
       name -> (if (succeeded.nonEmpty) succeeded.min else attempts.map(_._2).min)
     }
     // The driver captures only the LAST ~2000 chars of stdout; full-precision
@@ -62,11 +67,18 @@ object Bench {
     // basename only: every byte of this line competes with the query map
     // for the driver's ~2000-char stdout tail window
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    // stop the session and flush stderr chatter BEFORE emitting the JSON:
+    // the driver reads a bounded stdout tail and (r1-r5, parsed:null every
+    // round) plausibly parses only the LAST line — nothing may print after
+    // this. build.sbt pairs this with run/outputStrategy=StdoutOutput (no
+    // "[info] " prefix on forked output) and showSuccess=false (no
+    // "[success] Total time" footer after the JSON).
     spark.stop()
-    if (failures.nonEmpty) {
-      failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
-      sys.exit(1)
-    }
+    failures.foreach(f => System.err.println(s"[bench] FAILED $f"))
+    System.err.flush()
+    println(line)
+    Console.out.flush()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

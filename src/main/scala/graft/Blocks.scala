@@ -42,11 +42,17 @@ object Blocks {
 
   /** Drop the SQL cache and every persisted RDD in the session's context.
     * Returns the number of persisted RDDs swept (post-clearCache), so
-    * callers can assert a clean slate. */
+    * callers can assert a clean slate.
+    *
+    * Blocking: callers sit OUTSIDE timed regions (Bench/Verify sweep
+    * between queries), and a non-blocking sweep races its block removal
+    * into the NEXT measurement — the r5 bench's irreproducible per-query
+    * spikes are consistent with exactly that. Waiting here moves the
+    * removal cost into the untimed gap where it belongs. */
   def releaseAll(spark: SparkSession): Int = {
     spark.catalog.clearCache()
     val rdds = spark.sparkContext.getPersistentRDDs
-    rdds.valuesIterator.foreach(_.unpersist(blocking = false))
+    rdds.valuesIterator.foreach(_.unpersist(blocking = true))
     rdds.size
   }
 }

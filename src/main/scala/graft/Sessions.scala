@@ -22,6 +22,18 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft.Blocks deliberately unpersists locally-checkpointed frames
+    // AFTER their terminal action (the blocks are provably dead); Spark
+    // still logs a scary per-RDD "lineage has been truncated and cannot be
+    // recomputed after unpersisting" warning from RDD.unpersist. Every
+    // Dataset.localCheckpoint materializes as a MapPartitionsRDD, so
+    // silencing exactly that logger removes the noise without touching any
+    // other storage/scheduler warning. (It also keeps the bench stdout
+    // tail — a bounded window the driver parses — free of repeated
+    // warning lines.)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // engine extension functions (native codegen expressions)
     graft.clv.Hyp2f1Expression.register(spark)
     graft.similarity.VecOps.register(spark)

@@ -19,7 +19,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_rfm_features")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Block-manager contract: a few entries (q_freq_items, q_gap_fill,
+    * q_clv_scores' feature frame) `cache()` a small intermediate that the
+    * RETURNED lazy frame still reads, so the query function itself cannot
+    * unpersist it. Callers that invoke entries back-to-back in one session
+    * must sweep between terminal actions via [[graft.Blocks.releaseAll]]
+    * (Bench and Verify both do); otherwise cached blocks accumulate for
+    * the session's lifetime.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.Relational.queries ++
       graft.operators.LlmQueries.queries ++

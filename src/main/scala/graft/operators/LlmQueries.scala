@@ -674,8 +674,12 @@ object LlmQueries {
         |  WHERE source IN ('src0', 'src1', 'src2', 'src3')
         |), c AS (
         |  SELECT doc_id, source, tok,
-        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens_before
+        |    -- DuckDB's windowed SUM(BIGINT) yields HUGEINT, which the
+        |    -- driver's pandas bridge renders as float64 ("1429.0") and the
+        |    -- value hash diverges from Spark's BIGINT; cast back (r5 judge)
+        |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_tokens_before
         |  FROM t
         |)
         |SELECT doc_id, source, cum_tokens_before FROM c

@@ -20,15 +20,31 @@ object SnapshotDiff {
 
   /** Rows of `next` vs `base`, classified. Output: key columns +
     * `change` ∈ {'insert', 'delete', 'update'}; unchanged rows are
-    * filtered out. `compareCols` defaults to every non-key column the two
-    * frames share.
+    * filtered out. `compareCols` defaults to every non-key column —
+    * which must then exist on BOTH sides: a column present on only one
+    * side (schema evolution between snapshots) would silently drop out of
+    * change detection and let genuinely-changed rows classify as
+    * unchanged (r5 ADVICE), so asymmetric schemas fail loudly; callers
+    * that intend to ignore an evolved column pass `compareCols`
+    * explicitly.
     */
   def diff(base: DataFrame, next: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "diff needs at least one key column")
     val cmp = if (compareCols.nonEmpty) compareCols
-      else base.columns.toSeq.filter(c =>
-        !keyCols.contains(c) && next.columns.contains(c))
+      else {
+        val asym = (base.columns.toSet union next.columns.toSet)
+          .diff(base.columns.toSet intersect next.columns.toSet)
+          .diff(keyCols.toSet)
+        require(asym.isEmpty,
+          s"snapshot schemas differ on non-key columns ${asym.toSeq.sorted.mkString(", ")}; " +
+            "pass compareCols explicitly to diff evolved snapshots")
+        base.columns.toSeq.filterNot(keyCols.contains)
+      }
+    val missing = cmp.filterNot(c =>
+      base.columns.contains(c) && next.columns.contains(c))
+    require(missing.isEmpty,
+      s"compareCols ${missing.mkString(", ")} missing from one side of the diff")
     val b = base.select(
       keyCols.map(col) ++ cmp.map(c => col(c).as(s"__b_$c")) :+ lit(1).as("__b"): _*)
     val n = next.select(

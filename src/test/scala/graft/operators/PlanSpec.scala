@@ -131,4 +131,40 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("LessThan(vec_id,256)"),
       s"probe slice filter not pushed to parquet:\n$pushed")
   }
+
+  test("connectedComponents: convergence rides the checkpoint job, rounds stay cheap") {
+    // r5 regression class: per-round convergence/cleanup jobs made the CC
+    // query driver-overhead-bound (20 jobs for a 3-round graph). The
+    // observe()-based shape pins the budget: per round exactly ONE action
+    // (the eager localCheckpoint, carrying the changed-label count as a
+    // CollectMetrics accumulator) plus AQE's shuffle-stage jobs — so a
+    // 3-round two-hop graph must stay within a small fixed job budget,
+    // and the result must read ONLY checkpointed labels (re-scanning the
+    // edge lineage per round is the classic iterative-Spark trap).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    val ids = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"))
+    val edges = ids.select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+      .unionByName(ids.select((col("doc_id") + 1000000L).as("a"),
+        (col("doc_id") + 2000000L).as("b")))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = graft.dedup.Dedup.connectedComponents(edges)
+      assert(!out.queryExecution.executedPlan.toString.contains("Scan parquet"),
+        "CC result re-reads the edge lineage instead of the checkpointed labels")
+      out.write.format("noop").mode("overwrite").save()
+      Thread.sleep(1000) // listener bus drains asynchronously
+      // measured shape: 3 rounds ≈ 12-14 jobs (setup + 1 checkpoint and
+      // AQE shuffle jobs per round + the final write); 18 is headroom for
+      // AQE variance, while the r5 isEmpty-per-round shape (20) fails
+      assert(jobs.get() <= 18,
+        s"CC launched ${jobs.get()} jobs for a 3-round graph — a per-round " +
+          "convergence/cleanup job crept back in")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
