@@ -513,6 +513,20 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // oracle-backed: REAL ISO-BMFF container parsing (ftyp/moov/mvhd/tkhd/
+    // mdat box walk — everything a pre-decode ingest filter reads); only
+    // frame decode stays stubbed (no JDK codec). Parameters are closed-form
+    // in doc_id, so the oracle recomputes the parser's outputs exactly.
+    "q_multimodal_video" -> ((s, dir) => {
+      val media = Multimodal.mp4MediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractVideoMeta(media).toDF()
+        .select(col("media_id"), col("brand"), col("duration_ms"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mdat_bytes"), col("byte_len"))
+        .orderBy("media_id")
+    }),
+
     // ---- corpus scrubbing (oracle-backed) ---------------------------------
     // PII redaction over deterministically planted emails/phones/cards/IPs;
     // the md5 of the redacted text pins the FULL redaction output per doc
@@ -1095,6 +1109,19 @@ object LlmQueries {
         |    / 10000.0 AS mean_abs,
         |  CAST(GREATEST(abs(MIN(v)), abs(MAX(v))) AS BIGINT) AS peak
         |FROM smp GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+
+    // container-parse parity: every output is integer-exact arithmetic on
+    // doc_id (duration_ms = ticks·1000/timescale with timescale 600 and
+    // ticks 600·seconds; byte_len = 24 ftyp + 216 moov + 8 mdat header +
+    // payload) — the oracle recomputes what the byte-level box walk reports
+    "q_multimodal_video" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  CAST(1000 * (5 + doc_id % 120) AS BIGINT) AS duration_ms,
+        |  CAST(16 * (4 + doc_id % 60) AS BIGINT) AS width,
+        |  CAST(16 * (3 + doc_id % 40) AS BIGINT) AS height,
+        |  CAST(100 + doc_id % 900 AS BIGINT) AS mdat_bytes,
+        |  CAST(348 + doc_id % 900 AS BIGINT) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)

@@ -110,4 +110,78 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.sampleFrames(media, n = 4).collect()
     assert(frames.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
   }
+
+  test("real MP4 box parse: encode→parse round trip is exact, byte layout is ISO-BMFF") {
+    val bytes = Multimodal.encodeMp4(42L, width = 320, height = 240,
+      durationTicks = 3000L, timescale = 600L, mdatLen = 50)
+    // genuine container signature: size(4) + 'ftyp' + major brand 'isom'
+    assert(new String(bytes.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "isom")
+    val m = Multimodal.parseMp4(bytes, 42L)
+    assert(m.brand == "isom" && m.timescale == 600L)
+    assert(m.duration_ms == 5000L)  // 3000 ticks / 600 ticks-per-s
+    assert(m.width == 320 && m.height == 240)
+    assert(m.mdat_bytes == 50L && m.byte_len == bytes.length.toLong)
+    // ftyp + moov + mvhd + trak + tkhd + mdat
+    assert(m.n_boxes == 6, s"box walk found ${m.n_boxes} boxes")
+  }
+
+  test("MP4 parse reads version-1 mvhd/tkhd layouts (64-bit times)") {
+    // hand-built v1 boxes: the encoder emits v0, so v1 offsets (u64
+    // creation/modification/duration) are covered here
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(112) // v1 body: 100 + 3×4 extra
+      b.putInt(0x01000000)              // version 1
+        .putLong(0L).putLong(0L)        // creation/modification (u64)
+        .putInt(90000)                  // timescale
+        .putLong(180000L)               // duration (u64) = 2 s
+      b.array()
+    }
+    val tkhd1 = {
+      val b = java.nio.ByteBuffer.allocate(96) // v1 body: 84 + 3×4 extra
+      b.putInt(0x01000007).putLong(0L).putLong(0L).putInt(1).putInt(0)
+        .putLong(180000L).putLong(0L)
+        .putShort(0).putShort(0).putShort(0).putShort(0)
+      b.position(b.position() + 36)     // matrix
+      b.putInt(1920 << 16).putInt(1080 << 16)
+      b.array()
+    }
+    val clip = box("moov", box("mvhd", mvhd1) ++ box("trak", box("tkhd", tkhd1)))
+    val m = Multimodal.parseMp4(clip, 7L)
+    assert(m.timescale == 90000L && m.duration_ms == 2000L)
+    assert(m.width == 1920 && m.height == 1080)
+  }
+
+  test("corrupt MP4 fails loudly with the media id, never propagates zeros") {
+    val good = Multimodal.encodeMp4(1L, 64, 48, 600L, 600L, 10)
+    // truncated mid-box: header claims more bytes than remain
+    val truncated = good.take(good.length - 4)
+    val e1 = intercept[IllegalArgumentException](Multimodal.parseMp4(truncated, 9L))
+    assert(e1.getMessage.contains("media_id 9"))
+    // structurally valid boxes but no moov/mvhd → not playable
+    val noMoov = good.take(24) // just the ftyp box
+    val e2 = intercept[IllegalArgumentException](Multimodal.parseMp4(noMoov, 11L))
+    assert(e2.getMessage.contains("mvhd"))
+  }
+
+  test("mp4MediaFromDocuments metadata follows the closed form the oracle uses") {
+    import spark.implicits._
+    val docs = Seq((0L, "a"), (7L, "b"), (123L, "c")).toDF("doc_id", "text")
+    val metas = Multimodal.extractVideoMeta(
+      Multimodal.mp4MediaFromDocuments(spark, docs), batchSize = 2)
+      .collect().sortBy(_.media_id)
+    metas.foreach { m =>
+      val id = m.media_id
+      assert(m.brand == "isom" && m.mime == "video/mp4")
+      assert(m.duration_ms == 1000L * (5 + id % 120))
+      assert(m.width == 16 * (4 + id % 60) && m.height == 16 * (3 + id % 40))
+      assert(m.mdat_bytes == 100 + id % 900)
+      assert(m.byte_len == 348 + id % 900)
+    }
+  }
 }
