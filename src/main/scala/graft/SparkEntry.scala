@@ -32,6 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.Relational.queries ++
       graft.operators.LlmQueries.queries ++
+      graft.operators.Curation.queries ++
       graft.clv.ClvQueries.queries ++
       graft.sim.SimQueries.queries
 
@@ -40,6 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.operators.Relational.oracleSql ++
       graft.operators.LlmQueries.oracleSql ++
+      graft.operators.Curation.oracleSql ++
       graft.clv.ClvQueries.oracleSql ++
       graft.sim.SimQueries.oracleSql
 }

@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+import graft.text.TextOps
+
+/** Corpus-curation operator family: the selection / shaping stages a
+  * training-data pipeline runs AFTER cleaning and dedup — chunking long
+  * documents into model-context windows, drawing exact stratified samples,
+  * bucketing by a quality signal, relevance scoring (BM25), vocabulary
+  * saturation diagnostics, and the keep-best-representative dedup policy.
+  *
+  * Every entry is fully SQL-expressible, so each carries a complete DuckDB
+  * oracle (hash gate, not just an envelope). All plans are single-pass or
+  * single-shuffle shapes chosen for the 100 TB case; per-query scaladoc
+  * states the scale argument, and CurationSpec pins the shuffle counts.
+  *
+  * Reference anchor: the reference curates its corpus with pandas-side
+  * filters and full-recompute snapshots (reference dags/clv_data_dag.py:80,
+  * dags/simulate_data.py:163); these operators are the corpus-scale
+  * generalization of that selection surface.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def r2(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+
+  /** Chunk size / stride for q_doc_chunk (tokens). 64/48 → 25% overlap,
+    * the common context-window packing shape. */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Exact stratified fraction for q_stratified_sample. */
+  val StratFraction = 0.2
+
+  /** BM25 free parameters (Robertson–Spärck Jones defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("table", "hash", "spark")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- context-window chunking ------------------------------------------
+    // Fixed-size token windows with stride (overlap = size − stride): the
+    // doc→training-example fan-out stage. Scale shape: scan + per-row
+    // generate + explode — ZERO shuffles, embarrassingly parallel, output
+    // partitioning inherits the scan. The chunk list is computed from ONE
+    // tokenization per doc (the array is materialized once per row and
+    // sliced per chunk, not re-split per chunk).
+    "q_doc_chunk" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(1), col("n"), lit(ChunkStride))).as("start"))
+        .select(col("doc_id"), col("start").cast("long").as("chunk_start"),
+          least(lit(ChunkSize), col("n") - col("start") + 1).cast("long")
+            .as("chunk_len"),
+          concat_ws(" ", slice(col("toks"), col("start"), lit(ChunkSize)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_start")
+    }),
+
+    // ---- exact stratified sampling ----------------------------------------
+    // Per-stratum EXACT fraction (ceil(f·n_s) rows per source), selected in
+    // content-addressed md5(doc_id) order — deterministic, seedless, and
+    // reproducible across engines (the q_token_budget / q_hash_split
+    // ordering discipline). Scale shape: ONE shuffle on the stratum key;
+    // both window functions (row_number + count) share the same partition
+    // spec so Catalyst plans a single Exchange + single Window node. Strata
+    // are sources (bounded cardinality, high row count each) — no hot task
+    // beyond the stratum's own size; a skewed stratum salts the same way
+    // q_salted_agg does.
+    "q_stratified_sample" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val rn = row_number().over(Window.partitionBy("source").orderBy("h", "doc_id"))
+      val n = count(lit(1)).over(Window.partitionBy("source"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), h.as("h"))
+        .select(col("doc_id"), col("source"), rn.as("rn"), n.as("n_src"))
+        .where(col("rn") <= ceil(col("n_src") * lit(StratFraction)))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quantile bucketing (CCNet-style quality tiers) -------------------
+    // Decile tiers over a quality signal (n_chars as the stand-in score),
+    // WITHOUT a global-order window: boundaries come from one exact
+    // percentile aggregate (tiny: 9 doubles), broadcast back, and each row
+    // computes its bucket locally as 1 + |{b_i < v}|. ntile() would need a
+    // single total-order partition — a one-task plan at 100 TB; this shape
+    // is two scans of which the first reduces to 9 numbers. Sketch
+    // swap-in (approx_percentile) is a one-line change when exactness is
+    // not contractual.
+    "q_quantile_bucket" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cuts = d.agg(expr(
+        "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      d.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_chars"),
+          (size(filter(col("bs"), b => col("n_chars").cast("double") > b)) + 1)
+            .cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          r2(avg(col("n_chars"))).as("avg_chars"))
+        .orderBy("bucket")
+    }),
+
+    // ---- BM25 relevance scoring -------------------------------------------
+    // Okapi BM25 of every doc against a fixed query term set: the
+    // retrieval-quality ranking stage (and the tf–idf generalization the
+    // reference's pandas surface lacks). Corpus stats (N, df per term,
+    // avgdl) reduce to ONE tiny aggregate row, broadcast back; per-doc
+    // scoring is then a pure projection over the token array — one wide
+    // scan, one broadcast, zero row-expanding joins. Term frequencies use
+    // the already-materialized token array (no per-term re-tokenization).
+    "q_bm25" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("double").as("dl"))
+      def tf(term: String): Column =
+        size(filter(col("toks"), x => x === lit(term))).cast("double")
+      val stats = d.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl") +:
+          Bm25Terms.map(tm => sum(when(tf(tm) > 0, 1.0).otherwise(0.0))
+            .as(s"df_$tm")): _*)
+      def idf(tm: String): Column =
+        log((col("n_docs") - col(s"df_$tm") + lit(0.5))
+          / (col(s"df_$tm") + lit(0.5)) + lit(1.0))
+      def part(tm: String): Column = {
+        val f = tf(tm)
+        idf(tm) * (f * lit(Bm25K1 + 1.0)) /
+          (f + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+      }
+      d.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          r4(Bm25Terms.map(part).reduce(_ + _)).as("bm25"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- vocabulary saturation --------------------------------------------
+    // Per-source token volume, distinct-term count, and type–token ratio:
+    // the Heaps-law diagnostic that tells a corpus curator which sources
+    // have stopped contributing new vocabulary. Scale shape: explode +
+    // two-level aggregate — the (source, term) partial aggregate combines
+    // map-side, so the shuffle carries vocab-sized data, not token-sized.
+    "q_vocab_growth" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("term")).as("n_terms"))
+        .select(col("source"), col("n_tokens"), col("n_terms"),
+          r4(col("n_terms").cast("double") / col("n_tokens")).as("ttr"))
+        .orderBy("source")
+    }),
+
+    // ---- keep-best dedup policy -------------------------------------------
+    // Exact-duplicate clusters keep ONE canonical representative chosen by
+    // quality (max n_chars, tie-broken by min doc_id) — the policy layer on
+    // top of q_dedup_exact's cluster detection, run on the corpus UNION an
+    // exact copy (doc_id + 1e6) so every cluster genuinely has ≥2 members
+    // at every SF. Scale shape: ONE shuffle on md5(text) (the window's
+    // partition key is the content hash — collision-free cluster id, no
+    // skew beyond true duplicate multiplicity).
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val doubled = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("text"), col("source"), col("n_chars")))
+      val w = Window.partitionBy(md5(col("text")))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      doubled
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // scalar-list generate_series + unnest: DuckDB's table-function form
+    // rejects lateral column parameters (len(toks)) — the list form takes
+    // them fine
+    "q_doc_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(generate_series(1, len(toks), 48)) AS start
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+        |  CAST(LEAST(64, n - start + 1) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM r
+        |WHERE rn <= CEIL(n_src * 0.2) ORDER BY doc_id""".stripMargin,
+
+    "q_quantile_bucket" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(n_chars,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, n_chars,
+        |    1 + len(list_filter(b.bs, x -> n_chars > x)) AS bucket
+        |  FROM documents, b
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  FLOOR((AVG(n_chars)) * 100.0 + 0.500001) / 100.0 AS avg_chars
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // same left-to-right term order as the Spark reduce, so the float sum
+    // associates identically
+    "q_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf_table,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_hash,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_spark
+        |  FROM d
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+        |    SUM(CASE WHEN tf_table > 0 THEN 1.0 ELSE 0.0 END) AS df_table,
+        |    SUM(CASE WHEN tf_hash > 0 THEN 1.0 ELSE 0.0 END) AS df_hash,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark
+        |  FROM f
+        |)
+        |SELECT doc_id, FLOOR((
+        |    ln((n_docs - df_table + 0.5) / (df_table + 0.5) + 1.0)
+        |      * (tf_table * 2.2) / (tf_table + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+        |      * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+        |      * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  ) * 10000.0 + 0.500001) / 10000.0 AS bm25
+        |FROM f, s ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+        |  FLOOR((CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*))
+        |    * 10000.0 + 0.500001) / 10000.0 AS ttr
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source, n_chars FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM doubled
+        |)
+        |SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants + plan-shape gates for the curation operator family
+  * (Curation.scala). The DuckDB hash gate pins exact values; these tests
+  * pin the properties that make the answers RIGHT (coverage, exact strata
+  * arithmetic, bucket monotonicity, dedup idempotence) and the plan shapes
+  * that make them scale (shuffle counts, no global-order window, broadcast
+  * of the stats row).
+  */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def plan(name: String): String = {
+    spark.catalog.clearCache()
+    run(name).queryExecution.executedPlan.toString
+  }
+
+  // ---- q_doc_chunk --------------------------------------------------------
+
+  test("doc_chunk covers every token exactly: stride arithmetic, no gaps") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n"))
+    val chunks = run("q_doc_chunk")
+    val joined = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("chunk_start") + col("chunk_len") - 1).as("last_tok"),
+        min("chunk_start").as("first_tok"))
+      .join(docs, "doc_id")
+    // chunk count = ceil(n / stride); chunks start at 1 and the last chunk
+    // reaches exactly token n — full coverage, no overshoot
+    val bad = joined.where(
+      col("n_chunks") =!= ceil(col("n").cast("double") / Curation.ChunkStride).cast("long") ||
+      col("first_tok") =!= 1L || col("last_tok") =!= col("n")).count()
+    assert(bad === 0)
+    // every full chunk is exactly ChunkSize tokens of text
+    val full = chunks.where(col("chunk_len") === Curation.ChunkSize)
+      .where(size(split(col("chunk_text"), " ")) =!= Curation.ChunkSize).count()
+    assert(full === 0)
+  }
+
+  test("doc_chunk plan has zero shuffles (pure scan + generate)") {
+    val p = plan("q_doc_chunk")
+    // the trailing orderBy is the only Exchange (range, for the oracle's
+    // deterministic dump); the chunking itself must not shuffle
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"chunking shuffled:\n$p")
+    assert(p.contains("Generate"), s"expected explode Generate:\n$p")
+  }
+
+  // ---- q_stratified_sample ------------------------------------------------
+
+  test("stratified sample draws EXACTLY ceil(f*n) per stratum") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val got = run("q_stratified_sample").groupBy("source")
+      .agg(count(lit(1)).as("k"))
+    val bad = got.join(perSrc, "source")
+      .where(col("k") =!= ceil(col("n") * Curation.StratFraction).cast("long"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("stratified sample: one shuffle, shared window partition spec") {
+    val p = plan("q_stratified_sample")
+    // hashpartitioning(source) once for both window functions + the final
+    // range exchange for orderBy — anything more means the two windows
+    // stopped sharing their Exchange
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  // ---- q_quantile_bucket --------------------------------------------------
+
+  test("quantile buckets are monotone, complete, and roughly balanced") {
+    val rows = run("q_quantile_bucket").collect()
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.toSeq === buckets.sorted.toSeq && buckets.forall(b => b >= 1 && b <= 10))
+    // monotone value ranges: bucket i's max <= bucket i+1's min
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"bucket ranges overlap: ${a.getLong(0)} max=${a.getLong(3)} vs ${b.getLong(0)} min=${b.getLong(2)}")
+      case _ => ()
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val docs = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(total === docs)
+  }
+
+  test("quantile bucket plan broadcasts the cut row — no global-order window") {
+    val p = plan("q_quantile_bucket")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cuts not broadcast:\n$p")
+    assert(!p.contains("Window"), s"ntile-style global window crept in:\n$p")
+  }
+
+  // ---- q_bm25 -------------------------------------------------------------
+
+  test("bm25: zero-match docs score 0, term-bearing docs score positive") {
+    val d = graft.io.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.text.TextOps.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        Curation.Bm25Terms.map(t =>
+          array_contains(col("toks"), t).cast("int")).reduce(_ + _).as("hits"))
+    val joined = run("q_bm25").join(d, "doc_id")
+    assert(joined.where(col("hits") === 0 && col("bm25") =!= 0.0).count() === 0)
+    assert(joined.where(col("hits") > 0 && col("bm25") <= 0.0).count() === 0)
+    // idf is positive for non-degenerate df, so every score is finite >= 0
+    assert(joined.where(col("bm25") < 0.0 || isnan(col("bm25"))).count() === 0)
+  }
+
+  test("bm25 plan: stats reduce to one broadcast row, no row-expanding join") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  // ---- q_vocab_growth -----------------------------------------------------
+
+  test("vocab growth: ttr in (0,1], distinct <= total, all sources present") {
+    val rows = run("q_vocab_growth").collect()
+    val nSources = graft.io.Sources.table(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length.toLong === nSources)
+    rows.foreach { r =>
+      val (tok, term, ttr) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(term <= tok && ttr > 0.0 && ttr <= 1.0, s"bad row $r")
+    }
+  }
+
+  // ---- q_dedup_keep_best --------------------------------------------------
+
+  test("keep-best keeps exactly one doc per content hash, highest quality") {
+    val out = run("q_dedup_keep_best")
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    // planted exact copy: every cluster has >= 2 members, keeper count ==
+    // distinct text count, and every keeper is an ORIGINAL id (the copy at
+    // +1e6 has identical n_chars and loses the doc_id tiebreak)
+    assert(out.count() === docs.select(md5(col("text"))).distinct().count())
+    assert(out.where(col("doc_id") >= 1000000L).count() === 0)
+    // idempotence: re-deduping the keepers' texts changes nothing
+    val keeperTexts = out.join(docs, "doc_id").select(md5(col("text")).as("h"))
+    assert(keeperTexts.distinct().count() === keeperTexts.count())
+  }
+}
