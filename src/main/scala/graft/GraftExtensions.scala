@@ -71,5 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_ivf_cells"),
       info("graft_ivf_cells", "graft_ivf_cells(vec, modelId, nprobe) - top-nprobe IVF cells of an embedding"),
       graft.similarity.IvfModels.factory))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(key, modelId) - key might be in a registered bloom filter"),
+      graft.operators.BloomModels.factory))
   }
 }

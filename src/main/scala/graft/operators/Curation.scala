@@ -168,6 +168,37 @@ object Curation {
         .orderBy("source")
     }),
 
+    // ---- bloom semi-join prefilter ----------------------------------------
+    // Envelope oracle for [[Bloom.prefilteredSemiJoin]]: the exact
+    // selective-semi-join count is SQL-recomputable; the flags certify the
+    // filter's published contract (zero false negatives end-to-end, fp
+    // rate within ~2.5× its theoretical ~0.8% at 10 bits/key). The naive
+    // full-shuffle semi join runs ONLY as the verification anchor — the
+    // production path is the bloom-prefiltered one, whose probe-side
+    // shuffle carries |matches| + fp·|probe| rows instead of |probe|.
+    "q_bloom_prefilter" -> ((s, dir) => {
+      val dim = t(s, dir, "orders").where(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey"))
+      val probe = t(s, dir, "lineitem")
+      val nDim = dim.count()
+      val bloom = Bloom.build(dim, col("o_orderkey"), math.max(nDim, 1L))
+      val pass = Bloom.filterMightContain(probe, col("l_orderkey"), bloom)
+      val viaBloom = Bloom.prefilteredSemiJoin(
+        probe, col("l_orderkey"), dim, col("o_orderkey"), math.max(nDim, 1L))
+      val naive = probe.join(dim, probe("l_orderkey") === dim("o_orderkey"),
+        "left_semi")
+      val agg = viaBloom.agg(count(lit(1)).as("n_bloom"))
+        .crossJoin(naive.agg(count(lit(1)).as("n_naive")))
+        .crossJoin(pass.agg(count(lit(1)).as("n_pass")))
+        .crossJoin(probe.agg(count(lit(1)).as("n_probe")))
+      agg.select(
+        col("n_naive").as("n_exact"),
+        (col("n_bloom") === col("n_naive")).cast("long").as("no_false_negative"),
+        ((col("n_pass") - col("n_naive")).cast("double")
+          / greatest(col("n_probe") - col("n_naive"), lit(1L)).cast("double")
+          <= 0.02).cast("long").as("fp_bounded"))
+    }),
+
     // ---- keep-best dedup policy -------------------------------------------
     // Exact-duplicate clusters keep ONE canonical representative chosen by
     // quality (max n_chars, tie-broken by min doc_id) — the policy layer on
@@ -280,6 +311,16 @@ object Curation {
         |  FLOOR((CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*))
         |    * 10000.0 + 0.500001) / 10000.0 AS ttr
         |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+
+    // envelope: exact count in SQL; the two flags are the filter's
+    // contract (no-false-negative is structural, fp bound is measured)
+    "q_bloom_prefilter" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS no_false_negative,
+        |  CAST(1 AS BIGINT) AS fp_bounded
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH doubled AS (
