@@ -168,6 +168,19 @@ object Curation {
         .orderBy("source")
     }),
 
+    // ---- column profiling (ANALYZE surface) -------------------------------
+    // Per-column nulls / exact distincts / min-max over orders in ONE
+    // aggregate + stack reshape — see [[Profile.columnProfile]] for the
+    // Expand-based scale argument and the approx_count_distinct swap-in.
+    // o_orderdate profiles as DATE so the string rendering is the
+    // engine-neutral ISO form.
+    "q_column_profile" -> ((s, dir) => {
+      Profile.columnProfile(
+        t(s, dir, "orders").withColumn("o_orderdate", to_date(col("o_orderdate"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+    }),
+
     // ---- bloom semi-join prefilter ----------------------------------------
     // Envelope oracle for [[Bloom.prefilteredSemiJoin]]: the exact
     // selective-semi-join count is SQL-recomputable; the flags certify the
@@ -311,6 +324,22 @@ object Curation {
         |  FLOOR((CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*))
         |    * 10000.0 + 0.500001) / 10000.0 AS ttr
         |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-column UNION ALL: the oracle recomputes each profile row
+    // independently (it does not need the engine's one-pass shape)
+    "q_column_profile" -> {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      cols.map { c =>
+        val v = if (c == "o_orderdate") s"CAST($c AS DATE)" else c
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $v) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($v) AS VARCHAR) AS min_val,
+           |  CAST(MAX($v) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // envelope: exact count in SQL; the two flags are the filter's
     // contract (no-false-negative is structural, fp bound is measured)

@@ -137,6 +137,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- q_column_profile ---------------------------------------------------
+
+  test("column profile: sane bounds, loud failure on unknown column") {
+    val rows = run("q_column_profile").collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val (n, nn, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nn >= 0 && nn <= n && nd >= 1 && nd <= n, s"bad profile row $r")
+      // values render as strings (shared profile schema) — non-null here
+      // because orders has no all-null column
+      assert(!r.isNullAt(4) && !r.isNullAt(5), s"null min/max in $r")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Profile.columnProfile(
+        graft.io.Sources.table(spark, sf, "orders"), Seq("no_such_col"))
+    }
+    assert(e.getMessage.contains("no_such_col"))
+  }
+
+  test("column profile plan: ONE scan feeds the Expand, no per-column jobs") {
+    val p = plan("q_column_profile")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"expected a single scan, got $scans:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct Expand strategy missing:\n$p")
+  }
+
   // ---- q_dedup_keep_best --------------------------------------------------
 
   test("keep-best keeps exactly one doc per content hash, highest quality") {
