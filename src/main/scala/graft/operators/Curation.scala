@@ -212,6 +212,41 @@ object Curation {
           <= 0.02).cast("long").as("fp_bounded"))
     }),
 
+    // ---- SemDeDup (embedding-cluster semantic dedup) ----------------------
+    // Envelope oracle for [[graft.similarity.Ann.semDedup]]: planted exact
+    // vector copies (vec_id+1e6 for every vec_id % 7 == 0) land in the
+    // same Voronoi cell as their originals with cosine exactly 1, so the
+    // drop rule MUST remove every one (all_planted_dropped); and the kept
+    // set must contain no same-cell pair above the threshold (no_dup_kept
+    // — measured with the same cells, not assumed). n_total/n_planted pin
+    // the planting arithmetic in SQL.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("label"))
+      val corpus = emb.unionByName(planted)
+      val (assigned, dropped) = graft.similarity.Ann.semDedupParts(
+        corpus.select(col("vec_id"), col("embedding")),
+        nlist = 16, threshold = 0.99)
+      val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
+      val a = kept.select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("vec_a"))
+      val b = kept.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("vec_b"))
+      val keptDups = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+        .where(graft.similarity.Ann.cosine(col("vec_a"), col("vec_b")) >= 0.99)
+        .agg(count(lit(1)).as("n_kept_dups"))
+      corpus.agg(count(lit(1)).as("n_total"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(kept.where(col("vec_id") >= 1000000L)
+          .agg(count(lit(1)).as("n_planted_kept")))
+        .crossJoin(keptDups)
+        .select(col("n_total"), col("n_planted"),
+          (col("n_planted_kept") === 0L).cast("long").as("all_planted_dropped"),
+          (col("n_kept_dups") === 0L).cast("long").as("no_dup_kept"))
+    }),
+
     // ---- keep-best dedup policy -------------------------------------------
     // Exact-duplicate clusters keep ONE canonical representative chosen by
     // quality (max n_chars, tie-broken by min doc_id) — the policy layer on
@@ -350,6 +385,20 @@ object Curation {
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)""".stripMargin,
+
+    // envelope: counts pin the planting arithmetic; the flags are the
+    // drop rule's contract, measured engine-side with the same clustering
+    "q_semdedup" ->
+      """WITH p AS (
+        |  SELECT COUNT(*) AS c FROM embeddings WHERE vec_id % 7 = 0
+        |), t AS (
+        |  SELECT COUNT(*) AS c FROM embeddings
+        |)
+        |SELECT CAST(t.c + p.c AS BIGINT) AS n_total,
+        |  CAST(p.c AS BIGINT) AS n_planted,
+        |  CAST(1 AS BIGINT) AS all_planted_dropped,
+        |  CAST(1 AS BIGINT) AS no_dup_kept
+        |FROM t, p""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH doubled AS (

@@ -277,6 +277,64 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at
+    * corpus scale: cluster the embedding space (KMeans centroids fit on a
+    * seeded SAMPLE, never the corpus), assign every vector to its nearest
+    * cell with the broadcast [[IvfCellsExpression]] kernel, and search
+    * duplicates ONLY within a cell. A vector is dropped iff some
+    * lower-id vector in its cell has cosine ≥ threshold — the greedy
+    * min-id-representative rule, deterministic and seedless given the
+    * clustering.
+    *
+    * Scale shape: the within-cell self-join costs Σ|cell|² — with nlist
+    * grown proportionally to the corpus (the paper uses ~10k cells for
+    * LAION-scale), cell sizes stay bounded and the total is linear in
+    * rows; the cluster assignment itself is one shuffle-free projection.
+    * A pathologically hot cell is the same failure mode as an LSH bucket
+    * flood — cap it with the [[graft.dedup.Dedup]] bucket-cap pattern if
+    * the embedding space collapses.
+    *
+    * Returns (assigned, dropped): the cell-annotated corpus and the
+    * dropped ids — callers wanting just the survivors use [[semDedup]].
+    * `assigned` is localCheckpointed (three readers); harness sweeps
+    * release the blocks (the SparkEntry block-manager contract).
+    */
+  private[graft] def semDedupParts(corpus: DataFrame, nlist: Int = 16,
+      threshold: Double = 0.99, seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxIter: Int = 10): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    VecOps.register(spark)
+    val centers = fitCentroids(corpus, nlist, seed, sampleFraction, maxIter)
+    val modelId = IvfModels.put(new IvfModel(centers))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells", IvfModels.factory, "built-in")
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+        element_at(call_function("graft_ivf_cells",
+          col("embedding"), lit(modelId), lit(1)), 1).as("cell"))
+      .localCheckpoint()
+    // eager analysis embedded the centroid matrix; release the registry id
+    IvfModels.remove(modelId)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("vec_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vec_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_b").as("vec_id"),
+        cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select("vec_id").distinct()
+    (assigned, dropped)
+  }
+
+  /** The surviving rows of `corpus` under [[semDedupParts]]' drop rule. */
+  def semDedup(corpus: DataFrame, nlist: Int = 16, threshold: Double = 0.99,
+      seed: Long = 42L, sampleFraction: Double = 1.0, maxIter: Int = 10): DataFrame = {
+    val (_, dropped) = semDedupParts(corpus, nlist, threshold, seed,
+      sampleFraction, maxIter)
+    corpus.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the same
     * LSH buckets, corpus against itself — still equi-join, still no
     * crossJoin: only same-bucket pairs are scored.

@@ -76,4 +76,41 @@ class LayoutSpec extends SparkSpec {
     val expected = orders.where(col("order_month") === "1997-03").count()
     assert(filtered.count() == expected)
   }
+
+  test("z-order clusters BOTH columns; linear sort clusters only one") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val orders = Sources.table(spark, "/root/testdata/sf0.01", "orders")
+    val nFiles = 16
+
+    Layout.zOrdered(orders, "o_custkey", "o_orderkey", nFiles)
+      .write.parquet(s"$base/z")
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.parquet(s"$base/linear")
+
+    // per-file fraction of each column's global range (the min/max span
+    // parquet row-group pruning keys on): a file whose span is 0.2 lets a
+    // point predicate skip it 80% of the time
+    def avgSpan(path: String, c: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).cast("double").as("mn"), max(col(c)).cast("double").as("mx"))
+        .crossJoin(broadcast(spark.read.parquet(path)
+          .agg(min(col(c)).cast("double").as("gmn"), max(col(c)).cast("double").as("gmx"))))
+        .select(((col("mx") - col("mn")) / (col("gmx") - col("gmn"))).as("span"))
+        .agg(avg(col("span"))).head().getDouble(0)
+      stats
+    }
+    // linear layout: near-perfect on the sort key, useless on the other
+    assert(avgSpan(s"$base/linear", "o_custkey") < 0.2)
+    assert(avgSpan(s"$base/linear", "o_orderkey") > 0.8,
+      "control broken: linear layout should scatter the non-sort key")
+    // z-order: BOTH columns clustered well below the scattered baseline
+    val zc = avgSpan(s"$base/z", "o_custkey")
+    val zo = avgSpan(s"$base/z", "o_orderkey")
+    assert(zc < 0.6 && zo < 0.6,
+      s"z-order must localize both dims: custkey span $zc, orderkey span $zo")
+    // same rows either way
+    assert(spark.read.parquet(s"$base/z").count() == orders.count())
+  }
 }

@@ -163,6 +163,37 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("Expand"), s"multi-distinct Expand strategy missing:\n$p")
   }
 
+  // ---- q_semdedup ---------------------------------------------------------
+
+  test("semdedup: kept/dropped partition the corpus, contract flags hold") {
+    import graft.similarity.Ann
+    val emb = graft.io.Sources.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted)
+    val (assigned, dropped) = Ann.semDedupParts(corpus, nlist = 8)
+    val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
+    // partition: every corpus row is kept xor dropped (dropped ⊆ corpus)
+    assert(kept.count() + dropped.count() === corpus.count())
+    assert(dropped.join(corpus, Seq("vec_id"), "left_anti").count() === 0)
+    // every planted copy has its identical original (lower id, same cell,
+    // cos = 1) — all must drop; survivors are non-empty
+    assert(kept.where(col("vec_id") >= 1000000L).count() === 0)
+    assert(kept.count() > 0)
+    // the full envelope row
+    val r = run("q_semdedup").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) > r(0).getLong(1) && r(0).getLong(1) > 0)
+    assert(r(0).getLong(2) === 1L, "planted copy survived")
+    assert(r(0).getLong(3) === 1L, "same-cell duplicate pair kept")
+  }
+
+  test("semdedup plan: cell equi-join only, no cartesian product") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), s"cross join crept in:\n$p")
+  }
+
   // ---- q_dedup_keep_best --------------------------------------------------
 
   test("keep-best keeps exactly one doc per content hash, highest quality") {
