@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 queries × whole-stage-codegen classes exceed the default 240 MB
+  // JIT code cache during a full bench sweep; once it fills, HotSpot stops
+  // compiling and the codegen-kernel-heavy queries (shingle/minhash/text)
+  // run partially interpreted — measured 1.5-2.5× on exactly that family
+  // while the median query stayed at 1.07× baseline.
+  "-XX:ReservedCodeCacheSize=512m",
 )

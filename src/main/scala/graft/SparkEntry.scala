@@ -33,6 +33,8 @@ object SparkEntry {
     graft.operators.Relational.queries ++
       graft.operators.LlmQueries.queries ++
       graft.operators.Curation.queries ++
+      graft.operators.Incremental.queries ++
+      graft.operators.Timeseries.queries ++
       graft.clv.ClvQueries.queries ++
       graft.sim.SimQueries.queries
 
@@ -42,6 +44,8 @@ object SparkEntry {
     graft.operators.Relational.oracleSql ++
       graft.operators.LlmQueries.oracleSql ++
       graft.operators.Curation.oracleSql ++
+      graft.operators.Incremental.oracleSql ++
+      graft.operators.Timeseries.oracleSql ++
       graft.clv.ClvQueries.oracleSql ++
       graft.sim.SimQueries.oracleSql
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+
+/** Time-series analytics family: exponential smoothing over the daily
+  * revenue series, time-range window frames over the event log, and
+  * per-group z-score outlier detection — the monitoring/trend surface a
+  * warehouse runs on top of the reference's append-only logs (reference
+  * dags/clv_data_dag.py:68 staging appends; dags/validate_features.py's
+  * firewall is the static cousin of the outlier check).
+  */
+object Timeseries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def r2(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+
+  /** EWMA decay per day. 0.5 is deliberate: the weights (1-α)^k = 2^-k
+    * are exact dyadic doubles, so Spark and the oracle compute
+    * bit-identical weight products and the only cross-engine float
+    * hazard left is summation order. */
+  val EwmaDecay = 0.5
+
+  /** EWMA lookback in days; 2^-15 ≈ 3e-5 truncated tail mass. */
+  val EwmaWindow = 15
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- EWMA trend over the daily revenue series -------------------------
+    // Exponentially weighted moving average of daily revenue with a
+    // bounded lookback. Plan shape: ONE shuffle builds the daily
+    // aggregate — a frame bounded by the CALENDAR (≤ ~2.4k rows here and
+    // ≤ tens of thousands for any horizon, independent of SF — the
+    // q_gap_fill boundedness argument) — then the weighted sum is a
+    // broadcast range self-join on that tiny frame: every day scores in
+    // parallel, no total-order single-task window. The recursive EWMA
+    // definition is deliberately unrolled to the bounded-window form so
+    // it parallelizes; the truncation is part of the operator contract
+    // (and the oracle applies the identical cutoff).
+    "q_ewma_smooth" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val hist = daily.select(col("day").as("day2"), col("rev").as("rev2"))
+      val w = pow(lit(EwmaDecay), datediff(col("day"), col("day2")))
+      daily.join(broadcast(hist),
+          col("day2").between(date_sub(col("day"), EwmaWindow), col("day")))
+        .groupBy("day")
+        .agg(
+          r2(max(when(col("day2") === col("day"), col("rev2")))).as("revenue"),
+          r2(sum(w * col("rev2")) / sum(w)).as("ewma"))
+        .orderBy("day")
+    }),
+
+    // ---- time-range window frame ------------------------------------------
+    // Per-user trailing-7-day sum/count over the event log: the RANGE
+    // frame on event-time seconds (not ROWS — gaps and bursts both
+    // handled). Plan shape: ONE shuffle on user_id, then a single Window
+    // node with a range frame; the frame arithmetic is per-partition
+    // streaming with a sliding accumulator, never a self-join. Epoch
+    // seconds (truncated) are the frame key in BOTH engines so the
+    // boundary semantics agree exactly.
+    "q_window_timerange" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-7L * 86400L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ts").cast("long").as("sec"))
+        .select(col("event_id"), col("user_id"),
+          r2(sum(col("value")).over(w)).as("trail_sum"),
+          count(lit(1)).over(w).cast("long").as("trail_n"))
+        .orderBy("event_id")
+    }),
+
+    // ---- per-group z-score outliers ---------------------------------------
+    // Per event_type: population size, count of |z| > 3 outliers, and the
+    // max |z| — the data-quality monitor over the raw log. Plan shape:
+    // the per-type moment aggregate reduces to |types| rows (map-side
+    // partials), broadcasts back onto the scan for the z projection, and
+    // the final per-type rollup is a second tiny aggregate — the log is
+    // scanned twice but shuffled only as bounded partial states, never
+    // as raw rows.
+    "q_outlier_stats" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+      val stats = e.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", abs((col("value") - col("mu")) / col("sd")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("z") > 3.0).cast("long")).as("n_outliers"),
+          r2(max(col("z"))).as("max_abs_z"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // identical bounded-window unrolling and dyadic weights; r2 absorbs
+    // summation-order float drift
+    "q_ewma_smooth" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT a.day,
+        |  FLOOR((MAX(CASE WHEN b.day = a.day THEN b.rev END)) * 100.0
+        |    + 0.500001) / 100.0 AS revenue,
+        |  FLOOR((SUM(POWER(0.5, date_diff('day', b.day, a.day)) * b.rev)
+        |       / SUM(POWER(0.5, date_diff('day', b.day, a.day)))) * 100.0
+        |    + 0.500001) / 100.0 AS ewma
+        |FROM daily a JOIN daily b
+        |  ON b.day BETWEEN a.day - 15 AND a.day
+        |GROUP BY a.day ORDER BY a.day""".stripMargin,
+
+    "q_window_timerange" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS sec
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  FLOOR((SUM(value) OVER w) * 100.0 + 0.500001) / 100.0 AS trail_sum,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_outlier_stats" ->
+      """WITH s AS (
+        |  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN ABS((e.value - s.mu) / s.sd) > 3.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  FLOOR((MAX(ABS((e.value - s.mu) / s.sd))) * 100.0 + 0.500001)
+        |    / 100.0 AS max_abs_z
+        |FROM events e JOIN s USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+  )
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants + plan-shape gates for the incremental-maintenance
+  * family (Incremental.scala) and the time-series family
+  * (Timeseries.scala). The DuckDB hash gates pin exact values; these pin
+  * the merge/history/dedup ALGEBRA (key coverage, interval chaining,
+  * planted-collision removal) and the plan shapes that make the operators
+  * incremental at 100 TB (single-shuffle merge, corpus-side-never-moves
+  * dedup, no self-join in the range window).
+  */
+class IncrementalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def plan(name: String): String = {
+    spark.catalog.clearCache()
+    run(name).queryExecution.executedPlan.toString
+  }
+
+  // ---- q_merge_upsert -----------------------------------------------------
+
+  test("merge covers every key exactly once and classifies by side") {
+    val orders = graft.io.Sources.table(spark, sf, "orders")
+      .select(col("o_custkey"),
+        (to_date(col("o_orderdate")) >= lit(Incremental.MergeCutoff).cast("date"))
+          .cast("int").as("is_delta"))
+    val sides = orders.groupBy("o_custkey")
+      .agg(max("is_delta").as("has_delta"),
+        max(lit(1) - col("is_delta")).as("has_base"))
+    val merged = run("q_merge_upsert")
+    // one output row per distinct key — MERGE never drops or duplicates
+    assert(merged.count() === sides.count())
+    assert(merged.select("custkey").distinct().count() === merged.count())
+    // classification matches side membership exactly
+    val expect = sides.select(col("o_custkey").as("custkey"),
+      when(col("has_delta") === 1 && col("has_base") === 1, "updated")
+        .when(col("has_delta") === 1, "inserted")
+        .otherwise("carried").as("expect"))
+    val bad = merged.join(expect, "custkey")
+      .where(col("action") =!= col("expect")).count()
+    assert(bad === 0)
+    // an updated/inserted key's as_of must be on or after the cutoff,
+    // a carried key's strictly before
+    val cutoffViol = merged.where(
+      (col("action") === "carried") =!=
+        (col("as_of") < lit(Incremental.MergeCutoff).cast("date"))).count()
+    assert(cutoffViol === 0)
+  }
+
+  test("merge plan is ONE data shuffle (union resolved in a single window pass)") {
+    val p = plan("q_merge_upsert")
+    // one Exchange partitions by o_custkey for the windows; the trailing
+    // orderBy adds a range Exchange for the deterministic dump. A 3rd
+    // would mean the two-sided join shape this operator exists to avoid.
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"merge shuffled more than once:\n$p")
+    assert(!p.contains("Join"), s"merge degraded to a join plan:\n$p")
+  }
+
+  // ---- q_scd2_history -----------------------------------------------------
+
+  test("scd2 intervals chain gaplessly and versions are dense") {
+    val h = run("q_scd2_history").cache()
+    try {
+      // consecutive rows chain: valid_to(version k) = valid_from(k+1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("version")
+      val chained = h.select(col("user_id"), col("version"),
+        col("valid_from"), col("valid_to"),
+        lead(col("valid_from"), 1).over(w).as("next_from"))
+      assert(chained.where(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from")).count() === 0)
+      // exactly one open (is_current) interval per user, and it is the last
+      val cur = h.groupBy("user_id")
+        .agg(sum("is_current").as("n_open"), max("version").as("maxv"))
+      assert(cur.where(col("n_open") =!= 1L).count() === 0)
+      assert(h.where(col("is_current") === 1L)
+        .join(cur, "user_id").where(col("version") =!= col("maxv"))
+        .count() === 0)
+      // no zero-length or negative intervals
+      assert(h.where(col("valid_to").isNotNull &&
+        col("valid_to") <= col("valid_from")).count() === 0)
+      // adjacent versions never carry the same state (it IS a change log)
+      val same = h.select(col("user_id"), col("version"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .where(col("next_type").isNotNull &&
+          col("event_type") === col("next_type")).count()
+      assert(same === 0)
+    } finally { h.unpersist(); () }
+  }
+
+  test("scd2 plan shuffles the log once (shared user_id partitioning)") {
+    val p = plan("q_scd2_history")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one hash Exchange on user_id + the trailing orderBy range Exchange
+    assert(exchanges <= 2, s"scd2 re-shuffled between windows:\n$p")
+  }
+
+  // ---- q_incremental_dedup ------------------------------------------------
+
+  test("incremental dedup drops exactly the corpus-colliding batch docs") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val out = run("q_incremental_dedup")
+    // planted rule: every batch doc with doc_id % 20 == 0 has an exact
+    // copy in the corpus, so NONE of them may survive
+    assert(out.where(col("doc_id") % 20 === 0).count() === 0)
+    // survivors are a subset of the batch
+    assert(out.where(col("doc_id") % 10 =!= 0).count() === 0)
+    // exactness: survivors == batch texts absent from corpus texts
+    // (recomputed via the naive shuffled anti-join)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .withColumn("h", md5(col("text")))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+    val corpusH = docs.where(col("doc_id") % 10 =!= 0)
+      .unionByName(docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          col("source")))
+      .select(md5(col("text")).as("h"))
+    val naive = batch.join(corpusH, Seq("h"), "left_anti")
+    assert(out.count() === naive.count())
+    assert(out.select("doc_id").except(naive.select("doc_id")).count() === 0)
+  }
+
+  test("incremental dedup plan: corpus side joins only by broadcast") {
+    val p = plan("q_incremental_dedup")
+    // both the hash-set semi-join into the corpus scan and the collision
+    // anti-join back must be broadcast hash joins — a SortMergeJoin here
+    // would mean the 100 TB corpus side got shuffled
+    assert(p.contains("BroadcastHashJoin"), s"broadcast join missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side shuffled for a join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---- q_ewma_smooth ------------------------------------------------------
+
+  test("ewma lies within the daily series' bounded-window envelope") {
+    val out = run("q_ewma_smooth").cache()
+    try {
+      assert(out.count() > 0)
+      // a weighted mean stays inside [min, max] of the contributing window;
+      // cheap global check: every ewma within the series' global min/max
+      val b = out.agg(min("revenue").as("lo"), max("revenue").as("hi"))
+      val bad = out.crossJoin(broadcast(b))
+        .where(col("ewma") < col("lo") - 0.01 || col("ewma") > col("hi") + 0.01)
+      assert(bad.count() === 0)
+      // the first day's ewma equals its own revenue (single-element window)
+      val first = out.orderBy("day").limit(1).collect()(0)
+      assert(math.abs(first.getDouble(1) - first.getDouble(2)) <= 0.011)
+    } finally { out.unpersist(); () }
+  }
+
+  test("ewma plan: history side broadcasts, no global-order window") {
+    val p = plan("q_ewma_smooth")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"daily history not broadcast:\n$p")
+    // no Window node at all — the unrolled form is an aggregate
+    assert(!p.contains("RunningWindowFunction"), s"unexpected window:\n$p")
+  }
+
+  // ---- q_window_timerange -------------------------------------------------
+
+  test("time-range frame counts exactly the 7-day trailing events") {
+    val e = graft.io.Sources.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast("long").as("sec"))
+    val out = run("q_window_timerange")
+    // recompute one user's frame by brute force and compare
+    val u = e.select("user_id").orderBy("user_id").limit(1).collect()(0).getLong(0)
+    val mine = e.where(col("user_id") === u).collect()
+      .sortBy(r => (r.getLong(3), r.getLong(0)))
+    val expect = mine.map { r =>
+      val s0 = r.getLong(3)
+      val n = mine.count(x => x.getLong(3) >= s0 - 604800L && x.getLong(3) <= s0)
+      r.getLong(0) -> n.toLong
+    }.toMap
+    val got = out.where(col("user_id") === u)
+      .select("event_id", "trail_n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("time-range window plan is one shuffle + one Window node, no join") {
+    val p = plan("q_window_timerange")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"range frame planned extra shuffles:\n$p")
+    assert(p.contains("Window"), s"no Window node:\n$p")
+    assert(!p.contains("Join"), s"range frame degraded to self-join:\n$p")
+  }
+
+  // ---- q_outlier_stats ----------------------------------------------------
+
+  test("outlier stats: counts add up and z-flags match a direct recompute") {
+    val e = graft.io.Sources.table(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+    val out = run("q_outlier_stats")
+    val direct = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(out.join(direct, "event_type")
+      .where(col("n_events") =!= col("n")).count() === 0)
+    // outliers are a strict minority under any roughly-unimodal load
+    assert(out.where(col("n_outliers") > col("n_events") / 10).count() === 0)
+    assert(out.where(col("max_abs_z") < 0.0).count() === 0)
+  }
+
+  test("outlier plan: stats row broadcasts back, log never self-joins big") {
+    val p = plan("q_outlier_stats")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"log shuffled for the stats join:\n$p")
+  }
+}
