@@ -3,46 +3,56 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Single-pass column profiling — the warehouse ANALYZE / data-quality
+/** Single-pass-per-column profiling — the warehouse ANALYZE / data-quality
   * surface: per-column null counts, exact distinct cardinalities, and
-  * min/max, computed in ONE aggregate over one scan and reshaped to a
-  * row-per-column profile with stack() (an Expand projection, no shuffle
-  * beyond the aggregate's own).
+  * min/max, reshaped to a row-per-column profile with stack().
   *
-  * Scale shape: the multi-column exact COUNT(DISTINCT) plan is Spark's
-  * Expand strategy — one scan, rows multiplied by |cols| BEFORE the
-  * partial aggregate, so the shuffle carries per-column partial states
-  * (bounded by cardinality), never raw rows twice. At 100 TB the exact
-  * distinct count is the expensive knob: swap `count_distinct` for
-  * `approx_count_distinct` (the q_approx_distinct HLL path, one pass and
-  * no Expand) when the profile feeds monitoring rather than contracts.
-  * min/max/null-count are cheap either way (pushed partials).
+  * Scale shape: null/min/max for ALL columns reduce in ONE full-width
+  * scan to a single row (trivial partials). Each exact distinct count is
+  * its own SINGLE-distinct aggregate over just that column: Catalyst
+  * plans it as a narrow two-level HashAggregate (partial distinct by
+  * value, then count) with a shuffle bounded by that column's
+  * cardinality. On a columnar store the per-column scans cost the same
+  * total bytes as one wide scan (each reads only its own chunk), and the
+  * N+1 branches are independent stages that run concurrently.
   *
-  * Values surface as strings so heterogeneous column types share one
-  * profile schema — the lingua franca of catalog stats tables; numeric,
-  * date, and string renderings are cast-stable across engines (the
-  * DuckDB oracle pins them).
+  * The alternative one-scan shape — a multi-distinct Expand — was
+  * measured 3× slower at sf0.1: Expand multiplies rows by |cols|+1 into
+  * 19-column tuples, and the string-typed min/max buffers force the
+  * whole 7-key aggregation out of HashAggregate into SortAggregate
+  * (three full sorts of the expanded set). Exact distincts per column
+  * beat exact distincts per scan. At 100 TB the same argument holds
+  * harder: the Expand shuffle carries |cols| × distinct-values rows of
+  * null-padded width, the per-column form carries each column's values
+  * once, narrow. Swap `count_distinct` for `approx_count_distinct` (the
+  * q_approx_distinct HLL path) when the profile feeds monitoring rather
+  * than contracts.
   */
 object Profile {
 
   /** One row per profiled column: (col_name, n_rows, n_nulls, n_distinct,
     * min_val, max_val). `cols` must exist on `df`; fails loudly otherwise
     * (the SnapshotDiff discipline — a silently skipped column would make
-    * a drift check vacuous).
+    * a drift check vacuous). Values surface as strings so heterogeneous
+    * column types share one profile schema — min/max are computed TYPED
+    * (numeric/date ordering, not lexicographic) and rendered afterward.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"columnProfile: columns ${missing.mkString(", ")} not in frame " +
         s"(has: ${df.columns.mkString(", ")})")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+    val widthAggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val widths = df.agg(widthAggs.head, widthAggs.tail: _*)
+    val one = cols.foldLeft(widths) { (acc, c) =>
+      // single-distinct branch: no Expand, HashAggregate both levels
+      acc.crossJoin(df.agg(count_distinct(col(c)).as(s"__nd_$c")))
+    }
     val stackArgs = cols.map(c =>
       s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
     one.selectExpr("n_rows",

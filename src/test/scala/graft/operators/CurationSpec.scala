@@ -156,11 +156,24 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("no_such_col"))
   }
 
-  test("column profile plan: ONE scan feeds the Expand, no per-column jobs") {
+  test("column profile plan: narrow pruned scans, hash-aggregated distincts") {
     val p = plan("q_column_profile")
-    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
-    assert(scans === 1, s"expected a single scan, got $scans:\n$p")
-    assert(p.contains("Expand"), s"multi-distinct Expand strategy missing:\n$p")
+    // each distinct branch must scan ONLY its own column (columnar
+    // pruning makes N+1 scans cost one wide scan's bytes) — a branch
+    // reading two columns means pruning broke
+    val perColumn = p.linesIterator
+      .filter(_.contains("ReadSchema: struct<o_"))
+      .count(s => s.substring(s.indexOf("struct<")).count(_ == ':') == 1)
+    assert(perColumn >= 6, s"distinct branches read unpruned columns:\n$p")
+    // the r6 regression this shape replaced: a multi-distinct Expand whose
+    // string min/max buffers forced SortAggregate over 19-col tuples
+    // (measured 3× at sf0.1) — neither node may reappear
+    assert(!p.contains("Expand"), s"multi-distinct Expand came back:\n$p")
+    // keyless SortAggregate (the widths pass: string min/max buffers, one
+    // row per partition) is harmless; a KEYED one means the distinct
+    // branches fell out of HashAggregate again
+    assert(!"SortAggregate\\(key=\\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"keyed aggregation left HashAggregate:\n$p")
   }
 
   // ---- q_semdedup ---------------------------------------------------------
