@@ -32,6 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.Relational.queries ++
       graft.operators.LlmQueries.queries ++
+      graft.operators.Analytics.queries ++
       graft.operators.Curation.queries ++
       graft.operators.Incremental.queries ++
       graft.operators.Timeseries.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.operators.Relational.oracleSql ++
       graft.operators.LlmQueries.oracleSql ++
+      graft.operators.Analytics.oracleSql ++
       graft.operators.Curation.oracleSql ++
       graft.operators.Incremental.oracleSql ++
       graft.operators.Timeseries.oracleSql ++

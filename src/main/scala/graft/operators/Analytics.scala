@@ -1,0 +1,337 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+import graft.similarity.{Ann, VecOps}
+
+/** Marketing-analytics + retrieval-fusion family: the question surface a
+  * CLV warehouse answers AFTER the reference's feature/score tables exist
+  * (reference: dags/clv_data_dag.py builds customer_features + clv scores;
+  * cohorts / funnels / RFM segmentation are the standard reads over them),
+  * plus the rank-fusion and embedding-hygiene operators a training-data
+  * pipeline runs next to the ANN stack.
+  *
+  * Scale notes per query live on each entry; the common theme: every
+  * aggregate reduces to a frame bounded by something SMALL (calendar
+  * months, funnel stages, 125 RFM segments, k fused candidates, |labels|
+  * centroids) and the bounded frame is what broadcasts/sorts — raw rows
+  * never gather on one task.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def r2(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+
+  /** Pinned "today" for RFM-style recency — one month past the fixture's
+    * max(o_orderdate) (2001-08-01); the reference's CURRENT_DATE() trap
+    * (SURVEY §2.7 E5) pinned for determinism, same as q_rfm_features. */
+  val SegAsOf = "2001-09-01"
+
+  /** RRF constant (Cormack et al. 2009: k=60 is the published default). */
+  val RrfK = 60
+
+  /** Candidates taken from each ranking before fusion. */
+  val FuseTopK = 50
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- cohort retention matrix ------------------------------------------
+    // Customers grouped by first-purchase month; for each (cohort, months
+    // since cohort) the distinct active customers and the retention rate
+    // vs the cohort's own month-0 size. Plan shape: ONE shuffle on the
+    // customer key carries the per-customer cohort window-min, ONE more
+    // builds the (cohort, offset) distinct-count — and that output is
+    // bounded by the CALENDAR (months²/2 cells, independent of SF), so
+    // the month-0 denominator rides a window over the tiny frame instead
+    // of a self-join, and the final sort is over cells, not customers.
+    "q_cohort_retention" -> ((s, dir) => {
+      val m = t(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mi"))
+      val act = m
+        .withColumn("cohort", min(col("mi")).over(Window.partitionBy("o_custkey")))
+        .groupBy(col("cohort"), (col("mi") - col("cohort")).as("offset_m"))
+        .agg(countDistinct(col("o_custkey")).as("active_users"))
+      act
+        .withColumn("cohort_n",
+          max(when(col("offset_m") === 0, col("active_users")))
+            .over(Window.partitionBy("cohort")))
+        .select(col("cohort"), col("offset_m"), col("active_users"),
+          r2(col("active_users").cast("double") / col("cohort_n")).as("retention"))
+        .orderBy("cohort", "offset_m")
+    }),
+
+    // ---- strict-sequence funnel -------------------------------------------
+    // view → click-after-view → purchase-after-click over the event log,
+    // counted per user then collapsed to one row of stage counts +
+    // conversion rates. The staged "first X after the previous stage's
+    // first Y" needs the previous stage's timestamp on every row — three
+    // sequential full-partition window mins SHARE one Exchange on
+    // user_id (no joins, no second shuffle of raw events); the per-user
+    // collapse reuses the same partitioning and the global roll-up is a
+    // single partial-aggregated row.
+    "q_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val staged = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+            col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+            col("ts"))).over(w))
+      staged
+        .groupBy("user_id")
+        .agg(max(col("v_ts")).as("v_ts"), max(col("c_ts")).as("c_ts"),
+          max(col("p_ts")).as("p_ts"))
+        .agg(count(lit(1)).as("n_users"), count(col("v_ts")).as("n_view"),
+          count(col("c_ts")).as("n_click"), count(col("p_ts")).as("n_purchase"))
+        .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+          r2(col("n_click").cast("double") / col("n_view")).as("view_to_click"),
+          r2(col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"))
+    }),
+
+    // ---- RFM quintile segmentation ----------------------------------------
+    // The classic R×F×M 5-tier segmentation over per-customer order
+    // features (recency days vs the pinned as-of, order count, avg spend).
+    // Recency scores INVERTED (5 = most recent) per the marketing
+    // convention. Plan shape: one shuffle builds the customer feature
+    // frame; the 12 quintile cuts reduce to ONE broadcast row (exact
+    // percentile — the sketch swap-in argument of q_quantile_bucket
+    // applies verbatim at 100 TB); scoring is a pure projection against
+    // the broadcast cuts and the output is bounded by 125 segments.
+    "q_rfm_segments" -> ((s, dir) => {
+      def feats = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(
+          datediff(lit(SegAsOf).cast("date"), to_date(max(col("o_orderdate"))))
+            .cast("double").as("rec"),
+          count(lit(1)).cast("double").as("freq"),
+          avg(col("o_totalprice")).as("mon"))
+      val cuts = feats.agg(
+        expr("percentile(rec, array(0.2,0.4,0.6,0.8))").as("rc"),
+        expr("percentile(freq, array(0.2,0.4,0.6,0.8))").as("fc"),
+        expr("percentile(mon, array(0.2,0.4,0.6,0.8))").as("mc"))
+      def tier(v: Column, cs: Column): Column =
+        (size(filter(cs, c => v > c)) + 1).cast("long")
+      feats.crossJoin(broadcast(cuts))
+        .select(
+          (lit(6L) - tier(col("rec"), col("rc"))).as("r_score"),
+          tier(col("freq"), col("fc")).as("f_score"),
+          tier(col("mon"), col("mc")).as("m_score"),
+          col("mon"))
+        .groupBy((col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"), col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"), r2(avg(col("mon"))).as("avg_monetary"))
+        .orderBy("segment")
+    }),
+
+    // ---- reciprocal-rank fusion -------------------------------------------
+    // Fuse two retrieval rankings of the corpus against one query vector
+    // (cosine similarity / L2 distance) with RRF (Cormack et al. 2009):
+    // score = Σ 1/(k + rank_i), absent from a list contributes 0. Plan
+    // shape: the query vector is a broadcast 1-row frame; each ranking is
+    // ONE corpus scan into a distributed TakeOrdered top-50 (per-partition
+    // heaps, never a global sort); ranks + the full-outer fusion then
+    // live on two ≤50-row frames. L2 derives from the same three native
+    // vec_dot products the oracle uses, so doubles match bit-for-bit.
+    "q_rrf_fusion" -> ((s, dir) => {
+      VecOps.register(s)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      def scored = e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (Ann.dot(col("embedding"), col("qv"))
+            / (Ann.norm(col("embedding")) * Ann.norm(col("qv")))).as("cos"),
+          (Ann.dot(col("embedding"), col("embedding"))
+            - lit(2.0) * Ann.dot(col("embedding"), col("qv"))
+            + Ann.dot(col("qv"), col("qv"))).as("d2"))
+      val topA = scored.orderBy(col("cos").desc, col("vec_id")).limit(FuseTopK)
+        .select(col("vec_id").as("id_a"),
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+            .cast("long").as("rank_a"))
+      val topB = scored.orderBy(col("d2").asc, col("vec_id")).limit(FuseTopK)
+        .select(col("vec_id").as("id_b"),
+          row_number().over(Window.orderBy(col("d2").asc, col("vec_id")))
+            .cast("long").as("rank_b"))
+      // fuse via union + groupBy, not a full-outer join: Spark can't
+      // broadcast full-outer, and an SMJ — however tiny here — is the
+      // wrong shape; the union shuffles ≤ 2·FuseTopK rank rows total
+      def side(c: Column): Column = when(c > 0, lit(1.0) / (lit(RrfK.toDouble) + c)).otherwise(lit(0.0))
+      topA.select(col("id_a").as("vec_id"), col("rank_a"), lit(0L).as("rank_b"))
+        .unionByName(topB.select(col("id_b").as("vec_id"),
+          lit(0L).as("rank_a"), col("rank_b")))
+        .groupBy("vec_id")
+        .agg(max(col("rank_a")).as("rank_a"), max(col("rank_b")).as("rank_b"))
+        .select(col("vec_id"), col("rank_a"), col("rank_b"),
+          r6(side(col("rank_a")) + side(col("rank_b"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // ---- per-label centroid cohesion --------------------------------------
+    // Embedding-hygiene report: exact per-label centroid, then every
+    // vector's cosine to its own centroid, reduced to per-label n / mean /
+    // min cohesion — the "is this cluster label coherent" check run before
+    // SemDeDup-style curation. Plan shape: the centroid is a two-level
+    // aggregate over the posexploded components (the one shuffle that
+    // scales with data is keyed (label, pos) — dim×|labels| reduce keys,
+    // map-side combined, no hot key); the |labels|×dim centroid frame
+    // broadcasts back and scoring is a shuffle-free projection through
+    // native vec_dot; the final roll-up is bounded by |labels|.
+    "q_embed_centroid" -> ((s, dir) => {
+      VecOps.register(s)
+      val e = t(s, dir, "embeddings")
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+      e.join(broadcast(cent), "label")
+        .select(col("label"),
+          (Ann.dot(col("embedding"), col("centroid"))
+            / (Ann.norm(col("embedding")) * Ann.norm(col("centroid")))).as("cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          r4(avg(col("cos"))).as("avg_cos"), r4(min(col("cos"))).as("min_cos"))
+        .orderBy("label")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_cohort_retention" ->
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_custkey, mi,
+        |    min(mi) OVER (PARTITION BY o_custkey) AS cohort
+        |  FROM m
+        |), a AS (
+        |  SELECT cohort, mi - cohort AS offset_m,
+        |    COUNT(DISTINCT o_custkey) AS active_users
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT CAST(cohort AS BIGINT) AS cohort,
+        |  CAST(offset_m AS BIGINT) AS offset_m,
+        |  CAST(active_users AS BIGINT) AS active_users,
+        |  FLOOR((CAST(active_users AS DOUBLE) /
+        |    max(CASE WHEN offset_m = 0 THEN active_users END)
+        |      OVER (PARTITION BY cohort)) * 100.0 + 0.500001) / 100.0 AS retention
+        |FROM a ORDER BY cohort, offset_m""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+        |)
+        |SELECT
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase,
+        |  FLOOR(((SELECT CAST(COUNT(*) AS DOUBLE) FROM c) /
+        |    (SELECT COUNT(*) FROM v)) * 100.0 + 0.500001) / 100.0 AS view_to_click,
+        |  FLOOR(((SELECT CAST(COUNT(*) AS DOUBLE) FROM p) /
+        |    (SELECT COUNT(*) FROM c)) * 100.0 + 0.500001) / 100.0 AS click_to_purchase""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      DATE '2001-09-01') AS DOUBLE) AS rec,
+        |    CAST(COUNT(*) AS DOUBLE) AS freq,
+        |    AVG(o_totalprice) AS mon
+        |  FROM orders GROUP BY 1
+        |), cuts AS (
+        |  SELECT quantile_cont(rec, [0.2,0.4,0.6,0.8]) AS rc,
+        |    quantile_cont(freq, [0.2,0.4,0.6,0.8]) AS fc,
+        |    quantile_cont(mon, [0.2,0.4,0.6,0.8]) AS mc
+        |  FROM f
+        |), sc AS (
+        |  SELECT 6 - (1 + len(list_filter(rc, x -> rec > x))) AS r_score,
+        |    1 + len(list_filter(fc, x -> freq > x)) AS f_score,
+        |    1 + len(list_filter(mc, x -> mon > x)) AS m_score,
+        |    mon
+        |  FROM f, cuts
+        |)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  FLOOR((AVG(mon)) * 100.0 + 0.500001) / 100.0 AS avg_monetary
+        |FROM sc GROUP BY 1, 2, 3, 4 ORDER BY segment""".stripMargin,
+
+    // both rankings recomputed from the same three dot products, in the
+    // same index order, so ranks and the 2-term RRF sum agree exactly
+    "q_rrf_fusion" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        |), s AS (
+        |  SELECT vec_id,
+        |    list_dot_product(embedding::DOUBLE[], qv)
+        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(qv, qv))) AS cos,
+        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+        |      - 2 * list_dot_product(embedding::DOUBLE[], qv)
+        |      + list_dot_product(qv, qv) AS d2
+        |  FROM embeddings, q WHERE vec_id > 0
+        |), a AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_a
+        |  FROM s ORDER BY cos DESC, vec_id LIMIT 50
+        |), b AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY d2 ASC, vec_id) AS rank_b
+        |  FROM s ORDER BY d2 ASC, vec_id LIMIT 50
+        |)
+        |SELECT CAST(COALESCE(a.vec_id, b.vec_id) AS BIGINT) AS vec_id,
+        |  CAST(COALESCE(rank_a, 0) AS BIGINT) AS rank_a,
+        |  CAST(COALESCE(rank_b, 0) AS BIGINT) AS rank_b,
+        |  FLOOR((COALESCE(1.0 / (60 + rank_a), 0)
+        |    + COALESCE(1.0 / (60 + rank_b), 0)) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS rrf
+        |FROM a FULL OUTER JOIN b ON a.vec_id = b.vec_id
+        |ORDER BY rrf DESC, vec_id LIMIT 20""".stripMargin,
+
+    // dim pinned at 64 (the fixture contract, TESTDATA.md); the Spark side
+    // reads the true array length, so a dim change fails loudly here first
+    "q_embed_centroid" ->
+      """WITH comp AS (
+        |  SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT label, list(m ORDER BY i) AS centroid FROM comp GROUP BY label
+        |), sc AS (
+        |  SELECT e.label,
+        |    list_dot_product(e.embedding::DOUBLE[], c.centroid)
+        |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+        |  FROM embeddings e JOIN cent c USING (label)
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  FLOOR((AVG(cos)) * 10000.0 + 0.500001) / 10000.0 AS avg_cos,
+        |  FLOOR((MIN(cos)) * 10000.0 + 0.500001) / 10000.0 AS min_cos
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin)
+}
