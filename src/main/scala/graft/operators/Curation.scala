@@ -269,6 +269,52 @@ object Curation {
         .where(col("rn") === 1)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BPE merge-candidate pair counts ----------------------------------
+    // The inner loop of byte-pair-encoding tokenizer training (Sennrich et
+    // al. 2016): count adjacent token pairs corpus-wide, keep the top
+    // merge candidates. Scale shape: pair generation is a zero-shuffle
+    // scan projection (sequence+transform over the already-materialized
+    // token array — no self-join of token positions); the pair aggregate
+    // combines map-side so the shuffle carries pair-vocabulary rows, not
+    // token rows; top-20 is a distributed TakeOrdered heap, never a
+    // global sort. Ties at the cutoff break on the pair string.
+    "q_bpe_pairs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextOps.tokens(lower(col("text"))).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(toks[i-1], ' ', toks[i]))")).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // ---- per-source dataset card ------------------------------------------
+    // The mixture report published next to a training corpus: per source,
+    // doc/token counts, token share of the whole corpus, language spread,
+    // and mean doc length. Scale shape: ONE two-level aggregate on the
+    // source key (token counting rides sum(size(tokens)) — no explode,
+    // the only shuffled rows are |sources| partials); the corpus-total
+    // denominator for the share column is a window over the |sources|-row
+    // result frame, not a second corpus pass.
+    "q_dataset_card" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          count_distinct(col("lang")).as("n_langs"),
+          r2(avg(col("n_chars"))).as("avg_chars"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("avg_chars"),
+          r4(col("n_tokens").cast("double")
+            / sum(col("n_tokens")).over(Window.partitionBy())).as("token_share"))
+        .orderBy("source")
     })
   )
 
@@ -411,6 +457,35 @@ object Curation {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM doubled
         |)
-        |SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+        |), p AS (
+        |  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d
+        |)
+        |SELECT toks[i] || ' ' || toks[i + 1] AS pair,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    FLOOR((AVG(n_chars)) * 100.0 + 0.500001) / 100.0 AS avg_chars
+        |  FROM d GROUP BY source
+        |)
+        |SELECT source, n_docs, n_tokens, n_langs, avg_chars,
+        |  FLOOR((CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ())
+        |    * 10000.0 + 0.500001) / 10000.0 AS token_share
+        |FROM a ORDER BY source""".stripMargin
   )
 }

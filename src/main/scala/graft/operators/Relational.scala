@@ -430,6 +430,33 @@ object Relational {
             .as("p95_within_1pct"))
     }),
 
+    // ---- grouped approximate percentile -----------------------------------
+    // Per-group median, exact + sketch, in ONE aggregate pass: the grouped
+    // variant of q_approx_percentile (same envelope contract — exact value
+    // hash-matched, sketch certified within 1%). At 100 TB the production
+    // path is approx_percentile alone: its t-digest buffers are MERGEABLE,
+    // so partial aggregation survives (the shuffle carries |groups|
+    // sketches, not rows), where exact percentile must haul every value of
+    // a group to one reducer. The exact branch here exists for the oracle
+    // anchor, exactly like q_approx_percentile's.
+    "q_group_percentile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, 0.5)").as("ex"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"))
+        .select(col("o_orderpriority"), col("n"),
+          r2(col("ex")).as("exact_median"),
+          // 3% band, not 1%: with a few hundred rows per group (sf0.001)
+          // the exact median INTERPOLATES between two samples while the
+          // sketch returns one of them — measured worst gap 1.1% there,
+          // 0.06% at the sf0.01 oracle gate, 3e-5 at sf0.1
+          when(abs(col("ap") - col("ex")) / col("ex") < 0.03, 1L)
+            .otherwise(0L).as("median_within_3pct"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- string scalar functions ------------------------------------------
     "q_string_funcs" -> ((s, dir) => {
       t(s, dir, "customer").select(
@@ -873,6 +900,14 @@ object Relational {
         |  CAST(1 AS BIGINT) AS median_within_1pct,
         |  CAST(1 AS BIGINT) AS p95_within_1pct
         |FROM orders""".stripMargin,
+
+    "q_group_percentile" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  FLOOR((quantile_cont(o_totalprice, 0.5)) * 100.0 + 0.500001) / 100.0
+        |    AS exact_median,
+        |  CAST(1 AS BIGINT) AS median_within_3pct
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT c_custkey, UPPER(c_name) AS name_upper,

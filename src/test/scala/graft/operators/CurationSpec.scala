@@ -221,4 +221,59 @@ class CurationSpec extends SparkSpec {
     val keeperTexts = out.join(docs, "doc_id").select(md5(col("text")).as("h"))
     assert(keeperTexts.distinct().count() === keeperTexts.count())
   }
+
+  // ---- q_bpe_pairs --------------------------------------------------------
+
+  test("bpe pairs: counts match a driver recount, order deterministic") {
+    val out = run("q_bpe_pairs").collect()
+    assert(out.length === 20)
+    // descending by count, pair-string tiebreak
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+    }
+    // driver brute force over the tiny corpus
+    val texts = graft.io.Sources.table(spark, sf, "documents")
+      .select(lower(col("text"))).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val toks = t.trim.split("\\s+")
+      toks.sliding(2).filter(_.length == 2)
+        .foreach(p => counts(p.mkString(" ")) = counts.getOrElse(p.mkString(" "), 0L) + 1)
+    }
+    out.foreach(r => assert(counts(r.getString(0)) === r.getLong(1),
+      s"count mismatch for pair '${r.getString(0)}'"))
+    // the emitted 20 really are the global maxima
+    val floor20 = out.map(_.getLong(1)).min
+    assert(counts.values.count(_ > floor20) < 20)
+  }
+
+  test("bpe pairs plan: no shuffle before the pair aggregate's partial side") {
+    val p = plan("q_bpe_pairs")
+    // scan → generate(explode) → partial agg must happen before the single
+    // hash Exchange; top-k must be TakeOrdered, not Sort+Limit
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"pair counting shuffled more than once:\n$p")
+  }
+
+  // ---- q_dataset_card -----------------------------------------------------
+
+  test("dataset card: shares sum to 1, totals conserved") {
+    val rows = run("q_dataset_card").collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-2, s"token shares sum to $shareSum")
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs === graft.io.Sources.table(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "fewer tokens than docs")
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
+  test("dataset card plan: no explode, token counts ride size()") {
+    val p = plan("q_dataset_card")
+    assert(!p.contains("Generate"), s"token counting exploded the corpus:\n$p")
+  }
 }

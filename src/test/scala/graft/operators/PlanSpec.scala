@@ -167,4 +167,22 @@ class PlanSpec extends SparkSpec {
           "convergence/cleanup job crept back in")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("group percentile: one aggregate pass, sketch agrees with exact") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries("q_group_percentile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // exact + sketch medians share ONE aggregate: a single hash Exchange
+    // on the group key, no join, no window
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"grouped percentile shuffled more than once:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"unexpected join/window in grouped percentile plan:\n$p")
+    // the envelope contract holds on real data at this SF
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) === 1L,
+      s"sketch median strayed >3% for group ${r.getString(0)}"))
+  }
 }
