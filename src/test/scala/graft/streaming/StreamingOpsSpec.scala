@@ -259,4 +259,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(byUser(1L) == ((2L, 3.0)))
     assert(byUser(2L) == ((1L, 5.0)))
   }
+
+  test("quality router splits clean vs quarantine in one pass, incrementally") {
+    val base = Files.createTempDirectory("graft_router").toString
+    val staging = s"$base/staging"
+    import spark.implicits._
+    def tx(rows: (java.lang.Long, Int, Double, String, Double)*) =
+      rows.toSeq.toDF("CustomerID", "Quantity", "UnitPrice", "ts_s", "TotalPurchase")
+        .select(col("CustomerID"), col("Quantity"), col("UnitPrice"),
+          col("ts_s").cast("timestamp").as("order_timestamp"), col("TotalPurchase"))
+    // batch 1: 2 clean, 1 negative amount, 1 null key, 1 future timestamp
+    Sources.appendParquet(tx(
+      (1L, 1, 10.0, "2026-01-24 10:00:00", 10.0),
+      (2L, 2, 5.0, "2026-01-24 11:00:00", 10.0),
+      (3L, 1, -4.0, "2026-01-24 12:00:00", -4.0),
+      (null, 1, 4.0, "2026-01-24 13:00:00", 4.0),
+      (5L, 1, 4.0, "2126-01-24 13:00:00", 4.0)), staging)
+    def stream() = spark.readStream
+      .schema("CustomerID LONG, Quantity INT, UnitPrice DOUBLE, " +
+        "order_timestamp TIMESTAMP, TotalPurchase DOUBLE")
+      .parquet(staging)
+    StreamingOps.routeQuality(stream(), s"$base/clean", s"$base/quar", s"$base/ckpt")
+
+    val clean1 = spark.read.parquet(s"$base/clean")
+    val quar1 = spark.read.parquet(s"$base/quar")
+    assert(clean1.count() === 2L && quar1.count() === 3L)
+    // verdict column only on the quarantine side, with the right reasons
+    assert(!clean1.columns.contains("verdict"))
+    val reasons = quar1.collect()
+      .map(r => Option(r.getAs[java.lang.Long]("CustomerID")).map(_.toLong) ->
+        r.getAs[String]("verdict")).toMap
+    assert(reasons(Some(3L)) === "bad_amount")
+    assert(reasons(None) === "null_key")
+    assert(reasons(Some(5L)) === "future_ts")
+    // parity: the batch-side verdict projection classifies identically
+    val batchOk = StreamingOps.withQualityVerdict(spark.read.parquet(staging))
+      .where(col("verdict") === "ok").count()
+    assert(batchOk === clean1.count())
+
+    // batch 2 on the same checkpoint: ONLY the delta is routed (no
+    // re-append of batch 1's rows — exactly-once per sink)
+    Sources.appendParquet(tx(
+      (6L, 1, 7.0, "2026-01-25 09:00:00", 7.0),
+      (7L, 1, 0.0, "2026-01-25 09:30:00", 0.0)), staging)
+    StreamingOps.routeQuality(stream(), s"$base/clean", s"$base/quar", s"$base/ckpt")
+    assert(spark.read.parquet(s"$base/clean").count() === 3L)
+    val quar2 = spark.read.parquet(s"$base/quar")
+    assert(quar2.count() === 4L)
+    // zero TotalPurchase is bad_amount (non-positive), not clean
+    assert(quar2.where(col("CustomerID") === 7L).select("verdict")
+      .head().getString(0) === "bad_amount")
+  }
 }
