@@ -86,6 +86,64 @@ object ScaleProbe {
         f"clusters=$nClusters%8d secs=$secs%.2f")
       Blocks.releaseAll(spark)
     }
+
+    // Funnel: events multiplied with fresh user ids (realistic growth —
+    // more users, same per-user history). Measures the shared-Exchange
+    // staged-window chain: cost must track the single user_id shuffle.
+    val ev = Sources.table(spark, dir, "events")
+    graft.operators.Analytics.queries("q_funnel")(spark, dir).count()
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val events = (0 until mult).map { i =>
+        ev.select(col("event_id"), col("ts"),
+          (col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val t0 = System.nanoTime()
+      val staged = events
+        .withColumn("v_ts", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts", min(when(col("event_type") === "click" &&
+          col("ts") > col("v_ts"), col("ts"))).over(w))
+        .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("c_ts"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max("v_ts").as("v"), max("c_ts").as("c"), max("p_ts").as("p"))
+        .agg(count(lit(1)), count(col("v")), count(col("c")), count(col("p")))
+        .head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-funnel] mult=$mult%2d events=${events.count()}%9d " +
+        f"users=${staged.getLong(0)}%8d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
+    // RRF fusion: corpus multiplied by jittered copies, fixed query
+    // vector. Measures the distributed TakeOrdered top-k: per-partition
+    // heaps mean cost tracks the scan, not a global sort.
+    for (mult <- Seq(1, 4, 16)) {
+      val corpus = (0 until mult).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(i.toFloat * 0.01f)).as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      graft.similarity.VecOps.register(spark)
+      val q = corpus.where(col("vec_id") === 1).select(col("embedding").as("qv"))
+      def scored = corpus.where(col("vec_id") > 1).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.similarity.Ann.dot(col("embedding"), col("qv")).as("s"))
+      val t0 = System.nanoTime()
+      val top = scored.orderBy(col("s").desc, col("vec_id")).limit(50)
+        .unionByName(scored.orderBy(col("s").asc, col("vec_id")).limit(50))
+        .count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-rrf] mult=$mult%2d vecs=${corpus.count()}%8d " +
+        f"fused=$top%4d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
     spark.stop()
   }
 }
