@@ -374,6 +374,31 @@ object LlmQueries {
         .orderBy("doc_a")
     }),
 
+    // oracle-backed: exact shingle CONTAINMENT — |A∩B| / |B| — on the same
+    // planted pairs. Jaccard misses quote/subset relationships (a doc
+    // wholly embedded in a much larger one scores near 0); containment is
+    // the curation measure for them (Broder 1997's two resemblance
+    // measures). The planted copy drops the last 2 tokens of the
+    // original, so its shingles are a strict subset: containment ≈ 1.0 —
+    // pinned exactly by the oracle. At 100 TB this runs on LSH candidates
+    // like verifyJaccard; the planted pairs are the SQL-expressible anchor.
+    "q_containment_exact" -> ((s, dir) => {
+      graft.dedup.DedupKernels.register(s)
+      val d = withPlantedNearDups(docs(s, dir))
+      val sets = d.select(col("doc_id"),
+        Dedup.shingleHashSet(col("text"), 3).as("sh"))
+      val a = sets.where(col("doc_id") < 1000000L)
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sets.where(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_a"), col("sh").as("sh_b"))
+      a.join(b, "doc_a")
+        .select(col("doc_a"), (col("doc_a") + 1000000L).as("doc_b"),
+          r4(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / greatest(size(col("sh_b")), lit(1)).cast("double"))
+            .as("containment"))
+        .orderBy("doc_a")
+    }),
+
     // oracle-backed: exact cosine near-dup pairs on a bounded slice (the
     // brute-force anchor for the LSH path below; DuckDB list_dot_product)
     "q_embed_neardup_brute" -> ((s, dir) => {
@@ -828,6 +853,30 @@ object LlmQueries {
         |SELECT a.doc_id AS doc_a, a.doc_id + 1000000 AS doc_b,
         |  FLOOR((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.sh, b.sh)))) * 10000.0 + 0.500001) / 10000.0 AS jaccard
+        |FROM sh_a a JOIN sh_b b USING (doc_id)
+        |ORDER BY doc_a""".stripMargin,
+
+    // same shingle pipeline, containment formula: |A∩B| / |B| (B = the
+    // perturbed copy, whose shingles are a subset of the original's)
+    "q_containment_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), pert AS (
+        |  SELECT doc_id, w[1 : greatest(len(w)-2, 1)] AS w2 FROM toks
+        |), sh_a AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w)-3, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+3], ' '))) AS sh
+        |  FROM toks
+        |), sh_b AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w2)-3, 0) + 1),
+        |    i -> array_to_string(w2[i+1 : i+3], ' '))) AS sh
+        |  FROM pert
+        |)
+        |SELECT a.doc_id AS doc_a, a.doc_id + 1000000 AS doc_b,
+        |  FLOOR((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    greatest(len(b.sh), 1)) * 10000.0 + 0.500001) / 10000.0 AS containment
         |FROM sh_a a JOIN sh_b b USING (doc_id)
         |ORDER BY doc_a""".stripMargin,
 

@@ -96,6 +96,32 @@ object Timeseries {
           sum((col("z") > 3.0).cast("long")).as("n_outliers"),
           r2(max(col("z"))).as("max_abs_z"))
         .orderBy("event_type")
+    }),
+
+    // ---- robust (MAD) outliers --------------------------------------------
+    // The robust sibling of q_outlier_stats: median / median-absolute-
+    // deviation instead of mean / stddev, so the monitor itself survives
+    // the outliers it hunts (Iglewicz–Hoaglin modified z, |0.6745·(x−med)/
+    // MAD| > 3.5). Plan shape: two bounded per-type aggregates (median,
+    // then MAD over the deviation projection) broadcast back onto the
+    // scan; raw rows shuffle zero times, and at 100 TB both exact medians
+    // swap for the mergeable approx_percentile sketch exactly as
+    // documented on q_group_percentile.
+    "q_mad_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = e.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      val z = abs(lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum((z > 3.5).cast("long")).as("n_outliers"),
+          r2(max(col("med"))).as("med"),
+          r2(max(col("mad"))).as("mad"))
+        .orderBy("event_type")
     })
   )
 
@@ -143,6 +169,24 @@ object Timeseries {
         |  FLOOR((MAX(ABS((e.value - s.mu) / s.sd))) * 100.0 + 0.500001)
         |    / 100.0 AS max_abs_z
         |FROM events e JOIN s USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), d AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type)
+        |  GROUP BY e.event_type
+        |)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  FLOOR((MAX(m.med)) * 100.0 + 0.500001) / 100.0 AS med,
+        |  FLOOR((MAX(d.mad)) * 100.0 + 0.500001) / 100.0 AS mad
+        |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

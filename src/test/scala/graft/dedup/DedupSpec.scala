@@ -182,4 +182,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashCandidates(Dedup.minhashSignatures(corpus),
       bucketCap = Int.MaxValue).count() >= 67L)
   }
+
+  test("containment: subset copies score 1.0 where jaccard drops below it") {
+    val sf = "/root/testdata/sf0.001"
+    val cont = graft.SparkEntry.queries("q_containment_exact")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val jacc = graft.SparkEntry.queries("q_jaccard_exact")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cont.nonEmpty && cont.keySet == jacc.keySet)
+    cont.values.foreach(c => assert(c >= 0.0 && c <= 1.0))
+    // the planted copy truncates the original, so its shingles are a
+    // subset: containment is exactly 1.0 whenever the copy has shingles
+    // at all, while jaccard < 1 whenever shingles were actually lost
+    val withShingles = cont.filter(_._2 > 0.0)
+    assert(withShingles.values.forall(_ == 1.0),
+      "a subset copy must have containment 1.0")
+    // containment dominates jaccard pointwise (Broder: |A∩B|/|B| ≥ |A∩B|/|A∪B|)
+    cont.foreach { case (id, c) => assert(c >= jacc(id) - 1e-9) }
+    assert(jacc.values.exists(_ < 1.0), "fixture should lose shingles somewhere")
+  }
 }

@@ -213,4 +213,33 @@ class IncrementalSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"log shuffled for the stats join:\n$p")
   }
+
+  test("MAD outliers: medians match a driver recompute, robust flags bounded") {
+    val out = run("q_mad_outliers").collect()
+    assert(out.nonEmpty)
+    val vals = graft.io.Sources.table(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def medOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    out.foreach { r =>
+      val (ty, n, nOut) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val xs = vals(ty)
+      assert(n === xs.length)
+      val med = medOf(xs)
+      val mad = medOf(xs.map(x => math.abs(x - med)).sorted)
+      assert(math.abs(r.getDouble(3) - med) < 0.02, s"median mismatch for $ty")
+      assert(math.abs(r.getDouble(4) - mad) < 0.02, s"MAD mismatch for $ty")
+      val expect = xs.count(x => math.abs(0.6745 * (x - med) / mad) > 3.5)
+      assert(nOut === expect, s"robust outlier count mismatch for $ty")
+    }
+  }
+
+  test("MAD plan: both median rows broadcast, raw log never shuffles") {
+    val p = plan("q_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"medians not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"log shuffled for the MAD join:\n$p")
+  }
 }
