@@ -30,11 +30,31 @@ object AsOfJoin {
     * (r2 ADVICE fix).
     */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame =
+    asOf(left, right, key, leftTs, rightTs, valueCols, forward = false)
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * right.ts >= left.ts within the same key (the "next reading after the
+    * event" direction). Same union+sort+carry shape as [[leftAsOf]], with
+    * the carry window mirrored: frame [current, following], first-non-null
+    * carry, and the right side ordered AFTER the left at equal timestamps
+    * so an equal-instant right row still matches.
+    */
+  def leftAsOfForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame =
+    asOf(left, right, key, leftTs, rightTs, valueCols, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val carry = valueCols.map(v => v -> s"__asof_$v")
     def slotType(v: String) = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v", right.schema(v).dataType)))
 
+    // at equal __ts the matching side must sort toward the left row's
+    // carry frame: right BEFORE left (0 < 1) for backward, right AFTER
+    // left (2 > 1) for forward — equality matches in both directions
+    val rightTag = if (forward) 2 else 0
     // left side: original columns + null-typed carry slots
     val lSide = carry.foldLeft(
         left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))) {
@@ -42,7 +62,7 @@ object AsOfJoin {
     }
     // right side: key + ts + populated carry slots; left-only columns null
     val rBase = right.select(
-      (Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+      (Seq(col(key), col(rightTs).as("__ts"), lit(rightTag).as("__side")) ++
         carry.map { case (v, slot) =>
           struct(col(v).as("v")).as(slot) }): _*)
     val rSide = lSide.columns.foldLeft(rBase) { (df, c) =>
@@ -50,11 +70,14 @@ object AsOfJoin {
       else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
     }
 
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(c: org.apache.spark.sql.Column) =
+      if (forward) first(c, ignoreNulls = true) else last(c, ignoreNulls = true)
     val carried = carry.foldLeft(lSide.unionByName(rSide)) { case (df, (_, slot)) =>
-      df.withColumn(slot, last(col(slot), ignoreNulls = true).over(w))
+      df.withColumn(slot, pick(col(slot)).over(w))
     }
     carry.foldLeft(carried.where(col("__side") === 1).drop("__side", "__ts")) {
       case (df, (v, slot)) =>

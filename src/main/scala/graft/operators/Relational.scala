@@ -578,6 +578,19 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // forward direction: for each purchase, the NEXT view at/after it —
+    // same single sort-merge pass, mirrored carry frame (AsOfJoin scaladoc)
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.leftAsOfForward(purchases, views, "user_id", "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), r4(col("asof_value")).as("next_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- range join (bucketed point-in-interval; see RangeJoin) -----------
     // Orders priced into overlapping 4000-wide bands: bucketed equi-join +
     // exact predicate, vs DuckDB's BETWEEN join as the oracle.
@@ -979,6 +992,14 @@ object Relational {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT l.event_id, l.user_id,
+        |  FLOOR((r.value) * 10000.0 + 0.500001) / 10000.0 AS next_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "q_range_join" ->

@@ -57,4 +57,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), "as-of must be union+window, not a join")
     assert(plan.contains("Window"))
   }
+
+  test("forward as-of: earliest right row at or after, equality included") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")),   // next right is 11:00 → 3.0
+      (2L, 10L, ts("2026-01-01 09:30:00")),   // exactly at r@09:30 → matches (<=)
+      (3L, 10L, ts("2026-01-01 12:00:00")),   // after every right row → null
+      (4L, 20L, ts("2026-01-01 11:00:00")))   // other key → 9.0
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2026-01-01 09:00:00"), 1.0),
+      (10L, ts("2026-01-01 09:30:00"), 2.0),
+      (10L, ts("2026-01-01 11:00:00"), 3.0),
+      (20L, ts("2026-01-01 11:59:00"), 9.0))
+      .toDF("user_id", "ts", "value")
+
+    val out = AsOfJoin.leftAsOfForward(left, right, "user_id", "ts", "ts", Seq("value"))
+      .orderBy("event_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Double]("asof_value") == 3.0)
+    assert(out(1).getAs[Double]("asof_value") == 2.0,
+      "equal-instant right row must match in the forward direction too")
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_value")))
+    assert(out(3).getAs[Double]("asof_value") == 9.0)
+    // and the forward plan is the same join-free union+window shape
+    val plan = AsOfJoin.leftAsOfForward(left, right, "user_id", "ts", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "forward as-of must be union+window, not a join")
+  }
 }
