@@ -591,6 +591,22 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // ---- exact top-k per group (two-phase bounded heaps; see TopK) --------
+    // Top-3 orders by price per priority. The window-rank form sorts every
+    // group's every row; TopK shuffles only partitions×groups×k heap
+    // survivors (TopK.scala scaladoc) — the 100 TB curation shape
+    // ("best k docs per domain").
+    "q_topk_per_group" -> ((s, dir) => {
+      TopK.topKPerGroup(
+          t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice")),
+          groupCols = Seq("o_orderpriority"), scoreCol = "o_totalprice",
+          tieCol = "o_orderkey", k = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          r2(col("o_totalprice")).as("price"), col("rank").cast(LongType).as("rank"))
+        .orderBy("o_orderpriority", "rank")
+    }),
+
     // ---- range join (bucketed point-in-interval; see RangeJoin) -----------
     // Orders priced into overlapping 4000-wide bands: bucketed equi-join +
     // exact predicate, vs DuckDB's BETWEEN join as the oracle.
@@ -993,6 +1009,19 @@ object Relational {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, o_orderkey,
+        |  FLOOR((o_totalprice) * 100.0 + 0.500001) / 100.0 AS price,
+        |  CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
 
     "q_asof_forward" ->
       """SELECT l.event_id, l.user_id,
