@@ -591,6 +591,26 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // ---- interval-overlap join (bucketed; see RangeJoin.intervalOverlap) --
+    // Price bands × per-order ±500 price windows: every overlapping
+    // (band, order) pair via grid-cell equi-join with single-cell pair
+    // attribution (no distinct), exact predicate after — vs DuckDB's
+    // plain inequality join as the oracle.
+    "q_interval_join" -> ((s, dir) => {
+      val bands = s.range(0, 250).select(
+        col("id").as("band_id"),
+        (col("id") * 2000.0).as("lo"),
+        (col("id") * 2000.0 + 2999.99).as("hi"))
+      val ords = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice") - 500.0).as("lo2"),
+        (col("o_totalprice") + 500.0).as("hi2"))
+      RangeJoin.intervalOverlap(bands, "lo", "hi", ords, "lo2", "hi2",
+          bucketWidth = 2000.0)
+        .select(col("band_id"), col("o_orderkey"),
+          r2(col("lo2") + 500.0).as("price"))
+        .orderBy("band_id", "o_orderkey")
+    }),
+
     // ---- exact top-k per group (two-phase bounded heaps; see TopK) --------
     // Top-3 orders by price per priority. The window-rank form sorts every
     // group's every row; TopK shuffles only partitions×groups×k heap
@@ -1009,6 +1029,20 @@ object Relational {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 2000.0 AS lo, i * 2000.0 + 2999.99 AS hi
+        |  FROM range(0, 250) t(i)
+        |), ords AS (
+        |  SELECT o_orderkey, o_totalprice - 500.0 AS lo2,
+        |    o_totalprice + 500.0 AS hi2
+        |  FROM orders
+        |)
+        |SELECT CAST(band_id AS BIGINT) AS band_id, o_orderkey,
+        |  FLOOR((lo2 + 500.0) * 100.0 + 0.500001) / 100.0 AS price
+        |FROM bands JOIN ords ON lo <= hi2 AND lo2 <= hi
+        |ORDER BY band_id, o_orderkey""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH r AS (

@@ -27,4 +27,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "range join must be a bucketed equi-join")
   }
+
+  test("interval overlap ≡ naive inequality join, each pair exactly once") {
+    import spark.implicits._
+    // spans chosen so pairs share 1, 2, and 3 grid cells (width 10) —
+    // the single-cell attribution must emit each pair exactly once
+    val a = Seq((1L, 0.0, 9.0), (2L, 5.0, 35.0), (3L, 40.0, 41.0))
+      .toDF("a_id", "lo", "hi")
+    val b = Seq((10L, 8.0, 12.0), (20L, 0.0, 50.0), (30L, 36.0, 39.0),
+      (40L, 60.0, 70.0))
+      .toDF("b_id", "lo2", "hi2")
+
+    val got = RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo2", "hi2", 10.0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = a.join(b, $"lo" <= $"hi2" && $"lo2" <= $"hi")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: multiset equality, not just set equality
+    assert(got.sorted.toSeq === naive.sorted.toSeq,
+      s"got ${got.toSeq.sorted} vs naive ${naive.toSeq.sorted}")
+    assert(got.toSet.contains((2L, 20L)), "3-cell-span pair present")
+    assert(!got.exists(_._2 == 40L), "disjoint interval stays unmatched")
+
+    val plan = RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo2", "hi2", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "interval overlap must be a bucketed equi-join")
+  }
 }
