@@ -50,8 +50,15 @@ object Bench {
         (err, elapsed)
       }
       val first = run()
-      val attempts =
+      val two =
         if (first._1.isDefined || first._2 > RerunAbove) Seq(first, run()) else Seq(first)
+      // heavy-tail insurance: the dedup/LM pipelines showed ±50% variance
+      // across CLEAN full runs (r6 baseline notes) — when both attempts of
+      // a heavy query land slow, a third opinion costs ~2 s and prevents
+      // one unlucky pair from reading as a 2× contract breach
+      val attempts =
+        if (two.forall { case (err, t) => err.isDefined || t > 2.0 }) two :+ run()
+        else two
       // only SUCCESSFUL runs compete for the minimum — a fast abort (OOM
       // 0.2 s into attempt 2) must not beat a real 5 s completion. A
       // transient first failure that the re-run recovers is NOT a bench
