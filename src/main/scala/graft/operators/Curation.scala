@@ -315,6 +315,39 @@ object Curation {
           r4(col("n_tokens").cast("double")
             / sum(col("n_tokens")).over(Window.partitionBy())).as("token_share"))
         .orderBy("source")
+    }),
+
+    // ---- corpus-level source overlap (mergeable minhash union) ------------
+    // Estimate the shingle-set Jaccard BETWEEN two sources from their
+    // union minhash sketches: the per-source signature is the elementwise
+    // MIN of per-doc signatures — an associative, mergeable aggregate, so
+    // at 100 TB each source reduces to 64 longs in one map-side-combined
+    // pass and corpora never co-shuffle. The exact distinct-shingle
+    // Jaccard here is the oracle ANCHOR (it costs a corpus-wide distinct —
+    // exactly what the sketch path exists to avoid); contract: |est −
+    // exact| ≤ 0.25, measured err 0.023/0.005/0.079 at sf0.001/0.01/0.1
+    // vs 64-lane σ≈0.05 (OverlapProbe).
+    "q_source_overlap" -> ((s, dir) => {
+      graft.dedup.DedupKernels.register(s)
+      val d = t(s, dir, "documents").where(col("source").isin("src0", "src1"))
+      val est = d.select(col("source"),
+          posexplode(call_function("minhash_sig", col("text"), lit(3), lit(64)))
+            .as(Seq("pos", "h")))
+        .groupBy("pos")
+        .agg(min(when(col("source") === "src0", col("h"))).as("h0"),
+          min(when(col("source") === "src1", col("h"))).as("h1"))
+        .agg(avg((col("h0") === col("h1")).cast("double")).as("est"))
+      val exact = d.select(col("source"),
+          explode(graft.dedup.Dedup.shingleHashSet(col("text"), 3)).as("h"))
+        .distinct()
+        .groupBy("h").agg(count_distinct(col("source")).as("ns"))
+        .agg(count(lit(1)).as("n_union"),
+          sum((col("ns") === 2).cast("long")).as("n_inter"))
+      exact.crossJoin(est).select(
+        col("n_union"), col("n_inter"),
+        r4(col("n_inter").cast("double") / col("n_union")).as("exact_jaccard"),
+        (abs(col("est") - col("n_inter").cast("double") / col("n_union"))
+          <= 0.25).cast("long").as("est_within_025"))
     })
   )
 
@@ -486,6 +519,27 @@ object Curation {
         |SELECT source, n_docs, n_tokens, n_langs, avg_chars,
         |  FLOOR((CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ())
         |    * 10000.0 + 0.500001) / 10000.0 AS token_share
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+
+    // exact anchor via the q_jaccard_exact string-shingle pipeline at the
+    // SOURCE level; the minhash-union estimate is engine-side, flagged
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |), sh AS (
+        |  SELECT DISTINCT source, unnest(list_transform(
+        |    range(0, greatest(len(w)-3, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+3], ' '))) AS g
+        |  FROM toks
+        |), agg AS (
+        |  SELECT g, COUNT(DISTINCT source) AS ns FROM sh GROUP BY g
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+        |  CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+        |  FLOOR((CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*)) * 10000.0 + 0.500001) / 10000.0 AS exact_jaccard,
+        |  CAST(1 AS BIGINT) AS est_within_025
+        |FROM agg""".stripMargin
   )
 }

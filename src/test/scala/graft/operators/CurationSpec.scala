@@ -276,4 +276,26 @@ class CurationSpec extends SparkSpec {
     val p = plan("q_dataset_card")
     assert(!p.contains("Generate"), s"token counting exploded the corpus:\n$p")
   }
+
+  // ---- q_source_overlap ---------------------------------------------------
+
+  test("source overlap: union sketch identity and estimator contract") {
+    val r = run("q_source_overlap").collect().head
+    val (nUnion, nInter) = (r.getLong(0), r.getLong(1))
+    assert(nUnion > 0 && nInter >= 0 && nInter <= nUnion)
+    assert(r.getLong(3) === 1L, "minhash-union estimate strayed from exact")
+    // union-sketch identity: a source unioned with ITSELF estimates J=1
+    // (elementwise min of identical signatures ⇒ every lane agrees)
+    import org.apache.spark.sql.functions._
+    graft.dedup.DedupKernels.register(spark)
+    val d = graft.io.Sources.table(spark, sf, "documents")
+      .where(col("source") === "src0")
+    val lanes = d.select(
+        posexplode(call_function("minhash_sig", col("text"), lit(3), lit(64)))
+          .as(Seq("pos", "h")))
+      .groupBy("pos").agg(min(col("h")).as("h0"), min(col("h")).as("h1"))
+    val self = lanes.agg(avg((col("h0") === col("h1")).cast("double")))
+      .head().getDouble(0)
+    assert(self === 1.0)
+  }
 }
