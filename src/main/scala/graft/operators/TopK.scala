@@ -23,6 +23,9 @@ object TopK {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
       tieCol: String, k: Int, descending: Boolean = true): DataFrame = {
     require(k > 0, "topKPerGroup: k must be positive")
+    require(groupCols.nonEmpty,
+      "topKPerGroup: no group columns — global top-k is orderBy(...).limit(k)" +
+        " (Spark's native TakeOrderedAndProject already heap-merges it)")
     val schema = df.schema
     val gIdx = groupCols.map(schema.fieldIndex)
     val sIdx = schema.fieldIndex(scoreCol)
