@@ -348,6 +348,31 @@ object Curation {
         r4(col("n_inter").cast("double") / col("n_union")).as("exact_jaccard"),
         (abs(col("est") - col("n_inter").cast("double") / col("n_union"))
           <= 0.25).cast("long").as("est_within_025"))
+    }),
+
+    // ---- end-to-end curation pipeline -------------------------------------
+    // The whole curation chain as ONE composable plan — exact dedup (keep
+    // min doc_id per content hash) → quality floor (length ≥ 100 chars) →
+    // content-addressed md5 train/val split → per-(split, lang) shard
+    // report. Shows the operators compose without materialization
+    // barriers: Catalyst fuses the dedup window, both filters, and the
+    // split projection into one pass over the scan + one window Exchange;
+    // the report aggregate is the only other shuffle, and its output is
+    // bounded by splits×langs. Every stage is SQL-expressible, so the
+    // WHOLE pipeline gets a hash oracle, not an envelope.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val keepFirst = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(keepFirst))
+        .where(col("rn") === 1 && col("n_chars") >= 100)
+        .withColumn("split",
+          when(md5(col("doc_id").cast("string")) < "c0000000", "train")
+            .otherwise("val"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"),
+          r2(avg(col("n_chars"))).as("avg_chars"))
+        .orderBy("split", "lang")
     })
   )
 
@@ -540,6 +565,26 @@ object Curation {
         |  FLOOR((CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*)) * 10000.0 + 0.500001) / 10000.0 AS exact_jaccard,
         |  CAST(1 AS BIGINT) AS est_within_025
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      """WITH deduped AS (
+        |  SELECT doc_id, text, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, text, lang, n_chars FROM deduped
+        |  WHERE rn = 1 AND n_chars >= 100
+        |), split AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0000000'
+        |      THEN 'train' ELSE 'val' END AS split
+        |  FROM kept
+        |)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  FLOOR((AVG(n_chars)) * 100.0 + 0.500001) / 100.0 AS avg_chars
+        |FROM split GROUP BY split, lang ORDER BY split, lang""".stripMargin
   )
 }

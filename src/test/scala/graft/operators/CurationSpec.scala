@@ -298,4 +298,29 @@ class CurationSpec extends SparkSpec {
       .head().getDouble(0)
     assert(self === 1.0)
   }
+
+  // ---- q_corpus_pipeline --------------------------------------------------
+
+  test("corpus pipeline: stage arithmetic conserved, stages fuse into 2 shuffles") {
+    val rows = run("q_corpus_pipeline").collect()
+    assert(rows.nonEmpty)
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    // pipeline output counts == the independently-computed stage chain
+    val expect = docs
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1 && col("n_chars") >= 100).count()
+    assert(rows.map(_.getLong(2)).sum === expect)
+    // both splits present, every shard non-empty
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq === Seq("train", "val"))
+    rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) >= r.getLong(2)))
+
+    // plan: dedup window + report aggregate = exactly two hash Exchanges;
+    // dedup/filter/split fuse into the window pass (no extra shuffle)
+    val p = plan("q_corpus_pipeline")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"pipeline stages failed to fuse:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in the pipeline:\n$p")
+  }
 }
