@@ -45,6 +45,36 @@ object Curation {
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("table", "hash", "spark")
 
+  /** Okapi BM25 of every doc against [[Bm25Terms]], unrounded. Corpus
+    * stats (N, df per term, avgdl) reduce to ONE tiny aggregate row,
+    * broadcast back; per-doc scoring is then a pure projection over the
+    * token array — one wide scan, one broadcast, zero row-expanding
+    * joins. Shared by q_bm25 (rounded dump) and q_hybrid_search (rank
+    * input). */
+  def bm25Scores(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    def tf(term: String): Column =
+      size(filter(col("toks"), x => x === lit(term))).cast("double")
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +:
+        Bm25Terms.map(tm => sum(when(tf(tm) > 0, 1.0).otherwise(0.0))
+          .as(s"df_$tm")): _*)
+    def idf(tm: String): Column =
+      log((col("n_docs") - col(s"df_$tm") + lit(0.5))
+        / (col(s"df_$tm") + lit(0.5)) + lit(1.0))
+    def part(tm: String): Column = {
+      val f = tf(tm)
+      idf(tm) * (f * lit(Bm25K1 + 1.0)) /
+        (f + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }
+    d.crossJoin(broadcast(stats))
+      .select(col("doc_id"), Bm25Terms.map(part).reduce(_ + _).as("bm25"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- context-window chunking ------------------------------------------
@@ -125,28 +155,8 @@ object Curation {
     // scan, one broadcast, zero row-expanding joins. Term frequencies use
     // the already-materialized token array (no per-term re-tokenization).
     "q_bm25" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("double").as("dl"))
-      def tf(term: String): Column =
-        size(filter(col("toks"), x => x === lit(term))).cast("double")
-      val stats = d.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl") +:
-          Bm25Terms.map(tm => sum(when(tf(tm) > 0, 1.0).otherwise(0.0))
-            .as(s"df_$tm")): _*)
-      def idf(tm: String): Column =
-        log((col("n_docs") - col(s"df_$tm") + lit(0.5))
-          / (col(s"df_$tm") + lit(0.5)) + lit(1.0))
-      def part(tm: String): Column = {
-        val f = tf(tm)
-        idf(tm) * (f * lit(Bm25K1 + 1.0)) /
-          (f + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-      }
-      d.crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          r4(Bm25Terms.map(part).reduce(_ + _)).as("bm25"))
+      bm25Scores(t(s, dir, "documents"))
+        .select(col("doc_id"), r4(col("bm25")).as("bm25"))
         .orderBy("doc_id")
     }),
 
@@ -373,6 +383,71 @@ object Curation {
           sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"),
           r2(avg(col("n_chars"))).as("avg_chars"))
         .orderBy("split", "lang")
+    }),
+
+    // ---- tokenizer vocab coverage -----------------------------------------
+    // What fraction of all token OCCURRENCES does a top-N vocabulary
+    // cover — the curve tokenizer designers read before fixing a vocab
+    // size. ONE explode+aggregate builds the term-count table (map-side
+    // combined, vocab-sized shuffle); the top-N cutoff and both coverage
+    // sums then derive FROM that table (window over the vocab frame) —
+    // the corpus is scanned once, never twice.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val ranked = counts.withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      ranked.agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("n")).as("n_tokens"),
+          sum(when(col("rk") <= 1000, col("n")).otherwise(0L)).as("n_covered"))
+        .select(col("n_terms"), col("n_tokens"),
+          r4(col("n_covered").cast("double") / col("n_tokens"))
+            .as("top1000_coverage"))
+    }),
+
+    // ---- hybrid retrieval (BM25 ⊕ vector, RRF-fused) ----------------------
+    // The canonical hybrid-search stage: lexical BM25 ranking and
+    // embedding-cosine ranking against one query vector, fused with RRF
+    // (k=60) — doc store ⋈ vector store on id is the one co-partitioned
+    // join (both sides shuffle on the id ONCE; at 100 TB this is the
+    // bucketed-layout join of io.Layout), each ranking is a distributed
+    // TakeOrdered top-50 heap, and the fusion is the join-free union +
+    // groupBy of q_rrf_fusion. Ranks are cross-engine stable: both
+    // engines compute identical score doubles (same formula structure),
+    // ties break on doc_id.
+    "q_hybrid_search" -> ((s, dir) => {
+      graft.similarity.VecOps.register(s)
+      import graft.similarity.Ann
+      val emb = t(s, dir, "embeddings")
+      val joined = bm25Scores(t(s, dir, "documents"))
+        .join(emb, col("doc_id") === col("vec_id"))
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      def scored = joined.where(col("doc_id") > 0).crossJoin(broadcast(q))
+        .select(col("doc_id"), col("bm25"),
+          (Ann.dot(col("embedding"), col("qv"))
+            / (Ann.norm(col("embedding")) * Ann.norm(col("qv")))).as("cos"))
+      val topLex = scored.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .select(col("doc_id").as("id_a"),
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast("long").as("rank_lex"))
+      val topVec = scored.orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .select(col("doc_id").as("id_b"),
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
+            .cast("long").as("rank_vec"))
+      def side(c: Column): Column =
+        when(c > 0, lit(1.0) / (lit(60.0) + c)).otherwise(lit(0.0))
+      topLex.select(col("id_a").as("doc_id"), col("rank_lex"), lit(0L).as("rank_vec"))
+        .unionByName(topVec.select(col("id_b").as("doc_id"),
+          lit(0L).as("rank_lex"), col("rank_vec")))
+        .groupBy("doc_id")
+        .agg(max(col("rank_lex")).as("rank_lex"), max(col("rank_vec")).as("rank_vec"))
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+          (floor((side(col("rank_lex")) + side(col("rank_vec"))) * lit(1000000.0)
+            + lit(0.500001)) / lit(1000000.0)).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -585,6 +660,74 @@ object Curation {
         |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
         |  FLOOR((AVG(n_chars)) * 100.0 + 0.500001) / 100.0 AS avg_chars
-        |FROM split GROUP BY split, lang ORDER BY split, lang""".stripMargin
+        |FROM split GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), c AS (
+        |  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+        |), r AS (
+        |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk FROM c
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  FLOOR((CAST(SUM(CASE WHEN rk <= 1000 THEN n ELSE 0 END) AS DOUBLE)
+        |    / SUM(n)) * 10000.0 + 0.500001) / 10000.0 AS top1000_coverage
+        |FROM r""".stripMargin,
+
+    // both rankings recomputed with the exact q_bm25 formula and the
+    // q_rrf_fusion cosine/fusion structure; ranks tie-break on doc_id
+    "q_hybrid_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf_table,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_hash,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_spark
+        |  FROM d
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+        |    SUM(CASE WHEN tf_table > 0 THEN 1.0 ELSE 0.0 END) AS df_table,
+        |    SUM(CASE WHEN tf_hash > 0 THEN 1.0 ELSE 0.0 END) AS df_hash,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark
+        |  FROM f
+        |), bm AS (
+        |  SELECT doc_id,
+        |    ln((n_docs - df_table + 0.5) / (df_table + 0.5) + 1.0)
+        |      * (tf_table * 2.2) / (tf_table + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+        |      * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+        |      * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    AS bm25
+        |  FROM f, st
+        |), q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        |), s AS (
+        |  SELECT bm.doc_id, bm.bm25,
+        |    list_dot_product(e.embedding::DOUBLE[], qv)
+        |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(qv, qv))) AS cos
+        |  FROM bm JOIN embeddings e ON bm.doc_id = e.vec_id, q
+        |  WHERE bm.doc_id > 0
+        |), a AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        |  FROM s ORDER BY bm25 DESC, doc_id LIMIT 50
+        |), b AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+        |  FROM s ORDER BY cos DESC, doc_id LIMIT 50
+        |)
+        |SELECT CAST(COALESCE(a.doc_id, b.doc_id) AS BIGINT) AS doc_id,
+        |  CAST(COALESCE(rank_lex, 0) AS BIGINT) AS rank_lex,
+        |  CAST(COALESCE(rank_vec, 0) AS BIGINT) AS rank_vec,
+        |  FLOOR((COALESCE(1.0 / (60 + rank_lex), 0)
+        |    + COALESCE(1.0 / (60 + rank_vec), 0)) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS rrf
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }

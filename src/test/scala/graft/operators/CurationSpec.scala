@@ -323,4 +323,46 @@ class CurationSpec extends SparkSpec {
     assert(hashEx <= 2, s"pipeline stages failed to fuse:\n$p")
     assert(!p.contains("Join"), s"unexpected join in the pipeline:\n$p")
   }
+
+  // ---- q_vocab_coverage ---------------------------------------------------
+
+  test("vocab coverage: conserved totals, coverage bounds, top-N dominance") {
+    val r = run("q_vocab_coverage").collect().head
+    val (nTerms, nTokens, cov) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nTerms > 0 && nTokens >= nTerms)
+    assert(cov > 0.0 && cov <= 1.0)
+    // the top-1000 must cover at least the uniform share (Zipf ⇒ far more)
+    if (nTerms > 1000)
+      assert(cov > 1000.0 / nTerms, "top-1000 coverage below uniform share")
+    val directTokens = graft.io.Sources.table(spark, sf, "documents")
+      .select(explode(graft.text.TextOps.tokens(lower(col("text")))).as("t"))
+      .count()
+    assert(nTokens === directTokens)
+  }
+
+  // ---- q_hybrid_search ----------------------------------------------------
+
+  test("hybrid search: rank bounds, lexical+vector agreement boosts fusion") {
+    val rows = run("q_hybrid_search").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) != 0L, "query doc must not match itself")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 50)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 50)
+      assert(r.getLong(1) > 0 || r.getLong(2) > 0)
+    }
+    val rrfs = rows.map(_.getDouble(3))
+    assert(rrfs.zip(rrfs.tail).forall { case (x, y) => x >= y }, "not sorted")
+    // a doc in BOTH lists outranks one in neither; max possible = 2/(60+1)
+    assert(rrfs.head <= 2.0 / 61 + 1e-6)
+  }
+
+  test("hybrid search plan: TakeOrdered rankings, join-free fusion") {
+    val p = plan("q_hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k heaps:\n$p")
+    // the only SMJ-eligible join is doc⋈vector on the id; fusion itself
+    // must stay union+groupBy (no full-outer join node above the rankings)
+    assert(!p.contains("FullOuter"), s"fusion regressed to a full-outer join:\n$p")
+  }
 }
