@@ -40,4 +40,12 @@ class QueriesSmokeSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
+
+  test("every query is oracle-backed (no rows-only drift)") {
+    // round 6 reached 0 rows-only checks; a new query landing without an
+    // oracle (full hash or envelope contract) silently weakens the gate —
+    // fail here instead
+    val unbacked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unbacked.isEmpty, s"queries without an oracle: $unbacked")
+  }
 }
