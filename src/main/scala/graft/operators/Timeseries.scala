@@ -122,6 +122,37 @@ object Timeseries {
           r2(max(col("med"))).as("med"),
           r2(max(col("mad"))).as("mad"))
         .orderBy("event_type")
+    }),
+
+    // ---- distribution drift (PSI) -----------------------------------------
+    // Population-stability index of order value, reference window
+    // (pre-1999) vs current window — the drift monitor a pipeline runs
+    // before trusting a model trained on last quarter. Decile bins come
+    // from ONE exact-percentile aggregate over the reference (9 doubles,
+    // broadcast — the q_quantile_bucket shape; sketch swap-in applies);
+    // binning is a projection, both windows share one bounded 10-row
+    // aggregate, and the PSI terms ride a window over that frame. Bin
+    // shares are Laplace-smoothed ((n+0.5)/(N+5)) so an empty bin yields
+    // a finite term instead of ln(p/0) — identical smoothing in the
+    // oracle.
+    "q_drift_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_totalprice").as("v"),
+        (to_date(col("o_orderdate")) < lit("1999-01-01").cast("date")).as("is_ref"))
+      val cuts = o.where(col("is_ref")).agg(expr(
+        "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      val w = Window.partitionBy()
+      val binned = o.crossJoin(broadcast(cuts))
+        .select(col("is_ref"),
+          (size(filter(col("bs"), b => col("v") > b)) + 1).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val p = (col("n_ref") + lit(0.5)) / (sum(col("n_ref")).over(w) + lit(5.0))
+      val q = (col("n_cur") + lit(0.5)) / (sum(col("n_cur")).over(w) + lit(5.0))
+      binned.select(col("bin"), col("n_ref"), col("n_cur"),
+          (floor((p - q) * log(p / q) * lit(1000000.0) + lit(0.500001))
+            / lit(1000000.0)).as("psi_term"))
+        .orderBy("bin")
     })
   )
 
@@ -187,6 +218,28 @@ object Timeseries {
         |  FLOOR((MAX(m.med)) * 100.0 + 0.500001) / 100.0 AS med,
         |  FLOOR((MAX(d.mad)) * 100.0 + 0.500001) / 100.0 AS mad
         |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH o AS (
+        |  SELECT o_totalprice AS v,
+        |    CAST(o_orderdate AS DATE) < DATE '1999-01-01' AS is_ref
+        |  FROM orders
+        |), cuts AS (
+        |  SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        |  FROM o WHERE is_ref
+        |), binned AS (
+        |  SELECT CAST(1 + len(list_filter(bs, x -> v > x)) AS BIGINT) AS bin,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        |  FROM o, cuts GROUP BY 1
+        |)
+        |SELECT bin, n_ref, n_cur,
+        |  FLOOR((((n_ref + 0.5) / (SUM(n_ref) OVER () + 5.0)
+        |        - (n_cur + 0.5) / (SUM(n_cur) OVER () + 5.0))
+        |    * ln(((n_ref + 0.5) / (SUM(n_ref) OVER () + 5.0))
+        |       / ((n_cur + 0.5) / (SUM(n_cur) OVER () + 5.0))))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS psi_term
+        |FROM binned ORDER BY bin""".stripMargin
   )
 }

@@ -242,4 +242,28 @@ class IncrementalSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"medians not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"log shuffled for the MAD join:\n$p")
   }
+
+  test("PSI drift: bins conserve both windows, deciles balanced on reference") {
+    val rows = run("q_drift_psi").collect()
+    assert(rows.length === 10, "expected exactly 10 decile bins")
+    val orders = graft.io.Sources.table(spark, sf, "orders")
+    val nRef = orders.where(to_date(col("o_orderdate")) < lit("1999-01-01")).count()
+    val nCur = orders.count() - nRef
+    assert(rows.map(_.getLong(1)).sum === nRef)
+    assert(rows.map(_.getLong(2)).sum === nCur)
+    // decile bins of the reference hold ~10% of the reference each
+    rows.foreach(r => assert(math.abs(r.getLong(1) - nRef / 10.0) < nRef * 0.02 + 2))
+    // same-generator windows: total PSI far below the 0.1 drift alarm
+    val psi = rows.map(_.getDouble(3)).sum
+    assert(math.abs(psi) < 0.1, s"unexpected drift PSI=$psi on stable data")
+    // PSI terms: (p-q)ln(p/q) is non-negative by construction
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-9))
+  }
+
+  test("PSI plan: cuts broadcast, one bounded bin aggregate, no SMJ") {
+    val p = plan("q_drift_psi")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cuts row not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"binning shuffled a join:\n$p")
+  }
 }
