@@ -104,6 +104,34 @@ object Analytics {
           r2(col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"))
     }),
 
+    // ---- funnel timing ----------------------------------------------------
+    // Distribution of view→purchase conversion latency: per user, hours
+    // between the first view and the first purchase after it; median and
+    // p90 over converting users. Same one-Exchange staged-window shape as
+    // q_funnel; the percentile aggregate runs over the (bounded-by-users)
+    // duration frame — at 100 TB the sketch swap-in of q_group_percentile
+    // applies to the final quantiles.
+    "q_time_to_convert" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val staged = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") > col("v_ts"),
+            col("ts"))).over(w))
+      staged.groupBy("user_id")
+        .agg(max(col("v_ts")).as("v_ts"), max(col("p_ts")).as("p_ts"))
+        .where(col("p_ts").isNotNull)
+        .select(((col("p_ts").cast("long") - col("v_ts").cast("long"))
+          / lit(3600.0)).as("hours"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(hours, array(0.5, 0.9))").as("qs"))
+        .select(col("n_converted"),
+          r2(element_at(col("qs"), 1)).as("median_hours"),
+          r2(element_at(col("qs"), 2)).as("p90_hours"))
+    }),
+
     // ---- RFM quintile segmentation ----------------------------------------
     // The classic R×F×M 5-tier segmentation over per-customer order
     // features (recency days vs the pinned as-of, order count, avg spend).
@@ -257,6 +285,26 @@ object Analytics {
         |    (SELECT COUNT(*) FROM v)) * 100.0 + 0.500001) / 100.0 AS view_to_click,
         |  FLOOR(((SELECT CAST(COUNT(*) AS DOUBLE) FROM p) /
         |    (SELECT COUNT(*) FROM c)) * 100.0 + 0.500001) / 100.0 AS click_to_purchase""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id,
+        |    min(CAST(FLOOR(extract(epoch FROM e.ts)) AS BIGINT)) AS p_sec,
+        |    max(CAST(FLOOR(extract(epoch FROM v.v_ts)) AS BIGINT)) AS v_sec
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts GROUP BY 1
+        |), d AS (
+        |  SELECT (p_sec - v_sec) / 3600.0 AS hours FROM p
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  FLOOR((quantile_cont(hours, 0.5)) * 100.0 + 0.500001) / 100.0
+        |    AS median_hours,
+        |  FLOOR((quantile_cont(hours, 0.9)) * 100.0 + 0.500001) / 100.0
+        |    AS p90_hours
+        |FROM d""".stripMargin,
 
     "q_rfm_segments" ->
       """WITH f AS (

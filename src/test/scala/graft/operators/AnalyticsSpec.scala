@@ -80,6 +80,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(hashEx <= 1, s"staged windows re-shuffled events:\n$p")
   }
 
+  // ---- q_time_to_convert --------------------------------------------------
+
+  test("time-to-convert: converted count matches funnel, quantiles ordered") {
+    val r = run("q_time_to_convert").collect().head
+    val (n, med, p90) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n > 0 && med >= 0.0 && p90 >= med)
+    // conversion latency is view→FIRST-purchase-after: the converted-user
+    // count must equal the funnel's view→purchase stage only when the
+    // funnel's strict click stage is skipped — recount directly
+    val ev = graft.io.Sources.table(spark, sf, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2)))
+    val byUser = ev.groupBy(_._1)
+    val converted = byUser.count { case (_, es) =>
+      es.filter(_._2 == "view").map(_._3).minOption.exists(v =>
+        es.exists(e => e._2 == "purchase" && e._3.after(v)))
+    }
+    assert(n === converted)
+  }
+
   // ---- q_rfm_segments -----------------------------------------------------
 
   test("rfm segments: digits consistent, scores in 1..5, customers conserved") {
