@@ -144,6 +144,40 @@ object ScaleProbe {
         f"fused=$top%4d secs=$secs%.2f")
       Blocks.releaseAll(spark)
     }
+
+    // Top-k per group: the two-phase heap operator vs the window-rank
+    // form, same data, same k — measures the claim that the heap shuffles
+    // survivors while the window shuffles AND SORTS everything.
+    val orders = Sources.table(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    graft.operators.TopK.topKPerGroup(orders.limit(1000),
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 5).count()
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val big = (0 until mult).map { i =>
+        orders.select(col("o_orderpriority"),
+          (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+          (col("o_totalprice") + lit(i * 0.001)).as("o_totalprice"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.operators.TopK.topKPerGroup(big,
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 5)
+        .write.format("noop").mode("overwrite").save()
+      val heapSecs = (System.nanoTime() - t0) / 1e9
+      val t2 = System.nanoTime()
+      big.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .where(col("rank") <= 5)
+        .write.format("noop").mode("overwrite").save()
+      val winSecs = (System.nanoTime() - t2) / 1e9
+      println(f"[scale-topk] mult=$mult%2d rows=${big.count()}%9d " +
+        f"heap=$heapSecs%.2f window=$winSecs%.2f")
+      Blocks.releaseAll(spark)
+    }
     spark.stop()
   }
 }

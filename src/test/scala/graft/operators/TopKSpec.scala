@@ -54,6 +54,26 @@ class TopKSpec extends SparkSpec {
     assert(e.getMessage.contains("non-numeric column 's'"))
   }
 
+  test("heap ≡ window on adversarial seeded-random data (heavy ties, negatives)") {
+    import spark.implicits._
+    // few distinct scores → heavy ties; negative scores; skewed groups;
+    // k spanning under/at/over group sizes
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      (s"g${rnd.nextInt(7)}", i.toLong, (rnd.nextInt(9) - 4).toDouble)
+    }
+    val df = rows.toDF("g", "id", "s")
+    for (k <- Seq(1, 3, 50, 5000)) {
+      val viaHeap = TopK.topKPerGroup(df, Seq("g"), "s", "id", k)
+      val viaWindow = df.withColumn("rank",
+          row_number().over(Window.partitionBy("g")
+            .orderBy(col("s").desc, col("id"))))
+        .where(col("rank") <= k)
+      assert(viaHeap.exceptAll(viaWindow).count() === 0, s"extra rows at k=$k")
+      assert(viaWindow.exceptAll(viaHeap).count() === 0, s"missing rows at k=$k")
+    }
+  }
+
   test("plan: no Window/Sort over the input — heaps + one repartition") {
     val orders = graft.io.Sources.table(spark, sf, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
