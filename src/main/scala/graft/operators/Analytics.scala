@@ -104,6 +104,26 @@ object Analytics {
           r2(col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"))
     }),
 
+    // ---- monthly new vs returning actives ---------------------------------
+    // Per month: distinct active customers split into first-ever-month
+    // (new) vs returning — the growth-accounting read on the order log.
+    // Same shape as q_cohort_retention: one customer-key Exchange carries
+    // the first-month window-min, the per-month distinct counts reduce to
+    // a calendar-bounded frame.
+    "q_new_vs_returning" -> ((s, dir) => {
+      val m = t(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mi"))
+      m.withColumn("first_mi", min(col("mi")).over(Window.partitionBy("o_custkey")))
+        .groupBy(col("mi"))
+        .agg(countDistinct(col("o_custkey")).as("active"),
+          countDistinct(when(col("mi") === col("first_mi"), col("o_custkey")))
+            .as("new_customers"))
+        .select(col("mi"), col("active"), col("new_customers"),
+          (col("active") - col("new_customers")).as("returning"))
+        .orderBy("mi")
+    }),
+
     // ---- funnel timing ----------------------------------------------------
     // Distribution of view→purchase conversion latency: per user, hours
     // between the first view and the first purchase after it; median and
@@ -285,6 +305,25 @@ object Analytics {
         |    (SELECT COUNT(*) FROM v)) * 100.0 + 0.500001) / 100.0 AS view_to_click,
         |  FLOOR(((SELECT CAST(COUNT(*) AS DOUBLE) FROM p) /
         |    (SELECT COUNT(*) FROM c)) * 100.0 + 0.500001) / 100.0 AS click_to_purchase""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi
+        |  FROM orders
+        |), f AS (
+        |  SELECT o_custkey, mi,
+        |    min(mi) OVER (PARTITION BY o_custkey) AS first_mi
+        |  FROM m
+        |)
+        |SELECT mi,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active,
+        |  CAST(COUNT(DISTINCT CASE WHEN mi = first_mi THEN o_custkey END)
+        |    AS BIGINT) AS new_customers,
+        |  CAST(COUNT(DISTINCT o_custkey)
+        |    - COUNT(DISTINCT CASE WHEN mi = first_mi THEN o_custkey END)
+        |    AS BIGINT) AS returning
+        |FROM f GROUP BY mi ORDER BY mi""".stripMargin,
 
     "q_time_to_convert" ->
       """WITH v AS (

@@ -80,6 +80,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(hashEx <= 1, s"staged windows re-shuffled events:\n$p")
   }
 
+  // ---- q_new_vs_returning -------------------------------------------------
+
+  test("new vs returning: month-1 all new, news sum to customer count") {
+    val rows = run("q_new_vs_returning").collect()
+    assert(rows.nonEmpty)
+    // first month: every active customer is new
+    assert(rows.head.getLong(2) === rows.head.getLong(1))
+    assert(rows.head.getLong(3) === 0L)
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2) + r.getLong(3)))
+    // every customer is new exactly once
+    val nCust = graft.io.Sources.table(spark, sf, "orders")
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === nCust)
+  }
+
   // ---- q_time_to_convert --------------------------------------------------
 
   test("time-to-convert: converted count matches funnel, quantiles ordered") {
