@@ -208,12 +208,12 @@ object Analytics {
             + Ann.dot(col("qv"), col("qv"))).as("d2"))
       val topA = scored.orderBy(col("cos").desc, col("vec_id")).limit(FuseTopK)
         .select(col("vec_id").as("id_a"),
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
-            .cast("long").as("rank_a"))
+          row_number().over(BoundedWindow.ordered(col("vec_id"),
+            col("cos").desc, col("vec_id"))).cast("long").as("rank_a"))
       val topB = scored.orderBy(col("d2").asc, col("vec_id")).limit(FuseTopK)
         .select(col("vec_id").as("id_b"),
-          row_number().over(Window.orderBy(col("d2").asc, col("vec_id")))
-            .cast("long").as("rank_b"))
+          row_number().over(BoundedWindow.ordered(col("vec_id"),
+            col("d2").asc, col("vec_id"))).cast("long").as("rank_b"))
       // fuse via union + groupBy, not a full-outer join: Spark can't
       // broadcast full-outer, and an SMJ — however tiny here — is the
       // wrong shape; the union shuffles ≤ 2·FuseTopK rank rows total

@@ -57,12 +57,21 @@ object AsOfJoin {
     val rightTag = if (forward) 2 else 0
     // left side: original columns + null-typed carry slots
     val lSide = carry.foldLeft(
-        left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))) {
+        left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))
+          .withColumn("__rid", lit(null).cast("long"))) {
       case (df, (v, slot)) => df.withColumn(slot, lit(null).cast(slotType(v)))
     }
-    // right side: key + ts + populated carry slots; left-only columns null
+    // right side: key + ts + populated carry slots; left-only columns null.
+    // __rid is a content hash of the FULL right row: when several right
+    // rows tie on (key, ts) the window order below would otherwise leave
+    // the winner unspecified (partition-order-dependent — r6 ADVICE); the
+    // hash makes the pick deterministic run-to-run: the max-hash row wins
+    // backward, the min-hash row forward. (DuckDB's native ASOF is equally
+    // unspecified under ties, so the cross-engine oracle additionally
+    // relies on unique (key, ts) on the right — which the fixtures hold.)
     val rBase = right.select(
-      (Seq(col(key), col(rightTs).as("__ts"), lit(rightTag).as("__side")) ++
+      (Seq(col(key), col(rightTs).as("__ts"), lit(rightTag).as("__side"),
+        xxhash64(right.columns.map(col): _*).as("__rid")) ++
         carry.map { case (v, slot) =>
           struct(col(v).as("v")).as(slot) }): _*)
     val rSide = lSide.columns.foldLeft(rBase) { (df, c) =>
@@ -70,7 +79,8 @@ object AsOfJoin {
       else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
     }
 
-    val base = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    val base = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__rid"))
     val w =
       if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -79,7 +89,8 @@ object AsOfJoin {
     val carried = carry.foldLeft(lSide.unionByName(rSide)) { case (df, (_, slot)) =>
       df.withColumn(slot, pick(col(slot)).over(w))
     }
-    carry.foldLeft(carried.where(col("__side") === 1).drop("__side", "__ts")) {
+    carry.foldLeft(
+        carried.where(col("__side") === 1).drop("__side", "__ts", "__rid")) {
       case (df, (v, slot)) =>
         df.withColumn(s"asof_$v", col(slot).getField("v")).drop(slot)
     }

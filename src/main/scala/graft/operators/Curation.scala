@@ -323,7 +323,8 @@ object Curation {
         .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
           col("avg_chars"),
           r4(col("n_tokens").cast("double")
-            / sum(col("n_tokens")).over(Window.partitionBy())).as("token_share"))
+            / sum(col("n_tokens")).over(BoundedWindow.whole(col("source"))))
+            .as("token_share"))
         .orderBy("source")
     }),
 
@@ -389,19 +390,22 @@ object Curation {
     // What fraction of all token OCCURRENCES does a top-N vocabulary
     // cover — the curve tokenizer designers read before fixing a vocab
     // size. ONE explode+aggregate builds the term-count table (map-side
-    // combined, vocab-sized shuffle); the top-N cutoff and both coverage
-    // sums then derive FROM that table (window over the vocab frame) —
-    // the corpus is scanned once, never twice.
+    // combined, vocab-sized shuffle) and is persisted — it is the small
+    // derived frame, ≪ corpus; the top-1000 slice is then a distributed
+    // TakeOrdered HEAP over it (per-partition heaps, 1000 survivors —
+    // never the round-6 global-sort window, which funneled the ENTIRE
+    // vocabulary through one partition: the exact single-task smell this
+    // engine bans at 100 TB), and both coverage sums reduce to 1-row
+    // aggregates crossed via broadcast. The corpus itself is scanned once.
     "q_vocab_coverage" -> ((s, dir) => {
       val counts = t(s, dir, "documents")
         .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("n"))
-      val ranked = counts.withColumn("rk",
-        row_number().over(Window.orderBy(col("n").desc, col("term"))))
-      ranked.agg(
-          count(lit(1)).as("n_terms"),
-          sum(col("n")).as("n_tokens"),
-          sum(when(col("rk") <= 1000, col("n")).otherwise(0L)).as("n_covered"))
+        .persist()
+      val covered = counts.orderBy(col("n").desc, col("term")).limit(1000)
+        .agg(sum(col("n")).as("n_covered"))
+      counts.agg(count(lit(1)).as("n_terms"), sum(col("n")).as("n_tokens"))
+        .crossJoin(broadcast(covered))
         .select(col("n_terms"), col("n_tokens"),
           r4(col("n_covered").cast("double") / col("n_tokens"))
             .as("top1000_coverage"))
@@ -430,12 +434,12 @@ object Curation {
             / (Ann.norm(col("embedding")) * Ann.norm(col("qv")))).as("cos"))
       val topLex = scored.orderBy(col("bm25").desc, col("doc_id")).limit(50)
         .select(col("doc_id").as("id_a"),
-          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
-            .cast("long").as("rank_lex"))
+          row_number().over(BoundedWindow.ordered(col("doc_id"),
+            col("bm25").desc, col("doc_id"))).cast("long").as("rank_lex"))
       val topVec = scored.orderBy(col("cos").desc, col("doc_id")).limit(50)
         .select(col("doc_id").as("id_b"),
-          row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
-            .cast("long").as("rank_vec"))
+          row_number().over(BoundedWindow.ordered(col("doc_id"),
+            col("cos").desc, col("doc_id"))).cast("long").as("rank_vec"))
       def side(c: Column): Column =
         when(c > 0, lit(1.0) / (lit(60.0) + c)).otherwise(lit(0.0))
       topLex.select(col("id_a").as("doc_id"), col("rank_lex"), lit(0L).as("rank_vec"))

@@ -106,7 +106,12 @@ object Timeseries {
     // then MAD over the deviation projection) broadcast back onto the
     // scan; raw rows shuffle zero times, and at 100 TB both exact medians
     // swap for the mergeable approx_percentile sketch exactly as
-    // documented on q_group_percentile.
+    // documented on q_group_percentile. A degenerate group where ≥50% of
+    // values are identical has mad = 0; Spark's Divide yields NULL there
+    // while IEEE float division yields Inf — so the zero case is guarded
+    // EXPLICITLY and identically on both engines: mad = 0 ⇒ the row is
+    // not an outlier (the robust monitor abstains rather than flagging
+    // everything off-mode, Iglewicz–Hoaglin's own recommendation).
     "q_mad_outliers" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("event_type"), col("value"))
       val med = e.groupBy("event_type")
@@ -118,7 +123,7 @@ object Timeseries {
       e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          sum((z > 3.5).cast("long")).as("n_outliers"),
+          sum((col("mad") =!= 0.0 && z > 3.5).cast("long")).as("n_outliers"),
           r2(max(col("med"))).as("med"),
           r2(max(col("mad"))).as("mad"))
         .orderBy("event_type")
@@ -140,7 +145,7 @@ object Timeseries {
         (to_date(col("o_orderdate")) < lit("1999-01-01").cast("date")).as("is_ref"))
       val cuts = o.where(col("is_ref")).agg(expr(
         "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
-      val w = Window.partitionBy()
+      val w = BoundedWindow.whole(col("bin")) // ≤10 decile-bin rows
       val binned = o.crossJoin(broadcast(cuts))
         .select(col("is_ref"),
           (size(filter(col("bs"), b => col("v") > b)) + 1).cast("long").as("bin"))
@@ -213,7 +218,8 @@ object Timeseries {
         |  GROUP BY e.event_type
         |)
         |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CASE WHEN ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+        |  CAST(SUM(CASE WHEN d.mad <> 0
+        |    AND ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  FLOOR((MAX(m.med)) * 100.0 + 0.500001) / 100.0 AS med,
         |  FLOOR((MAX(d.mad)) * 100.0 + 0.500001) / 100.0 AS mad

@@ -163,34 +163,70 @@ object StreamingOps {
         .when(col("order_timestamp") > nowCol, "future_ts")
         .otherwise("ok"))
 
+  /** Idempotent per-batch routing write: each sink receives the batch under
+    * a `batch_id=<id>` partition written with DYNAMIC partition overwrite,
+    * so a replayed batch (foreachBatch is at-least-once — the function can
+    * re-run for a batch whose writes partially landed before a crash)
+    * overwrites exactly its own partition instead of appending duplicates.
+    * Writing the same (batch, id) twice is a no-op by construction — that
+    * plus the checkpoint's batch-id bookkeeping is what upgrades the sinks
+    * from at-least-once to effectively-once. Factored out of the stream so
+    * the replay path is directly testable.
+    */
+  def routeBatch(batch: DataFrame, batchId: Long, cleanDir: String,
+      quarantineDir: String): Unit = {
+    val b = batch.withColumn("batch_id", lit(batchId))
+    b.persist()
+    try {
+      b.where(col("verdict") === "ok").drop("verdict")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(cleanDir)
+      b.where(col("verdict") =!= "ok")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(quarantineDir)
+    } finally { b.unpersist(); () }
+  }
+
   /** Streaming quality router: one pass over each micro-batch splits rows
     * into a clean sink and a quarantine sink (verdict attached), via
     * foreachBatch + a persist — the single-read two-sink pattern (two
     * independent writeStreams would re-read and double-bill the source;
-    * a 100 TB/day feed cannot pay the scan twice). Exactly-once per sink
-    * comes from the checkpoint's batch-id bookkeeping: both writes happen
-    * inside the same batch function, so a retry rewrites both
-    * deterministically. Parquet append sinks; AvailableNow semantics —
-    * each call drains exactly the files that arrived since the last
-    * checkpoint, the reference's daily-batch cadence without the re-read.
+    * a 100 TB/day feed cannot pay the scan twice). foreachBatch itself is
+    * at-least-once, so effectively-once per sink is recovered by making
+    * the batch write idempotent: see [[routeBatch]] (batch_id-partitioned
+    * dynamic overwrite). The verdict clock is pinned once per drain (`now`)
+    * rather than `current_timestamp()`, so a replayed batch classifies
+    * `future_ts` rows identically instead of re-rolling the clock.
+    * AvailableNow semantics — each call drains exactly the files that
+    * arrived since the last checkpoint, the reference's daily-batch
+    * cadence without the re-read.
+    *
+    * @return true when the drain completed within `maxWaitMs`; false when
+    *         it was stopped mid-drain (sinks then hold a prefix of the
+    *         pending batches — the checkpoint resumes cleanly next call).
     */
   def routeQuality(stream: DataFrame, cleanDir: String, quarantineDir: String,
-      checkpoint: String, maxWaitMs: Long = 10 * 60 * 1000): Unit = {
-    val verdicted = withQualityVerdict(stream)
+      checkpoint: String, maxWaitMs: Long = 10 * 60 * 1000,
+      now: java.sql.Timestamp =
+        new java.sql.Timestamp(System.currentTimeMillis())): Boolean = {
+    val verdicted = withQualityVerdict(stream, lit(now))
     val q = verdicted.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          batch.where(col("verdict") === "ok").drop("verdict")
-            .write.mode("append").parquet(cleanDir)
-          batch.where(col("verdict") =!= "ok")
-            .write.mode("append").parquet(quarantineDir)
-        } finally { batch.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        routeBatch(batch, id, cleanDir, quarantineDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(maxWaitMs)) q.stop()
+    val drained = q.awaitTermination(maxWaitMs)
+    if (!drained) {
+      q.stop()
+      System.err.println(
+        s"[routeQuality] drain did not finish within ${maxWaitMs}ms — " +
+          "stopped mid-drain; sinks hold a prefix, checkpoint will resume")
+    }
+    drained
   }
 
   /** Run a streaming frame to completion with AvailableNow into an
@@ -210,7 +246,12 @@ object StreamingOps {
     // NB: stateful queries with ProcessingTimeTimeout stay alive under
     // AvailableNow until pending timeouts fire — bound the wait and stop
     // explicitly rather than hanging forever on a long gap
-    if (!q.awaitTermination(maxWaitMs)) q.stop()
+    if (!q.awaitTermination(maxWaitMs)) {
+      q.stop()
+      System.err.println(
+        s"[runAvailableNow] '$queryName' did not drain within ${maxWaitMs}ms" +
+          " — stopped; the returned table holds a prefix of the input")
+    }
     df.sparkSession.table(queryName)
   }
 }

@@ -87,4 +87,40 @@ class AsOfJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "forward as-of must be union+window, not a join")
   }
+
+  test("tied (key, ts) right rows: pick is deterministic under any partitioning") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // left at the SAME instant as the tied right rows — matches both
+    // directions, so one fixture exercises backward and forward
+    val left = Seq((1L, 10L, ts("2026-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val tied = Seq(
+      (10L, ts("2026-01-01 09:00:00"), 1.0),
+      (10L, ts("2026-01-01 09:00:00"), 2.0),
+      (10L, ts("2026-01-01 09:00:00"), 3.0))
+    def rightDf(rows: Seq[(Long, java.sql.Timestamp, Double)], parts: Int) =
+      rows.toDF("user_id", "ts", "value").repartition(parts)
+    def pick(forward: Boolean, rows: Seq[(Long, java.sql.Timestamp, Double)],
+        parts: Int): Double = {
+      val r = rightDf(rows, parts)
+      val j = if (forward) AsOfJoin.leftAsOfForward(left, r, "user_id", "ts", "ts", Seq("value"))
+              else AsOfJoin.leftAsOf(left, r, "user_id", "ts", "ts", Seq("value"))
+      j.collect()(0).getAs[Double]("asof_value")
+    }
+    // the pinned semantics: content-hash tie-break — max-hash row wins
+    // backward, min-hash row forward
+    val hashed = tied.toDF("user_id", "ts", "value")
+      .withColumn("h", xxhash64(col("user_id"), col("ts"), col("value")))
+    val maxH = hashed.orderBy(col("h").desc).select("value").head().getDouble(0)
+    val minH = hashed.orderBy(col("h").asc).select("value").head().getDouble(0)
+    val backward = for (rows <- Seq(tied, tied.reverse); p <- Seq(1, 3, 7))
+      yield pick(forward = false, rows, p)
+    assert(backward.distinct == List(maxH),
+      s"backward tie pick not deterministic/pinned: $backward (expect $maxH)")
+    val fwd = for (rows <- Seq(tied, tied.reverse); p <- Seq(1, 5))
+      yield pick(forward = true, rows, p)
+    assert(fwd.distinct == List(minH),
+      s"forward tie pick not deterministic/pinned: $fwd (expect $minH)")
+  }
 }

@@ -237,6 +237,25 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("MAD zero guard: a ≥50%-constant group abstains instead of diverging") {
+    import spark.implicits._
+    // mad = 0 when ≥50% of a group's values are identical; Spark's Divide
+    // would yield NULL there and IEEE division Inf — the query guards the
+    // case explicitly (0 outliers), identically to its oracle SQL
+    val dir = java.nio.file.Files.createTempDirectory("graft_madzero").toString
+    Seq(("flat", 5.0, 1L), ("flat", 5.0, 2L), ("flat", 5.0, 3L),
+        ("flat", 999.0, 4L), ("mix", 1.0, 5L), ("mix", 2.0, 6L),
+        ("mix", 30.0, 7L))
+      .toDF("event_type", "value", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_mad_outliers")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getDouble(4) === 0.0, "flat group must have mad = 0")
+    assert(out("flat").getLong(2) === 0L,
+      "mad = 0 must abstain (0 outliers), not NULL-drop or Inf-flag rows")
+    assert(out("mix").getDouble(4) > 0.0)
+  }
+
   test("MAD plan: both median rows broadcast, raw log never shuffles") {
     val p = plan("q_mad_outliers")
     assert(p.contains("BroadcastHashJoin"), s"medians not broadcast:\n$p")

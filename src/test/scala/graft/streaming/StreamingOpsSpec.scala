@@ -310,4 +310,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(quar2.where(col("CustomerID") === 7L).select("verdict")
       .head().getString(0) === "bad_amount")
   }
+
+  test("routeBatch is idempotent per batch id: a replay never duplicates a sink") {
+    val base = Files.createTempDirectory("graft_routebatch").toString
+    import spark.implicits._
+    def tx(rows: (java.lang.Long, Double)*) =
+      rows.toSeq.toDF("CustomerID", "TotalPurchase")
+        .select(col("CustomerID"),
+          lit(java.sql.Timestamp.valueOf("2026-01-24 10:00:00"))
+            .as("order_timestamp"),
+          col("TotalPurchase"))
+    val pin = lit(java.sql.Timestamp.valueOf("2026-01-24 23:00:00"))
+    val b0 = StreamingOps.withQualityVerdict(
+      tx((1L, 10.0), (2L, 5.0), (3L, -1.0)), pin)
+    StreamingOps.routeBatch(b0, 0L, s"$base/clean", s"$base/quar")
+    // at-least-once replay of the SAME batch (foreachBatch can re-run a
+    // partially-committed batch): dynamic overwrite of its own batch_id
+    // partition — counts must not move
+    StreamingOps.routeBatch(b0, 0L, s"$base/clean", s"$base/quar")
+    assert(spark.read.parquet(s"$base/clean").count() === 2L)
+    assert(spark.read.parquet(s"$base/quar").count() === 1L)
+    // a NEW batch id lands alongside; batch 0's partition is untouched
+    val b1 = StreamingOps.withQualityVerdict(tx((4L, 7.0)), pin)
+    StreamingOps.routeBatch(b1, 1L, s"$base/clean", s"$base/quar")
+    val clean = spark.read.parquet(s"$base/clean")
+    assert(clean.count() === 3L)
+    assert(clean.where(col("batch_id") === 0).count() === 2L)
+    assert(clean.where(col("batch_id") === 1).count() === 1L)
+  }
 }
