@@ -22,6 +22,20 @@ object Bench {
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"warmup $name failed: ${e.getClass.getSimpleName}") }
       }
+    // warm the TIMED SF's inputs too: the very first touch of each parquet
+    // pays cold page-cache + footer-decode costs that otherwise land
+    // entirely on the alphabetically-first timed queries — the r6 driver
+    // run clocked q_ann_{brute,ivf,lsh} at 3-4x their warm-cache times
+    // (they lead the timed loop and hammer the embeddings table) while
+    // every later query sat near baseline. One untimed scan per table
+    // makes the first timed query measure the engine, not the disk.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try graft.io.Sources.table(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"scan-warmup $t failed: ${e.getClass.getSimpleName}") }
+    }
     Blocks.releaseAll(spark)
     var failures = List.empty[String]
     // rounds 3-4 both recorded transient contamination (GC pauses, block-
