@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 3, "winnow_fp(text, k, w) takes 3 arguments")
         graft.dedup.WinnowFingerprintExpression(exprs(0), exprs(1), exprs(2))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(text) - Unicode NFC canonical normalization"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_nfc(text) takes 1 argument")
+        graft.text.NfcNormalizeExpression(exprs(0))
+      }))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(text, k) - sorted distinct xxhash64 word k-gram shingles"),
       { exprs: Seq[Expression] =>

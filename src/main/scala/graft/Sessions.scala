@@ -38,6 +38,7 @@ object Sessions {
     graft.clv.Hyp2f1Expression.register(spark)
     graft.similarity.VecOps.register(spark)
     graft.dedup.DedupKernels.register(spark)
+    graft.text.TextNorm.register(spark)
     registerMetricsLogger(spark)
     spark
   }

@@ -34,6 +34,7 @@ object SparkEntry {
       graft.operators.LlmQueries.queries ++
       graft.operators.Analytics.queries ++
       graft.operators.Curation.queries ++
+      graft.operators.Evaluation.queries ++
       graft.operators.Incremental.queries ++
       graft.operators.Timeseries.queries ++
       graft.clv.ClvQueries.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       graft.operators.LlmQueries.oracleSql ++
       graft.operators.Analytics.oracleSql ++
       graft.operators.Curation.oracleSql ++
+      graft.operators.Evaluation.oracleSql ++
       graft.operators.Incremental.oracleSql ++
       graft.operators.Timeseries.oracleSql ++
       graft.clv.ClvQueries.oracleSql ++

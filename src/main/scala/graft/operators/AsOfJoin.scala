@@ -44,6 +44,74 @@ object AsOfJoin {
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame =
     asOf(left, right, key, leftTs, rightTs, valueCols, forward = true)
 
+  /** Nearest as-of join — for each left row, whichever right row (same
+    * key) is temporally CLOSEST, in either direction; equal distances go
+    * backward (pandas `merge_asof(direction='nearest')` semantics).
+    *
+    * ONE union + shuffle + sort serves BOTH directions: the backward carry
+    * (last-non-null over the preceding frame) and the forward carry
+    * (first-non-null over the following frame) ride the same
+    * (key, ts, side, rid) sort order — one Exchange, one Sort, two Window
+    * frame passes, never a join. Right rows sort BEFORE left rows at equal
+    * instants, so an equal-ts right row is claimed by the backward carry
+    * at distance 0, which wins every tie by definition.
+    *
+    * Output: all left columns + `asof_<col>` per value column + signed
+    * `asof_dt_us` (left − matched-right in microseconds: ≥ 0 when the
+    * match is backward, < 0 when forward, null when no right row exists
+    * for the key).
+    */
+  def leftAsOfNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val bSlots = valueCols.map(v => v -> s"__b_$v")
+    val fSlots = valueCols.map(v => v -> s"__f_$v")
+    def slotType(v: String) = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", right.schema(v).dataType)))
+    val lSide = (bSlots ++ fSlots).foldLeft(
+        left.withColumn("__side", lit(1)).withColumn("__ts", col(leftTs))
+          .withColumn("__rid", lit(null).cast("long"))) {
+      case (df, (v, slot)) => df.withColumn(slot, lit(null).cast(slotType(v)))
+    }
+    val rBase = right.select(
+      (Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+        xxhash64(right.columns.map(col): _*).as("__rid")) ++
+        (bSlots ++ fSlots).map { case (v, slot) =>
+          struct(col(v).as("v")).as(slot) }): _*)
+    val rSide = lSide.columns.foldLeft(rBase) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
+    }
+    val base = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__rid"))
+    val wB = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightTsOnly = when(col("__side") === 0, col("__ts"))
+    val withCarries = bSlots.foldLeft(
+        fSlots.foldLeft(lSide.unionByName(rSide)) { case (df, (_, slot)) =>
+          df.withColumn(slot, first(col(slot), ignoreNulls = true).over(wF))
+        }) { case (df, (_, slot)) =>
+        df.withColumn(slot, last(col(slot), ignoreNulls = true).over(wB))
+      }
+      .withColumn("__b_ts", max(rightTsOnly).over(wB))
+      .withColumn("__f_ts", min(rightTsOnly).over(wF))
+    val dtB = unix_micros(col("__ts")) - unix_micros(col("__b_ts"))
+    val dtF = unix_micros(col("__f_ts")) - unix_micros(col("__ts"))
+    val pickB = col("__f_ts").isNull ||
+      (col("__b_ts").isNotNull && dtB <= dtF)
+    val chosen = valueCols.foldLeft(
+        withCarries.where(col("__side") === 1)) { case (df, v) =>
+      df.withColumn(s"asof_$v",
+        when(pickB, col(s"__b_$v").getField("v"))
+          .otherwise(col(s"__f_$v").getField("v")))
+    }
+    chosen
+      .withColumn("asof_dt_us",
+        when(col("__b_ts").isNull && col("__f_ts").isNull, lit(null).cast("long"))
+          .when(pickB, dtB).otherwise(-dtF))
+      .drop((Seq("__side", "__ts", "__rid", "__b_ts", "__f_ts") ++
+        (bSlots ++ fSlots).map(_._2)): _*)
+  }
+
   private def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String],
       forward: Boolean): DataFrame = {

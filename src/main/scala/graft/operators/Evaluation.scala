@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+import graft.text.TextOps
+
+/** Evaluation + data-contract operator family: the measurement layer a
+  * training-data pipeline runs over its OWN outputs — retrieval-quality
+  * metrics for a ranking stage (recall@k / MRR / nDCG), a Deequ-style
+  * expectation suite for tabular contracts (completeness, uniqueness,
+  * accepted values, referential integrity), Unicode canonicalization
+  * parity (the normalize-before-hash rule dedup correctness depends on),
+  * and per-source token entropy (the diversity signal next to
+  * q_vocab_growth's type–token ratio).
+  *
+  * Every entry is fully SQL-expressible and carries a complete DuckDB
+  * hash oracle. Scale shapes per query in the scaladocs below;
+  * EvaluationSpec pins the algebra (metric identities on planted
+  * rankings/violations) and the plan gates.
+  */
+object Evaluation {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+
+  /** Cutoff for q_ranking_metrics (recall@K, nDCG@K). */
+  val MetricsK = 10
+
+  /** Retrieval metrics of a candidate ranking against a truth set, both
+    * bounded (≤ k rows — the output of top-k heaps, never raw corpus).
+    * `cand` carries (doc_id, rank 1..k); `truth` carries doc_id. Binary
+    * relevance; nDCG's log base cancels in the DCG/IDCG ratio, so natural
+    * log is used on both engines (DuckDB's `log2` and `ln(x)/ln(2)`
+    * disagree in the last ulp — measured — and the ratio form sidesteps
+    * the whole question). MRR is over the single query, i.e. 1/rank of
+    * the first relevant candidate (0 when none).
+    */
+  def rankingMetrics(cand: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val idcg = (1 to k).map(i => 1.0 / math.log(i + 1.0)).sum
+    cand.join(broadcast(truth.select(col("doc_id"), lit(1).as("rel"))), Seq("doc_id"), "left")
+      .agg(
+        (sum(coalesce(col("rel"), lit(0))) / lit(k.toDouble)).as("recall_at_k"),
+        coalesce(lit(1.0) / min(when(col("rel") === 1, col("rank"))), lit(0.0))
+          .as("mrr"),
+        (sum(when(col("rel") === 1, lit(1.0) / log(col("rank") + lit(1.0)))
+          .otherwise(0.0)) / lit(idcg)).as("ndcg_at_k"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- retrieval-quality metrics ----------------------------------------
+    // How well does the LEXICAL ranking (BM25) agree with the SEMANTIC
+    // truth (embedding-cosine top-k)? The eval a hybrid-search stage runs
+    // before tuning its fusion weights. Scale shape: both rankings are
+    // distributed TakeOrdered top-k heaps over one scan each (the
+    // q_hybrid_search shape); the metric arithmetic then runs on ≤ 2k
+    // rows — a broadcast join of two bounded frames into ONE output row.
+    "q_ranking_metrics" -> ((s, dir) => {
+      graft.similarity.VecOps.register(s)
+      import graft.similarity.Ann
+      val emb = t(s, dir, "embeddings")
+      val joined = Curation.bm25Scores(t(s, dir, "documents"))
+        .join(emb, col("doc_id") === col("vec_id"))
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val scored = joined.where(col("doc_id") > 0).crossJoin(broadcast(q))
+        .select(col("doc_id"), col("bm25"),
+          (Ann.dot(col("embedding"), col("qv"))
+            / (Ann.norm(col("embedding")) * Ann.norm(col("qv")))).as("cos"))
+      val cand = scored.orderBy(col("bm25").desc, col("doc_id")).limit(MetricsK)
+        .select(col("doc_id"),
+          row_number().over(BoundedWindow.ordered(col("doc_id"),
+            col("bm25").desc, col("doc_id"))).as("rank"))
+      val truth = scored.orderBy(col("cos").desc, col("doc_id")).limit(MetricsK)
+        .select(col("doc_id"))
+      rankingMetrics(cand, truth, MetricsK)
+        .select(r4(col("recall_at_k")).as("recall_at_k"),
+          r4(col("mrr")).as("mrr"), r4(col("ndcg_at_k")).as("ndcg_at_k"))
+    }),
+
+    // ---- data-quality expectation suite -----------------------------------
+    // The reference's validation firewall generalized to a declarative
+    // check suite (Deequ shape): five expectations over the orders table,
+    // each reported as (check, metric, passed). Scale shape: four checks
+    // reduce in ONE full-width aggregate pass (map-side combined); the
+    // referential-integrity check is the one join — orders NEVER shuffle
+    // (left-anti against the customer key set, dim side broadcast at this
+    // geometry; bucketed-layout join per io.Layout at 100 TB). The check
+    // rows then explode from a single 1×1 crossed row.
+    "q_dq_expectations" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("n_null_cust"),
+        count_distinct(col("o_orderkey")).as("n_distinct_key"),
+        sum((!col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+          .as("n_bad_status"),
+        sum((col("o_totalprice") <= 0.0).cast("long")).as("n_nonpos_price"))
+      // nulls are excluded here — an anti-join keeps them (null never
+      // equals a key) but they are the COMPLETENESS check's finding, not
+      // a referential violation; matches the oracle's NOT IN semantics
+      val orphans = o.where(col("o_custkey").isNotNull)
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val n = col("n_rows").cast("double")
+      def check(name: String, bad: Column): Column =
+        struct(lit(name).as("check"),
+          (lit(1.0) - bad.cast("double") / n).as("metric"),
+          (bad === 0L).cast("long").as("passed"))
+      agg.crossJoin(broadcast(orphans))
+        .select(explode(array(
+          check("accepted_values_orderstatus", col("n_bad_status")),
+          check("completeness_custkey", col("n_null_cust")),
+          check("positive_totalprice", col("n_nonpos_price")),
+          check("referential_integrity_custkey", col("n_orphans")),
+          check("uniqueness_orderkey", col("n_rows") - col("n_distinct_key"))))
+          .as("c"))
+        .select(col("c.check").as("check"), r4(col("c.metric")).as("metric"),
+          col("c.passed").as("passed"))
+        .orderBy("check")
+    }),
+
+    // ---- Unicode canonicalization parity ----------------------------------
+    // NFC-normalize → casefold → whitespace-collapse, then content-hash:
+    // the canonical form exact dedup keys on (composed é and decomposed
+    // e+◌́ MUST collapse before md5, or near-identical docs survive exact
+    // dedup). Scale shape: pure projection over one scan — zero shuffles;
+    // the NFC kernel is a native codegen expression (graft_nfc) with an
+    // allocation-free fast path for already-normalized text, so the md5
+    // stays inside one whole-stage-codegen span.
+    "q_text_normalize" -> ((s, dir) => {
+      val norm = regexp_replace(
+        trim(lower(call_function("graft_nfc", col("text")))), "\\s+", " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("raw_md5"),
+          md5(norm).as("norm_md5"), length(norm).cast("long").as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-source token entropy -----------------------------------------
+    // Shannon entropy of the unigram distribution per source — the
+    // diversity signal a mixture designer reads next to size: a source of
+    // repeated boilerplate scores near 0, uniform vocabulary near
+    // ln(n_types). Scale shape: the identity H = ln N − (Σ n·ln n)/N
+    // makes entropy a plain algebraic aggregate over the (source, term)
+    // count table — explode → two-level map-side-combined aggregate,
+    // NO broadcast-back join of totals (the naive p·ln p form needs one).
+    "q_token_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          r4(log(sum(col("n")))
+            - sum(col("n").cast("double") * log(col("n")))
+              / sum(col("n"))).as("entropy_nats"))
+        .orderBy("source")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // the q_hybrid_search bm25/cos structure; metrics from the two ranked
+    // CTEs — natural-log DCG (base cancels in the DCG/IDCG ratio)
+    "q_ranking_metrics" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf_table,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_hash,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_spark
+        |  FROM d
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+        |    SUM(CASE WHEN tf_table > 0 THEN 1.0 ELSE 0.0 END) AS df_table,
+        |    SUM(CASE WHEN tf_hash > 0 THEN 1.0 ELSE 0.0 END) AS df_hash,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark
+        |  FROM f
+        |), bm AS (
+        |  SELECT doc_id,
+        |    ln((n_docs - df_table + 0.5) / (df_table + 0.5) + 1.0)
+        |      * (tf_table * 2.2) / (tf_table + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+        |      * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+        |      * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    AS bm25
+        |  FROM f, st
+        |), q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        |), s AS (
+        |  SELECT bm.doc_id, bm.bm25,
+        |    list_dot_product(e.embedding::DOUBLE[], qv)
+        |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(qv, qv))) AS cos
+        |  FROM bm JOIN embeddings e ON bm.doc_id = e.vec_id, q
+        |  WHERE bm.doc_id > 0
+        |), cand AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM s ORDER BY bm25 DESC, doc_id LIMIT 10
+        |), truth AS (
+        |  SELECT doc_id FROM s ORDER BY cos DESC, doc_id LIMIT 10
+        |), j AS (
+        |  SELECT cand.rank, CASE WHEN truth.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+        |  FROM cand LEFT JOIN truth ON cand.doc_id = truth.doc_id
+        |), idcg AS (
+        |  SELECT SUM(1.0 / ln(i + 1.0)) AS v FROM range(1, 11) t(i)
+        |)
+        |SELECT
+        |  FLOOR((SUM(rel) / 10.0) * 10000.0 + 0.500001) / 10000.0 AS recall_at_k,
+        |  FLOOR((COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0))
+        |    * 10000.0 + 0.500001) / 10000.0 AS mrr,
+        |  FLOOR((SUM(CASE WHEN rel = 1 THEN 1.0 / ln(rank + 1.0) ELSE 0.0 END)
+        |    / (SELECT v FROM idcg)) * 10000.0 + 0.500001) / 10000.0 AS ndcg_at_k
+        |FROM j""".stripMargin,
+
+    "q_dq_expectations" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS n_null_cust,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS n_distinct_key,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS n_bad_status,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS n_nonpos_price
+        |  FROM orders
+        |), orph AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_orphans FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |), checks AS (
+        |  SELECT 'accepted_values_orderstatus' AS check, n_bad_status AS bad FROM a
+        |  UNION ALL SELECT 'completeness_custkey', n_null_cust FROM a
+        |  UNION ALL SELECT 'positive_totalprice', n_nonpos_price FROM a
+        |  UNION ALL SELECT 'referential_integrity_custkey', n_orphans FROM orph
+        |  UNION ALL SELECT 'uniqueness_orderkey', n_rows - n_distinct_key FROM a
+        |)
+        |SELECT checks.check,
+        |  FLOOR((1.0 - bad / (SELECT n_rows FROM a)) * 10000.0 + 0.500001)
+        |    / 10000.0 AS metric,
+        |  CAST(CASE WHEN bad = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM checks ORDER BY checks.check""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id, md5(text) AS raw_md5,
+        |  md5(regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g'))
+        |    AS norm_md5,
+        |  CAST(length(regexp_replace(trim(lower(nfc_normalize(text))),
+        |    '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tc AS (
+        |  SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM toks GROUP BY source, term
+        |)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  FLOOR((ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) * 10000.0 + 0.500001)
+        |    / 10000.0 AS entropy_nats
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -591,6 +591,22 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // nearest direction: for each purchase, whichever view is temporally
+    // closest (ties go backward) — BOTH carries ride one shuffle+sort
+    // pass (AsOfJoin.leftAsOfNearest scaladoc); the oracle is two chained
+    // DuckDB ASOF joins + the same µs-distance tie rule
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.leftAsOfNearest(purchases, views, "user_id", "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          r4(col("asof_value")).as("nearest_value"), col("asof_dt_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- interval-overlap join (bucketed; see RangeJoin.intervalOverlap) --
     // Price bands × per-order ±500 price windows: every overlapping
     // (band, order) pair via grid-cell equi-join with single-cell pair
@@ -1063,6 +1079,32 @@ object Relational {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        |)
+        |SELECT l.event_id, l.user_id,
+        |  FLOOR((CASE
+        |    WHEN f.ts IS NULL THEN b.value
+        |    WHEN b.ts IS NULL THEN f.value
+        |    WHEN epoch_us(l.ts) - epoch_us(b.ts)
+        |      <= epoch_us(f.ts) - epoch_us(l.ts) THEN b.value
+        |    ELSE f.value END) * 10000.0 + 0.500001) / 10000.0 AS nearest_value,
+        |  CAST(CASE
+        |    WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+        |    WHEN f.ts IS NULL THEN epoch_us(l.ts) - epoch_us(b.ts)
+        |    WHEN b.ts IS NULL THEN epoch_us(l.ts) - epoch_us(f.ts)
+        |    WHEN epoch_us(l.ts) - epoch_us(b.ts)
+        |      <= epoch_us(f.ts) - epoch_us(l.ts)
+        |      THEN epoch_us(l.ts) - epoch_us(b.ts)
+        |    ELSE epoch_us(l.ts) - epoch_us(f.ts) END AS BIGINT) AS asof_dt_us
+        |FROM l
+        |ASOF LEFT JOIN r b ON l.user_id = b.user_id AND l.ts >= b.ts
+        |ASOF LEFT JOIN r f ON l.user_id = f.user_id AND l.ts <= f.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "q_range_join" ->

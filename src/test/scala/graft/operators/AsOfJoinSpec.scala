@@ -88,6 +88,64 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), "forward as-of must be union+window, not a join")
   }
 
+  test("nearest as-of: closest side wins, distance ties go backward") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")),  // back@9:50 (10m) vs fwd@10:30 (30m) → back
+      (2L, 10L, ts("2026-01-01 10:25:00")),  // back@9:50 (35m) vs fwd@10:30 (5m) → fwd
+      (3L, 10L, ts("2026-01-01 10:10:00")),  // 20m both sides → tie → back
+      (4L, 20L, ts("2026-01-01 10:00:00")),  // only a forward row exists
+      (5L, 30L, ts("2026-01-01 10:00:00")))  // no right rows at all → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2026-01-01 09:50:00"), 1.0),
+      (10L, ts("2026-01-01 10:30:00"), 2.0),
+      (20L, ts("2026-01-01 11:00:00"), 9.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsOfJoin.leftAsOfNearest(left, right, "user_id", "ts", "ts", Seq("value"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Double]("asof_value") == 1.0)
+    assert(out(0).getAs[Long]("asof_dt_us") == 10L * 60 * 1000000)
+    assert(out(1).getAs[Double]("asof_value") == 2.0)
+    assert(out(1).getAs[Long]("asof_dt_us") == -5L * 60 * 1000000)
+    assert(out(2).getAs[Double]("asof_value") == 1.0, "equal distance goes backward")
+    assert(out(2).getAs[Long]("asof_dt_us") == 20L * 60 * 1000000)
+    assert(out(3).getAs[Double]("asof_value") == 9.0, "forward-only key matches forward")
+    assert(out(3).getAs[Long]("asof_dt_us") == -60L * 60 * 1000000)
+    assert(out(4).isNullAt(out(4).fieldIndex("asof_value")))
+    assert(out(4).isNullAt(out(4).fieldIndex("asof_dt_us")))
+  }
+
+  test("nearest as-of: equal-instant right row matches at distance 0") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2026-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2026-01-01 10:00:00"), 5.0),
+      (10L, ts("2026-01-01 10:00:01"), 6.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsOfJoin.leftAsOfNearest(left, right, "user_id", "ts", "ts", Seq("value"))
+      .collect()(0)
+    assert(out.getAs[Double]("asof_value") == 5.0)
+    assert(out.getAs[Long]("asof_dt_us") == 0L)
+  }
+
+  test("nearest plan: ONE exchange serves both carries, never a join") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 09:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val plan = AsOfJoin.leftAsOfNearest(l, r, "user_id", "ts", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "nearest as-of must be union+window, not a join")
+    // both frame passes share the (key, ts, side, rid) sort: exactly one
+    // hash exchange below the Window nodes (plus nothing else)
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"backward+forward carries must share one shuffle:\n$plan")
+  }
+
   test("tied (key, ts) right rows: pick is deterministic under any partitioning") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants + plan gates for the evaluation family
+  * (Evaluation.scala). The DuckDB hash gates pin exact values on the
+  * fixtures; these pin the metric ALGEBRA (identity/disjoint rankings,
+  * hand-computed partial overlap, planted contract violations, entropy
+  * closed forms, NFC collapse) and the plan shapes (shuffle-free
+  * normalize, two-level entropy aggregate, broadcast-only RI join).
+  */
+class EvaluationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  // ---- rankingMetrics algebra ----------------------------------------------
+
+  private def cand(rows: (Long, Int)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "rank")
+  }
+  private def truth(ids: Long*) = {
+    import spark.implicits._
+    ids.toSeq.toDF("doc_id")
+  }
+
+  test("ranking metrics: candidate ≡ truth scores 1.0 across the board") {
+    val m = Evaluation.rankingMetrics(
+      cand((1L, 1), (2L, 2), (3L, 3)), truth(1L, 2L, 3L), k = 3).head()
+    assert(math.abs(m.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(m.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(m.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("ranking metrics: disjoint rankings score 0.0 across the board") {
+    val m = Evaluation.rankingMetrics(
+      cand((1L, 1), (2L, 2), (3L, 3)), truth(7L, 8L, 9L), k = 3).head()
+    assert(m.getDouble(0) === 0.0 && m.getDouble(1) === 0.0 && m.getDouble(2) === 0.0)
+  }
+
+  test("ranking metrics: hand-computed partial overlap") {
+    // truth = {b, d, e}; cand = a@1, b@2, c@3 → only b relevant, at rank 2
+    val m = Evaluation.rankingMetrics(
+      cand((10L, 1), (20L, 2), (30L, 3)), truth(20L, 40L, 50L), k = 3).head()
+    assert(math.abs(m.getDouble(0) - 1.0 / 3.0) < 1e-12, "recall@3 = 1/3")
+    assert(math.abs(m.getDouble(1) - 0.5) < 1e-12, "mrr = 1/rank(b) = 1/2")
+    val idcg = (1 to 3).map(i => 1.0 / math.log(i + 1.0)).sum
+    assert(math.abs(m.getDouble(2) - (1.0 / math.log(3.0)) / idcg) < 1e-12,
+      "ndcg = (1/ln 3) / idcg")
+  }
+
+  test("q_ranking_metrics: every metric in [0, 1]") {
+    val r = SparkEntry.queries("q_ranking_metrics")(spark, sf).head()
+    (0 to 2).foreach { i =>
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"metric $i out of range")
+    }
+  }
+
+  // ---- q_dq_expectations ----------------------------------------------------
+
+  test("dq expectations: planted violations flip exactly the right checks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    // 10 orders: one null custkey, one duplicated orderkey, one bad
+    // status, one non-positive price, one orphan custkey (99 not in dim)
+    Seq[(java.lang.Long, java.lang.Long, String, Double)](
+      (1L, 1L, "O", 10.0), (2L, 1L, "F", 20.0), (3L, 2L, "P", 30.0),
+      (4L, null, "O", 40.0), (5L, 2L, "X", 50.0), (6L, 1L, "O", -1.0),
+      (6L, 2L, "F", 60.0), (7L, 99L, "O", 70.0), (8L, 1L, "F", 80.0),
+      (9L, 2L, "O", 90.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(1L, 2L).toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q_dq_expectations")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.size === 5)
+    out.values.foreach { case (_, passed) => assert(passed === 0L) }
+    assert(out("completeness_custkey")._1 === 0.9)            // 1 null / 10
+    assert(out("uniqueness_orderkey")._1 === 0.9)             // 1 dup / 10
+    assert(out("accepted_values_orderstatus")._1 === 0.9)     // 1 'X' / 10
+    assert(out("positive_totalprice")._1 === 0.9)             // 1 ≤ 0 / 10
+    // orphans: custkey 99 (null custkey rows do NOT anti-join as orphans)
+    assert(out("referential_integrity_custkey")._1 === 0.9)
+  }
+
+  test("dq expectations on the fixture: all five checks pass at metric 1.0") {
+    val out = SparkEntry.queries("q_dq_expectations")(spark, sf).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getDouble(1) === 1.0 && r.getLong(2) === 1L,
+        s"check ${r.getString(0)} unexpectedly failing on clean fixture")
+    }
+  }
+
+  test("dq plan: orders never shuffle for the RI check (broadcast anti-join)") {
+    val p = plan("q_dq_expectations")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"RI check not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"orders shuffled for the dim join:\n$p")
+  }
+
+  // ---- q_text_normalize -------------------------------------------------------
+
+  test("NFC collapse: composed and decomposed é hash identically after normalize") {
+    import spark.implicits._
+    val composed = "Café  du  Monde"          // é as one code point
+    val decomposed = "Café  du  Monde"       // e + combining acute
+    val dir = java.nio.file.Files.createTempDirectory("graft_nfc").toString
+    Seq((1L, composed), (2L, decomposed))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_text_normalize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) !== out(2L).getString(1),
+      "raw md5 must differ (different byte sequences)")
+    assert(out(1L).getString(2) === out(2L).getString(2),
+      "normalized md5 must collapse composed/decomposed forms")
+    assert(out(1L).getLong(3) === "café du monde".length.toLong,
+      "whitespace must collapse to single spaces")
+  }
+
+  test("NFC kernel: already-normalized text returns the input buffer (no alloc)") {
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("plain ascii")
+    assert(graft.text.TextNorm.nfc(s) eq s)
+    val deco = org.apache.spark.unsafe.types.UTF8String.fromString("Café")
+    assert(graft.text.TextNorm.nfc(deco).toString === "Café")
+  }
+
+  test("normalize plan: pure projection — zero exchanges before the dump sort") {
+    val p = plan("q_text_normalize")
+    // only the final orderBy's range exchange may appear
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"normalize projection shuffles:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SortMergeJoin"))
+  }
+
+  // ---- q_token_entropy ---------------------------------------------------------
+
+  test("token entropy: closed forms — constant source 0, uniform source ln k") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    Seq(("flat", "a a a a a a"), ("unif", "a b c d e f"))
+      .toDF("source", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_token_entropy")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getDouble(3) === 0.0)
+    assert(math.abs(out("unif").getDouble(3) - math.log(6.0)) < 1e-4)
+    assert(out("unif").getLong(1) === 6L && out("unif").getLong(2) === 6L)
+  }
+
+  test("entropy plan: two aggregate levels, no broadcast-back join of totals") {
+    val p = plan("q_token_entropy")
+    assert(!p.contains("Join"), s"entropy should be join-free (H = ln N − Σ n ln n / N):\n$p")
+    // (source,term) agg + (source) agg + final sort = ≤ 3 exchanges
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 3,
+      s"entropy plans extra shuffles:\n$p")
+  }
+}
