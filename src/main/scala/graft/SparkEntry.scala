@@ -31,6 +31,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.Relational.queries ++
+      graft.operators.Graph.queries ++
       graft.operators.LlmQueries.queries ++
       graft.operators.Analytics.queries ++
       graft.operators.Curation.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.Relational.oracleSql ++
+      graft.operators.Graph.oracleSql ++
       graft.operators.LlmQueries.oracleSql ++
       graft.operators.Analytics.oracleSql ++
       graft.operators.Curation.oracleSql ++

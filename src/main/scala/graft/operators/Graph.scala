@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Blocks, Observe}
+import graft.io.Sources
+
+/** Link-graph centrality: fixed-iteration PageRank (Page et al. 1999) —
+  * the graph-quality signal web-corpus curation ranks URLs with (Common
+  * Crawl publishes exactly this family of centrality scores next to its
+  * dumps), applied here to the order–part co-purchase graph the warehouse
+  * already holds. Sits next to `Dedup.connectedComponents` as the second
+  * iterative graph operator: components answer "which docs are the same",
+  * centrality answers "which nodes matter".
+  *
+  * Execution shape (the Pregel shape, and the reason this is not a
+  * DuckDB-style recursive CTE translated): the edge table — the 100 TB
+  * side — is hash-partitioned on `src` ONCE and localCheckpointed; every
+  * iteration shuffles only the RANK table (node-sized, orders of magnitude
+  * smaller than edges) to the edge partitioning, and the contribution
+  * aggregate is map-side combined so the second exchange carries at most
+  * |distinct dst per partition| rows. Edges never move after the first
+  * materialization. Lineage is truncated per round (localCheckpoint) with
+  * deterministic release of the previous round's blocks — the
+  * connectedComponents r3 lessons applied from the start.
+  *
+  * Cross-engine float parity: every iteration's sums run in different
+  * orders on different engines, so results carry ~1e-15 relative drift;
+  * scores are reported scaled by |V| (mean 1.0) and rounded at 1e-6 with
+  * the boundary fudge — the q_histogram/q_psi convention.
+  */
+object Graph {
+
+  /** Teleport and damping as independent literals — NOT derived as
+    * `1 - damping` at runtime: `1.0 - 0.85` and a parsed `0.15` differ in
+    * the last ulp, and the oracle SQL spells `0.15`. */
+  val Damping = 0.85
+  val Teleport = 0.15
+
+  /** PageRank over a directed edge list (first two columns = src, dst).
+    * Every node is assumed to have at least one out-edge AND one in-edge
+    * (callers pass symmetrized graphs — see [[copurchaseEdges]]); with
+    * that precondition there is no dangling-mass term and the node set is
+    * closed under one iteration. Returns (node, pr, n_nodes) with Σpr = 1;
+    * `n_nodes` is the constant |V|, carried so callers can scale to the
+    * mean-1.0 convention without a second pass over the graph.
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+    // out-degree rides WITH the edges so the per-iteration join is the
+    // only edge-sized operator; partition by src once, checkpoint, reuse
+    val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nObs = Observation()
+    val nodes = adj.select(col("src").as("node")).distinct()
+      .observe(nObs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val n = Observe.metric(nObs, "n").getOrElse(nodes.count())
+    require(n > 0, "pagerank on an empty graph")
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint()
+    Blocks.releaseCheckpoint(nodes)
+    for (_ <- 1 to iters) {
+      val next = adj
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("odeg")).as("mass"))
+        .select(col("node"),
+          (lit(Teleport / n) + lit(Damping) * col("mass")).as("pr"))
+        .localCheckpoint()
+      Blocks.releaseCheckpoint(ranks)
+      ranks = next
+    }
+    Blocks.releaseCheckpoint(adj)
+    ranks.withColumn("n_nodes", lit(n))
+  }
+
+  /** The symmetrized order–part bipartite graph from lineitem: an order
+    * links every part it contains. Part node ids are offset into their own
+    * range so the two id spaces cannot collide; symmetrization gives every
+    * node an out-edge (no dangling nodes) and an in-edge (closed node
+    * set). Distinct edges — repeat lines of the same (order, part) are
+    * one link, not a heavier one.
+    */
+  val PartOffset = 1000000000L
+
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val base = lineitem
+      .select(col("l_orderkey").as("src"),
+        (col("l_partkey") + lit(PartOffset)).as("dst"))
+      .distinct()
+    base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Iteration count for q_pagerank: enough that scores are structure-
+    * driven (not the uniform start), small enough that the unrolled
+    * oracle CTE chain stays readable. */
+  val PrIters = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scale shape: see object scaladoc — edges partitioned once, per-
+    // iteration shuffles are node-sized (rank attach) + map-side-combined
+    // contributions; 5 fixed iterations ⇒ 5×2 bounded exchanges total.
+    "q_pagerank" -> ((s, dir) => {
+      val pr = pagerank(copurchaseEdges(Sources.table(s, dir, "lineitem")), PrIters)
+      pr.select(col("node"),
+          (floor(col("pr") * col("n_nodes") * lit(1000000.0) + lit(0.500001))
+            / lit(1000000.0)).as("pr_scaled"))
+        .orderBy("node")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> prOracle(PrIters)
+  )
+
+  /** The DuckDB oracle: the same 5 iterations UNROLLED as chained CTEs —
+    * standard SQL (no vendor recursive-aggregate extension), every term
+    * spelled with the same literals the Spark side uses. */
+  private def prOracle(iters: Int): String = {
+    val head =
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_orderkey AS src, l_partkey + $PartOffset AS dst
+         |  FROM lineitem
+         |), e AS (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+         |), deg AS (
+         |  SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src
+         |), n AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM deg
+         |), pr0 AS (
+         |  SELECT src AS node, 1.0 / (SELECT cnt FROM n) AS pr FROM deg
+         |)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT e.dst AS node,
+         |    $Teleport / (SELECT cnt FROM n)
+         |      + $Damping * SUM(p.pr / d.odeg) AS pr
+         |  FROM e
+         |  JOIN pr${k - 1} p ON e.src = p.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }
+    val tail =
+      s"""SELECT node,
+         |  FLOOR(pr * (SELECT cnt FROM n) * 1000000.0 + 0.500001) / 1000000.0
+         |    AS pr_scaled
+         |FROM pr$iters ORDER BY node""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  private def sym(pairs: (Long, Long)*) =
+    edges(pairs ++ pairs.map(_.swap): _*)
+
+  test("uniform on a cycle: every node scores exactly 1/n at any iteration count") {
+    // directed 4-cycle: in-degree = out-degree = 1 everywhere, so the
+    // uniform start is the exact fixpoint — any drift is an engine bug
+    val ring = edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    for (iters <- Seq(1, 7)) {
+      val pr = Graph.pagerank(ring, iters).collect()
+      assert(pr.length === 4)
+      pr.foreach(r => assert(math.abs(r.getDouble(1) - 0.25) < 1e-12))
+      pr.foreach(r => assert(r.getLong(2) === 4L))
+    }
+  }
+
+  test("probability mass is conserved and the star center dominates") {
+    // symmetrized star: center 0 ↔ leaves 1..6
+    val star = sym((1L to 6L).map(i => (0L, i)): _*)
+    val pr = Graph.pagerank(star, iters = 5).collect()
+    assert(math.abs(pr.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    val byNode = pr.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L to 6L).foreach { leaf =>
+      assert(byNode(0L) > 2 * byNode(leaf))
+      // leaves are symmetric — identical scores, bit-for-bit
+      assert(byNode(leaf) === byNode(1L))
+    }
+  }
+
+  test("matches a driver-computed dense power iteration on an irregular graph") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    val g = pairs ++ pairs.map(_.swap)
+    val n = 5
+    val odeg = g.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var ref = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to 5) {
+      val next = Array.fill(n)(0.15 / n)
+      g.foreach { case (s, d) =>
+        next(d.toInt) += 0.85 * ref(s.toInt) / odeg(s)
+      }
+      ref = next
+    }
+    val got = Graph.pagerank(edges(g: _*), iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until n).foreach { i =>
+      assert(math.abs(got(i.toLong) - ref(i)) < 1e-12,
+        s"node $i: got ${got(i.toLong)}, want ${ref(i)}")
+    }
+  }
+
+  test("copurchase edges are distinct, symmetric, id-spaces disjoint") {
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_quantity", lit(1.0))
+    val e = Graph.copurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.length === 6) // 3 distinct links × 2 directions
+    assert(e.toSet.map((p: (Long, Long)) => p.swap) === e.toSet)
+    val orderNodes = e.map(_._1).filter(_ < Graph.PartOffset).toSet
+    assert(orderNodes === Set(1L, 2L))
+    assert(e.map(_._1).filter(_ >= Graph.PartOffset).toSet ===
+      Set(Graph.PartOffset + 10L, Graph.PartOffset + 11L))
+  }
+
+  test("job budget: a 5-iteration run stays within the per-round bound") {
+    // setup (adj + node checkpoints) + ~4 jobs per round (AQE splits each
+    // round's join/agg/checkpoint into stage-jobs; measured 25 total) +
+    // the final count. A regression to per-round edge re-materialization
+    // re-runs the edge scan/join lineage every round and lands well past
+    // this bound; convergence polling adds a job per round too.
+    val li = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Graph.pagerank(Graph.copurchaseEdges(li), iters = 5).count()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val jobs = after - before
+    assert(jobs <= 30, s"pagerank(5 iters) ran $jobs jobs — iteration " +
+      "machinery is re-running work it should have checkpointed")
+  }
+}
