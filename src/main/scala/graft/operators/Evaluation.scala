@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Sources
 import graft.text.TextOps
@@ -26,6 +27,94 @@ object Evaluation {
 
   private def r4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+
+  /** Binned (score, label) frame shared by the ROC / PR / calibration
+    * evaluators: the stop-ratio "english-ness" score rounded to 4 decimals
+    * IS the bin key, label = (lang = 'en'). Per-bin pos/neg counts reduce
+    * map-side in one aggregate pass, so every downstream metric runs over
+    * a frame bounded by |distinct 4-decimal scores| ≤ 10001 — never raw
+    * docs. The binning also makes the metrics EXACT cross-engine: every
+    * term downstream is an integer count (or an integer + .5 — all exactly
+    * representable doubles), so sums are order-independent.
+    */
+  private[operators] def scoreBins(docs: DataFrame): DataFrame =
+    docs.select(r4(TextOps.stopRatio(col("text"))).as("sb"),
+        (col("lang") === "en").cast("long").as("y"))
+      .groupBy("sb")
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+
+  /** Mann–Whitney mid-rank AUC over a (sb, pos, neg) bin frame. */
+  private[operators] def rocAuc(bins: DataFrame): DataFrame = {
+    val cnb = coalesce(sum(col("neg")).over(
+      BoundedWindow.ordered(col("sb"), col("sb"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))
+    bins.select(col("pos"), col("neg"), cnb.cast("double").as("cnb"))
+      .agg(
+        r6(sum(col("pos") * (col("cnb") + col("neg") / lit(2.0)))
+          / (sum(col("pos")) * sum(col("neg")))).as("auc"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"))
+  }
+
+  /** P/R/F1 at 10 fixed score cutoffs over a (sb, pos, neg) bin frame. */
+  private[operators] def prCurve(s: SparkSession, bins: DataFrame): DataFrame = {
+    val thr = s.range(10).select((col("id") / lit(100.0)).as("thr"))
+    val g = bins.crossJoin(broadcast(thr))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("sb") >= col("thr"), col("pos") + col("neg"))
+          .otherwise(0.0)).as("flagged"),
+        sum(when(col("sb") >= col("thr"), col("pos")).otherwise(0.0)).as("tp"),
+        sum(col("pos")).as("p"))
+    val pre = when(col("flagged") > 0, col("tp") / col("flagged")).otherwise(0.0)
+    val rec = col("tp") / col("p")
+    g.select(col("thr"), col("flagged").cast("long").as("n_flagged"),
+        pre.as("__pre"), rec.as("__rec"))
+      .select(col("thr"), col("n_flagged"),
+        r6(col("__pre")).as("prec"),
+        r6(col("__rec")).as("rec"),
+        r6(when(col("__pre") + col("__rec") > 0,
+          lit(2.0) * col("__pre") * col("__rec")
+            / (col("__pre") + col("__rec"))).otherwise(0.0)).as("f1"))
+      .orderBy("thr")
+  }
+
+  /** Reliability bins over a (sb, y) scored frame. */
+  private[operators] def calibration(scored: DataFrame): DataFrame = {
+    val ph = least(col("sb") * lit(5.0), lit(1.0))
+    val bin = least(floor(ph * lit(10.0)), lit(9L))
+    val perBin = scored.select(bin.as("bin"), ph.as("ph"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("ph")).as("sph"),
+        sum(col("y")).cast("double").as("sy"))
+    val total = sum(col("n")).over(BoundedWindow.whole(col("bin")))
+    val avgPred = col("sph") / col("n")
+    val posRate = col("sy") / col("n")
+    perBin.select(col("bin"), col("n").cast("long").as("n_docs"),
+        r6(avgPred).as("avg_pred"), r6(posRate).as("pos_rate"),
+        r6((col("n") / total) * abs(avgPred - posRate)).as("ece_part"))
+      .orderBy("bin")
+  }
+
+  /** The d/f/b CTE chain mirroring [[scoreBins]] in DuckDB. */
+  private def binsCte: String =
+    s"""WITH d AS (
+       |  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), f AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    FLOOR((CAST(len(list_filter(toks,
+       |        x -> x IN (${TextOps.stopwordsInList}))) AS DOUBLE)
+       |      / len(toks)) * 10000.0 + 0.500001) / 10000.0 AS sb
+       |  FROM d
+       |), b AS (
+       |  SELECT sb, CAST(SUM(y) AS DOUBLE) AS pos,
+       |    CAST(SUM(1 - y) AS DOUBLE) AS neg
+       |  FROM f GROUP BY sb
+       |)""".stripMargin
 
   /** Cutoff for q_ranking_metrics (recall@K, nDCG@K). */
   val MetricsK = 10
@@ -140,6 +229,40 @@ object Evaluation {
           md5(norm).as("norm_md5"), length(norm).cast("long").as("norm_len"))
         .orderBy("doc_id")
     }),
+
+    // ---- ROC AUC of a score vs a label ------------------------------------
+    // How well does the cheap stop-ratio heuristic separate en from non-en?
+    // The threshold-free half of classifier evaluation (the PR curve below
+    // is the thresholded half). Computed on the BINNED score frame via the
+    // Mann–Whitney mid-rank identity: AUC = Σ_b pos_b·(cumneg_<b + neg_b/2)
+    // / (P·N) — ties (whole bins) contribute half, exactly. Scale shape:
+    // one map-side-combined aggregate builds the bins; the rank arithmetic
+    // is a running window + final fold over the BOUNDED bin frame. Every
+    // term is a count or count+.5 → exact doubles → bit-identical cross-
+    // engine, no rounding slack consumed by summation order.
+    "q_roc_auc" -> ((s, dir) =>
+      rocAuc(scoreBins(t(s, dir, "documents")))),
+
+    // ---- precision/recall curve over a threshold sweep --------------------
+    // The thresholded half: P/R/F1 at 10 fixed cutoffs of the same score.
+    // Scale shape: bins × thresholds is a broadcast cross of a bounded
+    // frame with a 10-row literal range — conditional sums per threshold,
+    // never a re-scan of the corpus per cutoff. All-integer arithmetic →
+    // exact cross-engine equality of every ratio.
+    "q_pr_curve" -> ((s, dir) =>
+      prCurve(s, scoreBins(t(s, dir, "documents")))),
+
+    // ---- calibration / reliability bins -----------------------------------
+    // Treating the (rescaled) score as a probability: per decile-of-p̂ bin,
+    // mean prediction vs observed positive rate, plus each bin's weighted
+    // ECE contribution. Scale shape: one map-side-combined aggregate to 10
+    // bins; the total for ECE weights is a whole-frame window over those
+    // 10 rows. avg(p̂) sums genuine doubles → the 1e-6 rounding absorbs
+    // summation-order drift (the q_histogram convention).
+    "q_calibration" -> ((s, dir) =>
+      calibration(t(s, dir, "documents").select(
+        r4(TextOps.stopRatio(col("text"))).as("sb"),
+        (col("lang") === "en").cast("long").as("y")))),
 
     // ---- per-source token entropy -----------------------------------------
     // Shannon entropy of the unigram distribution per source — the
@@ -256,6 +379,59 @@ object Evaluation {
         |  CAST(length(regexp_replace(trim(lower(nfc_normalize(text))),
         |    '\s+', ' ', 'g')) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_roc_auc" -> (binsCte +
+      """, c AS (
+        |  SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY sb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cnb
+        |  FROM b
+        |)
+        |SELECT FLOOR((SUM(pos * (cnb + neg / 2.0)) / (SUM(pos) * SUM(neg)))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS auc,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg
+        |FROM c""".stripMargin),
+
+    "q_pr_curve" -> (binsCte +
+      """, thr AS (
+        |  SELECT i / 100.0 AS thr FROM range(0, 10) t(i)
+        |), g AS (
+        |  SELECT thr,
+        |    SUM(CASE WHEN sb >= thr THEN pos + neg ELSE 0.0 END) AS flagged,
+        |    SUM(CASE WHEN sb >= thr THEN pos ELSE 0.0 END) AS tp,
+        |    SUM(pos) AS p
+        |  FROM b, thr GROUP BY thr
+        |), m AS (
+        |  SELECT thr, flagged,
+        |    CASE WHEN flagged > 0 THEN tp / flagged ELSE 0.0 END AS pre,
+        |    tp / p AS rec
+        |  FROM g
+        |)
+        |SELECT thr, CAST(flagged AS BIGINT) AS n_flagged,
+        |  FLOOR(pre * 1000000.0 + 0.500001) / 1000000.0 AS prec,
+        |  FLOOR(rec * 1000000.0 + 0.500001) / 1000000.0 AS rec,
+        |  FLOOR((CASE WHEN pre + rec > 0 THEN 2.0 * pre * rec / (pre + rec)
+        |    ELSE 0.0 END) * 1000000.0 + 0.500001) / 1000000.0 AS f1
+        |FROM m ORDER BY thr""".stripMargin),
+
+    // (the b CTE is unreferenced here — calibration bins on p̂ deciles,
+    // not raw scores; DuckDB never evaluates unreferenced CTEs)
+    "q_calibration" -> (binsCte +
+      """, g AS (
+        |  SELECT CAST(LEAST(FLOOR(LEAST(sb * 5.0, 1.0) * 10.0), 9.0) AS BIGINT)
+        |      AS bin,
+        |    LEAST(sb * 5.0, 1.0) AS ph, y
+        |  FROM f
+        |), p AS (
+        |  SELECT bin, CAST(COUNT(*) AS DOUBLE) AS n, SUM(ph) AS sph,
+        |    CAST(SUM(y) AS DOUBLE) AS sy
+        |  FROM g GROUP BY bin
+        |)
+        |SELECT bin, CAST(n AS BIGINT) AS n_docs,
+        |  FLOOR((sph / n) * 1000000.0 + 0.500001) / 1000000.0 AS avg_pred,
+        |  FLOOR((sy / n) * 1000000.0 + 0.500001) / 1000000.0 AS pos_rate,
+        |  FLOOR(((n / SUM(n) OVER ()) * ABS(sph / n - sy / n))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS ece_part
+        |FROM p ORDER BY bin""".stripMargin),
 
     "q_token_entropy" ->
       """WITH toks AS (

@@ -30,6 +30,21 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Stopword fraction of whitespace tokens — the scalar shared by the
+    * quality score and the ROC/PR/calibration evaluators (Evaluation).
+    * Pure projection; the oracle spells the same list via `x IN (...)`.
+    */
+  def stopRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stopList = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stopList, t))).cast("double") /
+      size(toks)
+  }
+
+  /** The stopword list as a DuckDB IN-list literal, so oracle SQL strings
+    * stay in lockstep with [[stopRatio]] by construction. */
+  def stopwordsInList: String = stopwords.map(w => s"'$w'").mkString(", ")
+
   /** Per-document stats (projection only; SQL-expressible → oracle-backed). */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(

@@ -160,4 +160,71 @@ class EvaluationSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 3,
       s"entropy plans extra shuffles:\n$p")
   }
+
+  // ---- ROC AUC / PR curve / calibration algebra ----------------------------
+
+  private def bins(rows: (Double, Long, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("sb", "pos", "neg")
+  }
+
+  test("AUC identities: perfect separation 1.0, reversed 0.0, one tied bin 0.5") {
+    val perfect = bins((0.1, 0L, 50L), (0.9, 50L, 0L))
+    assert(Evaluation.rocAuc(perfect).head().getDouble(0) === 1.0)
+    val reversed = bins((0.1, 50L, 0L), (0.9, 0L, 50L))
+    assert(Evaluation.rocAuc(reversed).head().getDouble(0) === 0.0)
+    // every score tied in one bin → mid-rank gives exactly 1/2
+    val tied = bins((0.5, 30L, 70L))
+    assert(Evaluation.rocAuc(tied).head().getDouble(0) === 0.5)
+  }
+
+  test("AUC hand-computed mid-rank value, and counts are the margins") {
+    // P=4, N=4: 1·(0+1.5) + 2·(3+0.5) + 1·(4+0) = 12.5; 12.5/16 = 0.78125
+    val m = Evaluation.rocAuc(
+      bins((0.1, 1L, 3L), (0.2, 2L, 1L), (0.3, 1L, 0L))).head()
+    assert(m.getDouble(0) === 0.78125)
+    assert(m.getLong(1) === 4L && m.getLong(2) === 4L)
+  }
+
+  test("PR curve: thresholds fixed, recall non-increasing, t=0 is the base rate") {
+    val out = Evaluation.prCurve(spark,
+      bins((0.0, 5L, 15L), (0.03, 10L, 10L), (0.07, 5L, 5L))).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getDouble(0)).toSeq === (0 until 10).map(_ / 100.0))
+    // threshold 0 flags everything: precision = P/(P+N), recall = 1
+    assert(out.head.getLong(1) === 50L)
+    assert(out.head.getDouble(2) === 0.4 && out.head.getDouble(3) === 1.0)
+    val recalls = out.map(_.getDouble(3)).toSeq
+    assert(recalls === recalls.sorted.reverse, s"recall must fall as t rises: $recalls")
+    // past the max score nothing is flagged → all-zero row, not NULL/NaN
+    assert(out.last.getLong(1) === 0L && out.last.getDouble(2) === 0.0
+      && out.last.getDouble(4) === 0.0)
+  }
+
+  test("calibration: bins partition the corpus and a perfectly calibrated bin has ece_part 0") {
+    import spark.implicits._
+    // bin 1 (p̂=0.1): 10 docs, 1 positive → perfectly calibrated;
+    // bin 9 (p̂ clamps to 1.0): 4 docs, 2 positives → gap 0.5
+    val scored = (Seq.fill(9)((0.02, 0L)) ++ Seq((0.02, 1L)) ++
+      Seq((0.3, 1L), (0.3, 1L), (0.3, 0L), (0.3, 0L))).toDF("sb", "y")
+    val out = Evaluation.calibration(scored).collect()
+    assert(out.map(_.getLong(1)).sum === 14L)
+    val byBin = out.map(r => r.getLong(0) -> r).toMap
+    assert(byBin(1L).getDouble(3) === 0.1)   // pos_rate = avg_pred = 0.1
+    assert(byBin(1L).getDouble(4) === 0.0)   // → zero ECE contribution
+    assert(byBin(9L).getDouble(2) === 1.0)   // p̂ clamped to 1.0
+    assert(byBin(9L).getDouble(3) === 0.5)
+    // ece_part = (4/14)·|1.0 − 0.5| rounded at 1e-6
+    assert(math.abs(byBin(9L).getDouble(4) - 4.0 / 14.0 * 0.5) < 1e-6)
+  }
+
+  test("score-eval plans: binning is a partial aggregate, cross is broadcast-only") {
+    val auc = plan("q_roc_auc")
+    assert(!auc.contains("Join"), s"AUC must not join:\n$auc")
+    val pr = plan("q_pr_curve")
+    assert(pr.contains("BroadcastNestedLoopJoin"),
+      s"threshold cross must broadcast the 10-row range:\n$pr")
+    assert(!pr.contains("SortMergeJoin") && !pr.contains("CartesianProduct"),
+      s"threshold cross must not shuffle the bins:\n$pr")
+  }
 }
