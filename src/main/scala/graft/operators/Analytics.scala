@@ -44,7 +44,100 @@ object Analytics {
   /** Candidates taken from each ranking before fusion. */
   val FuseTopK = 50
 
+  /** Per-user event-type transition matrix (the first-order Markov view of
+    * session paths): lead() pairs each event with its successor on ONE
+    * user_id Exchange; the (from, to) counts reduce map-side to a frame
+    * bounded by |event types|², and the row-normalizing total is a window
+    * over that bounded frame. Exposed for spec-level brute-force parity.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    trans.select(col("src"), col("dst"), col("n").cast("long").as("n"),
+        r6(col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy("src"))).as("p"))
+      .orderBy("src", "dst")
+  }
+
+  /** Multi-touch attribution: each purchase's value attributed to the
+    * view/click touches since the user's previous purchase (the journey),
+    * linearly (value/n_touches each) and last-touch (all to the latest
+    * touch, ties on (ts, event_id)). Campaign = props.k mod 5. Scale
+    * shape: the journey index is a running purchase count on ONE user_id
+    * Exchange; the per-journey windows (conversion value, touch count,
+    * last-touch key) are partitioned by (user, journey) — a SUBSET-keyed
+    * partitioning, so they re-sort but never re-shuffle; the channel
+    * rollup is the only further exchange, onto a |channels|-bounded frame.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val isTouch = col("event_type").isin("view", "click")
+    val isPurchase = col("event_type") === "purchase"
+    val wj = Window.partitionBy("user_id", "journey")
+    val touches = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        concat(lit("c"), pmod(get_json_object(col("props"), "$.k")
+          .cast("long"), lit(5))).as("channel"))
+      .withColumn("journey", coalesce(sum(isPurchase.cast("long"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("conv_value", max(when(isPurchase, col("value"))).over(wj))
+      .withColumn("n_touches", sum(isTouch.cast("long")).over(wj))
+      .withColumn("last_ts", max(when(isTouch, col("ts"))).over(wj))
+      .withColumn("last_eid", max(when(isTouch && col("ts") === col("last_ts"),
+        col("event_id"))).over(wj))
+      .where(isTouch && col("conv_value").isNotNull)
+    touches.groupBy("channel")
+      .agg(
+        r4(sum(col("conv_value") / col("n_touches"))).as("attr_linear"),
+        r4(sum(when(col("ts") === col("last_ts")
+          && col("event_id") === col("last_eid"), col("conv_value"))
+          .otherwise(0.0))).as("attr_last"),
+        count(lit(1)).as("n_touch_events"))
+      .orderBy("channel")
+  }
+
+  /** Z-score + min-max scaling of per-customer order features — the
+    * standardization step every downstream model consumes. Scale shape:
+    * features are one key shuffle; the 8 scaling statistics reduce to ONE
+    * broadcast row; scaling is a pure projection. Zero-variance /
+    * zero-range columns scale to 0.0 by contract on BOTH engines (Spark's
+    * double Divide yields NULL where DuckDB yields ±inf — the q_mad_outliers
+    * lesson, guarded identically here).
+    */
+  def featureScale(orders: DataFrame): DataFrame = {
+    val feats = orders
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).cast("double").as("f"), sum(col("o_totalprice")).as("m"))
+    val stats = feats.agg(
+      avg(col("f")).as("f_mean"), stddev_samp(col("f")).as("f_sd"),
+      min(col("f")).as("f_min"), max(col("f")).as("f_max"),
+      avg(col("m")).as("m_mean"), stddev_samp(col("m")).as("m_sd"),
+      min(col("m")).as("m_min"), max(col("m")).as("m_max"))
+    def z(x: Column, mean: Column, sd: Column): Column =
+      when(sd =!= 0.0, (x - mean) / sd).otherwise(0.0)
+    def mm(x: Column, lo: Column, hi: Column): Column =
+      when(hi =!= lo, (x - lo) / (hi - lo)).otherwise(0.0)
+    feats.crossJoin(broadcast(stats))
+      .select(col("custkey"),
+        r6(z(col("f"), col("f_mean"), col("f_sd"))).as("f_z"),
+        r6(mm(col("f"), col("f_min"), col("f_max"))).as("f_mm"),
+        r6(z(col("m"), col("m_mean"), col("m_sd"))).as("m_z"),
+        r6(mm(col("m"), col("m_min"), col("m_max"))).as("m_mm"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_markov_transitions" -> ((s, dir) => markovTransitions(t(s, dir, "events"))),
+
+    "q_attribution" -> ((s, dir) => attribution(t(s, dir, "events"))),
+
+    "q_feature_scale" -> ((s, dir) => featureScale(t(s, dir, "orders"))),
 
     // ---- cohort retention matrix ------------------------------------------
     // Customers grouped by first-purchase month; for each (cohort, months
@@ -260,6 +353,79 @@ object Analytics {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS dst
+        |  FROM events
+        |), c AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM tr WHERE dst IS NOT NULL GROUP BY src, dst
+        |)
+        |SELECT src, dst, CAST(n AS BIGINT) AS n,
+        |  FLOOR((n / SUM(n) OVER (PARTITION BY src)) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
+
+    "q_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    'c' || (CAST(json_extract_string(props, '$.k') AS BIGINT) % 5)
+        |      AS channel,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+        |  FROM events
+        |), j1 AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN value END)
+        |      OVER (PARTITION BY user_id, journey) AS conv_value,
+        |    SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, journey) AS n_touches,
+        |    MAX(CASE WHEN event_type IN ('view', 'click') THEN ts END)
+        |      OVER (PARTITION BY user_id, journey) AS last_ts
+        |  FROM tagged
+        |), j2 AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type IN ('view', 'click') AND ts = last_ts
+        |      THEN event_id END) OVER (PARTITION BY user_id, journey) AS last_eid
+        |  FROM j1
+        |)
+        |SELECT channel,
+        |  FLOOR((SUM(conv_value / n_touches)) * 10000.0 + 0.500001) / 10000.0
+        |    AS attr_linear,
+        |  FLOOR((SUM(CASE WHEN ts = last_ts AND event_id = last_eid
+        |    THEN conv_value ELSE 0.0 END)) * 10000.0 + 0.500001) / 10000.0
+        |    AS attr_last,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touch_events
+        |FROM j2
+        |WHERE event_type IN ('view', 'click') AND conv_value IS NOT NULL
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_feature_scale" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS custkey, CAST(COUNT(*) AS DOUBLE) AS f,
+        |    SUM(o_totalprice) AS m
+        |  FROM orders GROUP BY o_custkey
+        |), st AS (
+        |  SELECT AVG(f) AS f_mean, STDDEV_SAMP(f) AS f_sd,
+        |    MIN(f) AS f_min, MAX(f) AS f_max,
+        |    AVG(m) AS m_mean, STDDEV_SAMP(m) AS m_sd,
+        |    MIN(m) AS m_min, MAX(m) AS m_max
+        |  FROM feats
+        |)
+        |SELECT custkey,
+        |  FLOOR((CASE WHEN f_sd <> 0 THEN (f - f_mean) / f_sd ELSE 0.0 END)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS f_z,
+        |  FLOOR((CASE WHEN f_max <> f_min THEN (f - f_min) / (f_max - f_min)
+        |    ELSE 0.0 END) * 1000000.0 + 0.500001) / 1000000.0 AS f_mm,
+        |  FLOOR((CASE WHEN m_sd <> 0 THEN (m - m_mean) / m_sd ELSE 0.0 END)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS m_z,
+        |  FLOOR((CASE WHEN m_max <> m_min THEN (m - m_min) / (m_max - m_min)
+        |    ELSE 0.0 END) * 1000000.0 + 0.500001) / 1000000.0 AS m_mm
+        |FROM feats, st ORDER BY custkey""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH m AS (

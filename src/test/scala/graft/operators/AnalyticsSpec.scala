@@ -211,4 +211,125 @@ class AnalyticsSpec extends SparkSpec {
       s"expected broadcast centroid attach:\n$p")
     assert(!p.contains("SortMergeJoin"), s"centroid attach shuffled:\n$p")
   }
+
+  // ---- q_markov_transitions -----------------------------------------------
+
+  test("markov transitions: rows match a driver brute-force recount") {
+    val events = graft.io.Sources.table(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+    val want = events.groupBy(_.getLong(0)).values.flatMap { evs =>
+      evs.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(_.getString(3)).sliding(2).collect { case Array(a, b) => (a, b) }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = run("q_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("markov transitions: probabilities row-normalize to 1 per source state") {
+    val rows = run("q_markov_transitions").collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, trs) =>
+      val total = trs.map(_.getDouble(3)).sum
+      // p values carry 1e-6 rounding; |states| terms of slack
+      assert(math.abs(total - 1.0) < 1e-5 * trs.length,
+        s"src $src: transition mass $total")
+    }
+  }
+
+  // ---- q_attribution ------------------------------------------------------
+
+  private def ev(rows: (Long, String, Long, String, Double, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("user_id", "ts_s", "event_id", "event_type", "value", "k")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_id"), col("event_type"), col("value"),
+        concat(lit("{\"k\": "), col("k"), lit("}")).as("props"))
+  }
+
+  test("attribution: hand-computed journeys — linear splits, last-touch wins, unconverted drops") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0, 0L),
+      (1L, "2024-01-01 10:01:00", 2L, "click", 1.0, 1L),
+      (1L, "2024-01-01 10:02:00", 3L, "purchase", 10.0, 9L),
+      (1L, "2024-01-01 10:03:00", 4L, "view", 1.0, 0L),
+      (1L, "2024-01-01 10:04:00", 5L, "purchase", 6.0, 9L),
+      // trailing unconverted journey — must contribute nothing
+      (1L, "2024-01-01 10:05:00", 6L, "view", 1.0, 2L))
+    val out = Analytics.attribution(events).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // journey 0: touches c0, c1 → 5 linear each, last = c1 (click@10:01)
+    // journey 1: touch c0 → 6 linear, last = c0
+    assert(out === Map(
+      "c0" -> ((11.0, 6.0, 2L)),
+      "c1" -> ((5.0, 10.0, 1L))))
+  }
+
+  test("attribution conserves value: Σ linear = Σ last = convertible purchase total") {
+    val out = run("q_attribution").collect()
+    val lin = out.map(_.getDouble(1)).sum
+    val last = out.map(_.getDouble(2)).sum
+    // driver recount of purchases whose journey holds ≥1 preceding touch
+    val events = graft.io.Sources.table(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+    var want = 0.0
+    events.groupBy(_.getLong(0)).values.foreach { evs =>
+      var touches = 0
+      evs.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).foreach { r =>
+        r.getString(3) match {
+          case "view" | "click" => touches += 1
+          case "purchase" =>
+            if (touches > 0) want += r.getDouble(4)
+            touches = 0
+          case _ => ()
+        }
+      }
+    }
+    // each channel row carries 1e-4 rounding slack
+    assert(math.abs(lin - want) < 1e-3, s"linear $lin vs driver $want")
+    assert(math.abs(last - want) < 1e-3, s"last $last vs driver $want")
+  }
+
+  test("attribution plan: one user shuffle feeds all journey windows, no join") {
+    val p = plan("q_attribution")
+    assert(!p.contains("Join"), s"attribution must be join-free:\n$p")
+    // user window + channel rollup + dump sort: ≤ 3 hash exchanges, and
+    // the (user, journey) windows must NOT add one (subset partitioning)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      s"journey windows re-shuffled:\n$p")
+  }
+
+  // ---- q_feature_scale ----------------------------------------------------
+
+  test("feature scale: planted two-customer frame — zero-variance guard and exact z") {
+    import spark.implicits._
+    // both customers have exactly 2 orders → f is constant → guarded 0.0;
+    // monetary 10 vs 30 → z = ∓1/√2, minmax = {0, 1}
+    val orders = Seq((1L, 4.0), (1L, 6.0), (2L, 14.0), (2L, 16.0))
+      .toDF("o_custkey", "o_totalprice")
+    val out = Analytics.featureScale(orders).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 === 0.0 && out(1L)._2 === 0.0)
+    assert(out(2L)._1 === 0.0 && out(2L)._2 === 0.0)
+    assert(math.abs(out(1L)._3 + 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(math.abs(out(2L)._3 - 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(out(1L)._4 === 0.0 && out(2L)._4 === 1.0)
+  }
+
+  test("feature scale on the fixture: z mean ~0, minmax spans [0,1] with endpoints") {
+    val out = run("q_feature_scale").collect()
+    val mz = out.map(_.getDouble(3))
+    assert(math.abs(mz.sum / mz.length) < 1e-4)
+    val mmm = out.map(_.getDouble(4))
+    assert(mmm.min === 0.0 && mmm.max === 1.0)
+    assert(mmm.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("feature scale plan: stats attach by broadcast, never a shuffle join") {
+    val p = plan("q_feature_scale")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast stats row:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats attach shuffled:\n$p")
+  }
 }
