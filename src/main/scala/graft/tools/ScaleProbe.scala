@@ -145,6 +145,31 @@ object ScaleProbe {
       Blocks.releaseAll(spark)
     }
 
+    // PageRank: disjoint graph copies (per-copy id offsets — realistic
+    // growth: more communities, constant diameter). Rounds are fixed at 5,
+    // so wall time must track the edge count: the per-round rank shuffle
+    // is node-sized and the contribution aggregate map-side combines.
+    val li = Sources.table(spark, dir, "lineitem")
+    graft.operators.Graph.pagerank(
+      graft.operators.Graph.copurchaseEdges(li.limit(2000)), iters = 2).count()
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val base = graft.operators.Graph.copurchaseEdges(li)
+      val edges = (0 until mult).map { i =>
+        base.select((col("src") + lit(i.toLong * 10000000000L)).as("src"),
+          (col("dst") + lit(i.toLong * 10000000000L)).as("dst"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val nEdges = edges.count()
+      val t0 = System.nanoTime()
+      val n = graft.operators.Graph.pagerank(edges, iters = 5).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-pagerank] mult=$mult%2d edges=$nEdges%9d " +
+        f"nodes=$n%8d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
     // Top-k per group: the two-phase heap operator vs the window-rank
     // form, same data, same k — measures the claim that the heap shuffles
     // survivors while the window shuffles AND SORTS everything.
