@@ -475,6 +475,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // oracle-backed: DSIR importance selection (Xie et al. 2023) — the
+    // data-selection stage between quality filtering and mixing: rank the
+    // corpus by target-vs-source LM log-likelihood ratio and Gumbel-top-k
+    // sample ∝ softmax weight, noise content-addressed from md5(text).
+    // Target domain = the en slice; k = 100. Scale shape: two broadcast
+    // LM kernels, one shuffle-free scoring scan, TakeOrdered heap. The
+    // oracle recomputes both profiles, the ratio, the md5 uniform, and
+    // the same top-k relationally — selection AND values hash-matched.
+    "q_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.dsirSelect(d, d.where(col("lang") === "en"), k = 100)
+        .select(col("doc_id"), r4(col("llr")).as("llr"))
+        .orderBy("doc_id")
+    }),
+
     // envelope-contract oracle: the fingerprint VALUES are xxhash64-specific
     // (the kernel-vs-HOF cross-check in TextOpsSpec pins them), but
     // winnowing's published guarantees (Schleimer–Wilkerson–Aiken 2003 §2)
@@ -1197,6 +1212,42 @@ object LlmQueries {
         |  FLOOR(((s - n_grams * ln(nn + vv)) / n_grams) * 10000.0 + 0.500001)
         |    / 10000.0 AS avg_logprob
         |FROM sc, tot ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, text, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), tg AS (
+        |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS g
+        |  FROM norm, LATERAL unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)
+        |), pt AS (
+        |  SELECT g, COUNT(*) AS c FROM tg WHERE lang = 'en' GROUP BY g
+        |), ps AS (
+        |  SELECT g, COUNT(*) AS c FROM tg GROUP BY g
+        |), tt AS (
+        |  SELECT ln(CAST(SUM(c) AS DOUBLE) + CAST(COUNT(*) AS DOUBLE)) AS lnnv FROM pt
+        |), ts AS (
+        |  SELECT ln(CAST(SUM(c) AS DOUBLE) + CAST(COUNT(*) AS DOUBLE)) AS lnnv FROM ps
+        |), sc AS (
+        |  SELECT tg.doc_id,
+        |    SUM(ln(COALESCE(pt.c, 0) + 1.0)) AS st,
+        |    SUM(ln(COALESCE(ps.c, 0) + 1.0)) AS ss,
+        |    CAST(COUNT(*) AS DOUBLE) AS ng
+        |  FROM tg LEFT JOIN pt USING (g) LEFT JOIN ps USING (g)
+        |  GROUP BY tg.doc_id
+        |), keyed AS (
+        |  SELECT sc.doc_id,
+        |    (st - ng * (SELECT lnnv FROM tt)) / ng
+        |      - (ss - ng * (SELECT lnnv FROM ts)) / ng AS llr,
+        |    (CAST('0x' || substr(md5(norm.text), 1, 8) AS BIGINT) + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM sc JOIN norm ON sc.doc_id = norm.doc_id
+        |), sel AS (
+        |  SELECT doc_id, llr FROM keyed
+        |  ORDER BY llr - ln(-ln(u)) DESC, doc_id LIMIT 100
+        |)
+        |SELECT doc_id, FLOOR(llr * 10000.0 + 0.500001) / 10000.0 AS llr
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH norm AS (

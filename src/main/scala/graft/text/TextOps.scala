@@ -327,6 +327,59 @@ object TextOps {
     scored
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by the per-gram log-likelihood RATIO of a target-domain LM to the
+    * source-corpus LM (both the add-one-smoothed char-n-gram model of
+    * [[lmScore]]), then draw k docs without replacement ∝ softmax weight
+    * via the Gumbel top-k trick — with the Gumbel noise derived from
+    * md5(text), so selection is content-addressed and fully deterministic
+    * (no RNG state; the [[graft.operators.Sampling]] convention).
+    *
+    * Plan shape: TWO vocab-bounded profile collects ship as broadcast
+    * codegen kernels; llr + noise is ONE shuffle-free projection over ONE
+    * corpus scan; selection is a distributed TakeOrdered k-heap. Raw docs
+    * never globally sort or shuffle. Returns (doc_id, llr) for the
+    * selected docs, llr unrounded, ordered by the selection key.
+    */
+  def dsirSelect(docs: DataFrame, target: DataFrame, k: Int, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    def build(train: DataFrame): (Long, Double) = {
+      val counts = train.select(explode(charNgrams(col("text"), n)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c")).collect()
+      val table = new java.util.HashMap[String, java.lang.Long](counts.length * 2)
+      var total = 0L
+      counts.foreach { r =>
+        table.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1)))
+        total += r.getLong(1)
+      }
+      val model = new LmModel(table, total, n)
+      (LmModels.put(model), math.log((total + model.vocab).toDouble))
+    }
+    val (tId, tLnNV) = build(target)
+    val (sId, sLnNV) = build(docs)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lm_logcount", LmModels.factory, "built-in")
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val nGrams = greatest(length(norm) - (n - 1), lit(1)).cast("long").cast("double")
+    def avgLl(id: Long, lnNV: Double): Column =
+      (call_function("graft_lm_logcount", col("text"), lit(id))
+        - nGrams * lit(lnNV)) / nGrams
+    // uniform in (0,1) from the first 8 md5 hex digits; the +0.5 keeps it
+    // strictly inside the interval — u=0 would hit Spark ln(0)=NULL vs
+    // DuckDB -inf (the Divide-parity class of trap, dodged structurally)
+    val u = (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val llr = avgLl(tId, tLnNV) - avgLl(sId, sLnNV)
+    val scored = docs.select(col("doc_id"), llr.as("llr"),
+      (llr - log(-log(u))).as("__key"))
+    // eager analysis already embedded both models in the plan
+    LmModels.remove(tId)
+    LmModels.remove(sId)
+    scored.orderBy(col("__key").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("llr"))
+  }
+
   /** Join-based formulation of [[langId]] — semantically identical; kept
     * as the cross-check for the model-scoring expression (TextOpsSpec).
     */

@@ -223,4 +223,48 @@ class TextOpsSpec extends SparkSpec {
     assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L),
       s"unexpected packing: $packs")
   }
+
+  // ---- dsirSelect ----------------------------------------------------------
+
+  private def dsirCorpus = {
+    import spark.implicits._
+    // ten target-like docs, ten far-from-target docs, distinct texts
+    ((1L to 10L).map(i => (i, s"alpha beta gamma $i")) ++
+      (11L to 20L).map(i => (i, s"zq xv wk jr $i")))
+      .toDF("doc_id", "text")
+  }
+
+  test("dsirSelect: llr separates target-like docs; k over corpus returns all") {
+    val docs = dsirCorpus
+    val target = docs.where(col("doc_id") <= 10L)
+    val all = TextOps.dsirSelect(docs, target, k = 100).collect()
+    assert(all.length === 20)
+    val llr = all.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val worstTarget = (1L to 10L).map(llr).min
+    val bestOther = (11L to 20L).map(llr).max
+    assert(worstTarget > bestOther,
+      s"target-like docs must out-score: min-target $worstTarget ≤ max-other $bestOther")
+  }
+
+  test("dsirSelect is deterministic, partition-invariant, and k-monotone") {
+    val docs = dsirCorpus
+    val target = docs.where(col("doc_id") <= 10L)
+    def ids(d: org.apache.spark.sql.DataFrame, k: Int) =
+      TextOps.dsirSelect(d, target, k).collect().map(_.getLong(0)).toSet
+    val k5 = ids(docs, 5)
+    assert(k5 === ids(docs.repartition(7), 5), "selection must be content-addressed")
+    // Gumbel top-k with fixed keys: a larger draw extends, never replaces
+    assert(k5.subsetOf(ids(docs, 9)))
+  }
+
+  test("q_dsir_select plan: broadcast kernels, TakeOrdered heap, join-free") {
+    spark.catalog.clearCache()
+    val p = graft.SparkEntry.queries("q_dsir_select")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"dsir scoring must not join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be a distributed k-heap, not a global sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring must be shuffle-free:\n$p")
+  }
 }
