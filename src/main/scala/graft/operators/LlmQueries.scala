@@ -360,6 +360,28 @@ object LlmQueries {
           (col("n_hit") >= col("n") * 0.4).cast("long").as("recall_ge_040"))
     }),
 
+    // envelope-contract oracle, same shape as q_ann_lsh: product
+    // quantization (Jégou 2011, the FAISS IVF-PQ compression half) at
+    // m=16 subspaces × 32 codewords — 16 bytes/vec vs 256 raw (16×).
+    // Recall@10 vs brute measured 0.42–0.55 across sf0.001/0.01/0.1
+    // (RecallProbe; these uniform synthetic embeddings are PQ's worst
+    // case — no cluster structure for the codebooks to exploit), floor
+    // 0.2 with ≥2× margin. bytes_per_vec is pinned in SQL so the
+    // compression claim itself is part of the contract.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+      val brute = Ann.bruteForceTopK(emb, probes, k = 10)
+        .select(col("probe_id"), col("vec_id"))
+      val pq = Ann.pqTopK(emb, probes, k = 10, m = 16, ksub = 32)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      brute.join(pq, Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("n").as("n_exact"),
+          (col("n_hit") >= col("n") * 0.2).cast("long").as("recall_ge_020"),
+          lit(16L).as("bytes_per_vec"))
+    }),
+
     // oracle-backed: exact n-gram Jaccard on the planted (original,
     // perturbed) pairs — the candidate set is SQL-expressible by
     // construction, so the shingle + Jaccard kernel gets a DuckDB
@@ -932,6 +954,26 @@ object LlmQueries {
         |)
         |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_040
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_ann_pq" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+        |), scored AS (
+        |  SELECT p.probe_id, c.vec_id,
+        |    list_dot_product(c.cvec, p.pvec) /
+        |      (sqrt(list_dot_product(c.cvec, c.cvec)) * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_exact
+        |  FROM corpus c, probes p WHERE c.vec_id <> p.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_exact DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_020,
+        |  CAST(16 AS BIGINT) AS bytes_per_vec
+        |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH probes AS (

@@ -223,6 +223,65 @@ object Ann {
     ivfTopKWithCenters(corpus, probes, centers, k, nprobe)
   }
 
+  /** Product-quantization ANN (Jégou–Douze–Schmid 2011, "Product
+    * quantization for nearest neighbor search" — the FAISS IVF-PQ family's
+    * compression half): split the d-dim embedding into `m` subspaces,
+    * k-means each subspace into `ksub` codewords (fit on a seeded sample,
+    * never the corpus), and represent every vector by its m nearest-
+    * codeword codes — m bytes per vector at ksub ≤ 256, vs 4·d bytes raw;
+    * the representation a 100 TB vector corpus actually keeps in memory.
+    * Search scores probes against the RECONSTRUCTION (codeword concat),
+    * which is exactly the asymmetric-distance (ADC) ranking: the distance
+    * to the reconstruction equals the per-subspace table-lookup sum.
+    *
+    * Plan shape: m sample-sized KMeans fits on ONE checkpointed sample;
+    * encoding + reconstruction is a shuffle-free projection (per-subspace
+    * `graft_ivf_cells` broadcast kernels + codeword lookup from nested
+    * literals); scoring is the brute shape — bounded probe batch broadcast
+    * against one corpus scan, per-probe bounded window. Returns
+    * (probe_id, vec_id, cos, rank) like the other top-k paths.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10, m: Int = 8,
+      ksub: Int = 16, seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxIter: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    VecOps.register(spark)
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim does not split into $m subspaces")
+    val dsub = dim / m
+    val sample = (if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus)
+      .select(col("embedding")).localCheckpoint()
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val train = sample.select(array_to_vector(
+        slice(col("embedding"), j * dsub + 1, dsub).cast("array<double>"))
+        .as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter).fit(train)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    graft.Blocks.releaseCheckpoint(sample)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells", IvfModels.factory, "built-in")
+    val ids = codebooks.map(cb => IvfModels.put(new IvfModel(cb)))
+    val recon = concat((0 until m).map { j =>
+      val code = element_at(call_function("graft_ivf_cells",
+        slice(col("embedding"), j * dsub + 1, dsub), lit(ids(j)), lit(1)), 1)
+      element_at(typedLit(codebooks(j).map(_.toSeq).toSeq), code + lit(1))
+    }: _*)
+    val c = corpus.select(col("vec_id"), recon.as("recon"))
+    // eager analysis embedded the m codebook models — release promptly
+    ids.foreach(IvfModels.remove)
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_vec"), norm(col("embedding")).as("p_norm"))
+    val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("recon"), col("probe_vec"))
+          / (norm(col("recon")) * col("p_norm"))).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Search with externally-supplied centroids (shared by
     * [[ivfTopKBroadcast]] and the AnnSpec literal-vs-broadcast parity
     * proof).

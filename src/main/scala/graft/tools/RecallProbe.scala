@@ -25,8 +25,13 @@ object RecallProbe {
         .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val ivf = Ann.ivfTopK(emb, probes, k = 5, nlist = 16, nprobe = 4)
         .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute10 = Ann.bruteForceTopK(emb, probes, k = 10)
+        .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pq = Ann.pqTopK(emb, probes, k = 10, m = 16, ksub = 32)
+        .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"$sf lsh_recall=${(brute & lsh).size.toDouble / brute.size}%.3f " +
-        f"ivf_recall=${(brute & ivf).size.toDouble / brute.size}%.3f n=${brute.size}")
+        f"ivf_recall=${(brute & ivf).size.toDouble / brute.size}%.3f " +
+        f"pq_recall@10=${(brute10 & pq).size.toDouble / brute10.size}%.3f n=${brute.size}")
       Blocks.releaseAll(spark)
 
       val docs = Sources.table(spark, dir, "documents")

@@ -156,4 +156,52 @@ class AnnSpec extends SparkSpec {
     Ann.cosineNearDuplicates(emb, threshold = 0.0, tables = 2, bits = 6)
       .collect().foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
+
+  // ---- product quantization -----------------------------------------------
+
+  test("PQ on a codeword grid is lossless: exactly matches brute force") {
+    import spark.implicits._
+    // corpus = the product of two per-subspace codeword sets; k-means with
+    // ksub = |set| converges to the sets themselves, so reconstruction is
+    // exact and ADC ranking must equal the exact ranking — any divergence
+    // is an encode/decode bug, not quantization error
+    val s1 = Seq(Seq(0f, 0f), Seq(3f, 4f))
+    val s2 = Seq(Seq(1f, 0f), Seq(0f, 2f))
+    val corpus = (for {
+      (a, i) <- s1.zipWithIndex
+      (b, j) <- s2.zipWithIndex
+    } yield ((i * 2 + j).toLong, a ++ b)).toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 0L)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = pairs(Ann.bruteForceTopK(corpus, probes, k = 3))
+    val pq = pairs(Ann.pqTopK(corpus, probes, k = 3, m = 2, ksub = 2,
+      maxIter = 20))
+    assert(pq === brute, s"PQ on its own codewords must be exact: $pq vs $brute")
+  }
+
+  test("PQ envelope holds at the smallest SF") {
+    val out = graft.SparkEntry.queries("q_ann_pq")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getLong(0) === 100L) // 10 probes × k=10 exact pairs
+    assert(out.getLong(1) === 1L, "recall-vs-brute fell below the 0.2 floor")
+    assert(out.getLong(2) === 16L)
+  }
+
+  test("PQ rejects a dimension that does not split into m subspaces") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqTopK(emb, emb.limit(1), k = 1, m = 7)
+    }
+    assert(e.getMessage.contains("does not split"))
+  }
+
+  test("PQ plan: probe batch broadcasts, corpus never SMJ/cartesian-joins") {
+    val p = Ann.pqTopK(emb, emb.where(col("vec_id") < 3), k = 3, m = 16, ksub = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must not shuffle into the probe join:\n$p")
+  }
 }
