@@ -382,6 +382,26 @@ object LlmQueries {
           lit(16L).as("bytes_per_vec"))
     }),
 
+    // envelope-contract oracle: IVF-PQ — the composed FAISS shape. Coarse
+    // cells PRUNE (only nprobe=8 of 16 cells searched per probe, the
+    // q_ann_ivf join geometry) and PQ codes COMPRESS (ranking on the
+    // 16-byte reconstruction). Measured recall@10 0.44–0.55 across SFs
+    // (RecallProbe) — the PQ ceiling, as expected; same 0.2 floor.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+      val brute = Ann.bruteForceTopK(emb, probes, k = 10)
+        .select(col("probe_id"), col("vec_id"))
+      val ivfpq = Ann.ivfPqTopK(emb, probes, k = 10, nlist = 16, nprobe = 8,
+          m = 16, ksub = 32)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      brute.join(ivfpq, Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("n").as("n_exact"),
+          (col("n_hit") >= col("n") * 0.2).cast("long").as("recall_ge_020"),
+          lit(16L).as("bytes_per_vec"))
+    }),
+
     // oracle-backed: exact n-gram Jaccard on the planted (original,
     // perturbed) pairs — the candidate set is SQL-expressible by
     // construction, so the shingle + Jaccard kernel gets a DuckDB
@@ -956,6 +976,26 @@ object LlmQueries {
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_ann_pq" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+        |), scored AS (
+        |  SELECT p.probe_id, c.vec_id,
+        |    list_dot_product(c.cvec, p.pvec) /
+        |      (sqrt(list_dot_product(c.cvec, c.cvec)) * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_exact
+        |  FROM corpus c, probes p WHERE c.vec_id <> p.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_exact DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_020,
+        |  CAST(16 AS BIGINT) AS bytes_per_vec
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_ann_ivfpq" ->
       """WITH probes AS (
         |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
         |  FROM embeddings WHERE vec_id < 10

@@ -246,32 +246,13 @@ object Ann {
       maxIter: Int = 10): DataFrame = {
     val spark = corpus.sparkSession
     VecOps.register(spark)
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"pq: dim $dim does not split into $m subspaces")
-    val dsub = dim / m
-    val sample = (if (sampleFraction < 1.0)
-        corpus.sample(withReplacement = false, sampleFraction, seed)
-      else corpus)
-      .select(col("embedding")).localCheckpoint()
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
-      val train = sample.select(array_to_vector(
-        slice(col("embedding"), j * dsub + 1, dsub).cast("array<double>"))
-        .as("features"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter).fit(train)
-        .clusterCenters.map(_.toArray)
-    }.toArray
-    graft.Blocks.releaseCheckpoint(sample)
+    val codebooks = pqCodebooks(corpus, m, ksub, seed, sampleFraction, maxIter)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ivf_cells", IvfModels.factory, "built-in")
-    val ids = codebooks.map(cb => IvfModels.put(new IvfModel(cb)))
-    val recon = concat((0 until m).map { j =>
-      val code = element_at(call_function("graft_ivf_cells",
-        slice(col("embedding"), j * dsub + 1, dsub), lit(ids(j)), lit(1)), 1)
-      element_at(typedLit(codebooks(j).map(_.toSeq).toSeq), code + lit(1))
-    }: _*)
+    val (recon, pqIds) = pqRecon(codebooks)
     val c = corpus.select(col("vec_id"), recon.as("recon"))
     // eager analysis embedded the m codebook models — release promptly
-    ids.foreach(IvfModels.remove)
+    pqIds.foreach(IvfModels.remove)
     val p = probes.select(col("vec_id").as("probe_id"),
       col("embedding").as("probe_vec"), norm(col("embedding")).as("p_norm"))
     val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
@@ -280,6 +261,90 @@ object Ann {
           / (norm(col("recon")) * col("p_norm"))).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF-PQ (the full FAISS shape, modulo residual encoding — codebooks
+    * quantize RAW vectors here; residuals are the documented refinement):
+    * coarse KMeans cells bound the candidate set (only `nprobe` cells per
+    * probe are searched — the IVF pruning), and within candidates the
+    * ranking runs on the PQ reconstruction (the 16-bytes-per-vector
+    * representation — the PQ compression). At 100 TB the corpus keeps
+    * ONLY (vec_id, cell, codes); neither raw vectors nor any unbounded
+    * pair set ever shuffles: candidates come from the (cell) equi-join,
+    * exactly q_ann_ivf's join geometry, and scoring is projection math.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxIter: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    VecOps.register(spark)
+    val coarse = fitCentroids(corpus, nlist, seed, sampleFraction, maxIter)
+    val codebooks = pqCodebooks(corpus, m, ksub, seed, sampleFraction, maxIter)
+    val probeCells = math.min(nprobe, coarse.length)
+    val coarseId = IvfModels.put(new IvfModel(coarse))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells", IvfModels.factory, "built-in")
+    val (recon, pqIds) = pqRecon(codebooks)
+    val c = corpus.select(col("vec_id"),
+      element_at(call_function("graft_ivf_cells",
+        col("embedding"), lit(coarseId), lit(1)), 1).as("cell"),
+      recon.as("recon"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_vec"), norm(col("embedding")).as("p_norm"),
+      explode(call_function("graft_ivf_cells",
+        col("embedding"), lit(coarseId), lit(probeCells))).as("cell"))
+    // both selects analyzed eagerly — release coarse + codebook entries
+    IvfModels.remove(coarseId)
+    pqIds.foreach(IvfModels.remove)
+    val scored = c.join(p, Seq("cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("recon"), col("probe_vec"))
+          / (norm(col("recon")) * col("p_norm"))).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Per-subspace KMeans codebooks (m × ksub × d/m), fit on ONE seeded
+    * checkpointed sample. */
+  private def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, seed: Long,
+      sampleFraction: Double, maxIter: Int): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim does not split into $m subspaces")
+    val dsub = dim / m
+    val sample = (if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus)
+      .select(col("embedding")).localCheckpoint()
+    val codebooks = (0 until m).map { j =>
+      val train = sample.select(array_to_vector(
+        slice(col("embedding"), j * dsub + 1, dsub).cast("array<double>"))
+        .as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter).fit(train)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    graft.Blocks.releaseCheckpoint(sample)
+    codebooks
+  }
+
+  /** The PQ encode→decode column: per-subspace nearest codeword via the
+    * broadcast ivf-cells kernel, codeword lookup from nested literals,
+    * concat — a pure whole-stage-codegen projection. Returns the column
+    * AND the registry ids it references: callers release the ids only
+    * AFTER the column has been through (eager) analysis in a select —
+    * resolution reads the registry, so an early release breaks it.
+    */
+  private def pqRecon(codebooks: Array[Array[Array[Double]]]): (Column, Array[Long]) = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val ids = codebooks.map(cb => IvfModels.put(new IvfModel(cb)))
+    val recon = concat((0 until m).map { j =>
+      val code = element_at(call_function("graft_ivf_cells",
+        slice(col("embedding"), j * dsub + 1, dsub), lit(ids(j)), lit(1)), 1)
+      element_at(typedLit(codebooks(j).map(_.toSeq).toSeq), code + lit(1))
+    }: _*)
+    (recon, ids)
   }
 
   /** Search with externally-supplied centroids (shared by

@@ -29,9 +29,13 @@ object RecallProbe {
         .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val pq = Ann.pqTopK(emb, probes, k = 10, m = 16, ksub = 32)
         .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfpq = Ann.ivfPqTopK(emb, probes, k = 10, nlist = 16, nprobe = 8,
+          m = 16, ksub = 32)
+        .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"$sf lsh_recall=${(brute & lsh).size.toDouble / brute.size}%.3f " +
         f"ivf_recall=${(brute & ivf).size.toDouble / brute.size}%.3f " +
-        f"pq_recall@10=${(brute10 & pq).size.toDouble / brute10.size}%.3f n=${brute.size}")
+        f"pq_recall@10=${(brute10 & pq).size.toDouble / brute10.size}%.3f " +
+        f"ivfpq_recall@10=${(brute10 & ivfpq).size.toDouble / brute10.size}%.3f n=${brute.size}")
       Blocks.releaseAll(spark)
 
       val docs = Sources.table(spark, dir, "documents")

@@ -196,6 +196,31 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("does not split"))
   }
 
+  test("IVF-PQ with nprobe = nlist is exhaustive: exactly matches plain PQ") {
+    // coarse pruning off (every cell probed) must leave the PQ ranking —
+    // same seed, same codebooks, so the two paths differ only in the
+    // candidate generator, which is exhaustive here
+    val probes = emb.where(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = pairs(Ann.pqTopK(emb, probes, k = 5, m = 16, ksub = 8))
+    val ivfpq = pairs(Ann.ivfPqTopK(emb, probes, k = 5, nlist = 4, nprobe = 4,
+      m = 16, ksub = 8))
+    assert(ivfpq === pq)
+  }
+
+  test("IVF-PQ envelope holds at the smallest SF, candidates via cell equi-join") {
+    val out = graft.SparkEntry.queries("q_ann_ivfpq")(spark, "/root/testdata/sf0.001")
+      .head()
+    assert(out.getLong(0) === 100L && out.getLong(1) === 1L && out.getLong(2) === 16L)
+    val p = Ann.ivfPqTopK(emb, emb.where(col("vec_id") < 3), k = 3,
+        nlist = 8, nprobe = 2, m = 16, ksub = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ candidates must come from the cell equi-join:\n$p")
+  }
+
   test("PQ plan: probe batch broadcasts, corpus never SMJ/cartesian-joins") {
     val p = Ann.pqTopK(emb, emb.where(col("vec_id") < 3), k = 3, m = 16, ksub = 8)
       .queryExecution.executedPlan.toString
