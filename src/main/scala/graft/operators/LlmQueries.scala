@@ -382,6 +382,26 @@ object LlmQueries {
           lit(16L).as("bytes_per_vec"))
     }),
 
+    // oracle-backed: contrastive pair mining — the (anchor, positive,
+    // hard-negative) triplets an embedding-model trainer consumes.
+    // Positive = exact nearest neighbour; hard negatives = the rank-10/
+    // 20/30 band of the SAME ranking (the standard in-batch-hard-negative
+    // recipe made deterministic: a strided band instead of RNG draws, so
+    // the pair set is stable under corpus growth and re-runs). Scale
+    // shape: one bruteForceTopK heap pass (bounded probe batch broadcast,
+    // per-partition k-heaps — at 100 TB the anchor batch is the unit of
+    // work); the band filter is a projection on the ≤|anchors|·30 rows.
+    "q_contrastive_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") < 20)
+      Ann.bruteForceTopK(emb, anchors, k = 30)
+        .where(col("rank").isin(1, 10, 20, 30))
+        .select(col("probe_id").as("anchor_id"), col("vec_id"),
+          when(col("rank") === 1, "pos").otherwise("neg").as("role"),
+          col("rank").cast("long").as("rank"), r4(col("cos")).as("cos"))
+        .orderBy("anchor_id", "rank")
+    }),
+
     // envelope-contract oracle: IVF-PQ — the composed FAISS shape. Coarse
     // cells PRUNE (only nprobe=8 of 16 cells searched per probe, the
     // q_ann_ivf join geometry) and PQ codes COMPRESS (ranking on the
@@ -994,6 +1014,29 @@ object LlmQueries {
         |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_020,
         |  CAST(16 AS BIGINT) AS bytes_per_vec
         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_contrastive_pairs" ->
+      """WITH anchors AS (
+        |  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS avec
+        |  FROM embeddings WHERE vec_id < 20
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+        |), scored AS (
+        |  SELECT a.anchor_id, c.vec_id,
+        |    list_dot_product(c.cvec, a.avec) /
+        |      (sqrt(list_dot_product(c.cvec, c.cvec)) * sqrt(list_dot_product(a.avec, a.avec))) AS cos
+        |  FROM corpus c, anchors a WHERE c.vec_id <> a.anchor_id
+        |), ranked AS (
+        |  SELECT anchor_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT anchor_id, vec_id,
+        |  CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS role,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  FLOOR(cos * 10000.0 + 0.500001) / 10000.0 AS cos
+        |FROM ranked WHERE rank IN (1, 10, 20, 30)
+        |ORDER BY anchor_id, rank""".stripMargin,
 
     "q_ann_ivfpq" ->
       """WITH probes AS (

@@ -104,6 +104,55 @@ object StreamingOps {
       }
   }
 
+  final case class HhState(ver: Long, counts: Map[String, Long])
+  final case class TermCandidate(shard: Int, ver: Long, term: String, count_min: Long)
+
+  /** Streaming heavy hitters with BOUNDED state: the Misra–Gries summary
+    * (the sketch behind the batch q_freq_items) held as per-shard
+    * flatMapGroupsWithState state. Terms are sharded by hash so the
+    * sketch parallelizes — every occurrence of a term lands on ONE shard,
+    * so each shard's summary carries the full Misra–Gries contract for
+    * its slice of the vocabulary: at capacity c, any term with true count
+    * > (shard stream length)/(c+1) is guaranteed present, and reported
+    * counts underestimate by at most that same bound. State per shard is
+    * ≤ c counters — the stream can run forever on a 100 TB/day feed
+    * without the state store growing past shards × c entries, where a
+    * naive streaming groupBy(term).count() holds the whole vocabulary.
+    *
+    * Each trigger emits the shard's full candidate snapshot stamped with
+    * a monotonically increasing per-shard version; readers take the max
+    * version per shard (Update-mode memory/file sinks append snapshots).
+    */
+  def streamingHeavyHitters(docs: DataFrame, capacity: Int = 64,
+      shards: Int = 8): Dataset[TermCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(graft.text.TextOps.tokens(lower(col("text")))).as("term"))
+      .select(pmod(hash(col("term")), lit(shards)).cast("int").as("shard"),
+        col("term"))
+      .as[(Int, String)]
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState[HhState, TermCandidate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, String)], state: GroupState[HhState]) =>
+          val prev = state.getOption.getOrElse(HhState(0L, Map.empty))
+          var m = prev.counts
+          rows.foreach { case (_, term) =>
+            m.get(term) match {
+              case Some(c) => m = m.updated(term, c + 1)
+              case None if m.size < capacity => m = m.updated(term, 1L)
+              case None =>
+                // Misra–Gries decrement step: no counter free — pay one
+                // occurrence of EVERY tracked term for this one
+                m = m.transform((_, v) => v - 1).filter(_._2 > 0)
+            }
+          }
+          state.update(HhState(prev.ver + 1, m))
+          m.iterator.map { case (t, c) => TermCandidate(shard, prev.ver + 1, t, c) }
+      }
+  }
+
   /** Streaming exact dedup with bounded state: drop documents whose
     * `text` hash was already seen, where "already" is bounded by the
     * event-time watermark — the state store only retains hashes newer

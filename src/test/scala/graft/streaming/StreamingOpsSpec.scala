@@ -338,4 +338,68 @@ class StreamingOpsSpec extends SparkSpec {
     assert(clean.where(col("batch_id") === 0).count() === 2L)
     assert(clean.where(col("batch_id") === 1).count() === 1L)
   }
+
+  // ---- streaming heavy hitters ---------------------------------------------
+
+  private def hhDocs(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  /** Latest per-shard snapshot from the Update-mode emission log. */
+  private def hhSnapshot(rows: Array[org.apache.spark.sql.Row]): Map[String, Long] = {
+    val maxVer = rows.groupBy(_.getInt(0)).map { case (s, rs) =>
+      s -> rs.map(_.getLong(1)).max
+    }
+    rows.filter(r => r.getLong(1) == maxVer(r.getInt(0)))
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+  }
+
+  test("streaming heavy hitters: exact at ample capacity, state survives checkpoints") {
+    val base = Files.createTempDirectory("graft_hh").toString
+    val staging = s"$base/staging"
+    Sources.appendParquet(hhDocs(Seq.fill(3)("alpha alpha beta") :+ "gamma"), staging)
+    def stream() = spark.readStream.schema("doc_id LONG, text STRING").parquet(staging)
+    // Update-mode memory sinks cannot recover a checkpoint — drain through
+    // foreachBatch into parquet (the routeQuality sink shape) instead
+    def drain(): Map[String, Long] = {
+      val q = StreamingOps.streamingHeavyHitters(stream(), capacity = 64, shards = 4)
+        .toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(s"$base/out"); ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "heavy-hitter drain did not finish")
+      hhSnapshot(spark.read.parquet(s"$base/out").collect())
+    }
+    assert(drain() === Map("alpha" -> 6L, "beta" -> 3L, "gamma" -> 1L))
+    // second drain from the SAME checkpoint: only the delta is processed,
+    // counters continue from stored state
+    Sources.appendParquet(hhDocs(Seq("beta beta beta beta")), staging)
+    assert(drain() === Map("alpha" -> 6L, "beta" -> 7L, "gamma" -> 1L))
+  }
+
+  test("streaming heavy hitters: tiny capacity keeps the Misra-Gries contract") {
+    val base = Files.createTempDirectory("graft_hh2").toString
+    val staging = s"$base/staging"
+    // one shard so the bound is over the whole stream: N=40, capacity 2 →
+    // any term with count > N/(c+1) ≈ 13.3 MUST survive; counts never
+    // overestimate. "heavy" has 20, the 20 fillers are singletons.
+    val fillers = (1 to 20).map(i => s"fill$i")
+    Sources.appendParquet(
+      hhDocs(Seq(Seq.fill(20)("heavy").mkString(" "), fillers.mkString(" "))), staging)
+    val rows = StreamingOps.runAvailableNow(
+      StreamingOps.streamingHeavyHitters(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(staging),
+        capacity = 2, shards = 1).toDF(),
+      "hh_tiny", s"$base/ckpt", OutputMode.Update()).collect()
+    val snap = hhSnapshot(rows)
+    assert(snap.size <= 2, s"state must stay within capacity: $snap")
+    assert(snap.contains("heavy"), s"no-false-negative violated: $snap")
+    assert(snap("heavy") <= 20L, s"Misra-Gries must underestimate: $snap")
+    assert(snap("heavy") >= 20L - 40L / 3L, s"undercount exceeds N/(c+1): $snap")
+  }
 }
