@@ -382,6 +382,32 @@ object LlmQueries {
           lit(16L).as("bytes_per_vec"))
     }),
 
+    // envelope-contract oracle (the q_fingerprint pattern): BPE completed
+    // into an actual tokenizer — train 50 merges on the corpus word-
+    // frequency table (the only collect, vocab-bounded; the merge loop is
+    // driver work on that bounded table, the published algorithm), then
+    // count subwords per doc via the broadcast graft_bpe_count codegen
+    // kernel — ONE shuffle-free scan, the corpus never explodes into
+    // words. The oracle pins the SQL-computable facts exactly: n_words /
+    // n_chars per doc AND the FIRST learned merge (argmax of weighted
+    // char-bigram counts with the same tie-break — the training loop's
+    // first step recomputed relationally); the subword count itself rides
+    // the bounds flag (n_words ≤ n_subwords ≤ n_chars), with exact values
+    // pinned by TextOpsSpec on hand-segmented corpora.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = TextOps.trainBpe(d, numMerges = 50)
+      val toks = TextOps.tokens(lower(col("text")))
+      val nWords = size(filter(toks, w => length(w) > 0)).cast("long")
+      val nChars = length(regexp_replace(lower(col("text")), "\\s", "")).cast("long")
+      TextOps.bpeTokenCounts(d, model)
+        .select(col("doc_id"), nWords.as("n_words"), nChars.as("n_chars"),
+          lit(model.merges(0)._1 + " " + model.merges(0)._2).as("first_merge"),
+          (col("n_subwords") >= nWords && col("n_subwords") <= nChars)
+            .cast("long").as("bounds_ok"))
+        .orderBy("doc_id")
+    }),
+
     // oracle-backed: contrastive pair mining — the (anchor, positive,
     // hard-negative) triplets an embedding-model trainer consumes.
     // Positive = exact nearest neighbour; hard negatives = the rank-10/
@@ -1014,6 +1040,33 @@ object LlmQueries {
         |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_020,
         |  CAST(16 AS BIGINT) AS bytes_per_vec
         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_bpe_tokenize" ->
+      """WITH w AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), wf AS (
+        |  SELECT t.x AS word, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM w, LATERAL unnest(toks) AS t(x) WHERE len(t.x) > 0
+        |  GROUP BY t.x
+        |), pairs AS (
+        |  SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+        |    substr(word, CAST(i AS INTEGER) + 1, 1) AS b, SUM(c) AS pc
+        |  FROM wf, LATERAL unnest(generate_series(1, length(word) - 1)) AS u(i)
+        |  WHERE length(word) >= 2
+        |  GROUP BY 1, 2
+        |), fm AS (
+        |  SELECT a || ' ' || b AS first_merge FROM pairs
+        |  ORDER BY pc DESC, a, b LIMIT 1
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(lower(text), '\s', '', 'g')) AS BIGINT)
+        |    AS n_chars,
+        |  (SELECT first_merge FROM fm) AS first_merge,
+        |  CAST(1 AS BIGINT) AS bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_contrastive_pairs" ->
       """WITH anchors AS (

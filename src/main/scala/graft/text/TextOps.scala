@@ -327,6 +327,73 @@ object TextOps {
     scored
   }
 
+  /** BPE training (Sennrich 2016): learn `numMerges` merges from the
+    * corpus word-frequency table. The table is the only thing collected
+    * (vocab-bounded — the LM-profile contract); the merge loop itself is
+    * O(numMerges · vocab) driver work on that bounded table, which is the
+    * published algorithm's shape (the corpus is never re-scanned per
+    * merge). Deterministic: ties on pair count break to the
+    * lexicographically smallest pair, so the merge list is a pure function
+    * of the word-frequency table.
+    */
+  def trainBpe(corpus: DataFrame, numMerges: Int): BpeModel = {
+    val wordFreq = corpus
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] = wordFreq.map { case (w, c) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.merge(p, c, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        import scala.jdk.CollectionConverters._
+        val best = pairCounts.asScala.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+                out += (best._1 + best._2); j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+      }
+    }
+    new BpeModel(merges.toArray)
+  }
+
+  /** Subword-count column under a trained [[BpeModel]] via the codegen
+    * kernel; registration + prompt registry release, the lmScore contract.
+    */
+  def bpeTokenCounts(docs: DataFrame, model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    val modelId = BpeModels.put(model)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_count", BpeModels.factory, "built-in")
+    val scored = docs.withColumn("n_subwords",
+      call_function("graft_bpe_count", col("text"), lit(modelId)))
+    BpeModels.remove(modelId)
+    scored
+  }
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every document
     * by the per-gram log-likelihood RATIO of a target-domain LM to the

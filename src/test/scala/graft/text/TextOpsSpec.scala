@@ -224,6 +224,57 @@ class TextOpsSpec extends SparkSpec {
       s"unexpected packing: $packs")
   }
 
+  // ---- BPE train + apply ---------------------------------------------------
+
+  test("trainBpe hand-trace: merge order, tie-break, and exact segmentation") {
+    import spark.implicits._
+    // corpus: aaab ×3, aab ×1 → pair counts (a,a)=7, (a,b)=4 ⇒ merge 1 =
+    // (a,a); round 2 ties (aa,a)=3 with (a,b)=3 ⇒ lexicographic smallest
+    // (a,b) wins; round 3 fuses (aa,ab)
+    val docs = (Seq.fill(3)("aaab") :+ "aab").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = TextOps.trainBpe(docs, numMerges = 3)
+    assert(model.merges.toSeq === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    assert(model.segmentWord("aaab").toSeq === Seq("aaab"))
+    assert(model.segmentWord("aab").toSeq === Seq("aa", "b"))
+    assert(model.segmentWord("ba").toSeq === Seq("b", "a")) // no applicable merge
+    assert(model.tokenCount(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaab aab")) === 3L)
+  }
+
+  test("BPE kernel matches the driver apply on real docs; merges are monotone") {
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val m20 = TextOps.trainBpe(docs, numMerges = 20)
+    val viaKernel = TextOps.bpeTokenCounts(docs, m20)
+      .select("doc_id", "n_subwords").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+    texts.foreach { r =>
+      val want = m20.tokenCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+      assert(viaKernel(r.getLong(0)) === want, s"doc ${r.getLong(0)}")
+    }
+    // a superset merge list can only fuse further: first-K ranks are an
+    // identical prefix, so per-doc counts are monotone non-increasing in K
+    val m5 = TextOps.trainBpe(docs, numMerges = 5)
+    val via5 = TextOps.bpeTokenCounts(docs, m5)
+      .select("doc_id", "n_subwords").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaKernel.foreach { case (id, n20) =>
+      assert(n20 <= via5(id), s"doc $id: 20 merges produced MORE tokens than 5")
+    }
+  }
+
+  test("q_bpe_tokenize plan: one shuffle-free scan — no explode, no hash exchange") {
+    spark.catalog.clearCache()
+    val p = graft.SparkEntry.queries("q_bpe_tokenize")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), s"corpus must not explode into words:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring must be shuffle-free (dump sort aside):\n$p")
+  }
+
   // ---- dsirSelect ----------------------------------------------------------
 
   private def dsirCorpus = {
