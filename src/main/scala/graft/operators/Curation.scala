@@ -37,6 +37,9 @@ object Curation {
   val ChunkSize = 64
   val ChunkStride = 48
 
+  /** Sub-document unit for q_line_dedup (tokens per block). */
+  val LineBlock = 16
+
   /** Exact stratified fraction for q_stratified_sample. */
   val StratFraction = 0.2
 
@@ -452,6 +455,55 @@ object Curation {
             + lit(0.500001)) / lit(1000000.0)).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // ---- sub-document (line-level) dedup ----------------------------------
+    // Dolma/RefinedWeb-style line dedup with fixed 16-token blocks as the
+    // sub-document unit (the synthetic corpus has no newline structure):
+    // explode docs into blocks, keep only each block's GLOBAL first
+    // occurrence (min (doc_id, start) — content-addressed, deterministic,
+    // seedless), then reassemble the surviving blocks in document order.
+    // Scale shape: one shuffle keyed on md5(block) for the first-occurrence
+    // window — a 128-bit key, so no collision merges and the shuffle key
+    // stays 32 bytes regardless of block width — then one shuffle back on
+    // doc_id for reassembly. Both stages are line-count cardinality, never
+    // all-pairs; a hot block (boilerplate repeated millions of times) costs
+    // one partition's row_number scan, not a join explosion.
+    // array_sort(collect_list(struct)) keeps reassembly order-stable
+    // without a second window over the doc.
+    //
+    // Planted duplicates (the near-dup-query discipline): the corpus is
+    // unioned with each doc's 32-token prefix at doc_id+1e6. The prefix
+    // blocks coincide exactly with the original's first blocks, so every
+    // planted doc must dedup to nothing (kept_blocks = 0) — the keep-first
+    // path is exercised at every SF even though the raw corpus's random
+    // blocks are unique.
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val base = t(s, dir, "documents")
+      val planted = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), lit(2 * LineBlock))).as("text"))
+      val blocks = base.select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), col("n"), lit(LineBlock))).as("start"))
+        .select(col("doc_id"), col("start"),
+          concat_ws(" ", slice(col("toks"), col("start"), lit(LineBlock)))
+            .as("block_text"))
+      blocks
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("block_text")))
+            .orderBy(col("doc_id"), col("start"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_blocks"),
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("start"), col("block_text"))))).as("kept"))
+        .select(col("doc_id"), col("n_blocks"), col("kept_blocks"),
+          concat_ws(" ",
+            transform(col("kept"), k => k("block_text"))).as("dedup_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -732,6 +784,38 @@ object Curation {
         |    + COALESCE(1.0 / (60 + rank_vec), 0)) * 1000000.0 + 0.500001)
         |    / 1000000.0 AS rrf
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // string_agg ignores the NULLed-out duplicate blocks; COALESCE matches
+    // Spark's concat_ws('') on docs whose every block is a duplicate
+    "q_line_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(trim(text), '\s+'), 1, 32), ' ') AS text
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM u
+        |), b AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks), 16)) AS start
+        |  FROM d
+        |), blk AS (
+        |  SELECT doc_id, start,
+        |    array_to_string(list_slice(toks, start, start + 15), ' ') AS block_text
+        |  FROM b
+        |), r AS (
+        |  SELECT doc_id, start, block_text,
+        |    row_number() OVER (PARTITION BY block_text ORDER BY doc_id, start) AS rn
+        |  FROM blk
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN block_text END, ' '
+        |    ORDER BY start), '') AS dedup_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

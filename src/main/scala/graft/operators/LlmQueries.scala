@@ -74,6 +74,32 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // oracle-backed: blocked record linkage — the entity-resolution shape:
+    // block on a coarse key (p_brand), generate candidate pairs WITHIN the
+    // block only (each row vs its successor — bounded fan-out, never the
+    // block's all-pairs), score with the native Jaro–Winkler codegen kernel,
+    // threshold at 0.85. Scale shape: ONE shuffle on the blocking key, one
+    // window lead, then pure projection scoring inside whole-stage codegen —
+    // linkage over 100 TB costs a sort-by-block, not a join. DuckDB ships
+    // the same Winkler variant (0.7 boost gate, prefix≤4, scale 0.1), so
+    // the gate is an exact per-pair hash match at 4 decimals.
+    "q_record_linkage" -> ((s, dir) => {
+      graft.text.StringSimilarity.register(s)
+      val block = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          lead(col("p_partkey"), 1).over(block).as("cand_key"),
+          lead(col("p_name"), 1).over(block).as("cand_name"))
+        .where(col("cand_key").isNotNull)
+        .select(col("p_partkey"), col("cand_key"),
+          r4(call_function("jaro_winkler", col("p_name"), col("cand_name")))
+            .as("jw"))
+        .select(col("p_partkey"), col("cand_key"), col("jw"),
+          (col("jw") >= 0.85).cast("long").as("is_match"))
+        .orderBy("p_partkey", "cand_key")
+    }),
+
     // oracle-backed: edit distance between each doc and its perturbed twin
     // (fuzzy matching; levenshtein is the same classic DP in both engines).
     // The 3-arg form bands the DP at width 100: the true distance is
@@ -732,6 +758,24 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    // is_match derives from the ROUNDED jw on both sides, so the threshold
+    // compare can never flip on a sub-ulp engine difference
+    "q_record_linkage" ->
+      """WITH c AS (
+        |  SELECT p_partkey, p_name,
+        |    lead(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS cand_key,
+        |    lead(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS cand_name
+        |  FROM part
+        |), s AS (
+        |  SELECT p_partkey, cand_key,
+        |    FLOOR(jaro_winkler_similarity(p_name, cand_name) * 10000.0
+        |      + 0.500001) / 10000.0 AS jw
+        |  FROM c WHERE cand_key IS NOT NULL
+        |)
+        |SELECT p_partkey, cand_key, jw,
+        |  CAST(CASE WHEN jw >= 0.85 THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        |FROM s ORDER BY p_partkey, cand_key""".stripMargin,
 
     "q_edit_distance" ->
       """WITH toks AS (

@@ -365,4 +365,50 @@ class CurationSpec extends SparkSpec {
     // must stay union+groupBy (no full-outer join node above the rankings)
     assert(!p.contains("FullOuter"), s"fusion regressed to a full-outer join:\n$p")
   }
+
+  // ---- q_line_dedup -------------------------------------------------------
+
+  test("line dedup: planted prefix copies fully collapse, originals survive") {
+    val out = run("q_line_dedup").cache()
+    try {
+      // every planted doc (32-token prefix at doc_id+1e6) duplicates the
+      // original's leading blocks exactly → keep-first must drop them all
+      val planted = out.where(col("doc_id") >= 1000000L)
+      assert(planted.count() > 0)
+      val badPlanted = planted.where(col("kept_blocks") =!= 0L ||
+        col("dedup_text") =!= lit("")).count()
+      assert(badPlanted === 0, "a planted duplicate block survived dedup")
+      // conservation: total kept blocks == global distinct block count
+      val toks = graft.text.TextOps.tokens(col("text"))
+      val base = graft.io.Sources.table(spark, sf, "documents")
+      val allBlocks = base.select(col("text"))
+        .unionByName(base.select(concat_ws(" ",
+          slice(toks, lit(1), lit(2 * Curation.LineBlock))).as("text")))
+        .select(explode(sequence(lit(1),
+          size(toks), lit(Curation.LineBlock))).as("start"), toks.as("toks"))
+        .select(concat_ws(" ",
+          slice(col("toks"), col("start"), lit(Curation.LineBlock))).as("b"))
+      val distinctBlocks = allBlocks.distinct().count()
+      val kept = out.agg(sum("kept_blocks")).head.getLong(0)
+      assert(kept === distinctBlocks,
+        s"kept=$kept != distinct=$distinctBlocks — first-occurrence selection lost or double-kept a block")
+      // a fully-kept doc reassembles to its normalized text verbatim
+      val full = out.where(col("kept_blocks") === col("n_blocks"))
+        .join(base, "doc_id")
+        .where(col("dedup_text") =!= concat_ws(" ",
+          graft.text.TextOps.tokens(col("text"))))
+        .count()
+      assert(full === 0, "reassembly reordered or dropped surviving blocks")
+    } finally out.unpersist()
+  }
+
+  test("line dedup plan: hash-keyed window, no join, bounded exchanges") {
+    val p = plan("q_line_dedup")
+    // global first-occurrence is a window over md5(block), NOT a self-join:
+    // the plan must be join-free end to end
+    assert(!p.contains("Join"), s"line dedup regressed to a join:\n$p")
+    // block window + doc reassembly + final orderBy — 3 Exchanges max
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 3,
+      s"unexpected extra shuffle:\n$p")
+  }
 }
