@@ -41,6 +41,11 @@ object LlmQueries {
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
+  /** k-means geometry for q_kmeans (clusters / Lloyd iterations / dim). */
+  val KmeansK = 8
+  val KmeansIters = 5
+  val KmeansDim = 64
+
   /** Corpus + planted near-duplicates (deterministic perturbation). */
   def withPlantedNearDups(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
@@ -568,6 +573,32 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
         .select(col("n").as("n_exact"),
           (col("n_hit") >= col("n") * 0.4).cast("long").as("recall_ge_040"))
+    }),
+
+    // oracle-backed EXACTLY (not an envelope): distributed Lloyd's k-means
+    // over the full embedding corpus — k=8, 5 fixed iterations, seedless
+    // md5-min init. The hash gate holds because every float op is order-
+    // pinned cross-engine: assignment score dot(v,c)−‖c‖²/2 is a left-to-
+    // right dot both engines (bit-identical argmax, same larger-cid
+    // tie-break), d² = (v·v − 2v·c) + c·c same association; the one
+    // unordered reduction (centroid mean) differs at ~1e-16, far below any
+    // assignment boundary. Per-cluster output, r4-rounded mean squared
+    // distance. Scale: see kmeansLloyd scaladoc — iters scans, k·dim-row
+    // shuffles, capped k·dim driver collects.
+    "q_kmeans" -> ((s, dir) => {
+      val (centers, assigned) = Ann.kmeansLloyd(t(s, dir, "embeddings"),
+        k = KmeansK, iters = KmeansIters)
+      val cmat = array(centers.map(c => array(c.map(lit): _*)): _*)
+      assigned
+        .select(col("cell"), col("v"), element_at(cmat, col("cell") + 1).as("c"))
+        .select(col("cell"),
+          (Ann.dot(col("v"), col("v")) - lit(2.0) * Ann.dot(col("v"), col("c"))
+            + Ann.dot(col("c"), col("c"))).as("d2"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_pts"), r4(avg(col("d2"))).as("avg_sqdist"))
+        .select(col("cell").cast("long").as("cell"), col("n_pts"),
+          col("avg_sqdist"))
+        .orderBy("cell")
     }),
 
     // ---- language ID (oracle-backed) + fingerprint (rows-only) ------------
@@ -1173,6 +1204,57 @@ object LlmQueries {
         |)
         |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_040
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the SAME 5 Lloyd iterations unrolled relationally: seedless md5-min
+    // init, argmax assignment ordered (score DESC, cid DESC) to mirror the
+    // kernel's larger-cid tie-break, per-dim avg via a lateral dim index,
+    // emptied cells inherit the previous centroid via LEFT JOIN + COALESCE
+    "q_kmeans" -> {
+      def iter(i: Int): String =
+        s""", s$i AS (
+           |  SELECT p.vec_id, p.v, c.cid,
+           |    list_dot_product(p.v, c.cvec) - list_dot_product(c.cvec, c.cvec)/2 AS score
+           |  FROM pts p CROSS JOIN cent${i - 1} c
+           |), a$i AS (
+           |  SELECT vec_id, v, cid FROM (
+           |    SELECT vec_id, v, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+           |    FROM s$i) WHERE rn = 1
+           |), m$i AS (
+           |  SELECT cid, g.i AS i, avg(v[g.i]) AS m
+           |  FROM a$i, (SELECT unnest(generate_series(1, $KmeansDim)) AS i) g
+           |  GROUP BY cid, g.i
+           |), n$i AS (
+           |  SELECT cid, list(m ORDER BY i) AS cvec FROM m$i GROUP BY cid
+           |), cent$i AS (
+           |  SELECT c.cid, COALESCE(n.cvec, c.cvec) AS cvec
+           |  FROM cent${i - 1} c LEFT JOIN n$i n USING (cid)
+           |)""".stripMargin
+      s"""WITH pts AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), cent0 AS (
+         |  SELECT cid, v AS cvec FROM (
+         |    SELECT row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v
+         |    FROM pts) WHERE cid < $KmeansK
+         |)""".stripMargin +
+        (1 to KmeansIters).map(iter).mkString +
+        s""", fs AS (
+           |  SELECT p.vec_id, c.cid,
+           |    list_dot_product(p.v, c.cvec) - list_dot_product(c.cvec, c.cvec)/2 AS score,
+           |    list_dot_product(p.v, p.v) - 2*list_dot_product(p.v, c.cvec)
+           |      + list_dot_product(c.cvec, c.cvec) AS d2
+           |  FROM pts p CROSS JOIN cent$KmeansIters c
+           |), fa AS (
+           |  SELECT vec_id, cid, d2 FROM (
+           |    SELECT vec_id, cid, d2,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+           |    FROM fs) WHERE rn = 1
+           |)
+           |SELECT CAST(cid AS BIGINT) AS cell, COUNT(*) AS n_pts,
+           |  FLOOR(avg(d2) * 10000.0 + 0.500001) / 10000.0 AS avg_sqdist
+           |FROM fa GROUP BY cid ORDER BY cell""".stripMargin
+    },
 
     // same shingle pipeline as q_jaccard_exact, reduced to the planted-pair
     // count above the target cutoff + the constant recall contract

@@ -391,6 +391,72 @@ object Ann {
       .clusterCenters.map(_.toArray)
   }
 
+  /** Distributed Lloyd's k-means over the FULL corpus (vs [[fitCentroids]]'s
+    * sample-based MLlib fit for IVF cell quality): the clustering stage of
+    * cluster-based curation (SemDeDup / DSIR-style domain discovery) run
+    * Spark-first.
+    *
+    * Per iteration: (1) assignment — the broadcast `graft_ivf_cells` codegen
+    * kernel (nearest-in-L2 argmax, deterministic larger-cid tie-break), a
+    * shuffle-free projection; (2) recompute — posexplode to (cell, dim)
+    * partial sums with map-side combine, so each task emits ≤ k·dim rows
+    * REGARDLESS of input size and the driver collects exactly k·dim
+    * aggregates (the capped-collect contract of the CLV fit). An emptied
+    * cell keeps its previous centroid. Total cost: `iters` scans, one
+    * k·dim-row shuffle each — no per-point driver traffic, no all-pairs
+    * anything; 100 TB changes the scan time, not the shape.
+    *
+    * Init is content-addressed, not RNG: the k corpus points with the
+    * smallest (md5(vec_id), vec_id) — reproducible across engines,
+    * partitionings, and corpus order, like every other seedless pick in
+    * this repo.
+    *
+    * Returns the final centers and the corpus with its final `cell`
+    * assignment (column `v`: the embedding as array<double>).
+    */
+  def kmeansLloyd(corpus: DataFrame, k: Int, iters: Int): (Array[Array[Double]], DataFrame) = {
+    val spark = corpus.sparkSession
+    VecOps.register(spark)
+    val pts = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    var centers: Array[Array[Double]] =
+      pts.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+    require(centers.length == k, s"kmeans: corpus has fewer than $k points")
+    for (_ <- 1 to iters) {
+      val modelId = IvfModels.put(new IvfModel(centers))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_ivf_cells", IvfModels.factory, "built-in")
+      val sums = pts
+        .select(element_at(call_function("graft_ivf_cells",
+          col("v"), lit(modelId), lit(1)), 1).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      IvfModels.remove(modelId)
+      val next = centers.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val c = new Array[Double](centers(0).length)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        next(cell) = c
+      }
+      centers = next
+    }
+    val modelId = IvfModels.put(new IvfModel(centers))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells", IvfModels.factory, "built-in")
+    val assigned = pts.select(col("vec_id"), col("v"),
+      element_at(call_function("graft_ivf_cells",
+        col("v"), lit(modelId), lit(1)), 1).as("cell"))
+    // eager analysis embedded the model object into the plan; release the
+    // registry slot now (the ivfTopKWithCenters discipline)
+    assigned.queryExecution.analyzed
+    IvfModels.remove(modelId)
+    (centers, assigned)
+  }
+
   /** Shared IVF candidate join + exact-cosine re-rank. */
   private def ivfSearch(c: DataFrame, p: DataFrame, k: Int): DataFrame = {
     val scored = c.join(p, Seq("cell"))
