@@ -40,6 +40,13 @@ object Curation {
   /** Sub-document unit for q_line_dedup (tokens per block). */
   val LineBlock = 16
 
+  /** Z-order grid geometry for q_zorder: 10-bit cells per dimension,
+    * 20-bit z-values, files = top 4 z bits → every file spans ≤ 2⁸ cells
+    * in BOTH dimensions (the data-skipping property LayoutSpec's
+    * write-path test measures physically). */
+  val ZBits = 10
+  val ZFileShift = 2 * ZBits - 4
+
   /** Exact stratified fraction for q_stratified_sample. */
   val StratFraction = 0.2
 
@@ -504,6 +511,51 @@ object Curation {
           concat_ws(" ",
             transform(col("kept"), k => k("block_text"))).as("dedup_text"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Z-order layout statistics ----------------------------------------
+    // The deterministic relational face of Layout.zOrdered (whose
+    // repartitionByRange boundaries are SAMPLED and so can't be oracled):
+    // min-max-normalize (l_partkey, l_suppkey) onto a 10-bit grid, Morton-
+    // interleave to a 20-bit z-value, assign files by the top 4 z bits, and
+    // report each file's min/max/span per dimension — the parquet row-group
+    // pruning envelope. The invariant that makes z-order worth it: every
+    // file spans ≤ 2⁸ = 256 cells in BOTH dimensions (a plain sort on one
+    // key leaves the other spanning the full 1024-cell grid).
+    // Scale shape: one tiny bounds aggregate broadcast back, z is a pure
+    // shift/and/or codegen tree, then ONE groupBy(file) shuffle of ≤16
+    // aggregate rows per task. Floor is explicit in the cell arithmetic:
+    // Spark's double→long cast truncates while DuckDB's rounds — the
+    // oracle pins FLOOR on both engines.
+    "q_zorder" -> ((s, dir) => {
+      val cells = (1L << ZBits) - 1L
+      def cell(c: String, mn: String, mx: String): Column =
+        when(col(mx) <= col(mn), lit(0L)).otherwise(
+          floor((col(c).cast("double") - col(mn)) / (col(mx) - col(mn)) * cells)
+            .cast("long"))
+      val z = (0 until ZBits).map { i =>
+        shiftleft(shiftright(col("zx"), i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(col("zy"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      val li = t(s, dir, "lineitem")
+      val bounds = li.agg(
+        min(col("l_partkey")).cast("double").as("mn1"),
+        max(col("l_partkey")).cast("double").as("mx1"),
+        min(col("l_suppkey")).cast("double").as("mn2"),
+        max(col("l_suppkey")).cast("double").as("mx2"))
+      li.crossJoin(broadcast(bounds))
+        .select(cell("l_partkey", "mn1", "mx1").as("zx"),
+          cell("l_suppkey", "mn2", "mx2").as("zy"))
+        .select(col("zx"), col("zy"), shiftright(z, ZFileShift).as("file_id"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("zx").as("min_x"), max("zx").as("max_x"),
+          min("zy").as("min_y"), max("zy").as("max_y"))
+        .select(col("file_id"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+          (col("max_x") - col("min_x") + 1).as("x_span"),
+          (col("max_y") - col("min_y") + 1).as("y_span"))
+        .orderBy("file_id")
     })
   )
 
@@ -816,6 +868,34 @@ object Curation {
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN block_text END, ' '
         |    ORDER BY start), '') AS dedup_text
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // FLOOR pinned explicitly: DuckDB's double→BIGINT cast rounds where
+    // Spark's truncates; the z-term tree is generated from the same loop
+    // as the Spark column expression
+    "q_zorder" -> {
+      val cells = (1L << ZBits) - 1L
+      val terms = (0 until ZBits).map { i =>
+        s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT CAST(min(l_partkey) AS DOUBLE) AS mn1, CAST(max(l_partkey) AS DOUBLE) AS mx1,
+         |         CAST(min(l_suppkey) AS DOUBLE) AS mn2, CAST(max(l_suppkey) AS DOUBLE) AS mx2
+         |  FROM lineitem
+         |), g AS (
+         |  SELECT
+         |    CASE WHEN b.mx1 <= b.mn1 THEN 0 ELSE CAST(FLOOR(
+         |      (CAST(l_partkey AS DOUBLE) - b.mn1) / (b.mx1 - b.mn1) * $cells) AS BIGINT) END AS zx,
+         |    CASE WHEN b.mx2 <= b.mn2 THEN 0 ELSE CAST(FLOOR(
+         |      (CAST(l_suppkey AS DOUBLE) - b.mn2) / (b.mx2 - b.mn2) * $cells) AS BIGINT) END AS zy
+         |  FROM lineitem, b
+         |), f AS (
+         |  SELECT zx, zy, ($terms) >> $ZFileShift AS file_id FROM g
+         |)
+         |SELECT file_id, COUNT(*) AS n_rows,
+         |  min(zx) AS min_x, max(zx) AS max_x, min(zy) AS min_y, max(zy) AS max_y,
+         |  max(zx) - min(zx) + 1 AS x_span, max(zy) - min(zy) + 1 AS y_span
+         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
+    }
   )
 }

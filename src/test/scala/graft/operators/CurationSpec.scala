@@ -402,6 +402,45 @@ class CurationSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ---- q_zorder -----------------------------------------------------------
+
+  test("zorder: every file bounded in BOTH dimensions — the skipping property") {
+    val rows = run("q_zorder").collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = rows.map(_.getLong(1)).sum
+    val liCount = graft.io.Sources.table(spark, sf, "lineitem").count()
+    assert(total === liCount, "every row must land in exactly one file")
+    rows.foreach { r =>
+      val fid = r.getLong(0)
+      assert(fid >= 0 && fid < 16)
+      // top-4-z-bit files pin 2 high bits per dimension → span ≤ 2^8 cells
+      assert(r.getLong(6) <= 256, s"file $fid x_span ${r.getLong(6)} > 256")
+      assert(r.getLong(7) <= 256, s"file $fid y_span ${r.getLong(7)} > 256")
+    }
+    // localization: min-max normalization guarantees the GLOBAL grid spans
+    // the full 1024 cells in each dimension, so ≤256-cell files mean every
+    // file covers ≤¼ of each axis — a selective predicate on either column
+    // skips ≥¾ of the files' ranges
+    val globalX = rows.map(_.getLong(3)).max - rows.map(_.getLong(2)).min + 1
+    val globalY = rows.map(_.getLong(5)).max - rows.map(_.getLong(4)).min + 1
+    assert(globalX > 3 * rows.map(_.getLong(6)).max,
+      s"files do not localize x: global $globalX vs worst file ${rows.map(_.getLong(6)).max}")
+    assert(globalY > 3 * rows.map(_.getLong(7)).max,
+      s"files do not localize y: global $globalY vs worst file ${rows.map(_.getLong(7)).max}")
+  }
+
+  test("zorder plan: broadcast bounds, one aggregation shuffle, codegen z") {
+    val p = plan("q_zorder")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bounds join regressed:\n$p")
+    // grid+interleave is pure projection: only the groupBy(file_id) hash
+    // exchange and the final tiny sort shuffle
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"unexpected extra hash shuffle:\n$p")
+  }
+
   test("line dedup plan: hash-keyed window, no join, bounded exchanges") {
     val p = plan("q_line_dedup")
     // global first-occurrence is a window over md5(block), NOT a self-join:
