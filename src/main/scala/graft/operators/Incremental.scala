@@ -124,6 +124,42 @@ object Incremental {
       batchDedup.join(broadcast(collisions), Seq("h"), "left_anti")
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // ---- incremental aggregate maintenance (materialized view + CDC) ------
+    // The other half of the full-recompute problem: a per-customer order
+    // aggregate (count + revenue) maintained under a CDC batch of inserts
+    // AND deletes, without rescanning the base. count/sum are retractable:
+    // the delta folds to signed per-group partials (op = ±1), and the new
+    // state is one co-partitioned full-outer merge of old state ⟗ delta
+    // partials; groups retracted to zero rows drop out. Cost at 100 TB:
+    // the delta shuffles ITS OWN size; the state side is bucketed on the
+    // group key in a real warehouse, so the merge join never reshuffles
+    // the big side. Revenue is kept in integer cents (floor(x·100+½)), so
+    // maintained-vs-recomputed equality is EXACT — no float-summation
+    // drift between the incremental and the from-scratch order of adds.
+    // Fixture CDC: inserts = o_orderkey % 10 = 0 (not in base), deletes =
+    // base rows with o_orderkey % 17 = 0.
+    "q_incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.500001)).cast("long").as("cents"))
+      val base = o.where(col("o_orderkey") % 10 =!= 0)
+      val delta = o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_custkey"), col("cents"), lit(1L).as("op"))
+        .unionByName(base.where(col("o_orderkey") % 17 === 0)
+          .select(col("o_custkey"), col("cents"), lit(-1L).as("op")))
+      val state = base.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      val deltaAgg = delta.groupBy("o_custkey")
+        .agg(sum(col("op")).as("d_n"), sum(col("op") * col("cents")).as("d_sum"))
+      state.join(deltaAgg, Seq("o_custkey"), "full")
+        .select(col("o_custkey"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+            .as("sum_cents"))
+        .where(col("n_orders") > 0)
+        .orderBy("o_custkey")
     })
   )
 
@@ -182,6 +218,22 @@ object Incremental {
         |)
         |SELECT doc_id, source FROM batch
         |WHERE rn = 1 AND h NOT IN (SELECT h FROM corpus)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the oracle recomputes FROM SCRATCH over the post-CDC row set —
+    // maintained state must equal it exactly (integer cents, no drift)
+    "q_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.500001) AS BIGINT) AS cents
+        |  FROM orders
+        |), final AS (
+        |  SELECT o_custkey, cents FROM o
+        |  WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 17 <> 0)
+        |     OR o_orderkey % 10 = 0
+        |)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

@@ -285,4 +285,52 @@ class IncrementalSpec extends SparkSpec {
       s"cuts row not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"binning shuffled a join:\n$p")
   }
+
+  // ---- q_incremental_agg --------------------------------------------------
+
+  test("incremental agg: maintained state == from-scratch recompute, exactly") {
+    val maintained = run("q_incremental_agg")
+    val o = graft.io.Sources.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.500001)).cast("long").as("cents"))
+    val postCdc = o.where(
+      (col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 17 =!= 0) ||
+        col("o_orderkey") % 10 === 0)
+    val scratch = postCdc.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+    assert(maintained.except(scratch).count() === 0)
+    assert(scratch.except(maintained).count() === 0)
+    // the CDC batch genuinely exercised both directions
+    val nDeletes = o.where(col("o_orderkey") % 10 =!= 0 &&
+      col("o_orderkey") % 17 === 0).count()
+    val nInserts = o.where(col("o_orderkey") % 10 === 0).count()
+    assert(nDeletes > 0 && nInserts > 0, "fixture lost its deletes or inserts")
+    // and no group survives at zero or below
+    assert(maintained.where(col("n_orders") <= 0).count() === 0)
+  }
+
+  test("incremental agg retracts a group to extinction") {
+    import spark.implicits._
+    // base: one customer with a single order that the CDC deletes — the
+    // merged state must DROP the group, not emit a zero row (the q_* query
+    // derives base/delta from one table, so drive the same algebra here)
+    val state = Seq((1L, 1L, 500L), (2L, 2L, 900L)).toDF("k", "n", "s")
+    val delta = Seq((1L, -1L, -500L)).toDF("k", "dn", "ds")
+    val merged = state.join(delta, Seq("k"), "full")
+      .select(col("k"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      .where(col("n") > 0)
+    val rows = merged.collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === 2L)
+  }
+
+  test("incremental agg plan: no cartesian, delta-sized shuffles only") {
+    val p = plan("q_incremental_agg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge must stay a key join:\n$p")
+    // two aggregates + co-partitioned full-outer + final sort
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4,
+      s"unexpected extra shuffle:\n$p")
+  }
 }
