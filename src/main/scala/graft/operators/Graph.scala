@@ -97,6 +97,58 @@ object Graph {
     * oracle CTE chain stays readable. */
   val PrIters = 5
 
+  /** Part–part co-purchase projection: two parts linked iff they share an
+    * order — the UNIPARTITE companion to [[copurchaseEdges]] (which is
+    * bipartite and so triangle-free by construction). Per-order fan-out is
+    * bounded by order size (≤ 7 lines in TPC-H-shaped data), so the
+    * self-join is linear in lineitem with a small constant — never an
+    * unbounded hot key.
+    */
+  def partPairEdges(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    a.join(b, Seq("ok")).where(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** Exact triangle count + global transitivity via the degree-ordered
+    * "forward" algorithm (Schank–Wagner 2005; the shape every distributed
+    * triangle counter uses): direct each edge toward its higher-(degree,id)
+    * endpoint, enumerate ordered out-wedges, close them against the
+    * directed edge set. Degree ordering caps out-degree at O(√m), so the
+    * wedge join is O(m^1.5) worst-case instead of Σdeg² — the difference
+    * between a skewed hub exploding and not. All joins are key equi-joins;
+    * wedge and closure shuffles carry edge-order cardinality.
+    */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val e = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), Seq("v"))
+    val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val dir = e.select(
+      when(uLower, col("u")).otherwise(col("v")).as("s"),
+      when(uLower, col("v")).otherwise(col("u")).as("t"),
+      when(uLower, col("dv")).otherwise(col("du")).as("td"))
+    val w1 = dir.select(col("s"), col("t").as("x"), col("td").as("xd"))
+    val w2 = dir.select(col("s"), col("t").as("y"), col("td").as("yd"))
+    val wedges = w1.join(w2, Seq("s"))
+      .where(struct(col("xd"), col("x")) < struct(col("yd"), col("y")))
+      .select(col("x"), col("y"))
+    val tri = wedges.join(dir.select(col("s").as("x"), col("t").as("y")),
+      Seq("x", "y"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        (floor(lit(3.0) * col("n_triangles") / col("n_wedges") * lit(10000.0)
+          + lit(0.500001)) / lit(10000.0)).as("transitivity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scale shape: see object scaladoc — edges partitioned once, per-
     // iteration shuffles are node-sized (rank attach) + map-side-combined
@@ -107,11 +159,54 @@ object Graph {
           (floor(col("pr") * col("n_nodes") * lit(1000000.0) + lit(0.500001))
             / lit(1000000.0)).as("pr_scaled"))
         .orderBy("node")
-    })
+    }),
+
+    // exact triangle census of the part–part co-purchase graph — the
+    // degree-ordered wedge-closure plan (see triangleStats scaladoc)
+    "q_triangles" -> ((s, dir) =>
+      triangleStats(partPairEdges(Sources.table(s, dir, "lineitem"))))
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_pagerank" -> prOracle(PrIters)
+    "q_pagerank" -> prOracle(PrIters),
+
+    // the same forward algorithm relationally: ROW() comparisons mirror
+    // Spark's struct ordering; counts are exact integers, transitivity is
+    // the one r4-rounded double
+    "q_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT node, COUNT(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY node
+        |), dir AS (
+        |  SELECT
+        |    CASE WHEN ROW(du.d, e.u) < ROW(dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN ROW(du.d, e.u) < ROW(dv.d, e.v) THEN e.v ELSE e.u END AS t,
+        |    CASE WHEN ROW(du.d, e.u) < ROW(dv.d, e.v) THEN dv.d ELSE du.d END AS td
+        |  FROM und e
+        |  JOIN deg du ON du.node = e.u
+        |  JOIN deg dv ON dv.node = e.v
+        |), w AS (
+        |  SELECT e1.t AS x, e2.t AS y
+        |  FROM dir e1 JOIN dir e2 ON e1.s = e2.s
+        |  WHERE ROW(e1.td, e1.t) < ROW(e2.td, e2.t)
+        |), tri AS (
+        |  SELECT COUNT(*) AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM dir d WHERE d.s = w.x AND d.t = w.y)
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_nodes,
+        |    CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        |  FROM deg
+        |)
+        |SELECT stats.n_nodes, (SELECT COUNT(*) FROM und) AS n_edges,
+        |  tri.n_triangles,
+        |  FLOOR(3.0 * tri.n_triangles / stats.n_wedges * 10000.0 + 0.500001)
+        |    / 10000.0 AS transitivity
+        |FROM stats, tri""".stripMargin
   )
 
   /** The DuckDB oracle: the same 5 iterations UNROLLED as chained CTEs —

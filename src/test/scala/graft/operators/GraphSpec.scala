@@ -86,4 +86,40 @@ class GraphSpec extends SparkSpec {
     assert(jobs <= 30, s"pagerank(5 iters) ran $jobs jobs — iteration " +
       "machinery is re-running work it should have checkpointed")
   }
+
+  // ---- triangle counting --------------------------------------------------
+
+  test("triangles: K4 has 4, a path has 0, transitivity bounds hold") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = Graph.triangleStats(k4).head
+    assert(r.getLong(0) === 4 && r.getLong(1) === 6 && r.getLong(2) === 4)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, "K4 transitivity must be 1")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val p = Graph.triangleStats(path).head
+    assert(p.getLong(2) === 0 && p.getDouble(3) === 0.0)
+  }
+
+  test("triangles: degree-ordered count matches brute-force triple join") {
+    val li = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .where(col("l_orderkey") < 300)
+    val und = Graph.partPairEdges(li).cache()
+    try {
+      val fast = Graph.triangleStats(und).head.getLong(2)
+      // brute force: every ordered triple u<v<w with all three edges
+      val e1 = und.select(col("u").as("a"), col("v").as("b"))
+      val e2 = und.select(col("u").as("b"), col("v").as("c"))
+      val e3 = und.select(col("u").as("a"), col("v").as("c"))
+      val brute = e1.join(e2, Seq("b")).join(e3, Seq("a", "c")).count()
+      assert(fast === brute, s"forward algorithm $fast != brute $brute")
+      assert(brute > 0, "slice too small to exercise the closure join")
+    } finally und.unpersist()
+  }
+
+  test("triangles plan: equi-joins only, semi-join closure") {
+    val df = graft.SparkEntry.queries("q_triangles")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"wedge join went cartesian:\n$p")
+    assert(p.contains("LeftSemi"), s"closure should be a semi-join:\n$p")
+  }
 }
