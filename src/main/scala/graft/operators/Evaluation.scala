@@ -284,6 +284,46 @@ object Evaluation {
             - sum(col("n").cast("double") * log(col("n")))
               / sum(col("n"))).as("entropy_nats"))
         .orderBy("source")
+    }),
+
+    // ---- Poisson bootstrap confidence interval ----------------------------
+    // The scalable bootstrap: resampling-with-replacement is a shuffle of
+    // the whole dataset per replicate, but each row's multiplicity in a
+    // replicate is ≈ Poisson(1), independent per (row, replicate) — so 32
+    // replicates ride ONE scan as a 32-way explode with per-row weights
+    // drawn from a content-addressed md5 uniform through the Poisson(1)
+    // inverse CDF (literal thresholds, identical both engines; zero RNG
+    // state). Two-level aggregate: ≤32 partial rows per task regardless of
+    // input size. The CI is the 2nd/31st order statistic of the r4-rounded
+    // replicate means (≈5th/95th percentile of 32), selected by
+    // row_number — no interpolating percentile to diverge cross-engine.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val u = (conv(substring(md5(concat(col("o_orderkey").cast("string"),
+          lit("#"), col("r").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238463, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val means = o
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(sequence(lit(0), lit(31))).as("r"))
+        .select(col("r"), w.as("w"), col("o_totalprice"))
+        .groupBy("r")
+        .agg((sum(col("w") * col("o_totalprice")) / sum(col("w"))).as("m0"))
+        .select(col("r"), r4(col("m0")).as("m"))
+      val ranked = means.select(col("m"), row_number().over(
+        BoundedWindow.ordered(col("m"), col("m"), col("r"))).as("rn"))
+      val ci = ranked.agg(
+        min(when(col("rn") === 2, col("m"))).as("ci_lo"),
+        min(when(col("rn") === 31, col("m"))).as("ci_hi"))
+      o.agg(count(lit(1)).as("n_rows"), r4(avg(col("o_totalprice"))).as("point_mean"))
+        .select(col("n_rows"), lit(32L).as("n_replicates"), col("point_mean"))
+        .crossJoin(broadcast(ci))
     })
   )
 
@@ -446,6 +486,41 @@ object Evaluation {
         |  CAST(COUNT(*) AS BIGINT) AS n_types,
         |  FLOOR((ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) * 10000.0 + 0.500001)
         |    / 10000.0 AS entropy_nats
-        |FROM tc GROUP BY source ORDER BY source""".stripMargin
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    // same md5 uniform (the q_dsir_select idiom), same literal Poisson(1)
+    // CDF thresholds, same order-statistic CI selection
+    "q_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT o_orderkey, o_totalprice, g.r
+        |  FROM orders, (SELECT unnest(generate_series(0, 31)) AS r) g
+        |), wtd AS (
+        |  SELECT r, o_totalprice,
+        |    CASE
+        |      WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238463 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      ELSE 6 END AS w
+        |  FROM (
+        |    SELECT r, o_totalprice,
+        |      (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#' ||
+        |        CAST(r AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |    FROM reps)
+        |), m AS (
+        |  SELECT r, FLOOR(SUM(w * o_totalprice) / SUM(w) * 10000.0 + 0.500001)
+        |    / 10000.0 AS m
+        |  FROM wtd GROUP BY r
+        |), rk AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, r) AS rn FROM m
+        |)
+        |SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+        |  CAST(32 AS BIGINT) AS n_replicates,
+        |  (SELECT FLOOR(avg(o_totalprice) * 10000.0 + 0.500001) / 10000.0
+        |   FROM orders) AS point_mean,
+        |  (SELECT m FROM rk WHERE rn = 2) AS ci_lo,
+        |  (SELECT m FROM rk WHERE rn = 31) AS ci_hi""".stripMargin
   )
 }

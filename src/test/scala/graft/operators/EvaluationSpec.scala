@@ -227,4 +227,56 @@ class EvaluationSpec extends SparkSpec {
     assert(!pr.contains("SortMergeJoin") && !pr.contains("CartesianProduct"),
       s"threshold cross must not shuffle the bins:\n$pr")
   }
+
+  // ---- q_bootstrap_ci -----------------------------------------------------
+
+  test("bootstrap CI brackets the point estimate with sane width") {
+    val r = graft.SparkEntry.queries("q_bootstrap_ci")(spark, sf).head
+    val (point, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(r.getLong(1) === 32L)
+    assert(lo < hi, s"degenerate interval [$lo, $hi]")
+    assert(lo <= point && point <= hi,
+      s"point $point outside its own 90% CI [$lo, $hi]")
+    // Poisson-bootstrap se of a mean ≈ sd/√n; the 5th–95th band must be
+    // the same order of magnitude — not collapsed, not exploded
+    val o = graft.io.Sources.table(spark, sf, "orders")
+    val (sd, n) = {
+      val s = o.agg(stddev(col("o_totalprice")), count(lit(1))).head
+      (s.getDouble(0), s.getLong(1))
+    }
+    val se = sd / math.sqrt(n.toDouble)
+    val width = hi - lo
+    assert(width > se && width < 10 * se,
+      s"CI width $width vs analytic se $se — resampling machinery is off")
+  }
+
+  test("poisson weights: empirical mean 1, w=0 mass at 1/e") {
+    import spark.implicits._
+    val o = graft.io.Sources.table(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        explode(sequence(lit(0), lit(31))).as("r"))
+    val u = (conv(substring(md5(concat(col("o_orderkey").cast("string"),
+        lit("#"), col("r").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0L).when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L).when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L).when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val s = o.select(w.as("w"))
+      .agg(avg(col("w")), avg((col("w") === 0L).cast("double")), count(lit(1))).head
+    val draws = s.getLong(2).toDouble
+    // mean(w)=1, sd(w)=1 → se = 1/√draws; 5σ bands
+    assert(math.abs(s.getDouble(0) - 1.0) < 5.0 / math.sqrt(draws),
+      s"mean weight ${s.getDouble(0)} drifted from 1")
+    assert(math.abs(s.getDouble(1) - math.exp(-1)) < 5.0 * 0.5 / math.sqrt(draws),
+      s"P(w=0) ${s.getDouble(1)} drifted from 1/e")
+  }
+
+  test("bootstrap plan: one exploded scan, partial aggregation, broadcast CI") {
+    val p = plan("q_bootstrap_ci")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"CI attach must broadcast:\n$p")
+    // replicate means: map-side partial agg caps shuffle at 32 rows/task
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
 }
