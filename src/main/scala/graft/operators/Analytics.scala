@@ -350,6 +350,32 @@ object Analytics {
         .agg(count(lit(1)).as("n_vecs"),
           r4(avg(col("cos"))).as("avg_cos"), r4(min(col("cos"))).as("min_cos"))
         .orderBy("label")
+    }),
+
+    // ---- 2-D skyline (Pareto front) ---------------------------------------
+    // Multi-criteria selection: parts no other part strictly dominates on
+    // (price ↓, size ↑). The naive formulation is an all-pairs NOT EXISTS —
+    // quadratic, the thing that cannot run at 100 TB (the ORACLE keeps that
+    // form precisely because it is an independent derivation). The engine
+    // side exploits the 2-D structure: a point survives iff its size equals
+    // its price-group max AND strictly beats every cheaper group's max —
+    // one groupBy(price), one prefix-max window over the GROUP table
+    // (distinct-price cardinality, not rows), one co-partitioned join back.
+    // At 100 TB the group-table window uses the q_token_budget two-level
+    // prefix pattern; row-cardinality work stays embarrassingly parallel.
+    "q_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+      val g = p.groupBy("price").agg(max("size").as("gmax"))
+      val gm = g.select(col("price"), col("gmax"),
+        coalesce(max(col("gmax")).over(
+          BoundedWindow.ordered(col("price"), col("price"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(Long.MinValue)).as("m1"))
+      p.join(gm, Seq("price"))
+        .where(col("size") === col("gmax") && col("size") > col("m1"))
+        .select(col("p_partkey"), col("price"), col("size"))
+        .orderBy("p_partkey")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -586,5 +612,17 @@ object Analytics {
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  FLOOR((AVG(cos)) * 10000.0 + 0.500001) / 10000.0 AS avg_cos,
         |  FLOOR((MIN(cos)) * 10000.0 + 0.500001) / 10000.0 AS min_cos
-        |FROM sc GROUP BY label ORDER BY label""".stripMargin)
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+
+    // deliberately the INDEPENDENT all-pairs dominance definition — if the
+    // engine's prefix-max factorization mishandles any tie case, the two
+    // formulations disagree and the hash gate goes red
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice AS price, CAST(p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin)
 }

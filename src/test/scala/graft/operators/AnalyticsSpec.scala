@@ -332,4 +332,48 @@ class AnalyticsSpec extends SparkSpec {
       s"expected broadcast stats row:\n$p")
     assert(!p.contains("SortMergeJoin"), s"stats attach shuffled:\n$p")
   }
+
+  // ---- q_skyline ----------------------------------------------------------
+
+  test("skyline: sound and complete against brute-force dominance") {
+    val all = graft.io.Sources.table(spark, sf, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominated(p: (Long, Double, Long)) = all.exists(q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+    val sky = run("q_skyline").collect().map(_.getLong(0)).toSet
+    all.foreach { p =>
+      if (sky.contains(p._1)) assert(!dominated(p), s"${p._1} in skyline but dominated")
+      else assert(dominated(p), s"${p._1} omitted but undominated")
+    }
+    assert(sky.nonEmpty)
+  }
+
+  test("skyline keeps tied Pareto duplicates — neither strictly dominates") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0, 5L), (2L, 10.0, 5L), (3L, 10.0, 4L), (4L, 9.0, 3L))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    // same factorization as the query, driven directly on a synthetic frame
+    val p = df.select(col("p_partkey"), col("p_retailprice").as("price"),
+      col("p_size").cast("long").as("size"))
+    val g = p.groupBy("price").agg(max("size").as("gmax"))
+    val gm = g.select(col("price"), col("gmax"),
+      coalesce(max(col("gmax")).over(
+        graft.operators.BoundedWindow.ordered(col("price"), col("price"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(Long.MinValue)).as("m1"))
+    val sky = p.join(gm, Seq("price"))
+      .where(col("size") === col("gmax") && col("size") > col("m1"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    // 1 and 2 tie on the front (only strictness would drop them); 4 is the
+    // cheapest price group so it survives too; 3 is dominated by 1/2
+    assert(sky === Set(1L, 2L, 4L))
+  }
+
+  test("skyline plan: prefix-max factorization, no all-pairs anti-join") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline regressed to all-pairs dominance:\n$p")
+    assert(p.contains("Window"), s"expected the group prefix-max window:\n$p")
+  }
 }
