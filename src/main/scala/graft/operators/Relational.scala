@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 import graft.io.Sources
+import graft.text.TextOps
 
 /** The standard relational operator surface (SURVEY §2.2–§2.8) expressed
   * over the testdata star schema, one named query per operator family, each
@@ -403,6 +404,35 @@ object Relational {
           r2(element_at(col("p"), 1)).as("median_price"),
           r2(element_at(col("p"), 2)).as("p90_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // ---- weighted quantile ------------------------------------------------
+    // Token-weighted length percentiles per source: "how long is the doc
+    // the median TOKEN lives in" — the curation question plain quantiles
+    // get wrong when long docs dominate token mass. Exact by definition:
+    // sort by (value, id) inside each source, running token cumsum, the
+    // q-quantile is the first value whose cumw reaches q·W. Weights are
+    // integer token counts, so cumw and W are LONGS and the only float op
+    // is q·W — one multiply, bit-identical cross-engine; no interpolation
+    // anywhere. Scale: both windows and the final aggregate share the ONE
+    // source-keyed Exchange; a skewed source salts like q_salted_agg.
+    "q_weighted_quantile" -> ((s, dir) => {
+      val w = size(TextOps.tokens(col("text"))).cast("long")
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = bySrc.orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"), w.as("w"))
+        .select(col("source"), col("n_chars"),
+          sum(col("w")).over(cum).as("cumw"),
+          sum(col("w")).over(bySrc).as("tw"))
+        .groupBy("source")
+        .agg(max(col("tw")).as("total_tokens"),
+          min(when(col("cumw") >= col("tw") * lit(0.5), col("n_chars")))
+            .as("p50_weighted"),
+          min(when(col("cumw") >= col("tw") * lit(0.9), col("n_chars")))
+            .as("p90_weighted"))
+        .orderBy("source")
     }),
 
     // ---- approximate percentile (the 100 TB opt-in variant) ---------------
@@ -950,6 +980,25 @@ object Relational {
         |  FLOOR((quantile_cont(o_totalprice, 0.5)) * 100.0 + 0.500001) / 100.0 AS median_price,
         |  FLOOR((quantile_cont(o_totalprice, 0.9)) * 100.0 + 0.500001) / 100.0 AS p90_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // explicit ROWS frame both sides; unique (n_chars, doc_id) ordering
+    // makes RANGE==ROWS anyway, but explicit is pinned
+    "q_weighted_quantile" ->
+      """WITH d AS (
+        |  SELECT source, n_chars, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, n_chars,
+        |    SUM(w) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY source) AS tw
+        |  FROM d
+        |)
+        |SELECT source, CAST(MAX(tw) AS BIGINT) AS total_tokens,
+        |  MIN(CASE WHEN cumw >= tw * 0.5 THEN n_chars END) AS p50_weighted,
+        |  MIN(CASE WHEN cumw >= tw * 0.9 THEN n_chars END) AS p90_weighted
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // verifies the HLL sketch's semantic contract (estimate within the 5σ
     // envelope of exact), not the engine-specific register values

@@ -170,6 +170,81 @@ object ScaleProbe {
       Blocks.releaseAll(spark)
     }
 
+    // k-means (full-corpus Lloyd's): jittered vector copies — fresh ids,
+    // distinct points, same cluster structure. Fixed k and iters ⇒ cost
+    // must track the per-iteration scan; the recompute shuffle is k·dim
+    // rows per task regardless of corpus size.
+    Ann.kmeansLloyd(emb.limit(200), k = 4, iters = 1)
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val corpus = (0 until mult).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(i.toFloat * 0.01f)).as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val (_, assigned) = Ann.kmeansLloyd(corpus, k = 8, iters = 3)
+      val n = assigned.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-kmeans] mult=$mult%2d vecs=$n%8d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
+    // Triangle counting: disjoint graph copies (offset part+order keys) —
+    // realistic growth keeps per-node degree constant, so wedges and
+    // triangles grow linearly and the degree-ordered closure must track
+    // the edge count, not m^1.5.
+    graft.operators.Graph.triangleStats(
+      graft.operators.Graph.partPairEdges(li.limit(2000))).head()
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val liBig = (0 until mult).map { i =>
+        li.select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val r = graft.operators.Graph.triangleStats(
+        graft.operators.Graph.partPairEdges(liBig)).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-triangles] mult=$mult%2d edges=${r.getLong(1)}%9d " +
+        f"triangles=${r.getLong(2)}%9d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
+    // Line-level dedup: per-copy token suffixes (copies share no blocks) —
+    // the md5-keyed first-occurrence window and the reassembly must both
+    // track line cardinality.
+    for (mult <- Seq(1, 4, 16)) {
+      val corpus = (0 until mult).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_c" + i).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val toks = graft.text.TextOps.tokens(col("text"))
+      val t0 = System.nanoTime()
+      val blocks = corpus
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), col("n"), lit(16))).as("start"))
+        .select(col("doc_id"), col("start"),
+          concat_ws(" ", slice(col("toks"), col("start"), lit(16))).as("bt"))
+      val kept = blocks.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("bt"))).orderBy(col("doc_id"), col("start"))))
+        .groupBy("doc_id")
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("k"))
+        .agg(sum("k")).head().getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-linededup] mult=$mult%2d kept_blocks=$kept%9d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
     // Top-k per group: the two-phase heap operator vs the window-rank
     // form, same data, same k — measures the claim that the heap shuffles
     // survivors while the window shuffles AND SORTS everything.

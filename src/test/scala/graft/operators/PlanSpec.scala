@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
 
 /** Plan-shape regression tests: the scale properties this engine claims
   * (filter/column pushdown into the parquet scan, map-side partial
@@ -184,5 +185,36 @@ class PlanSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(3) === 1L,
       s"sketch median strayed >3% for group ${r.getString(0)}"))
+  }
+
+  test("weighted quantile: definition recheck + shared-Exchange plan") {
+    val df = graft.SparkEntry.queries("q_weighted_quantile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // cum window, partition-total window, and the groupBy all ride ONE
+    // source-keyed Exchange
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"weighted quantile shuffled more than once:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val out = df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    // recompute one source end-to-end from raw rows
+    val src = out.keys.min
+    val rows = graft.io.Sources.table(spark, sf, "documents")
+      .where(col("source") === src)
+      .select(col("n_chars"), col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val total = rows.map(_._3).sum
+    def wq(q: Double): Long = {
+      var c = 0L
+      rows.find { t => c += t._3; c >= q * total }.get._1
+    }
+    val (tw, p50, p90) = out(src)
+    assert(tw === total)
+    assert(p50 === wq(0.5), "p50 definition mismatch")
+    assert(p90 === wq(0.9), "p90 definition mismatch")
+    out.values.foreach { case (_, lo, hi) => assert(lo <= hi) }
   }
 }
