@@ -195,13 +195,15 @@ object ScaleProbe {
     // Triangle counting: disjoint graph copies (offset part+order keys) —
     // realistic growth keeps per-node degree constant, so wedges and
     // triangles grow linearly and the degree-ordered closure must track
-    // the edge count, not m^1.5.
+    // the edge count, not m^1.5. Same 10%-order slice as q_triangles
+    // (full sf0.1 is 41M wedges ×16 — a batch census, not a probe).
+    val liSlice = li.where(col("l_orderkey") % 10 === 0)
     graft.operators.Graph.triangleStats(
-      graft.operators.Graph.partPairEdges(li.limit(2000))).head()
+      graft.operators.Graph.partPairEdges(liSlice.limit(2000))).head()
     Blocks.releaseAll(spark)
     for (mult <- Seq(1, 4, 16)) {
       val liBig = (0 until mult).map { i =>
-        li.select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+        liSlice.select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
       }.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
