@@ -3,8 +3,6 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import scala.util.Random
 
 /** Similarity search over an embedding column (`embeddings` table:
@@ -170,9 +168,9 @@ object Ann {
     * cells around KMeans centroids, then search only the `nprobe` cells
     * nearest each probe.
     *
-    * Plan shape: centroids are FIT once (MLlib KMeans on a seeded sample —
-    * at 100 TB you fit on a ~1M-row sample, never the full corpus, via
-    * `sampleFraction`), then baked into the plan as literals. Cell
+    * Plan shape: centroids are FIT once (driver-local Lloyd on a bounded
+    * content-addressed sample — at 100 TB you fit on a ≤16k-row sample,
+    * never the full corpus), then baked into the plan as literals. Cell
     * assignment is argmax over `nlist` codegen'd vec_dot scores —
     * nearest-in-L2 via dot(v,c) − ‖c‖²/2, no per-row norm. The search is a
     * plain equi-join on the cell id: corpus rows land in exactly one cell
@@ -234,7 +232,7 @@ object Ann {
     * which is exactly the asymmetric-distance (ADC) ranking: the distance
     * to the reconstruction equals the per-subspace table-lookup sum.
     *
-    * Plan shape: m sample-sized KMeans fits on ONE checkpointed sample;
+    * Plan shape: m driver-local Lloyd fits on ONE collected bounded sample;
     * encoding + reconstruction is a shuffle-free projection (per-subspace
     * `graft_ivf_cells` broadcast kernels + codeword lookup from nested
     * literals); scoring is the brute shape — bounded probe batch broadcast
@@ -306,26 +304,107 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Per-subspace KMeans codebooks (m × ksub × d/m), fit on ONE seeded
-    * checkpointed sample. */
+  /** Per-subspace codebooks (m × ksub × d/m), trained DRIVER-LOCAL on one
+    * bounded sample (see [[trainSample]]) — codebook training is always
+    * sample-bounded work (FAISS trains on ~10⁴–10⁶ vectors regardless of
+    * corpus size), so running m tiny k-means fits as distributed jobs buys
+    * nothing and pays m × iters job-scheduling round-trips. ONE collect
+    * feeds all m subspace fits.
+    */
   private def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, seed: Long,
       sampleFraction: Double, maxIter: Int): Array[Array[Array[Double]]] = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val rows = trainSample(corpus, sampleFraction, seed)
+    val dim = rows(0).length
     require(dim % m == 0, s"pq: dim $dim does not split into $m subspaces")
     val dsub = dim / m
-    val sample = (if (sampleFraction < 1.0)
-        corpus.sample(withReplacement = false, sampleFraction, seed)
-      else corpus)
-      .select(col("embedding")).localCheckpoint()
-    val codebooks = (0 until m).map { j =>
-      val train = sample.select(array_to_vector(
-        slice(col("embedding"), j * dsub + 1, dsub).cast("array<double>"))
-        .as("features"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter).fit(train)
-        .clusterCenters.map(_.toArray)
+    (0 until m).map { j =>
+      val sub = rows.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      localLloyd(sub, ksub, maxIter)
     }.toArray
-    graft.Blocks.releaseCheckpoint(sample)
-    codebooks
+  }
+
+  /** The bounded training sample every codebook/centroid fit runs on:
+    * optional seeded pre-sample, then the `cap` rows with the smallest
+    * (md5(vec_id), vec_id) — the repo's content-addressed seedless pick
+    * (same idiom as [[kmeansLloyd]] init), so the sample is reproducible
+    * across partitionings and corpus order and the TakeOrdered never
+    * materializes a global sort. At 100 TB `sampleFraction` does the heavy
+    * reduction and the md5 pick keeps the collect bounded at `cap` rows.
+    */
+  private def trainSample(corpus: DataFrame, sampleFraction: Double,
+      seed: Long, cap: Int = 16384): Array[Array[Double]] = {
+    val sampled = if (sampleFraction < 1.0)
+      corpus.sample(withReplacement = false, sampleFraction, seed)
+    else corpus
+    val rows = sampled
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(cap)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "codebook training sample is empty")
+    rows
+  }
+
+  /** Driver-local Lloyd's k-means with deterministic Gonzalez
+    * (farthest-first) init — no RNG anywhere: center 0 is the sample's
+    * first point, each next center the point maximizing the min distance
+    * to the chosen set (ties → lowest index). On a codeword-grid sample
+    * (AnnSpec's lossless case) farthest-first provably picks distinct
+    * codewords, so Lloyd converges to the grid exactly. Empty clusters
+    * keep their previous center; iteration stops early at a fixpoint.
+    */
+  private[similarity] def localLloyd(points: Array[Array[Double]], k: Int,
+      maxIter: Int): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    val kk = math.min(k, n)
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val centers = Array.ofDim[Array[Double]](kk)
+    centers(0) = points(0).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    for (c <- 1 until kk) {
+      var best = 0; var bestD = -1.0; var i = 0
+      while (i < n) {
+        val dd = sqDist(points(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      centers(c) = points(best).clone()
+    }
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var bc = 0; var bd = sqDist(p, centers(0)); var c = 1
+        while (c < kk) {
+          val dd = sqDist(p, centers(c))
+          if (dd < bd) { bd = dd; bc = c }
+          c += 1
+        }
+        val s = sums(bc)
+        var t = 0; while (t < d) { s(t) += p(t); t += 1 }
+        counts(bc) += 1
+        i += 1
+      }
+      changed = false
+      for (c <- 0 until kk) if (counts(c) > 0) {
+        val next = new Array[Double](d)
+        var t = 0; while (t < d) { next(t) = sums(c)(t) / counts(c); t += 1 }
+        if (!java.util.Arrays.equals(next, centers(c))) { centers(c) = next; changed = true }
+      }
+      iter += 1
+    }
+    if (kk < k) Array.tabulate(k)(i => centers(math.min(i, kk - 1)).clone())
+    else centers
   }
 
   /** The PQ encode→decode column: per-subspace nearest codeword via the
@@ -376,23 +455,18 @@ object Ann {
     result
   }
 
-  /** KMeans Voronoi centroids for IVF — fit on a seeded sample (at 100 TB
-    * you fit on ~1M rows, never the corpus). Cell quality saturates
-    * quickly: IVF needs a reasonable partition, not a converged
-    * clustering; every extra iteration is a full pass over the sample.
+  /** Voronoi centroids for IVF — driver-local Lloyd on the bounded
+    * [[trainSample]] (at 100 TB you fit on a ≤16k-row sample, never the
+    * corpus). Cell quality saturates quickly: IVF needs a reasonable
+    * partition, not a converged clustering, and the sample-sized fit costs
+    * zero cluster jobs beyond the one TakeOrdered collect.
     */
   private def fitCentroids(corpus: DataFrame, nlist: Int, seed: Long,
-      sampleFraction: Double, maxIter: Int): Array[Array[Double]] = {
-    val train = (if (sampleFraction < 1.0)
-        corpus.sample(withReplacement = false, sampleFraction, seed)
-      else corpus)
-      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
-      .clusterCenters.map(_.toArray)
-  }
+      sampleFraction: Double, maxIter: Int): Array[Array[Double]] =
+    localLloyd(trainSample(corpus, sampleFraction, seed), nlist, maxIter)
 
   /** Distributed Lloyd's k-means over the FULL corpus (vs [[fitCentroids]]'s
-    * sample-based MLlib fit for IVF cell quality): the clustering stage of
+    * sample-based driver-local fit for IVF cell quality): the clustering stage of
     * cluster-based curation (SemDeDup / DSIR-style domain discovery) run
     * Spark-first.
     *
