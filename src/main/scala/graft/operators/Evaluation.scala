@@ -298,7 +298,11 @@ object Evaluation {
     // replicate means (≈5th/95th percentile of 32), selected by
     // row_number — no interpolating percentile to diverge cross-engine.
     "q_bootstrap_ci" -> ((s, dir) => {
+      // the 32× replicate explode multiplies WORK, not input bytes: a
+      // compact orders scan arrives as one partition, which would serialize
+      // 32·N md5 draws onto one core — spread the pre-explode rows first
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(s.sparkContext.defaultParallelism)
       val u = (conv(substring(md5(concat(col("o_orderkey").cast("string"),
           lit("#"), col("r").cast("string")).cast("binary")), 1, 8), 16, 10)
         .cast("double") + lit(0.5)) / lit(4294967296.0)

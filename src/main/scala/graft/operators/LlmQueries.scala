@@ -614,7 +614,10 @@ object LlmQueries {
     // — per-doc hash-match at 4 decimals pins kernel, normalization, and
     // smoothing arithmetic cross-engine.
     "q_lm_perplexity" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // compact corpus parquet arrives as ONE partition; the trigram
+      // explode multiplies work not bytes, so spread rows across cores
+      // before it (roundrobin — no hash Exchange enters the scoring plan)
+      val d = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
       TextOps.lmScore(d, d.where(col("doc_id") % 10 < 8))
         .select(col("doc_id"), col("n_grams"), r4(col("avg_logprob")).as("avg_logprob"))
         .orderBy("doc_id")
@@ -629,7 +632,9 @@ object LlmQueries {
     // oracle recomputes both profiles, the ratio, the md5 uniform, and
     // the same top-k relationally — selection AND values hash-matched.
     "q_dsir_select" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // same pre-explode spread as q_lm_perplexity: two trigram profile
+      // builds + the scoring scan otherwise serialize on one partition
+      val d = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
       TextOps.dsirSelect(d, d.where(col("lang") === "en"), k = 100)
         .select(col("doc_id"), r4(col("llr")).as("llr"))
         .orderBy("doc_id")
