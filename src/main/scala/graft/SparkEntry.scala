@@ -38,6 +38,7 @@ object SparkEntry {
       graft.operators.Evaluation.queries ++
       graft.operators.Incremental.queries ++
       graft.operators.Timeseries.queries ++
+      graft.operators.Stats.queries ++
       graft.clv.ClvQueries.queries ++
       graft.sim.SimQueries.queries
 
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.operators.Evaluation.oracleSql ++
       graft.operators.Incremental.oracleSql ++
       graft.operators.Timeseries.oracleSql ++
+      graft.operators.Stats.oracleSql ++
       graft.clv.ClvQueries.oracleSql ++
       graft.sim.SimQueries.oracleSql
 }

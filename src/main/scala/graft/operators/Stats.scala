@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+
+/** Inferential-statistics operator family — the hypothesis-testing layer a
+  * data pipeline runs over its own segments before trusting a difference:
+  * Welch's two-sample t-test on a hash-split experiment, the chi-square
+  * independence test (+ Cramér's V effect size) over a contingency table,
+  * mutual information / normalized MI over the same table, and the
+  * two-sample Kolmogorov–Smirnov test over binned distributions.
+  *
+  * Every query reduces the corpus to a BOUNDED frame first — per-arm
+  * moment aggregates (2 rows), a (priority × status) contingency table
+  * (≤ 15 cells), a fixed-width bin histogram (≤ value-range/width bins) —
+  * with map-side partial aggregation, so the shuffle payload is constant
+  * in corpus size and every downstream window runs on a frame whose size
+  * is set by the SCHEMA, not the data. That is the whole 100 TB story:
+  * one scan, integer partial aggregates, driver-sized tail math.
+  *
+  * Cross-engine exactness: counts stay BIGINT end-to-end; the only float
+  * ops are final divisions / ln / sqrt on aggregated integers, rounded
+  * through the shared floor idiom (r4/r6) that absorbs libm ulps.
+  * StatsSpec pins the algebra on closed-form fixtures (identical arms ⇒
+  * t = 0, planted independence ⇒ chi2 = MI = 0, identical samples ⇒
+  * D = 0) and the bounded-frame plan shapes.
+  */
+object Stats {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+
+  /** Deterministic 50/50 arm from the id's md5 — the q_hash_split idiom:
+    * content-addressed, reproducible across engines and partitionings.
+    */
+  private def arm(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(2L))
+
+  /** The (priority × status) contingency cells with both margins and the
+    * grand total as windows over the ≤15-row cell frame — ONE corpus-scan
+    * Exchange, then schema-bounded work.
+    */
+  private def contingency(orders: DataFrame): DataFrame = {
+    val cells = orders
+      .groupBy(col("o_orderpriority").as("px"), col("o_orderstatus").as("sy"))
+      .agg(count(lit(1)).as("c"))
+    cells.select(col("px"), col("sy"), col("c"),
+      sum(col("c")).over(Window.partitionBy(col("px"))).as("rt"),
+      sum(col("c")).over(Window.partitionBy(col("sy"))).as("ct"),
+      sum(col("c")).over(BoundedWindow.whole(col("px"))).as("n"),
+      row_number().over(Window.partitionBy(col("px")).orderBy(col("sy"))).as("rnx"),
+      row_number().over(Window.partitionBy(col("sy")).orderBy(col("px"))).as("rny"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Welch's two-sample t-test over a deterministic hash-split experiment,
+    // at the correct unit of randomization: users, not events — each user's
+    // purchase values collapse to one mean first (assignment is per-user,
+    // so event-level variance would understate the standard error). Scale
+    // shape: one user-keyed groupBy (map-side combine), then conditional
+    // moment aggregates partial-reduce to 1 row — the arm never shuffles
+    // as a key. Welch, not Student: no equal-variance assumption, df from
+    // Welch–Satterthwaite.
+    "q_ab_ttest" -> ((s, dir) => {
+      val byUser = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(avg(col("value")).as("x"))
+        .select(arm(col("user_id")).as("g"), col("x"))
+      val xa = when(col("g") === 0L, col("x"))
+      val xb = when(col("g") === 1L, col("x"))
+      val g = byUser.agg(
+        count(xa).as("na"), count(xb).as("nb"),
+        avg(xa).as("ma"), avg(xb).as("mb"),
+        var_samp(xa).as("va"), var_samp(xb).as("vb"))
+      val sea = col("va") / col("na")
+      val seb = col("vb") / col("nb")
+      val tStat = (col("ma") - col("mb")) / sqrt(sea + seb)
+      val df = pow(sea + seb, 2) /
+        (pow(sea, 2) / (col("na") - 1) + pow(seb, 2) / (col("nb") - 1))
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        r6(col("ma")).as("mean_a"), r6(col("mb")).as("mean_b"),
+        r6(tStat).as("t_stat"), r4(df).as("df"),
+        (abs(tStat) > 1.96).cast("long").as("significant"))
+    }),
+
+    // Chi-square test of independence (priority ⟂ status?) + Cramér's V.
+    // All inputs to the statistic are exact BIGINT counts off one bounded
+    // aggregate; expected counts and the quadratic form are the only float
+    // math, over ≤15 rows.
+    "q_chi_square" -> ((s, dir) => {
+      val cont = contingency(t(s, dir, "orders"))
+      val exp = col("rt").cast("double") * col("ct") / col("n")
+      val g = cont.agg(
+        max(col("n")).as("nn"),
+        count(lit(1)).as("n_cells"),
+        sum(when(col("rnx") === 1, 1L).otherwise(0L)).as("r"),
+        sum(when(col("rny") === 1, 1L).otherwise(0L)).as("cc"),
+        sum(pow(col("c") - exp, 2) / exp).as("chi2"))
+      g.select(col("nn").as("n"), col("n_cells"),
+        r4(col("chi2")).as("chi2"),
+        ((col("r") - 1) * (col("cc") - 1)).cast("long").as("dof"),
+        r6(sqrt(col("chi2") / (col("nn") * least(col("r") - 1, col("cc") - 1))))
+          .as("cramers_v"))
+    }),
+
+    // Mutual information + marginal entropies + normalized MI over the
+    // same contingency frame: MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), with
+    // H(X)/H(Y) summed once per distinct margin via the row_number guard
+    // (no second scan, no distinct aggregate). Same bounded shape as
+    // q_chi_square; ln runs on ratios of exact integers.
+    "q_mutual_info" -> ((s, dir) => {
+      val cont = contingency(t(s, dir, "orders"))
+      val nD = col("n").cast("double")
+      val mi = (col("c") / nD) *
+        log(col("c") * nD / (col("rt").cast("double") * col("ct")))
+      val hx = when(col("rnx") === 1,
+        (col("rt") / nD) * log(nD / col("rt"))).otherwise(0.0)
+      val hy = when(col("rny") === 1,
+        (col("ct") / nD) * log(nD / col("ct"))).otherwise(0.0)
+      val g = cont.agg(max(col("n")).as("nn"), sum(mi).as("mi"),
+        sum(hx).as("hx"), sum(hy).as("hy"))
+      g.select(col("nn").as("n"), r6(col("mi")).as("mi"),
+        r6(col("hx")).as("h_x"), r6(col("hy")).as("h_y"),
+        r6(col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov over $1000-binned order totals:
+    // urgent-priority orders vs the rest. The bin histogram is the
+    // schema-bounded frame (≤ range/1000 bins); both ECDFs ride one
+    // ordered window over it, and the max ECDF gap is computed on the
+    // EXACT integer numerator |cumA·nB − cumB·nA| — division and the
+    // √-scaled statistic touch floats only in the final row. Binned KS is
+    // the distributed form: exact per-value KS needs a global sort of the
+    // corpus, binning caps that at histogram size with zero loss for the
+    // decision when bins ≪ sample (the PSI/drift discipline, q_drift_psi).
+    "q_ks_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L).as("g"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("bin"))
+      val hist = o.groupBy("bin").agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("cb"))
+      val w = BoundedWindow.ordered(col("bin"), col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("bin"), col("ca"), col("cb"),
+        sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"),
+        sum(col("ca")).over(BoundedWindow.whole(col("bin"))).as("na"),
+        sum(col("cb")).over(BoundedWindow.whole(col("bin"))).as("nb"))
+      val dnum = abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+      val g = cum.agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        count(lit(1)).as("n_bins"), max(dnum).as("dn"))
+      val d = col("dn").cast("double") / (col("na").cast("double") * col("nb"))
+      val ks = d * sqrt(col("na").cast("double") * col("nb") / (col("na") + col("nb")))
+      g.select(col("na").as("n_a"), col("nb").as("n_b"), col("n_bins"),
+        r6(d).as("d_stat"), r6(ks).as("ks_stat"),
+        (ks > 1.358).cast("long").as("reject_95"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_ab_ttest" ->
+      """WITH u AS (
+        |  SELECT user_id, AVG(value) AS x,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2 AS g
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), m AS (
+        |  SELECT
+        |    CAST(COUNT(x) FILTER (WHERE g = 0) AS BIGINT) AS na,
+        |    CAST(COUNT(x) FILTER (WHERE g = 1) AS BIGINT) AS nb,
+        |    AVG(x) FILTER (WHERE g = 0) AS ma,
+        |    AVG(x) FILTER (WHERE g = 1) AS mb,
+        |    VAR_SAMP(x) FILTER (WHERE g = 0) AS va,
+        |    VAR_SAMP(x) FILTER (WHERE g = 1) AS vb
+        |  FROM u
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  FLOOR(ma * 1000000.0 + 0.500001) / 1000000.0 AS mean_a,
+        |  FLOOR(mb * 1000000.0 + 0.500001) / 1000000.0 AS mean_b,
+        |  FLOOR((ma - mb) / sqrt(va / na + vb / nb) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS t_stat,
+        |  FLOOR(pow(va / na + vb / nb, 2)
+        |    / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))
+        |    * 10000.0 + 0.500001) / 10000.0 AS df,
+        |  CAST(CASE WHEN abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM m""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS px, o_orderstatus AS sy,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2
+        |), cont AS (
+        |  SELECT px, sy, c,
+        |    SUM(c) OVER (PARTITION BY px) AS rt,
+        |    SUM(c) OVER (PARTITION BY sy) AS ct,
+        |    SUM(c) OVER () AS n,
+        |    row_number() OVER (PARTITION BY px ORDER BY sy) AS rnx,
+        |    row_number() OVER (PARTITION BY sy ORDER BY px) AS rny
+        |  FROM cells
+        |), g AS (
+        |  SELECT MAX(n) AS nn, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    SUM(CASE WHEN rnx = 1 THEN 1 ELSE 0 END) AS r,
+        |    SUM(CASE WHEN rny = 1 THEN 1 ELSE 0 END) AS cc,
+        |    SUM(pow(c - CAST(rt AS DOUBLE) * ct / n, 2)
+        |      / (CAST(rt AS DOUBLE) * ct / n)) AS chi2
+        |  FROM cont
+        |)
+        |SELECT CAST(nn AS BIGINT) AS n, n_cells,
+        |  FLOOR(chi2 * 10000.0 + 0.500001) / 10000.0 AS chi2,
+        |  CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
+        |  FLOOR(sqrt(chi2 / (nn * least(r - 1, cc - 1))) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS cramers_v
+        |FROM g""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS px, o_orderstatus AS sy,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2
+        |), cont AS (
+        |  SELECT px, sy, c,
+        |    SUM(c) OVER (PARTITION BY px) AS rt,
+        |    SUM(c) OVER (PARTITION BY sy) AS ct,
+        |    SUM(c) OVER () AS n,
+        |    row_number() OVER (PARTITION BY px ORDER BY sy) AS rnx,
+        |    row_number() OVER (PARTITION BY sy ORDER BY px) AS rny
+        |  FROM cells
+        |), g AS (
+        |  SELECT MAX(n) AS nn,
+        |    SUM((c / CAST(n AS DOUBLE))
+        |      * ln(c * CAST(n AS DOUBLE) / (CAST(rt AS DOUBLE) * ct))) AS mi,
+        |    SUM(CASE WHEN rnx = 1
+        |      THEN (rt / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / rt)
+        |      ELSE 0.0 END) AS hx,
+        |    SUM(CASE WHEN rny = 1
+        |      THEN (ct / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / ct)
+        |      ELSE 0.0 END) AS hy
+        |  FROM cont
+        |)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  FLOOR(mi * 1000000.0 + 0.500001) / 1000000.0 AS mi,
+        |  FLOOR(hx * 1000000.0 + 0.500001) / 1000000.0 AS h_x,
+        |  FLOOR(hy * 1000000.0 + 0.500001) / 1000000.0 AS h_y,
+        |  FLOOR(mi / sqrt(hx * hy) * 1000000.0 + 0.500001) / 1000000.0 AS nmi
+        |FROM g""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END AS g,
+        |    CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin
+        |  FROM orders
+        |), hist AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM o GROUP BY bin
+        |), cum AS (
+        |  SELECT bin, ca, cb,
+        |    SUM(ca) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM hist
+        |), g AS (
+        |  SELECT MAX(na) AS na, MAX(nb) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |    MAX(abs(cuma * nb - cumb * na)) AS dn
+        |  FROM cum
+        |)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, n_bins,
+        |  FLOOR(CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb) * 1000000.0
+        |    + 0.500001) / 1000000.0 AS d_stat,
+        |  FLOOR(CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+        |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) * 1000000.0
+        |    + 0.500001) / 1000000.0 AS ks_stat,
+        |  CAST(CASE WHEN CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+        |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) > 1.358
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM g""".stripMargin
+  )
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Semantic invariants + plan gates for the inferential-statistics family
+  * (Stats.scala). The DuckDB hash gates pin exact values on the real
+  * fixtures; these pin the test ALGEBRA on closed-form synthetic tables
+  * (planted independence ⇒ chi2 = MI = 0, identical binned distributions
+  * ⇒ D = 0, a planted arm lift ⇒ a significant positive t) and the
+  * bounded-frame plan shapes (corpus reduces through a partial aggregate
+  * BEFORE the first shuffle; everything is join-free).
+  */
+class StatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  /** Writes the given frames as `<name>.parquet` tables under a fresh temp
+    * dir, so the harness queries run on a closed-form fixture.
+    */
+  private def fixtureDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = Files.createTempDirectory("graft_stats_fixture").toString
+    tables.foreach { case (name, df) => df.write.parquet(s"$dir/$name.parquet") }
+    dir
+  }
+
+  // ---- q_ab_ttest ----------------------------------------------------------
+
+  test("q_ab_ttest: arm sizes cover all purchase users, Welch df bracketed") {
+    val ev = graft.io.Sources.table(spark, sf, "events")
+    val users = ev.where(col("event_type") === "purchase")
+      .select(countDistinct("user_id")).head().getLong(0)
+    val r = SparkEntry.queries("q_ab_ttest")(spark, sf).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na + nb === users, "every purchase user lands in exactly one arm")
+    val df = r.getDouble(5)
+    assert(df >= math.min(na, nb) - 1 - 1e-9 && df <= na + nb - 2 + 1e-9,
+      s"Welch df $df outside [min(n)-1, na+nb-2]")
+    assert(r.getLong(6) === (if (math.abs(r.getDouble(4)) > 1.96) 1L else 0L))
+  }
+
+  test("q_ab_ttest: a planted +100 lift on arm 0 is detected as significant") {
+    import spark.implicits._
+    // arm rule mirrors Stats.arm: first 4 md5 hex digits of the user id
+    val armOf = pmod(conv(substring(
+      md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(2L))
+    val base = (1L to 60L).flatMap(u => Seq((u, 10.0 + (u % 7)), (u, 12.0 + (u % 5))))
+      .toDF("user_id", "value")
+    val lifted = base.withColumn("value",
+      col("value") + when(armOf === 0L, 100.0).otherwise(0.0))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("event_id", monotonically_increasing_id())
+      // Sources.table("events") converts a nanos BIGINT ts column
+      .withColumn("ts", lit(1_700_000_000L) * lit(1_000_000_000L))
+    val dir = fixtureDir("events" -> lifted)
+    val r = SparkEntry.queries("q_ab_ttest")(spark, dir).head()
+    assert(r.getDouble(2) - r.getDouble(3) > 90.0, "lift must show in the means")
+    assert(r.getDouble(4) > 1.96 && r.getLong(6) === 1L,
+      s"planted lift must be significant: t=${r.getDouble(4)}")
+  }
+
+  // ---- chi-square / mutual information -------------------------------------
+
+  /** priority ⟂ status by construction: cell counts are the exact product
+    * r_i·c_j/N (margins 2/4 × 3/3, N = 6), so chi2 = MI = 0 identically.
+    */
+  private def independentOrders = {
+    import spark.implicits._
+    val rows =
+      Seq.fill(1)(("A", "X")) ++ Seq.fill(1)(("A", "Y")) ++
+        Seq.fill(2)(("B", "X")) ++ Seq.fill(2)(("B", "Y"))
+    rows.zipWithIndex.map { case ((p, s0), i) => (i.toLong, p, s0, 100.0 * (i + 1)) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+  }
+
+  test("q_chi_square: planted independence gives chi2 = 0, V = 0, dof = (r-1)(c-1)") {
+    val dir = fixtureDir("orders" -> independentOrders)
+    val r = SparkEntry.queries("q_chi_square")(spark, dir).head()
+    assert(r.getLong(0) === 6L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.0, s"chi2 must vanish: ${r.getDouble(2)}")
+    assert(r.getLong(3) === 1L, "dof = (2-1)*(2-1)")
+    assert(r.getDouble(4) === 0.0, "Cramér's V must vanish")
+  }
+
+  test("q_mutual_info: planted independence gives MI = 0; bounds on real data") {
+    val dir = fixtureDir("orders" -> independentOrders)
+    val r0 = SparkEntry.queries("q_mutual_info")(spark, dir).head()
+    assert(r0.getDouble(1) === 0.0, s"MI must vanish: ${r0.getDouble(1)}")
+    assert(r0.getDouble(4) === 0.0, "normalized MI must vanish")
+    val r = SparkEntry.queries("q_mutual_info")(spark, sf).head()
+    val (mi, hx, hy, nmi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(mi >= 0.0 && mi <= math.min(hx, hy) + 1e-9,
+      s"0 ≤ MI ≤ min(H): $mi vs ($hx, $hy)")
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9)
+  }
+
+  test("q_chi_square bounds on real data: chi2 ≥ 0, V ∈ [0,1], dof = 8") {
+    val r = SparkEntry.queries("q_chi_square")(spark, sf).head()
+    assert(r.getDouble(2) >= 0.0)
+    assert(r.getLong(3) === 8L, "5 priorities × 3 statuses")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  // ---- Kolmogorov–Smirnov --------------------------------------------------
+
+  test("q_ks_test: identical binned distributions give D = 0, no rejection") {
+    import spark.implicits._
+    // urgent and non-urgent arms hit the SAME $1000 bins with equal counts
+    val rows = Seq(
+      (1L, "1-URGENT", "O", 500.0), (2L, "1-URGENT", "O", 1500.0),
+      (3L, "5-LOW", "O", 600.0), (4L, "5-LOW", "O", 1600.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val dir = fixtureDir("orders" -> rows)
+    val r = SparkEntry.queries("q_ks_test")(spark, dir).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0 && r.getLong(5) === 0L)
+  }
+
+  test("q_ks_test: disjoint supports give D = 1 and a rejection at these n") {
+    import spark.implicits._
+    val urgent = (1L to 40L).map(i => (i, "1-URGENT", "O", 500.0 + i))
+    val low = (41L to 80L).map(i => (i, "5-LOW", "O", 90500.0 + i))
+    val dir = fixtureDir("orders" -> (urgent ++ low)
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    val r = SparkEntry.queries("q_ks_test")(spark, dir).head()
+    assert(r.getDouble(3) === 1.0, "disjoint supports ⇒ D = 1")
+    assert(r.getLong(5) === 1L, "D = 1 at n = 40+40 must reject")
+  }
+
+  test("q_ks_test bounds on real data: D ∈ [0,1], arms partition the table") {
+    val o = graft.io.Sources.table(spark, sf, "orders").count()
+    val r = SparkEntry.queries("q_ks_test")(spark, sf).head()
+    assert(r.getLong(0) + r.getLong(1) === o)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getLong(5) === (if (r.getDouble(4) > 1.358) 1L else 0L))
+  }
+
+  // ---- plan gates ----------------------------------------------------------
+
+  test("stats plans: join-free, corpus reduces through a partial agg before any shuffle") {
+    for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free:\n$p")
+      val firstEx = p.indexOf("Exchange")
+      val firstAgg = p.indexOf("HashAggregate")
+      assert(firstAgg >= 0, s"$q expected hash aggregation:\n$p")
+      // plan strings print top-down: the FINAL (post-shuffle) operators
+      // appear first, so the corpus-side partial aggregate sits BELOW the
+      // last Exchange — assert the scan side ends in an aggregate, i.e.
+      // an Exchange appears before (above) some HashAggregate
+      assert(firstEx >= 0 && p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+        s"$q: raw rows must partial-aggregate before the shuffle:\n$p")
+    }
+  }
+
+  test("q_ab_ttest plan: exactly one hash shuffle (the user-key groupBy)") {
+    val p = plan("q_ab_ttest")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 1, s"expected 1 hash Exchange, got $n:\n$p")
+  }
+}
