@@ -149,6 +149,114 @@ object Graph {
           + lit(0.500001)) / lit(10000.0)).as("transitivity"))
   }
 
+  /** Customer–part bipartite edge set (customer bought part), the input
+    * to the butterfly census: one orderkey equi-join, distinct'd.
+    */
+  def custPartEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+      .join(lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+        Seq("ok"))
+      .select(col("c"), col("p")).distinct()
+
+  /** Exact butterfly (2×2 biclique) census of a bipartite graph — the
+    * bipartite analogue of [[triangleStats]] (a bipartite graph is
+    * triangle-free by construction, so cohesion there is butterflies:
+    * Sanei-Mehri–Sariyüce–Tirthapura 2018). Butterflies = Σ C(n,2) over
+    * co-neighbour pair counts; caterpillars (3-paths) = Σ_edges
+    * (d_c−1)(d_p−1); the bipartite clustering coefficient 4·⧖/caterpillars
+    * is 1.0 exactly on a complete biclique.
+    *
+    * Scale shape: wedge generation anchors on WHICHEVER side has the
+    * smaller measured wedge volume Σ C(d,2) — two bounded degree
+    * aggregates up front, then one equi-join on the chosen anchor key
+    * (never a cross join); the pair aggregate is map-side combined. The
+    * census is side-symmetric, so anchor choice changes the plan, not one
+    * bit of the result (GraphSpec proves it on a transposed graph). A
+    * pathologically hot anchor vertex is the LSH-bucket-flood failure
+    * mode — cap or salt it with the Dedup bucket-cap pattern.
+    */
+  def butterflyStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).as("c"), col(edges.columns(1)).as("p"))
+      .localCheckpoint()
+    def wedgeVolume(side: String): Long =
+      e.groupBy(side).agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0.0)).cast("long"))
+        .head().getLong(0)
+    val (anchor, other) =
+      if (wedgeVolume("p") <= wedgeVolume("c")) ("p", "c") else ("c", "p")
+    val a = e.select(col(anchor).as("k"), col(other).as("x1"))
+    val b = e.select(col(anchor).as("k"), col(other).as("x2"))
+    val pairs = a.join(b, Seq("k")).where(col("x1") < col("x2"))
+      .groupBy("x1", "x2").agg(count(lit(1)).as("n"))
+    val bf = pairs.agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0))
+      .cast("long").as("n_butterflies"))
+    val degC = e.groupBy("c").agg(count(lit(1)).as("dc"))
+    val degP = e.groupBy("p").agg(count(lit(1)).as("dp"))
+    val base = e.join(degC, Seq("c")).join(degP, Seq("p"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("dc") - 1) * (col("dp") - 1)).cast("long").as("n_caterpillars"))
+    val sides = e.agg(countDistinct(col("c")).as("n_cust"),
+      countDistinct(col("p")).as("n_parts"))
+    sides.crossJoin(broadcast(base)).crossJoin(broadcast(bf))
+      .select(col("n_cust"), col("n_parts"), col("n_edges"),
+        col("n_butterflies"), col("n_caterpillars"),
+        when(col("n_caterpillars") === 0, lit(0.0))
+          .otherwise(floor(lit(4.0) * col("n_butterflies") / col("n_caterpillars")
+            * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)).as("bcc"))
+  }
+
+  /** Peel rounds for q_kcore: k = 6 converges in ≤5 rounds on the sliced
+    * co-purchase graph at every SF (measured 3/5/5 at sf0.001/0.01/0.1),
+    * so a fixed 6-round unroll reaches the true fixpoint and the
+    * `converged` flag (|a₆| = |a₅|) PROVES it in-band — the q_kmeans
+    * fixed-iteration discipline applied to a fixpoint operator.
+    */
+  val CoreK = 6
+  val CoreRounds = 6
+
+  /** k-core of an undirected edge list via fixed-round peeling: drop
+    * nodes with degree < k within the surviving subgraph, `rounds` times.
+    * Per round: two left-semi joins restrict edges to survivors (edges
+    * shuffle once per round — at 100 TB you re-partition the edge table
+    * on u ONCE and only the shrinking node set moves), a map-side-combined
+    * degree aggregate, a filter. Lineage truncates per round
+    * (localCheckpoint, previous round's blocks released) — the
+    * connectedComponents discipline. Returns one row:
+    * (k, n_core_nodes, n_core_edges, converged).
+    */
+  def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // survivor cardinality rides each round's (eager) checkpoint job as an
+    // observe() metric — ONE action per round, the connectedComponents
+    // convergence-metric discipline
+    var active = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .distinct().localCheckpoint()
+    var counts = List(active.count())
+    for (_ <- 1 to rounds) {
+      val filtered = und
+        .join(active.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(active.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      val obs = Observation()
+      val next = filtered.select(col("u").as("node"))
+        .unionAll(filtered.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("node"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      Blocks.releaseCheckpoint(active)
+      active = next
+      counts ::= Observe.metric(obs, "n").getOrElse(active.count())
+    }
+    val converged = if (counts.head == counts.tail.head) 1L else 0L
+    val coreEdges = und
+      .join(active.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(active.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .agg(count(lit(1)).as("n_core_edges"))
+    coreEdges.select(lit(k.toLong).as("k"),
+      lit(counts.head).as("n_core_nodes"),
+      col("n_core_edges"), lit(converged).as("converged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scale shape: see object scaladoc — edges partitioned once, per-
     // iteration shuffles are node-sized (rank attach) + map-side-combined
@@ -170,7 +278,21 @@ object Graph {
     // plan shape
     "q_triangles" -> ((s, dir) =>
       triangleStats(partPairEdges(Sources.table(s, dir, "lineitem")
-        .where(col("l_orderkey") % 10 === 0))))
+        .where(col("l_orderkey") % 10 === 0)))),
+
+    // exact butterfly census of the customer–part bipartite graph on the
+    // same 10%-of-orders slice as q_triangles (bounded-anchor discipline);
+    // see butterflyStats scaladoc for the anchor-selection plan
+    "q_butterflies" -> ((s, dir) =>
+      butterflyStats(custPartEdges(
+        Sources.table(s, dir, "orders").where(col("o_orderkey") % 10 === 0),
+        Sources.table(s, dir, "lineitem").where(col("l_orderkey") % 10 === 0)))),
+
+    // 6-core of the sliced part–part co-purchase projection via 6 fixed
+    // peel rounds (provably at fixpoint — see CoreRounds scaladoc)
+    "q_kcore" -> ((s, dir) =>
+      kCore(partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)), CoreK, CoreRounds))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -214,8 +336,90 @@ object Graph {
         |  tri.n_triangles,
         |  FLOOR(3.0 * tri.n_triangles / stats.n_wedges * 10000.0 + 0.500001)
         |    / 10000.0 AS transitivity
-        |FROM stats, tri""".stripMargin
+        |FROM stats, tri""".stripMargin,
+
+    // side-symmetric census, so the oracle pins the part-anchored form
+    // regardless of which side the Spark planner wedges over
+    "q_butterflies" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, li.l_partkey AS p
+        |  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+        |  WHERE o.o_orderkey % 10 = 0
+        |), pairs AS (
+        |  SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e a JOIN e b ON a.p = b.p WHERE a.c < b.c GROUP BY 1, 2
+        |), bf AS (
+        |  SELECT COALESCE(CAST(SUM(n * (n - 1) / 2) AS BIGINT), 0)
+        |    AS n_butterflies FROM pairs
+        |), degc AS (
+        |  SELECT c, CAST(COUNT(*) AS BIGINT) AS dc FROM e GROUP BY c
+        |), degp AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS dp FROM e GROUP BY p
+        |), base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |    CAST(SUM((dc - 1) * (dp - 1)) AS BIGINT) AS n_caterpillars
+        |  FROM e JOIN degc USING (c) JOIN degp USING (p)
+        |), sides AS (
+        |  SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cust,
+        |    CAST(COUNT(DISTINCT p) AS BIGINT) AS n_parts FROM e
+        |)
+        |SELECT sides.n_cust, sides.n_parts, base.n_edges, bf.n_butterflies,
+        |  base.n_caterpillars,
+        |  CASE WHEN base.n_caterpillars = 0 THEN 0.0
+        |    ELSE FLOOR(4.0 * bf.n_butterflies / base.n_caterpillars
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS bcc
+        |FROM sides, base, bf""".stripMargin,
+
+    "q_kcore" -> kcoreOracle(CoreK, CoreRounds)
   )
+
+  /** The k-core oracle: the same fixed peel rounds UNROLLED as chained
+    * standard-SQL CTEs (the prOracle discipline — no vendor recursive
+    * extension, each round's survivor set re-derived from the previous
+    * round's by the identical degree-threshold rule).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      // MATERIALIZED: each aᵢ references aᵢ₋₁ twice, so DuckDB's default
+      // CTE inlining would expand the chain exponentially (measured: fd
+      // exhaustion from 2^rounds lineitem scans)
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), a0 AS MATERIALIZED (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s""", a$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, COUNT(*) AS d FROM (
+         |      SELECT e.u AS node FROM und e
+         |        JOIN a${i - 1} x ON e.u = x.node JOIN a${i - 1} y ON e.v = y.node
+         |      UNION ALL
+         |      SELECT e.v FROM und e
+         |        JOIN a${i - 1} x ON e.u = x.node JOIN a${i - 1} y ON e.v = y.node) t
+         |    GROUP BY node) dd
+         |  WHERE d >= $k
+         |)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT COUNT(*) FROM a$rounds) AS n_core_nodes,
+         |  (SELECT COUNT(*) FROM und e
+         |     JOIN a$rounds x ON e.u = x.node
+         |     JOIN a$rounds y ON e.v = y.node) AS n_core_edges,
+         |  CAST(CASE WHEN (SELECT COUNT(*) FROM a$rounds)
+         |    = (SELECT COUNT(*) FROM a${rounds - 1}) THEN 1 ELSE 0 END
+         |    AS BIGINT) AS converged""".stripMargin
+    head + peels + tail
+  }
 
   /** The DuckDB oracle: the same 5 iterations UNROLLED as chained CTEs —
     * standard SQL (no vendor recursive-aggregate extension), every term

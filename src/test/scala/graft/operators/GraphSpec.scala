@@ -122,4 +122,66 @@ class GraphSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"wedge join went cartesian:\n$p")
     assert(p.contains("LeftSemi"), s"closure should be a semi-join:\n$p")
   }
+  // ---- butterflies ---------------------------------------------------------
+
+  private def bip(pairs: (Long, Long)*) = pairs.toDF("c", "p")
+
+  test("butterflies: complete biclique K(2,3) has 3 and bcc exactly 1.0") {
+    val r = Graph.butterflyStats(bip(
+      (1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L), (2L, 30L))).head
+    assert(r.getLong(0) === 2 && r.getLong(1) === 3 && r.getLong(2) === 6)
+    assert(r.getLong(3) === 3, "K(2,3) butterflies = C(2,2)*C(3,2)")
+    assert(r.getLong(4) === 12, "K(2,3) caterpillars = 6 edges * (2-1)(3-1)")
+    assert(r.getDouble(5) === 1.0, "complete biclique bcc = 1")
+  }
+
+  test("butterflies: a path has none; census is side-symmetric") {
+    val path = bip((1L, 10L), (2L, 10L), (2L, 20L))
+    val r = Graph.butterflyStats(path).head
+    assert(r.getLong(3) === 0 && r.getLong(4) === 1 && r.getDouble(5) === 0.0)
+    // transpose the K(2,3) fixture: the anchor side flips, the census not
+    val t = Graph.butterflyStats(Seq(
+      (10L, 1L), (20L, 1L), (30L, 1L), (10L, 2L), (20L, 2L), (30L, 2L))
+      .toDF("c", "p")).head
+    assert(t.getLong(3) === 3 && t.getLong(4) === 12 && t.getDouble(5) === 1.0)
+  }
+
+  test("butterflies plan: anchor equi-join, no cartesian wedge generation") {
+    val df = graft.SparkEntry.queries("q_butterflies")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // the single-row stat attaches are BNLJ crosses by design (the
+    // triangleStats shape); what must never appear is a row-level cartesian
+    assert(!p.contains("CartesianProduct"), s"wedge join went cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"wedges must come from the anchor equi-join:\n$p")
+  }
+
+  // ---- k-core --------------------------------------------------------------
+
+  test("kCore: closed forms — K5 survives its own 4-core, a tree has empty 2-core") {
+    val k5 = (for { u <- 1L to 5L; v <- (u + 1) to 5L } yield (u, v)).toDF("u", "v")
+    val r = Graph.kCore(k5, k = 4, rounds = 3).head
+    assert(r.getLong(1) === 5 && r.getLong(2) === 10 && r.getLong(3) === 1L,
+      "K5 is its own 4-core")
+    val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("u", "v")
+    val t = Graph.kCore(tree, k = 2, rounds = 6).head
+    assert(t.getLong(1) === 0 && t.getLong(2) === 0 && t.getLong(3) === 1L,
+      "a tree peels to nothing at k = 2")
+  }
+
+  test("kCore: fixpoint reached in-budget on real data, cores nest") {
+    val und = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).cache()
+    try {
+      val r6c = graft.SparkEntry.queries("q_kcore")(spark, "/root/testdata/sf0.001").head
+      assert(r6c.getLong(3) === 1L, "q_kcore must reach its fixpoint in 6 rounds")
+      val n4 = Graph.kCore(und, k = 4, rounds = 8).head.getLong(1)
+      assert(r6c.getLong(1) <= n4, "the 6-core must nest inside the 4-core")
+      // every survivor keeps degree >= k within the core (fixpoint property)
+      assert(r6c.getLong(2) * 2 >= Graph.CoreK * r6c.getLong(1),
+        "handshake: core edges cannot support degree >= k otherwise")
+    } finally und.unpersist()
+  }
 }
