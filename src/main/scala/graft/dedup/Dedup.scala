@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.{Blocks, Observe}
@@ -171,6 +172,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Exact set-similarity SELF-join (all pairs with shingle Jaccard ≥
+    * `threshold`) via prefix filtering — the SSJoin/PPJoin family
+    * (Chaudhuri–Ganti–Kaushik 2006, Xiao et al. 2008): the EXACT
+    * alternative to minhash when the pipeline owes a no-false-negative
+    * guarantee. Order every doc's shingles by ascending global document
+    * frequency (rarest first, ties by shingle hash — one consistent
+    * order engine-wide); a pair can reach Jaccard ≥ t only if the two
+    * PREFIXES of length |x| − ⌈t·|x|⌉ + 1 share a shingle (sound because
+    * the length filter t·|x| ≤ |y| makes the required overlap
+    * ⌈t/(1+t)·(|x|+|y|)⌉ ≥ ⌈t·|x|⌉ — Xiao et al. Lemma 1), so candidates
+    * come from an equi-join on PREFIX shingles only, never all-pairs and
+    * never hot common shingles: the frequency ordering pushes corpus-wide
+    * boilerplate grams out of every prefix, which is what caps the join
+    * fan-out at scale. Candidates then verify exactly against the full
+    * hash sets (the verifyJaccard math on the shared materialized frame).
+    *
+    * Scale shape: one shingle-kernel scan (checkpointed, feeds ranking
+    * AND verify), one df aggregate, one per-doc window, one prefix
+    * equi-join, one candidate-keyed verify join. The same bucket-cap
+    * escape hatch as LSH applies if a prefix shingle floods.
+    */
+  def setSimJoinPrefix(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
+    DedupKernels.register(docs.sparkSession)
+    val sets = docs.select(col("doc_id"), shingleHashSet(col("text"), k).as("sh"))
+      .localCheckpoint()
+    val tokens = sets.select(col("doc_id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("g"))
+    val dfreq = tokens.groupBy("g").agg(count(lit(1)).as("df"))
+    val pos = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g")))
+    val prefix = tokens.join(dfreq, Seq("g"))
+      .select(col("doc_id"), col("len"), col("g"), pos.as("pos"))
+      .where(col("pos") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
+    val a = prefix.select(col("g"), col("doc_id").as("doc_a"), col("len").as("len_a"))
+    val b = prefix.select(col("g"), col("doc_id").as("doc_b"), col("len").as("len_b"))
+    val cands = a.join(b, Seq("g"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("len_b") >= ceil(lit(threshold) * col("len_a")) &&
+        col("len_a") >= ceil(lit(threshold) * col("len_b")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Connected components over a near-duplicate pair graph — the cluster

@@ -493,6 +493,24 @@ object LlmQueries {
         .orderBy("doc_a")
     }),
 
+    // oracle-backed: EXACT set-similarity self-join via prefix filtering
+    // (see Dedup.setSimJoinPrefix) — every pair with shingle Jaccard ≥
+    // 0.5, no false negatives, candidates from the rarest-first prefix
+    // equi-join instead of minhash banding OR all-pairs. Runs on the
+    // even-doc_id half (+ planted copies — parity-preserved by the
+    // +1000000 offset) because the ORACLE is the genuine brute-force
+    // all-pairs recount, quadratic by construction; the engine-side plan
+    // is the corpus-scale path. DuckDB recomputing every pair makes any
+    // prefix-filter unsoundness a red row, not a silent miss.
+    "q_setsim_join" -> ((s, dir) => {
+      // pre-kernel spread: the q_lm_perplexity single-input-partition note
+      val d = withPlantedNearDups(docs(s, dir)).where(col("doc_id") % 2 === 0)
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.setSimJoinPrefix(d, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // oracle-backed: exact shingle CONTAINMENT — |A∩B| / |B| — on the same
     // planted pairs. Jaccard misses quote/subset relationships (a doc
     // wholly embedded in a much larger one scores near 0); containment is
@@ -1017,6 +1035,31 @@ object LlmQueries {
     // k=3 word windows (slice clamps at the end on both engines), same
     // drop-last-2-tokens perturbation; |A∩B|/|A∪B| on integer set sizes
     // is FP-exact cross-engine
+    // the brute-force all-pairs recount the prefix filter must reproduce
+    // exactly (MATERIALIZED: corpus feeds the self-join twice)
+    "q_setsim_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), uni AS (
+        |  SELECT doc_id, w FROM toks
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, w[1 : greatest(len(w)-2, 1)] FROM toks
+        |), corpus AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w)-3, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+3], ' '))) AS s
+        |  FROM uni WHERE doc_id % 2 = 0
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  FLOOR(j * 10000.0 + 0.500001) / 10000.0 AS jaccard
+        |FROM pairs WHERE j >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_jaccard_exact" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents

@@ -201,4 +201,42 @@ class DedupSpec extends SparkSpec {
     cont.foreach { case (id, c) => assert(c >= jacc(id) - 1e-9) }
     assert(jacc.values.exists(_ < 1.0), "fixture should lose shingles somewhere")
   }
+  test("setsim prefix join is sound AND complete vs brute force on a real slice") {
+    val d = graft.operators.LlmQueries.withPlantedNearDups(
+        graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents"))
+      .where(col("doc_id") % 5 === 0).cache()
+    try {
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+      val fast = Dedup.setSimJoinPrefix(d, threshold = 0.5)
+        .collect().map(r => key(r) -> r.getDouble(2)).toMap
+      // brute force: verify EVERY ordered pair, no prefix filter anywhere
+      val ids = d.select("doc_id")
+      val allPairs = ids.select(col("doc_id").as("doc_a"))
+        .crossJoin(ids.select(col("doc_id").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("est_jaccard", lit(1.0))
+      val brute = Dedup.verifyJaccard(d, allPairs)
+        .where(col("jaccard") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(fast.keySet === brute.keySet,
+        s"prefix filter diverged: missed ${(brute.keySet -- fast.keySet).take(5)}, " +
+          s"extra ${(fast.keySet -- brute.keySet).take(5)}")
+      fast.foreach { case (k0, j) => assert(math.abs(j - brute(k0)) < 1e-12) }
+      assert(brute.nonEmpty, "slice too small to exercise the join")
+      // every planted (orig, copy) pair the brute pass confirms ≥ 0.5 must
+      // survive the prefix filter
+      val plantedPairs = d.select("doc_id").collect().map(_.getLong(0))
+        .filter(_ < 1000000L).map(i => (i, i + 1000000L))
+        .filter(brute.contains)
+      assert(plantedPairs.nonEmpty && plantedPairs.forall(fast.contains),
+        "planted near-dup pairs must survive the prefix filter")
+    } finally d.unpersist()
+  }
+
+  test("setsim join plan: prefix equi-join candidates, no cartesian anywhere") {
+    val p = graft.SparkEntry.queries("q_setsim_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the prefix equi-join:\n$p")
+  }
 }
