@@ -20,6 +20,9 @@ object Timeseries {
   private def r2(c: Column): Column =
     floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
 
+  private def r4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+
   /** EWMA decay per day. 0.5 is deliberate: the weights (1-α)^k = 2^-k
     * are exact dyadic doubles, so Spark and the oracle compute
     * bit-identical weight products and the only cross-engine float
@@ -140,6 +143,67 @@ object Timeseries {
     // shares are Laplace-smoothed ((n+0.5)/(N+5)) so an empty bin yields
     // a finite term instead of ln(p/0) — identical smoothing in the
     // oracle.
+    // ---- classical seasonal decomposition ---------------------------------
+    // Additive trend/seasonal/residual split of the daily revenue series
+    // (the textbook classical decomposition; STL's moving-window shape
+    // without the loess fits): trend = centered 7-day mean of the raw
+    // series, seasonal = per-day-of-week MEDIAN of the detrended series
+    // (median, not mean — robust to the outliers q_mad_outliers hunts),
+    // residual = detrended − seasonal. Plan shape: ONE orders shuffle to
+    // the CALENDAR-bounded daily frame (the q_ewma_smooth argument), the
+    // trend window + the 7-row seasonal broadcast-back all live on that
+    // frame. Revenue in integer cents so the only floats are the trend
+    // division and the median midpoint — deterministic single ops, no
+    // summation-order drift anywhere.
+    "q_seasonal_decompose" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001)).cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .select(col("day"), col("rev"), dayofweek(col("day")).cast("long").as("dow"))
+      val wTrend = BoundedWindow.ordered(col("day"), col("day")).rowsBetween(-3, 3)
+      val detrended = daily
+        .withColumn("trend", avg(col("rev")).over(wTrend))
+        .withColumn("detr", col("rev") - col("trend"))
+      val seas = detrended.groupBy("dow")
+        .agg(expr("percentile(detr, 0.5)").as("seasonal"))
+      detrended.join(broadcast(seas), "dow")
+        .select(col("day"), col("rev"), r4(col("trend")).as("trend"),
+          r4(col("seasonal")).as("seasonal"),
+          r4(col("detr") - col("seasonal")).as("resid"))
+        .orderBy("day")
+    }),
+
+    // ---- CUSUM changepoint detection --------------------------------------
+    // Page's cumulative-sum statistic over the same daily frame: S_d =
+    // Σ_{≤d}(rev − mean), changepoint = argmax |S| (Pettitt-style single
+    // changepoint), significance via the normalized S_max/(σ√n). The
+    // running sum is computed in DATE order on BOTH engines — an
+    // identical float-op sequence, so cross-engine parity is structural,
+    // not rounded-away; σ is the one Welford-order term (r4, the
+    // q_corr_stats precedent). Everything after the daily aggregate
+    // rides windows on the calendar-bounded frame.
+    "q_changepoint" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001)).cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val wAll = BoundedWindow.whole(col("day"))
+      val wRun = BoundedWindow.ordered(col("day"), col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("mu", avg(col("rev")).over(wAll))
+        .withColumn("sd", stddev_pop(col("rev")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("cusum", sum(col("rev") - col("mu")).over(wRun))
+      val ranked = cum.withColumn("rn", row_number().over(
+        BoundedWindow.ordered(col("day"), abs(col("cusum")).desc, col("day"))))
+      ranked.where(col("rn") === 1)
+        .select(col("n").as("n_days"), col("day").as("cp_day"),
+          r2(abs(col("cusum")) / lit(100.0)).as("max_cusum"),
+          r4(abs(col("cusum")) / (col("sd") * sqrt(col("n")))).as("stat"))
+    }),
+
     "q_drift_psi" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_totalprice").as("v"),
         (to_date(col("o_orderdate")) < lit("1999-01-01").cast("date")).as("is_ref"))
@@ -225,6 +289,55 @@ object Timeseries {
         |  FLOOR((MAX(d.mad)) * 100.0 + 0.500001) / 100.0 AS mad
         |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev,
+        |    CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow
+        |  FROM orders GROUP BY 1
+        |), detr AS (
+        |  SELECT day, rev, dow,
+        |    AVG(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    rev - AVG(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS d
+        |  FROM daily
+        |), seas AS (
+        |  SELECT dow, quantile_cont(d, 0.5) AS seasonal FROM detr GROUP BY dow
+        |)
+        |SELECT detr.day, detr.rev,
+        |  FLOOR(detr.trend * 10000.0 + 0.500001) / 10000.0 AS trend,
+        |  FLOOR(seas.seasonal * 10000.0 + 0.500001) / 10000.0 AS seasonal,
+        |  FLOOR((detr.d - seas.seasonal) * 10000.0 + 0.500001) / 10000.0 AS resid
+        |FROM detr JOIN seas USING (dow)
+        |ORDER BY day""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), stats AS (
+        |  SELECT day, rev,
+        |    AVG(rev) OVER () AS mu,
+        |    stddev_pop(rev) OVER () AS sd,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM daily
+        |), cum AS (
+        |  SELECT *, SUM(rev - mu) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM stats
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY ABS(cusum) DESC, day) AS rn
+        |  FROM cum
+        |)
+        |SELECT n AS n_days, day AS cp_day,
+        |  FLOOR(ABS(cusum) / 100.0 * 100.0 + 0.500001) / 100.0 AS max_cusum,
+        |  FLOOR(ABS(cusum) / (sd * sqrt(n)) * 10000.0 + 0.500001) / 10000.0 AS stat
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q_drift_psi" ->
       """WITH o AS (

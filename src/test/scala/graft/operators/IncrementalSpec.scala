@@ -333,4 +333,58 @@ class IncrementalSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4,
       s"unexpected extra shuffle:\n$p")
   }
+  // ---- q_seasonal_decompose -------------------------------------------------
+
+  test("seasonal decomposition reconstructs the series; per-dow residual medians vanish") {
+    val out = run("q_seasonal_decompose").cache()
+    try {
+      // additive identity: rev = trend + seasonal + resid up to 3 roundings
+      val broken = out.where(abs(col("rev") - (col("trend") + col("seasonal")
+        + col("resid"))) > 0.001).count()
+      assert(broken === 0, s"$broken days break trend+seasonal+resid = rev")
+      // seasonal is the per-dow MEDIAN of the detrended series, so the
+      // per-dow median of the residual is 0 by construction
+      val dowMed = out
+        .select(dayofweek(col("day")).as("dow"), col("resid"))
+        .groupBy("dow").agg(expr("percentile(resid, 0.5)").as("m"))
+        .collect()
+      assert(dowMed.length === 7)
+      dowMed.foreach(r => assert(math.abs(r.getDouble(1)) < 0.001,
+        s"dow ${r.get(0)} residual median ${r.getDouble(1)} != 0"))
+    } finally out.unpersist()
+  }
+
+  test("seasonal decomposition plan: one orders shuffle, 7-row seasonal broadcasts") {
+    val p = plan("q_seasonal_decompose")
+    assert(p.contains("BroadcastHashJoin"), s"seasonal attach must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join expected:\n$p")
+  }
+
+  // ---- q_changepoint --------------------------------------------------------
+
+  test("CUSUM finds a planted level shift on the exact boundary day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    // 60 flat days at $100, then 40 at $200: argmax |cusum| is the last
+    // low day (the single-changepoint closed form)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, 1L, "O", if (i < 60) 100.0 else 200.0,
+        java.sql.Timestamp.valueOf(s"2020-01-01 00:00:00").toLocalDateTime
+          .plusDays(i).toString.replace("T", " ") + ":00", "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+    rows.write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_changepoint")(spark, dir).head
+    assert(r.getLong(0) === 100L)
+    assert(r.getDate(1).toString === "2020-02-29",
+      s"changepoint must land on the last pre-shift day, got ${r.getDate(1)}")
+    // closed form: |S| at the boundary = n1·n2·Δ/n = 60·40·100/100 = 2400
+    assert(math.abs(r.getDouble(2) - 2400.0) < 0.01, s"max cusum ${r.getDouble(2)}")
+  }
+
+  test("changepoint plan: join-free, one shuffle to the daily frame") {
+    val p = plan("q_changepoint")
+    assert(!p.contains("Join"), s"changepoint must be join-free:\n$p")
+  }
 }
