@@ -280,6 +280,57 @@ object ScaleProbe {
         f"heap=$heapSecs%.2f window=$winSecs%.2f")
       Blocks.releaseAll(spark)
     }
+    // Exact set-similarity join: per-copy token suffixes (copies share no
+    // shingles, so the df table and candidate set grow LINEARLY — real
+    // corpus growth, no manufactured quadratic pair set). Measures the
+    // rarest-first prefix equi-join + verify machinery against corpus size.
+    Dedup.setSimJoinPrefix(
+      LlmQueries.withPlantedNearDups(base.limit(300)), threshold = 0.5).count()
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val corpus = (0 until mult).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_c" + i).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val d = LlmQueries.withPlantedNearDups(corpus).localCheckpoint()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.setSimJoinPrefix(d, threshold = 0.5).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-setsim] mult=$mult%2d docs=${mult * 2 * base.count()}%8d " +
+        f"pairs=$pairs%8d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
+    // Butterfly census: disjoint bipartite copies (offset cust+part keys) —
+    // constant degrees, so wedges/butterflies grow linearly and the
+    // anchor-side pair join must track edge count.
+    val ordSlice = Sources.table(spark, dir, "orders")
+      .where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.operators.Graph.butterflyStats(graft.operators.Graph.custPartEdges(
+      Sources.table(spark, dir, "orders").where(col("o_orderkey") % 10 === 0)
+        .limit(500),
+      liSlice)).head()
+    Blocks.releaseAll(spark)
+    for (mult <- Seq(1, 4, 16)) {
+      val oBig = (0 until mult).map { i =>
+        ordSlice.select((col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(i.toLong * 100000000L)).as("o_custkey"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val liBig = (0 until mult).map { i =>
+        liSlice.select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val t0 = System.nanoTime()
+      val r = graft.operators.Graph.butterflyStats(
+        graft.operators.Graph.custPartEdges(oBig, liBig)).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-butterflies] mult=$mult%2d edges=${r.getLong(2)}%9d " +
+        f"butterflies=${r.getLong(3)}%9d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
     spark.stop()
   }
 }
