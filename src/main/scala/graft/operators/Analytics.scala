@@ -357,6 +357,39 @@ object Analytics {
     // (price ↓, size ↑). The naive formulation is an all-pairs NOT EXISTS —
     // quadratic, the thing that cannot run at 100 TB (the ORACLE keeps that
     // form precisely because it is an independent derivation). The engine
+    // ---- revenue concentration: Gini + top-decile share -------------------
+    // The Lorenz-curve summary over per-customer revenue — the
+    // concentration report every marketing/mix analysis opens with. Exact
+    // rank formula G = 2·Σ rank·x / (n·Σx) − (n+1)/n over integer-cents
+    // customer totals: ranks and both Σ are exact integers (the products
+    // stay far under 2^63), so the only floats are the two final
+    // divisions — cross-engine parity structural. The top-decile cut is
+    // the integer comparison rank·10 > 9·n (no float boundary). Shape:
+    // one customer-key shuffle to the aggregate frame, then ONE ordered
+    // window over customer-cardinality rows — deliberately partition-less
+    // (data-sized, not schema-bounded: the warning fires honestly); at
+    // 100 TB the rank·x sum switches to the q_weighted_quantile two-level
+    // range-partitioned prefix pattern.
+    "q_gini" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(sum(cents).as("x"))
+      val ranked = perCust.select(col("x"),
+        row_number().over(Window.orderBy(col("x"), col("o_custkey")))
+          .cast("long").as("rank"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      val g = ranked.agg(max(col("n")).as("n"),
+        sum(col("x")).as("sx"), sum(col("rank") * col("x")).as("srx"),
+        sum(when(col("rank") * 10 > col("n") * 9, col("x"))
+          .otherwise(0L)).as("top"))
+      g.select(col("n").as("n_customers"),
+        (col("sx") / lit(100)).as("total_rev"),
+        r6(lit(2.0) * col("srx") / (col("n") * col("sx").cast("double"))
+          - (col("n") + lit(1)).cast("double") / col("n")).as("gini"),
+        r6(col("top").cast("double") / col("sx")).as("top10_share"))
+    }),
+
     // side exploits the 2-D structure: a point survives iff its size equals
     // its price-group max AND strictly beats every cheaper group's max —
     // one groupBy(price), one prefix-max window over the GROUP table
@@ -613,6 +646,32 @@ object Analytics {
         |  FLOOR((AVG(cos)) * 10000.0 + 0.500001) / 10000.0 AS avg_cos,
         |  FLOOR((MIN(cos)) * 10000.0 + 0.500001) / 10000.0 AS min_cos
         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rank,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM pc
+        |), g AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(rank * x) AS BIGINT) AS srx,
+        |    CAST(SUM(CASE WHEN rank * 10 > n * 9 THEN x ELSE 0 END) AS BIGINT)
+        |      AS top
+        |  FROM ranked
+        |)
+        |SELECT n AS n_customers, sx / 100 AS total_rev,
+        |  FLOOR((2.0 * srx / (n * CAST(sx AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / n) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS gini,
+        |  FLOOR(CAST(top AS DOUBLE) / sx * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS top10_share
+        |FROM g""".stripMargin,
 
     // deliberately the INDEPENDENT all-pairs dominance definition — if the
     // engine's prefix-max factorization mishandles any tie case, the two

@@ -121,17 +121,7 @@ object Graph {
     * wedge and closure shuffles carry edge-order cardinality.
     */
   def triangleStats(und: DataFrame): DataFrame = {
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-    val e = und
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), Seq("u"))
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), Seq("v"))
-    val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val dir = e.select(
-      when(uLower, col("u")).otherwise(col("v")).as("s"),
-      when(uLower, col("v")).otherwise(col("u")).as("t"),
-      when(uLower, col("dv")).otherwise(col("du")).as("td"))
+    val (deg, dir) = directedByDegree(und)
     val w1 = dir.select(col("s"), col("t").as("x"), col("td").as("xd"))
     val w2 = dir.select(col("s"), col("t").as("y"), col("td").as("yd"))
     val wedges = w1.join(w2, Seq("s"))
@@ -147,6 +137,58 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         (floor(lit(3.0) * col("n_triangles") / col("n_wedges") * lit(10000.0)
           + lit(0.500001)) / lit(10000.0)).as("transitivity"))
+  }
+
+  /** Degrees + the degree-ordered directed edge list (each edge pointed at
+    * its higher-(degree,id) endpoint) — the shared front half of the
+    * forward algorithm, used by [[triangleStats]] and [[localClustering]].
+    */
+  private def directedByDegree(und: DataFrame): (DataFrame, DataFrame) = {
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val e = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), Seq("v"))
+    val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val dir = e.select(
+      when(uLower, col("u")).otherwise(col("v")).as("s"),
+      when(uLower, col("v")).otherwise(col("u")).as("t"),
+      when(uLower, col("dv")).otherwise(col("du")).as("td"))
+    (deg, dir)
+  }
+
+  /** Per-node triangle counts + LOCAL clustering coefficient (Watts–
+    * Strogatz 1998) — the node-level refinement of [[triangleStats]]'
+    * global transitivity: cc(v) = 2·t_v / (d_v·(d_v−1)). Same
+    * degree-ordered wedge enumeration, but the closure keeps the triple
+    * (via an inner join on the unique directed edge set instead of the
+    * semi-join) and each triangle credits all three corners — one
+    * explode(array(s,x,y)) + a map-side-combined count. Returns the
+    * top-`k` nodes by (cc, t, node) through a distributed TakeOrdered
+    * heap; exact integer t_v and d_v, cc is the one rounded float.
+    */
+  def localClustering(und: DataFrame, k: Int): DataFrame = {
+    val (deg, dir) = directedByDegree(und)
+    val w1 = dir.select(col("s"), col("t").as("x"), col("td").as("xd"))
+    val w2 = dir.select(col("s"), col("t").as("y"), col("td").as("yd"))
+    val wedges = w1.join(w2, Seq("s"))
+      .where(struct(col("xd"), col("x")) < struct(col("yd"), col("y")))
+      .select(col("s"), col("x"), col("y"))
+    // dir's (s,t) pairs are unique, so the inner join closes each wedge at
+    // most once — the triple survives where the semi-join form drops it
+    val tri = wedges.join(dir.select(col("s").as("x"), col("t").as("y")),
+      Seq("x", "y"))
+    val perNode = tri.select(explode(array(col("s"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), lit(0L)).as("n_triangles"),
+        col("d").as("degree"),
+        when(col("d") < 2, lit(0.0)).otherwise(
+          floor(lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - 1))
+            * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)).as("local_cc"))
+      .orderBy(col("local_cc").desc, col("n_triangles").desc, col("node"))
+      .limit(k)
   }
 
   /** Customer–part bipartite edge set (customer bought part), the input
@@ -292,7 +334,12 @@ object Graph {
     // peel rounds (provably at fixpoint — see CoreRounds scaladoc)
     "q_kcore" -> ((s, dir) =>
       kCore(partPairEdges(Sources.table(s, dir, "lineitem")
-        .where(col("l_orderkey") % 10 === 0)), CoreK, CoreRounds))
+        .where(col("l_orderkey") % 10 === 0)), CoreK, CoreRounds)),
+
+    // top-20 nodes by local clustering coefficient on the same slice
+    "q_local_cc" -> ((s, dir) =>
+      localClustering(partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)), k = 20))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -372,7 +419,49 @@ object Graph {
         |      * 1000000.0 + 0.500001) / 1000000.0 END AS bcc
         |FROM sides, base, bf""".stripMargin,
 
-    "q_kcore" -> kcoreOracle(CoreK, CoreRounds)
+    "q_kcore" -> kcoreOracle(CoreK, CoreRounds),
+
+    // the triple-keeping forward algorithm: dir is referenced three times
+    // (both wedge legs + the closure probe), hence MATERIALIZED
+    "q_local_cc" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), deg AS MATERIALIZED (
+        |  SELECT node, COUNT(*) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY node
+        |), dir AS MATERIALIZED (
+        |  SELECT
+        |    CASE WHEN ROW(du.d, e.u) < ROW(dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN ROW(du.d, e.u) < ROW(dv.d, e.v) THEN e.v ELSE e.u END AS t,
+        |    CASE WHEN ROW(du.d, e.u) < ROW(dv.d, e.v) THEN dv.d ELSE du.d END AS td
+        |  FROM und e
+        |  JOIN deg du ON du.node = e.u
+        |  JOIN deg dv ON dv.node = e.v
+        |), tri AS MATERIALIZED (
+        |  SELECT e1.s AS s, e1.t AS x, e2.t AS y
+        |  FROM dir e1 JOIN dir e2 ON e1.s = e2.s
+        |  WHERE ROW(e1.td, e1.t) < ROW(e2.td, e2.t)
+        |    AND EXISTS (SELECT 1 FROM dir d WHERE d.s = e1.t AND d.t = e2.t)
+        |), corners AS (
+        |  SELECT s AS node FROM tri
+        |  UNION ALL SELECT x FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |), pn AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY node
+        |)
+        |SELECT d.node, COALESCE(pn.t, 0) AS n_triangles,
+        |  CAST(d.d AS BIGINT) AS degree,
+        |  CASE WHEN d.d < 2 THEN 0.0
+        |    ELSE FLOOR(2.0 * COALESCE(pn.t, 0) / (d.d * (d.d - 1))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS local_cc
+        |FROM deg d LEFT JOIN pn USING (node)
+        |ORDER BY local_cc DESC, n_triangles DESC, node
+        |LIMIT 20""".stripMargin
   )
 
   /** The k-core oracle: the same fixed peel rounds UNROLLED as chained

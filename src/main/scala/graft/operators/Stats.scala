@@ -135,6 +135,32 @@ object Stats {
         r6(col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
     }),
 
+    // Benford first-digit goodness-of-fit — the data-quality / fraud
+    // screen for amount columns. The first digit comes from the INTEGER
+    // cents rendered as a string (exact and identical on both engines),
+    // never from log10(x) — a value sitting on a power-of-ten boundary
+    // would flip digits under a one-ulp libm difference. Counts reduce to
+    // 9 rows map-side; expected mass log10(1+1/d) enters only in the
+    // final quadratic form. Same bounded shape as q_chi_square.
+    "q_benford" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("long")
+      val cells = t(s, dir, "orders").where(col("o_totalprice") > 0)
+        .groupBy(digit.as("d")).agg(count(lit(1)).as("c"))
+      val n = sum(col("c")).over(BoundedWindow.whole(col("d")))
+      val e = n.cast("double") * log10(lit(1.0) + lit(1.0) / col("d"))
+      val g = cells.select(col("d"), col("c"), e.as("e"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).as("n_digits"),
+          sum(pow(col("c") - col("e"), 2) / col("e")).as("chi2"),
+          max(when(col("d") === 1, col("c"))).cast("long").as("n_digit1"))
+      g.select(col("n"), col("n_digits"), r4(col("chi2")).as("chi2_benford"),
+        lit(8L).as("dof"),
+        r6(col("n_digit1").cast("double") / col("n")).as("digit1_share"),
+        (col("chi2") > 20.09).cast("long").as("reject_99"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov over $1000-binned order totals:
     // urgent-priority orders vs the rest. The bin histogram is the
     // schema-bounded frame (≤ range/1000 bins); both ECDFs ride one
@@ -256,6 +282,30 @@ object Stats {
         |  FLOOR(hx * 1000000.0 + 0.500001) / 1000000.0 AS h_x,
         |  FLOOR(hy * 1000000.0 + 0.500001) / 1000000.0 AS h_y,
         |  FLOOR(mi / sqrt(hx * hy) * 1000000.0 + 0.500001) / 1000000.0 AS nmi
+        |FROM g""".stripMargin,
+
+    "q_benford" ->
+      """WITH cells AS (
+        |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.500001)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+        |), w AS (
+        |  SELECT d, c, SUM(c) OVER () AS n,
+        |    CAST(SUM(c) OVER () AS DOUBLE) * log10(1.0 + 1.0 / d) AS e
+        |  FROM cells
+        |), g AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_digits,
+        |    SUM(pow(c - e, 2) / e) AS chi2,
+        |    CAST(MAX(CASE WHEN d = 1 THEN c END) AS BIGINT) AS n_digit1
+        |  FROM w
+        |)
+        |SELECT n, n_digits,
+        |  FLOOR(chi2 * 10000.0 + 0.500001) / 10000.0 AS chi2_benford,
+        |  CAST(8 AS BIGINT) AS dof,
+        |  FLOOR(CAST(n_digit1 AS DOUBLE) / n * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS digit1_share,
+        |  CAST(CASE WHEN chi2 > 20.09 THEN 1 ELSE 0 END AS BIGINT) AS reject_99
         |FROM g""".stripMargin,
 
     "q_ks_test" ->

@@ -157,6 +157,37 @@ class GraphSpec extends SparkSpec {
       s"wedges must come from the anchor equi-join:\n$p")
   }
 
+  // ---- local clustering coefficient ----------------------------------------
+
+  test("local cc: every K4 node has t = 3, cc = 1.0; corner sum = 3x global") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val rows = Graph.localClustering(k4, k = 10).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 3 && r.getLong(2) === 3 && r.getDouble(3) === 1.0)
+    }
+    // on real data: per-node triangle credits sum to exactly 3x the census
+    val und = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).cache()
+    try {
+      val global = Graph.triangleStats(und).head.getLong(2)
+      val perNodeSum = Graph.localClustering(und, k = Int.MaxValue)
+        .agg(sum("n_triangles")).head.getLong(0)
+      assert(perNodeSum === 3 * global,
+        s"corner credits $perNodeSum != 3 x $global")
+    } finally und.unpersist()
+  }
+
+  test("local cc plan: distributed TakeOrdered heap, no global sort") {
+    val p = graft.SparkEntry.queries("q_local_cc")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a heap, not a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   // ---- k-core --------------------------------------------------------------
 
   test("kCore: closed forms — K5 survives its own 4-core, a tree has empty 2-core") {
