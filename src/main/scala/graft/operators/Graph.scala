@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Blocks, Observe}
 import graft.io.Sources
@@ -299,6 +300,48 @@ object Graph {
       col("n_core_edges"), lit(converged).as("converged"))
   }
 
+  /** Iteration count for q_communities — fixed-round SYNCHRONOUS label
+    * propagation, the GraphFrames/Pregel formulation: deterministic by
+    * construction (no convergence claim — sync LPA can oscillate on
+    * bipartite structure, which is why the op is defined as "labels after
+    * R rounds", exactly like the published fixed-maxIter implementations).
+    */
+  val LpaRounds = 3
+
+  /** Synchronous label propagation (Raghavan et al. 2007, as shipped in
+    * GraphFrames): init label(v) = v; each round every node adopts the
+    * most frequent label among its NEIGHBOURS, ties broken by the
+    * smallest label — a total, deterministic rule, so the result is a
+    * pure function of the graph. Per round: one edge⋈label join (edges
+    * symmetrized once up front), a map-side-combined (node, label) count,
+    * and a per-node argmax window over that count table — label-table
+    * shuffles only, the edge table is partitioned once; localCheckpoint
+    * per round with released blocks (the kCore discipline). Returns
+    * (node, label) after `rounds` rounds.
+    */
+  def labelPropagation(und: DataFrame, rounds: Int): DataFrame = {
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counted = sym
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val next = counted.withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))))
+        .where(col("rn") === 1).select(col("node"), col("label"))
+        .localCheckpoint()
+      Blocks.releaseCheckpoint(labels)
+      labels = next
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scale shape: see object scaladoc — edges partitioned once, per-
     // iteration shuffles are node-sized (rank attach) + map-side-combined
@@ -339,7 +382,13 @@ object Graph {
     // top-20 nodes by local clustering coefficient on the same slice
     "q_local_cc" -> ((s, dir) =>
       localClustering(partPairEdges(Sources.table(s, dir, "lineitem")
-        .where(col("l_orderkey") % 10 === 0)), k = 20))
+        .where(col("l_orderkey") % 10 === 0)), k = 20)),
+
+    // 3-round synchronous LPA communities on the same slice; full
+    // per-node label table is the oracle surface
+    "q_communities" -> ((s, dir) =>
+      labelPropagation(partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)), LpaRounds).orderBy("node"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -461,8 +510,42 @@ object Graph {
         |      * 1000000.0 + 0.500001) / 1000000.0 END AS local_cc
         |FROM deg d LEFT JOIN pn USING (node)
         |ORDER BY local_cc DESC, n_triangles DESC, node
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q_communities" -> lpaOracle(LpaRounds)
   )
+
+  /** The LPA oracle: the same fixed synchronous rounds unrolled (the
+    * kcoreOracle discipline — MATERIALIZED, since each round references
+    * the previous label table).
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v AS src, u AS dst FROM und
+        |), l0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, src AS label FROM sym
+        |)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""", l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT s.src AS node, l.label, COUNT(*) AS c,
+         |      row_number() OVER (PARTITION BY s.src
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM sym s JOIN l${i - 1} l ON l.node = s.dst
+         |    GROUP BY s.src, l.label) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT node, label FROM l$rounds ORDER BY node"
+  }
 
   /** The k-core oracle: the same fixed peel rounds UNROLLED as chained
     * standard-SQL CTEs (the prOracle discipline — no vendor recursive

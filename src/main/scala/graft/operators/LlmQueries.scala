@@ -38,6 +38,9 @@ object LlmQueries {
 
   private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
@@ -491,6 +494,34 @@ object LlmQueries {
       Dedup.verifyJaccard(d, pairs)
         .select(col("doc_a"), col("doc_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy("doc_a")
+    }),
+
+    // oracle-backed: Zipf's-law fit over the term-frequency table — the
+    // corpus-health diagnostic next to q_vocab_growth/q_token_entropy (a
+    // natural corpus has ln f ≈ a − s·ln rank with s ≈ 1; synthetic or
+    // template-heavy data bends the line). One explode → map-side-combined
+    // term counts (vocab-bounded), a distributed TakeOrdered picks the
+    // top-1000 head (ties broken by term — identical cutoff both
+    // engines), the rank window + OLS fit run on that bounded frame; the
+    // full-vocab count rides a broadcast single-row attach.
+    "q_zipf" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val top = terms.orderBy(col("f").desc, col("term")).limit(1000)
+      val ranked = top.select(col("f"), row_number().over(
+        BoundedWindow.ordered(col("f"), col("f").desc, col("term")))
+        .cast("long").as("rank"))
+      val fit = ranked.agg(
+        count(lit(1)).as("n_fit"),
+        r4(expr("regr_slope(ln(f), ln(rank))")).as("zipf_slope"),
+        r4(expr("regr_intercept(ln(f), ln(rank))")).as("intercept"),
+        r6(pow(corr(log(col("f")), log(col("rank"))), 2)).as("r2"))
+      terms.agg(count(lit(1)).as("n_terms"))
+        .crossJoin(broadcast(fit))
+        .select(col("n_terms"), col("n_fit"), col("zipf_slope"),
+          col("intercept"), col("r2"))
     }),
 
     // oracle-backed: EXACT set-similarity self-join via prefix filtering
@@ -1035,6 +1066,34 @@ object LlmQueries {
     // k=3 word windows (slice clamps at the end on both engines), same
     // drop-last-2-tokens perturbation; |A∩B|/|A∪B| on integer set sizes
     // is FP-exact cross-engine
+    "q_zipf" ->
+      """WITH terms AS MATERIALIZED (
+        |  SELECT t.x AS term, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) d, LATERAL unnest(toks) AS t(x)
+        |  WHERE len(t.x) > 0
+        |  GROUP BY t.x
+        |), top AS (
+        |  SELECT f FROM terms ORDER BY f DESC, term LIMIT 1000
+        |), ranked AS (
+        |  -- ties within equal f are interchangeable: the (f, rank) multiset
+        |  -- is identical under any tie order, so no term tie-break needed
+        |  SELECT f, CAST(row_number() OVER (ORDER BY f DESC) AS BIGINT) AS rank
+        |  FROM top
+        |), fit AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+        |    FLOOR(regr_slope(ln(f), ln(rank)) * 10000.0 + 0.500001)
+        |      / 10000.0 AS zipf_slope,
+        |    FLOOR(regr_intercept(ln(f), ln(rank)) * 10000.0 + 0.500001)
+        |      / 10000.0 AS intercept,
+        |    FLOOR(pow(corr(ln(f), ln(rank)), 2) * 1000000.0 + 0.500001)
+        |      / 1000000.0 AS r2
+        |  FROM ranked
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM terms) AS n_terms,
+        |  fit.n_fit, fit.zipf_slope, fit.intercept, fit.r2
+        |FROM fit""".stripMargin,
+
     // the brute-force all-pairs recount the prefix filter must reproduce
     // exactly (MATERIALIZED: corpus feeds the self-join twice)
     "q_setsim_join" ->

@@ -157,6 +157,34 @@ class GraphSpec extends SparkSpec {
       s"wedges must come from the anchor equi-join:\n$p")
   }
 
+  // ---- label propagation ---------------------------------------------------
+
+  test("LPA: disjoint triangles each collapse to their min-id label") {
+    val twoTris = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val labels = Graph.labelPropagation(twoTris, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 6)
+    Seq(1L, 2L, 3L).foreach(n => assert(labels(n) === 1L,
+      s"node $n should carry the triangle's min id, got ${labels(n)}"))
+    Seq(10L, 11L, 12L).foreach(n => assert(labels(n) === 10L))
+  }
+
+  test("LPA is deterministic and partition-invariant") {
+    val und = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).cache()
+    try {
+      val a = Graph.labelPropagation(und, Graph.LpaRounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Graph.labelPropagation(und.repartition(7), Graph.LpaRounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b, "labels must be a pure function of the graph")
+      assert(a.values.toSet.size > 1 && a.values.toSet.size < a.size,
+        "3 rounds should form real communities (neither all-merged nor none)")
+    } finally und.unpersist()
+  }
+
   // ---- local clustering coefficient ----------------------------------------
 
   test("local cc: every K4 node has t = 3, cc = 1.0; corner sum = 3x global") {

@@ -318,4 +318,31 @@ class TextOpsSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"scoring must be shuffle-free:\n$p")
   }
+
+  // ---- q_zipf --------------------------------------------------------------
+
+  test("zipf fit: an exact power law recovers slope -1 with r2 = 1") {
+    import spark.implicits._
+    // frequencies 720/k for k = 1..6 are all integers, so ln f is EXACTLY
+    // ln 720 - 1 * ln rank and the OLS fit is closed-form
+    val text = (1 to 6).flatMap(k => Seq.fill(720 / k)(s"t$k")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    Seq((0L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("q_zipf")(spark, dir).head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 6L)
+    assert(math.abs(r.getDouble(2) - (-1.0)) < 1e-3, s"slope ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - math.log(720.0)) < 1e-3,
+      s"intercept ${r.getDouble(3)} != ln 720")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-6, s"r2 ${r.getDouble(4)}")
+  }
+
+  test("q_zipf plan: TakeOrdered head, no global sort of the vocab") {
+    spark.catalog.clearCache()
+    val p = graft.SparkEntry.queries("q_zipf")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-1000 head must be a distributed heap:\n$p")
+  }
 }
