@@ -135,6 +135,37 @@ object Stats {
         r6(col("mi") / sqrt(col("hx") * col("hy"))).as("nmi"))
     }),
 
+    // Conditional entropy H(next | current) + information gain over the
+    // event-transition table — "how predictable is the next event given
+    // this one", the sequence-level diversity signal next to
+    // q_token_entropy and the evaluation face of q_markov_transitions'
+    // estimated chain. The lead() successor pairing rides ONE user_id
+    // Exchange; transition cells reduce map-side to a ≤|types|² frame and
+    // every entropy term is a ratio of exact BIGINT counts through ln.
+    "q_cond_entropy" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val nxt = lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+      val cells = ev.select(col("event_type").as("cur"), nxt.as("nxt"))
+        .where(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+      val cont = cells.select(col("cur"), col("nxt"), col("c"),
+        sum(col("c")).over(Window.partitionBy(col("cur"))).as("rt"),
+        sum(col("c")).over(Window.partitionBy(col("nxt"))).as("ct"),
+        sum(col("c")).over(BoundedWindow.whole(col("cur"))).as("n"),
+        row_number().over(Window.partitionBy(col("nxt")).orderBy(col("cur")))
+          .as("rny"))
+      val nD = col("n").cast("double")
+      val hCond = (col("c") / nD) * log(col("rt").cast("double") / col("c"))
+      val hNext = when(col("rny") === 1,
+        (col("ct") / nD) * log(nD / col("ct"))).otherwise(0.0)
+      val g = cont.agg(max(col("n")).cast("long").as("nn"),
+        sum(hCond).as("hc"), sum(hNext).as("hn"))
+      g.select(col("nn").as("n_transitions"), r6(col("hn")).as("h_next"),
+        r6(col("hc")).as("h_cond"), r6(col("hn") - col("hc")).as("info_gain"),
+        r6((col("hn") - col("hc")) / col("hn")).as("gain_ratio"))
+    }),
+
     // Benford first-digit goodness-of-fit — the data-quality / fraud
     // screen for amount columns. The first digit comes from the INTEGER
     // cents rendered as a string (exact and identical on both engines),
@@ -282,6 +313,37 @@ object Stats {
         |  FLOOR(hx * 1000000.0 + 0.500001) / 1000000.0 AS h_x,
         |  FLOOR(hy * 1000000.0 + 0.500001) / 1000000.0 AS h_y,
         |  FLOOR(mi / sqrt(hx * hy) * 1000000.0 + 0.500001) / 1000000.0 AS nmi
+        |FROM g""".stripMargin,
+
+    "q_cond_entropy" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events
+        |), cells AS (
+        |  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), cont AS (
+        |  SELECT cur, nxt, c,
+        |    SUM(c) OVER (PARTITION BY cur) AS rt,
+        |    SUM(c) OVER (PARTITION BY nxt) AS ct,
+        |    SUM(c) OVER () AS n,
+        |    row_number() OVER (PARTITION BY nxt ORDER BY cur) AS rny
+        |  FROM cells
+        |), g AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS nn,
+        |    SUM((c / CAST(n AS DOUBLE)) * ln(CAST(rt AS DOUBLE) / c)) AS hc,
+        |    SUM(CASE WHEN rny = 1
+        |      THEN (ct / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / ct)
+        |      ELSE 0.0 END) AS hn
+        |  FROM cont
+        |)
+        |SELECT nn AS n_transitions,
+        |  FLOOR(hn * 1000000.0 + 0.500001) / 1000000.0 AS h_next,
+        |  FLOOR(hc * 1000000.0 + 0.500001) / 1000000.0 AS h_cond,
+        |  FLOOR((hn - hc) * 1000000.0 + 0.500001) / 1000000.0 AS info_gain,
+        |  FLOOR((hn - hc) / hn * 1000000.0 + 0.500001) / 1000000.0 AS gain_ratio
         |FROM g""".stripMargin,
 
     "q_benford" ->

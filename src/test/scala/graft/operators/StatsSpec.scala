@@ -66,6 +66,29 @@ class StatsSpec extends SparkSpec {
       s"planted lift must be significant: t=${r.getDouble(4)}")
   }
 
+  // ---- conditional entropy -------------------------------------------------
+
+  test("q_cond_entropy: a deterministic A↔B chain has H(next|cur) = 0, gain ratio 1") {
+    import spark.implicits._
+    val evs = (0 until 40).map { i =>
+      (i.toLong, 1L, if (i % 2 == 0) "A" else "B", 1.0, "{}")
+    }.toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+    val dir = fixtureDir("events" -> evs)
+    val r = SparkEntry.queries("q_cond_entropy")(spark, dir).head()
+    assert(r.getLong(0) === 39L)
+    assert(r.getDouble(2) === 0.0, s"deterministic chain must have H(next|cur)=0")
+    assert(r.getDouble(4) === 1.0, "gain ratio must be 1")
+    assert(r.getDouble(1) > 0.69, "marginal next-entropy ≈ ln 2")
+  }
+
+  test("q_cond_entropy bounds on real data: 0 ≤ H(next|cur) ≤ H(next)") {
+    val r = SparkEntry.queries("q_cond_entropy")(spark, sf).head()
+    val (hn, hc, gain) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(hc >= 0.0 && hc <= hn + 1e-9, s"conditioning cannot add entropy: $hc vs $hn")
+    assert(math.abs(gain - (hn - hc)) < 1e-5)
+  }
+
   // ---- chi-square / mutual information -------------------------------------
 
   /** priority ⟂ status by construction: cell counts are the exact product
