@@ -75,24 +75,48 @@ object ClvModel {
     score(returning, model)
   }
 
-  /** M1 + M2: fit both models on the returning-customer slice. The two
-    * compression aggregates are independent, so they run as concurrent
-    * Spark jobs over the shared cache — overlapping their shuffles instead
-    * of serializing two cluster round-trips.
+  /** M1 + M2: fit both models on the returning-customer slice.
+    *
+    * Both sufficient-stat compressions ride ONE grouping-sets aggregate —
+    * a single shuffle (Expand ×2 over the per-customer rows) and a single
+    * sorted collect; the driver splits rows by grouping_id and runs both
+    * Nelder–Mead loops locally (zero further jobs). This replaces the
+    * round-7 shape (cache + count + two concurrent collects = 4 actions on
+    * 2 threads), whose wall-clock tracked scheduler latency × job count
+    * under contention rather than data volume.
     */
-  def fitModel(returning: DataFrame, penalizer: Double = 0.1): FittedClvModel = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val cached = returning.select(col("frequency"), col("recency"), col("t"), col("monetary")).cache()
-    try {
-      // materialize once so the concurrent fits read the cache instead of
-      // racing to compute the same partitions twice
-      cached.count()
-      val bgF = Future(BetaGeo.fitFeatures(cached, "frequency", "recency", "t", penalizer))
-      val ggF = Future(GammaGamma.fitFeatures(cached, "frequency", "monetary", penalizer))
-      FittedClvModel(Await.result(bgF, Duration.Inf), Await.result(ggF, Duration.Inf))
-    } finally cached.unpersist()
+  def fitModel(returning: DataFrame, penalizer: Double = 0.1,
+      maxDriverRows: Long = 2000000L): FittedClvModel = {
+    val proj = returning.select(
+      col("frequency").cast("double").as("x"),
+      col("recency").cast("double").as("tx"),
+      col("t").cast("double").as("big"),
+      col("monetary").cast("double").as("m"))
+    // gid bit = column NOT in the set, bit order (x, tx, big, m):
+    // BG/NBD set (x, tx, big) → gid 1; Gamma-Gamma set (x, m) → gid 6
+    val gs = proj.groupingSets(
+        Seq(Seq(col("x"), col("tx"), col("big")), Seq(col("x"), col("m"))),
+        col("x"), col("tx"), col("big"), col("m"))
+      .agg(count(lit(1)).cast("double").as("w"), grouping_id().as("gid"))
+    // sorted collect: deterministic FP summation order (bit-reproducible
+    // params); limit doubles as the bounded-driver routing test
+    val cap = 2 * maxDriverRows.toInt + 1
+    val rows = gs.sort("gid", "x", "tx", "big", "m").limit(cap + 1).collect()
+    if (rows.length > cap) {
+      // degenerate compressed cardinality: per-model bounded/treeAggregate
+      // routing (each fitFeatures re-compresses and caps independently)
+      val bg = BetaGeo.fitFeatures(returning, "frequency", "recency", "t", penalizer)
+      val gg = GammaGamma.fitFeatures(returning, "frequency", "monetary", penalizer)
+      FittedClvModel(bg, gg)
+    } else {
+      val bgObs = rows.iterator.filter(_.getLong(5) == 1L)
+        .map(r => BetaGeo.Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(4)))
+        .toArray
+      val ggObs = rows.iterator.filter(_.getLong(5) == 6L)
+        .map(r => GammaGamma.Obs(r.getDouble(0), r.getDouble(3), r.getDouble(4)))
+        .toArray
+      FittedClvModel(BetaGeo.fit(bgObs, penalizer), GammaGamma.fit(ggObs, penalizer))
+    }
   }
 
   /** E[X(t)] as pure column arithmetic over the native ₂F₁ expression —
