@@ -26,4 +26,17 @@ object Observe {
     th.join(timeoutMs)
     res
   }
+
+  /** Same bounded read for floating-point metrics (sum/avg observations —
+    * e.g. the pagerank L1 residual). */
+  def metricDouble(obs: Observation, key: String, timeoutMs: Long = 10000L): Option[Double] = {
+    @volatile var res: Option[Double] = None
+    val th = new Thread(() => {
+      res = obs.get.get(key).map(_.asInstanceOf[Number].doubleValue())
+    })
+    th.setDaemon(true)
+    th.start()
+    th.join(timeoutMs)
+    res
+  }
 }

@@ -42,11 +42,25 @@ object Graph {
     * Every node is assumed to have at least one out-edge AND one in-edge
     * (callers pass symmetrized graphs — see [[copurchaseEdges]]); with
     * that precondition there is no dangling-mass term and the node set is
-    * closed under one iteration. Returns (node, pr, n_nodes) with Σpr = 1;
-    * `n_nodes` is the constant |V|, carried so callers can scale to the
-    * mean-1.0 convention without a second pass over the graph.
+    * closed under one iteration. Returns (node, pr, n_nodes, l1_residual)
+    * with Σpr = 1; `n_nodes` is the constant |V| and `l1_residual` the
+    * final round's mean-1.0-scaled L1 step Σ|pr_k − pr_{k−1}|·|V| —
+    * carried so callers can scale scores / judge convergence without a
+    * second pass over the graph.
     */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int): DataFrame =
+    pagerankWithResiduals(edges, iters)._1
+
+  /** [[pagerank]] plus the full per-round residual trace. The residual
+    * rides an `observe()` on each round's existing localCheckpoint action
+    * (the kCore `converged` discipline — zero extra jobs): the new rank
+    * table joins the previous round's checkpointed ranks (node-sized, both
+    * sides already hash-partitioned on node) inside the same action, and
+    * the observed Σ|Δpr| surfaces after the checkpoint materializes. For
+    * damping < 1 power iteration contracts in L1 by ≥ the damping factor
+    * per round, so the trace is non-increasing — GraphSpec asserts it.
+    */
+  def pagerankWithResiduals(edges: DataFrame, iters: Int): (DataFrame, Seq[Double]) = {
     val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
     // out-degree rides WITH the edges so the per-iteration join is the
     // only edge-sized operator; partition by src once, checkpoint, reuse
@@ -61,19 +75,28 @@ object Graph {
     require(n > 0, "pagerank on an empty graph")
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint()
     Blocks.releaseCheckpoint(nodes)
+    val residuals = Vector.newBuilder[Double]
     for (_ <- 1 to iters) {
+      val rObs = Observation()
+      val prev = ranks.select(col("node"), col("pr").as("__pr_prev"))
       val next = adj
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("odeg")).as("mass"))
         .select(col("node"),
           (lit(Teleport / n) + lit(Damping) * col("mass")).as("pr"))
+        .join(prev, "node") // node set closed under one iteration: inner = full
+        .observe(rObs, sum(abs(col("pr") - col("__pr_prev"))).as("l1"))
+        .select(col("node"), col("pr"))
         .localCheckpoint()
+      residuals += Observe.metricDouble(rObs, "l1").getOrElse(Double.NaN) * n
       Blocks.releaseCheckpoint(ranks)
       ranks = next
     }
     Blocks.releaseCheckpoint(adj)
-    ranks.withColumn("n_nodes", lit(n))
+    val res = residuals.result()
+    (ranks.withColumn("n_nodes", lit(n))
+      .withColumn("l1_residual", lit(res.last)), res)
   }
 
   /** The symmetrized order–part bipartite graph from lineitem: an order
@@ -319,7 +342,18 @@ object Graph {
     * per round with released blocks (the kCore discipline). Returns
     * (node, label) after `rounds` rounds.
     */
-  def labelPropagation(und: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(und: DataFrame, rounds: Int): DataFrame =
+    labelPropagationWithChanges(und, rounds)._1
+
+  /** [[labelPropagation]] plus the per-round changed-label counts — the
+    * convergence signal a fixed-round contract otherwise hides ("did 3
+    * rounds settle, or was it still churning?"). Each count rides an
+    * `observe()` on that round's existing localCheckpoint action via a
+    * node-sized join against the previous labels — zero extra jobs (the
+    * kCore discipline). No monotonicity claim: synchronous LPA may
+    * oscillate on bipartite structure (see [[LpaRounds]]).
+    */
+  def labelPropagationWithChanges(und: DataFrame, rounds: Int): (DataFrame, Seq[Long]) = {
     val sym = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("dst"))
@@ -327,7 +361,10 @@ object Graph {
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    val changes = Vector.newBuilder[Long]
     for (_ <- 1 to rounds) {
+      val cObs = Observation()
+      val prev = labels.select(col("node"), col("label").as("__prev"))
       val counted = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"), col("label"))
@@ -335,11 +372,15 @@ object Graph {
       val next = counted.withColumn("rn", row_number().over(
           Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))))
         .where(col("rn") === 1).select(col("node"), col("label"))
+        .join(prev, "node") // same node set every round: inner = full
+        .observe(cObs, sum((col("label") =!= col("__prev")).cast("long")).as("changed"))
+        .select(col("node"), col("label"))
         .localCheckpoint()
+      changes += Observe.metric(cObs, "changed").getOrElse(-1L)
       Blocks.releaseCheckpoint(labels)
       labels = next
     }
-    labels
+    (labels, changes.result())
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -350,7 +391,11 @@ object Graph {
       val pr = pagerank(copurchaseEdges(Sources.table(s, dir, "lineitem")), PrIters)
       pr.select(col("node"),
           (floor(col("pr") * col("n_nodes") * lit(1000000.0) + lit(0.500001))
-            / lit(1000000.0)).as("pr_scaled"))
+            / lit(1000000.0)).as("pr_scaled"),
+          // final-round scaled L1 step — the convergence answer a fixed-
+          // iteration contract otherwise hides; constant per run, r6-rounded
+          (floor(col("l1_residual") * lit(1000000.0) + lit(0.500001))
+            / lit(1000000.0)).as("l1_residual"))
         .orderBy("node")
     }),
 
@@ -610,8 +655,11 @@ object Graph {
          |), pr0 AS (
          |  SELECT src AS node, 1.0 / (SELECT cnt FROM n) AS pr FROM deg
          |)""".stripMargin
+    // AS MATERIALIZED: pr$(iters-1) is referenced twice (next round + the
+    // residual) — DuckDB's default inlining would re-expand the whole
+    // chain per reference (the kcore/LPA unrolled-oracle lesson)
     val steps = (1 to iters).map { k =>
-      s"""pr$k AS (
+      s"""pr$k AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    $Teleport / (SELECT cnt FROM n)
          |      + $Damping * SUM(p.pr / d.odeg) AS pr
@@ -624,7 +672,10 @@ object Graph {
     val tail =
       s"""SELECT node,
          |  FLOOR(pr * (SELECT cnt FROM n) * 1000000.0 + 0.500001) / 1000000.0
-         |    AS pr_scaled
+         |    AS pr_scaled,
+         |  (SELECT FLOOR(SUM(ABS(a.pr - b.pr)) * (SELECT cnt FROM n) * 1000000.0
+         |     + 0.500001) / 1000000.0
+         |   FROM pr$iters a JOIN pr${iters - 1} b ON a.node = b.node) AS l1_residual
          |FROM pr$iters ORDER BY node""".stripMargin
     (head +: steps).mkString(",\n") + "\n" + tail
   }

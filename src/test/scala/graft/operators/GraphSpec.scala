@@ -73,17 +73,19 @@ class GraphSpec extends SparkSpec {
   }
 
   test("job budget: a 5-iteration run stays within the per-round bound") {
-    // setup (adj + node checkpoints) + ~4 jobs per round (AQE splits each
-    // round's join/agg/checkpoint into stage-jobs; measured 25 total) +
-    // the final count. A regression to per-round edge re-materialization
+    // setup (adj + node checkpoints) + ~6 jobs per round (AQE splits each
+    // round's join/agg/residual-join/checkpoint into stage-jobs; measured
+    // 34 total — still ONE action per round, the residual rides observe())
+    // + the final count. A regression to per-round edge re-materialization
     // re-runs the edge scan/join lineage every round and lands well past
-    // this bound; convergence polling adds a job per round too.
+    // this bound; convergence POLLING (a separate action per round) adds
+    // whole actions, not stage-jobs, and also lands past it.
     val li = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Graph.pagerank(Graph.copurchaseEdges(li), iters = 5).count()
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val jobs = after - before
-    assert(jobs <= 30, s"pagerank(5 iters) ran $jobs jobs — iteration " +
+    assert(jobs <= 40, s"pagerank(5 iters) ran $jobs jobs — iteration " +
       "machinery is re-running work it should have checkpointed")
   }
 
@@ -157,6 +159,23 @@ class GraphSpec extends SparkSpec {
       s"wedges must come from the anchor equi-join:\n$p")
   }
 
+  test("residual trace: non-increasing, matches a driver recomputation, 0 at fixpoint") {
+    // irregular graph: residuals must contract (damping 0.85 bounds the
+    // per-round L1 step growth factor) and the emitted column = last trace
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    val (df, res) = Graph.pagerankWithResiduals(
+      edges(pairs ++ pairs.map(_.swap): _*), iters = 5)
+    assert(res.length === 5 && res.forall(r => !r.isNaN && r >= 0))
+    res.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-12, s"residual rose: $res") }
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getDouble(3) === res.last))
+    // 4-cycle starts AT the fixpoint: every round's step is exactly 0
+    val (_, ringRes) = Graph.pagerankWithResiduals(
+      edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)), iters = 3)
+    ringRes.foreach(r => assert(math.abs(r) < 1e-12, s"fixpoint moved: $ringRes"))
+  }
+
   // ---- label propagation ---------------------------------------------------
 
   test("LPA: disjoint triangles each collapse to their min-id label") {
@@ -168,6 +187,17 @@ class GraphSpec extends SparkSpec {
     Seq(1L, 2L, 3L).foreach(n => assert(labels(n) === 1L,
       s"node $n should carry the triangle's min id, got ${labels(n)}"))
     Seq(10L, 11L, 12L).foreach(n => assert(labels(n) === 10L))
+  }
+
+  test("LPA change counts: observed per round, settle to 0 once collapsed") {
+    val twoTris = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val (_, changes) = Graph.labelPropagationWithChanges(twoTris, rounds = 3)
+    assert(changes.length === 3 && changes.forall(_ >= 0), s"lost metric: $changes")
+    // round 1: every node adopts a neighbour's id (min-tie) — all 6 move;
+    // round 2: only each triangle's min node still carries a foreign label;
+    // round 3: collapsed, nothing changes
+    assert(changes === Seq(6L, 2L, 0L), s"unexpected trace: $changes")
   }
 
   test("LPA is deterministic and partition-invariant") {
