@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
   * q_multimodal (deterministic PNG encode inside the engine → decode →
   * stats the oracle recomputes from the pixel formula). Audio decodes FOR
   * REAL too, via `javax.sound.sampled` (in the JDK: WAV/AIFF/AU) — see
-  * [[decodeAudio]] and the oracle-backed q_multimodal_audio. Only VIDEO
-  * decode remains a clearly-marked deterministic stub (the JDK has no
-  * ffmpeg); the Spark-side shape — binary payload, `mapPartitions`
+  * [[decodeAudio]] and the oracle-backed q_multimodal_audio. Video is
+  * covered twice over, still JDK-only: container METADATA by a real
+  * ISO-BMFF box walk ([[parseMp4]]), and FRAME decode by a real RIFF/AVI
+  * demux + per-frame decode ([[decodeAviFrames]]: uncompressed 24-bit DIB
+  * read directly, MJPEG through the ImageIO JPEG reader — the two
+  * historically unencumbered AVI codecs). Codecs the JDK cannot reach
+  * (H.264 et al. need ffmpeg-class native bindings) fail loudly rather
+  * than pretend. The Spark-side shape — binary payload, `mapPartitions`
   * batching (the Scala analogue of `mapInPandas`: codec state amortized
   * over a batch, not per-row), typed feature output — is identical for
-  * every modality, so swapping the stub for real codec bindings changes
-  * one function.
+  * every modality, so adding a codec binding changes one function.
   */
 object Multimodal {
 
@@ -109,6 +113,17 @@ object Multimodal {
     // bulk pixel grab: one ColorModel conversion pass instead of a
     // per-pixel getRGB call
     val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+    MediaFeatures(row.media_id, row.mime, row.payload.length.toLong, w, h,
+      lumProfile(rgbs, w, h))
+  }
+
+  /** The 8-float luminance profile every pixel-bearing modality reports
+    * (images and video frames share it): [mean, min, max, stddev, top-half
+    * mean, bottom-half mean, left-half mean, right-half mean], luminance =
+    * (r+g+b)/3 in [0,255]. Accumulation in double; each stat quantizes to
+    * float32 once at the end (oracles mirror with CAST AS REAL).
+    */
+  private[multimodal] def lumProfile(rgbs: Array[Int], w: Int, h: Int): Array[Float] = {
     var sum = 0.0; var sumSq = 0.0
     var minL = Double.MaxValue; var maxL = Double.MinValue
     var top = 0.0; var bottom = 0.0; var left = 0.0; var right = 0.0
@@ -132,9 +147,8 @@ object Multimodal {
     val mean = sum / n
     val variance = math.max(0.0, sumSq / n - mean * mean)
     def half(s: Double, c: Int): Float = if (c == 0) 0.0f else (s / c).toFloat
-    MediaFeatures(row.media_id, row.mime, row.payload.length.toLong, w, h,
-      Array(mean.toFloat, minL.toFloat, maxL.toFloat, math.sqrt(variance).toFloat,
-        half(top, nTop), half(bottom, nBottom), half(left, nLeft), half(right, nRight)))
+    Array(mean.toFloat, minL.toFloat, maxL.toFloat, math.sqrt(variance).toFloat,
+      half(top, nTop), half(bottom, nBottom), half(left, nLeft), half(right, nRight))
   }
 
   /** Extracted audio features (see [[decodeAudio]]). */
@@ -144,7 +158,7 @@ object Multimodal {
 
   /** REAL audio decode via `javax.sound.sampled` (in the JDK: WAV, AIFF,
     * AU — the same "the codec was here all along" move as the r4 ImageIO
-    * upgrade; only video remains genuinely stubbed, the JDK has no ffmpeg).
+    * upgrade and the r8 AVI frame path).
     * Parses the container header for format metadata, then streams PCM16
     * frames and accumulates amplitude statistics in double:
     * [rms, meanAbs, peak, min, max, zeroCrossRate, dcOffset, durationSec],
@@ -249,11 +263,11 @@ object Multimodal {
     }
   }
 
-  /** STUB decode kernel for the modality the JDK has no codec for
-    * (video — real bindings would be ffmpeg). Derives
-    * stable pseudo-dimensions and an 8-float pseudo-embedding from the
-    * payload bytes so tests are reproducible. Swap this function for a
-    * real codec; nothing else changes.
+  /** STUB decode kernel for OPAQUE payloads (text blobs in the plumbing
+    * tests — every real media mime has a real decoder above/below).
+    * Derives stable pseudo-dimensions and an 8-float pseudo-embedding from
+    * the payload bytes so tests are reproducible. Swap this function for a
+    * real codec binding; nothing else changes.
     */
   def decodeStub(row: MediaRow): MediaFeatures = {
     val h = java.util.Arrays.hashCode(row.payload)
@@ -298,19 +312,223 @@ object Multimodal {
     features.mapPartitions(_.grouped(batchSize).flatMap(_.map(resizeStub(_, maxSide))))
   }
 
-  /** STUB frame sampling: a real implementation decodes every k-th video
-    * frame; the stub derives `n` deterministic frame payloads from the
-    * source bytes. One media row → n frame rows (the flatMap/explode shape
-    * of frame extraction). `image/frame` is deliberately NOT in
-    * [[ImageMimes]]: the derived payloads are not valid codestreams.
+  // ---- video frames (REAL RIFF/AVI demux + frame decode, JDK-only) -------
+
+  /** One decoded-and-sampled video frame with the shared luminance
+    * profile (see [[lumProfile]]). */
+  final case class VideoFrame(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, feature: Array[Float])
+
+  /** 'MJPG' as the little-endian u32 biCompression value. */
+  private val FourccMjpg = 0x47504A4DL
+
+  /** REAL video frame extraction, JDK-only: demux a RIFF/AVI container
+    * (chunk walk per the public RIFF spec — little-endian sizes, word
+    * alignment, `LIST` recursion; `strh`/`strf` for the stream header,
+    * `00db`/`00dc` for frames) and DECODE every `sampleEvery`-th frame:
+    * uncompressed BI_RGB 24-bit DIBs are read directly (bottom-up rows,
+    * 4-byte stride), MJPEG frames go through the already-battle-tested JDK
+    * ImageIO JPEG reader. These are the two codecs every AVI writer since
+    * the format's publication emits without licensing baggage — and
+    * exactly the pair the JDK can handle with zero native bindings; any
+    * other fourcc fails loudly with the media_id (corrupt/unsupported
+    * clips must surface in ingest, not propagate zeros).
     */
-  def sampleFrames(media: Dataset[MediaRow], n: Int = 4): Dataset[MediaRow] = {
-    import media.sparkSession.implicits._
-    media.flatMap { m =>
-      (0 until n).map { i =>
-        val frame = m.payload.map(b => (b ^ i).toByte)
-        MediaRow(m.media_id * 1000 + i, frame, "image/frame")
+  def decodeAviFrames(payload: Array[Byte], mediaId: Long, sampleEvery: Int = 1,
+      codec: ImageCodec = new ImageCodec): Vector[VideoFrame] = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int) = new String(payload, off, 4, Ascii)
+    require(payload.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      s"media_id $mediaId: not a RIFF/AVI container")
+    var biWidth = 0; var biHeight = 0; var biBitCount = 0; var biCompression = 0L
+    var handler = ""
+    val frameChunks = Vector.newBuilder[(Int, Int)] // (offset, length) into payload
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off < end) {
+        require(end - off >= 8, s"media_id $mediaId: truncated chunk header at byte $off")
+        val id = fourcc(off)
+        val size = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
+        require(off + 8 + size <= end,
+          s"media_id $mediaId: chunk '$id' size $size overruns its container ($off..$end)")
+        if (id == "LIST") walk(off + 12, off + 8 + size.toInt)
+        else id match {
+          case "strh" => handler = fourcc(off + 8 + 4) // fccHandler
+          case "strf" => // BITMAPINFOHEADER
+            biWidth = buf.getInt(off + 8 + 4)
+            biHeight = buf.getInt(off + 8 + 8)
+            biBitCount = buf.getShort(off + 8 + 14).toInt & 0xFFFF
+            biCompression = buf.getInt(off + 8 + 16).toLong & 0xFFFFFFFFL
+          case "00db" | "00dc" => frameChunks += ((off + 8, size.toInt))
+          case _ => () // idx1/JUNK/...: size-skip, like any demuxer
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
       }
+    }
+    walk(12, payload.length)
+    require(biWidth > 0 && biHeight > 0,
+      s"media_id $mediaId: no strf stream format — not a playable AVI")
+    val mjpg = handler == "MJPG" || biCompression == FourccMjpg
+    require(mjpg || (biCompression == 0L && biBitCount == 24),
+      s"media_id $mediaId: unsupported AVI codec (handler='$handler', " +
+        s"biCompression=$biCompression, biBitCount=$biBitCount) — " +
+        "only MJPEG and uncompressed 24-bit DIB decode JDK-only")
+    val chunks = frameChunks.result()
+    val out = Vector.newBuilder[VideoFrame]
+    var i = 0
+    while (i < chunks.length) {
+      if (i % sampleEvery == 0) {
+        val (cOff, cLen) = chunks(i)
+        if (mjpg) {
+          val img = codec.read(
+            java.util.Arrays.copyOfRange(payload, cOff, cOff + cLen),
+            "image/jpeg", mediaId)
+          val w = img.getWidth; val h = img.getHeight
+          out += VideoFrame(mediaId, i, w, h,
+            lumProfile(img.getRGB(0, 0, w, h, null, 0, w), w, h))
+        } else {
+          val w = biWidth; val h = biHeight
+          val stride = ((w * 3 + 3) / 4) * 4
+          require(cLen >= stride * h,
+            s"media_id $mediaId: DIB frame $i short ($cLen < ${stride * h} bytes)")
+          val rgbs = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            val rowOff = cOff + (h - 1 - y) * stride // DIB rows are bottom-up
+            var x = 0
+            while (x < w) {
+              val b = payload(rowOff + x * 3) & 0xFF
+              val g = payload(rowOff + x * 3 + 1) & 0xFF
+              val r = payload(rowOff + x * 3 + 2) & 0xFF
+              rgbs(y * w + x) = (r << 16) | (g << 8) | b
+              x += 1
+            }
+            y += 1
+          }
+          out += VideoFrame(mediaId, i, w, h, lumProfile(rgbs, w, h))
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** RIFF chunk/list builders (little-endian — the opposite byte order of
+    * the ISO-BMFF helpers above, as the two specs demand). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length & 1
+    val b = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(id.getBytes(Ascii)).putInt(body.length).put(body)
+    b.array()
+  }
+
+  private def riffList(typ: String, children: Array[Byte]*): Array[Byte] = {
+    val n = children.map(_.length).sum
+    val b = java.nio.ByteBuffer.allocate(12 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("LIST".getBytes(Ascii)).putInt(4 + n).put(typ.getBytes(Ascii))
+    children.foreach(b.put)
+    b.array()
+  }
+
+  /** Encode a minimal valid AVI (RIFF('AVI ' hdrl(avih, strl(strh, strf))
+    * movi(frames))) holding either uncompressed 24-bit DIB frames
+    * (`frames` = raw bottom-up BGR, `00db`) or MJPEG frames (`frames` =
+    * complete JPEGs, `00dc`). Lossless for everything [[decodeAviFrames]]
+    * reads in the DIB case — the video-frame analogue of [[encodePng]].
+    */
+  def encodeAvi(width: Int, height: Int, fps: Int, mjpeg: Boolean,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(vs: Long*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => b.putInt(v.toInt))
+      b.array()
+    }
+    val maxBytes = frames.map(_.length).foldLeft(0)(math.max)
+    val avih = le32(1000000L / fps, maxBytes.toLong * fps, 0, 0,
+      frames.length.toLong, 0, 1, maxBytes.toLong, width.toLong, height.toLong,
+      0, 0, 0, 0) // dwReserved[4]
+    val strh = ("vids" + (if (mjpeg) "MJPG" else "DIB ")).getBytes(Ascii) ++
+      le32(0, 0, 0, 1, fps.toLong, 0, frames.length.toLong, maxBytes.toLong,
+        0xFFFFFFFFL /* quality: default */, 0) ++
+      // rcFrame {left=0, top=0, right=w, bottom=h} as 4 × u16, packed LE
+      le32(0, width.toLong | (height.toLong << 16))
+    val strf = le32(40, width.toLong, height.toLong) ++ {
+      val b = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(1).putShort(24) // biPlanes, biBitCount
+      b.array()
+    } ++ le32(if (mjpeg) FourccMjpg else 0L,
+      (((width * 3 + 3) / 4) * 4).toLong * height, 0, 0, 0, 0)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.map(f => riffChunk(if (mjpeg) "00dc" else "00db", f)): _*)
+    val body = hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(Ascii)).putInt(4 + body.length)
+      .put("AVI ".getBytes(Ascii)).put(body)
+    out.array()
+  }
+
+  /** One bottom-up, stride-padded, grayscale-valued BGR24 DIB frame from a
+    * pixel function — the raw payload of a `00db` chunk. */
+  def dibFrame(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val d = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val rowOff = (height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        val v = (pixel(x, y) & 0xFF).toByte
+        d(rowOff + x * 3) = v; d(rowOff + x * 3 + 1) = v; d(rowOff + x * 3 + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    d
+  }
+
+  /** Deterministic REAL-AVI media table: dims, frame count and every pixel
+    * of every frame are closed-form in doc_id (width = 4 + id%13, height =
+    * 3 + id%7, frames = 2 + id%5, lum(x,y,f) = (31x + 17y + 23f + id) mod
+    * 256 — integer-valued, DIB is lossless), so an oracle recomputes every
+    * sampled frame's luminance stats without seeing a byte. Encode runs
+    * partition-local, like the PNG/WAV/MP4 fixtures.
+    */
+  def aviMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { did =>
+        val w = (4 + did % 13).toInt
+        val h = (3 + did % 7).toInt
+        val nf = (2 + did % 5).toInt
+        val frames = (0 until nf).map(f =>
+          dibFrame(w, h, (x, y) => ((x * 31 + y * 17 + f * 23 + did) % 256).toInt))
+        MediaRow(did, encodeAvi(w, h, fps = 10, mjpeg = false, frames), "video/x-msvideo")
+      }
+    }
+  }
+
+  /** Batched frame sampling + decode: one media row → one row per kept
+    * frame (the flatMap/explode shape of frame extraction), every
+    * `sampleEvery`-th frame decoded. Partition-local, no shuffle — frames
+    * for 100 TB of video cost one scan; the JPEG reader (MJPEG case) is
+    * initialized once per partition and reused, like [[extractFeatures]].
+    */
+  def extractVideoFrames(media: Dataset[MediaRow], sampleEvery: Int = 1,
+      batchSize: Int = 64): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      val codec = new ImageCodec
+      iter.grouped(batchSize).flatMap(_.flatMap(m =>
+        decodeAviFrames(m.payload, m.media_id, sampleEvery, codec)))
     }
   }
 
@@ -360,8 +578,9 @@ object Multimodal {
     * dimensions from `moov/trak/tkhd` (16.16 fixed point), payload size
     * from `mdat`. This is everything a 100 TB ingest filter needs (drop
     * sub-resolution / over-length clips, partition by duration) before a
-    * single frame is decoded; only frame DECODE remains stubbed (the JDK
-    * ships no video codec — see [[decodeStub]]).
+    * single frame is decoded; frame DECODE itself lives in
+    * [[decodeAviFrames]] (MJPEG / uncompressed DIB, the JDK-reachable
+    * codecs).
     */
   final case class VideoMeta(media_id: Long, mime: String, byte_len: Long,
       brand: String, timescale: Long, duration_ms: Long,

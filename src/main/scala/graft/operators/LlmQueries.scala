@@ -753,8 +753,8 @@ object LlmQueries {
     }),
 
     // oracle-backed: REAL ISO-BMFF container parsing (ftyp/moov/mvhd/tkhd/
-    // mdat box walk — everything a pre-decode ingest filter reads); only
-    // frame decode stays stubbed (no JDK codec). Parameters are closed-form
+    // mdat box walk — everything a pre-decode ingest filter reads);
+    // frame DECODE is q_multimodal_frames. Parameters are closed-form
     // in doc_id, so the oracle recomputes the parser's outputs exactly.
     "q_multimodal_video" -> ((s, dir) => {
       val media = Multimodal.mp4MediaFromDocuments(s, t(s, dir, "documents"))
@@ -764,6 +764,27 @@ object LlmQueries {
           col("height").cast("long").as("height"),
           col("mdat_bytes"), col("byte_len"))
         .orderBy("media_id")
+    }),
+
+    // oracle-backed: REAL video FRAME decode — the engine builds genuine
+    // RIFF/AVI containers (uncompressed 24-bit DIB frames, lossless) whose
+    // dims/frame-count/pixels are closed-form in doc_id, demuxes them,
+    // decodes every 2nd frame (the frame-sampling contract), and reports
+    // true per-frame luminance stats; DuckDB recomputes everything from
+    // the pixel formula without seeing a byte. The MJPEG decode path is
+    // covered by MultimodalSpec self-consistency (JPEG bytes are
+    // JDK-version-specific, so no closed-form oracle there).
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.aviMediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractVideoFrames(media, sampleEvery = 2).toDF()
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(element_at(col("feature"), 1)).as("mean_lum"),
+          element_at(col("feature"), 2).cast("long").as("min_lum"),
+          element_at(col("feature"), 3).cast("long").as("max_lum"))
+        .orderBy("media_id", "frame_idx")
     }),
 
     // ---- corpus scrubbing (oracle-backed) ---------------------------------
@@ -1597,6 +1618,35 @@ object LlmQueries {
         |  CAST(100 + doc_id % 900 AS BIGINT) AS mdat_bytes,
         |  CAST(348 + doc_id % 900 AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // frame parity: DIB is lossless and luminance values are integers, so
+    // per-frame sums are exact in doubles on both engines; float32
+    // quantization mirrored via CAST AS REAL like q_multimodal. Sampling
+    // (every 2nd frame) is the f % 2 = 0 predicate.
+    "q_multimodal_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+        |    2 + doc_id % 5 AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT p.doc_id, p.w, p.h, f.f AS frame_idx
+        |  FROM p, LATERAL unnest(generate_series(0, p.nf - 1)) AS f(f)
+        |  WHERE f.f % 2 = 0
+        |), px AS (
+        |  SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h,
+        |    CAST((x.x * 31 + y.y * 17 + fr.frame_idx * 23 + fr.doc_id) % 256
+        |      AS DOUBLE) AS v
+        |  FROM fr,
+        |    LATERAL unnest(generate_series(0, fr.w - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, fr.h - 1)) AS y(y)
+        |)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  FLOOR(CAST(CAST(AVG(v) AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS mean_lum,
+        |  CAST(MIN(v) AS BIGINT) AS min_lum, CAST(MAX(v) AS BIGINT) AS max_lum
+        |FROM px GROUP BY doc_id, frame_idx, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)
