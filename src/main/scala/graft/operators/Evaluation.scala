@@ -130,9 +130,14 @@ object Evaluation {
     */
   def rankingMetrics(cand: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val idcg = (1 to k).map(i => 1.0 / math.log(i + 1.0)).sum
+    // recall's denominator is the TRUTH-SET cardinality (r7 divided by k,
+    // which is precision@k — the two coincide only when |truth| = k, as in
+    // q_ranking_metrics); the count rides the usual broadcast 1-row attach
     cand.join(broadcast(truth.select(col("doc_id"), lit(1).as("rel"))), Seq("doc_id"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("__n_truth"))))
       .agg(
-        (sum(coalesce(col("rel"), lit(0))) / lit(k.toDouble)).as("recall_at_k"),
+        (sum(coalesce(col("rel"), lit(0))) / max(col("__n_truth")).cast("double"))
+          .as("recall_at_k"),
         coalesce(lit(1.0) / min(when(col("rel") === 1, col("rank"))), lit(0.0))
           .as("mrr"),
         (sum(when(col("rel") === 1, lit(1.0) / log(col("rank") + lit(1.0)))

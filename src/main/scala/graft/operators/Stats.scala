@@ -88,10 +88,19 @@ object Stats {
       val tStat = (col("ma") - col("mb")) / sqrt(sea + seb)
       val df = pow(sea + seb, 2) /
         (pow(sea, 2) / (col("na") - 1) + pow(seb, 2) / (col("nb") - 1))
+      // two-sided 5% critical value of Student-t at the Welch df, via the
+      // Cornish–Fisher expansion around z = Φ⁻¹(0.975) (Fisher 1925's
+      // classic series; |error| < 1e-4 for df ≥ 5, → z as df → ∞) — plain
+      // arithmetic, so the oracle reproduces it term for term. The r7 flag
+      // compared against fixed 1.96, overstating significance at small df.
+      val z = lit(1.959963984540054)
+      val tCrit = z + (pow(z, 3) + z) / (lit(4.0) * df) +
+        (lit(5.0) * pow(z, 5) + lit(16.0) * pow(z, 3) + lit(3.0) * z) /
+          (lit(96.0) * df * df)
       g.select(col("na").as("n_a"), col("nb").as("n_b"),
         r6(col("ma")).as("mean_a"), r6(col("mb")).as("mean_b"),
         r6(tStat).as("t_stat"), r4(df).as("df"),
-        (abs(tStat) > 1.96).cast("long").as("significant"))
+        (abs(tStat) > tCrit).cast("long").as("significant"))
     }),
 
     // Chi-square test of independence (priority ⟂ status?) + Cramér's V.
@@ -251,9 +260,14 @@ object Stats {
         |  FLOOR(pow(va / na + vb / nb, 2)
         |    / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))
         |    * 10000.0 + 0.500001) / 10000.0 AS df,
-        |  CAST(CASE WHEN abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96
+        |  CAST(CASE WHEN abs((ma - mb) / sqrt(va / na + vb / nb)) >
+        |    1.959963984540054
+        |      + (pow(1.959963984540054, 3) + 1.959963984540054) / (4.0 * df2.df)
+        |      + (5.0 * pow(1.959963984540054, 5) + 16.0 * pow(1.959963984540054, 3)
+        |         + 3.0 * 1.959963984540054) / (96.0 * df2.df * df2.df)
         |    THEN 1 ELSE 0 END AS BIGINT) AS significant
-        |FROM m""".stripMargin,
+        |FROM m, LATERAL (SELECT pow(va / na + vb / nb, 2)
+        |  / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)) AS df) AS df2""".stripMargin,
 
     "q_chi_square" ->
       """WITH cells AS (
