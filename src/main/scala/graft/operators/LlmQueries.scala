@@ -397,10 +397,12 @@ object LlmQueries {
     // envelope-contract oracle, same shape as q_ann_lsh: product
     // quantization (Jégou 2011, the FAISS IVF-PQ compression half) at
     // m=16 subspaces × 32 codewords — 16 bytes/vec vs 256 raw (16×).
-    // Recall@10 vs brute measured 0.42–0.55 across sf0.001/0.01/0.1
-    // (RecallProbe; these uniform synthetic embeddings are PQ's worst
+    // Recall@10 vs brute measured 0.42–0.52 across sf0.001/0.01/0.1
+    // (RecallProbe r8; these uniform synthetic embeddings are PQ's worst
     // case — no cluster structure for the codebooks to exploit), floor
-    // 0.2 with ≥2× margin. bytes_per_vec is pinned in SQL so the
+    // 0.35 per the measured-min-minus-margin band rule (within 0.1 of
+    // the worst SF, so a partial recall regression trips the gate).
+    // bytes_per_vec is pinned in SQL so the
     // compression claim itself is part of the contract.
     "q_ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -412,7 +414,7 @@ object LlmQueries {
       brute.join(pq, Seq("probe_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
         .select(col("n").as("n_exact"),
-          (col("n_hit") >= col("n") * 0.2).cast("long").as("recall_ge_020"),
+          (col("n_hit") >= col("n") * 0.35).cast("long").as("recall_ge_035"),
           lit(16L).as("bytes_per_vec"))
     }),
 
@@ -465,8 +467,9 @@ object LlmQueries {
     // envelope-contract oracle: IVF-PQ — the composed FAISS shape. Coarse
     // cells PRUNE (only nprobe=8 of 16 cells searched per probe, the
     // q_ann_ivf join geometry) and PQ codes COMPRESS (ranking on the
-    // 16-byte reconstruction). Measured recall@10 0.44–0.55 across SFs
-    // (RecallProbe) — the PQ ceiling, as expected; same 0.2 floor.
+    // 16-byte reconstruction). Measured recall@10 0.39–0.51 across SFs
+    // (RecallProbe r8) — just under the PQ ceiling, as expected (pruning
+    // can only lose candidates); floor 0.30, within 0.1 of the worst SF.
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.where(col("vec_id") < 10)
@@ -478,7 +481,7 @@ object LlmQueries {
       brute.join(ivfpq, Seq("probe_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
         .select(col("n").as("n_exact"),
-          (col("n_hit") >= col("n") * 0.2).cast("long").as("recall_ge_020"),
+          (col("n_hit") >= col("n") * 0.30).cast("long").as("recall_ge_030"),
           lit(16L).as("bytes_per_vec"))
     }),
 
@@ -1240,7 +1243,7 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_exact DESC, vec_id) AS rank
         |  FROM scored
         |)
-        |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_020,
+        |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_035,
         |  CAST(16 AS BIGINT) AS bytes_per_vec
         |FROM ranked WHERE rank <= 10""".stripMargin,
 
@@ -1310,7 +1313,7 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_exact DESC, vec_id) AS rank
         |  FROM scored
         |)
-        |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_020,
+        |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_030,
         |  CAST(16 AS BIGINT) AS bytes_per_vec
         |FROM ranked WHERE rank <= 10""".stripMargin,
 
