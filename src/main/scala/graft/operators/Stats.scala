@@ -232,6 +232,42 @@ object Stats {
       g.select(col("na").as("n_a"), col("nb").as("n_b"), col("n_bins"),
         r6(d).as("d_stat"), r6(ks).as("ks_stat"),
         (ks > 1.358).cast("long").as("reject_95"))
+    }),
+
+    // EXACT (unbinned) two-sample KS on a bounded slice — the oracle
+    // anchor next to q_ks_test's binned production form (the
+    // q_embed_neardup_brute discipline: the approximation ships, an exact
+    // twin at bounded scale guards it). Per-VALUE ECDFs: group by the
+    // integer cents of each total (exact on both engines), one ordered
+    // window over the distinct-value frame, max ECDF gap on the exact
+    // integer numerator |cumA·nB − cumB·nA|. The global-order window is
+    // affordable precisely BECAUSE the slice is bounded (the in-code
+    // q_gini note documents the two-level 100 TB alternative); at corpus
+    // scale the binned form is the right operator.
+    "q_ks_exact" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 20 === 0)
+        .select(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L).as("g"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long").as("v"))
+      val hist = o.groupBy("v").agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("cb"))
+      val w = BoundedWindow.ordered(col("v"), col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("ca"), col("cb"),
+        sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"),
+        sum(col("ca")).over(BoundedWindow.whole(col("v"))).as("na"),
+        sum(col("cb")).over(BoundedWindow.whole(col("v"))).as("nb"))
+      val dnum = abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+      val g = cum.agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        count(lit(1)).as("n_values"), max(dnum).as("dn"))
+      val d = col("dn").cast("double") / (col("na").cast("double") * col("nb"))
+      val ks = d * sqrt(col("na").cast("double") * col("nb") / (col("na") + col("nb")))
+      g.select(col("na").as("n_a"), col("nb").as("n_b"), col("n_values"),
+        col("dn").as("d_num"), r6(d).as("d_stat"), r6(ks).as("ks_stat"),
+        (ks > 1.358).cast("long").as("reject_95"))
     })
   )
 
@@ -410,6 +446,43 @@ object Stats {
         |  FROM cum
         |)
         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, n_bins,
+        |  FLOOR(CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb) * 1000000.0
+        |    + 0.500001) / 1000000.0 AS d_stat,
+        |  FLOOR(CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+        |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) * 1000000.0
+        |    + 0.500001) / 1000000.0 AS ks_stat,
+        |  CAST(CASE WHEN CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+        |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) > 1.358
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM g""".stripMargin,
+
+    "q_ks_exact" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END AS g,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |), hist AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM o GROUP BY v
+        |), cum AS (
+        |  SELECT ca, cb,
+        |    SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM hist
+        |), g AS (
+        |  SELECT MAX(na) AS na, MAX(nb) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    MAX(abs(cuma * nb - cumb * na)) AS dn
+        |  FROM cum
+        |)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, n_values,
+        |  CAST(dn AS BIGINT) AS d_num,
         |  FLOOR(CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb) * 1000000.0
         |    + 0.500001) / 1000000.0 AS d_stat,
         |  FLOOR(CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb)

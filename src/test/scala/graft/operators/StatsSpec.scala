@@ -165,10 +165,34 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(5) === (if (r.getDouble(4) > 1.358) 1L else 0L))
   }
 
+  test("q_ks_exact: matches a driver-computed per-value KS on the real slice") {
+    val r = SparkEntry.queries("q_ks_exact")(spark, sf).head()
+    // driver recomputation of the exact statistic on the same slice
+    val rows = graft.io.Sources.table(spark, sf, "orders")
+      .where(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(x => (if (Set("1-URGENT", "2-HIGH")(x.getString(0))) 0 else 1,
+        math.floor(x.getDouble(1) * 100.0 + 0.500001).toLong))
+    val a = rows.filter(_._1 == 0).map(_._2).sorted
+    val b = rows.filter(_._1 == 1).map(_._2).sorted
+    val values = (a ++ b).distinct.sorted
+    val dNum = values.map { v =>
+      val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+      math.abs(ca * b.length - cb * a.length)
+    }.max
+    assert(r.getLong(0) === a.length.toLong && r.getLong(1) === b.length.toLong)
+    assert(r.getLong(2) === values.length.toLong, "one ECDF step per distinct value")
+    assert(r.getLong(3) === dNum, s"exact integer numerator: got ${r.getLong(3)}, want $dNum")
+    // the binned form can only merge steps, so binned D ≤ exact D + slack
+    // is NOT asserted across different populations — the anchor's claim is
+    // exactness on ITS slice, verified above value-for-value
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   // ---- plan gates ----------------------------------------------------------
 
   test("stats plans: join-free, corpus reduces through a partial agg before any shuffle") {
-    for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test")) {
+    for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test", "q_ks_exact")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
       val firstEx = p.indexOf("Exchange")
