@@ -32,6 +32,9 @@ object Stats {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
 
+  private def r2c(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+
   private def r4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
@@ -268,6 +271,122 @@ object Stats {
       g.select(col("na").as("n_a"), col("nb").as("n_b"), col("n_values"),
         col("dn").as("d_num"), r6(d).as("d_stat"), r6(ks).as("ks_stat"),
         (ks > 1.358).cast("long").as("reject_95"))
+    }),
+
+    // ---- Grouped OLS regression ------------------------------------------
+    // Per-return-flag least-squares fit of line revenue (integer cents) on
+    // quantity, from the five raw moments of ONE map-side-combined grouped
+    // aggregate — the textbook distributed-OLS shape: the shuffle carries
+    // 6 numbers per group, never rows. Sum-of-products accumulate in
+    // decimal(38,0) (syy alone is 7.4e18 at sf0.1 — past BIGINT at sf0.2;
+    // decimal(38) holds to ~1e38, i.e. beyond the 100 TB scale-up), so
+    // every moment is EXACT and order-independent; slope/intercept/r² are
+    // the only float ops, an identical fixed sequence on both engines over
+    // exact integers.
+    "q_regression" -> ((s, dir) => {
+      val xL = col("l_quantity").cast("long")
+      val yL = floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val rows = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), xL.as("x"), yL.as("y"),
+        xL.cast("decimal(18,0)").as("xd"), yL.cast("decimal(18,0)").as("yd"))
+      val m = rows.groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xd") * col("yd")).as("sxy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("yd") * col("yd")).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val covn = nD * col("sxy").cast("double") - sxD * syD
+      val varxn = nD * col("sxx").cast("double") - sxD * sxD
+      val varyn = nD * col("syy").cast("double") - syD * syD
+      val slope = covn / varxn
+      m.select(col("flag"), col("n"),
+        r6(slope).as("slope"),
+        r4((syD - slope * sxD) / nD).as("intercept"),
+        r6(covn * covn / (varxn * varyn)).as("r2"))
+        .orderBy("flag")
+    }),
+
+    // ---- One-way ANOVA ---------------------------------------------------
+    // F-test of account balance (integer cents) across market segments.
+    // Stage 1: per-segment {n, Σv, Σv²} — one corpus scan, 5 output rows.
+    // Stage 2: SSB/SSW from the group moments. The one order-dependent
+    // float sum (Σ s_g²/n_g) rides a cumulative window ORDERED BY segment,
+    // so both engines add the 5 terms in the same sequence — structural
+    // parity (the q_changepoint discipline), not rounded-away.
+    "q_anova" -> ((s, dir) => {
+      val v = floor(col("c_acctbal") * lit(100.0) + lit(0.500001)).cast("long")
+      val g = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), v.as("v"),
+          v.cast("decimal(18,0)").as("vd"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"),
+          sum(col("vd") * col("vd")).as("ssqg"))
+      val tg = col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")
+      val wOrd = BoundedWindow.ordered(col("seg"), col("seg"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("seg"))
+      val cum = g.select(
+        sum(col("ng")).over(wAll).as("nn"),
+        sum(col("sg")).over(wAll).as("ss"),
+        // per-group exact decimal → double, then SEGMENT-ordered cumulative
+        // float adds — the identical sequence the oracle runs (above 2^53 a
+        // whole-frame exact sum and an ordered float sum can round apart)
+        sum(col("ssqg").cast("double")).over(wOrd).as("syy"),
+        sum(tg).over(wOrd).as("tcum"),
+        count(lit(1)).over(wAll).as("k"),
+        row_number().over(BoundedWindow.ordered(col("seg"), col("seg")))
+          .as("rn"))
+        .where(col("rn") === col("k"))
+      val nD = col("nn").cast("double"); val kD = col("k").cast("double")
+      val ssb = col("tcum") -
+        col("ss").cast("double") * col("ss").cast("double") / nD
+      val ssw = col("syy").cast("double") - col("tcum")
+      val f = (ssb / (kD - 1)) / (ssw / (nD - kD))
+      cum.select(col("k"), col("nn").as("n"),
+        r2c(ssb).as("ss_between"), r2c(ssw).as("ss_within"),
+        r6(ssb / (ssb + ssw)).as("eta_sq"), r4(f).as("f_stat"))
+    }),
+
+    // ---- Mann–Whitney U (rank-sum) ---------------------------------------
+    // Nonparametric two-sample test of order-total distribution across the
+    // md5 hash-split arms, on the q_ks_exact slice. Ranks never materialize
+    // per row: the value-grouped histogram + one cumulative window give
+    // every tie group's average rank in closed form — 2·R_a =
+    // Σ ca·(2·before + c + 1) stays BIGINT-exact, as does the tie
+    // correction Σ(c³−c). Normal approximation (documented large-sample z;
+    // the same caveat as the published tables it replaces) with tie-adjusted
+    // variance; every input to z is an exact integer.
+    "q_mann_whitney" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 20 === 0)
+        .select(arm(col("o_custkey")).as("g"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long").as("v"))
+      val hist = o.groupBy("v").agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("cb"))
+      val w = BoundedWindow.ordered(col("v"), col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = col("ca") + col("cb")
+      val cum = hist.select(col("ca"), col("cb"), c.as("c"),
+        (sum(col("ca")).over(w) + sum(col("cb")).over(w) - c).as("before"))
+      val g = cum.agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("ca") * (col("before") * 2 + col("c") + 1)).as("two_ra"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+      val nD = naD + nbD
+      val twoU = col("two_ra") - col("na") * (col("na") + 1)
+      val varU = naD * nbD / 12.0 *
+        ((nD + 1) - col("ties").cast("double") / (nD * (nD - 1)))
+      val z = (twoU.cast("double") - naD * nbD) / (lit(2.0) * sqrt(varU))
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        (twoU.cast("double") / 2.0).as("u_stat"), col("ties").as("tie_term"),
+        r6(z).as("z_stat"),
+        (abs(z) > 1.959963984540054).cast("long").as("reject_95"))
     })
   )
 
@@ -491,6 +610,117 @@ object Stats {
         |  CAST(CASE WHEN CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
         |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) > 1.358
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q_regression" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.500001) AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM r GROUP BY flag
+        |), s AS (
+        |  SELECT flag, n, sx, sy,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      AS covn,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      AS varxn,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      AS varyn
+        |  FROM m
+        |)
+        |SELECT flag, n,
+        |  FLOOR(covn / varxn * 1000000.0 + 0.500001) / 1000000.0 AS slope,
+        |  FLOOR((CAST(sy AS DOUBLE) - covn / varxn * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 10000.0 + 0.500001) / 10000.0 AS intercept,
+        |  FLOOR(covn * covn / (varxn * varyn) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS r2
+        |FROM s ORDER BY flag""".stripMargin,
+
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS sg,
+        |    CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100.0 + 0.500001) AS BIGINT)
+        |      AS HUGEINT)
+        |      * CAST(FLOOR(c_acctbal * 100.0 + 0.500001) AS BIGINT))
+        |      AS DOUBLE) AS ssqg
+        |  FROM customer GROUP BY seg
+        |), cum AS (
+        |  SELECT SUM(ng) OVER () AS nn, SUM(sg) OVER () AS ss,
+        |    SUM(ssqg) OVER (ORDER BY seg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS syy_na,
+        |    SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |      OVER (ORDER BY seg
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tcum,
+        |    COUNT(*) OVER () AS k,
+        |    ROW_NUMBER() OVER (ORDER BY seg) AS rn
+        |  FROM g
+        |), f AS (
+        |  SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |    tcum - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      / CAST(nn AS DOUBLE) AS ssb,
+        |    syy_na - tcum AS ssw,
+        |    CAST(nn AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd
+        |  FROM cum WHERE rn = k
+        |)
+        |SELECT k, n,
+        |  FLOOR(ssb * 100.0 + 0.500001) / 100.0 AS ss_between,
+        |  FLOOR(ssw * 100.0 + 0.500001) / 100.0 AS ss_within,
+        |  FLOOR(ssb / (ssb + ssw) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS eta_sq,
+        |  FLOOR((ssb / (kd - 1)) / (ssw / (nd - kd)) * 10000.0 + 0.500001)
+        |    / 10000.0 AS f_stat
+        |FROM f""".stripMargin,
+
+    "q_mann_whitney" ->
+      """WITH o AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |), hist AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM o GROUP BY v
+        |), cum AS (
+        |  SELECT ca, cb, ca + cb AS c,
+        |    SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    + SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - (ca + cb) AS bef
+        |  FROM hist
+        |), g AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(ca * (bef * 2 + c + 1)) AS BIGINT) AS two_ra,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+        |  FROM cum
+        |), z AS (
+        |  SELECT na, nb, two_ra - na * (na + 1) AS two_u, ties,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nd
+        |  FROM g
+        |), zz AS (
+        |  SELECT na, nb, two_u, ties,
+        |    (CAST(two_u AS DOUBLE) - nad * nbd)
+        |      / (2.0 * sqrt(nad * nbd / 12.0
+        |        * ((nd + 1) - CAST(ties AS DOUBLE) / (nd * (nd - 1))))) AS z
+        |  FROM z
+        |)
+        |SELECT na AS n_a, nb AS n_b, CAST(two_u AS DOUBLE) / 2.0 AS u_stat,
+        |  ties AS tie_term,
+        |  FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
+        |  CAST(CASE WHEN abs(z) > 1.959963984540054 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reject_95
+        |FROM zz""".stripMargin
   )
 }

@@ -189,10 +189,101 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
   }
 
+  // ---- q_regression --------------------------------------------------------
+
+  test("q_regression: a planted exact line recovers slope/intercept, r2 = 1") {
+    import spark.implicits._
+    // y = 3q + 7 dollars exactly ⇒ slope 300 cents/unit, intercept 700, r² 1
+    val li = (1 to 50).map { i =>
+      val q = (i % 10 + 1).toDouble
+      (if (i % 3 == 0) "A" else "N", q, 3.0 * q + 7.0)
+    }.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = fixtureDir("lineitem" -> li)
+    val rs = SparkEntry.queries("q_regression")(spark, dir).collect()
+    assert(rs.length === 2)
+    rs.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 300.0) < 1e-6, s"slope ${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(3) - 700.0) < 1e-3, s"intercept ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-6, s"r2 ${r.getDouble(4)}")
+    }
+  }
+
+  test("q_regression bounds on real data: groups partition the table, r2 ∈ [0,1]") {
+    val rs = SparkEntry.queries("q_regression")(spark, sf).collect()
+    val total = graft.io.Sources.table(spark, sf, "lineitem").count()
+    assert(rs.map(_.getLong(1)).sum === total)
+    rs.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
+  // ---- q_anova -------------------------------------------------------------
+
+  test("q_anova: identical group means give SSB ≈ 0 and F ≈ 0; separation is loud") {
+    import spark.implicits._
+    // same value multiset in every segment ⇒ between-group SS exactly 0
+    val flat = (for { s <- Seq("S1", "S2", "S3"); i <- 1 to 20 }
+      yield (s, 100.0 + i)).toDF("c_mktsegment", "c_acctbal")
+    val r0 = SparkEntry.queries("q_anova")(spark, fixtureDir("customer" -> flat)).head()
+    assert(r0.getLong(0) === 3L && r0.getLong(1) === 60L)
+    assert(math.abs(r0.getDouble(2)) < 1e-6, s"SSB ${r0.getDouble(2)}")
+    assert(math.abs(r0.getDouble(5)) < 1e-9, s"F ${r0.getDouble(5)}")
+    // disjoint group levels ⇒ F large, eta² near 1
+    val sep = (for { (s, base) <- Seq(("S1", 0.0), ("S2", 1000.0), ("S3", 2000.0))
+      i <- 1 to 20 } yield (s, base + i)).toDF("c_mktsegment", "c_acctbal")
+    val r1 = SparkEntry.queries("q_anova")(spark, fixtureDir("customer" -> sep)).head()
+    assert(r1.getDouble(5) > 100.0, s"planted separation F ${r1.getDouble(5)}")
+    assert(r1.getDouble(4) > 0.9, s"eta² ${r1.getDouble(4)}")
+  }
+
+  test("q_anova bounds on real data: k = 5 segments, F ≥ 0, eta² ∈ [0,1]") {
+    val r = SparkEntry.queries("q_anova")(spark, sf).head()
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === graft.io.Sources.table(spark, sf, "customer").count())
+    assert(r.getDouble(5) >= 0.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    assert(math.abs((r.getDouble(2) + r.getDouble(3)) /
+      math.max(r.getDouble(2) + r.getDouble(3), 1.0)) <= 1.0 + 1e-9)
+  }
+
+  // ---- q_mann_whitney ------------------------------------------------------
+
+  test("q_mann_whitney: completely separated arms give extreme U and rejection") {
+    import spark.implicits._
+    // arm from md5(custkey) exactly as Stats.arm; plant arm-0 strictly below
+    // arm-1 so U_a = 0 ⇒ z < 0 and a rejection at these n
+    val armOf = pmod(conv(substring(
+      md5(col("o_custkey").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(2L))
+    val base = (1 to 80).map(i => (i.toLong * 20L, i.toLong, 0.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_totalprice",
+        when(armOf === 0L, lit(100.0) + col("o_custkey"))
+          .otherwise(lit(5000.0) + col("o_custkey")))
+    val dir = fixtureDir("orders" -> base)
+    val r = SparkEntry.queries("q_mann_whitney")(spark, dir).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na + nb === 80L)
+    assert(r.getDouble(2) === 0.0, s"complete separation must give U_a = 0, got ${r.getDouble(2)}")
+    assert(r.getDouble(4) < -1.96 && r.getLong(5) === 1L, s"z ${r.getDouble(4)}")
+  }
+
+  test("q_mann_whitney bounds on real data: 0 ≤ U ≤ na·nb, hash arms partition the slice") {
+    val r = SparkEntry.queries("q_mann_whitney")(spark, sf).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val slice = graft.io.Sources.table(spark, sf, "orders")
+      .where(col("o_orderkey") % 20 === 0).count()
+    assert(na + nb === slice, "every sliced order lands in exactly one arm")
+    val u = r.getDouble(2)
+    assert(u >= 0.0 && u <= na.toDouble * nb, s"U $u outside [0, na·nb]")
+    assert(r.getLong(5) === (if (math.abs(r.getDouble(4)) > 1.959963984540054) 1L else 0L))
+  }
+
   // ---- plan gates ----------------------------------------------------------
 
   test("stats plans: join-free, corpus reduces through a partial agg before any shuffle") {
-    for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test", "q_ks_exact")) {
+    for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test", "q_ks_exact",
+        "q_regression", "q_anova", "q_mann_whitney")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
       val firstEx = p.indexOf("Exchange")
