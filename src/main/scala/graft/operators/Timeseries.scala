@@ -222,10 +222,100 @@ object Timeseries {
           (floor((p - q) * log(p / q) * lit(1000000.0) + lit(0.500001))
             / lit(1000000.0)).as("psi_term"))
         .orderBy("bin")
+    }),
+
+    // ---- Autocorrelation function -----------------------------------------
+    // ACF of daily revenue at lags 1–7 (the weekly-seasonality fingerprint
+    // that motivates q_seasonal_decompose's dow model). Lags ride ONE
+    // ordered window over the calendar-bounded daily frame; the statistic
+    // is assembled from EXACT sums only — Σr·r₋ₖ in decimal(38,0) (the
+    // q_regression discipline: day-total cents² is ~1.5e18 per row at
+    // sf0.1, past BIGINT one scale-up), pair-window sums Σ'r, Σ'r₋ₖ and
+    // counts in BIGINT — expanded as Σ(r−m)(r₋ₖ−m) = p − m·a − m·b + n·m²,
+    // so no order-dependent float accumulation exists anywhere; both
+    // engines run the identical final float sequence. Denominator is the
+    // full-series Σ(r−m)² (the standard ACF normalization).
+    "q_acf" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val lags = (1 to 7).foldLeft(daily) { (d, k) =>
+        d.withColumn(s"l$k", lag(col("rev"), k).over(w)) }
+      val revd = col("rev").cast("decimal(18,0)")
+      val aggCols =
+        Seq(count(lit(1)).as("nn"), sum(col("rev")).as("ss"),
+          sum(revd * revd).as("syy")) ++
+        (1 to 7).flatMap { k =>
+          val lk = col(s"l$k")
+          Seq(count(lk).as(s"n$k"),
+            sum(revd * lk.cast("decimal(18,0)")).as(s"p$k"),
+            sum(when(lk.isNotNull, col("rev"))).as(s"a$k"),
+            sum(lk).as(s"b$k"))
+        }
+      val g = lags.agg(aggCols.head, aggCols.tail: _*)
+      val nnD = col("nn").cast("double"); val ssD = col("ss").cast("double")
+      val m = ssD / nnD
+      val den = col("syy").cast("double") - ssD * ssD / nnD
+      val terms = (1 to 7).map { k =>
+        val num = col(s"p$k").cast("double") - m * col(s"a$k").cast("double") -
+          m * col(s"b$k").cast("double") + col(s"n$k").cast("double") * m * m
+        struct(lit(k.toLong).as("lag"), col(s"n$k").as("n_pairs"),
+          (floor(num / den * lit(1000000.0) + lit(0.500001))
+            / lit(1000000.0)).as("acf"))
+      }
+      g.select(explode(array(terms: _*)).as("t"))
+        .select(col("t.lag").as("lag"), col("t.n_pairs").as("n_pairs"),
+          col("t.acf").as("acf"))
+        .orderBy("lag")
     })
   )
 
+  /** DuckDB oracle for q_acf, one UNION ALL branch per lag — generated so
+    * the 7 branches stay textually identical to the Spark float sequence.
+    */
+  private def acfOracle: String = {
+    val lagCols = (1 to 7).map(k => s"    LAG(rev, $k) OVER (ORDER BY day) AS l$k").mkString(",\n")
+    val aggs = (1 to 7).map(k =>
+      s"""    CAST(COUNT(l$k) AS BIGINT) AS n$k,
+         |    CAST(SUM(CAST(rev AS HUGEINT) * l$k) AS DOUBLE) AS p$k,
+         |    CAST(SUM(rev) FILTER (WHERE l$k IS NOT NULL) AS BIGINT) AS a$k,
+         |    CAST(SUM(l$k) AS BIGINT) AS b$k""".stripMargin).mkString(",\n")
+    val branches = (1 to 7).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS lag, n$k AS n_pairs,
+         |  FLOOR((p$k - mu * CAST(a$k AS DOUBLE) - mu * CAST(b$k AS DOUBLE)
+         |    + CAST(n$k AS DOUBLE) * mu * mu) / den * 1000000.0 + 0.500001)
+         |    / 1000000.0 AS acf
+         |FROM m""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1
+       |), lagged AS (
+       |  SELECT day, rev,
+       |$lagCols
+       |  FROM daily
+       |), g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(rev) AS BIGINT) AS ss,
+       |    CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS syy,
+       |$aggs
+       |  FROM lagged
+       |), m AS (
+       |  SELECT *, CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mu,
+       |    syy - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+       |      AS den
+       |  FROM g
+       |)
+       |$branches
+       |ORDER BY lag""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q_acf" -> acfOracle,
 
     // identical bounded-window unrolling and dyadic weights; r2 absorbs
     // summation-order float drift

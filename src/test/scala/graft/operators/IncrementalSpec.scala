@@ -387,4 +387,45 @@ class IncrementalSpec extends SparkSpec {
     val p = plan("q_changepoint")
     assert(!p.contains("Join"), s"changepoint must be join-free:\n$p")
   }
+
+  // ---- q_acf ----------------------------------------------------------------
+
+  test("ACF of a pure 7-periodic series is exactly (n-7)/n at lag 7") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_acf").toString
+    // 70 days of a strict weekly pattern: r_t = pattern[t%7]. Closed form:
+    // num7 = 9·Σ(p-m)², den = 10·Σ(p-m)² ⇒ acf(7) = 0.9 exactly.
+    val rows = (0 until 70).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 100.0 + 10.0 * (i % 7))
+    }.toDF("o_orderdate", "o_totalprice")
+    rows.write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_acf")(spark, dir).collect()
+    assert(out.length === 7)
+    val acf7 = out.find(_.getLong(0) == 7L).get.getDouble(2)
+    assert(math.abs(acf7 - 0.9) < 1e-6, s"lag-7 ACF $acf7 != 0.9")
+    // every other lag mixes distinct pattern values ⇒ strictly below
+    out.filter(_.getLong(0) != 7L).foreach { r =>
+      assert(r.getDouble(2) < acf7 - 0.1,
+        s"lag ${r.getLong(0)} ACF ${r.getDouble(2)} should be far below lag 7")
+    }
+  }
+
+  test("ACF bounds on real data: 7 lags, n_pairs = days - k, |acf| ≤ 1") {
+    val out = run("q_acf").collect()
+    assert(out.length === 7)
+    val days = graft.io.Sources.table(spark, sf, "orders")
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    out.foreach { r =>
+      assert(r.getLong(1) === days - r.getLong(0), "one pair per day beyond the lag")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"ACF ${r.getDouble(2)} out of [-1,1]")
+    }
+  }
+
+  test("ACF plan: join-free, daily partial aggregate before the shuffle") {
+    val p = plan("q_acf")
+    assert(!p.contains("Join"), s"ACF must be join-free:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"raw orders must partial-aggregate before the shuffle:\n$p")
+  }
 }
