@@ -433,8 +433,65 @@ object Graph {
     // per-node label table is the oracle surface
     "q_communities" -> ((s, dir) =>
       labelPropagation(partPairEdges(Sources.table(s, dir, "lineitem")
-        .where(col("l_orderkey") % 10 === 0)), LpaRounds).orderBy("node"))
+        .where(col("l_orderkey") % 10 === 0)), LpaRounds).orderBy("node")),
+
+    // top-20 predicted links (common-neighbors / Jaccard / Adamic–Adar)
+    // over the same slice — see linkPrediction scaladoc for the
+    // exact-integer Adamic–Adar summation
+    "q_link_prediction" -> ((s, dir) =>
+      linkPrediction(partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)), k = 20))
   )
+
+  /** Link prediction over the co-purchase graph: for every OPEN wedge
+    * endpoint pair (non-adjacent x<y sharing ≥1 neighbor) the three
+    * classic neighborhood scores — common-neighbor count, Jaccard
+    * cn/(dx+dy−cn), and Adamic–Adar Σ_w 1/ln(deg w) (Liben-Nowell &
+    * Kleinberg 2003) — then the top-k by (cn, AA) with a unique (x,y)
+    * tie-break, via TakeOrdered (no global sort materializes).
+    *
+    * Scale shape: wedges enumerate from the full both-direction adjacency
+    * grouped by center — Σd(d−1)/2 wedge rows (the number q_triangles
+    * reports as n_wedges), bounded here by the 10%-order slice exactly
+    * like the triangle census; every join is a key equi-join, and the
+    * wedge shuffle partial-aggregates (count + integer AA sum) before
+    * the pair shuffle. A wedge center needs ≥2 distinct neighbors, so
+    * deg(w) ≥ 2 and ln is never 0.
+    *
+    * Cross-engine exactness: the AA float sum would be order-dependent,
+    * so each center's term is quantized to integer micro-units FIRST
+    * (floor(1e6/ln d) — one deterministic float op per center) and the
+    * micro-units sum in BIGINT; Jaccard is one float division of exact
+    * integers. Both engines therefore run identical per-row float ops
+    * and NO float accumulation.
+    */
+  def linkPrediction(und: DataFrame, k: Int): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val adj = und.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("w"), col("u").as("x")))
+    val adjd = adj.join(
+      deg.withColumnRenamed("node", "w").withColumnRenamed("d", "dw"), Seq("w"))
+    val a2 = adj.select(col("w"), col("x").as("y"))
+    val aaTerm = floor(lit(1000000.0) / log(col("dw").cast("double")))
+      .cast("long")
+    val pairs = adjd.join(a2, Seq("w")).where(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"), sum(aaTerm).as("aa_micro"))
+    val open = pairs.join(und.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"), "left_anti")
+    open
+      .join(deg.withColumnRenamed("node", "x").withColumnRenamed("d", "dx"), Seq("x"))
+      .join(deg.withColumnRenamed("node", "y").withColumnRenamed("d", "dy"), Seq("y"))
+      .select(col("x"), col("y"), col("cn"),
+        col("dx").as("deg_x"), col("dy").as("deg_y"),
+        (floor(col("cn").cast("double") / (col("dx") + col("dy") - col("cn"))
+          * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)).as("jaccard"),
+        (col("aa_micro").cast("double") / lit(1000000.0)).as("adamic_adar"))
+      .orderBy(col("cn").desc, col("adamic_adar").desc, col("x"), col("y"))
+      .limit(k)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> prOracle(PrIters),
@@ -557,7 +614,43 @@ object Graph {
         |ORDER BY local_cc DESC, n_triangles DESC, node
         |LIMIT 20""".stripMargin,
 
-    "q_communities" -> lpaOracle(LpaRounds)
+    "q_communities" -> lpaOracle(LpaRounds),
+
+    "q_link_prediction" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), deg AS MATERIALIZED (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY node
+        |), adj AS MATERIALIZED (
+        |  SELECT u AS w, v AS x FROM und
+        |  UNION ALL SELECT v AS w, u AS x FROM und
+        |), pairs AS (
+        |  SELECT a1.x AS x, a2.x AS y, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(CAST(FLOOR(1000000.0 / ln(CAST(dg.d AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT) AS aa_micro
+        |  FROM adj a1
+        |  JOIN adj a2 ON a1.w = a2.w AND a1.x < a2.x
+        |  JOIN deg dg ON dg.node = a1.w
+        |  GROUP BY a1.x, a2.x
+        |), open_p AS (
+        |  SELECT p.* FROM pairs p
+        |  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = p.x AND e.v = p.y)
+        |)
+        |SELECT o.x, o.y, o.cn, dx.d AS deg_x, dy.d AS deg_y,
+        |  FLOOR(CAST(o.cn AS DOUBLE) / (dx.d + dy.d - o.cn) * 1000000.0
+        |    + 0.500001) / 1000000.0 AS jaccard,
+        |  CAST(o.aa_micro AS DOUBLE) / 1000000.0 AS adamic_adar
+        |FROM open_p o
+        |JOIN deg dx ON dx.node = o.x
+        |JOIN deg dy ON dy.node = o.y
+        |ORDER BY o.cn DESC, adamic_adar DESC, o.x, o.y
+        |LIMIT 20""".stripMargin
   )
 
   /** The LPA oracle: the same fixed synchronous rounds unrolled (the

@@ -273,4 +273,57 @@ class GraphSpec extends SparkSpec {
         "handshake: core edges cannot support degree >= k otherwise")
     } finally und.unpersist()
   }
+
+  // ---- link prediction ------------------------------------------------------
+
+  test("link prediction: path closed form — (a,c) scores cn=1, jaccard=1, AA=1/ln2") {
+    // path 1–2–3: the only open wedge pair is (1,3) through center 2 (deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val rows = Graph.linkPrediction(path, k = 10).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 1L && r.getLong(4) === 1L)
+    assert(r.getDouble(5) === 1.0, s"jaccard ${r.getDouble(5)}")
+    val aa = math.floor(1000000.0 / math.log(2.0)) / 1000000.0
+    assert(r.getDouble(6) === aa, s"AA ${r.getDouble(6)} != floor-quantized 1/ln2 $aa")
+  }
+
+  test("link prediction: square's two diagonals score cn=2; edges never appear") {
+    // 4-cycle 1–2–3–4–1: open pairs are the diagonals (1,3), (2,4), cn = 2
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val rows = Graph.linkPrediction(square, k = 10).collect()
+    assert(rows.length === 2)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    rows.foreach(r => assert(r.getDouble(5) === 1.0, "diagonals: jaccard 2/(2+2-2)"))
+  }
+
+  test("link prediction on real data: pairs are non-adjacent, cn ≤ min(deg)") {
+    val und = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).cache()
+    try {
+      val top = Graph.linkPrediction(und, k = 20)
+      val onEdges = top.join(und,
+        top("x") === und("u") && top("y") === und("v"), "left_semi").count()
+      assert(onEdges === 0L, "predicted links must not already exist")
+      top.collect().foreach { r =>
+        assert(r.getLong(2) >= 1L, "every candidate shares a neighbor")
+        assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+          "common neighbors bounded by either degree")
+        assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+        assert(r.getDouble(6) > 0.0)
+      }
+    } finally und.unpersist()
+  }
+
+  test("link prediction plan: TakeOrdered heap, key equi-joins only") {
+    val p = graft.SparkEntry.queries("q_link_prediction")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a heap, not a full sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all joins must be key equi-joins:\n$p")
+  }
 }
