@@ -394,6 +394,19 @@ object LlmQueries {
           (col("n_hit") >= col("n") * 0.4).cast("long").as("recall_ge_040"))
     }),
 
+    // envelope-contract oracle: distributed PCA over the embedding corpus
+    // (see graft.similarity.Pca scaladoc — one Gram-matrix treeAggregate
+    // pass, driver-local d×d Jacobi eigen, a second pass checking
+    // Var(scoreᵢ) = λᵢ ON THE DATA, measured deviation ~1e-16 at all SFs).
+    // Floors from PcaProbe: evr1 0.0209–0.0289 and cum8 0.160–0.205
+    // across sf0.001/0.01/0.1 — these synthetic embeddings are near-
+    // isotropic (1/d = 0.0156 baseline), so the load-bearing flags are
+    // projvar/ortho/monotone; the floors still trip on a degenerate
+    // eigensolve. Floors 0.015 / 0.12 = measured-min-minus-margin.
+    "q_pca" -> ((s, dir) =>
+      graft.similarity.Pca.pcaContract(s, t(s, dir, "embeddings"),
+        "embedding", k = 8, evr1Floor = 0.015, cumFloor = 0.12)),
+
     // envelope-contract oracle, same shape as q_ann_lsh: product
     // quantization (Jégou 2011, the FAISS IVF-PQ compression half) at
     // m=16 subspaces × 32 codewords — 16 bytes/vec vs 256 raw (16×).
@@ -1226,6 +1239,19 @@ object LlmQueries {
         |)
         |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS recall_ge_040
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_pca" ->
+      """WITH c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MAX(len(embedding)) AS BIGINT) AS dim
+        |  FROM embeddings
+        |)
+        |SELECT CAST(t.i AS BIGINT) AS component, c.n, c.dim,
+        |  CAST(1 AS BIGINT) AS evr_unit_ok, CAST(1 AS BIGINT) AS monotone_ok,
+        |  CAST(1 AS BIGINT) AS ortho_ok, CAST(1 AS BIGINT) AS projvar_ok,
+        |  CAST(1 AS BIGINT) AS evr1_floor_ok, CAST(1 AS BIGINT) AS cum_floor_ok
+        |FROM c, generate_series(1, 8) AS t(i)
+        |ORDER BY component""".stripMargin,
 
     "q_ann_pq" ->
       """WITH probes AS (
