@@ -18,9 +18,13 @@ object Sources {
     * Column pruning + predicate pushdown reach the parquet scan because the
     * schema comes from parquet metadata and filters stay declarative.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark rejects by
-    * default; it is read as long nanos (legacy conf) and truncated to
-    * Spark's µs precision — the same truncation DuckDB applies on cast.
+    * `events.ts` has shipped in two physical layouts across testdata
+    * generations: TIMESTAMP(NANOS) (read as long nanos via the legacy conf
+    * and truncated to Spark's µs precision — the same truncation DuckDB
+    * applies on cast) and TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ). Both normalize to a session-UTC TIMESTAMP here, so
+    * every downstream query sees one canonical type regardless of which
+    * generator wrote the files.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -29,8 +33,16 @@ object Sources {
       // query in this lineage executes (not flipped mid-flight).
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // session tz is UTC (graft.Sessions), so this cast relabels the
+          // same wall-clock instant — no offset arithmetic happens
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
