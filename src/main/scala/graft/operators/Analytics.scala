@@ -38,6 +38,12 @@ object Analytics {
     * (SURVEY §2.7 E5) pinned for determinism, same as q_rfm_features. */
   val SegAsOf = "2001-09-01"
 
+  /** Churn horizon for q_survival: a customer whose last order is more than
+    * this many days before [[SegAsOf]] is treated as churned (event
+    * observed); later activity means the lifetime is right-censored. 90 days
+    * is the conventional retail churn window. */
+  val ChurnGapDays = 90
+
   /** RRF constant (Cormack et al. 2009: k=60 is the published default). */
   val RrfK = 60
 
@@ -409,9 +415,174 @@ object Analytics {
         .where(col("size") === col("gmax") && col("size") > col("m1"))
         .select(col("p_partkey"), col("price"), col("size"))
         .orderBy("p_partkey")
+    }),
+
+    // ---- Kaplan–Meier survival curve (customer churn) ---------------------
+    // Nonparametric survival estimate (Kaplan & Meier 1958) over customer
+    // lifetimes: duration = days between first and last order, event =
+    // churn (last order > ChurnGapDays before the pinned as-of), otherwise
+    // right-censored — the time-to-churn read on the reference's
+    // customer_features table (recency/T are this curve's raw inputs).
+    // Plan shape: ONE customer-key shuffle builds the lifetime frame
+    // (map-side partial min/max), then everything lives on the
+    // duration-grouped frame — bounded by the CALENDAR (≤ days-of-history
+    // rows, SF-independent), so risk sets and the survival product ride
+    // windows over the tiny frame. Float discipline: the KM product is
+    // exp(Σ ln(1−d/n)) via an ORDERED cumulative window, so both engines
+    // add the identical term sequence (the q_anova structural-parity
+    // discipline); d and n stay BIGINT. A risk set that dies out entirely
+    // (d = n) would send ln(0) → −∞/NULL divergently per engine, so that
+    // tail is flagged via a cumulative max and pinned to survival = 0
+    // explicitly on both sides.
+    "q_survival" -> ((s, dir) => {
+      val asOf = lit(SegAsOf).cast("date")
+      val life = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("first_d"),
+          to_date(max(col("o_orderdate"))).as("last_d"))
+        .select(datediff(col("last_d"), col("first_d")).cast("long").as("t_days"),
+          (datediff(asOf, col("last_d")) > lit(ChurnGapDays))
+            .cast("long").as("event"))
+      val byT = life.groupBy("t_days")
+        .agg(count(lit(1)).as("n_at_t"), sum(col("event")).as("n_events"))
+      val wOrd = BoundedWindow.ordered(col("t_days"), col("t_days"))
+      val wAll = BoundedWindow.whole(col("t_days"))
+      val withRisk = byT
+        .withColumn("n_censored", col("n_at_t") - col("n_events"))
+        .withColumn("n_risk",
+          sum(col("n_at_t")).over(wAll) - coalesce(
+            sum(col("n_at_t")).over(
+              wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val term = when(col("n_events") > 0 && col("n_events") < col("n_risk"),
+        log(lit(1.0) - col("n_events").cast("double")
+          / col("n_risk").cast("double"))).otherwise(lit(0.0))
+      val dead = when(col("n_events") >= col("n_risk"), lit(1L)).otherwise(lit(0L))
+      withRisk
+        .withColumn("ln_s", sum(term).over(wOrd))
+        .withColumn("dead", max(dead).over(wOrd))
+        .select(col("t_days"), col("n_risk"), col("n_events"), col("n_censored"),
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(r6(exp(col("ln_s")))).as("survival"))
+        .orderBy("t_days")
+    }),
+
+    // ---- market-basket association rules ----------------------------------
+    // Top-20 part pairs co-ordered most often, with both rule directions'
+    // confidence and the symmetric lift (Agrawal–Imieliński–Swami 1993) —
+    // the cross-sell read on the order log. Plan shape: pair generation is
+    // a CO-PARTITIONED self-equi-join on l_orderkey (never all-pairs across
+    // orders — output is Σ picks(items-per-order, 2), a per-order constant ≈
+    // 6–21 rows); pair supports shuffle on the (a,b) key with map-side
+    // partials; the part-bounded item-support frame broadcasts back twice;
+    // n_orders attaches as a broadcast 1-row aggregate. The slice is a
+    // TakeOrdered heap, not a global sort. At 100 TB a genuinely
+    // dim-table-sized parts list still broadcasts; a parts list past
+    // broadcast size degrades to one more shuffled equi-join — same plan
+    // class as the pair aggregate itself. In production a min-support
+    // HAVING prunes the pair frame before the attach; the harness keeps
+    // every pair so the heap's ordering is exercised end-to-end. Floats:
+    // confidence/lift are single divisions over exact BIGINTs, ordering
+    // uses the unrounded doubles (identical IEEE ops both engines) with a
+    // (part_a, part_b) tie-break for full determinism.
+    "q_assoc_rules" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = items.select(col("ok"), col("pk").as("part_a"))
+      val b = items.select(col("ok"), col("pk").as("part_b"))
+      val pairSupp = a.join(b, Seq("ok"))
+        .where(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("supp_ab"))
+      val itemSupp = items.groupBy("pk").agg(count(lit(1)).as("supp"))
+      val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+      pairSupp
+        .join(broadcast(itemSupp.select(col("pk").as("part_a"),
+          col("supp").as("supp_a"))), Seq("part_a"))
+        .join(broadcast(itemSupp.select(col("pk").as("part_b"),
+          col("supp").as("supp_b"))), Seq("part_b"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift_raw",
+          (col("supp_ab") * col("n_orders")).cast("double")
+            / (col("supp_a") * col("supp_b")))
+        .orderBy(col("supp_ab").desc, col("lift_raw").desc,
+          col("part_a"), col("part_b"))
+        .limit(20)
+        .select(col("part_a"), col("part_b"), col("supp_ab"),
+          col("supp_a"), col("supp_b"),
+          r6(col("supp_ab").cast("double") / col("supp_a")).as("conf_ab"),
+          r6(col("supp_ab").cast("double") / col("supp_b")).as("conf_ba"),
+          r6(col("lift_raw")).as("lift"))
+        .orderBy(col("supp_ab").desc, col("lift").desc,
+          col("part_a"), col("part_b"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    // same exact-integer risk sets and the identical ordered ln-sum
+    // sequence; the died-out tail pinned to 0 on both engines
+    "q_survival" ->
+      """WITH life AS (
+        |  SELECT CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |      MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS t_days,
+        |    CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |      DATE '2001-09-01') > 90 THEN 1 ELSE 0 END AS event
+        |  FROM orders GROUP BY o_custkey
+        |), byt AS (
+        |  SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+        |    CAST(SUM(event) AS BIGINT) AS n_events
+        |  FROM life GROUP BY t_days
+        |), risk AS (
+        |  SELECT t_days, n_at_t, n_events, n_at_t - n_events AS n_censored,
+        |    CAST(SUM(n_at_t) OVER () AS BIGINT) - CAST(COALESCE(
+        |      SUM(n_at_t) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt
+        |), s AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN n_events > 0 AND n_events < n_risk
+        |      THEN LN(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER (ORDER BY t_days) AS ln_s,
+        |    MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t_days) AS dead
+        |  FROM risk
+        |)
+        |SELECT t_days, n_risk, n_events, n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE FLOOR(EXP(ln_s) * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS survival
+        |FROM s ORDER BY t_days""".stripMargin,
+
+    // identical pair/item supports (BIGINT), the top-20 boundary decided on
+    // the UNROUNDED lift with (part_a, part_b) tie-breaks
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), pair_supp AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS supp_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk
+        |), item_supp AS (
+        |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS supp FROM items GROUP BY pk
+        |), n AS (
+        |  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+        |), top AS (
+        |  SELECT part_a, part_b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+        |    CAST(supp_ab * n_orders AS DOUBLE) / (sa.supp * sb.supp) AS lift_raw
+        |  FROM pair_supp
+        |    JOIN item_supp sa ON sa.pk = part_a
+        |    JOIN item_supp sb ON sb.pk = part_b, n
+        |  ORDER BY supp_ab DESC, lift_raw DESC, part_a, part_b
+        |  LIMIT 20
+        |)
+        |SELECT part_a, part_b, supp_ab, supp_a, supp_b,
+        |  FLOOR(CAST(supp_ab AS DOUBLE) / supp_a * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS conf_ab,
+        |  FLOOR(CAST(supp_ab AS DOUBLE) / supp_b * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS conf_ba,
+        |  FLOOR(lift_raw * 1000000.0 + 0.500001) / 1000000.0 AS lift
+        |FROM top
+        |ORDER BY supp_ab DESC, lift DESC, part_a, part_b""".stripMargin,
 
     "q_markov_transitions" ->
       """WITH tr AS (

@@ -23,6 +23,9 @@ object Timeseries {
   private def r4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+
   /** EWMA decay per day. 0.5 is deliberate: the weights (1-α)^k = 2^-k
     * are exact dyadic doubles, so Spark and the oracle compute
     * bit-identical weight products and the only cross-engine float
@@ -31,6 +34,11 @@ object Timeseries {
 
   /** EWMA lookback in days; 2^-15 ≈ 3e-5 truncated tail mass. */
   val EwmaWindow = 15
+
+  /** q_forecast holdout: the trailing 4 weeks of the daily series are
+    * scored against the seasonal-naive forecast; everything before them is
+    * the training window that sizes the MASE denominator. */
+  val BacktestDays = 28
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -270,6 +278,49 @@ object Timeseries {
         .select(col("t.lag").as("lag"), col("t.n_pairs").as("n_pairs"),
           col("t.acf").as("acf"))
         .orderBy("lag")
+    }),
+
+    // ---- seasonal-naive forecast backtest ---------------------------------
+    // The q_acf lag-7 signal put to work: hold out the last BacktestDays of
+    // the daily revenue series, forecast each held-out day as the revenue 7
+    // days earlier (seasonal-naive — the standard forecasting baseline any
+    // real model must beat), and score per-day absolute error, APE, and the
+    // MASE-scaled error (Hyndman & Koehler 2006: error / in-sample naive-1
+    // MAE). Plan shape: ONE orders shuffle to the calendar-bounded daily
+    // frame; the 7-day-back and 1-day-back lookups are broadcast self-joins
+    // on that tiny frame (date-equi, never window-over-gaps — a sparse
+    // calendar just drops unmatched days instead of silently lagging over
+    // them); train-scale and max-day attach as broadcast 1-row aggregates.
+    // Floats: revenue stays integer cents end-to-end; the MASE denominator
+    // Σ|naive-1 error| is BIGINT-exact, so every output float is a single
+    // division over exact integers — no accumulation order exists.
+    "q_forecast" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val mx = daily.agg(max(col("day")).as("max_day"))
+      val hist7 = daily.select(date_add(col("day"), 7).as("day"),
+        col("rev").as("rev_m7"))
+      val hist1 = daily.select(date_add(col("day"), 1).as("day"),
+        col("rev").as("rev_m1"))
+      val tr = daily.crossJoin(broadcast(mx))
+        .where(col("day") <= date_sub(col("max_day"), BacktestDays))
+        .join(broadcast(hist1), Seq("day"))
+        .agg(sum(abs(col("rev") - col("rev_m1"))).as("sum_d"),
+          count(lit(1)).as("n_tr"))
+      val err = abs(col("rev") - col("rev_m7"))
+      daily.crossJoin(broadcast(mx))
+        .where(col("day") > date_sub(col("max_day"), BacktestDays))
+        .join(broadcast(hist7), Seq("day"))
+        .crossJoin(broadcast(tr))
+        .select(col("day"), col("rev").as("actual_cents"),
+          col("rev_m7").as("forecast_cents"),
+          err.as("abs_err_cents"),
+          r6(err.cast("double") / col("rev")).as("ape"),
+          r6(err.cast("double") * col("n_tr") / col("sum_d")).as("mase"))
+        .orderBy("day")
     })
   )
 
@@ -316,6 +367,32 @@ object Timeseries {
   val oracleSql: Map[String, String] = Map(
 
     "q_acf" -> acfOracle,
+
+    // identical integer-cents series, date-equi lookbacks (a.day - 7 / - 1),
+    // BIGINT-exact MASE denominator, single-division floats
+    "q_forecast" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), mx AS (
+        |  SELECT MAX(day) AS max_day FROM daily
+        |), tr AS (
+        |  SELECT CAST(SUM(ABS(a.rev - b.rev)) AS BIGINT) AS sum_d,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tr
+        |  FROM daily a JOIN daily b ON b.day = a.day - 1, mx
+        |  WHERE a.day <= max_day - 28
+        |)
+        |SELECT a.day, a.rev AS actual_cents, f.rev AS forecast_cents,
+        |  CAST(ABS(a.rev - f.rev) AS BIGINT) AS abs_err_cents,
+        |  FLOOR(CAST(ABS(a.rev - f.rev) AS DOUBLE) / a.rev * 1000000.0
+        |    + 0.500001) / 1000000.0 AS ape,
+        |  FLOOR(CAST(ABS(a.rev - f.rev) AS DOUBLE) * n_tr / sum_d * 1000000.0
+        |    + 0.500001) / 1000000.0 AS mase
+        |FROM daily a JOIN daily f ON f.day = a.day - 7, mx, tr
+        |WHERE a.day > max_day - 28
+        |ORDER BY a.day""".stripMargin,
 
     // identical bounded-window unrolling and dyadic weights; r2 absorbs
     // summation-order float drift

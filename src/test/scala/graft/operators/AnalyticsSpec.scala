@@ -376,4 +376,104 @@ class AnalyticsSpec extends SparkSpec {
       s"skyline regressed to all-pairs dominance:\n$p")
     assert(p.contains("Window"), s"expected the group prefix-max window:\n$p")
   }
+
+  // ---- q_survival ---------------------------------------------------------
+
+  test("KM survival matches the hand-computed curve on a planted cohort") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    // durations: c1 → 0 (active → censored), c2 → 10 (event), c3 → 10
+    // (active → censored), c4 → 20 (event; the last at-risk customer, so
+    // the curve dies out there)
+    Seq((1L, "2001-07-01"),
+        (2L, "2001-01-01"), (2L, "2001-01-11"),
+        (3L, "2001-06-20"), (3L, "2001-06-30"),
+        (4L, "2001-01-01"), (4L, "2001-01-21"))
+      .toDF("o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q_survival")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(0L, 10L, 20L))
+    assert(rows(0L).getLong(1) === 4L && rows(0L).getLong(2) === 0L &&
+      rows(0L).getLong(3) === 1L && rows(0L).getDouble(4) === 1.0)
+    assert(rows(10L).getLong(1) === 3L && rows(10L).getLong(2) === 1L &&
+      rows(10L).getLong(3) === 1L)
+    // S(10) = 1 - 1/3 rounded by the shared r6 floor form
+    assert(rows(10L).getDouble(4) === 0.666667)
+    // risk set dies out at 20 → survival pinned to exactly 0, no ln(0)
+    assert(rows(20L).getLong(1) === 1L && rows(20L).getLong(2) === 1L &&
+      rows(20L).getDouble(4) === 0.0)
+  }
+
+  test("KM survival on real data: monotone curve, telescoping risk sets") {
+    val rows = run("q_survival").collect()
+    assert(rows.nonEmpty)
+    val nCustomers = graft.io.Sources.table(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.head.getLong(1) === nCustomers, "first risk set != customers")
+    rows.zip(rows.drop(1)).foreach { case (a, b) =>
+      // n_risk(next) = n_risk(prev) - (events + censored at prev)
+      assert(b.getLong(1) === a.getLong(1) - a.getLong(2) - a.getLong(3),
+        s"risk set does not telescope at t=${b.getLong(0)}")
+      assert(b.getDouble(4) <= a.getDouble(4) + 1e-9,
+        s"survival increased at t=${b.getLong(0)}")
+    }
+    rows.foreach(r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("KM survival plan: join-free, one customer shuffle + bounded windows") {
+    val p = plan("q_survival")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"survival grew a join:\n$p")
+    assert(p.contains("Window"), s"expected the risk-set windows:\n$p")
+  }
+
+  // ---- q_assoc_rules ------------------------------------------------------
+
+  test("association rules: exact supports/confidence/lift on a planted basket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_assoc").toString
+    // o3 carries a duplicated part 104 — pair generation must dedupe it
+    Seq((1L, 101L), (1L, 102L), (1L, 103L),
+        (2L, 101L), (2L, 102L),
+        (3L, 101L), (3L, 104L), (3L, 104L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q_assoc_rules")(spark, dir).collect()
+    assert(rows.length === 4)
+    // (101,102) leads on supp_ab=2; the supp_ab=1 tail orders by lift then key
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((101L, 102L), (102L, 103L), (101L, 103L), (101L, 104L)))
+    val top = rows.head
+    assert(top.getLong(2) === 2L && top.getLong(3) === 3L && top.getLong(4) === 2L)
+    assert(top.getDouble(5) === 0.666667) // conf 101→102 = 2/3
+    assert(top.getDouble(6) === 1.0)      // conf 102→101
+    assert(top.getDouble(7) === 1.0)      // lift = 2·3/(3·2)
+    val second = rows(1)                  // (102,103): lift 3/(2·1) = 1.5
+    assert(second.getDouble(7) === 1.5)
+  }
+
+  test("association rules on real data: probability bounds hold on every rule") {
+    val rows = run("q_assoc_rules").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (sAb, sA, sB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sAb >= 1L && sAb <= math.min(sA, sB), "support bounds violated")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+      assert(r.getDouble(7) > 0.0)
+    }
+    // descending pair-support ordering with the documented tie-breaks
+    assert(rows.zip(rows.drop(1)).forall { case (a, b) =>
+      a.getLong(2) >= b.getLong(2) })
+  }
+
+  test("association rules plan: co-partitioned pair join, broadcast attaches") {
+    val p = plan("q_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"),
+      s"item supports should broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay an orderkey equi-join:\n$p")
+  }
 }

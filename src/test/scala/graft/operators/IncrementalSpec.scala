@@ -428,4 +428,42 @@ class IncrementalSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
       s"raw orders must partial-aggregate before the shuffle:\n$p")
   }
+
+  // ---- q_forecast -----------------------------------------------------------
+
+  test("seasonal-naive backtest scores a pure 7-periodic series at zero error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fc").toString
+    // 63 dense days of a strict weekly pattern: every held-out day equals
+    // its own forecast, so all three error columns are exactly 0
+    (0 until 63).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 100.0 + 10.0 * (i % 7))
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_forecast")(spark, dir).collect()
+    assert(out.length === Timeseries.BacktestDays)
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), "forecast != actual on periodic data")
+      assert(r.getLong(3) === 0L && r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0)
+    }
+  }
+
+  test("backtest on real data: bounded holdout, errors consistent with cents") {
+    val out = run("q_forecast").collect()
+    assert(out.nonEmpty && out.length <= Timeseries.BacktestDays)
+    out.foreach { r =>
+      assert(r.getLong(3) === math.abs(r.getLong(1) - r.getLong(2)),
+        "abs_err_cents != |actual - forecast|")
+      assert(r.getLong(1) > 0L && r.getLong(2) > 0L)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("backtest plan: bounded-frame broadcast lookbacks, no raw-row SMJ") {
+    val p = plan("q_forecast")
+    assert(!p.contains("SortMergeJoin"),
+      s"calendar-bounded self-joins must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected date-equi broadcasts:\n$p")
+  }
 }
