@@ -387,10 +387,233 @@ object Stats {
         (twoU.cast("double") / 2.0).as("u_stat"), col("ties").as("tie_term"),
         r6(z).as("z_stat"),
         (abs(z) > 1.959963984540054).cast("long").as("reject_95"))
+    }),
+
+    // ---- A/B experiment power analysis ------------------------------------
+    // The design-side companion to q_ab_ttest: from the same per-user arm
+    // moments, the minimal detectable effect at α=0.05 / power 0.8
+    // (two-sided z-approximation, MDE = (z_{α/2}+z_{β})·SE), the required
+    // per-arm n to detect the OBSERVED effect, and whether the experiment
+    // as run is adequately powered — the "should I even read this t-test"
+    // gate. Same 100 TB shape as the t-test: one user-keyed groupBy, arm
+    // moments partial-reduce to ONE row. Cross-engine: the engine-
+    // aggregated float moments are r6-PINNED before any downstream math,
+    // so the ceil and the boolean run on bit-identical doubles on both
+    // engines (no boundary flips), not just values that agree to 1e-6.
+    "q_power_analysis" -> ((s, dir) => {
+      val byUser = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(avg(col("value")).as("x"))
+        .select(arm(col("user_id")).as("g"), col("x"))
+      val xa = when(col("g") === 0L, col("x"))
+      val xb = when(col("g") === 1L, col("x"))
+      val gg = byUser.agg(
+        count(xa).as("na"), count(xb).as("nb"),
+        avg(xa).as("ma0"), avg(xb).as("mb0"),
+        var_samp(xa).as("va0"), var_samp(xb).as("vb0"))
+      val ma = r6(col("ma0")); val mb = r6(col("mb0"))
+      val va = r6(col("va0")); val vb = r6(col("vb0"))
+      // z_{0.025} + z_{0.20}: one shared literal on both engines
+      val zSum = lit(2.8015852181129683)
+      val se = sqrt(va / col("na") + vb / col("nb"))
+      val effect = abs(ma - mb)
+      val mde = zSum * se
+      val nReq = when(effect > 0,
+        ceil(zSum * zSum * (va + vb) / (effect * effect)).cast("long"))
+      gg.select(col("na").as("n_a"), col("nb").as("n_b"),
+        ma.as("mean_a"), mb.as("mean_b"),
+        r6(effect).as("effect"), r6(se).as("se"), r6(mde).as("mde"),
+        nReq.as("n_required_per_arm"),
+        (effect >= mde).cast("long").as("adequately_powered"))
+    }),
+
+    // ---- histogram decision-stump split (the GBDT primitive) --------------
+    // Best single split of order priority (urgent/high vs rest) over three
+    // binned features — the histogram-based split search at the heart of
+    // every distributed GBDT (LightGBM/XGBoost hist mode): per-(feature,
+    // bin) {n, positives} histograms from ONE corpus scan (map-side
+    // combine to ≤ 51 cells — 32 price bins + 12 months + 7 dows, a
+    // SCHEMA-bounded frame), then candidate thresholds, information gain,
+    // and the per-feature argmax all live on that tiny frame via windows.
+    // Price bins are computed in pure BIGINT arithmetic ((cents−lo)·32 div
+    // span) against a broadcast min/max row, so binning has zero float
+    // boundary risk. Gains involve ln (libm ulps differ per engine), so
+    // the ARGMAX orders on the r6-rounded gain with a bin tie-break — the
+    // selected split is part of the operator contract, deterministic on
+    // both engines.
+    "q_tree_split" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val o = t(s, dir, "orders").select(cents.as("cents"),
+        month(to_date(col("o_orderdate"))).cast("long").as("mon"),
+        dayofweek(to_date(col("o_orderdate"))).cast("long").as("dow"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          .cast("long").as("y"))
+      val rng = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val binned = o.crossJoin(broadcast(rng)).select(
+        expr("((cents - lo) * 32) div (hi - lo + 1)").as("price_bin"),
+        col("mon"), col("dow"), col("y"))
+      val feats = binned.select(explode(array(
+          struct(lit("price_bin").as("feature"), col("price_bin").as("bin")),
+          struct(lit("month").as("feature"), col("mon").as("bin")),
+          struct(lit("dow").as("feature"), col("dow").as("bin")))).as("f"),
+          col("y"))
+        .select(col("f.feature").as("feature"), col("f.bin").as("bin"),
+          col("y"))
+      val hist = feats.groupBy("feature", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val wOrd = Window.partitionBy("feature").orderBy("bin")
+      val wAll = Window.partitionBy("feature")
+      val cum = hist.select(col("feature"), col("bin"),
+          sum(col("n")).over(wOrd).as("nl"),
+          sum(col("pos")).over(wOrd).as("pl"),
+          sum(col("n")).over(wAll).as("nt"),
+          sum(col("pos")).over(wAll).as("pt"))
+        .where(col("nl") < col("nt")) // a split must leave a right side
+      def h(pos: Column, n: Column): Column = {
+        val p = pos.cast("double") / n
+        when(pos === 0 || pos === n, lit(0.0))
+          .otherwise(-(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
+      }
+      val nr = col("nt") - col("nl"); val pr = col("pt") - col("pl")
+      val gain = h(col("pt"), col("nt")) -
+        col("nl").cast("double") / col("nt") * h(col("pl"), col("nl")) -
+        nr.cast("double") / col("nt") * h(pr, nr)
+      val scored = cum.withColumn("gain6", r6(gain))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("feature").orderBy(col("gain6").desc, col("bin"))))
+      scored.where(col("rn") === 1)
+        .select(col("feature"), col("bin").as("threshold_bin"),
+          col("gain6").as("gain"),
+          col("nl").as("n_left"), col("pl").as("pos_left"),
+          nr.as("n_right"), pr.as("pos_right"),
+          r6(h(col("pt"), col("nt"))).as("base_entropy"))
+        .orderBy("feature")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // same per-user moments as the t-test, r6-pinned before the power math
+    // so ceil/boolean boundaries are decided on identical doubles
+    "q_power_analysis" ->
+      """WITH u AS (
+        |  SELECT user_id, AVG(value) AS x,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2 AS g
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), m AS (
+        |  SELECT
+        |    CAST(COUNT(x) FILTER (WHERE g = 0) AS BIGINT) AS na,
+        |    CAST(COUNT(x) FILTER (WHERE g = 1) AS BIGINT) AS nb,
+        |    AVG(x) FILTER (WHERE g = 0) AS ma0,
+        |    AVG(x) FILTER (WHERE g = 1) AS mb0,
+        |    VAR_SAMP(x) FILTER (WHERE g = 0) AS va0,
+        |    VAR_SAMP(x) FILTER (WHERE g = 1) AS vb0
+        |  FROM u
+        |), p AS (
+        |  SELECT na, nb,
+        |    FLOOR(ma0 * 1000000.0 + 0.500001) / 1000000.0 AS ma,
+        |    FLOOR(mb0 * 1000000.0 + 0.500001) / 1000000.0 AS mb,
+        |    FLOOR(va0 * 1000000.0 + 0.500001) / 1000000.0 AS va,
+        |    FLOOR(vb0 * 1000000.0 + 0.500001) / 1000000.0 AS vb
+        |  FROM m
+        |), c AS (
+        |  SELECT *, sqrt(va / na + vb / nb) AS se, abs(ma - mb) AS effect
+        |  FROM p
+        |)
+        |SELECT na AS n_a, nb AS n_b, ma AS mean_a, mb AS mean_b,
+        |  FLOOR(effect * 1000000.0 + 0.500001) / 1000000.0 AS effect,
+        |  FLOOR(se * 1000000.0 + 0.500001) / 1000000.0 AS se,
+        |  FLOOR(2.8015852181129683 * se * 1000000.0 + 0.500001) / 1000000.0
+        |    AS mde,
+        |  CASE WHEN effect > 0 THEN CAST(CEIL(
+        |    2.8015852181129683 * 2.8015852181129683 * (va + vb)
+        |      / (effect * effect)) AS BIGINT) END AS n_required_per_arm,
+        |  CAST(CASE WHEN effect >= 2.8015852181129683 * se THEN 1 ELSE 0 END
+        |    AS BIGINT) AS adequately_powered
+        |FROM c""".stripMargin,
+
+    // identical BIGINT histograms and the same r6-rounded-gain argmax; the
+    // entropy terms are the only libm calls and they sit inside the r6
+    "q_tree_split" ->
+      """WITH o AS (
+        |  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      AS cents,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mon,
+        |    CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), rng AS (
+        |  SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o
+        |), feats AS (
+        |  SELECT 'price_bin' AS feature,
+        |    CAST(((cents - lo) * 32) // (hi - lo + 1) AS BIGINT) AS bin, y
+        |  FROM o, rng
+        |  UNION ALL SELECT 'month', mon, y FROM o
+        |  UNION ALL SELECT 'dow', dow, y FROM o
+        |), hist AS (
+        |  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM feats GROUP BY feature, bin
+        |), cum AS (
+        |  SELECT feature, bin,
+        |    CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+        |      AS nl,
+        |    CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+        |      AS pl,
+        |    CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+        |    CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt
+        |  FROM hist
+        |  QUALIFY nl < nt
+        |), scored AS (
+        |  SELECT *, nt - nl AS nr, pt - pl AS pr,
+        |    FLOOR((
+        |      (CASE WHEN pt = 0 OR pt = nt THEN 0.0
+        |        ELSE -(CAST(pt AS DOUBLE) / nt * LN(CAST(pt AS DOUBLE) / nt)
+        |          + (1.0 - CAST(pt AS DOUBLE) / nt)
+        |            * LN(1.0 - CAST(pt AS DOUBLE) / nt)) END)
+        |      - CAST(nl AS DOUBLE) / nt
+        |        * (CASE WHEN pl = 0 OR pl = nl THEN 0.0
+        |          ELSE -(CAST(pl AS DOUBLE) / nl * LN(CAST(pl AS DOUBLE) / nl)
+        |            + (1.0 - CAST(pl AS DOUBLE) / nl)
+        |              * LN(1.0 - CAST(pl AS DOUBLE) / nl)) END)
+        |      - CAST(nt - nl AS DOUBLE) / nt
+        |        * (CASE WHEN pt - pl = 0 OR pt - pl = nt - nl THEN 0.0
+        |          ELSE -(CAST(pt - pl AS DOUBLE) / (nt - nl)
+        |              * LN(CAST(pt - pl AS DOUBLE) / (nt - nl))
+        |            + (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))
+        |              * LN(1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))) END)
+        |    ) * 1000000.0 + 0.500001) / 1000000.0 AS gain6,
+        |    ROW_NUMBER() OVER (PARTITION BY feature
+        |      ORDER BY FLOOR((
+        |      (CASE WHEN pt = 0 OR pt = nt THEN 0.0
+        |        ELSE -(CAST(pt AS DOUBLE) / nt * LN(CAST(pt AS DOUBLE) / nt)
+        |          + (1.0 - CAST(pt AS DOUBLE) / nt)
+        |            * LN(1.0 - CAST(pt AS DOUBLE) / nt)) END)
+        |      - CAST(nl AS DOUBLE) / nt
+        |        * (CASE WHEN pl = 0 OR pl = nl THEN 0.0
+        |          ELSE -(CAST(pl AS DOUBLE) / nl * LN(CAST(pl AS DOUBLE) / nl)
+        |            + (1.0 - CAST(pl AS DOUBLE) / nl)
+        |              * LN(1.0 - CAST(pl AS DOUBLE) / nl)) END)
+        |      - CAST(nt - nl AS DOUBLE) / nt
+        |        * (CASE WHEN pt - pl = 0 OR pt - pl = nt - nl THEN 0.0
+        |          ELSE -(CAST(pt - pl AS DOUBLE) / (nt - nl)
+        |              * LN(CAST(pt - pl AS DOUBLE) / (nt - nl))
+        |            + (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))
+        |              * LN(1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))) END)
+        |      ) * 1000000.0 + 0.500001) / 1000000.0 DESC, bin) AS rn
+        |  FROM cum
+        |)
+        |SELECT feature, bin AS threshold_bin, gain6 AS gain,
+        |  nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+        |  FLOOR((CASE WHEN pt = 0 OR pt = nt THEN 0.0
+        |    ELSE -(CAST(pt AS DOUBLE) / nt * LN(CAST(pt AS DOUBLE) / nt)
+        |      + (1.0 - CAST(pt AS DOUBLE) / nt)
+        |        * LN(1.0 - CAST(pt AS DOUBLE) / nt)) END)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS base_entropy
+        |FROM scored WHERE rn = 1 ORDER BY feature""".stripMargin,
 
     "q_ab_ttest" ->
       """WITH u AS (

@@ -281,9 +281,76 @@ class StatsSpec extends SparkSpec {
 
   // ---- plan gates ----------------------------------------------------------
 
+  // ---- q_power_analysis ---------------------------------------------------
+
+  test("power analysis is self-consistent with its own t-test moments") {
+    val r = SparkEntry.queries("q_power_analysis")(spark, sf).collect().head
+    val tt = SparkEntry.queries("q_ab_ttest")(spark, sf).collect().head
+    // the same arm split: per-arm counts must agree with the t-test row
+    assert(r.getLong(0) === tt.getLong(0) && r.getLong(1) === tt.getLong(1))
+    val (effect, se, mde) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(se > 0.0 && mde > 0.0)
+    assert(math.abs(mde - 2.8015852181129683 * se) < 1e-5,
+      "MDE must be (z_a + z_b) * se")
+    // the powered flag is exactly the effect-vs-MDE comparison
+    assert((r.getLong(8) === 1L) === (effect >= mde))
+    // required n detects the observed effect: shrinking the effect grows n
+    if (effect > 0) assert(r.getLong(7) > 0L)
+  }
+
+  // ---- q_tree_split -------------------------------------------------------
+
+  test("tree split finds a perfectly separating feature at full gain") {
+    import spark.implicits._
+    // priority is a pure function of month (Jan–Jun urgent): the month
+    // feature separates perfectly, so gain = base entropy, the left side
+    // holds every positive, and the threshold lands on bin 6. Price is
+    // CONSTANT → one bin → no candidate thresholds → feature absent (a
+    // constant feature must not fabricate a split).
+    val dir = fixtureDir("orders" ->
+      (for { m <- 1 to 12; d <- 1 to 10 } yield
+        (f"2001-$m%02d-$d%02d", 100.0,
+          if (m <= 6) "1-URGENT" else "5-LOW"))
+        .toDF("o_orderdate", "o_totalprice", "o_orderpriority"))
+    val rows = SparkEntry.queries("q_tree_split")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!rows.contains("price_bin"), "constant feature must yield no split")
+    val mon = rows("month")
+    assert(mon.getLong(1) === 6L, "perfect split threshold must be June")
+    assert(mon.getDouble(2) === mon.getDouble(7),
+      "perfect split gain must equal base entropy")
+    assert(mon.getLong(4) === mon.getLong(3), "left side must be all positive")
+    assert(mon.getLong(6) === 0L, "right side must hold zero positives")
+    // dow is independent of the label here → strictly weaker than month
+    assert(rows("dow").getDouble(2) < mon.getDouble(2))
+  }
+
+  test("tree split on real data: counts conserve, gains non-negative") {
+    val rows = SparkEntry.queries("q_tree_split")(spark, sf).collect()
+    assert(rows.length === 3, "expected price_bin, month, dow rows")
+    val o = graft.io.Sources.table(spark, sf, "orders")
+    val total = o.count()
+    val pos = o.where(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+    rows.foreach { r =>
+      assert(r.getLong(3) + r.getLong(5) === total, "n_left+n_right != corpus")
+      assert(r.getLong(4) + r.getLong(6) === pos, "positives not conserved")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(7) + 1e-9,
+        "gain must sit in [0, base entropy]")
+    }
+  }
+
+  test("tree split plan: one corpus scan exploded, stats attach by broadcast") {
+    val p = plan("q_tree_split")
+    assert(p.contains("Generate"), s"expected the 3-feature explode:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"min/max range row must broadcast, not shuffle-join:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"histogram must partial-aggregate before the shuffle:\n$p")
+  }
+
   test("stats plans: join-free, corpus reduces through a partial agg before any shuffle") {
     for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test", "q_ks_exact",
-        "q_regression", "q_anova", "q_mann_whitney")) {
+        "q_regression", "q_anova", "q_mann_whitney", "q_power_analysis")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
       val firstEx = p.indexOf("Exchange")
