@@ -440,8 +440,78 @@ object Graph {
     // exact-integer Adamic–Adar summation
     "q_link_prediction" -> ((s, dir) =>
       linkPrediction(partPairEdges(Sources.table(s, dir, "lineitem")
-        .where(col("l_orderkey") % 10 === 0)), k = 20))
+        .where(col("l_orderkey") % 10 === 0)), k = 20)),
+
+    // BFS distance histogram from the minimum node of the same slice —
+    // see bfsLevels scaladoc for the frontier-expansion plan
+    "q_sssp" -> ((s, dir) => {
+      val und = partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0))
+      // one tiny bounded job picks the pinned source (u < v ⇒ min u is the
+      // global min node) — the codebook-training precedent: a driver-side
+      // scalar, never row data
+      val source = und.agg(min(col("u"))).first().getLong(0)
+      val (dist, sizes) = bfsLevels(und, source, BfsRounds)
+      val converged = if (sizes.last == 0L) 1L else 0L
+      dist.groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .select(col("dist"), col("n_nodes"), col("min_node"), col("max_node"),
+          lit(converged).as("converged"))
+        .orderBy("dist")
+    })
   )
+
+  /** BFS round budget for q_sssp: measured frontier exhaustion happens
+    * after round 4/5/7 on the sf0.001/0.01/0.1 sliced graphs (a 6-round
+    * budget left sf0.1 unconverged — dist-6 still held 286 nodes), so 8
+    * rounds reaches the true eccentricity at every measured SF and the
+    * in-band `converged` flag (final frontier size = 0) proves it per
+    * run — the q_kcore fixed-round discipline. */
+  val BfsRounds = 8
+
+  /** Fixed-round breadth-first search from `source`: the frontier-
+    * expansion primitive (unweighted single-source shortest paths) that
+    * complements pagerank's full-graph relaxation — each round touches
+    * only the NEW frontier's adjacency, not every edge.
+    *
+    * Scale shape: edges symmetrized + repartitioned + checkpointed ONCE;
+    * each round is one frontier⋈edges equi-join (frontier-sized, not
+    * graph-sized), a distinct, and an anti-join against the seen set —
+    * all node-table-sized shuffles. The per-round frontier size rides an
+    * observe() on the round's existing localCheckpoint action (zero extra
+    * jobs — the kCore discipline), giving the convergence trace a
+    * fixed-round contract otherwise hides. Returns the (node, dist) frame
+    * and the per-round frontier sizes.
+    */
+  def bfsLevels(und: DataFrame, source: Long, rounds: Int): (DataFrame, Seq[Long]) = {
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var dist = sym.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist.select(col("node"))
+    val sizes = Vector.newBuilder[Long]
+    for (k <- 1 to rounds) {
+      val obs = Observation()
+      val next = frontier
+        .join(sym, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("dist"))
+      val merged = dist.unionAll(next)
+        .observe(obs, sum((col("dist") === k).cast("long")).as("f"))
+        .localCheckpoint()
+      Blocks.releaseCheckpoint(dist)
+      dist = merged
+      frontier = dist.where(col("dist") === k).select("node")
+      sizes += Observe.metric(obs, "f").getOrElse(-1L)
+    }
+    (dist, sizes.result())
+  }
 
   /** Link prediction over the co-purchase graph: for every OPEN wedge
     * endpoint pair (non-adjacent x<y sharing ≥1 neighbor) the three
@@ -495,6 +565,7 @@ object Graph {
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> prOracle(PrIters),
+    "q_sssp" -> bfsOracle(BfsRounds),
 
     // the same forward algorithm relationally: ROW() comparisons mirror
     // Spark's struct ordering; counts are exact integers, transitivity is
@@ -690,6 +761,43 @@ object Graph {
     * extension, each round's survivor set re-derived from the previous
     * round's by the identical degree-threshold rule).
     */
+  /** The DuckDB oracle for q_sssp: the same BFS rounds unrolled as chained
+    * MATERIALIZED CTEs — fᵢ is round i's frontier (new nodes only, via
+    * NOT EXISTS against the seen set), aᵢ the accumulated distance table.
+    */
+  private def bfsOracle(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v AS src, u AS dst FROM und
+        |), f0 AS MATERIALIZED (SELECT MIN(src) AS node FROM sym),
+        |a0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM f0)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s""", f$k AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node FROM sym e
+         |  JOIN f${k - 1} f ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM a${k - 1} s WHERE s.node = e.dst)
+         |), a$k AS MATERIALIZED (
+         |  SELECT node, dist FROM a${k - 1}
+         |  UNION ALL SELECT node, CAST($k AS BIGINT) AS dist FROM f$k
+         |)""".stripMargin
+    }.mkString
+    s"""$head$roundCtes,
+       |conv AS (SELECT CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS c
+       |  FROM f$rounds)
+       |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  MIN(node) AS min_node, MAX(node) AS max_node,
+       |  CAST(c AS BIGINT) AS converged
+       |FROM a$rounds, conv
+       |GROUP BY dist, c ORDER BY dist""".stripMargin
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val head =
       // MATERIALIZED: each aᵢ references aᵢ₋₁ twice, so DuckDB's default

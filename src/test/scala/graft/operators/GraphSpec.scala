@@ -326,4 +326,57 @@ class GraphSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all joins must be key equi-joins:\n$p")
   }
+
+  // ---- BFS levels / q_sssp --------------------------------------------------
+
+  test("BFS levels: exact path-graph distances, early exhaustion observed") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val (dist, sizes) = Graph.bfsLevels(und, source = 1L, rounds = 6)
+    val m = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // frontier trace: one new node per round, then exhaustion at round 5
+    assert(sizes === Seq(1L, 1L, 1L, 1L, 0L, 0L))
+  }
+
+  test("BFS never crosses into a disconnected component") {
+    val und = Seq((1L, 2L), (10L, 11L)).toDF("u", "v")
+    val (dist, sizes) = Graph.bfsLevels(und, source = 1L, rounds = 3)
+    assert(dist.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(sizes === Seq(1L, 0L, 0L))
+  }
+
+  test("q_sssp on real data: source row pinned, counts conserve, converged") {
+    val und = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).cache()
+    try {
+      val rows = graft.SparkEntry.queries("q_sssp")(spark, "/root/testdata/sf0.001")
+        .collect()
+      val srcNode = und.agg(min(col("u"))).head.getLong(0)
+      val d0 = rows.find(_.getLong(0) == 0L).get
+      assert(d0.getLong(1) === 1L && d0.getLong(2) === srcNode &&
+        d0.getLong(3) === srcNode, "distance-0 row must be exactly the source")
+      assert(rows.forall(_.getLong(4) === 1L),
+        "6 rounds must exhaust the frontier on the sliced graph")
+      val nNodes = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n"))).distinct().count()
+      assert(rows.map(_.getLong(1)).sum <= nNodes,
+        "reached nodes cannot exceed the graph's node count")
+      // distances are contiguous from 0 (a BFS cannot skip a level)
+      val ds = rows.map(_.getLong(0)).sorted.toSeq
+      assert(ds === (0L until ds.length.toLong).toSeq, s"level gap in $ds")
+    } finally und.unpersist()
+  }
+
+  test("BFS is deterministic across runs (checkpointed frontier, no races)") {
+    val und = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0))
+    def snap() = {
+      val (dist, sizes) = Graph.bfsLevels(und, source = 1L, rounds = 3)
+      (dist.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq,
+        sizes)
+    }
+    assert(snap() === snap())
+  }
 }
