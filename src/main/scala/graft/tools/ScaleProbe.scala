@@ -331,6 +331,70 @@ object ScaleProbe {
         f"butterflies=${r.getLong(3)}%9d secs=$secs%.2f")
       Blocks.releaseAll(spark)
     }
+
+    // Association rules: order copies with OFFSET orderkeys over the SAME
+    // part catalog (realistic growth — more baskets, fixed assortment).
+    // The per-order pair join grows linearly in lineitem; the (a,b) pair
+    // aggregate map-side combines, and its output is bounded by the
+    // distinct co-purchased pair count (catalog², not corpus).
+    val liPairs = li.select(col("l_orderkey"), col("l_partkey"))
+    for (mult <- Seq(1, 4, 16)) {
+      val liBig = (0 until mult).map { i =>
+        liPairs.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("ok"),
+          col("l_partkey").as("pk"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val items = liBig.distinct()
+      val t0 = System.nanoTime()
+      val aa = items.select(col("ok"), col("pk").as("part_a"))
+      val bb = items.select(col("ok"), col("pk").as("part_b"))
+      val pairSupp = aa.join(bb, Seq("ok"))
+        .where(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("supp_ab"))
+      val itemSupp = items.groupBy("pk").agg(count(lit(1)).as("supp"))
+      val top = pairSupp
+        .join(broadcast(itemSupp.select(col("pk").as("part_a"),
+          col("supp").as("supp_a"))), Seq("part_a"))
+        .join(broadcast(itemSupp.select(col("pk").as("part_b"),
+          col("supp").as("supp_b"))), Seq("part_b"))
+        .orderBy(col("supp_ab").desc, col("part_a"), col("part_b"))
+        .limit(20).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val nPairs = pairSupp.count()
+      println(f"[scale-assoc] mult=$mult%2d items=${items.count()}%9d " +
+        f"pairs=$nPairs%9d top=$top%3d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
+    // BFS levels: DISJOINT graph copies (offset order+part keys) — the
+    // seed's component stays constant while the total graph grows 16×.
+    // This measures the property a frontier search must have at 100 TB:
+    // per-round cost tracks the FRONTIER's adjacency probes, not the
+    // total edge count — a seed exploration of a huge graph must not pay
+    // for the unreachable remainder. (Growing the reachable component
+    // itself is not a realistic knob here: distinct co-purchase pairs
+    // saturate under order multiplication over a fixed catalog.)
+    val liBfsBase = liPairs.where(col("l_orderkey") % 10 === 0)
+    for (mult <- Seq(1, 4, 16)) {
+      val liBig = (0 until mult).map { i =>
+        liBfsBase.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val und = graft.operators.Graph.partPairEdges(liBig).localCheckpoint()
+      val nE = und.count()
+      val src = und.agg(min(col("u"))).head.getLong(0)
+      val t0 = System.nanoTime()
+      val (distF, sizes) = graft.operators.Graph.bfsLevels(und, src, rounds = 8)
+      val reached = distF.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-bfs] mult=$mult%2d edges=$nE%9d reached=$reached%8d " +
+        f"rounds_used=${sizes.takeWhile(_ > 0).length}%2d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
     spark.stop()
   }
 }
