@@ -41,6 +41,10 @@ object Stats {
   private def r6(c: Column): Column =
     floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
+  /** q_prop_ztest conversion threshold: a user whose purchase-event total
+    * reaches these integer cents ($500) counts as a high-value conversion. */
+  val ConvCents = 50000L
+
   /** Deterministic 50/50 arm from the id's md5 — the q_hash_split idiom:
     * content-addressed, reproducible across engines and partitionings.
     */
@@ -428,6 +432,49 @@ object Stats {
         (effect >= mde).cast("long").as("adequately_powered"))
     }),
 
+    // ---- two-proportion z-test (conversion A/B readout) -------------------
+    // The categorical sibling of q_ab_ttest: did arm A produce high-value
+    // customers (per-user purchase total ≥ $500) at a different RATE than
+    // arm B — the most common experiment readout, at the correct
+    // randomization unit (users). The outcome flag compares EXACT integer
+    // cents (float sums would make the ≥ boundary ulp-fragile). Pooled-
+    // variance two-proportion z: z = (p̂a−p̂b)/√(p̂(1−p̂)(1/na+1/nb)).
+    // Plan shape: one user-keyed groupBy (map-side combine) collapses
+    // events to a per-user cents total, then ONE row of four BIGINT
+    // counts — the arm never shuffles. A degenerate pool (everyone or
+    // no-one converts ⇒ zero pooled variance) abstains with z = NULL /
+    // reject 0 on BOTH engines instead of diverging through x/0 — the
+    // q_mad_outliers zero-guard discipline. Everything else is a fixed
+    // float sequence over the four exact integers.
+    "q_prop_ztest" -> ((s, dir) => {
+      val cents = floor(col("value") * lit(100.0) + lit(0.500001)).cast("long")
+      val byUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("cents"))
+        .select(arm(col("user_id")).as("g"),
+          (col("cents") >= lit(ConvCents)).cast("long").as("conv"))
+      val g = byUser.agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("g") === 0L, col("conv")).otherwise(0L)).as("xa"),
+        sum(when(col("g") === 1L, col("conv")).otherwise(0L)).as("xb"))
+      val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+      val pa = col("xa").cast("double") / naD
+      val pb = col("xb").cast("double") / nbD
+      val pPool = (col("xa") + col("xb")).cast("double") / (naD + nbD)
+      val z = when(
+        col("xa") + col("xb") > 0 && col("xa") + col("xb") < col("na") + col("nb"),
+        (pa - pb) /
+          sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / naD + lit(1.0) / nbD)))
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("xa").as("conv_a"), col("xb").as("conv_b"),
+        r6(pa).as("rate_a"), r6(pb).as("rate_b"),
+        r6(pa - pb).as("abs_lift"), r6(z).as("z_stat"),
+        coalesce((abs(z) > 1.959963984540054).cast("long"), lit(0L))
+          .as("reject_95"))
+    }),
+
     // ---- histogram decision-stump split (the GBDT primitive) --------------
     // Best single split of order priority (urgent/high vs rest) over three
     // binned features — the histogram-based split search at the heart of
@@ -533,6 +580,45 @@ object Stats {
         |  CAST(CASE WHEN effect >= 2.8015852181129683 * se THEN 1 ELSE 0 END
         |    AS BIGINT) AS adequately_powered
         |FROM c""".stripMargin,
+
+    // four exact BIGINT counts (integer-cents conversion boundary), then
+    // the identical fixed float sequence; degenerate pool ⇒ NULL/abstain
+    "q_prop_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(FLOOR(value * 100.0 + 0.500001) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) >= 50000 THEN 1 ELSE 0 END AS conv,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2 AS g
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT) AS xa,
+        |    CAST(SUM(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT) AS xb
+        |  FROM u
+        |), c AS (
+        |  SELECT *,
+        |    CAST(xa AS DOUBLE) / na AS pa, CAST(xb AS DOUBLE) / nb AS pb,
+        |    CAST(xa + xb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |      AS pp
+        |  FROM m
+        |), zz AS (
+        |  SELECT *, CASE WHEN xa + xb > 0 AND xa + xb < na + nb
+        |    THEN (pa - pb) / sqrt(pp * (1.0 - pp)
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+        |    END AS z
+        |  FROM c
+        |)
+        |SELECT na AS n_a, nb AS n_b, xa AS conv_a, xb AS conv_b,
+        |  FLOOR(pa * 1000000.0 + 0.500001) / 1000000.0 AS rate_a,
+        |  FLOOR(pb * 1000000.0 + 0.500001) / 1000000.0 AS rate_b,
+        |  FLOOR((pa - pb) * 1000000.0 + 0.500001) / 1000000.0 AS abs_lift,
+        |  FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
+        |  CAST(CASE WHEN z IS NOT NULL AND abs(z) > 1.959963984540054
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM zz""".stripMargin,
 
     // identical BIGINT histograms and the same r6-rounded-gain argmax; the
     // entropy terms are the only libm calls and they sit inside the r6

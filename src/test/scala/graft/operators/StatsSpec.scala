@@ -298,6 +298,65 @@ class StatsSpec extends SparkSpec {
     if (effect > 0) assert(r.getLong(7) > 0L)
   }
 
+  // ---- q_prop_ztest -------------------------------------------------------
+
+  /** Each candidate user's md5 arm, discovered with the engine's own
+    * formula — planted fixtures can then place users in chosen arms. */
+  private def armsOf(n: Int): Map[Long, Long] =
+    spark.range(1, n + 1).select(col("id"),
+      pmod(conv(substring(md5(col("id").cast("string").cast("binary")), 1, 4),
+        16, 10).cast("long"), lit(2L)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("proportion z-test: equal planted conversion rates give z = 0 exactly") {
+    import spark.implicits._
+    val arms = armsOf(60)
+    val as = arms.collect { case (id, 0L) => id }.toSeq.sorted.take(5)
+    val bs = arms.collect { case (id, 1L) => id }.toSeq.sorted.take(5)
+    assert(as.size === 5 && bs.size === 5, "need 5 users per md5 arm")
+    // 2 converters of 5 in EACH arm → identical rates → z must be exactly
+    // 0. Non-converters still purchase, but under the $500 cents cut —
+    // the threshold decides, not event presence.
+    val rows = (as ++ bs).zipWithIndex.map { case (u, i) =>
+      (u, "purchase", if (i % 5 < 2) 600.0 else 10.0, 1L)
+    }
+    val dir = fixtureDir("events" ->
+      rows.toDF("user_id", "event_type", "value", "ts"))
+    val r = SparkEntry.queries("q_prop_ztest")(spark, dir).collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 5L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 2L)
+    assert(r.getDouble(4) === 0.4 && r.getDouble(5) === 0.4)
+    assert(r.getDouble(6) === 0.0 && r.getDouble(7) === 0.0)
+    assert(r.getLong(8) === 0L)
+  }
+
+  test("proportion z-test: full separation rejects with lift exactly 1") {
+    import spark.implicits._
+    val arms = armsOf(120)
+    val as = arms.collect { case (id, 0L) => id }.toSeq.sorted.take(30)
+    val bs = arms.collect { case (id, 1L) => id }.toSeq.sorted.take(30)
+    val rows = as.map(u => (u, "purchase", 777.0, 1L)) ++
+      bs.map(u => (u, "purchase", 5.0, 1L))
+    val dir = fixtureDir("events" ->
+      rows.toDF("user_id", "event_type", "value", "ts"))
+    val r = SparkEntry.queries("q_prop_ztest")(spark, dir).collect().head
+    assert(r.getDouble(6) === 1.0, "lift must be exactly 1.0")
+    assert(r.getLong(8) === 1L, "full separation at n=30/arm must reject")
+    assert(r.getDouble(7) > 1.96)
+  }
+
+  test("proportion z-test on real data: counts partition users, z matches lift sign") {
+    val r = SparkEntry.queries("q_prop_ztest")(spark, sf).collect().head
+    val users = graft.io.Sources.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) === users, "arms must partition users")
+    assert(r.getLong(2) <= r.getLong(0) && r.getLong(3) <= r.getLong(1))
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    if (r.isNullAt(7)) assert(r.getLong(8) === 0L, "degenerate pool must abstain")
+    else assert(math.signum(r.getDouble(7)) === math.signum(r.getDouble(6)),
+      "z and lift must agree in sign")
+  }
+
   // ---- q_tree_split -------------------------------------------------------
 
   test("tree split finds a perfectly separating feature at full gain") {
@@ -350,7 +409,8 @@ class StatsSpec extends SparkSpec {
 
   test("stats plans: join-free, corpus reduces through a partial agg before any shuffle") {
     for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test", "q_ks_exact",
-        "q_regression", "q_anova", "q_mann_whitney", "q_power_analysis")) {
+        "q_regression", "q_anova", "q_mann_whitney", "q_power_analysis",
+        "q_prop_ztest")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
       val firstEx = p.indexOf("Exchange")
