@@ -475,6 +475,48 @@ object Stats {
           .as("reject_95"))
     }),
 
+    // ---- Spearman rank correlation ----------------------------------------
+    // Monotone-association readout between line quantity and extended
+    // price on the bounded o_orderkey%20 slice — the robust companion to
+    // q_corr_stats' Pearson r (rank correlation survives the outliers and
+    // nonlinearity the raw-value moment form is blind to). Ranks NEVER
+    // materialize by sorting rows: tie-averaged ranks come in closed form
+    // off each variable's value histogram + one cumulative window (the
+    // q_mann_whitney machinery), DOUBLED so they stay integers
+    // (rank2 = 2·before + c + 1), and join back to rows by value — the
+    // quantity table is ≤50 rows (broadcast), the price table is
+    // value-cardinality-bounded and equi-joins on the cents key. Spearman
+    // = Pearson on ranks; the uniform ×2 scaling cancels exactly, all five
+    // sufficient statistics are BIGINT-exact, and rho is one fixed float
+    // sequence over them — no accumulation, no libm beyond sqrt.
+    "q_spearman" -> ((s, dir) => {
+      val rows = t(s, dir, "lineitem").where(col("l_orderkey") % 20 === 0)
+        .select(col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+            .cast("long").as("y"))
+      def rank2(df: DataFrame, v: String): DataFrame = {
+        val hist = df.groupBy(v).agg(count(lit(1)).as("c"))
+        val w = BoundedWindow.ordered(col(v), col(v))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.select(col(v),
+          (lit(2L) * (sum(col("c")).over(w) - col("c")) + col("c") + lit(1L))
+            .as(s"r_$v"))
+      }
+      val ranked = rows
+        .join(broadcast(rank2(rows, "x")), Seq("x"))
+        .join(rank2(rows, "y"), Seq("y"))
+      val g = ranked.agg(count(lit(1)).as("n"),
+        sum(col("r_x")).as("sa"), sum(col("r_y")).as("sb"),
+        sum(col("r_x") * col("r_x")).as("saa"),
+        sum(col("r_y") * col("r_y")).as("sbb"),
+        sum(col("r_x") * col("r_y")).as("sab"))
+      val nD = col("n").cast("double")
+      val num = nD * col("sab") - col("sa").cast("double") * col("sb")
+      val den = sqrt(nD * col("saa") - col("sa").cast("double") * col("sa")) *
+        sqrt(nD * col("sbb") - col("sb").cast("double") * col("sb"))
+      g.select(col("n"), r6(num / den).as("rho"))
+    }),
+
     // ---- histogram decision-stump split (the GBDT primitive) --------------
     // Best single split of order priority (urgent/high vs rest) over three
     // binned features — the histogram-based split search at the heart of
@@ -580,6 +622,36 @@ object Stats {
         |  CAST(CASE WHEN effect >= 2.8015852181129683 * se THEN 1 ELSE 0 END
         |    AS BIGINT) AS adequately_powered
         |FROM c""".stripMargin,
+
+    // identical closed-form doubled tie-ranks (2·before + c + 1 off each
+    // value histogram), BIGINT sufficient statistics, one float sequence
+    "q_spearman" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.500001) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_orderkey % 20 = 0
+        |), rx AS (
+        |  SELECT x, 2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1 AS r_x
+        |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY x)
+        |), ry AS (
+        |  SELECT y, 2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1 AS r_y
+        |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY y)
+        |), j AS (
+        |  SELECT r_x, r_y FROM rows_ JOIN rx USING (x) JOIN ry USING (y)
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r_x) AS BIGINT) AS sa, CAST(SUM(r_y) AS BIGINT) AS sb,
+        |    CAST(SUM(r_x * r_x) AS BIGINT) AS saa,
+        |    CAST(SUM(r_y * r_y) AS BIGINT) AS sbb,
+        |    CAST(SUM(r_x * r_y) AS BIGINT) AS sab
+        |  FROM j
+        |)
+        |SELECT n,
+        |  FLOOR((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+        |    / (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+        |       * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS rho
+        |FROM m""".stripMargin,
 
     // four exact BIGINT counts (integer-cents conversion boundary), then
     // the identical fixed float sequence; degenerate pool ⇒ NULL/abstain

@@ -357,6 +357,57 @@ class StatsSpec extends SparkSpec {
       "z and lift must agree in sign")
   }
 
+  // ---- q_spearman ---------------------------------------------------------
+
+  test("Spearman: a strictly monotone relation scores exactly +1 / -1") {
+    import spark.implicits._
+    // y = x³ is nonlinear but strictly increasing → rho must be exactly 1
+    // (Pearson on the raw values would NOT be 1 — that is the point)
+    val up = (1 to 20).map(i => (i.toLong * 20L, i.toLong, i.toDouble * i * i))
+    val dirUp = fixtureDir("lineitem" ->
+      up.toDF("l_orderkey", "l_quantity", "l_extendedprice"))
+    val rUp = SparkEntry.queries("q_spearman")(spark, dirUp).collect().head
+    assert(rUp.getLong(0) === 20L && rUp.getDouble(1) === 1.0)
+    val dn = (1 to 20).map(i => (i.toLong * 20L, i.toLong, 1000.0 - i * i * i))
+    val dirDn = fixtureDir("lineitem" ->
+      dn.toDF("l_orderkey", "l_quantity", "l_extendedprice"))
+    val rDn = SparkEntry.queries("q_spearman")(spark, dirDn).collect().head
+    assert(rDn.getDouble(1) === -1.0)
+  }
+
+  test("Spearman on real data: matches a driver-side rank recompute exactly") {
+    val r = SparkEntry.queries("q_spearman")(spark, sf).collect().head
+    val slice = graft.io.Sources.table(spark, sf, "lineitem")
+      .where(col("l_orderkey") % 20 === 0)
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.500001)).cast("long"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(r.getLong(0) === slice.length.toLong)
+    assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+    def ranks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v); val hi = sorted.lastIndexOf(v)
+        v -> (lo + hi + 2) / 2.0
+      }.toMap
+    }
+    val rx = ranks(slice.map(_._1)); val ry = ranks(slice.map(_._2))
+    val xs = slice.map(p => rx(p._1)); val ys = slice.map(p => ry(p._2))
+    val n = slice.length.toDouble
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val den = math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+      math.sqrt(n * ys.map(b => b * b).sum - ys.sum * ys.sum)
+    assert(math.abs(r.getDouble(1) - num / den) < 1e-5,
+      s"engine rho ${r.getDouble(1)} != driver recompute ${num / den}")
+  }
+
+  test("Spearman plan: rank tables join back by value, quantity side broadcasts") {
+    val p = plan("q_spearman")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=50-row quantity rank table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rank attach must be an equi-join:\n$p")
+  }
+
   // ---- q_tree_split -------------------------------------------------------
 
   test("tree split finds a perfectly separating feature at full gain") {
