@@ -269,6 +269,44 @@ object Evaluation {
         r4(TextOps.stopRatio(col("text"))).as("sb"),
         (col("lang") === "en").cast("long").as("y")))),
 
+    // ---- cumulative gains / lift curve ------------------------------------
+    // The campaign-targeting read beside ROC/PR: rank the population by
+    // score descending, then per population decile report positives
+    // captured (gain) and lift over random targeting — "call the top 20%
+    // and reach X% of the converters". Scale shape: the SAME bounded
+    // scoreBins frame; cumulative pop/pos ride one descending window over
+    // it, the 10 decile thresholds broadcast-cross the bin frame and each
+    // resolves to the smallest bin prefix covering d·N/10 via an integer
+    // comparison (cumpop·10 ≥ d·N — no float decile boundary), and the
+    // threshold rows join back on the strictly-increasing cumpop key.
+    // Gain/lift are single divisions over exact integer products (integer
+    // overflow needs N ≳ 3e9 at once — swap the product to decimal there).
+    "q_gains_curve" -> ((s, dir) => {
+      val bins = scoreBins(t(s, dir, "documents"))
+      val wCum = BoundedWindow.ordered(col("sb"), col("sb").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("sb"))
+      val cum = bins.select(
+        sum(col("pos") + col("neg")).over(wCum).as("cumpop"),
+        sum(col("pos")).over(wCum).as("cumpos"),
+        sum(col("pos") + col("neg")).over(wAll).as("ntot"),
+        sum(col("pos")).over(wAll).as("ptot"))
+      val dec = s.range(1, 11).select(col("id").as("decile"))
+      val thr = cum.crossJoin(broadcast(dec))
+        .where(col("cumpop") * 10 >= col("decile") * col("ntot"))
+        .groupBy("decile").agg(min(col("cumpop")).as("cumpop"))
+      thr.join(cum, Seq("cumpop"))
+        .select(col("decile"), col("cumpop").as("n_docs"),
+          col("cumpos").as("n_pos"),
+          r6(col("cumpop").cast("double") / col("ntot")).as("pop_frac"),
+          when(col("ptot") > 0,
+            r6(col("cumpos").cast("double") / col("ptot"))).as("gain"),
+          when(col("ptot") > 0,
+            r6((col("cumpos") * col("ntot")).cast("double")
+              / (col("cumpop") * col("ptot")))).as("lift"))
+        .orderBy("decile")
+    }),
+
     // ---- per-source token entropy -----------------------------------------
     // Shannon entropy of the unigram distribution per source — the
     // diversity signal a mixture designer reads next to size: a source of
@@ -461,6 +499,35 @@ object Evaluation {
         |  FLOOR((CASE WHEN pre + rec > 0 THEN 2.0 * pre * rec / (pre + rec)
         |    ELSE 0.0 END) * 1000000.0 + 0.500001) / 1000000.0 AS f1
         |FROM m ORDER BY thr""".stripMargin),
+
+    "q_gains_curve" -> (binsCte +
+      """, c AS (
+        |  SELECT
+        |    SUM(pos + neg) OVER (ORDER BY sb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpop,
+        |    SUM(pos) OVER (ORDER BY sb DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos,
+        |    SUM(pos + neg) OVER () AS ntot,
+        |    SUM(pos) OVER () AS ptot
+        |  FROM b
+        |), q AS (
+        |  SELECT i AS decile, MIN(cumpop) AS cumpop
+        |  FROM c, range(1, 11) t(i)
+        |  WHERE cumpop * 10 >= i * ntot
+        |  GROUP BY i
+        |)
+        |SELECT q.decile, CAST(q.cumpop AS BIGINT) AS n_docs,
+        |  CAST(c.cumpos AS BIGINT) AS n_pos,
+        |  FLOOR(CAST(q.cumpop AS DOUBLE) / c.ntot * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS pop_frac,
+        |  CASE WHEN c.ptot > 0 THEN
+        |    FLOOR(CAST(c.cumpos AS DOUBLE) / c.ptot * 1000000.0 + 0.500001)
+        |      / 1000000.0 END AS gain,
+        |  CASE WHEN c.ptot > 0 THEN
+        |    FLOOR(CAST(c.cumpos * c.ntot AS DOUBLE) / (q.cumpop * c.ptot)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS lift
+        |FROM q JOIN c ON c.cumpop = q.cumpop
+        |ORDER BY q.decile""".stripMargin),
 
     // (the b CTE is unreferenced here — calibration bins on p̂ deciles,
     // not raw scores; DuckDB never evaluates unreferenced CTEs)

@@ -279,4 +279,50 @@ class EvaluationSpec extends SparkSpec {
     // replicate means: map-side partial agg caps shuffle at 32 rows/task
     assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
   }
+
+  // ---- q_gains_curve --------------------------------------------------------
+
+  test("gains curve: a perfect ranker captures every positive in the top bin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gains").toString
+    // 5 en docs made entirely of stopwords (stop-ratio 1.0 — the top score
+    // bin) vs 15 non-en docs with none (ratio 0): a perfect ranking, so
+    // every decile's threshold prefix already holds all 5 positives
+    val docs = (1 to 5).map(i => (i.toLong, "the and of to in a", "en")) ++
+      (6 to 20).map(i => (i.toLong, "qqq zzz rrr vvv kkk mmm", "xx"))
+    docs.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_gains_curve")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    rows.foreach { r =>
+      assert(r.getDouble(4) === 1.0, s"decile ${r.getLong(0)} gain != 1.0")
+      assert(r.getLong(2) === 5L)
+    }
+    // top decile threshold = the 5-doc en bin → lift = (5/5)/(5/20) = 4
+    assert(rows.head.getLong(1) === 5L && rows.head.getDouble(5) === 4.0)
+    // the bottom decile covers everyone → lift exactly 1
+    assert(rows.last.getLong(1) === 20L && rows.last.getDouble(5) === 1.0)
+  }
+
+  test("gains curve on real data: monotone gains, deciles cover their share") {
+    val rows = SparkEntry.queries("q_gains_curve")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      // threshold prefix must cover at least its decile's population share
+      assert(r.getLong(1) * 10 >= r.getLong(0) * rows.last.getLong(1),
+        s"decile ${r.getLong(0)} prefix too small")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    rows.zip(rows.drop(1)).foreach { case (a, b) =>
+      assert(b.getDouble(4) >= a.getDouble(4) - 1e-9, "gain must be monotone")
+    }
+    // the full-population decile is exact: gain 1, lift 1
+    assert(rows.last.getDouble(4) === 1.0 && rows.last.getDouble(5) === 1.0)
+  }
+
+  test("gains plan: bounded bin frame, broadcast decile cross, no row sort") {
+    val p = plan("q_gains_curve")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"decile resolution must stay broadcast-bounded:\n$p")
+    assert(p.contains("HashAggregate"), s"expected the bin aggregate:\n$p")
+  }
 }
