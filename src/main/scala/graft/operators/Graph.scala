@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.{Blocks, Observe}
 import graft.io.Sources
 
@@ -21,9 +22,14 @@ import graft.io.Sources
   * smaller than edges) to the edge partitioning, and the contribution
   * aggregate is map-side combined so the second exchange carries at most
   * |distinct dst per partition| rows. Edges never move after the first
-  * materialization. Lineage is truncated per round (localCheckpoint) with
-  * deterministic release of the previous round's blocks — the
-  * connectedComponents r3 lessons applied from the start.
+  * materialization. Rounds build ONE lazy plan (per-round lazily-persisted
+  * rank tables, residuals folded into each round's aggregate via carrier
+  * rows) that a single terminal action materializes — no per-round driver
+  * synchronization, no per-round block-manager checkpoint writes. The r8
+  * driver bench showed the previous round-at-a-time checkpoint chain was
+  * hostage to storage contention (27 s vs a 4.2 s clean run for the same
+  * plan); the single-action shape removes the serial materialization
+  * points that contention amplified.
   *
   * Cross-engine float parity: every iteration's sums run in different
   * orders on different engines, so results carry ~1e-15 relative drift;
@@ -51,14 +57,32 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int): DataFrame =
     pagerankWithResiduals(edges, iters)._1
 
-  /** [[pagerank]] plus the full per-round residual trace. The residual
-    * rides an `observe()` on each round's existing localCheckpoint action
-    * (the kCore `converged` discipline — zero extra jobs): the new rank
-    * table joins the previous round's checkpointed ranks (node-sized, both
-    * sides already hash-partitioned on node) inside the same action, and
-    * the observed Σ|Δpr| surfaces after the checkpoint materializes. For
-    * damping < 1 power iteration contracts in L1 by ≥ the damping factor
-    * per round, so the trace is non-increasing — GraphSpec asserts it.
+  /** [[pagerank]] plus the full per-round residual trace.
+    *
+    * Two structural choices keep the driver out of the loop (the r8 fix —
+    * the previous shape ran one eager localCheckpoint action per round and
+    * its wall-time was hostage to block-manager/storage contention):
+    *
+    *  1. NO per-round prev-join. The previous rank rides INTO the round's
+    *     contribution aggregate as node-sized zero-mass "carrier" rows
+    *     unioned with the edge-sized contributions: `max(p)` (exactly one
+    *     non-null carrier per node) recovers pr_{k−1} from the SAME
+    *     map-side-combined groupBy that sums the mass, so the Σ|Δpr|
+    *     observe needs no second node-table join. Carrier mass 0.0 is
+    *     bitwise-neutral in the sum (all ranks are positive), so the
+    *     emitted scores are unchanged.
+    *  2. NO per-round action. Each round's rank table is persisted LAZILY
+    *     (MEMORY_AND_DISK — each is read twice by round k+1: contributions
+    *     and carriers); the final round is the single eager localCheckpoint,
+    *     whose one action materializes the whole pipeline and fires every
+    *     round's observation at once. Five driver round-trips and five
+    *     block-manager checkpoint writes become one.
+    *
+    * For damping < 1 power iteration contracts in L1 by ≥ the damping
+    * factor per round, so the trace is non-increasing — GraphSpec asserts
+    * it. The carrier union also makes the round total-mass-safe for nodes
+    * with no in-edge (they fall to teleport mass instead of dropping out),
+    * though callers still pass symmetrized graphs so Σpr = 1 holds.
     */
   def pagerankWithResiduals(edges: DataFrame, iters: Int): (DataFrame, Seq[Double]) = {
     val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
@@ -73,28 +97,42 @@ object Graph {
       .localCheckpoint()
     val n = Observe.metric(nObs, "n").getOrElse(nodes.count())
     require(n > 0, "pagerank on an empty graph")
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint()
-    Blocks.releaseCheckpoint(nodes)
-    val residuals = Vector.newBuilder[Double]
-    for (_ <- 1 to iters) {
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rounds = scala.collection.mutable.ArrayBuffer(ranks)
+    val observations = Vector.newBuilder[Observation]
+    for (k <- 1 to iters) {
       val rObs = Observation()
-      val prev = ranks.select(col("node"), col("pr").as("__pr_prev"))
-      val next = adj
+      val contribs = adj
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("pr") / col("odeg")).as("mass"))
+        .select(col("dst").as("node"), (col("pr") / col("odeg")).as("m"),
+          lit(null).cast("double").as("p"))
+      val carrier = ranks
+        .select(col("node"), lit(0.0).as("m"), col("pr").as("p"))
+      val stepped = contribs.unionAll(carrier)
+        .groupBy("node")
+        .agg(sum(col("m")).as("mass"), max(col("p")).as("__pr_prev"))
         .select(col("node"),
-          (lit(Teleport / n) + lit(Damping) * col("mass")).as("pr"))
-        .join(prev, "node") // node set closed under one iteration: inner = full
+          (lit(Teleport / n) + lit(Damping) * col("mass")).as("pr"),
+          col("__pr_prev"))
         .observe(rObs, sum(abs(col("pr") - col("__pr_prev"))).as("l1"))
         .select(col("node"), col("pr"))
-        .localCheckpoint()
-      residuals += Observe.metricDouble(rObs, "l1").getOrElse(Double.NaN) * n
-      Blocks.releaseCheckpoint(ranks)
+      // final round: the ONE eager action — materializes the whole chain,
+      // fires all observations, and leaves a lineage-free result table
+      val next =
+        if (k == iters) stepped.localCheckpoint()
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      observations += rObs
+      rounds += next
       ranks = next
     }
+    val res = observations.result().map(o =>
+      Observe.metricDouble(o, "l1").getOrElse(Double.NaN) * n)
+    // the final table is self-contained checkpoint blocks: every earlier
+    // round's cache and the edge/node checkpoints are provably dead
+    rounds.init.foreach(_.unpersist(blocking = false))
+    Blocks.releaseCheckpoint(nodes)
     Blocks.releaseCheckpoint(adj)
-    val res = residuals.result()
     (ranks.withColumn("n_nodes", lit(n))
       .withColumn("l1_residual", lit(res.last)), res)
   }

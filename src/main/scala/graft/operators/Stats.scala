@@ -429,7 +429,11 @@ object Stats {
         ma.as("mean_a"), mb.as("mean_b"),
         r6(effect).as("effect"), r6(se).as("se"), r6(mde).as("mde"),
         nReq.as("n_required_per_arm"),
-        (effect >= mde).cast("long").as("adequately_powered"))
+        // A degenerate arm (empty, or n=1 so var_samp is NULL) nulls the
+        // comparison; the oracle's CASE falls through to ELSE 0 — abstain
+        // as "not powered" on BOTH engines (q_prop_ztest's reject_95 idiom).
+        coalesce((effect >= mde).cast("long"), lit(0L))
+          .as("adequately_powered"))
     }),
 
     // ---- two-proportion z-test (conversion A/B readout) -------------------
@@ -514,7 +518,11 @@ object Stats {
       val num = nD * col("sab") - col("sa").cast("double") * col("sb")
       val den = sqrt(nD * col("saa") - col("sa").cast("double") * col("sa")) *
         sqrt(nD * col("sbb") - col("sb").cast("double") * col("sb"))
-      g.select(col("n"), r6(num / den).as("rho"))
+      // A constant variable (all x or all y equal) gives den = 0 — Spark's
+      // 0/0 would surface NaN where DuckDB yields NULL. Abstain with NULL
+      // on both engines (the q_mad_outliers zero-guard discipline; the
+      // oracle carries the matching CASE).
+      g.select(col("n"), when(den > 0, r6(num / den)).as("rho"))
     }),
 
     // ---- histogram decision-stump split (the GBDT primitive) --------------
@@ -646,12 +654,17 @@ object Stats {
         |    CAST(SUM(r_x * r_y) AS BIGINT) AS sab
         |  FROM j
         |)
+        |, d AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb AS num,
+        |    sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+        |      * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb) AS den
+        |  FROM m
+        |)
         |SELECT n,
-        |  FLOOR((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
-        |    / (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
-        |       * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
-        |    * 1000000.0 + 0.500001) / 1000000.0 AS rho
-        |FROM m""".stripMargin,
+        |  CASE WHEN den > 0 THEN
+        |    FLOOR(num / den * 1000000.0 + 0.500001) / 1000000.0 END AS rho
+        |FROM d""".stripMargin,
 
     // four exact BIGINT counts (integer-cents conversion boundary), then
     // the identical fixed float sequence; degenerate pool ⇒ NULL/abstain

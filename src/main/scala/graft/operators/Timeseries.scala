@@ -319,7 +319,12 @@ object Timeseries {
           col("rev_m7").as("forecast_cents"),
           err.as("abs_err_cents"),
           r6(err.cast("double") / col("rev")).as("ape"),
-          r6(err.cast("double") * col("n_tr") / col("sum_d")).as("mase"))
+          // A perfectly constant training series gives sum_d = 0: Spark's
+          // x/0 would surface Infinity where DuckDB yields NULL. Abstain
+          // with NULL on both engines (q_mad_outliers zero-guard
+          // discipline; the oracle carries the matching CASE).
+          when(col("sum_d") > 0,
+            r6(err.cast("double") * col("n_tr") / col("sum_d"))).as("mase"))
         .orderBy("day")
     })
   )
@@ -388,8 +393,9 @@ object Timeseries {
         |  CAST(ABS(a.rev - f.rev) AS BIGINT) AS abs_err_cents,
         |  FLOOR(CAST(ABS(a.rev - f.rev) AS DOUBLE) / a.rev * 1000000.0
         |    + 0.500001) / 1000000.0 AS ape,
-        |  FLOOR(CAST(ABS(a.rev - f.rev) AS DOUBLE) * n_tr / sum_d * 1000000.0
-        |    + 0.500001) / 1000000.0 AS mase
+        |  CASE WHEN sum_d > 0 THEN
+        |    FLOOR(CAST(ABS(a.rev - f.rev) AS DOUBLE) * n_tr / sum_d
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS mase
         |FROM daily a JOIN daily f ON f.day = a.day - 7, mx, tr
         |WHERE a.day > max_day - 28
         |ORDER BY a.day""".stripMargin,

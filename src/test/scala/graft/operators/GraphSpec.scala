@@ -72,21 +72,21 @@ class GraphSpec extends SparkSpec {
       Set(Graph.PartOffset + 10L, Graph.PartOffset + 11L))
   }
 
-  test("job budget: a 5-iteration run stays within the per-round bound") {
-    // setup (adj + node checkpoints) + ~6 jobs per round (AQE splits each
-    // round's join/agg/residual-join/checkpoint into stage-jobs; measured
-    // 34 total — still ONE action per round, the residual rides observe())
-    // + the final count. A regression to per-round edge re-materialization
-    // re-runs the edge scan/join lineage every round and lands well past
-    // this bound; convergence POLLING (a separate action per round) adds
-    // whole actions, not stage-jobs, and also lands past it.
+  test("job budget: a 5-iteration run stays within the single-action bound") {
+    // Setup (adj + node checkpoints) + ONE terminal action (the final
+    // round's localCheckpoint) that materializes all 5 lazily-persisted
+    // rounds at once — AQE splits that action into per-exchange stage-jobs,
+    // but the count stays well under the old round-at-a-time shape's ~34.
+    // A regression back to one eager action per round (the r8 contention
+    // amplifier), to per-round edge re-materialization, or to convergence
+    // POLLING each adds whole jobs and lands past this bound.
     val li = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Graph.pagerank(Graph.copurchaseEdges(li), iters = 5).count()
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val jobs = after - before
-    assert(jobs <= 40, s"pagerank(5 iters) ran $jobs jobs — iteration " +
-      "machinery is re-running work it should have checkpointed")
+    assert(jobs <= 32, s"pagerank(5 iters) ran $jobs jobs — iteration " +
+      "machinery is running per-round actions it should have folded into one")
   }
 
   // ---- triangle counting --------------------------------------------------
@@ -357,7 +357,8 @@ class GraphSpec extends SparkSpec {
       assert(d0.getLong(1) === 1L && d0.getLong(2) === srcNode &&
         d0.getLong(3) === srcNode, "distance-0 row must be exactly the source")
       assert(rows.forall(_.getLong(4) === 1L),
-        "6 rounds must exhaust the frontier on the sliced graph")
+        s"the ${graft.operators.Graph.BfsRounds}-round budget must exhaust " +
+          "the frontier on the sliced graph")
       val nNodes = und.select(col("u").as("n"))
         .unionAll(und.select(col("v").as("n"))).distinct().count()
       assert(rows.map(_.getLong(1)).sum <= nNodes,
