@@ -153,26 +153,56 @@ object Dedup {
         bands, numHashes, bucketCap)
       .where(col("est_jaccard") >= threshold)
 
+  /** The materialized per-doc shingle hash-set frame — the ONE corpus text
+    * scan a combined LSH + exact-verify pipeline needs. Signatures derive
+    * from it bitwise-identically via `minhash_from_hashes` (same seed-42
+    * base hashes, same lane re-mix — see [[DedupKernels.minhashFromHashes]]),
+    * and [[verifyJaccardSets]] runs its set algebra on it directly, so a
+    * query that generates candidates AND verifies them exactly (the
+    * q_ngram_jaccard shape: r8 ran the text kernel three times) scans the
+    * 100 TB text column once. Checkpoint blocks must outlive the caller's
+    * terminal action — Bench/Verify release via Blocks.releaseAll.
+    */
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame = {
+    DedupKernels.register(docs.sparkSession)
+    docs.select(col("doc_id"), shingleHashSet(col("text"), k).as("sh"))
+      .localCheckpoint()
+  }
+
+  /** [[minhashNearDuplicates]] over a precomputed [[shingleSets]] frame —
+    * no text scan; the derived signature projection is checkpointed for
+    * the same self-join-fork reason as the text path above. */
+  def minhashNearDuplicatesFromSets(sets: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, bucketCap: Int = 10000): DataFrame =
+    minhashCandidates(
+      sets.select(col("doc_id"),
+          call_function("minhash_from_hashes", col("sh"), lit(numHashes))
+            .as("signature"))
+        .localCheckpoint(),
+      bands, numHashes, bucketCap)
+      .where(col("est_jaccard") >= threshold)
+
   /** Exact n-gram Jaccard verification over candidate pairs only (the
     * expensive exact measure runs on the tiny LSH-filtered set, not n²).
     */
-  def verifyJaccard(docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame = {
-    // the equi-joins below are themselves the candidate filter; deriving an
-    // id set from `candidates` for a pre-filter would put the (expensive)
-    // LSH subtree in the plan twice — at 100 TB, materialize `candidates`
-    // first and semi-join, but never fork an unmaterialized LSH lineage
-    DedupKernels.register(docs.sparkSession)
-    // materialized: the set frame feeds BOTH sides' joins below — without
-    // it the shingle kernel runs twice over the corpus
-    val sets = docs.select(col("doc_id"), shingleHashSet(col("text"), k).as("sh"))
-      .localCheckpoint()
+  def verifyJaccard(docs: DataFrame, candidates: DataFrame, k: Int = 3): DataFrame =
+    verifyJaccardSets(shingleSets(docs, k), candidates)
+
+  /** [[verifyJaccard]] over a precomputed [[shingleSets]] frame, so several
+    * verify passes (and the LSH signatures) share one materialization.
+    *
+    * The equi-joins below are themselves the candidate filter; deriving an
+    * id set from `candidates` for a pre-filter would put the (expensive)
+    * LSH subtree in the plan twice — at 100 TB, materialize `candidates`
+    * first and semi-join, but never fork an unmaterialized LSH lineage.
+    */
+  def verifyJaccardSets(sets: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-  }
 
   /** Exact set-similarity SELF-join (all pairs with shingle Jaccard ≥
     * `threshold`) via prefix filtering — the SSJoin/PPJoin family

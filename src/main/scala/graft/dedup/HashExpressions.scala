@@ -117,6 +117,33 @@ object DedupKernels {
     out
   }
 
+  /** MinHash signature derived from a PRECOMPUTED base-hash set (the
+    * [[shingleHashes]] output): lanes are the same XXH64 re-mix of the
+    * same seed-42 base hashes, and min is order-independent, so the
+    * result is bitwise-identical to [[minhashSignature]] on the same
+    * text/k — letting one shingle-kernel corpus scan feed BOTH the LSH
+    * signatures and the exact-verify set algebra (the r8 q_ngram_jaccard
+    * ran the text kernel three times; this is the shared-scan path).
+    */
+  def minhashFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    require(numHashes >= 1,
+      s"minhash_from_hashes: numHashes must be >= 1 (got $numHashes)")
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val base = hashes.getLong(i)
+      var lane = 0
+      while (lane < numHashes) {
+        val mixed = XXH64.hashLong(base, lane.toLong)
+        if (mixed < sig(lane)) sig(lane) = mixed
+        lane += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Winnowing fingerprint (Schleimer–Wilkerson–Aiken 2003): hash word
     * k-grams, slide a window of `w` over the hash sequence, keep each
     * window's min, return the sorted distinct mins. Single pass with a
@@ -189,6 +216,13 @@ object DedupKernels {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_from_hashes",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "minhash_from_hashes(hashes, numHashes)")
+        MinHashFromHashesExpression(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fp",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3, "winnow_fp(text, k, w)")
@@ -234,6 +268,24 @@ case class WinnowFingerprintExpression(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+case class MinHashFromHashesExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(hashes: Any, n: Any): Any =
+    DedupKernels.minhashFromHashes(hashes.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, n) =>
+      s"graft.dedup.DedupKernels.minhashFromHashes($h, $n)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 case class ShingleHashesExpression(left: Expression, right: Expression)

@@ -278,12 +278,16 @@ object LlmQueries {
     // pipeline and returns the contract flag as a constant.
     "q_dedup_minhash" -> ((s, dir) => {
       val d = withPlantedNearDups(docs(s, dir))
+      // ONE text scan: the checkpointed shingle-set frame feeds the planted
+      // verify AND the LSH signatures (minhash_from_hashes re-mixes the
+      // same base hashes bitwise-identically to the text kernel)
+      val sets = Dedup.shingleSets(d)
       val planted = t(s, dir, "documents")
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"),
           lit(1.0).as("est_jaccard"))
-      val target = Dedup.verifyJaccard(d, planted)
+      val target = Dedup.verifyJaccardSets(sets, planted)
         .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-      val found = Dedup.minhashNearDuplicates(d, threshold = 0.3)
+      val found = Dedup.minhashNearDuplicatesFromSets(sets, threshold = 0.3)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       target.join(found, Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("n_found"))
@@ -301,12 +305,18 @@ object LlmQueries {
     // kernel regression breaks the band before it breaks recall.
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = withPlantedNearDups(docs(s, dir))
-      val cands = Dedup.minhashNearDuplicates(d, threshold = 0.3)
-      val verified = Dedup.verifyJaccard(d, cands)
+      // ONE text scan (r8 ran the shingle/minhash kernels over the corpus
+      // three times): the checkpointed set frame feeds signatures and both
+      // exact-verify passes; `verified` is additionally checkpointed
+      // because it fans out to the recall join AND the band aggregate —
+      // without it the LSH candidate join would run once per branch.
+      val sets = Dedup.shingleSets(d)
+      val cands = Dedup.minhashNearDuplicatesFromSets(sets, threshold = 0.3)
+      val verified = Dedup.verifyJaccardSets(sets, cands).localCheckpoint()
       val planted = t(s, dir, "documents")
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"),
           lit(1.0).as("est_jaccard"))
-      val target = Dedup.verifyJaccard(d, planted)
+      val target = Dedup.verifyJaccardSets(sets, planted)
         .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
       val recall = target.join(
           verified.select(col("doc_a"), col("doc_b"), lit(1L).as("hit")),

@@ -124,6 +124,24 @@ class DedupSpec extends SparkSpec {
     assert(hInter == sInter)
   }
 
+  test("minhash_from_hashes is bitwise-identical to the text-path signature") {
+    // the shared-scan contract: deriving the signature from the
+    // shingle-hash set must reproduce minhash_sig exactly (same seed-42
+    // base hashes, same lane re-mix, min is order-independent) — else the
+    // q_ngram_jaccard single-scan pipeline silently changes its candidates
+    graft.dedup.DedupKernels.register(spark)
+    val both = docs.select(col("doc_id"),
+        call_function("minhash_sig", col("text"), lit(3), lit(64)).as("txt"),
+        call_function("minhash_from_hashes",
+          Dedup.shingleHashSet(col("text")), lit(64)).as("derived"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: derived signature diverged from text path")
+    }
+  }
+
   test("connected components merge chains, keep singleton pairs, and converge") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds), an
