@@ -55,7 +55,8 @@ object Pipeline {
       asOfDate: String): DataFrame = {
     val staging = Sources.referenceTransactionsCsv(spark, corpusGlob)
     Sources.overwriteParquet(staging, dirs.staging)
-    transformValidateScore(spark, spark.read.parquet(dirs.staging), dirs, asOfDate)
+    transformValidateScore(spark, Sources.readSnapshot(spark, dirs.staging),
+      dirs, asOfDate)
   }
 
   /** transform → firewall gate → model — shared tail of both entry points.
@@ -66,7 +67,7 @@ object Pipeline {
     // -- transform: RFM-T snapshot (CREATE OR REPLACE) ---------------------
     val features = Rfm.customerFeatures(staging, to_date(lit(asOfDate)))
     Sources.overwriteParquet(features, dirs.features)
-    val featuresOnDisk = spark.read.parquet(dirs.features)
+    val featuresOnDisk = Sources.readSnapshot(spark, dirs.features)
 
     // -- validate: firewall blocks scoring on failure (C1/C3) --------------
     Firewall.validateFeatures(staging, featuresOnDisk)
@@ -75,6 +76,6 @@ object Pipeline {
     val scored = ClvModel.runClvLogic(ClvModel.prepare(featuresOnDisk))
     val out = ClvModel.outputColumns(scored)
     Sources.overwriteParquet(out, dirs.predictedClv)
-    spark.read.parquet(dirs.predictedClv)
+    Sources.readSnapshot(spark, dirs.predictedClv)
   }
 }

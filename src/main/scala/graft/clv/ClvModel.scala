@@ -102,12 +102,22 @@ object ClvModel {
     // params); limit doubles as the bounded-driver routing test
     val cap = 2 * maxDriverRows.toInt + 1
     val rows = gs.sort("gid", "x", "tx", "big", "m").limit(cap + 1).collect()
+    // The two models are independent; overlap them on two threads — the
+    // Gamma-Gamma loop rides a Future while this thread runs BG/NBD —
+    // halving the one serial driver section the query has (the r8 driver
+    // bench flagged it as the query's contention-sensitive tail). Both
+    // loops are deterministic regardless of scheduling: each consumes its
+    // own pre-sorted observation array.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     if (rows.length > cap) {
       // degenerate compressed cardinality: per-model bounded/treeAggregate
-      // routing (each fitFeatures re-compresses and caps independently)
+      // routing (each fitFeatures re-compresses and caps independently;
+      // their Spark jobs run concurrently from the two threads)
+      val ggF = Future(GammaGamma.fitFeatures(returning, "frequency", "monetary", penalizer))
       val bg = BetaGeo.fitFeatures(returning, "frequency", "recency", "t", penalizer)
-      val gg = GammaGamma.fitFeatures(returning, "frequency", "monetary", penalizer)
-      FittedClvModel(bg, gg)
+      FittedClvModel(bg, Await.result(ggF, Duration.Inf))
     } else {
       val bgObs = rows.iterator.filter(_.getLong(5) == 1L)
         .map(r => BetaGeo.Obs(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(4)))
@@ -115,7 +125,8 @@ object ClvModel {
       val ggObs = rows.iterator.filter(_.getLong(5) == 6L)
         .map(r => GammaGamma.Obs(r.getDouble(0), r.getDouble(3), r.getDouble(4)))
         .toArray
-      FittedClvModel(BetaGeo.fit(bgObs, penalizer), GammaGamma.fit(ggObs, penalizer))
+      val ggF = Future(GammaGamma.fit(ggObs, penalizer))
+      FittedClvModel(BetaGeo.fit(bgObs, penalizer), Await.result(ggF, Duration.Inf))
     }
   }
 

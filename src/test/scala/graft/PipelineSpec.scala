@@ -79,8 +79,8 @@ class PipelineSpec extends SparkSpec {
     assert(scored.where(col("clv") < 0).isEmpty, "fixes floor negatives")
     assert(scored.where(col("predicted_purchases").isNull ||
       col("predicted_purchases").isNaN).isEmpty)
-    // snapshot actually landed
-    assert(spark.read.parquet(dirs.predictedClv).count() == n)
+    // snapshot actually landed (committed version resolved via CURRENT)
+    assert(Sources.readSnapshot(spark, dirs.predictedClv).count() == n)
   }
 
   test("daily run: generator feeds staging, registry grows, firewall passes") {
@@ -106,11 +106,45 @@ class PipelineSpec extends SparkSpec {
     Sources.overwriteParquet(feats, dirs.features)
     val e = intercept[IllegalArgumentException] {
       graft.quality.Firewall.validateFeatures(staging,
-        spark.read.parquet(dirs.features))
+        Sources.readSnapshot(spark, dirs.features))
     }
     assert(e.getMessage.contains("DATA LOSS"))
     // and predicted_clv was never written
     assert(!Catalog.tableExists(spark, dirs.predictedClv))
+  }
+
+  test("snapshot overwrite is atomic: a reader sees old or new, never partial") {
+    import org.apache.spark.sql.SaveMode
+    val base = Files.createTempDirectory("graft_snap").toString
+    val path = s"$base/snap"
+    val a = spark.range(100).withColumn("gen", lit("A"))
+    val b = spark.range(250).withColumn("gen", lit("B"))
+    Sources.overwriteParquet(a.toDF(), path)
+    // a reader that RESOLVED the pointer before the second overwrite is
+    // pinned to the old version dir — the grace copy keeps it fully
+    // readable after B commits (BigQuery WRITE_TRUNCATE reader semantics)
+    val pinnedOld = Sources.readSnapshot(spark, path)
+    Sources.overwriteParquet(b.toDF(), path)
+    assert(pinnedOld.count() == 100L, "pre-swap reader must keep snapshot A")
+    assert(pinnedOld.where(col("gen") =!= "A").isEmpty)
+    val now = Sources.readSnapshot(spark, path)
+    assert(now.count() == 250L && now.where(col("gen") =!= "B").isEmpty)
+    // a CRASHED write (version dir present, commit never ran) is invisible:
+    // the pointer still names B, and the next successful overwrite GCs it
+    val orphan = s"$path/v-orphan-crashed"
+    a.limit(7).write.mode(SaveMode.Overwrite).parquet(orphan)
+    assert(Sources.readSnapshot(spark, path).count() == 250L,
+      "reader must never see an uncommitted version")
+    val c = spark.range(13).withColumn("gen", lit("C"))
+    Sources.overwriteParquet(c.toDF(), path)
+    assert(!Files.exists(java.nio.file.Paths.get(orphan)),
+      "GC must sweep crashed-write orphans")
+    assert(Sources.readSnapshot(spark, path).count() == 13L)
+    // the root now holds exactly: CURRENT + live version + one grace copy
+    val names = Files.list(java.nio.file.Paths.get(path)).iterator()
+    val kept = Iterator.continually(names).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toList
+    assert(kept.count(_ == "CURRENT") == 1 && kept.size == 3, s"root holds $kept")
   }
 
   test("CSV sink round-trips a generated batch (S1)") {
