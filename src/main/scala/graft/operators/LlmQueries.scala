@@ -813,6 +813,42 @@ object LlmQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // oracle-backed: the SECOND JDK-decodable animated container — REAL
+    // multi-frame GIF decode (ImageIO index reads over a gray-ramp
+    // palette, lossless by construction) through the same every-2nd-frame
+    // sampling path as the AVI pipeline. Same closed form in doc_id, so
+    // the two containers hash-match the SAME oracle rows — a demux or
+    // palette regression in either path breaks its own query.
+    "q_multimodal_gif" -> ((s, dir) => {
+      val media = Multimodal.gifMediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractVideoFrames(media, sampleEvery = 2).toDF()
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(element_at(col("feature"), 1)).as("mean_lum"),
+          element_at(col("feature"), 2).cast("long").as("min_lum"),
+          element_at(col("feature"), 3).cast("long").as("max_lum"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // oracle-backed: REAL pixel resize — encode genuine PNGs, decode,
+    // bilinear-downscale the PIXEL BUFFER with the exact fixed-point
+    // kernel (corner-aligned rational weights, floor division — see
+    // Multimodal.resizeImage), and report output dims + the integer-exact
+    // Σ(r+g+b) of the resized buffer. Every output pixel is closed-form in
+    // doc_id, so DuckDB recomputes the whole resized image per media row
+    // — a kernel rounding regression breaks the hash, not just a bound.
+    "q_multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.pngMediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.resizeSummaries(media, maxSide = 4).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("rgb_sum"))
+        .orderBy("media_id")
+    }),
+
     // ---- corpus scrubbing (oracle-backed) ---------------------------------
     // PII redaction over deterministically planted emails/phones/cards/IPs;
     // the md5 of the redacted text pins the FULL redaction output per doc
@@ -1686,6 +1722,83 @@ object LlmQueries {
         |  CAST(MIN(v) AS BIGINT) AS min_lum, CAST(MAX(v) AS BIGINT) AS max_lum
         |FROM px GROUP BY doc_id, frame_idx, w, h
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // same closed form and sampling as q_multimodal_frames (height floor
+    // shifted to 5 — the JDK GIF codec constraint on encodeGif), but the
+    // ENGINE side goes through the animated-GIF reader instead of the AVI
+    // demux: two independent container paths hash-matched against one
+    // ground truth.
+    "q_multimodal_gif" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 5 + doc_id % 7 AS h,
+        |    2 + doc_id % 5 AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT p.doc_id, p.w, p.h, f.f AS frame_idx
+        |  FROM p, LATERAL unnest(generate_series(0, p.nf - 1)) AS f(f)
+        |  WHERE f.f % 2 = 0
+        |), px AS (
+        |  SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h,
+        |    CAST((x.x * 31 + y.y * 17 + fr.frame_idx * 23 + fr.doc_id) % 256
+        |      AS DOUBLE) AS v
+        |  FROM fr,
+        |    LATERAL unnest(generate_series(0, fr.w - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, fr.h - 1)) AS y(y)
+        |)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  FLOOR(CAST(CAST(AVG(v) AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS mean_lum,
+        |  CAST(MIN(v) AS BIGINT) AS min_lum, CAST(MAX(v) AS BIGINT) AS max_lum
+        |FROM px GROUP BY doc_id, frame_idx, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // resize parity: the fixed-point bilinear kernel is pure integer
+    // arithmetic (corner-aligned sx = ox·(w−1)/qx as exact rationals,
+    // per-channel floor division), so the oracle rebuilds every resized
+    // pixel from the source formula g(x,y) = (31x+17y+id) mod 256 and
+    // hash-matches dims + Σ(r+g+b) per media. Gray source ⇒ r=g=b ⇒ the
+    // channel sum is 3·v. Pass-through images (maxDim ≤ 4) fall out of the
+    // same formula: ow=w ⇒ fx=0 ⇒ v = g(ox,oy).
+    "q_multimodal_resize" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN GREATEST(w, h) <= 4 THEN w
+        |         ELSE GREATEST(1, w * 4 // GREATEST(w, h)) END AS ow,
+        |    CASE WHEN GREATEST(w, h) <= 4 THEN h
+        |         ELSE GREATEST(1, h * 4 // GREATEST(w, h)) END AS oh
+        |  FROM p0
+        |), q AS (
+        |  SELECT *, CASE WHEN ow = 1 THEN 1 ELSE ow - 1 END AS qx,
+        |    CASE WHEN oh = 1 THEN 1 ELSE oh - 1 END AS qy
+        |  FROM d
+        |), px AS (
+        |  SELECT q.doc_id, q.ow, q.oh, q.qx, q.qy, q.w, q.h,
+        |    CASE WHEN q.ow = 1 THEN 0 ELSE ox.ox * (q.w - 1) END AS sxn,
+        |    CASE WHEN q.oh = 1 THEN 0 ELSE oy.oy * (q.h - 1) END AS syn
+        |  FROM q,
+        |    LATERAL unnest(generate_series(0, q.ow - 1)) AS ox(ox),
+        |    LATERAL unnest(generate_series(0, q.oh - 1)) AS oy(oy)
+        |), v AS (
+        |  SELECT doc_id, ow, oh, qx, qy,
+        |    sxn // qx AS x0, sxn % qx AS fx, LEAST(sxn // qx + 1, w - 1) AS x1,
+        |    syn // qy AS y0, syn % qy AS fy, LEAST(syn // qy + 1, h - 1) AS y1
+        |  FROM px
+        |), blend AS (
+        |  SELECT doc_id, ow, oh,
+        |    ((qx - fx) * (qy - fy) * ((31 * x0 + 17 * y0 + doc_id) % 256)
+        |     + fx * (qy - fy) * ((31 * x1 + 17 * y0 + doc_id) % 256)
+        |     + (qx - fx) * fy * ((31 * x0 + 17 * y1 + doc_id) % 256)
+        |     + fx * fy * ((31 * x1 + 17 * y1 + doc_id) % 256)) // (qx * qy) AS v
+        |  FROM v
+        |)
+        |SELECT doc_id AS media_id, CAST(ow AS BIGINT) AS width,
+        |  CAST(oh AS BIGINT) AS height, CAST(SUM(3 * v) AS BIGINT) AS rgb_sum
+        |FROM blend GROUP BY doc_id, ow, oh
+        |ORDER BY media_id""".stripMargin,
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)

@@ -96,13 +96,67 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize bounds dimensions") {
+  test("resize bounds dimensions (opaque-mime fallback path)") {
     import spark.implicits._
     val docs = Seq((0L, "some media payload"), (1L, "another")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(spark, docs)
-    val resized = Multimodal.resize(
-      Multimodal.extractFeatures(media), maxSide = 100).collect()
+    val resized = Multimodal.resizeMedia(media, maxSide = 100).collect()
     assert(resized.forall(f => f.width <= 100 && f.height <= 100))
+  }
+
+  test("real bilinear resize: corner-aligned samples, exact blends, aspect, pass-through") {
+    // 3x3 → maxSide 2: ow=oh=2, qx=qy=1, sx = 2·ox — every output pixel
+    // samples a source CORNER exactly (fx=fy=0), no blending
+    val img3 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePng(3, 3, (x, y) => 10 * (y * 3 + x))))
+    val r3 = Multimodal.resizeImage(img3, 2)
+    assert(r3.getWidth == 2 && r3.getHeight == 2)
+    def gray(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+      img.getRGB(x, y) & 0xFF
+    assert(gray(r3, 0, 0) == 0 && gray(r3, 1, 0) == 20)
+    assert(gray(r3, 0, 1) == 60 && gray(r3, 1, 1) == 80)
+    // 5x1 → maxSide 4: ow=4, qx=3, sx = ox·4/3 — ox=1 lands at 4/3:
+    // blend of src[1]=10 and src[2]=20 with weights 2/3,1/3 → floor(40/3)=13
+    val img5 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePng(5, 1, (x, _) => 10 * x)))
+    val r5 = Multimodal.resizeImage(img5, 4)
+    assert(r5.getWidth == 4 && r5.getHeight == 1)
+    assert(gray(r5, 0, 0) == 0 && gray(r5, 1, 0) == 13 &&
+      gray(r5, 2, 0) == 26 && gray(r5, 3, 0) == 40)
+    // aspect preservation: 16x8 → maxSide 4 gives 4x2
+    val img16 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePng(16, 8, (x, y) => (x + y) % 256)))
+    val r16 = Multimodal.resizeImage(img16, 4)
+    assert(r16.getWidth == 4 && r16.getHeight == 2)
+    // pass-through: an image already inside maxSide is returned unresized
+    assert(Multimodal.resizeImage(img3, 8) eq img3)
+  }
+
+  test("real animated-GIF decode: frames round-trip pixel-exact, sampling keeps every k-th") {
+    // 4 frames of 3x5 (height ≥ 5: the measured JDK GIF codec floor),
+    // frame f pixel (x,y) = 10 + 10x + 30y + f — the gray-ramp palette
+    // makes the indexed container lossless
+    val pix = (f: Int) => (x: Int, y: Int) => 10 + x * 10 + y * 30 + f
+    val gif = Multimodal.encodeGif(3, 5, (0 until 4).map(pix))
+    // genuine GIF signature
+    assert(new String(gif.slice(0, 6), "US-ASCII").startsWith("GIF8"))
+    val all = Multimodal.decodeGifFrames(gif, 7L)
+    assert(all.length == 4)
+    all.zipWithIndex.foreach { case (fr, i) =>
+      assert(fr.width == 3 && fr.height == 5 && fr.frame_idx == i)
+      // mean = 10 + avg(10x) + avg(30y) = 10 + 10 + 60; min at (0,0); max at (2,4)
+      assert(fr.feature(0) == (80.0 + i).toFloat, s"frame $i mean ${fr.feature(0)}")
+      assert(fr.feature(1) == (10 + i).toFloat && fr.feature(2) == (150 + i).toFloat)
+    }
+    val sampled = Multimodal.decodeGifFrames(gif, 7L, sampleEvery = 2)
+    assert(sampled.map(_.frame_idx) == Vector(0, 2))
+    // the sub-floor height the JDK codec corrupts is rejected loudly
+    assert(intercept[IllegalArgumentException](
+      Multimodal.encodeGif(3, 2, Seq((_, _) => 0))).getMessage.contains("height"))
+    // garbage fails loudly with the media id
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeGifFrames("not a gif".getBytes, 99L))
+    assert(e.getMessage.contains("99"))
   }
 
   test("real AVI frame decode: DIB frames round-trip pixel-exact, sampling keeps every k-th") {
