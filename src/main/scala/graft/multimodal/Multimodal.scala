@@ -105,6 +105,15 @@ object Multimodal {
       }
       bos.toByteArray
     }
+
+    /** The cached writer itself — for multi-frame sequence writes
+      * (animated GIF) that drive the writer's sequence API directly. */
+    private[multimodal] def writerFor(mime: String): ImageWriter =
+      writers.computeIfAbsent(mime, m => {
+        val it = ImageIO.getImageWritersByMIMEType(m)
+        require(it.hasNext, s"no JDK ImageIO writer for $m")
+        it.next()
+      })
   }
 
   /** Real image decode: parse the compressed payload, return true pixel
@@ -695,8 +704,8 @@ object Multimodal {
     * container is LOSSLESS here and decode returns the exact pixel
     * function — the same trick dibFrame plays for AVI.
     */
-  def encodeGif(width: Int, height: Int,
-      frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+  def encodeGif(width: Int, height: Int, frames: Seq[(Int, Int) => Int],
+      codec: ImageCodec = new ImageCodec): Array[Byte] = {
     require(frames.nonEmpty, "encodeGif needs at least one frame")
     // Measured JDK codec defect: GIFs with height ≤ 4 round-trip with rows
     // beyond the first zeroed (every (w, h ≤ 4) combination in a 2..30 ×
@@ -706,9 +715,8 @@ object Multimodal {
       s"encodeGif: JDK GIF codec corrupts images with height < 5 (got $height)")
     val ramp = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
-    val it = ImageIO.getImageWritersByMIMEType("image/gif")
-    require(it.hasNext, "no JDK ImageIO writer for image/gif")
-    val writer = it.next()
+    // cached writer (the ImageCodec SPI-scan amortization, like encodePng)
+    val writer = codec.writerFor("image/gif")
     val bos = new ByteArrayOutputStream()
     val ios = new MemoryCacheImageOutputStream(bos)
     try {
@@ -733,7 +741,6 @@ object Multimodal {
       ios.flush()
     } finally {
       writer.setOutput(null)
-      writer.dispose()
       ios.close()
     }
     bos.toByteArray
@@ -749,13 +756,14 @@ object Multimodal {
   def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val codec = new ImageCodec
       it.map { did =>
         val w = (4 + did % 13).toInt
         val h = (5 + did % 7).toInt
         val nf = (2 + did % 5).toInt
         val frames = (0 until nf).map(f =>
           (x: Int, y: Int) => ((x * 31 + y * 17 + f * 23 + did) % 256).toInt)
-        MediaRow(did, encodeGif(w, h, frames), "image/gif")
+        MediaRow(did, encodeGif(w, h, frames, codec), "image/gif")
       }
     }
   }
