@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -497,7 +497,16 @@ object Graph {
         .select(col("dist"), col("n_nodes"), col("min_node"), col("max_node"),
           lit(converged).as("converged"))
         .orderBy("dist")
-    })
+    }),
+
+    // HITS hubs/authorities on the DIRECTED customer→part purchase
+    // bipartite graph (same 10%-of-orders slice as q_butterflies) — see
+    // hits() scaladoc for the deferred-normalization exactness argument
+    "q_hits" -> ((s, dir) =>
+      hits(custPartEdges(
+        Sources.table(s, dir, "orders").where(col("o_orderkey") % 10 === 0),
+        Sources.table(s, dir, "lineitem").where(col("l_orderkey") % 10 === 0)),
+        HitsRounds))
   )
 
   /** BFS round budget for q_sssp: measured frontier exhaustion happens
@@ -601,9 +610,99 @@ object Graph {
       .limit(k)
   }
 
+  /** HITS round count for q_hits: two full hub↔authority reflections —
+    * past the degree-only first step (a₁ is just in-degree), small enough
+    * that the integer iterates stay far from the decimal(38,0) bound and
+    * the unrolled oracle CTE chain stays readable (the PrIters rationale).
+    */
+  val HitsRounds = 2
+
+  /** Kleinberg's HITS (JACM 1999) over a DIRECTED bipartite purchase
+    * graph: customers are hubs, parts are authorities — aᵣ = Aᵀ·hᵣ₋₁,
+    * hᵣ = A·aᵣ, h₀ = 1.
+    *
+    * Cross-engine exactness by DEFERRED NORMALIZATION: the textbook
+    * algorithm L1-normalizes each half-round, which would make every
+    * iterate a float vector and the result hostage to accumulation order.
+    * Normalizing is a scalar multiple — it never changes the DIRECTION of
+    * the iterate — so the fixpoint prefix here keeps raw INTEGER sums
+    * (decimal(38,0): values are bounded by E^(2·rounds) ≈ 1.7e19 worst-
+    * case at the 60k-edge slice, past BIGINT but far inside decimal38;
+    * overflow fails loudly as null-propagation, never silently) and the
+    * single L1 division happens once on the final table — both engines
+    * divide the same exact integers, so scores agree to the r6 round
+    * bit-for-bit.
+    *
+    * Scale shape: one distinct'd edge list; each half-round is one
+    * edge-keyed equi-join + a map-side-combined sum (shuffles carry node
+    * cardinality, never edge²); per-round tables persist LAZILY
+    * (MEMORY_AND_DISK) so the one terminal action materializes the whole
+    * chain — the q_pagerank single-action discipline — and Bench/Verify's
+    * releaseAll sweep reclaims the blocks.
+    */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("c"), col("p")).localCheckpoint()
+    var hub = e.select(col("c")).distinct()
+      .select(col("c"), lit(1L).cast(dec).as("h"))
+    var auth = e.groupBy("p").agg(count(lit(1)).cast(dec).as("a"))
+    for (r <- 1 to rounds) {
+      if (r > 1) // round 1's authority vector IS the in-degree table above
+        auth = e.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      hub = e.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val aTot = auth.agg(sum(col("a")).as("t"))
+    val hTot = hub.agg(sum(col("h")).as("t"))
+    def r6(x: Column): Column =
+      floor(x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    auth.crossJoin(broadcast(aTot))
+      .select(lit("auth").as("side"), col("p").as("node"),
+        r6(col("a").cast("double") / col("t").cast("double")).as("score"))
+      .unionAll(hub.crossJoin(broadcast(hTot))
+        .select(lit("hub").as("side"), col("c").as("node"),
+          r6(col("h").cast("double") / col("t").cast("double")).as("score")))
+      .orderBy("side", "node")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> prOracle(PrIters),
     "q_sssp" -> bfsOracle(BfsRounds),
+
+    // the deferred-normalization HITS unrolled: every CTE is an exact
+    // HUGEINT sum (a1 = in-degree since h0 = 1), the one float op is the
+    // final L1 division of exact integers — identical on both engines
+    "q_hits" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, li.l_partkey AS p
+        |  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+        |  WHERE o.o_orderkey % 10 = 0
+        |), a1 AS (
+        |  SELECT p, CAST(COUNT(*) AS HUGEINT) AS a FROM e GROUP BY p
+        |), h1 AS (
+        |  SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+        |  FROM e JOIN a1 USING (p) GROUP BY c
+        |), a2 AS MATERIALIZED (
+        |  SELECT p, CAST(SUM(h) AS HUGEINT) AS a
+        |  FROM e JOIN h1 USING (c) GROUP BY p
+        |), h2 AS MATERIALIZED (
+        |  SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+        |  FROM e JOIN a2 USING (p) GROUP BY c
+        |)
+        |SELECT side, node, score FROM (
+        |  SELECT 'auth' AS side, p AS node,
+        |    FLOOR(CAST(a AS DOUBLE) / (SELECT CAST(SUM(a) AS DOUBLE) FROM a2)
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS score
+        |  FROM a2
+        |  UNION ALL
+        |  SELECT 'hub' AS side, c AS node,
+        |    FLOOR(CAST(h AS DOUBLE) / (SELECT CAST(SUM(h) AS DOUBLE) FROM h2)
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS score
+        |  FROM h2
+        |) ORDER BY side, node""".stripMargin,
 
     // the same forward algorithm relationally: ROW() comparisons mirror
     // Spark's struct ordering; counts are exact integers, transitivity is

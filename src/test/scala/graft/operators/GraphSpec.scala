@@ -380,4 +380,48 @@ class GraphSpec extends SparkSpec {
     }
     assert(snap() === snap())
   }
+
+  test("HITS on a complete biclique: uniform 1/|side| scores on both sides") {
+    // K_{2,3}: every hub sees every authority, so both iterates stay
+    // uniform and the L1-normalized scores are exactly 1/2 and 1/3 (r6)
+    val k23 = bip((for (c <- 1L to 2L; p <- 10L to 12L) yield (c, p)): _*)
+    val rows = Graph.hits(k23, Graph.HitsRounds).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val want = if (r.getString(0) == "auth") 1.0 / 3 else 1.0 / 2
+      val r6 = math.floor(want * 1e6 + 0.500001) / 1e6
+      assert(r.getDouble(2) === r6, s"$r")
+    }
+  }
+
+  test("HITS matches a driver-computed exact integer iteration; mass sums to 1") {
+    // irregular bipartite graph, hand-run with BigInt iterates — the same
+    // deferred-normalization algebra the operator promises
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L), (3L, 12L),
+      (4L, 12L), (4L, 11L), (4L, 13L))
+    var hub = pairs.map(_._1).distinct.map(_ -> BigInt(1)).toMap
+    var auth: Map[Long, BigInt] = Map.empty
+    for (_ <- 1 to Graph.HitsRounds) {
+      auth = pairs.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      hub = pairs.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+    }
+    def norm(m: Map[Long, BigInt]): Map[Long, Double] = {
+      val t = m.values.sum.toDouble
+      m.map { case (k, v) =>
+        k -> math.floor(v.toDouble / t * 1e6 + 0.500001) / 1e6 }
+    }
+    val wantAuth = norm(auth); val wantHub = norm(hub)
+    val got = Graph.hits(bip(pairs: _*), Graph.HitsRounds).collect()
+    got.foreach { r =>
+      val want = if (r.getString(0) == "auth") wantAuth else wantHub
+      assert(r.getDouble(2) === want(r.getLong(1)), s"$r")
+    }
+    // L1 mass on each side is 1 up to the r6 round
+    Seq("auth", "hub").foreach { side =>
+      val s = got.filter(_.getString(0) == side).map(_.getDouble(2)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$side mass $s")
+    }
+  }
 }
