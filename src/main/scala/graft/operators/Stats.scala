@@ -587,6 +587,119 @@ object Stats {
           nr.as("n_right"), pr.as("pos_right"),
           r6(h(col("pt"), col("nt"))).as("base_entropy"))
         .orderBy("feature")
+    }),
+
+    // ---- Levene / Brown–Forsythe homogeneity of variance ------------------
+    // Brown–Forsythe (1974): one-way ANOVA on z_ij = |x_ij − median_j| —
+    // the robust pre-test for "do these groups even have comparable
+    // spread", run before trusting a pooled-variance comparison across
+    // order priorities. Median-centered (not mean-centered Levene 1960):
+    // robust to the heavy right tail order totals actually have.
+    //
+    // Exactness: medians of integer cents land on .0/.5, so 2·median is an
+    // exact BIGINT and z2 = |2x − 2med| stays integer; per-group Σz2 and
+    // Σz2² aggregate exactly (BIGINT / decimal38), and the final assembly
+    // runs the q_anova discipline — group-ordered cumulative float adds so
+    // both engines execute the identical float sequence. F is scale-
+    // invariant, so the 2× never needs undoing; the reported SS are
+    // rescaled by /4 once.
+    //
+    // Scale shape: TWO corpus scans (median pass + deviation pass — the
+    // exact-median anchor; at 100 TB swap pass 1 to approx_percentile's
+    // mergeable sketch, the q_group_percentile contract) with the 5-row
+    // median table broadcast back; everything after the second groupBy is
+    // schema-bounded (k = 5 priorities).
+    "q_levene" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), cents.as("v"))
+      val med = o.groupBy("grp").agg(
+        floor(expr("percentile(v, 0.5)") * 2 + lit(0.500001))
+          .cast("long").as("med2"))
+      val z2 = abs(col("v") * 2 - col("med2"))
+      val g = o.join(broadcast(med), Seq("grp"))
+        .select(col("grp"), z2.as("z2"), z2.cast("decimal(18,0)").as("z2d"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("ng"), sum(col("z2")).as("sg"),
+          sum(col("z2d") * col("z2d")).as("ssqg"))
+      val tg = col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")
+      val wOrd = BoundedWindow.ordered(col("grp"), col("grp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("grp"))
+      val cum = g.select(
+        sum(col("ng")).over(wAll).as("nn"),
+        sum(col("sg")).over(wAll).as("ss"),
+        sum(col("ssqg").cast("double")).over(wOrd).as("syy"),
+        sum(tg).over(wOrd).as("tcum"),
+        count(lit(1)).over(wAll).as("k"),
+        row_number().over(BoundedWindow.ordered(col("grp"), col("grp")))
+          .as("rn"))
+        .where(col("rn") === col("k"))
+      val nD = col("nn").cast("double"); val kD = col("k").cast("double")
+      val ssb = col("tcum") -
+        col("ss").cast("double") * col("ss").cast("double") / nD
+      val ssw = col("syy") - col("tcum")
+      val f = (ssb / (kD - 1)) / (ssw / (nD - kD))
+      // SS reported in DOLLAR² z-units (cents² / 4 / 1e4): the raw cents²
+      // magnitude (~1e17 at sf0.1) would overflow Spark floor()'s LONG
+      // return inside the r2 idiom; dollars² keeps the rounded value well
+      // inside 2^53 at any plausible SF
+      cum.select(col("k"), col("nn").as("n"),
+        r2c(ssb / 40000.0).as("ss_between"), r2c(ssw / 40000.0).as("ss_within"),
+        r4(f).as("f_stat"))
+    }),
+
+    // ---- Kendall rank correlation (tau-b) ---------------------------------
+    // Kendall's τ-b between daily order volume and daily revenue — the
+    // rank-correlation companion to q_spearman that is robust to ties and
+    // has a direct probabilistic reading (P(concordant) − P(discordant)).
+    // Exact pair census, not the O(n log n) inversion-count trick: the
+    // series is CALENDAR-bounded (≈2.4k days at sf0.1 — and still ≈2.4k
+    // at 100 TB, because days grow with time, not volume), so the n²/2
+    // pair comparison is ~3M cheap integer ops over a broadcast of the
+    // tiny daily frame; corpus-sized data never enters the pair join.
+    // Every pair classification is pure BIGINT sign algebra; the counts
+    // partial-aggregate to one row, and τ-b = (C−D)/√((n0−T_x)(n0−T_y))
+    // is a single float sequence over exact integers (products ≤ ~8e12,
+    // exact in doubles). Constant series ⇒ denominator 0 ⇒ both engines
+    // abstain with NULL (the q_spearman zero-guard discipline).
+    "q_kendall_tau" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"), sum(cents).as("y"))
+      val a = daily.select(col("day").as("d1"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = daily.select(col("day").as("d2"), col("x").as("x2"),
+        col("y").as("y2"))
+      val cx = when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)
+      val cy = when(col("y2") > col("y1"), 1L)
+        .when(col("y2") < col("y1"), -1L).otherwise(0L)
+      val agg = a.join(broadcast(b), col("d1") < col("d2"))
+        .select(cx.as("cx"), cy.as("cy"))
+        .agg(
+          sum(when(col("cx") * col("cy") > 0, 1L).otherwise(0L)).as("c"),
+          sum(when(col("cx") * col("cy") < 0, 1L).otherwise(0L)).as("d"),
+          sum(when(col("cx") === 0 && col("cy") =!= 0, 1L).otherwise(0L))
+            .as("tx"),
+          sum(when(col("cy") === 0 && col("cx") =!= 0, 1L).otherwise(0L))
+            .as("ty"),
+          sum(when(col("cx") === 0 && col("cy") === 0, 1L).otherwise(0L))
+            .as("tb"))
+      val n = daily.agg(count(lit(1)).as("n_days"))
+      val n0 = col("n_days") * (col("n_days") - 1) / 2
+      val den = sqrt(((n0 - col("tx") - col("tb")) *
+        (n0 - col("ty") - col("tb"))).cast("double"))
+      agg.crossJoin(broadcast(n))
+        .select(col("n_days"), col("c").as("concordant"),
+          col("d").as("discordant"), col("tx").as("ties_x"),
+          col("ty").as("ties_y"), col("tb").as("ties_both"),
+          when(den > 0,
+            r6((col("c") - col("d")).cast("double") / den)).as("tau_b"))
     })
   )
 
@@ -1115,6 +1228,90 @@ object Stats {
         |  FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
         |  CAST(CASE WHEN abs(z) > 1.959963984540054 THEN 1 ELSE 0 END
         |    AS BIGINT) AS reject_95
-        |FROM zz""".stripMargin
+        |FROM zz""".stripMargin,
+
+    // exact .5-grid medians (2·median is BIGINT on both engines), integer
+    // deviations, then the q_anova group-ordered float assembly verbatim
+    "q_levene" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) AS v
+        |  FROM orders
+        |), med AS (
+        |  SELECT grp, CAST(FLOOR(median(v) * 2 + 0.500001) AS BIGINT) AS med2
+        |  FROM o GROUP BY grp
+        |), z AS (
+        |  SELECT o.grp, ABS(o.v * 2 - med.med2) AS z2
+        |  FROM o JOIN med USING (grp)
+        |), g AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(z2) AS BIGINT) AS sg,
+        |    CAST(SUM(CAST(z2 AS HUGEINT) * z2) AS DOUBLE) AS ssqg
+        |  FROM z GROUP BY grp
+        |), cum AS (
+        |  SELECT SUM(ng) OVER () AS nn, SUM(sg) OVER () AS ss,
+        |    SUM(ssqg) OVER (ORDER BY grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS syy,
+        |    SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |      OVER (ORDER BY grp
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tcum,
+        |    COUNT(*) OVER () AS k,
+        |    ROW_NUMBER() OVER (ORDER BY grp) AS rn
+        |  FROM g
+        |), f AS (
+        |  SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |    tcum - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      / CAST(nn AS DOUBLE) AS ssb,
+        |    syy - tcum AS ssw,
+        |    CAST(nn AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd
+        |  FROM cum WHERE rn = k
+        |)
+        |SELECT k, n,
+        |  FLOOR(ssb / 40000.0 * 100.0 + 0.500001) / 100.0 AS ss_between,
+        |  FLOOR(ssw / 40000.0 * 100.0 + 0.500001) / 100.0 AS ss_within,
+        |  FLOOR((ssb / (kd - 1)) / (ssw / (nd - kd)) * 10000.0 + 0.500001)
+        |    / 10000.0 AS f_stat
+        |FROM f""".stripMargin,
+
+    // same integer sign algebra over the same quadratic pair census; the
+    // one float sequence ((C−D)/√(product of exact ≤8e12 integers)) is
+    // identical term for term, NULL-abstaining when a series is constant
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), p AS (
+        |  SELECT
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS cx,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS cy
+        |  FROM daily a JOIN daily b ON a.day < b.day
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN cx = 0 AND cy <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN cy = 0 AND cx <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ty,
+        |    CAST(SUM(CASE WHEN cx = 0 AND cy = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tb
+        |  FROM p
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+        |), f AS (
+        |  SELECT n_days, c, d, tx, ty, tb,
+        |    CAST(n_days AS DOUBLE) * (n_days - 1) / 2 AS n0
+        |  FROM agg, n
+        |)
+        |SELECT n_days, c AS concordant, d AS discordant, tx AS ties_x,
+        |  ty AS ties_y, tb AS ties_both,
+        |  CASE WHEN sqrt((n0 - tx - tb) * (n0 - ty - tb)) > 0 THEN
+        |    FLOOR(CAST(c - d AS DOUBLE)
+        |      / sqrt((n0 - tx - tb) * (n0 - ty - tb))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS tau_b
+        |FROM f""".stripMargin
   )
 }

@@ -408,6 +408,103 @@ class StatsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"rank attach must be an equi-join:\n$p")
   }
 
+  // ---- q_levene -----------------------------------------------------------
+
+  test("Brown–Forsythe: location shift with identical spread scores F = 0") {
+    import spark.implicits._
+    // group B = group A + 1000: medians shift with the data, so the
+    // absolute deviations are IDENTICAL across groups → SSB = 0, F = 0.
+    // A mean-centered or raw-variance test would also pass here; the
+    // median-centering matters in the skew test below.
+    val a = Seq(1.0, 2.0, 4.0, 8.0, 16.0)
+    val rows = a.map(("1-URGENT", _)) ++ a.map(v => ("2-HIGH", v + 1000.0))
+    val r = SparkEntry.queries("q_levene")(spark,
+      fixtureDir("orders" -> rows.toDF("o_orderpriority", "o_totalprice")))
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 0.0 && r.getDouble(4) === 0.0, s"$r")
+  }
+
+  test("Brown–Forsythe: a wide group against a tight group scores F >> 1") {
+    import spark.implicits._
+    val tight = Seq.fill(20)(100.0) ++ Seq(99.0, 101.0)
+    val wide = (1 to 22).map(i => if (i % 2 == 0) 10.0 else 1000.0)
+    val rows = tight.map(("1-URGENT", _)) ++ wide.map(("2-HIGH", _))
+    val r = SparkEntry.queries("q_levene")(spark,
+      fixtureDir("orders" -> rows.toDF("o_orderpriority", "o_totalprice")))
+      .collect().head
+    assert(r.getDouble(4) > 100.0, s"variance gap must dominate: $r")
+  }
+
+  test("Brown–Forsythe on real data: k=5 priorities, SS components consistent") {
+    val r = SparkEntry.queries("q_levene")(spark, sf).collect().head
+    val n = graft.io.Sources.table(spark, sf, "orders").count()
+    assert(r.getLong(0) === 5L && r.getLong(1) === n)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) > 0.0 && r.getDouble(4) >= 0.0)
+  }
+
+  // ---- q_kendall_tau ------------------------------------------------------
+
+  test("Kendall: monotone daily series score exactly +1 / -1; constant abstains") {
+    import spark.implicits._
+    // 10 days, ONE order per day with rising price → the count series is
+    // all ties, so τ-b's x-variance term is 0 → both engines abstain NULL
+    val flat = (1 to 10).map(i => (f"1998-03-$i%02d", 100.0 + i))
+    val rFlat = SparkEntry.queries("q_kendall_tau")(spark,
+      fixtureDir("orders" -> flat.toDF("o_orderdate", "o_totalprice")))
+      .collect().head
+    assert(rFlat.getLong(0) === 10L && rFlat.isNullAt(6),
+      s"all-tied x must abstain: $rFlat")
+    // day i carries i orders: count strictly rises; revenue i·(100+i)·100
+    // cents strictly rises → all 45 pairs concordant → τ-b exactly 1
+    val up = for (i <- 1 to 10; _ <- 1 to i)
+      yield (f"1998-03-$i%02d", 100.0 + i)
+    val rUp = SparkEntry.queries("q_kendall_tau")(spark,
+      fixtureDir("orders" -> up.toDF("o_orderdate", "o_totalprice")))
+      .collect().head
+    assert(rUp.getDouble(6) === 1.0, s"want τ=1: $rUp")
+    // same rising counts but per-order price 3^(10−i)/100 dollars → daily
+    // revenue i·3^(10−i) cents strictly FALLS (19683, 13122, …, 10) →
+    // all 45 pairs discordant → τ-b exactly −1
+    val dn = for (i <- 1 to 10; _ <- 1 to i)
+      yield (f"1998-03-$i%02d", math.pow(3.0, 10 - i) / 100.0)
+    val rDn = SparkEntry.queries("q_kendall_tau")(spark,
+      fixtureDir("orders" -> dn.toDF("o_orderdate", "o_totalprice")))
+      .collect().head
+    assert(rDn.getDouble(6) === -1.0, s"want τ=-1: $rDn")
+  }
+
+  test("Kendall on real data: matches a driver-side quadratic recount") {
+    val r = SparkEntry.queries("q_kendall_tau")(spark, sf).collect().head
+    val daily = graft.io.Sources.table(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+          .cast("long")).as("y"))
+      .collect().map(row => (row.getLong(1), row.getLong(2)))
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var tb = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val sx = java.lang.Long.signum(daily(j)._1 - daily(i)._1)
+      val sy = java.lang.Long.signum(daily(j)._2 - daily(i)._2)
+      if (sx * sy > 0) c += 1 else if (sx * sy < 0) d += 1
+      else if (sx == 0 && sy == 0) tb += 1
+      else if (sx == 0) tx += 1 else ty += 1
+    }
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((c, d, tx, ty, tb)))
+    val n0 = daily.length.toDouble * (daily.length - 1) / 2
+    val tau = (c - d).toDouble / math.sqrt((n0 - tx - tb) * (n0 - ty - tb))
+    assert(math.abs(r.getDouble(6) - tau) < 1e-6,
+      s"engine ${r.getDouble(6)} != recount $tau")
+  }
+
+  test("Kendall plan: the daily pair census broadcasts, never a plain cartesian") {
+    val p = plan("q_kendall_tau")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"calendar-bounded pair join must broadcast the daily frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no partitioned cartesian:\n$p")
+  }
+
   // ---- q_tree_split -------------------------------------------------------
 
   test("tree split finds a perfectly separating feature at full gain") {
