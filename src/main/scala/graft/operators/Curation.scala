@@ -556,6 +556,51 @@ object Curation {
           (col("max_x") - col("min_x") + 1).as("x_span"),
           (col("max_y") - col("min_y") + 1).as("y_span"))
         .orderBy("file_id")
+    }),
+
+    // ---- URL canonicalization dedup ---------------------------------------
+    // The first stage of every web-corpus pipeline (Common Crawl dedup
+    // starts at the URL, before any content hash): canonicalize raw URLs —
+    // lowercase, strip fragments, strip utm_* tracking parameters, drop
+    // the default :443 port, trim the trailing slash — and collapse to
+    // canonical groups. Raw URLs are synthesized closed-form from doc_id
+    // (mixed-case host, five clutter variants by doc_id mod 5) so the
+    // oracle rebuilds them without plumbing a URL column through testdata;
+    // the OPERATOR is the regexp canonicalization chain, which runs
+    // identically on any real url column.
+    //
+    // Scale shape: canonicalization is a per-row codegen'd regexp chain
+    // (no UDF), then ONE canonical-key groupBy with map-side combine;
+    // count(distinct raw) rides Catalyst's standard distinct-expand on the
+    // same shuffle. Lowercasing the WHOLE url is correct here because the
+    // synthesized paths are digit-only; production would lowercase
+    // scheme+host alone (documented deviation, not a silent one).
+    "q_url_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val m5 = id % 5
+      val port = when(m5 === 2, lit(":443")).otherwise(lit(""))
+      val tail = when(m5 === 0,
+          concat(lit("?utm_source=mail&utm_campaign=c"), id.cast("string")))
+        .when(m5 === 1, concat(lit("#section-"), id.cast("string")))
+        .when(m5 === 3, lit("/"))
+        .otherwise(lit(""))
+      val raw = concat(lit("https://WWW.Shop"), (id % 7).cast("string"),
+        lit(".Example.COM"), port, lit("/item/"), (id % 50).cast("string"),
+        tail)
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(lower(raw),
+          "#.*$", ""),          // fragment never reaches the server
+          "[?&]utm_[^&#]*", ""), // tracking params, every occurrence
+          "\\?&", "?"),          // heal '?&rest' if a utm led the query
+          ":443/", "/"),         // https default port
+        "/$", "")                // trailing slash
+      t(s, dir, "documents")
+        .select(id.as("doc_id"), raw.as("raw_url"), canon.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_url")).as("n_variants"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy("canonical_url")
     })
   )
 
@@ -896,6 +941,39 @@ object Curation {
          |  min(zx) AS min_x, max(zx) AS max_x, min(zy) AS min_y, max(zy) AS max_y,
          |  max(zx) - min(zx) + 1 AS x_span, max(zy) - min(zy) + 1 AS y_span
          |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
-    }
+    },
+
+    // same closed-form raw URLs, same five-step regexp chain; DuckDB's
+    // regexp_replace defaults to first-match so the utm strip (the one
+    // pattern that can occur twice) carries the explicit 'g' flag
+    "q_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'https://WWW.Shop' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.Example.COM'
+        |      || CASE WHEN doc_id % 5 = 2 THEN ':443' ELSE '' END
+        |      || '/item/' || CAST(doc_id % 50 AS VARCHAR)
+        |      || CASE
+        |           WHEN doc_id % 5 = 0 THEN
+        |             '?utm_source=mail&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+        |           WHEN doc_id % 5 = 1 THEN '#section-' || CAST(doc_id AS VARCHAR)
+        |           WHEN doc_id % 5 = 3 THEN '/'
+        |           ELSE '' END AS raw_url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(raw_url),
+        |        '#.*$', ''),
+        |        '[?&]utm_[^&#]*', '', 'g'),
+        |        '\?&', '?'),
+        |        ':443/', '/'),
+        |        '/$', '') AS canonical_url
+        |  FROM raw
+        |)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_variants,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
   )
 }

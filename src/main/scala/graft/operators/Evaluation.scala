@@ -329,6 +329,48 @@ object Evaluation {
         .orderBy("source")
     }),
 
+    // ---- corpus similarity: Jensen–Shannon divergence ---------------------
+    // JSD between the unigram distributions of the even- and odd-numbered
+    // sources — the symmetric, always-finite corpus-distance a mixture
+    // designer uses to answer "how different are these two data pools"
+    // before weighting them (KL is infinite on any unshared type; JSD is
+    // bounded by ln 2). Scale shape: ONE explode → term-keyed aggregate
+    // with conditional counts (map-side combined — the q_token_entropy
+    // shuffle), the vocab-bounded term frame cached once, totals attach as
+    // a broadcast 1-row aggregate, and the divergence partial-reduces over
+    // the term frame. Floats: each term is the same closed form of exact
+    // integer counts on both engines; the vocab-sized sum is the one
+    // order-dependent accumulation, absorbed by r4 (the q_token_entropy
+    // discipline). The within-ln2 flag is computed FROM the r4-rounded
+    // value so the boolean can't flip across engines.
+    "q_js_divergence" -> ((s, dir) => {
+      val sid = substring(col("source"), 4, 10).cast("long")
+      val terms = t(s, dir, "documents")
+        .select((sid % 2).as("g"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("a"),
+          sum(when(col("g") === 1L, 1L).otherwise(0L)).as("b"))
+        .cache()
+      val tot = terms.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      val pa = col("a").cast("double") / col("na")
+      val pb = col("b").cast("double") / col("nb")
+      val m = (pa + pb) / 2
+      val contrib =
+        when(col("a") > 0, pa * log(pa / m) / 2).otherwise(0.0) +
+          when(col("b") > 0, pb * log(pb / m) / 2).otherwise(0.0)
+      val g = terms.crossJoin(broadcast(tot)).agg(
+        max(col("na")).as("n_tokens_a"), max(col("nb")).as("n_tokens_b"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("a") > 0 && col("b") > 0, 1L).otherwise(0L))
+          .as("n_types_shared"),
+        sum(contrib).as("jsd0"))
+      g.select(col("n_tokens_a"), col("n_tokens_b"), col("n_types"),
+        col("n_types_shared"), r4(col("jsd0")).as("jsd_nats"),
+        (r4(col("jsd0")) >= 0.0 && r4(col("jsd0")) <= 0.6932)
+          .cast("long").as("within_ln2"))
+    }),
+
     // ---- Poisson bootstrap confidence interval ----------------------------
     // The scalable bootstrap: resampling-with-replacement is a shuffle of
     // the whole dataset per replicate, but each row's multiplicity in a
@@ -563,6 +605,43 @@ object Evaluation {
         |  FLOOR((ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) * 10000.0 + 0.500001)
         |    / 10000.0 AS entropy_nats
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical tokenization and per-term closed form; the flag derives
+    // from the r4-rounded divergence so it cannot flip across engines
+    "q_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS g,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tc AS (
+        |  SELECT term,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM toks GROUP BY term
+        |), tot AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+        |  FROM tc
+        |), f AS (
+        |  SELECT a, b, na, nb,
+        |    CAST(a AS DOUBLE) / na AS pa, CAST(b AS DOUBLE) / nb AS pb
+        |  FROM tc, tot
+        |), s AS (
+        |  SELECT MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_types_shared,
+        |    SUM(CASE WHEN a > 0 THEN pa * ln(pa / ((pa + pb) / 2)) / 2
+        |          ELSE 0 END
+        |      + CASE WHEN b > 0 THEN pb * ln(pb / ((pa + pb) / 2)) / 2
+        |          ELSE 0 END) AS jsd0
+        |  FROM f
+        |)
+        |SELECT n_tokens_a, n_tokens_b, n_types, n_types_shared,
+        |  FLOOR(jsd0 * 10000.0 + 0.500001) / 10000.0 AS jsd_nats,
+        |  CAST(CASE WHEN FLOOR(jsd0 * 10000.0 + 0.500001) / 10000.0 >= 0.0
+        |    AND FLOOR(jsd0 * 10000.0 + 0.500001) / 10000.0 <= 0.6932
+        |    THEN 1 ELSE 0 END AS BIGINT) AS within_ln2
+        |FROM s""".stripMargin,
 
     // same md5 uniform (the q_dsir_select idiom), same literal Poisson(1)
     // CDF thresholds, same order-statistic CI selection

@@ -450,4 +450,35 @@ class CurationSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 3,
       s"unexpected extra shuffle:\n$p")
   }
+
+  // ---- q_url_normalize ------------------------------------------------------
+
+  test("URL canonicalization strips every clutter class and conserves docs") {
+    val docs = graft.io.Sources.table(spark, sf, "documents")
+    val rows = graft.SparkEntry.queries("q_url_normalize")(spark, sf).collect()
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(u == u.toLowerCase, s"uppercase survived: $u")
+      assert(!u.contains("#") && !u.contains("utm_") && !u.contains(":443")
+        && !u.endsWith("/"), s"clutter survived: $u")
+      assert(u.startsWith("https://www.shop"), s"unexpected shape: $u")
+    }
+    assert(rows.map(_.getLong(1)).sum === docs.count(),
+      "every document lands in exactly one canonical group")
+  }
+
+  test("URL variants 350 ids apart collapse to one canonical group") {
+    import spark.implicits._
+    // 1 and 351 agree mod 7 and mod 50 (same host+path) and both carry a
+    // fragment (mod 5 = 1) that differs by full doc_id → two distinct raw
+    // urls, ONE canonical group
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_url_fixture").toString
+    Seq(1L, 351L).toDF("doc_id").write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_url_normalize")(spark, dir).collect()
+    assert(rows.length === 1, s"want one group: ${rows.toSeq}")
+    assert(rows.head.getString(0) === "https://www.shop1.example.com/item/1")
+    assert(rows.head.getLong(1) === 2L && rows.head.getLong(2) === 2L
+      && rows.head.getLong(3) === 1L)
+  }
 }

@@ -325,4 +325,47 @@ class EvaluationSpec extends SparkSpec {
       s"decile resolution must stay broadcast-bounded:\n$p")
     assert(p.contains("HashAggregate"), s"expected the bin aggregate:\n$p")
   }
+
+  // ---- q_js_divergence ------------------------------------------------------
+
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_eval_fixture").toString
+    rows.toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("JSD: identical corpora diverge by exactly 0") {
+    // src0 (even) and src1 (odd) carry the SAME text → pa = pb for every
+    // term → every log term is ln(1) = 0 and the sum is exactly 0.0
+    val rows = (1L to 5L).flatMap(i => Seq(
+      (i, "src0", s"alpha beta gamma tok$i"),
+      (i + 100, "src1", s"alpha beta gamma tok$i")))
+    val r = SparkEntry.queries("q_js_divergence")(spark, docsFixture(rows))
+      .collect().head
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(2) === r.getLong(3), "every type is shared")
+    assert(r.getDouble(4) === 0.0 && r.getLong(5) === 1L, s"$r")
+  }
+
+  test("JSD: disjoint vocabularies saturate at ln 2") {
+    val rows = (1L to 4L).flatMap(i => Seq(
+      (i, "src2", s"even$i evencommon"),
+      (i + 100, "src3", s"odd$i oddcommon")))
+    val r = SparkEntry.queries("q_js_divergence")(spark, docsFixture(rows))
+      .collect().head
+    assert(r.getLong(3) === 0L, "no shared types")
+    val ln2r4 = math.floor(math.log(2.0) * 1e4 + 0.500001) / 1e4
+    assert(r.getDouble(4) === ln2r4, s"want ln2=$ln2r4: $r")
+    assert(r.getLong(5) === 1L)
+  }
+
+  test("JSD on real data: strictly between 0 and ln 2, vocabulary overlaps") {
+    val r = SparkEntry.queries("q_js_divergence")(spark, sf).collect().head
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) < math.log(2.0), s"$r")
+    assert(r.getLong(3) > 0L && r.getLong(3) <= r.getLong(2))
+    assert(r.getLong(5) === 1L)
+  }
 }
