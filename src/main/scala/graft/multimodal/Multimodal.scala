@@ -246,6 +246,86 @@ object Multimodal {
     media.mapPartitions(_.map(decodeAudio))
   }
 
+  /** Per-media PCM resample summary — integer-exact by construction (see
+    * [[resamplePcm]]), so the whole row hash-matches a closed-form oracle.
+    */
+  final case class ResampleSummary(
+      media_id: Long, sample_rate_out: Int, n_in: Long, n_out: Long,
+      sum_out: Long, sum_abs_out: Long, peak_out: Long)
+
+  /** Fixed-point linear-interpolation PCM resample by the rational rate
+    * ratio src/dst = num/den: output sample j sits at source position
+    * j·num/den, and the two-tap interpolation runs entirely in integers —
+    * floorDiv((v₀·(den−frac) + v₁·frac), den) with t = j·num, p₀ = t div
+    * den, frac = t mod den. No float ever touches a sample, so the kernel
+    * is bit-reproducible across JVMs and recomputable in SQL (floorDiv and
+    * FLOOR(x/den) agree on negatives — both round toward −∞). The last
+    * output index satisfies j·num ≤ (n−1)·den, so p₀+1 stays in range
+    * whenever frac > 0.
+    */
+  def resamplePcm(s: Array[Short], num: Int, den: Int): Array[Int] = {
+    require(s.length > 0 && num > 0 && den > 0, "resample needs samples and a ratio")
+    val nOut = ((s.length - 1).toLong * den / num).toInt + 1
+    val out = new Array[Int](nOut)
+    var j = 0
+    while (j < nOut) {
+      val t = j.toLong * num
+      val p0 = (t / den).toInt
+      val frac = (t % den).toInt
+      out(j) =
+        if (frac == 0) s(p0).toInt
+        else Math.floorDiv(
+          s(p0).toInt * (den - frac) + s(p0 + 1).toInt * frac, den)
+      j += 1
+    }
+    out
+  }
+
+  /** Real decode → [[resamplePcm]] → integer summary, one scan, no
+    * shuffle (the [[extractAudioFeatures]] shape: per-row map, no batch
+    * costume — javax.sound has no reusable reader handle). The decoded
+    * PCM is the REAL container payload; only the summary leaves the task,
+    * so 100 TB of audio costs one scan and a row of longs per clip.
+    */
+  def resampleAudio(media: Dataset[MediaRow], num: Int, den: Int): Dataset[ResampleSummary] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val in: AudioInputStream =
+        try AudioSystem.getAudioInputStream(new ByteArrayInputStream(row.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"media_id ${row.media_id}: payload is not a decodable audio container", e)
+        }
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getChannels == 1,
+          s"media_id ${row.media_id}: expected mono PCM16, got $fmt")
+        val bytes = in.readAllBytes()
+        val sb = java.nio.ByteBuffer.wrap(bytes)
+          .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                 else java.nio.ByteOrder.LITTLE_ENDIAN)
+          .asShortBuffer()
+        val pcm = new Array[Short](sb.remaining())
+        sb.get(pcm)
+        val out = resamplePcm(pcm, num, den)
+        var sum = 0L; var sumAbs = 0L; var peak = 0L
+        var i = 0
+        while (i < out.length) {
+          val v = out(i).toLong
+          sum += v; sumAbs += math.abs(v)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += 1
+        }
+        ResampleSummary(row.media_id,
+          (fmt.getSampleRate.toDouble * den / num).toInt,
+          pcm.length.toLong, out.length.toLong, sum, sumAbs, peak)
+      } finally in.close()
+    })
+  }
+
   /** Encode one mono PCM16 WAV (lossless, so decode returns the exact
     * sample function).
     */

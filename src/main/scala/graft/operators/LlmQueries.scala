@@ -778,6 +778,22 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // REAL WAV decode → fixed-point linear-interp resample 8 kHz → 6 kHz
+    // (src/dst = 4/3): every output sample is exact integer arithmetic
+    // over the decoded PCM (Multimodal.resamplePcm), so the oracle
+    // recomputes length, sum, |sum| and peak per clip from the closed-form
+    // sample formula without ever seeing bytes — the q_multimodal_resize
+    // pixel-exact contract, for audio
+    "q_audio_resample" -> ((s, dir) => {
+      val media = Multimodal.wavMediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.resampleAudio(media, num = 4, den = 3).toDF()
+        .select(col("media_id"),
+          col("sample_rate_out").cast("long").as("sample_rate_out"),
+          col("n_in"), col("n_out"), col("sum_out"), col("sum_abs_out"),
+          col("peak_out"))
+        .orderBy("media_id")
+    }),
+
     // oracle-backed: REAL ISO-BMFF container parsing (ftyp/moov/mvhd/tkhd/
     // mdat box walk — everything a pre-decode ingest filter reads);
     // frame DECODE is q_multimodal_frames. Parameters are closed-form
@@ -1680,6 +1696,37 @@ object LlmQueries {
         |    / 10000.0 AS mean_abs,
         |  CAST(GREATEST(abs(MIN(v)), abs(MAX(v))) AS BIGINT) AS peak
         |FROM smp GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+
+    // resample parity: the kernel is pure integer arithmetic, so the
+    // oracle rebuilds every output sample from the closed-form source
+    // formula v(i) = (i·37 + id·11) mod 2001 − 1000 — n_out = ⌊(n−1)·3/4⌋+1,
+    // out(j) = floorDiv(v(p₀)(3−frac) + v(p₀+1)·frac, 3) with t = 4j —
+    // and aggregates the identical BIGINT summary
+    "q_audio_resample" ->
+      """WITH f AS (
+        |  SELECT doc_id, 400 + doc_id % 800 AS n FROM documents
+        |), dims AS (
+        |  SELECT doc_id, n, ((n - 1) * 3) // 4 + 1 AS n_out FROM f
+        |), smp AS (
+        |  SELECT d.doc_id, d.n, d.n_out,
+        |    (j.j * 4) // 3 AS p0, (j.j * 4) % 3 AS frac
+        |  FROM dims d, LATERAL unnest(generate_series(0, d.n_out - 1)) AS j(j)
+        |), o AS (
+        |  SELECT doc_id, n, n_out,
+        |    CASE WHEN frac = 0
+        |      THEN (p0 * 37 + doc_id * 11) % 2001 - 1000
+        |      ELSE CAST(FLOOR((
+        |        ((p0 * 37 + doc_id * 11) % 2001 - 1000) * (3 - frac)
+        |        + (((p0 + 1) * 37 + doc_id * 11) % 2001 - 1000) * frac
+        |      ) / 3.0) AS BIGINT) END AS v
+        |  FROM smp
+        |)
+        |SELECT doc_id AS media_id, CAST(6000 AS BIGINT) AS sample_rate_out,
+        |  CAST(MAX(n) AS BIGINT) AS n_in, CAST(MAX(n_out) AS BIGINT) AS n_out,
+        |  CAST(SUM(v) AS BIGINT) AS sum_out,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs_out,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak_out
+        |FROM o GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // container-parse parity: every output is integer-exact arithmetic on
     // doc_id (duration_ms = ticks·1000/timescale with timescale 600 and

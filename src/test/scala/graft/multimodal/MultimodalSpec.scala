@@ -311,4 +311,38 @@ class MultimodalSpec extends SparkSpec {
       assert(m.byte_len == 348 + id % 900)
     }
   }
+
+  test("resamplePcm: exact fixed-point interpolation, floor toward -inf") {
+    // 4/3 downsample of a ramp: positions 0, 4/3, 8/3 → 0, 3+(6−3)/3, 6+2(9−6)/3
+    assert(Multimodal.resamplePcm(Array[Short](0, 3, 6, 9), 4, 3).toSeq
+      === Seq(0, 4, 8))
+    // identity ratio returns the input verbatim
+    assert(Multimodal.resamplePcm(Array[Short](5, -7, 9), 1, 1).toSeq
+      === Seq(5, -7, 9))
+    // negative weighted sums floor toward −∞ (−8/3 → −3), matching SQL FLOOR
+    assert(Multimodal.resamplePcm(Array[Short](-1, -2, -4, -8), 4, 3).toSeq
+      === Seq(-1, -3, Math.floorDiv(-4 * 1 + -8 * 2, 3)))
+    // single sample: one output, no interpolation partner needed
+    assert(Multimodal.resamplePcm(Array[Short](123), 4, 3).toSeq === Seq(123))
+  }
+
+  test("resampleAudio end-to-end: real WAV decode matches a driver recompute") {
+    import spark.implicits._
+    val docs = Seq(7L, 123L, 800L).toDF("doc_id")
+    val media = Multimodal.wavMediaFromDocuments(spark, docs)
+    val got = Multimodal.resampleAudio(media, num = 4, den = 3)
+      .collect().map(r => r.media_id -> r).toMap
+    for (did <- Seq(7L, 123L, 800L)) {
+      val n = (400 + did % 800).toInt
+      val src = Array.tabulate(n)(i =>
+        (((i.toLong * 37 + did * 11) % 2001) - 1000).toShort)
+      val out = Multimodal.resamplePcm(src, 4, 3)
+      val r = got(did)
+      assert(r.sample_rate_out === 6000)
+      assert(r.n_in === n.toLong && r.n_out === out.length.toLong)
+      assert(r.sum_out === out.map(_.toLong).sum)
+      assert(r.sum_abs_out === out.map(v => math.abs(v.toLong)).sum)
+      assert(r.peak_out === out.map(v => math.abs(v.toLong)).max)
+    }
+  }
 }
