@@ -506,8 +506,175 @@ object Graph {
       hits(custPartEdges(
         Sources.table(s, dir, "orders").where(col("o_orderkey") % 10 === 0),
         Sources.table(s, dir, "lineitem").where(col("l_orderkey") % 10 === 0)),
-        HitsRounds))
+        HitsRounds)),
+
+    // degree assortativity of the sliced part–part co-purchase projection
+    // — see assortativity() scaladoc for the all-integer Newman compose
+    "q_assortativity" -> ((s, dir) =>
+      assortativity(partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)))),
+
+    // edge reciprocity of the DIRECTED temporal co-purchase graph (part of
+    // order k → part of the same customer's order k+1) — see
+    // temporalCopurchaseEdges/reciprocity scaladocs
+    "q_reciprocity" -> ((s, dir) =>
+      reciprocity(temporalCopurchaseEdges(
+        Sources.table(s, dir, "orders"),
+        Sources.table(s, dir, "lineitem")))),
+
+    // deterministic hash-greedy random walks over the sliced co-purchase
+    // graph — the node2vec-style corpus generator; see randomWalks scaladoc
+    "q_random_walk" -> ((s, dir) =>
+      randomWalks(partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)), WalkSteps))
   )
+
+  /** Degree assortativity coefficient (Newman, PRL 2002 eq. 4) of an
+    * undirected graph: the Pearson correlation of the degrees at either
+    * end of an edge — do hubs link to hubs (r > 0, social-network-like)
+    * or to leaves (r < 0, web/biology-like)? A one-number structural
+    * fingerprint corpus-graph curation uses to pick sampling strategies.
+    *
+    * All-integer compose: with each undirected edge counted once with
+    * endpoint degrees (j, k), r = (4M·Σjk − (Σ(j+k))²) /
+    * (2M·Σ(j²+k²) − (Σ(j+k))²) — the textbook formula multiplied through
+    * by 4M², so the THREE corpus aggregates are exact BIGINT sums and the
+    * final numerator/denominator are exact DECIMAL(38,0) products (DuckDB
+    * mirrors in HUGEINT; the decimal headroom holds through ~1e12 edges at
+    * degree ~1e4). ONE float division at the end; a regular graph (every
+    * degree equal) has zero degree variance and abstains with NULL — the
+    * q_spearman zero-guard discipline.
+    *
+    * Scale shape: the degree table attaches to edges via two key
+    * equi-joins (the directedByDegree shape), then everything
+    * partial-aggregates to one row — no shuffle carries more than edge
+    * cardinality, and the pair census never materializes beyond the
+    * existing edge list.
+    */
+  def assortativity(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val e = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), Seq("v"))
+    val g = e.agg(
+      count(lit(1)).as("m"),
+      sum(col("du") * col("dv")).as("s1"),
+      sum(col("du") + col("dv")).as("s2"),
+      sum(col("du") * col("du") + col("dv") * col("dv")).as("s3"))
+    val dec = "decimal(38,0)"
+    val num = lit(4L).cast(dec) * col("m").cast(dec) * col("s1").cast(dec) -
+      col("s2").cast(dec) * col("s2").cast(dec)
+    val den = lit(2L).cast(dec) * col("m").cast(dec) * col("s3").cast(dec) -
+      col("s2").cast(dec) * col("s2").cast(dec)
+    g.select(col("m").as("n_edges"), col("s1").as("sum_jk"),
+      col("s2").as("sum_j_plus_k"), col("s3").as("sum_j2_plus_k2"),
+      when(den > lit(0L).cast(dec),
+        floor(num.cast("double") / den.cast("double") * lit(1000000.0)
+          + lit(0.500001)) / lit(1000000.0)).as("assortativity"))
+  }
+
+  /** The DIRECTED temporal co-purchase graph: an edge p → q iff some
+    * customer bought p in one order and q in their NEXT order (orders
+    * sequenced per customer by date, orderkey tie-break). Direction is
+    * time's arrow, so reciprocity below measures genuine behavioral
+    * symmetry ("p then q" AND "q then p" both observed), not a modeling
+    * artifact. Self-loops (p repurchased) are excluded.
+    *
+    * Scale shape: one per-customer window (lead) over orders — partitioned
+    * by the natural key, never global — then two orderkey equi-joins whose
+    * fan-out is bounded by order size² (≤ 13² per consecutive pair in
+    * TPC-H-shaped data), and a distinct. Shuffles carry order/edge
+    * cardinality with map-side combine; nothing is quadratic in the
+    * catalog.
+    */
+  def temporalCopurchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val consec = orders
+      .select(col("o_custkey"), col("o_orderkey").as("ok_a"),
+        lead(col("o_orderkey"), 1).over(w).as("ok_b"))
+      .where(col("ok_b").isNotNull)
+      .select(col("ok_a"), col("ok_b"))
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    consec
+      .join(li.select(col("l_orderkey").as("ok_a"), col("l_partkey").as("src")),
+        Seq("ok_a"))
+      .join(li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("dst")),
+        Seq("ok_b"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** Edge reciprocity of a directed graph: |E ∩ Eᵀ| / |E| — the classic
+    * directed-graph symmetry scalar (1.0 = every edge answered, 0.0 =
+    * none). One left-semi self-join on the reversed edge set (key
+    * equi-join — the seen-set BFS discipline), then both counts
+    * partial-aggregate; the division is the only float op, over two exact
+    * BIGINTs. Empty edge set abstains with NULL.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        when(col("n_edges") > 0,
+          floor(col("n_reciprocal").cast("double") / col("n_edges")
+            * lit(1000000.0) + lit(0.500001)) / lit(1000000.0))
+          .as("reciprocity"))
+  }
+
+  /** Walk length for q_random_walk: long enough to leave the seed's
+    * 1-hop neighborhood, short enough that the unrolled oracle CTE chain
+    * stays readable (the PrIters rationale). */
+  val WalkSteps = 4
+
+  /** Deterministic hash-greedy random walks — the node2vec-corpus shape
+    * (Grover–Leskovec 2016 generate walks exactly like this, then feed
+    * them to word2vec): from every seed node (node ≡ 0 mod 97 — a
+    * content-addressed bounded seed set, the q_hash_split idiom), take
+    * `steps` steps, at each step moving to the neighbor minimizing a
+    * deterministic mix hash of (neighbor, current, step). The hash is
+    * PURE BIGINT ARITHMETIC ((dst·2654435761 + cur·97 + step·40503) mod
+    * 1000003, Knuth's multiplicative constant) — not an engine hash
+    * function — so any engine replays the identical walk; ties break to
+    * the smaller neighbor. Products stay under 2⁶³ through ~1e9 node ids.
+    *
+    * Scale shape: walk state is one row per seed; each step is one
+    * frontier⋈edges key equi-join (frontier-sized output bounded by
+    * Σdeg(frontier)) + a map-side-combined min-struct argmin groupBy.
+    * `steps` fixed rounds of node-sized shuffles — the bfsLevels shape
+    * with a 1/97th frontier. Emits (seed, step, node) for steps 0..n,
+    * ordered; walks never dead-end because the symmetrized adjacency
+    * gives every reachable node an out-edge.
+    */
+  def randomWalks(und: DataFrame, steps: Int): DataFrame = {
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val seeds = sym.select(col("src")).distinct()
+      .where(col("src") % 97 === 0)
+      .select(col("src").as("seed"), col("src").as("node"))
+    var cur = seeds
+    val frames = scala.collection.mutable.ArrayBuffer(
+      seeds.select(col("seed"), lit(0L).as("step"), col("node")))
+    for (k <- 1 to steps) {
+      val h = pmod(col("dst") * lit(2654435761L) + col("node") * lit(97L)
+        + lit(k.toLong * 40503L), lit(1000003L))
+      cur = cur.join(sym, col("node") === col("src"))
+        .select(col("seed"), col("dst"), h.as("h"))
+        .groupBy("seed")
+        .agg(min(struct(col("h"), col("dst"))).as("pick"))
+        .select(col("seed"), col("pick.dst").as("node"))
+      frames += cur.select(col("seed"), lit(k.toLong).as("step"), col("node"))
+    }
+    frames.reduce(_ unionAll _).orderBy("seed", "step")
+  }
 
   /** BFS round budget for q_sssp: measured frontier exhaustion happens
     * after round 4/5/7 on the sf0.001/0.01/0.1 sliced graphs (a 6-round
@@ -858,8 +1025,108 @@ object Graph {
         |JOIN deg dx ON dx.node = o.x
         |JOIN deg dy ON dy.node = o.y
         |ORDER BY o.cn DESC, adamic_adar DESC, o.x, o.y
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // identical all-integer Newman compose: BIGINT sums, HUGEINT products
+    // (Spark mirrors in DECIMAL(38,0)), one final float division
+    "q_assortativity" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY node
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(du.d * dv.d) AS BIGINT) AS s1,
+        |    CAST(SUM(du.d + dv.d) AS BIGINT) AS s2,
+        |    CAST(SUM(du.d * du.d + dv.d * dv.d) AS BIGINT) AS s3
+        |  FROM und e
+        |  JOIN deg du ON du.node = e.u
+        |  JOIN deg dv ON dv.node = e.v
+        |)
+        |SELECT m AS n_edges, s1 AS sum_jk, s2 AS sum_j_plus_k,
+        |  s3 AS sum_j2_plus_k2,
+        |  CASE WHEN 2 * CAST(m AS HUGEINT) * s3 - CAST(s2 AS HUGEINT) * s2 > 0
+        |    THEN FLOOR(
+        |      CAST(4 * CAST(m AS HUGEINT) * s1 - CAST(s2 AS HUGEINT) * s2
+        |        AS DOUBLE)
+        |      / CAST(2 * CAST(m AS HUGEINT) * s3 - CAST(s2 AS HUGEINT) * s2
+        |        AS DOUBLE)
+        |      * 1000000.0 + 0.500001) / 1000000.0
+        |  END AS assortativity
+        |FROM m""".stripMargin,
+
+    // identical per-customer LEAD sequencing, bounded-fan-out part joins,
+    // and reverse-edge EXISTS probe; the division is the only float op
+    "q_reciprocity" ->
+      """WITH consec AS (
+        |  SELECT ok_a, ok_b FROM (
+        |    SELECT o_orderkey AS ok_a,
+        |      LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS ok_b
+        |    FROM orders)
+        |  WHERE ok_b IS NOT NULL
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT la.l_partkey AS src, lb.l_partkey AS dst
+        |  FROM consec
+        |  JOIN lineitem la ON la.l_orderkey = consec.ok_a
+        |  JOIN lineitem lb ON lb.l_orderkey = consec.ok_b
+        |  WHERE la.l_partkey <> lb.l_partkey
+        |)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+        |   WHERE EXISTS (SELECT 1 FROM e r
+        |     WHERE r.src = e.dst AND r.dst = e.src)) AS n_reciprocal,
+        |  CASE WHEN (SELECT COUNT(*) FROM e) > 0 THEN
+        |    FLOOR((SELECT CAST(COUNT(*) AS DOUBLE) FROM e
+        |        WHERE EXISTS (SELECT 1 FROM e r
+        |          WHERE r.src = e.dst AND r.dst = e.src))
+        |      / (SELECT COUNT(*) FROM e) * 1000000.0 + 0.500001) / 1000000.0
+        |  END AS reciprocity""".stripMargin,
+
+    "q_random_walk" -> randomWalkOracle(WalkSteps)
   )
+
+  /** The random-walk oracle: the same hash-greedy steps unrolled (the
+    * lpaOracle discipline — each step CTE picks, per seed, the neighbor
+    * minimizing the identical pure-arithmetic mix hash).
+    */
+  private def randomWalkOracle(steps: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v AS src, u AS dst FROM und
+        |), s0 AS (
+        |  SELECT DISTINCT src AS seed, src AS node FROM sym WHERE src % 97 = 0
+        |)""".stripMargin
+    val stepCtes = (1 to steps).map { k =>
+      s""", s$k AS MATERIALIZED (
+         |  SELECT seed, node FROM (
+         |    SELECT p.seed, sym.dst AS node,
+         |      ROW_NUMBER() OVER (PARTITION BY p.seed
+         |        ORDER BY (sym.dst * 2654435761 + p.node * 97
+         |          + $k * 40503) % 1000003, sym.dst) AS rn
+         |    FROM s${k - 1} p JOIN sym ON p.node = sym.src)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    val selects = (0 to steps).map { k =>
+      s"SELECT seed, CAST($k AS BIGINT) AS step, node FROM s$k"
+    }.mkString("\n", "\nUNION ALL ", "\nORDER BY seed, step")
+    head + stepCtes + selects
+  }
 
   /** The LPA oracle: the same fixed synchronous rounds unrolled (the
     * kcoreOracle discipline — MATERIALIZED, since each round references

@@ -700,6 +700,177 @@ object Stats {
           col("ty").as("ties_y"), col("tb").as("ties_both"),
           when(den > 0,
             r6((col("c") - col("d")).cast("double") / den)).as("tau_b"))
+    }),
+
+    // ---- first-order partial correlation ----------------------------------
+    // r_{xy·z} between quantity (x) and line revenue (y) CONTROLLING for
+    // the discount (z) — the "is the raw correlation just the confounder"
+    // question every pricing analysis asks. Recipe: one corpus scan
+    // producing the full exact second-moment matrix — n, Σx, Σy, Σz and
+    // all five cross/self products — as BIGINT/DECIMAL(38,0) partial
+    // aggregates (map-side combined, ONE row out), then the three Pearson
+    // r's and the partial-correlation compose r_{xy·z} =
+    // (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) as a single float sequence
+    // over the exact integers. All three variables are integer-exact after
+    // the cents/percent scaling (quantity is integral, price has cents,
+    // discount is a whole percent), so both engines aggregate IDENTICAL
+    // integers and only the final ~15 float ops can drift — r6 absorbs the
+    // ulps. Σy² ≈ 1.6e13·n fits DECIMAL(38,0) partials through ~1e12 rows
+    // (scaled headroom documented vs q_levene's same discipline).
+    "q_partial_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val z = floor(col("l_discount") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val li = t(s, dir, "lineitem").select(x.as("x"), y.as("y"), z.as("z"),
+        y.cast("decimal(19,0)").as("yd"))
+      val g = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("yd")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yd") * col("yd")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("yd") * col("x").cast("decimal(19,0)")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("yd") * col("z").cast("decimal(19,0)")).as("syz"))
+      val nD = col("n").cast("double")
+      def pearson(sab: Column, sa: Column, sb: Column,
+                  saa: Column, sbb: Column): Column =
+        (nD * sab.cast("double") - sa.cast("double") * sb.cast("double")) /
+          sqrt((nD * saa.cast("double") - sa.cast("double") * sa.cast("double")) *
+            (nD * sbb.cast("double") - sb.cast("double") * sb.cast("double")))
+      val rxy = pearson(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+      val rxz = pearson(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+      val ryz = pearson(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+      val part = (rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+      g.select(col("n"), r6(rxy).as("r_xy"), r6(rxz).as("r_xz"),
+        r6(ryz).as("r_yz"), r6(part).as("r_xy_given_z"))
+    }),
+
+    // ---- Cohen's kappa (inter-annotator agreement) ------------------------
+    // Chance-corrected agreement between two independent document "raters"
+    // — the gate every LLM-labeling pipeline runs before trusting a silver
+    // label set (two heuristic annotators here: a character-length rater
+    // and a whitespace-token-count rater). κ = (p_o − p_e)/(1 − p_e) off
+    // the exact 2×2 confusion counts; one corpus scan, four BIGINT partial
+    // counts, one row out, float math only in the final compose. The same
+    // shape scores ANY pair of label columns at 100 TB: the confusion
+    // matrix is schema-bounded, never data-bounded.
+    "q_cohens_kappa" -> ((s, dir) => {
+      val a = (col("n_chars") >= 400).cast("long")
+      val b = (size(graft.text.TextOps.tokens(col("text"))) >= 60).cast("long")
+      val g = t(s, dir, "documents").select(a.as("a"), b.as("b")).agg(
+        count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      val nD = col("n").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pa = (col("n11") + col("n10")).cast("double") / nD
+      val pb = (col("n11") + col("n01")).cast("double") / nD
+      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      g.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        r6(po).as("p_observed"), r6(pe).as("p_expected"),
+        when(pe < 1.0, r6((po - pe) / (lit(1.0) - pe))).as("kappa"))
+    }),
+
+    // ---- weight of evidence / information value ---------------------------
+    // The credit-scoring feature screen: how well does order priority
+    // separate high-value orders (> $250k) from the rest? Per bucket
+    // WoE = ln((good_i/G)/(bad_i/B)) and IV = Σ (good_i/G − bad_i/B)·WoE.
+    // One corpus scan to the ≤5-row (priority × outcome) table — exact
+    // BIGINT counts, map-side combined — then windows over the bounded
+    // frame; ln runs on ratios of exact integers. Degenerate buckets
+    // (zero goods or zero bads, where WoE is ±∞) abstain with NULL and
+    // contribute nothing to IV — the q_spearman zero-guard discipline.
+    "q_woe_iv" -> ((s, dir) => {
+      val hi = (col("o_totalprice") > 250000.0).cast("long")
+      val cells = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("bucket"), hi.as("hi"))
+        .groupBy("bucket")
+        .agg(sum(col("hi")).as("g"), sum(lit(1L) - col("hi")).as("b"))
+      val wAll = BoundedWindow.whole(col("bucket"))
+      val withTot = cells.select(col("bucket"), col("g"), col("b"),
+        sum(col("g")).over(wAll).as("gt"), sum(col("b")).over(wAll).as("bt"))
+      val pg = col("g").cast("double") / col("gt").cast("double")
+      val pb = col("b").cast("double") / col("bt").cast("double")
+      val woe = when(col("g") > 0 && col("b") > 0, log(pg / pb))
+      val perBucket = withTot.select(col("bucket"), col("g").as("n_good"),
+        col("b").as("n_bad"), r6(pg).as("pct_good"), r6(pb).as("pct_bad"),
+        r6(woe).as("woe"),
+        when(col("g") > 0 && col("b") > 0, (pg - pb) * woe)
+          .otherwise(lit(0.0)).as("__term"))
+      // IV total through a bucket-ORDERED cumulative float sum picked at the
+      // last row (the q_anova cross-engine float-sequence discipline; an
+      // unordered whole-frame sum may tree-reduce in a different order on a
+      // different engine), broadcast back onto the ≤5-row frame
+      val wOrd = BoundedWindow.ordered(col("bucket"), col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = perBucket.select(
+        sum(col("__term")).over(wOrd).as("ivc"),
+        row_number().over(BoundedWindow.ordered(col("bucket"), col("bucket")))
+          .as("rn"),
+        count(lit(1)).over(BoundedWindow.whole(col("bucket"))).as("k"))
+        .where(col("rn") === col("k"))
+        .select(r6(col("ivc")).as("iv_total"))
+      perBucket.drop("__term").crossJoin(broadcast(iv)).orderBy("bucket")
+    }),
+
+    // ---- Tukey HSD post-hoc pairwise comparisons --------------------------
+    // The follow-up q_anova points at: WHICH segment means differ? All
+    // C(5,2)=10 segment pairs with the studentized-range statistic
+    // q = |m_i − m_j| / √(MSW/2 · (1/n_i + 1/n_j)) (Tukey–Kramer for
+    // unequal n) against the k=5, df=∞ 5% critical value 3.858 — exact at
+    // warehouse df (df > 10⁴ changes the true critical value by < 0.3%,
+    // documented, same large-sample stance as q_mann_whitney's z). MSW
+    // reuses the q_anova discipline verbatim: exact per-group BIGINT/
+    // DECIMAL moments, group-ordered cumulative float adds so both engines
+    // run the identical sequence. The pair frame is a broadcast self-join
+    // of the 5-row group table — schema-bounded, never corpus-bounded.
+    "q_tukey_hsd" -> ((s, dir) => {
+      val v = floor(col("c_acctbal") * lit(100.0) + lit(0.500001)).cast("long")
+      val g = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), v.as("v"),
+          v.cast("decimal(18,0)").as("vd"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"),
+          sum(col("vd") * col("vd")).as("ssqg"))
+      val tg = col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")
+      val wOrd = BoundedWindow.ordered(col("seg"), col("seg"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("seg"))
+      val msw = g.select(
+        sum(col("ng")).over(wAll).as("nn"),
+        sum(col("ssqg").cast("double")).over(wOrd).as("syy"),
+        sum(tg).over(wOrd).as("tcum"),
+        count(lit(1)).over(wAll).as("k"),
+        row_number().over(BoundedWindow.ordered(col("seg"), col("seg")))
+          .as("rn"))
+        .where(col("rn") === col("k"))
+        .select(((col("syy") - col("tcum")) /
+          (col("nn") - col("k")).cast("double")).as("msw"))
+      val gm = g.select(col("seg"), col("ng"),
+        (col("sg").cast("double") / col("ng").cast("double")).as("m"))
+      val a = gm.select(col("seg").as("seg_a"), col("ng").as("na"),
+        col("m").as("ma"))
+      val b = gm.select(col("seg").as("seg_b"), col("ng").as("nb"),
+        col("m").as("mb"))
+      val qCrit = lit(3.858)
+      val se = sqrt(col("msw") / 2.0 *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      val qStat = abs(col("ma") - col("mb")) / se
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .crossJoin(broadcast(msw))
+        .select(col("seg_a"), col("seg_b"),
+          r2c(col("ma") / 100.0).as("mean_a"), r2c(col("mb") / 100.0).as("mean_b"),
+          r2c((col("ma") - col("mb")) / 100.0).as("mean_diff"),
+          r4(qStat).as("q_stat"),
+          (qStat > qCrit).cast("long").as("significant"))
+        .orderBy("seg_a", "seg_b")
     })
   )
 
@@ -1312,6 +1483,163 @@ object Stats {
         |    FLOOR(CAST(c - d AS DOUBLE)
         |      / sqrt((n0 - tx - tb) * (n0 - ty - tb))
         |      * 1000000.0 + 0.500001) / 1000000.0 END AS tau_b
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // identical exact integer moment matrix (DuckDB sums BIGINT into
+    // HUGEINT — exact like Spark's DECIMAL(38,0) partials), identical
+    // final float sequence
+    "q_partial_corr" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.500001) AS BIGINT) AS y,
+        |    CAST(FLOOR(l_discount * 100.0 + 0.500001) AS BIGINT) AS z
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+        |    SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+        |  FROM rows_
+        |), r AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+        |  FROM m
+        |)
+        |SELECT n,
+        |  FLOOR(rxy * 1000000.0 + 0.500001) / 1000000.0 AS r_xy,
+        |  FLOOR(rxz * 1000000.0 + 0.500001) / 1000000.0 AS r_xz,
+        |  FLOOR(ryz * 1000000.0 + 0.500001) / 1000000.0 AS r_yz,
+        |  FLOOR((rxy - rxz * ryz)
+        |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS r_xy_given_z
+        |FROM r""".stripMargin,
+
+    // identical raters (char-length vs whitespace-token-count), exact 2x2
+    // confusion counts, one final float sequence
+    "q_cohens_kappa" ->
+      """WITH rated AS (
+        |  SELECT
+        |    CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN array_length(regexp_split_to_array(TRIM(text), '\s+'))
+        |      >= 60 THEN 1 ELSE 0 END AS b
+        |  FROM documents
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a * b) AS BIGINT) AS n11,
+        |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM rated
+        |), p AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+        |    (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+        |      + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+        |        * (1.0 - CAST(n11 + n01 AS DOUBLE) / n) AS pe
+        |  FROM m
+        |)
+        |SELECT n, n11, n10, n01, n00,
+        |  FLOOR(po * 1000000.0 + 0.500001) / 1000000.0 AS p_observed,
+        |  FLOOR(pe * 1000000.0 + 0.500001) / 1000000.0 AS p_expected,
+        |  CASE WHEN pe < 1.0 THEN
+        |    FLOOR((po - pe) / (1.0 - pe) * 1000000.0 + 0.500001) / 1000000.0
+        |  END AS kappa
+        |FROM p""".stripMargin,
+
+    // identical bounded (priority x outcome) cells; ln on ratios of exact
+    // integers; degenerate buckets abstain identically
+    "q_woe_iv" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS bucket,
+        |    CAST(SUM(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS g,
+        |    CAST(SUM(CASE WHEN o_totalprice > 250000.0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS b
+        |  FROM orders GROUP BY 1
+        |), tot AS (
+        |  SELECT bucket, g, b,
+        |    SUM(g) OVER () AS gt, SUM(b) OVER () AS bt
+        |  FROM cells
+        |), woe AS (
+        |  SELECT bucket, g, b,
+        |    CAST(g AS DOUBLE) / gt AS pg, CAST(b AS DOUBLE) / bt AS pb,
+        |    CASE WHEN g > 0 AND b > 0
+        |      THEN ln((CAST(g AS DOUBLE) / gt) / (CAST(b AS DOUBLE) / bt))
+        |    END AS w
+        |  FROM tot
+        |), iv AS (
+        |  SELECT FLOOR(ivc * 1000000.0 + 0.500001) / 1000000.0 AS iv_total
+        |  FROM (
+        |    SELECT SUM(CASE WHEN w IS NULL THEN 0.0 ELSE (pg - pb) * w END)
+        |        OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ivc,
+        |      ROW_NUMBER() OVER (ORDER BY bucket) AS rn,
+        |      COUNT(*) OVER () AS k
+        |    FROM woe
+        |  ) WHERE rn = k
+        |)
+        |SELECT bucket, g AS n_good, b AS n_bad,
+        |  FLOOR(pg * 1000000.0 + 0.500001) / 1000000.0 AS pct_good,
+        |  FLOOR(pb * 1000000.0 + 0.500001) / 1000000.0 AS pct_bad,
+        |  FLOOR(w * 1000000.0 + 0.500001) / 1000000.0 AS woe,
+        |  iv_total
+        |FROM woe, iv
+        |ORDER BY bucket""".stripMargin,
+
+    // identical q_anova moment discipline (segment-ordered cumulative float
+    // adds for MSW), identical 10-pair frame and studentized-range compose
+    "q_tukey_hsd" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS sg,
+        |    SUM(CAST(CAST(FLOOR(c_acctbal * 100.0 + 0.500001) AS BIGINT)
+        |      AS HUGEINT)
+        |      * CAST(FLOOR(c_acctbal * 100.0 + 0.500001) AS BIGINT)) AS ssqg
+        |  FROM customer GROUP BY 1
+        |), cum AS (
+        |  SELECT
+        |    SUM(ng) OVER () AS nn,
+        |    SUM(CAST(ssqg AS DOUBLE)) OVER (ORDER BY seg) AS syy,
+        |    SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |      OVER (ORDER BY seg) AS tcum,
+        |    COUNT(*) OVER () AS k,
+        |    ROW_NUMBER() OVER (ORDER BY seg) AS rn
+        |  FROM g
+        |), msw AS (
+        |  SELECT (syy - tcum) / CAST(nn - k AS DOUBLE) AS msw
+        |  FROM cum WHERE rn = k
+        |), means AS (
+        |  SELECT seg, ng, CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS m
+        |  FROM g
+        |)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |  FLOOR(a.m / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_a,
+        |  FLOOR(b.m / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_b,
+        |  FLOOR((a.m - b.m) / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_diff,
+        |  FLOOR(abs(a.m - b.m)
+        |    / sqrt(msw / 2.0 * (1.0 / a.ng + 1.0 / b.ng))
+        |    * 10000.0 + 0.500001) / 10000.0 AS q_stat,
+        |  CAST(CASE WHEN abs(a.m - b.m)
+        |      / sqrt(msw / 2.0 * (1.0 / a.ng + 1.0 / b.ng)) > 3.858
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM means a JOIN means b ON a.seg < b.seg, msw
+        |ORDER BY seg_a, seg_b""".stripMargin
   )
 }

@@ -424,4 +424,116 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 1e-4, s"$side mass $s")
     }
   }
+
+  private def und(pairs: (Long, Long)*) = pairs.toDF("u", "v")
+
+  test("assortativity: a star is exactly −1; a regular cycle abstains NULL") {
+    // K_{1,6}: every edge joins degree 6 to degree 1 — perfect
+    // disassortativity, and the all-integer compose lands on −1 exactly
+    val r = Graph.assortativity(und((1L to 6L).map(i => (0L, i)): _*)).head()
+    assert(r.getLong(0) === 6L)
+    assert(r.getDouble(4) === -1.0, s"star must score exactly −1: $r")
+    // 4-cycle: every degree is 2 → zero degree variance → NULL abstain
+    val c = Graph.assortativity(
+      und((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))).head()
+    assert(c.isNullAt(4), s"regular graph must abstain: $c")
+  }
+
+  test("assortativity on the real slice matches a driver-computed Pearson") {
+    val e = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0))
+    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (s1, s2, s3) = pairs.foldLeft((BigInt(0), BigInt(0), BigInt(0))) {
+      case ((a, b, c), (u, v)) =>
+        val (j, k) = (BigInt(deg(u)), BigInt(deg(v)))
+        (a + j * k, b + j + k, c + j * j + k * k)
+    }
+    val m = BigInt(pairs.length)
+    val want = math.floor((4 * m * s1 - s2 * s2).toDouble /
+      (2 * m * s3 - s2 * s2).toDouble * 1e6 + 0.500001) / 1e6
+    val r = Graph.assortativity(und(pairs: _*)).head()
+    assert(r.getDouble(4) === want, s"got ${r.getDouble(4)}, want $want")
+    assert(math.abs(r.getDouble(4)) <= 1.0)
+  }
+
+  test("reciprocity: planted mutual pair scores exactly 2/3") {
+    // cust 1 buys A then B, cust 2 buys B then A, cust 3 buys C then D:
+    // E = {A→B, B→A, C→D}, two of three edges answered
+    val orders = Seq(
+      (1L, 10L, "1995-01-01"), (1L, 11L, "1995-02-01"),
+      (2L, 20L, "1995-01-01"), (2L, 21L, "1995-02-01"),
+      (3L, 30L, "1995-01-01"), (3L, 31L, "1995-02-01"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val li = Seq((10L, 100L), (11L, 200L), (20L, 200L), (21L, 100L),
+      (30L, 300L), (31L, 400L)).toDF("l_orderkey", "l_partkey")
+    val r = Graph.reciprocity(
+      Graph.temporalCopurchaseEdges(orders, li)).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === math.floor(2.0 / 3.0 * 1e6 + 0.500001) / 1e6)
+  }
+
+  test("reciprocity: repurchases are self-loops and never count; empty abstains") {
+    // one customer re-buys the same part — no edge at all
+    val orders = Seq((1L, 10L, "1995-01-01"), (1L, 11L, "1995-02-01"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val li = Seq((10L, 100L), (11L, 100L)).toDF("l_orderkey", "l_partkey")
+    val r = Graph.reciprocity(
+      Graph.temporalCopurchaseEdges(orders, li)).head()
+    assert(r.getLong(0) === 0L && r.isNullAt(2), s"$r")
+  }
+
+  test("random walks: every step follows an edge and replays the mix hash exactly") {
+    // triangle 0–1–2 with seed 0 (0 ≡ 0 mod 97): replay the argmin chain
+    // driver-side and demand the identical path
+    val tri = und((0L, 1L), (0L, 2L), (1L, 2L))
+    val adj = Map(0L -> Seq(1L, 2L), 1L -> Seq(0L, 2L), 2L -> Seq(0L, 1L))
+    var cur = 0L
+    val want = scala.collection.mutable.ArrayBuffer(0L)
+    for (k <- 1 to Graph.WalkSteps) {
+      cur = adj(cur).minBy(n =>
+        ((n * 2654435761L + cur * 97L + k * 40503L) % 1000003L, n))
+      want += cur
+    }
+    val got = Graph.randomWalks(tri, Graph.WalkSteps).collect()
+    assert(got.length === Graph.WalkSteps + 1, "one seed, steps+1 rows")
+    got.foreach { r => assert(r.getLong(0) === 0L) }
+    assert(got.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq === want.toSeq)
+  }
+
+  test("random walks on the real slice: seeds ≡ 0 mod 97, steps ride edges") {
+    val e = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0))
+    val edgeSet = e.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val rows = Graph.randomWalks(e, Graph.WalkSteps).collect()
+    val bySeed = rows.groupBy(_.getLong(0))
+    assert(bySeed.nonEmpty, "the sf0.001 slice must contain seeds")
+    bySeed.foreach { case (seed, walk) =>
+      assert(seed % 97 === 0L)
+      val path = walk.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(path.length === Graph.WalkSteps + 1)
+      assert(path.head === seed, "step 0 is the seed")
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(edgeSet.contains((a, b)), s"walk $seed uses non-edge $a→$b")
+      }
+    }
+  }
+
+  test("new graph plans: key equi-joins only, never a cartesian") {
+    for (q <- Seq("q_assortativity", "q_reciprocity", "q_random_walk")) {
+      spark.catalog.clearCache()
+      val p = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // reciprocity's scalar attach is the sanctioned broadcast 1-row
+      // cross join; the edge-sized work must never nested-loop
+      if (q != "q_reciprocity")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
 }

@@ -555,10 +555,144 @@ class StatsSpec extends SparkSpec {
       s"histogram must partial-aggregate before the shuffle:\n$p")
   }
 
+  // ---- q_partial_corr -----------------------------------------------------
+
+  test("partial correlation: a planted exact y = x line is immune to the control") {
+    import spark.implicits._
+    // extendedprice = quantity/100 ⇒ y-cents = x exactly, so r_xy = 1 and
+    // r_xz = r_yz; the partial compose then collapses to (1 − r²)/(1 − r²)
+    // = 1 no matter what the control does (as long as |r_xz| < 1)
+    val rows = (1 to 60).map(i => (i.toDouble, i / 100.0, (i % 3) / 100.0))
+    val dir = fixtureDir("lineitem" ->
+      rows.toDF("l_quantity", "l_extendedprice", "l_discount"))
+    val r = SparkEntry.queries("q_partial_corr")(spark, dir).head()
+    assert(r.getLong(0) === 60L)
+    assert(r.getDouble(1) === 1.0, s"r_xy must be exactly 1: $r")
+    assert(r.getDouble(2) === r.getDouble(3), "y = x forces r_xz = r_yz")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-6, s"partial must stay 1: $r")
+  }
+
+  test("partial correlation on real data: all four coefficients in [-1, 1]") {
+    val r = SparkEntry.queries("q_partial_corr")(spark, sf).head()
+    assert(r.getLong(0) ===
+      graft.io.Sources.table(spark, sf, "lineitem").count())
+    for (i <- 1 to 4)
+      assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-9, s"coefficient $i: $r")
+  }
+
+  // ---- q_cohens_kappa -----------------------------------------------------
+
+  test("Cohen's kappa: perfect rater agreement scores exactly 1") {
+    import spark.implicits._
+    // long docs trip BOTH raters (500 chars, 100 tokens), short docs trip
+    // NEITHER (40 chars, 5 tokens) → p_o = 1, p_e < 1 → κ = 1 exactly
+    val long_ = ("word " * 100).trim
+    val short_ = "a b c d e"
+    val docs = (1 to 30).map(i =>
+      (i.toLong, if (i % 3 == 0) long_ else short_,
+        if (i % 3 == 0) 500L else 40L))
+    val dir = fixtureDir("documents" -> docs.toDF("doc_id", "text", "n_chars"))
+    val r = SparkEntry.queries("q_cohens_kappa")(spark, dir).head()
+    assert(r.getLong(1) === 10L && r.getLong(4) === 20L &&
+      r.getLong(2) === 0L && r.getLong(3) === 0L, s"confusion: $r")
+    assert(r.getDouble(5) === 1.0 && r.getDouble(7) === 1.0, s"κ must be 1: $r")
+  }
+
+  test("Cohen's kappa: independent raters score ≈ 0, counts partition the corpus") {
+    import spark.implicits._
+    // rater A fires on i%2, rater B on i%4<2 — a balanced 2×2 with every
+    // cell = n/4, i.e. exact independence → κ = 0 exactly
+    val long_ = ("word " * 100).trim
+    val short_ = "a b c"
+    val docs = (0 until 40).map { i =>
+      val aPos = i % 2 == 0
+      val bPos = i % 4 < 2
+      (i.toLong, if (bPos) long_ else short_, if (aPos) 500L else 40L)
+    }
+    val dir = fixtureDir("documents" -> docs.toDF("doc_id", "text", "n_chars"))
+    val r = SparkEntry.queries("q_cohens_kappa")(spark, dir).head()
+    assert(Seq(1, 2, 3, 4).map(r.getLong).sum === r.getLong(0))
+    assert(r.getDouble(7) === 0.0, s"independent raters must score κ=0: $r")
+  }
+
+  // ---- q_woe_iv -----------------------------------------------------------
+
+  test("WoE/IV: hand-computed two-bucket case; degenerate bucket abstains") {
+    import spark.implicits._
+    // bucket A: 3 good / 1 bad; bucket B: 1 good / 3 bad; bucket C: 2 good
+    // / 0 bad (degenerate → WoE NULL, contributes 0 to IV)
+    val orders =
+      Seq.fill(3)(("A", 300000.0)) ++ Seq(("A", 100.0)) ++
+        Seq(("B", 300000.0)) ++ Seq.fill(3)(("B", 100.0)) ++
+        Seq.fill(2)(("C", 300000.0))
+    val dir = fixtureDir("orders" ->
+      orders.toDF("o_orderpriority", "o_totalprice"))
+    val rows = SparkEntry.queries("q_woe_iv")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (g, b) = (6.0, 4.0)
+    val woeA = math.log((3 / g) / (1 / b))
+    val woeB = math.log((1 / g) / (3 / b))
+    val iv = (3 / g - 1 / b) * woeA + (1 / g - 3 / b) * woeB
+    assert(math.abs(rows("A").getDouble(5) - woeA) < 1e-6)
+    assert(math.abs(rows("B").getDouble(5) - woeB) < 1e-6)
+    assert(rows("C").isNullAt(5), "all-good bucket must abstain")
+    rows.values.foreach(r => assert(math.abs(r.getDouble(6) - iv) < 1e-6,
+      s"IV must be the two-bucket sum on every row: $r"))
+  }
+
+  test("WoE/IV on real data: 5 buckets, percentages sum to 1, IV ≥ 0") {
+    val rows = SparkEntry.queries("q_woe_iv")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    assert(rows.head.getDouble(6) >= 0.0, "IV is a sum of non-negative terms")
+  }
+
+  // ---- q_tukey_hsd --------------------------------------------------------
+
+  test("Tukey HSD: planted separation flags exactly the far pair") {
+    import spark.implicits._
+    // two tight clusters ~1000 apart and a third on the first: only pairs
+    // across the gap are significant
+    val rows =
+      (1 to 40).map(i => ("SEG_A", 100.0 + (i % 5))) ++
+        (1 to 40).map(i => ("SEG_B", 1100.0 + (i % 5))) ++
+        (1 to 40).map(i => ("SEG_C", 100.0 + (i % 5)))
+    val dir = fixtureDir("customer" -> rows.toDF("c_mktsegment", "c_acctbal"))
+    val out = SparkEntry.queries("q_tukey_hsd")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size === 3)
+    assert(out(("SEG_A", "SEG_B")).getLong(6) === 1L)
+    assert(out(("SEG_B", "SEG_C")).getLong(6) === 1L)
+    assert(out(("SEG_A", "SEG_C")).getLong(6) === 0L,
+      "same-mean pair must not flag")
+    val ab = out(("SEG_A", "SEG_B"))
+    assert(math.abs(ab.getDouble(4) + 1000.0) < 1.0, s"diff ≈ −1000: $ab")
+  }
+
+  test("Tukey HSD on real data: C(5,2) pairs, q ≥ 0, flag consistent") {
+    val rows = SparkEntry.queries("q_tukey_hsd")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.0)
+      assert(r.getLong(6) === (if (r.getDouble(5) > 3.858) 1L else 0L))
+    }
+  }
+
+  test("woe/tukey plans: bounded frames broadcast, never shuffle-join or cartesian") {
+    for (q <- Seq("q_woe_iv", "q_tukey_hsd")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q no partitioned cartesian:\n$p")
+      assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+        s"$q: corpus must partial-aggregate before the shuffle:\n$p")
+    }
+  }
+
   test("stats plans: join-free, corpus reduces through a partial agg before any shuffle") {
     for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test", "q_ks_exact",
         "q_regression", "q_anova", "q_mann_whitney", "q_power_analysis",
-        "q_prop_ztest")) {
+        "q_prop_ztest", "q_partial_corr", "q_cohens_kappa")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
       val firstEx = p.indexOf("Exchange")
