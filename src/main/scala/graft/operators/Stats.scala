@@ -819,6 +819,94 @@ object Stats {
       perBucket.drop("__term").crossJoin(broadcast(iv)).orderBy("bucket")
     }),
 
+    // ---- Wilcoxon signed-rank (paired two-period test) --------------------
+    // Did per-customer spending CHANGE across the 1998-01-01 split? Pairs
+    // are customers with orders in both halves; d = mean cents after −
+    // mean cents before. The nonparametric paired companion to q_ab_ttest
+    // (which is unpaired): ranks of |d| with average tie ranks via the
+    // q_mann_whitney value-histogram trick — |d| is a deterministic double
+    // (one subtraction of two exact-integer divisions, identical on both
+    // engines), the histogram groups by that value, and 2·W⁺ =
+    // Σ c⁺·(2·before + c + 1) stays BIGINT-exact, as does the tie term.
+    // Zero differences drop (the standard Wilcoxon convention); z uses the
+    // tie-corrected large-sample variance n(n+1)(2n+1)/24 − Σ(c³−c)/48.
+    // Scale shape: one customer-keyed groupBy (map-side combined), then
+    // the |d| histogram + one cumulative window over distinct |d| values —
+    // the q_mann_whitney shape exactly.
+    "q_wilcoxon_signed" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val split = lit("1998-01-01").cast("date")
+      val inA = col("o_orderdate") < split
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey"), cents.as("v"), inA.as("a"))
+        .groupBy("o_custkey")
+        .agg(sum(when(col("a"), col("v"))).as("sa"),
+          count(when(col("a"), lit(1))).as("na"),
+          sum(when(!col("a"), col("v"))).as("sb"),
+          count(when(!col("a"), lit(1))).as("nb"))
+        .where(col("na") > 0 && col("nb") > 0)
+      val d = col("sb").cast("double") / col("nb").cast("double") -
+        col("sa").cast("double") / col("na").cast("double")
+      val hist = per.select(d.as("d")).where(col("d") =!= 0.0)
+        .groupBy(abs(col("d")).as("ad"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("cpos"))
+      val w = BoundedWindow.ordered(col("ad"), col("ad"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("c"), col("cpos"),
+        (sum(col("c")).over(w) - col("c")).as("before"))
+      val g = cum.agg(
+        sum(col("c")).as("n"),
+        sum(col("cpos") * (col("before") * 2 + col("c") + 1)).as("two_wp"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val nD = col("n").cast("double")
+      val varW = nD * (nD + 1) * (lit(2.0) * nD + 1) / 24.0 -
+        col("ties").cast("double") / 48.0
+      val z = (col("two_wp").cast("double") / 2.0 - nD * (nD + 1) / 4.0) /
+        sqrt(varW)
+      g.select(col("n").as("n_pairs"),
+        (col("two_wp").cast("double") / 2.0).as("w_plus"),
+        col("ties").as("tie_term"), r6(z).as("z_stat"),
+        (abs(z) > 1.959963984540054).cast("long").as("reject_95"))
+    }),
+
+    // ---- Theil–Sen robust slope -------------------------------------------
+    // Median-of-pairwise-slopes trend of daily revenue — the robust
+    // regression line one planted outlier day cannot move (vs q_regression
+    // 's OLS). The pair census rides the q_kendall_tau discipline: the
+    // daily frame is CALENDAR-bounded (≈2.4k days at any SF — days grow
+    // with time, not volume), so the ~3M slope pairs are a broadcast
+    // self-join of a tiny frame, and corpus-sized data never enters the
+    // pair join. Each slope is ONE double division of exact integers
+    // (identical on both engines); the exact median interpolates two order
+    // statistics with the same lower+(upper−lower)·frac formula in Spark's
+    // percentile and DuckDB's quantile_cont. The intercept pass reuses the
+    // r6-PINNED slope (both engines see bit-identical slope before the
+    // residual median), the q_power_analysis pinning discipline.
+    "q_theil_sen" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast("date")).as("x"))
+        .agg(sum(cents).as("y"))
+      val a = daily.select(col("x").as("x1"), col("y").as("y1"))
+      val b = daily.select(col("x").as("x2"), col("y").as("y2"))
+      val slopes = a.join(broadcast(b), col("x1") < col("x2"))
+        .select(((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("sl"))
+      val med = slopes.agg(count(lit(1)).as("n_pairs"),
+        r6(expr("percentile(sl, 0.5)")).as("slope"))
+      val resid = daily.crossJoin(broadcast(med))
+        .select(col("n_pairs"), col("slope"),
+          (col("y").cast("double") - col("slope") * col("x")).as("r"))
+      resid.groupBy(col("n_pairs"), col("slope"))
+        .agg(count(lit(1)).as("n_days"),
+          r6(expr("percentile(r, 0.5)")).as("intercept"))
+        .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
+    }),
+
     // ---- Tukey HSD post-hoc pairwise comparisons --------------------------
     // The follow-up q_anova points at: WHICH segment means differ? All
     // C(5,2)=10 segment pairs with the studentized-range statistic
@@ -1601,6 +1689,79 @@ object Stats {
         |  iv_total
         |FROM woe, iv
         |ORDER BY bucket""".stripMargin,
+
+    // identical per-customer exact-integer period moments, identical
+    // double d, the same doubled-tie-rank histogram as q_mann_whitney
+    "q_wilcoxon_signed" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      END) AS sa,
+        |    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 1 END) AS na,
+        |    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      END) AS sb,
+        |    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN 1 END) AS nb
+        |  FROM orders GROUP BY o_custkey
+        |), diffs AS (
+        |  SELECT CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na AS d
+        |  FROM per WHERE na > 0 AND nb > 0
+        |), hist AS (
+        |  SELECT abs(d) AS ad, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+        |  FROM diffs WHERE d <> 0.0 GROUP BY abs(d)
+        |), cum AS (
+        |  SELECT c, cpos, SUM(c) OVER (ORDER BY ad) - c AS before
+        |  FROM hist
+        |), g AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(cpos * (2 * before + c + 1)) AS BIGINT) AS two_wp,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+        |  FROM cum
+        |), f AS (
+        |  SELECT n, two_wp, ties,
+        |    (CAST(two_wp AS DOUBLE) / 2.0
+        |       - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+        |      / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+        |        - CAST(ties AS DOUBLE) / 48.0) AS z
+        |  FROM g
+        |)
+        |SELECT n AS n_pairs, CAST(two_wp AS DOUBLE) / 2.0 AS w_plus,
+        |  ties AS tie_term,
+        |  FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
+        |  CAST(CASE WHEN abs(z) > 1.959963984540054 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reject_95
+        |FROM f""".stripMargin,
+
+    // identical calendar-bounded pair census; each slope is one double
+    // division of exact integers; quantile_cont interpolates the same
+    // lower+(upper−lower)·frac order statistics as Spark's percentile;
+    // the intercept pass reuses the r6-pinned slope
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS x,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), slopes AS (
+        |  SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS sl
+        |  FROM daily a JOIN daily b ON a.x < b.x
+        |), med AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    FLOOR(quantile_cont(sl, 0.5) * 1000000.0 + 0.500001) / 1000000.0
+        |      AS slope
+        |  FROM slopes
+        |)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+        |  n_pairs, slope,
+        |  (SELECT FLOOR(quantile_cont(CAST(y AS DOUBLE) - slope * x, 0.5)
+        |     * 1000000.0 + 0.500001) / 1000000.0 FROM daily) AS intercept
+        |FROM med""".stripMargin,
 
     // identical q_anova moment discipline (segment-ordered cumulative float
     // adds for MSW), identical 10-pair frame and studentized-range compose

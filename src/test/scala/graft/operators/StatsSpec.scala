@@ -648,6 +648,83 @@ class StatsSpec extends SparkSpec {
     assert(rows.head.getDouble(6) >= 0.0, "IV is a sum of non-negative terms")
   }
 
+  // ---- q_wilcoxon_signed --------------------------------------------------
+
+  test("Wilcoxon signed-rank: uniform improvement maxes W+; symmetry zeroes z") {
+    import spark.implicits._
+    // every customer spends more after the split, all |d| distinct →
+    // W+ = n(n+1)/2, ties = 0, z = (n(n+1)/4)/√(n(n+1)(2n+1)/24)
+    val up = (1 to 20).flatMap(i => Seq(
+      (i.toLong, f"1997-01-$i%02d", 100.0 + i),
+      (i.toLong, f"1999-01-$i%02d", 200.0 + 2.0 * i)))
+    val rUp = SparkEntry.queries("q_wilcoxon_signed")(spark,
+      fixtureDir("orders" -> up.toDF("o_custkey", "o_orderdate", "o_totalprice")))
+      .head()
+    val n = 20.0
+    assert(rUp.getLong(0) === 20L)
+    assert(rUp.getDouble(1) === n * (n + 1) / 2)
+    assert(rUp.getLong(2) === 0L)
+    val zWant = (n * (n + 1) / 4) / math.sqrt(n * (n + 1) * (2 * n + 1) / 24)
+    assert(math.abs(rUp.getDouble(3) - zWant) < 1e-6)
+    assert(rUp.getLong(4) === 1L)
+    // customers 1..10 gain d = +k, customers 11..20 lose the same −k:
+    // each |d| group holds one + and one −, so W+ = n(n+1)/4 and z = 0
+    val symR = (1 to 10).flatMap(k => Seq(
+      (k.toLong, "1997-01-01", 100.0), (k.toLong, "1999-01-01", 100.0 + k),
+      (k + 10L, "1997-01-01", 100.0 + k), (k + 10L, "1999-01-01", 100.0)))
+      .map { case (c, d, v) => (c, d, v) }
+    val rSym = SparkEntry.queries("q_wilcoxon_signed")(spark,
+      fixtureDir("orders" -> symR.toDF("o_custkey", "o_orderdate", "o_totalprice")))
+      .head()
+    assert(rSym.getDouble(1) === 20.0 * 21 / 4)
+    assert(rSym.getDouble(3) === 0.0 && rSym.getLong(4) === 0L, s"$rSym")
+  }
+
+  test("Wilcoxon on real data: pairs bounded by customers, flag consistent") {
+    val r = SparkEntry.queries("q_wilcoxon_signed")(spark, sf).head()
+    val custs = graft.io.Sources.table(spark, sf, "orders")
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(r.getLong(0) > 0L && r.getLong(0) <= custs)
+    val n = r.getLong(0).toDouble
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= n * (n + 1) / 2)
+    assert(r.getLong(4) === (if (math.abs(r.getDouble(3)) > 1.959963984540054) 1L else 0L))
+  }
+
+  // ---- q_theil_sen --------------------------------------------------------
+
+  test("Theil–Sen: recovers a planted exact line; one outlier cannot move it") {
+    import spark.implicits._
+    // one order per day, daily cents = 5x + 30 exactly → every pairwise
+    // slope is 5, residual median 30
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    val line = (0 until 40).map(x => (day(x), (5 * x + 30) / 100.0))
+    val r = SparkEntry.queries("q_theil_sen")(spark,
+      fixtureDir("orders" -> line.toDF("o_orderdate", "o_totalprice")))
+      .head()
+    assert(r.getLong(0) === 40L && r.getLong(1) === 40L * 39 / 2)
+    assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 30.0, s"$r")
+    // poison one day with a 1000× spike: the slope median must not move
+    // (39 of 40 anchor days still vote 5 in every pair)
+    val spiked = line.updated(20, (day(20), 100000.0))
+    val rs = SparkEntry.queries("q_theil_sen")(spark,
+      fixtureDir("orders" -> spiked.toDF("o_orderdate", "o_totalprice")))
+      .head()
+    assert(rs.getDouble(2) === 5.0, s"outlier moved the robust slope: $rs")
+  }
+
+  test("Theil–Sen on real data: pair census is exactly C(n_days, 2)") {
+    val r = SparkEntry.queries("q_theil_sen")(spark, sf).head()
+    val nd = r.getLong(0)
+    assert(r.getLong(1) === nd * (nd - 1) / 2)
+  }
+
+  test("Theil–Sen plan: calendar-bounded pair join broadcasts, no cartesian") {
+    val p = plan("q_theil_sen")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"daily frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"$p")
+  }
+
   // ---- q_tukey_hsd --------------------------------------------------------
 
   test("Tukey HSD: planted separation flags exactly the far pair") {
