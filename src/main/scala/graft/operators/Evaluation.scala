@@ -413,6 +413,57 @@ object Evaluation {
       o.agg(count(lit(1)).as("n_rows"), r4(avg(col("o_totalprice"))).as("point_mean"))
         .select(col("n_rows"), lit(32L).as("n_replicates"), col("point_mean"))
         .crossJoin(broadcast(ci))
+    }),
+
+    // ---- thresholded classifier scorecard ---------------------------------
+    // The full confusion-matrix metric set for the stop-ratio "is English"
+    // classifier at the pinned 0.15 cutoff — the companion to q_roc_auc
+    // (which sweeps thresholds) for the deployment question "at THIS
+    // operating point, what do I get": accuracy, precision, recall,
+    // specificity, F1, F2 (recall-weighted Fβ), balanced accuracy, and
+    // Matthews correlation — the single-number summary that, unlike F1,
+    // cannot be gamed by class imbalance (Chicco–Jurman 2020).
+    //
+    // Scale shape: rides the SAME bounded scoreBins frame as the ROC/PR
+    // family — one corpus scan partial-aggregating to ≤10⁴ bins, then the
+    // 2×2 table is two conditional sums over that frame. Every metric
+    // input is an exact BIGINT; MCC's four factors are cast to double
+    // individually BEFORE multiplying (the product exceeds 2⁶³ at corpus
+    // scale but each factor does not), and every zero-denominator case
+    // abstains with NULL on both engines.
+    "q_confusion_metrics" -> ((s, dir) => {
+      val thr = lit(0.15)
+      val g = scoreBins(t(s, dir, "documents")).agg(
+        sum(when(col("sb") >= thr, col("pos")).otherwise(0.0))
+          .cast("long").as("tp"),
+        sum(when(col("sb") >= thr, col("neg")).otherwise(0.0))
+          .cast("long").as("fp"),
+        sum(when(col("sb") < thr, col("pos")).otherwise(0.0))
+          .cast("long").as("fn"),
+        sum(when(col("sb") < thr, col("neg")).otherwise(0.0))
+          .cast("long").as("tn"))
+      val (tp, fp, fn, tn) = (col("tp").cast("double"),
+        col("fp").cast("double"), col("fn").cast("double"),
+        col("tn").cast("double"))
+      val n = tp + fp + fn + tn
+      def ratio(num: Column, den: Column): Column =
+        when(den > 0, num / den)
+      val prec = ratio(tp, tp + fp)
+      val rec = ratio(tp, tp + fn)
+      val spec = ratio(tn, tn + fp)
+      def fBeta(b2: Double): Column =
+        when(prec.isNotNull && rec.isNotNull && prec + rec > 0,
+          (lit(1.0) + b2) * prec * rec / (lit(b2) * prec + rec))
+      val mccDen = sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+      val mcc = when(mccDen > 0, (tp * tn - fp * fn) / mccDen)
+      g.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        r6(ratio(tp + tn, n)).as("accuracy"),
+        r6(prec).as("precision_"), r6(rec).as("recall_"),
+        r6(spec).as("specificity"),
+        r6(fBeta(1.0)).as("f1"), r6(fBeta(4.0)).as("f2"),
+        r6((coalesce(rec, lit(0.0)) + coalesce(spec, lit(0.0))) / 2.0)
+          .as("balanced_accuracy"),
+        r6(mcc).as("mcc"))
     })
   )
 
@@ -676,6 +727,56 @@ object Evaluation {
         |  (SELECT FLOOR(avg(o_totalprice) * 10000.0 + 0.500001) / 10000.0
         |   FROM orders) AS point_mean,
         |  (SELECT m FROM rk WHERE rn = 2) AS ci_lo,
-        |  (SELECT m FROM rk WHERE rn = 31) AS ci_hi""".stripMargin
+        |  (SELECT m FROM rk WHERE rn = 31) AS ci_hi""".stripMargin,
+
+    // the same scoreBins CTE; exact BIGINT 2x2 counts; every metric's
+    // zero-denominator case abstains NULL identically; MCC factors cast
+    // to double individually before multiplying
+    "q_confusion_metrics" -> (binsCte +
+      """, c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN sb >= 0.15 THEN pos ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(CASE WHEN sb >= 0.15 THEN neg ELSE 0 END) AS BIGINT)
+        |      AS fp,
+        |    CAST(SUM(CASE WHEN sb < 0.15 THEN pos ELSE 0 END) AS BIGINT)
+        |      AS fn,
+        |    CAST(SUM(CASE WHEN sb < 0.15 THEN neg ELSE 0 END) AS BIGINT)
+        |      AS tn
+        |  FROM b
+        |), m AS (
+        |  SELECT tp, fp, fn, tn,
+        |    CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+        |    CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+        |  FROM c
+        |), r AS (
+        |  SELECT tp, fp, fn, tn,
+        |    CASE WHEN tpd + fpd + fnd + tnd > 0
+        |      THEN (tpd + tnd) / (tpd + fpd + fnd + tnd) END AS acc,
+        |    CASE WHEN tpd + fpd > 0 THEN tpd / (tpd + fpd) END AS prec,
+        |    CASE WHEN tpd + fnd > 0 THEN tpd / (tpd + fnd) END AS rec,
+        |    CASE WHEN tnd + fpd > 0 THEN tnd / (tnd + fpd) END AS spec,
+        |    CASE WHEN sqrt((tpd + fpd) * (tpd + fnd) * (tnd + fpd)
+        |        * (tnd + fnd)) > 0
+        |      THEN (tpd * tnd - fpd * fnd)
+        |        / sqrt((tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd))
+        |    END AS mcc
+        |  FROM m
+        |)
+        |SELECT tp, fp, fn, tn,
+        |  FLOOR(acc * 1000000.0 + 0.500001) / 1000000.0 AS accuracy,
+        |  FLOOR(prec * 1000000.0 + 0.500001) / 1000000.0 AS precision_,
+        |  FLOOR(rec * 1000000.0 + 0.500001) / 1000000.0 AS recall_,
+        |  FLOOR(spec * 1000000.0 + 0.500001) / 1000000.0 AS specificity,
+        |  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL AND prec + rec > 0
+        |    THEN FLOOR(2.0 * prec * rec / (1.0 * prec + rec)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS f1,
+        |  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL AND prec + rec > 0
+        |    THEN FLOOR(5.0 * prec * rec / (4.0 * prec + rec)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS f2,
+        |  FLOOR((COALESCE(rec, 0.0) + COALESCE(spec, 0.0)) / 2.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS balanced_accuracy,
+        |  FLOOR(mcc * 1000000.0 + 0.500001) / 1000000.0 AS mcc
+        |FROM r""".stripMargin)
   )
 }

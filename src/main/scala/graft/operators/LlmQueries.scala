@@ -745,6 +745,56 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- ROUGE-2 overlap scoring (oracle-backed) --------------------------
+    // The generation-eval metric (Lin 2004): bigram-MULTISET overlap
+    // precision/recall/F1 of a candidate against its reference — here the
+    // planted truncation (the q_ngram_jaccard corpus: candidate = doc
+    // minus its last two tokens) scored against the original, which makes
+    // every score closed-form checkable AND exercises the exact shape an
+    // LLM-eval harness runs over (model output, reference) pairs at scale.
+    //
+    // Multiset, not set: repeated bigrams must count ("the cat the cat"
+    // vs one "the cat" is 1/3 recall, not 1/1) — so overlap is
+    // Σ_g min(c_ref, c_cand) via one (doc_id, gram)-keyed equi-join of
+    // the two per-doc gram histograms. Scale shape: grams explode ~L rows
+    // per doc but partial-aggregate (map-side combine) before the one
+    // shuffle; denominators come FREE from token counts (|bigrams| =
+    // len−1 — no second aggregation over grams); docs shorter than 2
+    // tokens have no bigrams and abstain with NULL metrics identically.
+    "q_rouge_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val base = d.select(col("doc_id"), toks.as("w"),
+        slice(toks, lit(1), greatest(size(toks) - 2, lit(1))).as("w2"))
+      def bigrams(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array().cast("array<string>"))
+      def hist(col2: org.apache.spark.sql.Column, side: String): DataFrame =
+        base.select(col("doc_id"), explode(bigrams(col2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as(s"c_$side"))
+      val ov = hist(col("w"), "ref")
+        .join(hist(col("w2"), "cand"), Seq("doc_id", "g"))
+        .groupBy("doc_id")
+        .agg(sum(least(col("c_ref"), col("c_cand"))).as("overlap"))
+      val sized = base.select(col("doc_id"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("n_ref"),
+        greatest(size(col("w2")) - 1, lit(0)).cast("long").as("n_cand"))
+      val j = sized.join(ov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ref"), col("n_cand"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"))
+      val p = when(col("n_cand") > 0,
+        col("overlap").cast("double") / col("n_cand"))
+      val rr = when(col("n_ref") > 0,
+        col("overlap").cast("double") / col("n_ref"))
+      j.select(col("doc_id"), col("n_ref"), col("n_cand"), col("overlap"),
+        r6(p).as("rouge2_precision"), r6(rr).as("rouge2_recall"),
+        r6(when(p.isNotNull && rr.isNotNull && p + rr > 0,
+          lit(2.0) * p * rr / (p + rr))).as("rouge2_f1"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: REAL PNG encode → ImageIO decode (oracle-backed) -----
     // The engine builds genuine PNGs whose dims/pixels are closed-form in
     // doc_id, decodes them with javax.imageio, and reports true decoded
@@ -1581,6 +1631,55 @@ object LlmQueries {
         |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
 
     // same planted-pair pipeline; recall + estimator-band contracts
+    // identical tokenization + planted truncation; bigram MULTISET
+    // histograms via unnest; denominators from token counts; identical
+    // float sequence and NULL abstention for <2-token docs
+    "q_rouge_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), pert AS (
+        |  SELECT doc_id, w[1 : greatest(len(w)-2, 1)] AS w2 FROM toks
+        |), rg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END),
+        |    i -> array_to_string(w[i+1 : i+2], ' '))) AS g
+        |  FROM toks
+        |), cg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CASE WHEN len(w2) >= 2 THEN len(w2) - 1 ELSE 0 END),
+        |    i -> array_to_string(w2[i+1 : i+2], ' '))) AS g
+        |  FROM pert
+        |), rc AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM rg GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM cg GROUP BY 1, 2
+        |), ov AS (
+        |  SELECT rc.doc_id, CAST(SUM(LEAST(rc.c, cc.c)) AS BIGINT) AS overlap
+        |  FROM rc JOIN cc ON rc.doc_id = cc.doc_id AND rc.g = cc.g
+        |  GROUP BY rc.doc_id
+        |), sized AS (
+        |  SELECT t.doc_id,
+        |    CAST(greatest(len(t.w) - 1, 0) AS BIGINT) AS n_ref,
+        |    CAST(greatest(len(p.w2) - 1, 0) AS BIGINT) AS n_cand,
+        |    COALESCE(ov.overlap, 0) AS overlap
+        |  FROM toks t
+        |  JOIN pert p ON p.doc_id = t.doc_id
+        |  LEFT JOIN ov ON ov.doc_id = t.doc_id
+        |), m AS (
+        |  SELECT doc_id, n_ref, n_cand, overlap,
+        |    CASE WHEN n_cand > 0 THEN CAST(overlap AS DOUBLE) / n_cand END AS p,
+        |    CASE WHEN n_ref > 0 THEN CAST(overlap AS DOUBLE) / n_ref END AS r
+        |  FROM sized
+        |)
+        |SELECT doc_id, n_ref, n_cand, overlap,
+        |  FLOOR(p * 1000000.0 + 0.500001) / 1000000.0 AS rouge2_precision,
+        |  FLOOR(r * 1000000.0 + 0.500001) / 1000000.0 AS rouge2_recall,
+        |  CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+        |    THEN FLOOR(2.0 * p * r / (p + r) * 1000000.0 + 0.500001)
+        |      / 1000000.0 END AS rouge2_f1
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
     "q_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents

@@ -368,4 +368,98 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getLong(3) > 0L && r.getLong(3) <= r.getLong(2))
     assert(r.getLong(5) === 1L)
   }
+
+  private def langFixture(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_eval_lang_fixture").toString
+    rows.toDF("doc_id", "lang", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // stop-ratio 1.0 (all stopwords) vs 0.0 — puts a doc decisively on
+  // either side of the 0.15 operating point
+  private val hi = "the a of and"
+  private val lo = "xyz qqq zzz www"
+
+  test("confusion metrics: hand-computed 2x2 with every metric checked") {
+    // tp=3 (en, flagged), fn=1 (en, missed), tn=2, fp=1
+    val rows = Seq(
+      (1L, "en", hi), (2L, "en", hi), (3L, "en", hi), (4L, "en", lo),
+      (5L, "de", lo), (6L, "fr", lo), (7L, "de", hi))
+    val r = SparkEntry.queries("q_confusion_metrics")(spark, langFixture(rows))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((3L, 1L, 1L, 2L)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    assert(r.getDouble(4) === r6(5.0 / 7))
+    assert(r.getDouble(5) === r6(3.0 / 4) && r.getDouble(6) === r6(3.0 / 4))
+    assert(r.getDouble(7) === r6(2.0 / 3))
+    assert(r.getDouble(8) === r6(3.0 / 4), "F1 = precision = recall here")
+    val mcc = (3.0 * 2 - 1.0 * 1) / math.sqrt(4.0 * 4 * 3 * 3)
+    assert(r.getDouble(11) === r6(mcc), s"$r")
+  }
+
+  test("confusion metrics: one-class input abstains NULL where undefined") {
+    // every doc is a flagged positive: specificity and MCC have zero
+    // denominators → NULL; precision = recall = 1
+    val rows = (1L to 5L).map(i => (i, "en", hi))
+    val r = SparkEntry.queries("q_confusion_metrics")(spark, langFixture(rows))
+      .head()
+    assert(r.getLong(0) === 5L && r.getLong(1) + r.getLong(2) + r.getLong(3) === 0L)
+    assert(r.getDouble(5) === 1.0 && r.getDouble(6) === 1.0)
+    assert(r.isNullAt(7) && r.isNullAt(11), s"$r")
+    assert(r.getDouble(10) === 0.5, "balanced accuracy treats missing side as 0")
+  }
+
+  test("confusion metrics on real data: counts partition the corpus, MCC in [-1,1]") {
+    val r = SparkEntry.queries("q_confusion_metrics")(spark, sf).head()
+    val n = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) === n)
+    for (i <- 4 to 10 if !r.isNullAt(i))
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"col $i: $r")
+    if (!r.isNullAt(11)) assert(math.abs(r.getDouble(11)) <= 1.0)
+  }
+
+  test("ROUGE-2: closed forms — prefix candidate, repeated bigrams, 1-token doc") {
+    val rows = Seq(
+      (1L, "en", "a b c d e"), // cand "a b c": p = 1, r = 2/4
+      (2L, "en", "x y x y x"), // multiset: ref {xy:2, yx:2}, cand {xy,yx} → ov 2
+      (3L, "en", "hello"))     // no bigrams on either side → NULL metrics
+    val out = SparkEntry.queries("q_rouge_overlap")(spark, langFixture(rows))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    val d1 = out(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) === ((4L, 2L, 2L)))
+    assert(d1.getDouble(4) === 1.0 && d1.getDouble(5) === 0.5)
+    assert(d1.getDouble(6) === r6(2.0 * 1.0 * 0.5 / 1.5))
+    val d2 = out(2L)
+    assert((d2.getLong(1), d2.getLong(2), d2.getLong(3)) === ((4L, 2L, 2L)),
+      s"repeated bigrams must count as a multiset: $d2")
+    val d3 = out(3L)
+    assert(d3.getLong(3) === 0L && d3.isNullAt(4) && d3.isNullAt(6), s"$d3")
+  }
+
+  test("ROUGE-2 on real data: prefix candidates give precision exactly 1") {
+    // the planted candidate is a PREFIX of the reference, so its bigram
+    // multiset embeds in the reference's — precision must be 1.0 wherever
+    // defined, recall = n_cand/n_ref, and overlap = n_cand
+    val rows = SparkEntry.queries("q_rouge_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2), s"overlap must equal n_cand: $r")
+      if (!r.isNullAt(4)) assert(r.getDouble(4) === 1.0, s"$r")
+      if (!r.isNullAt(5)) assert(r.getDouble(5) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("confusion/rouge plans: partial aggregation before every shuffle") {
+    for (q <- Seq("q_confusion_metrics", "q_rouge_overlap")) {
+      val p = plan(q)
+      assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange hashpartitioning"),
+        s"$q: gram/bin rows must partial-aggregate before the shuffle:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
