@@ -404,6 +404,12 @@ object LlmQueries {
           (col("n_hit") >= col("n") * 0.4).cast("long").as("recall_ge_040"))
     }),
 
+    // oracle-backed: SQ8 scalar quantization + quantized-dot top-5 — codes
+    // are exact integers both engines reproduce, so ranking AND the error
+    // tally hash-match (see Ann.sq8TopK scaladoc)
+    "q_embed_quantize" -> ((s, dir) =>
+      Ann.sq8TopK(t(s, dir, "embeddings"), probeMaxId = 10L, k = 5)),
+
     // envelope-contract oracle: distributed PCA over the embedding corpus
     // (see graft.similarity.Pca scaladoc — one Gram-matrix treeAggregate
     // pass, driver-local d×d Jacobi eigen, a second pass checking
@@ -1191,6 +1197,53 @@ object LlmQueries {
         |  FLOOR(cos_exact * 10000.0 + 0.500001) / 10000.0 AS cos,
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // identical per-dim [mn,mx] trainer, identical one-float-op code map
+    // (cast to BIGINT before any product), exact integer dots and error
+    // micro-units — full hash match including the ranking
+    "q_embed_quantize" ->
+      """WITH dims AS (
+        |  SELECT t.i,
+        |    MIN(CAST(e.embedding[t.i] AS DOUBLE)) AS mn,
+        |    MAX(CAST(e.embedding[t.i] AS DOUBLE)) AS mx
+        |  FROM embeddings e CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY t.i
+        |), cd AS MATERIALIZED (
+        |  SELECT e.vec_id, t.i,
+        |    CASE WHEN d.mx > d.mn
+        |      THEN (CAST(e.embedding[t.i] AS DOUBLE) - d.mn)
+        |        / (d.mx - d.mn) * 255.0
+        |      ELSE 0.0 END AS tval
+        |  FROM embeddings e CROSS JOIN range(1, 65) t(i)
+        |  JOIN dims d ON d.i = t.i
+        |), codes AS MATERIALIZED (
+        |  SELECT vec_id, i, tval,
+        |    CAST(LEAST(GREATEST(FLOOR(tval + 0.500001), 0), 255) AS BIGINT)
+        |      AS code
+        |  FROM cd
+        |), err AS (
+        |  SELECT
+        |    CAST(SUM(CAST(FLOOR(ABS(tval - code) * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS err_micro_total,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs
+        |  FROM codes
+        |), qd AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id,
+        |    CAST(SUM(p.code * c.code) AS BIGINT) AS qdot
+        |  FROM codes p
+        |  JOIN codes c ON p.i = c.i AND c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT probe_id, vec_id, qdot,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY qdot DESC, vec_id) AS rn
+        |  FROM qd
+        |)
+        |SELECT probe_id, vec_id, qdot, CAST(rn AS BIGINT) AS rank,
+        |  err_micro_total, n_vecs
+        |FROM rk, err WHERE rn <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // transitive closure by recursive CTE = ground-truth components; the
     // engine's label propagation must agree exactly

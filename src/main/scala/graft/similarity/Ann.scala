@@ -626,4 +626,72 @@ object Ann {
       .groupBy("id_a", "id_b")
       .agg(max(col("cos")).as("cos"))
   }
+
+  /** SQ8 scalar quantization + quantized-dot top-k (the FAISS
+    * ScalarQuantizer QT_8bit shape — the standard 4× embedding-store
+    * compression a vector index trains per dimension): per-dim [mn, mx]
+    * fit on the corpus, each float mapped to code =
+    * clamp(⌊(x−mn)/(mx−mn)·255 + fudge⌋, 0, 255).
+    *
+    * Codes are EXACT integers both engines reproduce bit-for-bit (ONE
+    * deterministic float op per element on identical doubles), so
+    * everything downstream is hash-exact: the int products of a quantized
+    * dot (≤ 255²·d ≈ 4.2e6 at d=64 — order-independent BIGINT sums, a
+    * property no float-space ANN ranking has), the (qdot desc, vec_id)
+    * ranking, and the corpus error tally err_micro = Σ ⌊|t·255 − code|·1e6⌋
+    * (the linkPrediction integer-quantize-then-sum discipline; BIGINT
+    * holds it through ~1e11 vectors at d=64 — swap to a decimal(38,0)
+    * partial past that). Constant dimensions (mx = mn) code to 0.
+    *
+    * Scale shape: the trainer is ONE partial-aggregated posexplode scan to
+    * a d-row frame (bounded driver collect, loud failure past 4096 dims —
+    * the k-means codebook precedent); quantization is a shuffle-free
+    * projection; scoring is the bruteForceTopK broadcast-probe shape; the
+    * top-k merges bounded per-partition heaps (TopK.topKPerGroup), never a
+    * corpus sort.
+    */
+  def sq8TopK(emb: DataFrame, probeMaxId: Long, k: Int): DataFrame = {
+    val dims = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    require(dims.nonEmpty && dims.length <= 4096,
+      s"sq8TopK: ${dims.length} dimensions outside the bounded-collect cap")
+    val mnLit = array(dims.map(r => lit(r.getDouble(1))): _*)
+    val mxLit = array(dims.map(r => lit(r.getDouble(2))): _*)
+    def tOf(x: Column, i: Column): Column = {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx > mn, (x.cast("double") - mn) / (mx - mn) * lit(255.0))
+        .otherwise(lit(0.0))
+    }
+    def codeOf(t: Column): Column =
+      least(greatest(floor(t + lit(0.500001)), lit(0L)), lit(255L))
+    def codes(v: Column): Column =
+      transform(v, (x, i) => codeOf(tOf(x, i)))
+    def errMicro(v: Column): Column =
+      aggregate(
+        transform(v, (x, i) => {
+          val t = tOf(x, i)
+          floor(abs(t - codeOf(t)) * lit(1000000.0))
+        }),
+        lit(0L), (acc, e) => acc + e)
+    val errTotal = emb.agg(
+      sum(errMicro(col("embedding"))).as("err_micro_total"),
+      count(lit(1)).as("n_vecs"))
+    val c = emb.select(col("vec_id"), codes(col("embedding")).as("qc"))
+    val p = emb.where(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), codes(col("embedding")).as("pc"))
+    val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(zip_with(col("qc"), col("pc"), (a, b) => a * b), lit(0L),
+          (acc, v) => acc + v).as("qdot"))
+    graft.operators.TopK.topKPerGroup(scored, Seq("probe_id"), "qdot", "vec_id", k)
+      .select(col("probe_id"), col("vec_id"), col("qdot"),
+        col("rank").cast("long").as("rank"))
+      .crossJoin(broadcast(errTotal))
+      .orderBy("probe_id", "rank")
+  }
 }

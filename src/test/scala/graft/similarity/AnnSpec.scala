@@ -229,4 +229,70 @@ class AnnSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"corpus must not shuffle into the probe join:\n$p")
   }
+
+  test("SQ8 codes match a driver-side quantizer; dots and error tally agree") {
+    val all = emb.collect().map { r =>
+      r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }
+    val d = all.head._2.length
+    val mn = (0 until d).map(i => all.map(_._2(i)).min).toArray
+    val mx = (0 until d).map(i => all.map(_._2(i)).max).toArray
+    def tOf(x: Double, i: Int): Double =
+      if (mx(i) > mn(i)) (x - mn(i)) / (mx(i) - mn(i)) * 255.0 else 0.0
+    def codeOf(t: Double): Long =
+      math.min(math.max(math.floor(t + 0.500001).toLong, 0L), 255L)
+    def codes(v: Array[Double]): Array[Long] =
+      v.zipWithIndex.map { case (x, i) => codeOf(tOf(x, i)) }
+    val errWant = all.map { case (_, v) =>
+      v.zipWithIndex.map { case (x, i) =>
+        val t = tOf(x, i); math.floor(math.abs(t - codeOf(t)) * 1e6).toLong
+      }.sum
+    }.sum
+    val byId = all.toMap.map { case (id, v) => id -> codes(v) }
+    def qdot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = all.filter(_._1 < 3).flatMap { case (pid, _) =>
+      all.filter(_._1 != pid)
+        .map { case (cid, _) => (cid, qdot(byId(pid), byId(cid))) }
+        .sortBy { case (cid, q) => (-q, cid) }.take(5).zipWithIndex
+        .map { case ((cid, q), i) => (pid, cid, q, (i + 1).toLong) }
+    }.toSet
+    val got = Ann.sq8TopK(emb, probeMaxId = 3L, k = 5).collect()
+    got.foreach { r =>
+      assert(r.getLong(4) === errWant, s"error tally: $r vs $errWant")
+      assert(r.getLong(5) === all.length.toLong)
+    }
+    assert(got.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet === want)
+  }
+
+  test("SQ8: codes stay in [0,255] and a constant dimension codes to zero") {
+    import spark.implicits._
+    // dim 0 constant, dim 1 spanning [0, 10]
+    val rows = (0L to 10L).map(i => (i, Seq(7.0f, i.toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Ann.sq8TopK(df, probeMaxId = 1L, k = 3).collect()
+    assert(out.length === 3)
+    // the probe (vec 0) codes to [0, 0]; every qdot against it is 0 and
+    // ties resolve by vec_id ascending
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.forall(_.getLong(2) === 0L), "constant-dim probe dots are 0")
+    // error tally: every t is exactly 0, 25.5k, … — recompute driver-side
+    val errWant = rows.map { case (_, v) =>
+      val t1 = v(1).toDouble / 10.0 * 255.0
+      val c1 = math.min(math.max(math.floor(t1 + 0.500001).toLong, 0L), 255L)
+      math.floor(math.abs(t1 - c1) * 1e6).toLong
+    }.sum
+    assert(out.head.getLong(4) === errWant)
+  }
+
+  test("SQ8 plan: quantization is projection-only, probes broadcast") {
+    val p = Ann.sq8TopK(emb, probeMaxId = 3L, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must never shuffle into the probe join:\n$p")
+  }
 }
