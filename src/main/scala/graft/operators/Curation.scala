@@ -601,6 +601,57 @@ object Curation {
           countDistinct(col("raw_url")).as("n_variants"),
           min(col("doc_id")).as("min_doc_id"))
         .orderBy("canonical_url")
+    }),
+
+    // ---- Gopher quality-filter ruleset (oracle-backed) --------------------
+    // The PUBLISHED named document-filter rules (Rae et al. 2021 §A1.1 —
+    // the ruleset every web-corpus pipeline since has copied or tuned),
+    // run as one shuffle-free projection per doc: word-count bounds, mean
+    // word length bounds, symbol-to-word ratio (# and ... — the ASCII
+    // subset this corpus can contain), bullet-line and ellipsis-line
+    // ratios, alphabetic-word ratio, and the ≥2-distinct-stopwords
+    // presence check. Emits one named flag PER RULE plus the conjunction —
+    // the "why was this doc dropped" audit a silent 0/1 keep column can't
+    // answer. Everything is exact integer counts off the token/line
+    // arrays; the only floats are per-rule single divisions compared
+    // against the published thresholds — both engines run identical
+    // division-then-compare on identical integers. Scale: projection-only
+    // (no shuffle at all before the dump sort), the q_text_quality shape.
+    "q_gopher_rules" -> ((s, dir) => {
+      val txt = col("text")
+      val toks = graft.text.TextOps.tokens(txt)
+      val lines = split(txt, "\n")
+      val nWords = size(toks).cast("long")
+      val sumLen = aggregate(
+        transform(toks, t0 => length(t0).cast("long")), lit(0L), (a, x) => a + x)
+      val meanLen = sumLen.cast("double") / nWords
+      val hashN = (length(txt) - length(replace(txt, lit("#"), lit("")))).cast("long")
+      val ellN = ((length(txt) - length(replace(txt, lit("..."), lit("")))) / 3)
+        .cast("long")
+      val symRatio = (hashN + ellN).cast("double") / nWords
+      val nLines = size(lines).cast("long")
+      val bulletN = size(filter(lines, l =>
+        startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*"))))
+        .cast("long")
+      val ellLineN = size(filter(lines, l => endswith(rtrim(l), lit("..."))))
+        .cast("long")
+      val alphaN = size(filter(toks, t0 => t0.rlike("[A-Za-z]"))).cast("long")
+      val stopN = size(array_intersect(array_distinct(toks),
+        array(graft.text.TextOps.stopwordSeq.map(lit): _*))).cast("long")
+      val rWords = (nWords >= 50L && nWords <= 100000L).cast("long")
+      val rLen = (meanLen >= 3.0 && meanLen <= 10.0).cast("long")
+      val rSym = (symRatio < 0.1).cast("long")
+      val rBullet = (bulletN.cast("double") / nLines < 0.9).cast("long")
+      val rEll = (ellLineN.cast("double") / nLines < 0.3).cast("long")
+      val rAlpha = (alphaN.cast("double") / nWords > 0.8).cast("long")
+      val rStop = (stopN >= 2L).cast("long")
+      t(s, dir, "documents").select(col("doc_id"), nWords.as("n_words"),
+        rWords.as("r_word_count"), rLen.as("r_mean_word_len"),
+        rSym.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),
+        rEll.as("r_ellipsis_lines"), rAlpha.as("r_alpha_words"),
+        rStop.as("r_stopwords"),
+        (rWords * rLen * rSym * rBullet * rEll * rAlpha * rStop).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -974,6 +1025,59 @@ object Curation {
         |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_variants,
         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
-        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    // identical tokenization/line split, exact integer counts per rule,
+    // identical division-then-compare against the published thresholds
+    "q_gopher_rules" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT)))
+         |      AS BIGINT) AS sum_len,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |      AS hash_n,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |      AS BIGINT) AS ell_n,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+         |      OR starts_with(ltrim(l), '*'))) AS BIGINT) AS bullet_n,
+         |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+         |      AS BIGINT) AS ell_line_n,
+         |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+         |      AS BIGINT) AS alpha_n,
+         |    CAST(len(list_intersect(list_distinct(w),
+         |      [${graft.text.TextOps.stopwordsInList}])) AS BIGINT) AS stop_n
+         |  FROM d
+         |), r AS (
+         |  SELECT doc_id, n_words,
+         |    CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+         |    CAST(CASE WHEN CAST(sum_len AS DOUBLE) / n_words >= 3.0
+         |        AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+         |    CAST(CASE WHEN CAST(hash_n + ell_n AS DOUBLE) / n_words < 0.1
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+         |    CAST(CASE WHEN CAST(bullet_n AS DOUBLE) / n_lines < 0.9
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
+         |    CAST(CASE WHEN CAST(ell_line_n AS DOUBLE) / n_lines < 0.3
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_lines,
+         |    CAST(CASE WHEN CAST(alpha_n AS DOUBLE) / n_words > 0.8
+         |      THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
+         |    CAST(CASE WHEN stop_n >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS r_stopwords
+         |  FROM f
+         |)
+         |SELECT doc_id, n_words, r_word_count, r_mean_word_len,
+         |  r_symbol_ratio, r_bullet_lines, r_ellipsis_lines, r_alpha_words,
+         |  r_stopwords,
+         |  r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+         |    * r_ellipsis_lines * r_alpha_words * r_stopwords AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -45,6 +45,10 @@ object TextOps {
     * stay in lockstep with [[stopRatio]] by construction. */
   def stopwordsInList: String = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The stopword list as data — for operators that build literal arrays
+    * (q_gopher_rules' distinct-stopword presence check). */
+  def stopwordSeq: Seq[String] = stopwords
+
   /** Per-document stats (projection only; SQL-expressible → oracle-backed). */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(

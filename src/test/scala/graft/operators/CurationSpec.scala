@@ -481,4 +481,58 @@ class CurationSpec extends SparkSpec {
     assert(rows.head.getLong(1) === 2L && rows.head.getLong(2) === 2L
       && rows.head.getLong(3) === 1L)
   }
+
+  // ---- q_gopher_rules -----------------------------------------------------
+
+  test("Gopher rules: each planted violation trips exactly its own flag") {
+    import spark.implicits._
+    // a clean 60-word doc that passes everything: mean word length 4.3,
+    // two distinct stopwords (the, a), all-alphabetic
+    val clean = (("the quick brown fox jumps over a lazy sleeping hound " * 6).trim)
+    val docs = Seq(
+      (1L, clean),                                   // keep = 1
+      (2L, "too few words here"),                    // word count
+      (3L, ("aa " * 60).trim),                       // mean len 2 + 1 stopword
+      (4L, (("word## " * 60).trim)),                 // symbol ratio 2/1 per word
+      (5L, clean.split(" ").map("- " + _).mkString("\n")), // all bullet lines
+      (6L, clean + "\nthis line trails off...\nand so does this one..."),
+      (7L, (("123 456 " * 30).trim)))                // alpha ratio 0
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gopher_fixture").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q_gopher_rules")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[Long] = (2 to 8).map(out(id).getLong(_))
+    assert(flags(1L) === Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L)
+      && out(1L).getLong(9) === 1L, s"clean doc must keep: ${out(1L)}")
+    assert(out(2L).getLong(2) === 0L, "short doc fails word count")
+    assert(out(3L).getLong(3) === 0L && out(3L).getLong(8) === 0L,
+      "uniform 2-char words fail mean length and distinct stopwords")
+    assert(out(4L).getLong(4) === 0L, "hash-dense doc fails symbol ratio")
+    assert(out(5L).getLong(5) === 0L, "all-bullet doc fails bullet ratio")
+    assert(out(6L).getLong(6) === 0L, "2 of 3 trailing-... lines fail 0.3")
+    assert(out(7L).getLong(7) === 0L, "numeric doc fails alpha-word ratio")
+    out.values.foreach { r =>
+      assert(r.getLong(9) === (2 to 8).map(r.getLong(_)).product,
+        s"keep must be the conjunction: $r")
+    }
+  }
+
+  test("Gopher rules on real data: flags boolean, keep is the conjunction") {
+    val rows = run("q_gopher_rules").collect()
+    assert(rows.length ===
+      graft.io.Sources.table(spark, sf, "documents").count())
+    rows.foreach { r =>
+      (2 to 9).foreach(i => assert(r.getLong(i) === 0L || r.getLong(i) === 1L))
+      assert(r.getLong(9) === (2 to 8).map(r.getLong(_)).product)
+    }
+  }
+
+  test("Gopher plan: projection-only scoring — no exchange before the dump sort") {
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc rule scoring must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"rule scoring is join-free:\n$p")
+  }
 }
