@@ -104,6 +104,59 @@ object StreamingOps {
       }
   }
 
+  final case class EwmaState(n: Long, level: Double, evar: Double)
+  final case class Anomaly(user_id: Long, ts: java.sql.Timestamp,
+      value: Double, z: Double)
+
+  /** Streaming EWMA anomaly detection — the per-key control chart
+    * (EWMA chart, Roberts 1959; the standard streaming drift/spike
+    * monitor) as flatMapGroupsWithState: each user's state is THREE
+    * numbers (n, exponentially-weighted level, exponentially-weighted
+    * variance), so state is O(users) forever — no window buffer, no
+    * per-event history, the property that lets the detector run
+    * unbounded on a 100 TB/day feed.
+    *
+    * An event flags when its |z| = |x − level|/√evar exceeds `k` AFTER
+    * `warmup` observations (the chart needs a settled baseline; the
+    * first event initializes the level). Each batch folds its events in
+    * EVENT-TIME order (ts, then value as tie-break) so replays and
+    * repartitionings produce the identical anomaly set — determinism a
+    * hash-partitioned iterator order would silently break.
+    *
+    * Detection uses the PRE-update state (an anomalous reading should
+    * not first inflate the variance that judges it), then the state
+    * absorbs the event: level += α·dev, evar = (1−α)(evar + α·dev²) —
+    * the standard EWMA variance recursion (exact on the same doubles on
+    * any engine; no float accumulation across keys).
+    */
+  def ewmaAnomalies(events: Dataset[Event], alpha: Double = 0.3,
+      k: Double = 3.0, warmup: Int = 5): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          var s = state.getOption.getOrElse(EwmaState(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            if (s.n >= warmup && s.evar > 0.0) {
+              val z = (e.value - s.level) / math.sqrt(s.evar)
+              if (math.abs(z) > k) out += Anomaly(userId, e.ts, e.value, z)
+            }
+            s =
+              if (s.n == 0L) EwmaState(1L, e.value, 0.0)
+              else {
+                val dev = e.value - s.level
+                EwmaState(s.n + 1L, s.level + alpha * dev,
+                  (1.0 - alpha) * (s.evar + alpha * dev * dev))
+              }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class HhState(ver: Long, counts: Map[String, Long])
   final case class TermCandidate(shard: Int, ver: Long, term: String, count_min: Long)
 

@@ -260,6 +260,90 @@ class StreamingOpsSpec extends SparkSpec {
     assert(byUser(2L) == ((1L, 5.0)))
   }
 
+  test("EWMA anomaly chart: a planted spike flags, the steady user never does") {
+    val base = Files.createTempDirectory("graft_ewma").toString
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-24 10:$m%02d:00")
+    // user 1: ten settled readings around 10, then a 100 spike, then
+    // settled again; user 2: steady throughout
+    val steady = (0 until 10).map(m =>
+      StreamingOps.Event(1L, ts(m), 10.0 + (m % 3)))
+    val spike = Seq(StreamingOps.Event(1L, ts(10), 100.0))
+    val after = (11 until 14).map(m =>
+      StreamingOps.Event(1L, ts(m), 10.0 + (m % 3)))
+    val user2 = (0 until 14).map(m =>
+      StreamingOps.Event(2L, ts(m), 5.0 + (m % 2)))
+    val evDir = s"$base/events"
+    (steady ++ spike ++ after ++ user2).toDF().write.parquet(evDir)
+    val stream = spark.readStream.schema(spark.read.parquet(evDir).schema)
+      .parquet(evDir).as[StreamingOps.Event]
+    val anomalies = StreamingOps.runAvailableNow(
+      StreamingOps.ewmaAnomalies(stream).toDF(),
+      "ewma_anoms", s"$base/ckpt", OutputMode.Append(), maxWaitMs = 60000)
+      .collect()
+    assert(anomalies.forall(_.getAs[Long]("user_id") == 1L),
+      s"steady user must never flag: ${anomalies.toSeq}")
+    val flagged = anomalies.map(r =>
+      (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value")))
+    assert(flagged.contains((ts(10), 100.0)),
+      s"the planted spike must flag: ${anomalies.toSeq}")
+    // the spike plus at most the immediate post-spike settling readings
+    // (the chart's variance is inflated right after absorbing the spike,
+    // so later NORMAL readings must not flag)
+    assert(anomalies.length <= 2, s"over-flagging: ${anomalies.toSeq}")
+    // replay determinism: the state fold is event-time ordered, so a
+    // second identical run produces the identical anomaly set
+    val second = StreamingOps.runAvailableNow(
+      StreamingOps.ewmaAnomalies(
+        spark.readStream.schema(spark.read.parquet(evDir).schema)
+          .parquet(evDir).as[StreamingOps.Event]).toDF(),
+      "ewma_anoms2", s"$base/ckpt2", OutputMode.Append(), maxWaitMs = 60000)
+      .collect()
+    assert(second.map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_.toString).toSeq
+      === anomalies.map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_.toString).toSeq)
+  }
+
+  test("EWMA anomaly chart matches a driver-side recurrence replay exactly") {
+    val base = Files.createTempDirectory("graft_ewma_replay").toString
+    import spark.implicits._
+    // a deterministic pseudo-random walk per user — no planted structure
+    val events = for (u <- 1L to 3L; i <- 0 until 30) yield
+      StreamingOps.Event(u,
+        java.sql.Timestamp.valueOf(f"2026-01-24 11:${i / 60}%02d:${i % 60}%02d"),
+        ((u * 7919 + i * 104729) % 97).toDouble)
+    val evDir = s"$base/events"
+    events.toDF().write.parquet(evDir)
+    val stream = spark.readStream.schema(spark.read.parquet(evDir).schema)
+      .parquet(evDir).as[StreamingOps.Event]
+    val got = StreamingOps.runAvailableNow(
+      StreamingOps.ewmaAnomalies(stream).toDF(),
+      "ewma_replay", s"$base/ckpt", OutputMode.Append(), maxWaitMs = 60000)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        r.getDouble(3))).toSet
+    val want = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+      var (n, level, evar) = (0L, 0.0, 0.0)
+      evs.sortBy(e => (e.ts.getTime, e.value)).flatMap { e =>
+        val hit =
+          if (n >= 5 && evar > 0.0) {
+            val z = (e.value - level) / math.sqrt(evar)
+            if (math.abs(z) > 3.0)
+              Some((u, e.ts.getTime, e.value, z))
+            else None
+          } else None
+        if (n == 0L) { n = 1L; level = e.value; evar = 0.0 }
+        else {
+          val dev = e.value - level
+          n += 1L; level += 0.3 * dev; evar = 0.7 * (evar + 0.3 * dev * dev)
+        }
+        hit
+      }
+    }.toSet
+    assert(got === want, s"got $got\nwant $want")
+  }
+
   test("quality router splits clean vs quarantine in one pass, incrementally") {
     val base = Files.createTempDirectory("graft_router").toString
     val staging = s"$base/staging"
