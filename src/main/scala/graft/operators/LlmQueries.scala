@@ -770,8 +770,12 @@ object LlmQueries {
     "q_rouge_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
       val toks = TextOps.tokens(col("text"))
+      // ONE tokenize pass shared by both gram histograms and the size frame
+      // (the c506f83 shingle-scan discipline): without the checkpoint the
+      // regex split would run three times over the corpus
       val base = d.select(col("doc_id"), toks.as("w"),
         slice(toks, lit(1), greatest(size(toks) - 2, lit(1))).as("w2"))
+        .localCheckpoint()
       def bigrams(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         when(size(w) >= 2,
           transform(sequence(lit(1), size(w) - 1),

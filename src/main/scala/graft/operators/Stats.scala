@@ -907,6 +907,124 @@ object Stats {
         .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
     }),
 
+    // ---- CUPED variance reduction -----------------------------------------
+    // The industry-standard experiment sensitivity boost (Deng et al.,
+    // WSDM 2013): regress the experiment metric (post-1998 per-customer
+    // spend) on its pre-period covariate (pre-1998 spend), and report the
+    // adjusted arm means y − θ(x − x̄) plus the achieved variance
+    // reduction 1 − var(y−θx)/var(y) = ρ²_xy — often 40–60% on real
+    // commerce metrics, i.e. the same experiment decided with half the
+    // traffic. θ = cov(x,y)/var(x) is fit POOLED (assignment-independent,
+    // so the adjustment is unbiased under the null).
+    //
+    // One customer-keyed groupBy (map-side combined; customers with no
+    // pre-period spend carry x = 0 — a defined covariate, not a dropped
+    // unit), then ALL sufficient statistics — pooled n/Σx/Σy/Σx²/Σy²/Σxy
+    // in DECIMAL(38,0) exact partials plus per-arm n/Σx/Σy — reduce in
+    // ONE row. θ, the adjusted means, and the variance-reduction ratio
+    // are a single float sequence over exact integers; a constant
+    // covariate (var x = 0) abstains with NULL θ/adjustment — the
+    // q_spearman zero-guard discipline.
+    "q_cuped" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val split = lit("1998-01-01").cast("date")
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey"), cents.as("v"),
+          (col("o_orderdate") < split).as("pre"))
+        .groupBy("o_custkey")
+        .agg(coalesce(sum(when(col("pre"), col("v"))), lit(0L)).as("x"),
+          coalesce(sum(when(!col("pre"), col("v"))), lit(0L)).as("y"))
+        .select(arm(col("o_custkey")).as("g"),
+          col("x"), col("y"),
+          col("x").cast("decimal(19,0)").as("xd"),
+          col("y").cast("decimal(19,0)").as("yd"))
+      val m = per.agg(
+        count(lit(1)).as("n"),
+        sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("yd") * col("yd")).as("syy"),
+        sum(col("xd") * col("yd")).as("sxy"),
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 0L, col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("g") === 0L, col("y")).otherwise(0L)).as("sya"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("g") === 1L, col("x")).otherwise(0L)).as("sxb"),
+        sum(when(col("g") === 1L, col("y")).otherwise(0L)).as("syb"))
+      val nD = col("n").cast("double")
+      def d(c: Column): Column = c.cast("double")
+      val varX = nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val varY = nD * d(col("syy")) - d(col("sy")) * d(col("sy"))
+      val covXY = nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val theta = covXY / varX
+      val xBar = d(col("sx")) / nD
+      def adj(sy0: Column, sx0: Column, n0: Column): Column =
+        d(sy0) / d(n0) - theta * (d(sx0) / d(n0) - xBar)
+      val varRed = covXY * covXY / (varX * varY)
+      m.select(col("n"), col("na").as("n_a"), col("nb").as("n_b"),
+        when(varX > 0, r6(theta)).as("theta"),
+        r2c(d(col("sya")) / d(col("na")) / 100.0).as("mean_a_raw"),
+        r2c(d(col("syb")) / d(col("nb")) / 100.0).as("mean_b_raw"),
+        when(varX > 0, r2c(adj(col("sya"), col("sxa"), col("na")) / 100.0))
+          .as("mean_a_adj"),
+        when(varX > 0, r2c(adj(col("syb"), col("sxb"), col("nb")) / 100.0))
+          .as("mean_b_adj"),
+        when(varX > 0 && varY > 0, r6(varRed)).as("var_reduction"))
+    }),
+
+    // ---- difference-in-differences ----------------------------------------
+    // The two-period two-group causal readout (Card–Krueger 1994 made it
+    // canonical): DiD = (ȳ_b,post − ȳ_b,pre) − (ȳ_a,post − ȳ_a,pre) over
+    // the md5 hash arms × the 1998-01-01 period split — on a hash split
+    // the true effect is zero by construction, which makes the estimate
+    // itself an A/A calibration check. The 2×2 cell frame reduces from
+    // ONE corpus scan (exact BIGINT count/sum/Σv² per cell, map-side
+    // combined, arm never a shuffle key); the estimate and its
+    // large-sample SE √(Σ s²ᵢ/nᵢ) are one float sequence over exact
+    // integers.
+    "q_diff_in_diff" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val split = lit("1998-01-01").cast("date")
+      val cells = t(s, dir, "orders")
+        .select(arm(col("o_custkey")).as("g"),
+          (col("o_orderdate") >= split).cast("long").as("post"),
+          cents.as("v"), cents.cast("decimal(19,0)").as("vd"))
+        .groupBy("g", "post")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("vd") * col("vd")).as("ssq"))
+      def d(c: Column): Column = c.cast("double")
+      val mean = d(col("s")) / d(col("n"))
+      val varS = (d(col("ssq")) - d(col("s")) * d(col("s")) / d(col("n"))) /
+        (d(col("n")) - 1)
+      // the 4 per-cell s²/n terms are floats; an unordered 4-way float sum
+      // could tree-reduce differently across engines, so each term is
+      // quantized to integer micro-units first and the micro-units sum in
+      // BIGINT (the linkPrediction discipline; ≤1e-6 cents² quantization
+      // on an SE of ~1e5 cents² — far below the r6 report precision)
+      val flat = cells.select(col("g"), col("post"), col("n"),
+        mean.as("m"),
+        floor(varS / d(col("n")) * lit(1000000.0)).cast("long").as("vn_micro"))
+      val g = flat.agg(
+        sum(col("n")).as("n"),
+        sum(when(col("g") === 0L && col("post") === 0L, col("m"))).as("m_a_pre"),
+        sum(when(col("g") === 0L && col("post") === 1L, col("m"))).as("m_a_post"),
+        sum(when(col("g") === 1L && col("post") === 0L, col("m"))).as("m_b_pre"),
+        sum(when(col("g") === 1L && col("post") === 1L, col("m"))).as("m_b_post"),
+        sum(col("vn_micro")).as("se2_micro"))
+      val did = (col("m_b_post") - col("m_b_pre")) -
+        (col("m_a_post") - col("m_a_pre"))
+      val z = did / sqrt(col("se2_micro").cast("double") / lit(1000000.0))
+      g.select(col("n"),
+        r2c(col("m_a_pre") / 100.0).as("mean_a_pre"),
+        r2c(col("m_a_post") / 100.0).as("mean_a_post"),
+        r2c(col("m_b_pre") / 100.0).as("mean_b_pre"),
+        r2c(col("m_b_post") / 100.0).as("mean_b_post"),
+        r2c(did / 100.0).as("did_estimate"),
+        r6(z).as("z_stat"),
+        (abs(z) > 1.959963984540054).cast("long").as("reject_95"))
+    }),
+
     // ---- Tukey HSD post-hoc pairwise comparisons --------------------------
     // The follow-up q_anova points at: WHICH segment means differ? All
     // C(5,2)=10 segment pairs with the studentized-range statistic
@@ -1689,6 +1807,115 @@ object Stats {
         |  iv_total
         |FROM woe, iv
         |ORDER BY bucket""".stripMargin,
+
+    // identical per-customer period totals (x=0 for no-pre customers),
+    // identical exact moment matrix (HUGEINT vs DECIMAL38), identical
+    // float sequence for theta/adjustment/variance-reduction
+    "q_cuped" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      END), 0) AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      END), 0) AS BIGINT) AS y,
+        |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g
+        |  FROM orders GROUP BY o_custkey
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+        |    CAST(SUM(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+        |    CAST(SUM(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+        |  FROM per
+        |), f AS (
+        |  SELECT n, na, nb, sxa, sya, sxb, syb,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covxy,
+        |    CAST(sx AS DOUBLE) / n AS xbar
+        |  FROM m
+        |), c AS (
+        |  SELECT *, covxy / varx AS theta FROM f
+        |)
+        |SELECT n, na AS n_a, nb AS n_b,
+        |  CASE WHEN varx > 0 THEN
+        |    FLOOR(theta * 1000000.0 + 0.500001) / 1000000.0 END AS theta,
+        |  FLOOR(CAST(sya AS DOUBLE) / na / 100.0 * 100.0 + 0.500001)
+        |    / 100.0 AS mean_a_raw,
+        |  FLOOR(CAST(syb AS DOUBLE) / nb / 100.0 * 100.0 + 0.500001)
+        |    / 100.0 AS mean_b_raw,
+        |  CASE WHEN varx > 0 THEN
+        |    FLOOR((CAST(sya AS DOUBLE) / na
+        |        - theta * (CAST(sxa AS DOUBLE) / na - xbar)) / 100.0
+        |      * 100.0 + 0.500001) / 100.0 END AS mean_a_adj,
+        |  CASE WHEN varx > 0 THEN
+        |    FLOOR((CAST(syb AS DOUBLE) / nb
+        |        - theta * (CAST(sxb AS DOUBLE) / nb - xbar)) / 100.0
+        |      * 100.0 + 0.500001) / 100.0 END AS mean_b_adj,
+        |  CASE WHEN varx > 0 AND vary > 0 THEN
+        |    FLOOR(covxy * covxy / (varx * vary) * 1000000.0 + 0.500001)
+        |      / 1000000.0 END AS var_reduction
+        |FROM c""".stripMargin,
+
+    // identical 2x2 cells, identical micro-unit-quantized SE terms
+    "q_diff_in_diff" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END AS post,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    SUM(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |        AS HUGEINT)
+        |      * CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)) AS ssq
+        |  FROM orders GROUP BY 1, 2
+        |), flat AS (
+        |  SELECT g, post, n, CAST(s AS DOUBLE) / n AS m,
+        |    CAST(FLOOR((CAST(ssq AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS vn_micro
+        |  FROM cells
+        |), gg AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |    SUM(CASE WHEN g = 0 AND post = 0 THEN m END) AS m_a_pre,
+        |    SUM(CASE WHEN g = 0 AND post = 1 THEN m END) AS m_a_post,
+        |    SUM(CASE WHEN g = 1 AND post = 0 THEN m END) AS m_b_pre,
+        |    SUM(CASE WHEN g = 1 AND post = 1 THEN m END) AS m_b_post,
+        |    CAST(SUM(vn_micro) AS BIGINT) AS se2_micro
+        |  FROM flat
+        |), f AS (
+        |  SELECT *,
+        |    (m_b_post - m_b_pre) - (m_a_post - m_a_pre) AS did,
+        |    ((m_b_post - m_b_pre) - (m_a_post - m_a_pre))
+        |      / sqrt(CAST(se2_micro AS DOUBLE) / 1000000.0) AS z
+        |  FROM gg
+        |)
+        |SELECT n,
+        |  FLOOR(m_a_pre / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_a_pre,
+        |  FLOOR(m_a_post / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_a_post,
+        |  FLOOR(m_b_pre / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_b_pre,
+        |  FLOOR(m_b_post / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_b_post,
+        |  FLOOR(did / 100.0 * 100.0 + 0.500001) / 100.0 AS did_estimate,
+        |  FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
+        |  CAST(CASE WHEN abs(z) > 1.959963984540054 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reject_95
+        |FROM f""".stripMargin,
 
     // identical per-customer exact-integer period moments, identical
     // double d, the same doubled-tie-rank histogram as q_mann_whitney

@@ -648,6 +648,78 @@ class StatsSpec extends SparkSpec {
     assert(rows.head.getDouble(6) >= 0.0, "IV is a sum of non-negative terms")
   }
 
+  // ---- q_cuped ------------------------------------------------------------
+
+  test("CUPED: a perfectly predictive covariate removes ALL arm variance") {
+    import spark.implicits._
+    // every customer's post spend is exactly 2x their pre spend → theta=2,
+    // var_reduction = rho² = 1, and both adjusted means collapse to the
+    // same 2·x̄ regardless of which md5 arm a customer landed in
+    val orders = (1 to 40).flatMap { c =>
+      val p = 100.0 + c
+      Seq((c.toLong, "1997-06-01", p), (c.toLong, "1999-06-01", 2 * p))
+    }
+    val r = SparkEntry.queries("q_cuped")(spark,
+      fixtureDir("orders" -> orders.toDF("o_custkey", "o_orderdate", "o_totalprice")))
+      .head()
+    assert(r.getLong(0) === 40L && r.getLong(1) + r.getLong(2) === 40L)
+    assert(r.getDouble(3) === 2.0, s"theta must be exactly 2: $r")
+    assert(r.getDouble(6) === r.getDouble(7),
+      s"perfect covariate ⇒ identical adjusted means: $r")
+    assert(r.getDouble(8) === 1.0, s"var_reduction must be exactly 1: $r")
+  }
+
+  test("CUPED: a constant covariate abstains from adjusting") {
+    import spark.implicits._
+    // identical pre spend everywhere → var(x) = 0 → theta/adjusted NULL,
+    // raw means still reported
+    val orders = (1 to 20).flatMap { c =>
+      Seq((c.toLong, "1997-06-01", 100.0), (c.toLong, "1999-06-01", 100.0 + c))
+    }
+    val r = SparkEntry.queries("q_cuped")(spark,
+      fixtureDir("orders" -> orders.toDF("o_custkey", "o_orderdate", "o_totalprice")))
+      .head()
+    assert(r.isNullAt(3) && r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8))
+    assert(!r.isNullAt(4) && !r.isNullAt(5), s"raw means still report: $r")
+  }
+
+  test("CUPED on real data: var_reduction in [0,1], arms partition customers") {
+    val r = SparkEntry.queries("q_cuped")(spark, sf).head()
+    val custs = graft.io.Sources.table(spark, sf, "orders")
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(r.getLong(0) === custs && r.getLong(1) + r.getLong(2) === custs)
+    assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0, s"$r")
+  }
+
+  // ---- q_diff_in_diff -----------------------------------------------------
+
+  test("DiD: a uniform period shift nets exactly zero across any arm split") {
+    import spark.implicits._
+    // every customer: pre orders {100, 110}, post orders {200, 210} —
+    // every cell mean is exactly 105/205 whatever the md5 arms are,
+    // within-cell variance is positive (so z is defined), did = 0
+    val orders = (1 to 40).flatMap { c =>
+      Seq((c.toLong, "1997-06-01", 100.0), (c.toLong, "1997-07-01", 110.0),
+        (c.toLong, "1999-06-01", 200.0), (c.toLong, "1999-07-01", 210.0))
+    }
+    val r = SparkEntry.queries("q_diff_in_diff")(spark,
+      fixtureDir("orders" -> orders.toDF("o_custkey", "o_orderdate", "o_totalprice")))
+      .head()
+    assert(r.getDouble(1) === 105.0 && r.getDouble(3) === 105.0)
+    assert(r.getDouble(2) === 205.0 && r.getDouble(4) === 205.0)
+    assert(r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0
+      && r.getLong(7) === 0L, s"$r")
+  }
+
+  test("DiD on real data: estimate consistent with its cells, flag with |z|") {
+    val r = SparkEntry.queries("q_diff_in_diff")(spark, sf).head()
+    assert(r.getLong(0) ===
+      graft.io.Sources.table(spark, sf, "orders").count())
+    val did = (r.getDouble(4) - r.getDouble(3)) - (r.getDouble(2) - r.getDouble(1))
+    assert(math.abs(r.getDouble(5) - did) < 0.02, s"$r")
+    assert(r.getLong(7) === (if (math.abs(r.getDouble(6)) > 1.959963984540054) 1L else 0L))
+  }
+
   // ---- q_wilcoxon_signed --------------------------------------------------
 
   test("Wilcoxon signed-rank: uniform improvement maxes W+; symmetry zeroes z") {
@@ -769,7 +841,8 @@ class StatsSpec extends SparkSpec {
   test("stats plans: join-free, corpus reduces through a partial agg before any shuffle") {
     for (q <- Seq("q_ab_ttest", "q_chi_square", "q_mutual_info", "q_ks_test", "q_ks_exact",
         "q_regression", "q_anova", "q_mann_whitney", "q_power_analysis",
-        "q_prop_ztest", "q_partial_corr", "q_cohens_kappa")) {
+        "q_prop_ztest", "q_partial_corr", "q_cohens_kappa", "q_cuped",
+        "q_diff_in_diff")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
       val firstEx = p.indexOf("Exchange")
