@@ -526,8 +526,58 @@ object Graph {
     // graph — the node2vec-style corpus generator; see randomWalks scaladoc
     "q_random_walk" -> ((s, dir) =>
       randomWalks(partPairEdges(Sources.table(s, dir, "lineitem")
-        .where(col("l_orderkey") % 10 === 0)), WalkSteps))
+        .where(col("l_orderkey") % 10 === 0)), WalkSteps)),
+
+    // modularity of the q_communities LPA partition — see modularity()
+    // scaladoc for the all-integer Newman compose
+    "q_modularity" -> ((s, dir) => {
+      val und = partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).localCheckpoint()
+      modularity(und, labelPropagation(und, LpaRounds))
+    })
   )
+
+  /** Modularity (Newman–Girvan 2004) of a node partition over an
+    * undirected graph: Q = Σ_c [e_c/m − (d_c/2m)²] — the standard "is
+    * this community structure real" scalar, here scoring the SAME
+    * 3-round LPA partition q_communities emits (one operator produces
+    * the labels, this one grades them).
+    *
+    * All-integer compose: Q·4m² = 4m·E_intra − Σ_c d_c², so the three
+    * corpus aggregates (edge count, intra-community edge count, and the
+    * per-community degree-sum squares) stay BIGINT/DECIMAL(38,0) exact —
+    * a per-community float sum would accumulate in engine-dependent
+    * order. ONE float division at the end. Scale shape: two label
+    * equi-joins onto the edge list, one bounded per-community aggregate;
+    * shuffles carry edge/node cardinality with map-side combine.
+    */
+  def modularity(und: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node"), col("label")).localCheckpoint()
+    val e = und
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+    val base = e.agg(count(lit(1)).as("m"),
+      sum((col("lu") === col("lv")).cast("long")).as("e_intra"))
+    // d_c = Σ_{node∈c} deg(node) via the both-direction edge list
+    val degSum = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .join(lab, Seq("node"))
+      .groupBy("label").agg(count(lit(1)).as("dc"))
+    val dec = "decimal(38,0)"
+    val d2 = degSum.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("dc").cast(dec) * col("dc").cast(dec)).as("sum_d2"),
+      sum(col("dc")).as("sum_d"))
+    val mD = col("m").cast(dec)
+    val q = (lit(4L).cast(dec) * mD * col("e_intra").cast(dec) -
+      col("sum_d2")).cast("double") /
+      (lit(4L).cast(dec) * mD * mD).cast("double")
+    base.crossJoin(broadcast(d2))
+      .select(col("m").as("n_edges"), col("e_intra").as("n_intra_edges"),
+        col("n_communities"), col("sum_d").as("degree_total"),
+        (floor(q * lit(1000000.0) + lit(0.500001)) / lit(1000000.0))
+          .as("modularity"))
+  }
 
   /** Degree assortativity coefficient (Newman, PRL 2002 eq. 4) of an
     * undirected graph: the Pearson correlation of the degrees at either
@@ -1090,7 +1140,9 @@ object Graph {
         |      / (SELECT COUNT(*) FROM e) * 1000000.0 + 0.500001) / 1000000.0
         |  END AS reciprocity""".stripMargin,
 
-    "q_random_walk" -> randomWalkOracle(WalkSteps)
+    "q_random_walk" -> randomWalkOracle(WalkSteps),
+
+    "q_modularity" -> modularityOracle(LpaRounds)
   )
 
   /** The random-walk oracle: the same hash-greedy steps unrolled (the
@@ -1132,7 +1184,7 @@ object Graph {
     * kcoreOracle discipline — MATERIALIZED, since each round references
     * the previous label table).
     */
-  private def lpaOracle(rounds: Int): String = {
+  private def lpaChain(rounds: Int): String = {
     val head =
       """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
@@ -1157,8 +1209,43 @@ object Graph {
          |  WHERE rn = 1
          |)""".stripMargin
     }.mkString
-    head + steps + s"\nSELECT node, label FROM l$rounds ORDER BY node"
+    head + steps
   }
+
+  private def lpaOracle(rounds: Int): String =
+    lpaChain(rounds) + s"\nSELECT node, label FROM l$rounds ORDER BY node"
+
+  /** The modularity oracle: the identical LPA chain, then the same
+    * all-integer Q·4m² = 4m·E_intra − Σd_c² compose in HUGEINT. */
+  private def modularityOracle(rounds: Int): String =
+    lpaChain(rounds) +
+      s""", lab AS MATERIALIZED (
+         |  SELECT node, label FROM l$rounds
+         |), base AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS e_intra
+         |  FROM und e
+         |  JOIN lab a ON a.node = e.u
+         |  JOIN lab b ON b.node = e.v
+         |), degsum AS (
+         |  SELECT lab.label, CAST(COUNT(*) AS BIGINT) AS dc
+         |  FROM (SELECT u AS node FROM und
+         |        UNION ALL SELECT v AS node FROM und) d
+         |  JOIN lab ON lab.node = d.node
+         |  GROUP BY lab.label
+         |), d2 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    SUM(CAST(dc AS HUGEINT) * dc) AS sum_d2,
+         |    CAST(SUM(dc) AS BIGINT) AS sum_d
+         |  FROM degsum
+         |)
+         |SELECT m AS n_edges, e_intra AS n_intra_edges, n_communities,
+         |  sum_d AS degree_total,
+         |  FLOOR(CAST(4 * CAST(m AS HUGEINT) * e_intra - sum_d2 AS DOUBLE)
+         |      / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE)
+         |    * 1000000.0 + 0.500001) / 1000000.0 AS modularity
+         |FROM base, d2""".stripMargin
 
   /** The k-core oracle: the same fixed peel rounds UNROLLED as chained
     * standard-SQL CTEs (the prOracle discipline — no vendor recursive

@@ -410,6 +410,42 @@ object LlmQueries {
     "q_embed_quantize" -> ((s, dir) =>
       Ann.sq8TopK(t(s, dir, "embeddings"), probeMaxId = 10L, k = 5)),
 
+    // oracle-backed: kNN classification accuracy — the embedding-quality
+    // probe every representation-learning pipeline runs (kNN accuracy on
+    // a labeled eval set ≈ linear-probe quality without training
+    // anything): each eval vector's label predicted by majority vote of
+    // its 5 exact-cosine neighbours (vote ties break to the smaller
+    // label — deterministic), scored per class. The eval set is a
+    // BOUNDED id prefix (the broadcast-probe contract: eval sets are
+    // fixed-size human-labeled samples, never corpus-sized). Cosines are
+    // FP-bit-identical cross-engine (the q_ann_brute precedent), votes
+    // and accuracies exact integers + single divisions.
+    "q_knn_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 100)
+      val topk = Ann.bruteForceTopK(emb, probes, k = 5)
+        .select(col("probe_id"), col("vec_id"))
+      val votes = topk
+        .join(emb.select(col("vec_id"),
+          col("label").cast("long").as("nbr_label")), Seq("vec_id"))
+        .groupBy("probe_id", "nbr_label").agg(count(lit(1)).as("c"))
+      val pred = votes.groupBy("probe_id")
+        .agg(min(struct((lit(0L) - col("c")).as("negc"),
+          col("nbr_label").as("lbl"))).as("pick"))
+        .select(col("probe_id"), col("pick.lbl").as("pred_label"))
+      probes.select(col("vec_id").as("probe_id"),
+          col("label").cast("long").as("gold_label"))
+        .join(pred, Seq("probe_id"))
+        .groupBy("gold_label")
+        .agg(count(lit(1)).as("n_probes"),
+          sum((col("pred_label") === col("gold_label")).cast("long"))
+            .as("n_correct"))
+        .select(col("gold_label"), col("n_probes"), col("n_correct"),
+          r6(col("n_correct").cast("double") / col("n_probes"))
+            .as("accuracy"))
+        .orderBy("gold_label")
+    }),
+
     // envelope-contract oracle: distributed PCA over the embedding corpus
     // (see graft.similarity.Pca scaladoc — one Gram-matrix treeAggregate
     // pass, driver-local d×d Jacobi eigen, a second pass checking
@@ -1201,6 +1237,48 @@ object LlmQueries {
         |  FLOOR(cos_exact * 10000.0 + 0.500001) / 10000.0 AS cos,
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // the q_ann_brute FP-bit-identical cosine ranking, then the identical
+    // (count desc, label asc) vote and per-class accuracy
+    "q_knn_eval" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec,
+        |    CAST(label AS BIGINT) AS gold_label
+        |  FROM embeddings WHERE vec_id < 100
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec,
+        |    CAST(label AS BIGINT) AS nbr_label
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT p.probe_id, c.vec_id, c.nbr_label,
+        |    list_dot_product(c.cvec, p.pvec) /
+        |      (sqrt(list_dot_product(c.cvec, c.cvec))
+        |        * sqrt(list_dot_product(p.pvec, p.pvec))) AS cos_exact
+        |  FROM corpus c, probes p WHERE c.vec_id <> p.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, nbr_label,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_exact DESC, vec_id) AS rank
+        |  FROM scored
+        |), votes AS (
+        |  SELECT probe_id, nbr_label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT probe_id, nbr_label AS pred_label FROM (
+        |    SELECT probe_id, nbr_label,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY c DESC, nbr_label) AS rn
+        |    FROM votes) WHERE rn = 1
+        |), j AS (
+        |  SELECT p.gold_label,
+        |    CASE WHEN pr.pred_label = p.gold_label THEN 1 ELSE 0 END AS ok
+        |  FROM probes p JOIN pred pr ON pr.probe_id = p.probe_id
+        |)
+        |SELECT gold_label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(ok) AS BIGINT) AS n_correct,
+        |  FLOOR(CAST(SUM(ok) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS accuracy
+        |FROM j GROUP BY gold_label ORDER BY gold_label""".stripMargin,
 
     // identical per-dim [mn,mx] trainer, identical one-float-op code map
     // (cast to BIGINT before any product), exact integer dots and error

@@ -524,6 +524,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("modularity: two cliques score exactly 1/2, one blob exactly 0") {
+    // two disjoint triangles with the perfect partition: the textbook
+    // Q = 1/2; the same graph as ONE community: Q = 0 exactly
+    val two = und((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val lab2 = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L), (12L, 1L))
+      .toDF("node", "label")
+    val r2 = Graph.modularity(two, lab2).head()
+    assert(r2.getLong(0) === 6L && r2.getLong(1) === 6L && r2.getLong(2) === 2L)
+    assert(r2.getLong(3) === 12L, "Σd_c must be 2m")
+    assert(r2.getDouble(4) === 0.5, s"two cliques: $r2")
+    val lab1 = lab2.select(col("node"), lit(0L).as("label"))
+    assert(Graph.modularity(two, lab1).head().getDouble(4) === 0.0,
+      "the trivial one-community partition scores exactly 0")
+  }
+
+  test("modularity on the real LPA partition: bounds and conservation") {
+    val e = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).localCheckpoint()
+    val r = Graph.modularity(e, Graph.labelPropagation(e, Graph.LpaRounds)).head()
+    assert(r.getLong(1) <= r.getLong(0), "intra edges ≤ edges")
+    assert(r.getLong(3) === 2 * r.getLong(0), "Σd_c = 2m")
+    assert(r.getDouble(4) >= -0.5 && r.getDouble(4) <= 1.0, s"$r")
+  }
+
   test("new graph plans: key equi-joins only, never a cartesian") {
     for (q <- Seq("q_assortativity", "q_reciprocity", "q_random_walk")) {
       spark.catalog.clearCache()

@@ -287,6 +287,35 @@ class AnnSpec extends SparkSpec {
     assert(out.head.getLong(4) === errWant)
   }
 
+  test("kNN eval matches a driver-side vote replay; probes all score") {
+    val all = emb.collect().map { r =>
+      (r.getLong(r.fieldIndex("vec_id")),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray,
+        r.getInt(r.fieldIndex("label")).toLong)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probes = all.filter(_._1 < 100)
+    val want = probes.map { case (pid, pv, gold) =>
+      val top5 = all.filter(_._1 != pid)
+        .map { case (id, v, l) => (id, cos(pv, v), l) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(5)
+      val pred = top5.groupBy(_._3).toSeq
+        .map { case (l, vs) => (l, vs.size) }
+        .minBy { case (l, c) => (-c, l) }._1
+      (gold, pred == gold)
+    }
+    val wantByClass = want.groupBy(_._1).map { case (g, vs) =>
+      g -> (vs.length.toLong, vs.count(_._2).toLong) }
+    val got = graft.SparkEntry.queries("q_knn_eval")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === wantByClass, s"got $got want $wantByClass")
+    assert(got.values.map(_._1).sum === probes.length.toLong)
+  }
+
   test("SQ8 plan: quantization is projection-only, probes broadcast") {
     val p = Ann.sq8TopK(emb, probeMaxId = 3L, k = 5)
       .queryExecution.executedPlan.toString
