@@ -980,6 +980,58 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // oracle-backed: k-anonymity audit (Sweeney 2002) — the release gate
+    // a dataset passes before leaving the privacy boundary: every
+    // quasi-identifier combination (nation × market segment here) must
+    // cover ≥ k individuals, else those rows re-identify. One corpus scan
+    // partial-aggregates to the ≤|nations|·|segments| cell frame (schema-
+    // bounded), then the audit scalars — min cell size, violating cells,
+    // rows needing suppression, the pass flag — are windows over that
+    // tiny frame. All exact BIGINTs; the one float is the suppression
+    // rate division.
+    "q_kanonymity" -> ((s, dir) => {
+      val k = lit(5L)
+      val cells = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("qi_nation"),
+          col("c_mktsegment").as("qi_segment"))
+        .agg(count(lit(1)).as("n"))
+      val g = cells.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_k"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_below_k"))
+      g.select(col("n_groups"), col("n_rows"), col("min_k"),
+        col("groups_below_k"), col("rows_below_k"),
+        r6(col("rows_below_k").cast("double") / col("n_rows"))
+          .as("suppression_rate"),
+        (col("min_k") >= k).cast("long").as("k_anonymous"))
+    }),
+
+    // oracle-backed: differentially-private segment counts — the released
+    // histogram shape (Laplace mechanism, Dwork et al. 2006: sensitivity
+    // 1 counts + Lap(1/ε) noise). Noise is CONTENT-ADDRESSED from
+    // md5(segment) through the inverse CDF (the q_bootstrap_ci uniform
+    // discipline) so both engines draw the identical deviate — the
+    // determinism is for the correctness gate, not the privacy proof
+    // (true ε-DP needs a fresh secret draw per release; documented). One
+    // bounded aggregate, one float sequence per cell.
+    "q_dp_counts" -> ((s, dir) => {
+      val eps = 1.0
+      val u = (conv(substring(md5(concat(lit("dp#"), col("segment"))
+        .cast("binary")), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      val c = u - lit(0.5)
+      val lap = -signum(c) * log(lit(1.0) - lit(2.0) * abs(c)) / lit(eps)
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("true_count"))
+        .select(col("segment"), col("true_count"),
+          r4(col("true_count") + lap).as("noisy_count"),
+          lit(eps).as("epsilon"))
+        .orderBy("segment")
+    }),
+
     // benchmark decontamination: flag docs sharing an 8-gram with the eval
     // set (doc_id % 97 == 0). Contamination is planted by appending the
     // first 8 tokens of doc 0 to docs with doc_id % 13 == 5; benchmark
@@ -1237,6 +1289,45 @@ object LlmQueries {
         |  FLOOR(cos_exact * 10000.0 + 0.500001) / 10000.0 AS cos,
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // identical schema-bounded QI cell frame, exact BIGINT audit scalars
+    "q_kanonymity" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(n) AS BIGINT) AS min_k,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below_k,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k,
+        |  FLOOR(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+        |      / SUM(n) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS suppression_rate,
+        |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS k_anonymous
+        |FROM cells""".stripMargin,
+
+    // identical content-addressed uniform → inverse-CDF Laplace deviate
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT)
+        |    AS true_count
+        |  FROM customer GROUP BY 1
+        |), n AS (
+        |  SELECT segment, true_count,
+        |    (CAST('0x' || substr(md5('dp#' || segment), 1, 8) AS BIGINT)
+        |      + 0.5) / 4294967296.0 - 0.5 AS c
+        |  FROM g
+        |)
+        |SELECT segment, true_count,
+        |  FLOOR((true_count + (-sign(c) * ln(1.0 - 2.0 * abs(c)) / 1.0))
+        |    * 10000.0 + 0.500001) / 10000.0 AS noisy_count,
+        |  1.0 AS epsilon
+        |FROM n ORDER BY segment""".stripMargin,
 
     // the q_ann_brute FP-bit-identical cosine ranking, then the identical
     // (count desc, label asc) vote and per-class accuracy

@@ -529,6 +529,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity audit: planted small cell trips the gate with exact tallies") {
+    import spark.implicits._
+    val rows =
+      (1 to 6).map(i => (i.toLong, 1, "AUTOMOBILE")) ++
+        (7 to 12).map(i => (i.toLong, 2, "MACHINERY")) ++
+        Seq((13L, 3, "BUILDING"), (14L, 3, "BUILDING"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kanon_fixture").toString
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val r = graft.SparkEntry.queries("q_kanonymity")(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 14L, 2L)))
+    assert(r.getLong(3) === 1L && r.getLong(4) === 2L)
+    assert(r.getDouble(5) === math.floor(2.0 / 14 * 1e6 + 0.500001) / 1e6)
+    assert(r.getLong(6) === 0L, "min cell 2 < 5 must fail the gate")
+    // pad the small cell to 5 → the gate passes
+    val ok = rows ++ Seq((15L, 3, "BUILDING"), (16L, 3, "BUILDING"),
+      (17L, 3, "BUILDING"))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_kanon_fixture2").toString
+    ok.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.parquet(s"$dir2/customer.parquet")
+    val r2 = graft.SparkEntry.queries("q_kanonymity")(spark, dir2).head()
+    assert(r2.getLong(6) === 1L && r2.getLong(3) === 0L
+      && r2.getDouble(5) === 0.0, s"$r2")
+  }
+
+  test("DP counts: bounded content-addressed noise, deterministic across runs") {
+    val a = run("q_dp_counts").collect()
+    val b = run("q_dp_counts").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "content-addressed noise must replay identically")
+    a.foreach { r =>
+      val (t0, n0) = (r.getLong(1).toDouble, r.getDouble(2))
+      // Lap(1/eps=1) at the md5 uniform: |noise| = |ln(1-2|c|)| ≤ ~22
+      // for any 32-bit u; generous bound
+      assert(math.abs(n0 - t0) < 25.0, s"noise out of range: $r")
+      assert(r.getDouble(3) === 1.0)
+    }
+  }
+
   test("Gopher plan: projection-only scoring — no exchange before the dump sort") {
     val p = plan("q_gopher_rules")
     assert(!p.contains("Exchange hashpartitioning"),
