@@ -68,6 +68,52 @@ object Timeseries {
         .orderBy("day")
     }),
 
+    // ---- Holt double exponential smoothing --------------------------------
+    // Holt's linear-trend method (Holt 1957 — the level+trend upgrade of
+    // q_ewma_smooth, and the forecaster q_forecast's seasonal-naive
+    // baseline graduates to): level ← α·y + (1−α)(level+trend),
+    // trend ← β(level−level₋₁) + (1−β)trend, folded over the observed
+    // daily revenue series in day order (initial state: level = y₁,
+    // trend = 0 — documented init; missing calendar days are skipped, the
+    // step is per OBSERVATION).
+    //
+    // The recursion is inherently sequential, so it runs as ONE
+    // aggregate() fold over the calendar-bounded day array (the q_kendall
+    // boundedness argument: ~2.4k entries at any SF, collected inside a
+    // single agg buffer, never a driver loop) — and BOTH engines fold the
+    // IDENTICAL double sequence: Spark's aggregate() and DuckDB's
+    // list_reduce walk the same day-ordered list with the same literal
+    // α=0.2/β=0.1 arithmetic, so level/trend agree bit-for-bit before the
+    // one rounding. Forecasts are the linear extrapolation level + h·trend.
+    "q_holt_trend" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast("date")).as("x"))
+        .agg(sum(cents).as("yc"))
+      val arr = daily.agg(
+        sort_array(collect_list(struct(col("x"),
+          (col("yc").cast("double") / 100.0).as("y")))).as("s"),
+        count(lit(1)).as("n_days"))
+      def l(acc: Column): Column = acc.getField("l")
+      def tr(acc: Column): Column = acc.getField("t")
+      def lv1(acc: Column, x: Column): Column =
+        lit(0.2) * x.getField("y") + lit(0.8) * (l(acc) + tr(acc))
+      val folded = aggregate(
+        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+        struct(element_at(col("s"), 1).getField("y").as("l"),
+          lit(0.0).as("t")),
+        (acc, x) => struct(
+          lv1(acc, x).as("l"),
+          (lit(0.1) * (lv1(acc, x) - l(acc)) + lit(0.9) * tr(acc)).as("t")))
+      arr.select(col("n_days"), folded.as("st"))
+        .select(col("n_days"),
+          r4(col("st.l")).as("level"), r6(col("st.t")).as("trend"),
+          r4(col("st.l") + lit(7.0) * col("st.t")).as("forecast_7"),
+          r4(col("st.l") + lit(28.0) * col("st.t")).as("forecast_28"))
+    }),
+
     // ---- time-range window frame ------------------------------------------
     // Per-user trailing-7-day sum/count over the event log: the RANGE
     // frame on event-time seconds (not ROWS — gaps and bursts both
@@ -416,6 +462,44 @@ object Timeseries {
         |FROM daily a JOIN daily b
         |  ON b.day BETWEEN a.day - 15 AND a.day
         |GROUP BY a.day ORDER BY a.day""".stripMargin,
+
+    // the identical day-ordered fold as a RECURSIVE CTE advancing one
+    // observation per step — NOT list_reduce: DuckDB 1.0's list_reduce
+    // evaluates a struct lambda's fields sequentially against a MUTATING
+    // accumulator (the t-field expression sees the already-updated l —
+    // measured), so the recursion runs in standard SQL where h.l/h.t are
+    // unambiguously the previous state; the step arithmetic mirrors the
+    // Spark lambda term for term
+    "q_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS x,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS yc
+        |  FROM orders GROUP BY 1
+        |), idx AS (
+        |  SELECT CAST(yc AS DOUBLE) / 100.0 AS y,
+        |    ROW_NUMBER() OVER (ORDER BY x) AS i
+        |  FROM daily
+        |), holt(i, l, t) AS (
+        |  SELECT CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.i,
+        |    0.2 * d.y + 0.8 * (h.l + h.t),
+        |    0.1 * ((0.2 * d.y + 0.8 * (h.l + h.t)) - h.l) + 0.9 * h.t
+        |  FROM holt h JOIN idx d ON d.i = h.i + 1
+        |), f AS (
+        |  SELECT l, t FROM holt ORDER BY i DESC LIMIT 1
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+        |)
+        |SELECT n_days,
+        |  FLOOR(l * 10000.0 + 0.500001) / 10000.0 AS level,
+        |  FLOOR(t * 1000000.0 + 0.500001) / 1000000.0 AS trend,
+        |  FLOOR((l + 7.0 * t) * 10000.0 + 0.500001) / 10000.0 AS forecast_7,
+        |  FLOOR((l + 28.0 * t) * 10000.0 + 0.500001) / 10000.0 AS forecast_28
+        |FROM f, n""".stripMargin,
 
     "q_window_timerange" ->
       """WITH e AS (

@@ -466,4 +466,57 @@ class IncrementalSpec extends SparkSpec {
       s"calendar-bounded self-joins must broadcast:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected date-equi broadcasts:\n$p")
   }
+
+  // ---- q_holt_trend ---------------------------------------------------------
+
+  test("Holt trend: a constant series holds level, an exact line learns its slope") {
+    import spark.implicits._
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    // constant revenue: level stays exactly at the constant, trend exactly 0
+    val flatDir = java.nio.file.Files.createTempDirectory("graft_holt1").toString
+    (0 until 50).map(x => (day(x), 123.0)).toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$flatDir/orders.parquet")
+    val rf = SparkEntry.queries("q_holt_trend")(spark, flatDir).head()
+    assert(rf.getLong(0) === 50L)
+    assert(rf.getDouble(1) === 123.0 && rf.getDouble(2) === 0.0, s"$rf")
+    assert(rf.getDouble(3) === 123.0 && rf.getDouble(4) === 123.0)
+    // exact line y = 100 + 10x: the fold converges toward slope 10; after
+    // 200 observations the learned trend is within 2% and the 7-step
+    // forecast tracks the true line within 3%
+    val lineDir = java.nio.file.Files.createTempDirectory("graft_holt2").toString
+    (0 until 200).map(x => (day(x), 100.0 + 10.0 * x))
+      .toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$lineDir/orders.parquet")
+    val rl = SparkEntry.queries("q_holt_trend")(spark, lineDir).head()
+    assert(math.abs(rl.getDouble(2) - 10.0) < 0.2, s"trend ≈ slope: $rl")
+    val trueAt206 = 100.0 + 10.0 * 206
+    assert(math.abs(rl.getDouble(3) - trueAt206) / trueAt206 < 0.03,
+      s"7-step forecast must track the line: $rl")
+  }
+
+  test("Holt trend matches a driver-side recurrence replay on real data") {
+    val daily = graft.io.Sources.table(spark, sf, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1995-01-01").cast("date")).as("x"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")).as("yc"))
+      .orderBy("x").collect().map(r => r.getLong(1) / 100.0)
+    var l = daily.head; var t = 0.0
+    daily.tail.foreach { y =>
+      val l1 = 0.2 * y + 0.8 * (l + t)
+      t = 0.1 * (l1 - l) + 0.9 * t
+      l = l1
+    }
+    val r = SparkEntry.queries("q_holt_trend")(spark, sf).head()
+    def r4(x: Double) = math.floor(x * 1e4 + 0.500001) / 1e4
+    assert(r.getDouble(1) === r4(l), s"level ${r.getDouble(1)} vs $l")
+    assert(math.abs(r.getDouble(2) - t) < 1e-6, s"trend ${r.getDouble(2)} vs $t")
+  }
+
+  test("Holt plan: one shuffle to the daily frame, join-free fold") {
+    val p = plan("q_holt_trend")
+    assert(!p.contains("Join"), s"the fold is join-free:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"daily rows must partial-aggregate before the shuffle:\n$p")
+  }
 }
