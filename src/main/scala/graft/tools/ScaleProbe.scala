@@ -395,6 +395,69 @@ object ScaleProbe {
         f"rounds_used=${sizes.takeWhile(_ > 0).length}%2d secs=$secs%.2f")
       Blocks.releaseAll(spark)
     }
+
+    // Theil–Sen: orders multiplied 16× WITHIN the same calendar (extra
+    // copies land on existing days) — the claim under test is that the
+    // O(days²) pair census is CORPUS-INVARIANT: only the daily-aggregate
+    // scan grows with volume, the slope-median cost is pinned by the
+    // calendar. A flat-ish curve here is the whole 100 TB argument for
+    // every calendar-bounded operator in the suite.
+    val ordersBase = Sources.table(spark, dir, "orders")
+    for (mult <- Seq(1, 4, 16)) {
+      val big = (0 until mult).map { i =>
+        ordersBase.select(
+          (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val nOrders = big.count()
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val t0 = System.nanoTime()
+      val daily = big.groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast("date")).as("x"))
+        .agg(sum(cents).as("y"))
+      val a = daily.select(col("x").as("x1"), col("y").as("y1"))
+      val b = daily.select(col("x").as("x2"), col("y").as("y2"))
+      val nPairs = a.join(broadcast(b), col("x1") < col("x2"))
+        .select(((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("sl"))
+        .agg(count(lit(1)), expr("percentile(sl, 0.5)")).head.getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-theilsen] mult=$mult%2d orders=$nOrders%9d " +
+        f"pairs=$nPairs%9d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
+    // Temporal-reciprocity: orders+lineitem multiplied as disjoint
+    // customer histories (offset cust/order keys) — the per-customer LEAD
+    // window and the order-size²-bounded part joins must scale LINEARLY
+    // in order volume; the reverse-edge semi-join carries edge
+    // cardinality only.
+    val liFull = Sources.table(spark, dir, "lineitem")
+    for (mult <- Seq(1, 4, 16)) {
+      val bigO = (0 until mult).map { i =>
+        ordersBase.select(
+          (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(i.toLong * 100000000L)).as("o_custkey"),
+          col("o_orderdate"))
+      }.reduce(_ unionByName _)
+      val bigL = (0 until mult).map { i =>
+        liFull.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          col("l_partkey"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val t0 = System.nanoTime()
+      val r = graft.operators.Graph.reciprocity(
+        graft.operators.Graph.temporalCopurchaseEdges(bigO, bigL)).head
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-reciprocity] mult=$mult%2d edges=${r.getLong(0)}%9d " +
+        f"reciprocal=${r.getLong(1)}%9d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
     spark.stop()
   }
 }
