@@ -410,6 +410,12 @@ object LlmQueries {
     "q_embed_quantize" -> ((s, dir) =>
       Ann.sq8TopK(t(s, dir, "embeddings"), probeMaxId = 10L, k = 5)),
 
+    // oracle-backed: ColBERT-style late-interaction MaxSim top-5 over
+    // 8-way chunked sub-vectors (see Ann.maxSimTopK scaladoc) — scores
+    // and ranking FP-bit-identical cross-engine
+    "q_maxsim_search" -> ((s, dir) =>
+      Ann.maxSimTopK(t(s, dir, "embeddings"), probeMaxId = 10L, m = 8, k = 5)),
+
     // oracle-backed: kNN classification accuracy — the embedding-quality
     // probe every representation-learning pipeline runs (kNN accuracy on
     // a labeled eval set ≈ linear-probe quality without training
@@ -1328,6 +1334,33 @@ object LlmQueries {
         |    * 10000.0 + 0.500001) / 10000.0 AS noisy_count,
         |  1.0 AS epsilon
         |FROM n ORDER BY segment""".stripMargin,
+
+    // identical m×m sub-vector dot grid (index-ordered double dots over
+    // contiguous slices), identical max-then-fixed-order-sum reduction
+    "q_maxsim_search" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+        |), scored AS (
+        |  SELECT p.probe_id, c.vec_id,
+        |    list_reduce(list_transform(range(0, 8), i ->
+        |      list_max(list_transform(range(0, 8), j ->
+        |        list_dot_product(p.pvec[i * 8 + 1 : i * 8 + 8],
+        |          c.cvec[j * 8 + 1 : j * 8 + 8])))),
+        |      (a, b) -> a + b) AS maxsim
+        |  FROM corpus c, probes p WHERE c.vec_id <> p.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, maxsim,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY maxsim DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT probe_id, vec_id,
+        |  FLOOR(maxsim * 10000.0 + 0.500001) / 10000.0 AS maxsim,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     // the q_ann_brute FP-bit-identical cosine ranking, then the identical
     // (count desc, label asc) vote and per-class accuracy

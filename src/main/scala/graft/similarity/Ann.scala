@@ -627,6 +627,52 @@ object Ann {
       .agg(max(col("cos")).as("cos"))
   }
 
+  /** Late-interaction MaxSim retrieval (the ColBERT scoring shape,
+    * Khattab–Zaharia SIGIR 2020): each item is a BAG of sub-vectors and
+    * the score is Σ_{query subvec} max_{doc subvec} ⟨q_i, d_j⟩ — the
+    * "every query token finds its best document token" operator behind
+    * modern multi-vector retrieval. The corpus here carries one flat
+    * vector per row, so the bag is derived by CHUNKING the d-dim
+    * embedding into m contiguous sub-vectors (a stand-in with the exact
+    * plumbing — schema, per-pair m×m score grid, max-then-sum reduction —
+    * a true token-matrix column would use).
+    *
+    * Determinism: each ⟨q_i, d_j⟩ is an index-ordered float dot (the
+    * q_ann_brute FP-bit-identical precedent); max over the m candidates
+    * and the FIXED i-order sum are both order-pinned, so scores and the
+    * (score desc, vec_id) ranking agree bit-for-bit cross-engine.
+    *
+    * Scale shape: probes broadcast (bounded eval batch); per pair the
+    * m² grid is constant work inside one projection — no explode, no
+    * shuffle beyond the bounded top-k heap merge.
+    */
+  def maxSimTopK(emb: DataFrame, probeMaxId: Long, m: Int, k: Int): DataFrame = {
+    VecOps.register(emb.sparkSession)
+    def sub(v: Column, i: Column, subLen: Int): Column =
+      slice(v, i * lit(subLen) + 1, lit(subLen))
+    // the native codegen kernel accumulates in index order — the same
+    // double sequence DuckDB's list_dot_product runs (q_ann_brute)
+    def dotSub(a: Column, b: Column): Column = dot(a, b)
+    val c = emb.select(col("vec_id"), col("embedding"))
+    val p = emb.where(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), {
+        val dim = 64 // embeddings table contract; checked by vec_dot elsewhere
+        val subLen = dim / m
+        val perQuery = transform(sequence(lit(0), lit(m - 1)), i =>
+          array_max(transform(sequence(lit(0), lit(m - 1)), j =>
+            dotSub(sub(col("pvec"), i, subLen), sub(col("embedding"), j, subLen)))))
+        aggregate(perQuery, lit(0.0), (acc, x) => acc + x).as("maxsim")
+      })
+    graft.operators.TopK.topKPerGroup(scored, Seq("probe_id"), "maxsim", "vec_id", k)
+      .select(col("probe_id"), col("vec_id"),
+        (floor(col("maxsim") * lit(10000.0) + lit(0.500001)) / lit(10000.0))
+          .as("maxsim"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** SQ8 scalar quantization + quantized-dot top-k (the FAISS
     * ScalarQuantizer QT_8bit shape — the standard 4× embedding-store
     * compression a vector index trains per dimension): per-dim [mn, mx]

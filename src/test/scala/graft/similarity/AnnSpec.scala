@@ -316,6 +316,39 @@ class AnnSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === probes.length.toLong)
   }
 
+  test("MaxSim matches a driver-side chunked replay; full-vector dot is a lower bound case") {
+    val all = emb.collect().map { r =>
+      r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }
+    val m = 8; val sub = all.head._2.length / m
+    def maxsim(p: Array[Double], d: Array[Double]): Double =
+      (0 until m).map { i =>
+        (0 until m).map { j =>
+          (0 until sub).map(t => p(i * sub + t) * d(j * sub + t)).sum
+        }.max
+      }.sum
+    val want = all.filter(_._1 < 3).flatMap { case (pid, pv) =>
+      all.filter(_._1 != pid)
+        .map { case (cid, cv) => (cid, maxsim(pv, cv)) }
+        .sortBy { case (cid, s0) => (-s0, cid) }.take(5).zipWithIndex
+        .map { case ((cid, s0), i) =>
+          (pid, cid, math.floor(s0 * 1e4 + 0.500001) / 1e4, (i + 1).toLong) }
+    }.toSet
+    val got = Ann.maxSimTopK(emb, probeMaxId = 3L, m = m, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got === want, s"got $got\nwant $want")
+    // MaxSim dominates the aligned-chunk sum (each max ≥ its diagonal
+    // term), so every score ≥ the full-vector dot of the same pair
+    got.foreach { case (pid, cid, s0, _) =>
+      val full = all.toMap.apply(pid).zip(all.toMap.apply(cid))
+        .map { case (x, y) => x * y }.sum
+      assert(s0 >= math.floor(full * 1e4 + 0.500001) / 1e4 - 1e-9,
+        s"maxsim ≥ aligned dot must hold: $pid,$cid")
+    }
+  }
+
   test("SQ8 plan: quantization is projection-only, probes broadcast") {
     val p = Ann.sq8TopK(emb, probeMaxId = 3L, k = 5)
       .queryExecution.executedPlan.toString
