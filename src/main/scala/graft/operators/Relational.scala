@@ -32,6 +32,8 @@ object Relational {
     floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
@@ -192,6 +194,29 @@ object Relational {
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"), col("rn"))
         .orderBy("o_custkey", "rn", "o_orderkey")
+    }),
+
+    // distribution-rank window family — ntile/percent_rank/cume_dist in
+    // one pass: each customer's quartile and exact distribution position
+    // within their market segment. The order key is (cents, custkey) —
+    // unique, so every rank function is deterministic cross-engine;
+    // percent_rank = (rank−1)/(n−1) and cume_dist = rank/n are single
+    // divisions of exact integers. One segment-keyed shuffle, then a
+    // single Window node computes all three — the per-partition streaming
+    // shape that scales with the widest segment, never a global sort.
+    "q_window_ntile" -> ((s, dir) => {
+      val cents = floor(col("c_acctbal") * lit(100.0) + lit(0.500001))
+        .cast(LongType)
+      val w = Window.partitionBy(col("segment"))
+        .orderBy(col("v"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          cents.as("v"))
+        .select(col("c_custkey"), col("segment"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cume"))
+        .orderBy("segment", "c_custkey")
     }),
 
     // frame-bounded first/last: each order annotated with its customer's
@@ -848,6 +873,24 @@ object Relational {
         |  SELECT o_custkey, o_orderkey, o_orderdate,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+    // identical unique (cents, custkey) order, single divisions of exact
+    // integers for the two distribution ranks
+    "q_window_ntile" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    CAST(FLOOR(c_acctbal * 100.0 + 0.500001) AS BIGINT) AS v
+        |  FROM customer
+        |)
+        |SELECT c_custkey, segment,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.500001) / 1000000.0
+        |    AS pct_rank,
+        |  FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.500001) / 1000000.0
+        |    AS cume
+        |FROM c
+        |WINDOW w AS (PARTITION BY segment ORDER BY v, c_custkey)
+        |ORDER BY segment, c_custkey""".stripMargin,
 
     "q_window_firstlast" ->
       """SELECT o_custkey, o_orderkey,

@@ -907,6 +907,69 @@ object Stats {
         .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
     }),
 
+    // ---- Benjamini–Hochberg FDR over a test family ------------------------
+    // The multiple-comparisons correction every metrics platform needs the
+    // moment it runs one test per segment (Benjamini–Hochberg 1995): the
+    // family here is five two-sided z-tests — each order priority's mean
+    // total vs the REST of the corpus — and BH controls the false
+    // discovery rate at q = 0.05 by rejecting the largest prefix of the
+    // p-ascending ranking with p_(k) ≤ (k/m)·q.
+    //
+    // One corpus scan to the 5-row (priority: n, Σcents, Σcents²) frame —
+    // exact BIGINT/DECIMAL(38,0) partials — then leave-one-out rest
+    // moments come from whole-frame window totals (schema-bounded). Φ is
+    // the Zelen–Severo polynomial (A&S 26.2.17, |ε| < 7.5e-8): plain
+    // exp/sqrt/Horner arithmetic both engines run identically on
+    // identical doubles, so p-values, the p-ranking, and the prefix rule
+    // agree exactly; the reported floats are r6-rounded.
+    "q_bh_fdr" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val cells = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), cents.as("v"),
+          cents.cast("decimal(19,0)").as("vd"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("vd") * col("vd")).as("ssq"))
+      val wAll = BoundedWindow.whole(col("prio"))
+      val tot = cells.select(col("prio"), col("n"), col("sv"), col("ssq"),
+        sum(col("n")).over(wAll).as("nt"),
+        sum(col("sv")).over(wAll).as("svt"),
+        sum(col("ssq")).over(wAll).as("ssqt"))
+      def d(c: Column): Column = c.cast("double")
+      val nI = d(col("n")); val nR = d(col("nt") - col("n"))
+      val mI = d(col("sv")) / nI
+      val mR = d(col("svt") - col("sv")) / nR
+      val varI = (d(col("ssq")) - d(col("sv")) * d(col("sv")) / nI) / (nI - 1)
+      val varR = (d(col("ssqt") - col("ssq")) -
+        d(col("svt") - col("sv")) * d(col("svt") - col("sv")) / nR) / (nR - 1)
+      val z = (mI - mR) / sqrt(varI / nI + varR / nR)
+      val az = abs(z)
+      val tPoly = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = tPoly * (lit(0.319381530) + tPoly * (lit(-0.356563782) +
+        tPoly * (lit(1.781477937) + tPoly * (lit(-1.821255978) +
+          tPoly * lit(1.330274429)))))
+      val p = lit(2.0) * lit(0.3989422804014327) * exp(-az * az / 2.0) * poly
+      val scored = tot.select(col("prio"), col("n"), mI.as("m"), z.as("z"),
+        p.as("p"))
+      val rn = row_number().over(
+        BoundedWindow.ordered(col("prio"), col("p"), col("prio")))
+      val m = count(lit(1)).over(BoundedWindow.whole(col("prio")))
+      val ranked = scored.select(col("prio"), col("n"), col("m"), col("z"),
+        col("p"), rn.as("rn"), m.as("mm"))
+        .select(col("prio"), col("n"), col("m"), col("z"), col("p"),
+          col("rn"), col("mm"),
+          (col("rn").cast("double") / col("mm") * lit(0.05)).as("crit"))
+      val kStar = max(when(col("p") <= col("crit"), col("rn"))
+        .otherwise(lit(0))).over(BoundedWindow.whole(col("prio")))
+      ranked.select(col("prio"), col("n"),
+        r2c(col("m") / 100.0).as("mean_total"),
+        r4(col("z")).as("z_stat"), r6(col("p")).as("p_value"),
+        r6(col("crit")).as("bh_crit"),
+        (col("rn") <= kStar).cast("long").as("reject_fdr_05"))
+        .orderBy("prio")
+    }),
+
     // ---- CUPED variance reduction -----------------------------------------
     // The industry-standard experiment sensitivity boost (Deng et al.,
     // WSDM 2013): regress the experiment metric (post-1998 per-customer
@@ -1807,6 +1870,67 @@ object Stats {
         |  iv_total
         |FROM woe, iv
         |ORDER BY bucket""".stripMargin,
+
+    // identical 5-cell exact moments, leave-one-out rest arms, the same
+    // Zelen–Severo polynomial, and the same p-ascending prefix rule
+    "q_bh_fdr" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS sv,
+        |    SUM(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |        AS HUGEINT)
+        |      * CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)) AS ssq
+        |  FROM orders GROUP BY 1
+        |), tot AS (
+        |  SELECT prio, n, sv, ssq,
+        |    SUM(n) OVER () AS nt, SUM(sv) OVER () AS svt,
+        |    SUM(ssq) OVER () AS ssqt
+        |  FROM cells
+        |), zt AS (
+        |  SELECT prio, n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - CAST(svt - sv AS DOUBLE) / CAST(nt - n AS DOUBLE))
+        |      / sqrt(
+        |        ((CAST(ssq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |          / CAST(n AS DOUBLE)
+        |        + ((CAST(ssqt - ssq AS DOUBLE)
+        |            - CAST(svt - sv AS DOUBLE) * CAST(svt - sv AS DOUBLE)
+        |              / CAST(nt - n AS DOUBLE))
+        |            / (CAST(nt - n AS DOUBLE) - 1)) / CAST(nt - n AS DOUBLE))
+        |      AS z
+        |  FROM tot
+        |), pv AS (
+        |  SELECT prio, n, m, z,
+        |    2.0 * 0.3989422804014327 * exp(-abs(z) * abs(z) / 2.0)
+        |      * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+        |        * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |          * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |            * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |              * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |                * 1.330274429))))) AS p
+        |  FROM zt
+        |), ranked AS (
+        |  SELECT prio, n, m, z, p,
+        |    ROW_NUMBER() OVER (ORDER BY p, prio) AS rn,
+        |    COUNT(*) OVER () AS mm
+        |  FROM pv
+        |), crit AS (
+        |  SELECT *, CAST(rn AS DOUBLE) / mm * 0.05 AS crit FROM ranked
+        |), k AS (
+        |  SELECT MAX(CASE WHEN p <= crit THEN rn ELSE 0 END) AS kstar
+        |  FROM crit
+        |)
+        |SELECT prio, n,
+        |  FLOOR(m / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_total,
+        |  FLOOR(z * 10000.0 + 0.500001) / 10000.0 AS z_stat,
+        |  FLOOR(p * 1000000.0 + 0.500001) / 1000000.0 AS p_value,
+        |  FLOOR(crit * 1000000.0 + 0.500001) / 1000000.0 AS bh_crit,
+        |  CAST(CASE WHEN rn <= kstar THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reject_fdr_05
+        |FROM crit, k ORDER BY prio""".stripMargin,
 
     // identical per-customer period totals (x=0 for no-pre customers),
     // identical exact moment matrix (HUGEINT vs DECIMAL38), identical

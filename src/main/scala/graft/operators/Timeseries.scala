@@ -68,6 +68,46 @@ object Timeseries {
         .orderBy("day")
     }),
 
+    // ---- inter-event burstiness -------------------------------------------
+    // Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of each user's inter-event
+    // gaps — the one-number answer to "is this user's activity Poisson
+    // (B≈0), regular (B→−1), or bursty (B→+1)", the standard
+    // event-stream fingerprint for bot/anomaly triage. Gaps are EXACT
+    // integer microseconds off one per-user lag window (unique
+    // (ts, event_id) order); per-user moments aggregate exactly (BIGINT
+    // sum, DECIMAL(38,0) sum of squares — a 30-day gap is ~2.6e12 µs, its
+    // square needs 128 bits), and μ/σ/B are one float sequence over those
+    // exact integers. Users with fewer than 2 gaps carry no sample
+    // variance and are dropped; a degenerate σ+μ = 0 abstains NULL.
+    // Scale: one user-keyed shuffle, streaming lag, map-side-combined
+    // moments — never a self-join.
+    "q_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("user_id"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap"))
+        .where(col("gap").isNotNull)
+      val g = gaps.groupBy("user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap").cast("decimal(19,0)") *
+          col("gap").cast("decimal(19,0)")).as("ssq"))
+        .where(col("n_gaps") >= 2)
+      val nD = col("n_gaps").cast("double")
+      val mean = col("sg").cast("double") / nD
+      val varS = (col("ssq").cast("double") -
+        col("sg").cast("double") * col("sg").cast("double") / nD) / (nD - 1)
+      val sd = sqrt(varS)
+      g.select(col("user_id"), col("n_gaps"),
+        r4(mean / 1000000.0).as("mean_gap_s"),
+        r4(sd / 1000000.0).as("sd_gap_s"),
+        when(sd + mean > 0, r6((sd - mean) / (sd + mean))).as("burstiness"))
+        .orderBy("user_id")
+    }),
+
     // ---- Holt double exponential smoothing --------------------------------
     // Holt's linear-trend method (Holt 1957 — the level+trend upgrade of
     // q_ewma_smooth, and the forecaster q_forecast's seasonal-naive
@@ -462,6 +502,40 @@ object Timeseries {
         |FROM daily a JOIN daily b
         |  ON b.day BETWEEN a.day - 15 AND a.day
         |GROUP BY a.day ORDER BY a.day""".stripMargin,
+
+    // identical unique-ordered lag gaps in exact integer microseconds,
+    // HUGEINT squares, identical single float sequence for mu/sigma/B
+    "q_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), gaps AS (
+        |  SELECT user_id,
+        |    us - LAG(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS gap
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(gap) AS BIGINT) AS sg,
+        |    SUM(CAST(gap AS HUGEINT) * gap) AS ssq
+        |  FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+        |  HAVING COUNT(*) >= 2
+        |), f AS (
+        |  SELECT user_id, n_gaps,
+        |    CAST(sg AS DOUBLE) / n_gaps AS mean,
+        |    sqrt((CAST(ssq AS DOUBLE)
+        |        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |          / CAST(n_gaps AS DOUBLE))
+        |      / (CAST(n_gaps AS DOUBLE) - 1)) AS sd
+        |  FROM g
+        |)
+        |SELECT user_id, n_gaps,
+        |  FLOOR(mean / 1000000.0 * 10000.0 + 0.500001) / 10000.0
+        |    AS mean_gap_s,
+        |  FLOOR(sd / 1000000.0 * 10000.0 + 0.500001) / 10000.0 AS sd_gap_s,
+        |  CASE WHEN sd + mean > 0 THEN
+        |    FLOOR((sd - mean) / (sd + mean) * 1000000.0 + 0.500001)
+        |      / 1000000.0 END AS burstiness
+        |FROM f ORDER BY user_id""".stripMargin,
 
     // the identical day-ordered fold as a RECURSIVE CTE advancing one
     // observation per step — NOT list_reduce: DuckDB 1.0's list_reduce

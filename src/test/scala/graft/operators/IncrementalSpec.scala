@@ -467,6 +467,45 @@ class IncrementalSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected date-equi broadcasts:\n$p")
   }
 
+  // ---- q_burstiness ---------------------------------------------------------
+
+  test("burstiness: a metronome scores exactly −1, a planted burst goes positive") {
+    import spark.implicits._
+    def ts(s0: Int) = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .toInstant.plusSeconds(s0).toString.replace("T", " ").replace("Z", "")
+    // user 1: perfectly regular 60 s gaps → σ = 0 → B = (0−μ)/(0+μ) = −1
+    // user 2: four 1 s gaps then one 10000 s gap → heavy burst, B > 0.5
+    val rows =
+      (0 until 10).map(i => (1L, i.toLong, ts(60 * i))) ++
+        ((0 until 5).map(i => (2L, 100L + i, ts(i))) :+ ((2L, 105L, ts(10004))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    rows.toDF("user_id", "event_id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_burstiness")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 9L)
+    assert(out(1L).getDouble(4) === -1.0, s"metronome must score −1: ${out(1L)}")
+    assert(out(2L).getLong(1) === 5L)
+    // sample-σ at n=5 caps B below its asymptotic 1; the planted burst
+    // lands at ≈ 0.38 — decisively positive against the −1 metronome
+    assert(out(2L).getDouble(4) > 0.3, s"burst must go positive: ${out(2L)}")
+  }
+
+  test("burstiness on real data: B ∈ [−1, 1), gaps conserve event counts") {
+    val rows = SparkEntry.queries("q_burstiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val events = graft.io.Sources.table(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === events(r.getLong(0)) - 1,
+        s"gaps must be events − 1: $r")
+      if (!r.isNullAt(4))
+        assert(r.getDouble(4) >= -1.0 && r.getDouble(4) < 1.0, s"$r")
+    }
+  }
+
   // ---- q_holt_trend ---------------------------------------------------------
 
   test("Holt trend: a constant series holds level, an exact line learns its slope") {

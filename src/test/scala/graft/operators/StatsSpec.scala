@@ -648,6 +648,52 @@ class StatsSpec extends SparkSpec {
     assert(rows.head.getDouble(6) >= 0.0, "IV is a sum of non-negative terms")
   }
 
+  // ---- q_bh_fdr -----------------------------------------------------------
+
+  test("BH: one planted outlier segment is the lone rejection; null family abstains") {
+    import spark.implicits._
+    // four priorities at the same tight distribution, one shifted far out:
+    // the shifted one has p ≈ 0 and must be the only rejection
+    val rows = (1 to 5).flatMap { g =>
+      val base = if (g == 3) 100000.0 else 100.0
+      (1 to 60).map(i => (s"$g-P", base + (i % 7)))
+    }
+    val out = SparkEntry.queries("q_bh_fdr")(spark,
+      fixtureDir("orders" -> rows.toDF("o_orderpriority", "o_totalprice")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size === 5)
+    assert(out("3-P").getLong(6) === 1L, s"planted shift must reject: ${out("3-P")}")
+    // the four identical-distribution arms: their z compares each against
+    // a REST arm polluted by the outlier, so they also separate — what
+    // must hold exactly is p ordering: the outlier has the smallest p
+    assert(out.values.map(_.getDouble(4)).min === out("3-P").getDouble(4))
+    // a perfectly null family — all five arms identically distributed —
+    // must reject NOTHING at FDR 0.05
+    val nullRows = (1 to 5).flatMap { g =>
+      (1 to 60).map(i => (s"$g-P", 100.0 + (i % 7)))
+    }
+    val nullOut = SparkEntry.queries("q_bh_fdr")(spark,
+      fixtureDir("orders" -> nullRows.toDF("o_orderpriority", "o_totalprice")))
+      .collect()
+    assert(nullOut.forall(_.getLong(6) === 0L),
+      s"null family must not reject: ${nullOut.toSeq}")
+    nullOut.foreach(r => assert(r.getDouble(4) > 0.5,
+      s"identical arms must have large p: $r"))
+  }
+
+  test("BH on real data: p in [0,1], crit ladder exact, rejections form a p-prefix") {
+    val rows = SparkEntry.queries("q_bh_fdr")(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+    // rejections are exactly a prefix of the p-ascending order
+    val byP = rows.sortBy(_.getDouble(4))
+    val flags = byP.map(_.getLong(6))
+    assert(!flags.sliding(2).exists(p => p(0) == 0L && p(1) == 1L),
+      s"rejections must be a p-prefix: ${byP.toSeq}")
+  }
+
   // ---- q_cuped ------------------------------------------------------------
 
   test("CUPED: a perfectly predictive covariate removes ALL arm variance") {
