@@ -141,6 +141,49 @@ object Analytics {
 
     "q_markov_transitions" -> ((s, dir) => markovTransitions(t(s, dir, "events"))),
 
+    // ---- Markov entropy rate ----------------------------------------------
+    // The information rate of the behavioral chain q_markov_transitions
+    // estimates: H = Σ_s π̂_s·H(next|s) with π̂ the empirical source
+    // frequencies — "how predictable is the next event", the
+    // sequence-data complexity scalar (bot streams ≈ 0, uniform noise ≈
+    // ln k). Algebra that removes float accumulation entirely:
+    // H = (Σ_s n_s·ln n_s − Σ_{s,d} n_sd·ln n_sd)/N, so each n·ln n term
+    // is quantized to integer micro-units ONCE (one deterministic float
+    // op per bounded cell — the linkPrediction discipline) and everything
+    // else is BIGINT sums over the ≤|types|² cell frame; the micro-unit
+    // headroom holds to ~1e11 transitions per cell (decimal(38,0) swap
+    // past that). Per-source conditional entropies + the overall rate
+    // share the same integers, so all rows are hash-exact.
+    "q_entropy_rate" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cells = t(s, dir, "events")
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .where(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      def nlogn(c: Column): Column =
+        floor(c.cast("double") * log(c.cast("double")) * lit(1000000.0))
+          .cast("long")
+      val perSrc = cells
+        .select(col("src"), col("n"), nlogn(col("n")).as("m"))
+        .groupBy("src")
+        .agg(sum(col("n")).as("n_out"), count(lit(1)).as("n_dst"),
+          sum(col("m")).as("a"))
+        .select(col("src"), col("n_out"), col("n_dst"),
+          col("a"), nlogn(col("n_out")).as("b"))
+      val wAll = BoundedWindow.whole(col("src"))
+      val hCond = (col("b") - col("a")).cast("double") / 1000000.0 /
+        col("n_out").cast("double")
+      val rate = (sum(col("b")).over(wAll) - sum(col("a")).over(wAll))
+        .cast("double") / 1000000.0 /
+        sum(col("n_out")).over(wAll).cast("double")
+      perSrc.select(col("src"), col("n_out"), col("n_dst"),
+        r6(hCond).as("h_cond"),
+        r6(rate).as("entropy_rate"),
+        sum(col("n_out")).over(wAll).as("n_transitions"))
+        .orderBy("src")
+    }),
+
     "q_attribution" -> ((s, dir) => attribution(t(s, dir, "events"))),
 
     "q_feature_scale" -> ((s, dir) => featureScale(t(s, dir, "orders"))),
@@ -598,6 +641,38 @@ object Analytics {
         |  FLOOR((n / SUM(n) OVER (PARTITION BY src)) * 1000000.0 + 0.500001)
         |    / 1000000.0 AS p
         |FROM c ORDER BY src, dst""".stripMargin,
+
+    // identical micro-unit quantization of every n·ln n term, BIGINT sums
+    // only — no float accumulation on either engine
+    "q_entropy_rate" ->
+      """WITH tr AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS dst
+        |  FROM events
+        |), c AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE dst IS NOT NULL GROUP BY src, dst
+        |), per AS (
+        |  SELECT src, CAST(SUM(n) AS BIGINT) AS n_out,
+        |    CAST(COUNT(*) AS BIGINT) AS n_dst,
+        |    CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS a
+        |  FROM c GROUP BY src
+        |), pb AS (
+        |  SELECT src, n_out, n_dst, a,
+        |    CAST(FLOOR(CAST(n_out AS DOUBLE) * ln(CAST(n_out AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS b
+        |  FROM per
+        |)
+        |SELECT src, n_out, n_dst,
+        |  FLOOR(CAST(b - a AS DOUBLE) / 1000000.0 / CAST(n_out AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS h_cond,
+        |  FLOOR(CAST(SUM(b) OVER () - SUM(a) OVER () AS DOUBLE) / 1000000.0
+        |      / CAST(SUM(n_out) OVER () AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS entropy_rate,
+        |  CAST(SUM(n_out) OVER () AS BIGINT) AS n_transitions
+        |FROM pb ORDER BY src""".stripMargin,
 
     "q_attribution" ->
       """WITH tagged AS (

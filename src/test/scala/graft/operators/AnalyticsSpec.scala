@@ -236,6 +236,55 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_entropy_rate -----------------------------------------------------
+
+  test("entropy rate: matches an exact driver replay of the micro-unit algebra") {
+    val events = graft.io.Sources.table(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+    val cells = events.groupBy(_.getLong(0)).values.flatMap { evs =>
+      evs.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(_.getString(3)).sliding(2).collect { case Array(a, b) => (a, b) }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def nlogn(n: Long): Long =
+      math.floor(n.toDouble * math.log(n.toDouble) * 1e6).toLong
+    val bySrc = cells.groupBy(_._1._1).map { case (src, m) =>
+      val nOut = m.values.sum
+      val a = m.values.map(nlogn).sum
+      src -> (nOut, m.size.toLong, a, nlogn(nOut))
+    }
+    val sumB = bySrc.values.map(_._4).sum
+    val sumA = bySrc.values.map(_._3).sum
+    val sumN = bySrc.values.map(_._1).sum
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    val wantRate = r6d((sumB - sumA).toDouble / 1e6 / sumN.toDouble)
+    val got = run("q_entropy_rate").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val (nOut, nDst, a, b) = bySrc(src)
+      assert(r.getLong(1) === nOut)
+      assert(r.getLong(2) === nDst)
+      assert(r.getDouble(3) === r6d((b - a).toDouble / 1e6 / nOut.toDouble),
+        s"h_cond mismatch for $src")
+      assert(r.getDouble(4) === wantRate)
+      assert(r.getLong(5) === sumN)
+    }
+    assert(got.map(_.getString(0)).toSet === bySrc.keySet)
+  }
+
+  test("entropy rate: conditional entropies bounded by ln(branching factor)") {
+    val rows = run("q_entropy_rate").collect()
+    rows.foreach { r =>
+      val (nDst, h) = (r.getLong(2), r.getDouble(3))
+      // micro-unit floors can land a hair below 0 for deterministic rows
+      assert(h >= -1e-6 && h <= math.log(nDst.toDouble) + 1e-6,
+        s"src ${r.getString(0)}: h=$h outside [0, ln($nDst)]")
+    }
+    // a deterministic chain (single destination) has exactly zero entropy
+    rows.filter(_.getLong(2) == 1L)
+      .foreach(r => assert(math.abs(r.getDouble(3)) < 1e-6))
+  }
+
   // ---- q_attribution ------------------------------------------------------
 
   private def ev(rows: (Long, String, Long, String, Double, Long)*) = {
