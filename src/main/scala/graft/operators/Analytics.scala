@@ -184,6 +184,45 @@ object Analytics {
         .orderBy("src")
     }),
 
+    // ---- customer segment migration --------------------------------------
+    // The CLV-adjacent lifecycle question q_rfm_segments can't answer:
+    // how do customers MOVE between value segments over time? Two
+    // half-period snapshots (split at the orders midpoint 1998-05-01),
+    // each a freq×value tier from EXACT integers (order counts, summed
+    // cents — no percentile cuts, so the tiers are reproducible on any
+    // engine), full-outer-joined per customer (absent in a window ⇒
+    // segment 0 "inactive" — churn and acquisition are first-class cells),
+    // rolled into the transition matrix with row-conditional shares. Plan:
+    // two customer-key hash-aggs + one full outer join on the same key
+    // (exchange reuse), then a ≤10×10 bounded matrix frame; row_share is
+    // the single float division. At 100 TB every shuffle is customer-keyed
+    // and the matrix never exceeds |tiers|².
+    "q_segment_migration" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val split = lit("1998-05-01").cast("date")
+      def snap(pred: Column, name: String) = t(s, dir, "orders").where(pred)
+        .groupBy(col("o_custkey").as("customer_id"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("c"))
+        .select(col("customer_id"),
+          (when(col("n") > 6, 3L).when(col("n") > 3, 2L).otherwise(1L) *
+            lit(10L) +
+           when(col("c") > 110000000L, 3L).when(col("c") > 60000000L, 2L)
+             .otherwise(1L)).as(name))
+      val s1 = snap(to_date(col("o_orderdate")) < split, "seg_from")
+      val s2 = snap(to_date(col("o_orderdate")) >= split, "seg_to")
+      val matrix = s1.join(s2, Seq("customer_id"), "full_outer")
+        .select(coalesce(col("seg_from"), lit(0L)).as("seg_from"),
+          coalesce(col("seg_to"), lit(0L)).as("seg_to"))
+        .groupBy(col("seg_from"), col("seg_to"))
+        .agg(count(lit(1)).as("n_customers"))
+      matrix.withColumn("row_share",
+          r6(col("n_customers").cast("double") /
+            sum(col("n_customers")).over(Window.partitionBy(col("seg_from")))
+              .cast("double")))
+        .orderBy("seg_from", "seg_to")
+    }),
+
     "q_attribution" -> ((s, dir) => attribution(t(s, dir, "events"))),
 
     "q_feature_scale" -> ((s, dir) => featureScale(t(s, dir, "orders"))),
@@ -673,6 +712,44 @@ object Analytics {
         |    * 1000000.0 + 0.500001) / 1000000.0 AS entropy_rate,
         |  CAST(SUM(n_out) OVER () AS BIGINT) AS n_transitions
         |FROM pb ORDER BY src""".stripMargin,
+
+    // exact-integer tiering both engines; row_share is the one float op
+    "q_segment_migration" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey AS customer_id, CAST(
+        |    (CASE WHEN COUNT(*) > 6 THEN 3 WHEN COUNT(*) > 3 THEN 2
+        |      ELSE 1 END) * 10 +
+        |    CASE WHEN SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001)
+        |        AS BIGINT)) > 110000000 THEN 3
+        |      WHEN SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001)
+        |        AS BIGINT)) > 60000000 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS seg_from
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-05-01'
+        |  GROUP BY 1
+        |), s2 AS (
+        |  SELECT o_custkey AS customer_id, CAST(
+        |    (CASE WHEN COUNT(*) > 6 THEN 3 WHEN COUNT(*) > 3 THEN 2
+        |      ELSE 1 END) * 10 +
+        |    CASE WHEN SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001)
+        |        AS BIGINT)) > 110000000 THEN 3
+        |      WHEN SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001)
+        |        AS BIGINT)) > 60000000 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS seg_to
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-05-01'
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(seg_from, 0) AS seg_from,
+        |    COALESCE(seg_to, 0) AS seg_to
+        |  FROM s1 FULL OUTER JOIN s2 USING (customer_id)
+        |), g AS (
+        |  SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM j GROUP BY 1, 2
+        |)
+        |SELECT seg_from, seg_to, n_customers,
+        |  FLOOR(CAST(n_customers AS DOUBLE)
+        |      / CAST(SUM(n_customers) OVER (PARTITION BY seg_from) AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS row_share
+        |FROM g ORDER BY seg_from, seg_to""".stripMargin,
 
     "q_attribution" ->
       """WITH tagged AS (

@@ -755,6 +755,42 @@ object Relational {
         .orderBy("user_id", "session_start")
     }),
 
+    // ---- interval union / coverage (beyond reference, round 9) -----------
+    // Merge each user's overlapping presence intervals (event ts padded to
+    // a 10-minute engagement window) and report coverage — the classic
+    // gaps-and-islands operator behind uptime/SLA/exposure math that naive
+    // SQL gets quadratically wrong with self-joins. Islands via ONE window
+    // chain: running max of interval-end over all PRIOR rows marks island
+    // starts, a running sum numbers them, then two hash-aggs roll islands
+    // up. Plan: one shuffle on user_id that both Window nodes AND both
+    // groupBys reuse (same key — Catalyst collapses to a single exchange).
+    // Arithmetic is exact epoch-µs BIGINT end-to-end: zero floats, so the
+    // hash oracle is bit-trivial. At 100 TB the per-user frames stream
+    // through WindowExec without materializing anything global.
+    "q_interval_union" -> ((s, dir) => {
+      val durUs = 600L * 1000000L // 10-minute presence window per event
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(durUs))
+      val w = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+      val prevMax =
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      ev.withColumn("new_iv",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("iv",
+          sum(col("new_iv")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("iv"))
+        .agg(min(col("st")).as("iv_st"), max(col("en")).as("iv_en"),
+          count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("iv_en") - col("iv_st")).as("covered_us"),
+          max(col("iv_en") - col("iv_st")).as("longest_us"),
+          sum(col("n_ev")).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // ---- firewall scalars (E12, J1, A4 combined; reference validate_features.py) ----
     // feature_count and invalid_count share ONE aggregate over feats (the
     // round-1 two-aggregate version doubled the most expensive subplan).
@@ -1239,6 +1275,36 @@ object Relational {
         |  FLOOR((SUM(value)) * 100.0 + 0.500001) / 100.0 AS sum_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // same gaps-and-islands construction; all-integer epoch-µs arithmetic
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS st,
+        |    CAST(epoch_us(ts) AS BIGINT) + 600000000 AS en
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_iv
+        |  FROM iv
+        |), isl AS (
+        |  SELECT user_id, st, en,
+        |    SUM(new_iv) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iv_id
+        |  FROM marked
+        |), g AS (
+        |  SELECT user_id, iv_id, MIN(st) AS iv_st, MAX(en) AS iv_en,
+        |    COUNT(*) AS n_ev
+        |  FROM isl GROUP BY user_id, iv_id
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(iv_en - iv_st) AS BIGINT) AS covered_us,
+        |  CAST(MAX(iv_en - iv_st) AS BIGINT) AS longest_us,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_validation_scalars" ->
       """WITH feats AS (

@@ -412,6 +412,80 @@ object Timeseries {
           when(col("sum_d") > 0,
             r6(err.cast("double") * col("n_tr") / col("sum_d"))).as("mase"))
         .orderBy("day")
+    }),
+
+    // ---- running-peak drawdown (beyond reference, round 9) ----------------
+    // The finance-style health metric on the daily revenue series: each
+    // day's shortfall from the best day seen SO FAR (running peak), plus
+    // the global maximum drawdown — "how far below its own high-water mark
+    // did the business trade". One orders shuffle to the calendar-bounded
+    // daily frame; running peak and the global max ride two window passes
+    // over that bounded frame. Revenue stays integer cents end-to-end; the
+    // only float per row is ONE division over exact integers, so the hash
+    // oracle is exact.
+    "q_drawdown" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val dd = daily
+        .withColumn("peak",
+          max(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("drawdown_pct",
+          when(col("peak") > 0,
+            r6((col("peak") - col("rev")).cast("double") /
+              col("peak").cast("double"))).otherwise(lit(0.0)))
+      dd.select(col("day"), col("rev"), col("peak"), col("drawdown_pct"),
+          r6(max(col("drawdown_pct")).over(BoundedWindow.whole(col("day"))))
+            .as("max_drawdown"))
+        .orderBy("day")
+    }),
+
+    // ---- cross-correlation function (beyond reference, round 9) -----------
+    // Lead/lag coupling between the funnel's two daily traffic series:
+    // Pearson r of (views_t, purchases_{t+k}) for k ∈ [-3, +3]. Positive
+    // lags answer "does view traffic LEAD purchases", the causal-direction
+    // screen ACF can't give. (The orders and events fixtures live on
+    // disjoint calendars — 1995–2001 vs 2024 — so the series pair must
+    // come from ONE table.) Shape: two daily rollups off the same events
+    // scan (each one shuffle, calendar-bounded), the purchase frame fans
+    // out ×7 via explode (still calendar-bounded), ONE broadcast equi-join
+    // on day, and a 7-group hash-agg of exact integer moments (decimal-38
+    // products — no float accumulation); each output float is the same
+    // 3-op expression over those integers on both engines.
+    "q_ccf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val rev = ev.where(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val evn = ev.where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val shifted = evn.select(explode(array((-3 to 3).map(k =>
+          struct(lit(k.toLong).as("lag"),
+            date_add(col("day"), -k).as("day"))): _*)).as("s"), col("y"))
+        .select(col("s.lag").as("lag"), col("s.day").as("day"), col("y"))
+      val xd = col("x").cast("decimal(38,0)")
+      val yd = col("y").cast("decimal(38,0)")
+      val m = rev.join(broadcast(shifted), Seq("day"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(xd * yd).as("sxy"),
+          sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"))
+      val nD = col("n_pairs").cast("decimal(38,0)")
+      val num = (nD * col("sxy") - col("sx").cast("decimal(38,0)") *
+        col("sy").cast("decimal(38,0)")).cast("double")
+      val denx = (nD * col("sxx") - col("sx").cast("decimal(38,0)") *
+        col("sx").cast("decimal(38,0)")).cast("double")
+      val deny = (nD * col("syy") - col("sy").cast("decimal(38,0)") *
+        col("sy").cast("decimal(38,0)")).cast("double")
+      m.select(col("lag"), col("n_pairs"),
+          // constant series ⇒ zero variance: abstain with NULL identically
+          when(col("n_pairs") > 1 && denx > 0 && deny > 0,
+            r6(num / sqrt(denx) / sqrt(deny))).as("ccf"))
+        .orderBy("lag")
     })
   )
 
@@ -690,6 +764,62 @@ object Timeseries {
         |    * ln(((n_ref + 0.5) / (SUM(n_ref) OVER () + 5.0))
         |       / ((n_cur + 0.5) / (SUM(n_cur) OVER () + 5.0))))
         |    * 1000000.0 + 0.500001) / 1000000.0 AS psi_term
-        |FROM binned ORDER BY bin""".stripMargin
+        |FROM binned ORDER BY bin""".stripMargin,
+
+    // integer-cents running peak; one float division per row
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), p AS (
+        |  SELECT day, rev, MAX(rev) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily
+        |), d AS (
+        |  SELECT day, rev, peak,
+        |    CASE WHEN peak > 0 THEN
+        |      FLOOR(CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE)
+        |        * 1000000.0 + 0.500001) / 1000000.0
+        |    ELSE 0.0 END AS drawdown_pct
+        |  FROM p
+        |)
+        |SELECT day, rev, peak, drawdown_pct,
+        |  FLOOR(MAX(drawdown_pct) OVER () * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS max_drawdown
+        |FROM d ORDER BY day""".stripMargin,
+
+    // exact integer moments (HUGEINT ≡ Spark decimal-38); identical 3-op
+    // float expression per lag on both engines
+    "q_ccf" ->
+      """WITH rev AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), evn AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), shifted AS (
+        |  SELECT CAST(k.lag AS BIGINT) AS lag,
+        |    evn.day - CAST(k.lag AS INTEGER) AS day, y
+        |  FROM evn CROSS JOIN
+        |    (SELECT UNNEST([-3,-2,-1,0,1,2,3]) AS lag) k
+        |), m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM rev JOIN shifted USING (day) GROUP BY lag
+        |)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN n_pairs > 1 AND n_pairs * sxx - sx * sx > 0
+        |      AND n_pairs * syy - sy * sy > 0 THEN
+        |    FLOOR(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |        / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |        / sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))
+        |      * 1000000.0 + 0.500001) / 1000000.0
+        |  ELSE NULL END AS ccf
+        |FROM m ORDER BY lag""".stripMargin
   )
 }

@@ -285,6 +285,41 @@ class AnalyticsSpec extends SparkSpec {
       .foreach(r => assert(math.abs(r.getDouble(3)) < 1e-6))
   }
 
+  // ---- q_segment_migration ------------------------------------------------
+
+  test("segment migration: matrix matches a driver replay of the tiering") {
+    val orders = graft.io.Sources.table(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val split = java.time.LocalDate.parse("1998-05-01")
+    def seg(rows: Array[(Long, java.time.LocalDate, Double)]): Map[Long, Long] =
+      rows.groupBy(_._1).map { case (ck, g) =>
+        val n = g.length
+        val cents = g.map(r => math.floor(r._3 * 100.0 + 0.500001).toLong).sum
+        val f = if (n > 6) 3L else if (n > 3) 2L else 1L
+        val v = if (cents > 110000000L) 3L else if (cents > 60000000L) 2L else 1L
+        ck -> (f * 10 + v)
+      }
+    val s1 = seg(orders.filter(_._2.isBefore(split)))
+    val s2 = seg(orders.filterNot(_._2.isBefore(split)))
+    val want = (s1.keySet ++ s2.keySet).toSeq
+      .map(ck => (s1.getOrElse(ck, 0L), s2.getOrElse(ck, 0L)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = run("q_segment_migration").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      === want)
+    // row-conditional shares sum to 1 within each origin segment
+    got.groupBy(_.getLong(0)).foreach { case (from, cells) =>
+      val total = cells.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-5 * cells.length,
+        s"seg_from $from shares sum to $total")
+    }
+    // derived-from-orders only: the (inactive, inactive) cell cannot exist
+    assert(!got.exists(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
+    assert(got.map(_.getLong(2)).sum === (s1.keySet ++ s2.keySet).size.toLong)
+  }
+
   // ---- q_attribution ------------------------------------------------------
 
   private def ev(rows: (Long, String, Long, String, Double, Long)*) = {

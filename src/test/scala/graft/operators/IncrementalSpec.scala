@@ -558,4 +558,76 @@ class IncrementalSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
       s"daily rows must partial-aggregate before the shuffle:\n$p")
   }
+
+  // ---- q_drawdown -----------------------------------------------------------
+
+  test("drawdown: running peak and shortfalls match a driver replay") {
+    val rows = run("q_drawdown").collect().sortBy(_.getDate(0).getTime)
+    assert(rows.nonEmpty)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    var peak = Long.MinValue
+    var maxDd = 0.0
+    val replay = rows.map { r =>
+      peak = math.max(peak, r.getLong(1))
+      val dd = if (peak > 0) r6((peak - r.getLong(1)).toDouble / peak) else 0.0
+      maxDd = math.max(maxDd, dd)
+      (peak, dd)
+    }
+    rows.zip(replay).foreach { case (r, (p, dd)) =>
+      assert(r.getLong(2) === p, s"peak on ${r.getDate(0)}")
+      assert(r.getDouble(3) === dd, s"drawdown on ${r.getDate(0)}")
+    }
+    rows.foreach(r => assert(r.getDouble(4) === r6(maxDd)))
+    // peak days trade at zero drawdown; peaks are monotone
+    assert(rows.exists(_.getDouble(3) == 0.0))
+    assert(replay.map(_._1).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("drawdown plan: join-free, one shuffle to the daily frame") {
+    val p = plan("q_drawdown")
+    assert(!p.contains("Join"), s"running peak is a window, not a self-join:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"cents partial-aggregate before the daily shuffle:\n$p")
+  }
+
+  // ---- q_ccf ----------------------------------------------------------------
+
+  test("CCF matches a driver-side Pearson replay at every lag") {
+    val ev = graft.io.Sources.table(spark, sf, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+    def daily(ty: String) = ev.filter(_._2 == ty).groupBy(_._1)
+      .map { case (d, g) => d -> g.size.toLong }
+    val vs = daily("view"); val ps = daily("purchase")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    val got = run("q_ccf").collect()
+    assert(got.length === 7)
+    got.foreach { r =>
+      val k = r.getLong(0).toInt
+      val pairs = vs.toSeq.flatMap { case (d, x) =>
+        ps.get(d.plusDays(k)).map(y => (x, y)) }
+      assert(r.getLong(1) === pairs.size.toLong, s"n_pairs at lag $k")
+      if (pairs.size > 1) {
+        val n = pairs.size.toDouble
+        val sx = pairs.map(_._1).sum.toDouble
+        val sy = pairs.map(_._2).sum.toDouble
+        val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+        val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+        val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+        val denx = n * sxx - sx * sx; val deny = n * syy - sy * sy
+        if (denx > 0 && deny > 0) {
+          val want = r6((n * sxy - sx * sy) / math.sqrt(denx) / math.sqrt(deny))
+          assert(math.abs(r.getDouble(2) - want) < 2e-6, s"ccf at lag $k")
+          assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+        } else assert(r.isNullAt(2))
+      } else assert(r.isNullAt(2))
+    }
+  }
+
+  test("CCF plan: the 7-way shifted frame joins by broadcast only") {
+    val p = plan("q_ccf")
+    assert(p.contains("BroadcastHashJoin"), s"calendar join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join on a bounded frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

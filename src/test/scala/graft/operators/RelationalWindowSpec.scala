@@ -47,4 +47,64 @@ class RelationalWindowSpec extends SparkSpec {
     val windows = p.linesIterator.count(_.contains("Window ["))
     assert(windows === 1, s"all three rank functions must share ONE Window node:\n$p")
   }
+
+  // ---- q_interval_union ---------------------------------------------------
+
+  test("interval union matches a driver-side merge of each user's intervals") {
+    val durUs = 600L * 1000000L
+    val ev = graft.io.Sources.table(spark, sf, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val want = ev.groupBy(_._1).map { case (uid, rows) =>
+      val ivs = rows.sortBy(r => (r._3.getTime, r._2)).map { r =>
+        // getTime is ms; the operator works in µs — re-derive exactly
+        val us = r._3.getTime * 1000L + (r._3.getNanos / 1000L) % 1000L
+        (us, us + durUs)
+      }
+      val merged = ivs.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, (st, en)) => acc match {
+          case (a, b, n) :: rest if st <= b =>
+            (a, math.max(b, en), n + 1) :: rest
+          case _ => (st, en, 1L) :: acc
+        }
+      }
+      uid -> (merged.size.toLong,
+        merged.map(m => m._2 - m._1).sum,
+        merged.map(m => m._2 - m._1).max,
+        merged.map(_._3).sum)
+    }
+    val got = SparkEntry.queries("q_interval_union")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (ni, cov, lng, ne) = want(r.getLong(0))
+      assert(r.getLong(1) === ni, s"n_intervals for user ${r.getLong(0)}")
+      assert(r.getLong(2) === cov, s"covered_us for user ${r.getLong(0)}")
+      assert(r.getLong(3) === lng, s"longest_us for user ${r.getLong(0)}")
+      assert(r.getLong(4) === ne, s"n_events for user ${r.getLong(0)}")
+    }
+    assert(got.map(_.getLong(0)).toSet === want.keySet)
+  }
+
+  test("interval union invariants and one-exchange plan") {
+    val durUs = 600L * 1000000L
+    val rows = SparkEntry.queries("q_interval_union")(spark, sf).collect()
+    rows.foreach { r =>
+      val (ni, cov, lng, ne) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(ni >= 1L && ni <= ne, s"interval count bounds: $r")
+      // coverage is between one window (all overlapping) and n disjoint ones
+      assert(cov >= lng && lng >= durUs && cov <= ne * durUs, s"coverage: $r")
+      assert(cov >= ni * durUs, s"each island spans at least one window: $r")
+    }
+    spark.catalog.clearCache()
+    val p = SparkEntry.queries("q_interval_union")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"islands ride windows, never a self-join:\n$p")
+    // exactly one DATA shuffle (the user_id hash exchange that the two
+    // Window nodes and both rollups share); the output orderBy's range
+    // exchange is presentation, not dataflow
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1,
+      s"windows and both rollups must reuse the one user_id shuffle:\n$p")
+  }
 }
