@@ -1014,6 +1014,52 @@ object LlmQueries {
         (col("min_k") >= k).cast("long").as("k_anonymous"))
     }),
 
+    // oracle-backed: l-diversity audit (Machanavajjhala et al. 2007) — the
+    // follow-up gate k-anonymity misses: a quasi-identifier cell of ≥ k
+    // rows that all share the SAME sensitive value still discloses it to
+    // anyone who can place a person in the cell. Over the q_kanonymity QIs
+    // (nation × market segment) with account-balance band ($1000 bands) as
+    // the sensitive attribute: per-cell distinct-l and entropy-l =
+    // exp(H(sensitive | cell)); the release passes when every cell clears
+    // BOTH at l = 3. Scale shape: one corpus scan partial-aggregates to
+    // the (QI × band) cell frame — schema-bounded at |nations|·|segments|·
+    // |bands| — then the per-QI rollup and the audit scalars are two more
+    // bounded aggregates; nothing downstream of the first Exchange scales
+    // with the corpus. Counts stay exact BIGINT; the entropy is the
+    // q_token_entropy closed form ln t − Σ n·ln n / t whose ≤|bands|-term
+    // accumulation is absorbed by r4 BEFORE the min/flags, so the audit
+    // booleans cannot flip cross-engine.
+    "q_l_diversity" -> ((s, dir) => {
+      val l = lit(3L)
+      val band = floor(col("c_acctbal") / lit(1000.0)).cast("long")
+      val cells = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("qi_nation"),
+          col("c_mktsegment").as("qi_segment"), band.as("band"))
+        .agg(count(lit(1)).as("n"))
+      val grp = cells
+        .groupBy("qi_nation", "qi_segment")
+        .agg(sum(col("n")).as("t"), count(lit(1)).as("distinct_l"),
+          r4(log(sum(col("n")))
+            - sum(col("n").cast("double") * log(col("n"))) / sum(col("n")))
+            .as("h"))
+        .select(col("t"), col("distinct_l"),
+          r4(exp(col("h"))).as("entropy_l"))
+      grp.agg(
+          count(lit(1)).as("n_groups"), sum(col("t")).as("n_rows"),
+          min(col("distinct_l")).as("min_distinct_l"),
+          min(col("entropy_l")).as("min_entropy_l"),
+          sum(when(col("distinct_l") < l, 1L).otherwise(0L))
+            .as("groups_below_distinct"),
+          sum(when(col("entropy_l") < l.cast("double"), 1L).otherwise(0L))
+            .as("groups_below_entropy"))
+        .select(col("n_groups"), col("n_rows"), col("min_distinct_l"),
+          col("min_entropy_l"), col("groups_below_distinct"),
+          col("groups_below_entropy"),
+          (col("min_distinct_l") >= l &&
+            col("min_entropy_l") >= l.cast("double"))
+            .cast("long").as("l_diverse"))
+    }),
+
     // oracle-backed: differentially-private segment counts — the released
     // histogram shape (Laplace mechanism, Dwork et al. 2006: sensitivity
     // 1 counts + Lap(1/ε) noise). Noise is CONTENT-ADDRESSED from
@@ -1316,6 +1362,39 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS k_anonymous
         |FROM cells""".stripMargin,
+
+    // identical (QI × band) cell frame; entropy via the same closed form
+    // with r4 absorbing the bounded accumulation before min/flags
+    "q_l_diversity" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3
+        |), grp AS (
+        |  SELECT qi_nation, qi_segment, CAST(SUM(n) AS BIGINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS distinct_l,
+        |    FLOOR((LN(CAST(SUM(n) AS DOUBLE))
+        |        - SUM(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE)))
+        |          / CAST(SUM(n) AS DOUBLE)) * 10000.0 + 0.500001)
+        |      / 10000.0 AS h
+        |  FROM cells GROUP BY 1, 2
+        |), e AS (
+        |  SELECT t, distinct_l,
+        |    FLOOR(EXP(h) * 10000.0 + 0.500001) / 10000.0 AS entropy_l
+        |  FROM grp
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(t) AS BIGINT) AS n_rows,
+        |  CAST(MIN(distinct_l) AS BIGINT) AS min_distinct_l,
+        |  MIN(entropy_l) AS min_entropy_l,
+        |  CAST(SUM(CASE WHEN distinct_l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below_distinct,
+        |  CAST(SUM(CASE WHEN entropy_l < 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below_entropy,
+        |  CAST(CASE WHEN MIN(distinct_l) >= 3 AND MIN(entropy_l) >= 3.0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS l_diverse
+        |FROM e""".stripMargin,
 
     // identical content-addressed uniform → inverse-CDF Laplace deviate
     "q_dp_counts" ->

@@ -1140,6 +1140,53 @@ object Stats {
           r4(qStat).as("q_stat"),
           (qStat > qCrit).cast("long").as("significant"))
         .orderBy("seg_a", "seg_b")
+    }),
+
+    // ---- Jarque–Bera normality test (beyond reference, round 9) -----------
+    // "Is order value normally distributed within each priority tier?" —
+    // the moment-based omnibus test (Jarque & Bera 1980): JB =
+    // n/6·(g₁² + g₂²/4) from sample skewness g₁ = m₃/m₂^{3/2} and excess
+    // kurtosis g₂ = m₄/m₂² − 3, against the χ²₂ 5% critical value (JB is
+    // asymptotically chi-square with 2 df). Scale shape: ONE corpus scan
+    // partial-aggregates exact integer power sums Σx…Σx⁴ per priority
+    // (cents in DECIMAL(38,0): x⁴ ≈ 10³¹, ×10⁶ rows ≈ 10³⁷ < 10³⁸; a
+    // larger corpus swaps to the centered two-pass double path,
+    // documented), so the shuffle carries 5 rows × 6 exact integers.
+    // Central moments, skewness, kurtosis and the statistic are one
+    // closed-form double sequence over those integers on both engines —
+    // no accumulation order exists anywhere. g₁'s denominator uses
+    // m₂·√m₂ (sqrt is IEEE-exact) rather than pow(m₂,1.5), whose libm
+    // implementations differ across engines.
+    "q_jarque_bera" -> ((s, dir) => {
+      val xd = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("decimal(38,0)")
+      val g = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"), xd.as("x"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      val nD = col("n").cast("double")
+      val m1 = col("s1").cast("double") / nD
+      val r2m = col("s2").cast("double") / nD
+      val r3m = col("s3").cast("double") / nD
+      val r4m = col("s4").cast("double") / nD
+      val m2 = r2m - m1 * m1
+      val m3 = r3m - lit(3.0) * m1 * r2m + lit(2.0) * m1 * m1 * m1
+      val m4 = r4m - lit(4.0) * m1 * r3m + lit(6.0) * m1 * m1 * r2m -
+        lit(3.0) * m1 * m1 * m1 * m1
+      val skew = m3 / (m2 * sqrt(m2))
+      val exk = m4 / (m2 * m2) - lit(3.0)
+      val jb = nD / lit(6.0) * (skew * skew + exk * exk / lit(4.0))
+      val ok = col("n") > 3 && m2 > 0
+      g.select(col("priority"), col("n"),
+          when(ok, r6(skew)).as("skewness"),
+          when(ok, r6(exk)).as("ex_kurtosis"),
+          when(ok, r4(jb)).as("jb_stat"),
+          coalesce((when(ok, jb) > lit(5.991464547107979)).cast("long"),
+            lit(0L)).as("reject_95"))
+        .orderBy("priority")
     })
   )
 
@@ -2152,6 +2199,54 @@ object Stats {
         |      / sqrt(msw / 2.0 * (1.0 / a.ng + 1.0 / b.ng)) > 3.858
         |    THEN 1 ELSE 0 END AS BIGINT) AS significant
         |FROM means a JOIN means b ON a.seg < b.seg, msw
-        |ORDER BY seg_a, seg_b""".stripMargin
+        |ORDER BY seg_a, seg_b""".stripMargin,
+
+    // the same exact HUGEINT power sums and the identical double sequence
+    // (sqrt-based g1 denominator, left-associative moment expansion); the
+    // degenerate-group guard abstains with NULL on both engines
+    "q_jarque_bera" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS HUGEINT) AS x
+        |  FROM orders
+        |), m AS (
+        |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+        |    SUM(x*x*x*x) AS s4
+        |  FROM o GROUP BY priority
+        |), d AS (
+        |  SELECT priority, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2m,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3m,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4m
+        |  FROM m
+        |), c AS (
+        |  SELECT priority, n, nd,
+        |    r2m - m1 * m1 AS m2,
+        |    r3m - 3.0 * m1 * r2m + 2.0 * m1 * m1 * m1 AS m3,
+        |    r4m - 4.0 * m1 * r3m + 6.0 * m1 * m1 * r2m
+        |      - 3.0 * m1 * m1 * m1 * m1 AS m4
+        |  FROM d
+        |), s AS (
+        |  SELECT priority, n, nd, m2,
+        |    m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2 * m2) - 3.0 AS exk
+        |  FROM c
+        |), j AS (
+        |  SELECT *, nd / 6.0 * (skew * skew + exk * exk / 4.0) AS jb FROM s
+        |)
+        |SELECT priority, n,
+        |  CASE WHEN n > 3 AND m2 > 0
+        |    THEN FLOOR(skew * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS skewness,
+        |  CASE WHEN n > 3 AND m2 > 0
+        |    THEN FLOOR(exk * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS ex_kurtosis,
+        |  CASE WHEN n > 3 AND m2 > 0
+        |    THEN FLOOR(jb * 10000.0 + 0.500001) / 10000.0 END AS jb_stat,
+        |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM j ORDER BY priority""".stripMargin
   )
 }

@@ -576,4 +576,44 @@ class CurationSpec extends SparkSpec {
       s"per-doc rule scoring must not shuffle:\n$p")
     assert(!p.contains("Join"), s"rule scoring is join-free:\n$p")
   }
+
+  test("l-diversity audit: a uniform cell passes, a single-band cell trips both gates") {
+    import spark.implicits._
+    // cell (1, AUTOMOBILE): 9 rows over 3 balanced $1000-bands → distinct
+    // l = 3, entropy-l = exp(ln 3) = 3 exactly; cell (2, MACHINERY): 8 rows
+    // all in ONE band → distinct l = 1, entropy-l = 1 — k-anonymous at
+    // k = 5 yet fully disclosing, the exact case l-diversity exists for.
+    val rows =
+      (0 until 9).map(i => (i.toLong, 1, "AUTOMOBILE", 500.0 + 1000.0 * (i % 3))) ++
+        (0 until 8).map(i => (100L + i, 2, "MACHINERY", 2500.0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ldiv_fixture").toString
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val r = graft.SparkEntry.queries("q_l_diversity")(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 17L)))
+    assert(r.getLong(2) === 1L, s"MACHINERY cell has one band: $r")
+    assert(r.getDouble(3) === 1.0, s"entropy-l of a point mass is 1: $r")
+    assert(r.getLong(4) === 1L && r.getLong(5) === 1L, s"$r")
+    assert(r.getLong(6) === 0L, "single-band cell must fail the release")
+    // drop the disclosing cell → the balanced cell alone passes at l = 3
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ldiv_fixture2").toString
+    rows.take(9).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir2/customer.parquet")
+    val r2 = graft.SparkEntry.queries("q_l_diversity")(spark, dir2).head()
+    assert(r2.getLong(2) === 3L && r2.getDouble(3) === 3.0, s"$r2")
+    assert(r2.getLong(6) === 1L, s"balanced cell must pass: $r2")
+  }
+
+  test("l-diversity on real data: audit scalars internally consistent") {
+    val r = run("q_l_diversity").head()
+    val total = graft.io.Sources.table(spark, sf, "customer").count()
+    assert(r.getLong(1) === total)
+    assert(r.getLong(2) >= 1L && r.getDouble(3) >= 1.0)
+    assert(r.getDouble(3) <= r.getLong(2).toDouble + 1e-9,
+      "entropy-l never exceeds distinct-l")
+    assert(r.getLong(6) ===
+      (if (r.getLong(2) >= 3L && r.getDouble(3) >= 3.0) 1L else 0L))
+  }
 }

@@ -908,4 +908,48 @@ class StatsSpec extends SparkSpec {
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(n === 1, s"expected 1 hash Exchange, got $n:\n$p")
   }
+
+  // ---- q_jarque_bera ------------------------------------------------------
+
+  test("Jarque–Bera: uniform data rejects normality with the uniform's moments") {
+    import spark.implicits._
+    // a discrete uniform over 1..100 cents ×20: skew = 0 exactly (symmetric
+    // values), excess kurtosis → −1.2 + O(1/n²) (the uniform's), so JB ≈
+    // n/6·(1.2²/4) ≈ 120 ≫ 5.99 ⇒ reject. A constant second group must
+    // abstain (NULL stats) with reject 0, not divide by zero.
+    val rows = (1 to 2000).map(i => ("U", (i % 100 + 1) / 100.0)) ++
+      (1 to 50).map(_ => ("C", 7.77))
+    val dir = fixtureDir("orders" ->
+      rows.toDF("o_orderpriority", "o_totalprice"))
+    val out = SparkEntry.queries("q_jarque_bera")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = out("U")
+    assert(u.getLong(1) === 2000L)
+    assert(math.abs(u.getDouble(2)) < 0.01, s"uniform skew ≈ 0: $u")
+    assert(math.abs(u.getDouble(3) + 1.2) < 0.01, s"uniform ex-kurt ≈ −1.2: $u")
+    assert(u.getLong(5) === 1L, s"n=2000 uniform must reject normality: $u")
+    val c = out("C")
+    assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4),
+      s"constant group must abstain: $c")
+    assert(c.getLong(5) === 0L)
+  }
+
+  test("Jarque–Bera on real data: one row per priority, flag consistent") {
+    val rows = SparkEntry.queries("q_jarque_bera")(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0, s"JB is a sum of squares: $r")
+      assert(r.getLong(5) ===
+        (if (r.getDouble(4) > 5.991464547107979) 1L else 0L), s"$r")
+    }
+  }
+
+  test("Jarque–Bera plan: join-free, one partial-aggregated shuffle") {
+    val p = plan("q_jarque_bera")
+    assert(!p.contains("Join"), s"must be join-free:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 1, s"expected 1 hash Exchange, got $n:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"power sums must partial-aggregate before the shuffle:\n$p")
+  }
 }
