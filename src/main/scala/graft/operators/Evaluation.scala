@@ -464,6 +464,75 @@ object Evaluation {
         r6((coalesce(rec, lit(0.0)) + coalesce(spec, lit(0.0))) / 2.0)
           .as("balanced_accuracy"),
         r6(mcc).as("mcc"))
+    }),
+
+    // ---- multinomial Naive Bayes: train + deploy as a projection ----------
+    // The generative rung beside the discriminative quality classifier
+    // (quality/QualityClassifier.scala): Laplace-smoothed categorical NB
+    // predicting event_type from two bounded features (hour-of-day quarter,
+    // props.k band), trained on the content-addressed 80% md5 split and
+    // scored on the rest. Scale shape: training is ONE partial-aggregated
+    // shuffle to the (class × f1 × f2) cell frame — ≤ |classes|·4·5 rows,
+    // collected under a loud 512-row cap (the kmeans bounded-fit
+    // discipline) — and the fitted model deploys as a when-chain of DOUBLE
+    // literals over the test scan: scoring is a shuffle-free codegen
+    // projection (the LogisticModel/ClvModel idiom — no join, no UDF, the
+    // corpus never moves). The only post-scan state is the ≤|classes|²
+    // confusion frame. Floats: every literal is an IEEE division of exact
+    // integers replayed identically by the oracle's join-based recount;
+    // argmax folds classes in ascending order with strict >, matching the
+    // oracle's (score DESC, class ASC) row_number — ties resolve to the
+    // smaller class name on both engines.
+    "q_naive_bayes" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type").as("y"),
+        floor(hour(col("ts")).cast("double") / lit(6.0)).cast("long").as("f1"),
+        coalesce(floor(get_json_object(col("props"), "$.k").cast("long")
+          .cast("double") / lit(25.0)).cast("long"), lit(-1L)).as("f2"),
+        (md5(col("event_id").cast("string").cast("binary")) < lit("cccccccc"))
+          .as("is_train"))
+      val cells = ev.where(col("is_train"))
+        .groupBy("y", "f1", "f2").agg(count(lit(1)).as("n"))
+        .collect()
+      require(cells.nonEmpty, "naive bayes: empty training split")
+      require(cells.length <= 512,
+        s"naive bayes: cell frame ${cells.length} exceeds the bounded-fit cap 512")
+      val byClass = cells.groupBy(_.getString(0))
+      val classes = byClass.keys.toSeq.sorted
+      val nTotal = cells.map(_.getLong(3)).sum
+      val v1 = cells.map(_.getLong(1)).distinct.length
+      val v2 = cells.map(_.getLong(2)).distinct.length
+      // P(f = v | c) as a when-chain over the values SEEN with class c;
+      // any other value falls through to the unseen-value Laplace floor
+      def pCond(nc: Long, seen: Seq[(Long, Long)], vf: Int, f: Column): Column =
+        seen.foldLeft(lit(1.0 / (nc + vf).toDouble)) { case (acc, (v, n)) =>
+          when(f === v, lit((n + 1).toDouble / (nc + vf))).otherwise(acc)
+        }
+      val scores = classes.map { c =>
+        val rows = byClass(c)
+        val nc = rows.map(_.getLong(3)).sum
+        val seen1 = rows.groupBy(_.getLong(1)).toSeq
+          .map { case (v, rs) => (v, rs.map(_.getLong(3)).sum) }.sortBy(_._1)
+        val seen2 = rows.groupBy(_.getLong(2)).toSeq
+          .map { case (v, rs) => (v, rs.map(_.getLong(3)).sum) }.sortBy(_._1)
+        lit(nc.toDouble / nTotal) * pCond(nc, seen1, v1, col("f1")) *
+          pCond(nc, seen2, v2, col("f2"))
+      }
+      val (_, bc) = scores.zip(classes).tail
+        .foldLeft((scores.head, lit(classes.head))) {
+          case ((s0, c0), (si, ci)) =>
+            (when(si > s0, si).otherwise(s0),
+              when(si > s0, lit(ci)).otherwise(c0))
+        }
+      val conf = ev.where(!col("is_train"))
+        .select(col("y").as("actual"), bc.as("predicted"))
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+      val wAll = BoundedWindow.whole(col("actual"))
+      conf.select(col("actual"), col("predicted"), col("n"),
+          r6(sum(when(col("actual") === col("predicted"), col("n"))
+            .otherwise(0L)).over(wAll).cast("double") /
+            sum(col("n")).over(wAll)).as("accuracy"))
+        .orderBy("actual", "predicted")
     })
   )
 
@@ -777,6 +846,58 @@ object Evaluation {
         |  FLOOR((COALESCE(rec, 0.0) + COALESCE(spec, 0.0)) / 2.0
         |    * 1000000.0 + 0.500001) / 1000000.0 AS balanced_accuracy,
         |  FLOOR(mcc * 1000000.0 + 0.500001) / 1000000.0 AS mcc
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin),
+
+    // join-based recount of the fitted model: the same Laplace divisions
+    // over the same exact counts; argmax via (score DESC, class ASC)
+    // row_number = the Spark fold's ascending-class strict-> tie rule
+    "q_naive_bayes" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type AS y,
+        |    hour(ts) // 6 AS f1,
+        |    COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25,
+        |      -1) AS f2,
+        |    md5(CAST(event_id AS VARCHAR)) < 'cccccccc' AS is_train
+        |  FROM events
+        |), cells AS (
+        |  SELECT y, f1, f2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base WHERE is_train GROUP BY 1, 2, 3
+        |), cls AS (
+        |  SELECT y, CAST(SUM(n) AS BIGINT) AS nc FROM cells GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(COUNT(DISTINCT f1) AS BIGINT) AS v1,
+        |    CAST(COUNT(DISTINCT f2) AS BIGINT) AS v2
+        |  FROM cells
+        |), c1 AS (
+        |  SELECT y, f1, CAST(SUM(n) AS BIGINT) AS n1 FROM cells GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT y, f2, CAST(SUM(n) AS BIGINT) AS n2 FROM cells GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT b.event_id, b.y AS actual, c.y AS cls,
+        |    CAST(c.nc AS DOUBLE) / t.nt
+        |      * (CAST(COALESCE(x1.n1, 0) + 1 AS DOUBLE) / (c.nc + t.v1))
+        |      * (CAST(COALESCE(x2.n2, 0) + 1 AS DOUBLE) / (c.nc + t.v2))
+        |      AS score
+        |  FROM base b
+        |  CROSS JOIN cls c
+        |  CROSS JOIN tot t
+        |  LEFT JOIN c1 x1 ON x1.y = c.y AND x1.f1 = b.f1
+        |  LEFT JOIN c2 x2 ON x2.y = c.y AND x2.f2 = b.f2
+        |  WHERE NOT b.is_train
+        |), pred AS (
+        |  SELECT actual, cls AS predicted,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id
+        |      ORDER BY score DESC, cls ASC) AS rn
+        |  FROM scored
+        |), conf AS (
+        |  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pred WHERE rn = 1 GROUP BY 1, 2
+        |)
+        |SELECT actual, predicted, n,
+        |  FLOOR(CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+        |      OVER () AS DOUBLE) / SUM(n) OVER ()
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS accuracy
+        |FROM conf ORDER BY actual, predicted""".stripMargin
   )
 }

@@ -486,6 +486,83 @@ object Timeseries {
           when(col("n_pairs") > 1 && denx > 0 && deny > 0,
             r6(num / sqrt(denx) / sqrt(deny))).as("ccf"))
         .orderBy("lag")
+    }),
+
+    // ---- Hurst exponent via rescaled-range analysis (beyond ref, r9) ------
+    // Mandelbrot–Wallis R/S: is daily revenue mean-reverting (H < ½),
+    // a random walk (H ≈ ½), or long-range trending (H > ½)? For block
+    // sizes m ∈ {8,16,32,64} the observed-day series splits into
+    // consecutive complete blocks; per block the rescaled range R/S
+    // reduces to the ALL-INTEGER identity A/√V with A = m·(max Z* − min
+    // Z*) and V = m·Σx² − (Σx)² where Z*_j = m·cumsum_j − (j+1)·Σx — the
+    // cumulative-deviation and population-std scalings cancel, so each
+    // block contributes ONE division and ONE IEEE sqrt over exact
+    // integers (x² sums in decimal(38,0): day-cents² ≈ 10¹⁸ × 64 exceeds
+    // int64). Block means are exact micro-unit sums (the q_entropy_rate
+    // discipline — no float accumulation), and H is the closed-form OLS
+    // slope of ln(mean R/S) on ln m over the four sizes, pivoted into one
+    // row so every float op has a fixed textual order. Scale shape: one
+    // orders shuffle to the calendar-bounded daily frame; the ×4 explode,
+    // both window passes and all aggregates live on ≤ 4×|days| rows —
+    // bounded by the CALENDAR, not the corpus.
+    "q_hurst" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val idx = row_number().over(BoundedWindow.ordered(col("day"), col("day")))
+        .cast("long") - 1L
+      val exploded = daily
+        .select(col("day"), col("rev"), idx.as("i"))
+        .select(col("rev"), col("i"),
+          explode(array(Seq(8L, 16L, 32L, 64L).map(lit): _*)).as("m"))
+        .select(col("m"), col("rev"),
+          floor(col("i") / col("m")).cast("long").as("blk"),
+          pmod(col("i"), col("m")).as("pos"))
+      val wBlk = Window.partitionBy(col("m"), col("blk"))
+      val wCum = wBlk.orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val revD = col("rev").cast("decimal(38,0)")
+      val z = exploded
+        .withColumn("cnt", count(lit(1)).over(wBlk))
+        .withColumn("sb", sum(col("rev")).over(wBlk))
+        .withColumn("s2b", sum(revD * revD).over(wBlk))
+        .withColumn("mz",
+          col("m") * sum(col("rev")).over(wCum) - (col("pos") + 1L) * col("sb"))
+      val blocks = z.where(col("cnt") === col("m"))
+        .groupBy(col("m"), col("blk"))
+        .agg((max(col("mz")) - min(col("mz"))).as("a"),
+          (max(col("m").cast("decimal(38,0)") * col("s2b")) -
+            max(col("sb").cast("decimal(38,0)") * col("sb"))).as("v"))
+      val rs = col("a").cast("double") / sqrt(col("v").cast("double"))
+      val per = blocks.where(col("v") > 0)
+        .select(col("m"), floor(rs * lit(1000000.0)).cast("long").as("micro"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_blocks"), sum(col("micro")).as("sm"))
+        .select(col("m"), col("n_blocks"),
+          (col("sm").cast("double") / col("n_blocks") / lit(1000000.0))
+            .as("mean_rs"))
+      def yAt(sz: Long) = max(when(col("m") === sz, log(col("mean_rs"))))
+      def xAt(sz: Long) = max(when(col("m") === sz, log(col("m").cast("double"))))
+      val pv = per.agg(
+        xAt(8).as("x1"), xAt(16).as("x2"), xAt(32).as("x3"), xAt(64).as("x4"),
+        yAt(8).as("y1"), yAt(16).as("y2"), yAt(32).as("y3"), yAt(64).as("y4"))
+      val sx = col("x1") + col("x2") + col("x3") + col("x4")
+      val sy = col("y1") + col("y2") + col("y3") + col("y4")
+      val sxy = col("x1") * col("y1") + col("x2") * col("y2") +
+        col("x3") * col("y3") + col("x4") * col("y4")
+      val sxx = col("x1") * col("x1") + col("x2") * col("x2") +
+        col("x3") * col("x3") + col("x4") * col("x4")
+      val slope = pv.select(
+        when(col("y1").isNotNull && col("y2").isNotNull &&
+          col("y3").isNotNull && col("y4").isNotNull,
+          (lit(4.0) * sxy - sx * sy) / (lit(4.0) * sxx - sx * sx))
+          .as("hurst0"))
+      per.crossJoin(broadcast(slope))
+        .select(col("m"), col("n_blocks"), r6(col("mean_rs")).as("mean_rs"),
+          r6(col("hurst0")).as("hurst"))
+        .orderBy("m")
     })
   )
 
@@ -820,6 +897,67 @@ object Timeseries {
         |        / sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))
         |      * 1000000.0 + 0.500001) / 1000000.0
         |  ELSE NULL END AS ccf
-        |FROM m ORDER BY lag""".stripMargin
+        |FROM m ORDER BY lag""".stripMargin,
+
+    // the same all-integer A/√V block identity (HUGEINT mirrors the
+    // decimal-38 sums), micro-unit block means, and the identical pivoted
+    // OLS float sequence for the slope
+    "q_hurst" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), ix AS (
+        |  SELECT rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily
+        |), ex AS (
+        |  SELECT CAST(mm.m AS BIGINT) AS m, ix.rev,
+        |    ix.i // mm.m AS blk, ix.i % mm.m AS pos
+        |  FROM ix, (SELECT UNNEST([8, 16, 32, 64]) AS m) mm
+        |), z AS (
+        |  SELECT m, blk, pos,
+        |    COUNT(*) OVER (PARTITION BY m, blk) AS cnt,
+        |    SUM(rev) OVER (PARTITION BY m, blk) AS sb,
+        |    SUM(CAST(rev AS HUGEINT) * rev) OVER (PARTITION BY m, blk) AS s2b,
+        |    m * SUM(rev) OVER (PARTITION BY m, blk ORDER BY pos)
+        |      - (pos + 1) * SUM(rev) OVER (PARTITION BY m, blk) AS mz
+        |  FROM ex
+        |), blocks AS (
+        |  SELECT m, blk, MAX(mz) - MIN(mz) AS a,
+        |    MAX(CAST(m AS HUGEINT) * s2b) - MAX(CAST(sb AS HUGEINT) * sb) AS v
+        |  FROM z WHERE cnt = m GROUP BY 1, 2
+        |), per AS (
+        |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) / sqrt(CAST(v AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS sm
+        |  FROM blocks WHERE v > 0 GROUP BY 1
+        |), pm AS (
+        |  SELECT m, n_blocks,
+        |    CAST(sm AS DOUBLE) / n_blocks / 1000000.0 AS mean_rs
+        |  FROM per
+        |), pv AS (
+        |  SELECT
+        |    MAX(CASE WHEN m = 8 THEN LN(CAST(m AS DOUBLE)) END) AS x1,
+        |    MAX(CASE WHEN m = 16 THEN LN(CAST(m AS DOUBLE)) END) AS x2,
+        |    MAX(CASE WHEN m = 32 THEN LN(CAST(m AS DOUBLE)) END) AS x3,
+        |    MAX(CASE WHEN m = 64 THEN LN(CAST(m AS DOUBLE)) END) AS x4,
+        |    MAX(CASE WHEN m = 8 THEN LN(mean_rs) END) AS y1,
+        |    MAX(CASE WHEN m = 16 THEN LN(mean_rs) END) AS y2,
+        |    MAX(CASE WHEN m = 32 THEN LN(mean_rs) END) AS y3,
+        |    MAX(CASE WHEN m = 64 THEN LN(mean_rs) END) AS y4
+        |  FROM pm
+        |), sl AS (
+        |  SELECT CASE WHEN y1 IS NOT NULL AND y2 IS NOT NULL
+        |      AND y3 IS NOT NULL AND y4 IS NOT NULL THEN
+        |    (4.0 * (x1 * y1 + x2 * y2 + x3 * y3 + x4 * y4)
+        |        - (x1 + x2 + x3 + x4) * (y1 + y2 + y3 + y4))
+        |      / (4.0 * (x1 * x1 + x2 * x2 + x3 * x3 + x4 * x4)
+        |        - (x1 + x2 + x3 + x4) * (x1 + x2 + x3 + x4)) END AS hurst0
+        |  FROM pv
+        |)
+        |SELECT m, n_blocks,
+        |  FLOOR(mean_rs * 1000000.0 + 0.500001) / 1000000.0 AS mean_rs,
+        |  FLOOR(hurst0 * 1000000.0 + 0.500001) / 1000000.0 AS hurst
+        |FROM pm, sl ORDER BY m""".stripMargin
   )
 }

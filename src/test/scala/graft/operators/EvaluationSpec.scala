@@ -462,4 +462,50 @@ class EvaluationSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
   }
+
+  // ---- q_naive_bayes --------------------------------------------------------
+
+  test("Naive Bayes: a perfectly separable feature classifies the test split exactly") {
+    import spark.implicits._
+    // class determined by hour-quarter alone (hour 3 → f1=0, hour 15 →
+    // f1=2), k constant: every test row must land on the diagonal
+    val midnight = 86400L * 19700L // 2023-12-09 00:00 UTC
+    val evs = (0 until 400).map { i =>
+      val early = i % 2 == 0
+      (i.toLong, 1L, if (early) "early" else "late", 1.0, """{"k": 10}""",
+        (midnight + (if (early) 3L else 15L) * 3600L) * 1_000_000_000L)
+    }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    evs.write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q_naive_bayes")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"separable feature must classify exactly: $r")
+      assert(r.getDouble(3) === 1.0, s"accuracy must be 1: $r")
+    }
+  }
+
+  test("Naive Bayes on real data: confusion covers the md5 test split exactly") {
+    val rows = SparkEntry.queries("q_naive_bayes")(spark, sf).collect()
+    val testN = graft.io.Sources.table(spark, sf, "events")
+      .where(md5(col("event_id").cast("string").cast("binary")) >= lit("cccccccc"))
+      .count()
+    assert(rows.map(_.getLong(2)).sum === testN,
+      "every test row lands in exactly one confusion cell")
+    val diag = rows.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    val acc = r6(diag.toDouble / testN)
+    rows.foreach(r => assert(r.getDouble(3) === acc, s"accuracy column: $r"))
+    assert(rows.length <= 25, "at most |classes|² cells")
+  }
+
+  test("Naive Bayes plan: the fitted model scores as a join-free projection") {
+    val p = plan("q_naive_bayes")
+    assert(!p.contains("Join"),
+      s"scoring must be a when-chain projection, not a join:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange hashpartitioning"),
+      s"confusion cells must partial-aggregate before the shuffle:\n$p")
+  }
 }

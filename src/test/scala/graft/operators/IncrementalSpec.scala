@@ -630,4 +630,72 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join on a bounded frame:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  // ---- q_hurst --------------------------------------------------------------
+
+  test("Hurst: a pure linear trend scores H ≈ 1; blocks and sizes are exact") {
+    import spark.implicits._
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    // one order per day, cents = 100·(i+1): a deterministic ramp is the
+    // maximally persistent series — R/S grows ∝ m, so the log-log slope
+    // is 1 (driver-replayed expectation 0.9964 at 320 days)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hurst").toString
+    (0 until 320).map(x => (day(x), (x + 1).toDouble))
+      .toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q_hurst")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(8L, 16L, 32L, 64L))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(40L, 20L, 10L, 5L),
+      "complete blocks only: 320/m each")
+    val h = rows.head.getDouble(3)
+    rows.foreach(r => assert(r.getDouble(3) === h, "H is a global scalar"))
+    assert(math.abs(h - 1.0) < 0.05, s"ramp must score H ≈ 1: $h")
+    // mean R/S roughly doubles with m on a trend
+    val mrs = rows.map(_.getDouble(2))
+    assert(mrs.sliding(2).forall(p => p(1) > p(0) * 1.7), mrs.toSeq.toString)
+  }
+
+  test("Hurst matches an all-integer driver replay on real data") {
+    val daily = graft.io.Sources.table(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")).as("rev"))
+      .orderBy("day").collect().map(_.getLong(1))
+    def meanRs(m: Int): (Long, Double) = {
+      val micros = daily.grouped(m).filter(_.length == m).flatMap { blk =>
+        val s = blk.sum
+        val s2 = blk.map(v => BigInt(v) * BigInt(v)).sum
+        val mz = blk.scanLeft(0L)(_ + _).tail.zipWithIndex
+          .map { case (cum, j) => m * cum - (j + 1) * s }
+        val v = BigInt(m) * s2 - BigInt(s) * BigInt(s)
+        if (v > 0)
+          Some(math.floor((mz.max - mz.min).toDouble /
+            math.sqrt(v.toDouble) * 1e6).toLong)
+        else None
+      }.toSeq
+      (micros.length.toLong, micros.sum.toDouble / micros.length / 1e6)
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    val rows = SparkEntry.queries("q_hurst")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val pts = rows.map { r =>
+      val (nb, mrs) = meanRs(r.getLong(0).toInt)
+      assert(r.getLong(1) === nb, s"block census at m=${r.getLong(0)}")
+      assert(r.getDouble(2) === r6(mrs), s"mean R/S at m=${r.getLong(0)}")
+      (math.log(r.getLong(0).toDouble), math.log(mrs))
+    }
+    val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+    val sl = (4.0 * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum) /
+      (4.0 * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    rows.foreach(r => assert(math.abs(r.getDouble(3) - sl) < 2e-6, s"H: $r"))
+  }
+
+  test("Hurst plan: join-free up to the 1-row slope broadcast, no cartesian") {
+    val p = plan("q_hurst")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"slope attach must broadcast:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
+      s"cents partial-aggregate before the daily shuffle:\n$p")
+  }
 }
