@@ -374,6 +374,56 @@ object LlmQueries {
         .orderBy("label")
     }),
 
+    // oracle-backed: Maximum Mean Discrepancy drift test between embedding
+    // groups (Gretton et al. 2012, linear kernel) — "did the embedding
+    // distribution shift between sources/labels?" asked pairwise over all
+    // label pairs. The unbiased estimator collapses to a MOMENT IDENTITY:
+    // Σ_{i≠j}⟨x_i,x_j⟩ = |Σx|² − Σ|x|², so MMD² = (|S_a|²−Q_a)/(n_a(n_a−1))
+    // + (|S_b|²−Q_b)/(n_b(n_b−1)) − 2⟨S_a,S_b⟩/(n_a n_b) needs only each
+    // group's dim-wise sum vector and squared-norm total — ONE partial-
+    // aggregated pass over the ×d posexplode scan to the |labels|·d
+    // bounded frame (the q_embed_quantize scan shape); no pair of rows
+    // ever meets. Cross-engine exactness: components quantize to integer
+    // micro-units ONCE (floor(x·1e6), the q_entropy_rate discipline), so
+    // every sum is BIGINT/decimal-38 exact and the estimator is a fixed
+    // 3-term float sequence per pair, reported in micro-units² (1e-12 of
+    // native units, documented). The 45 pair rows assemble by broadcast
+    // joins of the bounded frame.
+    "q_embed_mmd" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("g"),
+          posexplode(col("embedding")))
+        .select(col("g"), col("pos").as("d"),
+          floor(col("col").cast("double") * lit(1000000.0)).cast("long")
+            .as("e"))
+      val gd = e.groupBy("g", "d")
+        .agg(count(lit(1)).as("n"), sum(col("e")).as("sd"),
+          sum(col("e").cast("decimal(38,0)") * col("e")).as("qd"))
+      val g1 = gd.groupBy("g").agg(max(col("n")).as("n"),
+        sum(col("qd")).as("q"),
+        sum(col("sd").cast("decimal(38,0)") * col("sd")).as("s2"))
+      val cross = gd.select(col("g").as("ga"), col("d"), col("sd").as("sa"))
+        .join(broadcast(gd.select(col("g").as("gb"), col("d"),
+          col("sd").as("sb"))), Seq("d"))
+        .where(col("ga") < col("gb"))
+        .groupBy("ga", "gb")
+        .agg(sum(col("sa").cast("decimal(38,0)") * col("sb")).as("sab"))
+      val aSide = g1.select(col("g").as("ga"), col("n").as("na"),
+        col("q").as("qa"), col("s2").as("s2a"))
+      val bSide = g1.select(col("g").as("gb"), col("n").as("nb"),
+        col("q").as("qb"), col("s2").as("s2b"))
+      val taa = (col("s2a") - col("qa")).cast("double") /
+        (col("na") * (col("na") - 1L)).cast("double")
+      val tbb = (col("s2b") - col("qb")).cast("double") /
+        (col("nb") * (col("nb") - 1L)).cast("double")
+      val tab = col("sab").cast("double") / (col("na") * col("nb")).cast("double")
+      cross.join(broadcast(aSide), Seq("ga"))
+        .join(broadcast(bSide), Seq("gb"))
+        .select(col("ga"), col("gb"), col("na"), col("nb"),
+          r4(taa + tbb - lit(2.0) * tab).as("mmd2_micro2"))
+        .orderBy("ga", "gb")
+    }),
+
     // oracle-backed: exact brute-force cosine top-5 for a bounded probe
     // batch (DuckDB list_dot_product over DOUBLE[] is bit-identical)
     "q_ann_brute" -> ((s, dir) => {
@@ -1362,6 +1412,40 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS k_anonymous
         |FROM cells""".stripMargin,
+
+    // identical micro-unit quantization and moment identity (HUGEINT
+    // mirrors decimal-38); the estimator is the same 3-term sequence
+    "q_embed_mmd" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS g, t.i AS d,
+        |    CAST(FLOOR(CAST(emb.embedding[t.i] AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS e
+        |  FROM embeddings emb CROSS JOIN range(1, 65) t(i)
+        |), gd AS (
+        |  SELECT g, d, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(e) AS BIGINT) AS sd,
+        |    SUM(CAST(e AS HUGEINT) * e) AS qd
+        |  FROM e GROUP BY 1, 2
+        |), g1 AS (
+        |  SELECT g, MAX(n) AS n, SUM(qd) AS q,
+        |    SUM(CAST(sd AS HUGEINT) * sd) AS s2
+        |  FROM gd GROUP BY 1
+        |), cr AS (
+        |  SELECT a.g AS ga, b.g AS gb,
+        |    SUM(CAST(a.sd AS HUGEINT) * b.sd) AS sab
+        |  FROM gd a JOIN gd b ON a.d = b.d AND a.g < b.g
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cr.ga, cr.gb, ga1.n AS na, gb1.n AS nb,
+        |  FLOOR((
+        |    CAST(ga1.s2 - ga1.q AS DOUBLE)
+        |      / CAST(ga1.n * (ga1.n - 1) AS DOUBLE)
+        |    + CAST(gb1.s2 - gb1.q AS DOUBLE)
+        |      / CAST(gb1.n * (gb1.n - 1) AS DOUBLE)
+        |    - 2.0 * (CAST(cr.sab AS DOUBLE) / CAST(ga1.n * gb1.n AS DOUBLE))
+        |  ) * 10000.0 + 0.500001) / 10000.0 AS mmd2_micro2
+        |FROM cr JOIN g1 ga1 ON ga1.g = cr.ga JOIN g1 gb1 ON gb1.g = cr.gb
+        |ORDER BY ga, gb""".stripMargin,
 
     // identical (QI × band) cell frame; entropy via the same closed form
     // with r4 absorbing the bounded accumulation before min/flags

@@ -1187,6 +1187,78 @@ object Stats {
           coalesce((when(ok, jb) > lit(5.991464547107979)).cast("long"),
             lit(0L)).as("reject_95"))
         .orderBy("priority")
+    }),
+
+    // ---- Fisher's exact test (beyond reference, round 9) ------------------
+    // The small-sample 2×2 independence test the asymptotic q_chi_square /
+    // q_prop_ztest CANNOT give: the exact two-sided p — Σ P(table) over
+    // all tables with the observed margins whose hypergeometric
+    // probability ≤ the observed one (the standard "sum of at-most-as-
+    // likely tables" definition, with R's 1e-7 relative slack on the
+    // comparison so a ±1-ulp ln() difference can never flip a table in or
+    // out). Fisher is a SMALL-SAMPLE test by nature, so the input is a
+    // bounded id-prefix sample (o_orderkey ≤ 300 — the q_knn_eval "eval
+    // sets are fixed-size" stance): at ANY corpus scale the enumeration
+    // support and the ln-factorial table stay ≤ n+1 ≤ 302 rows. All
+    // counts exact BIGINT off one pushed-down scan; ln k! is an ordered
+    // cumulative sum over the bounded k-frame (identical accumulation
+    // order both engines); every probability is the same closed-form
+    // sequence over those table values; the ≤302-term p accumulation is
+    // absorbed by r6 (the q_js_divergence discipline).
+    "q_fisher_exact" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val hv = col("o_totalprice") > 240000.0
+      val m = t(s, dir, "orders").where(col("o_orderkey") <= 300L)
+        .agg(
+          sum(when(urgent && hv, 1L).otherwise(0L)).as("a"),
+          sum(when(urgent && !hv, 1L).otherwise(0L)).as("b"),
+          sum(when(!urgent && hv, 1L).otherwise(0L)).as("c"),
+          sum(when(!urgent && !hv, 1L).otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          (col("a") + col("b")).as("r1"), (col("a") + col("c")).as("c1"),
+          (col("a") + col("b") + col("c") + col("d")).as("n"))
+        .cache()
+      val lf = m.select(explode(sequence(lit(0L), col("n"))).as("k"))
+        .select(col("k"),
+          sum(when(col("k") > 1L, log(col("k").cast("double")))
+            .otherwise(lit(0.0)))
+            .over(BoundedWindow.ordered(col("k"), col("k"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("lf"))
+        .cache()
+      def lfAt(df: DataFrame, key: Column, out: String): DataFrame =
+        df.join(broadcast(lf.select(col("k").as(out + "_k"),
+          col("lf").as(out))), key === col(out + "_k")).drop(out + "_k")
+      val withConst = lfAt(lfAt(lfAt(lfAt(lfAt(m, col("r1"), "lr1"),
+        col("n") - col("r1"), "lnr1"), col("c1"), "lc1"),
+        col("n") - col("c1"), "lnc1"), col("n"), "lnn")
+      val en = withConst.select(col("a"), col("b"), col("c"), col("d"),
+        col("r1"), col("c1"), col("n"),
+        (col("lr1") + col("lnr1") + col("lc1") + col("lnc1") - col("lnn"))
+          .as("lconst"),
+        explode(sequence(greatest(lit(0L), col("r1") + col("c1") - col("n")),
+          least(col("r1"), col("c1")))).as("t"))
+      val scored = lfAt(lfAt(lfAt(lfAt(en, col("t"), "lt"),
+        col("r1") - col("t"), "lrt"), col("c1") - col("t"), "lct"),
+        col("n") - col("r1") - col("c1") + col("t"), "lnt")
+        .select(col("a"), col("b"), col("c"), col("d"), col("n"), col("t"),
+          (col("lconst") - col("lt") - col("lrt") - col("lct") - col("lnt"))
+            .as("lp"))
+      val obs = scored.where(col("t") === col("a"))
+        .select(col("lp").as("lp_obs"))
+      val g = scored.crossJoin(broadcast(obs)).agg(
+        max(col("a")).as("a"), max(col("b")).as("b"),
+        max(col("c")).as("c"), max(col("d")).as("d"),
+        max(col("n")).as("n_sample"),
+        sum(when(col("lp") <= col("lp_obs") + lit(1.0e-7), exp(col("lp")))
+          .otherwise(0.0)).as("p0"))
+      val pv = r6(least(col("p0"), lit(1.0)))
+      g.select(col("a"), col("b"), col("c"), col("d"), col("n_sample"),
+        pv.as("p_value"),
+        when(col("b") > 0 && col("c") > 0,
+          r6((col("a") * col("d")).cast("double") /
+            (col("b") * col("c")).cast("double"))).as("odds_ratio"),
+        (pv < 0.05).cast("long").as("reject_05"))
     })
   )
 
@@ -2247,6 +2319,71 @@ object Stats {
         |    THEN FLOOR(jb * 10000.0 + 0.500001) / 10000.0 END AS jb_stat,
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
-        |FROM j ORDER BY priority""".stripMargin
+        |FROM j ORDER BY priority""".stripMargin,
+
+    // identical bounded-sample 2×2, k-ordered ln-factorial cumsum, and
+    // at-most-as-likely enumeration with the same 1e-7 slack
+    "q_fisher_exact" ->
+      """WITH m AS (
+        |  SELECT a, b, c, d, a + b AS r1, a + c AS c1,
+        |    a + b + c + d AS n
+        |  FROM (
+        |    SELECT
+        |      CAST(SUM(CASE WHEN urgent AND hv THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |      CAST(SUM(CASE WHEN urgent AND NOT hv THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |      CAST(SUM(CASE WHEN NOT urgent AND hv THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |      CAST(SUM(CASE WHEN NOT urgent AND NOT hv THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |    FROM (
+        |      SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
+        |        o_totalprice > 240000.0 AS hv
+        |      FROM orders WHERE o_orderkey <= 300
+        |    )
+        |  )
+        |), lf AS (
+        |  SELECT k,
+        |    SUM(CASE WHEN k > 1 THEN LN(CAST(k AS DOUBLE)) ELSE 0.0 END)
+        |      OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS lf
+        |  FROM (SELECT UNNEST(generate_series(0, (SELECT n FROM m))) AS k)
+        |), enc AS (
+        |  SELECT m.a, m.b, m.c, m.d, m.r1, m.c1, m.n,
+        |    lr1.lf + lnr1.lf + lc1.lf + lnc1.lf - lnn.lf AS lconst
+        |  FROM m
+        |  JOIN lf lr1 ON lr1.k = m.r1
+        |  JOIN lf lnr1 ON lnr1.k = m.n - m.r1
+        |  JOIN lf lc1 ON lc1.k = m.c1
+        |  JOIN lf lnc1 ON lnc1.k = m.n - m.c1
+        |  JOIN lf lnn ON lnn.k = m.n
+        |), en AS MATERIALIZED (
+        |  SELECT a, b, c, d, r1, c1, n, lconst,
+        |    UNNEST(generate_series(GREATEST(0, r1 + c1 - n),
+        |      LEAST(r1, c1))) AS t
+        |  FROM enc
+        |), scored AS (
+        |  SELECT en.a, en.b, en.c, en.d, en.n, en.t,
+        |    en.lconst - lt.lf - lrt.lf - lct.lf - lnt.lf AS lp
+        |  FROM en
+        |  JOIN lf lt ON lt.k = en.t
+        |  JOIN lf lrt ON lrt.k = en.r1 - en.t
+        |  JOIN lf lct ON lct.k = en.c1 - en.t
+        |  JOIN lf lnt ON lnt.k = en.n - en.r1 - en.c1 + en.t
+        |), obs AS (
+        |  SELECT lp AS lp_obs FROM scored WHERE t = a
+        |), g AS (
+        |  SELECT MAX(a) AS a, MAX(b) AS b, MAX(c) AS c, MAX(d) AS d,
+        |    MAX(n) AS n_sample,
+        |    SUM(CASE WHEN lp <= lp_obs + 0.0000001 THEN EXP(lp)
+        |      ELSE 0.0 END) AS p0
+        |  FROM scored, obs
+        |)
+        |SELECT a, b, c, d, n_sample,
+        |  FLOOR(LEAST(p0, 1.0) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS p_value,
+        |  CASE WHEN b > 0 AND c > 0
+        |    THEN FLOOR(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS odds_ratio,
+        |  CAST(CASE WHEN FLOOR(LEAST(p0, 1.0) * 1000000.0 + 0.500001)
+        |      / 1000000.0 < 0.05
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+        |FROM g""".stripMargin
   )
 }

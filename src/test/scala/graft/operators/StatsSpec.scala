@@ -952,4 +952,47 @@ class StatsSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
       s"power sums must partial-aggregate before the shuffle:\n$p")
   }
+
+  // ---- q_fisher_exact ------------------------------------------------------
+
+  test("Fisher exact: hand-computed hypergeometric p on a diagonal 5/5 table") {
+    import spark.implicits._
+    // a=5, b=0, c=0, d=5 (margins 5/5, n=10): only t=0 and t=5 are at most
+    // as likely as the observed table, each with P = 1/C(10,5) = 1/252, so
+    // the two-sided p is exactly 2/252 = 0.0079365… → r6 0.007937
+    def mk(rows: Seq[(Long, String, Double)]) = fixtureDir("orders" ->
+      rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val assoc = (1L to 5L).map((_, "1-URGENT", 300000.0)) ++
+      (6L to 10L).map((_, "5-LOW", 100000.0))
+    val r = SparkEntry.queries("q_fisher_exact")(spark, mk(assoc)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((5L, 0L, 0L, 5L)))
+    assert(r.getLong(4) === 10L)
+    assert(r.getDouble(5) === 0.007937, s"p = 2/252: $r")
+    assert(r.isNullAt(6), "odds ratio undefined at b = c = 0")
+    assert(r.getLong(7) === 1L, "perfect association must reject")
+    // a perfectly balanced table: the observed table is the mode, every
+    // table is at most as likely ⇒ p = 1 exactly, no rejection
+    val indep = (1L to 10L).map(i =>
+      (i, "1-URGENT", if (i <= 5) 300000.0 else 100000.0)) ++
+      (11L to 20L).map(i =>
+        (i, "5-LOW", if (i <= 15) 300000.0 else 100000.0))
+    val r2 = SparkEntry.queries("q_fisher_exact")(spark, mk(indep)).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)) ===
+      ((5L, 5L, 5L, 5L)))
+    assert(r2.getDouble(5) === 1.0, s"balanced table: p = 1: $r2")
+    assert(r2.getDouble(6) === 1.0, "odds ratio 1 on the balanced table")
+    assert(r2.getLong(7) === 0L)
+  }
+
+  test("Fisher exact on real data: bounded sample, p ∈ [0,1], flag consistent") {
+    val r = SparkEntry.queries("q_fisher_exact")(spark, sf).head()
+    val n = graft.io.Sources.table(spark, sf, "orders")
+      .where(col("o_orderkey") <= 300L).count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) === n)
+    assert(r.getLong(4) === n)
+    val p = r.getDouble(5)
+    assert(p >= 0.0 && p <= 1.0)
+    assert(r.getLong(7) === (if (p < 0.05) 1L else 0L))
+  }
 }

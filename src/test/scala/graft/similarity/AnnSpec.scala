@@ -357,4 +357,65 @@ class AnnSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"corpus must never shuffle into the probe join:\n$p")
   }
+
+  // ---- q_embed_mmd ----------------------------------------------------------
+
+  test("MMD: planted point masses give exactly |u - v|² in micro-units²") {
+    import spark.implicits._
+    // every label-0 vector is u, every label-1 vector is v, components
+    // exactly representable in float32 AND integral in micro-units — the
+    // unbiased linear-kernel estimator collapses to |u − v|² exactly
+    val u = Array(0.5f, 0.0f, 0.0f, 0.0f)
+    val v = Array(0.0f, 0.25f, 0.0f, 0.0f)
+    val rows = (0 until 6).map(i => (i.toLong, u, 0)) ++
+      (6 until 12).map(i => (i.toLong, v, 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmd").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = graft.SparkEntry.queries("q_embed_mmd")(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1)) === ((0L, 1L)))
+    assert((r.getLong(2), r.getLong(3)) === ((6L, 6L)))
+    // |u − v|² = 0.25 + 0.0625 = 0.3125 → 3.125e11 micro²
+    assert(r.getDouble(4) === 3.125e11, s"$r")
+  }
+
+  test("MMD matches a driver-side moment-identity replay on real data") {
+    val all = emb.collect().map { r =>
+      (r.getInt(r.fieldIndex("label")).toLong,
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+    }
+    val byG = all.groupBy(_._1).map { case (g, vs) =>
+      val mats = vs.map(_._2)
+      val d = mats.head.length
+      val s = (0 until d).map(i => mats.map(_(i)).sum).toArray
+      val q = mats.map(m => m.map(e => BigInt(e) * BigInt(e)).sum).sum
+      val s2 = s.map(x => BigInt(x) * BigInt(x)).sum
+      g -> (mats.length.toLong, s, q, s2)
+    }
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.500001) / 1e4
+    val got = graft.SparkEntry.queries("q_embed_mmd")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.length === byG.size * (byG.size - 1) / 2)
+    got.foreach { r =>
+      val (na, sa, qa, s2a) = byG(r.getLong(0))
+      val (nb, sb, qb, s2b) = byG(r.getLong(1))
+      assert(r.getLong(2) === na && r.getLong(3) === nb)
+      val sab = sa.zip(sb).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val want = (s2a - qa).toDouble / (na * (na - 1)).toDouble +
+        (s2b - qb).toDouble / (nb * (nb - 1)).toDouble -
+        2.0 * (sab.toDouble / (na * nb).toDouble)
+      assert(math.abs(r.getDouble(4) - r4d(want)) <= 1e-4 + 1e-9,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): got ${r.getDouble(4)} want $want")
+    }
+  }
+
+  test("MMD plan: one partial-aggregated explode shuffle, broadcast-only assembly") {
+    val p = graft.SparkEntry.queries("q_embed_mmd")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bounded frames must broadcast:\n$p")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange hashpartitioning"),
+      s"the ×d explode must partial-aggregate before its shuffle:\n$p")
+  }
 }
