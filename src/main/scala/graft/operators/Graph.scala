@@ -534,7 +534,13 @@ object Graph {
       val und = partPairEdges(Sources.table(s, dir, "lineitem")
         .where(col("l_orderkey") % 10 === 0)).localCheckpoint()
       modularity(und, labelPropagation(und, LpaRounds))
-    })
+    }),
+
+    // sampled closeness + harmonic centrality over the sliced co-purchase
+    // graph — see closeness() scaladoc
+    "q_closeness" -> ((s, dir) =>
+      closeness(partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)), BfsRounds))
   )
 
   /** Modularity (Newman–Girvan 2004) of a node partition over an
@@ -734,6 +740,69 @@ object Graph {
     * run — the q_kcore fixed-round discipline. */
   val BfsRounds = 8
 
+  /** Sampled closeness + harmonic centrality (Bavelas 1950 / Boldi–Vigna
+    * 2014): a vectorized multi-source BFS from the content-addressed seed
+    * set (node ≡ 0 mod 97 — the q_random_walk seed idiom; exact
+    * all-pairs closeness is O(n·m) and no centrality pipeline runs it at
+    * corpus scale — published practice samples sources), then per seed
+    * closeness = n_reached / Σdist over the reached set (the
+    * Wasserman–Faust reached-set variant, disconnection-safe) and
+    * harmonic = Σ 1/dist, the Boldi–Vigna measure that needs no
+    * connectivity caveat at all.
+    *
+    * Scale shape: the bfsLevels loop with a seed column riding every
+    * frame — each round is ONE frontier⋈edges equi-join (output bounded
+    * by Σ_seeds Σdeg(frontier_s)), a (seed,node) distinct and a
+    * composite-key anti-join against the seen set; per-round shuffles
+    * carry ≤ |seeds|·|nodes| rows, localCheckpoint released per round
+    * (the bfsLevels block discipline) and the final-round frontier count
+    * rides observe() as the in-band `converged` flag.
+    *
+    * Cross-engine exactness: dist is a small exact integer, so 1/dist
+    * quantizes to micro-units by INTEGER division (1000000 div d — no
+    * float exists anywhere in harmonic_micro), and closeness is one
+    * float division of exact BIGINTs.
+    */
+  def closeness(und: DataFrame, rounds: Int): DataFrame = {
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var dist = sym.select(col("src")).distinct()
+      .where(col("src") % 97 === 0)
+      .select(col("src").as("seed"), col("src").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist.select(col("seed"), col("node"))
+    var lastSize = -1L
+    for (k <- 1 to rounds) {
+      val obs = Observation()
+      val next = frontier
+        .join(sym, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(dist.select(col("seed").as("s2"), col("node").as("seen")),
+          col("seed") === col("s2") && col("node") === col("seen"),
+          "left_anti")
+        .select(col("seed"), col("node"), lit(k.toLong).as("dist"))
+      val merged = dist.unionAll(next)
+        .observe(obs, sum((col("dist") === k).cast("long")).as("f"))
+        .localCheckpoint()
+      Blocks.releaseCheckpoint(dist)
+      dist = merged
+      frontier = dist.where(col("dist") === k).select("seed", "node")
+      lastSize = Observe.metric(obs, "f").getOrElse(-1L)
+    }
+    val converged = if (lastSize == 0L) 1L else 0L
+    dist.where(col("dist") > 0L)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"),
+        sum((lit(1000000L) / col("dist")).cast("long")).as("harmonic_micro"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        (floor(col("n_reached").cast("double") / col("sum_dist")
+          * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)).as("closeness"),
+        col("harmonic_micro"), lit(converged).as("converged"))
+      .orderBy("seed")
+  }
+
   /** Fixed-round breadth-first search from `source`: the frontier-
     * expansion primitive (unweighted single-source shortest paths) that
     * complements pagerank's full-graph relaxation — each round touches
@@ -886,6 +955,7 @@ object Graph {
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> prOracle(PrIters),
     "q_sssp" -> bfsOracle(BfsRounds),
+    "q_closeness" -> closenessOracle(BfsRounds),
 
     // the deferred-normalization HITS unrolled: every CTE is an exact
     // HUGEINT sum (a1 = in-degree since h0 = 1), the one float op is the
@@ -1287,6 +1357,54 @@ object Graph {
        |  CAST(c AS BIGINT) AS converged
        |FROM a$rounds, conv
        |GROUP BY dist, c ORDER BY dist""".stripMargin
+  }
+
+  /** The DuckDB oracle for q_closeness: the bfsOracle CTE chain with a
+    * seed column riding every frontier (composite-key NOT EXISTS), then
+    * the same integer-division harmonic micro-units and one closeness
+    * float division per seed.
+    */
+  private def closenessOracle(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v AS src, u AS dst FROM und
+        |), a0 AS MATERIALIZED (
+        |  SELECT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM (SELECT DISTINCT src FROM sym WHERE src % 97 = 0)
+        |)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s""", f$k AS MATERIALIZED (
+         |  SELECT DISTINCT f.seed, e.dst AS node
+         |  FROM sym e JOIN ${if (k == 1) "a0" else s"f${k - 1}"} f
+         |    ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM a${k - 1} s
+         |    WHERE s.seed = f.seed AND s.node = e.dst)
+         |), a$k AS MATERIALIZED (
+         |  SELECT seed, node, dist FROM a${k - 1}
+         |  UNION ALL SELECT seed, node, CAST($k AS BIGINT) AS dist FROM f$k
+         |)""".stripMargin
+    }.mkString
+    s"""$head$roundCtes,
+       |conv AS (SELECT CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS c
+       |  FROM f$rounds),
+       |agg AS (
+       |  SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |    CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       |    CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
+       |  FROM a$rounds WHERE dist > 0 GROUP BY seed
+       |)
+       |SELECT seed, n_reached, sum_dist,
+       |  FLOOR(CAST(n_reached AS DOUBLE) / sum_dist * 1000000.0 + 0.500001)
+       |    / 1000000.0 AS closeness,
+       |  harmonic_micro, CAST(c AS BIGINT) AS converged
+       |FROM agg, conv ORDER BY seed""".stripMargin
   }
 
   private def kcoreOracle(k: Int, rounds: Int): String = {

@@ -561,4 +561,55 @@ class GraphSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
   }
+
+  // ---- closeness / harmonic centrality --------------------------------------
+
+  test("closeness: exact path-graph values from the mod-97 seed") {
+    // path 0—1—2—3: only node 0 is ≡ 0 (mod 97), so one seed row with
+    // n=3 reached, Σd = 6 ⇒ closeness 0.5, harmonic = 1e6 + 5e5 + ⌊1e6/3⌋
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("u", "v")
+    val rows = Graph.closeness(und, rounds = 5).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 3L && r.getLong(2) === 6L)
+    assert(r.getDouble(3) === 0.5)
+    assert(r.getLong(4) === 1000000L + 500000L + 333333L)
+    assert(r.getLong(5) === 1L, "5 rounds must exhaust a diameter-3 path")
+  }
+
+  test("closeness seeds never reach a disconnected component") {
+    val und = Seq((0L, 1L), (97L, 98L), (10L, 11L)).toDF("u", "v")
+    val rows = Graph.closeness(und, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(0L, 97L))
+    assert(rows(0L).getLong(1) === 1L && rows(0L).getDouble(3) === 1.0)
+    assert(rows(97L).getLong(1) === 1L && rows(97L).getLong(4) === 1000000L)
+  }
+
+  test("closeness on real data: agrees with a single-source bfsLevels replay") {
+    val und = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).cache()
+    try {
+      val rows = graft.SparkEntry.queries("q_closeness")(
+        spark, "/root/testdata/sf0.001").collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(0) % 97 === 0L, "seeds are content-addressed")
+        assert(r.getLong(2) >= r.getLong(1),
+          "every reached node is at distance ≥ 1")
+        assert(r.getDouble(3) <= 1.0 + 1e-9)
+        assert(r.getLong(4) <= r.getLong(1) * 1000000L,
+          "harmonic ≤ n_reached in micro-units")
+      }
+      // replay the first seed with the single-source primitive
+      val seed = rows.map(_.getLong(0)).min
+      val (dist, _) = Graph.bfsLevels(und, seed, Graph.BfsRounds)
+      val ds = dist.where(col("dist") > 0).collect().map(_.getLong(1))
+      val want = rows.find(_.getLong(0) == seed).get
+      assert(want.getLong(1) === ds.length.toLong)
+      assert(want.getLong(2) === ds.sum)
+      assert(want.getLong(4) === ds.map(1000000L / _).sum)
+    } finally und.unpersist()
+  }
 }
