@@ -430,42 +430,55 @@ object Multimodal {
     else {
       val ow = math.max(1, w * maxSide / maxDim)
       val oh = math.max(1, h * maxSide / maxDim)
-      val src = img.getRGB(0, 0, w, h, null, 0, w)
-      val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
-      // corner-aligned rational sampling: sx = ox·(w−1)/qx with qx = ow−1
-      // (a single output column samples column 0 exactly)
-      val qx = if (ow == 1) 1 else ow - 1
-      val qy = if (oh == 1) 1 else oh - 1
-      var oy = 0
-      while (oy < oh) {
-        val syNum = if (oh == 1) 0 else oy * (h - 1)
-        val y0 = syNum / qy; val fy = syNum % qy
-        val y1 = math.min(y0 + 1, h - 1)
-        var ox = 0
-        while (ox < ow) {
-          val sxNum = if (ow == 1) 0 else ox * (w - 1)
-          val x0 = sxNum / qx; val fx = sxNum % qx
-          val x1 = math.min(x0 + 1, w - 1)
-          val p00 = src(y0 * w + x0); val p10 = src(y0 * w + x1)
-          val p01 = src(y1 * w + x0); val p11 = src(y1 * w + x1)
-          val w00 = (qx - fx) * (qy - fy); val w10 = fx * (qy - fy)
-          val w01 = (qx - fx) * fy;        val w11 = fx * fy
-          val den = qx * qy
-          var rgb = 0
-          var shift = 16
-          while (shift >= 0) {
-            val c = (w00 * ((p00 >> shift) & 0xFF) + w10 * ((p10 >> shift) & 0xFF) +
-              w01 * ((p01 >> shift) & 0xFF) + w11 * ((p11 >> shift) & 0xFF)) / den
-            rgb |= c << shift
-            shift -= 8
-          }
-          out.setRGB(ox, oy, rgb)
-          ox += 1
-        }
-        oy += 1
-      }
-      out
+      resampleTo(img, ow, oh)
     }
+  }
+
+  /** Exact fixed-point bilinear resample to an ARBITRARY target size (up
+    * or down) — the [[resizeImage]] kernel with the caller choosing the
+    * output dims; corner-aligned rational sampling, integer weights, one
+    * floor division per channel, bit-identical everywhere. resizeImage's
+    * aspect-preserving downscale and q_image_phash's fixed 8×8 canonical
+    * grid are both this core.
+    */
+  def resampleTo(img: BufferedImage, ow: Int, oh: Int): BufferedImage = {
+    require(ow >= 1 && oh >= 1, s"target dims must be >= 1, got ${ow}x$oh")
+    val w = img.getWidth; val h = img.getHeight
+    val src = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    // corner-aligned rational sampling: sx = ox·(w−1)/qx with qx = ow−1
+    // (a single output column samples column 0 exactly)
+    val qx = if (ow == 1) 1 else ow - 1
+    val qy = if (oh == 1) 1 else oh - 1
+    var oy = 0
+    while (oy < oh) {
+      val syNum = if (oh == 1) 0 else oy * (h - 1)
+      val y0 = syNum / qy; val fy = syNum % qy
+      val y1 = math.min(y0 + 1, h - 1)
+      var ox = 0
+      while (ox < ow) {
+        val sxNum = if (ow == 1) 0 else ox * (w - 1)
+        val x0 = sxNum / qx; val fx = sxNum % qx
+        val x1 = math.min(x0 + 1, w - 1)
+        val p00 = src(y0 * w + x0); val p10 = src(y0 * w + x1)
+        val p01 = src(y1 * w + x0); val p11 = src(y1 * w + x1)
+        val w00 = (qx - fx) * (qy - fy); val w10 = fx * (qy - fy)
+        val w01 = (qx - fx) * fy;        val w11 = fx * fy
+        val den = qx * qy
+        var rgb = 0
+        var shift = 16
+        while (shift >= 0) {
+          val c = (w00 * ((p00 >> shift) & 0xFF) + w10 * ((p10 >> shift) & 0xFF) +
+            w01 * ((p01 >> shift) & 0xFF) + w11 * ((p11 >> shift) & 0xFF)) / den
+          rgb |= c << shift
+          shift -= 8
+        }
+        out.setRGB(ox, oy, rgb)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
   }
 
   /** Batched resize over raw media: decode → [[resizeImage]] → luminance
@@ -516,6 +529,66 @@ object Multimodal {
           i += 1
         }
         ResizeSummary(row.media_id, ow, oh, sum)
+      })
+    }
+  }
+
+  /** Fixed-point DCT-II basis for [[phashSummaries]]: C(u,x) =
+    * round(cos((2x+1)·u·π/16)·2¹⁴). Computed ONCE here and inlined into
+    * the DuckDB oracle as literal integers (LlmQueries.phashCosValues), so
+    * both engines multiply the IDENTICAL integer table — no trig call
+    * exists anywhere in the cross-engine surface.
+    */
+  val PhashCos: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 16.0) * 16384.0)
+  }
+
+  /** Per-media perceptual hash (pHash, DCT-based — the image near-dup
+    * fingerprint every multimodal dedup pipeline runs before training):
+    * decode → canonical 8×8 grid via [[resampleTo]] → integer 2-D DCT-II
+    * over the [[PhashCos]] fixed-point basis → the low-frequency 4×4
+    * block minus DC thresholds at its own median (8th of 15, an exact
+    * order statistic) into a 15-bit hash; bit i (= 4u+v over u,v < 4,
+    * skipping DC) set iff D(u,v) > median, so the median coefficient
+    * itself is 0 — fully deterministic, no float anywhere after decode.
+    * dc carries D(0,0) (= 2¹⁴·2¹⁴·Σp / implicit norm) for the oracle's
+    * brightness cross-check. Partition-local mapPartitions like every
+    * media kernel; one scan, no shuffle.
+    */
+  final case class PhashRow(media_id: Long, dc: Long, phash: Long,
+      n_ones: Long)
+
+  def phashSummaries(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[PhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { iter =>
+      val codec = new ImageCodec
+      iter.grouped(batchSize).flatMap(_.map { row =>
+        val g = resampleTo(codec.read(row.payload, row.mime, row.media_id), 8, 8)
+        val rgbs = g.getRGB(0, 0, 8, 8, null, 0, 8)
+        val p = rgbs.map(_ & 0xFF) // gray source: blue channel IS luminance
+        def dct(u: Int, v: Int): Long = {
+          var s = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              s += p(y * 8 + x) * PhashCos(u)(x) * PhashCos(v)(y)
+              x += 1
+            }
+            y += 1
+          }
+          s
+        }
+        val coeffs = for (u <- 0 until 4; v <- 0 until 4 if u != 0 || v != 0)
+          yield (u * 4 + v, dct(u, v))
+        val med = coeffs.map(_._2).sorted.apply(7) // 8th of 15
+        var hash = 0L
+        var ones = 0L
+        coeffs.foreach { case (i, d) =>
+          if (d > med) { hash |= 1L << i; ones += 1 }
+        }
+        PhashRow(row.media_id, dct(0, 0), hash, ones)
       })
     }
   }

@@ -1017,6 +1017,23 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // oracle-backed: perceptual hash (pHash) over REAL decoded pixels —
+    // the image near-dup fingerprint multimodal dedup runs before
+    // training: decode the genuine PNG, canonicalize to 8×8 through the
+    // exact fixed-point bilinear core (UP-sampling exercised too — source
+    // heights run 3..9), integer 2-D DCT-II over the fixed-point cosine
+    // basis that is INLINED into the oracle as literal integers (no trig
+    // in the cross-engine surface), low-4×4-minus-DC median threshold →
+    // 15-bit hash. Everything after decode is integer-exact, so DuckDB
+    // replays the full pipeline pixel-for-pixel from the closed-form
+    // source formula. One mapPartitions scan, no shuffle.
+    "q_image_phash" -> ((s, dir) => {
+      val media = Multimodal.pngMediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.phashSummaries(media).toDF()
+        .select(col("media_id"), col("dc"), col("phash"), col("n_ones"))
+        .orderBy("media_id")
+    }),
+
     // ---- corpus scrubbing (oracle-backed) ---------------------------------
     // PII redaction over deterministically planted emails/phones/cards/IPs;
     // the md5 of the redacted text pins the FULL redaction output per doc
@@ -1161,6 +1178,67 @@ object LlmQueries {
         .orderBy("source", "pack_id")
     })
   )
+
+  /** The q_image_phash oracle, GENERATED so the fixed-point DCT basis is
+    * inlined as the very same integers [[graft.multimodal.Multimodal.PhashCos]]
+    * multiplies — the replay is closed-form source pixels → rational
+    * bilinear 8×8 (the q_multimodal_resize SQL shape with a fixed target)
+    * → integer DCT → 8th-of-15 median threshold → 15-bit hash.
+    */
+  private def phashOracle: String = {
+    val cosVals = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${graft.multimodal.Multimodal.PhashCos(u)(x)})")
+      .mkString(", ")
+    s"""WITH cosv(u, x, c) AS (VALUES $cosVals),
+       |dims AS (
+       |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+       |  FROM documents
+       |), px AS (
+       |  SELECT d.doc_id, d.w, d.h, ox.ox AS gx, oy.oy AS gy,
+       |    ox.ox * (d.w - 1) AS sxn, oy.oy * (d.h - 1) AS syn
+       |  FROM dims d,
+       |    LATERAL unnest(generate_series(0, 7)) AS ox(ox),
+       |    LATERAL unnest(generate_series(0, 7)) AS oy(oy)
+       |), v AS (
+       |  SELECT doc_id, gx, gy,
+       |    sxn // 7 AS x0, sxn % 7 AS fx, LEAST(sxn // 7 + 1, w - 1) AS x1,
+       |    syn // 7 AS y0, syn % 7 AS fy, LEAST(syn // 7 + 1, h - 1) AS y1
+       |  FROM px
+       |), g8 AS MATERIALIZED (
+       |  SELECT doc_id, gx, gy,
+       |    ((7 - fx) * (7 - fy) * ((31 * x0 + 17 * y0 + doc_id) % 256)
+       |     + fx * (7 - fy) * ((31 * x1 + 17 * y0 + doc_id) % 256)
+       |     + (7 - fx) * fy * ((31 * x0 + 17 * y1 + doc_id) % 256)
+       |     + fx * fy * ((31 * x1 + 17 * y1 + doc_id) % 256)) // 49 AS p
+       |  FROM v
+       |), dctuv AS MATERIALIZED (
+       |  SELECT g8.doc_id, cu.u AS u, cv.u AS v2,
+       |    CAST(SUM(g8.p * cu.c * cv.c) AS BIGINT) AS d
+       |  FROM g8
+       |  JOIN cosv cu ON cu.x = g8.gx
+       |  JOIN cosv cv ON cv.x = g8.gy
+       |  WHERE cu.u < 4 AND cv.u < 4
+       |  GROUP BY 1, 2, 3
+       |), med AS (
+       |  SELECT doc_id, d AS med FROM (
+       |    SELECT doc_id, d,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d) AS rn
+       |    FROM dctuv WHERE u != 0 OR v2 != 0)
+       |  WHERE rn = 8
+       |), d0 AS (
+       |  SELECT doc_id, d AS dc FROM dctuv WHERE u = 0 AND v2 = 0
+       |)
+       |SELECT t.doc_id AS media_id, MAX(d0.dc) AS dc,
+       |  CAST(COALESCE(SUM(CASE WHEN (t.u != 0 OR t.v2 != 0) AND t.d > m.med
+       |    THEN CAST(1 AS BIGINT) << (t.u * 4 + t.v2) ELSE 0 END), 0)
+       |    AS BIGINT) AS phash,
+       |  CAST(SUM(CASE WHEN (t.u != 0 OR t.v2 != 0) AND t.d > m.med
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+       |FROM dctuv t
+       |JOIN med m ON m.doc_id = t.doc_id
+       |JOIN d0 ON d0.doc_id = t.doc_id
+       |GROUP BY t.doc_id ORDER BY media_id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" ->
@@ -2367,6 +2445,12 @@ object LlmQueries {
         |  CAST(oh AS BIGINT) AS height, CAST(SUM(3 * v) AS BIGINT) AS rgb_sum
         |FROM blend GROUP BY doc_id, ow, oh
         |ORDER BY media_id""".stripMargin,
+
+    // full pixel-for-pixel replay: closed-form source → the same rational
+    // bilinear 8×8 → integer DCT over the INLINED fixed-point cosine
+    // table (generated from Multimodal.PhashCos — both engines multiply
+    // identical integers) → the same 8th-of-15 median threshold
+    "q_image_phash" -> phashOracle,
 
     // the n-gram language-ID algorithm is deterministic end-to-end (argmax
     // gaps ≳ 3e-3 at sf0.01, far above cross-engine FP summation noise)

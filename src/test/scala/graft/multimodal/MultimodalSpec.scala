@@ -345,4 +345,57 @@ class MultimodalSpec extends SparkSpec {
       assert(r.peak_out === out.map(v => math.abs(v.toLong)).max)
     }
   }
+
+  test("resampleTo: identity at source dims, exact upscale blends") {
+    def gray(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+      img.getRGB(x, y) & 0xFF
+    // identity: 8x8 source through an 8x8 resample is pixel-for-pixel
+    val img8 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePng(8, 8, (x, y) => (x * 7 + y * 13) % 256)))
+    val id = Multimodal.resampleTo(img8, 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(gray(id, x, y) == gray(img8, x, y), s"identity at ($x,$y)")
+    // upscale 2x1 → 5x1: qx=4, sx = ox/4 — blend weights are exact
+    // quarters of src {0, 100}: 0, 25, 50, 75, 100
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePng(2, 1, (x, _) => 100 * x)))
+    val up = Multimodal.resampleTo(img2, 5, 1)
+    assert((0 until 5).map(gray(up, _, 0)) == Seq(0, 25, 50, 75, 100))
+  }
+
+  test("pHash: flat images hash to 0, a gradient sets only horizontal bits") {
+    import spark.implicits._
+    def phashOf(w: Int, h: Int, f: (Int, Int) => Int) = {
+      val media = Seq(Multimodal.MediaRow(0L,
+        Multimodal.encodePng(w, h, f), "image/png")).toDS()
+      Multimodal.phashSummaries(media).collect().head
+    }
+    // constant image: every non-DC DCT coefficient is exactly 0 → median
+    // 0, no strict exceedance → hash 0, and DC = 64·c·2²⁸
+    val flat = phashOf(6, 4, (_, _) => 77)
+    assert(flat.phash === 0L && flat.n_ones === 0L)
+    assert(flat.dc === 64L * 77L * 16384L * 16384L)
+    // horizontal ramp: separable p = g(x) ⇒ every coefficient with v ≠ 0
+    // vanishes (column factor sums cosine over a constant), so only bits
+    // at u*4 (v = 0) can set; DECREASING so the surviving odd-u
+    // coefficients are positive (above the all-zero median)
+    val ramp = phashOf(8, 8, (x, _) => 210 - x * 30)
+    assert(ramp.n_ones > 0L, "a ramp is not flat")
+    val allowed = Set(4, 8, 12).map(1L << _).sum
+    assert((ramp.phash & ~allowed) === 0L,
+      s"vertical-frequency bits must be clear: ${ramp.phash.toBinaryString}")
+  }
+
+  test("pHash on real data: 15-bit range, popcount consistency, ≤7 ones") {
+    val rows = graft.SparkEntry.queries("q_image_phash")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getLong(2)
+      assert((h & 1L) === 0L && h < (1L << 16), s"bit 0 is DC, 15-bit: $r")
+      assert(java.lang.Long.bitCount(h).toLong === r.getLong(3))
+      assert(r.getLong(3) <= 7L,
+        s"strictly-above-median of 15 values is at most 7: $r")
+    }
+  }
 }
