@@ -595,6 +595,50 @@ object Analytics {
           r6(col("lift_raw")).as("lift"))
         .orderBy(col("supp_ab").desc, col("lift").desc,
           col("part_a"), col("part_b"))
+    }),
+
+    // ---- quantile normalization (beyond reference, round 9) ---------------
+    // The microarray-era distribution equalizer (Bolstad et al. 2003) the
+    // feature-prep layer needs beside z/min-max scaling (q_feature_scale):
+    // force each customer's early-period and late-period spend onto ONE
+    // common distribution — rank each column, replace the rank-r value in
+    // BOTH columns with the mean of the two rank-r order statistics. After
+    // QN the two columns have literally identical value multisets, so
+    // cross-period comparisons are calibration-free. Exactness: spend
+    // stays integer cents; each reference value is (a+b)/2 over two exact
+    // BIGINTs (an exactly-representable .5 double), and rank ties break on
+    // custkey, so both engines produce identical ranks, references and
+    // hashes — zero float accumulation anywhere. Scale shape: one orders
+    // scan partial-aggregates to the per-customer frame; the two ranking
+    // windows and the two rank-equi-joins live on that CUSTOMER-bounded
+    // frame, never raw orders (at extreme scale the documented swap-in is
+    // an approx-quantile reference profile; the operator contract is
+    // unchanged).
+    "q_quantile_normalize" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val cut = lit("1998-01-01").cast("date")
+      val feats = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(when(to_date(col("o_orderdate")) < cut, cents)
+          .otherwise(0L)).as("m1"),
+          sum(when(to_date(col("o_orderdate")) >= cut, cents)
+            .otherwise(0L)).as("m2"))
+      val ranked = feats.select(col("custkey"), col("m1"), col("m2"),
+        row_number().over(Window.orderBy(col("m1"), col("custkey"))).as("r1"),
+        row_number().over(Window.orderBy(col("m2"), col("custkey"))).as("r2"))
+      val ref = ranked.select(col("r1").as("r"), col("m1"))
+        .join(ranked.select(col("r2").as("r"), col("m2")), Seq("r"))
+        .select(col("r"),
+          ((col("m1") + col("m2")).cast("double") / lit(2.0)).as("ref"))
+      ranked
+        .join(ref.select(col("r").as("r1"), col("ref").as("ref1")), Seq("r1"))
+        .join(ref.select(col("r").as("r2"), col("ref").as("ref2")), Seq("r2"))
+        .select(col("custkey"), col("m1"), col("m2"),
+          col("r1").cast("long").as("rank1"), col("r2").cast("long").as("rank2"),
+          (col("ref1") / lit(100.0)).as("qn_m1"),
+          (col("ref2") / lit(100.0)).as("qn_m2"))
+        .orderBy("custkey")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1006,5 +1050,34 @@ object Analytics {
         |  SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+
+    // identical custkey-tie-broken ranks and the same exact (a+b)/2
+    // reference profile — integer cents end-to-end, one exact division
+    "q_quantile_normalize" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+        |      THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS m2
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT custkey, m1, m2,
+        |    ROW_NUMBER() OVER (ORDER BY m1, custkey) AS r1,
+        |    ROW_NUMBER() OVER (ORDER BY m2, custkey) AS r2
+        |  FROM feats
+        |), ref AS (
+        |  SELECT a.r1 AS r, CAST(a.m1 + b.m2 AS DOUBLE) / 2.0 AS ref
+        |  FROM ranked a JOIN ranked b ON a.r1 = b.r2
+        |)
+        |SELECT k.custkey, k.m1, k.m2,
+        |  CAST(k.r1 AS BIGINT) AS rank1, CAST(k.r2 AS BIGINT) AS rank2,
+        |  f1.ref / 100.0 AS qn_m1, f2.ref / 100.0 AS qn_m2
+        |FROM ranked k
+        |JOIN ref f1 ON f1.r = k.r1
+        |JOIN ref f2 ON f2.r = k.r2
+        |ORDER BY custkey""".stripMargin)
 }

@@ -263,6 +263,49 @@ object LlmQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // oracle-backed: PMI collocation extraction (Church & Hanks 1990) —
+    // the adjacent-word-pair mining step that surfaces multiword units
+    // ("new york") before tokenizer/vocab decisions. Bigrams come from
+    // zip_with over the SAME token arrays q_tfidf splits — an in-array
+    // shift, NO positional self-join, so the corpus is scanned once and
+    // partial-aggregates straight to the (w1,w2) frame. PMI =
+    // ln(c12·N²/(Nb·c1·c2)) with every count an exact BIGINT and the
+    // products in decimal-38 (N² ≈ 10¹¹ at sf0.1 and 10²⁴ at corpus
+    // scale); unigram attach frames are vocab-bounded broadcasts. ONE
+    // ln per surviving pair, top-20 by (support, pair) — fully
+    // deterministic.
+    "q_collocation_pmi" -> ((s, dir) => {
+      val toks = TextOps.tokens(lower(col("text")))
+      val base = t(s, dir, "documents")
+        .select(toks.as("ts")).where(size(col("ts")) >= 2)
+      val big = base.select(explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = t(s, dir, "documents")
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("n_tokens"))
+      val nb = big.agg(sum(col("c12")).as("n_bigrams"))
+      val num = col("c12").cast("decimal(38,0)") *
+        col("n_tokens").cast("decimal(38,0)") * col("n_tokens")
+      val den = col("n_bigrams").cast("decimal(38,0)") *
+        col("c1").cast("decimal(38,0)") * col("c2")
+      big
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          r6(log(num.cast("double") / den.cast("double"))).as("pmi"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactDuplicates(t(s, dir, "documents")).orderBy("text_hash")
@@ -1490,6 +1533,37 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS k_anonymous
         |FROM cells""".stripMargin,
+
+    // identical token arrays (the q_tfidf split), index-shifted bigrams,
+    // and ONE ln over the same exact integer ratio; (support, pair) order
+    "q_collocation_pmi" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |), big AS (
+        |  SELECT ts[CAST(u.i AS INTEGER)] AS w1,
+        |    ts[CAST(u.i + 1 AS INTEGER)] AS w2
+        |  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2
+        |), bc AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(ts) AS w FROM toks) GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+        |nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM bc),
+        |top AS (
+        |  SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
+        |    n_tokens, n_bigrams
+        |  FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2,
+        |    tot, nb
+        |  ORDER BY c12 DESC, w1, w2 LIMIT 20
+        |)
+        |SELECT w1, w2, c12, c1, c2,
+        |  FLOOR(LN(CAST(CAST(c12 AS HUGEINT) * n_tokens * n_tokens AS DOUBLE)
+        |      / CAST(CAST(n_bigrams AS HUGEINT) * c1 * c2 AS DOUBLE))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS pmi
+        |FROM top ORDER BY c12 DESC, w1, w2""".stripMargin,
 
     // identical micro-unit quantization and moment identity (HUGEINT
     // mirrors decimal-38); the estimator is the same 3-term sequence

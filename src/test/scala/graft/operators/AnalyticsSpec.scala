@@ -560,4 +560,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"pair generation must stay an orderkey equi-join:\n$p")
   }
+
+  // ---- q_quantile_normalize -------------------------------------------------
+
+  test("quantile normalize: post-QN columns share one value multiset, ranks preserved") {
+    val rows = run("q_quantile_normalize").collect()
+    assert(rows.nonEmpty)
+    // the defining property: after QN the two columns are the SAME multiset
+    val q1 = rows.map(_.getDouble(5)).sorted.toSeq
+    val q2 = rows.map(_.getDouble(6)).sorted.toSeq
+    assert(q1 === q2, "QN forces identical distributions")
+    // rank preservation: qn_m1 is monotone in rank1 (same for m2)
+    val byR1 = rows.sortBy(_.getLong(3)).map(_.getDouble(5)).toSeq
+    assert(byR1.sliding(2).forall(p => p(0) <= p(1)), "monotone in rank")
+    // each reference value is the mean of the two order statistics
+    val m1sorted = rows.map(_.getLong(1)).sorted
+    val m2sorted = rows.map(_.getLong(2)).sorted
+    rows.foreach { r =>
+      val want1 = (m1sorted(r.getLong(3).toInt - 1) +
+        m2sorted(r.getLong(3).toInt - 1)).toDouble / 2.0 / 100.0
+      assert(r.getDouble(5) === want1, s"reference at rank ${r.getLong(3)}")
+    }
+  }
+
+  test("quantile normalize plan: windows ride the customer frame, not raw orders") {
+    val p = plan("q_quantile_normalize")
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange hashpartitioning"),
+      s"orders must partial-aggregate before any shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"$p")
+  }
 }

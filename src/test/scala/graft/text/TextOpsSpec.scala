@@ -345,4 +345,37 @@ class TextOpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-1000 head must be a distributed heap:\n$p")
   }
+
+  // ---- q_collocation_pmi ----------------------------------------------------
+
+  test("collocation PMI: a deterministic bigram corpus scores the exact closed form") {
+    import spark.implicits._
+    // "a b" ×4 and "c d" ×2 as separate docs: N = 12 tokens, Nb = 6
+    // bigrams; PMI(a,b) = ln(4·12²/(6·4·4)) = ln 6
+    val docs = (Seq.fill(4)("a b") ++ Seq.fill(2)("c d")).zipWithIndex
+      .map { case (t0, i) => (i.toLong, t0) }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmi").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_collocation_pmi")(spark, dir)
+      .collect()
+    assert(rows.length === 2)
+    val ab = rows.find(r => r.getString(0) == "a").get
+    assert(ab.getLong(2) === 4L && ab.getLong(3) === 4L && ab.getLong(4) === 4L)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    assert(ab.getDouble(5) === r6d(math.log(6.0)), s"PMI(a,b) = ln 6: $ab")
+    val cd = rows.find(r => r.getString(0) == "c").get
+    assert(cd.getDouble(5) === r6d(math.log(12.0)), s"PMI(c,d) = ln 12: $cd")
+  }
+
+  test("collocation PMI on real data: 20 rows, support-ordered, counts consistent") {
+    val rows = graft.SparkEntry.queries("q_collocation_pmi")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 20)
+    val supports = rows.map(_.getLong(2)).toSeq
+    assert(supports.sliding(2).forall(p => p(0) >= p(1)), "support-ordered")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4),
+        s"pair support cannot exceed either unigram count: $r")
+    }
+  }
 }
