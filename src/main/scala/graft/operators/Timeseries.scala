@@ -154,6 +154,67 @@ object Timeseries {
           r4(col("st.l") + lit(28.0) * col("st.t")).as("forecast_28"))
     }),
 
+    // ---- Holt–Winters triple exponential smoothing (beyond ref, r9) -------
+    // q_holt_trend plus ADDITIVE WEEKLY SEASONALITY (Winters 1960): state
+    // (level, trend, s[0..6]) with the seasonal slot keyed by TRUE
+    // day-of-week (x mod 7 on the epoch-day index — a rotating position
+    // array would misalign on calendar gaps), zero-initialized seasonals
+    // learned through γ. Same execution shape as q_holt_trend: the
+    // calendar-bounded daily frame collects into ONE sorted array (loud
+    // by construction — the array is the fold) and aggregate() runs the
+    // recurrence in date order; the oracle replays it as a recursive CTE
+    // carrying the 7 slots as columns. Both engines execute the identical
+    // float sequence element-by-element — the duplicated level
+    // subexpression inside the trend/seasonal updates is the SAME ops on
+    // both sides, so parity is structural; r4/r6 absorb nothing but ulps.
+    "q_holt_winters" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast("date")).as("x"))
+        .agg(sum(cents).as("yc"))
+      val arr = daily.agg(
+        sort_array(collect_list(struct(col("x"),
+          (col("yc").cast("double") / 100.0).as("y"),
+          pmod(col("x"), lit(7)).cast("int").as("dow")))).as("s"),
+        count(lit(1)).as("n_days"))
+      val sFields = (0 until 7).map(i => s"s$i")
+      def zero: Column = {
+        val head = element_at(col("s"), 1)
+        struct((head.getField("y").as("l") +: lit(0.0).as("b") +:
+          sFields.map(f => lit(0.0).as(f))): _*)
+      }
+      def sd(acc: Column, x: Column): Column =
+        (0 until 6).foldRight(acc.getField("s6"): Column) { (i, rest) =>
+          when(x.getField("dow") === i, acc.getField(s"s$i")).otherwise(rest)
+        }
+      def lv(acc: Column, x: Column): Column =
+        lit(0.2) * (x.getField("y") - sd(acc, x)) +
+          lit(0.8) * (acc.getField("l") + acc.getField("b"))
+      def bv(acc: Column, x: Column): Column =
+        lit(0.1) * (lv(acc, x) - acc.getField("l")) +
+          lit(0.9) * acc.getField("b")
+      def snew(acc: Column, x: Column): Column =
+        lit(0.3) * (x.getField("y") - lv(acc, x)) + lit(0.7) * sd(acc, x)
+      val folded = aggregate(
+        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+        zero,
+        (acc, x) => struct((lv(acc, x).as("l") +: bv(acc, x).as("b") +:
+          (0 until 7).map(i => when(x.getField("dow") === i, snew(acc, x))
+            .otherwise(acc.getField(s"s$i")).as(s"s$i"))): _*))
+      val lastDow = element_at(col("s"), -1).getField("dow")
+      val sLast = (0 until 6).foldRight(col("st.s6"): Column) { (i, rest) =>
+        when(col("ld") === i, col(s"st.s$i")).otherwise(rest)
+      }
+      arr.select(col("n_days"), folded.as("st"), lastDow.as("ld"))
+        .select((col("n_days") +:
+          r4(col("st.l")).as("level") +: r6(col("st.b")).as("trend") +:
+          (0 until 7).map(i => r4(col(s"st.s$i")).as(s"season_$i")) :+
+          r4(col("st.l") + lit(7.0) * col("st.b") + sLast)
+            .as("forecast_7")): _*)
+    }),
+
     // ---- time-range window frame ------------------------------------------
     // Per-user trailing-7-day sum/count over the event log: the RANGE
     // frame on event-time seconds (not ROWS — gaps and bursts both
@@ -566,6 +627,61 @@ object Timeseries {
     })
   )
 
+  /** DuckDB oracle for q_holt_winters — generated so the 7 seasonal-slot
+    * CASE chains stay textually identical to the Spark when-chains and the
+    * recurrence is the same duplicated-lv float sequence.
+    */
+  private def holtWintersOracle: String = {
+    val sCols = (0 until 7).map(i => s"s$i").mkString(", ")
+    val sdCase = "CASE " + (0 until 6).map(i =>
+      s"WHEN d.dow = $i THEN h.s$i").mkString(" ") + " ELSE h.s6 END"
+    val sUpd = (0 until 7).map(i =>
+      s"CASE WHEN dow = $i THEN sn ELSE s$i END").mkString(",\n    ")
+    val sOut = (0 until 7).map(i =>
+      s"FLOOR(s$i * 10000.0 + 0.500001) / 10000.0 AS season_$i")
+      .mkString(",\n  ")
+    val sLast = "CASE " + (0 until 6).map(i =>
+      s"WHEN dow = $i THEN s$i").mkString(" ") + " ELSE s6 END"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+       |    AS x,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+       |      AS BIGINT) AS yc
+       |  FROM orders GROUP BY 1
+       |), idx AS (
+       |  SELECT CAST(yc AS DOUBLE) / 100.0 AS y, x % 7 AS dow,
+       |    ROW_NUMBER() OVER (ORDER BY x) AS i
+       |  FROM daily
+       |), hw(i, l, b, $sCols) AS (
+       |  SELECT CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE)
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT i, lv, 0.1 * (lv - l) + 0.9 * b,
+       |    $sUpd
+       |  FROM (
+       |    SELECT z.*, 0.3 * (y - lv) + 0.7 * sd AS sn FROM (
+       |      SELECT w.*, 0.2 * (y - sd) + 0.8 * (l + b) AS lv FROM (
+       |        SELECT d.i, d.y, d.dow, h.l, h.b, $sCols,
+       |          $sdCase AS sd
+       |        FROM hw h JOIN idx d ON d.i = h.i + 1
+       |      ) w
+       |    ) z
+       |  ) q
+       |), f AS (SELECT * FROM hw ORDER BY i DESC LIMIT 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+       |ld AS (SELECT dow FROM idx ORDER BY i DESC LIMIT 1)
+       |SELECT n_days,
+       |  FLOOR(l * 10000.0 + 0.500001) / 10000.0 AS level,
+       |  FLOOR(b * 1000000.0 + 0.500001) / 1000000.0 AS trend,
+       |  $sOut,
+       |  FLOOR((l + 7.0 * b + $sLast) * 10000.0 + 0.500001) / 10000.0
+       |    AS forecast_7
+       |FROM f, n, ld""".stripMargin
+  }
+
   /** DuckDB oracle for q_acf, one UNION ALL branch per lag — generated so
     * the 7 branches stay textually identical to the Spark float sequence.
     */
@@ -898,6 +1014,10 @@ object Timeseries {
         |      * 1000000.0 + 0.500001) / 1000000.0
         |  ELSE NULL END AS ccf
         |FROM m ORDER BY lag""".stripMargin,
+
+    // the recursive-CTE replay of the same 9-field recurrence: identical
+    // seasonal CASE chains, the same duplicated-lv float sequence
+    "q_holt_winters" -> holtWintersOracle,
 
     // the same all-integer A/√V block identity (HUGEINT mirrors the
     // decimal-38 sums), micro-unit block means, and the identical pivoted

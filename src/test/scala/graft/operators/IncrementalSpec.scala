@@ -631,6 +631,51 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_holt_winters -------------------------------------------------------
+
+  test("Holt–Winters: a constant series holds level exactly with zero trend/seasonals") {
+    import spark.implicits._
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_hw").toString
+    (0 until 60).map(x => (day(x), 250.0)).toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_holt_winters")(spark, dir).head()
+    assert(r.getLong(0) === 60L)
+    assert(r.getDouble(1) === 250.0 && r.getDouble(2) === 0.0)
+    (3 to 9).foreach(i => assert(r.getDouble(i) === 0.0, s"seasonal $i"))
+    assert(r.getDouble(10) === 250.0, "forecast holds the level")
+  }
+
+  test("Holt–Winters matches an exact driver-side recurrence replay on real data") {
+    val daily = graft.io.Sources.table(spark, sf, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        lit("1995-01-01").cast("date")).as("x"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")).as("yc"))
+      .orderBy("x").collect()
+      .map(r => (r.getInt(0), r.getLong(1).toDouble / 100.0))
+    var l = daily.head._2; var b = 0.0
+    val s = Array.fill(7)(0.0)
+    daily.tail.foreach { case (x, y) =>
+      val dow = ((x % 7) + 7) % 7
+      val sd = s(dow)
+      val lv = 0.2 * (y - sd) + 0.8 * (l + b)
+      val bv = 0.1 * (lv - l) + 0.9 * b
+      s(dow) = 0.3 * (y - lv) + 0.7 * sd
+      l = lv; b = bv
+    }
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.500001) / 1e4
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    val r = SparkEntry.queries("q_holt_winters")(spark, sf).head()
+    assert(r.getLong(0) === daily.length.toLong)
+    assert(r.getDouble(1) === r4d(l), "level")
+    assert(r.getDouble(2) === r6d(b), "trend")
+    (0 until 7).foreach(i =>
+      assert(r.getDouble(3 + i) === r4d(s(i)), s"seasonal slot $i"))
+    val lastDow = ((daily.last._1 % 7) + 7) % 7
+    assert(r.getDouble(10) === r4d(l + 7.0 * b + s(lastDow)), "forecast_7")
+  }
+
   // ---- q_hurst --------------------------------------------------------------
 
   test("Hurst: a pure linear trend scores H ≈ 1; blocks and sizes are exact") {
