@@ -533,10 +533,122 @@ object Evaluation {
             .otherwise(0L)).over(wAll).cast("double") /
             sum(col("n")).over(wAll)).as("accuracy"))
         .orderBy("actual", "predicted")
+    }),
+
+    // ---- logistic regression by quantized-gradient descent ----------------
+    // Full-batch GD training made CROSS-ENGINE EXACT: the classic
+    // objection to hash-gating iterative float training is that each
+    // gradient is an order-dependent corpus sum whose ulps compound
+    // through the iterations. Here each row's gradient contribution
+    // (σ(w·x) − y)·x_j is quantized to integer micro-units ONCE (one
+    // deterministic float sequence per row — the q_entropy_rate
+    // discipline applied to SGD), so every gradient is an exact BIGINT,
+    // every weight update is the same closed-form double arithmetic on
+    // both engines, and THREE unrolled iterations replay bit-for-bit in
+    // chained SQL CTEs. Scale shape per iteration: one corpus scan
+    // partial-aggregating to 4 integers (map-side combine; the weights
+    // ride in as literals — the two-tier BetaGeo stance: a driver loop
+    // over bounded aggregates, state O(features)). Final metrics: exact
+    // micro-unit logloss and exact decision counts.
+    "q_logistic_gd" -> ((s, dir) => {
+      val frame = t(s, dir, "orders").select(
+        (col("o_totalprice") > 240000.0).cast("long").as("y"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("double")
+          .as("x1"),
+        (dayofweek(to_date(col("o_orderdate"))).cast("double") / lit(7.0))
+          .as("x2"))
+      val n = frame.count()
+      val nd = n.toDouble * 1000000.0
+      var w = Array(0.0, 0.0, 0.0)
+      for (_ <- 1 to 3) {
+        val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+        val sig = lit(1.0) / (lit(1.0) + exp(-z))
+        val err = sig - col("y").cast("double")
+        val g = frame.agg(
+          sum(floor(err * lit(1000000.0)).cast("long")).as("g0"),
+          sum(floor(err * col("x1") * lit(1000000.0)).cast("long")).as("g1"),
+          sum(floor(err * col("x2") * lit(1000000.0)).cast("long")).as("g2"))
+          .head()
+        w = Array(
+          w(0) - 4.0 * (g.getLong(0).toDouble / nd),
+          w(1) - 4.0 * (g.getLong(1).toDouble / nd),
+          w(2) - 4.0 * (g.getLong(2).toDouble / nd))
+      }
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      val ll = when(col("y") === 1L, log(sig)).otherwise(log(lit(1.0) - sig))
+      frame.agg(
+        count(lit(1)).as("n"),
+        sum(when((z > 0) === (col("y") === 1L), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(floor(-ll * lit(1000000.0)).cast("long")).as("logloss_micro"))
+        .select(col("n"), lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+          lit(w(2)).as("w2"), col("n_correct"),
+          r6(col("n_correct").cast("double") / col("n")).as("accuracy"),
+          col("logloss_micro"))
     })
   )
 
+  /** The q_logistic_gd oracle — the three GD iterations unrolled as
+    * chained CTEs; every gradient is the same exact micro-unit BIGINT, so
+    * the weight chain replays the Spark driver loop bit-for-bit.
+    */
+  private def logisticGdOracle: String = {
+    def zExpr(i: Int) = s"i$i.w0 + i$i.w1 * x1 + i$i.w2 * x2"
+    def sigExpr(i: Int) = s"1.0 / (1.0 + EXP(-(${zExpr(i)})))"
+    val iters = (1 to 3).map { k =>
+      val p = k - 1
+      s""", g$k AS (
+         |  SELECT
+         |    CAST(SUM(CAST(FLOOR((${sigExpr(p)} - CAST(y AS DOUBLE))
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         |    CAST(SUM(CAST(FLOOR((${sigExpr(p)} - CAST(y AS DOUBLE)) * x1
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         |    CAST(SUM(CAST(FLOOR((${sigExpr(p)} - CAST(y AS DOUBLE)) * x2
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS g2
+         |  FROM base, i$p
+         |), i$k AS (
+         |  SELECT i$p.w0 - 4.0 * (CAST(g$k.g0 AS DOUBLE) / nn.nd) AS w0,
+         |    i$p.w1 - 4.0 * (CAST(g$k.g1 AS DOUBLE) / nn.nd) AS w1,
+         |    i$p.w2 - 4.0 * (CAST(g$k.g2 AS DOUBLE) / nn.nd) AS w2
+         |  FROM i$p, g$k, nn
+         |)""".stripMargin
+    }.mkString
+    s"""WITH base AS (
+       |  SELECT
+       |    CAST(CASE WHEN o_totalprice > 240000.0 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS y,
+       |    CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END AS DOUBLE) AS x1,
+       |    CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS DOUBLE) / 7.0
+       |      AS x2
+       |  FROM orders
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS DOUBLE) * 1000000.0 AS nd
+       |  FROM base
+       |), i0 AS (
+       |  SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |    CAST(0.0 AS DOUBLE) AS w2
+       |)$iters
+       |SELECT nn.n, i3.w0, i3.w1, i3.w2,
+       |  CAST(SUM(CASE WHEN ((${zExpr(3)}) > 0) = (y = 1) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  FLOOR(CAST(SUM(CASE WHEN ((${zExpr(3)}) > 0) = (y = 1)
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / nn.n
+       |    * 1000000.0 + 0.500001) / 1000000.0 AS accuracy,
+       |  CAST(SUM(CAST(FLOOR(-(CASE WHEN y = 1 THEN LN(${sigExpr(3)})
+       |    ELSE LN(1.0 - (${sigExpr(3)})) END) * 1000000.0) AS BIGINT))
+       |    AS BIGINT) AS logloss_micro
+       |FROM base, nn, i3
+       |GROUP BY nn.n, i3.w0, i3.w1, i3.w2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    // chained-CTE replay of the quantized-gradient training loop —
+    // bit-identical weights, decisions and micro-unit logloss
+    "q_logistic_gd" -> logisticGdOracle,
 
     // the q_hybrid_search bm25/cos structure; metrics from the two ranked
     // CTEs — natural-log DCG (base cancels in the DCG/IDCG ratio)

@@ -501,6 +501,38 @@ class EvaluationSpec extends SparkSpec {
     assert(rows.length <= 25, "at most |classes|² cells")
   }
 
+  test("logistic GD: a separable planted feature reaches accuracy 1 in 3 iterations") {
+    import spark.implicits._
+    // urgent ⇔ high-value exactly: x1 perfectly predicts y; the quantized
+    // 3-iteration GD drives w1 ≈ 2.1 and classifies every row (driver
+    // replay of the identical recurrence: w = (−0.597, 2.106, −0.326))
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    val rows = (0 until 200).map { i =>
+      val hot = i % 2 == 0
+      (i.toLong, if (hot) "1-URGENT" else "5-LOW",
+        if (hot) 300000.0 else 100000.0, day(i % 7))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lgd").toString
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_logistic_gd")(spark, dir).head()
+    assert(r.getLong(0) === 200L && r.getLong(4) === 200L)
+    assert(r.getDouble(5) === 1.0, s"separable data must classify: $r")
+    assert(r.getDouble(2) > 2.0, s"the predictive weight must dominate: $r")
+    assert(math.abs(r.getDouble(1) + 0.5968) < 0.01, s"replayed w0: $r")
+  }
+
+  test("logistic GD on real data: logloss below the w=0 baseline, counts consistent") {
+    val r = SparkEntry.queries("q_logistic_gd")(spark, sf).head()
+    val n = r.getLong(0)
+    assert(r.getLong(4) <= n)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    // at w = 0 every row contributes exactly ln 2 micro-units; training
+    // must not end above the untrained loss
+    assert(r.getLong(6) < n * 693148L,
+      s"3 GD steps must beat the ln-2 baseline: $r")
+  }
+
   test("Naive Bayes plan: the fitted model scores as a join-free projection") {
     val p = plan("q_naive_bayes")
     assert(!p.contains("Join"),
