@@ -535,6 +535,51 @@ object Evaluation {
         .orderBy("actual", "predicted")
     }),
 
+    // ---- isotonic calibration (PAV by the max-min identity) ---------------
+    // The monotone score-calibrator (Zadrozny–Elkan 2002) beside the
+    // binned q_calibration diagnostic: fit the best NON-DECREASING map
+    // from stop-ratio score to P(lang = en). Instead of the sequential
+    // pool-adjacent-violators loop (driver-bound, order-dependent), use
+    // the closed-form identity fitted(i) = max_{j≤i} min_{k≥i}
+    // mean(y[j..k]) — pure relational algebra over the BOUNDED 2-dp bin
+    // frame (≤101 bins ⇒ ≤5151 interval pairs ⇒ ≤10⁵·2 triple rows,
+    // schema-bounded at any corpus size; the corpus itself reduces in ONE
+    // partial-aggregated scan). Every interval mean is one division of
+    // exact integer cumulative sums, min/max are exact comparisons —
+    // there is NO float accumulation anywhere, so the fit is hash-exact
+    // without any rounding discipline. Monotonicity is guaranteed by
+    // construction (the identity is the isotonic regression).
+    "q_isotonic_calibration" -> ((s, dir) => {
+      val b2 = scoreBins(t(s, dir, "documents"))
+        .groupBy((floor(col("sb") * lit(100.0) + lit(0.500001)) / lit(100.0))
+          .as("sb2"))
+        .agg(sum(col("pos")).as("pos"), sum(col("pos") + col("neg")).as("n"))
+      val wOrd = BoundedWindow.ordered(col("sb2"), col("sb2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ix = b2.select(col("sb2"), col("pos"), col("n"),
+        row_number().over(BoundedWindow.ordered(col("sb2"), col("sb2")))
+          .cast("long").as("i"),
+        sum(col("pos")).over(wOrd).as("cp"),
+        sum(col("n")).over(wOrd).as("cn"))
+      val j = ix.select(col("i").as("ji"), col("pos").as("jpos"),
+        col("n").as("jn"), col("cp").as("jcp"), col("cn").as("jcn"))
+      val kk = ix.select(col("i").as("ki"), col("cp").as("kcp"),
+        col("cn").as("kcn"))
+      val pr = j.join(broadcast(kk), col("ji") <= col("ki"))
+        .select(col("ji"), col("ki"),
+          ((col("kcp") - col("jcp") + col("jpos")).cast("double") /
+            (col("kcn") - col("jcn") + col("jn")).cast("double")).as("mean"))
+      val tri = pr.select(col("ji"),
+        explode(sequence(col("ji"), col("ki"))).as("i"), col("mean"))
+      val fit = tri.groupBy("i", "ji").agg(min(col("mean")).as("mn"))
+        .groupBy("i").agg(max(col("mn")).as("fitted"))
+      ix.join(broadcast(fit), Seq("i"))
+        .select(col("sb2").as("score_bin"), col("n"), col("pos"),
+          r6(col("pos").cast("double") / col("n")).as("raw_rate"),
+          r6(col("fitted")).as("calibrated"))
+        .orderBy("score_bin")
+    }),
+
     // ---- logistic regression by quantized-gradient descent ----------------
     // Full-batch GD training made CROSS-ENGINE EXACT: the classic
     // objection to hash-gating iterative float training is that each
@@ -649,6 +694,39 @@ object Evaluation {
     // chained-CTE replay of the quantized-gradient training loop —
     // bit-identical weights, decisions and micro-unit logloss
     "q_logistic_gd" -> logisticGdOracle,
+
+    // the same max-min identity over the same 2-dp bin frame — interval
+    // means are single divisions of exact cumulative integers
+    "q_isotonic_calibration" -> (binsCte +
+      """, b2 AS (
+        |  SELECT FLOOR(sb * 100.0 + 0.500001) / 100.0 AS sb2,
+        |    CAST(SUM(pos) AS BIGINT) AS pos,
+        |    CAST(SUM(pos + neg) AS BIGINT) AS n
+        |  FROM b GROUP BY 1
+        |), ix AS (
+        |  SELECT sb2, pos, n,
+        |    ROW_NUMBER() OVER (ORDER BY sb2) AS i,
+        |    SUM(pos) OVER (ORDER BY sb2 ROWS UNBOUNDED PRECEDING) AS cp,
+        |    SUM(n) OVER (ORDER BY sb2 ROWS UNBOUNDED PRECEDING) AS cn
+        |  FROM b2
+        |), pr AS (
+        |  SELECT j.i AS ji, k.i AS ki,
+        |    CAST(k.cp - j.cp + j.pos AS DOUBLE)
+        |      / CAST(k.cn - j.cn + j.n AS DOUBLE) AS mean
+        |  FROM ix j JOIN ix k ON j.i <= k.i
+        |), tri AS (
+        |  SELECT ji, CAST(u.i AS BIGINT) AS i, mean
+        |  FROM pr, LATERAL unnest(generate_series(pr.ji, pr.ki)) AS u(i)
+        |), fit AS (
+        |  SELECT i, MAX(mn) AS fitted FROM (
+        |    SELECT i, ji, MIN(mean) AS mn FROM tri GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT ix.sb2 AS score_bin, ix.n, ix.pos,
+        |  FLOOR(CAST(ix.pos AS DOUBLE) / CAST(ix.n AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS raw_rate,
+        |  FLOOR(fit.fitted * 1000000.0 + 0.500001) / 1000000.0 AS calibrated
+        |FROM ix JOIN fit ON fit.i = ix.i ORDER BY score_bin""".stripMargin),
 
     // the q_hybrid_search bm25/cos structure; metrics from the two ranked
     // CTEs — natural-log DCG (base cancels in the DCG/IDCG ratio)

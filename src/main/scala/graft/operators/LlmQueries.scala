@@ -467,6 +467,12 @@ object LlmQueries {
         .orderBy("ga", "gb")
     }),
 
+    // oracle-backed: Local Outlier Factor over the bounded monitoring
+    // sample — see Ann.lof scaladoc (broadcast-only joins, bit-identical
+    // codegen distances, r6-absorbed k-term sums)
+    "q_lof" -> ((s, dir) =>
+      Ann.lof(t(s, dir, "embeddings"), maxId = 200L, k = 5)),
+
     // oracle-backed: exact brute-force cosine top-5 for a bounded probe
     // batch (DuckDB list_dot_product over DOUBLE[] is bit-identical)
     "q_ann_brute" -> ((s, dir) => {
@@ -1533,6 +1539,44 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS k_anonymous
         |FROM cells""".stripMargin,
+
+    // the same three-dot distance identity over DOUBLE[] casts, (d², id)
+    // kNN ranking, and the identical reach/lrd/LOF float sequences
+    "q_lof" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
+        |  FROM embeddings WHERE vec_id < 200
+        |), pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    a.sq + b.sq - 2.0 * list_dot_product(a.v, b.v) AS d2
+        |  FROM s a JOIN s b ON a.vec_id != b.vec_id
+        |), knn AS (
+        |  SELECT * FROM (
+        |    SELECT a, b, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2, b) AS rk
+        |    FROM pairs) WHERE rk <= 5
+        |), kd AS (SELECT a AS p, d2 AS kd2 FROM knn WHERE rk = 5),
+        |reach AS (
+        |  SELECT knn.a, GREATEST(sqrt(kd.kd2), sqrt(knn.d2)) AS r
+        |  FROM knn JOIN kd ON kd.p = knn.b
+        |), lrd AS (
+        |  SELECT a, 5.0 / SUM(r) AS lrd FROM reach GROUP BY a
+        |), neigh AS (
+        |  SELECT knn.a, SUM(l2.lrd) AS sl
+        |  FROM knn JOIN lrd l2 ON l2.a = knn.b GROUP BY knn.a
+        |)
+        |SELECT n.a AS vec_id,
+        |  FLOOR(sqrt(kd.kd2) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS k_distance,
+        |  FLOOR(l.lrd * 1000000.0 + 0.500001) / 1000000.0 AS lrd,
+        |  FLOOR(n.sl / (5.0 * l.lrd) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS lof,
+        |  CAST(CASE WHEN FLOOR(n.sl / (5.0 * l.lrd) * 1000000.0 + 0.500001)
+        |      / 1000000.0 > 1.5
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM neigh n JOIN lrd l ON l.a = n.a JOIN kd ON kd.p = n.a
+        |ORDER BY vec_id""".stripMargin,
 
     // identical token arrays (the q_tfidf split), index-shifted bigrams,
     // and ONE ln over the same exact integer ratio; (support, pair) order

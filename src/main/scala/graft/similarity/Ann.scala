@@ -740,4 +740,61 @@ object Ann {
       .crossJoin(broadcast(errTotal))
       .orderBy("probe_id", "rank")
   }
+
+  /** Local Outlier Factor (Breunig et al. 2000) over a BOUNDED id-prefix
+    * sample — the density-based embedding-outlier score a curation
+    * pipeline runs on its monitoring sample (LOF is inherently all-pairs
+    * within the scored set, so the sample is the unit of work — the
+    * q_knn_eval bounded-eval stance; the corpus-scale swap-in is LSH-
+    * bucketed candidate pruning via [[cosineNearDuplicates]]'s banding).
+    *
+    * Pipeline: squared distances from THREE codegen dots (d² = ⟨a,a⟩ +
+    * ⟨b,b⟩ − 2⟨a,b⟩ — index-ordered, bit-identical cross-engine, the
+    * q_ann_brute anchor), kNN by (d², id), k-distance = the k-th NN
+    * distance, reach-dist(a,b) = max(kdist(b), d(a,b)), lrd = k/Σreach,
+    * LOF = Σ_{b∈N(a)} lrd(b) / (k·lrd(a)). Every join is a broadcast of
+    * the bounded sample; the two k-term float sums are absorbed by r6
+    * (the q_js_divergence discipline). LOF ≈ 1 = inlier; the flag uses
+    * the conventional 1.5 screen on the ROUNDED score so it cannot flip
+    * cross-engine.
+    */
+  def lof(emb: DataFrame, maxId: Long, k: Int): DataFrame = {
+    VecOps.register(emb.sparkSession)
+    def r6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    val s = emb.where(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("sq"))
+    val a = s.select(col("vec_id").as("a"), col("embedding").as("va"),
+      col("sq").as("aa"))
+    val b = s.select(col("vec_id").as("b"), col("embedding").as("vb"),
+      col("sq").as("bb"))
+    val pairs = a.join(broadcast(b), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (col("aa") + col("bb") - lit(2.0) * dot(col("va"), col("vb")))
+          .as("d2"))
+    val w = Window.partitionBy(col("a")).orderBy(col("d2"), col("b"))
+    val knn = pairs
+      .select(col("a"), col("b"), col("d2"), row_number().over(w).as("rk"))
+      .where(col("rk") <= k)
+      .localCheckpoint()
+    val kdist = knn.where(col("rk") === k)
+      .select(col("a").as("p"), col("d2").as("kd2"))
+    val reach = knn
+      .join(broadcast(kdist.select(col("p").as("b"), col("kd2"))), Seq("b"))
+      .select(col("a"), greatest(sqrt(col("kd2")), sqrt(col("d2"))).as("r"))
+    val lrd = reach.groupBy("a")
+      .agg((lit(k.toDouble) / sum(col("r"))).as("lrd"))
+    val neigh = knn
+      .join(broadcast(lrd.select(col("a").as("b"), col("lrd").as("lrd_b"))),
+        Seq("b"))
+      .groupBy("a").agg(sum(col("lrd_b")).as("sl"))
+    val score = r6(col("sl") / (lit(k.toDouble) * col("lrd")))
+    neigh.join(broadcast(lrd), Seq("a"))
+      .join(broadcast(kdist.select(col("p").as("a"), col("kd2"))), Seq("a"))
+      .select(col("a").as("vec_id"), r6(sqrt(col("kd2"))).as("k_distance"),
+        r6(col("lrd")).as("lrd"), score.as("lof"),
+        (score > 1.5).cast("long").as("is_outlier"))
+      .orderBy("vec_id")
+  }
 }

@@ -501,6 +501,33 @@ class EvaluationSpec extends SparkSpec {
     assert(rows.length <= 25, "at most |classes|² cells")
   }
 
+  test("isotonic calibration: monotone output that pools adjacent violators exactly") {
+    val rows = SparkEntry.queries("q_isotonic_calibration")(spark, sf)
+      .collect().sortBy(_.getDouble(0))
+    assert(rows.nonEmpty)
+    val cal = rows.map(_.getDouble(4)).toSeq
+    assert(cal.sliding(2).forall(p => p(0) <= p(1)),
+      "isotonic output must be non-decreasing in score")
+    cal.foreach(c => assert(c >= 0.0 && c <= 1.0 + 1e-9))
+    // the fit preserves total mass: Σ n·fitted = Σ pos (a PAV invariant,
+    // here within the r6 rounding of each bin)
+    val mass = rows.map(r => r.getLong(1) * r.getDouble(4)).sum
+    val pos = rows.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(mass - pos) < 0.01 * rows.length + 1e-6,
+      s"mass conservation: $mass vs $pos")
+    // replay the max-min identity on the driver from the bin counts
+    val ns = rows.map(_.getLong(1)); val ps = rows.map(_.getLong(2))
+    def mean(j: Int, k: Int): Double =
+      (j to k).map(ps(_)).sum.toDouble / (j to k).map(ns(_)).sum.toDouble
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    rows.indices.foreach { i =>
+      val want = (0 to i).map(j =>
+        (i until rows.length).map(k => mean(j, k)).min).max
+      assert(math.abs(rows(i).getDouble(4) - r6d(want)) < 2e-6,
+        s"fitted at bin $i")
+    }
+  }
+
   test("logistic GD: a separable planted feature reaches accuracy 1 in 3 iterations") {
     import spark.implicits._
     // urgent ⇔ high-value exactly: x1 perfectly predicts y; the quantized

@@ -358,6 +358,43 @@ class AnnSpec extends SparkSpec {
       s"corpus must never shuffle into the probe join:\n$p")
   }
 
+  // ---- q_lof ----------------------------------------------------------------
+
+  test("LOF: a planted far point flags as the only outlier of a uniform cluster") {
+    import spark.implicits._
+    // 12 points on a tight uniform line + one point 100× farther out:
+    // uniform-density members score LOF ≈ 1, the isolate far above 1.5
+    val rows = (0 until 12).map(i =>
+      (i.toLong, Array(i * 0.125f, 0.0f, 0.0f), 0)) :+
+      (12L, Array(100.0f, 0.0f, 0.0f), 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lof").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Ann.lof(Sources.table(spark, dir, "embeddings"),
+      maxId = 200L, k = 5).collect()
+    assert(out.length === 13)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(12L).getDouble(3) > 1.5 && byId(12L).getLong(4) === 1L,
+      s"the isolate must flag: ${byId(12L)}")
+    (0L to 11L).foreach { i =>
+      assert(byId(i).getDouble(3) < 1.5 && byId(i).getLong(4) === 0L,
+        s"uniform-cluster member $i must not flag: ${byId(i)}")
+    }
+  }
+
+  test("LOF on real data: positive densities, scores near 1 in the bulk") {
+    val rows = graft.SparkEntry.queries("q_lof")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0 && r.getDouble(2) > 0.0)
+      assert(r.getDouble(3) > 0.5 && r.getDouble(3) < 5.0,
+        s"LOF of random gaussians stays near 1: $r")
+    }
+    val near1 = rows.count(r => math.abs(r.getDouble(3) - 1.0) < 0.3)
+    assert(near1 * 2 > rows.length, "the bulk of a homogeneous sample is inlier")
+  }
+
   // ---- q_embed_mmd ----------------------------------------------------------
 
   test("MMD: planted point masses give exactly |u - v|² in micro-units²") {
