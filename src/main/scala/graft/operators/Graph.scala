@@ -741,65 +741,108 @@ object Graph {
   val BfsRounds = 8
 
   /** Sampled closeness + harmonic centrality (Bavelas 1950 / Boldi–Vigna
-    * 2014): a vectorized multi-source BFS from the content-addressed seed
-    * set (node ≡ 0 mod 97 — the q_random_walk seed idiom; exact
-    * all-pairs closeness is O(n·m) and no centrality pipeline runs it at
-    * corpus scale — published practice samples sources), then per seed
-    * closeness = n_reached / Σdist over the reached set (the
-    * Wasserman–Faust reached-set variant, disconnection-safe) and
-    * harmonic = Σ 1/dist, the Boldi–Vigna measure that needs no
-    * connectivity caveat at all.
+    * 2014): a bitmask multi-source BFS (the MS-BFS shape — Then et al.,
+    * VLDB 2014) from the content-addressed seed set (node ≡ 0 mod 97 —
+    * the q_random_walk seed idiom; exact all-pairs closeness is O(n·m)
+    * and no centrality pipeline runs it at corpus scale — published
+    * practice samples sources), then per seed closeness = n_reached /
+    * Σdist over the reached set (the Wasserman–Faust reached-set
+    * variant, disconnection-safe) and harmonic = Σ 1/dist, the
+    * Boldi–Vigna measure that needs no connectivity caveat at all.
     *
-    * Scale shape: the bfsLevels loop with a seed column riding every
-    * frame — each round is ONE frontier⋈edges equi-join (output bounded
-    * by Σ_seeds Σdeg(frontier_s)), a (seed,node) distinct and a
-    * composite-key anti-join against the seen set; per-round shuffles
-    * carry ≤ |seeds|·|nodes| rows, localCheckpoint released per round
-    * (the bfsLevels block discipline) and the final-round frontier count
-    * rides observe() as the in-band `converged` flag.
+    * Scale shape — the r9 rewrite that took the sf0.1 wall-time from
+    * 18 s to the graph family's norm: seeds get bit positions from ONE
+    * bounded driver collect (≤4096, loud cap — the codebook precedent),
+    * and BFS state becomes (node, chunk, 64-seed bitmask) rows — NODE-
+    * sized, never |seeds|·|nodes|. Each round is one frontier⋈edges
+    * equi-join (≤ |edges|·chunks rows) merged by the map-side-combining
+    * bit_or aggregate, one (node, chunk) equi-join against the seen
+    * masks for new = arr & ~seen, and a projection-only bit-explode of
+    * the NEW pairs into the per-(seed, dist) count frame — the total
+    * explode work over the whole run is exactly the number of reached
+    * (seed, node) pairs, paid once. Per-round frames localCheckpoint
+    * with release (the bfsLevels discipline); the loop exits early the
+    * round the frontier empties.
     *
-    * Cross-engine exactness: dist is a small exact integer, so 1/dist
-    * quantizes to micro-units by INTEGER division (1000000 div d — no
-    * float exists anywhere in harmonic_micro), and closeness is one
-    * float division of exact BIGINTs.
+    * Cross-engine exactness: everything after the scan is BIT ALGEBRA
+    * and integer counts — dist is a small exact integer, 1/dist
+    * quantizes by INTEGER division (1000000 div d — no float exists
+    * anywhere in harmonic_micro), and closeness is the single float
+    * division of exact BIGINTs. The converged flag derives in-plan from
+    * the count frame (zero dist-= -rounds arrivals), so the unrolled
+    * oracle reproduces it relationally.
     */
   def closeness(und: DataFrame, rounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
     val sym = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src"))
       .localCheckpoint()
-    var dist = sym.select(col("src")).distinct()
+    val seedIds = sym.select(col("src")).distinct()
       .where(col("src") % 97 === 0)
-      .select(col("src").as("seed"), col("src").as("node"), lit(0L).as("dist"))
-      .localCheckpoint()
-    var frontier = dist.select(col("seed"), col("node"))
-    var lastSize = -1L
-    for (k <- 1 to rounds) {
-      val obs = Observation()
-      val next = frontier
+      .orderBy("src").collect().map(_.getLong(0))
+    require(seedIds.length <= 4096,
+      s"closeness: ${seedIds.length} seeds exceed the bounded-fit cap 4096")
+    val bitLits = array((0 until 64).map(i =>
+      struct(lit(i.toLong).as("i"), lit(1L << i).as("mask"))): _*)
+    val seedArr = array(seedIds.map(lit).toSeq: _*)
+    var seen = seedIds.zipWithIndex.toSeq
+      .map { case (s, i) => (s, (i / 64).toLong, 1L << (i % 64)) }
+      .toDF("node", "chunk", "seen")
+      .repartition(col("node")).localCheckpoint()
+    var frontier = seen.select(col("node"), col("chunk"),
+      col("seen").as("bits"))
+    val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val arrived = frontier
         .join(sym, col("node") === col("src"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-        .join(dist.select(col("seed").as("s2"), col("node").as("seen")),
-          col("seed") === col("s2") && col("node") === col("seen"),
-          "left_anti")
-        .select(col("seed"), col("node"), lit(k.toLong).as("dist"))
-      val merged = dist.unionAll(next)
-        .observe(obs, sum((col("dist") === k).cast("long")).as("f"))
+        .groupBy(col("dst").as("node2"), col("chunk"))
+        .agg(bit_or(col("bits")).as("arr"))
+      val newf = arrived
+        .join(seen.select(col("node").as("node3"), col("chunk").as("chunk3"),
+          col("seen")), col("node2") === col("node3") &&
+          col("chunk") === col("chunk3"), "left")
+        .select(col("node2").as("node"), col("chunk"),
+          col("arr").bitwiseAND(bitwise_not(coalesce(col("seen"), lit(0L))))
+            .as("bits"))
+        .where(col("bits") =!= 0L)
         .localCheckpoint()
-      Blocks.releaseCheckpoint(dist)
-      dist = merged
-      frontier = dist.where(col("dist") === k).select("seed", "node")
-      lastSize = Observe.metric(obs, "f").getOrElse(-1L)
+      val mergedSeen = seen
+        .unionAll(newf.select(col("node"), col("chunk"),
+          col("bits").as("seen")))
+        .groupBy("node", "chunk").agg(bit_or(col("seen")).as("seen"))
+        .localCheckpoint()
+      Blocks.releaseCheckpoint(seen)
+      seen = mergedSeen
+      frontier = newf
+      // projection-only bit explode of the NEW pairs → (seed, dist) counts
+      counts += newf
+        .select(col("chunk"), col("bits"), explode(bitLits).as("b"))
+        .where(col("bits").bitwiseAND(col("b.mask")) =!= 0L)
+        .groupBy((col("chunk") * 64L + col("b.i")).as("idx"))
+        .agg(count(lit(1)).as("n"))
+        .select(element_at(seedArr, (col("idx") + 1L).cast("int"))
+          .as("seed"), lit(k.toLong).as("dist"), col("n"))
+      done = newf.isEmpty
+      k += 1
     }
-    val converged = if (lastSize == 0L) 1L else 0L
-    dist.where(col("dist") > 0L)
-      .groupBy(col("seed"))
-      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"),
-        sum((lit(1000000L) / col("dist")).cast("long")).as("harmonic_micro"))
+    val all = counts.reduce(_ unionAll _)
+    val wAll = BoundedWindow.whole(col("seed"))
+    all.groupBy(col("seed"))
+      .agg(sum(col("n")).as("n_reached"),
+        sum(col("n") * col("dist")).as("sum_dist"),
+        sum(col("n") * (lit(1000000L) / col("dist")).cast("long"))
+          .as("harmonic_micro"),
+        sum(when(col("dist") === rounds.toLong, col("n")).otherwise(0L))
+          .as("n_last"))
       .select(col("seed"), col("n_reached"), col("sum_dist"),
         (floor(col("n_reached").cast("double") / col("sum_dist")
           * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)).as("closeness"),
-        col("harmonic_micro"), lit(converged).as("converged"))
+        col("harmonic_micro"),
+        (sum(col("n_last")).over(wAll) === 0L).cast("long").as("converged"))
       .orderBy("seed")
   }
 

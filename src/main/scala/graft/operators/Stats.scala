@@ -1189,6 +1189,54 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- Mahalanobis multivariate outliers (beyond reference, r9) ---------
+    // The correlation-aware upgrade of q_mad_outliers / per-feature z:
+    // d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) over the per-customer (order count, total
+    // spend) plane — a customer can be unremarkable on each axis yet far
+    // off the joint ellipse, which is exactly what univariate screens
+    // miss. Scale shape: one orders scan partial-aggregates to the
+    // customer frame; the five exact moment integers (BIGINT/decimal-38)
+    // reduce to ONE broadcast row; scoring is a shuffle-free projection
+    // (μ, Σ⁻¹ enter as the same closed-form doubles on both engines —
+    // 2×2 inverse is exact algebra, no linear-algebra library). Flag at
+    // the χ²₂ 95% line (5.991) on the ROUNDED d² so it cannot flip
+    // cross-engine. Top-20 by (d², custkey) keeps output bounded.
+    "q_mahalanobis" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val feats = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("f"), sum(cents).as("m"))
+      val fd = col("f").cast("decimal(38,0)")
+      val md = col("m").cast("decimal(38,0)")
+      val g = feats.agg(count(lit(1)).as("n"),
+        sum(col("f")).as("sf0"), sum(col("m")).as("sm"),
+        sum(fd * fd).as("sff"), sum(md * md).as("smm"),
+        sum(fd * md).as("sfm"))
+      val nD = col("n").cast("double")
+      val muF = col("sf0").cast("double") / nD
+      val muM = col("sm").cast("double") / nD
+      val cff = col("sff").cast("double") / nD - muF * muF
+      val cmm = col("smm").cast("double") / nD - muM * muM
+      val cfm = col("sfm").cast("double") / nD - muF * muM
+      val det = cff * cmm - cfm * cfm
+      val stats = g.select(col("n"), muF.as("mu_f"), muM.as("mu_m"),
+        cff.as("cff"), cmm.as("cmm"), cfm.as("cfm"), det.as("det"))
+      val dx = col("f").cast("double") - col("mu_f")
+      val dy = col("m").cast("double") - col("mu_m")
+      val d2 = (dx * (col("cmm") * dx - col("cfm") * dy) +
+        dy * (col("cff") * dy - col("cfm") * dx)) / col("det")
+      val d2r = when(col("det") > 0, r6(d2))
+      feats.crossJoin(broadcast(stats))
+        .select(col("custkey"), col("f").as("n_orders"),
+          col("m").as("spend_cents"), d2r.as("d2"),
+          coalesce((d2r > lit(5.991464547107979)).cast("long"), lit(0L))
+            .as("is_outlier"))
+        .orderBy(col("d2").desc, col("custkey"))
+        .limit(20)
+        .orderBy(col("d2").desc, col("custkey"))
+    }),
+
     // ---- Fisher's exact test (beyond reference, round 9) ------------------
     // The small-sample 2×2 independence test the asymptotic q_chi_square /
     // q_prop_ztest CANNOT give: the exact two-sided p — Σ P(table) over
@@ -2320,6 +2368,52 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // the same exact HUGEINT moment integers, the identical closed-form
+    // 2×2 inverse sequence, and the (d², custkey) top-20
+    "q_mahalanobis" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(f) AS BIGINT) AS sf0, CAST(SUM(m) AS BIGINT) AS sm,
+        |    SUM(CAST(f AS HUGEINT) * f) AS sff,
+        |    SUM(CAST(m AS HUGEINT) * m) AS smm,
+        |    SUM(CAST(f AS HUGEINT) * m) AS sfm
+        |  FROM feats
+        |), d AS (
+        |  SELECT n,
+        |    CAST(sf0 AS DOUBLE) / CAST(n AS DOUBLE) AS mu_f,
+        |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mu_m,
+        |    CAST(sff AS DOUBLE) / CAST(n AS DOUBLE) AS rff,
+        |    CAST(smm AS DOUBLE) / CAST(n AS DOUBLE) AS rmm,
+        |    CAST(sfm AS DOUBLE) / CAST(n AS DOUBLE) AS rfm
+        |  FROM g
+        |), st AS (
+        |  SELECT *, rff - mu_f * mu_f AS cff, rmm - mu_m * mu_m AS cmm,
+        |    rfm - mu_f * mu_m AS cfm
+        |  FROM d
+        |), st2 AS (SELECT *, cff * cmm - cfm * cfm AS det FROM st),
+        |sc AS (
+        |  SELECT f2.custkey, f2.f, f2.m,
+        |    CAST(f2.f AS DOUBLE) - mu_f AS dx,
+        |    CAST(f2.m AS DOUBLE) - mu_m AS dy,
+        |    cff, cmm, cfm, det
+        |  FROM feats f2, st2
+        |), dd AS (
+        |  SELECT custkey, f, m,
+        |    CASE WHEN det > 0 THEN
+        |      FLOOR((dx * (cmm * dx - cfm * dy) + dy * (cff * dy - cfm * dx))
+        |        / det * 1000000.0 + 0.500001) / 1000000.0 END AS d2
+        |  FROM sc
+        |)
+        |SELECT custkey, f AS n_orders, m AS spend_cents, d2,
+        |  CAST(CASE WHEN d2 > 5.991464547107979 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_outlier
+        |FROM dd ORDER BY d2 DESC, custkey LIMIT 20""".stripMargin,
 
     // identical bounded-sample 2×2, k-ordered ln-factorial cumsum, and
     // at-most-as-likely enumeration with the same 1e-7 slack

@@ -215,6 +215,49 @@ object Timeseries {
             .as("forecast_7")): _*)
     }),
 
+    // ---- watermark lateness audit (beyond reference, round 9) -------------
+    // The batch diagnostic that SIZES a streaming watermark before anyone
+    // deploys one (streaming/StreamingOps picks delays; this measures
+    // them): per event, lateness = how far behind the per-user running
+    // event-time high-water mark it arrived, banded into the standard
+    // watermark candidates — a band's tail above a candidate = exactly
+    // the events `withWatermark(that delay)` would drop. The event log is
+    // emission-ordered (event_id ≈ ts), so arrival is REPLAYED with a
+    // content-addressed transport delay (md5-uniform 0..2 h — the
+    // q_dp_counts / q_bootstrap_ci deterministic-deviate discipline):
+    // both engines draw the identical delay, order by the identical
+    // arrival key, and measure the identical lateness. Shape: ONE
+    // user_id shuffle, a single running-max Window, projection to bands,
+    // bounded ≤6-row aggregate. Integer seconds end-to-end; the one
+    // float is the share division.
+    "q_watermark_lateness" -> ((s, dir) => {
+      val delay = pmod(conv(substring(md5(concat(lit("lat#"),
+        col("event_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(7201L))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lat = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("sec"))
+        .select(col("user_id"), col("event_id"), col("sec"),
+          (col("sec") + delay).as("arr"))
+        .select((max(col("sec")).over(w) - col("sec")).as("late"))
+      val band = when(col("late") <= 0L, "0_on_time")
+        .when(col("late") <= 60L, "1_le_1m")
+        .when(col("late") <= 3600L, "2_le_1h")
+        .when(col("late") <= 21600L, "3_le_6h")
+        .when(col("late") <= 86400L, "4_le_24h")
+        .otherwise("5_gt_24h")
+      val g = lat.groupBy(band.as("band"))
+        .agg(count(lit(1)).as("n_events"), max(col("late")).as("max_late_s"))
+      g.select(col("band"), col("n_events"), col("max_late_s"),
+          r6(col("n_events").cast("double") /
+            sum(col("n_events")).over(BoundedWindow.whole(col("band"))))
+            .as("share"))
+        .orderBy("band")
+    }),
+
     // ---- time-range window frame ------------------------------------------
     // Per-user trailing-7-day sum/count over the event log: the RANGE
     // frame on event-time seconds (not ROWS — gaps and bursts both
@@ -1018,6 +1061,38 @@ object Timeseries {
     // the recursive-CTE replay of the same 9-field recurrence: identical
     // seasonal CASE chains, the same duplicated-lv float sequence
     "q_holt_winters" -> holtWintersOracle,
+
+    // identical per-user running high-water mark (event_id arrival order),
+    // the same integer band edges, one share division
+    "q_watermark_lateness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS sec,
+        |    CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT)
+        |      + CAST('0x' || substr(md5('lat#' || CAST(event_id AS VARCHAR)),
+        |          1, 8) AS BIGINT) % 7201 AS arr
+        |  FROM events
+        |), lat AS (
+        |  SELECT MAX(sec) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |    ROWS UNBOUNDED PRECEDING) - sec AS late
+        |  FROM e
+        |), banded AS (
+        |  SELECT CASE WHEN late <= 0 THEN '0_on_time'
+        |    WHEN late <= 60 THEN '1_le_1m'
+        |    WHEN late <= 3600 THEN '2_le_1h'
+        |    WHEN late <= 21600 THEN '3_le_6h'
+        |    WHEN late <= 86400 THEN '4_le_24h'
+        |    ELSE '5_gt_24h' END AS band, late
+        |  FROM lat
+        |), g AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(late) AS BIGINT) AS max_late_s
+        |  FROM banded GROUP BY 1
+        |)
+        |SELECT band, n_events, max_late_s,
+        |  FLOOR(CAST(n_events AS DOUBLE) / SUM(n_events) OVER ()
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS share
+        |FROM g ORDER BY band""".stripMargin,
 
     // the same all-integer A/√V block identity (HUGEINT mirrors the
     // decimal-38 sums), micro-unit block means, and the identical pivoted

@@ -631,6 +631,36 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_watermark_lateness -------------------------------------------------
+
+  test("watermark lateness: bands cover every event, tails match the replayed delays") {
+    val rows = run("q_watermark_lateness").collect()
+    val total = graft.io.Sources.table(spark, sf, "events").count()
+    assert(rows.map(_.getLong(1)).sum === total,
+      "every event lands in exactly one band")
+    val share = rows.map(_.getDouble(3)).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"shares sum to 1: $share")
+    // a 0..2h planted transport delay can never produce lateness > 2h +
+    // the max per-user inter-event gap tail — but it MUST produce some
+    // out-of-order arrivals on a dense log
+    assert(rows.exists(r => r.getString(0) != "0_on_time" && r.getLong(1) > 0),
+      "the delay replay must reorder something")
+    rows.foreach { r =>
+      if (r.getString(0) == "0_on_time") assert(r.getLong(2) === 0L)
+      else assert(r.getLong(2) > 0L)
+    }
+  }
+
+  test("watermark lateness plan: one user shuffle, single window, no join") {
+    val p = plan("q_watermark_lateness")
+    assert(!p.contains("Join"), s"lateness is a window, not a self-join:\n$p")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 3,
+      s"user shuffle + bounded band agg + bounded share window, got $n:\n$p")
+    assert(p.contains("partial_count"),
+      s"band counts must partial-aggregate map-side:\n$p")
+  }
+
   // ---- q_holt_winters -------------------------------------------------------
 
   test("Holt–Winters: a constant series holds level exactly with zero trend/seasonals") {

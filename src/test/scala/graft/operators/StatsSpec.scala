@@ -953,6 +953,43 @@ class StatsSpec extends SparkSpec {
       s"power sums must partial-aggregate before the shuffle:\n$p")
   }
 
+  // ---- q_mahalanobis -------------------------------------------------------
+
+  test("Mahalanobis: a joint-ellipse violator outscores a marginally-extreme point") {
+    import spark.implicits._
+    // spend tracks order count almost perfectly (m = 1000·f ± 1) for the
+    // bulk; customer 998 sits at an extreme of BOTH marginals but ON the
+    // line; customer 999 is mid-range on each axis yet far OFF the line —
+    // univariate screens rank 998 first, Mahalanobis must rank 999 first
+    val bulk = (1 to 96).flatMap { c =>
+      (1 to (c % 8) + 2).map(i => (c.toLong, ((c % 8) + 2) * 10.0 + (i % 2) * 0.01))
+    }
+    val onLine = (1 to 14).map(i => (998L, 140.0 + (i % 2) * 0.01))
+    val offLine = (1 to 5).map(i => (999L, 200.0))
+    val rows = (bulk ++ onLine ++ offLine).zipWithIndex.map {
+      case ((c, tp), i) => (i.toLong, c, tp / 100.0 * 100.0, "1995-06-01")
+    }
+    val dir = fixtureDir("orders" -> rows.toDF(
+      "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+    val out = SparkEntry.queries("q_mahalanobis")(spark, dir).collect()
+    val d999 = out.find(_.getLong(0) == 999L)
+    val d998 = out.find(_.getLong(0) == 998L)
+    assert(d999.isDefined, "the off-correlation point must make the top-20")
+    assert(d998.forall(r => d999.get.getDouble(3) > r.getDouble(3)),
+      s"off-line beats on-line: ${d999
+        .map(_.getDouble(3))} vs ${d998.map(_.getDouble(3))}")
+  }
+
+  test("Mahalanobis on real data: 20 rows, descending d², flag consistent") {
+    val rows = SparkEntry.queries("q_mahalanobis")(spark, sf).collect()
+    assert(rows.length === 20)
+    val ds = rows.map(_.getDouble(3)).toSeq
+    assert(ds.sliding(2).forall(p => p(0) >= p(1)), "descending d²")
+    ds.foreach(d => assert(d >= 0.0))
+    rows.foreach(r => assert(r.getLong(4) ===
+      (if (r.getDouble(3) > 5.991464547107979) 1L else 0L)))
+  }
+
   // ---- q_fisher_exact ------------------------------------------------------
 
   test("Fisher exact: hand-computed hypergeometric p on a diagonal 5/5 table") {
