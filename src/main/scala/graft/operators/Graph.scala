@@ -540,7 +540,40 @@ object Graph {
     // graph — see closeness() scaladoc
     "q_closeness" -> ((s, dir) =>
       closeness(partPairEdges(Sources.table(s, dir, "lineitem")
-        .where(col("l_orderkey") % 10 === 0)), BfsRounds))
+        .where(col("l_orderkey") % 10 === 0)), BfsRounds)),
+
+    // degree power-law fit (beyond reference, round 9): the Clauset–
+    // Shalizi–Newman continuous-approximation MLE α̂ = 1 + n/Σln(d/(dmin−½))
+    // over the tail d ≥ dmin = 2 of the co-purchase degree distribution —
+    // the "is this graph scale-free" scalar that decides whether skew
+    // machinery (salting, hub-splitting) is mandatory at 100 TB. One
+    // degree aggregate (node-keyed, map-side combined), then ONE bounded
+    // row: each node's ln term quantizes to integer micro-units (the
+    // q_link_prediction AA discipline), so the tail sum is an exact
+    // BIGINT and α̂ is a single closed-form float both engines replay.
+    "q_degree_powerlaw" -> ((s, dir) => {
+      val und = partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0))
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val tail = col("d") >= 2L
+      val g = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("d")).as("sum_degree"),
+        max(col("d")).as("max_degree"),
+        sum(when(tail, 1L).otherwise(0L)).as("n_tail"),
+        sum(when(tail, floor(log(col("d").cast("double") / lit(1.5))
+          * lit(1000000.0)).cast("long")).otherwise(0L)).as("lsum_micro"))
+      def r6(x: Column): Column =
+        floor(x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+      g.select(col("n_nodes"), col("sum_degree"), col("max_degree"),
+        col("n_tail"), col("lsum_micro"),
+        when(col("lsum_micro") > 0L,
+          r6(lit(1.0) + col("n_tail").cast("double") /
+            (col("lsum_micro").cast("double") / lit(1000000.0))))
+          .as("alpha"))
+    })
   )
 
   /** Modularity (Newman–Girvan 2004) of a node partition over an
@@ -999,6 +1032,36 @@ object Graph {
     "q_pagerank" -> prOracle(PrIters),
     "q_sssp" -> bfsOracle(BfsRounds),
     "q_closeness" -> closenessOracle(BfsRounds),
+
+    // identical degree census, micro-unit ln tail sum, one closed-form α̂
+    "q_degree_powerlaw" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d) AS BIGINT) AS sum_degree,
+        |    CAST(MAX(d) AS BIGINT) AS max_degree,
+        |    CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tail,
+        |    CAST(SUM(CASE WHEN d >= 2 THEN
+        |      CAST(FLOOR(LN(CAST(d AS DOUBLE) / 1.5) * 1000000.0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS lsum_micro
+        |  FROM deg
+        |)
+        |SELECT n_nodes, sum_degree, max_degree, n_tail, lsum_micro,
+        |  CASE WHEN lsum_micro > 0 THEN
+        |    FLOOR((1.0 + CAST(n_tail AS DOUBLE)
+        |      / (CAST(lsum_micro AS DOUBLE) / 1000000.0))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS alpha
+        |FROM g""".stripMargin,
 
     // the deferred-normalization HITS unrolled: every CTE is an exact
     // HUGEINT sum (a1 = in-degree since h0 = 1), the one float op is the

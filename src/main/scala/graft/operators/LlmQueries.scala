@@ -164,6 +164,33 @@ object LlmQueries {
         .orderBy("split")
     }),
 
+    // oracle-backed: weighted reservoir sampling WITHOUT replacement
+    // (Efraimidis–Spirakis 2006) — the one-pass quality-weighted corpus
+    // subsampler: key_i = u_i^{1/w_i} with the uniform content-addressed
+    // from md5(doc_id) (the q_bootstrap_ci discipline — zero RNG state,
+    // replays identically on any engine/partitioning), take the top-k
+    // keys. Length-weighted here (w = n_chars), so long documents are
+    // proportionally favored exactly as inclusion-probability theory
+    // prescribes. Scale shape: pure projection + one distributed top-k
+    // heap (TakeOrdered — no global sort materializes); the corpus never
+    // shuffles. Both engines compute the identical (ln u)/w → exp
+    // sequence, so the selected SET and order are identical; r6 on the
+    // displayed key absorbs ulps.
+    "q_weighted_reservoir" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("wrs#"),
+        col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      val key = exp(log(u) / col("n_chars").cast("double"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("weight"), key.as("k0"))
+        .orderBy(col("k0").desc, col("doc_id"))
+        .limit(20)
+        .select(row_number().over(BoundedWindow.ordered(col("doc_id"),
+            col("k0").desc, col("doc_id"))).cast("long").as("rank"),
+          col("doc_id"), col("weight"), r6(col("k0")).as("key"))
+        .orderBy("rank")
+    }),
+
     // oracle-backed: corpus mixing — per-source keep fractions via the
     // same content-addressed rule (keep all of src0, half of src1, a
     // quarter of src2, drop the rest)
@@ -1539,6 +1566,24 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS k_anonymous
         |FROM cells""".stripMargin,
+
+    // the identical content-addressed uniform and (ln u)/w → exp key
+    // sequence; top-20 by (key DESC, doc_id)
+    "q_weighted_reservoir" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |    EXP(LN((CAST('0x' || substr(md5('wrs#' || CAST(doc_id AS VARCHAR)),
+        |        1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE)) AS k0
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, weight, k0,
+        |    ROW_NUMBER() OVER (ORDER BY k0 DESC, doc_id) AS rank
+        |  FROM keyed
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight,
+        |  FLOOR(k0 * 1000000.0 + 0.500001) / 1000000.0 AS key
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // the same three-dot distance identity over DOUBLE[] casts, (d², id)
     // kNN ranking, and the identical reach/lrd/LOF float sequences

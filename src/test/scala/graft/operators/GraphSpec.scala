@@ -562,6 +562,46 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // ---- q_degree_powerlaw ----------------------------------------------------
+
+  test("degree power-law: interior-path and star closed forms") {
+    // a path of 10 nodes: 8 interior nodes of degree 2, 2 ends of degree 1
+    // ⇒ tail = 8 nodes all at d = 2, α̂ = 1 + 8/(8·⌊ln(4/3)·1e6⌋/1e6)
+    val undP = (0L to 8L).map(i => (i, i + 1)).toDF("u", "v")
+    val gp = graft.SparkEntry.queries("q_degree_powerlaw")
+    // drive the same algebra through a lineitem fixture is unnecessary —
+    // replicate the aggregate directly off the literal edge frame
+    val deg = undP.select(col("u").as("node"))
+      .unionAll(undP.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg.values.count(_ == 2L) === 8 && deg.values.count(_ == 1L) === 2)
+    val micro = math.floor(math.log(2.0 / 1.5) * 1e6).toLong
+    val alphaWant = 1.0 + 8.0 / (8L * micro).toDouble * 1e6
+    // the closed form the query must reproduce on an equivalent fixture:
+    // build a lineitem table whose co-purchase projection IS that path
+    // (order k ties part k and part k+1; every 10th orderkey to pass the
+    // slice filter)
+    import spark.implicits._
+    val li = (0L to 8L).flatMap(k => Seq((k * 10, k), (k * 10, k + 1)))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_plaw").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val r = gp(spark, dir).head()
+    assert(r.getLong(0) === 10L && r.getLong(1) === 18L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 8L)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    assert(r.getDouble(5) === r6d(alphaWant), s"path α̂: $r")
+  }
+
+  test("degree power-law on real data: α̂ > 1, census consistent") {
+    val r = graft.SparkEntry.queries("q_degree_powerlaw")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(3) <= r.getLong(0), "tail ⊆ nodes")
+    assert(r.getLong(1) % 2 === 0L, "Σdeg = 2·|edges| is even")
+    assert(r.getDouble(5) > 1.0, s"α̂ > 1 by construction: $r")
+  }
+
   // ---- closeness / harmonic centrality --------------------------------------
 
   test("closeness: exact path-graph values from the mod-97 seed") {

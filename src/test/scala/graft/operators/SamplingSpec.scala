@@ -97,4 +97,33 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.splitColumn(col("x"), Seq("a" -> 0.5, "b" -> 0.4)))
   }
+
+  // ---- q_weighted_reservoir -------------------------------------------------
+
+  test("weighted reservoir: replay-deterministic, rank follows the ES key, heavy doc wins") {
+    import spark.implicits._
+    // 60 light docs (w = 10) + one overwhelming doc (w = 10⁶): its key
+    // u^(1/w) ≈ 1 regardless of the md5 draw, so it MUST be selected —
+    // the inclusion-probability contract of Efraimidis–Spirakis
+    val rows = (0L until 60L).map(i => (i, "x", 10L)) :+ (999L, "y", 1000000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wrs").toString
+    rows.toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val a = graft.SparkEntry.queries("q_weighted_reservoir")(spark, dir).collect()
+    val b = graft.SparkEntry.queries("q_weighted_reservoir")(spark, dir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "content-addressed keys must replay identically")
+    assert(a.length === 20)
+    assert(a.exists(_.getLong(1) == 999L), "the heavy doc must be sampled")
+    val keys = a.sortBy(_.getLong(0)).map(_.getDouble(3)).toSeq
+    assert(keys.sliding(2).forall(p => p(0) >= p(1)), "rank = key desc")
+  }
+
+  test("weighted reservoir plan: distributed TakeOrdered heap, no global sort") {
+    val p = graft.SparkEntry.queries("q_weighted_reservoir")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed heap:\n$p")
+    assert(!p.contains("Join"), s"sampling is a projection:\n$p")
+  }
 }
