@@ -164,6 +164,53 @@ object LlmQueries {
         .orderBy("split")
     }),
 
+    // oracle-backed: Count–Min sketch (Cormode–Muthukrishnan 2005) — the
+    // sublinear frequency sketch beside the Misra–Gries heavy hitters
+    // (streaming/StreamingOps) and HLL distinct (q_approx_distinct),
+    // here with its 2048-cell table BUILT RELATIONALLY so the oracle
+    // replays the entire sketch, not just its answers: d = 4 pairwise-
+    // independent rows h_r(k) = ((k·A_r + B_r) mod P) mod 512 over the
+    // Mersenne prime P = 2³¹−1 with literal constants (pure integer —
+    // no engine hash), one ×4 explode scan partial-aggregating to the
+    // bounded cell frame, point queries = min over the 4 probed cells.
+    // The audit row carries the CMS contract: the estimate can NEVER
+    // undercount (flag must be 1), and overshoot is the collision mass
+    // the ε = e/512 bound prices. All exact BIGINTs end-to-end.
+    "q_count_min" -> ((s, dir) => {
+      val P = 2147483647L
+      val W = 512L
+      val as = Seq(1103515245L, 2654435761L, 1597334677L, 805306457L)
+      val bs = Seq(12345L, 97L, 1299709L, 40503L)
+      def h(r: Int, k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(pmod(k * lit(as(r)) + lit(bs(r)), lit(P)), lit(W))
+      val ev = t(s, dir, "events")
+      val cells = ev.select(explode(array((0 until 4).map(r =>
+          struct(lit(r.toLong).as("r"), h(r, col("user_id")).as("c"))): _*))
+          .as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+      val probes = ev.sparkSession.range(1, 6)
+        .select(col("id").as("probe_id"),
+          explode(array((0 until 4).map(r =>
+            struct(lit(r.toLong).as("r"), h(r, col("id")).as("c"))): _*))
+            .as("rc"))
+        .select(col("probe_id"), col("rc.r").as("r"), col("rc.c").as("c"))
+      val est = probes
+        .join(broadcast(cells), Seq("r", "c"), "left")
+        .groupBy("probe_id")
+        .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
+      val truth = ev.groupBy(col("user_id").as("probe_id"))
+        .agg(count(lit(1)).as("true_count"))
+        .where(col("probe_id").between(1L, 5L))
+      est.join(truth, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("true_count"), lit(0L)).as("true_count"),
+          col("cms_estimate"),
+          (col("cms_estimate") >= coalesce(col("true_count"), lit(0L)))
+            .cast("long").as("never_undercounts"))
+        .orderBy("probe_id")
+    }),
+
     // oracle-backed: weighted reservoir sampling WITHOUT replacement
     // (Efraimidis–Spirakis 2006) — the one-pass quality-weighted corpus
     // subsampler: key_i = u_i^{1/w_i} with the uniform content-addressed
@@ -1566,6 +1613,38 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS k_anonymous
         |FROM cells""".stripMargin,
+
+    // the full sketch replayed relationally: identical literal-constant
+    // hash rows, the same bounded cell frame, min-over-rows point queries
+    "q_count_min" ->
+      """WITH hp AS (
+        |  SELECT * FROM (VALUES (0, 1103515245, 12345),
+        |    (1, 2654435761, 97), (2, 1597334677, 1299709),
+        |    (3, 805306457, 40503)) AS t(r, a, b)
+        |), cells AS (
+        |  SELECT hp.r, ((e.user_id * hp.a + hp.b) % 2147483647) % 512 AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events e, hp GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT CAST(u.i AS BIGINT) AS probe_id, hp.r,
+        |    ((CAST(u.i AS BIGINT) * hp.a + hp.b) % 2147483647) % 512 AS c
+        |  FROM (SELECT UNNEST(generate_series(1, 5)) AS i) u, hp
+        |), est AS (
+        |  SELECT probe_id, CAST(MIN(COALESCE(cells.n, 0)) AS BIGINT)
+        |    AS cms_estimate
+        |  FROM probes LEFT JOIN cells ON cells.r = probes.r
+        |    AND cells.c = probes.c
+        |  GROUP BY 1
+        |), truth AS (
+        |  SELECT user_id AS probe_id, CAST(COUNT(*) AS BIGINT) AS true_count
+        |  FROM events WHERE user_id BETWEEN 1 AND 5 GROUP BY 1
+        |)
+        |SELECT e.probe_id, COALESCE(t.true_count, 0) AS true_count,
+        |  e.cms_estimate,
+        |  CAST(CASE WHEN e.cms_estimate >= COALESCE(t.true_count, 0)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS never_undercounts
+        |FROM est e LEFT JOIN truth t ON t.probe_id = e.probe_id
+        |ORDER BY e.probe_id""".stripMargin,
 
     // the identical content-addressed uniform and (ln u)/w → exp key
     // sequence; top-20 by (key DESC, doc_id)

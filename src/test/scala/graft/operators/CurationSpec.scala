@@ -577,6 +577,37 @@ class CurationSpec extends SparkSpec {
     assert(!p.contains("Join"), s"rule scoring is join-free:\n$p")
   }
 
+  test("count-min: never undercounts, and a driver replay pins the planted estimate") {
+    import spark.implicits._
+    // 4000 distinct one-event users force collisions in the 512-wide rows;
+    // user 1 gets 50 events — the estimate must be ≥ 50 and must equal
+    // the min over its 4 replayed cells exactly
+    val rows = (0 until 50).map(i => (100000L + i, 1L)) ++
+      (0 until 4000).map(i => (200000L + i, 10L + i))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    rows.toDF("event_id", "user_id")
+      .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_count_min")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    out.values.foreach(r => assert(r.getLong(3) === 1L,
+      s"CMS may never undercount: $r"))
+    assert(out(1L).getLong(1) === 50L)
+    // driver replay of the sketch for probe 1
+    val P = 2147483647L; val W = 512L
+    val as = Seq(1103515245L, 2654435761L, 1597334677L, 805306457L)
+    val bs = Seq(12345L, 97L, 1299709L, 40503L)
+    val users = rows.map(_._2)
+    val want = (0 until 4).map { r =>
+      val c1 = ((1L * as(r) + bs(r)) % P) % W
+      users.count(u => ((u * as(r) + bs(r)) % P) % W == c1).toLong
+    }.min
+    assert(out(1L).getLong(2) === want, "estimate = min over replayed cells")
+  }
+
   test("l-diversity audit: a uniform cell passes, a single-band cell trips both gates") {
     import spark.implicits._
     // cell (1, AUTOMOBILE): 9 rows over 3 balanced $1000-bands → distinct
