@@ -211,6 +211,52 @@ object LlmQueries {
         .orderBy("probe_id")
     }),
 
+    // oracle-backed: HyperLogLog FROM SCRATCH (Flajolet et al. 2007) —
+    // q_approx_distinct trusts Spark's built-in HLL; this one builds the
+    // sketch relationally so the oracle replays its INTERNALS: a 52-bit
+    // content-addressed md5 hash splits into bucket = h mod 256 and the
+    // 44-bit suffix whose leading-zero rank ρ = 45 − len(bin(z)) is pure
+    // string-of-binary integer algebra (no log2 float); registers are a
+    // 256-row max aggregate; and the harmonic-mean denominator is kept
+    // as the EXACT INTEGER Σ 2^{45−M_j} + V·2^45 (each term a power-of-
+    // two table lookup, total < 2^53), so the raw estimate is ONE float
+    // division of exact integers — the small-range linear-counting
+    // correction (E ≤ 2.5m, V > 0) replays identically. One scan,
+    // map-side-combined 256-cell shuffle, bounded everything.
+    "q_hll_custom" -> ((s, dir) => {
+      val m = 256L
+      val h = conv(substring(md5(col("user_id").cast("string")
+        .cast("binary")), 1, 13), 16, 10).cast("long")
+      val powArr = array((0 to 45).map(i => lit(1L << i)): _*)
+      val ev = t(s, dir, "events")
+      val regs = ev
+        .select(pmod(h, lit(m)).as("bucket"),
+          floor((h / lit(256.0))).cast("long").as("z"))
+        .select(col("bucket"),
+          when(col("z") === 0L, 45L)
+            .otherwise(lit(45L) - length(bin(col("z")))).as("rho"))
+        .groupBy("bucket").agg(max(col("rho")).as("mr"))
+      val sk = regs.agg(count(lit(1)).as("n_regs"),
+        sum(element_at(powArr, (lit(46L) - col("mr")).cast("int")))
+          .as("s_present"))
+      val truth = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      val v0 = lit(m) - col("n_regs")
+      val sInt = col("s_present") + v0 * lit(1L << 45)
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      val eRaw = alpha * lit(65536.0) * lit(35184372088832.0) /
+        sInt.cast("double")
+      val est = when(eRaw <= lit(640.0) && v0 > 0L,
+        lit(256.0) * log(lit(256.0) / v0.cast("double"))).otherwise(eRaw)
+      sk.crossJoin(broadcast(truth))
+        .select(col("n_exact"), col("n_regs"), v0.as("empty_registers"),
+          r2(est).as("hll_estimate"),
+          r6(abs(est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double")).as("rel_err"),
+          (abs(est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double") <= lit(0.195)).cast("long")
+            .as("within_3sigma"))
+    }),
+
     // oracle-backed: weighted reservoir sampling WITHOUT replacement
     // (Efraimidis–Spirakis 2006) — the one-pass quality-weighted corpus
     // subsampler: key_i = u_i^{1/w_i} with the uniform content-addressed
@@ -1613,6 +1659,51 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS k_anonymous
         |FROM cells""".stripMargin,
+
+    // the sketch internals replayed: same md5 hash split, same
+    // binary-string-length ρ, same exact integer denominator
+    "q_hll_custom" ->
+      """WITH hh AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+        |    AS BIGINT) AS h
+        |  FROM events
+        |), parts AS (
+        |  SELECT h % 256 AS bucket, h // 256 AS z FROM hh
+        |), rho AS (
+        |  SELECT bucket,
+        |    CASE WHEN z = 0 THEN 45 ELSE 45 - length(bin(z)) END AS rho
+        |  FROM parts
+        |), regs AS (
+        |  SELECT bucket, CAST(MAX(rho) AS BIGINT) AS mr FROM rho GROUP BY 1
+        |), sk AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(45 - mr AS INTEGER))
+        |      AS BIGINT) AS s_present
+        |  FROM regs
+        |), truth AS (
+        |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events
+        |), c AS (
+        |  SELECT n_exact, n_regs, 256 - n_regs AS v0,
+        |    s_present + (256 - n_regs) * (CAST(1 AS BIGINT) << 45) AS s_int
+        |  FROM sk, truth
+        |), e AS (
+        |  SELECT *, 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |    * 35184372088832.0 / CAST(s_int AS DOUBLE) AS e_raw
+        |  FROM c
+        |), f AS (
+        |  SELECT *, CASE WHEN e_raw <= 640.0 AND v0 > 0
+        |    THEN 256.0 * LN(256.0 / CAST(v0 AS DOUBLE)) ELSE e_raw END AS est
+        |  FROM e
+        |)
+        |SELECT n_exact, n_regs, CAST(v0 AS BIGINT) AS empty_registers,
+        |  FLOOR(est * 100.0 + 0.500001) / 100.0 AS hll_estimate,
+        |  FLOOR(ABS(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS rel_err,
+        |  CAST(CASE WHEN ABS(est - CAST(n_exact AS DOUBLE))
+        |      / CAST(n_exact AS DOUBLE) <= 0.195
+        |    THEN 1 ELSE 0 END AS BIGINT) AS within_3sigma
+        |FROM f""".stripMargin,
 
     // the full sketch replayed relationally: identical literal-constant
     // hash rows, the same bounded cell frame, min-over-rows point queries

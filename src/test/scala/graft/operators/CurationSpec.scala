@@ -608,6 +608,42 @@ class CurationSpec extends SparkSpec {
     assert(out(1L).getLong(2) === want, "estimate = min over replayed cells")
   }
 
+  test("custom HLL: raw-regime accuracy on 20k planted distincts, register census") {
+    import spark.implicits._
+    val rows = (0 until 20000).map(i => (i.toLong, 1000L + i))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    rows.toDF("event_id", "user_id")
+      .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.SparkEntry.queries("q_hll_custom")(spark, dir).head()
+    assert(r.getLong(0) === 20000L)
+    assert(r.getLong(1) + r.getLong(2) === 256L, "register census")
+    assert(r.getLong(2) === 0L, "20k distincts must hit all 256 registers")
+    assert(r.getLong(5) === 1L,
+      s"estimate ${r.getDouble(3)} must land within 3σ of 20000")
+    assert(r.getDouble(4) === r.getDouble(4) && r.getDouble(4) < 0.195)
+  }
+
+  test("custom HLL duplicates are invisible: estimate depends only on the distinct set") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_hll2").toString
+      rows.toDF("event_id", "user_id")
+        .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+        .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      graft.SparkEntry.queries("q_hll_custom")(spark, dir).head()
+    }
+    val once = mk((0 until 500).map(i => (i.toLong, i.toLong)))
+    val tripled = mk((0 until 1500).map(i => (i.toLong, (i % 500).toLong)))
+    assert(once.getDouble(3) === tripled.getDouble(3),
+      "multiplicity must not move a distinct-count sketch")
+    assert(once.getLong(1) === tripled.getLong(1))
+  }
+
   test("l-diversity audit: a uniform cell passes, a single-band cell trips both gates") {
     import spark.implicits._
     // cell (1, AUTOMOBILE): 9 rows over 3 balanced $1000-bands → distinct
