@@ -1189,6 +1189,70 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- delta-method ratio-metric test (beyond reference, r9) ------------
+    // The experimentation-platform workhorse q_ab_ttest cannot give:
+    // inference on a RATIO metric (purchase cents per view) whose
+    // numerator and denominator are correlated within the randomization
+    // unit (Deng et al., KDD 2018's practical guide). Per user-cluster
+    // totals (x = purchase cents, y = views), per arm R = Σx/Σy and the
+    // delta-method variance Var(R) ≈ (s_x² + R²·s_y² − 2R·s_xy)/(n·ȳ²);
+    // z on the arm difference. Scale shape: one user-keyed shuffle
+    // (map-side combined) to the cluster frame, then SIX exact integer
+    // moments per arm in one conditional aggregate — cents in BIGINT,
+    // squares in decimal-38 — and the whole inference is a closed-form
+    // float sequence over one 1-row frame. The md5 arm split is the
+    // q_ab_ttest unit-of-randomization discipline.
+    "q_delta_method" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cents = floor(col("value") * lit(100.0) + lit(0.500001)).cast("long")
+      val byUser = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+        .select(arm(col("user_id")).as("g"), col("x"), col("y"))
+      val xd = col("x").cast("decimal(38,0)")
+      val yd = col("y").cast("decimal(38,0)")
+      val gagg = byUser.agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("g") === 0L, col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("g") === 1L, col("x")).otherwise(0L)).as("sxb"),
+        sum(when(col("g") === 0L, col("y")).otherwise(0L)).as("sya"),
+        sum(when(col("g") === 1L, col("y")).otherwise(0L)).as("syb"),
+        sum(when(col("g") === 0L, xd * xd).otherwise(lit(0))).as("sxxa"),
+        sum(when(col("g") === 1L, xd * xd).otherwise(lit(0))).as("sxxb"),
+        sum(when(col("g") === 0L, yd * yd).otherwise(lit(0))).as("syya"),
+        sum(when(col("g") === 1L, yd * yd).otherwise(lit(0))).as("syyb"),
+        sum(when(col("g") === 0L, xd * yd).otherwise(lit(0))).as("sxya"),
+        sum(when(col("g") === 1L, xd * yd).otherwise(lit(0))).as("sxyb"))
+      def ratio(sx: String, sy: String): Column =
+        col(sx).cast("double") / col(sy).cast("double")
+      def dvar(n: String, sx: String, sy: String, sxx: String, syy: String,
+          sxy: String): Column = {
+        val nD = col(n).cast("double")
+        val r = ratio(sx, sy)
+        val ybar = col(sy).cast("double") / nD
+        val vx = (col(sxx).cast("double") - col(sx).cast("double") *
+          col(sx).cast("double") / nD) / (nD - lit(1.0))
+        val vy = (col(syy).cast("double") - col(sy).cast("double") *
+          col(sy).cast("double") / nD) / (nD - lit(1.0))
+        val cxy = (col(sxy).cast("double") - col(sx).cast("double") *
+          col(sy).cast("double") / nD) / (nD - lit(1.0))
+        (vx + r * r * vy - lit(2.0) * r * cxy) / (nD * (ybar * ybar))
+      }
+      val va = dvar("na", "sxa", "sya", "sxxa", "syya", "sxya")
+      val vb = dvar("nb", "sxb", "syb", "sxxb", "syyb", "sxyb")
+      val ok = col("na") > 1L && col("nb") > 1L && col("sya") > 0L &&
+        col("syb") > 0L
+      val z = (ratio("sxa", "sya") - ratio("sxb", "syb")) / sqrt(va + vb)
+      gagg.select(col("na").as("n_a"), col("nb").as("n_b"),
+        when(ok, r6(ratio("sxa", "sya"))).as("ratio_a"),
+        when(ok, r6(ratio("sxb", "syb"))).as("ratio_b"),
+        when(ok, r6(z)).as("z_stat"),
+        coalesce((when(ok, abs(z)) > lit(1.959963984540054)).cast("long"),
+          lit(0L)).as("reject_95"))
+    }),
+
     // ---- Mahalanobis multivariate outliers (beyond reference, r9) ---------
     // The correlation-aware upgrade of q_mad_outliers / per-feature z:
     // d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) over the per-customer (order count, total
@@ -2368,6 +2432,80 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // the same user-cluster totals, md5 arm, exact HUGEINT moments and
+    // the identical delta-method float sequence
+    "q_delta_method" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100.0 + 0.500001) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+        |    CAST(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+        |    CAST(SUM(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+        |    CAST(SUM(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS syb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS sxxa,
+        |    SUM(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS sxxb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS syya,
+        |    SUM(CASE WHEN g = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS syyb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+        |      AS sxya,
+        |    SUM(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+        |      AS sxyb
+        |  FROM u
+        |), d AS (
+        |  SELECT *,
+        |    CAST(sxa AS DOUBLE) / CAST(sya AS DOUBLE) AS ra,
+        |    CAST(sxb AS DOUBLE) / CAST(syb AS DOUBLE) AS rb,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS yba,
+        |    CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS ybb,
+        |    (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS vxa,
+        |    (CAST(syya AS DOUBLE) - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS vya,
+        |    (CAST(sxya AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS cxya,
+        |    (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vxb,
+        |    (CAST(syyb AS DOUBLE) - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vyb,
+        |    (CAST(sxyb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS cxyb
+        |  FROM m
+        |), v AS (
+        |  SELECT *,
+        |    (vxa + ra * ra * vya - 2.0 * ra * cxya)
+        |      / (CAST(na AS DOUBLE) * (yba * yba)) AS va,
+        |    (vxb + rb * rb * vyb - 2.0 * rb * cxyb)
+        |      / (CAST(nb AS DOUBLE) * (ybb * ybb)) AS vb,
+        |    na > 1 AND nb > 1 AND sya > 0 AND syb > 0 AS ok
+        |  FROM d
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CASE WHEN ok THEN FLOOR(ra * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS ratio_a,
+        |  CASE WHEN ok THEN FLOOR(rb * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS ratio_b,
+        |  CASE WHEN ok THEN FLOOR((ra - rb) / sqrt(va + vb)
+        |    * 1000000.0 + 0.500001) / 1000000.0 END AS z_stat,
+        |  CAST(CASE WHEN ok AND ABS((ra - rb) / sqrt(va + vb))
+        |      > 1.959963984540054
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM v""".stripMargin,
 
     // the same exact HUGEINT moment integers, the identical closed-form
     // 2×2 inverse sequence, and the (d², custkey) top-20

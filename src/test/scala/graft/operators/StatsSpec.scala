@@ -953,6 +953,39 @@ class StatsSpec extends SparkSpec {
       s"power sums must partial-aggregate before the shuffle:\n$p")
   }
 
+  // ---- q_delta_method ------------------------------------------------------
+
+  test("delta method: a planted per-view value lift on arm 0 is significant") {
+    import spark.implicits._
+    val armOf = pmod(conv(substring(
+      md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(2L))
+    // every user: 4 views + 2 purchases; arm-0 purchases are worth 3×
+    val base = (1L to 120L).flatMap { u =>
+      (0 until 4).map(i => (u, "view", 0.0, u * 10 + i)) ++
+        Seq((u, "purchase", 50.0 + (u % 7), u * 10 + 8),
+          (u, "purchase", 40.0 + (u % 5), u * 10 + 9))
+    }.map { case (u, ty, v, eid) => (eid, u, ty, v) }
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("value",
+        col("value") * when(armOf === 0L, 3.0).otherwise(1.0))
+      .withColumn("props", lit("{}"))
+      .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+    val dir = fixtureDir("events" -> base)
+    val r = SparkEntry.queries("q_delta_method")(spark, dir).head()
+    assert(r.getLong(0) + r.getLong(1) === 120L)
+    assert(r.getDouble(2) > 2.5 * r.getDouble(3),
+      s"arm-0 cents-per-view must show the 3x lift: $r")
+    assert(r.getDouble(4) > 1.96 && r.getLong(5) === 1L, s"$r")
+  }
+
+  test("delta method on real data: flag consistent, ratios positive") {
+    val r = SparkEntry.queries("q_delta_method")(spark, sf).head()
+    assert(r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0)
+    assert(r.getLong(5) ===
+      (if (math.abs(r.getDouble(4)) > 1.959963984540054) 1L else 0L))
+  }
+
   // ---- q_mahalanobis -------------------------------------------------------
 
   test("Mahalanobis: a joint-ellipse violator outscores a marginally-extreme point") {
