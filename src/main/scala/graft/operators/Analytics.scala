@@ -597,6 +597,53 @@ object Analytics {
           col("part_a"), col("part_b"))
     }),
 
+    // ---- Simpson's paradox audit (beyond reference, round 9) --------------
+    // The observational-data trap detector: does the pooled association
+    // between urgency and high-value orders keep its SIGN inside every
+    // customer-segment stratum (Simpson 1951)? Pooled and per-stratum
+    // high-value-rate differences (urgent − other) from exact integer
+    // counts; the audit row flags a paradox when every stratum agrees on
+    // one sign and the pooled difference carries the other. Scale shape:
+    // one orders scan joins the segment dimension by BROADCAST (customer
+    // is the smaller table and AQE would pick it anyway at these
+    // proportions; at warehouse scale segment rides denormalized),
+    // partial-aggregates to the ≤|segments| cell frame, and the pooled
+    // row is a window over that bounded frame. Every rate is one
+    // division of exact BIGINTs; signs compare on r6-rounded diffs so
+    // the flag cannot flip cross-engine.
+    "q_simpsons_paradox" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val hv = (col("o_totalprice") > 240000.0).cast("long")
+      val cells = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("n_u"),
+          sum(when(urgent, hv).otherwise(0L)).as("hv_u"),
+          sum(when(!urgent, 1L).otherwise(0L)).as("n_o"),
+          sum(when(!urgent, hv).otherwise(0L)).as("hv_o"))
+      val w = BoundedWindow.whole(col("segment"))
+      def rate(num: Column, den: Column): Column =
+        when(den > 0L, num.cast("double") / den.cast("double"))
+      val diff = r6(rate(col("hv_u"), col("n_u")) -
+        rate(col("hv_o"), col("n_o")))
+      val pooledDiff = r6(rate(sum(col("hv_u")).over(w),
+        sum(col("n_u")).over(w)) -
+        rate(sum(col("hv_o")).over(w), sum(col("n_o")).over(w)))
+      val withDiff = cells.select(col("segment"), col("n_u"), col("hv_u"),
+        col("n_o"), col("hv_o"), diff.as("stratum_diff"),
+        pooledDiff.as("pooled_diff"))
+      withDiff.select(col("segment"), col("n_u"), col("hv_u"), col("n_o"),
+          col("hv_o"), col("stratum_diff"), col("pooled_diff"),
+          coalesce(((max(signum(col("stratum_diff"))).over(w) ===
+            min(signum(col("stratum_diff"))).over(w)) &&
+            signum(col("pooled_diff")) =!=
+              max(signum(col("stratum_diff"))).over(w))
+            .cast("long"), lit(0L)).as("paradox"))
+        .orderBy("segment")
+    }),
+
     // ---- quantile normalization (beyond reference, round 9) ---------------
     // The microarray-era distribution equalizer (Bolstad et al. 2003) the
     // feature-prep layer needs beside z/min-max scaling (q_feature_scale):
@@ -1051,6 +1098,46 @@ object Analytics {
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    // identical segment cells, single exact-integer rate divisions, and
+    // the same sign algebra on r6-rounded diffs
+    "q_simpsons_paradox" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+        |    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      AND o.o_totalprice > 240000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hv_u,
+        |    CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+        |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |    CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+        |      ('1-URGENT', '2-HIGH') AND o.o_totalprice > 240000.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS hv_o
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT *,
+        |    FLOOR((CASE WHEN n_u > 0
+        |        THEN CAST(hv_u AS DOUBLE) / CAST(n_u AS DOUBLE) END
+        |      - CASE WHEN n_o > 0
+        |        THEN CAST(hv_o AS DOUBLE) / CAST(n_o AS DOUBLE) END)
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS stratum_diff,
+        |    FLOOR((CASE WHEN SUM(n_u) OVER () > 0
+        |        THEN CAST(SUM(hv_u) OVER () AS DOUBLE)
+        |          / CAST(SUM(n_u) OVER () AS DOUBLE) END
+        |      - CASE WHEN SUM(n_o) OVER () > 0
+        |        THEN CAST(SUM(hv_o) OVER () AS DOUBLE)
+        |          / CAST(SUM(n_o) OVER () AS DOUBLE) END)
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS pooled_diff
+        |  FROM cells
+        |)
+        |SELECT segment, n_u, hv_u, n_o, hv_o, stratum_diff, pooled_diff,
+        |  CAST(CASE WHEN MAX(SIGN(stratum_diff)) OVER ()
+        |      = MIN(SIGN(stratum_diff)) OVER ()
+        |    AND SIGN(pooled_diff) != MAX(SIGN(stratum_diff)) OVER ()
+        |    THEN 1 ELSE 0 END AS BIGINT) AS paradox
+        |FROM d ORDER BY segment""".stripMargin,
 
     // identical custkey-tie-broken ranks and the same exact (a+b)/2
     // reference profile — integer cents end-to-end, one exact division

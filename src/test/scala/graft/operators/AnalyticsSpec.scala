@@ -561,6 +561,49 @@ class AnalyticsSpec extends SparkSpec {
       s"pair generation must stay an orderkey equi-join:\n$p")
   }
 
+  // ---- q_simpsons_paradox ---------------------------------------------------
+
+  test("Simpson audit: the classic allocation reversal trips the paradox flag") {
+    import spark.implicits._
+    // urgency helps WITHIN both strata (+0.012 / +0.1) but urgent orders
+    // concentrate in the hard stratum, so the pooled diff reverses —
+    // the kidney-stone construction
+    def orders(seg1: Long, seg2: Long) = {
+      def mk(ck: Long, urgent: Boolean, hv: Boolean, n: Int) =
+        (0 until n).map(_ => (ck, if (urgent) "1-URGENT" else "5-LOW",
+          if (hv) 300000.0 else 100000.0))
+      (mk(seg1, true, true, 9) ++ mk(seg1, true, false, 1) ++
+        mk(seg1, false, true, 80) ++ mk(seg1, false, false, 10) ++
+        mk(seg2, true, true, 27) ++ mk(seg2, true, false, 63) ++
+        mk(seg2, false, true, 2) ++ mk(seg2, false, false, 8))
+        .zipWithIndex.map { case ((ck, p, tp), i) => (i.toLong, ck, p, tp) }
+        .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    }
+    val cust = Seq((1L, "EASY"), (2L, "HARD"))
+      .toDF("c_custkey", "c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_simpson").toString
+    orders(1L, 2L).write.parquet(s"$dir/orders.parquet")
+    cust.write.parquet(s"$dir/customer.parquet")
+    val rows = SparkEntry.queries("q_simpsons_paradox")(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 0.0, s"urgency helps within ${r.getString(0)}: $r")
+      assert(r.getDouble(6) < 0.0, s"pooled reverses: $r")
+      assert(r.getLong(7) === 1L, s"paradox must flag: $r")
+    }
+  }
+
+  test("Simpson audit on real data: cell census covers matched orders, flag boolean") {
+    val rows = run("q_simpsons_paradox").collect()
+    assert(rows.nonEmpty)
+    val matched = graft.io.Sources.table(spark, sf, "orders")
+      .join(graft.io.Sources.table(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum === matched)
+    assert(rows.map(_.getLong(7)).distinct.length === 1,
+      "the paradox verdict is global")
+  }
+
   // ---- q_quantile_normalize -------------------------------------------------
 
   test("quantile normalize: post-QN columns share one value multiset, ranks preserved") {
