@@ -164,6 +164,36 @@ object LlmQueries {
         .orderBy("split")
     }),
 
+    // oracle-backed: temperature-scaled source sampling (the mT5 /
+    // XLM-R / LLaMA multilingual-mixing recipe, Conneau et al. 2020:
+    // p_s ∝ p_raw^α with α = 0.3) — the knob that up-samples small
+    // sources without letting any source dominate. One explode-free
+    // aggregate to the ≤|sources| frame (token counts are exact BIGINTs
+    // off the q_token_entropy split), then p_raw^α computed as
+    // exp(α·ln p) — the SAME two-libm-call sequence on both engines —
+    // normalized over the bounded frame; effective epochs = how many
+    // times a source is re-seen per mixture epoch. Scale: the corpus
+    // reduces in one partial-aggregated scan; everything after is a
+    // ≤|sources|-row window.
+    "q_alpha_sampling" -> ((s, dir) => {
+      val toks = size(TextOps.tokens(lower(col("text")))).cast("long")
+      val src = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(toks).as("n_tokens"))
+      val w = BoundedWindow.whole(col("source"))
+      val pRaw = col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(w).cast("double")
+      val v = exp(lit(0.3) * log(pRaw))
+      val withV = src.select(col("source"), col("n_docs"), col("n_tokens"),
+        pRaw.as("p_raw"), v.as("v"))
+      withV.select(col("source"), col("n_docs"), col("n_tokens"),
+          r6(col("p_raw")).as("p_raw"),
+          r6(col("v") / sum(col("v")).over(w)).as("p_alpha"),
+          r4((col("v") / sum(col("v")).over(w)) / col("p_raw"))
+            .as("eff_epochs"))
+        .orderBy("source")
+    }),
+
     // oracle-backed: Count–Min sketch (Cormode–Muthukrishnan 2005) — the
     // sublinear frequency sketch beside the Misra–Gries heavy hitters
     // (streaming/StreamingOps) and HLL distinct (q_approx_distinct),
@@ -1659,6 +1689,29 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS k_anonymous
         |FROM cells""".stripMargin,
+
+    // identical exact token census, the same exp(α·ln p) sequence, and
+    // the bounded-frame normalization
+    "q_alpha_sampling" ->
+      """WITH src AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), p AS (
+        |  SELECT *, CAST(n_tokens AS DOUBLE)
+        |      / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p_raw,
+        |    EXP(0.3 * LN(CAST(n_tokens AS DOUBLE)
+        |      / CAST(SUM(n_tokens) OVER () AS DOUBLE))) AS v
+        |  FROM src
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  FLOOR(p_raw * 1000000.0 + 0.500001) / 1000000.0 AS p_raw,
+        |  FLOOR(v / SUM(v) OVER () * 1000000.0 + 0.500001) / 1000000.0
+        |    AS p_alpha,
+        |  FLOOR((v / SUM(v) OVER ()) / p_raw * 10000.0 + 0.500001) / 10000.0
+        |    AS eff_epochs
+        |FROM p ORDER BY source""".stripMargin,
 
     // the sketch internals replayed: same md5 hash split, same
     // binary-string-length ρ, same exact integer denominator

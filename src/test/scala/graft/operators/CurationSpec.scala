@@ -608,6 +608,25 @@ class CurationSpec extends SparkSpec {
     assert(out(1L).getLong(2) === want, "estimate = min over replayed cells")
   }
 
+  test("alpha sampling: flattens toward uniform, preserves order, epochs favor small sources") {
+    val rows = run("q_alpha_sampling").collect()
+    assert(rows.length > 1)
+    val byTok = rows.sortBy(_.getLong(2))
+    // probability mass sums to 1 (within per-row rounding)
+    val mass = rows.map(_.getDouble(4)).sum
+    assert(math.abs(mass - 1.0) < 1e-4 * rows.length)
+    // α < 1 compresses: the sampled share of the SMALLEST source rises,
+    // the largest falls, and relative order is preserved
+    assert(byTok.head.getDouble(4) > byTok.head.getDouble(3),
+      "smallest source must be up-sampled")
+    assert(byTok.last.getDouble(4) < byTok.last.getDouble(3),
+      "largest source must be down-sampled")
+    assert(byTok.map(_.getDouble(4)).toSeq.sliding(2).forall(p => p(0) <= p(1) + 1e-9),
+      "p_alpha preserves the size order")
+    // effective epochs decrease with source size
+    assert(byTok.head.getDouble(5) > byTok.last.getDouble(5))
+  }
+
   test("custom HLL: raw-regime accuracy on 20k planted distincts, register census") {
     import spark.implicits._
     val rows = (0 until 20000).map(i => (i.toLong, 1000L + i))
