@@ -1189,6 +1189,56 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- trimmed + winsorized mean (beyond reference, r9) -----------------
+    // The robust-location pair beside q_mad_outliers' robust spread: the
+    // 5%-trimmed mean (drop the tails) and the 5%-winsorized mean (clamp
+    // the tails to the cut values) of per-customer spend, with the raw
+    // mean for contrast — how much of the average is outlier influence.
+    // Exactness: spend is integer cents; the trim boundaries are exact
+    // rank cuts (row_number over (spend, custkey) — deterministic ties),
+    // the trimmed sum is an exact BIGINT, and the winsorized sum replaces
+    // each tail row with the exact boundary value — every output float
+    // is ONE division of exact integers. Scale shape: one orders scan to
+    // the customer frame; the ranking window and the two conditional
+    // sums ride that frame (the q_quantile_normalize stance — at extreme
+    // scale the documented swap-in is approx-percentile cuts).
+    "q_trimmed_mean" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val feats = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(cents).as("m"))
+      val wAll = BoundedWindow.whole(col("custkey"))
+      val ranked = feats.select(col("m"),
+        row_number().over(Window.orderBy(col("m"), col("custkey")))
+          .cast("long").as("r"),
+        count(lit(1)).over(wAll).as("n"))
+      val lo = floor(col("n") * 5L / lit(100.0)).cast("long") + 1L // first kept
+      val hi = col("n") - floor(col("n") * 5L / lit(100.0)).cast("long") // last kept
+      val g = ranked.agg(
+        max(col("n")).as("n_customers"),
+        sum(col("m")).as("sum_all"),
+        sum(when(col("r") >= lo && col("r") <= hi, col("m"))
+          .otherwise(0L)).as("sum_trim"),
+        sum(when(col("r") >= lo && col("r") <= hi, 1L).otherwise(0L))
+          .as("n_trim"),
+        max(when(col("r") === lo, col("m"))).as("lo_cut"),
+        max(when(col("r") === hi, col("m"))).as("hi_cut"))
+      // lo/hi re-derived from n_customers on the 1-row frame
+      val loG = floor(col("n_customers") * 5L / lit(100.0)).cast("long") + 1L
+      val hiG = col("n_customers") -
+        floor(col("n_customers") * 5L / lit(100.0)).cast("long")
+      val winsSumG = col("sum_trim") + col("lo_cut") * (loG - 1L) +
+        col("hi_cut") * (col("n_customers") - hiG)
+      g.select(col("n_customers"), col("n_trim"),
+        r2c(col("sum_all").cast("double") / col("n_customers") / lit(100.0))
+          .as("raw_mean"),
+        r2c(col("sum_trim").cast("double") / col("n_trim") / lit(100.0))
+          .as("trimmed_mean"),
+        r2c(winsSumG.cast("double") / col("n_customers") / lit(100.0))
+          .as("winsorized_mean"))
+    }),
+
     // ---- delta-method ratio-metric test (beyond reference, r9) ------------
     // The experimentation-platform workhorse q_ab_ttest cannot give:
     // inference on a RATIO metric (purchase cents per view) whose
@@ -2432,6 +2482,44 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // identical rank cuts ((n·5)//100 both engines), exact BIGINT trimmed
+    // and winsorized sums, one division per output
+    "q_trimmed_mean" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT m, ROW_NUMBER() OVER (ORDER BY m, custkey) AS r,
+        |    COUNT(*) OVER () AS n
+        |  FROM feats
+        |), g AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+        |    CAST(SUM(m) AS BIGINT) AS sum_all,
+        |    CAST(SUM(CASE WHEN r >= n * 5 // 100 + 1
+        |      AND r <= n - n * 5 // 100 THEN m ELSE 0 END) AS BIGINT)
+        |      AS sum_trim,
+        |    CAST(SUM(CASE WHEN r >= n * 5 // 100 + 1
+        |      AND r <= n - n * 5 // 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_trim,
+        |    CAST(MAX(CASE WHEN r = n * 5 // 100 + 1 THEN m END) AS BIGINT)
+        |      AS lo_cut,
+        |    CAST(MAX(CASE WHEN r = n - n * 5 // 100 THEN m END) AS BIGINT)
+        |      AS hi_cut
+        |  FROM ranked
+        |)
+        |SELECT n_customers, n_trim,
+        |  FLOOR(CAST(sum_all AS DOUBLE) / n_customers / 100.0
+        |    * 100.0 + 0.500001) / 100.0 AS raw_mean,
+        |  FLOOR(CAST(sum_trim AS DOUBLE) / n_trim / 100.0
+        |    * 100.0 + 0.500001) / 100.0 AS trimmed_mean,
+        |  FLOOR(CAST(sum_trim + lo_cut * (n_customers * 5 // 100)
+        |      + hi_cut * (n_customers * 5 // 100) AS DOUBLE)
+        |    / n_customers / 100.0 * 100.0 + 0.500001) / 100.0
+        |    AS winsorized_mean
+        |FROM g""".stripMargin,
 
     // the same user-cluster totals, md5 arm, exact HUGEINT moments and
     // the identical delta-method float sequence

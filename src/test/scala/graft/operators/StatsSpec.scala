@@ -953,6 +953,35 @@ class StatsSpec extends SparkSpec {
       s"power sums must partial-aggregate before the shuffle:\n$p")
   }
 
+  // ---- q_trimmed_mean ------------------------------------------------------
+
+  test("trimmed/winsorized means: a planted outlier moves only the raw mean") {
+    import spark.implicits._
+    // 100 customers at exactly $100 + one whale at $1,000,000: the raw
+    // mean jumps to ~$10,000 while the 5%-trimmed and winsorized means
+    // stay at (or clamp to) $100
+    val rows = (1L to 100L).map(c => (c, c, 100.0)) :+ (101L, 101L, 1000000.0)
+    val dir = fixtureDir("orders" -> rows.toDF(
+      "o_orderkey", "o_custkey", "o_totalprice"))
+    val r = SparkEntry.queries("q_trimmed_mean")(spark, dir).head()
+    assert(r.getLong(0) === 101L)
+    assert(r.getDouble(2) > 9000.0, s"raw mean carries the whale: $r")
+    assert(r.getDouble(3) === 100.0, s"trimmed mean must not: $r")
+    assert(r.getDouble(4) === 100.0, s"winsorized clamps the whale to the cut: $r")
+    // trim census: 5% of 101 = 5 cut each side → 91 kept
+    assert(r.getLong(1) === 91L)
+  }
+
+  test("trimmed mean on real data: robust ≤-ordering under right skew") {
+    val r = SparkEntry.queries("q_trimmed_mean")(spark, sf).head()
+    assert(r.getLong(1) < r.getLong(0))
+    // spend is right-skewed: trimming drops more mass from the top
+    assert(r.getDouble(3) <= r.getDouble(2) + 1e-9)
+    assert(r.getDouble(3) <= r.getDouble(4) + 1e-9,
+      "winsorizing returns clamped tails, so it sits between trimmed and raw")
+    assert(r.getDouble(4) <= r.getDouble(2) + 1e-9)
+  }
+
   // ---- q_delta_method ------------------------------------------------------
 
   test("delta method: a planted per-view value lift on arm 0 is significant") {
