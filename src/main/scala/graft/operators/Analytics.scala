@@ -597,6 +597,48 @@ object Analytics {
           col("part_a"), col("part_b"))
     }),
 
+    // ---- top-k churn across periods (beyond reference, round 9) -----------
+    // Rank-list stability — the BI question behind every "top products"
+    // dashboard: how much of last period's top-20 survives into this
+    // period's? Top-20 parts by revenue cents per ship-date half, then
+    // overlap count, Jaccard, and the rank-displacement sum over the
+    // intersection (a Kendall-flavored footrule — integer-exact). Scale
+    // shape: one lineitem scan partial-aggregates to (part × period)
+    // revenue, two bounded top-20 heads via row_number over the part
+    // frame, one broadcast self-join of two 20-row lists. Cents BIGINT
+    // end-to-end; the Jaccard is the single float division.
+    "q_topk_churn" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val cut = lit("1998-01-01").cast("date")
+      val pp = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("part"),
+          (to_date(col("l_shipdate")) >= cut).cast("long").as("period"))
+        .agg(sum(cents).as("rev"))
+      val w = Window.partitionBy(col("period"))
+        .orderBy(col("rev").desc, col("part"))
+      val top = pp.select(col("part"), col("period"), col("rev"),
+          row_number().over(w).cast("long").as("rk"))
+        .where(col("rk") <= 20L)
+      val a = top.where(col("period") === 0L)
+        .select(col("part"), col("rk").as("rk_a"))
+      val b = top.where(col("period") === 1L)
+        .select(col("part"), col("rk").as("rk_b"))
+      val j = a.join(broadcast(b), Seq("part"), "full")
+      j.agg(
+          sum(when(col("rk_a").isNotNull && col("rk_b").isNotNull, 1L)
+            .otherwise(0L)).as("n_overlap"),
+          count(lit(1)).as("n_union"),
+          sum(when(col("rk_a").isNotNull && col("rk_b").isNotNull,
+            abs(col("rk_a") - col("rk_b"))).otherwise(0L))
+            .as("rank_displacement"))
+        .select(col("n_overlap"), col("n_union"),
+          r6(col("n_overlap").cast("double") / col("n_union"))
+            .as("jaccard"),
+          col("rank_displacement"),
+          (lit(20L) - col("n_overlap")).as("churned_out"))
+    }),
+
     // ---- Simpson's paradox audit (beyond reference, round 9) --------------
     // The observational-data trap detector: does the pooled association
     // between urgency and high-value orders keep its SIGN inside every
@@ -1098,6 +1140,42 @@ object Analytics {
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    // identical cents census, (rev DESC, part) top-20 per period, and the
+    // exact full-outer overlap algebra
+    "q_topk_churn" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+        |      THEN 1 ELSE 0 END AS BIGINT) AS period,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.500001)
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2
+        |), top AS (
+        |  SELECT * FROM (
+        |    SELECT part, period,
+        |      ROW_NUMBER() OVER (PARTITION BY period
+        |        ORDER BY rev DESC, part) AS rk
+        |    FROM pp) WHERE rk <= 20
+        |), j AS (
+        |  SELECT COALESCE(a.part, b.part) AS part, a.rk AS rk_a, b.rk AS rk_b
+        |  FROM (SELECT part, rk FROM top WHERE period = 0) a
+        |  FULL JOIN (SELECT part, rk FROM top WHERE period = 1) b
+        |    ON a.part = b.part
+        |)
+        |SELECT
+        |  CAST(SUM(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  CAST(COUNT(*) AS BIGINT) AS n_union,
+        |  FLOOR(CAST(SUM(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS jaccard,
+        |  CAST(SUM(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
+        |    THEN ABS(rk_a - rk_b) ELSE 0 END) AS BIGINT)
+        |    AS rank_displacement,
+        |  CAST(20 - SUM(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS churned_out
+        |FROM j""".stripMargin,
 
     // identical segment cells, single exact-integer rate divisions, and
     // the same sign algebra on r6-rounded diffs

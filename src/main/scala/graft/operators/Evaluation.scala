@@ -535,6 +535,41 @@ object Evaluation {
         .orderBy("actual", "predicted")
     }),
 
+    // ---- k-fold cross-validation stability (beyond reference, r9) ---------
+    // The evaluation discipline every single-split metric (q_confusion_
+    // metrics) silently skips: score the stop-ratio≥0.15 english
+    // classifier on 5 content-addressed md5 folds and report per-fold
+    // accuracy plus the across-fold mean ± sd — "is the metric stable or
+    // did the split get lucky". One scan partial-aggregates to the 5-fold
+    // frame (fold from md5(doc_id) % 5 — deterministic, partition-
+    // invariant); per-fold accuracy is one division of exact BIGINTs and
+    // the 5-term mean/sd accumulations are r6-absorbed windows over the
+    // bounded frame.
+    "q_cv_folds" -> ((s, dir) => {
+      val fold = pmod(conv(substring(md5(concat(lit("cv#"),
+        col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long"), lit(5L))
+      val pred = (TextOps.stopRatio(col("text")) >= lit(0.15)).cast("long")
+      val y = (col("lang") === "en").cast("long")
+      val folds = t(s, dir, "documents")
+        .select(fold.as("fold"),
+          (pred === y).cast("long").as("correct"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"))
+      val w = BoundedWindow.whole(col("fold"))
+      val acc = col("n_correct").cast("double") / col("n").cast("double")
+      val withAcc = folds.select(col("fold"), col("n"), col("n_correct"),
+        acc.as("acc"))
+      val k = count(lit(1)).over(w).cast("double")
+      val sa = sum(col("acc")).over(w)
+      val saa = sum(col("acc") * col("acc")).over(w)
+      withAcc.select(col("fold"), col("n"), col("n_correct"),
+          r6(col("acc")).as("accuracy"),
+          r6(sa / k).as("mean_acc"),
+          r6(sqrt((saa - sa * sa / k) / (k - lit(1.0)))).as("sd_acc"))
+        .orderBy("fold")
+    }),
+
     // ---- isotonic calibration (PAV by the max-min identity) ---------------
     // The monotone score-calibrator (Zadrozny–Elkan 2002) beside the
     // binned q_calibration diagnostic: fit the best NON-DECREASING map
@@ -694,6 +729,40 @@ object Evaluation {
     // chained-CTE replay of the quantized-gradient training loop —
     // bit-identical weights, decisions and micro-unit logloss
     "q_logistic_gd" -> logisticGdOracle,
+
+    // identical md5 folds, raw-ratio threshold (an exact rational ≥
+    // compare), exact per-fold counts, r6-absorbed 5-term mean/sd
+    "q_cv_folds" ->
+      (s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT CAST('0x' || substr(md5('cv#' || CAST(doc_id AS VARCHAR)),
+        |      1, 4) AS BIGINT) % 5 AS fold,
+        |    CASE WHEN (CAST(len(list_filter(toks,
+        |        x -> x IN (${TextOps.stopwordsInList}))) AS DOUBLE)
+        |      / len(toks) >= 0.15) = (lang = 'en')
+        |      THEN 1 ELSE 0 END AS correct
+        |  FROM d
+        |), g AS (
+        |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(correct) AS BIGINT) AS n_correct
+        |  FROM f GROUP BY 1
+        |), a AS (
+        |  SELECT *, CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+        |  FROM g
+        |)
+        |SELECT fold, n, n_correct,
+        |  FLOOR(acc * 1000000.0 + 0.500001) / 1000000.0 AS accuracy,
+        |  FLOOR(SUM(acc) OVER () / CAST(COUNT(*) OVER () AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS mean_acc,
+        |  FLOOR(sqrt((SUM(acc * acc) OVER ()
+        |      - SUM(acc) OVER () * SUM(acc) OVER ()
+        |        / CAST(COUNT(*) OVER () AS DOUBLE))
+        |    / (CAST(COUNT(*) OVER () AS DOUBLE) - 1.0))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS sd_acc
+        |FROM a ORDER BY fold""").stripMargin,
 
     // the same max-min identity over the same 2-dp bin frame — interval
     // means are single divisions of exact cumulative integers

@@ -561,6 +561,41 @@ class AnalyticsSpec extends SparkSpec {
       s"pair generation must stay an orderkey equi-join:\n$p")
   }
 
+  // ---- q_topk_churn ---------------------------------------------------------
+
+  test("top-k churn: identical periods give Jaccard 1, disjoint lists give 0") {
+    import spark.implicits._
+    def li(rows: Seq[(Long, Double, String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_churn").toString
+      rows.zipWithIndex.map { case ((pk, price, day), i) =>
+        (i.toLong, pk, price, day) }
+        .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate")
+        .write.parquet(s"$dir/lineitem.parquet")
+      SparkEntry.queries("q_topk_churn")(spark, dir).head()
+    }
+    // same 5 parts with identical revenue ranks in both halves
+    val stable = (1L to 5L).flatMap(p => Seq(
+      (p, 1000.0 * p, "1997-06-01"), (p, 1000.0 * p, "1998-06-01")))
+    val rs = li(stable)
+    assert(rs.getLong(0) === 5L && rs.getLong(1) === 5L)
+    assert(rs.getDouble(2) === 1.0 && rs.getLong(3) === 0L)
+    assert(rs.getLong(4) === 15L, "churned_out counts against the fixed k=20")
+    // disjoint part sets across halves
+    val churned = (1L to 5L).map(p => (p, 1000.0, "1997-06-01")) ++
+      (11L to 15L).map(p => (p, 1000.0, "1998-06-01"))
+    val rc = li(churned)
+    assert(rc.getLong(0) === 0L && rc.getLong(1) === 10L)
+    assert(rc.getDouble(2) === 0.0)
+  }
+
+  test("top-k churn on real data: overlap algebra consistent") {
+    val r = run("q_topk_churn").head()
+    assert(r.getLong(0) <= 20L)
+    assert(r.getLong(1) === 40L - r.getLong(0),
+      "|A ∪ B| = |A| + |B| − |A ∩ B| at k = 20")
+    assert(r.getLong(3) <= r.getLong(0) * 19L, "footrule bound")
+  }
+
   // ---- q_simpsons_paradox ---------------------------------------------------
 
   test("Simpson audit: the classic allocation reversal trips the paradox flag") {

@@ -501,6 +501,22 @@ class EvaluationSpec extends SparkSpec {
     assert(rows.length <= 25, "at most |classes|² cells")
   }
 
+  test("cv folds: 5 folds cover the corpus, summary matches a driver replay") {
+    val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 4L))
+    val total = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === total, "folds partition the corpus")
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    val accs = rows.map(r => r.getLong(2).toDouble / r.getLong(1))
+    val mean = accs.sum / 5.0
+    val sd = math.sqrt((accs.map(a => a * a).sum - accs.sum * accs.sum / 5.0) / 4.0)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) - r6d(mean)) <= 2e-6, s"mean: $r")
+      assert(math.abs(r.getDouble(5) - r6d(sd)) <= 2e-6, s"sd: $r")
+    }
+  }
+
   test("isotonic calibration: monotone output that pools adjacent violators exactly") {
     val rows = SparkEntry.queries("q_isotonic_calibration")(spark, sf)
       .collect().sortBy(_.getDouble(0))
