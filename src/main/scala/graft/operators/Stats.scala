@@ -1189,6 +1189,67 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- group-sequential monitoring (beyond reference, r9) ---------------
+    // The "peeking problem" answer q_ab_ttest leaves open: five interim
+    // looks at the experiment (6-day calendar strides) tested against
+    // O'Brien–Fleming boundaries (1979; the classic monotone-spending
+    // schedule 4.877/3.357/2.680/2.290/2.031 for 5 equally-spaced looks
+    // at overall α = 0.05) — early looks demand overwhelming evidence,
+    // the final look spends almost the full α. Scale shape: each
+    // purchase explodes into the looks whose windows contain it
+    // (≤5×, partial-aggregated), user-cluster totals per look (the
+    // q_ab_ttest randomization unit), then per-(look, arm) exact
+    // BIGINT/decimal-38 moments reduce to a 5-row frame; Welch z per
+    // look is a closed-form float sequence and the reject flag compares
+    // the raw z against the literal boundary (identical doubles both
+    // engines).
+    "q_group_sequential" -> ((s, dir) => {
+      val cuts = Seq("2024-01-07", "2024-01-13", "2024-01-19", "2024-01-25")
+      val bounds = Seq(4.877, 3.357, 2.680, 2.290, 2.031)
+      val cents = floor(col("value") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val lookIdx = cuts.zipWithIndex.foldRight(lit(5L)) {
+        case ((d, i), rest) =>
+          when(to_date(col("ts")) < lit(d).cast("date"), (i + 1).toLong)
+            .otherwise(rest)
+      }
+      val byUserLook = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), cents.as("c"),
+          explode(sequence(lookIdx, lit(5L))).as("look"))
+        .groupBy("look", "user_id").agg(sum(col("c")).as("x"))
+        .select(col("look"), arm(col("user_id")).as("g"), col("x"),
+          col("x").cast("decimal(38,0)").as("xd"))
+      val m = byUserLook.groupBy("look").agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("g") === 0L, col("x")).otherwise(0L)).as("sa"),
+        sum(when(col("g") === 1L, col("x")).otherwise(0L)).as("sb"),
+        sum(when(col("g") === 0L, col("xd") * col("xd")).otherwise(lit(0)))
+          .as("qa"),
+        sum(when(col("g") === 1L, col("xd") * col("xd")).otherwise(lit(0)))
+          .as("qb"))
+      def mean(s0: String, n: String): Column =
+        col(s0).cast("double") / col(n).cast("double")
+      def vr(q: String, s0: String, n: String): Column =
+        (col(q).cast("double") - col(s0).cast("double") *
+          col(s0).cast("double") / col(n).cast("double")) /
+          (col(n).cast("double") - lit(1.0))
+      val z = (mean("sa", "na") - mean("sb", "nb")) /
+        sqrt(vr("qa", "sa", "na") / col("na").cast("double") +
+          vr("qb", "sb", "nb") / col("nb").cast("double"))
+      val boundary = bounds.zipWithIndex.foldRight(lit(bounds.last)) {
+        case ((b, i), rest) =>
+          when(col("look") === (i + 1).toLong, b).otherwise(rest)
+      }
+      val ok = col("na") > 1L && col("nb") > 1L
+      m.select(col("look"), col("na").as("n_a"), col("nb").as("n_b"),
+          when(ok, r6(z)).as("z_stat"), boundary.as("obf_boundary"),
+          coalesce((when(ok, abs(z)) > boundary).cast("long"), lit(0L))
+            .as("crosses"))
+        .orderBy("look")
+    }),
+
     // ---- trimmed + winsorized mean (beyond reference, r9) -----------------
     // The robust-location pair beside q_mad_outliers' robust spread: the
     // 5%-trimmed mean (drop the tails) and the 5%-winsorized mean (clamp
@@ -2482,6 +2543,62 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // identical look windows, ≤5× explode, user-cluster totals, exact
+    // HUGEINT moments, the same Welch sequence and literal boundaries
+    "q_group_sequential" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(FLOOR(value * 100.0 + 0.500001) AS BIGINT)
+        |      AS c,
+        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-07' THEN 1
+        |      WHEN CAST(ts AS DATE) < DATE '2024-01-13' THEN 2
+        |      WHEN CAST(ts AS DATE) < DATE '2024-01-19' THEN 3
+        |      WHEN CAST(ts AS DATE) < DATE '2024-01-25' THEN 4
+        |      ELSE 5 END AS lk
+        |  FROM events WHERE event_type = 'purchase'
+        |), ex AS (
+        |  SELECT user_id, c, CAST(u.i AS BIGINT) AS look
+        |  FROM p, LATERAL unnest(generate_series(p.lk, 5)) AS u(i)
+        |), ul AS (
+        |  SELECT look, user_id, CAST(SUM(c) AS BIGINT) AS x,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g
+        |  FROM ex GROUP BY look, user_id
+        |), m AS (
+        |  SELECT look,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS sb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS qa,
+        |    SUM(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      AS qb
+        |  FROM ul GROUP BY look
+        |), zz AS (
+        |  SELECT look, na, nb,
+        |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt(
+        |      (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |        / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+        |        / CAST(na AS DOUBLE)
+        |      + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |        / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)
+        |        / CAST(nb AS DOUBLE)) AS z,
+        |    CASE WHEN look = 1 THEN 4.877 WHEN look = 2 THEN 3.357
+        |      WHEN look = 3 THEN 2.680 WHEN look = 4 THEN 2.290
+        |      ELSE 2.031 END AS obf_boundary,
+        |    na > 1 AND nb > 1 AS ok
+        |  FROM m
+        |)
+        |SELECT look, na AS n_a, nb AS n_b,
+        |  CASE WHEN ok THEN FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS z_stat,
+        |  obf_boundary,
+        |  CAST(CASE WHEN ok AND ABS(z) > obf_boundary THEN 1 ELSE 0 END
+        |    AS BIGINT) AS crosses
+        |FROM zz ORDER BY look""".stripMargin,
 
     // identical rank cuts ((n·5)//100 both engines), exact BIGINT trimmed
     // and winsorized sums, one division per output

@@ -953,6 +953,48 @@ class StatsSpec extends SparkSpec {
       s"power sums must partial-aggregate before the shuffle:\n$p")
   }
 
+  // ---- q_group_sequential --------------------------------------------------
+
+  test("group sequential: planted lift crosses late looks, boundaries decay, looks accumulate") {
+    import spark.implicits._
+    val armOf = pmod(conv(substring(
+      md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(2L))
+    // each user purchases once per 6-day window across January; arm 0
+    // carries a massive planted lift → by the later looks z ≫ boundary
+    val base = (1L to 160L).flatMap { u =>
+      (0 until 5).map(k => (u * 10 + k, u, 10.0 + (u % 7),
+        f"2024-01-${3 + 6 * k}%02d"))
+    }.toDF("event_id", "user_id", "value", "day")
+    val ev = base
+      .withColumn("value",
+        col("value") + when(armOf === 0L, 500.0).otherwise(0.0))
+      .withColumn("ts", to_timestamp(col("day")))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("props", lit("{}")).drop("day")
+    val dir = fixtureDir("events" -> ev)
+    val rows = SparkEntry.queries("q_group_sequential")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 5L))
+    val bounds = rows.map(_.getDouble(4))
+    assert(bounds.sliding(2).forall(p => p(0) > p(1)),
+      "OBF boundaries decay across looks")
+    val ns = rows.map(r => r.getLong(1) + r.getLong(2))
+    assert(ns.sliding(2).forall(p => p(0) <= p(1)),
+      "interim populations accumulate")
+    assert(rows.last.getLong(5) === 1L,
+      s"the planted lift must cross at the final look: ${rows.last}")
+    rows.foreach(r => assert(r.getLong(5) ===
+      (if (math.abs(r.getDouble(3)) > r.getDouble(4)) 1L else 0L)))
+  }
+
+  test("group sequential on real data: five looks, flags consistent") {
+    val rows = SparkEntry.queries("q_group_sequential")(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getLong(5) ===
+      (if (math.abs(r.getDouble(3)) > r.getDouble(4)) 1L else 0L)))
+  }
+
   // ---- q_trimmed_mean ------------------------------------------------------
 
   test("trimmed/winsorized means: a planted outlier moves only the raw mean") {
