@@ -154,6 +154,42 @@ object Timeseries {
           r4(col("st.l") + lit(28.0) * col("st.t")).as("forecast_28"))
     }),
 
+    // ---- Mann–Kendall trend test (beyond reference, round 9) --------------
+    // The nonparametric companion to q_theil_sen's robust slope: is the
+    // daily-revenue trend MONOTONE at all, without assuming linearity or
+    // normality? S = Σ_{i<j} sign(x_j − x_i) over the calendar-bounded
+    // pair census (the q_theil_sen broadcast pair join — O(days²) rows,
+    // corpus-invariant), tie-corrected variance Var(S) = [n(n−1)(2n+5)
+    // − Σ_g t_g(t_g−1)(2t_g+5)]/18 (Kendall 1975), and the
+    // continuity-corrected z = (S ∓ 1)/√Var. S and every variance term
+    // are exact BIGINTs; z is one closed-form float both engines replay.
+    "q_mann_kendall" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val a = daily.select(col("day").as("d1"), col("rev").as("r1"))
+      val b = daily.select(col("day").as("d2"), col("rev").as("r2"))
+      val pairs = a.join(broadcast(b), col("d1") < col("d2"))
+        .agg(sum(signum(col("r2") - col("r1")).cast("long")).as("s"),
+          count(lit(1)).as("n_pairs"))
+      val ties = daily.groupBy(col("rev"))
+        .agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie_term"), sum(col("t")).as("n"))
+      val g = pairs.crossJoin(broadcast(ties))
+      val varS = (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+        col("tie_term")).cast("double") / lit(18.0)
+      val z = when(col("s") > 0L,
+          (col("s") - 1L).cast("double") / sqrt(varS))
+        .when(col("s") < 0L, (col("s") + 1L).cast("double") / sqrt(varS))
+        .otherwise(lit(0.0))
+      g.select(col("n").as("n_days"), col("n_pairs"), col("s"),
+        r6(z).as("z_stat"),
+        (abs(z) > lit(1.959963984540054)).cast("long").as("trending"))
+    }),
+
     // ---- Holt–Winters triple exponential smoothing (beyond ref, r9) -------
     // q_holt_trend plus ADDITIVE WEEKLY SEASONALITY (Winters 1960): state
     // (level, trend, s[0..6]) with the seasonal slot keyed by TRUE
@@ -1057,6 +1093,39 @@ object Timeseries {
         |      * 1000000.0 + 0.500001) / 1000000.0
         |  ELSE NULL END AS ccf
         |FROM m ORDER BY lag""".stripMargin,
+
+    // the same exact pair census, integer S and tie terms, identical
+    // continuity-corrected z
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), pairs AS (
+        |  SELECT CAST(SUM(SIGN(b.rev - a.rev)) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM daily a JOIN daily b ON a.day < b.day
+        |), ties AS (
+        |  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily
+        |    GROUP BY rev)
+        |), g AS (
+        |  SELECT *, CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+        |    / 18.0 AS var_s
+        |  FROM pairs, ties
+        |)
+        |SELECT n AS n_days, n_pairs, s,
+        |  FLOOR(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |    ELSE 0.0 END * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
+        |  CAST(CASE WHEN ABS(CASE WHEN s > 0
+        |      THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |      ELSE 0.0 END) > 1.959963984540054
+        |    THEN 1 ELSE 0 END AS BIGINT) AS trending
+        |FROM g""".stripMargin,
 
     // the recursive-CTE replay of the same 9-field recurrence: identical
     // seasonal CASE chains, the same duplicated-lv float sequence

@@ -631,6 +631,36 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_mann_kendall -------------------------------------------------------
+
+  test("Mann–Kendall: a monotone ramp scores S = C(n,2) and flags; a constant abstains at 0") {
+    import spark.implicits._
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    def mk(vals: Seq[Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
+      vals.zipWithIndex.map { case (v, i) => (day(i), v) }
+        .toDF("o_orderdate", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      SparkEntry.queries("q_mann_kendall")(spark, dir).head()
+    }
+    val ramp = mk((1 to 40).map(_.toDouble))
+    assert(ramp.getLong(0) === 40L && ramp.getLong(1) === 40L * 39 / 2)
+    assert(ramp.getLong(2) === 40L * 39 / 2, "every pair votes up")
+    assert(ramp.getLong(4) === 1L, "a strict ramp must trend")
+    val const = mk(Seq.fill(30)(7.0))
+    assert(const.getLong(2) === 0L && const.getDouble(3) === 0.0)
+    assert(const.getLong(4) === 0L,
+      "a constant series has S = 0 and the tie correction kills Var misuse")
+  }
+
+  test("Mann–Kendall on real data: |S| bounded by the pair census, flag consistent") {
+    val r = run("q_mann_kendall").head()
+    assert(math.abs(r.getLong(2)) <= r.getLong(1))
+    assert(r.getLong(1) === r.getLong(0) * (r.getLong(0) - 1) / 2)
+    assert(r.getLong(4) ===
+      (if (math.abs(r.getDouble(3)) > 1.959963984540054) 1L else 0L))
+  }
+
   // ---- q_watermark_lateness -------------------------------------------------
 
   test("watermark lateness: bands cover every event, tails match the replayed delays") {
