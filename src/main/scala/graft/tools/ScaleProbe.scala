@@ -396,6 +396,30 @@ object ScaleProbe {
       Blocks.releaseAll(spark)
     }
 
+    // MS-BFS closeness (round 9): the SAME disjoint copies, but now the
+    // mod-97 seed set grows ~mult× WITH the graph (every copy contributes
+    // its shifted seeds) — so this measures the bitmask vectorization
+    // claim directly: total work ≈ Σ per-copy closeness, i.e. LINEAR in
+    // (graph × seeds), never |seeds|·|nodes| state. A super-linear curve
+    // here would mean the bit-explode or the seen-mask join broke.
+    for (mult <- Seq(1, 4, 16)) {
+      val liBig = (0 until mult).map { i =>
+        liBfsBase.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val und = graft.operators.Graph.partPairEdges(liBig).localCheckpoint()
+      val nE = und.count()
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Graph.closeness(und, rounds = 8)
+      val nSeeds = rows.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-closeness] mult=$mult%2d edges=$nE%9d " +
+        f"seeds=$nSeeds%5d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
     // Theil–Sen: orders multiplied 16× WITHIN the same calendar (extra
     // copies land on existing days) — the claim under test is that the
     // O(days²) pair census is CORPUS-INVARIANT: only the daily-aggregate
