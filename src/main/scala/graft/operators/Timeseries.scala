@@ -154,6 +154,66 @@ object Timeseries {
           r4(col("st.l") + lit(28.0) * col("st.t")).as("forecast_28"))
     }),
 
+    // ---- Kleinberg burst detection (beyond reference, round 9) ------------
+    // The 2-state burst automaton (Kleinberg, KDD 2002) over daily order
+    // counts: state 0 emits at the base rate λ, state 1 at 2λ, entering a
+    // burst costs γ = 2; the Viterbi path minimizes Σ[λ_j − x_t·ln λ_j] +
+    // transitions. TRACEBACK-FREE: the fold carries, for each ending
+    // state, the best path's (cost, burst-day count, burst-run count) —
+    // six numbers of state, so the whole path summary pops out of one
+    // in-order pass with NO per-day materialization (the Holt fold shape
+    // over the calendar-bounded frame; the oracle replays the identical
+    // recurrence as a recursive CTE). Ties break toward state 0 with <=
+    // on both engines; every emission is the same two-op float over an
+    // exact integer count and the shared ln λ.
+    "q_kleinberg_burst" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val arr = daily.agg(
+        sort_array(collect_list(struct(col("day"),
+          col("cnt").cast("double").as("x")))).as("s"),
+        count(lit(1)).as("n_days"), sum(col("cnt")).as("n_total"))
+        .select(col("s"), col("n_days"), col("n_total"),
+          (col("n_total").cast("double") / col("n_days").cast("double"))
+            .as("lam"))
+      val gamma = lit(2.0)
+      def e0(x: Column, lam: Column): Column = lam - x * log(lam)
+      def e1(x: Column, lam: Column): Column =
+        lit(2.0) * lam - x * log(lit(2.0) * lam)
+      def f(n: String) = col(s"st.$n")
+      val lam = col("lam")
+      val head = element_at(col("s"), 1).getField("x")
+      val zero = struct(
+        e0(head, lam).as("c0"), (gamma + e1(head, lam)).as("c1"),
+        lit(0L).as("bd0"), lit(1L).as("bd1"),
+        lit(0L).as("nb0"), lit(1L).as("nb1"))
+      val folded = aggregate(
+        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+        zero,
+        (acc, el) => {
+          val x = el.getField("x")
+          def a(n: String) = acc.getField(n)
+          val p0 = a("c0") <= a("c1")            // predecessor for state 0
+          val p1 = a("c0") + gamma <= a("c1")    // predecessor for state 1
+          struct(
+            (when(p0, a("c0")).otherwise(a("c1")) + e0(x, lam)).as("c0"),
+            (when(p1, a("c0") + gamma).otherwise(a("c1")) + e1(x, lam))
+              .as("c1"),
+            when(p0, a("bd0")).otherwise(a("bd1")).as("bd0"),
+            (when(p1, a("bd0")).otherwise(a("bd1")) + lit(1L)).as("bd1"),
+            when(p0, a("nb0")).otherwise(a("nb1")).as("nb0"),
+            (when(p1, a("nb0") + lit(1L)).otherwise(a("nb1"))).as("nb1"))
+        })
+      val fin = col("st.c0") <= col("st.c1")
+      arr.select(col("n_days"), col("n_total"), folded.as("st"),
+          r6(lam).as("lam6"))
+        .select(col("n_days"), col("n_total"), col("lam6").as("base_rate"),
+          when(fin, f("bd0")).otherwise(f("bd1")).as("burst_days"),
+          when(fin, f("nb0")).otherwise(f("nb1")).as("n_bursts"),
+          r4(when(fin, f("c0")).otherwise(f("c1"))).as("path_cost"))
+    }),
+
     // ---- Mann–Kendall trend test (beyond reference, round 9) --------------
     // The nonparametric companion to q_theil_sen's robust slope: is the
     // daily-revenue trend MONOTONE at all, without assuming linearity or
@@ -1093,6 +1153,51 @@ object Timeseries {
         |      * 1000000.0 + 0.500001) / 1000000.0
         |  ELSE NULL END AS ccf
         |FROM m ORDER BY lag""".stripMargin,
+
+    // the recursive-CTE replay of the 6-field Viterbi fold: identical
+    // <=-tie predecessors, emissions and transition penalties
+    "q_kleinberg_burst" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1
+        |), meta AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |    CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lam
+        |  FROM daily
+        |), idx AS (
+        |  SELECT CAST(cnt AS DOUBLE) AS x,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS i
+        |  FROM daily
+        |), kb(i, c0, c1, bd0, bd1, nb0, nb1) AS (
+        |  SELECT CAST(1 AS BIGINT),
+        |    lam - x * LN(lam),
+        |    2.0 + (2.0 * lam - x * LN(2.0 * lam)),
+        |    CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM idx, meta WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.i,
+        |    CASE WHEN k.c0 <= k.c1 THEN k.c0 ELSE k.c1 END
+        |      + (m.lam - d.x * LN(m.lam)),
+        |    CASE WHEN k.c0 + 2.0 <= k.c1 THEN k.c0 + 2.0 ELSE k.c1 END
+        |      + (2.0 * m.lam - d.x * LN(2.0 * m.lam)),
+        |    CASE WHEN k.c0 <= k.c1 THEN k.bd0 ELSE k.bd1 END,
+        |    CASE WHEN k.c0 + 2.0 <= k.c1 THEN k.bd0 ELSE k.bd1 END + 1,
+        |    CASE WHEN k.c0 <= k.c1 THEN k.nb0 ELSE k.nb1 END,
+        |    CASE WHEN k.c0 + 2.0 <= k.c1 THEN k.nb0 + 1 ELSE k.nb1 END
+        |  FROM kb k JOIN idx d ON d.i = k.i + 1 CROSS JOIN meta m
+        |), fin AS (SELECT * FROM kb ORDER BY i DESC LIMIT 1)
+        |SELECT m.n_days, m.n_total,
+        |  FLOOR(m.lam * 1000000.0 + 0.500001) / 1000000.0 AS base_rate,
+        |  CAST(CASE WHEN f.c0 <= f.c1 THEN f.bd0 ELSE f.bd1 END AS BIGINT)
+        |    AS burst_days,
+        |  CAST(CASE WHEN f.c0 <= f.c1 THEN f.nb0 ELSE f.nb1 END AS BIGINT)
+        |    AS n_bursts,
+        |  FLOOR((CASE WHEN f.c0 <= f.c1 THEN f.c0 ELSE f.c1 END)
+        |    * 10000.0 + 0.500001) / 10000.0 AS path_cost
+        |FROM fin f, meta m""".stripMargin,
 
     // the same exact pair census, integer S and tie terms, identical
     // continuity-corrected z

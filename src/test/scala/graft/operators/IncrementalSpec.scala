@@ -631,6 +631,42 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_kleinberg_burst ----------------------------------------------------
+
+  test("Kleinberg burst: a planted 10-day spike is one burst of exactly 10 days") {
+    import spark.implicits._
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    // 5 orders/day for 60 days, except days 25..34 carry 20/day: λ = 7.5,
+    // burst rate 15 — the emission gap (≈6.4/day in-burst vs ≈4/day out)
+    // dwarfs γ = 2, so Viterbi brackets exactly the spike
+    val rows = (0 until 60).flatMap { d =>
+      val n = if (d >= 25 && d < 35) 20 else 5
+      (0 until n).map(k => (day(d), 100.0 + k))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_kb").toString
+    rows.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_kleinberg_burst")(spark, dir).head()
+    assert(r.getLong(0) === 60L && r.getLong(1) === 50 * 5L + 10 * 20L)
+    assert(r.getDouble(2) === 7.5)
+    assert(r.getLong(3) === 10L, s"burst brackets the spike exactly: $r")
+    assert(r.getLong(4) === 1L, s"one contiguous burst: $r")
+    // a flat series never enters the burst state
+    val flat = (0 until 40).flatMap(d => (0 until 5).map(k => (day(d), 9.0)))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_kb2").toString
+    flat.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir2/orders.parquet")
+    val rf = SparkEntry.queries("q_kleinberg_burst")(spark, dir2).head()
+    assert(rf.getLong(3) === 0L && rf.getLong(4) === 0L, s"$rf")
+  }
+
+  test("Kleinberg burst on real data: burst days bound runs, rates sane") {
+    val r = run("q_kleinberg_burst").head()
+    assert(r.getLong(4) <= r.getLong(3), "every burst has ≥ 1 day")
+    assert(r.getLong(3) <= r.getLong(0))
+    assert(r.getDouble(2) > 0.0)
+  }
+
   // ---- q_mann_kendall -------------------------------------------------------
 
   test("Mann–Kendall: a monotone ramp scores S = C(n,2) and flags; a constant abstains at 0") {
