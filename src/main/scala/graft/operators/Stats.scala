@@ -1189,6 +1189,47 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- jackknife ratio SE (beyond reference, r9) -------------------------
+    // The resampling cross-check for q_delta_method's analytic variance:
+    // leave-one-cluster-out pseudo-values for the purchase-per-view ratio
+    // have the CLOSED FORM R₍₋ᵢ₎ = (ΣX − xᵢ)/(ΣY − yᵢ) — so the "n
+    // resamples" collapse into one projection over the user frame (no
+    // replicate explosion, the Tukey 1958 estimator at zero extra
+    // passes). Cross-engine exactness: each pseudo-value quantizes to
+    // integer micro-units ONCE (one deterministic division per user —
+    // the q_entropy_rate discipline), so Σ and Σ² are exact
+    // BIGINT/decimal-38 and the jackknife SE √((n−1)/n · Σ(v−v̄)²) is a
+    // closed-form float over exact integers. One user-keyed shuffle; the
+    // totals attach as a broadcast 1-row aggregate.
+    "q_jackknife" -> ((s, dir) => {
+      val cents = floor(col("value") * lit(100.0) + lit(0.500001)).cast("long")
+      val byUser = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+      val tot = byUser.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+      val loo = (col("sx") - col("x")).cast("double") /
+        (col("sy") - col("y")).cast("double")
+      val micro = floor(loo * lit(1000000.0)).cast("long")
+      val g = byUser.crossJoin(broadcast(tot))
+        .where(col("sy") - col("y") > 0L)
+        .select(col("n"), col("sx"), col("sy"), micro.as("v"))
+        .groupBy("n", "sx", "sy")
+        .agg(count(lit(1)).as("n_used"), sum(col("v")).as("sv"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+      val nD = col("n_used").cast("double")
+      val meanV = col("sv").cast("double") / nD
+      val ssq = (col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double") / nD)
+      val jkSe = sqrt((nD - lit(1.0)) / nD * ssq) / lit(1000000.0)
+      g.select(col("n").as("n_users"), col("n_used"),
+        r6(col("sx").cast("double") / col("sy").cast("double"))
+          .as("ratio_cents_per_view"),
+        r6(meanV / lit(1000000.0)).as("jk_mean"),
+        r6(jkSe).as("jk_se"))
+    }),
+
     // ---- group-sequential monitoring (beyond reference, r9) ---------------
     // The "peeking problem" answer q_ab_ttest leaves open: five interim
     // looks at the experiment (6-day calendar strides) tested against
@@ -2543,6 +2584,44 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // the same closed-form leave-one-out pseudo-values, micro-unit
+    // quantization, and exact integer moment algebra
+    "q_jackknife" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100.0 + 0.500001) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT)
+        |    AS sx, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM u
+        |), vs AS (
+        |  SELECT n, sx, sy,
+        |    CAST(FLOOR(CAST(sx - x AS DOUBLE) / CAST(sy - y AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS v
+        |  FROM u, tot WHERE sy - y > 0
+        |), g AS (
+        |  SELECT n, sx, sy, CAST(COUNT(*) AS BIGINT) AS n_used,
+        |    CAST(SUM(v) AS BIGINT) AS sv,
+        |    SUM(CAST(v AS HUGEINT) * v) AS svv
+        |  FROM vs GROUP BY n, sx, sy
+        |)
+        |SELECT n AS n_users, n_used,
+        |  FLOOR(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS ratio_cents_per_view,
+        |  FLOOR(CAST(sv AS DOUBLE) / CAST(n_used AS DOUBLE) / 1000000.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS jk_mean,
+        |  FLOOR(sqrt((CAST(n_used AS DOUBLE) - 1.0)
+        |      / CAST(n_used AS DOUBLE)
+        |      * (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+        |        * CAST(sv AS DOUBLE) / CAST(n_used AS DOUBLE)))
+        |    / 1000000.0 * 1000000.0 + 0.500001) / 1000000.0 AS jk_se
+        |FROM g""".stripMargin,
 
     // identical look windows, ≤5× explode, user-cluster totals, exact
     // HUGEINT moments, the same Welch sequence and literal boundaries

@@ -953,6 +953,42 @@ class StatsSpec extends SparkSpec {
       s"power sums must partial-aggregate before the shuffle:\n$p")
   }
 
+  // ---- q_jackknife ---------------------------------------------------------
+
+  test("jackknife: identical clusters give SE exactly 0; driver replay matches") {
+    import spark.implicits._
+    def mkEvents(rows: Seq[(Long, String, Double)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jk").toString
+      rows.zipWithIndex.map { case ((u, ty, v), i) => (i.toLong, u, ty, v) }
+        .toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // every user identical (2 views, one $50 purchase): every
+    // leave-one-out ratio equals the full ratio → SE = 0 exactly
+    val same = (1L to 30L).flatMap(u => Seq((u, "view", 0.0), (u, "view", 0.0),
+      (u, "purchase", 50.0)))
+    val r0 = SparkEntry.queries("q_jackknife")(spark, mkEvents(same)).head()
+    assert(r0.getLong(0) === 30L && r0.getLong(1) === 30L)
+    assert(r0.getDouble(2) === 2500.0, "5000 cents over 2 views")
+    assert(r0.getDouble(4) === 0.0, s"homogeneous clusters ⇒ SE 0: $r0")
+    // heterogeneous clusters: replay the micro-unit algebra on the driver
+    val het = (1L to 25L).flatMap(u => Seq((u, "view", 0.0),
+      (u, "purchase", 10.0 + u)))
+    val rh = SparkEntry.queries("q_jackknife")(spark, mkEvents(het)).head()
+    val xs = (1L to 25L).map(u => ((10.0 + u) * 100).round)
+    val sx = xs.sum; val sy = 25L
+    val vs = xs.map(x => math.floor((sx - x).toDouble / (sy - 1).toDouble * 1e6).toLong)
+    val n = vs.length.toDouble
+    val sv = vs.sum; val svv = vs.map(v => BigInt(v) * BigInt(v)).sum
+    val se = math.sqrt((n - 1.0) / n *
+      (svv.toDouble - sv.toDouble * sv.toDouble / n)) / 1e6
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    assert(math.abs(rh.getDouble(4) - r6d(se)) < 2e-6, s"SE replay: $rh vs $se")
+  }
+
   // ---- q_group_sequential --------------------------------------------------
 
   test("group sequential: planted lift crosses late looks, boundaries decay, looks accumulate") {
