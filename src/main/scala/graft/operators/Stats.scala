@@ -1189,6 +1189,44 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- capture–recapture population estimate (beyond ref, r9) -----------
+    // Chapman's bias-corrected Lincoln–Petersen estimator (1951) — the
+    // ecology tool data teams reuse to size a population no single
+    // system sees completely (how many total users exist, given two
+    // partial "captures"?). The captures must be PARTIAL to be a real
+    // test, so each is a deterministic event subsample: capture 1 =
+    // users with a view event whose id ≡ 0 (mod 7), capture 2 = users
+    // with a click event whose id ≡ 0 (mod 5) — independent by
+    // construction, so N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with the Seber
+    // variance should cover the KNOWN distinct-user truth. One scan
+    // reduces to three exact BIGINTs via the two-flag user frame;
+    // everything after is closed-form float over them.
+    "q_capture_recapture" -> ((s, dir) => {
+      val byUser = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max((col("event_type") === "view" &&
+            col("event_id") % 7L === 0L).cast("long")).as("c1"),
+          max((col("event_type") === "click" &&
+            col("event_id") % 5L === 0L).cast("long")).as("c2"))
+      val g = byUser.agg(count(lit(1)).as("n_true"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("c2")).as("m"))
+      val n1 = col("n1").cast("double")
+      val n2 = col("n2").cast("double")
+      val m = col("m").cast("double")
+      val nHat = (n1 + lit(1.0)) * (n2 + lit(1.0)) / (m + lit(1.0)) -
+        lit(1.0)
+      val varHat = (n1 + lit(1.0)) * (n2 + lit(1.0)) * (n1 - m) *
+        (n2 - m) / ((m + lit(1.0)) * (m + lit(1.0)) * (m + lit(2.0)))
+      val se = sqrt(varHat)
+      val ok = col("m") > 0L
+      g.select(col("n_true"), col("n1"), col("n2"), col("m"),
+        when(ok, r2c(nHat)).as("n_hat"),
+        when(ok, r2c(se)).as("se"),
+        coalesce((when(ok, abs(nHat - col("n_true").cast("double"))) <=
+          lit(1.959963984540054) * se).cast("long"), lit(0L))
+          .as("covers_truth"))
+    }),
+
     // ---- jackknife ratio SE (beyond reference, r9) -------------------------
     // The resampling cross-check for q_delta_method's analytic variance:
     // leave-one-cluster-out pseudo-values for the purchase-per-view ratio
@@ -2584,6 +2622,43 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // identical two-flag user frame, exact capture integers, the same
+    // Chapman/Seber float sequence
+    "q_capture_recapture" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' AND event_id % 7 = 0
+        |      THEN 1 ELSE 0 END) AS c1,
+        |    MAX(CASE WHEN event_type = 'click' AND event_id % 5 = 0
+        |      THEN 1 ELSE 0 END) AS c2
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+        |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * c2) AS BIGINT) AS m
+        |  FROM u
+        |), e AS (
+        |  SELECT *,
+        |    (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        |      / (CAST(m AS DOUBLE) + 1.0) - 1.0 AS n_hat,
+        |    sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        |      * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+        |      * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+        |      / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+        |        * (CAST(m AS DOUBLE) + 2.0))) AS se
+        |  FROM g
+        |)
+        |SELECT n_true, n1, n2, m,
+        |  CASE WHEN m > 0
+        |    THEN FLOOR(n_hat * 100.0 + 0.500001) / 100.0 END AS n_hat,
+        |  CASE WHEN m > 0
+        |    THEN FLOOR(se * 100.0 + 0.500001) / 100.0 END AS se,
+        |  CAST(CASE WHEN m > 0
+        |      AND ABS(n_hat - CAST(n_true AS DOUBLE))
+        |        <= 1.959963984540054 * se
+        |    THEN 1 ELSE 0 END AS BIGINT) AS covers_truth
+        |FROM e""".stripMargin,
 
     // the same closed-form leave-one-out pseudo-values, micro-unit
     // quantization, and exact integer moment algebra

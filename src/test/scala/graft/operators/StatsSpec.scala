@@ -953,6 +953,43 @@ class StatsSpec extends SparkSpec {
       s"power sums must partial-aggregate before the shuffle:\n$p")
   }
 
+  // ---- q_capture_recapture -------------------------------------------------
+
+  test("capture-recapture: independent planted captures give Chapman's exact closed form") {
+    import spark.implicits._
+    // truth = 100 users; capture 1 = even users (n₁ = 50), capture 2 =
+    // multiples of 3 (n₂ = 33), overlap = multiples of 6 (m = 16):
+    // N̂ = 51·34/17 − 1 = 101 exactly — covers the truth
+    val rows = (1L to 100L).flatMap { u =>
+      val viewId = if (u % 2 == 0) 7L * u else 7L * u + 1L
+      val clickId = if (u % 3 == 0) 100000L + 5L * u else 100000L + 5L * u + 1L
+      Seq((viewId, u, "view", 1.0), (clickId, u, "click", 1.0))
+    }.toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+    val dir = fixtureDir("events" -> rows)
+    val r = SparkEntry.queries("q_capture_recapture")(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((100L, 50L, 33L, 16L)))
+    assert(r.getDouble(4) === 101.0, s"Chapman closed form: $r")
+    assert(r.getLong(6) === 1L, "the interval must cover the truth")
+  }
+
+  test("capture-recapture on real data: partial captures, flag consistent") {
+    val r = SparkEntry.queries("q_capture_recapture")(spark, sf).head()
+    assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)))
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(2) <= r.getLong(0))
+    if (r.getLong(3) > 0) {
+      val covers = math.abs(r.getDouble(4) - r.getLong(0).toDouble) <=
+        1.959963984540054 * r.getDouble(5)
+      // the flag is computed from the UNROUNDED floats; tolerate the
+      // boundary case where rounding flips the replay
+      if (math.abs(math.abs(r.getDouble(4) - r.getLong(0)) -
+          1.959963984540054 * r.getDouble(5)) > 0.02)
+        assert(r.getLong(6) === (if (covers) 1L else 0L))
+    }
+  }
+
   // ---- q_jackknife ---------------------------------------------------------
 
   test("jackknife: identical clusters give SE exactly 0; driver replay matches") {
