@@ -623,6 +623,90 @@ object LlmQueries {
     "q_lof" -> ((s, dir) =>
       Ann.lof(t(s, dir, "embeddings"), maxId = 200L, k = 5)),
 
+    // oracle-backed: DBSCAN (Ester et al., KDD 1996) COMPOSED from the
+    // suite's verified primitives — the q_lof distance machinery
+    // (bit-identical three-dot d², broadcast-only bounded-sample joins)
+    // for ε-neighborhoods, and Dedup.connectedComponents (the dedup
+    // cluster resolver) over the core–core subgraph. ε² is DATA-DRIVEN
+    // but deterministic: the median 5-NN distance² (an exact order
+    // statistic with id tie-break, identical doubles both engines) —
+    // the standard k-distance-plot elbow made reproducible. minPts = 5;
+    // core = ≥5 ε-neighbors, clusters = CC over core–core ε-edges
+    // (isolated cores keep their own id), border points attach to their
+    // nearest core by (d², id), the rest is noise (cluster −1). Output
+    // is the per-cluster census — integer-exact end to end; the one
+    // float anywhere is the displayed ε². Scale stance: DBSCAN is
+    // all-pairs by nature, so the sample is the unit of work (the q_lof
+    // stance); the corpus path is the LSH-bucketed candidate pruning
+    // the dedup family already implements.
+    "q_dbscan" -> ((s, dir) => {
+      graft.similarity.VecOps.register(s)
+      val minPts = 5L
+      val samp = t(s, dir, "embeddings").where(col("vec_id") < 200L)
+        .select(col("vec_id"), col("embedding"),
+          Ann.dot(col("embedding"), col("embedding")).as("sq"))
+      val a = samp.select(col("vec_id").as("a"), col("embedding").as("va"),
+        col("sq").as("aa"))
+      val b = samp.select(col("vec_id").as("b"), col("embedding").as("vb"),
+        col("sq").as("bb"))
+      val pairs = a.join(broadcast(b), col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          (col("aa") + col("bb") - lit(2.0) * Ann.dot(col("va"), col("vb")))
+            .as("d2"))
+        .localCheckpoint()
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("d2"), col("b"))
+      val kd = pairs
+        .select(col("a"), col("d2"), row_number().over(wk).as("rk"))
+        .where(col("rk") === 5)
+      val eps = kd
+        .select(col("d2"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("d2"))).cast("long").as("r"),
+          count(lit(1)).over(graft.operators.BoundedWindow
+            .whole(col("a"))).as("cnt"))
+        .where(col("r") === floor((col("cnt") + 1L) / lit(2.0)).cast("long"))
+        .select(col("d2").as("eps2"))
+      val near = pairs.crossJoin(broadcast(eps))
+        .where(col("d2") <= col("eps2"))
+        .localCheckpoint()
+      val core = near.groupBy("a").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= minPts).select(col("a").as("cid"))
+      val coreEdges = near
+        .join(broadcast(core.select(col("cid").as("a"))), Seq("a"))
+        .join(broadcast(core.select(col("cid").as("b"))), Seq("b"))
+        .where(col("a") < col("b")).select(col("a"), col("b"))
+      val cc = Dedup.connectedComponents(coreEdges)
+        .select(col("doc_id").as("cid"), col("component"))
+      val coreLab = core.join(broadcast(cc), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("component"), col("cid"))
+          .as("cluster"))
+      val borderPick = near
+        .join(broadcast(coreLab.select(col("cid").as("b"),
+          col("cluster"))), Seq("b"))
+        .join(broadcast(coreLab.select(col("cid").as("a"))),
+          Seq("a"), "left_anti")
+        .groupBy("a")
+        .agg(min(struct(col("d2"), col("b"), col("cluster"))).as("pick"))
+        .select(col("a").as("vid"), col("pick.cluster").as("cluster"))
+      val labeled = coreLab
+        .select(col("cid").as("vid"), col("cluster"), lit(1L).as("is_core"))
+        .unionAll(borderPick.select(col("vid"), col("cluster"),
+          lit(0L).as("is_core")))
+      val noise = samp.select(col("vec_id").as("vid"))
+        .join(broadcast(labeled.select(col("vid"))), Seq("vid"), "left_anti")
+        .select(col("vid"), lit(-1L).as("cluster"), lit(-1L).as("is_core"))
+      labeled.unionAll(noise)
+        .groupBy("cluster")
+        .agg(sum(when(col("is_core") === 1L, 1L).otherwise(0L)).as("n_core"),
+          sum(when(col("is_core") === 0L, 1L).otherwise(0L)).as("n_border"),
+          sum(when(col("is_core") === -1L, 1L).otherwise(0L)).as("n_noise"))
+        .crossJoin(broadcast(eps))
+        .select(col("cluster"), col("n_core"), col("n_border"),
+          col("n_noise"), r6(col("eps2")).as("eps2"))
+        .orderBy("cluster")
+    }),
+
     // oracle-backed: exact brute-force cosine top-5 for a bounded probe
     // batch (DuckDB list_dot_product over DOUBLE[] is bit-identical)
     "q_ann_brute" -> ((s, dir) => {
@@ -1807,6 +1891,75 @@ object LlmQueries {
         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight,
         |  FLOOR(k0 * 1000000.0 + 0.500001) / 1000000.0 AS key
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // the same distance identity and data-driven ε², recursive-CTE
+    // min-label closure over the core subgraph, identical tie-breaks
+    "q_dbscan" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
+        |  FROM embeddings WHERE vec_id < 200
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    a.sq + b.sq - 2.0 * list_dot_product(a.v, b.v) AS d2
+        |  FROM s a JOIN s b ON a.vec_id != b.vec_id
+        |), kd AS (
+        |  SELECT a, d2 FROM (
+        |    SELECT a, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2, b) AS rk
+        |    FROM pairs) WHERE rk = 5
+        |), eps AS (
+        |  SELECT d2 AS eps2 FROM (
+        |    SELECT d2, ROW_NUMBER() OVER (ORDER BY d2) AS r,
+        |      COUNT(*) OVER () AS cnt
+        |    FROM kd)
+        |  WHERE r = (cnt + 1) // 2
+        |), near AS MATERIALIZED (
+        |  SELECT a, b, d2 FROM pairs, eps WHERE d2 <= eps2
+        |), core AS MATERIALIZED (
+        |  SELECT a AS cid FROM near GROUP BY a HAVING COUNT(*) >= 5
+        |), ce AS MATERIALIZED (
+        |  SELECT n.a, n.b FROM near n
+        |  JOIN core ca ON ca.cid = n.a JOIN core cb ON cb.cid = n.b
+        |  WHERE n.a < n.b
+        |), se AS MATERIALIZED (
+        |  SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce
+        |), reach(node, lbl) AS (
+        |  SELECT cid, cid FROM core
+        |  UNION
+        |  SELECT se.b, reach.lbl FROM reach JOIN se ON se.a = reach.node
+        |), cl AS MATERIALIZED (
+        |  SELECT node AS cid, CAST(MIN(lbl) AS BIGINT) AS cluster
+        |  FROM reach GROUP BY node
+        |), border AS (
+        |  SELECT vid, cluster FROM (
+        |    SELECT n.a AS vid, cl.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY n.a ORDER BY n.d2, n.b) AS rk
+        |    FROM near n
+        |    JOIN cl ON cl.cid = n.b
+        |    WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.cid = n.a))
+        |  WHERE rk = 1
+        |), labeled AS (
+        |  SELECT cid AS vid, cluster, CAST(1 AS BIGINT) AS is_core FROM cl
+        |  UNION ALL
+        |  SELECT vid, cluster, CAST(0 AS BIGINT) FROM border
+        |), allrows AS (
+        |  SELECT vid, cluster, is_core FROM labeled
+        |  UNION ALL
+        |  SELECT s.vec_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |  FROM s WHERE NOT EXISTS (
+        |    SELECT 1 FROM labeled l WHERE l.vid = s.vec_id)
+        |)
+        |SELECT cluster,
+        |  CAST(SUM(CASE WHEN is_core = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_core,
+        |  CAST(SUM(CASE WHEN is_core = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_border,
+        |  CAST(SUM(CASE WHEN is_core = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_noise,
+        |  FLOOR((SELECT eps2 FROM eps) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS eps2
+        |FROM allrows GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // the same three-dot distance identity over DOUBLE[] casts, (d², id)
     // kNN ranking, and the identical reach/lrd/LOF float sequences

@@ -395,6 +395,47 @@ class AnnSpec extends SparkSpec {
     assert(near1 * 2 > rows.length, "the bulk of a homogeneous sample is inlier")
   }
 
+  // ---- q_dbscan -------------------------------------------------------------
+
+  test("DBSCAN: three planted tight clusters resolve exactly; isolates are noise") {
+    import spark.implicits._
+    // 3 clusters of 10 points at centers 0/10/20 with 0.01-grid jitter
+    // (exactly representable), plus 3 far isolates: the data-driven ε²
+    // (median 5-NN d²) separates the clusters, every member is core
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 10).map { i =>
+        (c * 10L + i, Array((c * 10.0 + 0.01 * i).toFloat, 0.0f, 0.0f), c)
+      }
+    } ++ Seq((100L, Array(500.0f, 0.0f, 0.0f), 9),
+      (101L, Array(600.0f, 0.0f, 0.0f), 9),
+      (102L, Array(700.0f, 0.0f, 0.0f), 9))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dbscan").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_dbscan")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the data-driven ε = the in-cluster 5-NN spacing, so LINE ENDPOINTS
+    // have < minPts neighbors and attach as border — min-core labels are
+    // 2/12/22, one cluster per planted group, never merged
+    val clusters = out.keySet.filter(_ >= 0)
+    assert(clusters === Set(2L, 12L, 22L),
+      s"one cluster per planted group: ${out.keySet}")
+    clusters.foreach { c =>
+      assert(out(c).getLong(1) + out(c).getLong(2) === 10L,
+        s"cluster $c covers its 10 members: ${out(c)}")
+      assert(out(c).getLong(1) >= 5L, s"interior points are core: ${out(c)}")
+    }
+    assert(out(-1L).getLong(3) === 3L, s"three isolates are noise: ${out(-1L)}")
+  }
+
+  test("DBSCAN on real data: census covers the sample, eps positive") {
+    val rows = graft.SparkEntry.queries("q_dbscan")(
+      spark, "/root/testdata/sf0.001").collect()
+    val n = emb.where(col("vec_id") < 200).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum === n)
+    rows.foreach(r => assert(r.getDouble(4) > 0.0))
+  }
+
   // ---- q_embed_mmd ----------------------------------------------------------
 
   test("MMD: planted point masses give exactly |u - v|² in micro-units²") {
