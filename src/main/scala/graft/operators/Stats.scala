@@ -1189,6 +1189,26 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- sample-ratio mismatch guardrail (beyond reference, r9) -----------
+    // The first gate every experiment readout must pass (Fabijan et al.
+    // 2019: SRM is the most common silent invalidator): are the arm
+    // sizes consistent with the designed 50/50 split? One-df chi-square
+    // (n_a − n_b)²/(n_a + n_b) against the 0.001-level critical value
+    // 10.828 — SRM alarms demand a far stricter level than effect tests
+    // because a true mismatch voids everything downstream. Counts are
+    // the q_ab_ttest user-cluster md5 arms; one scan → two BIGINTs.
+    "q_ab_srm" -> ((s, dir) => {
+      val g = t(s, dir, "events").groupBy(col("user_id")).agg(lit(1).as("one"))
+        .select(arm(col("user_id")).as("g"))
+        .agg(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("na"),
+          sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nb"))
+      val d = (col("na") - col("nb")).cast("double")
+      val chi2 = d * d / (col("na") + col("nb")).cast("double")
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        r6(chi2).as("chi2"),
+        (chi2 > lit(10.827566170662733)).cast("long").as("srm_alarm"))
+    }),
+
     // ---- capture–recapture population estimate (beyond ref, r9) -----------
     // Chapman's bias-corrected Lincoln–Petersen estimator (1951) — the
     // ecology tool data teams reuse to size a population no single
@@ -2622,6 +2642,28 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // identical md5 arms, exact counts, one chi-square float
+    "q_ab_srm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM u
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  FLOOR(CAST(na - nb AS DOUBLE) * CAST(na - nb AS DOUBLE)
+        |    / CAST(na + nb AS DOUBLE) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS chi2,
+        |  CAST(CASE WHEN CAST(na - nb AS DOUBLE) * CAST(na - nb AS DOUBLE)
+        |      / CAST(na + nb AS DOUBLE) > 10.827566170662733
+        |    THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+        |FROM m""".stripMargin,
 
     // identical two-flag user frame, exact capture integers, the same
     // Chapman/Seber float sequence

@@ -154,6 +154,32 @@ object Timeseries {
           r4(col("st.l") + lit(28.0) * col("st.t")).as("forecast_28"))
     }),
 
+    // ---- DAU/MAU stickiness (beyond reference, round 9) -------------------
+    // The product-engagement workhorse: per day, distinct active users
+    // (DAU), trailing-30-day distinct actives (MAU), and the stickiness
+    // ratio. Distinct-count-over-sliding-window has no window-function
+    // form, so MAU materializes the standard way at scale: each (user,
+    // day) activity row explodes into the ≤30 window-days it serves, a
+    // (window-day, user) distinct collapses re-activity, and a bounded
+    // per-day count finishes — total work ≤ 30·|user-days|, partial-
+    // aggregated, never quadratic. All exact integers; stickiness is the
+    // one division.
+    "q_dau_mau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = ud.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 29)))
+            .as("wday"))
+        .distinct()
+        .groupBy(col("wday").as("day")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("mau"),
+          r6(col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    }),
+
     // ---- Kleinberg burst detection (beyond reference, round 9) ------------
     // The 2-state burst automaton (Kleinberg, KDD 2002) over daily order
     // counts: state 0 emits at the base rate λ, state 1 at 2λ, entering a
@@ -1153,6 +1179,26 @@ object Timeseries {
         |      * 1000000.0 + 0.500001) / 1000000.0
         |  ELSE NULL END AS ccf
         |FROM m ORDER BY lag""".stripMargin,
+
+    // identical user-day frame, 30-way window-day explode, exact counts
+    "q_dau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+        |), win AS (
+        |  SELECT DISTINCT user_id, CAST(u.w AS DATE) AS day
+        |  FROM ud, LATERAL unnest(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(day AS TIMESTAMP) + INTERVAL 29 DAY, INTERVAL 1 DAY))
+        |    AS u(w)
+        |), mau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS mau FROM win GROUP BY 1
+        |)
+        |SELECT d.day, d.dau, m.mau,
+        |  FLOOR(CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS stickiness
+        |FROM dau d JOIN mau m ON m.day = d.day
+        |ORDER BY d.day""".stripMargin,
 
     // the recursive-CTE replay of the 6-field Viterbi fold: identical
     // <=-tie predecessors, emissions and transition penalties

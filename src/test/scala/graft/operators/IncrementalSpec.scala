@@ -631,6 +631,27 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_dau_mau ------------------------------------------------------------
+
+  test("DAU/MAU: matches a driver-side trailing-window replay; bounds hold") {
+    val ud = graft.io.Sources.table(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val rows = run("q_dau_mau").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val dau = ud.count(_._2 == d).toLong
+      val mau = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(30)) }
+        .map(_._1).distinct.length.toLong
+      assert(r.getLong(1) === dau, s"DAU on $d")
+      assert(r.getLong(2) === mau, s"MAU on $d")
+      assert(r.getLong(1) <= r.getLong(2), "DAU ≤ MAU always")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+
   // ---- q_kleinberg_burst ----------------------------------------------------
 
   test("Kleinberg burst: a planted 10-day spike is one burst of exactly 10 days") {

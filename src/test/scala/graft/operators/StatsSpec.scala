@@ -953,6 +953,37 @@ class StatsSpec extends SparkSpec {
       s"power sums must partial-aggregate before the shuffle:\n$p")
   }
 
+  // ---- q_ab_srm ------------------------------------------------------------
+
+  test("SRM: balanced md5 arms stay quiet; a planted 70/30 corruption alarms") {
+    import spark.implicits._
+    def mk(users: Seq[Long]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_srm").toString
+      users.zipWithIndex.map { case (u, i) => (i.toLong, u, "view", 1.0) }
+        .toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+        .write.parquet(s"$dir/events.parquet")
+      SparkEntry.queries("q_ab_srm")(spark, dir).head()
+    }
+    // honest split: all users flow through the md5 arm — no alarm
+    val honest = mk(1L to 2000L)
+    assert(honest.getLong(0) + honest.getLong(1) === 2000L)
+    assert(honest.getLong(3) === 0L, s"an honest 50/50 must not alarm: $honest")
+    // corrupted logging: arm-1 users dropped to simulate data loss —
+    // keep users whose md5 arm is 0, plus only a third of arm 1
+    val armOfJvm: Long => Long = { u =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = md.take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val corrupted = (1L to 2000L).filter(u =>
+      armOfJvm(u) == 0L || u % 3 == 0L)
+    val bad = mk(corrupted)
+    assert(bad.getLong(3) === 1L, s"a 3:1 mismatch must alarm: $bad")
+  }
+
   // ---- q_capture_recapture -------------------------------------------------
 
   test("capture-recapture: independent planted captures give Chapman's exact closed form") {
