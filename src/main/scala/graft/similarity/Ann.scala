@@ -696,7 +696,8 @@ object Ann {
     * top-k merges bounded per-partition heaps (TopK.topKPerGroup), never a
     * corpus sort.
     */
-  def sq8TopK(emb: DataFrame, probeMaxId: Long, k: Int): DataFrame = {
+  def sq8TopK(emb: DataFrame, probeMaxId: Long, k: Int,
+      centered: Boolean = false): DataFrame = {
     val dims = emb
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i")
@@ -732,7 +733,13 @@ object Ann {
       .select(col("vec_id").as("probe_id"), codes(col("embedding")).as("pc"))
     val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        aggregate(zip_with(col("qc"), col("pc"), (a, b) => a * b), lit(0L),
+        aggregate(zip_with(col("qc"), col("pc"),
+            // centered = the proper SQ8 inner-product estimator: without
+            // the 128 shift the dot is dominated by the affine offset
+            // (≈ 16384·d + 128·(Σa+Σb)) and ranks by vector NORM, not by
+            // the probe — q_quantization_recall measures exactly that
+            (a, b) => if (centered) (a - lit(128L)) * (b - lit(128L))
+              else a * b), lit(0L),
           (acc, v) => acc + v).as("qdot"))
     graft.operators.TopK.topKPerGroup(scored, Seq("probe_id"), "qdot", "vec_id", k)
       .select(col("probe_id"), col("vec_id"), col("qdot"),

@@ -395,6 +395,24 @@ class AnnSpec extends SparkSpec {
     assert(near1 * 2 > rows.length, "the bulk of a homogeneous sample is inlier")
   }
 
+  // ---- q_quantization_recall ------------------------------------------------
+
+  test("quantization audit: centering dominates the raw affine dot on every probe") {
+    val rows = graft.SparkEntry.queries("q_quantization_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 5L && r.getLong(3) <= 5L)
+      assert(r.getLong(3) >= r.getLong(1),
+        s"centered recall must not trail the norm-dominated raw dot: $r")
+    }
+    val rawTotal = rows.map(_.getLong(1)).sum
+    val cenTotal = rows.map(_.getLong(3)).sum
+    assert(cenTotal > rawTotal,
+      s"the audit must EXPOSE the affine bias: raw=$rawTotal centered=$cenTotal")
+    assert(cenTotal >= 25L, s"centered SQ8 keeps most of the top-5: $cenTotal")
+  }
+
   // ---- q_dbscan -------------------------------------------------------------
 
   test("DBSCAN: three planted tight clusters resolve exactly; isolates are noise") {
