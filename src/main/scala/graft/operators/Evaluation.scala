@@ -535,6 +535,45 @@ object Evaluation {
         .orderBy("actual", "predicted")
     }),
 
+    // ---- expected calibration error (beyond reference, r9) ----------------
+    // The headline scalar on top of q_calibration's per-bin diagnostic
+    // (Guo et al., ICML 2017): ECE = Σ_b (n_b/N)·|acc_b − conf_b| over 10
+    // equal-width confidence bins of the stop-ratio score, plus the
+    // maximum calibration error (MCE) and the Brier score. Scale shape:
+    // the corpus reduces through ONE partial-aggregated scan to the
+    // ≤10-bin frame — per-bin counts, label sums and the integer-exact
+    // micro-unit Brier accumulation (each row's (score−y)² quantized
+    // once, the q_entropy_rate discipline); every output is a closed-form
+    // float over exact integers; the ≤10-term ECE sum is r6-absorbed.
+    "q_ece" -> ((s, dir) => {
+      val score = TextOps.stopRatio(col("text"))
+      val bin = least(floor(score * lit(10.0)), lit(9.0)).cast("long")
+      val y = (col("lang") === "en").cast("long")
+      val brierMicro = floor((score - y.cast("double")) *
+        (score - y.cast("double")) * lit(1000000.0)).cast("long")
+      val bins = t(s, dir, "documents")
+        .select(bin.as("bin"), y.as("y"),
+          floor(score * lit(1000000.0)).cast("long").as("score_micro"),
+          brierMicro.as("bm"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+          sum(col("score_micro")).as("sconf"), sum(col("bm")).as("sbrier"))
+      val w = BoundedWindow.whole(col("bin"))
+      val acc = col("pos").cast("double") / col("n").cast("double")
+      val conf = col("sconf").cast("double") / col("n").cast("double") /
+        lit(1000000.0)
+      val gap = abs(acc - conf)
+      val nTot = sum(col("n")).over(w)
+      bins.select(col("bin"), col("n"), col("pos"),
+          r6(acc).as("bin_accuracy"), r6(conf).as("bin_confidence"),
+          r6(sum(gap * col("n").cast("double")).over(w) /
+            nTot.cast("double")).as("ece"),
+          r6(max(gap).over(w)).as("mce"),
+          r6(sum(col("sbrier")).over(w).cast("double") /
+            nTot.cast("double") / lit(1000000.0)).as("brier"))
+        .orderBy("bin")
+    }),
+
     // ---- k-fold cross-validation stability (beyond reference, r9) ---------
     // The evaluation discipline every single-split metric (q_confusion_
     // metrics) silently skips: score the stop-ratio≥0.15 english
@@ -729,6 +768,49 @@ object Evaluation {
     // chained-CTE replay of the quantized-gradient training loop —
     // bit-identical weights, decisions and micro-unit logloss
     "q_logistic_gd" -> logisticGdOracle,
+
+    // identical raw-ratio bins, integer-exact confidence/Brier micro
+    // sums, r6-absorbed ≤10-term ECE accumulation
+    "q_ece" ->
+      (s"""WITH d AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN (${TextOps.stopwordsInList}))) AS DOUBLE)
+        |      / len(toks) AS sc
+        |  FROM d
+        |), r AS (
+        |  SELECT CAST(LEAST(FLOOR(sc * 10.0), 9.0) AS BIGINT) AS bin, y,
+        |    CAST(FLOOR(sc * 1000000.0) AS BIGINT) AS score_micro,
+        |    CAST(FLOOR((sc - CAST(y AS DOUBLE)) * (sc - CAST(y AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS bm
+        |  FROM f
+        |), bins AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos,
+        |    CAST(SUM(score_micro) AS BIGINT) AS sconf,
+        |    CAST(SUM(bm) AS BIGINT) AS sbrier
+        |  FROM r GROUP BY 1
+        |), e AS (
+        |  SELECT *,
+        |    CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |    CAST(sconf AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS conf
+        |  FROM bins
+        |)
+        |SELECT bin, n, pos,
+        |  FLOOR(acc * 1000000.0 + 0.500001) / 1000000.0 AS bin_accuracy,
+        |  FLOOR(conf * 1000000.0 + 0.500001) / 1000000.0 AS bin_confidence,
+        |  FLOOR(SUM(ABS(acc - conf) * CAST(n AS DOUBLE)) OVER ()
+        |      / CAST(SUM(n) OVER () AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS ece,
+        |  FLOOR(MAX(ABS(acc - conf)) OVER () * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS mce,
+        |  FLOOR(CAST(SUM(sbrier) OVER () AS DOUBLE)
+        |      / CAST(SUM(n) OVER () AS DOUBLE) / 1000000.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS brier
+        |FROM e ORDER BY bin""").stripMargin,
 
     // identical md5 folds, raw-ratio threshold (an exact rational ≥
     // compare), exact per-fold counts, r6-absorbed 5-term mean/sd

