@@ -547,6 +547,66 @@ object Analytics {
         .orderBy("t_days")
     }),
 
+    // ---- restricted mean survival time (beyond reference, r9) -------------
+    // The scalar the KM curve (q_survival) is usually read FOR (Royston &
+    // Parmar 2013): RMST(τ) = ∫₀^τ S(t)dt — expected retained lifetime
+    // within a τ = 730-day horizon, the hazard-ratio-free effect size.
+    // The step-function integral is exact given the curve: each interval
+    // contributes S(tᵢ₋₁)·(min(tᵢ,τ) − min(tᵢ₋₁,τ)) plus the τ tail; the
+    // same KM frame as q_survival (calendar-bounded), the contribution
+    // sum rides the ORDERED cumulative window (the q_tukey_hsd
+    // discipline — no engine-order accumulation), and the last row
+    // carries the total. Widths are exact integer days; each term is one
+    // multiply of the deterministic S sequence.
+    "q_rmst" -> ((s, dir) => {
+      val tau = lit(730L)
+      val asOf = lit(SegAsOf).cast("date")
+      val life = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("first_d"),
+          to_date(max(col("o_orderdate"))).as("last_d"))
+        .select(datediff(col("last_d"), col("first_d")).cast("long")
+          .as("t_days"),
+          (datediff(asOf, col("last_d")) > lit(ChurnGapDays))
+            .cast("long").as("event"))
+      val byT = life.groupBy("t_days")
+        .agg(count(lit(1)).as("n_at_t"), sum(col("event")).as("n_events"))
+      val wOrd = BoundedWindow.ordered(col("t_days"), col("t_days"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("t_days"))
+      val withRisk = byT.withColumn("n_risk",
+        sum(col("n_at_t")).over(wAll) - coalesce(
+          sum(col("n_at_t")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val term = when(col("n_events") > 0 && col("n_events") < col("n_risk"),
+        log(lit(1.0) - col("n_events").cast("double")
+          / col("n_risk").cast("double"))).otherwise(lit(0.0))
+      val dead = when(col("n_events") >= col("n_risk"), lit(1L))
+        .otherwise(lit(0L))
+      val surv = withRisk
+        .withColumn("ln_s", sum(term).over(wCum))
+        .withColumn("is_dead", max(dead).over(wCum))
+        .select(col("t_days"),
+          when(col("is_dead") === 1, lit(0.0)).otherwise(exp(col("ln_s")))
+            .as("s"))
+      val stepped = surv.select(col("t_days"), col("s"),
+        coalesce(lag(col("t_days"), 1).over(wOrd), lit(0L)).as("prev_t"),
+        coalesce(lag(col("s"), 1).over(wOrd), lit(1.0)).as("prev_s"),
+        row_number().over(wOrd).cast("long").as("rn"),
+        count(lit(1)).over(wAll).as("n_rows"))
+      val width = (least(col("t_days"), tau) - least(col("prev_t"), tau))
+        .cast("double")
+      val cum = stepped.select(col("t_days"), col("s"), col("rn"),
+        col("n_rows"),
+        sum(col("prev_s") * width).over(wCum).as("area"))
+      cum.where(col("rn") === col("n_rows"))
+        .select(tau.as("tau_days"), col("n_rows").as("n_times"),
+          r4(col("area") + col("s") *
+            (tau - least(col("t_days"), tau)).cast("double")).as("rmst_days"),
+          r6((col("area") + col("s") *
+            (tau - least(col("t_days"), tau)).cast("double")) /
+            tau.cast("double")).as("retained_share"))
+    }),
+
     // ---- market-basket association rules ----------------------------------
     // Top-20 part pairs co-ordered most often, with both rule directions'
     // confidence and the symmetric lift (Agrawal–Imieliński–Swami 1993) —
@@ -766,6 +826,58 @@ object Analytics {
         |    ELSE FLOOR(EXP(ln_s) * 1000000.0 + 0.500001) / 1000000.0 END
         |    AS survival
         |FROM s ORDER BY t_days""".stripMargin,
+
+    // the same KM frame with UNROUNDED S, ordered step-integral
+    // accumulation, identical tail term
+    "q_rmst" ->
+      """WITH life AS (
+        |  SELECT CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |      MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS t_days,
+        |    CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |      DATE '2001-09-01') > 90 THEN 1 ELSE 0 END AS event
+        |  FROM orders GROUP BY o_custkey
+        |), byt AS (
+        |  SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+        |    CAST(SUM(event) AS BIGINT) AS n_events
+        |  FROM life GROUP BY t_days
+        |), risk AS (
+        |  SELECT t_days, n_events,
+        |    CAST(SUM(n_at_t) OVER () AS BIGINT) - CAST(COALESCE(
+        |      SUM(n_at_t) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt
+        |), sv AS (
+        |  SELECT t_days,
+        |    CASE WHEN MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY t_days) = 1 THEN 0.0
+        |      ELSE EXP(SUM(CASE WHEN n_events > 0 AND n_events < n_risk
+        |        THEN LN(1.0 - CAST(n_events AS DOUBLE)
+        |          / CAST(n_risk AS DOUBLE))
+        |        ELSE 0.0 END) OVER (ORDER BY t_days)) END AS s
+        |  FROM risk
+        |), st AS (
+        |  SELECT t_days, s,
+        |    COALESCE(LAG(t_days) OVER (ORDER BY t_days), 0) AS prev_t,
+        |    COALESCE(LAG(s) OVER (ORDER BY t_days), 1.0) AS prev_s,
+        |    ROW_NUMBER() OVER (ORDER BY t_days) AS rn,
+        |    COUNT(*) OVER () AS n_rows
+        |  FROM sv
+        |), c AS (
+        |  SELECT *,
+        |    SUM(prev_s * CAST(LEAST(t_days, 730) - LEAST(prev_t, 730)
+        |      AS DOUBLE)) OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+        |      AS area
+        |  FROM st
+        |)
+        |SELECT CAST(730 AS BIGINT) AS tau_days,
+        |  CAST(n_rows AS BIGINT) AS n_times,
+        |  FLOOR((area + s * CAST(730 - LEAST(t_days, 730) AS DOUBLE))
+        |    * 10000.0 + 0.500001) / 10000.0 AS rmst_days,
+        |  FLOOR((area + s * CAST(730 - LEAST(t_days, 730) AS DOUBLE))
+        |    / CAST(730 AS DOUBLE) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS retained_share
+        |FROM c WHERE rn = n_rows""".stripMargin,
 
     // identical pair/item supports (BIGINT), the top-20 boundary decided on
     // the UNROUNDED lift with (part_a, part_b) tie-breaks

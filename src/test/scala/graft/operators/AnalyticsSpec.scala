@@ -561,6 +561,31 @@ class AnalyticsSpec extends SparkSpec {
       s"pair generation must stay an orderkey equi-join:\n$p")
   }
 
+  // ---- q_rmst ---------------------------------------------------------------
+
+  test("RMST: everyone churning at day 100 gives exactly 100 retained days") {
+    import spark.implicits._
+    // every customer: first order 1995-01-01, last 1995-04-11 (t = 100),
+    // long before the 2001-09-01 as-of ⇒ all events at one time ⇒ the KM
+    // curve steps 1 → 0 at t = 100 and ∫₀^730 S = 100 exactly
+    val rows = (1L to 40L).flatMap(c => Seq(
+      (c * 2, c, "1995-01-01", 100.0), (c * 2 + 1, c, "1995-04-11", 100.0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rmst").toString
+    rows.write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_rmst")(spark, dir).head()
+    assert(r.getLong(0) === 730L && r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 100.0, s"step integral: $r")
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    assert(r.getDouble(3) === r6d(100.0 / 730.0))
+  }
+
+  test("RMST on real data: bounded by the horizon, consistent with the KM tail") {
+    val r = run("q_rmst").head()
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 730.0 + 1e-9)
+    assert(r.getDouble(3) <= 1.0 + 1e-9)
+  }
+
   // ---- q_topk_churn ---------------------------------------------------------
 
   test("top-k churn: identical periods give Jaccard 1, disjoint lists give 0") {
