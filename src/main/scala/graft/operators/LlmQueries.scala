@@ -413,6 +413,37 @@ object LlmQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // oracle-backed: term burstiness (Church & Gale 1995) — a word that
+    // is rare overall but CLUMPS inside the documents that use it (index
+    // of dispersion var/mean of per-doc tf, zeros included, ≫ 1) behaves
+    // nothing like its Poisson rate suggests: the signal behind keyword-
+    // spam detection and df-vs-tf weighting decisions. One explode scan →
+    // (doc, term) tf → vocab-bounded term frame with exact BIGINT/
+    // decimal-38 Σtf and Σtf²; mean/var/dispersion are closed-form floats
+    // over those integers; top-20 by (total tf, term).
+    "q_term_burstiness" -> ((s, dir) => {
+      val toks = TextOps.tokens(lower(col("text")))
+      val d = t(s, dir, "documents")
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val tf = d.select(col("doc_id"), explode(toks).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val term = tf.groupBy("w")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+          sum(col("tf").cast("decimal(38,0)") * col("tf")).as("tf_sq"))
+        .crossJoin(broadcast(nDocs))
+      val nD = col("n_docs").cast("double")
+      val mean = col("tf_total").cast("double") / nD
+      val vr = col("tf_sq").cast("double") / nD - mean * mean
+      val disp = vr / mean
+      term.orderBy(col("tf_total").desc, col("w"))
+        .limit(20)
+        .select(col("w").as("term"), col("df"), col("tf_total"),
+          r6(mean).as("mean_tf"), r6(disp).as("dispersion"),
+          (disp > lit(1.5)).cast("long").as("bursty"))
+        .orderBy(col("tf_total").desc, col("term"))
+    }),
+
     // oracle-backed: PMI collocation extraction (Church & Hanks 1990) —
     // the adjacent-word-pair mining step that surfaces multiword units
     // ("new york") before tokenizer/vocab decisions. Bigrams come from
@@ -2037,6 +2068,40 @@ object LlmQueries {
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
         |FROM neigh n JOIN lrd l ON l.a = n.a JOIN kd ON kd.p = n.a
         |ORDER BY vec_id""".stripMargin,
+
+    // identical tf census (zeros implicit in the N denominator), exact
+    // HUGEINT Σtf², the same dispersion sequence
+    "q_term_burstiness" ->
+      """WITH d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |), tf AS (
+        |  SELECT doc_id, t.x AS w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |    FROM documents) dd, LATERAL unnest(toks) AS t(x)
+        |  WHERE len(t.x) > 0
+        |  GROUP BY doc_id, t.x
+        |), term AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS tf_total,
+        |    SUM(CAST(tf AS HUGEINT) * tf) AS tf_sq
+        |  FROM tf GROUP BY w
+        |), top AS (
+        |  SELECT * FROM term, d ORDER BY tf_total DESC, w LIMIT 20
+        |), e AS (
+        |  SELECT *,
+        |    CAST(tf_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean,
+        |    (CAST(tf_sq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |      - (CAST(tf_total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |        * (CAST(tf_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+        |      / (CAST(tf_total AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS disp
+        |  FROM top
+        |)
+        |SELECT w AS term, df, tf_total,
+        |  FLOOR(mean * 1000000.0 + 0.500001) / 1000000.0 AS mean_tf,
+        |  FLOOR(disp * 1000000.0 + 0.500001) / 1000000.0 AS dispersion,
+        |  CAST(CASE WHEN disp > 1.5 THEN 1 ELSE 0 END AS BIGINT) AS bursty
+        |FROM e ORDER BY tf_total DESC, term""".stripMargin,
 
     // identical token arrays (the q_tfidf split), index-shifted bigrams,
     // and ONE ln over the same exact integer ratio; (support, pair) order

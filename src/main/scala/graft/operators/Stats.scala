@@ -1189,6 +1189,53 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- covariate balance table (beyond reference, r9) -------------------
+    // The second gate after SRM (Austin 2009): are the arms BALANCED on
+    // pre-treatment covariates? Standardized mean difference SMD =
+    // (m_a − m_b)/√((v_a + v_b)/2) per covariate, screened at the
+    // conventional |SMD| > 0.1. Covariates per user cluster: event
+    // volume, purchase share, mean event value — all reduced to exact
+    // BIGINT/decimal-38 moments in ONE conditional aggregate after the
+    // user-keyed shuffle; each SMD is a closed-form float and the flag
+    // compares the r6-rounded value so it cannot flip cross-engine.
+    "q_covariate_balance" -> ((s, dir) => {
+      val cents = floor(col("value") * lit(100.0) + lit(0.500001)).cast("long")
+      val byUser = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum((col("event_type") === "purchase").cast("long")).as("n_pur"),
+          sum(cents).as("cents"))
+        .select(arm(col("user_id")).as("g"),
+          col("n_ev").cast("double").as("c1"),
+          (col("n_pur").cast("double") / col("n_ev").cast("double"))
+            .as("c2"),
+          (col("cents").cast("double") / col("n_ev").cast("double") /
+            lit(100.0)).as("c3"))
+      val cov = byUser.select(col("g"),
+        explode(array(
+          struct(lit("event_volume").as("covariate"), col("c1").as("x")),
+          struct(lit("purchase_share").as("covariate"), col("c2").as("x")),
+          struct(lit("mean_value").as("covariate"), col("c3").as("x"))))
+          .as("cx"))
+        .select(col("g"), col("cx.covariate").as("covariate"),
+          col("cx.x").as("x"))
+      val m = cov.groupBy("covariate").agg(
+        count(when(col("g") === 0L, col("x"))).as("na"),
+        count(when(col("g") === 1L, col("x"))).as("nb"),
+        avg(when(col("g") === 0L, col("x"))).as("ma"),
+        avg(when(col("g") === 1L, col("x"))).as("mb"),
+        var_samp(when(col("g") === 0L, col("x"))).as("va"),
+        var_samp(when(col("g") === 1L, col("x"))).as("vb"))
+      val smd = (col("ma") - col("mb")) /
+        sqrt((col("va") + col("vb")) / lit(2.0))
+      val smdR = when(col("va") + col("vb") > 0, r6(smd))
+      m.select(col("covariate"), col("na").as("n_a"), col("nb").as("n_b"),
+          r6(col("ma")).as("mean_a"), r6(col("mb")).as("mean_b"),
+          smdR.as("smd"),
+          coalesce((abs(smdR) > lit(0.1)).cast("long"), lit(0L))
+            .as("imbalanced"))
+        .orderBy("covariate")
+    }),
+
     // ---- sample-ratio mismatch guardrail (beyond reference, r9) -----------
     // The first gate every experiment readout must pass (Fabijan et al.
     // 2019: SRM is the most common silent invalidator): are the arm
@@ -2642,6 +2689,45 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // the same user-cluster covariates and md5 arms; avg/var_samp under
+    // the q_ab_ttest r6 discipline, identical SMD sequence
+    "q_covariate_balance" ->
+      """WITH u AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g,
+        |    CAST(COUNT(*) AS DOUBLE) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c2,
+        |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.500001) AS BIGINT))
+        |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS c3
+        |  FROM events GROUP BY user_id
+        |), cov AS (
+        |  SELECT g, 'event_volume' AS covariate, c1 AS x FROM u
+        |  UNION ALL SELECT g, 'purchase_share', c2 FROM u
+        |  UNION ALL SELECT g, 'mean_value', c3 FROM u
+        |), m AS (
+        |  SELECT covariate,
+        |    CAST(COUNT(x) FILTER (WHERE g = 0) AS BIGINT) AS na,
+        |    CAST(COUNT(x) FILTER (WHERE g = 1) AS BIGINT) AS nb,
+        |    AVG(x) FILTER (WHERE g = 0) AS ma,
+        |    AVG(x) FILTER (WHERE g = 1) AS mb,
+        |    VAR_SAMP(x) FILTER (WHERE g = 0) AS va,
+        |    VAR_SAMP(x) FILTER (WHERE g = 1) AS vb
+        |  FROM cov GROUP BY covariate
+        |), d AS (
+        |  SELECT *, CASE WHEN va + vb > 0 THEN
+        |    FLOOR((ma - mb) / sqrt((va + vb) / 2.0)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS smd
+        |  FROM m
+        |)
+        |SELECT covariate, na AS n_a, nb AS n_b,
+        |  FLOOR(ma * 1000000.0 + 0.500001) / 1000000.0 AS mean_a,
+        |  FLOOR(mb * 1000000.0 + 0.500001) / 1000000.0 AS mean_b,
+        |  smd,
+        |  CAST(CASE WHEN ABS(smd) > 0.1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS imbalanced
+        |FROM d ORDER BY covariate""".stripMargin,
 
     // identical md5 arms, exact counts, one chi-square float
     "q_ab_srm" ->

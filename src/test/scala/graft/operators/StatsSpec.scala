@@ -984,6 +984,37 @@ class StatsSpec extends SparkSpec {
     assert(bad.getLong(3) === 1L, s"a 3:1 mismatch must alarm: $bad")
   }
 
+  // ---- q_covariate_balance -------------------------------------------------
+
+  test("covariate balance: honest md5 arms balance; a planted arm-0 volume shift flags") {
+    import spark.implicits._
+    val armOf = pmod(conv(substring(
+      md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(2L))
+    // every user gets 4–6 base events (within-arm variance so SMD is
+    // defined); arm-0 users get 8 extra — a planted event-volume
+    // imbalance; per-event values stay identical
+    val base = (1L to 200L).flatMap { u =>
+      (0 until 4 + (u % 3).toInt).map(i =>
+        (u * 100 + i, u, if (i == 0) "purchase" else "view", 10.0)) ++
+        (0 until 8).map(i => (u * 100 + 50 + i, u, "view", 10.0))
+    }.toDF("event_id", "user_id", "event_type", "value")
+    val ev = base
+      // drop the extra events for arm-1 users only
+      .where(col("event_id") % 100 < 50 ||
+        armOf === 0L)
+      .withColumn("props", lit("{}"))
+      .withColumn("ts", (lit(1_700_000_000L) + col("event_id")) * lit(1_000_000_000L))
+    val dir = fixtureDir("events" -> ev)
+    val rows = SparkEntry.queries("q_covariate_balance")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("event_volume", "purchase_share", "mean_value"))
+    assert(rows("event_volume").getLong(6) === 1L,
+      s"the planted 12-vs-4 volume gap must flag: ${rows("event_volume")}")
+    assert(rows("mean_value").getLong(6) === 0L,
+      s"identical per-event values balance: ${rows("mean_value")}")
+  }
+
   // ---- q_capture_recapture -------------------------------------------------
 
   test("capture-recapture: independent planted captures give Chapman's exact closed form") {

@@ -346,6 +346,30 @@ class TextOpsSpec extends SparkSpec {
       s"top-1000 head must be a distributed heap:\n$p")
   }
 
+  // ---- q_term_burstiness ----------------------------------------------------
+
+  test("term burstiness: a clumping term disperses, a uniform term approaches Poisson") {
+    import spark.implicits._
+    // "spam" appears 10× in each of 2 docs (clumped); "the" once in each
+    // of 20 docs (uniform): with N = 20, dispersion(spam) = (100·2/20 −
+    // 1²)/1 = 9, dispersion(the) = (20/20 − 1²)/1 = 0
+    val docs = (0 until 20).map { i =>
+      val text = if (i < 2) ("spam " * 10).trim + " the" else "the filler words"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_term_burstiness")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val spam = rows("spam")
+    assert(spam.getLong(1) === 2L && spam.getLong(2) === 20L)
+    assert(spam.getDouble(3) === 1.0 && spam.getDouble(4) === 9.0)
+    assert(spam.getLong(5) === 1L, s"clumping must flag bursty: $spam")
+    val the = rows("the")
+    assert(the.getLong(1) === 20L && the.getDouble(4) === 0.0)
+    assert(the.getLong(5) === 0L, s"uniform term is not bursty: $the")
+  }
+
   // ---- q_collocation_pmi ----------------------------------------------------
 
   test("collocation PMI: a deterministic bigram corpus scores the exact closed form") {
