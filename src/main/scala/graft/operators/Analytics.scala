@@ -547,6 +547,47 @@ object Analytics {
         .orderBy("t_days")
     }),
 
+    // ---- Pareto 80/20 concentration (beyond reference, r9) ----------------
+    // The concentration readout q_gini's coefficient summarizes but
+    // doesn't answer directly: what fraction of customers produces 80% /
+    // 90% / 95% of revenue? Customers rank by spend DESC; the crossing
+    // rank is found by the INTEGER comparison cum·20 ≥ 16·total (no
+    // float threshold can mis-round a boundary), so every output is
+    // exact-integer-derived. One orders shuffle to the customer frame,
+    // ranking window + ordered cumsum on it (the q_quantile_normalize
+    // stance), three threshold rows via conditional min.
+    "q_pareto_8020" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val feats = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(cents).as("m"))
+      val wOrd = BoundedWindow.ordered(col("custkey"),
+        col("m").desc, col("custkey"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = BoundedWindow.whole(col("custkey"))
+      val ranked = feats.select(
+        row_number().over(wOrd).cast("long").as("rk"),
+        sum(col("m")).over(wCum).as("cum"),
+        sum(col("m")).over(wAll).as("total"),
+        count(lit(1)).over(wAll).as("n"))
+      val g = ranked.agg(
+        max(col("n")).as("n_customers"),
+        min(when(col("cum") * 20L >= col("total") * 16L, col("rk")))
+          .as("rk80"),
+        min(when(col("cum") * 10L >= col("total") * 9L, col("rk")))
+          .as("rk90"),
+        min(when(col("cum") * 20L >= col("total") * 19L, col("rk")))
+          .as("rk95"))
+      def share(rc: String): Column =
+        floor(col(rc).cast("double") / col("n_customers").cast("double")
+          * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+      g.select(col("n_customers"), col("rk80"), share("rk80").as("share80"),
+        col("rk90"), share("rk90").as("share90"),
+        col("rk95"), share("rk95").as("share95"))
+    }),
+
     // ---- restricted mean survival time (beyond reference, r9) -------------
     // The scalar the KM curve (q_survival) is usually read FOR (Royston &
     // Parmar 2013): RMST(τ) = ∫₀^τ S(t)dt — expected retained lifetime
@@ -826,6 +867,41 @@ object Analytics {
         |    ELSE FLOOR(EXP(ln_s) * 1000000.0 + 0.500001) / 1000000.0 END
         |    AS survival
         |FROM s ORDER BY t_days""".stripMargin,
+
+    // identical (spend DESC, custkey) ranking and INTEGER threshold
+    // crossings — no float boundary anywhere
+    "q_pareto_8020" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY m DESC, custkey) AS rk,
+        |    SUM(m) OVER (ORDER BY m DESC, custkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(m) OVER () AS total, COUNT(*) OVER () AS n
+        |  FROM feats
+        |), g AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+        |    CAST(MIN(CASE WHEN cum * 20 >= total * 16 THEN rk END)
+        |      AS BIGINT) AS rk80,
+        |    CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN rk END)
+        |      AS BIGINT) AS rk90,
+        |    CAST(MIN(CASE WHEN cum * 20 >= total * 19 THEN rk END)
+        |      AS BIGINT) AS rk95
+        |  FROM ranked
+        |)
+        |SELECT n_customers, rk80,
+        |  FLOOR(CAST(rk80 AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS share80,
+        |  rk90,
+        |  FLOOR(CAST(rk90 AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS share90,
+        |  rk95,
+        |  FLOOR(CAST(rk95 AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS share95
+        |FROM g""".stripMargin,
 
     // the same KM frame with UNROUNDED S, ordered step-integral
     // accumulation, identical tail term

@@ -561,6 +561,38 @@ class AnalyticsSpec extends SparkSpec {
       s"pair generation must stay an orderkey equi-join:\n$p")
   }
 
+  // ---- q_pareto_8020 --------------------------------------------------------
+
+  test("Pareto 80/20: a whale covers 80% alone; a uniform base needs exactly 80%") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Double)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pareto").toString
+      rows.zipWithIndex.map { case ((c, tp), i) => (i.toLong, c, tp) }
+        .toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      SparkEntry.queries("q_pareto_8020")(spark, dir).head()
+    }
+    // whale: 1 customer with 8000, 99 with ~0.2 total → rank 1 crosses 80%
+    val whale = Seq((999L, 8000.0)) ++ (1L to 99L).map(c => (c, 2.0))
+    val rw = mk(whale)
+    assert(rw.getLong(0) === 100L && rw.getLong(1) === 1L)
+    assert(rw.getDouble(2) === 0.01)
+    // uniform 100 × equal spend: the k-th rank covers exactly k% — the
+    // integer crossing lands at 80/90/95
+    val even = (1L to 100L).map(c => (c, 50.0))
+    val re = mk(even)
+    assert(re.getLong(1) === 80L && re.getLong(3) === 90L &&
+      re.getLong(5) === 95L, s"$re")
+    assert(re.getDouble(2) === 0.8)
+  }
+
+  test("Pareto on real data: monotone thresholds, shares within (0, 1]") {
+    val r = run("q_pareto_8020").head()
+    assert(r.getLong(1) <= r.getLong(3) && r.getLong(3) <= r.getLong(5))
+    Seq(2, 4, 6).foreach(i =>
+      assert(r.getDouble(i) > 0.0 && r.getDouble(i) <= 1.0))
+  }
+
   // ---- q_rmst ---------------------------------------------------------------
 
   test("RMST: everyone churning at day 100 gives exactly 100 retained days") {
