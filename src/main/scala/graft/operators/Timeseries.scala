@@ -494,6 +494,59 @@ object Timeseries {
         .orderBy("day")
     }),
 
+    // ---- seasonal/trend strength (beyond reference, round 9) --------------
+    // Hyndman & Wang's tsfeatures pair on top of q_seasonal_decompose:
+    // F_trend = max(0, 1 − var(R)/var(T+R)) and F_seasonal = max(0,
+    // 1 − var(R)/var(S+R)) — the two scalars that say whether the
+    // decomposition found anything. Same calendar-bounded decomposition
+    // (7-day centered MA trend, per-dow median seasonal); each
+    // component value quantizes to integer milli-units ONCE per day (the
+    // micro-unit discipline at cents×10³ scale), so all three variances
+    // are exact BIGINT/decimal-38 moment algebra and each strength is a
+    // closed-form float over exact integers.
+    "q_seasonal_strength" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .select(col("day"), col("rev"),
+          dayofweek(col("day")).cast("long").as("dow"))
+      val wTrend = BoundedWindow.ordered(col("day"), col("day"))
+        .rowsBetween(-3, 3)
+      val detrended = daily
+        .withColumn("trend", avg(col("rev")).over(wTrend))
+        .withColumn("detr", col("rev") - col("trend"))
+      val seas = detrended.groupBy("dow")
+        .agg(expr("percentile(detr, 0.5)").as("seasonal"))
+      val comp = detrended.join(broadcast(seas), "dow")
+        .select(
+          floor((col("detr") - col("seasonal")) * lit(1000.0)).cast("long")
+            .as("rm"),
+          floor(col("detr") * lit(1000.0)).cast("long").as("sr"),
+          floor((col("rev") - col("seasonal")) * lit(1000.0)).cast("long")
+            .as("tr"))
+      def v(c: String): Column = {
+        val x = col(c).cast("decimal(38,0)")
+        sum(x * x).as(s"q_$c")
+      }
+      val g = comp.agg(count(lit(1)).as("n"),
+        sum(col("rm")).as("s_rm"), v("rm"),
+        sum(col("sr")).as("s_sr"), v("sr"),
+        sum(col("tr")).as("s_tr"), v("tr"))
+      val nD = col("n").cast("double")
+      def vr(s0: String, q: String): Column =
+        col(q).cast("double") / nD -
+          (col(s0).cast("double") / nD) * (col(s0).cast("double") / nD)
+      val fT = greatest(lit(0.0),
+        lit(1.0) - vr("s_rm", "q_rm") / vr("s_tr", "q_tr"))
+      val fS = greatest(lit(0.0),
+        lit(1.0) - vr("s_rm", "q_rm") / vr("s_sr", "q_sr"))
+      g.select(col("n").as("n_days"),
+        when(vr("s_tr", "q_tr") > 0, r6(fT)).as("strength_trend"),
+        when(vr("s_sr", "q_sr") > 0, r6(fS)).as("strength_seasonal"))
+    }),
+
     // ---- CUSUM changepoint detection --------------------------------------
     // Page's cumulative-sum statistic over the same daily frame: S_d =
     // Σ_{≤d}(rev − mean), changepoint = argmax |S| (Pettitt-style single
@@ -1076,6 +1129,59 @@ object Timeseries {
         |  FLOOR((detr.d - seas.seasonal) * 10000.0 + 0.500001) / 10000.0 AS resid
         |FROM detr JOIN seas USING (dow)
         |ORDER BY day""".stripMargin,
+
+    // the same decomposition, milli-unit quantized components, exact
+    // HUGEINT moment variances, identical strength sequence
+    "q_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev,
+        |    CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow
+        |  FROM orders GROUP BY 1
+        |), detr AS (
+        |  SELECT day, rev, dow,
+        |    rev - AVG(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS d
+        |  FROM daily
+        |), seas AS (
+        |  SELECT dow, quantile_cont(d, 0.5) AS seasonal FROM detr GROUP BY dow
+        |), comp AS (
+        |  SELECT
+        |    CAST(FLOOR((detr.d - seas.seasonal) * 1000.0) AS BIGINT) AS rm,
+        |    CAST(FLOOR(detr.d * 1000.0) AS BIGINT) AS sr,
+        |    CAST(FLOOR((detr.rev - seas.seasonal) * 1000.0) AS BIGINT) AS tr
+        |  FROM detr JOIN seas USING (dow)
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rm) AS BIGINT) AS s_rm,
+        |    SUM(CAST(rm AS HUGEINT) * rm) AS q_rm,
+        |    CAST(SUM(sr) AS BIGINT) AS s_sr,
+        |    SUM(CAST(sr AS HUGEINT) * sr) AS q_sr,
+        |    CAST(SUM(tr) AS BIGINT) AS s_tr,
+        |    SUM(CAST(tr AS HUGEINT) * tr) AS q_tr
+        |  FROM comp
+        |), e AS (
+        |  SELECT n,
+        |    CAST(q_rm AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s_rm AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s_rm AS DOUBLE) / CAST(n AS DOUBLE)) AS v_rm,
+        |    CAST(q_sr AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE)) AS v_sr,
+        |    CAST(q_tr AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE)) AS v_tr
+        |  FROM g
+        |)
+        |SELECT n AS n_days,
+        |  CASE WHEN v_tr > 0 THEN
+        |    FLOOR(GREATEST(0.0, 1.0 - v_rm / v_tr)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS strength_trend,
+        |  CASE WHEN v_sr > 0 THEN
+        |    FLOOR(GREATEST(0.0, 1.0 - v_rm / v_sr)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS strength_seasonal
+        |FROM e""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (

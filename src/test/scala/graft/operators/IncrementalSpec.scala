@@ -631,6 +631,38 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_seasonal_strength --------------------------------------------------
+
+  test("seasonal strength: a planted weekly pulse scores high F_S; a ramp high F_T") {
+    import spark.implicits._
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    def mk(vals: Seq[Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sstr").toString
+      vals.zipWithIndex.map { case (v, i) => (day(i), v) }
+        .toDF("o_orderdate", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      SparkEntry.queries("q_seasonal_strength")(spark, dir).head()
+    }
+    // weekly pulse: +500 every 7th day over 10 weeks
+    val pulse = (0 until 70).map(d => 100.0 + (if (d % 7 == 0) 500.0 else 0.0))
+    val rp = mk(pulse)
+    assert(rp.getDouble(2) > 0.8,
+      s"a pure weekly pulse must show strong seasonality: $rp")
+    // pure ramp: strong trend, no seasonality
+    val ramp = (0 until 70).map(d => 100.0 + 10.0 * d)
+    val rr = mk(ramp)
+    assert(rr.getDouble(1) > 0.9, s"a ramp must show strong trend: $rr")
+    assert(rr.getDouble(2) < rp.getDouble(2),
+      "the ramp cannot out-season the pulse")
+  }
+
+  test("seasonal strength on real data: strengths in [0, 1]") {
+    val r = run("q_seasonal_strength").head()
+    Seq(1, 2).foreach { i =>
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0 + 1e-9)
+    }
+  }
+
   // ---- q_dau_mau ------------------------------------------------------------
 
   test("DAU/MAU: matches a driver-side trailing-window replay; bounds hold") {
