@@ -492,6 +492,30 @@ object LlmQueries {
       Dedup.exactDuplicates(t(s, dir, "documents")).orderBy("text_hash")
     }),
 
+    // oracle-backed: per-source duplication scorecard — the rollup a
+    // corpus report leads with while q_dedup_exact lists the groups:
+    // per source, exact-hash unique share, the count of docs that are
+    // copies of an earlier doc GLOBALLY (min-doc_id keeper, so cross-
+    // source copies charge the copying source, not the origin), and the
+    // deduped retention rate. One md5 projection → two bounded
+    // aggregates; all exact BIGINTs, one division per rate.
+    "q_dup_rate_by_source" -> ((s, dir) => {
+      val hashed = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val keeper = hashed.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+      hashed.join(keeper, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique_texts"),
+          sum((col("doc_id") =!= col("keep_id")).cast("long"))
+            .as("n_copies"))
+        .select(col("source"), col("n_docs"), col("n_unique_texts"),
+          col("n_copies"),
+          r6((col("n_docs") - col("n_copies")).cast("double") /
+            col("n_docs").cast("double")).as("retention_rate"))
+        .orderBy("source")
+    }),
+
     // envelope-contract oracle (the q_approx_distinct pattern): the pair
     // list itself is engine-specific, but the semantic contract is not —
     // the planted pairs are SQL-expressible by construction and their
@@ -2068,6 +2092,23 @@ object LlmQueries {
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
         |FROM neigh n JOIN lrd l ON l.a = n.a JOIN kd ON kd.p = n.a
         |ORDER BY vec_id""".stripMargin,
+
+    // identical md5 text hashes, global min-id keepers, exact counts
+    "q_dup_rate_by_source" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents
+        |), keeper AS (
+        |  SELECT h, MIN(doc_id) AS keep_id FROM h GROUP BY h
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT h.h) AS BIGINT) AS n_unique_texts,
+        |  CAST(SUM(CASE WHEN h.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_copies,
+        |  FLOOR(CAST(COUNT(*) - SUM(CASE WHEN h.doc_id <> k.keep_id
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS retention_rate
+        |FROM h JOIN keeper k ON k.h = h.h
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // identical tf census (zeros implicit in the N denominator), exact
     // HUGEINT Σtf², the same dispersion sequence

@@ -346,6 +346,31 @@ class TextOpsSpec extends SparkSpec {
       s"top-1000 head must be a distributed heap:\n$p")
   }
 
+  // ---- q_dup_rate_by_source -------------------------------------------------
+
+  test("dup-rate scorecard: cross-source copies charge the copier, not the origin") {
+    import spark.implicits._
+    // srcA: 3 originals; srcB: 2 verbatim copies of A's first doc + 1
+    // original — the copies charge srcB (global min-id keeper is in A)
+    val docs = Seq(
+      (1L, "alpha text", "srcA"), (2L, "beta text", "srcA"),
+      (3L, "gamma text", "srcA"),
+      (10L, "alpha text", "srcB"), (11L, "alpha text", "srcB"),
+      (12L, "delta text", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_dup_rate_by_source")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("srcA"); val b = rows("srcB")
+    assert(a.getLong(1) === 3L && a.getLong(3) === 0L &&
+      a.getDouble(4) === 1.0, s"origin keeps everything: $a")
+    assert(b.getLong(1) === 3L && b.getLong(2) === 2L &&
+      b.getLong(3) === 2L, s"both copies charge srcB: $b")
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    assert(b.getDouble(4) === r6d(1.0 / 3.0))
+  }
+
   // ---- q_term_burstiness ----------------------------------------------------
 
   test("term burstiness: a clumping term disperses, a uniform term approaches Poisson") {
