@@ -1189,6 +1189,44 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- Kendall's W concordance (beyond reference, r9) -------------------
+    // Do the three customer value signals — spend, order count, recency —
+    // even AGREE on who the best customers are? Kendall's coefficient of
+    // concordance over the m = 3 rankings: W = 12S/(m²(n³−n)) with S the
+    // variance of rank sums. Exactness: every ranking is a row_number
+    // with custkey tie-break, so rank sums are exact integers, and S is
+    // kept integer by the scaled identity 4S = Σ(2Rᵢ − m(n+1))² — the
+    // whole statistic is ONE float division of exact BIGINT/decimal-38
+    // integers. One orders shuffle to the customer frame, three ranking
+    // windows on it, one bounded aggregate.
+    "q_kendall_w" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val feats = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(cents).as("m"), count(lit(1)).as("f"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+      def rk(by: Column*) = row_number()
+        .over(Window.orderBy(by: _*)).cast("long")
+      val ranked = feats.select(
+        (rk(col("m").desc, col("custkey")) +
+          rk(col("f").desc, col("custkey")) +
+          rk(col("last_d").desc, col("custkey"))).as("r_sum"))
+      val g = ranked.agg(count(lit(1)).as("n"),
+        sum(col("r_sum")).as("sr"))
+      // 4S = Σ(2R − m(n+1))² needs n first: second pass over the bounded
+      // rank frame with n attached (broadcast 1-row)
+      val s4 = ranked.crossJoin(broadcast(g))
+        .select(((lit(2L) * col("r_sum") - lit(3L) * (col("n") + 1L))
+          .cast("decimal(38,0)")).as("d"), col("n"))
+        .groupBy("n").agg(sum(col("d") * col("d")).as("s4"))
+      val nD = col("n").cast("double")
+      val w = col("s4").cast("double") /
+        (lit(3.0) * (nD * nD * nD - nD))
+      s4.select(col("n").as("n_customers"), lit(3L).as("n_rankings"),
+        when(col("n") > 1L, r6(w)).as("kendall_w"))
+    }),
+
     // ---- covariate balance table (beyond reference, r9) -------------------
     // The second gate after SRM (Austin 2009): are the arms BALANCED on
     // pre-treatment covariates? Standardized mean difference SMD =
@@ -2689,6 +2727,36 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // identical custkey-tie-broken rankings and the exact 4S integer
+    // identity; one float division
+    "q_kendall_w" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY m DESC, custkey)
+        |    + ROW_NUMBER() OVER (ORDER BY f DESC, custkey)
+        |    + ROW_NUMBER() OVER (ORDER BY last_d DESC, custkey) AS r_sum
+        |  FROM feats
+        |), g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+        |s4 AS (
+        |  SELECT n,
+        |    SUM(CAST(2 * r_sum - 3 * (n + 1) AS HUGEINT)
+        |      * (2 * r_sum - 3 * (n + 1))) AS s4
+        |  FROM ranked, g GROUP BY n
+        |)
+        |SELECT n AS n_customers, CAST(3 AS BIGINT) AS n_rankings,
+        |  CASE WHEN n > 1 THEN
+        |    FLOOR(CAST(s4 AS DOUBLE)
+        |      / (3.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS kendall_w
+        |FROM s4""".stripMargin,
 
     // the same user-cluster covariates and md5 arms; avg/var_samp under
     // the q_ab_ttest r6 discipline, identical SMD sequence

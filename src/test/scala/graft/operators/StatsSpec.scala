@@ -984,6 +984,37 @@ class StatsSpec extends SparkSpec {
     assert(bad.getLong(3) === 1L, s"a 3:1 mismatch must alarm: $bad")
   }
 
+  // ---- q_kendall_w ---------------------------------------------------------
+
+  test("Kendall W: full agreement gives exactly 1; one reversed ranking gives exactly 1/9") {
+    import spark.implicits._
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    // customer c: c orders of value 100·c, last order on day c — spend,
+    // frequency and recency rankings all coincide ⇒ W = 1 exactly
+    def mk(lastDay: Long => Int) = {
+      val rows = (1L to 30L).flatMap { c =>
+        (1 to c.toInt).map(i =>
+          (c * 1000 + i, c, 100.0 * c, day(lastDay(c) * 10 + (i % 3))))
+      }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val dir = java.nio.file.Files.createTempDirectory("graft_kw").toString
+      rows.write.parquet(s"$dir/orders.parquet")
+      SparkEntry.queries("q_kendall_w")(spark, dir).head()
+    }
+    val agree = mk(c => c.toInt)
+    assert(agree.getLong(0) === 30L)
+    assert(agree.getDouble(2) === 1.0, s"full concordance: $agree")
+    // recency REVERSED (biggest spender ordered longest ago): rank sums
+    // R_i = 2i + (n+1−i) stay perfectly linear ⇒ W = 1/9 exactly
+    val oneRev = mk(c => 31 - c.toInt)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.500001) / 1e6
+    assert(oneRev.getDouble(2) === r6d(1.0 / 9.0), s"one reversal: $oneRev")
+  }
+
+  test("Kendall W on real data: W within [0, 1]") {
+    val r = SparkEntry.queries("q_kendall_w")(spark, sf).head()
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0 + 1e-9)
+  }
+
   // ---- q_covariate_balance -------------------------------------------------
 
   test("covariate balance: honest md5 arms balance; a planted arm-0 volume shift flags") {
