@@ -494,6 +494,57 @@ object Timeseries {
         .orderBy("day")
     }),
 
+    // ---- split-conformal forecast intervals (beyond reference, r9) --------
+    // Distribution-free prediction intervals on the q_forecast seasonal-
+    // naive backtest (split conformal, Vovk et al. / Lei et al. 2018):
+    // the 90% interval half-width is the ⌈0.9·(n+1)⌉-th smallest absolute
+    // calibration residual — an EXACT integer-cents ORDER STATISTIC, no
+    // distributional assumption, no float quantile interpolation — and
+    // the holdout coverage audit checks the guarantee empirically. Shape:
+    // the calendar-bounded daily frame, one 7-day-lag self-attach by
+    // broadcast (the q_forecast geometry), a ranking window over the
+    // ≤14-row calibration frame, exact BIGINT everything; the one float
+    // is the coverage share.
+    "q_conformal_forecast" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val mx = daily.agg(max(col("day")).as("max_day"))
+      val hist7 = daily.select(date_add(col("day"), 7).as("day"),
+        col("rev").as("rev_m7"))
+      val scored = daily.crossJoin(broadcast(mx))
+        .join(broadcast(hist7), Seq("day"))
+        .select(col("day"), col("max_day"),
+          abs(col("rev") - col("rev_m7")).as("abs_err"))
+      val calib = scored
+        .where(col("day") > date_sub(col("max_day"), 28) &&
+          col("day") <= date_sub(col("max_day"), 14))
+      val wOrd = BoundedWindow.ordered(col("day"), col("abs_err"), col("day"))
+      val wAll = BoundedWindow.whole(col("day"))
+      val qRow = calib.select(col("abs_err"),
+          row_number().over(wOrd).cast("long").as("rk"),
+          count(lit(1)).over(wAll).as("n_cal"))
+        // conformal rank: ceil(0.9·(n+1)), clamped to n
+        .where(col("rk") === least(col("n_cal"),
+          ceil(lit(0.9) * (col("n_cal") + 1L).cast("double")).cast("long")))
+        .select(col("abs_err").as("q_cents"), col("n_cal"))
+      val hold = scored.where(col("day") > date_sub(col("max_day"), 14))
+      hold.crossJoin(broadcast(qRow))
+        .agg(max(col("n_cal")).as("n_calibration"),
+          count(lit(1)).as("n_holdout"),
+          max(col("q_cents")).as("half_width_cents"),
+          sum((col("abs_err") <= col("q_cents")).cast("long"))
+            .as("n_covered"))
+        .select(col("n_calibration"), col("n_holdout"),
+          col("half_width_cents"), col("n_covered"),
+          floor(col("n_covered").cast("double") /
+            col("n_holdout").cast("double") * lit(1000000.0) +
+            lit(0.500001)) / lit(1000000.0) as "coverage",
+          lit(0.9).as("nominal"))
+    }),
+
     // ---- seasonal/trend strength (beyond reference, round 9) --------------
     // Hyndman & Wang's tsfeatures pair on top of q_seasonal_decompose:
     // F_trend = max(0, 1 − var(R)/var(T+R)) and F_seasonal = max(0,
@@ -1129,6 +1180,45 @@ object Timeseries {
         |  FLOOR((detr.d - seas.seasonal) * 10000.0 + 0.500001) / 10000.0 AS resid
         |FROM detr JOIN seas USING (dow)
         |ORDER BY day""".stripMargin,
+
+    // identical calendar windows, the same exact order-statistic rank
+    // ceil(0.9(n+1)) clamped to n, exact coverage counts
+    "q_conformal_forecast" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), mx AS (SELECT MAX(day) AS max_day FROM daily),
+        |scored AS (
+        |  SELECT d.day, m.max_day, ABS(d.rev - h.rev) AS abs_err
+        |  FROM daily d
+        |  JOIN daily h ON h.day = d.day - 7
+        |  CROSS JOIN mx m
+        |), calib AS (
+        |  SELECT abs_err,
+        |    ROW_NUMBER() OVER (ORDER BY abs_err, day) AS rk,
+        |    COUNT(*) OVER () AS n_cal
+        |  FROM scored
+        |  WHERE day > max_day - 28 AND day <= max_day - 14
+        |), q AS (
+        |  SELECT abs_err AS q_cents, CAST(n_cal AS BIGINT) AS n_cal
+        |  FROM calib
+        |  WHERE rk = LEAST(n_cal,
+        |    CAST(CEIL(0.9 * CAST(n_cal + 1 AS DOUBLE)) AS BIGINT))
+        |), hold AS (
+        |  SELECT abs_err FROM scored WHERE day > max_day - 14
+        |)
+        |SELECT q.n_cal AS n_calibration,
+        |  CAST(COUNT(*) AS BIGINT) AS n_holdout,
+        |  q.q_cents AS half_width_cents,
+        |  CAST(SUM(CASE WHEN abs_err <= q.q_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  FLOOR(CAST(SUM(CASE WHEN abs_err <= q.q_cents THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS coverage,
+        |  0.9 AS nominal
+        |FROM hold, q GROUP BY q.n_cal, q.q_cents""".stripMargin,
 
     // the same decomposition, milli-unit quantized components, exact
     // HUGEINT moment variances, identical strength sequence

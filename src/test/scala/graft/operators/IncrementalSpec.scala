@@ -631,6 +631,41 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_conformal_forecast -------------------------------------------------
+
+  test("conformal: a perfectly 7-periodic series gives zero-width intervals, full coverage") {
+    import spark.implicits._
+    def day(x: Int) = java.time.LocalDate.of(1995, 1, 1).plusDays(x).toString
+    val vals = (0 until 70).map(d => (day(d), 100.0 + 10.0 * (d % 7)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_conf").toString
+    vals.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_conformal_forecast")(spark, dir).head()
+    assert(r.getLong(0) === 14L && r.getLong(1) === 14L)
+    assert(r.getLong(2) === 0L, s"periodic series has zero residuals: $r")
+    assert(r.getDouble(4) === 1.0, s"zero-width intervals still cover: $r")
+  }
+
+  test("conformal on real data: q matches the exact order-statistic replay") {
+    val r = run("q_conformal_forecast").head()
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    // replay the conformal rank from the daily frame
+    val daily = graft.io.Sources.table(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")).as("rev"))
+      .collect().map(x => x.getDate(0).toLocalDate -> x.getLong(1)).toMap
+    val maxDay = daily.keys.max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val calib = daily.keys.toSeq
+      .filter(d => d.isAfter(maxDay.minusDays(28)) &&
+        !d.isAfter(maxDay.minusDays(14)))
+      .flatMap(d => daily.get(d.minusDays(7)).map(p => math.abs(daily(d) - p)))
+      .sorted
+    val k = math.min(calib.length,
+      math.ceil(0.9 * (calib.length + 1)).toLong.toInt)
+    assert(r.getLong(2) === calib(k - 1), s"conformal q replay: $r")
+  }
+
   // ---- q_seasonal_strength --------------------------------------------------
 
   test("seasonal strength: a planted weekly pulse scores high F_S; a ramp high F_T") {
