@@ -1189,6 +1189,66 @@ object Stats {
         .orderBy("priority")
     }),
 
+    // ---- McNemar's paired test (beyond reference, r9) ----------------------
+    // Two classifiers scored on the SAME documents (stop-ratio ≥ 0.15 vs
+    // the 100-char length heuristic, both predicting lang = en): are
+    // their error rates different? McNemar 1947 uses ONLY the discordant
+    // pairs — b (A right, B wrong) and c (B right, A wrong) — with the
+    // continuity-corrected χ²₁ = (|b−c|−1)²/(b+c); accuracy deltas on
+    // shared successes are noise this test correctly ignores. One scan,
+    // four exact BIGINTs, one float.
+    "q_mcnemar" -> ((s, dir) => {
+      val y = col("lang") === "en"
+      val predA = graft.text.TextOps.stopRatio(col("text")) >= lit(0.15)
+      val predB = col("n_chars") >= 100L
+      val g = t(s, dir, "documents").agg(
+        sum((predA === y && predB === y).cast("long")).as("both_right"),
+        sum((predA === y && predB =!= y).cast("long")).as("b"),
+        sum((predA =!= y && predB === y).cast("long")).as("c"),
+        sum((predA =!= y && predB =!= y).cast("long")).as("both_wrong"))
+      val bd = col("b").cast("double")
+      val cd = col("c").cast("double")
+      val chi2 = (abs(bd - cd) - lit(1.0)) * (abs(bd - cd) - lit(1.0)) /
+        (bd + cd)
+      val ok = col("b") + col("c") > 0L
+      g.select(col("both_right"), col("b"), col("c"), col("both_wrong"),
+        when(ok, r6(chi2)).as("chi2"),
+        coalesce((when(ok, chi2) > lit(3.841458820694124)).cast("long"),
+          lit(0L)).as("reject_95"))
+    }),
+
+    // ---- Cochran's Q test (beyond reference, r9) ---------------------------
+    // m = 3 related binary outcomes per customer block (did they order in
+    // 1996 / 1997 / 1998?): does activity propensity DIFFER across the
+    // years, accounting for per-customer baseline? Cochran 1950: Q =
+    // m(m−1)·Σ(C_j − T/m)² / (m·T − ΣR_i²) against χ²_{m−1}. Kept exact:
+    // the numerator scales by m² to the integer Σ(m·C_j − T)², so Q is
+    // ONE float division of exact BIGINTs. One orders scan to the
+    // (customer × year) flags, two bounded aggregates.
+    "q_cochran_q" -> ((s, dir) => {
+      val yr = year(to_date(col("o_orderdate")))
+      val byCust = t(s, dir, "orders")
+        .where(yr.between(1996, 1998))
+        .groupBy(col("o_custkey"))
+        .agg(max(when(yr === 1996, 1L).otherwise(0L)).as("y1"),
+          max(when(yr === 1997, 1L).otherwise(0L)).as("y2"),
+          max(when(yr === 1998, 1L).otherwise(0L)).as("y3"))
+      val r = col("y1") + col("y2") + col("y3")
+      val g = byCust.agg(count(lit(1)).as("n_blocks"),
+        sum(col("y1")).as("c1"), sum(col("y2")).as("c2"),
+        sum(col("y3")).as("c3"), sum(r).as("t0"), sum(r * r).as("rr"))
+      def dev(c: String): Column = lit(3L) * col(c) - col("t0")
+      val num = dev("c1") * dev("c1") + dev("c2") * dev("c2") +
+        dev("c3") * dev("c3")
+      val den = lit(3L) * col("t0") - col("rr")
+      // Q = m(m−1)/m² · num / (m·T − ΣR²) = (2/3)·num/den
+      val q = lit(2.0) / lit(3.0) * num.cast("double") / den.cast("double")
+      g.select(col("n_blocks"), col("c1"), col("c2"), col("c3"),
+        when(den > 0L, r6(q)).as("q_stat"),
+        coalesce((when(den > 0L, q) > lit(5.991464547107979)).cast("long"),
+          lit(0L)).as("reject_95"))
+    }),
+
     // ---- Kendall's W concordance (beyond reference, r9) -------------------
     // Do the three customer value signals — spend, order count, recency —
     // even AGREE on who the best customers are? Kendall's coefficient of
@@ -2727,6 +2787,83 @@ object Stats {
         |  CAST(CASE WHEN n > 3 AND m2 > 0 AND jb > 5.991464547107979
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM j ORDER BY priority""".stripMargin,
+
+    // identical discordant-pair counts off the same raw-ratio and length
+    // predictors; one continuity-corrected float
+    "q_mcnemar" ->
+      (s"""WITH d AS (
+        |  SELECT lang, n_chars,
+        |    regexp_split_to_array(trim(text), '\\s+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT (lang = 'en') AS y,
+        |    (CAST(len(list_filter(toks,
+        |      x -> x IN (${graft.text.TextOps.stopwordsInList})))
+        |      AS DOUBLE) / len(toks) >= 0.15) AS pa,
+        |    (n_chars >= 100) AS pb
+        |  FROM d
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_right,
+        |    CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_wrong
+        |  FROM f
+        |)
+        |SELECT both_right, b, c, both_wrong,
+        |  CASE WHEN b + c > 0 THEN
+        |    FLOOR((ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+        |      * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+        |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS chi2,
+        |  CAST(CASE WHEN b + c > 0 AND
+        |      (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+        |      * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+        |      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+        |      > 3.841458820694124
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM m""").stripMargin,
+
+    // identical per-customer year flags, the exact m²-scaled numerator,
+    // one float division
+    "q_cochran_q" ->
+      """WITH byc AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+        |      THEN 1 ELSE 0 END) AS y1,
+        |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+        |      THEN 1 ELSE 0 END) AS y2,
+        |    MAX(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1998
+        |      THEN 1 ELSE 0 END) AS y3
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1996 AND 1998
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(y1) AS BIGINT) AS c1, CAST(SUM(y2) AS BIGINT) AS c2,
+        |    CAST(SUM(y3) AS BIGINT) AS c3,
+        |    CAST(SUM(y1 + y2 + y3) AS BIGINT) AS t0,
+        |    CAST(SUM((y1 + y2 + y3) * (y1 + y2 + y3)) AS BIGINT) AS rr
+        |  FROM byc
+        |), e AS (
+        |  SELECT *,
+        |    (3 * c1 - t0) * (3 * c1 - t0) + (3 * c2 - t0) * (3 * c2 - t0)
+        |      + (3 * c3 - t0) * (3 * c3 - t0) AS num,
+        |    3 * t0 - rr AS den
+        |  FROM g
+        |)
+        |SELECT n_blocks, c1, c2, c3,
+        |  CASE WHEN den > 0 THEN
+        |    FLOOR(2.0 / 3.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS q_stat,
+        |  CAST(CASE WHEN den > 0 AND 2.0 / 3.0 * CAST(num AS DOUBLE)
+        |      / CAST(den AS DOUBLE) > 5.991464547107979
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM e""".stripMargin,
 
     // identical custkey-tie-broken rankings and the exact 4S integer
     // identity; one float division

@@ -984,6 +984,50 @@ class StatsSpec extends SparkSpec {
     assert(bad.getLong(3) === 1L, s"a 3:1 mismatch must alarm: $bad")
   }
 
+  // ---- q_mcnemar / q_cochran_q ---------------------------------------------
+
+  test("McNemar: one-sided disagreement rejects with the continuity-corrected closed form") {
+    import spark.implicits._
+    // 10 docs where only the stop-ratio classifier is right (b), none
+    // where only the length one is (c = 0): chi2 = (10−1)²/10 = 8.1
+    val hi = "the a of and the a of and"  // stop-ratio 1 ⇒ predA = en
+    val docs = (1L to 10L).map(i => (i, hi, "en", hi.length.toLong)) ++
+      (11L to 20L).map(i => (i, hi, "en", 200L)) // both right (padding n_chars)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcn").toString
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_mcnemar")(spark, dir).head()
+    assert(r.getLong(1) === 10L && r.getLong(2) === 0L)
+    assert(r.getDouble(4) === 8.1, s"(|10−0|−1)²/10: $r")
+    assert(r.getLong(5) === 1L)
+  }
+
+  test("Cochran Q: planted year skew gives exactly Q = 70 and rejects; uniform abstains") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cq").toString
+      rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+        .withColumn("o_totalprice", lit(100.0))
+        .write.parquet(s"$dir/orders.parquet")
+      SparkEntry.queries("q_cochran_q")(spark, dir).head()
+    }
+    // 40 customers all active 1996; only customers 1–5 active in 1997 and
+    // 1998 → C = (40, 5, 5), T = 50, ΣR² = 80 ⇒ Q = (2/3)·7350/70 = 70
+    val skew = (1L to 40L).map(c => (c, c, "1996-06-01")) ++
+      (1L to 5L).flatMap(c => Seq((100 + c, c, "1997-06-01"),
+        (200 + c, c, "1998-06-01")))
+    val rs = mk(skew)
+    assert((rs.getLong(1), rs.getLong(2), rs.getLong(3)) === ((40L, 5L, 5L)))
+    assert(rs.getDouble(4) === 70.0, s"closed form: $rs")
+    assert(rs.getLong(5) === 1L)
+    // every customer active all three years: den = 0 ⇒ NULL abstention
+    val uniform = (1L to 20L).flatMap(c => Seq(
+      (c, c, "1996-06-01"), (100 + c, c, "1997-06-01"),
+      (200 + c, c, "1998-06-01")))
+    val ru = mk(uniform)
+    assert(ru.isNullAt(4) && ru.getLong(5) === 0L, s"$ru")
+  }
+
   // ---- q_kendall_w ---------------------------------------------------------
 
   test("Kendall W: full agreement gives exactly 1; one reversed ranking gives exactly 1/9") {
