@@ -397,7 +397,10 @@ object Multimodal {
   /** Dimension-only fallback for OPAQUE mimes (no decodable pixels — the
     * decodeStub counterpart): rescales the pseudo-dimensions with the same
     * integer contract as [[resizeImage]] so the plumbing stays testable on
-    * non-image payloads. Every image mime takes the REAL pixel path.
+    * non-image payloads. Every image mime takes the REAL pixel path —
+    * since the r9 fixed-point bilinear kernel landed this function backs
+    * NO oracle query (q_multimodal_resize runs [[resizeImage]] on decoded
+    * pixels); it survives solely as [[resizeMedia]]'s opaque-mime arm.
     */
   def resizeStub(f: MediaFeatures, maxSide: Int): MediaFeatures = {
     val maxDim = math.max(f.width, f.height)

@@ -726,10 +726,14 @@ object Analytics {
       val b = top.where(col("period") === 1L)
         .select(col("part"), col("rk").as("rk_b"))
       val j = a.join(broadcast(b), Seq("part"), "full")
+      // churned_out counts against the period-0 list's ACTUAL size (the
+      // count of non-null rk_a), not the literal 20 — on a slice with
+      // fewer than 20 ranked parts the literal would overstate churn
       j.agg(
           sum(when(col("rk_a").isNotNull && col("rk_b").isNotNull, 1L)
             .otherwise(0L)).as("n_overlap"),
           count(lit(1)).as("n_union"),
+          sum(col("rk_a").isNotNull.cast("long")).as("n_list_a"),
           sum(when(col("rk_a").isNotNull && col("rk_b").isNotNull,
             abs(col("rk_a") - col("rk_b"))).otherwise(0L))
             .as("rank_displacement"))
@@ -737,7 +741,7 @@ object Analytics {
           r6(col("n_overlap").cast("double") / col("n_union"))
             .as("jaccard"),
           col("rank_displacement"),
-          (lit(20L) - col("n_overlap")).as("churned_out"))
+          (col("n_list_a") - col("n_overlap")).as("churned_out"))
     }),
 
     // ---- Simpson's paradox audit (beyond reference, round 9) --------------
@@ -1361,7 +1365,8 @@ object Analytics {
         |  CAST(SUM(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
         |    THEN ABS(rk_a - rk_b) ELSE 0 END) AS BIGINT)
         |    AS rank_displacement,
-        |  CAST(20 - SUM(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
+        |  CAST(SUM(CASE WHEN rk_a IS NOT NULL THEN 1 ELSE 0 END)
+        |    - SUM(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS churned_out
         |FROM j""".stripMargin,
 

@@ -199,10 +199,14 @@ object LlmQueries {
     // (streaming/StreamingOps) and HLL distinct (q_approx_distinct),
     // here with its 2048-cell table BUILT RELATIONALLY so the oracle
     // replays the entire sketch, not just its answers: d = 4 pairwise-
-    // independent rows h_r(k) = ((k·A_r + B_r) mod P) mod 512 over the
-    // Mersenne prime P = 2³¹−1 with literal constants (pure integer —
-    // no engine hash), one ×4 explode scan partial-aggregating to the
-    // bounded cell frame, point queries = min over the 4 probed cells.
+    // independent rows h_r(k) = (((k mod P)·A_r + B_r) mod P) mod 512
+    // over the Mersenne prime P = 2³¹−1 with literal constants (pure
+    // integer — no engine hash), one ×4 explode scan partial-aggregating
+    // to the bounded cell frame, point queries = min over the 4 probed
+    // cells. The key is reduced mod P BEFORE the multiply so the product
+    // is bounded by (P−1)·max(A) ≈ 5.7e18 < 2⁶³ at ANY key magnitude —
+    // the unreduced form overflows int64 for keys ≳ 3.47e9, where Spark
+    // silently wraps while DuckDB raises, a cross-engine divergence.
     // The audit row carries the CMS contract: the estimate can NEVER
     // undercount (flag must be 1), and overshoot is the collision mass
     // the ε = e/512 bound prices. All exact BIGINTs end-to-end.
@@ -212,7 +216,7 @@ object LlmQueries {
       val as = Seq(1103515245L, 2654435761L, 1597334677L, 805306457L)
       val bs = Seq(12345L, 97L, 1299709L, 40503L)
       def h(r: Int, k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        pmod(pmod(k * lit(as(r)) + lit(bs(r)), lit(P)), lit(W))
+        pmod(pmod(pmod(k, lit(P)) * lit(as(r)) + lit(bs(r)), lit(P)), lit(W))
       val ev = t(s, dir, "events")
       val cells = ev.select(explode(array((0 until 4).map(r =>
           struct(lit(r.toLong).as("r"), h(r, col("user_id")).as("c"))): _*))
@@ -304,7 +308,12 @@ object LlmQueries {
         col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
         .cast("double") + lit(0.5)) / lit(4294967296.0)
       val key = exp(log(u) / col("n_chars").cast("double"))
+      // zero-weight docs are EXCLUDED, not keyed: ln(u)/0 is NULL on Spark
+      // but -inf → exp → 0.0 on DuckDB (a latent cross-engine ranking
+      // divergence), and Efraimidis–Spirakis assigns w=0 items inclusion
+      // probability 0 anyway — the filter IS the correct semantics
       t(s, dir, "documents")
+        .where(col("n_chars") > 0)
         .select(col("doc_id"), col("n_chars").as("weight"), key.as("k0"))
         .orderBy(col("k0").desc, col("doc_id"))
         .limit(20)
@@ -1944,12 +1953,14 @@ object LlmQueries {
         |    (1, 2654435761, 97), (2, 1597334677, 1299709),
         |    (3, 805306457, 40503)) AS t(r, a, b)
         |), cells AS (
-        |  SELECT hp.r, ((e.user_id * hp.a + hp.b) % 2147483647) % 512 AS c,
+        |  SELECT hp.r,
+        |    (((e.user_id % 2147483647) * hp.a + hp.b) % 2147483647) % 512 AS c,
         |    CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events e, hp GROUP BY 1, 2
         |), probes AS (
         |  SELECT CAST(u.i AS BIGINT) AS probe_id, hp.r,
-        |    ((CAST(u.i AS BIGINT) * hp.a + hp.b) % 2147483647) % 512 AS c
+        |    (((CAST(u.i AS BIGINT) % 2147483647) * hp.a + hp.b)
+        |      % 2147483647) % 512 AS c
         |  FROM (SELECT UNNEST(generate_series(1, 5)) AS i) u, hp
         |), est AS (
         |  SELECT probe_id, CAST(MIN(COALESCE(cells.n, 0)) AS BIGINT)
@@ -1976,7 +1987,7 @@ object LlmQueries {
         |    EXP(LN((CAST('0x' || substr(md5('wrs#' || CAST(doc_id AS VARCHAR)),
         |        1, 8) AS BIGINT) + 0.5) / 4294967296.0)
         |      / CAST(n_chars AS DOUBLE)) AS k0
-        |  FROM documents
+        |  FROM documents WHERE n_chars > 0
         |), ranked AS (
         |  SELECT doc_id, weight, k0,
         |    ROW_NUMBER() OVER (ORDER BY k0 DESC, doc_id) AS rank

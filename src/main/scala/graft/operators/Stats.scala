@@ -1361,9 +1361,15 @@ object Stats {
     // partial "captures"?). The captures must be PARTIAL to be a real
     // test, so each is a deterministic event subsample: capture 1 =
     // users with a view event whose id ≡ 0 (mod 7), capture 2 = users
-    // with a click event whose id ≡ 0 (mod 5) — independent by
-    // construction, so N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with the Seber
-    // variance should cover the KNOWN distinct-user truth. One scan
+    // with a click event whose id ≡ 0 (mod 5). NOTE the estimator's
+    // equal-catchability assumption is only APPROXIMATED here: both
+    // indicators condition on a user having events at all, so
+    // heterogeneous per-user activity induces positive capture
+    // correlation and biases N̂ low — on a sufficiently skewed corpus
+    // covers_truth can legitimately read 0, which is itself the
+    // methodological lesson the query teaches. Chapman's
+    // N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with the Seber variance is checked
+    // against the KNOWN distinct-user truth. One scan
     // reduces to three exact BIGINTs via the two-flag user frame;
     // everything after is closed-form float over them.
     "q_capture_recapture" -> ((s, dir) => {
@@ -1684,7 +1690,13 @@ object Stats {
         .select(col("a"), col("b"), col("c"), col("d"),
           (col("a") + col("b")).as("r1"), (col("a") + col("c")).as("c1"),
           (col("a") + col("b") + col("c") + col("d")).as("n"))
-        .cache()
+        // localCheckpoint, not cache: m feeds lf plus 1 join and lf is
+        // broadcast 10 times — checkpointing cuts the lineage so the
+        // orders scan runs ONCE, and the blocks land in the same
+        // releaseAll/releaseCheckpoint sweep discipline as the graph ops
+        // (a bare .cache() here leaked blocks across the 250+-query
+        // driver pass until the session-level sweep)
+        .localCheckpoint()
       val lf = m.select(explode(sequence(lit(0L), col("n"))).as("k"))
         .select(col("k"),
           sum(when(col("k") > 1L, log(col("k").cast("double")))
@@ -1692,7 +1704,7 @@ object Stats {
             .over(BoundedWindow.ordered(col("k"), col("k"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("lf"))
-        .cache()
+        .localCheckpoint()
       def lfAt(df: DataFrame, key: Column, out: String): DataFrame =
         df.join(broadcast(lf.select(col("k").as(out + "_k"),
           col("lf").as(out))), key === col(out + "_k")).drop(out + "_k")

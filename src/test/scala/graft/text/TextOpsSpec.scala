@@ -242,6 +242,34 @@ class TextOpsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("aaab aab")) === 3L)
   }
 
+  test("trainBpe maxVocabWords cap: no-op when vocab fits, head-equivalent beyond") {
+    import spark.implicits._
+    val docs = (Seq.fill(3)("aaab") :+ "aab").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // vocab = {aaab, aab} fits in any K ≥ 2 → the prune is a provable no-op
+    val uncapped = TextOps.trainBpe(docs, numMerges = 3)
+    val roomy = TextOps.trainBpe(docs, numMerges = 3, maxVocabWords = 2)
+    assert(roomy.merges.toSeq === uncapped.merges.toSeq)
+    // head-heavy fixture with vocab = 4 > K = 2: the cap must keep the
+    // top-2 by (count desc, word) — {xxxy ×5, xxy ×4} — and train merges
+    // identical to a corpus containing ONLY that frequency head
+    val heavy = (Seq.fill(5)("xxxy") ++ Seq.fill(4)("xxy") ++
+        Seq.fill(2)("zz") :+ "qq").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val capped = TextOps.trainBpe(heavy, numMerges = 3, maxVocabWords = 2)
+    val headOnly = (Seq.fill(5)("xxxy") ++ Seq.fill(4)("xxy")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fromHead = TextOps.trainBpe(headOnly, numMerges = 3)
+    assert(capped.merges.toSeq === fromHead.merges.toSeq,
+      s"capped ${capped.merges.toSeq} vs head ${fromHead.merges.toSeq}")
+    // the zz/qq tail must be invisible: no merge touches z or q
+    assert(!capped.merges.exists { case (a, b) =>
+      (a + b).exists(c => c == 'z' || c == 'q') })
+    intercept[IllegalArgumentException] {
+      TextOps.trainBpe(docs, numMerges = 1, maxVocabWords = 0)
+    }
+  }
+
   test("BPE kernel matches the driver apply on real docs; merges are monotone") {
     val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)
