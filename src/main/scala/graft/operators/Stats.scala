@@ -516,13 +516,17 @@ object Stats {
         sum(col("r_x") * col("r_y")).as("sab"))
       val nD = col("n").cast("double")
       val num = nD * col("sab") - col("sa").cast("double") * col("sb")
-      val den = sqrt(nD * col("saa") - col("sa").cast("double") * col("sa")) *
-        sqrt(nD * col("sbb") - col("sb").cast("double") * col("sb"))
+      val fa = nD * col("saa") - col("sa").cast("double") * col("sa")
+      val fb = nD * col("sbb") - col("sb").cast("double") * col("sb")
       // A constant variable (all x or all y equal) gives den = 0 — Spark's
       // 0/0 would surface NaN where DuckDB yields NULL. Abstain with NULL
-      // on both engines (the q_mad_outliers zero-guard discipline; the
-      // oracle carries the matching CASE).
-      g.select(col("n"), when(den > 0, r6(num / den)).as("rho"))
+      // on both engines, and — the r10 sweep — test the RAW variance
+      // factors, not a sqrt-containing den: the factors are double-
+      // subtracted moments that can round a hair negative on degenerate
+      // data, and DuckDB's SQRT raises on a negative argument even inside
+      // the predicate of the CASE that was meant to abstain.
+      g.select(col("n"),
+        when(fa > 0 && fb > 0, r6(num / (sqrt(fa) * sqrt(fb)))).as("rho"))
     }),
 
     // ---- histogram decision-stump split (the GBDT primitive) --------------
@@ -735,16 +739,25 @@ object Stats {
         sum(col("x") * col("z")).as("sxz"),
         sum(col("yd") * col("z").cast("decimal(19,0)")).as("syz"))
       val nD = col("n").cast("double")
+      // every sqrt argument is clamped at 0 (mirrored GREATEST in the
+      // oracle): the variance/|r|≤1 identities hold exactly, but these are
+      // double-subtracted moments that can round a hair past the boundary
+      // on degenerate data — where DuckDB's SQRT hard-errors while Spark
+      // returns NaN (r10 divergence sweep). Clamp → sqrt(0) → 0-divide →
+      // NULL identically on both engines.
       def pearson(sab: Column, sa: Column, sb: Column,
                   saa: Column, sbb: Column): Column =
         (nD * sab.cast("double") - sa.cast("double") * sb.cast("double")) /
-          sqrt((nD * saa.cast("double") - sa.cast("double") * sa.cast("double")) *
-            (nD * sbb.cast("double") - sb.cast("double") * sb.cast("double")))
+          sqrt(greatest(
+            (nD * saa.cast("double") - sa.cast("double") * sa.cast("double")) *
+            (nD * sbb.cast("double") - sb.cast("double") * sb.cast("double")),
+            lit(0.0)))
       val rxy = pearson(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
       val rxz = pearson(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
       val ryz = pearson(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
       val part = (rxy - rxz * ryz) /
-        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+        sqrt(greatest((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz),
+          lit(0.0)))
       g.select(col("n"), r6(rxy).as("r_xy"), r6(rxz).as("r_xz"),
         r6(ryz).as("r_yz"), r6(part).as("r_xy_given_z"))
     }),
@@ -943,7 +956,9 @@ object Stats {
       val varI = (d(col("ssq")) - d(col("sv")) * d(col("sv")) / nI) / (nI - 1)
       val varR = (d(col("ssqt") - col("ssq")) -
         d(col("svt") - col("sv")) * d(col("svt") - col("sv")) / nR) / (nR - 1)
-      val z = (mI - mR) / sqrt(varI / nI + varR / nR)
+      // clamped at 0: double-rounded moment variances (r10 sweep — DuckDB
+      // SQRT errors on a rounding-negative argument, Spark yields NaN)
+      val z = (mI - mR) / sqrt(greatest(varI / nI + varR / nR, lit(0.0)))
       val az = abs(z)
       val tPoly = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
       val poly = tPoly * (lit(0.319381530) + tPoly * (lit(-0.356563782) +
@@ -1058,7 +1073,14 @@ object Stats {
           sum(col("vd") * col("vd")).as("ssq"))
       def d(c: Column): Column = c.cast("double")
       val mean = d(col("s")) / d(col("n"))
-      val varS = (d(col("ssq")) - d(col("s")) * d(col("s")) / d(col("n"))) /
+      // greatest(…, 0) on the NEVER-NULL raw moment difference (not the
+      // /(n−1) quotient, whose n=1 NULL would hit Spark's null-skipping
+      // greatest vs DuckDB's null-propagating GREATEST): a constant
+      // cell's double-rounded variance can dip below zero, and a negative
+      // micro-term could push the summed SE² negative into the sqrt
+      // (r10 sweep; the oracle carries the same GREATEST)
+      val varS = greatest(
+        d(col("ssq")) - d(col("s")) * d(col("s")) / d(col("n")), lit(0.0)) /
         (d(col("n")) - 1)
       // the 4 per-cell s²/n terms are floats; an unordered 4-way float sum
       // could tree-reduce differently across engines, so each term is
@@ -1067,7 +1089,8 @@ object Stats {
       // on an SE of ~1e5 cents² — far below the r6 report precision)
       val flat = cells.select(col("g"), col("post"), col("n"),
         mean.as("m"),
-        floor(varS / d(col("n")) * lit(1000000.0)).cast("long").as("vn_micro"))
+        floor(varS / d(col("n")) * lit(1000000.0))
+          .cast("long").as("vn_micro"))
       val g = flat.agg(
         sum(col("n")).as("n"),
         sum(when(col("g") === 0L && col("post") === 0L, col("m"))).as("m_a_pre"),
@@ -1120,7 +1143,11 @@ object Stats {
         row_number().over(BoundedWindow.ordered(col("seg"), col("seg")))
           .as("rn"))
         .where(col("rn") === col("k"))
-        .select(((col("syy") - col("tcum")) /
+        // greatest(…, 0): SSW ≥ 0 exactly, but syy/tcum are double sums
+        // whose difference can round negative when every group is
+        // near-constant — a negative msw would reach sqrt (r10 sweep;
+        // mirrored GREATEST in the oracle)
+        .select((greatest(col("syy") - col("tcum"), lit(0.0)) /
           (col("nn") - col("k")).cast("double")).as("msw"))
       val gm = g.select(col("seg"), col("ng"),
         (col("sg").cast("double") / col("ng").cast("double")).as("m"))
@@ -1257,8 +1284,11 @@ object Stats {
     // with custkey tie-break, so rank sums are exact integers, and S is
     // kept integer by the scaled identity 4S = Σ(2Rᵢ − m(n+1))² — the
     // whole statistic is ONE float division of exact BIGINT/decimal-38
-    // integers. One orders shuffle to the customer frame, three ranking
-    // windows on it, one bounded aggregate.
+    // integers. One orders shuffle to the checkpointed customer frame,
+    // three [[Ranks.withGlobalRank]] two-level rankings on it (descending
+    // = ascending on the negated key; dates negate via datediff from a
+    // pinned anchor), one bounded aggregate — no single-partition Window
+    // (the r9 swap-in, now code).
     "q_kendall_w" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
         .cast("long")
@@ -1266,12 +1296,15 @@ object Stats {
         .groupBy(col("o_custkey").as("custkey"))
         .agg(sum(cents).as("m"), count(lit(1)).as("f"),
           max(to_date(col("o_orderdate"))).as("last_d"))
-      def rk(by: Column*) = row_number()
-        .over(Window.orderBy(by: _*)).cast("long")
-      val ranked = feats.select(
-        (rk(col("m").desc, col("custkey")) +
-          rk(col("f").desc, col("custkey")) +
-          rk(col("last_d").desc, col("custkey"))).as("r_sum"))
+        .localCheckpoint()
+      val ranked = Ranks.withGlobalRank(
+        Ranks.withGlobalRank(
+          Ranks.withGlobalRank(feats,
+            -col("m"), col("custkey"), "rm"),
+          -col("f"), col("custkey"), "rf"),
+        datediff(lit("2000-01-01").cast("date"), col("last_d")),
+        col("custkey"), "rd")
+        .select((col("rm") + col("rf") + col("rd")).as("r_sum"))
       val g = ranked.agg(count(lit(1)).as("n"),
         sum(col("r_sum")).as("sr"))
       // 4S = Σ(2R − m(n+1))² needs n first: second pass over the bounded
@@ -1429,8 +1462,10 @@ object Stats {
           sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
       val nD = col("n_used").cast("double")
       val meanV = col("sv").cast("double") / nD
-      val ssq = (col("svv").cast("double") -
-        col("sv").cast("double") * col("sv").cast("double") / nD)
+      // greatest(…, 0): pseudo-value spread can round negative when every
+      // leave-one-out replicate agrees (r10 sweep; mirrored in the oracle)
+      val ssq = greatest(col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double") / nD, lit(0.0))
       val jkSe = sqrt((nD - lit(1.0)) / nD * ssq) / lit(1000000.0)
       g.select(col("n").as("n_users"), col("n_used"),
         r6(col("sx").cast("double") / col("sy").cast("double"))
@@ -1481,9 +1516,12 @@ object Stats {
           .as("qb"))
       def mean(s0: String, n: String): Column =
         col(s0).cast("double") / col(n).cast("double")
+      // greatest(…, 0) on the raw moment difference: a constant-valued arm
+      // rounds a hair negative in double and would reach the sqrt (r10
+      // sweep; mirrored GREATEST in the oracle)
       def vr(q: String, s0: String, n: String): Column =
-        (col(q).cast("double") - col(s0).cast("double") *
-          col(s0).cast("double") / col(n).cast("double")) /
+        greatest(col(q).cast("double") - col(s0).cast("double") *
+          col(s0).cast("double") / col(n).cast("double"), lit(0.0)) /
           (col(n).cast("double") - lit(1.0))
       val z = (mean("sa", "na") - mean("sb", "nb")) /
         sqrt(vr("qa", "sa", "na") / col("na").cast("double") +
@@ -1510,20 +1548,21 @@ object Stats {
     // the trimmed sum is an exact BIGINT, and the winsorized sum replaces
     // each tail row with the exact boundary value — every output float
     // is ONE division of exact integers. Scale shape: one orders scan to
-    // the customer frame; the ranking window and the two conditional
-    // sums ride that frame (the q_quantile_normalize stance — at extreme
-    // scale the documented swap-in is approx-percentile cuts).
+    // the checkpointed customer frame; the rank comes from
+    // [[Ranks.withGlobalRank]]'s two-level bucket pattern and the row
+    // count broadcasts back from a 1-row aggregate — no single-partition
+    // Window (the r9 swap-in, now code).
     "q_trimmed_mean" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
         .cast("long")
       val feats = t(s, dir, "orders")
         .groupBy(col("o_custkey").as("custkey"))
         .agg(sum(cents).as("m"))
-      val wAll = BoundedWindow.whole(col("custkey"))
-      val ranked = feats.select(col("m"),
-        row_number().over(Window.orderBy(col("m"), col("custkey")))
-          .cast("long").as("r"),
-        count(lit(1)).over(wAll).as("n"))
+        .localCheckpoint()
+      val nRow = feats.agg(count(lit(1)).as("n"))
+      val ranked = Ranks.withGlobalRank(feats, col("m"), col("custkey"), "r")
+        .crossJoin(broadcast(nRow))
+        .select(col("m"), col("r"), col("n"))
       val lo = floor(col("n") * 5L / lit(100.0)).cast("long") + 1L // first kept
       val hi = col("n") - floor(col("n") * 5L / lit(100.0)).cast("long") // last kept
       val g = ranked.agg(
@@ -1605,7 +1644,12 @@ object Stats {
       val vb = dvar("nb", "sxb", "syb", "sxxb", "syyb", "sxyb")
       val ok = col("na") > 1L && col("nb") > 1L && col("sya") > 0L &&
         col("syb") > 0L
-      val z = (ratio("sxa", "sya") - ratio("sxb", "syb")) / sqrt(va + vb)
+      // greatest(…, 0): the delta-method variance is an approximation
+      // whose float sequence can dip below zero on near-constant arms —
+      // a negative sum would reach the sqrt (r10 sweep; mirrored in the
+      // oracle)
+      val z = (ratio("sxa", "sya") - ratio("sxb", "syb")) /
+        sqrt(greatest(va + vb, lit(0.0)))
       gagg.select(col("na").as("n_a"), col("nb").as("n_b"),
         when(ok, r6(ratio("sxa", "sya"))).as("ratio_a"),
         when(ok, r6(ratio("sxb", "syb"))).as("ratio_b"),
@@ -1808,13 +1852,14 @@ object Stats {
         |, d AS (
         |  SELECT n,
         |    CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb AS num,
-        |    sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
-        |      * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb) AS den
+        |    CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa AS fa,
+        |    CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb AS fb
         |  FROM m
         |)
         |SELECT n,
-        |  CASE WHEN den > 0 THEN
-        |    FLOOR(num / den * 1000000.0 + 0.500001) / 1000000.0 END AS rho
+        |  CASE WHEN fa > 0 AND fb > 0 THEN
+        |    FLOOR(num / (sqrt(fa) * sqrt(fb)) * 1000000.0 + 0.500001)
+        |      / 1000000.0 END AS rho
         |FROM d""".stripMargin,
 
     // four exact BIGINT counts (integer-cents conversion boundary), then
@@ -2371,22 +2416,22 @@ object Stats {
         |  SELECT n,
         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      / sqrt(GREATEST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)) AS rxy,
         |    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
         |       - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
-        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      / sqrt(GREATEST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
-        |          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)), 0.0)) AS rxz,
         |    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
         |       - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
-        |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      / sqrt(GREATEST((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
         |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
-        |          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+        |          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)), 0.0)) AS ryz
         |  FROM m
         |)
         |SELECT n,
@@ -2394,7 +2439,7 @@ object Stats {
         |  FLOOR(rxz * 1000000.0 + 0.500001) / 1000000.0 AS r_xz,
         |  FLOOR(ryz * 1000000.0 + 0.500001) / 1000000.0 AS r_yz,
         |  FLOOR((rxy - rxz * ryz)
-        |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+        |    / sqrt(GREATEST((1.0 - rxz * rxz) * (1.0 - ryz * ryz), 0.0))
         |    * 1000000.0 + 0.500001) / 1000000.0 AS r_xy_given_z
         |FROM r""".stripMargin,
 
@@ -2490,14 +2535,15 @@ object Stats {
         |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
         |    (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
         |       - CAST(svt - sv AS DOUBLE) / CAST(nt - n AS DOUBLE))
-        |      / sqrt(
+        |      / sqrt(GREATEST(
         |        ((CAST(ssq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
         |            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
         |          / CAST(n AS DOUBLE)
         |        + ((CAST(ssqt - ssq AS DOUBLE)
         |            - CAST(svt - sv AS DOUBLE) * CAST(svt - sv AS DOUBLE)
         |              / CAST(nt - n AS DOUBLE))
-        |            / (CAST(nt - n AS DOUBLE) - 1)) / CAST(nt - n AS DOUBLE))
+        |            / (CAST(nt - n AS DOUBLE) - 1)) / CAST(nt - n AS DOUBLE),
+        |        0.0))
         |      AS z
         |  FROM tot
         |), pv AS (
@@ -2608,8 +2654,9 @@ object Stats {
         |  FROM orders GROUP BY 1, 2
         |), flat AS (
         |  SELECT g, post, n, CAST(s AS DOUBLE) / n AS m,
-        |    CAST(FLOOR((CAST(ssq AS DOUBLE)
-        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    CAST(FLOOR(GREATEST(CAST(ssq AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+        |        0.0)
         |      / (CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE) * 1000000.0)
         |      AS BIGINT) AS vn_micro
         |  FROM cells
@@ -2733,7 +2780,7 @@ object Stats {
         |    ROW_NUMBER() OVER (ORDER BY seg) AS rn
         |  FROM g
         |), msw AS (
-        |  SELECT (syy - tcum) / CAST(nn - k AS DOUBLE) AS msw
+        |  SELECT GREATEST(syy - tcum, 0.0) / CAST(nn - k AS DOUBLE) AS msw
         |  FROM cum WHERE rn = k
         |), means AS (
         |  SELECT seg, ng, CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS m
@@ -3038,8 +3085,8 @@ object Stats {
         |    * 1000000.0 + 0.500001) / 1000000.0 AS jk_mean,
         |  FLOOR(sqrt((CAST(n_used AS DOUBLE) - 1.0)
         |      / CAST(n_used AS DOUBLE)
-        |      * (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
-        |        * CAST(sv AS DOUBLE) / CAST(n_used AS DOUBLE)))
+        |      * GREATEST(CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+        |        * CAST(sv AS DOUBLE) / CAST(n_used AS DOUBLE), 0.0))
         |    / 1000000.0 * 1000000.0 + 0.500001) / 1000000.0 AS jk_se
         |FROM g""".stripMargin,
 
@@ -3079,11 +3126,13 @@ object Stats {
         |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
         |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
         |    / sqrt(
-        |      (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
-        |        / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+        |      GREATEST(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |        * CAST(sa AS DOUBLE)
+        |        / CAST(na AS DOUBLE), 0.0) / (CAST(na AS DOUBLE) - 1.0)
         |        / CAST(na AS DOUBLE)
-        |      + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
-        |        / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)
+        |      + GREATEST(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |        * CAST(sb AS DOUBLE)
+        |        / CAST(nb AS DOUBLE), 0.0) / (CAST(nb AS DOUBLE) - 1.0)
         |        / CAST(nb AS DOUBLE)) AS z,
         |    CASE WHEN look = 1 THEN 4.877 WHEN look = 2 THEN 3.357
         |      WHEN look = 3 THEN 2.680 WHEN look = 4 THEN 2.290
@@ -3204,9 +3253,9 @@ object Stats {
         |    AS ratio_a,
         |  CASE WHEN ok THEN FLOOR(rb * 1000000.0 + 0.500001) / 1000000.0 END
         |    AS ratio_b,
-        |  CASE WHEN ok THEN FLOOR((ra - rb) / sqrt(va + vb)
+        |  CASE WHEN ok THEN FLOOR((ra - rb) / sqrt(GREATEST(va + vb, 0.0))
         |    * 1000000.0 + 0.500001) / 1000000.0 END AS z_stat,
-        |  CAST(CASE WHEN ok AND ABS((ra - rb) / sqrt(va + vb))
+        |  CAST(CASE WHEN ok AND ABS((ra - rb) / sqrt(GREATEST(va + vb, 0.0)))
         |      > 1.959963984540054
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
         |FROM v""".stripMargin,

@@ -98,8 +98,12 @@ object Timeseries {
         .where(col("n_gaps") >= 2)
       val nD = col("n_gaps").cast("double")
       val mean = col("sg").cast("double") / nD
-      val varS = (col("ssq").cast("double") -
-        col("sg").cast("double") * col("sg").cast("double") / nD) / (nD - 1)
+      // greatest(…, 0): a perfectly periodic user's double-rounded gap
+      // variance can dip below zero and reach the sqrt — DuckDB errors,
+      // Spark yields NaN (r10 sweep; mirrored GREATEST in the oracle)
+      val varS = greatest(col("ssq").cast("double") -
+        col("sg").cast("double") * col("sg").cast("double") / nD,
+        lit(0.0)) / (nD - 1)
       val sd = sqrt(varS)
       g.select(col("user_id"), col("n_gaps"),
         r4(mean / 1000000.0).as("mean_gap_s"),
@@ -873,7 +877,11 @@ object Timeseries {
         .select(col("m"), col("n_blocks"),
           (col("sm").cast("double") / col("n_blocks") / lit(1000000.0))
             .as("mean_rs"))
-      def yAt(sz: Long) = max(when(col("m") === sz, log(col("mean_rs"))))
+      // mean_rs > 0 guard: all-constant blocks give R = 0 → mean_rs = 0,
+      // where LN hard-errors on DuckDB vs NULL on Spark (r10 sweep); the
+      // NULL y then abstains the slope via the existing isNotNull gate
+      def yAt(sz: Long) = max(when(col("m") === sz && col("mean_rs") > 0,
+        log(col("mean_rs"))))
       def xAt(sz: Long) = max(when(col("m") === sz, log(col("m").cast("double"))))
       val pv = per.agg(
         xAt(8).as("x1"), xAt(16).as("x2"), xAt(32).as("x3"), xAt(64).as("x4"),
@@ -1058,9 +1066,9 @@ object Timeseries {
         |), f AS (
         |  SELECT user_id, n_gaps,
         |    CAST(sg AS DOUBLE) / n_gaps AS mean,
-        |    sqrt((CAST(ssq AS DOUBLE)
+        |    sqrt(GREATEST(CAST(ssq AS DOUBLE)
         |        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
-        |          / CAST(n_gaps AS DOUBLE))
+        |          / CAST(n_gaps AS DOUBLE), 0.0)
         |      / (CAST(n_gaps AS DOUBLE) - 1)) AS sd
         |  FROM g
         |)
@@ -1552,10 +1560,10 @@ object Timeseries {
         |    MAX(CASE WHEN m = 16 THEN LN(CAST(m AS DOUBLE)) END) AS x2,
         |    MAX(CASE WHEN m = 32 THEN LN(CAST(m AS DOUBLE)) END) AS x3,
         |    MAX(CASE WHEN m = 64 THEN LN(CAST(m AS DOUBLE)) END) AS x4,
-        |    MAX(CASE WHEN m = 8 THEN LN(mean_rs) END) AS y1,
-        |    MAX(CASE WHEN m = 16 THEN LN(mean_rs) END) AS y2,
-        |    MAX(CASE WHEN m = 32 THEN LN(mean_rs) END) AS y3,
-        |    MAX(CASE WHEN m = 64 THEN LN(mean_rs) END) AS y4
+        |    MAX(CASE WHEN m = 8 AND mean_rs > 0 THEN LN(mean_rs) END) AS y1,
+        |    MAX(CASE WHEN m = 16 AND mean_rs > 0 THEN LN(mean_rs) END) AS y2,
+        |    MAX(CASE WHEN m = 32 AND mean_rs > 0 THEN LN(mean_rs) END) AS y3,
+        |    MAX(CASE WHEN m = 64 AND mean_rs > 0 THEN LN(mean_rs) END) AS y4
         |  FROM pm
         |), sl AS (
         |  SELECT CASE WHEN y1 IS NOT NULL AND y2 IS NOT NULL

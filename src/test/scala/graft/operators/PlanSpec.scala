@@ -217,4 +217,24 @@ class PlanSpec extends SparkSpec {
     assert(p90 === wq(0.9), "p90 definition mismatch")
     out.values.foreach { case (_, lo, hi) => assert(lo <= hi) }
   }
+
+  test("global-ranking queries plan NO partition-less Window (r10 swap-in)") {
+    // q_gini / q_quantile_normalize / q_kendall_w / q_trimmed_mean ranked
+    // via a deliberate single-task `row_number() OVER (ORDER BY ...)`
+    // through round 9 ("the warning fires honestly"); they now run
+    // Ranks.withGlobalRank's two-level bucket pattern, so the gate flips:
+    // every Window node in these plans must carry a partition spec (the
+    // bounded-frame BoundedWindow key or the bucket column) — an empty
+    // partitionSpec is the moves-all-data-to-one-task shape that cannot
+    // survive 100 TB.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("q_gini", "q_quantile_normalize", "q_kendall_w", "q_trimmed_mean")
+      .foreach { q =>
+        spark.catalog.clearCache()
+        val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+        val bare = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        assert(bare.isEmpty,
+          s"$q still plans ${bare.size} partition-less Window node(s)")
+      }
+  }
 }

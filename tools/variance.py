@@ -14,9 +14,13 @@ Outputs (written to the repo root, i.e. the CWD):
   - BASELINE_QUERIES.json: per-query MIN across the runs (the best-
     successful-run convention the round-5 protocol established).
 
-The breach rule these files back (see BASELINE.md): a query regresses only
-when t > g * max(2 * median, median + 1.0), where g = max(1, the run's
-median per-query ratio vs these medians) absorbs uniform sandbox inflation.
+The breach rule these files back (see BASELINE.md, amended round 10): a
+query regresses only when t > local_f * max(2 * median, median + 1.0) AND
+its end-of-run isolated re-run (recorded by Bench in BENCH_FULL.json's
+"adjudication" map) also breaches. local_f = max(g, median ratio of the
++-5 run-order neighbors) absorbs both uniform sandbox inflation (g) and
+the localized contention windows the r9 adjudication had to untangle by
+hand.
 """
 import json
 import statistics
@@ -46,8 +50,10 @@ def main(paths: list[str]) -> None:
                 "sf": runs[0]["sf"],
                 "protocol": "back-to-back full-suite Bench runs, per-run "
                 "best-of-2-above-0.75s (v2), block-manager sweep between "
-                "queries; breach rule: t > g*max(2*median, median + 1.0s), "
-                "g = max(1, run-median per-query ratio)",
+                "queries; breach rule (r10): t > local_f*max(2*median, "
+                "median + 1.0s) AND the end-of-run isolated re-run also "
+                "breaches; local_f = max(g, median ratio of +-5 run-order "
+                "neighbors), g = max(1, run-median per-query ratio)",
                 "totals_sec": [r["total_sec"] for r in runs],
                 "queries": variance,
             },
