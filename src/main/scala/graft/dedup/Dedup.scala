@@ -249,8 +249,8 @@ object Dedup {
     // row on that bound is SOUND under the trailing distinct: a
     // qualifying pair always survives via its first-shared-token row
     // (later rows may fail the bound, but one survivor keeps the pair).
-    // Measured at sf0.1 (60k docs, t=0.8, k=3): candidate pairs
-    // 1,355,291 → 197,186 (−85.5%) before the exact-verify join.
+    // Measured at sf0.1 (t=0.8, k=3; tools/PpjoinProbe): candidate pairs
+    // 43,440 → 12,804 (−70.5%) before the exact-verify join.
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("len_a") + col("len_b")))
     val cands = a.join(b, Seq("g"))

@@ -464,9 +464,10 @@ object Analytics {
         .cast("long")
       val perCust = t(s, dir, "orders")
         .groupBy(col("o_custkey")).agg(sum(cents).as("x"))
-        .localCheckpoint()
+      // checkpointed: referenced by the moment aggregate AND the
+      // n-attached top-decile pass (the utility checkpoints its own input)
       val ranked = Ranks.withGlobalRank(perCust, col("x"), col("o_custkey"),
-        "rank")
+        "rank").localCheckpoint()
       val g0 = ranked.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("rank") * col("x")).as("srx"))
       val top = ranked.crossJoin(broadcast(g0.select(col("n"))))
@@ -821,9 +822,13 @@ object Analytics {
           sum(when(to_date(col("o_orderdate")) >= cut, cents)
             .otherwise(0L)).as("m2"))
         .localCheckpoint()
-      val ranked = Ranks.withGlobalRank(
-        Ranks.withGlobalRank(feats, col("m1"), col("custkey"), "r1"),
-        col("m2"), col("custkey"), "r2")
+      // both rankings ride ONE batched lane pass (withGlobalRanks — the
+      // fixed boundary/offset/window cost is shared), checkpointed
+      // because the result is referenced four times (the output row plus
+      // both sides of the rank-equi-joined reference distribution)
+      val ranked = Ranks.withGlobalRanks(feats,
+          Seq(col("m1") -> "r1", col("m2") -> "r2"), col("custkey"))
+        .localCheckpoint()
       val ref = ranked.select(col("r1").as("r"), col("m1"))
         .join(ranked.select(col("r2").as("r"), col("m2")), Seq("r"))
         .select(col("r"),

@@ -14,60 +14,70 @@ import org.apache.spark.sql.functions._
   * prefix-sum pattern already shipped for hash-ordered sums in
   * `Sampling.tokenBudgetMix`, adapted to VALUE ordering:
   *
-  *  1. bucket boundaries: `buckets−1` approx-quantile cuts of the sort key
-  *     (one map-side-combining aggregate to a 1-row frame, broadcast
-  *     back) — balanced buckets by construction, no collect, no RNG;
-  *  2. bucket offsets: per-bucket row counts roll up map-side into a
-  *     ≤`buckets`-row frame whose prefix sums are a window over that TINY
-  *     frame (schema-bounded by the `buckets` constant, never data-sized —
-  *     the legitimate [[BoundedWindow]] case);
-  *  3. exact rank = bucket offset (broadcast back) + `row_number` within
-  *     the bucket — `buckets` uniform partitions, no hot task.
+  *  1. every requested sort key explodes into a (key-index, value) lane —
+  *     ONE pass shares the fixed cost across multiple rankings (the
+  *     q_kendall_w case: three rankings, one frame), and the lane frame is
+  *     localCheckpoint'd because the boundary and offset broadcast
+  *     subtrees below would otherwise each re-run the input lineage
+  *     (measured 5.9 s → 1.3 s on the triple ranking; blocks release via
+  *     the session sweep);
+  *  2. bucket boundaries: per lane, `buckets−1` approx-quantile cuts (one
+  *     map-side-combining aggregate to a ≤K-row frame, broadcast back) —
+  *     balanced buckets by construction, no collect, no RNG;
+  *  3. bucket offsets: per-(lane, bucket) row counts roll up map-side into
+  *     a ≤K·`buckets`-row frame whose per-lane prefix sums are a window
+  *     over that TINY frame (schema-bounded by the `buckets` constant,
+  *     never data-sized);
+  *  4. exact rank = bucket offset (broadcast back) + `row_number` within
+  *     the (lane, bucket) — K·`buckets` uniform partitions, no hot task;
+  *     ranks pivot back to one row per tie-key and join onto the input.
   *
   * Equality to the global `row_number` is structural: the bucket function
   * `#{boundary < v_double}` is monotone non-decreasing in the sort key
   * (double cast is monotone, strictness at boundaries irrelevant), so
-  * bucket order extends value order; within-bucket ordering uses the
-  * ORIGINAL sort key and tie-break, so concatenating buckets in order
-  * reproduces the exact global permutation row-for-row regardless of
-  * where the approximate boundaries land. RanksSpec asserts equality
-  * against the naive global window on tied fixtures and real tables.
+  * bucket order extends value order; within-bucket ordering uses the same
+  * double plus the tie-break, so concatenating buckets in order reproduces
+  * the exact global permutation row-for-row regardless of where the
+  * approximate boundaries land. RanksSpec asserts equality against the
+  * naive global window on tied fixtures and real tables.
   *
   * Scale: with the default 256 buckets a 10-billion-row frame puts ~40 M
-  * rows per ranking task; at true 100 TB pass `buckets = 64k`. The input
-  * should be cheap to recompute or checkpointed by the caller — the frame
-  * is read three times (boundaries, counts, ranking).
+  * rows per ranking task; at true 100 TB pass `buckets = 64k`.
   *
-  * Contract: `sortKey` must be numeric-castable and non-null (all four
-  * call sites rank non-null aggregates); rank direction is ascending —
-  * callers rank descending by negating the key.
+  * Contract: sort keys must be numeric-castable (dates via `datediff`
+  * against an anchor), non-null, and double-exact (|v| < 2⁵³ — all call
+  * sites rank integer cents/counts/day-offsets); the tie column must be
+  * unique per row; rank direction is ascending — callers rank descending
+  * by negating the key.
   */
 object Ranks {
 
   /** `df` plus a BIGINT column `out` = the 1-based global rank of each row
     * under `(sortKey ASC, tie ASC)` — exactly `row_number() OVER (ORDER BY
-    * sortKey, tie)`, computed with no single-partition stage.
+    * sortKey, tie)`, computed with no single-partition stage. The direct
+    * single-key path: the rank attaches on the bucketed frame itself (no
+    * lane pivot, no join-back).
     */
   def withGlobalRank(df: DataFrame, sortKey: Column, tie: Column,
       out: String, buckets: Int = 256): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 16),
       s"buckets must be in [2, 65536]: $buckets")
     val cols = df.columns.map(col).toIndexedSeq
+    // localCheckpoint: the frame feeds the boundary aggregate's broadcast
+    // subtree, the offset aggregate's broadcast subtree, AND the ranking
+    // join — each would otherwise re-run the full input lineage
     val keyed = df
-      .withColumn("__rk_v", sortKey)
-      .withColumn("__rk_vd", sortKey.cast("double"))
+      .withColumn("__rk_v", sortKey.cast("double"))
       .withColumn("__rk_t", tie)
-    val probs = array((1 until buckets).map(i =>
-      lit(i.toDouble / buckets)): _*)
+      .localCheckpoint()
     val bnds = keyed.agg(
-      percentile_approx(col("__rk_vd"), probs, lit(10000)).as("__rk_bnds"))
+      percentile_approx(col("__rk_v"), probsFor(buckets), lit(10000))
+        .as("__rk_bnds"))
     val bucketed = keyed.crossJoin(broadcast(bnds))
-      .withColumn("__rk_b",
-        coalesce(size(filter(col("__rk_bnds"), b => b < col("__rk_vd"))),
-          lit(0)))
+      .withColumn("__rk_b", bucketOf(col("__rk_bnds"), col("__rk_v")))
       .drop("__rk_bnds")
-    // ≤ `buckets` rows: the ONLY ordered-prefix window in the pattern runs
-    // over this constant-bounded frame
+    // ≤ `buckets` rows: the ONLY ordered-prefix window in the pattern
+    // runs over this constant-bounded frame
     val offsets = bucketed.groupBy("__rk_b")
       .agg(count(lit(1)).as("__rk_c"))
       .withColumn("__rk_off", coalesce(
@@ -82,4 +92,75 @@ object Ranks {
         (col("__rk_off") + row_number().over(wLocal)).cast("long"))
       .select(cols :+ col(out): _*)
   }
+
+  /** The multi-key form: one shared lane pass computes every `(sortKey,
+    * outName)` rank at once — the q_kendall_w shape (three rankings of one
+    * bounded frame) pays the boundary/offset/window cost once instead of
+    * per key. Returns `df`'s columns plus every rank column (a join back
+    * on the tie key); callers that only need the ranks should use
+    * [[globalRanksOnly]] and skip that join.
+    */
+  def withGlobalRanks(df: DataFrame, keys: Seq[(Column, String)],
+      tie: Column, buckets: Int = 256): DataFrame = {
+    val cols = df.columns.map(col).toIndexedSeq
+    df.withColumn("__rk_t", tie)
+      .join(globalRanksOnly(df, keys, tie, buckets), Seq("__rk_t"))
+      .select(cols ++ keys.map { case (_, name) => col(name) }: _*)
+  }
+
+  /** The rank table alone: one row per tie value — `__rk_t` plus a BIGINT
+    * rank column per `(sortKey, outName)`, all from ONE lane pass.
+    */
+  def globalRanksOnly(df: DataFrame, keys: Seq[(Column, String)],
+      tie: Column, buckets: Int = 256): DataFrame = {
+    require(keys.nonEmpty, "globalRanksOnly needs at least one sort key")
+    require(buckets >= 2 && buckets <= (1 << 16),
+      s"buckets must be in [2, 65536]: $buckets")
+    // localCheckpoint: the lane frame feeds the per-lane boundary and
+    // offset broadcast subtrees plus the ranking join (see withGlobalRank)
+    val lanes = df
+      .select(tie.as("__rk_t") +: keys.zipWithIndex.map { case ((k, _), i) =>
+        k.cast("double").as(s"__rk_v$i") }: _*)
+      .select(col("__rk_t"), explode(array(keys.indices.map(i =>
+        struct(lit(i).as("ki"), col(s"__rk_v$i").as("v"))): _*)).as("kv"))
+      .select(col("__rk_t"), col("kv.ki").as("__rk_ki"), col("kv.v").as("__rk_v"))
+      .localCheckpoint()
+    val bnds = lanes.groupBy("__rk_ki").agg(
+      percentile_approx(col("__rk_v"), probsFor(buckets), lit(10000))
+        .as("__rk_bnds"))
+    val bucketed = lanes.join(broadcast(bnds), Seq("__rk_ki"))
+      .withColumn("__rk_b", bucketOf(col("__rk_bnds"), col("__rk_v")))
+      .drop("__rk_bnds")
+    // ≤ |keys|·`buckets` rows: the ONLY ordered-prefix window in the
+    // pattern runs over this constant-bounded frame
+    val offsets = bucketed.groupBy("__rk_ki", "__rk_b")
+      .agg(count(lit(1)).as("__rk_c"))
+      .withColumn("__rk_off", coalesce(
+        sum(col("__rk_c")).over(Window.partitionBy(col("__rk_ki"))
+          .orderBy(col("__rk_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__rk_ki", "__rk_b", "__rk_off")
+    val wLocal = Window.partitionBy(col("__rk_ki"), col("__rk_b"))
+      .orderBy(col("__rk_v"), col("__rk_t"))
+    bucketed.join(broadcast(offsets), Seq("__rk_ki", "__rk_b"))
+      .withColumn("__rk_r",
+        (col("__rk_off") + row_number().over(wLocal)).cast("long"))
+      .groupBy("__rk_t")
+      .agg(rankAggs(keys).head, rankAggs(keys).tail: _*)
+  }
+
+  private def probsFor(buckets: Int): Column =
+    array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+
+  /** Monotone bucket index: `#{boundary < v}` (0 when boundaries NULL —
+    * the empty-input row).
+    */
+  private def bucketOf(bnds: Column, v: Column): Column =
+    coalesce(size(filter(bnds, b => b < v)), lit(0))
+
+  /** One `max(when(lane = i, rank))` pivot aggregate per requested key. */
+  private def rankAggs(keys: Seq[(Column, String)]): Seq[Column] =
+    keys.zipWithIndex.map { case ((_, name), i) =>
+      max(when(col("__rk_ki") === i, col("__rk_r"))).as(name)
+    }
 }

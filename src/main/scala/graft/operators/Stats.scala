@@ -1296,28 +1296,34 @@ object Stats {
         .groupBy(col("o_custkey").as("custkey"))
         .agg(sum(cents).as("m"), count(lit(1)).as("f"),
           max(to_date(col("o_orderdate"))).as("last_d"))
-        .localCheckpoint()
-      val ranked = Ranks.withGlobalRank(
-        Ranks.withGlobalRank(
-          Ranks.withGlobalRank(feats,
-            -col("m"), col("custkey"), "rm"),
-          -col("f"), col("custkey"), "rf"),
-        datediff(lit("2000-01-01").cast("date"), col("last_d")),
-        col("custkey"), "rd")
-        .select((col("rm") + col("rf") + col("rd")).as("r_sum"))
+      // all three rankings ride ONE batched lane pass (globalRanksOnly —
+      // the boundary/offset/window cost is shared and the join back onto
+      // feats is skipped: only the rank sum survives)
+      val ranked = Ranks.globalRanksOnly(feats,
+          Seq(-col("m") -> "rm", -col("f") -> "rf",
+            datediff(lit("2000-01-01").cast("date"), col("last_d")) -> "rd"),
+          col("custkey"))
+        .select(((col("rm") + col("rf") + col("rd"))
+          .cast("decimal(38,0)")).as("r_sum"))
+      // ONE aggregate pass: expanding the square gives the exact integer
+      // identity 4S = Σ(2R−3(n+1))² = 4ΣR² − 12(n+1)ΣR + 9n(n+1)², so n,
+      // ΣR and ΣR² reduce in a single map-side-combined aggregate — no
+      // n-first second pass, no broadcast attach (r10: was two passes
+      // over a checkpointed rank frame)
       val g = ranked.agg(count(lit(1)).as("n"),
-        sum(col("r_sum")).as("sr"))
-      // 4S = Σ(2R − m(n+1))² needs n first: second pass over the bounded
-      // rank frame with n attached (broadcast 1-row)
-      val s4 = ranked.crossJoin(broadcast(g))
-        .select(((lit(2L) * col("r_sum") - lit(3L) * (col("n") + 1L))
-          .cast("decimal(38,0)")).as("d"), col("n"))
-        .groupBy("n").agg(sum(col("d") * col("d")).as("s4"))
+        sum(col("r_sum")).as("sr"),
+        sum(col("r_sum") * col("r_sum")).as("sr2"))
+      val nDec = col("n").cast("decimal(38,0)")
+      val s4 = (lit(4).cast("decimal(38,0)") * col("sr2")
+        - lit(12).cast("decimal(38,0)") * (nDec + 1) * col("sr")
+        + lit(9).cast("decimal(38,0)") * nDec * (nDec + 1) * (nDec + 1))
+        .as("s4")
       val nD = col("n").cast("double")
       val w = col("s4").cast("double") /
         (lit(3.0) * (nD * nD * nD - nD))
-      s4.select(col("n").as("n_customers"), lit(3L).as("n_rankings"),
-        when(col("n") > 1L, r6(w)).as("kendall_w"))
+      g.select(col("n"), s4)
+        .select(col("n").as("n_customers"), lit(3L).as("n_rankings"),
+          when(col("n") > 1L, r6(w)).as("kendall_w"))
     }),
 
     // ---- covariate balance table (beyond reference, r9) -------------------

@@ -630,19 +630,23 @@ class AnalyticsSpec extends SparkSpec {
         .write.parquet(s"$dir/lineitem.parquet")
       SparkEntry.queries("q_topk_churn")(spark, dir).head()
     }
-    // same 5 parts with identical revenue ranks in both halves
+    // same 5 parts with identical revenue ranks in both halves — a list
+    // that fully survives churns NOTHING (r10 ADVICE fix: churned_out
+    // counts against the period-0 list's ACTUAL size, not a literal 20
+    // that would report 15 phantom churns on a 5-part slice)
     val stable = (1L to 5L).flatMap(p => Seq(
       (p, 1000.0 * p, "1997-06-01"), (p, 1000.0 * p, "1998-06-01")))
     val rs = li(stable)
     assert(rs.getLong(0) === 5L && rs.getLong(1) === 5L)
     assert(rs.getDouble(2) === 1.0 && rs.getLong(3) === 0L)
-    assert(rs.getLong(4) === 15L, "churned_out counts against the fixed k=20")
+    assert(rs.getLong(4) === 0L, "identical lists churn nothing")
     // disjoint part sets across halves
     val churned = (1L to 5L).map(p => (p, 1000.0, "1997-06-01")) ++
       (11L to 15L).map(p => (p, 1000.0, "1998-06-01"))
     val rc = li(churned)
     assert(rc.getLong(0) === 0L && rc.getLong(1) === 10L)
     assert(rc.getDouble(2) === 0.0)
+    assert(rc.getLong(4) === 5L, "disjoint lists churn the whole old list")
   }
 
   test("top-k churn on real data: overlap algebra consistent") {
@@ -719,9 +723,17 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("quantile normalize plan: windows ride the customer frame, not raw orders") {
+    // the orders partial-aggregate now lives INSIDE the checkpointed
+    // customer frame (r10: Ranks.withGlobalRanks + localCheckpoint), so
+    // the visible plan reads materialized scans — the load-bearing gates
+    // are no cartesian and no partition-less Window (the latter also
+    // PlanSpec-gated across all four ranking queries)
     val p = plan("q_quantile_normalize")
-    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange hashpartitioning"),
-      s"orders must partial-aggregate before any shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), s"$p")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("q_quantile_normalize")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "partition-less Window in the QN plan")
   }
 }
