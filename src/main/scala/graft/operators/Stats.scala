@@ -743,21 +743,24 @@ object Stats {
       // oracle): the variance/|r|≤1 identities hold exactly, but these are
       // double-subtracted moments that can round a hair past the boundary
       // on degenerate data — where DuckDB's SQRT hard-errors while Spark
-      // returns NaN (r10 divergence sweep). Clamp → sqrt(0) → 0-divide →
-      // NULL identically on both engines.
+      // returns NaN (r10 divergence sweep). The division is try_divide:
+      // under Spark 4 ANSI a clamped-to-0 denominator would hard-error
+      // where DuckDB's plain / yields NULL — try_divide IS DuckDB's
+      // division semantics, so both engines abstain with NULL.
       def pearson(sab: Column, sa: Column, sb: Column,
                   saa: Column, sbb: Column): Column =
-        (nD * sab.cast("double") - sa.cast("double") * sb.cast("double")) /
+        try_divide(
+          nD * sab.cast("double") - sa.cast("double") * sb.cast("double"),
           sqrt(greatest(
             (nD * saa.cast("double") - sa.cast("double") * sa.cast("double")) *
             (nD * sbb.cast("double") - sb.cast("double") * sb.cast("double")),
-            lit(0.0)))
+            lit(0.0))))
       val rxy = pearson(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
       val rxz = pearson(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
       val ryz = pearson(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
-      val part = (rxy - rxz * ryz) /
+      val part = try_divide(rxy - rxz * ryz,
         sqrt(greatest((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz),
-          lit(0.0)))
+          lit(0.0))))
       g.select(col("n"), r6(rxy).as("r_xy"), r6(rxz).as("r_xz"),
         r6(ryz).as("r_yz"), r6(part).as("r_xy_given_z"))
     }),
@@ -952,13 +955,20 @@ object Stats {
       def d(c: Column): Column = c.cast("double")
       val nI = d(col("n")); val nR = d(col("nt") - col("n"))
       val mI = d(col("sv")) / nI
-      val mR = d(col("svt") - col("sv")) / nR
-      val varI = (d(col("ssq")) - d(col("sv")) * d(col("sv")) / nI) / (nI - 1)
-      val varR = (d(col("ssqt") - col("ssq")) -
-        d(col("svt") - col("sv")) * d(col("svt") - col("sv")) / nR) / (nR - 1)
-      // clamped at 0: double-rounded moment variances (r10 sweep — DuckDB
-      // SQRT errors on a rounding-negative argument, Spark yields NaN)
-      val z = (mI - mR) / sqrt(greatest(varI / nI + varR / nR, lit(0.0)))
+      // try_divide throughout the rest-arm terms (r10 sweep): a single
+      // priority group makes nR = 0 and a 1-row group makes n−1 = 0 —
+      // DuckDB's plain / NULLs there while Spark 4 ANSI hard-errors;
+      // try_divide IS DuckDB's semantics. The sqrt argument is clamped at
+      // 0 (mirrored GREATEST in the oracle) because double-rounded moment
+      // variances can dip negative, where DuckDB's SQRT errors.
+      val mR = try_divide(d(col("svt") - col("sv")), nR)
+      val varI = try_divide(
+        d(col("ssq")) - d(col("sv")) * d(col("sv")) / nI, nI - 1)
+      val varR = try_divide(d(col("ssqt") - col("ssq")) -
+        try_divide(d(col("svt") - col("sv")) * d(col("svt") - col("sv")), nR),
+        nR - 1)
+      val z = try_divide(mI - mR,
+        sqrt(greatest(varI / nI + try_divide(varR, nR), lit(0.0))))
       val az = abs(z)
       val tPoly = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
       val poly = tPoly * (lit(0.319381530) + tPoly * (lit(-0.356563782) +
@@ -967,8 +977,11 @@ object Stats {
       val p = lit(2.0) * lit(0.3989422804014327) * exp(-az * az / 2.0) * poly
       val scored = tot.select(col("prio"), col("n"), mI.as("m"), z.as("z"),
         p.as("p"))
+      // asc_nulls_last: an abstained (NULL-p) group must rank AFTER every
+      // real p on BOTH engines — Spark defaults nulls first, DuckDB last
       val rn = row_number().over(
-        BoundedWindow.ordered(col("prio"), col("p"), col("prio")))
+        BoundedWindow.ordered(col("prio"), col("p").asc_nulls_last,
+          col("prio")))
       val m = count(lit(1)).over(BoundedWindow.whole(col("prio")))
       val ranked = scored.select(col("prio"), col("n"), col("m"), col("z"),
         col("p"), rn.as("rn"), m.as("mm"))
@@ -1145,9 +1158,11 @@ object Stats {
         .where(col("rn") === col("k"))
         // greatest(…, 0): SSW ≥ 0 exactly, but syy/tcum are double sums
         // whose difference can round negative when every group is
-        // near-constant — a negative msw would reach sqrt (r10 sweep;
-        // mirrored GREATEST in the oracle)
-        .select((greatest(col("syy") - col("tcum"), lit(0.0)) /
+        // near-constant — a negative msw would reach sqrt; try_divide:
+        // nn = k (every segment a singleton) zeroes the df, where DuckDB
+        // NULLs and Spark 4 ANSI hard-errors (r10 sweep; GREATEST and
+        // plain / mirrored in the oracle)
+        .select(try_divide(greatest(col("syy") - col("tcum"), lit(0.0)),
           (col("nn") - col("k")).cast("double")).as("msw"))
       val gm = g.select(col("seg"), col("ng"),
         (col("sg").cast("double") / col("ng").cast("double")).as("m"))
@@ -1158,14 +1173,18 @@ object Stats {
       val qCrit = lit(3.858)
       val se = sqrt(col("msw") / 2.0 *
         (lit(1.0) / col("na") + lit(1.0) / col("nb")))
-      val qStat = abs(col("ma") - col("mb")) / se
+      // try_divide: identical-group data gives msw = 0 ⇒ se = 0, where
+      // DuckDB NULLs and Spark ANSI errors
+      val qStat = try_divide(abs(col("ma") - col("mb")), se)
       a.join(broadcast(b), col("seg_a") < col("seg_b"))
         .crossJoin(broadcast(msw))
         .select(col("seg_a"), col("seg_b"),
           r2c(col("ma") / 100.0).as("mean_a"), r2c(col("mb") / 100.0).as("mean_b"),
           r2c((col("ma") - col("mb")) / 100.0).as("mean_diff"),
           r4(qStat).as("q_stat"),
-          (qStat > qCrit).cast("long").as("significant"))
+          // coalesce 0: an abstained (NULL) q must read not-significant on
+          // both engines (the oracle's CASE already falls to ELSE 0)
+          coalesce((qStat > qCrit).cast("long"), lit(0L)).as("significant"))
         .orderBy("seg_a", "seg_b")
     }),
 
@@ -1529,9 +1548,11 @@ object Stats {
         greatest(col(q).cast("double") - col(s0).cast("double") *
           col(s0).cast("double") / col(n).cast("double"), lit(0.0)) /
           (col(n).cast("double") - lit(1.0))
-      val z = (mean("sa", "na") - mean("sb", "nb")) /
+      // try_divide: two constant arms give a clamped-to-0 variance sum,
+      // where DuckDB's plain / NULLs and Spark 4 ANSI hard-errors
+      val z = try_divide(mean("sa", "na") - mean("sb", "nb"),
         sqrt(vr("qa", "sa", "na") / col("na").cast("double") +
-          vr("qb", "sb", "nb") / col("nb").cast("double"))
+          vr("qb", "sb", "nb") / col("nb").cast("double")))
       val boundary = bounds.zipWithIndex.foldRight(lit(bounds.last)) {
         case ((b, i), rest) =>
           when(col("look") === (i + 1).toLong, b).otherwise(rest)
@@ -1652,10 +1673,11 @@ object Stats {
         col("syb") > 0L
       // greatest(…, 0): the delta-method variance is an approximation
       // whose float sequence can dip below zero on near-constant arms —
-      // a negative sum would reach the sqrt (r10 sweep; mirrored in the
-      // oracle)
-      val z = (ratio("sxa", "sya") - ratio("sxb", "syb")) /
-        sqrt(greatest(va + vb, lit(0.0)))
+      // a negative sum would reach the sqrt; try_divide because the
+      // clamped-to-0 denominator NULLs on DuckDB but hard-errors under
+      // Spark 4 ANSI (r10 sweep; mirrored in the oracle)
+      val z = try_divide(ratio("sxa", "sya") - ratio("sxb", "syb"),
+        sqrt(greatest(va + vb, lit(0.0))))
       gagg.select(col("na").as("n_a"), col("nb").as("n_b"),
         when(ok, r6(ratio("sxa", "sya"))).as("ratio_a"),
         when(ok, r6(ratio("sxb", "syb"))).as("ratio_b"),

@@ -1346,4 +1346,39 @@ class StatsSpec extends SparkSpec {
     assert(p >= 0.0 && p <= 1.0)
     assert(r.getLong(7) === (if (p < 0.05) 1L else 0L))
   }
+
+  // ---- r10 degenerate-value guards (SURVEY §2.13) --------------------------
+
+  test("spearman/partial_corr: constant columns abstain NULL, never NaN") {
+    import spark.implicits._
+    // l_quantity constant ⇒ zero rank variance ⇒ the clamped den is 0 and
+    // rho abstains with NULL (the guard tests the raw factors, so neither
+    // engine ever evaluates sqrt on a rounding-negative argument)
+    val li = (1L to 60L).map(k => (k * 20L, 5.0, 7.77, 0.04))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val dir = fixtureDir("lineitem" -> li)
+    val rs = SparkEntry.queries("q_spearman")(spark, dir).head()
+    assert(rs.isNullAt(1), s"constant x must abstain: $rs")
+    val rp = SparkEntry.queries("q_partial_corr")(spark, dir).head()
+    // every pairwise correlation has a zero-variance side ⇒ all NULL
+    (1 to 4).foreach(i => assert(rp.isNullAt(i), s"col $i of $rp"))
+  }
+
+  test("burstiness: a perfectly periodic user reads B = -1 exactly") {
+    import spark.implicits._
+    // constant 1-hour gaps: sd = 0 via the clamped moment difference
+    // (n·g² ≈ 2.6e20 is far past 2^53 — the raw double subtraction is
+    // exactly the rounding-negative case the clamp absorbs), so
+    // B = (sd−μ)/(sd+μ) = −1 and nothing NaNs/errors on either engine
+    val t0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val ev = (0 until 24).map { i =>
+      (7L, i.toLong, new java.sql.Timestamp(t0.getTime + i * 3600L * 1000L),
+        "view", 1.0)
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val dir = fixtureDir("events" -> ev)
+    val r = SparkEntry.queries("q_burstiness")(spark, dir).head()
+    assert(r.getLong(1) === 23L)
+    assert(r.getDouble(3) === 0.0, s"constant gaps have sd 0: $r")
+    assert(r.getDouble(4) === -1.0, s"periodic user is maximally regular: $r")
+  }
 }
