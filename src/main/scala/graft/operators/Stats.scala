@@ -1810,6 +1810,153 @@ object Stats {
           r6((col("a") * col("d")).cast("double") /
             (col("b") * col("c")).cast("double"))).as("odds_ratio"),
         (pv < 0.05).cast("long").as("reject_05"))
+    }),
+
+    // ---- Cramér–von Mises two-sample test (beyond reference, r10) ---------
+    // The integrated-ECDF-distance companion to q_ks_test's sup-distance:
+    // CvM weighs the WHOLE distribution gap, so a spread difference that
+    // never produces one big ECDF step (invisible to KS) still registers.
+    // Anderson (1962) rank form over per-customer spend split by the md5
+    // arm: with combined ranks r and within-sample indexes i,
+    // U = n·Σ_a(r−i)² + m·Σ_b(r−i)², T = U/(nmN) − (4nm−1)/(6N). U is an
+    // EXACT integer — the entire test reduces to integer rank algebra +
+    // two final float ops (the q_kendall_w discipline). Both rankings
+    // ride ONE batched [[Ranks.globalRanksOnly]] lane pass: lane 1 is
+    // the combined (spend, custkey) order, lane 2 the arm-major
+    // (arm·2⁴² + spend) order, whose within-arm index is lane-2 rank
+    // minus a broadcast arm offset — no per-arm window (2 partitions
+    // would be the skew trap at scale), no single-partition stage.
+    // Ties break by custkey identically on both engines (documented
+    // operator convention; spend cents make real ties rare).
+    "q_cramer_von_mises" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(cents).as("v"))
+        .select(col("custkey"), col("v"), arm(col("custkey")).as("g"))
+        .localCheckpoint()
+      // arm-major composite key: g·2⁴⁴ + v keeps both parts double-exact
+      // (per-customer cents ≪ 2⁴⁴ at any realistic scale; the sum < 2⁴⁵)
+      val ranked = Ranks.globalRanksOnly(per,
+          Seq(col("v") -> "r",
+            (col("g") * lit(1L << 44) + col("v")) -> "q"),
+          col("custkey"))
+        .withColumnRenamed("__rk_t", "custkey")
+      val counts = per.agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nb"))
+      val joined = per.join(ranked, "custkey")
+      val d = col("r") - (col("q") - when(col("g") === 1L, col("na"))
+        .otherwise(0L))
+      val u = joined.crossJoin(broadcast(counts))
+        .select(col("na"), col("nb"), col("g"),
+          (d.cast("decimal(38,0)") * d.cast("decimal(38,0)")).as("d2"))
+        .groupBy("na", "nb")
+        .agg(sum(when(col("g") === 0L, col("d2"))).as("sa"),
+          sum(when(col("g") === 1L, col("d2"))).as("sb"))
+      val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+      val nD = naD + nbD
+      val uVal = col("na").cast("decimal(38,0)") * col("sa") +
+        col("nb").cast("decimal(38,0)") * col("sb")
+      val tStat = try_divide(uVal.cast("double"), naD * nbD * nD) -
+        (lit(4.0) * naD * nbD - 1) / (lit(6.0) * nD)
+      u.select(col("na").as("n_a"), col("nb").as("n_b"),
+        r6(tStat).as("cvm_t"),
+        coalesce((r6(tStat) > lit(0.461)).cast("long"), lit(0L))
+          .as("reject_05"))
+    }),
+
+    // ---- G-test of independence (beyond reference, r10) -------------------
+    // The likelihood-ratio twin of q_chi_square over the SAME
+    // (priority × status) contingency: G = 2·Σ O·ln(O/E). Preferred over
+    // Pearson when any O/E is far from 1 (ln handles big ratios where
+    // (O−E)² explodes) and is additive across table partitions. O, E's
+    // numerator rt·ct and n are exact integers; each cell's term is ln of
+    // a ratio of exact integers (O ≥ 1 structurally — cells come from
+    // groupBy — so ln is safe), the ≤15-cell sum follows q_chi_square's
+    // precedent (r4 absorbs tiny-frame reorder), and the reject flag
+    // compares the ROUNDED statistic so it cannot flip cross-engine.
+    "q_g_test" -> ((s, dir) => {
+      val cont = contingency(t(s, dir, "orders"))
+      val term = lit(2.0) * col("c").cast("double") *
+        log(col("c").cast("double") * col("n").cast("double") /
+          (col("rt").cast("double") * col("ct").cast("double")))
+      val g = cont.agg(
+        max(col("n")).as("nn"),
+        count(lit(1)).as("n_cells"),
+        sum(when(col("rnx") === 1, 1L).otherwise(0L)).as("r"),
+        sum(when(col("rny") === 1, 1L).otherwise(0L)).as("cc"),
+        sum(term).as("g0"))
+      val gR = r4(col("g0"))
+      g.select(col("nn").as("n"), col("n_cells"),
+        gR.as("g_stat"),
+        ((col("r") - 1) * (col("cc") - 1)).cast("long").as("dof"),
+        (gR > lit(20.09)).cast("long").as("reject_99"))
+    }),
+
+    // ---- odds ratio + Woolf CI (beyond reference, r10) --------------------
+    // The effect-size readout q_chi_square/q_fisher_exact only imply:
+    // OR = ad/bc over the full-corpus urgent × high-value 2×2 with
+    // Woolf's (1955) log-normal CI exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)).
+    // Counts exact BIGINT off one pushed-down scan; a zero cell abstains
+    // the OR and CI with NULL on both engines (the documented alternative
+    // is Haldane's +0.5 — abstention keeps the estimator unbiased where
+    // it exists). Flag: CI excludes 1 ⇔ association at 5%.
+    "q_odds_ratio" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val hv = col("o_totalprice") > 240000.0
+      val m = t(s, dir, "orders").agg(
+        sum(when(urgent && hv, 1L).otherwise(0L)).as("a"),
+        sum(when(urgent && !hv, 1L).otherwise(0L)).as("b"),
+        sum(when(!urgent && hv, 1L).otherwise(0L)).as("c"),
+        sum(when(!urgent && !hv, 1L).otherwise(0L)).as("d"))
+      val ok = col("a") > 0L && col("b") > 0L && col("c") > 0L &&
+        col("d") > 0L
+      val or = (col("a") * col("d")).cast("double") /
+        (col("b") * col("c")).cast("double")
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+        lit(1.0) / col("c") + lit(1.0) / col("d"))
+      val lo = exp(log(or) - lit(1.959963984540054) * se)
+      val hi = exp(log(or) + lit(1.959963984540054) * se)
+      m.select(col("a"), col("b"), col("c"), col("d"),
+        when(ok, r6(or)).as("odds_ratio"),
+        when(ok, r6(lo)).as("ci_lo"),
+        when(ok, r6(hi)).as("ci_hi"),
+        coalesce((when(ok, lo) > 1.0 || when(ok, hi) < 1.0).cast("long"),
+          lit(0L)).as("assoc_05"))
+    }),
+
+    // ---- two-sample Poisson rate test (beyond reference, r10) -------------
+    // "Does arm A purchase at a higher RATE than arm B?" — the count-data
+    // test the t-test family misfits (purchases per user are small
+    // integers, not normal): per-arm event count k over exposure t =
+    // users in the arm, Wald z = (λ̂₁−λ̂₂)/√(λ̂₁/t₁ + λ̂₂/t₂) on the md5
+    // hash split (an A/A by construction — the honest calibration: the
+    // true rate difference is 0). One user-keyed shuffle to the cluster
+    // frame, one conditional aggregate to FOUR exact BIGINTs; everything
+    // after is a closed-form float sequence. Zero-event arms abstain via
+    // try_divide (the variance is 0 there).
+    "q_poisson_rate" -> ((s, dir) => {
+      val byUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum((col("event_type") === "purchase").cast("long")).as("k"))
+        .select(arm(col("user_id")).as("g"), col("k"))
+      val m = byUser.agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("t1"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("t2"),
+        sum(when(col("g") === 0L, col("k")).otherwise(0L)).as("k1"),
+        sum(when(col("g") === 1L, col("k")).otherwise(0L)).as("k2"))
+      val l1 = try_divide(col("k1").cast("double"), col("t1").cast("double"))
+      val l2 = try_divide(col("k2").cast("double"), col("t2").cast("double"))
+      val z = try_divide(l1 - l2,
+        sqrt(try_divide(l1, col("t1").cast("double")) +
+          try_divide(l2, col("t2").cast("double"))))
+      m.select(col("k1"), col("t1"), col("k2"), col("t2"),
+        r6(l1).as("rate_a"), r6(l2).as("rate_b"),
+        r6(z).as("z_stat"),
+        coalesce((abs(z) > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("reject_95"))
     })
   )
 
@@ -3397,6 +3544,157 @@ object Stats {
         |  CAST(CASE WHEN FLOOR(LEAST(p0, 1.0) * 1000000.0 + 0.500001)
         |      / 1000000.0 < 0.05
         |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // independent derivation: per-arm window row_number replaces the
+    // engine's batched two-level ranking; identical (v, custkey) ties
+    "q_cramer_von_mises" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS v,
+        |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g
+        |  FROM orders GROUP BY o_custkey
+        |), rk AS (
+        |  SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY v, custkey) AS BIGINT)
+        |      AS r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, custkey)
+        |      AS BIGINT) AS i
+        |  FROM per
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(r - i AS HUGEINT) * (r - i) END)
+        |      AS sa,
+        |    SUM(CASE WHEN g = 1 THEN CAST(r - i AS HUGEINT) * (r - i) END)
+        |      AS sb
+        |  FROM rk
+        |), f AS (
+        |  SELECT na, nb,
+        |    CAST(CAST(na AS HUGEINT) * sa + CAST(nb AS HUGEINT) * sb
+        |      AS DOUBLE) AS u,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+        |  FROM m
+        |), s AS (
+        |  SELECT na, nb,
+        |    u / (nad * nbd * (nad + nbd))
+        |      - (4.0 * nad * nbd - 1) / (6.0 * (nad + nbd)) AS t0
+        |  FROM f
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  FLOOR(t0 * 1000000.0 + 0.500001) / 1000000.0 AS cvm_t,
+        |  CAST(COALESCE(CASE WHEN
+        |    FLOOR(t0 * 1000000.0 + 0.500001) / 1000000.0 > 0.461
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_05
+        |FROM s""".stripMargin,
+
+    // the same exact-integer contingency cells and the identical ln-ratio
+    // terms; the reject flag compares the r4-rounded statistic
+    "q_g_test" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS px, o_orderstatus AS sy,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2
+        |), cont AS (
+        |  SELECT px, sy, c,
+        |    SUM(c) OVER (PARTITION BY px) AS rt,
+        |    SUM(c) OVER (PARTITION BY sy) AS ct,
+        |    SUM(c) OVER () AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY px ORDER BY sy) AS rnx,
+        |    ROW_NUMBER() OVER (PARTITION BY sy ORDER BY px) AS rny
+        |  FROM cells
+        |), g AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS nn,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(CASE WHEN rnx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(SUM(CASE WHEN rny = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        |    SUM(2.0 * CAST(c AS DOUBLE)
+        |      * LN(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))) AS g0
+        |  FROM cont
+        |)
+        |SELECT nn AS n, n_cells,
+        |  FLOOR(g0 * 10000.0 + 0.500001) / 10000.0 AS g_stat,
+        |  CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
+        |  CAST(CASE WHEN FLOOR(g0 * 10000.0 + 0.500001) / 10000.0 > 20.09
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_99
+        |FROM g""".stripMargin,
+
+    // identical exact 2x2 cells; ln/sqrt only inside the all-cells-
+    // positive CASE (lazy on both engines)
+    "q_odds_ratio" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      AND o_totalprice > 240000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      AND NOT o_totalprice > 240000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      AND o_totalprice > 240000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      AND NOT o_totalprice > 240000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d
+        |  FROM orders
+        |), e AS (
+        |  SELECT a, b, c, d,
+        |    a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok,
+        |    CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) AS orat,
+        |    sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+        |  FROM m WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+        |  UNION ALL
+        |  SELECT a, b, c, d, FALSE, NULL, NULL
+        |  FROM m WHERE NOT (a > 0 AND b > 0 AND c > 0 AND d > 0)
+        |)
+        |SELECT a, b, c, d,
+        |  CASE WHEN ok THEN FLOOR(orat * 1000000.0 + 0.500001) / 1000000.0
+        |    END AS odds_ratio,
+        |  CASE WHEN ok THEN FLOOR(EXP(LN(orat) - 1.959963984540054 * se)
+        |    * 1000000.0 + 0.500001) / 1000000.0 END AS ci_lo,
+        |  CASE WHEN ok THEN FLOOR(EXP(LN(orat) + 1.959963984540054 * se)
+        |    * 1000000.0 + 0.500001) / 1000000.0 END AS ci_hi,
+        |  CAST(COALESCE(CASE WHEN ok THEN
+        |      CASE WHEN EXP(LN(orat) - 1.959963984540054 * se) > 1.0
+        |        OR EXP(LN(orat) + 1.959963984540054 * se) < 1.0
+        |      THEN 1 ELSE 0 END END, 0) AS BIGINT) AS assoc_05
+        |FROM e""".stripMargin,
+
+    // identical per-user purchase counts, md5 arms, exact BIGINT cell
+    // frame, and the same Wald float sequence (plain / NULLs on zero
+    // exposure, matching the engine's try_divide)
+    "q_poisson_rate" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(SUM(CASE WHEN g = 0 THEN k ELSE 0 END) AS BIGINT) AS k1,
+        |    CAST(SUM(CASE WHEN g = 1 THEN k ELSE 0 END) AS BIGINT) AS k2
+        |  FROM u
+        |), z AS (
+        |  SELECT k1, t1, k2, t2,
+        |    CAST(k1 AS DOUBLE) / t1 AS l1, CAST(k2 AS DOUBLE) / t2 AS l2,
+        |    (CAST(k1 AS DOUBLE) / t1 - CAST(k2 AS DOUBLE) / t2)
+        |      / sqrt((CAST(k1 AS DOUBLE) / t1) / t1
+        |        + (CAST(k2 AS DOUBLE) / t2) / t2) AS zz
+        |  FROM m
+        |)
+        |SELECT k1, t1, k2, t2,
+        |  FLOOR(l1 * 1000000.0 + 0.500001) / 1000000.0 AS rate_a,
+        |  FLOOR(l2 * 1000000.0 + 0.500001) / 1000000.0 AS rate_b,
+        |  FLOOR(zz * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
+        |  CAST(COALESCE(CASE WHEN ABS(zz) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
+        |FROM z""".stripMargin
   )
 }

@@ -1347,6 +1347,102 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(7) === (if (p < 0.05) 1L else 0L))
   }
 
+  // ---- r10 additions: CvM / G-test / odds ratio / Poisson rate -------------
+
+  /** Stats.arm replicated driver-side, for planting per-arm fixtures. */
+  private def armOfId(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(4)
+    java.lang.Long.parseLong(hex, 16) % 2
+  }
+
+  test("CvM: separated arms reject, and T matches a driver recount") {
+    import spark.implicits._
+    // pick 8 customers per arm by replaying the md5 rule, plant arm-0
+    // spend far below arm-1 — maximal ECDF separation
+    val ids = (1L to 400L)
+    val a0 = ids.filter(armOfId(_) == 0L).take(8)
+    val a1 = ids.filter(armOfId(_) == 1L).take(8)
+    val orders = (a0.zipWithIndex.map { case (c, i) => (c, 10.0 + i) } ++
+      a1.zipWithIndex.map { case (c, i) => (c, 1000.0 + i) })
+      .zipWithIndex.map { case ((c, v), k) => (k.toLong, c, v) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = fixtureDir("orders" -> orders)
+    val r = SparkEntry.queries("q_cramer_von_mises")(spark, dir).head()
+    assert(r.getLong(0) === 8L && r.getLong(1) === 8L)
+    // driver recount of Anderson's rank form on the planted data:
+    // arm 0 occupies combined ranks 1..8, arm 1 ranks 9..16 ⇒ r − i = 0
+    // for arm 0 and 8 for arm 1 ⇒ U = 8·0 + 8·(8·64) = 4096
+    val n = 16.0
+    val want = 4096.0 / (8.0 * 8.0 * n) - (4 * 64 - 1) / (6 * n)
+    assert(math.abs(r.getDouble(2) - math.floor(want * 1e6 + 0.500001) / 1e6)
+      < 1e-9, s"T=${r.getDouble(2)} want ~$want")
+    assert(r.getLong(3) === 1L, "separated arms must reject")
+  }
+
+  test("G-test: a perfectly proportional table gives G = 0, dof exact") {
+    import spark.implicits._
+    // counts 10/20/30/60: every E = O exactly ⇒ every ln term is ln(1)
+    val rows = Seq.fill(10)(("1-URGENT", "F")) ++ Seq.fill(20)(("1-URGENT", "O")) ++
+      Seq.fill(30)(("5-LOW", "F")) ++ Seq.fill(60)(("5-LOW", "O"))
+    val orders = rows.zipWithIndex
+      .map { case ((p, st), i) => (i.toLong, p, st, 100.0) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val r = SparkEntry.queries("q_g_test")(spark, fixtureDir("orders" -> orders))
+      .head()
+    assert(r.getLong(0) === 120L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.0, s"proportional table: G=0: $r")
+    assert(r.getLong(3) === 1L)
+    assert(r.getLong(4) === 0L)
+    // real data: G and chi2 agree on the same contingency to first order
+    val g = SparkEntry.queries("q_g_test")(spark, sf).head()
+    val c = SparkEntry.queries("q_chi_square")(spark, sf).head()
+    assert(g.getLong(3) === c.getLong(3), "same dof as chi-square")
+    assert(g.getDouble(2) >= 0.0)
+  }
+
+  test("odds ratio: hand 2x2 and zero-cell abstention") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Double)]) = fixtureDir("orders" ->
+      rows.zipWithIndex.map { case ((p, v), i) => (i.toLong, p, v) }
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    // a=8 b=2 c=4 d=6 ⇒ OR = 48/8 = 6
+    val hand = Seq.fill(8)(("1-URGENT", 250000.0)) ++
+      Seq.fill(2)(("1-URGENT", 100.0)) ++
+      Seq.fill(4)(("5-LOW", 250000.0)) ++ Seq.fill(6)(("5-LOW", 100.0))
+    val r = SparkEntry.queries("q_odds_ratio")(spark, mk(hand)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((8L, 2L, 4L, 6L)))
+    assert(r.getDouble(4) === 6.0)
+    assert(r.getDouble(5) < 6.0 && r.getDouble(6) > 6.0, "CI brackets OR")
+    // zero cell ⇒ NULL OR/CI, assoc 0
+    val zc = Seq.fill(5)(("1-URGENT", 250000.0)) ++
+      Seq.fill(4)(("5-LOW", 250000.0)) ++ Seq.fill(6)(("5-LOW", 100.0))
+    val rz = SparkEntry.queries("q_odds_ratio")(spark, mk(zc)).head()
+    assert(rz.isNullAt(4) && rz.isNullAt(5) && rz.isNullAt(6))
+    assert(rz.getLong(7) === 0L)
+  }
+
+  test("poisson rate: planted 5x rate gap on known arms is significant") {
+    import spark.implicits._
+    val ids = (1L to 600L)
+    val a0 = ids.filter(armOfId(_) == 0L).take(40)
+    val a1 = ids.filter(armOfId(_) == 1L).take(40)
+    // arm 0 users purchase 5 times, arm 1 once
+    val ev = (a0.flatMap(u => (1 to 5).map(k => (u, s"$u-$k"))) ++
+      a1.map(u => (u, s"$u-1")))
+      .zipWithIndex.map { case ((u, _), i) => (u, i.toLong, "purchase",
+        1_700_000_000L * 1_000_000_000L) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = SparkEntry.queries("q_poisson_rate")(spark, fixtureDir("events" -> ev))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((200L, 40L, 40L, 40L)))
+    assert(r.getDouble(4) === 5.0 && r.getDouble(5) === 1.0)
+    assert(r.getLong(7) === 1L, s"5x rate gap must reject: $r")
+  }
+
   // ---- r10 degenerate-value guards (SURVEY §2.13) --------------------------
 
   test("spearman/partial_corr: constant columns abstain NULL, never NaN") {
