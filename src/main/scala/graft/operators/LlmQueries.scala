@@ -1562,6 +1562,120 @@ object LlmQueries {
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("source", "pack_id")
+    }),
+
+    // ---- duplication scorecard: cluster-size distribution (r10) -----------
+    // The histogram behind every dedup report: group the corpus by exact
+    // content hash, then count CLUSTERS OF EACH SIZE — "how much of the
+    // corpus is singletons vs 2-copies vs mass-duplicated?" plus the
+    // duplication factor (docs per distinct text) and the excess share
+    // (fraction of docs that exact dedup would drop). Scale shape: one
+    // content-hash shuffle (map-side combined), then the size histogram
+    // over the cluster frame and three broadcast scalars — the size frame
+    // is bounded by max multiplicity, not the corpus.
+    "q_dup_cluster_stats" -> ((s, dir) => {
+      val clusters = t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("sz"))
+      val hist = clusters.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+      val tot = clusters.agg(sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_distinct"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("docs_at_size"),
+          r6(col("n_docs").cast("double") / col("n_distinct"))
+            .as("dup_factor"),
+          r6((col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs")).as("excess_share"))
+        .orderBy("cluster_size")
+    }),
+
+    // ---- tokenizer fertility by source (r10) ------------------------------
+    // The tokenizer-health readout every multilingual corpus report
+    // carries (fertility: subword tokens per word — high fertility means
+    // the tokenizer fragments this slice; chars-per-token prices the
+    // context-window cost): per source, whitespace words, BPE-ish subword
+    // tokens (the q_text_stats pre-tokenizer), chars, and the two ratios.
+    // One scan, map-side-combined exact BIGINT sums, two final divisions.
+    "q_token_fertility" -> ((s, dir) => {
+      val toks = size(TextOps.tokens(col("text"))).cast("long")
+      val bpe = size(TextOps.bpeishTokens(col("text"))).cast("long")
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars_total"),
+          sum(toks).as("n_words"),
+          sum(bpe).as("n_subwords"))
+        .select(col("source"), col("n_docs"), col("n_chars_total"),
+          col("n_words"), col("n_subwords"),
+          r4(col("n_subwords").cast("double") / col("n_words"))
+            .as("fertility"),
+          r4(col("n_chars_total").cast("double") / col("n_subwords"))
+            .as("chars_per_token"))
+        .orderBy("source")
+    }),
+
+    // ---- cross-source n-gram novelty (r10) --------------------------------
+    // "How much of each source is CONTENT the other sources don't have?"
+    // — the redundancy-vs-novelty read that decides whether adding a
+    // source buys new signal or re-buys the web: per source, its distinct
+    // 8-gram vocabulary and the share of it appearing in NO other source.
+    // Scale shape: one tokenize+explode scan to (source, gram) distincts
+    // (map-side combined), one gram-keyed aggregate counting carrying
+    // sources, broadcast NOTHING — both shuffles are key-partitioned and
+    // the gram frame never re-joins the corpus. Exact BIGINTs + one
+    // division.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val n = 8
+      val grams = t(s, dir, "documents").select(col("source"),
+          explode(graft.functions.ColumnOps.bind(TextOps.tokens(col("text"))) {
+            toks => transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+          }).as("gram"))
+        .distinct()
+      val spread = grams.groupBy("gram")
+        .agg(count(lit(1)).as("n_sources"))
+      grams.join(spread, "gram")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum((col("n_sources") === 1L).cast("long")).as("n_unique"))
+        .select(col("source"), col("n_grams"), col("n_unique"),
+          r6(col("n_unique").cast("double") / col("n_grams"))
+            .as("novelty_share"))
+        .orderBy("source")
+    }),
+
+    // ---- character-class profile by source (r10) --------------------------
+    // The cheap corpus screen that catches OCR garbage, base64 blobs, and
+    // markup floods before any model-based filter: per source, density per
+    // kilochar of letters, digits, whitespace, sentence punctuation, and
+    // everything else. Class counts via length-of-regexp-strip — the one
+    // string idiom whose semantics are identical across Java regex and
+    // RE2 for ASCII classes (the q_text_stats n_punct discipline). One
+    // scan, exact BIGINT sums, densities r4 off single divisions.
+    "q_charclass_profile" -> ((s, dir) => {
+      def cnt(pat: String): org.apache.spark.sql.Column =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), pat, ""))).cast("long")
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars_total"),
+          sum(cnt("[A-Za-z]")).as("n_letters"),
+          sum(cnt("[0-9]")).as("n_digits"),
+          sum(cnt("\\s")).as("n_space"),
+          sum(cnt("[.,;:!?]")).as("n_punct"))
+        .select(col("source"), col("n_docs"), col("n_chars_total"),
+          r4(col("n_letters").cast("double") * 1000.0 / col("n_chars_total"))
+            .as("letters_per_kc"),
+          r4(col("n_digits").cast("double") * 1000.0 / col("n_chars_total"))
+            .as("digits_per_kc"),
+          r4(col("n_space").cast("double") * 1000.0 / col("n_chars_total"))
+            .as("space_per_kc"),
+          r4(col("n_punct").cast("double") * 1000.0 / col("n_chars_total"))
+            .as("punct_per_kc"))
+        .orderBy("source")
     })
   )
 
@@ -3300,6 +3414,92 @@ object LlmQueries {
         |SELECT doc_id, lang_true, p_lang AS lang_pred
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang DESC) = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical content-hash clusters, size histogram, and scalar ratios
+    "q_dup_cluster_stats" ->
+      """WITH clusters AS (
+        |  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1
+        |), hist AS (
+        |  SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM clusters GROUP BY sz
+        |), tot AS (
+        |  SELECT CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM clusters
+        |)
+        |SELECT sz AS cluster_size, n_clusters,
+        |  CAST(sz * n_clusters AS BIGINT) AS docs_at_size,
+        |  FLOOR(CAST(n_docs AS DOUBLE) / n_distinct * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS dup_factor,
+        |  FLOOR(CAST(n_docs - n_distinct AS DOUBLE) / n_docs
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS excess_share
+        |FROM hist, tot ORDER BY cluster_size""".stripMargin,
+
+    // the q_text_stats tokenizers verbatim; exact BIGINT sums, r4 ratios
+    "q_token_fertility" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_total,
+        |  CAST(SUM(array_length(regexp_split_to_array(TRIM(text), '\s+')))
+        |    AS BIGINT) AS n_words,
+        |  CAST(SUM(array_length(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_subwords,
+        |  FLOOR(CAST(SUM(array_length(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+        |    / SUM(array_length(regexp_split_to_array(TRIM(text), '\s+')))
+        |    * 10000.0 + 0.500001) / 10000.0 AS fertility,
+        |  FLOOR(CAST(SUM(LENGTH(text)) AS DOUBLE)
+        |    / SUM(array_length(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+        |    * 10000.0 + 0.500001) / 10000.0 AS chars_per_token
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical whitespace 8-grams (the q_decontaminate gram idiom),
+    // per-source distincts, carrier counts
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(TRIM(text), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT source, g.gram
+        |  FROM toks, LATERAL unnest(list_transform(
+        |    range(0, greatest(len(w) - 8, 0) + 1),
+        |    i -> array_to_string(w[i+1 : i+8], ' '))) AS g(gram)
+        |), spread AS (
+        |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_sources
+        |  FROM grams GROUP BY gram
+        |)
+        |SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  FLOOR(CAST(SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS novelty_share
+        |FROM grams g JOIN spread s ON g.gram = s.gram
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    // length-of-regexp-strip class counts — ASCII classes, identical in
+    // Java regex and RE2
+    "q_charclass_profile" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_total,
+        |  FLOOR(CAST(SUM(LENGTH(text)
+        |      - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS DOUBLE)
+        |    * 1000.0 / SUM(LENGTH(text)) * 10000.0 + 0.500001) / 10000.0
+        |    AS letters_per_kc,
+        |  FLOOR(CAST(SUM(LENGTH(text)
+        |      - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) AS DOUBLE)
+        |    * 1000.0 / SUM(LENGTH(text)) * 10000.0 + 0.500001) / 10000.0
+        |    AS digits_per_kc,
+        |  FLOOR(CAST(SUM(LENGTH(text)
+        |      - LENGTH(regexp_replace(text, '\s', '', 'g'))) AS DOUBLE)
+        |    * 1000.0 / SUM(LENGTH(text)) * 10000.0 + 0.500001) / 10000.0
+        |    AS space_per_kc,
+        |  FLOOR(CAST(SUM(LENGTH(text)
+        |      - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS DOUBLE)
+        |    * 1000.0 / SUM(LENGTH(text)) * 10000.0 + 0.500001) / 10000.0
+        |    AS punct_per_kc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

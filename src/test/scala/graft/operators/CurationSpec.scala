@@ -702,4 +702,59 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(6) ===
       (if (r.getLong(2) >= 3L && r.getDouble(3) >= 3.0) 1L else 0L))
   }
+
+  // ---- r10 corpus scorecards ----------------------------------------------
+
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_fix").toString
+    rows.map { case (id, txt, src) => (id, txt, "en", src, txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dup cluster stats: planted 3+2+1 copies give the exact histogram") {
+    val dir = docsFixture(Seq(
+      (1L, "alpha beta", "s"), (2L, "alpha beta", "s"), (3L, "alpha beta", "s"),
+      (4L, "gamma delta", "s"), (5L, "gamma delta", "s"),
+      (6L, "epsilon", "s")))
+    val rows = SparkEntry.queries("q_dup_cluster_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows === Map(1L -> (1L, 1L), 2L -> (1L, 2L), 3L -> (1L, 3L)))
+    val head = SparkEntry.queries("q_dup_cluster_stats")(spark, dir).head()
+    assert(head.getDouble(3) === 2.0, "6 docs / 3 distinct = dup factor 2")
+    assert(head.getDouble(4) === 0.5, "3 of 6 docs are excess copies")
+  }
+
+  test("token fertility: hand corpus gives exact word/subword ratios") {
+    // "ab cd, 12" per doc: 3 words; bpe-ish = ab, cd, ',', 12 = 4 subwords
+    val dir = docsFixture(Seq((1L, "ab cd, 12", "s"), (2L, "ab cd, 12", "s")))
+    val r = SparkEntry.queries("q_token_fertility")(spark, dir).head()
+    assert(r.getLong(1) === 2L && r.getLong(3) === 6L && r.getLong(4) === 8L)
+    assert(r.getDouble(5) === 1.3333, s"fertility r4(8/6): $r")
+    // chars_per_token = 18 / 8 = 2.25 exactly
+    assert(r.getDouble(6) === 2.25)
+  }
+
+  test("ngram novelty: disjoint sources are fully novel, shared grams are not") {
+    val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val dir = docsFixture(Seq(
+      (1L, eight, "srcA"), (2L, eight, "srcB"),         // shared gram
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8", "srcA")))         // unique to A
+    val rows = SparkEntry.queries("q_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows("srcA") === ((2L, 1L, 0.5)))
+    assert(rows("srcB") === ((1L, 0L, 0.0)))
+  }
+
+  test("charclass profile: a crafted doc yields exact densities") {
+    // 10 chars: "abc 12 .x?" → letters 4, digits 2, space 2, punct 2
+    val dir = docsFixture(Seq((1L, "abc 12 .x?", "s")))
+    val r = SparkEntry.queries("q_charclass_profile")(spark, dir).head()
+    assert(r.getLong(2) === 10L)
+    assert(r.getDouble(3) === 400.0 && r.getDouble(4) === 200.0)
+    assert(r.getDouble(5) === 200.0 && r.getDouble(6) === 200.0)
+  }
 }
