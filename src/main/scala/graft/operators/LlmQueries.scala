@@ -1676,6 +1676,55 @@ object LlmQueries {
           r4(col("n_punct").cast("double") * 1000.0 / col("n_chars_total"))
             .as("punct_per_kc"))
         .orderBy("source")
+    }),
+
+    // ---- simplified silhouette over fixed probes (r10) --------------------
+    // Cluster-quality audit without the pairwise blowup: the SIMPLIFIED
+    // silhouette (a = distance to the assigned centroid, b = distance to
+    // the nearest OTHER centroid, s = (b−a)/max(a,b)) against k = 5 FIXED
+    // deterministic probe centroids (the embeddings of vec_id 0..4) — the
+    // probes are data, not a fitted model, so the oracle replays the
+    // assignment exactly (the q_maxsim_search stance). Scale shape: the
+    // 5-probe frame collects to ONE broadcast row; per vector the 5
+    // distances live in an array sorted in-row (shuffle-free projection,
+    // whole-stage codegen via the vec_dot kernel); the only shuffle is
+    // the ≤k-cell final aggregate, with per-vector s quantized to 1e-6
+    // micro-units in BIGINT before the mean (the linkPrediction
+    // discipline — no float-sum order anywhere).
+    "q_silhouette" -> ((s, dir) => {
+      graft.similarity.VecOps.register(s)
+      val probes = t(s, dir, "embeddings").where(col("vec_id") < 5L)
+        .select(collect_list(struct(col("vec_id").as("pid"),
+          col("embedding").as("pv"))).as("ps"))
+      val scored = t(s, dir, "embeddings").crossJoin(broadcast(probes))
+        .select(col("vec_id"),
+          sort_array(transform(col("ps"), p =>
+            struct(sqrt(greatest(
+              Ann.dot(col("embedding"), col("embedding")) +
+                Ann.dot(p.getField("pv"), p.getField("pv")) -
+                lit(2.0) * Ann.dot(col("embedding"), p.getField("pv")),
+              lit(0.0))).as("d"), p.getField("pid").as("pid"))))
+            .as("ds"))
+        .select(col("vec_id"),
+          element_at(col("ds"), 1).getField("pid").as("cluster"),
+          element_at(col("ds"), 1).getField("d").as("a"),
+          element_at(col("ds"), 2).getField("d").as("b"))
+      val sVal = when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0.0))
+      scored
+        .select(col("cluster"), col("a"),
+          floor(sVal * lit(1000000.0)).cast("long").as("s_micro"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("s_micro")).as("sm"),
+          sum(floor(col("a") * lit(1000000.0)).cast("long")).as("am"))
+        .select(col("cluster"), col("n_vecs"),
+          r6(col("sm").cast("double") / col("n_vecs") / lit(1000000.0))
+            .as("mean_silhouette"),
+          r6(col("am").cast("double") / col("n_vecs") / lit(1000000.0))
+            .as("mean_dist_to_centroid"))
+        .orderBy("cluster")
     })
   )
 
@@ -3500,6 +3549,42 @@ object LlmQueries {
         |      - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS DOUBLE)
         |    * 1000.0 / SUM(LENGTH(text)) * 10000.0 + 0.500001) / 10000.0
         |    AS punct_per_kc
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same fixed probes, the q_dbscan distance identity, (d, pid)
+    // ordering, and 1e-6 micro-unit means
+    "q_silhouette" ->
+      """WITH p AS (
+        |  SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 5
+        |), v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+        |), d AS (
+        |  SELECT v.vec_id, p.pid,
+        |    sqrt(GREATEST(list_dot_product(x, x) + list_dot_product(pv, pv)
+        |      - 2.0 * list_dot_product(x, pv), 0.0)) AS d
+        |  FROM v, p
+        |), r AS (
+        |  SELECT vec_id, pid, d,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, pid) AS rk
+        |  FROM d
+        |), ab AS (
+        |  SELECT a.vec_id, a.pid AS cluster, a.d AS da, b.d AS db
+        |  FROM r a JOIN r b ON a.vec_id = b.vec_id
+        |  WHERE a.rk = 1 AND b.rk = 2
+        |), s AS (
+        |  SELECT cluster,
+        |    CAST(FLOOR((CASE WHEN GREATEST(da, db) > 0
+        |      THEN (db - da) / GREATEST(da, db) ELSE 0.0 END) * 1000000.0)
+        |      AS BIGINT) AS s_micro,
+        |    CAST(FLOOR(da * 1000000.0) AS BIGINT) AS a_micro
+        |  FROM ab
+        |)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  FLOOR(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS mean_silhouette,
+        |  FLOOR(CAST(SUM(a_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS mean_dist_to_centroid
+        |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin
   )
 }

@@ -1957,6 +1957,54 @@ object Stats {
         r6(z).as("z_stat"),
         coalesce((abs(z) > lit(1.959963984540054)).cast("long"), lit(0L))
           .as("reject_95"))
+    }),
+
+    // ---- Wald SPRT: sequential probability ratio test (r10) ---------------
+    // The fixed-n tests above answer "significant after seeing it all";
+    // the SPRT (Wald 1945) answers "how EARLY could we have stopped?" —
+    // the foundation of every always-valid experimentation platform. H₀:
+    // conversion p = 0.25 vs H₁: p = 0.35 at α = β = 0.05 over a
+    // user-id-ordered Bernoulli stream (x = user has a purchase event);
+    // LLR_n = c_n·ln(p₁/p₀) + (n−c_n)·ln(q₁/q₀), stop at ±ln 19. The
+    // stream is a bounded id-prefix sample (user_id ≤ 2000 — the
+    // q_fisher_exact eval-set stance), so the ordered cumulative runs on
+    // a SIZE-CAPPED frame at any corpus scale. c_n, n are exact BIGINTs;
+    // the two ln ratios and the boundary enter as the SAME written-out
+    // literals on both engines (never each engine's libm), so every
+    // crossing decision compares identical doubles.
+    "q_sprt" -> ((s, dir) => {
+      val L1 = lit(0.3364722366212129)   // ln(0.35/0.25)
+      val L2 = lit(-0.1431008436406733)  // ln(0.65/0.75)
+      val A = lit(2.9444389791664403)    // ln((1-0.05)/0.05)
+      val byUser = t(s, dir, "events")
+        .where(col("user_id") <= 2000L)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("x"))
+      val wRun = BoundedWindow.ordered(col("user_id"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byUser
+        .withColumn("n", count(lit(1)).over(wRun))
+        .withColumn("c", sum(col("x")).over(wRun))
+      val llr = col("c").cast("double") * L1 +
+        (col("n") - col("c")).cast("double") * L2
+      val flagged = cum.select(col("user_id"), col("n"), col("c"),
+        llr.as("llr"),
+        when(llr >= A, lit(1L)).when(llr <= -A, lit(-1L)).otherwise(lit(0L))
+          .as("cross"))
+      val g = flagged.agg(
+        count(lit(1)).as("n_stream"),
+        max(col("c")).as("conversions"),
+        min(when(col("cross") =!= 0L, col("n"))).as("decision_n"),
+        min(when(col("cross") =!= 0L, struct(col("n"), col("cross"))))
+          .as("first"))
+      // final LLR in closed form from the stream totals — same literals
+      val llrFinal = col("conversions").cast("double") * L1 +
+        (col("n_stream") - col("conversions")).cast("double") * L2
+      g.select(col("n_stream"), col("conversions"), col("decision_n"),
+        when(col("first").isNull, "continue")
+          .when(col("first.cross") === 1L, "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        r6(llrFinal).as("llr_final"))
     })
   )
 
@@ -3695,6 +3743,46 @@ object Stats {
         |  FLOOR(zz * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
         |  CAST(COALESCE(CASE WHEN ABS(zz) > 1.959963984540054
         |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+
+    // the identical id-ordered cumulative counts and the SAME written-out
+    // ln literals; the first crossing encodes (n, side) into one MIN
+    "q_sprt" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        |  FROM events WHERE user_id <= 2000 GROUP BY user_id
+        |), c AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) OVER (ORDER BY user_id) AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER (ORDER BY user_id) AS BIGINT) AS c
+        |  FROM u
+        |), fl AS (
+        |  SELECT n, c,
+        |    CAST(c AS DOUBLE) * 0.3364722366212129
+        |      + CAST(n - c AS DOUBLE) * (-0.1431008436406733) AS llr
+        |  FROM c
+        |), cr AS (
+        |  SELECT n, c, llr,
+        |    CASE WHEN llr >= 2.9444389791664403 THEN 1
+        |      WHEN llr <= -2.9444389791664403 THEN -1 ELSE 0 END AS crs
+        |  FROM fl
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_stream,
+        |    CAST(MAX(c) AS BIGINT) AS conversions,
+        |    CAST(MIN(CASE WHEN crs <> 0 THEN n END) AS BIGINT) AS decision_n,
+        |    MIN(CASE WHEN crs <> 0
+        |      THEN n * 2 + (CASE WHEN crs = 1 THEN 1 ELSE 0 END) END)
+        |      AS firstenc
+        |  FROM cr
+        |)
+        |SELECT n_stream, conversions, decision_n,
+        |  CASE WHEN firstenc IS NULL THEN 'continue'
+        |    WHEN firstenc % 2 = 1 THEN 'accept_h1'
+        |    ELSE 'accept_h0' END AS decision,
+        |  FLOOR((CAST(conversions AS DOUBLE) * 0.3364722366212129
+        |    + CAST(n_stream - conversions AS DOUBLE) * (-0.1431008436406733))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS llr_final
+        |FROM g""".stripMargin
   )
 }

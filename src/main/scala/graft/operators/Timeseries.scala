@@ -901,6 +901,89 @@ object Timeseries {
         .select(col("m"), col("n_blocks"), r6(col("mean_rs")).as("mean_rs"),
           r6(col("hurst0")).as("hurst"))
         .orderBy("m")
+    }),
+
+    // ---- Theil's U2 forecast-skill ratio (beyond reference, r10) ----------
+    // The number that says whether q_forecast's seasonal-naive model beats
+    // the trivial no-change forecast AT ALL: U2 = √(Σ((f_t−a_t)/a_{t−1})²
+    // / Σ((a_t−a_{t−1})/a_{t−1})²) over the backtest window — U2 < 1 means
+    // the lag-7 model adds skill over lag-1, U2 ≥ 1 means it doesn't
+    // (Theil 1966). Same daily frame + broadcast date-equi lookbacks as
+    // q_forecast. Float discipline: each squared relative term quantizes
+    // to 1e-12 micro-units in BIGINT before summing (the linkPrediction
+    // discipline — no order-dependent float accumulation), so U2 is one
+    // division + sqrt over two exact integers. Revenue cents are > 0 on
+    // any observed day, so the relative denominators are safe.
+    "q_theil_u" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val mx = daily.agg(max(col("day")).as("max_day"))
+      val hist7 = daily.select(date_add(col("day"), 7).as("day"),
+        col("rev").as("rev_m7"))
+      val hist1 = daily.select(date_add(col("day"), 1).as("day"),
+        col("rev").as("rev_m1"))
+      def sq(num: Column): Column = {
+        val rel = num.cast("double") / col("rev_m1").cast("double")
+        floor(rel * rel * lit(1000000000000.0)).cast("long")
+      }
+      daily.crossJoin(broadcast(mx))
+        .where(col("day") > date_sub(col("max_day"), BacktestDays))
+        .join(broadcast(hist7), Seq("day"))
+        .join(broadcast(hist1), Seq("day"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(sq(col("rev_m7") - col("rev"))).as("num_micro"),
+          sum(sq(col("rev") - col("rev_m1"))).as("den_micro"))
+        .select(col("n_days"), col("num_micro"), col("den_micro"),
+          when(col("den_micro") > 0L,
+            r6(sqrt(col("num_micro").cast("double") /
+              col("den_micro").cast("double")))).as("theil_u2"),
+          coalesce((when(col("den_micro") > 0L,
+            sqrt(col("num_micro").cast("double") /
+              col("den_micro").cast("double"))) < 1.0).cast("long"),
+            lit(0L)).as("model_adds_skill"))
+    }),
+
+    // ---- Page–Hinkley drift detector (beyond reference, r10) --------------
+    // The sequential mean-shift monitor (Page 1954; Hinkley 1971) the
+    // batch q_changepoint can't be: PH_t = m_t − min_{i≤t} m_i with
+    // m_t = Σ_{i≤t}(x_i − x̄_i − δ), where x̄_i is the RUNNING mean —
+    // designed to run as data arrives, here replayed over the daily
+    // revenue series in date order. δ and the alarm bar λ are set from
+    // the series itself (δ = 0.05σ, λ = 3σ, σ = population std — both
+    // engines compute the identical windows). Scale shape: one orders
+    // shuffle to the calendar-bounded daily frame; running mean, the m
+    // cumulative and its running min are three ordered windows over that
+    // bounded frame, executing in DATE order on both engines (the
+    // q_changepoint structural-parity discipline — identical float
+    // sequence, no reordering to diverge).
+    "q_page_hinkley" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(cents).cast("double") / lit(1000000.0)).as("x"))
+      val wAll = BoundedWindow.whole(col("day"))
+      val wRun = BoundedWindow.ordered(col("day"), col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withStats = daily
+        .withColumn("sigma", stddev_pop(col("x")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("runmean",
+          sum(col("x")).over(wRun) / count(lit(1)).over(wRun))
+      val m = withStats.withColumn("m",
+        sum(col("x") - col("runmean") - lit(0.05) * col("sigma")).over(wRun))
+      val ph = m.withColumn("ph", col("m") - min(col("m")).over(wRun))
+      val ranked = ph.withColumn("rk", row_number().over(
+        BoundedWindow.ordered(col("day"), col("ph").desc, col("day"))))
+      ranked.where(col("rk") === 1)
+        .select(col("n").as("n_days"), col("day").as("peak_day"),
+          r4(col("ph")).as("max_ph"),
+          r4(lit(3.0) * col("sigma")).as("lambda"),
+          (r4(col("ph")) > r4(lit(3.0) * col("sigma"))).cast("long")
+            .as("drift_alarm"))
     })
   )
 
@@ -1577,6 +1660,78 @@ object Timeseries {
         |SELECT m, n_blocks,
         |  FLOOR(mean_rs * 1000000.0 + 0.500001) / 1000000.0 AS mean_rs,
         |  FLOOR(hurst0 * 1000000.0 + 0.500001) / 1000000.0 AS hurst
-        |FROM pm, sl ORDER BY m""".stripMargin
+        |FROM pm, sl ORDER BY m""".stripMargin,
+
+    // identical daily frame, date-equi lookbacks, and the same 1e-12
+    // micro-unit quantization of each squared relative term
+    "q_theil_u" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), mx AS (SELECT MAX(day) AS max_day FROM daily
+        |), j AS (
+        |  SELECT d.day, d.rev, h7.rev AS rev_m7, h1.rev AS rev_m1
+        |  FROM daily d, mx
+        |  JOIN daily h7 ON d.day = h7.day + INTERVAL 7 DAY
+        |  JOIN daily h1 ON d.day = h1.day + INTERVAL 1 DAY
+        |  WHERE d.day > mx.max_day - INTERVAL 28 DAY
+        |), q AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CAST(FLOOR(
+        |      (CAST(rev_m7 - rev AS DOUBLE) / CAST(rev_m1 AS DOUBLE))
+        |      * (CAST(rev_m7 - rev AS DOUBLE) / CAST(rev_m1 AS DOUBLE))
+        |      * 1000000000000.0) AS BIGINT)) AS BIGINT) AS num_micro,
+        |    CAST(SUM(CAST(FLOOR(
+        |      (CAST(rev - rev_m1 AS DOUBLE) / CAST(rev_m1 AS DOUBLE))
+        |      * (CAST(rev - rev_m1 AS DOUBLE) / CAST(rev_m1 AS DOUBLE))
+        |      * 1000000000000.0) AS BIGINT)) AS BIGINT) AS den_micro
+        |  FROM j
+        |)
+        |SELECT n_days, num_micro, den_micro,
+        |  CASE WHEN den_micro > 0 THEN
+        |    FLOOR(sqrt(CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS theil_u2,
+        |  CAST(COALESCE(CASE WHEN den_micro > 0 THEN
+        |    CASE WHEN sqrt(CAST(num_micro AS DOUBLE)
+        |      / CAST(den_micro AS DOUBLE)) < 1.0 THEN 1 ELSE 0 END END, 0)
+        |    AS BIGINT) AS model_adds_skill
+        |FROM q""".stripMargin,
+
+    // the identical date-ordered running mean / cumulative m / running
+    // min — the same float sequence on both engines
+    "q_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0 AS x
+        |  FROM orders GROUP BY 1
+        |), s AS (
+        |  SELECT day, x,
+        |    STDDEV_POP(x) OVER () AS sigma,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    SUM(x) OVER (ORDER BY day) / COUNT(*) OVER (ORDER BY day)
+        |      AS runmean
+        |  FROM daily
+        |), m AS (
+        |  SELECT day, n, sigma,
+        |    SUM(x - runmean - 0.05 * sigma) OVER (ORDER BY day) AS m
+        |  FROM s
+        |), ph AS (
+        |  SELECT day, n, sigma, m - MIN(m) OVER (ORDER BY day) AS ph
+        |  FROM m
+        |), top AS (
+        |  SELECT day, n, sigma, ph,
+        |    ROW_NUMBER() OVER (ORDER BY ph DESC, day) AS rk
+        |  FROM ph
+        |)
+        |SELECT n AS n_days, day AS peak_day,
+        |  FLOOR(ph * 10000.0 + 0.500001) / 10000.0 AS max_ph,
+        |  FLOOR(3.0 * sigma * 10000.0 + 0.500001) / 10000.0 AS lambda,
+        |  CAST(CASE WHEN FLOOR(ph * 10000.0 + 0.500001) / 10000.0
+        |      > FLOOR(3.0 * sigma * 10000.0 + 0.500001) / 10000.0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS drift_alarm
+        |FROM top WHERE rk = 1""".stripMargin
   )
 }

@@ -467,6 +467,64 @@ class IncrementalSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected date-equi broadcasts:\n$p")
   }
 
+  // ---- q_theil_u ------------------------------------------------------------
+
+  test("Theil U2: the seasonal-naive model has U2 = 0 on a 7-periodic series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tu").toString
+    (0 until 63).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 100.0 + 10.0 * (i % 7))
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_theil_u")(spark, dir).head()
+    assert(r.getLong(0) === Timeseries.BacktestDays.toLong)
+    assert(r.getLong(1) === 0L, "lag-7 forecast is exact on periodic data")
+    assert(r.getLong(2) > 0L, "the naive no-change forecast is NOT exact")
+    assert(r.getDouble(3) === 0.0 && r.getLong(4) === 1L)
+  }
+
+  test("Theil U2 on real data: ratio consistent with its own micro sums") {
+    val r = run("q_theil_u").head()
+    assert(r.getLong(0) > 0L && r.getLong(2) > 0L)
+    val want = math.floor(math.sqrt(r.getLong(1).toDouble / r.getLong(2)) *
+      1e6 + 0.500001) / 1e6
+    assert(r.getDouble(3) === want)
+    assert(r.getLong(4) === (if (r.getDouble(3) < 1.0) 1L else 0L))
+  }
+
+  // ---- q_page_hinkley -------------------------------------------------------
+
+  test("Page-Hinkley: a planted level shift raises the alarm at the boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph").toString
+    // 60 quiet days at 100 then 40 days at 500: the PH statistic peaks
+    // AFTER the shift and clears 3 sigma easily
+    (0 until 100).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()),
+        if (i < 60) 100.0 else 500.0)
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_page_hinkley")(spark, dir).head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getDate(1).toLocalDate.isAfter(
+      java.time.LocalDate.of(2020, 2, 29)), s"peak must follow the shift: $r")
+    assert(r.getLong(4) === 1L, s"level shift must alarm: $r")
+  }
+
+  test("Page-Hinkley: a constant series never alarms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph0").toString
+    (0 until 50).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 250.0)
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_page_hinkley")(spark, dir).head()
+    assert(r.getDouble(2) === 0.0 && r.getLong(4) === 0L, s"flat series: $r")
+  }
+
   // ---- q_burstiness ---------------------------------------------------------
 
   test("burstiness: a metronome scores exactly −1, a planted burst goes positive") {

@@ -1443,6 +1443,22 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(7) === 1L, s"5x rate gap must reject: $r")
   }
 
+  test("SPRT: all-convert stream accepts H1 at n=9, none-convert H0 at n=21") {
+    import spark.implicits._
+    def mk(conv: Boolean) = fixtureDir("events" ->
+      (1L to 60L).map(u => (u, u, if (conv) "purchase" else "view",
+        1_700_000_000L * 1_000_000_000L, 1.0))
+        .toDF("user_id", "event_id", "event_type", "ts", "value"))
+    // every step adds ln(1.4): crosses +ln19 at ceil(2.9444/0.33647) = 9
+    val r1 = SparkEntry.queries("q_sprt")(spark, mk(conv = true)).head()
+    assert(r1.getLong(0) === 60L && r1.getLong(1) === 60L)
+    assert(r1.getLong(2) === 9L && r1.getString(3) === "accept_h1")
+    // every step adds ln(0.65/0.75): crosses -ln19 at ceil(2.9444/0.14310) = 21
+    val r0 = SparkEntry.queries("q_sprt")(spark, mk(conv = false)).head()
+    assert(r0.getLong(1) === 0L)
+    assert(r0.getLong(2) === 21L && r0.getString(3) === "accept_h0")
+  }
+
   // ---- r10 degenerate-value guards (SURVEY §2.13) --------------------------
 
   test("spearman/partial_corr: constant columns abstain NULL, never NaN") {

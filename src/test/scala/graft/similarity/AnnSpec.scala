@@ -514,4 +514,41 @@ class AnnSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange hashpartitioning"),
       s"the ×d explode must partial-aggregate before its shuffle:\n$p")
   }
+
+  // ---- q_silhouette ---------------------------------------------------------
+
+  test("silhouette: planted tight clusters at the probes score exactly 1") {
+    import spark.implicits._
+    // probes 0..4 are far-apart axis points; vecs 5..14 sit EXACTLY on
+    // probe (id % 5) ⇒ a = 0, b > 0 ⇒ s = 1 for every member, and the
+    // probes themselves also have a = 0 ⇒ per-cluster mean_silhouette = 1
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(i) = 10.0f; v
+    }
+    val rows = (0 until 5).map(p => (p.toLong, axis(p), 0)) ++
+      (5 until 15).map(i => (i.toLong, axis(i % 5), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sil").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_silhouette")(spark, dir).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getLong(1) === 3L, s"1 probe + 2 members per cluster: $r")
+      assert(r.getDouble(2) === 1.0, s"tight cluster silhouette must be 1: $r")
+      assert(r.getDouble(3) === 0.0, s"members sit ON the centroid: $r")
+    }
+  }
+
+  test("silhouette on real data: bounds hold, every cluster covered") {
+    val out = graft.SparkEntry.queries("q_silhouette")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 5)
+    val total = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .count()
+    assert(out.map(_.getLong(1)).sum === total, "every vector assigned once")
+    out.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
 }
