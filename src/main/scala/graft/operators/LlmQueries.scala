@@ -1725,6 +1725,48 @@ object LlmQueries {
           r6(col("am").cast("double") / col("n_vecs") / lit(1000000.0))
             .as("mean_dist_to_centroid"))
         .orderBy("cluster")
+    }),
+
+    // ---- embedding-space anisotropy audit (r10) ---------------------------
+    // Ethayarajh (2019)'s finding made operational: contextual embedding
+    // spaces are often ANISOTROPIC — random vectors have high expected
+    // cosine — which silently inflates every cosine-threshold decision
+    // upstream (SemDeDup cutoffs, ANN recall targets). The audit: mean
+    // pairwise cosine over ALL n² pairs WITHOUT the pairwise blowup, via
+    // the sum-vector identity Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖uᵢ‖² on
+    // unit-normalized vectors. Exactness: each normalized component
+    // quantizes to 1e-6 micro-units BIGINT (the q_embed_mmd discipline),
+    // so the per-dimension sums, ‖S‖² and the self-term Q are EXACT
+    // integers and the mean cosine is one float division. Scale shape:
+    // one ×d explode scan partial-aggregates to the d-bounded dimension
+    // frame; no joins, no pairs.
+    "q_embed_anisotropy" -> ((s, dir) => {
+      graft.similarity.VecOps.register(s)
+      val withNorm = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(Ann.dot(col("embedding"), col("embedding"))).as("nrm"))
+        .where(col("nrm") > 0)
+      val comps = withNorm
+        .select(col("vec_id"), col("nrm"), posexplode(col("embedding")))
+        .select(col("pos").as("d"),
+          floor(col("col").cast("double") / col("nrm") * lit(1000000.0))
+            .cast("long").as("e"))
+      val dims = comps.groupBy("d").agg(sum(col("e")).as("sd"))
+      val tot = dims.agg(count(lit(1)).as("dim"),
+        sum(col("sd").cast("decimal(38,0)") * col("sd")).as("s2"))
+      val q = comps.agg(
+        sum(col("e").cast("decimal(38,0)") * col("e")).as("qq"))
+      val nv = withNorm.agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("nrm") * lit(1000000.0)).cast("long")).as("nrm_micro"))
+      val meanCos = (col("s2") - col("qq")).cast("double") /
+        (col("n_vecs") * (col("n_vecs") - 1L)).cast("double") /
+        lit(1000000000000.0)
+      nv.crossJoin(broadcast(tot)).crossJoin(broadcast(q))
+        .select(col("n_vecs"), col("dim"),
+          r6(col("nrm_micro").cast("double") / col("n_vecs") /
+            lit(1000000.0)).as("mean_norm"),
+          r6(meanCos).as("mean_pairwise_cos"),
+          (r6(meanCos) > lit(0.1)).cast("long").as("anisotropic"))
     })
   )
 
@@ -3585,6 +3627,46 @@ object LlmQueries {
         |    * 1000000.0 + 0.500001) / 1000000.0 AS mean_silhouette,
         |  FLOOR(CAST(SUM(a_micro) AS DOUBLE) / COUNT(*) / 1000000.0
         |    * 1000000.0 + 0.500001) / 1000000.0 AS mean_dist_to_centroid
-        |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin
+        |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // identical normalization, 1e-6 component quantization, and the
+    // sum-vector identity over exact HUGEINT sums
+    "q_embed_anisotropy" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS x,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings
+        |), vn AS (SELECT * FROM v WHERE nrm > 0
+        |), comps AS (
+        |  SELECT CAST(u.i AS BIGINT) - 1 AS d,
+        |    CAST(FLOOR(x[CAST(u.i AS INTEGER)] / nrm * 1000000.0) AS BIGINT)
+        |      AS e
+        |  FROM vn, LATERAL unnest(generate_series(1, len(x))) AS u(i)
+        |), dims AS (
+        |  SELECT d, CAST(SUM(e) AS BIGINT) AS sd FROM comps GROUP BY d
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+        |    SUM(CAST(sd AS HUGEINT) * sd) AS s2
+        |  FROM dims
+        |), q AS (
+        |  SELECT SUM(CAST(e AS HUGEINT) * e) AS qq FROM comps
+        |), nv AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(CAST(FLOOR(nrm * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS nrm_micro
+        |  FROM vn
+        |)
+        |SELECT n_vecs, dim,
+        |  FLOOR(CAST(nrm_micro AS DOUBLE) / n_vecs / 1000000.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS mean_norm,
+        |  FLOOR(CAST(s2 - qq AS DOUBLE) / CAST(n_vecs * (n_vecs - 1)
+        |      AS DOUBLE) / 1000000000000.0 * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS mean_pairwise_cos,
+        |  CAST(CASE WHEN FLOOR(CAST(s2 - qq AS DOUBLE)
+        |      / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) / 1000000000000.0
+        |      * 1000000.0 + 0.500001) / 1000000.0 > 0.1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS anisotropic
+        |FROM nv, tot, q""".stripMargin
   )
 }

@@ -2005,6 +2005,69 @@ object Stats {
           .when(col("first.cross") === 1L, "accept_h1")
           .otherwise("accept_h0").as("decision"),
         r6(llrFinal).as("llr_final"))
+    }),
+
+    // ---- Anderson–Darling normality test (beyond reference, r10) ----------
+    // The tail-weighted upgrade of q_ks_test/q_jarque_bera: A² weighs ECDF
+    // gaps by 1/(F(1−F)), so heavy tails that KS's sup-norm misses move
+    // the statistic. A² = −n − (1/n)·Σᵢ[(2i−1)lnΦ(zᵢ) + (2(n−i)+1)
+    // ln(1−Φ(zᵢ))] over the ORDERED standardized per-customer spends —
+    // the order statistic rank i comes from [[Ranks.withGlobalRank]]'s
+    // two-level bucket pattern (no single-partition window). Float
+    // discipline: μ/σ from exact integer moments; Φ via the SAME
+    // Zelen–Severo literals as q_bh_fdr (never each engine's erf), clamped
+    // to [1e-15, 1−1e-15] (the q_logistic_gd saturation discipline); each
+    // row's term quantizes to 1e-6 micro-units summed in decimal(38,0) —
+    // no order-dependent accumulation. The 5% decision uses Stephens'
+    // estimated-parameter modification A*² = A²(1 + 0.75/n + 2.25/n²)
+    // against 0.787, compared on the ROUNDED value. (On TPC-H-ish spend
+    // the honest answer is a rejection — spend is right-skewed.)
+    "q_anderson_darling" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val feats = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(cents).as("x"))
+        .localCheckpoint()
+      val stats = feats.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .as("sxx"))
+      val ranked = Ranks.withGlobalRank(feats, col("x"), col("custkey"), "i")
+      val j = ranked.crossJoin(broadcast(stats))
+      val nD = col("n").cast("double")
+      val mu = col("sx").cast("double") / nD
+      val sd = sqrt(greatest(col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / nD,
+        lit(0.0)) / (nD - 1))
+      val z = try_divide(col("x").cast("double") - mu, sd)
+      val az = abs(z)
+      val tP = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val qz = lit(0.3989422804014327) * exp(-az * az / 2.0) *
+        (tP * (lit(0.319381530) + tP * (lit(-0.356563782) +
+          tP * (lit(1.781477937) + tP * (lit(-1.821255978) +
+            tP * lit(1.330274429))))))
+      val phi0 = when(z >= 0, lit(1.0) - qz).otherwise(qz)
+      // NULL z (constant spend ⇒ sd = 0) must stay NULL through the clamp:
+      // Spark's greatest SKIPS nulls where DuckDB's propagates (§2.13)
+      val phi = when(z.isNotNull,
+        least(greatest(phi0, lit(1e-15)), lit(1.0) - lit(1e-15)))
+      val term = floor(((lit(2L) * col("i") - 1L).cast("double") * log(phi) +
+        (lit(2L) * (col("n") - col("i")) + 1L).cast("double") *
+          log(lit(1.0) - phi)) * lit(1000000.0)).cast("decimal(38,0)")
+      val g = j.select(col("n"), mu.as("mu"), sd.as("sd"), term.as("t"))
+        .groupBy("n", "mu", "sd")
+        .agg(sum(col("t")).as("smic"))
+      val gnD = col("n").cast("double")
+      val a2 = -gnD - col("smic").cast("double") / lit(1000000.0) / gnD
+      val a2m = a2 * (lit(1.0) + lit(0.75) / gnD +
+        lit(2.25) / (gnD * gnD))
+      g.select(col("n").as("n_customers"),
+        r2c(col("mu") / 100.0).as("mean_spend"),
+        r2c(col("sd") / 100.0).as("sd_spend"),
+        r6(a2).as("a2"), r6(a2m).as("a2_mod"),
+        coalesce((r6(a2m) > lit(0.787)).cast("long"), lit(0L))
+          .as("reject_05"))
     })
   )
 
@@ -3783,6 +3846,81 @@ object Stats {
         |  FLOOR((CAST(conversions AS DOUBLE) * 0.3364722366212129
         |    + CAST(n_stream - conversions AS DOUBLE) * (-0.1431008436406733))
         |    * 1000000.0 + 0.500001) / 1000000.0 AS llr_final
+        |FROM g""".stripMargin,
+
+    // identical exact moments, order-statistic ranks via ROW_NUMBER, the
+    // SAME Zelen–Severo literals and clamp, 1e-6 micro terms in HUGEINT
+    "q_anderson_darling" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM feats
+        |), rk AS (
+        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, custkey) AS BIGINT)
+        |    AS i
+        |  FROM feats
+        |), zz AS (
+        |  SELECT rk.i, st.n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt(GREATEST(CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |          / CAST(n AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) - 1)) AS sd,
+        |    (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(GREATEST(CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |            / CAST(n AS DOUBLE), 0.0)
+        |        / (CAST(n AS DOUBLE) - 1)) AS z
+        |  FROM rk, st
+        |), ph AS (
+        |  SELECT i, n, mu, sd,
+        |    LEAST(GREATEST(CASE WHEN z >= 0 THEN
+        |      1.0 - 0.3989422804014327 * exp(-abs(z) * abs(z) / 2.0)
+        |        * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+        |          * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |            * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |              * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |                * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |                  * 1.330274429)))))
+        |      ELSE 0.3989422804014327 * exp(-abs(z) * abs(z) / 2.0)
+        |        * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+        |          * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |            * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |              * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |                * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+        |                  * 1.330274429)))))
+        |      END, 1e-15), 1.0 - 1e-15) AS phi
+        |  FROM zz
+        |), g AS (
+        |  SELECT n, mu, sd,
+        |    SUM(CAST(FLOOR((CAST(2 * i - 1 AS DOUBLE) * LN(phi)
+        |      + CAST(2 * (n - i) + 1 AS DOUBLE) * LN(1.0 - phi))
+        |      * 1000000.0) AS HUGEINT)) AS smic
+        |  FROM ph GROUP BY n, mu, sd
+        |)
+        |SELECT n AS n_customers,
+        |  FLOOR(mu / 100.0 * 100.0 + 0.500001) / 100.0 AS mean_spend,
+        |  FLOOR(sd / 100.0 * 100.0 + 0.500001) / 100.0 AS sd_spend,
+        |  FLOOR((-CAST(n AS DOUBLE) - CAST(smic AS DOUBLE) / 1000000.0
+        |      / CAST(n AS DOUBLE)) * 1000000.0 + 0.500001) / 1000000.0 AS a2,
+        |  FLOOR((-CAST(n AS DOUBLE) - CAST(smic AS DOUBLE) / 1000000.0
+        |      / CAST(n AS DOUBLE))
+        |    * (1.0 + 0.75 / CAST(n AS DOUBLE)
+        |      + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS a2_mod,
+        |  CAST(COALESCE(CASE WHEN
+        |    FLOOR((-CAST(n AS DOUBLE) - CAST(smic AS DOUBLE) / 1000000.0
+        |        / CAST(n AS DOUBLE))
+        |      * (1.0 + 0.75 / CAST(n AS DOUBLE)
+        |        + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      * 1000000.0 + 0.500001) / 1000000.0 > 0.787
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_05
         |FROM g""".stripMargin
   )
 }

@@ -1459,6 +1459,26 @@ class StatsSpec extends SparkSpec {
     assert(r0.getLong(2) === 21L && r0.getString(3) === "accept_h0")
   }
 
+  test("Anderson-Darling: uniform spend rejects normality, constant abstains") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = fixtureDir("orders" ->
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong + 1L, v) }
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    // one order per customer, uniformly spread spend — far from normal in
+    // the tails, and n=200 gives A*2 plenty of power
+    val uni = (1 to 200).map(i => 100.0 * i)
+    val r = SparkEntry.queries("q_anderson_darling")(spark, mk(uni)).head()
+    assert(r.getLong(0) === 200L)
+    assert(r.getDouble(3) > 0.0, "A2 is positive")
+    assert(r.getLong(5) === (if (r.getDouble(4) > 0.787) 1L else 0L))
+    assert(r.getDouble(4) > 0.787 && r.getLong(5) === 1L,
+      s"uniform data must reject normality: $r")
+    // constant spend: sd = 0 ⇒ z NULL ⇒ the whole statistic abstains
+    val c = SparkEntry.queries("q_anderson_darling")(
+      spark, mk(Seq.fill(50)(500.0))).head()
+    assert(c.isNullAt(3) && c.isNullAt(4) && c.getLong(5) === 0L, s"$c")
+  }
+
   // ---- r10 degenerate-value guards (SURVEY §2.13) --------------------------
 
   test("spearman/partial_corr: constant columns abstain NULL, never NaN") {

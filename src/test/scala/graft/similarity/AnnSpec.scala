@@ -539,6 +539,26 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("anisotropy: one-hot fixture gives the exact closed-form mean cosine") {
+    import spark.implicits._
+    // 3 vectors on axis 0, 2 on axis 1, all norm 10: unit components are
+    // exactly 0/1 so quantization is exact; S = (3e6, 2e6), Q = 5e12 ⇒
+    // mean pairwise cos = (13 − 5)/(5·4) = 0.4 exactly
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(i) = 10.0f; v
+    }
+    val rows = (0 until 3).map(k => (k.toLong, axis(0), 0)) ++
+      (3 until 5).map(k => (k.toLong, axis(1), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_aniso").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = graft.SparkEntry.queries("q_embed_anisotropy")(spark, dir).head()
+    assert(r.getLong(0) === 5L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 10.0, s"mean norm: $r")
+    assert(r.getDouble(3) === 0.4, s"closed-form mean cosine: $r")
+    assert(r.getLong(4) === 1L)
+  }
+
   test("silhouette on real data: bounds hold, every cluster covered") {
     val out = graft.SparkEntry.queries("q_silhouette")(
       spark, "/root/testdata/sf0.001").collect()
