@@ -2007,6 +2007,107 @@ object Stats {
         r6(llrFinal).as("llr_final"))
     }),
 
+    // ---- Cochran–Armitage trend test (beyond reference, r10) --------------
+    // The ORDERED upgrade of q_chi_square: priority tiers are ordinal
+    // (1-URGENT … 5-LOW), so "does the high-value rate TREND with
+    // urgency?" is one df, not (r−1) — far more power against monotone
+    // alternatives. Scores w = 1..5 from the tier prefix; with per-tier
+    // (n_k, a_k) and totals (N, A): Z = Σw(a_k − n_k·A/N) /
+    // √(p̄(1−p̄)·[Σw²n − (Σwn)²/N]), p̄ = A/N. Every Σ is an exact
+    // BIGINT off ONE scan (≤5 cells, map-side combined); the statistic is
+    // a single closed-form float sequence; try_divide abstains when the
+    // outcome or the scores are degenerate.
+    "q_cochran_armitage" -> ((s, dir) => {
+      val hv = (col("o_totalprice") > 240000.0).cast("long")
+      val w = substring(col("o_orderpriority"), 1, 1).cast("long")
+      val cells = t(s, dir, "orders")
+        .groupBy(w.as("w"))
+        .agg(count(lit(1)).as("nk"), sum(hv).as("ak"))
+      val g = cells.agg(
+        sum(col("nk")).as("nn"), sum(col("ak")).as("aa"),
+        count(lit(1)).as("k_tiers"),
+        sum(col("w") * col("nk")).as("swn"),
+        sum(col("w") * col("w") * col("nk")).as("swwn"),
+        sum(col("w") * col("ak")).as("swa"))
+      def d(c: Column): Column = c.cast("double")
+      val pbar = d(col("aa")) / d(col("nn"))
+      val num = d(col("swa")) - d(col("swn")) * d(col("aa")) / d(col("nn"))
+      val vr = pbar * (lit(1.0) - pbar) *
+        (d(col("swwn")) - d(col("swn")) * d(col("swn")) / d(col("nn")))
+      val z = try_divide(num, sqrt(greatest(vr, lit(0.0))))
+      g.select(col("nn").as("n"), col("aa").as("n_hv"), col("k_tiers"),
+        r6(pbar).as("rate_overall"), r6(z).as("z_trend"),
+        coalesce((abs(z) > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("reject_95"))
+    }),
+
+    // ---- Bayesian A/B: P(p_B > p_A) in closed form (r10) ------------------
+    // The decision-ready companion to q_prop_ztest's frequentist z: with
+    // Beta(1,1) priors and binomial arms, P(p_B > p_A | data) has the
+    // EXACT closed form (Cook 2005)
+    //   Σ_{i=0}^{α_B−1} B(α_A+i, β_A+β_B) / ((β_B+i)·B(1+i, β_B)·B(α_A, β_A))
+    // where every Beta has integer arguments, so ln B reduces to the
+    // q_fisher_exact ln-factorial table (ordered cumulative over a
+    // bounded k-frame — identical accumulation both engines). The input
+    // is the bounded id-prefix user sample (user_id ≤ 400, md5 arms):
+    // table and sum stay ≤ ~400 rows at ANY corpus scale, and the ≤α_B
+    // term accumulation is absorbed by r6 (the fisher discipline).
+    "q_bayes_ab" -> ((s, dir) => {
+      val m = t(s, dir, "events").where(col("user_id") <= 400L)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("x"))
+        .select(arm(col("user_id")).as("g"), col("x"))
+        .agg(
+          sum(when(col("g") === 0L, 1L).otherwise(0L)).as("na"),
+          sum(when(col("g") === 0L, col("x")).otherwise(0L)).as("ca"),
+          sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("g") === 1L, col("x")).otherwise(0L)).as("cb"))
+        .select(col("na"), col("ca"), col("nb"), col("cb"),
+          (col("ca") + 1L).as("aa"), (col("na") - col("ca") + 1L).as("ba"),
+          (col("cb") + 1L).as("ab"), (col("nb") - col("cb") + 1L).as("bb"),
+          (col("na") + col("nb") + 4L).as("kmax"))
+        .localCheckpoint()
+      val lf = m.select(explode(sequence(lit(0L), col("kmax"))).as("k"))
+        .select(col("k"),
+          sum(when(col("k") > 1L, log(col("k").cast("double")))
+            .otherwise(lit(0.0)))
+            .over(BoundedWindow.ordered(col("k"), col("k"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("lf"))
+        .localCheckpoint()
+      def lfAt(df: DataFrame, key: Column, out: String): DataFrame =
+        df.join(broadcast(lf.select(col("k").as(out + "_k"),
+          col("lf").as(out))), key === col(out + "_k")).drop(out + "_k")
+      // row-constant pieces: ln B(α_A, β_A) and the β parts
+      val withConst = lfAt(lfAt(lfAt(lfAt(m,
+        col("aa") - 1L, "laa1"), col("ba") - 1L, "lba1"),
+        col("aa") + col("ba") - 1L, "laba"), col("ba") + col("bb") - 1L,
+        "lbab")
+      val en = lfAt(withConst, col("bb") - 1L, "lbb1")
+        .select(col("na"), col("ca"), col("nb"), col("cb"),
+          col("aa"), col("ba"), col("ab"), col("bb"),
+          col("laa1"), col("lba1"), col("laba"), col("lbab"), col("lbb1"),
+          explode(sequence(lit(0L), col("ab") - 1L)).as("i"))
+      val scored = lfAt(lfAt(lfAt(en,
+        col("aa") + col("i") - 1L, "lai"),
+        col("aa") + col("i") + col("ba") + col("bb") - 1L, "labi"),
+        col("i") + col("bb"), "lib")
+      val lfi = lfAt(scored, col("i"), "li")
+      val lnTerm = (col("lai") + col("lbab") - col("labi")) -
+        log((col("bb") + col("i")).cast("double")) -
+        (col("li") + col("lbb1") - col("lib")) -
+        (col("laa1") + col("lba1") - col("laba"))
+      val g = lfi.select(col("na"), col("ca"), col("nb"), col("cb"),
+          exp(lnTerm).as("p_i"))
+        .groupBy("na", "ca", "nb", "cb")
+        .agg(sum(col("p_i")).as("p0"))
+      val pv = r6(least(greatest(col("p0"), lit(0.0)), lit(1.0)))
+      g.select(col("na").as("n_a"), col("ca").as("conv_a"),
+        col("nb").as("n_b"), col("cb").as("conv_b"),
+        pv.as("prob_b_beats_a"),
+        (pv > lit(0.95) || pv < lit(0.05)).cast("long").as("decisive_95"))
+    }),
+
     // ---- Anderson–Darling normality test (beyond reference, r10) ----------
     // The tail-weighted upgrade of q_ks_test/q_jarque_bera: A² weighs ECDF
     // gaps by 1/(F(1−F)), so heavy tails that KS's sup-norm misses move
@@ -3846,6 +3947,103 @@ object Stats {
         |  FLOOR((CAST(conversions AS DOUBLE) * 0.3364722366212129
         |    + CAST(n_stream - conversions AS DOUBLE) * (-0.1431008436406733))
         |    * 1000000.0 + 0.500001) / 1000000.0 AS llr_final
+        |FROM g""".stripMargin,
+
+    // identical ordinal scores, exact BIGINT cell sums, the same closed
+    // float sequence with GREATEST/plain-/ degenerate behavior
+    "q_cochran_armitage" ->
+      """WITH cells AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(CASE WHEN o_totalprice > 240000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ak
+        |  FROM orders GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(SUM(nk) AS BIGINT) AS nn,
+        |    CAST(SUM(ak) AS BIGINT) AS aa,
+        |    CAST(COUNT(*) AS BIGINT) AS k_tiers,
+        |    CAST(SUM(w * nk) AS BIGINT) AS swn,
+        |    CAST(SUM(w * w * nk) AS BIGINT) AS swwn,
+        |    CAST(SUM(w * ak) AS BIGINT) AS swa
+        |  FROM cells
+        |), f AS (
+        |  SELECT nn, aa, k_tiers,
+        |    CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE) AS pbar,
+        |    (CAST(swa AS DOUBLE) - CAST(swn AS DOUBLE) * CAST(aa AS DOUBLE)
+        |      / CAST(nn AS DOUBLE))
+        |    / sqrt(GREATEST((CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (1.0 - CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(swwn AS DOUBLE) - CAST(swn AS DOUBLE)
+        |        * CAST(swn AS DOUBLE) / CAST(nn AS DOUBLE)), 0.0)) AS z
+        |  FROM g
+        |)
+        |SELECT nn AS n, aa AS n_hv, k_tiers,
+        |  FLOOR(pbar * 1000000.0 + 0.500001) / 1000000.0 AS rate_overall,
+        |  FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 AS z_trend,
+        |  CAST(COALESCE(CASE WHEN ABS(z) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
+        |FROM f""".stripMargin,
+
+    // the same ln-factorial table (fisher pattern), identical integer
+    // Beta reductions, and the same bounded exp-sum
+    "q_bayes_ab" ->
+      """WITH m AS (
+        |  SELECT na, ca, nb, cb,
+        |    ca + 1 AS aa, na - ca + 1 AS ba,
+        |    cb + 1 AS ab, nb - cb + 1 AS bb,
+        |    na + nb + 4 AS kmax
+        |  FROM (
+        |    SELECT
+        |      CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |      CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS ca,
+        |      CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |      CAST(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS cb
+        |    FROM (
+        |      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |          AS BIGINT) % 2 AS g,
+        |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        |      FROM events WHERE user_id <= 400 GROUP BY user_id
+        |    )
+        |  )
+        |), lf AS (
+        |  SELECT k,
+        |    SUM(CASE WHEN k > 1 THEN LN(CAST(k AS DOUBLE)) ELSE 0.0 END)
+        |      OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS lf
+        |  FROM (SELECT UNNEST(generate_series(0, (SELECT kmax FROM m))) AS k)
+        |), en AS MATERIALIZED (
+        |  SELECT m.*, laa1.lf AS laa1, lba1.lf AS lba1, laba.lf AS laba,
+        |    lbab.lf AS lbab, lbb1.lf AS lbb1,
+        |    UNNEST(generate_series(0, m.ab - 1)) AS i
+        |  FROM m
+        |  JOIN lf laa1 ON laa1.k = m.aa - 1
+        |  JOIN lf lba1 ON lba1.k = m.ba - 1
+        |  JOIN lf laba ON laba.k = m.aa + m.ba - 1
+        |  JOIN lf lbab ON lbab.k = m.ba + m.bb - 1
+        |  JOIN lf lbb1 ON lbb1.k = m.bb - 1
+        |), scored AS (
+        |  SELECT en.na, en.ca, en.nb, en.cb,
+        |    exp((lai.lf + en.lbab - labi.lf)
+        |      - LN(CAST(en.bb + en.i AS DOUBLE))
+        |      - (li.lf + en.lbb1 - lib.lf)
+        |      - (en.laa1 + en.lba1 - en.laba)) AS p_i
+        |  FROM en
+        |  JOIN lf lai ON lai.k = en.aa + en.i - 1
+        |  JOIN lf labi ON labi.k = en.aa + en.i + en.ba + en.bb - 1
+        |  JOIN lf lib ON lib.k = en.i + en.bb
+        |  JOIN lf li ON li.k = en.i
+        |), g AS (
+        |  SELECT na, ca, nb, cb, SUM(p_i) AS p0
+        |  FROM scored GROUP BY na, ca, nb, cb
+        |)
+        |SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+        |  FLOOR(LEAST(GREATEST(p0, 0.0), 1.0) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS prob_b_beats_a,
+        |  CAST(CASE WHEN
+        |      FLOOR(LEAST(GREATEST(p0, 0.0), 1.0) * 1000000.0 + 0.500001)
+        |        / 1000000.0 > 0.95
+        |      OR FLOOR(LEAST(GREATEST(p0, 0.0), 1.0) * 1000000.0 + 0.500001)
+        |        / 1000000.0 < 0.05
+        |    THEN 1 ELSE 0 END AS BIGINT) AS decisive_95
         |FROM g""".stripMargin,
 
     // identical exact moments, order-statistic ranks via ROW_NUMBER, the

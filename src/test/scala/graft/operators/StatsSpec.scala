@@ -1459,6 +1459,53 @@ class StatsSpec extends SparkSpec {
     assert(r0.getLong(2) === 21L && r0.getString(3) === "accept_h0")
   }
 
+  test("Cochran-Armitage: planted monotone trend rejects, flat doesn't, " +
+      "degenerate abstains") {
+    import spark.implicits._
+    def mk(tiers: Seq[(String, Int, Int)]) = fixtureDir("orders" ->
+      tiers.flatMap { case (p, nHv, nLo) =>
+        Seq.fill(nHv)((p, 250000.0)) ++ Seq.fill(nLo)((p, 100.0))
+      }.zipWithIndex.map { case ((p, v), i) => (i.toLong, p, v) }
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    // high-value rate rises monotonically with the tier score 1→5
+    val trend = mk(Seq(("1-URGENT", 2, 18), ("2-HIGH", 6, 14),
+      ("3-MEDIUM", 10, 10), ("4-NOT SPECIFIED", 14, 6), ("5-LOW", 18, 2)))
+    val rt = SparkEntry.queries("q_cochran_armitage")(spark, trend).head()
+    assert(rt.getLong(0) === 100L && rt.getLong(2) === 5L)
+    assert(rt.getDouble(4) > 1.96 && rt.getLong(5) === 1L,
+      s"monotone trend must reject: $rt")
+    // identical rates in every tier: z = 0 exactly
+    val flat = mk((1 to 5).map(k => (s"$k-X", 5, 15)))
+    val rf = SparkEntry.queries("q_cochran_armitage")(spark, flat).head()
+    assert(rf.getDouble(4) === 0.0 && rf.getLong(5) === 0L)
+    // every order high-value: pbar = 1 ⇒ variance 0 ⇒ abstain
+    val const = mk((1 to 5).map(k => (s"$k-X", 10, 0)))
+    val rc = SparkEntry.queries("q_cochran_armitage")(spark, const).head()
+    assert(rc.isNullAt(4) && rc.getLong(5) === 0L)
+  }
+
+  test("Bayes A/B: lopsided arms are decisive, identical arms sit at 0.5") {
+    import spark.implicits._
+    val ids = (1L to 2000L)
+    val a0 = ids.filter(armOfId(_) == 0L).take(50)
+    val a1 = ids.filter(armOfId(_) == 1L).take(50)
+    def mk(convA: Int, convB: Int) = fixtureDir("events" ->
+      (a0.zipWithIndex.map { case (u, i) =>
+        (u, u, if (i < convA) "purchase" else "view") } ++
+       a1.zipWithIndex.map { case (u, i) =>
+        (u, u, if (i < convB) "purchase" else "view") })
+        .map { case (u, e, t0) => (u, e, t0, 1_700_000_000L * 1_000_000_000L) }
+        .toDF("user_id", "event_id", "event_type", "ts"))
+    val lop = SparkEntry.queries("q_bayes_ab")(spark, mk(5, 40)).head()
+    assert((lop.getLong(0), lop.getLong(1), lop.getLong(2), lop.getLong(3))
+      === ((50L, 5L, 50L, 40L)))
+    assert(lop.getDouble(4) > 0.95 && lop.getLong(5) === 1L, s"$lop")
+    val even = SparkEntry.queries("q_bayes_ab")(spark, mk(20, 20)).head()
+    assert(math.abs(even.getDouble(4) - 0.5) <= 1e-5,
+      s"identical posteriors ⇒ exactly 1/2: $even")
+    assert(even.getLong(5) === 0L)
+  }
+
   test("Anderson-Darling: uniform spend rejects normality, constant abstains") {
     import spark.implicits._
     def mk(vals: Seq[Double]) = fixtureDir("orders" ->
