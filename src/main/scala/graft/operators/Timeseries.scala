@@ -984,6 +984,91 @@ object Timeseries {
           r4(lit(3.0) * col("sigma")).as("lambda"),
           (r4(col("ph")) > r4(lit(3.0) * col("sigma"))).cast("long")
             .as("drift_alarm"))
+    }),
+
+    // ---- Wald–Wolfowitz runs test (beyond reference, r10) -----------------
+    // "Are the daily up/down moves RANDOM, or do they streak?" — the
+    // nonparametric serial-dependence check under q_acf: classify each
+    // day vs the previous (up/down, zero-diffs dropped), count runs R of
+    // consecutive same signs, compare with E[R] = 2n₊n₋/n + 1 and
+    // Var[R] = (E−1)(E−2)/(n−1). Everything reduces to THREE exact
+    // BIGINTs (n₊, n₋, R) off one lag window over the calendar-bounded
+    // daily frame; z is a closed float sequence, degenerate one-sided
+    // series abstain via try_divide.
+    "q_runs_test" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val wOrd = BoundedWindow.ordered(col("day"), col("day"))
+      val signs = daily
+        .withColumn("d", col("rev") - lag(col("rev"), 1).over(wOrd))
+        .where(col("d").isNotNull && col("d") =!= 0L)
+        .select(col("day"), (col("d") > 0L).cast("long").as("s"))
+      val runs = signs
+        .withColumn("chg",
+          when(lag(col("s"), 1).over(wOrd).isNull ||
+            lag(col("s"), 1).over(wOrd) =!= col("s"), 1L).otherwise(0L))
+      val g = runs.agg(sum(col("s")).as("np"),
+        sum(lit(1L) - col("s")).as("nm"), sum(col("chg")).as("r"))
+      def d(c: Column): Column = c.cast("double")
+      val nD = d(col("np")) + d(col("nm"))
+      val eR = lit(2.0) * d(col("np")) * d(col("nm")) / nD + 1.0
+      val vR = (eR - 1.0) * (eR - 2.0) / (nD - 1.0)
+      val z = try_divide(d(col("r")) - eR, sqrt(greatest(vR, lit(0.0))))
+      g.select(col("np").as("n_up"), col("nm").as("n_down"),
+        col("r").as("n_runs"), r4(eR).as("expected_runs"),
+        r6(z).as("z_stat"),
+        coalesce((abs(z) > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("reject_95"))
+    }),
+
+    // ---- simplified Dickey–Fuller unit-root check (r10) -------------------
+    // The random-walk-vs-mean-reverting read that q_hurst approaches from
+    // rescaled ranges, here from the AR(1) regression Δx_t = α + γ·x_{t−1}
+    // + ε: γ = 0 is a unit root (random walk), γ < 0 mean-reverts. OLS on
+    // the calendar-bounded daily frame via FIVE exact moment integers
+    // (the q_regression discipline — cents in BIGINT, squares/products in
+    // decimal(38,0), lag via the ordered window); the DF statistic
+    // t = γ̂/se(γ̂) compares against the asymptotic 5% constant-only
+    // critical −2.86 (Fuller 1976; reported as the documented constant,
+    // not an engine computation). Degenerate constant series abstain.
+    "q_dickey_fuller" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val wOrd = BoundedWindow.ordered(col("day"), col("day"))
+      val pairs = daily
+        .withColumn("xl", lag(col("rev"), 1).over(wOrd))
+        .where(col("xl").isNotNull)
+        .select((col("rev") - col("xl")).as("dy"), col("xl").as("x"))
+        .select(col("dy"), col("x"), col("dy").cast("decimal(19,0)").as("dyd"),
+          col("x").cast("decimal(19,0)").as("xd"))
+      val m = pairs.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("xd") * col("dyd")).as("sxy"),
+        sum(col("dyd") * col("dyd")).as("syy"))
+      def d(c: Column): Column = c.cast("double")
+      val nD = d(col("n"))
+      val vx = d(col("sxx")) - d(col("sx")) * d(col("sx")) / nD
+      val cxy = d(col("sxy")) - d(col("sx")) * d(col("sy")) / nD
+      val gamma = try_divide(cxy, vx)
+      val alpha = d(col("sy")) / nD - gamma * d(col("sx")) / nD
+      // residual variance via the OLS identity: SSE = Syy − γ̂·Sxy (both
+      // centered), s² = SSE/(n−2), se(γ̂) = √(s²/Sxx_centered)
+      val syyC = d(col("syy")) - d(col("sy")) * d(col("sy")) / nD
+      val sse = greatest(syyC - gamma * cxy, lit(0.0))
+      val se = sqrt(try_divide(try_divide(sse, nD - 2.0), vx))
+      val tStat = try_divide(gamma, se)
+      m.select(col("n").as("n_days"),
+        r6(gamma).as("gamma"), r6(alpha / lit(100.0)).as("alpha_dollars"),
+        r6(tStat).as("df_stat"),
+        coalesce((r6(tStat) < lit(-2.86)).cast("long"), lit(0L))
+          .as("mean_reverting_95"))
     })
   )
 
@@ -1732,6 +1817,93 @@ object Timeseries {
         |  CAST(CASE WHEN FLOOR(ph * 10000.0 + 0.500001) / 10000.0
         |      > FLOOR(3.0 * sigma * 10000.0 + 0.500001) / 10000.0
         |    THEN 1 ELSE 0 END AS BIGINT) AS drift_alarm
-        |FROM top WHERE rk = 1""".stripMargin
+        |FROM top WHERE rk = 1""".stripMargin,
+
+    // identical day-ordered sign lags, run-start counting, closed z
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), ds AS (
+        |  SELECT day, rev - LAG(rev) OVER (ORDER BY day) AS d FROM daily
+        |), signs AS (
+        |  SELECT day, CASE WHEN d > 0 THEN 1 ELSE 0 END AS s
+        |  FROM ds WHERE d IS NOT NULL AND d <> 0
+        |), runs AS (
+        |  SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+        |    OR LAG(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS chg
+        |  FROM signs
+        |), g AS (
+        |  SELECT CAST(SUM(s) AS BIGINT) AS np,
+        |    CAST(SUM(1 - s) AS BIGINT) AS nm,
+        |    CAST(SUM(chg) AS BIGINT) AS r
+        |  FROM runs
+        |), f AS (
+        |  SELECT np, nm, r,
+        |    2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+        |      / (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE)) + 1.0 AS er
+        |  FROM g
+        |), z AS (
+        |  SELECT np, nm, r, er,
+        |    (CAST(r AS DOUBLE) - er)
+        |      / sqrt(GREATEST((er - 1.0) * (er - 2.0)
+        |        / (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE) - 1.0), 0.0)) AS zz
+        |  FROM f
+        |)
+        |SELECT np AS n_up, nm AS n_down, r AS n_runs,
+        |  FLOOR(er * 10000.0 + 0.500001) / 10000.0 AS expected_runs,
+        |  FLOOR(zz * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
+        |  CAST(COALESCE(CASE WHEN ABS(zz) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
+        |FROM z""".stripMargin,
+
+    // identical lagged pairs, exact HUGEINT moments, the same OLS/SSE
+    // identity and the documented -2.86 asymptotic critical
+    "q_dickey_fuller" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), pairs AS (
+        |  SELECT rev - xl AS dy, xl AS x
+        |  FROM (SELECT rev, LAG(rev) OVER (ORDER BY day) AS xl FROM daily)
+        |  WHERE xl IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * dy) AS sxy,
+        |    SUM(CAST(dy AS HUGEINT) * dy) AS syy
+        |  FROM pairs
+        |), f AS (
+        |  SELECT n,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS vx,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cxy,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS syyc,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m
+        |), o AS (
+        |  SELECT n, cxy / vx AS gamma,
+        |    syd / CAST(n AS DOUBLE)
+        |      - (cxy / vx) * sxd / CAST(n AS DOUBLE) AS alpha,
+        |    sqrt((GREATEST(syyc - (cxy / vx) * cxy, 0.0)
+        |      / (CAST(n AS DOUBLE) - 2.0)) / vx) AS se
+        |  FROM f
+        |)
+        |SELECT n AS n_days,
+        |  FLOOR(gamma * 1000000.0 + 0.500001) / 1000000.0 AS gamma,
+        |  FLOOR(alpha / 100.0 * 1000000.0 + 0.500001) / 1000000.0
+        |    AS alpha_dollars,
+        |  FLOOR(gamma / se * 1000000.0 + 0.500001) / 1000000.0 AS df_stat,
+        |  CAST(COALESCE(CASE WHEN
+        |      FLOOR(gamma / se * 1000000.0 + 0.500001) / 1000000.0 < -2.86
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS mean_reverting_95
+        |FROM o""".stripMargin
   )
 }

@@ -513,6 +513,55 @@ class IncrementalSpec extends SparkSpec {
     assert(r.getLong(4) === 1L, s"level shift must alarm: $r")
   }
 
+  test("runs test: alternating series has maximal runs, a 2-block series R=2") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_runs").toString
+      vals.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), v)
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // strictly alternating up/down: every move is a new run ⇒ R = n,
+    // far above E[R] ⇒ reject
+    val alt = (0 until 41).map(i => if (i % 2 == 0) 100.0 else 200.0)
+    val ra = SparkEntry.queries("q_runs_test")(spark, mk(alt)).head()
+    assert(ra.getLong(0) === 20L && ra.getLong(1) === 20L)
+    assert(ra.getLong(2) === 40L, s"every move flips: $ra")
+    assert(ra.getDouble(4) > 1.96 && ra.getLong(5) === 1L)
+    // 20 rises then 20 falls: exactly 2 runs, far below E[R] ⇒ reject
+    val blocks = (0 until 21).map(i => 100.0 + i) ++
+      (1 until 21).map(i => 120.0 - i)
+    val rb = SparkEntry.queries("q_runs_test")(spark, mk(blocks)).head()
+    assert(rb.getLong(2) === 2L && rb.getLong(5) === 1L, s"$rb")
+  }
+
+  test("Dickey-Fuller: a mean-reverting AR(1) rejects, a trendless walk shape doesn't") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_df").toString
+      vals.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), v)
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // deterministic strong mean reversion: x alternates around 1000 with
+    // deterministic wobble (gamma ≈ -2, se tiny ⇒ hugely negative t)
+    val rev = (0 until 120).map(i =>
+      1000.0 + (if (i % 2 == 0) 50.0 else -50.0) + (i % 7))
+    val rr = SparkEntry.queries("q_dickey_fuller")(spark, mk(rev)).head()
+    assert(rr.getLong(0) === 119L)
+    assert(rr.getDouble(1) < -1.0, s"alternation implies gamma near -2: $rr")
+    assert(rr.getDouble(3) < -2.86 && rr.getLong(4) === 1L, s"$rr")
+    // a pure deterministic ramp: dy is constant, gamma = 0 exactly ⇒
+    // t = 0, cannot reject a unit root
+    val ramp = (0 until 60).map(i => 100.0 + 10.0 * i)
+    val rw = SparkEntry.queries("q_dickey_fuller")(spark, mk(ramp)).head()
+    assert(rw.getDouble(1) === 0.0 && rw.getLong(4) === 0L, s"$rw")
+  }
+
   test("Page-Hinkley: a constant series never alarms") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ph0").toString
