@@ -41,7 +41,8 @@ object Multimodal {
       width: Int, height: Int, feature: Array[Float])
 
   /** Mimes [[decodeImage]] genuinely decodes (JDK ImageIO readers). */
-  private val ImageMimes = Set("image/png", "image/jpeg", "image/gif", "image/bmp")
+  private val ImageMimes =
+    Set("image/png", "image/jpeg", "image/gif", "image/bmp", "image/tiff")
 
   /** Partition-local codec state: one `ImageReader`/`ImageWriter` per mime
     * per task, fed by IN-MEMORY streams. The convenience `ImageIO.read`/
@@ -959,6 +960,35 @@ object Multimodal {
         val h = (3 + did % 7).toInt
         MediaRow(did, encodePng(w, h, (x, y) => ((x * 31 + y * 17 + did) % 256).toInt, codec),
           "image/png")
+      }
+    }
+  }
+
+  /** The THIRD real still-image container (after PNG and the BMP spec
+    * coverage): genuine baseline TIFFs through the JDK 9+ javax.imageio
+    * TIFF plugin — lossless like PNG, so decode returns the exact pixel
+    * function. Distinct dims/pixel formula from the PNG path, so a TIFF
+    * reader regression breaks its own query, not a shared oracle row.
+    */
+  def tiffMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val codec = new ImageCodec
+      it.map { did =>
+        val w = (5 + did % 11).toInt
+        val h = (4 + did % 9).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((x * 29 + y * 19 + did * 3) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(did, codec.write(img, "image/tiff"), "image/tiff")
       }
     }
   }

@@ -1299,6 +1299,21 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // the THIRD real still container (r10): genuine baseline TIFFs through
+    // the JDK 9+ javax.imageio TIFF plugin — lossless, distinct pixel
+    // formula, same luminance oracle shape as q_multimodal
+    "q_multimodal_tiff" -> ((s, dir) => {
+      val media = Multimodal.tiffMediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("mime"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(element_at(col("feature"), 1)).as("mean_lum"),
+          element_at(col("feature"), 2).cast("long").as("min_lum"),
+          element_at(col("feature"), 3).cast("long").as("max_lum"))
+        .orderBy("media_id")
+    }),
+
     // REAL WAV encode → javax.sound decode: frame counts and every PCM16
     // sample are closed-form in doc_id with INTEGER values, so amplitude
     // sums stay exact in doubles and the oracle recomputes rms/meanAbs/
@@ -3243,6 +3258,27 @@ object LlmQueries {
         |SELECT doc_id AS media_id, 'image/png' AS mime,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  FLOOR(CAST(CAST(AVG(v) AS REAL) AS DOUBLE) * 10000.0 + 0.500001) / 10000.0 AS mean_lum
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+    // the TIFF sibling: its own dims/pixel formula, min/max luminance
+    // exact integers, mean through the same single float32 quantization
+    "q_multimodal_tiff" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 9 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    CAST((x.x * 29 + y.y * 19 + d.doc_id * 3) % 256 AS DOUBLE) AS v
+        |  FROM dims d,
+        |    LATERAL unnest(generate_series(0, d.w - 1)) AS x(x),
+        |    LATERAL unnest(generate_series(0, d.h - 1)) AS y(y)
+        |)
+        |SELECT doc_id AS media_id, 'image/tiff' AS mime,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  FLOOR(CAST(CAST(AVG(v) AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS mean_lum,
+        |  CAST(MIN(v) AS BIGINT) AS min_lum,
+        |  CAST(MAX(v) AS BIGINT) AS max_lum
         |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
 
     // audio parity: integer-valued samples keep Σv and Σv² exact in

@@ -398,4 +398,36 @@ class MultimodalSpec extends SparkSpec {
         s"strictly-above-median of 15 values is at most 7: $r")
     }
   }
+
+  test("TIFF round-trip: JDK writer/reader is lossless pixel-for-pixel") {
+    val codec = new Multimodal.ImageCodec
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val v = (x * 29 + y * 19 + 3) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = codec.write(img, "image/tiff")
+    assert(bytes.length > 0)
+    val back = codec.read(bytes, "image/tiff", 0L)
+    assert(back.getWidth === 7 && back.getHeight === 5)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert((back.getRGB(x, y) & 0xFFFFFF) === (img.getRGB(x, y) & 0xFFFFFF),
+        s"pixel ($x,$y)")
+  }
+
+  test("q_multimodal_tiff: decoded dims and luminance match the pixel formula") {
+    val rows = graft.SparkEntry.queries("q_multimodal_tiff")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 500)
+    rows.take(20).foreach { r =>
+      val did = r.getLong(0)
+      assert(r.getString(1) === "image/tiff")
+      assert(r.getLong(2) === 5 + did % 11 && r.getLong(3) === 4 + did % 9)
+      val w = (5 + did % 11).toInt; val h = (4 + did % 9).toInt
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield ((x * 29 + y * 19 + did * 3) % 256).toDouble
+      assert(r.getLong(5) === vals.min.toLong && r.getLong(6) === vals.max.toLong)
+    }
+  }
 }
