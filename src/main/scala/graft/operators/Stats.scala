@@ -2041,6 +2041,110 @@ object Stats {
           .as("reject_95"))
     }),
 
+    // ---- Hotelling T² two-sample multivariate mean test (r10) -------------
+    // q_ab_ttest per coordinate can miss a JOINT mean shift (two small
+    // correlated moves); Hotelling (1931)'s T² = (n_a·n_b/N)·δᵀS_p⁻¹δ on
+    // the (order count, spend) customer plane catches it. All five pooled
+    // second moments are EXACT BIGINT/decimal-38 integers off one
+    // conditional aggregate (the q_mahalanobis discipline); the pooled
+    // 2×2 inverse is closed-form algebra — no linear-algebra library —
+    // and the F conversion F = (N−p−1)/(p(N−2))·T² compares against the
+    // asymptotic χ²₂-based 5% line (3.0 for large N, documented). The
+    // md5 arms make it an A/A: the honest expected answer is no reject.
+    "q_hotelling" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val feats = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("f"), sum(cents).as("m"))
+        .select(arm(col("custkey")).as("g"), col("f"), col("m"),
+          col("f").cast("decimal(38,0)").as("fd"),
+          col("m").cast("decimal(38,0)").as("md"))
+      val gagg = feats.agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("g") === 0L, col("f")).otherwise(0L)).as("sfa"),
+        sum(when(col("g") === 1L, col("f")).otherwise(0L)).as("sfb"),
+        sum(when(col("g") === 0L, col("m")).otherwise(0L)).as("sma"),
+        sum(when(col("g") === 1L, col("m")).otherwise(0L)).as("smb"),
+        sum(when(col("g") === 0L, col("fd") * col("fd")).otherwise(lit(0)))
+          .as("sffa"),
+        sum(when(col("g") === 1L, col("fd") * col("fd")).otherwise(lit(0)))
+          .as("sffb"),
+        sum(when(col("g") === 0L, col("md") * col("md")).otherwise(lit(0)))
+          .as("smma"),
+        sum(when(col("g") === 1L, col("md") * col("md")).otherwise(lit(0)))
+          .as("smmb"),
+        sum(when(col("g") === 0L, col("fd") * col("md")).otherwise(lit(0)))
+          .as("sfma"),
+        sum(when(col("g") === 1L, col("fd") * col("md")).otherwise(lit(0)))
+          .as("sfmb"))
+      def d(c: Column): Column = c.cast("double")
+      val naD = d(col("na")); val nbD = d(col("nb"))
+      val nD = naD + nbD
+      // pooled central SSCP = per-arm (Σxx − ΣxΣx/n) summed, / (N−2)
+      def cen(sxx: Column, sx: Column, sy: Column, n: Column): Column =
+        d(sxx) - d(sx) * d(sy) / d(n)
+      val wff = (cen(col("sffa"), col("sfa"), col("sfa"), col("na")) +
+        cen(col("sffb"), col("sfb"), col("sfb"), col("nb"))) / (nD - 2)
+      val wmm = (cen(col("smma"), col("sma"), col("sma"), col("na")) +
+        cen(col("smmb"), col("smb"), col("smb"), col("nb"))) / (nD - 2)
+      val wfm = (cen(col("sfma"), col("sfa"), col("sma"), col("na")) +
+        cen(col("sfmb"), col("sfb"), col("smb"), col("nb"))) / (nD - 2)
+      val df0 = d(col("sfa")) / naD - d(col("sfb")) / nbD
+      val dm0 = d(col("sma")) / naD - d(col("smb")) / nbD
+      val det = wff * wmm - wfm * wfm
+      val quad = try_divide(
+        df0 * (wmm * df0 - wfm * dm0) + dm0 * (wff * dm0 - wfm * df0), det)
+      val t2 = naD * nbD / nD * quad
+      val fStat = (nD - 3) / (lit(2.0) * (nD - 2)) * t2
+      gagg.select(col("na").as("n_a"), col("nb").as("n_b"),
+        r6(df0).as("diff_orders"), r2c(dm0 / 100.0).as("diff_spend"),
+        r6(t2).as("t2"), r6(fStat).as("f_stat"),
+        coalesce((r6(fStat) > lit(3.0)).cast("long"), lit(0L))
+          .as("reject_05"))
+    }),
+
+    // ---- Bartlett's variance-homogeneity test (r10) -----------------------
+    // The parametric sibling of q_levene (which is robust but less
+    // powerful under normality): B = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²]/C,
+    // C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)), over per-priority order
+    // values. Per-cell moments are exact BIGINT/HUGEINT; variances are
+    // double-rounded moment quotients CLAMPED at 0 with the ln guarded on
+    // s² > 0 (§2.13 — DuckDB's LN hard-errors at 0); the ≤5-cell ln sum
+    // follows the q_chi_square small-frame precedent.
+    "q_bartlett" -> ((s, dir) => {
+      val v = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val cells = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("ni"), sum(v).as("si"),
+          sum(v.cast("decimal(19,0)") * v.cast("decimal(19,0)")).as("qi"))
+      def d(c: Column): Column = c.cast("double")
+      val vi = try_divide(greatest(d(col("qi")) - d(col("si")) * d(col("si")) /
+        d(col("ni")), lit(0.0)), d(col("ni")) - 1)
+      def lnPos(c: Column): Column = when(c > 0, log(c))
+      val g = cells.select(col("ni"), vi.as("vi"))
+        .agg(sum(col("ni")).as("nn"), count(lit(1)).as("k"),
+          sum((d(col("ni")) - 1) * lnPos(col("vi"))).as("sln"),
+          sum((d(col("ni")) - 1) * col("vi")).as("ssp"),
+          sum(try_divide(lit(1.0), d(col("ni")) - 1)).as("sinv"),
+          sum(when(col("vi") > 0, 1L).otherwise(0L)).as("n_ok"))
+      val nD = d(col("nn")); val kD = d(col("k"))
+      val sp2 = col("ssp") / (nD - kD)
+      val b0 = (nD - kD) * lnPos(sp2) - col("sln")
+      val cC = lit(1.0) + (col("sinv") - lit(1.0) / (nD - kD)) /
+        (lit(3.0) * (kD - 1))
+      // a zero-variance (or singleton) group abstains the WHOLE test —
+      // its ln term is undefined; NULL-consistent on both engines
+      val b = when(col("n_ok") === col("k"), try_divide(b0, cC))
+      g.select(col("nn").as("n"), col("k").as("k_groups"),
+        r4(b).as("bartlett_stat"),
+        (col("k") - 1L).cast("long").as("dof"),
+        coalesce((r4(b) > lit(9.487729036781154)).cast("long"), lit(0L))
+          .as("reject_95"))
+    }),
+
     // ---- Bayesian A/B: P(p_B > p_A) in closed form (r10) ------------------
     // The decision-ready companion to q_prop_ztest's frequentist z: with
     // Beta(1,1) priors and binomial arms, P(p_B > p_A | data) has the
@@ -3981,6 +4085,128 @@ object Stats {
         |  FLOOR(pbar * 1000000.0 + 0.500001) / 1000000.0 AS rate_overall,
         |  FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 AS z_trend,
         |  CAST(COALESCE(CASE WHEN ABS(z) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
+        |FROM f""".stripMargin,
+
+    // identical exact pooled moments, the same closed-form 2x2 inverse
+    // sequence, and the same F conversion
+    "q_hotelling" ->
+      """WITH feats AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY o_custkey
+        |), gg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN g = 0 THEN f ELSE 0 END) AS BIGINT) AS sfa,
+        |    CAST(SUM(CASE WHEN g = 1 THEN f ELSE 0 END) AS BIGINT) AS sfb,
+        |    CAST(SUM(CASE WHEN g = 0 THEN m ELSE 0 END) AS BIGINT) AS sma,
+        |    CAST(SUM(CASE WHEN g = 1 THEN m ELSE 0 END) AS BIGINT) AS smb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(f AS HUGEINT) * f ELSE 0 END)
+        |      AS sffa,
+        |    SUM(CASE WHEN g = 1 THEN CAST(f AS HUGEINT) * f ELSE 0 END)
+        |      AS sffb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(m AS HUGEINT) * m ELSE 0 END)
+        |      AS smma,
+        |    SUM(CASE WHEN g = 1 THEN CAST(m AS HUGEINT) * m ELSE 0 END)
+        |      AS smmb,
+        |    SUM(CASE WHEN g = 0 THEN CAST(f AS HUGEINT) * m ELSE 0 END)
+        |      AS sfma,
+        |    SUM(CASE WHEN g = 1 THEN CAST(f AS HUGEINT) * m ELSE 0 END)
+        |      AS sfmb
+        |  FROM feats
+        |), w AS (
+        |  SELECT na, nb,
+        |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nn,
+        |    ((CAST(sffa AS DOUBLE) - CAST(sfa AS DOUBLE) * CAST(sfa AS DOUBLE)
+        |        / CAST(na AS DOUBLE))
+        |      + (CAST(sffb AS DOUBLE) - CAST(sfb AS DOUBLE)
+        |        * CAST(sfb AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2) AS wff,
+        |    ((CAST(smma AS DOUBLE) - CAST(sma AS DOUBLE) * CAST(sma AS DOUBLE)
+        |        / CAST(na AS DOUBLE))
+        |      + (CAST(smmb AS DOUBLE) - CAST(smb AS DOUBLE)
+        |        * CAST(smb AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2) AS wmm,
+        |    ((CAST(sfma AS DOUBLE) - CAST(sfa AS DOUBLE) * CAST(sma AS DOUBLE)
+        |        / CAST(na AS DOUBLE))
+        |      + (CAST(sfmb AS DOUBLE) - CAST(sfb AS DOUBLE)
+        |        * CAST(smb AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2) AS wfm,
+        |    CAST(sfa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sfb AS DOUBLE) / CAST(nb AS DOUBLE) AS df0,
+        |    CAST(sma AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(smb AS DOUBLE) / CAST(nb AS DOUBLE) AS dm0
+        |  FROM gg
+        |), t AS (
+        |  SELECT na, nb, nn, df0, dm0,
+        |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / nn
+        |      * ((df0 * (wmm * df0 - wfm * dm0)
+        |        + dm0 * (wff * dm0 - wfm * df0))
+        |        / (wff * wmm - wfm * wfm)) AS t2
+        |  FROM w
+        |), f AS (
+        |  SELECT na, nb, df0, dm0, t2,
+        |    (nn - 3) / (2.0 * (nn - 2)) * t2 AS fs
+        |  FROM t
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  FLOOR(df0 * 1000000.0 + 0.500001) / 1000000.0 AS diff_orders,
+        |  FLOOR(dm0 / 100.0 * 100.0 + 0.500001) / 100.0 AS diff_spend,
+        |  FLOOR(t2 * 1000000.0 + 0.500001) / 1000000.0 AS t2,
+        |  FLOOR(fs * 1000000.0 + 0.500001) / 1000000.0 AS f_stat,
+        |  CAST(COALESCE(CASE WHEN
+        |      FLOOR(fs * 1000000.0 + 0.500001) / 1000000.0 > 3.0
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_05
+        |FROM f""".stripMargin,
+
+    // identical per-cell exact moments, clamped variances, guarded ln,
+    // whole-test abstention on a degenerate cell
+    "q_bartlett" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS ni,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS si,
+        |    SUM(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      AS HUGEINT)
+        |      * CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)) AS qi
+        |  FROM orders GROUP BY 1
+        |), vs AS (
+        |  SELECT ni,
+        |    GREATEST(CAST(qi AS DOUBLE) - CAST(si AS DOUBLE)
+        |      * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE), 0.0)
+        |      / (CAST(ni AS DOUBLE) - 1) AS vi
+        |  FROM cells
+        |), g AS (
+        |  SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM((CAST(ni AS DOUBLE) - 1)
+        |      * (CASE WHEN vi > 0 THEN LN(vi) END)) AS sln,
+        |    SUM((CAST(ni AS DOUBLE) - 1) * vi) AS ssp,
+        |    SUM(1.0 / (CAST(ni AS DOUBLE) - 1)) AS sinv,
+        |    CAST(SUM(CASE WHEN vi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ok
+        |  FROM vs
+        |), f AS (
+        |  SELECT nn, k, n_ok,
+        |    CASE WHEN n_ok = k THEN
+        |      ((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+        |        * (CASE WHEN ssp / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) > 0
+        |          THEN LN(ssp / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) END)
+        |        - sln)
+        |      / (1.0 + (sinv - 1.0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+        |        / (3.0 * (CAST(k AS DOUBLE) - 1))) END AS b
+        |  FROM g
+        |)
+        |SELECT nn AS n, k AS k_groups,
+        |  FLOOR(b * 10000.0 + 0.500001) / 10000.0 AS bartlett_stat,
+        |  CAST(k - 1 AS BIGINT) AS dof,
+        |  CAST(COALESCE(CASE WHEN FLOOR(b * 10000.0 + 0.500001) / 10000.0
+        |      > 9.487729036781154
         |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
         |FROM f""".stripMargin,
 

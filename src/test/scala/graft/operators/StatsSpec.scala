@@ -1506,6 +1506,50 @@ class StatsSpec extends SparkSpec {
     assert(even.getLong(5) === 0L)
   }
 
+  test("Hotelling T2: a joint mean shift on known arms rejects; A/A stays calm") {
+    import spark.implicits._
+    val ids = (1L to 3000L)
+    val a0 = ids.filter(armOfId(_) == 0L).take(60)
+    val a1 = ids.filter(armOfId(_) == 1L).take(60)
+    // arm 0: 2/3 orders of ~$1000; arm 1: 4/5 orders of ~$3000 — the
+    // within-arm alternation keeps the pooled covariance NONSINGULAR
+    // (constant per-arm counts would zero wff and null the statistic)
+    def orders(custs: Seq[Long], kBase: Int, base: Double) =
+      custs.zipWithIndex.flatMap { case (c, j) =>
+        (1 to (kBase + j % 2)).map(i =>
+          (c * 100 + i, c, base + j % 5 * 10.0 + i)) }
+    val dir = fixtureDir("orders" ->
+      (orders(a0, 2, 1000.0) ++ orders(a1, 4, 3000.0))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val r = SparkEntry.queries("q_hotelling")(spark, dir).head()
+    assert(r.getLong(0) === 60L && r.getLong(1) === 60L)
+    assert(r.getDouble(2) === -2.0, "order-count gap is exactly -2")
+    assert(r.getDouble(5) > 3.0 && r.getLong(6) === 1L,
+      s"joint shift must reject: $r")
+  }
+
+  test("Bartlett: planted unequal spreads reject; a degenerate cell abstains") {
+    import spark.implicits._
+    def mk(groups: Seq[(String, Seq[Double])]) = fixtureDir("orders" ->
+      groups.flatMap { case (p, vs) => vs.map(v => (p, v)) }
+        .zipWithIndex.map { case ((p, v), i) => (i.toLong, p, v) }
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    // tight vs wide spread, same means
+    val spread = mk(Seq(
+      ("1-URGENT", (1 to 40).map(i => 1000.0 + (i % 3))),
+      ("5-LOW", (1 to 40).map(i => 1000.0 + (i % 21) * 50.0))))
+    val rs = SparkEntry.queries("q_bartlett")(spark, spread).head()
+    assert(rs.getLong(1) === 2L && rs.getLong(3) === 1L)
+    assert(rs.getDouble(2) > 9.49 && rs.getLong(4) === 1L,
+      s"50x spread ratio must reject: $rs")
+    // one constant group: whole test abstains
+    val degen = mk(Seq(
+      ("1-URGENT", Seq.fill(20)(1000.0)),
+      ("5-LOW", (1 to 20).map(i => 1000.0 + i * 10.0))))
+    val rd = SparkEntry.queries("q_bartlett")(spark, degen).head()
+    assert(rd.isNullAt(2) && rd.getLong(4) === 0L, s"$rd")
+  }
+
   test("Anderson-Darling: uniform spend rejects normality, constant abstains") {
     import spark.implicits._
     def mk(vals: Seq[Double]) = fixtureDir("orders" ->
