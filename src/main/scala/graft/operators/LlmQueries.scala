@@ -1742,6 +1742,41 @@ object LlmQueries {
         .orderBy("cluster")
     }),
 
+    // ---- pairwise-cosine histogram (r10) ----------------------------------
+    // q_embed_anisotropy reports the MEAN pairwise cosine; this is the
+    // distribution behind it — the histogram every similarity-threshold
+    // decision (SemDeDup cutoff, ANN recall target) should be read
+    // against. Bounded monitoring slice (vec_id < 200 — the q_dbscan
+    // stance), broadcast all-pairs a < b, cosine via the vec_dot kernel,
+    // 10 bins of width 0.2 over [−1, 1] with the boundary decided on the
+    // r6-ROUNDED cosine so a ±1-ulp dot difference cannot flip a bin.
+    "q_cosine_hist" -> ((s, dir) => {
+      graft.similarity.VecOps.register(s)
+      val samp = t(s, dir, "embeddings").where(col("vec_id") < 200L)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(Ann.dot(col("embedding"), col("embedding"))).as("nrm"))
+        .where(col("nrm") > 0)
+      val a = samp.select(col("vec_id").as("a"), col("embedding").as("va"),
+        col("nrm").as("na"))
+      val b = samp.select(col("vec_id").as("b"), col("embedding").as("vb"),
+        col("nrm").as("nb"))
+      val cosR = r6(Ann.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      val pairs = a.join(broadcast(b), col("a") < col("b"))
+        .select(cosR.as("c"))
+      val bin = least(floor((col("c") + 1.0) / lit(0.2)).cast("long"),
+        lit(9L))
+      pairs.select(bin.as("bin"), col("c"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor(col("c") * lit(1000000.0)).cast("long")).as("cm"))
+        .select(col("bin"),
+          r2(col("bin").cast("double") * 0.2 - 1.0).as("bin_lo"),
+          col("n_pairs"),
+          r6(col("cm").cast("double") / col("n_pairs") / lit(1000000.0))
+            .as("mean_cos_in_bin"))
+        .orderBy("bin")
+    }),
+
     // ---- embedding-space anisotropy audit (r10) ---------------------------
     // Ethayarajh (2019)'s finding made operational: contextual embedding
     // spaces are often ANISOTROPIC — random vectors have high expected
@@ -3664,6 +3699,32 @@ object LlmQueries {
         |  FLOOR(CAST(SUM(a_micro) AS DOUBLE) / COUNT(*) / 1000000.0
         |    * 1000000.0 + 0.500001) / 1000000.0 AS mean_dist_to_centroid
         |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // identical bounded slice, list_dot_product cosine, r6-rounded
+    // binning, and micro-unit bin means
+    "q_cosine_hist" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings WHERE vec_id < 200
+        |), sn AS (SELECT * FROM s WHERE nrm > 0
+        |), pairs AS (
+        |  SELECT FLOOR(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS c
+        |  FROM sn a JOIN sn b ON a.vec_id < b.vec_id
+        |), binned AS (
+        |  SELECT LEAST(CAST(FLOOR((c + 1.0) / 0.2) AS BIGINT), 9) AS bin, c
+        |  FROM pairs
+        |)
+        |SELECT bin,
+        |  FLOOR((CAST(bin AS DOUBLE) * 0.2 - 1.0) * 100.0 + 0.500001)
+        |    / 100.0 AS bin_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  FLOOR(CAST(SUM(CAST(FLOOR(c * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 1000000.0 * 1000000.0 + 0.500001) / 1000000.0
+        |    AS mean_cos_in_bin
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     // identical normalization, 1e-6 component quantization, and the
     // sum-vector identity over exact HUGEINT sums

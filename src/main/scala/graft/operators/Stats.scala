@@ -2041,6 +2041,37 @@ object Stats {
           .as("reject_95"))
     }),
 
+    // ---- Hodges–Lehmann shift estimator (r10) -----------------------------
+    // The robust "how much did daily revenue move between 1997 and 1998?"
+    // — the median of ALL pairwise differences (Hodges & Lehmann 1963):
+    // unlike the difference of means a single blowout day cannot drag it,
+    // and unlike the difference of medians it uses every pair's evidence.
+    // Scale shape: the pair census is CALENDAR-bounded (≤366² pairs — the
+    // q_theil_sen stance: cost pinned by the calendar, not the corpus),
+    // generated by a broadcast join of the two year frames; the median is
+    // one exact single-group percentile over the bounded pair frame.
+    // Differences are exact integer cents; percentile's midpoint
+    // interpolation is an exactly-representable .5 average of two ints.
+    "q_hodges_lehmann" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      def yr(y: Int) = daily.where(year(col("day")) === y)
+      val a = yr(1998).select(col("rev").as("ra"))
+      val b = yr(1997).select(col("rev").as("rb"))
+      val pairs = a.crossJoin(broadcast(b))
+        .select((col("ra") - col("rb")).as("d"))
+      val counts = a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(d, 0.5)").as("hl"))
+        .crossJoin(broadcast(counts))
+        .select(col("n_a"), col("n_b"), col("n_pairs"),
+          r2c(col("hl") / lit(100.0)).as("hl_shift_dollars"))
+    }),
+
     // ---- Hotelling T² two-sample multivariate mean test (r10) -------------
     // q_ab_ttest per coordinate can miss a JOINT mean shift (two small
     // correlated moves); Hotelling (1931)'s T² = (n_a·n_b/N)·δᵀS_p⁻¹δ on
@@ -4087,6 +4118,28 @@ object Stats {
         |  CAST(COALESCE(CASE WHEN ABS(z) > 1.959963984540054
         |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
         |FROM f""".stripMargin,
+
+    // identical calendar-bounded pair census; quantile_cont matches
+    // percentile's midpoint interpolation on exact integers
+    "q_hodges_lehmann" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), a AS (SELECT rev AS ra FROM daily WHERE year(day) = 1998
+        |), b AS (SELECT rev AS rb FROM daily WHERE year(day) = 1997
+        |), pairs AS (SELECT ra - rb AS d FROM a, b
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    quantile_cont(d, 0.5) AS hl
+        |  FROM pairs
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+        |  n_pairs,
+        |  FLOOR(hl / 100.0 * 100.0 + 0.500001) / 100.0 AS hl_shift_dollars
+        |FROM m""".stripMargin,
 
     // identical exact pooled moments, the same closed-form 2x2 inverse
     // sequence, and the same F conversion

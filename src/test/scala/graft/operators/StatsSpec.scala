@@ -1506,6 +1506,31 @@ class StatsSpec extends SparkSpec {
     assert(even.getLong(5) === 0L)
   }
 
+  test("Hodges-Lehmann: a planted +$70 daily shift is recovered exactly, " +
+      "outlier-immune") {
+    import spark.implicits._
+    def mk(y97: Seq[Double], y98: Seq[Double]) = fixtureDir("orders" ->
+      (y97.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(1997, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), v) } ++
+       y98.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(1998, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), v) })
+        .zipWithIndex.map { case ((d, v), i) => (i.toLong, d, v) }
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice"))
+    val base = (0 until 30).map(i => 100.0 + (i % 10))
+    val dir = mk(base, base.map(_ + 70.0))
+    val r = SparkEntry.queries("q_hodges_lehmann")(spark, dir).head()
+    assert(r.getLong(0) === 30L && r.getLong(1) === 30L &&
+      r.getLong(2) === 900L)
+    assert(r.getDouble(3) === 70.0, s"pure shift recovered exactly: $r")
+    // one 1000x blowout day in 1998 cannot move the median of pair diffs
+    val dirty = mk(base, base.map(_ + 70.0).updated(0, 200000.0))
+    val rd = SparkEntry.queries("q_hodges_lehmann")(spark, dirty).head()
+    assert(math.abs(rd.getDouble(3) - 70.0) <= 1.0,
+      s"HL must shrug off the outlier: $rd")
+  }
+
   test("Hotelling T2: a joint mean shift on known arms rejects; A/A stays calm") {
     import spark.implicits._
     val ids = (1L to 3000L)

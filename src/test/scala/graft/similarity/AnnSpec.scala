@@ -539,6 +539,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("cosine histogram: orthogonal/parallel fixture lands in exact bins") {
+    import spark.implicits._
+    def axis(i: Int, s0: Float): Array[Float] = {
+      val v = Array.fill(4)(0.0f); v(i) = s0; v
+    }
+    // 2 parallel (cos 1), 1 orthogonal to both (cos 0): pairs = {1, 0, 0}
+    val rows = Seq((0L, axis(0, 2.0f), 0), (1L, axis(0, 5.0f), 0),
+      (2L, axis(1, 3.0f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_chist").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_cosine_hist")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(5L -> (2L, 0.0), 9L -> (1L, 1.0)),
+      s"cos 0 lands in bin 5, cos 1 clamps into bin 9: $out")
+  }
+
   test("anisotropy: one-hot fixture gives the exact closed-form mean cosine") {
     import spark.implicits._
     // 3 vectors on axis 0, 2 on axis 1, all norm 10: unit components are
