@@ -986,6 +986,95 @@ object Timeseries {
             .as("drift_alarm"))
     }),
 
+    // ---- rolling-window z-score anomaly days (r10) ------------------------
+    // The monitoring workhorse q_changepoint (single global shift) and
+    // q_page_hinkley (sequential drift) both assume ONE regime change;
+    // this is the day-level alert rule ops teams actually run: each day's
+    // revenue scored against its OWN trailing 28 observed days (rolling
+    // mean/std, current day excluded), top 10 by |z|. Windows are
+    // date-ordered rowsBetween(−28, −1) over the calendar-bounded daily
+    // frame; the rolling std clamps its raw moment difference (§2.13) and
+    // z abstains on a constant window via try_divide; ranking on the
+    // r6-ROUNDED |z| with a day tie-break so the top-10 cut can't flip.
+    "q_rolling_anomaly" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val wTrail = BoundedWindow.ordered(col("day"), col("day"))
+        .rowsBetween(-28, -1)
+      val scored = daily
+        .withColumn("n_w", count(lit(1)).over(wTrail))
+        .withColumn("s1", sum(col("rev")).over(wTrail))
+        .withColumn("s2",
+          sum(col("rev").cast("decimal(19,0)") *
+            col("rev").cast("decimal(19,0)")).over(wTrail))
+        .where(col("n_w") === 28L)
+      def d(c: Column): Column = c.cast("double")
+      val mu = d(col("s1")) / d(col("n_w"))
+      val sd = sqrt(greatest(d(col("s2")) - d(col("s1")) * d(col("s1")) /
+        d(col("n_w")), lit(0.0)) / (d(col("n_w")) - 1))
+      val z = try_divide(d(col("rev")) - mu, sd)
+      val zR = r6(z)
+      scored.select(col("day"), col("rev"),
+          r2(mu / 100.0).as("trail_mean_dollars"), zR.as("z"))
+        .where(col("z").isNotNull)
+        .orderBy(abs(col("z")).desc, col("day"))
+        .limit(10)
+        .select(col("day"), (col("rev") / lit(100)).as("rev_dollars"),
+          col("trail_mean_dollars"), col("z"),
+          (abs(col("z")) > lit(3.0)).cast("long").as("is_anomaly"))
+        .orderBy(abs(col("z")).desc, col("day"))
+    }),
+
+    // ---- SAX symbolization (r10) ------------------------------------------
+    // Lin et al. (2003)'s Symbolic Aggregate approXimation — the
+    // dimensionality reduction under a whole family of time-series
+    // mining tools (motif discovery, HOT SAX anomaly ranking): the daily
+    // revenue series z-normalized by its GLOBAL moments, averaged into
+    // 16-day PAA segments, each mapped to one of 4 symbols by the
+    // standard-normal quartile breakpoints (±0.6744897501960817, 0 —
+    // written-out literals, never an engine quantile). Output: one row
+    // per segment with its PAA value and symbol, plus the alphabet
+    // distribution a scale-out consumer would index on. All windows ride
+    // the calendar-bounded daily frame; segment means use exact integer
+    // cents sums; symbol boundaries compare the r6-ROUNDED z so a 1-ulp
+    // division difference cannot relabel a segment.
+    "q_sax_symbols" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val wAll = BoundedWindow.whole(col("day"))
+      val idx = row_number().over(BoundedWindow.ordered(col("day"), col("day")))
+        .cast("long") - 1L
+      val seg = daily
+        .withColumn("i", idx)
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s1", sum(col("rev")).over(wAll))
+        .withColumn("s2", sum(col("rev").cast("decimal(19,0)") *
+          col("rev").cast("decimal(19,0)")).over(wAll))
+        .withColumn("segment", floor(col("i") / 16L))
+      val bySeg = seg.groupBy("segment")
+        .agg(count(lit(1)).as("seg_days"), sum(col("rev")).as("seg_sum"),
+          max(col("n")).as("n"), max(col("s1")).as("s1"), max(col("s2")).as("s2"))
+        .where(col("seg_days") === 16L)
+      def d(c: Column): Column = c.cast("double")
+      val mu = d(col("s1")) / d(col("n"))
+      val sd = sqrt(greatest(d(col("s2")) - d(col("s1")) * d(col("s1")) /
+        d(col("n")), lit(0.0)) / (d(col("n")) - 1))
+      val paa = try_divide(d(col("seg_sum")) / 16.0 - mu, sd)
+      val paaR = r6(paa)
+      val bp = lit(0.6744897501960817)
+      val sym = when(paaR.isNull, lit(null).cast("string"))
+        .when(paaR < -bp, "a").when(paaR < 0, "b")
+        .when(paaR < bp, "c").otherwise(lit("d"))
+      bySeg.select(col("segment"), paaR.as("paa_z"), sym.as("symbol"))
+        .orderBy("segment")
+    }),
+
     // ---- Wald–Wolfowitz runs test (beyond reference, r10) -----------------
     // "Are the daily up/down moves RANDOM, or do they streak?" — the
     // nonparametric serial-dependence check under q_acf: classify each
@@ -1818,6 +1907,83 @@ object Timeseries {
         |      > FLOOR(3.0 * sigma * 10000.0 + 0.500001) / 10000.0
         |    THEN 1 ELSE 0 END AS BIGINT) AS drift_alarm
         |FROM top WHERE rk = 1""".stripMargin,
+
+    // identical trailing frame, clamped rolling moments, r6-rounded |z|
+    // ranking with the same day tie-break
+    "q_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT day, rev,
+        |    CAST(COUNT(*) OVER tw AS BIGINT) AS n_w,
+        |    CAST(SUM(rev) OVER tw AS BIGINT) AS s1,
+        |    SUM(CAST(rev AS HUGEINT) * rev) OVER tw AS s2
+        |  FROM daily
+        |  WINDOW tw AS (ORDER BY day ROWS BETWEEN 28 PRECEDING
+        |    AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT day, rev,
+        |    FLOOR(CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE) / 100.0
+        |      * 100.0 + 0.500001) / 100.0 AS trail_mean_dollars,
+        |    FLOOR((CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        / CAST(n_w AS DOUBLE))
+        |      / sqrt(GREATEST(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |          * CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE), 0.0)
+        |        / (CAST(n_w AS DOUBLE) - 1))
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS zz
+        |  FROM w WHERE n_w = 28
+        |), top AS (
+        |  SELECT day, rev, trail_mean_dollars, zz,
+        |    ROW_NUMBER() OVER (ORDER BY ABS(zz) DESC, day) AS rk
+        |  FROM z WHERE zz IS NOT NULL
+        |)
+        |SELECT day, CAST(rev AS DOUBLE) / 100 AS rev_dollars,
+        |  trail_mean_dollars, zz AS z,
+        |  CAST(CASE WHEN ABS(zz) > 3.0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_anomaly
+        |FROM top WHERE rk <= 10 ORDER BY ABS(zz) DESC, day""".stripMargin,
+
+    // identical global moments, 16-day PAA means on exact cents, the
+    // written-out quartile breakpoints on the r6-rounded z
+    "q_sax_symbols" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), idx AS (
+        |  SELECT rev,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) - 1 AS i,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(rev) OVER () AS BIGINT) AS s1,
+        |    SUM(CAST(rev AS HUGEINT) * rev) OVER () AS s2
+        |  FROM daily
+        |), seg AS (
+        |  SELECT i // 16 AS segment, CAST(COUNT(*) AS BIGINT) AS seg_days,
+        |    CAST(SUM(rev) AS BIGINT) AS seg_sum,
+        |    CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(s1) AS BIGINT) AS s1,
+        |    MAX(s2) AS s2
+        |  FROM idx GROUP BY 1
+        |), p AS (
+        |  SELECT segment,
+        |    FLOOR((CAST(seg_sum AS DOUBLE) / 16.0
+        |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(GREATEST(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |          * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 0.0)
+        |        / (CAST(n AS DOUBLE) - 1))
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS paa_z
+        |  FROM seg WHERE seg_days = 16
+        |)
+        |SELECT segment, paa_z,
+        |  CASE WHEN paa_z IS NULL THEN NULL
+        |    WHEN paa_z < -0.6744897501960817 THEN 'a'
+        |    WHEN paa_z < 0 THEN 'b'
+        |    WHEN paa_z < 0.6744897501960817 THEN 'c'
+        |    ELSE 'd' END AS symbol
+        |FROM p ORDER BY segment""".stripMargin,
 
     // identical day-ordered sign lags, run-start counting, closed z
     "q_runs_test" ->

@@ -562,6 +562,40 @@ class IncrementalSpec extends SparkSpec {
     assert(rw.getDouble(1) === 0.0 && rw.getLong(4) === 0L, s"$rw")
   }
 
+  test("rolling anomaly: a planted spike day tops the list and flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ra").toString
+    // 60 quiet days with small wobble, then one 100x spike
+    (0 until 61).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()),
+        if (i == 60) 10000.0 else 100.0 + (i % 5))
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_rolling_anomaly")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val top = out.head
+    assert(top.getDate(0).toLocalDate ===
+      java.time.LocalDate.of(2020, 3, 1), s"spike day must rank first: $top")
+    assert(top.getDouble(3) > 3.0 && top.getLong(4) === 1L)
+  }
+
+  test("SAX: four 16-day levels symbolize to exactly a/b/c/d") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sax").toString
+    (0 until 64).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 100.0 * (1 + i / 16))
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_sax_symbols")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getString(2)).toSeq === Seq("a", "b", "c", "d"),
+      s"rising levels map onto the alphabet in order: ${out.toSeq}")
+    // the PAA z-values are symmetric around 0 by construction
+    assert(math.abs(out(0).getDouble(1) + out(3).getDouble(1)) < 1e-6)
+  }
+
   test("Page-Hinkley: a constant series never alarms") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ph0").toString
