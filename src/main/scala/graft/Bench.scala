@@ -103,14 +103,31 @@ object Bench {
     //      in-run number, the isolated number, and the local factor.
     // Medians come from BASELINE_VARIANCE.json; queries without an entry
     // (new this round) cannot breach and are skipped.
+    // real JSON parse (jackson-databind ships with Spark) — the r10
+    // hand-rolled regex would silently yield an empty map on any format
+    // drift in tools/variance.py's output, disabling breach adjudication
+    // without a trace (r10 ADVICE); now a present-but-unparseable file
+    // warns loudly instead
     val medians: Map[String, Double] = {
       val path = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_VARIANCE", "BASELINE_VARIANCE.json"))
       if (!java.nio.file.Files.exists(path)) Map.empty
       else {
-        val txt = java.nio.file.Files.readString(path)
-        val re = """"(q_[A-Za-z0-9_]+)"\s*:\s*\{[^}]*?"median"\s*:\s*([0-9.eE+-]+)""".r
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(path))
+        val qs = root.path("queries")
+        val out = Map.newBuilder[String, Double]
+        val it = qs.fieldNames()
+        while (it.hasNext) {
+          val name = it.next()
+          val m = qs.get(name).path("median")
+          if (m.isNumber) out += name -> m.asDouble()
+        }
+        val parsed = out.result()
+        if (parsed.isEmpty) System.err.println(
+          s"[bench] WARNING: $path exists but parsed 0 medians — " +
+            "breach adjudication is DISABLED this run; fix the file format")
+        parsed
       }
     }
     val ordered = inRun.toVector
@@ -139,6 +156,25 @@ object Bench {
         }
       }
     }.toMap
+    // control re-runs (r10 ADVICE): the local factor cannot distinguish
+    // co-tenant contention from a genuine regression hitting a CLUSTER of
+    // run-order-adjacent queries (all q_ann_* share a kernel) — the
+    // neighborhood median rises, local_f absorbs the slowdown, and the
+    // isolated-rerun backstop never fires. So the queries local_f shielded
+    // hardest re-run in isolation too (up to 3, local_f > 1.25, slowest
+    // first): contention vanishes post-sweep (isolated ≈ median) while a
+    // real cluster regression persists (isolated ≈ in_run), and the
+    // committed triple lets the judge tell them apart across rounds.
+    val controls = ordered.zipWithIndex
+      .filter { case ((name, _), i) =>
+        !adjudicated.contains(name) && medians.contains(name) &&
+          localFactor(i) > math.max(1.25, g) }
+      .sortBy { case ((_, t), i) => -localFactor(i) * t }
+      .take(3)
+      .map { case ((name, t), i) =>
+        val iso = runOne(name, SparkEntry.queries(name))
+        name -> (t, iso._2, localFactor(i), iso._1.isEmpty)
+      }.toMap
     val results = ordered.map { case (name, t) =>
       adjudicated.get(name) match {
         case Some((inT, isoT, _, true)) => name -> math.min(inT, isoT)
@@ -196,10 +232,19 @@ object Bench {
           f2(isoT) + ",\"local_f\":" + f2(lf) +
           (if (ok) "" else ",\"isolated_failed\":true") + "}"
       }.mkString("{", ",", "}")
+      // control triples are diagnostic only (results keep the in-run
+      // times): isolated ≈ in_run across rounds = a real cluster
+      // regression local_f wrongly absorbed; isolated ≈ baseline = the
+      // contention window the factor exists to forgive
+      val ctl = controls.toSeq.sortBy(_._1).map { case (k, (inT, isoT, lf, ok)) =>
+        "\"" + k + "\":{\"in_run\":" + f2(inT) + ",\"isolated\":" +
+          f2(isoT) + ",\"local_f\":" + f2(lf) +
+          (if (ok) "" else ",\"isolated_failed\":true") + "}"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
-        s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"adjudication":$adj,"queries_sec":$full}""" + "\n")
+        s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"adjudication":$adj,"controls":$ctl,"queries_sec":$full}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}")
     }

@@ -38,7 +38,7 @@ object Hyp2f1Expression {
     * avoids poking at Column internals.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "hyp2f1",
       { exprs: Seq[Expression] =>
         require(exprs.length == 4, "hyp2f1(a, b, c, z) takes 4 arguments")

@@ -194,35 +194,35 @@ object DedupKernels {
 
   /** Register `minhash_sig` and `simhash64` in a session's registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "minhash_sig",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3, "minhash_sig(text, k, numHashes)")
         MinHashSignatureExpression(exprs(0), exprs(1), exprs(2))
       },
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "simhash64",
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "simhash64(text)")
         SimHash64Expression(exprs(0))
       },
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "shingle_hashes",
       { exprs: Seq[Expression] =>
         require(exprs.length == 2, "shingle_hashes(text, k)")
         ShingleHashesExpression(exprs(0), exprs(1))
       },
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "minhash_from_hashes",
       { exprs: Seq[Expression] =>
         require(exprs.length == 2, "minhash_from_hashes(hashes, numHashes)")
         MinHashFromHashesExpression(exprs(0), exprs(1))
       },
       "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "winnow_fp",
       { exprs: Seq[Expression] =>
         require(exprs.length == 3, "winnow_fp(text, k, w)")

@@ -174,7 +174,7 @@ object Bloom {
     */
   def filterMightContain(df: DataFrame, key: Column, bloom: BloomBits): DataFrame = {
     val id = BloomModels.put(bloom)
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(df.sparkSession)(
       "graft_bloom_contains", BloomModels.factory, "built-in")
     val out = df.where(
       call_function("graft_bloom_contains", key.cast(LongType), lit(id)))

@@ -1679,7 +1679,11 @@ object LlmQueries {
           sum(length(col("text")).cast("long")).as("n_chars_total"),
           sum(cnt("[A-Za-z]")).as("n_letters"),
           sum(cnt("[0-9]")).as("n_digits"),
-          sum(cnt("\\s")).as("n_space"),
+          // explicit class, textually identical to the oracle's: Java \s
+          // is [ \t\n\x0B\f\r] but RE2 \s is [\t\n\f\r ] — a document
+          // containing \x0B would silently diverge engine vs oracle
+          // (r10 ADVICE), so both sides spell the Java set out
+          sum(cnt("[ \\t\\n\\f\\r\\x0B]")).as("n_space"),
           sum(cnt("[.,;:!?]")).as("n_punct"))
         .select(col("source"), col("n_docs"), col("n_chars_total"),
           r4(col("n_letters").cast("double") * 1000.0 / col("n_chars_total"))
@@ -1720,6 +1724,11 @@ object LlmQueries {
                 lit(2.0) * Ann.dot(col("embedding"), p.getField("pv")),
               lit(0.0))).as("d"), p.getField("pid").as("pid"))))
             .as("ds"))
+        // degenerate guard (r10 ADVICE): with < 2 probe centroids the
+        // oracle's rk=2 join emits no rows while ANSI element_at(ds, 2)
+        // would throw INVALID_ARRAY_INDEX — abstain-by-drop so both
+        // engines degrade identically (the §2.13 discipline)
+        .where(size(col("ds")) >= 2)
         .select(col("vec_id"),
           element_at(col("ds"), 1).getField("pid").as("cluster"),
           element_at(col("ds"), 1).getField("d").as("a"),
@@ -3655,7 +3664,7 @@ object LlmQueries {
         |    * 1000.0 / SUM(LENGTH(text)) * 10000.0 + 0.500001) / 10000.0
         |    AS digits_per_kc,
         |  FLOOR(CAST(SUM(LENGTH(text)
-        |      - LENGTH(regexp_replace(text, '\s', '', 'g'))) AS DOUBLE)
+        |      - LENGTH(regexp_replace(text, '[ \t\n\f\r\x0B]', '', 'g'))) AS DOUBLE)
         |    * 1000.0 / SUM(LENGTH(text)) * 10000.0 + 0.500001) / 10000.0
         |    AS space_per_kc,
         |  FLOOR(CAST(SUM(LENGTH(text)

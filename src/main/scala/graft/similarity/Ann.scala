@@ -245,7 +245,7 @@ object Ann {
     val spark = corpus.sparkSession
     VecOps.register(spark)
     val codebooks = pqCodebooks(corpus, m, ksub, seed, sampleFraction, maxIter)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_ivf_cells", IvfModels.factory, "built-in")
     val (recon, pqIds) = pqRecon(codebooks)
     val c = corpus.select(col("vec_id"), recon.as("recon"))
@@ -281,7 +281,7 @@ object Ann {
     val codebooks = pqCodebooks(corpus, m, ksub, seed, sampleFraction, maxIter)
     val probeCells = math.min(nprobe, coarse.length)
     val coarseId = IvfModels.put(new IvfModel(coarse))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_ivf_cells", IvfModels.factory, "built-in")
     val (recon, pqIds) = pqRecon(codebooks)
     val c = corpus.select(col("vec_id"),
@@ -438,7 +438,7 @@ object Ann {
     val modelId = IvfModels.put(new IvfModel(centers))
     // same stateless-registration contract as graft_lang_score: the model
     // id rides as a literal, so concurrent queries cannot race
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_ivf_cells", IvfModels.factory, "built-in")
     val c = corpus.select(col("vec_id"), col("embedding"),
       element_at(call_function("graft_ivf_cells",
@@ -500,7 +500,7 @@ object Ann {
     require(centers.length == k, s"kmeans: corpus has fewer than $k points")
     for (_ <- 1 to iters) {
       val modelId = IvfModels.put(new IvfModel(centers))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      graft.functions.Registry.once(spark)(
         "graft_ivf_cells", IvfModels.factory, "built-in")
       val sums = pts
         .select(element_at(call_function("graft_ivf_cells",
@@ -519,7 +519,7 @@ object Ann {
       centers = next
     }
     val modelId = IvfModels.put(new IvfModel(centers))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_ivf_cells", IvfModels.factory, "built-in")
     val assigned = pts.select(col("vec_id"), col("v"),
       element_at(call_function("graft_ivf_cells",
@@ -570,7 +570,7 @@ object Ann {
     VecOps.register(spark)
     val centers = fitCentroids(corpus, nlist, seed, sampleFraction, maxIter)
     val modelId = IvfModels.put(new IvfModel(centers))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_ivf_cells", IvfModels.factory, "built-in")
     val assigned = corpus.select(col("vec_id"), col("embedding"),
         element_at(call_function("graft_ivf_cells",

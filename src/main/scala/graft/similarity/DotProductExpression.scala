@@ -56,7 +56,7 @@ object VecOps {
 
   /** Register `vec_dot` in a session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "vec_dot",
       { exprs: Seq[Expression] =>
         require(exprs.length == 2, "vec_dot(a, b) takes 2 arguments")

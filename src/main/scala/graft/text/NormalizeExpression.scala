@@ -55,7 +55,7 @@ object TextNorm {
     * Sessions.local companion to the GraftExtensions injection).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_nfc",
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_nfc(text) takes 1 argument")

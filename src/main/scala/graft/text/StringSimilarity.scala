@@ -85,7 +85,7 @@ object StringSimilarity {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "jaro_winkler",
       { exprs: Seq[Expression] =>
         require(exprs.length == 2, "jaro_winkler(a, b)")

@@ -280,7 +280,7 @@ object TextOps {
     // stateless, idempotent registration: the factory reads the model id
     // from its literal argument, so concurrent langId calls (each with
     // their own id) cannot race on registry contents
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_lang_score", LangModels.factory, "built-in")
     val scored = docs.select(col("doc_id"), col("lang").as("lang_true"),
         call_function("graft_lang_score", col("text"), lit(modelId)).as("lang_pred"))
@@ -316,7 +316,7 @@ object TextOps {
     }
     val model = new LmModel(table, total, n)
     val modelId = LmModels.put(model)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_lm_logcount", LmModels.factory, "built-in")
     // L stays declarative with the SAME normalization/windowing as the
     // kernel, so the decomposition's terms match the oracle verbatim
@@ -411,7 +411,7 @@ object TextOps {
   def bpeTokenCounts(docs: DataFrame, model: BpeModel): DataFrame = {
     val spark = docs.sparkSession
     val modelId = BpeModels.put(model)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_bpe_count", BpeModels.factory, "built-in")
     val scored = docs.withColumn("n_subwords",
       call_function("graft_bpe_count", col("text"), lit(modelId)))
@@ -450,7 +450,7 @@ object TextOps {
     }
     val (tId, tLnNV) = build(target)
     val (sId, sLnNV) = build(docs)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    graft.functions.Registry.once(spark)(
       "graft_lm_logcount", LmModels.factory, "built-in")
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     val nGrams = greatest(length(norm) - (n - 1), lit(1)).cast("long").cast("double")
