@@ -93,6 +93,84 @@ object Ranks {
       .select(cols :+ col(out): _*)
   }
 
+  /** Per-partition-key exact ranking — `row_number() OVER (PARTITION BY
+    * part ORDER BY sortKey, tie)` for LOW-CARDINALITY partition keys over
+    * data-sized frames, with no hot single task.
+    *
+    * A plain Window with `partitionBy(part)` is only scale-safe when the
+    * key cardinality grows with the data (customer, order). When the key is
+    * schema-bounded-small — `c_mktsegment` has 5 values, `o_orderstatus` 3
+    * — the widest partition streams a constant FRACTION of the corpus
+    * through one task (~20% of all customers for q_window_ntile), which is
+    * the same moves-data-to-one-task shape as a partition-less window,
+    * merely divided by five. This is [[withGlobalRank]] with the partition
+    * key as the lane: boundaries and offsets compute per (part, bucket) —
+    * the offsets frame is |parts|·buckets rows, schema-bounded — and the
+    * ranking window partitions by (part, bucket): |parts|·`buckets`
+    * uniform tasks regardless of per-key skew. Equality to the per-key
+    * global window is the same monotone-bucket argument as
+    * [[withGlobalRank]], applied independently within each key.
+    *
+    * The distribution functions derive from the exact rank r and the
+    * per-key count n (callers broadcast-join a groupBy(part) count):
+    * `percent_rank = (r−1)/(n−1)`, `cume_dist = r/n` (order keys unique at
+    * every call site, so RANK ≡ ROW_NUMBER), and ntile via [[ntileOf]].
+    */
+  def withPartitionedRank(df: DataFrame, part: Column, sortKey: Column,
+      tie: Column, out: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 16),
+      s"buckets must be in [2, 65536]: $buckets")
+    val cols = df.columns.map(col).toIndexedSeq
+    val keyed = df
+      .withColumn("__rk_p", part)
+      .withColumn("__rk_v", sortKey.cast("double"))
+      .withColumn("__rk_t", tie)
+      .localCheckpoint()
+    val bnds = keyed.groupBy("__rk_p").agg(
+      percentile_approx(col("__rk_v"), probsFor(buckets), lit(10000))
+        .as("__rk_bnds"))
+    val bucketed = keyed.join(broadcast(bnds), Seq("__rk_p"))
+      .withColumn("__rk_b", bucketOf(col("__rk_bnds"), col("__rk_v")))
+      .drop("__rk_bnds")
+    // ≤ |parts|·`buckets` rows: the ordered-prefix window runs over an
+    // Aggregate-bounded frame, never the data
+    val offsets = bucketed.groupBy("__rk_p", "__rk_b")
+      .agg(count(lit(1)).as("__rk_c"))
+      .withColumn("__rk_off", coalesce(
+        sum(col("__rk_c")).over(Window.partitionBy(col("__rk_p"))
+          .orderBy(col("__rk_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__rk_p", "__rk_b", "__rk_off")
+    val wLocal = Window.partitionBy(col("__rk_p"), col("__rk_b"))
+      .orderBy(col("__rk_v"), col("__rk_t"))
+    bucketed.join(broadcast(offsets), Seq("__rk_p", "__rk_b"))
+      .withColumn(out,
+        (col("__rk_off") + row_number().over(wLocal)).cast("long"))
+      .select(cols :+ col(out): _*)
+  }
+
+  /** Exact NTILE from the exact rank: with n rows and k tiles the first
+    * `n mod k` tiles hold `⌈n/k⌉` rows and the rest `⌊n/k⌋` (the standard
+    * semantics, identical in Spark and DuckDB), so the tile of rank r is
+    * pure integer arithmetic — no window function at all. The `greatest(…,
+    * 1)` divisor is unreachable when `n < k` (every rank lands in the
+    * big-tile branch) but keeps ANSI division total.
+    */
+  def ntileOf(rank: Column, n: Column, k: Int): Column = {
+    // INTEGRAL division (IntegralDivide, the SQL `div` operator): Column./
+    // is IEEE double division, whose floor can land one high when the
+    // numerator sits within half-an-ulp of the next integer — exact only
+    // up to ~2^26-row partitions, i.e. precisely not at 100 TB
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val small = idiv(n, lit(k.toLong))
+    val cntBig = n % k
+    val big = small + lit(1L)
+    val threshold = cntBig * big
+    when(rank <= threshold, idiv(rank - 1, big) + lit(1L))
+      .otherwise(cntBig + idiv(rank - lit(1L) - threshold, greatest(small, lit(1L))) + lit(1L))
+      .cast("long")
+  }
+
   /** The multi-key form: one shared lane pass computes every `(sortKey,
     * outName)` rank at once — the q_kendall_w shape (three rankings of one
     * bounded frame) pays the boundary/offset/window cost once instead of

@@ -237,4 +237,28 @@ class PlanSpec extends SparkSpec {
           s"$q still plans ${bare.size} partition-less Window node(s)")
       }
   }
+
+  test("distribution-rank queries plan NO bounded-small-key Window over data (r11 swap-in)") {
+    // q_window_ntile partitioned by c_mktsegment (5 values) and
+    // q_window_dist by o_orderstatus (3) — a schema-bounded-small
+    // partition key over a data-sized frame streams a constant FRACTION
+    // of the corpus through one task: the partition-less shape divided by
+    // five. Both now run Ranks.withPartitionedRank; the gate admits a
+    // Window only when it is (a) multi-key — the (part, bucket) ranking
+    // window, |parts|·buckets uniform tasks — or (b) single-key over an
+    // Aggregate-bounded child (the |parts|·buckets-row offsets frame,
+    // never the data).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
+    Seq("q_window_ntile", "q_window_dist").foreach { q =>
+      spark.catalog.clearCache()
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val hot = lp.collect {
+        case w: LWindow if w.partitionSpec.size < 2 &&
+          w.child.collectFirst { case a: LAggregate => a }.isEmpty => w
+      }
+      assert(hot.isEmpty,
+        s"$q plans ${hot.size} Window node(s) keyed only by a " +
+          "schema-bounded-small column over a data-sized frame")
+    }
+  }
 }

@@ -40,6 +40,43 @@ class RanksSpec extends SparkSpec {
     assert(got.values.toSeq.sorted === (1L to got.size.toLong))
   }
 
+  test("withPartitionedRank equals the naive per-key window on a tied, skewed fixture") {
+    import spark.implicits._
+    // 3 partition keys with heavy skew (key 0 holds ~70% of rows), tied
+    // values within and across keys, negative values
+    val df = (1 to 300).map { i =>
+      val p = if (i % 10 < 7) "a" else if (i % 10 < 9) "b" else "c"
+      (p, (i * 37) % 23 - 11L, i * 3L)
+    }.toDF("p", "v", "k")
+    for (buckets <- Seq(2, 16, 256)) {
+      val got = Ranks.withPartitionedRank(df, col("p"), col("v"), col("k"),
+          "r", buckets)
+        .select("p", "k", "r").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = df.select(col("p"), col("k"),
+          row_number().over(Window.partitionBy(col("p"))
+            .orderBy(col("v"), col("k"))).cast("long").as("r"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want, s"buckets=$buckets diverges from per-key row_number")
+    }
+  }
+
+  test("ntileOf matches the NTILE window for every n, k combination") {
+    import spark.implicits._
+    // every partition size 1..40 against k = 4: exhaustive over the
+    // big/small tile boundary, including n < k
+    val rows = for (n <- 1 to 40; r <- 1 to n) yield (n.toLong, r.toLong)
+    val df = rows.toDF("n", "r")
+    val got = df.select(col("n"), col("r"),
+        Ranks.ntileOf(col("r"), col("n"), 4).as("t"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val want = df.select(col("n"), col("r"),
+        ntile(4).over(Window.partitionBy(col("n")).orderBy(col("r")))
+          .cast("long").as("t"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(got === want)
+  }
+
   test("withGlobalRank plans no partition-less window and rejects bad buckets") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import spark.implicits._

@@ -39,13 +39,22 @@ class RelationalWindowSpec extends SparkSpec {
     }
   }
 
-  test("ntile plan: one segment shuffle, a single Window node, no join") {
+  test("ntile plan (r11): bucketed ranking, broadcast joins only, two bounded windows") {
+    // the r10 shape — ONE Window partitioned by c_mktsegment (5 values) —
+    // streamed ~20% of all customers through a single task; the Ranks swap
+    // trades join-freedom for uniform (segment, bucket) ranking tasks.
+    // Gate: every join broadcasts (boundaries, offsets, counts are all
+    // ≤ |segments|·buckets rows), and exactly two Window nodes remain —
+    // the (segment, bucket) ranking window and the offsets prefix-sum over
+    // the aggregate-bounded frame; neither keys on the segment alone.
     spark.catalog.clearCache()
-    val p = SparkEntry.queries("q_window_ntile")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("Join"), s"window family is join-free:\n$p")
+    val q = SparkEntry.queries("q_window_ntile")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"every join side is schema-bounded and must broadcast:\n$p")
     val windows = p.linesIterator.count(_.contains("Window ["))
-    assert(windows === 1, s"all three rank functions must share ONE Window node:\n$p")
+    assert(windows === 2,
+      s"expected the ranking + offsets windows, nothing more:\n$p")
   }
 
   // ---- q_interval_union ---------------------------------------------------
