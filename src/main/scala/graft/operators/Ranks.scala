@@ -62,6 +62,7 @@ object Ranks {
       out: String, buckets: Int = 256): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 16),
       s"buckets must be in [2, 65536]: $buckets")
+    registerKernel(df)
     val cols = df.columns.map(col).toIndexedSeq
     // localCheckpoint: the frame feeds the boundary aggregate's broadcast
     // subtree, the offset aggregate's broadcast subtree, AND the ranking
@@ -117,36 +118,53 @@ object Ranks {
     * every call site, so RANK ≡ ROW_NUMBER), and ntile via [[ntileOf]].
     */
   def withPartitionedRank(df: DataFrame, part: Column, sortKey: Column,
-      tie: Column, out: String, buckets: Int = 256): DataFrame = {
+      tie: Column, out: String, buckets: Int = 256,
+      nOut: String = null, checkpoint: Boolean = true): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 16),
       s"buckets must be in [2, 65536]: $buckets")
+    registerKernel(df)
     val cols = df.columns.map(col).toIndexedSeq
-    val keyed = df
+    // checkpoint = false when `df` is a bare scan/projection: the boundary
+    // and offset subtrees then re-run a cheap column-pruned parquet read
+    // instead of paying a full materialization pass; keep the default for
+    // expensive lineages (the q_kendall_w case: 5.9 s → 1.3 s WITH it)
+    val keyed0 = df
       .withColumn("__rk_p", part)
       .withColumn("__rk_v", sortKey.cast("double"))
       .withColumn("__rk_t", tie)
-      .localCheckpoint()
+    val keyed = if (checkpoint) keyed0.localCheckpoint() else keyed0
     val bnds = keyed.groupBy("__rk_p").agg(
-      percentile_approx(col("__rk_v"), probsFor(buckets), lit(10000))
+      percentile_approx(col("__rk_v"), probsFor(buckets), lit(1000))
         .as("__rk_bnds"))
     val bucketed = keyed.join(broadcast(bnds), Seq("__rk_p"))
       .withColumn("__rk_b", bucketOf(col("__rk_bnds"), col("__rk_v")))
       .drop("__rk_bnds")
     // ≤ |parts|·`buckets` rows: the ordered-prefix window runs over an
-    // Aggregate-bounded frame, never the data
+    // Aggregate-bounded frame, never the data; `nOut` (the per-key total
+    // the distribution functions divide by) is the full-frame prefix sum
+    // over the SAME tiny frame — attaching it here saves callers a
+    // second scan of the input
     val offsets = bucketed.groupBy("__rk_p", "__rk_b")
       .agg(count(lit(1)).as("__rk_c"))
       .withColumn("__rk_off", coalesce(
         sum(col("__rk_c")).over(Window.partitionBy(col("__rk_p"))
           .orderBy(col("__rk_b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__rk_p", "__rk_b", "__rk_off")
+      .withColumn("__rk_n",
+        // same partition+order spec as the offset sum (frame differs) so
+        // both land in ONE Window node over the tiny frame
+        sum(col("__rk_c")).over(Window.partitionBy(col("__rk_p"))
+          .orderBy(col("__rk_b"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__rk_p", "__rk_b", "__rk_off", "__rk_n")
     val wLocal = Window.partitionBy(col("__rk_p"), col("__rk_b"))
       .orderBy(col("__rk_v"), col("__rk_t"))
+    val extra =
+      col(out) +: (if (nOut == null) Nil else Seq(col("__rk_n").as(nOut)))
     bucketed.join(broadcast(offsets), Seq("__rk_p", "__rk_b"))
       .withColumn(out,
         (col("__rk_off") + row_number().over(wLocal)).cast("long"))
-      .select(cols :+ col(out): _*)
+      .select(cols ++ extra: _*)
   }
 
   /** Exact NTILE from the exact rank: with n rows and k tiles the first
@@ -191,6 +209,7 @@ object Ranks {
     */
   def globalRanksOnly(df: DataFrame, keys: Seq[(Column, String)],
       tie: Column, buckets: Int = 256): DataFrame = {
+    registerKernel(df)
     require(keys.nonEmpty, "globalRanksOnly needs at least one sort key")
     require(buckets >= 2 && buckets <= (1 << 16),
       s"buckets must be in [2, 65536]: $buckets")
@@ -231,10 +250,25 @@ object Ranks {
     array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
 
   /** Monotone bucket index: `#{boundary < v}` (0 when boundaries NULL —
-    * the empty-input row).
+    * the empty-input row), via the [[BucketOfExpression]] binary-search
+    * kernel — the declarative `size(filter(bnds, b => b < v))` runs an
+    * interpreted lambda per boundary per row, recomputed in BOTH passes
+    * that share the bucketing subtree.
     */
   private def bucketOf(bnds: Column, v: Column): Column =
-    coalesce(size(filter(bnds, b => b < v)), lit(0))
+    coalesce(call_function("graft_bucket_of", bnds, v), lit(0))
+
+  /** Register the bucket-search kernel (once per session; the builder is
+    * stateless).
+    */
+  private def registerKernel(df: DataFrame): Unit =
+    graft.functions.Registry.once(df.sparkSession)(
+      "graft_bucket_of",
+      { exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        require(exprs.length == 2, "graft_bucket_of(bnds, v)")
+        BucketOfExpression(exprs(0), exprs(1))
+      },
+      "built-in")
 
   /** One `max(when(lane = i, rank))` pivot aggregate per requested key. */
   private def rankAggs(keys: Seq[(Column, String)]): Seq[Column] =

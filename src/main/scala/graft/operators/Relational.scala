@@ -215,10 +215,8 @@ object Relational {
       val base = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment").as("segment"),
           cents.as("v"))
-      val ranked = Ranks.withPartitionedRank(base, col("segment"), col("v"),
-        col("c_custkey"), "rk")
-      val counts = base.groupBy("segment").agg(count(lit(1)).as("n"))
-      ranked.join(broadcast(counts), Seq("segment"))
+      Ranks.withPartitionedRank(base, col("segment"), col("v"),
+          col("c_custkey"), "rk", nOut = "n", checkpoint = false)
         .select(col("c_custkey"), col("segment"),
           Ranks.ntileOf(col("rk"), col("n"), 4).as("quartile"),
           r6(when(col("n") === 1, lit(0.0)).otherwise(
@@ -251,10 +249,8 @@ object Relational {
     "q_window_dist" -> ((s, dir) => {
       val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val ranked = Ranks.withPartitionedRank(base, col("o_orderstatus"),
-        col("o_totalprice"), col("o_orderkey"), "rk")
-      val counts = base.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-      ranked.join(broadcast(counts), Seq("o_orderstatus"))
+      Ranks.withPartitionedRank(base, col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderkey"), "rk", nOut = "n", checkpoint = false)
         .select(col("o_orderkey"), col("o_orderstatus"),
           Ranks.ntileOf(col("rk"), col("n"), 4).as("quartile"),
           r4(when(col("n") === 1, lit(0.0)).otherwise(
