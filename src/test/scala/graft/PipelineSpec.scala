@@ -140,11 +140,81 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(orphan)),
       "GC must sweep crashed-write orphans")
     assert(Sources.readSnapshot(spark, path).count() == 13L)
-    // the root now holds exactly: CURRENT + live version + one grace copy
+    // the root now holds exactly: CURRENT + commit lock + live version +
+    // one grace copy
     val names = Files.list(java.nio.file.Paths.get(path)).iterator()
     val kept = Iterator.continually(names).takeWhile(_.hasNext).map(_.next())
       .map(_.getFileName.toString).toList
-    assert(kept.count(_ == "CURRENT") == 1 && kept.size == 3, s"root holds $kept")
+    assert(kept.count(_ == "CURRENT") == 1 && kept.contains("COMMIT_LOCK") &&
+      kept.size == 4, s"root holds $kept")
+  }
+
+  test("snapshot overwrite survives RACING writers: readable at every instant, one version chain") {
+    // r10 verdict gap #3: two writers racing overwriteParquet on one path.
+    // Contract: (a) every successful readSnapshot observes a COMPLETE
+    // committed generation (never a mix, never a partial); (b) a read may
+    // only fail if >= 2 commits landed between its pointer resolution and
+    // its scan (the documented one-generation grace-copy window); (c) the
+    // final root is exactly one version chain — CURRENT + lock + live +
+    // grace — with the losers' dirs GC'd.
+    val base = Files.createTempDirectory("graft_race").toString
+    val path = s"$base/snap"
+    val gens = Map("A" -> 100L, "B" -> 250L, "C" -> 400L)
+    Sources.overwriteParquet(
+      spark.range(gens("A")).withColumn("gen", lit("A")).toDF(), path)
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def writer(gen: String, rounds: Int): Thread = new Thread(() =>
+      try {
+        (1 to rounds).foreach { _ =>
+          Sources.overwriteParquet(
+            spark.range(gens(gen)).withColumn("gen", lit(gen)).toDF(), path)
+          commits.incrementAndGet()
+        }
+      } catch { case e: Throwable =>
+        failure.compareAndSet(null, s"writer $gen: $e")
+      })
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() =>
+      try {
+        while (!stop.get()) {
+          val before = commits.get()
+          try {
+            val rows = Sources.readSnapshot(spark, path)
+              .groupBy("gen").count().collect()
+            assert(rows.length == 1, s"mixed generations: ${rows.toSeq}")
+            val (g, n) = (rows(0).getString(0), rows(0).getLong(1))
+            assert(gens(g) == n, s"partial snapshot: gen $g had $n rows")
+          } catch {
+            case e: org.scalatest.exceptions.TestFailedException => throw e
+            case _: Throwable =>
+              // version dir GC'd between resolution and scan — legal only
+              // past the one-generation grace window
+              assert(commits.get() - before >= 2,
+                "read failed without two intervening commits")
+          }
+        }
+      } catch { case e: Throwable =>
+        failure.compareAndSet(null, s"reader: $e")
+      })
+    val (wa, wb) = (writer("B", 3), writer("C", 3))
+    reader.start(); wa.start(); wb.start()
+    wa.join(120000); wb.join(120000)
+    stop.set(true); reader.join(120000)
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(commits.get() == 6)
+    // exactly one surviving chain: the last committed generation is live,
+    // every loser dir swept, no staging leftovers
+    val finalRows = Sources.readSnapshot(spark, path)
+      .groupBy("gen").count().collect()
+    assert(finalRows.length == 1 && gens(finalRows(0).getString(0)) ==
+      finalRows(0).getLong(1))
+    val names = Files.list(java.nio.file.Paths.get(path)).iterator()
+    val kept = Iterator.continually(names).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toList
+    assert(kept.count(_ == "CURRENT") == 1 && kept.contains("COMMIT_LOCK") &&
+      kept.size == 4 && !kept.exists(_.startsWith(".tmp-")),
+      s"root holds $kept")
   }
 
   test("CSV sink round-trips a generated batch (S1)") {
