@@ -362,6 +362,43 @@ object Multimodal {
     }
   }
 
+  /** Encode one mono PCM16 AIFF — the SECOND real audio container (r11):
+    * AIFF is big-endian PCM in an IFF chunk layout (FORM/COMM/SSND),
+    * written and read by the same JDK `javax.sound` SPI as WAV. Lossless,
+    * so decode returns the exact sample function; [[decodeAudio]] needs
+    * no change — `fmt.isBigEndian` already selects the byte order.
+    */
+  def encodeAiff(nFrames: Int, sampleRate: Float, sample: Int => Short): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.BIG_ENDIAN)
+    var i = 0
+    while (i < nFrames) { bb.putShort(i * 2, sample(i)); i += 1 }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16, 1,
+      2, sampleRate, true)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos) finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL-AIFF media table — the [[wavMediaFromDocuments]]
+    * contract with a DISTINCT closed form (n = 300 + id%700 frames at
+    * 11025 Hz, sample(i) = (i·53 + id·17) mod 1777 − 888), so a reader
+    * regression in either container breaks only its own query (the
+    * q_multimodal_tiff stance).
+    */
+  def aiffMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { did =>
+        val n = (300 + did % 700).toInt
+        MediaRow(did,
+          encodeAiff(n, 11025f, i => (((i.toLong * 53 + did * 17) % 1777) - 888).toShort),
+          "audio/aiff")
+      }
+    }
+  }
+
   /** STUB decode kernel for OPAQUE payloads (text blobs in the plumbing
     * tests — every real media mime has a real decoder above/below).
     * Derives stable pseudo-dimensions and an 8-float pseudo-embedding from

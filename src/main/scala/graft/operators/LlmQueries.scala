@@ -1331,6 +1331,22 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // the SECOND real audio container (r11): genuine AIFF (big-endian IFF
+    // chunks) through the same javax.sound SPI — distinct sample formula
+    // and rate, so a reader regression breaks only its own query
+    "q_multimodal_aiff" -> ((s, dir) => {
+      val media = Multimodal.aiffMediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractAudioFeatures(media).toDF()
+        .select(col("media_id"), col("mime"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("n_frames"),
+          r4(element_at(col("feature"), 1)).as("rms"),
+          r4(element_at(col("feature"), 2)).as("mean_abs"),
+          element_at(col("feature"), 3).cast("long").as("peak"))
+        .orderBy("media_id")
+    }),
+
     // REAL WAV decode → fixed-point linear-interp resample 8 kHz → 6 kHz
     // (src/dst = 4/3): every output sample is exact integer arithmetic
     // over the decoded PCM (Multimodal.resamplePcm), so the oracle
@@ -3338,6 +3354,26 @@ object LlmQueries {
         |)
         |SELECT doc_id AS media_id, 'audio/wav' AS mime,
         |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  FLOOR(CAST(CAST(sqrt(SUM(v * v) / n) AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS rms,
+        |  FLOOR(CAST(CAST(SUM(abs(v)) / n AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS mean_abs,
+        |  CAST(GREATEST(abs(MIN(v)), abs(MAX(v))) AS BIGINT) AS peak
+        |FROM smp GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+
+    // the AIFF sibling: its own frame-count/sample formula and rate,
+    // same exact-integer-sum float32-quantization discipline
+    "q_multimodal_aiff" ->
+      """WITH f AS (
+        |  SELECT doc_id, 300 + doc_id % 700 AS n FROM documents
+        |), smp AS (
+        |  SELECT f.doc_id, f.n,
+        |    CAST((i.i * 53 + f.doc_id * 17) % 1777 - 888 AS DOUBLE) AS v
+        |  FROM f, LATERAL unnest(generate_series(0, f.n - 1)) AS i(i)
+        |)
+        |SELECT doc_id AS media_id, 'audio/aiff' AS mime,
+        |  CAST(11025 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
         |  CAST(n AS BIGINT) AS n_frames,
         |  FLOOR(CAST(CAST(sqrt(SUM(v * v) / n) AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
         |    / 10000.0 AS rms,

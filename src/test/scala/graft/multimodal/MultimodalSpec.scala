@@ -96,6 +96,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real AIFF decode: big-endian container round-trips the exact samples") {
+    // same decodeAudio path as WAV; the byte order flips to big-endian
+    // via fmt.isBigEndian — a wrong-endian read would scramble every stat
+    val samples = Array.tabulate(90)(i => ((i * 53) % 1777 - 888).toShort)
+    val aiff = Multimodal.encodeAiff(90, 11025f, samples(_))
+    // IFF magic: FORM....AIFF
+    assert(new String(aiff.slice(0, 4), "US-ASCII") == "FORM")
+    assert(new String(aiff.slice(8, 12), "US-ASCII") == "AIFF")
+    val f = Multimodal.decodeAudio(Multimodal.MediaRow(9L, aiff, "audio/aiff"))
+    assert(f.sample_rate == 11025 && f.n_channels == 1 && f.n_frames == 90L)
+    val exp = samples.map(_.toDouble)
+    assert(f.feature(0) == math.sqrt(exp.map(v => v * v).sum / 90.0).toFloat)
+    assert(f.feature(1) == (exp.map(math.abs).sum / 90.0).toFloat)
+    assert(f.feature(2) == exp.map(math.abs).max.toFloat)
+    // truncated container fails loudly, not as silent zeros
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudio(Multimodal.MediaRow(10L, aiff.take(20), "audio/aiff")))
+  }
+
+  test("aiffMediaFromDocuments frames/samples follow the closed form the oracle uses") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (13L, "y")).toDF("doc_id", "text")
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.aiffMediaFromDocuments(spark, docs)).collect()
+      .map(f => f.media_id -> f).toMap
+    Seq(5L, 13L).foreach { did =>
+      val n = (300 + did % 700).toInt
+      val s = Array.tabulate(n)(i => ((i.toLong * 53 + did * 17) % 1777 - 888).toDouble)
+      val f = feats(did)
+      assert(f.n_frames == n.toLong && f.sample_rate == 11025)
+      assert(f.feature(0) == math.sqrt(s.map(v => v * v).sum / n).toFloat)
+      assert(f.feature(1) == (s.map(math.abs).sum / n).toFloat)
+    }
+  }
+
   test("resize bounds dimensions (opaque-mime fallback path)") {
     import spark.implicits._
     val docs = Seq((0L, "some media payload"), (1L, "another")).toDF("doc_id", "text")
