@@ -157,6 +157,74 @@ object StreamingOps {
       }
   }
 
+  final case class DailyRev(series_id: Long, day: java.sql.Date, rev: Long)
+  final case class RollWindow(days: Seq[Long], revs: Seq[Long])
+  final case class RollingAnomaly(series_id: Long, day: java.sql.Date,
+      rev_dollars: Double, trail_mean_dollars: Double, z: Double,
+      is_anomaly: Long)
+
+  /** Streaming counterpart of q_rolling_anomaly (r11): each day's revenue
+    * scored against its OWN trailing `window` observed days — EXACT
+    * rolling mean/std over a bounded ring, not the EWMA approximation of
+    * [[ewmaAnomalies]]. State per series is the last `window` (epoch-day,
+    * cents) pairs — O(series × window) forever, the bounded-state
+    * property that lets the chart run unbounded.
+    *
+    * Parity with the batch query is arithmetic-identical by construction:
+    * s1 is an exact integer sum, s2 an exact BigInt sum of squares (the
+    * batch side's DECIMAL(19,0) products), and mu/sd/z replay the very
+    * same double operations — mu = s1/n, sd = √(max(s2 − s1²/n, 0)/(n−1)),
+    * z abstains when sd = 0 (the batch try_divide), z rounded r6 BEFORE
+    * the |z| > 3 verdict. A day emits only once its 28 PRIOR days are all
+    * observed, exactly the batch `n_w = 28` gate.
+    *
+    * Ordering contract: days fold in (day, rev) order within each trigger,
+    * and a day at-or-before the newest day already absorbed is DROPPED —
+    * the operator expects an upstream watermarked daily aggregate to emit
+    * each day once, in order (the q_incremental_agg shape); replaying a
+    * checkpoint therefore cannot double-count a day.
+    */
+  def rollingZAnomalies(daily: Dataset[DailyRev],
+      window: Int = 28): Dataset[RollingAnomaly] = {
+    import daily.sparkSession.implicits._
+    require(window >= 2, s"window must be >= 2: $window")
+    daily
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState[RollWindow, RollingAnomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (sid: Long, batch: Iterator[DailyRev], state: GroupState[RollWindow]) =>
+          var s = state.getOption.getOrElse(
+            RollWindow(Vector.empty, Vector.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RollingAnomaly]
+          batch.toSeq
+            .sortBy(d => (d.day.toLocalDate.toEpochDay, d.rev))
+            .foreach { d =>
+              val ed = d.day.toLocalDate.toEpochDay
+              if (s.days.isEmpty || ed > s.days.last) {
+                if (s.days.size == window) {
+                  val n = window.toDouble
+                  val s1 = s.revs.sum.toDouble
+                  val s2 = s.revs.foldLeft(BigInt(0))((a, r) =>
+                    a + BigInt(r) * BigInt(r)).toDouble
+                  val mu = s1 / n
+                  val sd = math.sqrt(math.max(s2 - s1 * s1 / n, 0.0) / (n - 1.0))
+                  if (sd > 0.0) {
+                    val z = (d.rev.toDouble - mu) / sd
+                    val zR = math.floor(z * 1000000.0 + 0.500001) / 1000000.0
+                    out += RollingAnomaly(sid, d.day, d.rev.toDouble / 100.0,
+                      math.floor(mu / 100.0 * 100.0 + 0.500001) / 100.0, zR,
+                      if (math.abs(zR) > 3.0) 1L else 0L)
+                  }
+                }
+                s = RollWindow((s.days :+ ed).takeRight(window),
+                  (s.revs :+ d.rev).takeRight(window))
+              } // else: late or duplicate day — dropped, see contract
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class HhState(ver: Long, counts: Map[String, Long])
   final case class TermCandidate(shard: Int, ver: Long, term: String, count_min: Long)
 

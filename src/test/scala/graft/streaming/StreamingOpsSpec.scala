@@ -305,6 +305,83 @@ class StreamingOpsSpec extends SparkSpec {
         r.getDouble(3))).sortBy(_.toString).toSeq)
   }
 
+  test("rolling z-score chart: exact trailing-window parity across checkpoints") {
+    // the streaming counterpart of q_rolling_anomaly (r11): two series,
+    // 80 days each, a planted spike past warmup; days arrive in TWO
+    // tranches on ONE checkpoint, so the trailing ring must survive the
+    // restart and the second run must score only the delta days
+    val base = Files.createTempDirectory("graft_rollz").toString
+    import spark.implicits._
+    val W = 28
+    def rev(sid: Long, i: Int): Long =
+      if (sid == 1L && i == 60) 10000000L
+      else 100000L + ((sid * 31 + i * 57) % 997) * 13L
+    def day(i: Int): java.sql.Date =
+      java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(i))
+    val all = for (sid <- 1L to 2L; i <- 0 until 80)
+      yield StreamingOps.DailyRev(sid, day(i), rev(sid, i))
+    val dir = s"$base/daily"
+    all.filter(_.day.toLocalDate.getDayOfYear <= 50).toDF()
+      .write.mode("append").parquet(dir)
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[StreamingOps.DailyRev]
+    // a memory sink cannot RECOVER an Append checkpoint (not fault-
+    // tolerant) — the restart under test needs the file sink
+    val outDir = s"$base/out"
+    def run(): Unit = {
+      val q = StreamingOps.rollingZAnomalies(stream(), W).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "stream did not drain")
+    }
+    run()
+    val first = spark.read.parquet(outDir).collect()
+    all.filter(_.day.toLocalDate.getDayOfYear > 50).toDF()
+      .write.mode("append").parquet(dir)
+    run()
+    val combined = spark.read.parquet(outDir).collect()
+    val firstKeys = first.map(_.toString).toSet
+    val second = combined.filterNot(r => firstKeys.contains(r.toString))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))
+    val got = (first ++ second).map(key).toSet
+    // driver replay with the IDENTICAL double arithmetic (the batch
+    // query's formula): exact integer s1/s2, mu = s1/n, clamped sd,
+    // abstain on sd = 0, r6 round BEFORE the |z| > 3 verdict
+    val want = (for (sid <- 1L to 2L; i <- W until 80) yield {
+      val trail = (i - W until i).map(rev(sid, _))
+      val n = W.toDouble
+      val s1 = trail.sum.toDouble
+      val s2 = trail.foldLeft(BigInt(0))((a, r) => a + BigInt(r) * BigInt(r)).toDouble
+      val mu = s1 / n
+      val sd = math.sqrt(math.max(s2 - s1 * s1 / n, 0.0) / (n - 1.0))
+      if (sd > 0.0) {
+        val z = (rev(sid, i).toDouble - mu) / sd
+        val zR = math.floor(z * 1000000.0 + 0.500001) / 1000000.0
+        Some((sid, day(i).toString, rev(sid, i).toDouble / 100.0,
+          math.floor(mu / 100.0 * 100.0 + 0.500001) / 100.0, zR,
+          if (math.abs(zR) > 3.0) 1L else 0L))
+      } else None
+    }).flatten.toSet
+    assert(got === want, s"streamed ${got.size} vs replay ${want.size}")
+    // the planted spike flags; its day emits from the SECOND tranche,
+    // proving the ring crossed the checkpoint
+    val spike = (first ++ second).filter(r =>
+      r.getLong(0) == 1L && r.getDate(1) == day(60))
+    assert(spike.length == 1 && spike(0).getLong(5) == 1L,
+      s"planted spike must flag: ${spike.toSeq}")
+    assert(second.exists(r => r.getLong(0) == 1L && r.getDate(1) == day(60)))
+    // warmup gate: nothing before day W ever emits
+    assert((first ++ second).forall(_.getDate(1).toLocalDate.isAfter(
+      day(W - 1).toLocalDate)))
+  }
+
   test("EWMA anomaly chart matches a driver-side recurrence replay exactly") {
     val base = Files.createTempDirectory("graft_ewma_replay").toString
     import spark.implicits._
