@@ -269,6 +269,59 @@ object Evaluation {
         r4(TextOps.stopRatio(col("text"))).as("sb"),
         (col("lang") === "en").cast("long").as("y")))),
 
+    // ---- Brier score with Murphy decomposition (r11) ----------------------
+    // q_calibration reports per-bin gaps and q_ece their weighted sum;
+    // this is the PROPER-SCORE view (Murphy 1973): brier = reliability −
+    // resolution + uncertainty, separating "are the probabilities right"
+    // (reliability, want 0) from "does the model separate at all"
+    // (resolution, want big) against the irreducible base-rate term. The
+    // identity holds EXACTLY for bin-constant forecasts, so rel/res use
+    // the binned forecast means; the raw per-row brier rides alongside.
+    // All sums quantize per row/bin to integer micro-units before
+    // aggregation (phm 1e-6, squared error 1e-12, bin terms 1e-6 — no
+    // float-sum order anywhere), then one division chain at the end.
+    "q_brier_decomposition" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        r4(TextOps.stopRatio(col("text"))).as("sb"),
+        (col("lang") === "en").cast("long").as("y"))
+      val ph = least(col("sb") * lit(5.0), lit(1.0))
+      val bin = least(floor(ph * lit(10.0)), lit(9L))
+      val rows = scored.select(bin.as("bin"),
+        floor(ph * lit(1000000.0)).cast("long").as("phm"), col("y"),
+        floor((ph - col("y").cast("double")) * (ph - col("y").cast("double"))
+          * lit(1000000000000.0)).cast("decimal(38,0)").as("sqm"))
+      val perBin = rows.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("phm")).as("sph"),
+          sum(col("y")).as("sy"))
+      val wAll = BoundedWindow.whole(col("bin"))
+      def d(c: Column): Column = c.cast("double")
+      val tot = perBin
+        .withColumn("ntot", sum(col("n")).over(wAll))
+        .withColumn("sytot", sum(col("sy")).over(wAll))
+      val pbar = d(col("sph")) / 1000000.0 / d(col("n"))
+      val obar = d(col("sy")) / d(col("n"))
+      val og = d(col("sytot")) / d(col("ntot"))
+      val binAgg = tot.select(col("bin"), col("ntot"), col("sytot"),
+          floor(d(col("n")) * (pbar - obar) * (pbar - obar) * 1000000.0)
+            .cast("long").as("relm"),
+          floor(d(col("n")) * (obar - og) * (obar - og) * 1000000.0)
+            .cast("long").as("resm"))
+        .groupBy("ntot", "sytot")
+        .agg(count(lit(1)).as("n_bins"), sum(col("relm")).as("rel_micro"),
+          sum(col("resm")).as("res_micro"))
+      val brier = rows.agg(sum(col("sqm")).as("sq"))
+      val ogF = d(col("sytot")) / d(col("ntot"))
+      binAgg.crossJoin(broadcast(brier))
+        .select(col("ntot").as("n_docs"), col("n_bins"),
+          r6(ogF).as("base_rate"),
+          r6(d(col("sq")) / 1000000000000.0 / d(col("ntot"))).as("brier"),
+          r6(d(col("rel_micro")) / 1000000.0 / d(col("ntot")))
+            .as("reliability"),
+          r6(d(col("res_micro")) / 1000000.0 / d(col("ntot")))
+            .as("resolution"),
+          r6(ogF * (lit(1.0) - ogF)).as("uncertainty"))
+    }),
+
     // ---- cumulative gains / lift curve ------------------------------------
     // The campaign-targeting read beside ROC/PR: rank the population by
     // score descending, then per population decile report positives
@@ -1064,6 +1117,57 @@ object Evaluation {
         |  FLOOR(((n / SUM(n) OVER ()) * ABS(sph / n - sy / n))
         |    * 1000000.0 + 0.500001) / 1000000.0 AS ece_part
         |FROM p ORDER BY bin""".stripMargin),
+
+    // identical binned-forecast decomposition, every sum micro-quantized
+    // before aggregation
+    "q_brier_decomposition" -> (binsCte +
+      """, g AS (
+        |  SELECT CAST(LEAST(FLOOR(LEAST(sb * 5.0, 1.0) * 10.0), 9.0) AS BIGINT)
+        |      AS bin,
+        |    CAST(FLOOR(LEAST(sb * 5.0, 1.0) * 1000000.0) AS BIGINT) AS phm,
+        |    y,
+        |    CAST(FLOOR((LEAST(sb * 5.0, 1.0) - CAST(y AS DOUBLE))
+        |      * (LEAST(sb * 5.0, 1.0) - CAST(y AS DOUBLE))
+        |      * 1000000000000.0) AS BIGINT) AS sqm
+        |  FROM f
+        |), p AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(phm) AS BIGINT) AS sph, CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM g GROUP BY bin
+        |), tt AS (
+        |  SELECT bin, n, sph, sy,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS ntot,
+        |    CAST(SUM(sy) OVER () AS BIGINT) AS sytot
+        |  FROM p
+        |), ba AS (
+        |  SELECT ntot, sytot, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |    CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE)
+        |      * (CAST(sph AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sph AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS rel_micro,
+        |    CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE)
+        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sytot AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sytot AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS res_micro
+        |  FROM tt GROUP BY ntot, sytot
+        |), bb AS (SELECT CAST(SUM(sqm) AS BIGINT) AS sq FROM g)
+        |SELECT ntot AS n_docs, n_bins,
+        |  FLOOR(CAST(sytot AS DOUBLE) / CAST(ntot AS DOUBLE) * 1000000.0
+        |    + 0.500001) / 1000000.0 AS base_rate,
+        |  FLOOR(CAST(sq AS DOUBLE) / 1000000000000.0 / CAST(ntot AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS brier,
+        |  FLOOR(CAST(rel_micro AS DOUBLE) / 1000000.0 / CAST(ntot AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS reliability,
+        |  FLOOR(CAST(res_micro AS DOUBLE) / 1000000.0 / CAST(ntot AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS resolution,
+        |  FLOOR(CAST(sytot AS DOUBLE) / CAST(ntot AS DOUBLE)
+        |    * (1.0 - CAST(sytot AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS uncertainty
+        |FROM ba, bb""".stripMargin),
 
     "q_token_entropy" ->
       """WITH toks AS (

@@ -1034,6 +1034,62 @@ object LlmQueries {
           col("intercept"), col("r2"))
     }),
 
+    // ---- hapax share per source (r11) -------------------------------------
+    // The classic vocabulary-health signal q_zipf's slope summarizes away:
+    // what FRACTION of each source's vocabulary occurs exactly once
+    // (hapax legomena) or twice (dis legomena)? OCR garbage and boilerplate
+    // floods move it in opposite directions, which is why corpus reports
+    // track it next to the type-token ratio. One (source, term) shuffle to
+    // exact counts; rates are single divisions of exact BIGINTs, r6.
+    "q_hapax_rate" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("source"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      counts.groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("f")).as("n_tokens"),
+          sum((col("f") === 1L).cast("long")).as("hapax"),
+          sum((col("f") === 2L).cast("long")).as("dis"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+          col("dis"),
+          r6(col("hapax").cast("double") / col("vocab").cast("double"))
+            .as("hapax_share"),
+          r6(col("vocab").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"))
+        .orderBy("source")
+    }),
+
+    // ---- Simpson diversity per source (r11) -------------------------------
+    // Token-repertoire concentration WITHOUT logs: Simpson's λ =
+    // Σ f(f−1) / (N(N−1)) — the probability two random tokens coincide —
+    // and its inverse (effective vocabulary size). Complements
+    // q_token_entropy with an index that stays EXACT integer arithmetic
+    // until one final division (entropy's ln sums need the §2.13 guard
+    // discipline; λ needs none). Same one (source, term) shuffle.
+    "q_simpson_diversity" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("source"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      counts.groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("f")).as("n_tokens"),
+          sum(col("f").cast("decimal(19,0)") *
+            (col("f") - 1L).cast("decimal(19,0)")).as("coin"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          r6(col("coin").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - 1L).cast("double"))).as("simpson"),
+          r2(try_divide(
+            col("n_tokens").cast("double") *
+              (col("n_tokens") - 1L).cast("double"),
+            col("coin").cast("double"))).as("inv_simpson"))
+        .orderBy("source")
+    }),
+
     // oracle-backed: EXACT set-similarity self-join via prefix filtering
     // (see Dedup.setSimJoinPrefix) — every pair with shingle Jaccard ≥
     // 0.5, no false negatives, candidates from the rarest-first prefix
@@ -2787,6 +2843,49 @@ object LlmQueries {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM terms) AS n_terms,
         |  fit.n_fit, fit.zipf_slope, fit.intercept, fit.r2
         |FROM fit""".stripMargin,
+
+    // identical tokenization; all counts exact BIGINT, rates single
+    // divisions
+    "q_hapax_rate" ->
+      """WITH counts AS (
+        |  SELECT source, t.x AS term, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT source,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) d, LATERAL unnest(toks) AS t(x)
+        |  WHERE len(t.x) > 0
+        |  GROUP BY source, t.x
+        |)
+        |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+        |  FLOOR(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS hapax_share,
+        |  FLOOR(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS type_token_ratio
+        |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical tokenization; Σf(f−1) exact in HUGEINT, the inverse
+    // division NULLs on zero on both engines (try_divide ≡ DuckDB /)
+    "q_simpson_diversity" ->
+      """WITH counts AS (
+        |  SELECT source, t.x AS term, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT source,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) d, LATERAL unnest(toks) AS t(x)
+        |  WHERE len(t.x) > 0
+        |  GROUP BY source, t.x
+        |)
+        |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  FLOOR(CAST(SUM(f * (f - 1)) AS DOUBLE)
+        |      / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS simpson,
+        |  FLOOR((CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE))
+        |      / CAST(SUM(f * (f - 1)) AS DOUBLE)
+        |    * 100.0 + 0.500001) / 100.0 AS inv_simpson
+        |FROM counts GROUP BY source ORDER BY source""".stripMargin,
 
     // the brute-force all-pairs recount the prefix filter must reproduce
     // exactly (MATERIALIZED: corpus feeds the self-join twice)

@@ -2072,6 +2072,184 @@ object Stats {
           r2c(col("hl") / lit(100.0)).as("hl_shift_dollars"))
     }),
 
+    // ---- Kruskal–Wallis rank ANOVA by weekday (r11) -----------------------
+    // "Does the daily-revenue DISTRIBUTION differ by day of week?" without
+    // q_anova's normality assumption (Kruskal & Wallis 1952): H =
+    // 12/(N(N+1))·Σ R_j²/n_j − 3(N+1) over MIDRANKS, with the standard
+    // tie correction C = 1 − Σ(t³−t)/(N³−N). Scale shape: one orders
+    // shuffle to the calendar-bounded daily frame; midranks come from the
+    // VALUE-grouped frame's prefix sum (c_less + (c_v+1)/2 — no per-row
+    // ranking window), rejoined by value. Midranks are exact half-integers
+    // so their sums are order-independent; the per-group R_j²/n_j division
+    // quantizes to 1e-6 micro-units in BIGINT before the 7-row sum (the
+    // linkPrediction discipline). Weekday = (day − 1995-01-01) mod 7 —
+    // engine-neutral, no locale. Reject line: χ²₀.₀₅,₆ = 12.591587243744.
+    "q_kruskal_wallis" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .select(col("rev"),
+          pmod(datediff(col("day"), lit("1995-01-01").cast("date"))
+            .cast("long"), lit(7L)).as("wd"))
+      val vals = daily.groupBy("rev").agg(count(lit(1)).as("cv"))
+        .withColumn("cum", sum(col("cv")).over(
+          BoundedWindow.ordered(col("rev"), col("rev"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rev"), col("cv"),
+          ((col("cum") - col("cv")).cast("double") +
+            (col("cv") + 1L).cast("double") / 2.0).as("midrank"))
+      val byG = daily.join(broadcast(vals), Seq("rev"))
+        .groupBy("wd")
+        .agg(count(lit(1)).as("nj"), sum(col("midrank")).as("rj"))
+        .select(col("wd"), col("nj"),
+          floor(col("rj") * col("rj") / col("nj").cast("double")
+            * 1000000.0).cast("long").as("term_micro"))
+      val terms = byG.agg(count(lit(1)).as("n_groups"),
+        sum(col("term_micro")).as("s_micro"))
+      val ties = vals.agg(
+        sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tie"))
+      val nn = daily.agg(count(lit(1)).as("n_days"))
+      val nD = col("n_days").cast("double")
+      val h = lit(12.0) / (nD * (nD + 1.0)) *
+        (col("s_micro").cast("double") / 1000000.0) - lit(3.0) * (nD + 1.0)
+      val c = lit(1.0) - col("tie").cast("double") / (nD * nD * nD - nD)
+      val hc = r6(try_divide(h, c))
+      nn.crossJoin(broadcast(terms)).crossJoin(broadcast(ties))
+        .select(col("n_days"), col("n_groups"), r6(h).as("h"),
+          hc.as("h_tie_corrected"),
+          coalesce((hc > 12.591587243743977).cast("long"), lit(0L))
+            .as("reject_95"))
+    }),
+
+    // ---- Cliff's delta effect size (r11) ----------------------------------
+    // The nonparametric effect size behind q_mann_whitney's verdict: δ =
+    // (#{a > b} − #{a < b}) / (n_a·n_b) over ALL 1998×1997 daily-revenue
+    // pairs (Cliff 1993) — a robust "how big is the shift", scale-free
+    // where q_hodges_lehmann is in dollars. The pair census is CALENDAR-
+    // bounded (≤366²; the q_theil_sen stance), dominance counts are exact
+    // BIGINTs, δ one division, and the Romano et al. (2006) magnitude
+    // labels cut on the r6-ROUNDED |δ| so a 1-ulp difference cannot
+    // relabel.
+    "q_cliffs_delta" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      def yr(y: Int) = daily.where(year(col("day")) === y)
+      val a = yr(1998).select(col("rev").as("ra"))
+      val b = yr(1997).select(col("rev").as("rb"))
+      val dom = a.crossJoin(broadcast(b))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("ra") > col("rb")).cast("long")).as("n_gt"),
+          sum((col("ra") < col("rb")).cast("long")).as("n_lt"))
+      val counts = a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      val delta = r6((col("n_gt") - col("n_lt")).cast("double") /
+        col("n_pairs").cast("double"))
+      dom.crossJoin(broadcast(counts))
+        .select(col("n_a"), col("n_b"), col("n_gt"), col("n_lt"),
+          delta.as("delta"),
+          when(abs(delta) < 0.147, "negligible")
+            .when(abs(delta) < 0.33, "small")
+            .when(abs(delta) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+    }),
+
+    // ---- Mood's median test by weekday (r11) ------------------------------
+    // The coarser, outlier-immune cousin of q_kruskal_wallis: count each
+    // weekday's days above vs not-above the GLOBAL daily-revenue median
+    // and χ²-test the 7×2 table (Mood 1950). The median is one exact
+    // percentile over the calendar-bounded daily frame (midpoint
+    // interpolation identical to quantile_cont — the q_theil_sen
+    // precedent); cells are exact BIGINTs; per-cell (O−E)²/E quantizes to
+    // micro-units before the 14-cell sum; E = 0 abstains via try_divide
+    // (≡ DuckDB /). Same χ²₀.₀₅,₆ reject line.
+    "q_mood_median" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .select(col("rev"),
+          pmod(datediff(col("day"), lit("1995-01-01").cast("date"))
+            .cast("long"), lit(7L)).as("wd"))
+      val med = daily.agg(expr("percentile(rev, 0.5)").as("m"),
+        count(lit(1)).as("n_days"))
+      val cells = daily.crossJoin(broadcast(med))
+        .groupBy("wd")
+        .agg(max(col("n_days")).as("n_days"),
+          sum((col("rev") > col("m")).cast("long")).as("above"),
+          count(lit(1)).as("nj"))
+      val wAll = BoundedWindow.whole(col("wd"))
+      val tot = cells
+        .withColumn("ta", sum(col("above")).over(wAll))
+        .withColumn("tn", sum(col("nj")).over(wAll))
+      def d(c: Column): Column = c.cast("double")
+      def cellTerm(o: Column, e: Column): Column =
+        floor(try_divide((d(o) - e) * (d(o) - e), e) * 1000000.0)
+          .cast("long")
+      val eA = d(col("nj")) * d(col("ta")) / d(col("tn"))
+      val eB = d(col("nj")) * d(col("tn") - col("ta")) / d(col("tn"))
+      val chi = tot.select(col("n_days"),
+          cellTerm(col("above"), eA).as("t1"),
+          cellTerm(col("nj") - col("above"), eB).as("t2"))
+        .groupBy("n_days")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("t1") + col("t2")).as("chi_micro"))
+      val chi2 = r6(col("chi_micro").cast("double") / 1000000.0)
+      chi.select(col("n_days"), col("n_groups"), chi2.as("chi2"),
+        coalesce((chi2 > 12.591587243743977).cast("long"), lit(0L))
+          .as("reject_95"))
+    }),
+
+    // ---- paired permutation test, content-addressed (r11) -----------------
+    // The assumption-free significance check for "did 1998 move vs
+    // 1997?": pair days by (month, day), observe S = Σd_i, and replay
+    // K = 200 sign-flip permutations with the signs derived from
+    // md5(pair-key ⊕ permutation-index) — the q_hash_split idiom, so the
+    // "random" flips are content-addressed, reproducible, and REPLAYED
+    // EXACTLY by the oracle (no RNG state anywhere, the house rule).
+    // Everything is exact BIGINT: the decision |S_p| ≥ |S| compares
+    // integer sums, p = (1 + #exceed)/(K+1) is one division of exact
+    // ints. Work is pairs × K ≈ 366·200 rows — calendar-bounded.
+    "q_permutation_test" -> ((s, dir) => {
+      val K = 200
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      def yr(y: Int) = daily.where(year(col("day")) === y)
+        .select((month(col("day")) * 100 + dayofmonth(col("day")))
+          .cast("long").as("md"), col("rev"))
+      val pairs = yr(1998).select(col("md"), col("rev").as("r98"))
+        .join(yr(1997).select(col("md"), col("rev").as("r97")), Seq("md"))
+        .select(col("md"), (col("r98") - col("r97")).as("d"))
+      val obs = pairs.agg(count(lit(1)).as("n_pairs"), sum(col("d")).as("s_obs"))
+      val flips = pairs
+        .select(col("md"), col("d"), explode(sequence(lit(1), lit(K))).as("p"))
+        .select(col("p"), (col("d") * (lit(1L) - lit(2L) *
+          pmod(conv(substring(md5(concat(col("md").cast("string"), lit("_"),
+            col("p").cast("string")).cast("binary")), 1, 4), 16, 10)
+            .cast("long"), lit(2L)))).as("sd"))
+        .groupBy("p").agg(sum(col("sd")).as("sp"))
+      val pv = flips.crossJoin(broadcast(obs))
+        .agg(max(col("n_pairs")).as("n_pairs"), max(col("s_obs")).as("s_obs"),
+          count(lit(1)).as("k_perms"),
+          sum((abs(col("sp")) >= abs(col("s_obs"))).cast("long")).as("exceed"))
+      pv.select(col("n_pairs"), col("k_perms"),
+        r2c(col("s_obs").cast("double") / col("n_pairs").cast("double")
+          / 100.0).as("mean_diff_dollars"),
+        r6((col("exceed") + 1L).cast("double") /
+          (col("k_perms") + 1L).cast("double")).as("p_value"),
+        ((col("exceed") + 1L).cast("double") /
+          (col("k_perms") + 1L).cast("double") < 0.05).cast("long")
+          .as("reject_05"))
+    }),
+
     // ---- Hotelling T² two-sample multivariate mean test (r10) -------------
     // q_ab_ttest per coordinate can miss a JOINT mean shift (two small
     // correlated moves); Hotelling (1931)'s T² = (n_a·n_b/N)·δᵀS_p⁻¹δ on
@@ -4140,6 +4318,182 @@ object Stats {
         |  n_pairs,
         |  FLOOR(hl / 100.0 * 100.0 + 0.500001) / 100.0 AS hl_shift_dollars
         |FROM m""".stripMargin,
+
+    // identical midranks off the value-grouped prefix sum, micro-quantized
+    // per-group terms, the same engine-neutral weekday and χ² line
+    "q_kruskal_wallis" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), d2 AS (
+        |  SELECT rev, CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS wd
+        |  FROM daily
+        |), vals AS (
+        |  SELECT rev, CAST(COUNT(*) AS BIGINT) AS cv FROM d2 GROUP BY rev
+        |), mr AS (
+        |  SELECT rev, cv,
+        |    CAST(SUM(cv) OVER (ORDER BY rev ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW) - cv AS DOUBLE)
+        |      + CAST(cv + 1 AS DOUBLE) / 2.0 AS midrank
+        |  FROM vals
+        |), g AS (
+        |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS nj, SUM(midrank) AS rj
+        |  FROM d2 JOIN mr USING (rev) GROUP BY wd
+        |), terms AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CAST(FLOOR(rj * rj / CAST(nj AS DOUBLE) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS s_micro
+        |  FROM g
+        |), tiet AS (
+        |  SELECT CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS tie FROM vals
+        |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+        |), hh AS (
+        |  SELECT n_days, n_groups,
+        |    12.0 / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 1.0))
+        |      * (CAST(s_micro AS DOUBLE) / 1000000.0)
+        |      - 3.0 * (CAST(n_days AS DOUBLE) + 1.0) AS h,
+        |    1.0 - CAST(tie AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+        |        * CAST(n_days AS DOUBLE) - CAST(n_days AS DOUBLE)) AS c
+        |  FROM nn, terms, tiet
+        |)
+        |SELECT n_days, n_groups,
+        |  FLOOR(h * 1000000.0 + 0.500001) / 1000000.0 AS h,
+        |  FLOOR(h / c * 1000000.0 + 0.500001) / 1000000.0
+        |    AS h_tie_corrected,
+        |  COALESCE(CAST(FLOOR(h / c * 1000000.0 + 0.500001) / 1000000.0
+        |    > 12.591587243743977 AS BIGINT), 0) AS reject_95
+        |FROM hh""".stripMargin,
+
+    // identical bounded pair census, exact dominance counts, the same
+    // r6-rounded |δ| magnitude cuts
+    "q_cliffs_delta" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), a AS (SELECT rev AS ra FROM daily WHERE year(day) = 1998
+        |), b AS (SELECT rev AS rb FROM daily WHERE year(day) = 1997
+        |), dom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN ra > rb THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
+        |    CAST(SUM(CASE WHEN ra < rb THEN 1 ELSE 0 END) AS BIGINT) AS n_lt
+        |  FROM a, b
+        |), dd AS (
+        |  SELECT n_gt, n_lt,
+        |    FLOOR(CAST(n_gt - n_lt AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS delta
+        |  FROM dom
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+        |  n_gt, n_lt, delta,
+        |  CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+        |    WHEN ABS(delta) < 0.33 THEN 'small'
+        |    WHEN ABS(delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM dd""".stripMargin,
+
+    // identical exact percentile median, micro-quantized cell terms,
+    // NULL-on-zero expected counts on both engines
+    "q_mood_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), d2 AS (
+        |  SELECT rev, CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS wd
+        |  FROM daily
+        |), med AS (
+        |  SELECT quantile_cont(rev, 0.5) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days FROM d2
+        |), cells AS (
+        |  SELECT wd, MAX(n_days) AS n_days,
+        |    CAST(SUM(CASE WHEN rev > m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS above,
+        |    CAST(COUNT(*) AS BIGINT) AS nj
+        |  FROM d2, med GROUP BY wd
+        |), tot AS (
+        |  SELECT *, CAST(SUM(above) OVER () AS BIGINT) AS ta,
+        |    CAST(SUM(nj) OVER () AS BIGINT) AS tn
+        |  FROM cells
+        |), terms AS (
+        |  SELECT n_days,
+        |    CAST(FLOOR((CAST(above AS DOUBLE)
+        |        - CAST(nj AS DOUBLE) * CAST(ta AS DOUBLE)
+        |          / CAST(tn AS DOUBLE))
+        |      * (CAST(above AS DOUBLE)
+        |        - CAST(nj AS DOUBLE) * CAST(ta AS DOUBLE)
+        |          / CAST(tn AS DOUBLE))
+        |      / (CAST(nj AS DOUBLE) * CAST(ta AS DOUBLE)
+        |        / CAST(tn AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    + CAST(FLOOR((CAST(nj - above AS DOUBLE)
+        |        - CAST(nj AS DOUBLE) * CAST(tn - ta AS DOUBLE)
+        |          / CAST(tn AS DOUBLE))
+        |      * (CAST(nj - above AS DOUBLE)
+        |        - CAST(nj AS DOUBLE) * CAST(tn - ta AS DOUBLE)
+        |          / CAST(tn AS DOUBLE))
+        |      / (CAST(nj AS DOUBLE) * CAST(tn - ta AS DOUBLE)
+        |        / CAST(tn AS DOUBLE)) * 1000000.0) AS BIGINT) AS t12
+        |  FROM tot
+        |), chi AS (
+        |  SELECT n_days, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(t12) AS BIGINT) AS chi_micro
+        |  FROM terms GROUP BY n_days
+        |)
+        |SELECT n_days, n_groups,
+        |  FLOOR(CAST(chi_micro AS DOUBLE) / 1000000.0 * 1000000.0
+        |    + 0.500001) / 1000000.0 AS chi2,
+        |  COALESCE(CAST(FLOOR(CAST(chi_micro AS DOUBLE) / 1000000.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 > 12.591587243743977
+        |    AS BIGINT), 0) AS reject_95
+        |FROM chi""".stripMargin,
+
+    // identical md5-derived sign flips, exact integer sum comparisons,
+    // the same (1 + exceed)/(K + 1) rational
+    "q_permutation_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.md, a.rev - b.rev AS d FROM
+        |    (SELECT CAST(month(day) * 100 + dayofmonth(day) AS BIGINT) AS md,
+        |       rev FROM daily WHERE year(day) = 1998) a
+        |  JOIN
+        |    (SELECT CAST(month(day) * 100 + dayofmonth(day) AS BIGINT) AS md,
+        |       rev FROM daily WHERE year(day) = 1997) b
+        |  USING (md)
+        |), obs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(d) AS BIGINT) AS s_obs FROM pairs
+        |), flips AS (
+        |  SELECT p.p,
+        |    CAST(SUM(d * (1 - 2 * (CAST('0x' || substr(md5(
+        |      CAST(md AS VARCHAR) || '_' || CAST(p.p AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2))) AS BIGINT) AS sp
+        |  FROM pairs, LATERAL unnest(generate_series(1, 200)) AS p(p)
+        |  GROUP BY p.p
+        |), pv AS (
+        |  SELECT MAX(n_pairs) AS n_pairs, MAX(s_obs) AS s_obs,
+        |    CAST(COUNT(*) AS BIGINT) AS k_perms,
+        |    CAST(SUM(CASE WHEN ABS(sp) >= ABS(s_obs) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS exceed
+        |  FROM flips, obs
+        |)
+        |SELECT n_pairs, k_perms,
+        |  FLOOR(CAST(s_obs AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 100.0
+        |    * 100.0 + 0.500001) / 100.0 AS mean_diff_dollars,
+        |  FLOOR(CAST(exceed + 1 AS DOUBLE) / CAST(k_perms + 1 AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS p_value,
+        |  CAST(CAST(exceed + 1 AS DOUBLE) / CAST(k_perms + 1 AS DOUBLE)
+        |    < 0.05 AS BIGINT) AS reject_05
+        |FROM pv""".stripMargin,
 
     // identical exact pooled moments, the same closed-form 2x2 inverse
     // sequence, and the same F conversion

@@ -986,6 +986,57 @@ object Timeseries {
             .as("drift_alarm"))
     }),
 
+    // ---- two-sided CUSUM control chart (r11) ------------------------------
+    // Page (1954)'s cumulative-sum chart — the drift detector with the
+    // shortest detection delay for small persistent mean shifts, which
+    // q_page_hinkley's single-peak summary and q_rolling_anomaly's
+    // day-local z both miss. The recursive S_i = max(0, S_{i−1} + w_i)
+    // is not window-expressible, but its CLOSED FORM is: with prefix sums
+    // P_i = Σ_{j≤i} w_j and P_0 = 0, S_i = P_i − min(0, min_{j≤i} P_j) —
+    // two ordered windows over the calendar-bounded daily frame, run in
+    // DATE order on both engines (the q_page_hinkley structural-parity
+    // discipline: identical float sequence, so no rounding divergence).
+    // Standard tuning k = 0.5σ slack, h = 5σ alarm; top 10 days by the
+    // r6-ROUNDED two-sided statistic with a day tie-break.
+    "q_cusum" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .withColumn("x", col("rev").cast("double") / lit(1000000.0))
+      val wAll = BoundedWindow.whole(col("day"))
+      val wRun = BoundedWindow.ordered(col("day"), col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val st = daily
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("mu",
+          sum(col("x")).over(wAll) / count(lit(1)).over(wAll))
+        .withColumn("sigma", stddev_pop(col("x")).over(wAll))
+      val cums = st
+        .withColumn("p",
+          sum(col("x") - col("mu") - lit(0.5) * col("sigma")).over(wRun))
+        .withColumn("q",
+          sum(col("mu") - lit(0.5) * col("sigma") - col("x")).over(wRun))
+        .withColumn("spos",
+          col("p") - least(min(col("p")).over(wRun), lit(0.0)))
+        .withColumn("sneg",
+          col("q") - least(min(col("q")).over(wRun), lit(0.0)))
+      val stat = r6(greatest(col("spos"), col("sneg")))
+      val ranked = cums
+        .withColumn("stat_r", stat)
+        .withColumn("rk", row_number().over(
+          BoundedWindow.ordered(col("day"), col("stat_r").desc, col("day"))))
+        .where(col("rk") <= 10)
+      ranked.select(col("day"),
+          (col("rev") / lit(100)).as("rev_dollars"),
+          r4(col("spos")).as("cusum_pos"),
+          r4(col("sneg")).as("cusum_neg"),
+          (col("stat_r") > r6(lit(5.0) * col("sigma"))).cast("long")
+            .as("alarm"))
+        .orderBy(col("cusum_pos").desc, col("cusum_neg").desc, col("day"))
+    }),
+
     // ---- rolling-window z-score anomaly days (r10) ------------------------
     // The monitoring workhorse q_changepoint (single global shift) and
     // q_page_hinkley (sequential drift) both assume ONE regime change;
@@ -1907,6 +1958,48 @@ object Timeseries {
         |      > FLOOR(3.0 * sigma * 10000.0 + 0.500001) / 10000.0
         |    THEN 1 ELSE 0 END AS BIGINT) AS drift_alarm
         |FROM top WHERE rk = 1""".stripMargin,
+
+    // identical prefix-sum closed form in date order, the same r6-rounded
+    // two-sided ranking and 5σ alarm line
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), d2 AS (
+        |  SELECT day, rev, CAST(rev AS DOUBLE) / 1000000.0 AS x FROM daily
+        |), s AS (
+        |  SELECT day, rev, x,
+        |    SUM(x) OVER () / COUNT(*) OVER () AS mu,
+        |    STDDEV_POP(x) OVER () AS sigma
+        |  FROM d2
+        |), c AS (
+        |  SELECT day, rev, sigma,
+        |    SUM(x - mu - 0.5 * sigma) OVER (ORDER BY day) AS p,
+        |    SUM(mu - 0.5 * sigma - x) OVER (ORDER BY day) AS q
+        |  FROM s
+        |), c2 AS (
+        |  SELECT day, rev, sigma,
+        |    p - LEAST(MIN(p) OVER (ORDER BY day), 0.0) AS spos,
+        |    q - LEAST(MIN(q) OVER (ORDER BY day), 0.0) AS sneg
+        |  FROM c
+        |), r AS (
+        |  SELECT day, rev, sigma, spos, sneg,
+        |    FLOOR(GREATEST(spos, sneg) * 1000000.0 + 0.500001) / 1000000.0
+        |      AS stat_r,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      FLOOR(GREATEST(spos, sneg) * 1000000.0 + 0.500001) / 1000000.0
+        |      DESC, day) AS rk
+        |  FROM c2
+        |)
+        |SELECT day, CAST(rev AS DOUBLE) / 100 AS rev_dollars,
+        |  FLOOR(spos * 10000.0 + 0.500001) / 10000.0 AS cusum_pos,
+        |  FLOOR(sneg * 10000.0 + 0.500001) / 10000.0 AS cusum_neg,
+        |  CAST(stat_r > FLOOR(5.0 * sigma * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS BIGINT) AS alarm
+        |FROM r WHERE rk <= 10
+        |ORDER BY cusum_pos DESC, cusum_neg DESC, day""".stripMargin,
 
     // identical trailing frame, clamped rolling moments, r6-rounded |z|
     // ranking with the same day tie-break

@@ -455,6 +455,35 @@ object ScaleProbe {
       Blocks.releaseAll(spark)
     }
 
+    // Hodges–Lehmann shift (round 11): the q_theil_sen claim for the
+    // OTHER pair-census query — order copies land on the SAME calendar,
+    // so the 1998×1997 daily-difference pair frame is ≤366² REGARDLESS
+    // of volume; only the daily aggregate scan may grow.
+    for (mult <- Seq(1, 4, 16)) {
+      val big = (0 until mult).map { i =>
+        ordersBase.select(
+          (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val nOrders = big.count()
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val t0 = System.nanoTime()
+      val daily = big.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      def yr(y: Int) = daily.where(year(col("day")) === y)
+      val hl = yr(1998).select(col("rev").as("ra"))
+        .crossJoin(broadcast(yr(1997).select(col("rev").as("rb"))))
+        .select((col("ra") - col("rb")).as("d"))
+        .agg(count(lit(1)), expr("percentile(d, 0.5)")).head.getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-hl] mult=$mult%2d orders=$nOrders%9d " +
+        f"pairs=$hl%8d secs=$secs%.2f")
+      Blocks.releaseAll(spark)
+    }
+
     // Temporal-reciprocity: orders+lineitem multiplied as disjoint
     // customer histories (offset cust/order keys) — the per-customer LEAD
     // window and the order-size²-bounded part joins must scale LINEARLY

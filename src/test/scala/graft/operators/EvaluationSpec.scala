@@ -218,6 +218,26 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(byBin(9L).getDouble(4) - 4.0 / 14.0 * 0.5) < 1e-6)
   }
 
+  test("Brier decomposition: identity, bounds, and base-rate algebra on real data") {
+    val r = SparkEntry.queries("q_brier_decomposition")(spark, sf).head
+    val (n, nb) = (r.getLong(0), r.getLong(1))
+    val (base, brier, rel, res, unc) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(n > 0 && nb >= 1 && nb <= 10)
+    assert(base > 0.0 && base < 1.0)
+    // uncertainty is p(1−p) of the base rate (both r6-rounded)
+    assert(math.abs(unc - base * (1 - base)) < 2e-6, s"unc algebra: $r")
+    assert(rel >= 0.0 && res >= 0.0, s"nonneg components: $r")
+    // resolution can never exceed the base-rate variance
+    assert(res <= unc + 1e-6, s"res ≤ unc: $r")
+    // Murphy identity on binned forecasts: raw brier = (rel − res + unc)
+    // + mean within-bin forecast variance ≥ the binned identity (up to
+    // micro-quantization), and the binning error is small at 10 bins
+    val ident = rel - res + unc
+    assert(brier >= ident - 1e-4, s"identity lower bound: $r")
+    assert(brier <= ident + 0.05, s"binning error bounded: $r")
+  }
+
   test("score-eval plans: binning is a partial aggregate, cross is broadcast-only") {
     val auc = plan("q_roc_auc")
     assert(!auc.contains("Join"), s"AUC must not join:\n$auc")

@@ -388,6 +388,51 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("Join"), s"changepoint must be join-free:\n$p")
   }
 
+  // ---- q_cusum --------------------------------------------------------------
+
+  test("q_cusum: planted step shift alarms after the boundary, matches a driver replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum2").toString
+    // 60 flat days at $100, then 40 at $200: the positive CUSUM ramps
+    // linearly after the boundary, so the top days are the LAST days and
+    // the 5σ alarm fires well before the end
+    val rows = (0 until 100).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()),
+        if (i < 60) 100.0 else 200.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    rows.write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_cusum")(spark, dir).collect()
+    assert(out.length === 10)
+    // driver replay of the closed form in x = cents/1e6 units
+    val xs = (0 until 100).map(i => (if (i < 60) 10000L else 20000L).toDouble / 1e6)
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length)
+    var (p, q, minP, minQ) = (0.0, 0.0, 0.0, 0.0)
+    val replay = xs.zipWithIndex.map { case (x, i) =>
+      p += x - mu - 0.5 * sigma; q += mu - 0.5 * sigma - x
+      minP = math.min(minP, p); minQ = math.min(minQ, q)
+      (i, p - minP, q - minQ)
+    }
+    val byDay = out.map(r => r.getDate(0).toLocalDate.toEpochDay -
+      java.time.LocalDate.of(2020, 1, 1).toEpochDay -> r).toMap
+    byDay.foreach { case (i, r) =>
+      val (_, sp, sn) = replay(i.toInt)
+      assert(math.abs(r.getDouble(2) - sp) < 1e-3, s"day $i cusum_pos: $r")
+      assert(math.abs(r.getDouble(3) - sn) < 1e-3, s"day $i cusum_neg: $r")
+      assert(r.getLong(4) === (if (math.max(sp, sn) > 5.0 * sigma) 1L else 0L))
+    }
+    // top-10 by the statistic = the 10 LAST days of the ramp, all alarmed
+    assert(byDay.keys.toSeq.sorted === (90L to 99L),
+      s"top days must be the ramp tail: ${byDay.keys.toSeq.sorted}")
+    assert(out.forall(_.getLong(4) == 1L), "every ramp-tail day exceeds 5σ")
+  }
+
+  test("q_cusum plan: join-free, bounded ordered windows over the daily frame") {
+    val p = plan("q_cusum")
+    assert(!p.contains("SortMergeJoin"), s"no data-sized join:\n$p")
+  }
+
   // ---- q_acf ----------------------------------------------------------------
 
   test("ACF of a pure 7-periodic series is exactly (n-7)/n at lag 7") {

@@ -1531,6 +1531,96 @@ class StatsSpec extends SparkSpec {
       s"HL must shrug off the outlier: $rd")
   }
 
+  test("Kruskal-Wallis: flat series gives H = 0 with tie-corrected abstention; " +
+      "a planted weekday shift rejects") {
+    import spark.implicits._
+    def mk(rev: Int => Double) = fixtureDir("orders" ->
+      (0 until 140).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1995, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), rev(i)))
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice"))
+    // all days equal: every midrank is (N+1)/2 ⇒ H = 0 exactly; the tie
+    // correction divides by zero ⇒ abstain NULL, reject 0
+    val flat = SparkEntry.queries("q_kruskal_wallis")(spark, mk(_ => 100.0)).head
+    assert(flat.getLong(0) === 140L && flat.getLong(1) === 7L)
+    assert(flat.getDouble(2) === 0.0, s"flat H: $flat")
+    assert(flat.isNullAt(3) && flat.getLong(4) === 0L)
+    // weekday 0 (i % 7 == 0, anchor = 1995-01-01) pays 10x: distribution
+    // shift concentrated in one group ⇒ reject
+    val shifted = SparkEntry.queries("q_kruskal_wallis")(spark,
+      mk(i => if (i % 7 == 0) 1000.0 else 100.0 + (i % 5))).head
+    assert(shifted.getDouble(3) > 12.591587, s"planted shift must reject: $shifted")
+    assert(shifted.getLong(4) === 1L)
+  }
+
+  test("Cliff's delta: total dominance reads +1/large, identical years 0/negligible") {
+    import spark.implicits._
+    def mk(y97: Int => Double, y98: Int => Double) = fixtureDir("orders" ->
+      ((0 until 30).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1997, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), y97(i))) ++
+       (0 until 30).map(i => (100L + i,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1998, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), y98(i))))
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice"))
+    val dom = SparkEntry.queries("q_cliffs_delta")(spark,
+      mk(i => 100.0 + i, i => 1000.0 + i)).head
+    assert(dom.getLong(0) === 30L && dom.getLong(1) === 30L)
+    assert(dom.getLong(2) === 900L && dom.getLong(3) === 0L)
+    assert(dom.getDouble(4) === 1.0 && dom.getString(5) === "large")
+    val same = SparkEntry.queries("q_cliffs_delta")(spark,
+      mk(i => 100.0 + i, i => 100.0 + i)).head
+    // identical multisets: #(a>b) == #(a<b) by symmetry ⇒ δ = 0
+    assert(same.getDouble(4) === 0.0 && same.getString(5) === "negligible")
+  }
+
+  test("Mood's median: a balanced weekly pattern gives chi2 = 0; " +
+      "one always-above weekday rejects") {
+    import spark.implicits._
+    def mk(rev: Int => Double) = fixtureDir("orders" ->
+      (0 until 70).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1995, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), rev(i)))
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice"))
+    // alternate weeks at $100/$200 for every weekday: each weekday is
+    // half above the $150 median ⇒ every cell hits its expectation
+    val bal = SparkEntry.queries("q_mood_median")(spark,
+      mk(i => if ((i / 7) % 2 == 0) 100.0 else 200.0)).head
+    assert(bal.getLong(0) === 70L && bal.getLong(1) === 7L)
+    assert(bal.getDouble(2) === 0.0, s"balanced chi2: $bal")
+    assert(bal.getLong(3) === 0L)
+    // weekday 0 always above, the rest alternating ⇒ concentrated table
+    val skew = SparkEntry.queries("q_mood_median")(spark,
+      mk(i => if (i % 7 == 0) 300.0
+        else if ((i / 7) % 2 == 0) 100.0 else 200.0)).head
+    assert(skew.getDouble(2) > 12.591587, s"planted weekday must reject: $skew")
+    assert(skew.getLong(3) === 1L)
+  }
+
+  test("permutation test: zero diffs give p = 1; a constant planted shift rejects") {
+    import spark.implicits._
+    def mk(shift: Double) = fixtureDir("orders" ->
+      ((0 until 50).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1997, 3, 1)
+          .plusDays(i.toLong).atStartOfDay()), 100.0 + (i % 9))) ++
+       (0 until 50).map(i => (100L + i,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1998, 3, 1)
+          .plusDays(i.toLong).atStartOfDay()), 100.0 + (i % 9) + shift)))
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice"))
+    // identical paired days: S_obs = 0, every permuted |S_p| >= 0 ⇒ the
+    // exact p-value is (K+1)/(K+1) = 1
+    val nul = SparkEntry.queries("q_permutation_test")(spark, mk(0.0)).head
+    assert(nul.getLong(0) === 50L && nul.getLong(1) === 200L)
+    assert(nul.getDouble(2) === 0.0)
+    assert(nul.getDouble(3) === 1.0 && nul.getLong(4) === 0L)
+    // constant +$10 on every pair: |S_p| = |S_obs| requires ALL 50 md5
+    // sign bits equal — no permutation achieves it ⇒ p = 1/201
+    val shift = SparkEntry.queries("q_permutation_test")(spark, mk(10.0)).head
+    assert(shift.getDouble(2) === 10.0)
+    assert(math.abs(shift.getDouble(3) - 1.0 / 201.0) < 1e-6, s"p: $shift")
+    assert(shift.getLong(4) === 1L)
+  }
+
   test("Hotelling T2: a joint mean shift on known arms rejects; A/A stays calm") {
     import spark.implicits._
     val ids = (1L to 3000L)

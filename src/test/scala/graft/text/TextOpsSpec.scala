@@ -15,6 +15,27 @@ class TextOpsSpec extends SparkSpec {
       .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
   }
 
+  test("hapax rate and Simpson diversity match a driver recount on a tiny corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hapax").toString
+    // source 's': tokens a×3 b×2 c×1 d×1 → vocab 4, hapax 2, dis 1, N 7;
+    // Simpson λ = (3·2 + 2·1 + 0 + 0)/(7·6) = 8/42
+    Seq((0L, "a a b c", "s"), (1L, "a b d", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val h = graft.SparkEntry.queries("q_hapax_rate")(spark, dir).head
+    assert(h.getLong(1) === 7L && h.getLong(2) === 4L)
+    assert(h.getLong(3) === 2L && h.getLong(4) === 1L)
+    assert(math.abs(h.getDouble(5) - 0.5) < 1e-9, s"hapax share: $h")
+    val s = graft.SparkEntry.queries("q_simpson_diversity")(spark, dir).head
+    assert(s.getLong(1) === 7L && s.getLong(2) === 4L)
+    assert(math.abs(s.getDouble(3) - 8.0 / 42.0) < 1e-6, s"simpson: $s")
+    assert(math.abs(s.getDouble(4) - math.floor(42.0 / 8.0 * 100 + 0.500001) / 100)
+      < 1e-9, s"inverse: $s")
+  }
+
   test("textStats counts chars, tokens, bpe-ish tokens, punctuation") {
     val r = TextOps.textStats(docs).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("char_len") == 45L)
