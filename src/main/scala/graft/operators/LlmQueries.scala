@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.io.Sources
 import graft.text.TextOps
 import graft.dedup.Dedup
@@ -1600,6 +1601,110 @@ object LlmQueries {
             .cast("long").as("l_diverse"))
     }),
 
+    // ---- t-closeness audit (r11) ------------------------------------------
+    // The third privacy gate (Li et al. 2007), completing k-anonymity +
+    // l-diversity: a cell can be l-diverse yet still leak when its
+    // sensitive DISTRIBUTION sits far from the population's (a cell of
+    // only top-band balances discloses wealth). Over the same QIs
+    // (nation × segment) and sensitive $1000 acctbal bands: per-cell EMD
+    // to the global band distribution — for an ORDERED attribute EMD is
+    // the mean |cumulative difference| over the first m−1 band prefixes.
+    // Scale shape: the (QI × band) frame is schema-bounded; the dense
+    // grid comes from cellTot × bandTot (both bounded, broadcast); the
+    // cumulative rides a per-cell ordered window over that grid (same
+    // float sequence both engines — band order), each prefix's |cum|
+    // micro-quantized before the per-cell sum. Release passes at the
+    // conventional t = 0.2.
+    "q_t_closeness" -> ((s, dir) => {
+      val band = floor(col("c_acctbal") / lit(1000.0)).cast("long")
+      val rows = t(s, dir, "customer")
+        .select(col("c_nationkey").as("qn"),
+          col("c_mktsegment").as("qs"), band.as("band"))
+      val cellBand = rows.groupBy("qn", "qs", "band")
+        .agg(count(lit(1)).as("n"))
+      val cellTot = rows.groupBy("qn", "qs").agg(count(lit(1)).as("tc"))
+      val bandTot = rows.groupBy("band").agg(count(lit(1)).as("nb"))
+      val glob = rows.agg(count(lit(1)).as("nn"),
+        countDistinct(col("band")).as("m"), max(col("band")).as("maxb"))
+      val grid = cellTot.crossJoin(broadcast(bandTot))
+        .join(cellBand, Seq("qn", "qs", "band"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(glob))
+      val diff = col("n").cast("double") / col("tc").cast("double") -
+        col("nb").cast("double") / col("nn").cast("double")
+      val cum = grid.withColumn("cum", sum(diff).over(
+        Window.partitionBy(col("qn"), col("qs")).orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perCell = cum.where(col("band") < col("maxb"))
+        .select(col("qn"), col("qs"), col("tc"), col("m"),
+          floor(abs(col("cum")) * lit(1000000.0)).cast("long").as("cm"))
+        .groupBy("qn", "qs", "tc", "m")
+        .agg(sum(col("cm")).as("emd_micro"))
+        .select(col("qn"), col("qs"), col("tc"),
+          r6(col("emd_micro").cast("double") / 1000000.0 /
+            (col("m") - 1L).cast("double")).as("emd"))
+      perCell.agg(count(lit(1)).as("n_groups"), sum(col("tc")).as("n_rows"),
+          max(col("emd")).as("max_emd"),
+          sum((col("emd") > 0.2).cast("long")).as("groups_above_t"))
+        .select(col("n_groups"), col("n_rows"), col("max_emd"),
+          col("groups_above_t"),
+          (col("max_emd") <= 0.2).cast("long").as("t_close"))
+    }),
+
+    // ---- cross-document duplicate n-gram spans (r11) ----------------------
+    // The n-gram-level contamination/memorization diagnostic (the Lee et
+    // al. 2022 dedup report's unit, downstream of doc-level dedup): per
+    // source, what share of its DISTINCT 8-gram token shingles also
+    // appears in at least one OTHER document? One (gram) shuffle over
+    // linear gram volume — grams are strings, never pairs; counts exact
+    // BIGINT; the doc census per gram is the dedup-exact group-listing
+    // shape. Tokenization and the 8-gram join are textually mirrored in
+    // the oracle (concat_ws ' ' ≡ array_to_string ' ').
+    "q_dup_ngram_spans" -> ((s, dir) => {
+      val toks = TextOps.tokens(lower(col("text")))
+      val grams = docs(s, dir)
+        .select(col("doc_id"), col("source"), toks.as("w"))
+        .where(size(col("w")) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(0), size(col("w")) - 8),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(8))))).as("g"))
+        .distinct()
+      val gramDocs = grams.groupBy("g").agg(count(lit(1)).as("docs"))
+      grams.join(gramDocs, Seq("g"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_grams"),
+          sum((col("docs") >= 2L).cast("long")).as("dup_grams"))
+        .select(col("source"), col("n_docs"), col("n_grams"),
+          col("dup_grams"),
+          r6(col("dup_grams").cast("double") / col("n_grams").cast("double"))
+            .as("dup_share"))
+        .orderBy("source")
+    }),
+
+    // ---- Kish effective sample size of sampling weights (r11) -------------
+    // The diagnostic every weighted pipeline (q_weighted_sample, DSIR,
+    // α-sampling) should report: with per-doc weight w = n_chars, ESS =
+    // (Σw)²/Σw² — how many EQUAL-WEIGHT docs the weighted set is worth
+    // (Kish 1965). Efficiency = ESS/n: 1.0 means uniform, small means a
+    // few heavy docs dominate the mixture. Exact BIGINT Σw, decimal-38
+    // Σw²; one division chain per source.
+    "q_ess_weights" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_w"),
+          sum(col("n_chars").cast("decimal(19,0)") *
+            col("n_chars").cast("decimal(19,0)")).as("sw2"))
+        .select(col("source"), col("n_docs"), col("sum_w"),
+          r2(col("sum_w").cast("double") * col("sum_w").cast("double") /
+            col("sw2").cast("double")).as("ess"),
+          r6(col("sum_w").cast("double") * col("sum_w").cast("double") /
+            col("sw2").cast("double") / col("n_docs").cast("double"))
+            .as("efficiency"))
+        .orderBy("source")
+    }),
+
     // oracle-backed: differentially-private segment counts — the released
     // histogram shape (Laplace mechanism, Dwork et al. 2006: sensitivity
     // 1 counts + Lap(1/ε) noise). Noise is CONTENT-ADDRESSED from
@@ -2588,6 +2693,99 @@ object LlmQueries {
         |  CAST(CASE WHEN MIN(distinct_l) >= 3 AND MIN(entropy_l) >= 3.0
         |    THEN 1 ELSE 0 END AS BIGINT) AS l_diverse
         |FROM e""".stripMargin,
+
+    // identical dense QI×band grid, per-cell cumulative in band order,
+    // micro-quantized prefix terms, the same t = 0.2 line
+    "q_t_closeness" ->
+      """WITH rows_ AS (
+        |  SELECT c_nationkey AS qn, c_mktsegment AS qs,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer
+        |), cellband AS (
+        |  SELECT qn, qs, band, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM rows_ GROUP BY qn, qs, band
+        |), celltot AS (
+        |  SELECT qn, qs, CAST(COUNT(*) AS BIGINT) AS tc
+        |  FROM rows_ GROUP BY qn, qs
+        |), bandtot AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS nb FROM rows_ GROUP BY band
+        |), gl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(COUNT(DISTINCT band) AS BIGINT) AS m,
+        |    CAST(MAX(band) AS BIGINT) AS maxb
+        |  FROM rows_
+        |), grid AS (
+        |  SELECT ct.qn, ct.qs, ct.tc, bt.band, bt.nb,
+        |    COALESCE(cb.n, 0) AS n, gl.nn, gl.m, gl.maxb
+        |  FROM celltot ct CROSS JOIN bandtot bt
+        |  LEFT JOIN cellband cb ON cb.qn = ct.qn AND cb.qs = ct.qs
+        |    AND cb.band = bt.band
+        |  CROSS JOIN gl
+        |), cum AS (
+        |  SELECT qn, qs, tc, m, maxb, band,
+        |    SUM(CAST(n AS DOUBLE) / CAST(tc AS DOUBLE)
+        |      - CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      OVER (PARTITION BY qn, qs ORDER BY band
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid
+        |), percell AS (
+        |  SELECT qn, qs, tc, m,
+        |    CAST(SUM(CAST(FLOOR(ABS(cum) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS emd_micro
+        |  FROM cum WHERE band < maxb GROUP BY qn, qs, tc, m
+        |), e AS (
+        |  SELECT qn, qs, tc,
+        |    FLOOR(CAST(emd_micro AS DOUBLE) / 1000000.0
+        |      / CAST(m - 1 AS DOUBLE) * 1000000.0 + 0.500001) / 1000000.0
+        |      AS emd
+        |  FROM percell
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(tc) AS BIGINT) AS n_rows,
+        |  MAX(emd) AS max_emd,
+        |  CAST(SUM(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_above_t,
+        |  CAST(CASE WHEN MAX(emd) <= 0.2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS t_close
+        |FROM e""".stripMargin,
+
+    // identical tokenization and 8-gram shingling (concat_ws ' ' ≡
+    // array_to_string ' '), exact BIGINT doc census per gram
+    "q_dup_ngram_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    array_to_string(w[i.i:i.i+7], ' ') AS g
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w) - 7)) AS i(i)
+        |  WHERE len(w) >= 8
+        |), gd AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS docs FROM grams GROUP BY g
+        |)
+        |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_grams,
+        |  FLOOR(CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS dup_share
+        |FROM grams JOIN gd USING (g)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical exact Σw / Σw² integer algebra, single division chains
+    "q_ess_weights" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_w,
+        |  FLOOR(CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE)
+        |    / CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE)
+        |    * 100.0 + 0.500001) / 100.0 AS ess,
+        |  FLOOR(CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE)
+        |    / CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS efficiency
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // identical content-addressed uniform → inverse-CDF Laplace deviate
     "q_dp_counts" ->

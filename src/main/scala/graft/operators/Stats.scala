@@ -2072,6 +2072,96 @@ object Stats {
           r2c(col("hl") / lit(100.0)).as("hl_shift_dollars"))
     }),
 
+    // ---- TOST equivalence test (r11) --------------------------------------
+    // The question q_ab_ttest cannot answer: not "did the arms differ?"
+    // but "are they the SAME within a margin?" — failing to reject is not
+    // equivalence (Schuirmann 1987). Two one-sided z tests against ±$50
+    // on the q_ab_ttest per-user spend frame: equivalent iff BOTH reject,
+    // i.e. min(z_low, z_high) > z₀.₀₅ = 1.6448536269514722. Same exact
+    // per-arm moments, same avg/var_samp parity; the verdict compares the
+    // r6-ROUNDED z's so a 1-ulp sqrt cannot flip it. On the honest md5
+    // A/A split the expected answer is equivalent = 1.
+    "q_tost_equivalence" -> ((s, dir) => {
+      val margin = lit(50.0)
+      val byUser = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(avg(col("value")).as("x"))
+        .select(arm(col("user_id")).as("g"), col("x"))
+      val xa = when(col("g") === 0L, col("x"))
+      val xb = when(col("g") === 1L, col("x"))
+      val g = byUser.agg(
+        count(xa).as("na"), count(xb).as("nb"),
+        avg(xa).as("ma"), avg(xb).as("mb"),
+        var_samp(xa).as("va"), var_samp(xb).as("vb"))
+      val se = sqrt(col("va") / col("na") + col("vb") / col("nb"))
+      val diff = col("ma") - col("mb")
+      val zLow = r6((diff + margin) / se)
+      val zHigh = r6((margin - diff) / se)
+      g.select(col("na").as("n_a"), col("nb").as("n_b"),
+        r6(diff).as("diff"), r6(se).as("se"),
+        zLow.as("z_low"), zHigh.as("z_high"),
+        (least(zLow, zHigh) > 1.6448536269514722).cast("long")
+          .as("equivalent"))
+    }),
+
+    // ---- empirical-Bayes mean shrinkage (r11) -----------------------------
+    // The per-segment estimate every dashboard should show instead of the
+    // raw group mean: James–Stein/EB shrinkage of each order priority's
+    // mean order value toward the grand mean, with the weight set by the
+    // data (Efron & Morris 1975). Method-of-moments: pooled within-group
+    // σ²_w from exact BIGINT/decimal-38 moments, between-group τ² =
+    // max(0, (Σn_j(m_j−m)² − (J−1)σ²_w) / (N − Σn_j²/N)), per group
+    // B_j = (σ²_w/n_j)/(σ²_w/n_j + τ²) and shrunk = m + (1−B_j)(m_j−m).
+    // Everything is a closed-form float chain over ONE ≤5-row exact
+    // moment frame; the Σn_j(m_j−m)² accumulation quantizes per group to
+    // micro-units first. τ² = 0 (homogeneous groups) collapses every
+    // estimate to the grand mean — the honest degenerate answer.
+    "q_eb_shrinkage" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val cells = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), cents.as("v"),
+          cents.cast("decimal(19,0)").as("vd"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("vd") * col("vd")).as("ssq"))
+      val wAll = BoundedWindow.whole(col("prio"))
+      def d(c: Column): Column = c.cast("double")
+      val tot0 = cells
+        .withColumn("nn", sum(col("n")).over(wAll))
+        .withColumn("snn", sum(col("n") * col("n")).over(wAll))
+        .withColumn("st", sum(col("sv")).over(wAll))
+        .withColumn("jj", count(lit(1)).over(wAll))
+      val gm = d(col("st")) / d(col("nn"))
+      // WHOLE-cents² quantization: these moments sit at ~1e17, so unit
+      // granularity is already below double resolution (and Spark floor()
+      // returns LONG — a 1e-6 micro scale would overflow it)
+      val tot = tot0
+        .withColumn("ssw_t",
+          floor(d(col("ssq")) - d(col("sv")) * d(col("sv")) / d(col("n")))
+            .cast("decimal(38,0)"))
+        .withColumn("sbm_t",
+          floor(d(col("n")) * (d(col("sv")) / d(col("n")) - gm)
+            * (d(col("sv")) / d(col("n")) - gm)).cast("decimal(38,0)"))
+        .withColumn("ssw", sum(col("ssw_t")).over(wAll))
+        .withColumn("sbm", sum(col("sbm_t")).over(wAll))
+      val m = d(col("st")) / d(col("nn"))
+      val mj = d(col("sv")) / d(col("n"))
+      val sigw = d(col("ssw")) / (d(col("nn")) - d(col("jj")))
+      val tau2 = greatest(
+        try_divide(d(col("sbm")) - (d(col("jj")) - 1.0) * sigw,
+          d(col("nn")) - d(col("snn")) / d(col("nn"))), lit(0.0))
+      val b = try_divide(sigw / d(col("n")), sigw / d(col("n")) + tau2)
+      val shrunk = m + (lit(1.0) - coalesce(b, lit(1.0))) * (mj - m)
+      tot.select(col("prio"), col("n"),
+          r2c(mj / 100.0).as("raw_mean_dollars"),
+          r2c(shrunk / 100.0).as("shrunk_mean_dollars"),
+          r6(coalesce(b, lit(1.0))).as("shrink_weight"),
+          r6(tau2 / 10000.0).as("tau2_dollars2"))
+        .orderBy("prio")
+    }),
+
     // ---- Kruskal–Wallis rank ANOVA by weekday (r11) -----------------------
     // "Does the daily-revenue DISTRIBUTION differ by day of week?" without
     // q_anova's normality assumption (Kruskal & Wallis 1952): H =
@@ -2121,6 +2211,50 @@ object Stats {
           hc.as("h_tie_corrected"),
           coalesce((hc > 12.591587243743977).cast("long"), lit(0L))
             .as("reject_95"))
+    }),
+
+    // ---- Friedman test over week blocks (r11) -----------------------------
+    // The repeated-measures companion to q_kruskal_wallis: does the
+    // weekday effect persist WITHIN each week (Friedman 1937)? Ranks are
+    // per-block — each complete 7-day week ranks its own days — so a
+    // global level shift across weeks cannot masquerade as a weekday
+    // effect. Midranks via RANK() + (ties−1)/2 inside the 7-row block
+    // windows (partition count grows with the calendar, 7 rows each —
+    // never a hot task); R_j sums are exact half-integer algebra, so the
+    // Σ R_j² accumulation is order-independent with no quantization;
+    // χ²_F = 12/(bk(k+1))·ΣR_j² − 3b(k+1) vs the same χ²₀.₀₅,₆ line.
+    "q_friedman" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .select(col("day"), col("rev"),
+          floor(datediff(col("day"), lit("1995-01-01").cast("date")) / 7)
+            .cast("long").as("wk"),
+          pmod(datediff(col("day"), lit("1995-01-01").cast("date"))
+            .cast("long"), lit(7L)).as("wd"))
+      val complete = daily
+        .withColumn("wn", count(lit(1)).over(Window.partitionBy(col("wk"))))
+        .where(col("wn") === 7)
+      val ranked = complete
+        .withColumn("rk", rank().over(
+          Window.partitionBy(col("wk")).orderBy(col("rev"))))
+        .withColumn("ties", count(lit(1)).over(
+          Window.partitionBy(col("wk"), col("rev"))))
+        .withColumn("midrank",
+          col("rk").cast("double") +
+            (col("ties") - 1L).cast("double") / 2.0)
+      val byWd = ranked.groupBy("wd")
+        .agg(sum(col("midrank")).as("rj"), count(lit(1)).as("b"))
+      val g = byWd.agg(max(col("b")).as("b"), count(lit(1)).as("k"),
+        sum(col("rj") * col("rj")).as("srj2"))
+      def d(c: Column): Column = c.cast("double")
+      val chi = lit(12.0) / (d(col("b")) * d(col("k")) * (d(col("k")) + 1.0)) *
+        col("srj2") - lit(3.0) * d(col("b")) * (d(col("k")) + 1.0)
+      g.select(col("b").as("n_weeks"), col("k").as("k_days"),
+        r6(chi).as("chi2_f"),
+        (r6(chi) > 12.591587243743977).cast("long").as("reject_95"))
     }),
 
     // ---- Cliff's delta effect size (r11) ----------------------------------
@@ -4319,6 +4453,98 @@ object Stats {
         |  FLOOR(hl / 100.0 * 100.0 + 0.500001) / 100.0 AS hl_shift_dollars
         |FROM m""".stripMargin,
 
+    // the q_ab_ttest moment frame, two one-sided z's against ±$50, the
+    // verdict on the same r6-rounded statistics
+    "q_tost_equivalence" ->
+      """WITH u AS (
+        |  SELECT user_id, AVG(value) AS x,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2 AS g
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), m AS (
+        |  SELECT
+        |    CAST(COUNT(x) FILTER (WHERE g = 0) AS BIGINT) AS na,
+        |    CAST(COUNT(x) FILTER (WHERE g = 1) AS BIGINT) AS nb,
+        |    AVG(x) FILTER (WHERE g = 0) AS ma,
+        |    AVG(x) FILTER (WHERE g = 1) AS mb,
+        |    VAR_SAMP(x) FILTER (WHERE g = 0) AS va,
+        |    VAR_SAMP(x) FILTER (WHERE g = 1) AS vb
+        |  FROM u
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  FLOOR((ma - mb) * 1000000.0 + 0.500001) / 1000000.0 AS diff,
+        |  FLOOR(sqrt(va / na + vb / nb) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS se,
+        |  FLOOR((ma - mb + 50.0) / sqrt(va / na + vb / nb) * 1000000.0
+        |    + 0.500001) / 1000000.0 AS z_low,
+        |  FLOOR((50.0 - (ma - mb)) / sqrt(va / na + vb / nb) * 1000000.0
+        |    + 0.500001) / 1000000.0 AS z_high,
+        |  CAST(LEAST(
+        |    FLOOR((ma - mb + 50.0) / sqrt(va / na + vb / nb) * 1000000.0
+        |      + 0.500001) / 1000000.0,
+        |    FLOOR((50.0 - (ma - mb)) / sqrt(va / na + vb / nb) * 1000000.0
+        |      + 0.500001) / 1000000.0) > 1.6448536269514722 AS BIGINT)
+        |    AS equivalent
+        |FROM m""".stripMargin,
+
+    // identical exact moment frame, micro-quantized within/between sums,
+    // the same method-of-moments τ² and closed-form shrinkage chain
+    "q_eb_shrinkage" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS sv,
+        |    SUM(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)
+        |      AS HUGEINT) * CAST(FLOOR(o_totalprice * 100.0 + 0.500001)
+        |      AS BIGINT)) AS ssq
+        |  FROM orders GROUP BY o_orderpriority
+        |), tot AS (
+        |  SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS nn,
+        |    CAST(SUM(n * n) OVER () AS BIGINT) AS snn,
+        |    CAST(SUM(sv) OVER () AS BIGINT) AS st,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS jj
+        |  FROM cells
+        |), q AS (
+        |  SELECT *,
+        |    CAST(FLOOR(CAST(ssq AS DOUBLE) - CAST(sv AS DOUBLE)
+        |      * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS HUGEINT) AS ssw_t,
+        |    CAST(FLOOR(CAST(n AS DOUBLE)
+        |      * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(st AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(st AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |      AS HUGEINT) AS sbm_t
+        |  FROM tot
+        |), w AS (
+        |  SELECT *, SUM(ssw_t) OVER () AS ssw, SUM(sbm_t) OVER () AS sbm
+        |  FROM q
+        |), e AS (
+        |  SELECT prio, n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mj,
+        |    CAST(st AS DOUBLE) / CAST(nn AS DOUBLE) AS m,
+        |    CAST(ssw AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) - CAST(jj AS DOUBLE)) AS sigw,
+        |    GREATEST((CAST(sbm AS DOUBLE)
+        |        - (CAST(jj AS DOUBLE) - 1.0) * CAST(ssw AS DOUBLE)
+        |          / (CAST(nn AS DOUBLE) - CAST(jj AS DOUBLE)))
+        |      / (CAST(nn AS DOUBLE) - CAST(snn AS DOUBLE)
+        |        / CAST(nn AS DOUBLE)), 0.0) AS tau2
+        |  FROM w
+        |), f AS (
+        |  SELECT prio, n, mj, m, tau2,
+        |    COALESCE((sigw / CAST(n AS DOUBLE))
+        |      / (sigw / CAST(n AS DOUBLE) + tau2), 1.0) AS b
+        |  FROM e
+        |)
+        |SELECT prio, n,
+        |  FLOOR(mj / 100.0 * 100.0 + 0.500001) / 100.0 AS raw_mean_dollars,
+        |  FLOOR((m + (1.0 - b) * (mj - m)) / 100.0 * 100.0 + 0.500001)
+        |    / 100.0 AS shrunk_mean_dollars,
+        |  FLOOR(b * 1000000.0 + 0.500001) / 1000000.0 AS shrink_weight,
+        |  FLOOR(tau2 / 10000.0 * 1000000.0 + 0.500001) / 1000000.0
+        |    AS tau2_dollars2
+        |FROM f ORDER BY prio""".stripMargin,
+
     // identical midranks off the value-grouped prefix sum, micro-quantized
     // per-group terms, the same engine-neutral weekday and χ² line
     "q_kruskal_wallis" ->
@@ -4366,6 +4592,49 @@ object Stats {
         |  COALESCE(CAST(FLOOR(h / c * 1000000.0 + 0.500001) / 1000000.0
         |    > 12.591587243743977 AS BIGINT), 0) AS reject_95
         |FROM hh""".stripMargin,
+
+    // identical per-block midranks (RANK + (ties−1)/2), exact half-integer
+    // rank algebra, the same χ² line
+    "q_friedman" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), d2 AS (
+        |  SELECT rev,
+        |    CAST(FLOOR((day - DATE '1995-01-01') / 7.0) AS BIGINT) AS wk,
+        |    CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS wd
+        |  FROM daily
+        |), complete AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY wk) AS wn FROM d2)
+        |  WHERE wn = 7
+        |), ranked AS (
+        |  SELECT wd,
+        |    CAST(RANK() OVER (PARTITION BY wk ORDER BY rev) AS DOUBLE)
+        |      + CAST(COUNT(*) OVER (PARTITION BY wk, rev) - 1 AS DOUBLE)
+        |        / 2.0 AS midrank
+        |  FROM complete
+        |), bywd AS (
+        |  SELECT wd, SUM(midrank) AS rj, CAST(COUNT(*) AS BIGINT) AS b
+        |  FROM ranked GROUP BY wd
+        |), g AS (
+        |  SELECT CAST(MAX(b) AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM(rj * rj) AS srj2
+        |  FROM bywd
+        |)
+        |SELECT b AS n_weeks, k AS k_days,
+        |  FLOOR((12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0)) * srj2
+        |    - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS chi2_f,
+        |  CAST(FLOOR((12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0)) * srj2
+        |    - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+        |    * 1000000.0 + 0.500001) / 1000000.0 > 12.591587243743977
+        |    AS BIGINT) AS reject_95
+        |FROM g""".stripMargin,
 
     // identical bounded pair census, exact dominance counts, the same
     // r6-rounded |δ| magnitude cuts

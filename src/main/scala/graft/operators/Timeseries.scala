@@ -986,6 +986,53 @@ object Timeseries {
             .as("drift_alarm"))
     }),
 
+    // ---- Ljung–Box portmanteau test (r11) ---------------------------------
+    // The one-number answer to q_acf's seven: "is there ANY autocorrelation
+    // left?" (Ljung & Box 1978) — Q = n(n+2)·Σ_{k≤h} ρ̂_k²/(n−k) vs
+    // χ²₀.₀₅,₇ = 14.067140449340169. ρ̂_k comes from the exact q_acf moment
+    // algebra and is r6-PINNED before entering Q, so both engines square
+    // and sum the IDENTICAL seven doubles in the same literal k=1..7
+    // order (a left-fold add chain, not an aggregate) — parity is
+    // structural, no micro-quantization needed. Same single shuffle to
+    // the calendar-bounded daily frame, seven lag columns in one window
+    // pass, one global aggregate.
+    "q_ljung_box" -> ((s, dir) => {
+      val h = 7
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val lags = (1 to h).foldLeft(daily) { (d, k) =>
+        d.withColumn(s"l$k", lag(col("rev"), k).over(w)) }
+      val revd = col("rev").cast("decimal(18,0)")
+      val aggCols =
+        Seq(count(lit(1)).as("nn"), sum(col("rev")).as("ss"),
+          sum(revd * revd).as("syy")) ++
+        (1 to h).flatMap { k =>
+          val lk = col(s"l$k")
+          Seq(count(lk).as(s"n$k"),
+            sum(revd * lk.cast("decimal(18,0)")).as(s"p$k"),
+            sum(when(lk.isNotNull, col("rev"))).as(s"a$k"),
+            sum(lk).as(s"b$k"))
+        }
+      val g = lags.agg(aggCols.head, aggCols.tail: _*)
+      val nnD = col("nn").cast("double"); val ssD = col("ss").cast("double")
+      val m = ssD / nnD
+      val den = col("syy").cast("double") - ssD * ssD / nnD
+      val rho = (1 to h).map { k =>
+        val num = col(s"p$k").cast("double") - m * col(s"a$k").cast("double") -
+          m * col(s"b$k").cast("double") + col(s"n$k").cast("double") * m * m
+        floor(num / den * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+      }
+      val q = nnD * (nnD + 2.0) * (1 to h).map(k =>
+        rho(k - 1) * rho(k - 1) / (nnD - k.toDouble)).reduce(_ + _)
+      g.select(col("nn").as("n_days"), lit(h.toLong).as("h"),
+        r6(q).as("q_stat"),
+        (r6(q) > 14.067140449340169).cast("long").as("reject_95"))
+    }),
+
     // ---- two-sided CUSUM control chart (r11) ------------------------------
     // Page (1954)'s cumulative-sum chart — the drift detector with the
     // shortest detection delay for small persistent mean shifts, which
@@ -1307,9 +1354,63 @@ object Timeseries {
        |ORDER BY lag""".stripMargin
   }
 
+  /** The acfOracle moment frame ending in the single Ljung–Box row: the
+    * r6-pinned ρ̂_k's square-sum in the same literal k order as the Spark
+    * left-fold, so Q is the identical float sequence.
+    */
+  private def ljungBoxOracle: String = {
+    val lagCols = (1 to 7).map(k =>
+      s"    LAG(rev, $k) OVER (ORDER BY day) AS l$k").mkString(",\n")
+    val aggs = (1 to 7).map(k =>
+      s"""    CAST(COUNT(l$k) AS BIGINT) AS n$k,
+         |    CAST(SUM(CAST(rev AS HUGEINT) * l$k) AS DOUBLE) AS p$k,
+         |    CAST(SUM(rev) FILTER (WHERE l$k IS NOT NULL) AS BIGINT) AS a$k,
+         |    CAST(SUM(l$k) AS BIGINT) AS b$k""".stripMargin).mkString(",\n")
+    val rhos = (1 to 7).map(k =>
+      s"""    FLOOR((p$k - mu * CAST(a$k AS DOUBLE) - mu * CAST(b$k AS DOUBLE)
+         |      + CAST(n$k AS DOUBLE) * mu * mu) / den * 1000000.0 + 0.500001)
+         |      / 1000000.0 AS r$k""".stripMargin).mkString(",\n")
+    val chain = (1 to 7).map(k =>
+      s"r$k * r$k / (CAST(nn AS DOUBLE) - $k.0)").mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1
+       |), lagged AS (
+       |  SELECT day, rev,
+       |$lagCols
+       |  FROM daily
+       |), g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(rev) AS BIGINT) AS ss,
+       |    CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS syy,
+       |$aggs
+       |  FROM lagged
+       |), m AS (
+       |  SELECT *, CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mu,
+       |    syy - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+       |      AS den
+       |  FROM g
+       |), r AS (
+       |  SELECT nn,
+       |$rhos
+       |  FROM m
+       |)
+       |SELECT nn AS n_days, CAST(7 AS BIGINT) AS h,
+       |  FLOOR(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 2.0)
+       |    * ($chain) * 1000000.0 + 0.500001) / 1000000.0 AS q_stat,
+       |  CAST(FLOOR(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 2.0)
+       |    * ($chain) * 1000000.0 + 0.500001) / 1000000.0
+       |    > 14.067140449340169 AS BIGINT) AS reject_95
+       |FROM r""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q_acf" -> acfOracle,
+
+    // the acfOracle moments, ρ̂ r6-pinned before Q, literal k-order chain
+    "q_ljung_box" -> ljungBoxOracle,
 
     // identical integer-cents series, date-equi lookbacks (a.day - 7 / - 1),
     // BIGINT-exact MASE denominator, single-division floats

@@ -556,6 +556,32 @@ class CurationSpec extends SparkSpec {
       && r2.getDouble(5) === 0.0, s"$r2")
   }
 
+  test("t-closeness: identical cell distributions pass; an all-top-band cell fails") {
+    import spark.implicits._
+    // two QI cells, two $1000 bands; balanced: every cell mirrors the
+    // global 50/50 band split ⇒ every cumulative difference is 0
+    def mk(rows: Seq[(Long, Int, String, Double)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tclose").toString
+      rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        .write.parquet(s"$dir/customer.parquet")
+      dir
+    }
+    val balanced = (0 until 8).map(i =>
+      (i.toLong, i % 2, "AUTO", if (i < 4) 500.0 else 1500.0))
+    val rb = graft.SparkEntry.queries("q_t_closeness")(spark, mk(balanced)).head
+    assert(rb.getLong(0) === 2L && rb.getLong(1) === 8L)
+    assert(rb.getDouble(2) === 0.0 && rb.getLong(3) === 0L)
+    assert(rb.getLong(4) === 1L, s"balanced must be t-close: $rb")
+    // nation 1 holds ONLY top-band balances while the population is
+    // 25/75: both cells sit 0.25 from the global split ⇒ release fails
+    val skewed = (0 until 4).map(i => (i.toLong, 0, "AUTO",
+        if (i < 2) 500.0 else 1500.0)) ++
+      (4 until 8).map(i => (i.toLong, 1, "AUTO", 1500.0))
+    val rs = graft.SparkEntry.queries("q_t_closeness")(spark, mk(skewed)).head
+    assert(rs.getDouble(2) > 0.2 && rs.getLong(3) >= 1L)
+    assert(rs.getLong(4) === 0L, s"skewed cell must fail: $rs")
+  }
+
   test("DP counts: bounded content-addressed noise, deterministic across runs") {
     val a = run("q_dp_counts").collect()
     val b = run("q_dp_counts").collect()

@@ -388,6 +388,32 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("Join"), s"changepoint must be join-free:\n$p")
   }
 
+  // ---- q_ljung_box -----------------------------------------------------------
+
+  test("Ljung-Box: a 7-periodic series rejects, and Q recomputes from q_acf's rhos") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lb").toString
+    (0 until 140).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 100.0 + 10.0 * (i % 7))
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_ljung_box")(spark, dir).head
+    assert(r.getLong(0) === 140L && r.getLong(1) === 7L)
+    assert(r.getDouble(2) > 14.067 && r.getLong(3) === 1L,
+      s"weekly structure must reject: $r")
+    // cross-query consistency on REAL data: Q re-derives exactly from the
+    // r6-pinned rhos q_acf publishes (same moments, same rounding)
+    val acf = SparkEntry.queries("q_acf")(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val n = SparkEntry.queries("q_ljung_box")(spark, sf).head
+    val nn = n.getLong(0).toDouble
+    val q = nn * (nn + 2.0) * (1 to 7).map(k =>
+      acf(k.toLong) * acf(k.toLong) / (nn - k)).sum
+    assert(math.abs(n.getDouble(2) - math.floor(q * 1e6 + 0.500001) / 1e6)
+      < 2e-6, s"Q must re-derive from q_acf rhos: ${n.getDouble(2)} vs $q")
+  }
+
   // ---- q_cusum --------------------------------------------------------------
 
   test("q_cusum: planted step shift alarms after the boundary, matches a driver replay") {

@@ -1531,6 +1531,74 @@ class StatsSpec extends SparkSpec {
       s"HL must shrug off the outlier: $rd")
   }
 
+  test("TOST: the honest A/A split is equivalent; a planted +$200 shift is not") {
+    import spark.implicits._
+    val armOf = pmod(conv(substring(
+      md5(col("user_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(2L))
+    def mk(shift: Double) = fixtureDir("events" ->
+      (1L to 200L).flatMap(u => Seq((u, 100.0 + (u % 7)), (u, 102.0 + (u % 5))))
+        .toDF("user_id", "value")
+        .withColumn("value", col("value") +
+          when(armOf === 0L, lit(shift)).otherwise(lit(0.0)))
+        .withColumn("event_type", lit("purchase"))
+        .withColumn("event_id", monotonically_increasing_id())
+        // Sources.table("events") converts a nanos BIGINT ts column
+        .withColumn("ts", lit(1_700_000_000L) * lit(1_000_000_000L)))
+    val aa = SparkEntry.queries("q_tost_equivalence")(spark, mk(0.0)).head
+    assert(aa.getLong(0) + aa.getLong(1) === 200L)
+    assert(aa.getLong(6) === 1L, s"A/A within ±$$50 must be equivalent: $aa")
+    val shifted = SparkEntry.queries("q_tost_equivalence")(spark, mk(200.0)).head
+    assert(shifted.getLong(6) === 0L,
+      s"+$$200 exceeds the ±$$50 margin: $shifted")
+    assert(shifted.getDouble(5) < 0, "z_high must go negative on the shift")
+  }
+
+  test("EB shrinkage: homogeneous groups collapse to the grand mean; " +
+      "strong separation keeps raw means") {
+    import spark.implicits._
+    def mk(rev: (Int, Int) => Double) = fixtureDir("orders" ->
+      (for (p <- 0 until 3; i <- 0 until 40) yield
+        (p * 1000L + i, s"$p-PRIO", rev(p, i)))
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    // identical values everywhere: σ²_w = 0, τ² = 0 ⇒ B = 1 (coalesced)
+    // and every shrunk mean IS the grand mean
+    val flat = SparkEntry.queries("q_eb_shrinkage")(spark,
+      mk((_, _) => 100.0)).collect()
+    flat.foreach { r =>
+      assert(r.getDouble(2) === 100.0 && r.getDouble(3) === 100.0)
+      assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 0.0, s"$r")
+    }
+    // group means 100/10100/20100 with ±$1 within-noise: τ² dwarfs σ²_w/n
+    // ⇒ B ≈ 0 and the shrunk means hug the raw ones
+    val sep = SparkEntry.queries("q_eb_shrinkage")(spark,
+      mk((p, i) => 100.0 + p * 10000.0 + (i % 3))).collect()
+    sep.foreach { r =>
+      assert(r.getDouble(4) < 0.01, s"separation ⇒ tiny shrink weight: $r")
+      assert(math.abs(r.getDouble(3) - r.getDouble(2)) < 20.0,
+        s"shrunk must hug raw: $r")
+    }
+  }
+
+  test("Friedman: a flat series gives chi2 = 0; a within-week winner weekday rejects") {
+    import spark.implicits._
+    def mk(rev: Int => Double) = fixtureDir("orders" ->
+      (0 until 140).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1995, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), rev(i)))
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice"))
+    // all-equal days: every midrank is 4, R_j = 4b ⇒ χ²_F = 0 exactly
+    val flat = SparkEntry.queries("q_friedman")(spark, mk(_ => 100.0)).head
+    assert(flat.getLong(0) === 20L && flat.getLong(1) === 7L)
+    assert(flat.getDouble(2) === 0.0 && flat.getLong(3) === 0L, s"$flat")
+    // weekday 0 tops EVERY week even though week levels drift wildly —
+    // exactly the within-block effect Friedman sees and Kruskal can miss
+    val win = SparkEntry.queries("q_friedman")(spark,
+      mk(i => (i / 7) * 1000.0 + (if (i % 7 == 0) 500.0 else (i % 7) * 10.0)))
+      .head
+    assert(win.getDouble(2) > 12.591587 && win.getLong(3) === 1L, s"$win")
+  }
+
   test("Kruskal-Wallis: flat series gives H = 0 with tie-corrected abstention; " +
       "a planted weekday shift rejects") {
     import spark.implicits._

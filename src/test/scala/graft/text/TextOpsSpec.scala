@@ -36,6 +36,29 @@ class TextOpsSpec extends SparkSpec {
       < 1e-9, s"inverse: $s")
   }
 
+  test("duplicate 8-gram spans and Kish ESS follow their closed forms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dng").toString
+    // two 9-token docs sharing their first 8-gram; the trailing 8-grams
+    // differ — per doc: 2 grams, 1 duplicated ⇒ share 0.5
+    Seq((0L, "a b c d e f g h i", "s"), (1L, "a b c d e f g h z", "s"),
+        (2L, "too short", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val d = graft.SparkEntry.queries("q_dup_ngram_spans")(spark, dir).head
+    assert(d.getLong(1) === 2L, s"the 2-token doc holds no 8-gram: $d")
+    assert(d.getLong(2) === 4L && d.getLong(3) === 2L)
+    assert(d.getDouble(4) === 0.5, s"dup share: $d")
+    val e = graft.SparkEntry.queries("q_ess_weights")(spark, dir).head
+    // weights = n_chars (17, 17, 9): ESS = 43^2/(289+289+81)
+    assert(e.getLong(1) === 3L && e.getLong(2) === 43L)
+    val ess = 43.0 * 43.0 / 659.0
+    assert(e.getDouble(3) === math.floor(ess * 100 + 0.500001) / 100, s"$e")
+    assert(e.getDouble(4) === math.floor(ess / 3.0 * 1e6 + 0.500001) / 1e6)
+  }
+
   test("textStats counts chars, tokens, bpe-ish tokens, punctuation") {
     val r = TextOps.textStats(docs).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("char_len") == 45L)
