@@ -246,6 +246,102 @@ object Ranks {
       .agg(rankAggs(keys).head, rankAggs(keys).tail: _*)
   }
 
+  /** Exact continuous quantile of a double column — the value Spark's
+    * `percentile(c, p)` and DuckDB's `quantile_cont(c, p)` agree on
+    * (`lower + (upper − lower) · frac` over the sorted values, frac =
+    * (n−1)p − ⌊(n−1)p⌋) — computed by DISTRIBUTED QUICKSELECT instead of
+    * the Percentile aggregate. Spark's exact Percentile materializes a
+    * value→count OpenHashMap per partition and merges them: on millions
+    * of mostly-distinct doubles that is an 11-second, memory-quadratic
+    * stall (measured on q_theil_sen's 2.89 M slope pairs), and at 100 TB
+    * it is the familiar moves-everything-to-one-buffer shape. Selection
+    * instead narrows by COUNTING: each round range-buckets the remaining
+    * interval into 4096 equal widths (one cheap pass over the
+    * checkpointed column), descends into the bucket holding the target
+    * ranks, and once ≤ `bandCap` values remain collects just that band.
+    * Each pass is a map-side-combining aggregate; nothing ever sorts or
+    * collects beyond the bounded band (loud require).
+    *
+    * Deterministic: ranks select VALUES, so duplicate values need no
+    * tie-break; equal-width splitting uses only (min, max, count)
+    * arithmetic. Rounds are bounded: each round multiplies the bucket
+    * width by 1/4096, and once width underflows the two band endpoints
+    * are adjacent doubles — `maxRounds = 64` is unreachable in practice
+    * and loud if hit.
+    */
+  def exactQuantileCont(df: DataFrame, c: Column, p: Double,
+      bandCap: Int = 1 << 16): Double = {
+    require(p >= 0.0 && p <= 1.0, s"p out of range: $p")
+    // the null filter sits ABOVE the checkpoint barrier: pushed into the
+    // caller's plan, IsNotNull(c) would inline c's expression into e.g. a
+    // join condition and evaluate it on rows the join was about to reject
+    // (measured: q_theil_sen's slope division ANSI-threw on the x1 = x2
+    // pairs its own join condition excludes)
+    val vals = df.select(c.cast("double").as("__qv")).localCheckpoint()
+      .where(col("__qv").isNotNull)
+    val n = vals.count()
+    require(n > 0, "exactQuantileCont on an empty frame")
+    val pos = (n - 1) * p
+    val k1 = math.floor(pos).toLong
+    val frac = pos - k1
+    val k2 = if (frac == 0.0) k1 else k1 + 1
+    // invariant: the rows satisfying `pred` are exactly the current band,
+    // it contains global ranks [k1, k2] (0-based ascending), `below` =
+    // #values before it, [lo, hi] = its exact min/max. The next band is
+    // defined by the BUCKET EXPRESSION itself (a range of bucket ids with
+    // this round's lo/width captured as literals), never by a value
+    // predicate — a float edge in the bucket arithmetic then cannot
+    // desync the rank bookkeeping from band membership: the histogram
+    // partitions the predicate's rows exactly, whatever the edges do.
+    val mm = vals.agg(min(col("__qv")), max(col("__qv"))).head
+    var lo = mm.getDouble(0)
+    var hi = mm.getDouble(1)
+    var pred: Column = lit(true)
+    var below = 0L
+    var inBand = n
+    var rounds = 0
+    while (inBand > bandCap && lo < hi) {
+      rounds += 1
+      require(rounds <= 64,
+        s"quickselect failed to converge: [$lo, $hi] holds $inBand values")
+      val width = (hi - lo) / 4096.0
+      val bucket = least(floor((col("__qv") - lit(lo)) / lit(width))
+        .cast("long"), lit(4095L))
+      val hist = vals.where(pred)
+        .groupBy(bucket.as("__qb"))
+        .agg(count(lit(1)).as("__qc"), min(col("__qv")).as("__qmin"),
+          max(col("__qv")).as("__qmax"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+      // walk to the bucket range covering ranks k1..k2 (adjacent, so at
+      // most two buckets unless a bucket boundary splits the pair)
+      var acc = below
+      var bi = 0
+      while (acc + hist(bi)._2 <= k1) { acc += hist(bi)._2; bi += 1 }
+      var biEnd = bi
+      var accEnd = acc + hist(bi)._2
+      while (accEnd <= k2) { biEnd += 1; accEnd += hist(biEnd)._2 }
+      pred = pred && bucket.between(hist(bi)._1, hist(biEnd)._1)
+      below = acc
+      inBand = (bi to biEnd).map(i => hist(i)._2).sum
+      lo = hist(bi)._3
+      hi = hist(biEnd)._4
+    }
+    if (lo == hi) lo // the band is one repeated value at every rank
+    else {
+      val band = vals.where(pred).collect().map(_.getDouble(0)).sorted
+      require(band.length == inBand,
+        s"band census drifted: ${band.length} vs $inBand")
+      val v1 = band((k1 - below).toInt)
+      if (frac == 0.0) v1
+      else {
+        val v2 = band((k2 - below).toInt)
+        v1 + (v2 - v1) * frac
+      }
+    }
+  }
+
   private def probsFor(buckets: Int): Column =
     array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
 

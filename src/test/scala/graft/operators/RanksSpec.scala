@@ -77,6 +77,23 @@ class RanksSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("exactQuantileCont equals the Percentile aggregate bit-for-bit") {
+    import spark.implicits._
+    // heavy ties, negatives, non-uniform spacing; bandCap = 8 forces the
+    // bucket-narrowing loop through multiple rounds
+    val df = ((1 to 500).map(i => ((i * 37) % 97 - 48).toDouble / 7.0) ++
+      Seq.fill(100)(3.0) ++ Seq(1e9, -1e9)).toDF("v")
+    for (p <- Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)) {
+      val want = df.agg(expr(s"percentile(v, $p)")).head.getDouble(0)
+      val got = Ranks.exactQuantileCont(df, col("v"), p, bandCap = 8)
+      assert(got === want, s"p=$p: quickselect $got vs percentile $want")
+      graft.Blocks.releaseAll(spark)
+    }
+    // constant column: every quantile is the constant (the lo == hi exit)
+    val const = Seq.fill(50)(7.5).toDF("v")
+    assert(Ranks.exactQuantileCont(const, col("v"), 0.5, bandCap = 8) === 7.5)
+  }
+
   test("withGlobalRank plans no partition-less window and rejects bad buckets") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import spark.implicits._
