@@ -80,5 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", "graft_bloom_contains(key, modelId) - key might be in a registered bloom filter"),
       graft.operators.BloomModels.factory))
+    ext.injectFunction((FunctionIdentifier("graft_bucket_of"),
+      info("graft_bucket_of", "graft_bucket_of(bnds, v) - #{boundary < v} over a sorted double array (binary search)"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_bucket_of(bnds, v) takes 2 arguments")
+        graft.operators.BucketOfExpression(exprs(0), exprs(1))
+      }))
   }
 }

@@ -10,7 +10,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  simhash64('alpha beta gamma') AS s,
         |  size(minhash_sig('a b c d e f', 3, 16)) AS m,
         |  size(winnow_fp('a b c d e f g h', 3, 4)) AS w,
-        |  size(shingle_hashes('a b c d e f', 3)) AS sh""".stripMargin).first()
+        |  size(shingle_hashes('a b c d e f', 3)) AS sh,
+        |  graft_bucket_of(array(1.0D, 2.0D, 2.0D, 5.0D), 2.5D) AS b""".stripMargin).first()
     // hyp2f1(1,1;2;z) = -ln(1-z)/z
     assert(math.abs(r.getAs[Double]("h") - (-math.log1p(-0.5) / 0.5)) < 1e-9)
     assert(r.getAs[Double]("d") == 11.0)
@@ -18,6 +19,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("m") == 16)
     assert(r.getAs[Int]("w") >= 1)
     assert(r.getAs[Int]("sh") == 4) // 6 tokens → 4 distinct 3-gram shingles
+    assert(r.getAs[Int]("b") == 3)  // three boundaries < 2.5, dups counted
   }
 
   test("simhash64 is deterministic and token-order-insensitive in aggregate sign") {
