@@ -262,6 +262,52 @@ object Analytics {
     // user_id (no joins, no second shuffle of raw events); the per-user
     // collapse reuses the same partitioning and the global roll-up is a
     // single partial-aggregated row.
+    // ---- weekly growth accounting (r11) -----------------------------------
+    // The canonical growth-accounting decomposition (the Social Capital
+    // table), at WEEK grain because the events table spans ~a month:
+    // each week's actives split into new (first week ever), retained
+    // (active last week too), and resurrected (returning after a gap);
+    // churned = last week's actives who didn't return, quick ratio =
+    // (new + resurrected)/churned. Identities active = new + retained +
+    // resurrected and churned = active_{w−1} − retained hold EXACTLY by
+    // construction. One (user, week) distinct shuffle, a user-keyed min
+    // for first weeks, the previous-week flag via an equi-join on the
+    // (user, w−1) key — gap-safe where a lag window would slip across
+    // empty weeks. All counts exact BIGINTs.
+    "q_growth_accounting" -> ((s, dir) => {
+      val um = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")),
+            lit("2000-01-03").cast("date")) / 7).cast("long").as("m"))
+        .distinct()
+      val fm = um.groupBy("user_id").agg(min(col("m")).as("fm"))
+      val prev = um.select(col("user_id"), (col("m") + 1L).as("m"),
+        lit(1L).as("was_prev"))
+      val flags = um.join(fm, Seq("user_id"))
+        .join(prev, Seq("user_id", "m"), "left")
+        .select(col("m"),
+          (col("m") === col("fm")).cast("long").as("is_new"),
+          coalesce(col("was_prev"), lit(0L)).as("ret"))
+      val counts = flags.groupBy("m").agg(
+        count(lit(1)).as("active"),
+        sum(col("is_new")).as("new_users"),
+        sum(col("ret")).as("retained"),
+        sum(when(col("is_new") === 0L && col("ret") === 0L, 1L)
+          .otherwise(0L)).as("resurrected"))
+      val prevActive = counts.select((col("m") + 1L).as("m"),
+        col("active").as("active_prev"))
+      counts.join(prevActive, Seq("m"), "left")
+        .na.fill(0L, Seq("active_prev"))
+        .select(col("m").as("week_idx"), col("active"), col("new_users"),
+          col("retained"), col("resurrected"),
+          (col("active_prev") - col("retained")).as("churned"),
+          r4(try_divide(
+            (col("new_users") + col("resurrected")).cast("double"),
+            (col("active_prev") - col("retained")).cast("double")))
+            .as("quick_ratio"))
+        .orderBy("week_idx")
+    }),
+
     "q_funnel" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
       val staged = t(s, dir, "events")
@@ -1163,6 +1209,39 @@ object Analytics {
         |    max(CASE WHEN offset_m = 0 THEN active_users END)
         |      OVER (PARTITION BY cohort)) * 100.0 + 0.500001) / 100.0 AS retention
         |FROM a ORDER BY cohort, offset_m""".stripMargin,
+
+    // identical month index, first-month min, and (user, m−1) equi-join;
+    // churned identity from the m−1 KEY lookup, NULL-on-zero quick ratio
+    "q_growth_accounting" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR((CAST(ts AS DATE) - DATE '2000-01-03') / 7.0)
+        |      AS BIGINT) AS m
+        |  FROM events
+        |), fm AS (
+        |  SELECT user_id, MIN(m) AS fm FROM um GROUP BY user_id
+        |), flags AS (
+        |  SELECT um.m,
+        |    CASE WHEN um.m = fm.fm THEN 1 ELSE 0 END AS is_new,
+        |    CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS ret
+        |  FROM um JOIN fm USING (user_id)
+        |  LEFT JOIN um p ON p.user_id = um.user_id AND p.m = um.m - 1
+        |), counts AS (
+        |  SELECT m, CAST(COUNT(*) AS BIGINT) AS active,
+        |    CAST(SUM(is_new) AS BIGINT) AS new_users,
+        |    CAST(SUM(ret) AS BIGINT) AS retained,
+        |    CAST(SUM(CASE WHEN is_new = 0 AND ret = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS resurrected
+        |  FROM flags GROUP BY m
+        |)
+        |SELECT c.m AS week_idx, c.active, c.new_users, c.retained,
+        |  c.resurrected,
+        |  CAST(COALESCE(p.active, 0) - c.retained AS BIGINT) AS churned,
+        |  FLOOR(CAST(c.new_users + c.resurrected AS DOUBLE)
+        |    / CAST(COALESCE(p.active, 0) - c.retained AS DOUBLE)
+        |    * 10000.0 + 0.500001) / 10000.0 AS quick_ratio
+        |FROM counts c LEFT JOIN counts p ON p.m = c.m - 1
+        |ORDER BY week_idx""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (

@@ -2086,6 +2086,54 @@ object Stats {
           r2c(col("hl") / lit(100.0)).as("hl_shift_dollars"))
     }),
 
+    // ---- coarsened exact matching (r11) -----------------------------------
+    // The causal-adjustment step q_covariate_balance can only DIAGNOSE
+    // (Iacus, King & Porro 2012): match treated and control units exactly
+    // on coarsened covariates (here nation × market segment), PRUNE every
+    // stratum missing an arm, and estimate the ATT as the treated-share-
+    // weighted within-stratum outcome difference Σ_s (n_t^s/M_t)(ȳ_t^s −
+    // ȳ_c^s) — outcome = per-customer order count, arms = the md5 split
+    // (an A/A, so the honest expected answer is ATT ≈ 0; the machinery is
+    // what's under test). One customer-keyed outcome join, one bounded
+    // strata aggregate with exact BIGINT moments; per-stratum terms
+    // micro-quantized before the bounded sum; the pruned-unit census —
+    // CEM's headline honesty metric — rides the same frame.
+    "q_cem" -> ((s, dir) => {
+      val outcomes = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("qn"),
+          col("c_mktsegment").as("qs"))
+      val units = cust
+        .join(outcomes, cust("c_custkey") === outcomes("o_custkey"), "left")
+        .select(col("qn"), col("qs"), coalesce(col("y"), lit(0L)).as("y"),
+          arm(col("c_custkey")).as("g"))
+      val strata = units.groupBy("qn", "qs").agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("g") === 0L, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("g") === 1L, col("y")).otherwise(0L)).as("syc"))
+      val wAll = BoundedWindow.whole(col("qn"))
+      def d(c: Column): Column = c.cast("double")
+      val matched = strata.where(col("nt") > 0 && col("nc") > 0)
+        .withColumn("mt", sum(col("nt")).over(wAll))
+        .withColumn("mc", sum(col("nc")).over(wAll))
+        .withColumn("term_micro",
+          floor(d(col("nt")) * (d(col("syt")) / d(col("nt")) -
+            d(col("syc")) / d(col("nc"))) * 1000000.0).cast("long"))
+      val pruned = strata.where(col("nt") === 0 || col("nc") === 0)
+        .agg(coalesce(sum(col("nt")), lit(0L)).as("pruned_treated"),
+          coalesce(sum(col("nc")), lit(0L)).as("pruned_control"))
+      matched.groupBy("mt", "mc")
+        .agg(count(lit(1)).as("n_strata"), sum(col("term_micro")).as("sm"))
+        .crossJoin(broadcast(pruned))
+        .select(col("n_strata"), col("mt").as("n_treated_matched"),
+          col("mc").as("n_control_matched"),
+          col("pruned_treated"), col("pruned_control"),
+          r6(col("sm").cast("double") / 1000000.0 / col("mt").cast("double"))
+            .as("att_orders"))
+    }),
+
     // ---- TOST equivalence test (r11) --------------------------------------
     // The question q_ab_ttest cannot answer: not "did the arms differ?"
     // but "are they the SAME within a margin?" — failing to reject is not
@@ -4466,6 +4514,48 @@ object Stats {
         |  n_pairs,
         |  FLOOR(hl / 100.0 * 100.0 + 0.500001) / 100.0 AS hl_shift_dollars
         |FROM m""".stripMargin,
+
+    // identical strata moments, micro-quantized within-stratum terms,
+    // the same prune census
+    "q_cem" ->
+      """WITH outcomes AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_custkey
+        |), units AS (
+        |  SELECT c_nationkey AS qn, c_mktsegment AS qs,
+        |    COALESCE(o.y, 0) AS y,
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 2 AS g
+        |  FROM customer c LEFT JOIN outcomes o ON c.c_custkey = o.o_custkey
+        |), strata AS (
+        |  SELECT qn, qs,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(SUM(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS syc
+        |  FROM units GROUP BY qn, qs
+        |), matched AS (
+        |  SELECT *,
+        |    CAST(SUM(nt) OVER () AS BIGINT) AS mt,
+        |    CAST(SUM(nc) OVER () AS BIGINT) AS mc,
+        |    CAST(FLOOR(CAST(nt AS DOUBLE)
+        |      * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS term_micro
+        |  FROM strata WHERE nt > 0 AND nc > 0
+        |), pruned AS (
+        |  SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS pruned_treated,
+        |    CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS pruned_control
+        |  FROM strata WHERE nt = 0 OR nc = 0
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  MAX(mt) AS n_treated_matched, MAX(mc) AS n_control_matched,
+        |  MAX(pruned_treated) AS pruned_treated,
+        |  MAX(pruned_control) AS pruned_control,
+        |  FLOOR(CAST(SUM(term_micro) AS DOUBLE) / 1000000.0
+        |    / CAST(MAX(mt) AS DOUBLE) * 1000000.0 + 0.500001) / 1000000.0
+        |    AS att_orders
+        |FROM matched, pruned""".stripMargin,
 
     // the q_ab_ttest moment frame, two one-sided z's against ±$50, the
     // verdict on the same r6-rounded statistics

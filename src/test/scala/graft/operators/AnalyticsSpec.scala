@@ -45,6 +45,41 @@ class AnalyticsSpec extends SparkSpec {
 
   // ---- q_funnel -----------------------------------------------------------
 
+  test("growth accounting: planted user journeys decompose exactly; identities hold on real data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_growth").toString
+    // week anchor 2000-01-03: 2024-01-01 falls in a known week; use three
+    // consecutive Mondays so weeks are unambiguous. u1 retained both
+    // weeks; u2 churns after week 1; u3 skips week 2 and resurrects.
+    def day(w: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(7L * w).atStartOfDay())
+    val evs = Seq((1L, day(0)), (1L, day(1)), (1L, day(2)),
+      (2L, day(0)), (3L, day(0)), (3L, day(2)))
+      .toDF("user_id", "ts")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0))
+    evs.write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_growth_accounting")(spark, dir)
+      .orderBy("week_idx").collect()
+    assert(out.length === 3)
+    // week 1: all 3 new; week 2: u1 retained, u2+u3 churned; week 3: u1
+    // retained, u3 resurrected
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3),
+      out(0).getLong(4), out(0).getLong(5)) === ((3L, 3L, 0L, 0L, 0L)))
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3),
+      out(1).getLong(4), out(1).getLong(5)) === ((1L, 0L, 1L, 0L, 2L)))
+    assert((out(2).getLong(1), out(2).getLong(2), out(2).getLong(3),
+      out(2).getLong(4), out(2).getLong(5)) === ((2L, 0L, 1L, 1L, 0L)))
+    // identities on real data: active = new + retained + resurrected
+    val real = run("q_growth_accounting").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3) + r.getLong(4), s"$r")
+      assert(r.getLong(5) >= 0L, s"churn non-negative: $r")
+    }
+  }
+
   test("funnel stages are monotone and match a brute-force recount") {
     val r = run("q_funnel").collect().head
     val (nUsers, nView, nClick, nPurchase) =

@@ -1531,6 +1531,39 @@ class StatsSpec extends SparkSpec {
       s"HL must shrug off the outlier: $rd")
   }
 
+  test("CEM: a planted per-stratum treatment effect is recovered; unmatched strata prune") {
+    import spark.implicits._
+    val armOf = pmod(conv(substring(
+      md5(col("c_custkey").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long"), lit(2L))
+    // 3 strata of 40 customers; stratum 2 holds NO treated arm members
+    // by construction (we filter them out) so it must prune entirely
+    val cust = (0 until 120).map(i =>
+      (i.toLong, i % 3, if (i % 2 == 0) "AUTO" else "AUTO"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .withColumn("g", armOf)
+      .where(!(col("c_nationkey") === 2 && col("g") === 0L))
+      .drop("g")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cem").toString
+    cust.write.parquet(s"$dir/customer.parquet")
+    // outcome: every customer gets (nation + 1) orders; treated (arm 0)
+    // get +5 — a constant within-stratum effect, so ATT = 5 exactly
+    val orders = cust.withColumn("g", armOf)
+      .select(col("c_custkey"), (col("c_nationkey") + 1 +
+        when(col("g") === 0L, 5).otherwise(0)).cast("int").as("n"))
+      .select(col("c_custkey"), explode(sequence(lit(1), col("n"))).as("i"))
+      .select(monotonically_increasing_id().as("o_orderkey"),
+        col("c_custkey").as("o_custkey"),
+        lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")).as("o_orderdate"),
+        lit(100.0).as("o_totalprice"))
+    orders.write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_cem")(spark, dir).head
+    assert(r.getLong(0) === 2L, s"stratum 2 must prune: $r")
+    assert(r.getLong(4) > 0L, "pruned control census must count stratum 2")
+    assert(math.abs(r.getDouble(5) - 5.0) < 1e-6,
+      s"constant +5 effect recovered exactly: $r")
+  }
+
   test("TOST: the honest A/A split is equivalent; a planted +$200 shift is not") {
     import spark.implicits._
     val armOf = pmod(conv(substring(
