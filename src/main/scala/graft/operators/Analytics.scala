@@ -527,6 +527,78 @@ object Analytics {
         r6(col("top").cast("double") / col("sx")).as("top10_share"))
     }),
 
+    // ---- Theil inequality index with nation decomposition -----------------
+    // The information-theoretic inequality measure (Theil 1967) next to
+    // q_gini's Lorenz summary — chosen for the property Gini lacks:
+    // EXACT additive decomposability, T = T_between + Σ s_g·T_g, so the
+    // one number splits into "inequality ACROSS nations" vs "within
+    // them". Per-customer revenue joined to nation (one co-partitioned
+    // customer-key join), exact integer moments globally and per nation,
+    // then every ln-bearing term is micro-quantized (1e-6 per-customer,
+    // 1e-9 on the 25-row nation frame) before its exact decimal sum — the
+    // §2.13 ln discipline, so aggregation order cannot diverge engines.
+    // Both T (income-weighted) and L (mean log deviation) are reported;
+    // x > 0 filter guards every ln input by construction. Shape: one
+    // customer-key shuffle + one equi-join; the global/nation moment
+    // frames (1 + ≤25 rows) broadcast back onto the customer frame.
+    "q_theil_index" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(sum(cents).as("x"))
+        .where(col("x") > 0)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val xc = perCust
+        .join(cust, perCust("o_custkey") === cust("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("x"))
+      val g0 = xc.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val gn = xc.groupBy(col("nk"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("sxg"))
+      val terms = xc.crossJoin(broadcast(g0))
+        .join(broadcast(gn), Seq("nk"))
+        .withColumn("mu", col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("mug",
+          col("sxg").cast("double") / col("ng").cast("double"))
+        .withColumn("rat", col("x").cast("double") / col("mu"))
+        .withColumn("ratg", col("x").cast("double") / col("mug"))
+        .select(col("nk"), col("n"), col("sx"), col("ng"), col("sxg"),
+          floor(col("rat") * log(col("rat")) * lit(1000000.0)
+            + lit(0.500001)).cast("decimal(38,0)").as("tt"),
+          floor(-log(col("rat")) * lit(1000000.0) + lit(0.500001))
+            .cast("decimal(38,0)").as("tl"),
+          floor(col("ratg") * log(col("ratg")) * lit(1000000.0)
+            + lit(0.500001)).cast("decimal(38,0)").as("tw"))
+      val byNation = terms
+        .groupBy(col("nk"), col("ng"), col("sxg"), col("n"), col("sx"))
+        .agg(sum(col("tw")).as("swg"))
+        .withColumn("sg", col("sxg").cast("double") / col("sx").cast("double"))
+        .withColumn("tg", col("swg").cast("double") / lit(1000000.0)
+          / col("ng").cast("double"))
+        .withColumn("mug",
+          col("sxg").cast("double") / col("ng").cast("double"))
+        .withColumn("mu", col("sx").cast("double") / col("n").cast("double"))
+        .select(
+          floor(col("sg") * col("tg") * lit(1000000000.0) + lit(0.500001))
+            .cast("decimal(38,0)").as("wterm"),
+          floor(col("sg") * log(col("mug") / col("mu")) * lit(1000000000.0)
+            + lit(0.500001)).cast("decimal(38,0)").as("bterm"))
+      val parts = byNation
+        .agg(sum(col("wterm")).as("w"), sum(col("bterm")).as("btw"))
+      terms.groupBy(col("n"), col("sx"))
+        .agg(sum(col("tt")).as("stt"), sum(col("tl")).as("stl"))
+        .crossJoin(broadcast(parts))
+        .select(col("n").as("n_customers"),
+          (col("sx") / lit(100)).as("total_rev"),
+          r6(col("stt").cast("double") / lit(1000000.0)
+            / col("n").cast("double")).as("theil_t"),
+          r6(col("stl").cast("double") / lit(1000000.0)
+            / col("n").cast("double")).as("theil_l"),
+          r6(col("btw").cast("double") / lit(1000000000.0))
+            .as("theil_between"),
+          r6(col("w").cast("double") / lit(1000000000.0)).as("theil_within"))
+    }),
+
     // side exploits the 2-D structure: a point survives iff its size equals
     // its price-group max AND strictly beats every cheaper group's max —
     // one groupBy(price), one prefix-max window over the GROUP table
@@ -1407,6 +1479,80 @@ object Analytics {
         |  FLOOR(CAST(top AS DOUBLE) / sx * 1000000.0 + 0.500001)
         |    / 1000000.0 AS top10_share
         |FROM g""".stripMargin,
+
+    // same integer moments, same mu/rat double-op order, every ln term
+    // micro-quantized (1e-6 customer / 1e-9 nation) before its exact sum
+    "q_theil_index" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |    > 0
+        |), xc AS (
+        |  SELECT c.c_nationkey AS nk, pc.x
+        |  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+        |), g0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        |  FROM xc
+        |), gn AS (
+        |  SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(x) AS BIGINT) AS sxg
+        |  FROM xc GROUP BY nk
+        |), tm AS (
+        |  SELECT xc.nk, g0.n, g0.sx, gn.ng, gn.sxg, xc.x,
+        |    CAST(g0.sx AS DOUBLE) / CAST(g0.n AS DOUBLE) AS mu,
+        |    CAST(gn.sxg AS DOUBLE) / CAST(gn.ng AS DOUBLE) AS mug
+        |  FROM xc CROSS JOIN g0 JOIN gn ON xc.nk = gn.nk
+        |), tr AS (
+        |  SELECT nk, n, sx, ng, sxg,
+        |    CAST(x AS DOUBLE) / mu AS rat, CAST(x AS DOUBLE) / mug AS ratg
+        |  FROM tm
+        |), terms AS (
+        |  SELECT nk, n, sx, ng, sxg,
+        |    CAST(FLOOR(rat * ln(rat) * 1000000.0 + 0.500001) AS HUGEINT)
+        |      AS tt,
+        |    CAST(FLOOR(-ln(rat) * 1000000.0 + 0.500001) AS HUGEINT) AS tl,
+        |    CAST(FLOOR(ratg * ln(ratg) * 1000000.0 + 0.500001) AS HUGEINT)
+        |      AS tw
+        |  FROM tr
+        |), bn0 AS (
+        |  SELECT nk, ng, sxg, n, sx, CAST(SUM(tw) AS HUGEINT) AS swg
+        |  FROM terms GROUP BY 1, 2, 3, 4, 5
+        |), bn AS (
+        |  SELECT
+        |    CAST(sxg AS DOUBLE) / CAST(sx AS DOUBLE) AS sg,
+        |    CAST(swg AS DOUBLE) / 1000000.0 / CAST(ng AS DOUBLE) AS tg,
+        |    CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE) AS mug,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+        |  FROM bn0
+        |), bterms AS (
+        |  SELECT
+        |    CAST(FLOOR(sg * tg * 1000000000.0 + 0.500001) AS HUGEINT)
+        |      AS wterm,
+        |    CAST(FLOOR(sg * ln(mug / mu) * 1000000000.0 + 0.500001)
+        |      AS HUGEINT) AS bterm
+        |  FROM bn
+        |), parts AS (
+        |  SELECT CAST(SUM(wterm) AS HUGEINT) AS w,
+        |    CAST(SUM(bterm) AS HUGEINT) AS btw
+        |  FROM bterms
+        |), tot AS (
+        |  SELECT n, sx, CAST(SUM(tt) AS HUGEINT) AS stt,
+        |    CAST(SUM(tl) AS HUGEINT) AS stl
+        |  FROM terms GROUP BY n, sx
+        |)
+        |SELECT n AS n_customers, sx / 100 AS total_rev,
+        |  FLOOR(CAST(stt AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS theil_t,
+        |  FLOOR(CAST(stl AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS theil_l,
+        |  FLOOR(CAST(btw AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS theil_between,
+        |  FLOOR(CAST(w AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS theil_within
+        |FROM tot CROSS JOIN parts""".stripMargin,
 
     // deliberately the INDEPENDENT all-pairs dominance definition — if the
     // engine's prefix-max factorization mishandles any tie case, the two

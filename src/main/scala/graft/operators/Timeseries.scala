@@ -1084,6 +1084,68 @@ object Timeseries {
         .orderBy(col("cusum_pos").desc, col("cusum_neg").desc, col("day"))
     }),
 
+    // ---- Durbin–Watson residual autocorrelation (r11) ---------------------
+    // The canonical "did my trend fit leave serial structure in the
+    // residuals?" check (Durbin & Watson 1950) — the question q_regression
+    // cannot answer and q_ljung_box asks of the RAW series, not the
+    // detrended one. The daily-revenue OLS line over epoch-day t comes
+    // from exact integer moments (n, Σt, Σy, Σt², Σty — BIGINT/DECIMAL all
+    // the way), so both engines derive bit-identical slope/intercept
+    // doubles; every residual is then a deterministic double of exact
+    // inputs, and the squared terms are unit-cents²-quantized before the
+    // sum so aggregation ORDER cannot diverge engines (the house
+    // micro-quantization discipline, coarse here because DW is scale-
+    // free). DW = Σ(eᵢ−eᵢ₋₁)²/Σeᵢ²; verdict cut at the conventional
+    // 1.5/2.5 on the r6-pinned value, NULL abstention on a degenerate
+    // (<2-day) calendar. One shuffle to the calendar-bounded daily frame;
+    // the moment row broadcasts back.
+    "q_durbin_watson" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .withColumn("tt",
+          datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+      val revd = col("rev").cast("decimal(20,0)")
+      val ttd = col("tt").cast("decimal(20,0)")
+      val m = daily.agg(
+        count(lit(1)).as("n"), sum(col("tt")).as("st"),
+        sum(col("rev")).as("sy"), sum(ttd * ttd).as("stt"),
+        sum(ttd * revd).as("sty"))
+      val nD = col("n").cast("double"); val stD = col("st").cast("double")
+      val syD = col("sy").cast("double")
+      val denom = nD * col("stt").cast("double") - stD * stD
+      val b = when(denom =!= 0.0,
+        (nD * col("sty").cast("double") - stD * syD) / denom)
+      val ab = m.select(col("n"), b.as("b"),
+        ((syD - b * stD) / nD).as("a"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val resid = daily.crossJoin(broadcast(ab))
+        .withColumn("e",
+          col("rev").cast("double") - col("a") -
+            col("b") * col("tt").cast("double"))
+        .withColumn("d", col("e") - lag(col("e"), 1).over(w))
+      val terms = resid.select(col("n"), col("b"),
+        floor(col("e") * col("e") + lit(0.500001)).cast("decimal(38,0)")
+          .as("den_t"),
+        when(col("d").isNotNull,
+          floor(col("d") * col("d") + lit(0.500001)).cast("decimal(38,0)"))
+          .as("num_t"))
+      val g = terms.groupBy(col("n"), col("b"))
+        .agg(sum(col("num_t")).as("num"), sum(col("den_t")).as("den"))
+        .withColumn("dw",
+          when(col("den").cast("double") > 0.0,
+            r6(col("num").cast("double") / col("den").cast("double"))))
+      g.select(col("n").as("n_days"),
+        r6(col("b")).as("slope_cents_per_day"),
+        col("dw"),
+        when(col("dw").isNull, lit(null).cast("string"))
+          .when(col("dw") < 1.5, "positive")
+          .when(col("dw") > 2.5, "negative")
+          .otherwise("none").as("serial_corr"))
+    }),
+
     // ---- rolling-window z-score anomaly days (r10) ------------------------
     // The monitoring workhorse q_changepoint (single global shift) and
     // q_page_hinkley (sequential drift) both assume ONE regime change;
@@ -1405,9 +1467,81 @@ object Timeseries {
        |FROM r""".stripMargin
   }
 
+  /** Mirrors q_durbin_watson exactly: same integer moments, same literal
+    * double-op order for a/b, same unit-quantized squared terms, same
+    * den > 0 guard (Spark 0.0/0.0 is NaN, DuckDB NULL — the guard makes
+    * both abstain), same r6 pins.
+    */
+  private def durbinWatsonOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1
+       |), dd AS (
+       |  SELECT day, rev,
+       |    CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS tt
+       |  FROM daily
+       |), m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(tt) AS BIGINT) AS st, CAST(SUM(rev) AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(tt AS HUGEINT) * tt) AS HUGEINT) AS stt,
+       |    CAST(SUM(CAST(tt AS HUGEINT) * rev) AS HUGEINT) AS sty
+       |  FROM dd
+       |), ab0 AS (
+       |  SELECT n, st, sy,
+       |    CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+       |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0
+       |      THEN (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+       |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+       |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+       |      END AS b
+       |  FROM m
+       |), ab AS (
+       |  SELECT n, b,
+       |    (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+       |      AS a
+       |  FROM ab0
+       |), resid AS (
+       |  SELECT dd.day, ab.n, ab.b,
+       |    CAST(dd.rev AS DOUBLE) - ab.a - ab.b * CAST(dd.tt AS DOUBLE) AS e
+       |  FROM dd CROSS JOIN ab
+       |), diffs AS (
+       |  SELECT day, n, b, e, e - LAG(e, 1) OVER (ORDER BY day) AS d
+       |  FROM resid
+       |), terms AS (
+       |  SELECT n, b,
+       |    CAST(FLOOR(e * e + 0.500001) AS HUGEINT) AS den_t,
+       |    CASE WHEN d IS NOT NULL
+       |      THEN CAST(FLOOR(d * d + 0.500001) AS HUGEINT) END AS num_t
+       |  FROM diffs
+       |), g AS (
+       |  SELECT n, b, SUM(num_t) AS num, SUM(den_t) AS den
+       |  FROM terms GROUP BY n, b
+       |), fin AS (
+       |  SELECT n, b,
+       |    CASE WHEN CAST(den AS DOUBLE) > 0.0
+       |      THEN FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |        * 1000000.0 + 0.500001) / 1000000.0 END AS dw
+       |  FROM g
+       |)
+       |SELECT n AS n_days,
+       |  FLOOR(b * 1000000.0 + 0.500001) / 1000000.0 AS slope_cents_per_day,
+       |  dw,
+       |  CASE WHEN dw IS NULL THEN NULL
+       |       WHEN dw < 1.5 THEN 'positive'
+       |       WHEN dw > 2.5 THEN 'negative'
+       |       ELSE 'none' END AS serial_corr
+       |FROM fin""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q_acf" -> acfOracle,
+
+    // exact integer OLS moments → identical a/b doubles, unit-quantized
+    // squared residual terms, den > 0 both-engines-abstain guard
+    "q_durbin_watson" -> durbinWatsonOracle,
 
     // the acfOracle moments, ρ̂ r6-pinned before Q, literal k-order chain
     "q_ljung_box" -> ljungBoxOracle,

@@ -771,4 +771,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
       "partition-less Window in the QN plan")
   }
+
+  // ---- q_theil_index ------------------------------------------------------
+
+  private def theilFixture(spend: Seq[(Long, Int, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_theil").toString
+    spend.map { case (ck, _, amt) =>
+      (ck, java.sql.Timestamp.valueOf("2020-06-01 00:00:00"), amt)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    spend.map { case (ck, nk, _) => (ck, nk) }
+      .toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("Theil: equal incomes give exactly zero on every component") {
+    val dir = theilFixture((1L to 8L).map(i => (i, (i % 2).toInt, 250.0)))
+    val r = SparkEntry.queries("q_theil_index")(spark, dir).head
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0 &&
+      r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0,
+      s"equal incomes must carry zero inequality: $r")
+  }
+
+  test("Theil: within-nation-equal split puts ALL inequality between nations") {
+    // nation 0: two customers at $100; nation 1: two at $400 — within-
+    // nation terms vanish, so T must equal the between component and the
+    // closed form (1/4)·Σ(x/mu)·ln(x/mu) with mu = 250
+    val dir = theilFixture(Seq((1L, 0, 100.0), (2L, 0, 100.0),
+      (3L, 1, 400.0), (4L, 1, 400.0)))
+    val r = SparkEntry.queries("q_theil_index")(spark, dir).head
+    val mu = 250.0
+    val want = Seq(100.0, 100.0, 400.0, 400.0)
+      .map(x => (x / mu) * math.log(x / mu)).sum / 4.0
+    assert(math.abs(r.getDouble(2) - want) < 1e-5, s"T closed form: $r")
+    assert(r.getDouble(5) === 0.0, s"within must be zero: $r")
+    assert(math.abs(r.getDouble(4) - r.getDouble(2)) < 1e-5,
+      s"all inequality is between nations: $r")
+  }
+
+  test("Theil on real data: decomposition identity and T vs L sanity") {
+    val r = run("q_theil_index").head
+    val (t, l, btw, w) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))
+    assert(t > 0 && l > 0, s"real spend is unequal: $r")
+    // T = between + within up to the two quantization grids
+    assert(math.abs(t - (btw + w)) < 1e-4,
+      s"Theil decomposition identity: $t vs ${btw + w}")
+  }
+
+  test("q_theil_index plan: moment frames broadcast, one keyed shuffle join") {
+    val p = plan("q_theil_index")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"global/nation moments must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

@@ -459,6 +459,70 @@ class IncrementalSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no data-sized join:\n$p")
   }
 
+  // ---- q_durbin_watson -------------------------------------------------------
+
+  test("Durbin-Watson: alternating residuals read negative, a step reads positive") {
+    import spark.implicits._
+    // alternating ±$10 around a flat level: e alternates sign every day,
+    // d = ∓2e, so DW = Σd²/Σe² → ~4 (strong NEGATIVE serial correlation)
+    val neg = java.nio.file.Files.createTempDirectory("graft_dw_neg").toString
+    (0 until 100).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()),
+        if (i % 2 == 0) 110.0 else 90.0)
+    }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$neg/orders.parquet")
+    val rn = SparkEntry.queries("q_durbin_watson")(spark, neg).head
+    assert(rn.getLong(0) === 100L)
+    assert(rn.getDouble(2) > 2.5 && rn.getString(3) === "negative",
+      s"alternating series must read negative: $rn")
+
+    // a step the line cannot fit leaves a bow-shaped residual: long runs
+    // of one sign ⇒ small DW ⇒ POSITIVE serial correlation; replay the
+    // whole statistic driver-side with the same double arithmetic
+    val pos = java.nio.file.Files.createTempDirectory("graft_dw_pos").toString
+    (0 until 100).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()),
+        if (i < 50) 100.0 else 200.0)
+    }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$pos/orders.parquet")
+    val rp = SparkEntry.queries("q_durbin_watson")(spark, pos).head
+    val t0 = java.time.LocalDate.of(1992, 1, 1).toEpochDay
+    val ts = (0 until 100).map(i =>
+      (java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong).toEpochDay - t0)
+        .toDouble)
+    val ys = (0 until 100).map(i => if (i < 50) 10000.0 else 20000.0)
+    val n = 100.0
+    val (st, sy) = (ts.sum, ys.sum)
+    val stt = ts.map(v => v * v).sum; val sty = ts.zip(ys).map(p => p._1 * p._2).sum
+    val b = (n * sty - st * sy) / (n * stt - st * st)
+    val a = (sy - b * st) / n
+    val es = ts.zip(ys).map { case (tv, yv) => yv - a - b * tv }
+    val num = es.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+    val den = es.map(e => e * e).sum
+    assert(math.abs(rp.getDouble(2) - num / den) < 1e-3,
+      s"DW must match the driver replay: ${rp.getDouble(2)} vs ${num / den}")
+    assert(rp.getDouble(2) < 1.5 && rp.getString(3) === "positive",
+      s"step residuals must read positive: $rp")
+  }
+
+  test("Durbin-Watson abstains with NULLs on an exactly-fit 2-day calendar") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dw_null").toString
+    Seq(
+      (java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 100.0),
+      (java.sql.Timestamp.valueOf("2020-01-02 00:00:00"), 200.0))
+      .toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_durbin_watson")(spark, dir).head
+    assert(r.getLong(0) === 2L)
+    assert(r.isNullAt(2) && r.isNullAt(3),
+      s"exact 2-point fit has zero residual mass - must abstain: $r")
+  }
+
+  test("q_durbin_watson plan: broadcast-only, bounded window over the daily frame") {
+    val p = plan("q_durbin_watson")
+    assert(!p.contains("SortMergeJoin"), s"moment row must broadcast:\n$p")
+  }
+
   // ---- q_acf ----------------------------------------------------------------
 
   test("ACF of a pure 7-periodic series is exactly (n-7)/n at lag 7") {
