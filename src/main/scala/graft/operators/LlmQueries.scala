@@ -1256,6 +1256,44 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // oracle-backed: CCNet perplexity buckets (Wenzek et al. 2020) — the
+    // curation step downstream of q_lm_perplexity's raw scores: split each
+    // source into head/middle/tail TERTILES by LM log-likelihood, the
+    // partition CCNet keeps/reweights/drops. The per-doc score is the
+    // q_lm_perplexity value r4-PINNED, so the tertile order is over
+    // identical doubles in both engines (tie-break doc_id). The tertile
+    // itself comes from Ranks.withPartitionedRank + ntileOf — the
+    // two-level bucketed ranking with source as the lane (a native
+    // NTILE window partitioned by the schema-bounded-small source key
+    // over a data-sized frame is exactly the hot-single-task shape r11
+    // eliminated); the ORACLE uses DuckDB's native NTILE, so the
+    // derivation is independently cross-checked. Per-bucket means sum
+    // exact 1e-4-grid integers (the pinned scores re-quantized), so
+    // aggregation order cannot diverge.
+    "q_ppl_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val scored = TextOps.lmScore(d, d.where(col("doc_id") % 10 < 8))
+        .select(col("doc_id"), r4(col("avg_logprob")).as("lp"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val ranked = Ranks.withPartitionedRank(scored, col("source"),
+        -col("lp"), col("doc_id"), "rk", nOut = "n_src", checkpoint = false)
+      val tiled = ranked.withColumn("tile",
+        Ranks.ntileOf(col("rk"), col("n_src"), 3))
+      tiled.groupBy(col("source"),
+          when(col("tile") === 1, "head").when(col("tile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(floor(col("lp") * lit(10000.0) + lit(0.500001)).cast("long"))
+            .as("sk"),
+          min(col("lp")).as("min_lp"), max(col("lp")).as("max_lp"))
+        .select(col("source"), col("bucket"), col("n_docs"),
+          r6(col("sk").cast("double") / col("n_docs").cast("double")
+            / lit(10000.0)).as("avg_logprob"),
+          col("min_lp"), col("max_lp"))
+        .orderBy("source", "bucket")
+    }),
+
     // envelope-contract oracle: the fingerprint VALUES are xxhash64-specific
     // (the kernel-vs-HOF cross-check in TextOpsSpec pins them), but
     // winnowing's published guarantees (Schleimer–Wilkerson–Aiken 2003 §2)
@@ -3860,6 +3898,51 @@ object LlmQueries {
         |  FLOOR(((s - n_grams * ln(nn + vv)) / n_grams) * 10000.0 + 0.500001)
         |    / 10000.0 AS avg_logprob
         |FROM sc, tot ORDER BY doc_id""".stripMargin,
+
+    // the q_lm_perplexity score chain r4-pinned, then DuckDB's NATIVE
+    // NTILE(3) — independently cross-checking the ntileOf derivation —
+    // and per-bucket means over exact 1e-4-grid integer sums
+    "q_ppl_buckets" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), tg AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+        |  FROM norm, LATERAL unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)
+        |), prof AS (
+        |  SELECT g, COUNT(*) AS c FROM tg WHERE doc_id % 10 < 8 GROUP BY g
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS DOUBLE) AS nn, CAST(COUNT(*) AS DOUBLE) AS vv FROM prof
+        |), sc AS (
+        |  SELECT tg.doc_id, SUM(ln(COALESCE(p.c, 0) + 1.0)) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM tg LEFT JOIN prof p USING (g)
+        |  GROUP BY tg.doc_id
+        |), pinned AS (
+        |  SELECT sc.doc_id, norm.source,
+        |    FLOOR(((s - n_grams * ln(nn + vv)) / n_grams) * 10000.0
+        |      + 0.500001) / 10000.0 AS lp
+        |  FROM sc, tot JOIN norm ON sc.doc_id = norm.doc_id
+        |), tiled AS (
+        |  SELECT source, lp,
+        |    NTILE(3) OVER (PARTITION BY source ORDER BY lp DESC, doc_id)
+        |      AS tile
+        |  FROM pinned
+        |), agg AS (
+        |  SELECT source,
+        |    CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(FLOOR(lp * 10000.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS sk,
+        |    MIN(lp) AS min_lp, MAX(lp) AS max_lp
+        |  FROM tiled GROUP BY 1, 2
+        |)
+        |SELECT source, bucket, n_docs,
+        |  FLOOR(CAST(sk AS DOUBLE) / CAST(n_docs AS DOUBLE) / 10000.0
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS avg_logprob,
+        |  min_lp, max_lp
+        |FROM agg ORDER BY source, bucket""".stripMargin,
 
     "q_dsir_select" ->
       """WITH norm AS (

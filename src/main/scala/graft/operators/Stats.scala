@@ -2086,6 +2086,65 @@ object Stats {
           r2c(col("hl") / lit(100.0)).as("hl_shift_dollars"))
     }),
 
+    // ---- distance correlation (r11) ---------------------------------------
+    // Székely–Rizzo–Bakirov (2007) distance correlation between daily
+    // revenue and daily order count — the dependence measure that is ZERO
+    // iff independent, catching the nonlinear/non-monotone relationships
+    // q_corr_stats' Pearson and q_spearman's ranks both miss. dCov² =
+    // T1/n² + (Tx/n²)(Ty/n²) − 2·T3/n³ over the |Δx|,|Δy| pair census;
+    // the census is CALENDAR-bounded (days² pairs — the q_theil_sen/
+    // q_hodges_lehmann stance: cost pinned by the calendar, not the
+    // corpus) and EVERY moment is an exact integer (|Δ| of cents/counts,
+    // products in decimal-38/HUGEINT), so the only floats are the final
+    // dozen literal-order ops — cross-engine parity structural. Broadcast
+    // self-join, one (day) re-group for row sums, two bounded aggregates.
+    // Abstains (NULL) when either marginal distance variance is zero
+    // (constant series / single day).
+    "q_dcor" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("x"), count(lit(1)).as("y"))
+      val a = daily.select(col("day").as("di"), col("x").as("xi"),
+        col("y").as("yi"))
+      val b = daily.select(col("x").as("xj"), col("y").as("yj"))
+      val pairs = a.crossJoin(broadcast(b))
+        .select(col("di"),
+          abs(col("xi") - col("xj")).cast("decimal(19,0)").as("dx"),
+          abs(col("yi") - col("yj")).cast("decimal(19,0)").as("dy"))
+      val rows = pairs.groupBy("di").agg(
+        sum(col("dx")).as("ax"), sum(col("dy")).as("ay"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      val g = rows.agg(count(lit(1)).as("n"),
+        sum(col("ax")).as("tx"), sum(col("ay")).as("ty"),
+        sum(col("sxy")).as("t1"), sum(col("sxx")).as("t1x"),
+        sum(col("syy")).as("t1y"),
+        sum(col("ax") * col("ay")).as("t3"),
+        sum(col("ax") * col("ax")).as("t3x"),
+        sum(col("ay") * col("ay")).as("t3y"))
+      def d(c: Column): Column = c.cast("double")
+      val n2 = d(col("n")) * d(col("n"))
+      val n3 = n2 * d(col("n"))
+      val dcov2 = d(col("t1")) / n2 +
+        (d(col("tx")) / n2) * (d(col("ty")) / n2) -
+        lit(2.0) * d(col("t3")) / n3
+      val dvx = d(col("t1x")) / n2 +
+        (d(col("tx")) / n2) * (d(col("tx")) / n2) -
+        lit(2.0) * d(col("t3x")) / n3
+      val dvy = d(col("t1y")) / n2 +
+        (d(col("ty")) / n2) * (d(col("ty")) / n2) -
+        lit(2.0) * d(col("t3y")) / n3
+      val prod = dvx * dvy
+      val dcor = when(prod > 0.0,
+        sqrt(greatest(dcov2, lit(0.0)) / sqrt(prod)))
+      g.select(col("n").as("n_days"),
+        (col("n") * col("n")).as("n_pairs"),
+        r6(dcor).as("dcor"))
+    }),
+
     // ---- coarsened exact matching (r11) -----------------------------------
     // The causal-adjustment step q_covariate_balance can only DIAGNOSE
     // (Iacus, King & Porro 2012): match treated and control units exactly
@@ -4514,6 +4573,55 @@ object Stats {
         |  n_pairs,
         |  FLOOR(hl / 100.0 * 100.0 + 0.500001) / 100.0 AS hl_shift_dollars
         |FROM m""".stripMargin,
+
+    // identical calendar-bounded census, every moment an exact HUGEINT,
+    // the same literal-order final double ops and zero-variance abstention
+    "q_dcor" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.day AS di,
+        |    CAST(abs(a.x - b.x) AS HUGEINT) AS dx,
+        |    CAST(abs(a.y - b.y) AS HUGEINT) AS dy
+        |  FROM daily a CROSS JOIN daily b
+        |), rws AS (
+        |  SELECT di, SUM(dx) AS ax, SUM(dy) AS ay,
+        |    SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+        |  FROM pairs GROUP BY di
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(ax) AS tx, SUM(ay) AS ty,
+        |    SUM(sxy) AS t1, SUM(sxx) AS t1x, SUM(syy) AS t1y,
+        |    SUM(ax * ay) AS t3, SUM(ax * ax) AS t3x, SUM(ay * ay) AS t3y
+        |  FROM rws
+        |), f0 AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS n2,
+        |    CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS n3,
+        |    tx, ty, t1, t1x, t1y, t3, t3x, t3y
+        |  FROM g
+        |), f AS (
+        |  SELECT n,
+        |    CAST(t1 AS DOUBLE) / n2
+        |      + (CAST(tx AS DOUBLE) / n2) * (CAST(ty AS DOUBLE) / n2)
+        |      - 2.0 * CAST(t3 AS DOUBLE) / n3 AS dcov2,
+        |    CAST(t1x AS DOUBLE) / n2
+        |      + (CAST(tx AS DOUBLE) / n2) * (CAST(tx AS DOUBLE) / n2)
+        |      - 2.0 * CAST(t3x AS DOUBLE) / n3 AS dvx,
+        |    CAST(t1y AS DOUBLE) / n2
+        |      + (CAST(ty AS DOUBLE) / n2) * (CAST(ty AS DOUBLE) / n2)
+        |      - 2.0 * CAST(t3y AS DOUBLE) / n3 AS dvy
+        |  FROM f0
+        |)
+        |SELECT n AS n_days, CAST(n * n AS BIGINT) AS n_pairs,
+        |  CASE WHEN dvx * dvy > 0.0
+        |    THEN FLOOR(sqrt(greatest(dcov2, 0.0) / sqrt(dvx * dvy))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS dcor
+        |FROM f""".stripMargin,
 
     // identical strata moments, micro-quantized within-stratum terms,
     // the same prune census

@@ -1820,4 +1820,78 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.0, s"constant gaps have sd 0: $r")
     assert(r.getDouble(4) === -1.0, s"periodic user is maximally regular: $r")
   }
+
+  // ---- q_dcor ---------------------------------------------------------------
+
+  test("dcor: an exactly linear x-y relation scores 1, a constant series abstains") {
+    import spark.implicits._
+    // day i carries i orders of $100 each: x = 10000·i cents, y = i —
+    // perfectly linear, so distance correlation must be exactly 1 (every
+    // |Δx| = 10000·|Δy|, all three moments share the scale factor)
+    val lin = (1 to 40).flatMap { i =>
+      (0 until i).map { k =>
+        (i.toLong * 1000 + k, java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong)
+            .atStartOfDay()), 100.0)
+      }
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = SparkEntry.queries("q_dcor")(spark, fixtureDir("orders" -> lin)).head
+    assert(r.getLong(0) === 40L && r.getLong(1) === 1600L)
+    assert(r.getDouble(2) === 1.0, s"linear dependence must score 1: $r")
+
+    // constant series: every pairwise distance is 0 ⇒ zero distance
+    // variance ⇒ NULL abstention (not 0/0)
+    val const = (1 to 10).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val rc = SparkEntry.queries("q_dcor")(spark, fixtureDir("orders" -> const)).head
+    assert(rc.isNullAt(2), s"constant series must abstain: $rc")
+  }
+
+  test("dcor: driver replay on a planted nonlinear fixture, bounded in (0,1]") {
+    import spark.implicits._
+    // y ~ |i − 20|-shaped order counts against monotone revenue: Pearson
+    // would sit near 0; dcor must see the dependence. Replay the exact
+    // formula driver-side from the same integer census.
+    val rows = (1 to 40).flatMap { i =>
+      val cnt = 1 + math.abs(i - 20)
+      (0 until cnt).map { k =>
+        (i.toLong * 1000 + k, java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong)
+            .atStartOfDay()), i * 10.0)
+      }
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = SparkEntry.queries("q_dcor")(spark, fixtureDir("orders" -> rows)).head
+    val xs = (1 to 40).map(i => (1 + math.abs(i - 20)).toLong * i * 1000L)
+    val ys = (1 to 40).map(i => (1 + math.abs(i - 20)).toLong)
+    val n = 40
+    def census(v: Seq[Long]) = for (i <- 0 until n; j <- 0 until n)
+      yield math.abs(v(i) - v(j))
+    val (dx, dy) = (census(xs), census(ys))
+    def rowSums(d: Seq[Long]) = (0 until n).map(i =>
+      (0 until n).map(j => d(i * n + j)).sum)
+    val (ax, ay) = (rowSums(dx), rowSums(dy))
+    val n2 = n.toDouble * n; val n3 = n2 * n
+    def mom(p: Seq[Long], q: Seq[Long]) =
+      p.zip(q).map { case (u, v) => BigInt(u) * BigInt(v) }.sum.toDouble
+    val dcov2 = mom(dx, dy) / n2 + (dx.sum.toDouble / n2) * (dy.sum.toDouble / n2) -
+      2.0 * mom(ax, ay) / n3
+    val dvx = mom(dx, dx) / n2 + (dx.sum.toDouble / n2) * (dx.sum.toDouble / n2) -
+      2.0 * mom(ax, ax) / n3
+    val dvy = mom(dy, dy) / n2 + (dy.sum.toDouble / n2) * (dy.sum.toDouble / n2) -
+      2.0 * mom(ay, ay) / n3
+    val want = math.sqrt(math.max(dcov2, 0.0) / math.sqrt(dvx * dvy))
+    assert(math.abs(r.getDouble(2) - want) < 1e-5,
+      s"dcor replay: ${r.getDouble(2)} vs $want")
+    assert(r.getDouble(2) > 0.3 && r.getDouble(2) <= 1.0,
+      s"V-shaped dependence must register: $r")
+  }
+
+  test("q_dcor plan: broadcast pair census, no sort-merge join") {
+    val p = plan("q_dcor")
+    assert(!p.contains("SortMergeJoin"), s"census must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected a broadcast census:\n$p")
+  }
 }

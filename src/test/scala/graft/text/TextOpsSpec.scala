@@ -499,4 +499,56 @@ class TextOpsSpec extends SparkSpec {
         s"pair support cannot exceed either unigram count: $r")
     }
   }
+
+  // ---- q_ppl_buckets --------------------------------------------------------
+
+  test("ppl buckets: tertiles partition each source with NTILE sizes and ordered scores") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_ppl_buckets")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_.getString(0))
+    val docTotals = graft.io.Sources.table(spark, sf, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      // partition: bucket sizes sum to the source's doc count and differ
+      // by at most 1 (the NTILE contract ntileOf re-derives)
+      val sizes = rows.map(_.getLong(2))
+      assert(sizes.sum === docTotals(src), s"$src buckets must partition")
+      if (rows.length == 3)
+        assert(sizes.max - sizes.min <= 1, s"$src NTILE sizes: ${sizes.toSeq}")
+      // order: head's worst score is no worse than middle's best, etc.
+      val byB = rows.map(r => r.getString(1) -> r).toMap
+      for ((hi, lo) <- Seq("head" -> "middle", "middle" -> "tail"))
+        (byB.get(hi), byB.get(lo)) match {
+          case (Some(h), Some(l)) =>
+            assert(h.getDouble(4) >= l.getDouble(5),
+              s"$src: $hi min_lp must be >= $lo max_lp")
+            assert(h.getDouble(3) >= l.getDouble(3),
+              s"$src: $hi mean must be >= $lo mean")
+          case _ => ()
+        }
+      // mean sits inside [min, max]
+      rows.foreach(r => assert(
+        r.getDouble(3) >= r.getDouble(4) - 1e-9 &&
+          r.getDouble(3) <= r.getDouble(5) + 1e-9,
+        s"mean outside [min,max]: $r"))
+    }
+  }
+
+  test("q_ppl_buckets plan: no small-key Window over the data-sized frame") {
+    // the PlanSpec r11 gate shape: a Window may be (a) multi-key — the
+    // (source, bucket) ranking window — or (b) single-key over an
+    // Aggregate-bounded child (the offsets frame); a single-key Window
+    // directly over the data-sized frame is the hot-lane shape NTILE
+    // over 'source' would have planned
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
+    val lp = graft.SparkEntry.queries("q_ppl_buckets")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    val hot = lp.collect {
+      case w: LWindow if w.partitionSpec.size < 2 &&
+        w.child.collectFirst { case a: LAggregate => a }.isEmpty => w
+    }
+    assert(hot.isEmpty, s"hot-lane Window shape: $hot")
+  }
 }
