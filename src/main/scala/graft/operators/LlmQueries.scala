@@ -497,6 +497,69 @@ object LlmQueries {
         .orderBy(col("c12").desc, col("w1"), col("w2"))
     }),
 
+    // oracle-backed: RAKE keyword extraction (Rose et al. 2010) — the
+    // unsupervised multiword-keyword miner one step up from
+    // q_collocation_pmi's bigrams: candidate phrases are maximal runs of
+    // non-stopword tokens between punctuation/stopword boundaries (capped
+    // at 4 words, the standard RAKE cap), word score = deg/freq over the
+    // corpus-wide candidate table (deg = Σ length of phrases containing
+    // the word, self included), phrase score = Σ word scores. Two-level
+    // split first on an EXPLICIT punctuation class then an EXPLICIT
+    // whitespace class (Java \s and RE2 \s disagree on \x0B — the ADVICE
+    // r10 divergence, avoided by construction); word scores are pinned to
+    // the 1e-6 grid as INTEGERS, so phrase sums and the top-25 ordering
+    // are exact-integer deterministic. Shape: corpus scans once through
+    // doc-bounded windows (run-id prefix sum, phrase-length count), then
+    // everything lives on the vocab-/phrase-bounded frames.
+    "q_rake_keywords" -> ((s, dir) => {
+      val stops = TextOps.stopwordSeq
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9 \\t\\n\\f\\r]+"))
+            .as(Seq("seg_idx", "seg")))
+        .where(trim(col("seg")) =!= "")
+      val toks = segs
+        .select(col("doc_id"), col("seg_idx"),
+          posexplode(split(trim(col("seg")), "[ \\t\\n\\f\\r]+"))
+            .as(Seq("tok_idx", "tok")))
+        .where(length(col("tok")) > 0)
+      val wRun = Window.partitionBy(col("doc_id"), col("seg_idx"))
+        .orderBy(col("tok_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = toks.withColumn("run_id",
+        sum(col("tok").isin(stops: _*).cast("long")).over(wRun))
+      val nonStop = marked.where(!col("tok").isin(stops: _*))
+      val members = nonStop
+        .withColumn("len", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"), col("seg_idx"), col("run_id"))))
+        .where(col("len") <= 4)
+      val wstats = members.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .select(col("tok"),
+          floor(col("deg").cast("double") / col("freq").cast("double")
+            * lit(1000000.0) + lit(0.500001)).cast("long").as("ws"))
+      val phrases = members
+        .groupBy(col("doc_id"), col("seg_idx"), col("run_id"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("tok_idx"), col("tok")))),
+            x => x.getField("tok")), " ").as("phrase"),
+          count(lit(1)).as("n_words"))
+      val dist = phrases.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occ"), max(col("n_words")).as("n_words"))
+      val scored = dist
+        .select(col("phrase"), col("n_occ"), col("n_words"),
+          explode(split(col("phrase"), " ")).as("tok"))
+        .join(wstats, Seq("tok"))
+        .groupBy(col("phrase"), col("n_occ"), col("n_words"))
+        .agg(sum(col("ws")).as("score_u"))
+      scored
+        .orderBy(col("score_u").desc, col("n_occ").desc, col("phrase"))
+        .limit(25)
+        .select(col("phrase"), col("n_words"), col("n_occ"),
+          (col("score_u").cast("double") / lit(1000000.0)).as("score"))
+        .orderBy(col("score").desc, col("n_occ").desc, col("phrase"))
+    }),
+
     // ---- dedup ------------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactDuplicates(t(s, dir, "documents")).orderBy("text_hash")
@@ -2664,6 +2727,77 @@ object LlmQueries {
         |      / CAST(CAST(n_bigrams AS HUGEINT) * c1 * c2 AS DOUBLE))
         |    * 1000000.0 + 0.500001) / 1000000.0 AS pmi
         |FROM top ORDER BY c12 DESC, w1, w2""".stripMargin,
+
+    // identical two-level explicit-class split, stopword run boundaries,
+    // integer-grid word scores; string_agg(ORDER BY) mirrors the
+    // sorted-struct phrase reassembly
+    "q_rake_keywords" ->
+      s"""WITH segs0 AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '[^a-z0-9 \\t\\n\\f\\r]+')
+         |      AS sa
+         |  FROM documents
+         |), segs AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+         |    sa[CAST(u.i AS INTEGER)] AS seg
+         |  FROM segs0, LATERAL unnest(generate_series(1, len(sa))) AS u(i)
+         |  WHERE trim(sa[CAST(u.i AS INTEGER)]) <> ''
+         |), toks0 AS (
+         |  SELECT doc_id, seg_idx,
+         |    regexp_split_to_array(trim(seg), '[ \\t\\n\\f\\r]+') AS ta
+         |  FROM segs
+         |), toks AS (
+         |  SELECT doc_id, seg_idx, CAST(v.j AS BIGINT) AS tok_idx,
+         |    ta[CAST(v.j AS INTEGER)] AS tok
+         |  FROM toks0, LATERAL unnest(generate_series(1, len(ta))) AS v(j)
+         |  WHERE length(ta[CAST(v.j AS INTEGER)]) > 0
+         |), marked AS (
+         |  SELECT doc_id, seg_idx, tok_idx, tok,
+         |    SUM(CASE WHEN tok IN (${TextOps.stopwordsInList})
+         |      THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id, seg_idx ORDER BY tok_idx
+         |        ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM toks
+         |), ns AS (
+         |  SELECT * FROM marked
+         |  WHERE tok NOT IN (${TextOps.stopwordsInList})
+         |), members AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, seg_idx, run_id, tok_idx, tok,
+         |      CAST(COUNT(*) OVER (PARTITION BY doc_id, seg_idx, run_id)
+         |        AS BIGINT) AS len
+         |    FROM ns)
+         |  WHERE len <= 4
+         |), ws AS (
+         |  SELECT tok,
+         |    CAST(FLOOR(CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) * 1000000.0
+         |      + 0.500001) AS BIGINT) AS ws
+         |  FROM members GROUP BY tok
+         |), phr AS (
+         |  SELECT doc_id, seg_idx, run_id,
+         |    string_agg(tok, ' ' ORDER BY tok_idx) AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words
+         |  FROM members GROUP BY 1, 2, 3
+         |), dist AS (
+         |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |    MAX(n_words) AS n_words
+         |  FROM phr GROUP BY 1
+         |), pw AS (
+         |  SELECT phrase, n_occ, n_words, t.tok
+         |  FROM dist, LATERAL unnest(string_split(phrase, ' ')) AS t(tok)
+         |), scored AS (
+         |  SELECT pw.phrase, pw.n_occ, pw.n_words,
+         |    CAST(SUM(w.ws) AS BIGINT) AS score_u
+         |  FROM pw JOIN ws w ON w.tok = pw.tok
+         |  GROUP BY 1, 2, 3
+         |), top AS (
+         |  SELECT * FROM scored
+         |  ORDER BY score_u DESC, n_occ DESC, phrase LIMIT 25
+         |)
+         |SELECT phrase, n_words, n_occ,
+         |  CAST(score_u AS DOUBLE) / 1000000.0 AS score
+         |FROM top ORDER BY score DESC, n_occ DESC, phrase""".stripMargin,
 
     // identical micro-unit quantization and moment identity (HUGEINT
     // mirrors decimal-38); the estimator is the same 3-term sequence

@@ -500,6 +500,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_rake_keywords ------------------------------------------------------
+
+  test("RAKE: closed-form phrases, deg/freq scores, the >4-word cap, ordering") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rake").toString
+    // doc 0 splits at ',' then at stopwords 'of'/'and' into phrases
+    // [deep learning][deep networks][fast learning]; doc 1 at 'is' into
+    // [deep learning]x2; doc 2 is a 5-word stopword-free run -> dropped
+    // whole by the 4-word cap (neither phrase nor word stats)
+    Seq(
+      (0L, "deep learning of deep networks, and fast learning", "s"),
+      (1L, "deep learning is deep learning", "s"),
+      (2L, "one two three four five", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q_rake_keywords")(spark, dir).collect()
+    // word stats: deep f4 d8, learning f4 d8, networks f1 d2, fast f1 d2
+    // -> every word scores 2.0, every 2-word phrase 4.0
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("deep learning", "deep networks", "fast learning"),
+      s"phrase set + (score, n_occ, phrase) order: ${out.toSeq}")
+    assert(out.forall(_.getDouble(3) === 4.0), s"deg/freq algebra: ${out.toSeq}")
+    val byPhrase = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byPhrase("deep learning") === 3L, "three instances across docs")
+    assert(out.forall(_.getLong(1) === 2L))
+    assert(!out.exists(_.getString(0).contains("one")),
+      "the 5-word run must be dropped by the cap")
+  }
+
   // ---- q_ppl_buckets --------------------------------------------------------
 
   test("ppl buckets: tertiles partition each source with NTILE sizes and ordered scores") {
