@@ -225,6 +225,71 @@ object StreamingOps {
       }
   }
 
+  final case class CusumState(p: Double, q: Double, minP: Double,
+      minQ: Double, lastDay: Long)
+  final case class CusumPoint(series_id: Long, day: java.sql.Date,
+      rev_dollars: Double, cusum_pos: Double, cusum_neg: Double, alarm: Long)
+
+  /** Streaming counterpart of q_cusum (r11): Page's two-sided CUSUM chart
+    * as per-series state. The batch query computes S_i = max(0, S_{i−1} +
+    * w_i) via its closed form over prefix sums (two ordered windows); the
+    * stream runs the SAME closed form incrementally — state is the two
+    * prefix sums and their running minima, FIVE doubles per series
+    * forever, so the chart runs unbounded where the batch form re-scans
+    * the calendar.
+    *
+    * Unlike the batch query (whole-window μ/σ), the chart scores against
+    * a FIXED reference (mu, sigma) calibrated on a baseline period — the
+    * standard control-chart practice, and the only causal formulation a
+    * stream admits. Feeding the batch window's own μ/σ reproduces the
+    * batch statistics exactly: x = cents/1e6, w⁺ = x − mu − k·σ, P_i =
+    * Σw⁺, S⁺_i = P_i − min(0, min_{j≤i} P_j) — the identical double
+    * sequence in date order, values r4/r6-rounded exactly as the batch
+    * side rounds them, alarm on the r6-pinned stat vs the r6-pinned h·σ.
+    *
+    * Ordering contract matches [[rollingZAnomalies]]: days fold in (day,
+    * rev) order within a trigger and a day at-or-before the newest
+    * absorbed day is DROPPED, so checkpoint replay cannot double-count.
+    */
+  def cusumChart(daily: Dataset[DailyRev], mu: Double, sigma: Double,
+      k: Double = 0.5, h: Double = 5.0): Dataset[CusumPoint] = {
+    import daily.sparkSession.implicits._
+    require(sigma > 0.0, s"sigma must be positive: $sigma")
+    val hR = math.floor(h * sigma * 1000000.0 + 0.500001) / 1000000.0
+    daily
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (sid: Long, batch: Iterator[DailyRev], state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(0.0, 0.0,
+            Double.PositiveInfinity, Double.PositiveInfinity, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+          batch.toSeq
+            .sortBy(d => (d.day.toLocalDate.toEpochDay, d.rev))
+            .foreach { d =>
+              val ed = d.day.toLocalDate.toEpochDay
+              if (ed > s.lastDay) {
+                val x = d.rev.toDouble / 1000000.0
+                val p = s.p + (x - mu - k * sigma)
+                val q = s.q + (mu - k * sigma - x)
+                val mP = math.min(s.minP, p)
+                val mQ = math.min(s.minQ, q)
+                val spos = p - math.min(mP, 0.0)
+                val sneg = q - math.min(mQ, 0.0)
+                val statR = math.floor(math.max(spos, sneg) * 1000000.0
+                  + 0.500001) / 1000000.0
+                out += CusumPoint(sid, d.day, d.rev.toDouble / 100.0,
+                  math.floor(spos * 10000.0 + 0.500001) / 10000.0,
+                  math.floor(sneg * 10000.0 + 0.500001) / 10000.0,
+                  if (statR > hR) 1L else 0L)
+                s = CusumState(p, q, mP, mQ, ed)
+              } // else: late or duplicate day — dropped, see contract
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class HhState(ver: Long, counts: Map[String, Long])
   final case class TermCandidate(shard: Int, ver: Long, term: String, count_min: Long)
 

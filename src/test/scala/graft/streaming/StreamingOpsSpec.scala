@@ -382,6 +382,82 @@ class StreamingOpsSpec extends SparkSpec {
       day(W - 1).toLocalDate)))
   }
 
+  test("CUSUM chart: closed-form parity across a checkpoint, step shift alarms") {
+    // the streaming counterpart of q_cusum: the 60-flat/40-stepped
+    // fixture from the batch spec, two series, arriving in TWO tranches
+    // on ONE checkpoint — the five-double state must survive the restart
+    // so the ramp continues from its pre-restart prefix sums
+    val base = Files.createTempDirectory("graft_cusum_s").toString
+    import spark.implicits._
+    def rev(sid: Long, i: Int): Long =
+      if (sid == 1L) { if (i < 60) 10000L else 20000L } else 15000L
+    def day(i: Int): java.sql.Date =
+      java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(i))
+    val all = for (sid <- 1L to 2L; i <- 0 until 100)
+      yield StreamingOps.DailyRev(sid, day(i), rev(sid, i))
+    // reference = series-1's whole-window moments, the batch calibration
+    val xs = (0 until 100).map(i => rev(1L, i).toDouble / 1000000.0)
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length)
+    val dir = s"$base/daily"
+    all.filter(_.day.toLocalDate.getDayOfYear <= 70).toDF()
+      .write.mode("append").parquet(dir)
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[StreamingOps.DailyRev]
+    val outDir = s"$base/out"
+    def run(): Unit = {
+      val q = StreamingOps.cusumChart(stream(), mu, sigma).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "stream did not drain")
+    }
+    run()
+    val first = spark.read.parquet(outDir).collect()
+    all.filter(_.day.toLocalDate.getDayOfYear > 70).toDF()
+      .write.mode("append").parquet(dir)
+    run()
+    val combined = spark.read.parquet(outDir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))
+    val got = combined.map(key).toSet
+    assert(combined.length === got.size, "no duplicate emissions")
+    // driver replay of the identical closed form (the batch q_cusum
+    // recursion), per series, both rounding pins included
+    val hR = math.floor(5.0 * sigma * 1000000.0 + 0.500001) / 1000000.0
+    val want = (for (sid <- 1L to 2L) yield {
+      var (p, q, mP, mQ) = (0.0, 0.0,
+        Double.PositiveInfinity, Double.PositiveInfinity)
+      (0 until 100).map { i =>
+        val x = rev(sid, i).toDouble / 1000000.0
+        p += x - mu - 0.5 * sigma; q += mu - 0.5 * sigma - x
+        mP = math.min(mP, p); mQ = math.min(mQ, q)
+        val spos = p - math.min(mP, 0.0); val sneg = q - math.min(mQ, 0.0)
+        val statR = math.floor(math.max(spos, sneg) * 1000000.0
+          + 0.500001) / 1000000.0
+        (sid, day(i).toString, rev(sid, i).toDouble / 100.0,
+          math.floor(spos * 10000.0 + 0.500001) / 10000.0,
+          math.floor(sneg * 10000.0 + 0.500001) / 10000.0,
+          if (statR > hR) 1L else 0L)
+      }
+    }).flatten.toSet
+    assert(got === want, s"streamed ${got.size} vs replay ${want.size}")
+    // the step ramps: late series-1 days all alarm, and a post-restart
+    // day emits with a statistic that only a surviving prefix-sum state
+    // can produce; the flat series never alarms
+    val lateAlarms = combined.filter(r => r.getLong(0) == 1L &&
+      r.getDate(1).toLocalDate.isAfter(day(80).toLocalDate))
+    assert(lateAlarms.nonEmpty && lateAlarms.forall(_.getLong(5) == 1L),
+      "ramp tail must alarm")
+    assert(combined.filter(_.getLong(0) == 2L).forall(_.getLong(5) == 0L),
+      "in-control series must never alarm")
+  }
+
   test("EWMA anomaly chart matches a driver-side recurrence replay exactly") {
     val base = Files.createTempDirectory("graft_ewma_replay").toString
     import spark.implicits._
