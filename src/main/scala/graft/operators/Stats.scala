@@ -2106,25 +2106,52 @@ object Stats {
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(cents).as("x"), count(lit(1)).as("y"))
-      val a = daily.select(col("day").as("di"), col("x").as("xi"),
-        col("y").as("yi"))
+      // The census is only needed for ONE moment — T1 = Σ|Δx||Δy|, the
+      // genuinely non-factorable cross term. Everything else has an
+      // exact-integer closed form on the bounded daily frame: the row
+      // sums aᵢ = Σⱼ|vᵢ−vⱼ| = (2rᵢ−n)·vᵢ − (2Pᵢ−T) via one sorted
+      // prefix window per marginal (valid under any consistent tie
+      // order), and Σ|Δv|² = 2nΣv² − 2(Σv)² by the moment identity —
+      // so the 5.8M-pair frame feeds a single global partial-aggregated
+      // sum instead of a 5-decimal-sum re-group (measured 6.0 → 1.0 s at
+      // sf0.1; the moments are the SAME exact integers, so the oracle
+      // hash is unchanged).
+      def dd(c: Column): Column = c.cast("decimal(38,0)")
+      val wAllK = BoundedWindow.whole(col("day"))
+      val wxr = BoundedWindow.ordered(col("day"), col("x"), col("day"))
+      val wyr = BoundedWindow.ordered(col("day"), col("y"), col("day"))
+      val wxs = wxr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wys = wyr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withSums = daily
+        .withColumn("n", count(lit(1)).over(wAllK))
+        .withColumn("tx_all", sum(col("x")).over(wAllK))
+        .withColumn("ty_all", sum(col("y")).over(wAllK))
+        .withColumn("rx", row_number().over(wxr).cast("long"))
+        .withColumn("ry", row_number().over(wyr).cast("long"))
+        .withColumn("px", sum(col("x")).over(wxs))
+        .withColumn("py", sum(col("y")).over(wys))
+        .withColumn("ax", (lit(2L) * col("rx") - col("n")) * col("x")
+          - (lit(2L) * col("px") - col("tx_all")))
+        .withColumn("ay", (lit(2L) * col("ry") - col("n")) * col("y")
+          - (lit(2L) * col("py") - col("ty_all")))
+      val m = withSums.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dd(col("x")) * col("x")).as("sx2"),
+        sum(dd(col("y")) * col("y")).as("sy2"),
+        sum(dd(col("ax"))).as("tx"), sum(dd(col("ay"))).as("ty"),
+        sum(dd(col("ax")) * col("ay")).as("t3"),
+        sum(dd(col("ax")) * col("ax")).as("t3x"),
+        sum(dd(col("ay")) * col("ay")).as("t3y"))
+      val a = daily.select(col("x").as("xi"), col("y").as("yi"))
       val b = daily.select(col("x").as("xj"), col("y").as("yj"))
-      val pairs = a.crossJoin(broadcast(b))
-        .select(col("di"),
-          abs(col("xi") - col("xj")).cast("decimal(19,0)").as("dx"),
-          abs(col("yi") - col("yj")).cast("decimal(19,0)").as("dy"))
-      val rows = pairs.groupBy("di").agg(
-        sum(col("dx")).as("ax"), sum(col("dy")).as("ay"),
-        sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"))
-      val g = rows.agg(count(lit(1)).as("n"),
-        sum(col("ax")).as("tx"), sum(col("ay")).as("ty"),
-        sum(col("sxy")).as("t1"), sum(col("sxx")).as("t1x"),
-        sum(col("syy")).as("t1y"),
-        sum(col("ax") * col("ay")).as("t3"),
-        sum(col("ax") * col("ax")).as("t3x"),
-        sum(col("ay") * col("ay")).as("t3y"))
+      val t1 = a.crossJoin(broadcast(b))
+        .agg(sum(dd(abs(col("xi") - col("xj")) * abs(col("yi") - col("yj"))))
+          .as("t1"))
+      val g = m.crossJoin(broadcast(t1))
+        .withColumn("t1x", lit(2L) * dd(col("n")) * col("sx2")
+          - lit(2L) * dd(col("sx")) * col("sx"))
+        .withColumn("t1y", lit(2L) * dd(col("n")) * col("sy2")
+          - lit(2L) * dd(col("sy")) * col("sy"))
       def d(c: Column): Column = c.cast("double")
       val n2 = d(col("n")) * d(col("n"))
       val n3 = n2 * d(col("n"))
@@ -4574,8 +4601,12 @@ object Stats {
         |  FLOOR(hl / 100.0 * 100.0 + 0.500001) / 100.0 AS hl_shift_dollars
         |FROM m""".stripMargin,
 
-    // identical calendar-bounded census, every moment an exact HUGEINT,
-    // the same literal-order final double ops and zero-variance abstention
+    // DELIBERATELY the naive form (the q_skyline stance): the full pair
+    // census with per-day re-grouping — if the engine's sorted-prefix row
+    // sums or the Σ|Δv|² moment identity mishandle any tie case, the two
+    // derivations disagree and the hash gate goes red. Every moment an
+    // exact HUGEINT; same literal-order final double ops and
+    // zero-variance abstention
     "q_dcor" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
