@@ -527,6 +527,74 @@ object Analytics {
         r6(col("top").cast("double") / col("sx")).as("top10_share"))
     }),
 
+    // ---- exact Shapley-value attribution ----------------------------------
+    // The game-theoretic credit split (Shapley 1953; Zhao et al. 2018 for
+    // marketing) next to q_attribution's linear/last-touch heuristics —
+    // the ONLY attribution satisfying efficiency + symmetry + dummy. With
+    // 5 channels the coalition space is 32 masks, so the EXACT value is
+    // computable: converting journeys reduce to a bounded channel-SET
+    // census (one journey-window pass — the q_attribution journey
+    // algebra), v(T) = conversions covered by T via a 32×32 subset join,
+    // and φ_c·120 = Σ_T |T|!(4−|T|)!·[v(T∪c) − v(T)] is EXACT INTEGER
+    // arithmetic (5! = 120 clears every denominator) until one final
+    // division. Efficiency Σφ = v(full) is exact by construction and
+    // spec-gated. Scale shape: the corpus collapses to ≤32 census rows
+    // in one shuffle; everything after is literal-sized broadcast joins.
+    "q_shapley_attribution" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val isTouch = col("event_type").isin("view", "click")
+      val isPurchase = col("event_type") === "purchase"
+      val bitOf = (c: Column) =>
+        when(c === 0L, 1L).when(c === 1L, 2L).when(c === 2L, 4L)
+          .when(c === 3L, 8L).otherwise(16L)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(5))
+            .as("ch"))
+        .withColumn("journey", coalesce(sum(isPurchase.cast("long"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wj = Window.partitionBy("user_id", "journey")
+      val jmask = ev
+        .withColumn("has_conv", max(isPurchase.cast("long")).over(wj))
+        .where(col("has_conv") === 1L && isTouch)
+        .groupBy(col("user_id"), col("journey"))
+        .agg(sum_distinct(bitOf(col("ch"))).as("mask"))
+      val census = jmask.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_conv"))
+      val coal = s.range(32).select(col("id").as("tmask"))
+      val v = coal
+        .join(broadcast(census),
+          census("mask").bitwiseAND(col("tmask")) === census("mask"), "left")
+        .groupBy(col("tmask"))
+        .agg(coalesce(sum(col("n_conv")), lit(0L)).as("v"))
+      val popcnt = Seq(1L, 2L, 4L, 8L, 16L)
+        .map(b => when(col("tmask").bitwiseAND(lit(b)) =!= 0L, 1L)
+          .otherwise(0L)).reduce(_ + _)
+      val w120 = when(popcnt === 0L, 24L).when(popcnt === 1L, 6L)
+        .when(popcnt === 2L, 4L).when(popcnt === 3L, 6L).otherwise(24L)
+      val pairs = coal.crossJoin(s.range(5).select(col("id").as("ch")))
+        .where(col("tmask").bitwiseAND(bitOf(col("ch"))) === 0L)
+        .withColumn("w120", w120)
+        .withColumn("inmask", col("tmask") + bitOf(col("ch")))
+      val phi = pairs
+        .join(broadcast(v.select(col("tmask").as("inmask"),
+          col("v").as("v_in"))), Seq("inmask"))
+        .join(broadcast(v), Seq("tmask"))
+        .groupBy(col("ch"))
+        .agg(sum(col("w120") * (col("v_in") - col("v"))).as("phi120"))
+      val total = v.where(col("tmask") === 31L)
+        .select(col("v").as("total_conv"))
+      phi.crossJoin(broadcast(total))
+        .select(concat(lit("c"), col("ch")).as("channel"),
+          col("phi120"),
+          r6(col("phi120").cast("double") / lit(120.0)).as("phi"),
+          when(col("total_conv") > 0L,
+            r6(col("phi120").cast("double") / lit(120.0)
+              / col("total_conv").cast("double"))).as("share"),
+          col("total_conv"))
+        .orderBy("channel")
+    }),
+
     // ---- Theil inequality index with nation decomposition -----------------
     // The information-theoretic inequality measure (Theil 1967) next to
     // q_gini's Lorenz summary — chosen for the property Gini lacks:
@@ -1236,6 +1304,77 @@ object Analytics {
         |FROM j2
         |WHERE event_type IN ('view', 'click') AND conv_value IS NOT NULL
         |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // identical journey algebra, set census, subset join, and the exact
+    // phi*120 integer sum — one division at the very end
+    "q_shapley_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS ch,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS journey
+        |  FROM events
+        |), j1 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id, journey) AS has_conv
+        |  FROM tagged
+        |), jm AS (
+        |  SELECT user_id, journey,
+        |    CAST(SUM(DISTINCT CASE WHEN ch = 0 THEN 1 WHEN ch = 1 THEN 2
+        |      WHEN ch = 2 THEN 4 WHEN ch = 3 THEN 8 ELSE 16 END) AS BIGINT)
+        |      AS mask
+        |  FROM j1
+        |  WHERE has_conv = 1 AND event_type IN ('view', 'click')
+        |  GROUP BY 1, 2
+        |), census AS (
+        |  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_conv FROM jm GROUP BY 1
+        |), coal AS (
+        |  SELECT CAST(t.i AS BIGINT) AS tmask FROM range(0, 32) t(i)
+        |), v AS (
+        |  SELECT tmask, CAST(COALESCE(SUM(n_conv), 0) AS BIGINT) AS v
+        |  FROM coal LEFT JOIN census ON (census.mask & coal.tmask)
+        |    = census.mask
+        |  GROUP BY tmask
+        |), pairs AS (
+        |  SELECT c.tmask, CAST(h.i AS BIGINT) AS ch,
+        |    CAST(CASE WHEN h.i = 0 THEN 1 WHEN h.i = 1 THEN 2
+        |      WHEN h.i = 2 THEN 4 WHEN h.i = 3 THEN 8 ELSE 16 END
+        |      AS BIGINT) AS bitv
+        |  FROM coal c CROSS JOIN range(0, 5) h(i)
+        |  WHERE (c.tmask & CAST(CASE WHEN h.i = 0 THEN 1 WHEN h.i = 1 THEN 2
+        |    WHEN h.i = 2 THEN 4 WHEN h.i = 3 THEN 8 ELSE 16 END AS BIGINT))
+        |    = 0
+        |), wp AS (
+        |  SELECT tmask, ch, bitv,
+        |    CASE WHEN (tmask & 1) <> 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN (tmask & 2) <> 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN (tmask & 4) <> 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN (tmask & 8) <> 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN (tmask & 16) <> 0 THEN 1 ELSE 0 END AS pc
+        |  FROM pairs
+        |), phi AS (
+        |  SELECT wp.ch,
+        |    CAST(SUM((CASE WHEN pc = 0 THEN 24 WHEN pc = 1 THEN 6
+        |        WHEN pc = 2 THEN 4 WHEN pc = 3 THEN 6 ELSE 24 END)
+        |      * (vi.v - vo.v)) AS BIGINT) AS phi120
+        |  FROM wp
+        |  JOIN v vi ON vi.tmask = wp.tmask + wp.bitv
+        |  JOIN v vo ON vo.tmask = wp.tmask
+        |  GROUP BY wp.ch
+        |), total AS (
+        |  SELECT v AS total_conv FROM v WHERE tmask = 31
+        |)
+        |SELECT 'c' || CAST(ch AS VARCHAR) AS channel, phi120,
+        |  FLOOR(CAST(phi120 AS DOUBLE) / 120.0 * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS phi,
+        |  CASE WHEN total_conv > 0
+        |    THEN FLOOR(CAST(phi120 AS DOUBLE) / 120.0
+        |      / CAST(total_conv AS DOUBLE) * 1000000.0 + 0.500001)
+        |      / 1000000.0 END AS share,
+        |  total_conv
+        |FROM phi CROSS JOIN total ORDER BY channel""".stripMargin,
 
     "q_feature_scale" ->
       """WITH feats AS (

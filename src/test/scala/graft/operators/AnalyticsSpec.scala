@@ -772,6 +772,50 @@ class AnalyticsSpec extends SparkSpec {
       "partition-less Window in the QN plan")
   }
 
+  // ---- q_shapley_attribution ----------------------------------------------
+
+  test("Shapley attribution: closed-form two-journey game, dummy and efficiency") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shap").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // user 1: {c0} -> purchase; user 2: {c0, c1} -> purchase;
+    // user 3: touches but never converts; user 4: purchase with no touches
+    Seq(
+      (1L, ts(1), 1L, "view", 0.0, """{"k": 0}"""),
+      (2L, ts(2), 1L, "purchase", 50.0, """{"k": 0}"""),
+      (3L, ts(1), 2L, "view", 0.0, """{"k": 0}"""),
+      (4L, ts(2), 2L, "click", 0.0, """{"k": 1}"""),
+      (5L, ts(3), 2L, "purchase", 80.0, """{"k": 0}"""),
+      (6L, ts(1), 3L, "view", 0.0, """{"k": 2}"""),
+      (7L, ts(1), 4L, "purchase", 10.0, """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_shapley_attribution")(spark, dir).collect()
+    assert(out.length === 5)
+    val phi = out.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // {c0}: phi_c0 += 1; {c0,c1}: 0.5 each. Exact rationals on the /120 grid.
+    assert(phi("c0") === 1.5 && phi("c1") === 0.5,
+      s"closed-form Shapley: $phi")
+    // dummy: untouched-in-converting-journey channels get exactly 0
+    assert(phi("c2") === 0.0 && phi("c3") === 0.0 && phi("c4") === 0.0)
+    // efficiency: total covers only TOUCHED conversions (user 4 excluded)
+    assert(out.head.getLong(4) === 2L, s"total_conv: ${out.toSeq}")
+    assert(out.map(_.getLong(1)).sum === 120L * 2L,
+      "sum of phi*120 must equal 120 * v(full) exactly")
+  }
+
+  test("Shapley attribution on real data: exact efficiency and bounded shares") {
+    val out = run("q_shapley_attribution").collect()
+    assert(out.length === 5)
+    val total = out.head.getLong(4)
+    assert(out.map(_.getLong(1)).sum === 120L * total,
+      "efficiency must hold exactly in phi*120 integers")
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"monotone game: nonneg phi: $r")
+      if (total > 0) assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   // ---- q_theil_index ------------------------------------------------------
 
   private def theilFixture(spend: Seq[(Long, Int, Double)]): String = {
