@@ -40,6 +40,19 @@ object Timeseries {
     * the training window that sizes the MASE denominator. */
   val BacktestDays = 28
 
+  /** q_periodogram probe periods (days). */
+  val Periods = Seq(7, 30, 91)
+
+  /** The q_periodogram trig tables: cos/sin of the p fixed phases 2πk/p,
+    * rounded half-up to the 1e-6 grid ONCE here in Scala and embedded as
+    * the same integer literals in the Spark plan AND the oracle SQL — the
+    * engines never evaluate trig at all, so libm-vs-StrictMath ulp
+    * differences cannot exist by construction. */
+  def cosMicro(k: Int, p: Int): Long =
+    math.floor(math.cos(2.0 * math.Pi * k / p) * 1e6 + 0.5).toLong
+  def sinMicro(k: Int, p: Int): Long =
+    math.floor(math.sin(2.0 * math.Pi * k / p) * 1e6 + 0.5).toLong
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- EWMA trend over the daily revenue series -------------------------
@@ -1146,6 +1159,58 @@ object Timeseries {
           .otherwise("none").as("serial_corr"))
     }),
 
+    // ---- fixed-frequency periodogram (r11) --------------------------------
+    // The frequency-domain seasonality readout behind q_seasonal_strength's
+    // time-domain ratio: the DFT power of daily revenue at the three
+    // calendar periods that matter (7 / 30 / 91 days), reported as the
+    // harmonic's variance fraction 2·|DFT|²/(n·SS) and its amplitude.
+    // Cross-engine trig is avoided ENTIRELY: cos/sin of the p fixed
+    // phases are computed ONCE in Scala on the 1e-6 grid and embedded as
+    // the SAME literal tables in the Spark plan and the oracle SQL —
+    // both engines only ever multiply exact integers (cents × micro-trig,
+    // decimal-38/HUGEINT sums), and the final dozen doubles run in
+    // literal order. Shape: one shuffle to the daily frame, one global
+    // aggregate carrying all 12 moment sums, three output rows.
+    "q_periodogram" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("x"))
+        .withColumn("tt",
+          datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+      def dd(c: Column): Column = c.cast("decimal(38,0)")
+      val aggCols = Seq(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(dd(col("x")) * col("x")).as("sx2")) ++
+        Periods.flatMap { p =>
+          val idx = (pmod(col("tt"), lit(p.toLong)) + lit(1L)).cast("int")
+          val ct = element_at(
+            array((0 until p).map(k => lit(cosMicro(k, p))): _*), idx)
+          val st = element_at(
+            array((0 until p).map(k => lit(sinMicro(k, p))): _*), idx)
+          Seq(sum(dd(col("x")) * ct).as(s"sxc$p"),
+            sum(dd(col("x")) * st).as(s"sxs$p"),
+            sum(ct).as(s"sc$p"), sum(st).as(s"ss$p"))
+        }
+      val g = daily.agg(aggCols.head, aggCols.tail: _*)
+      def d(c: Column): Column = c.cast("double")
+      val nD = d(col("n")); val mu = d(col("sx")) / nD
+      val varsum = d(col("sx2")) - d(col("sx")) * mu
+      val rows = Periods.map { p =>
+        val cC = (d(col(s"sxc$p")) - mu * d(col(s"sc$p"))) / lit(1000000.0)
+        val sS = (d(col(s"sxs$p")) - mu * d(col(s"ss$p"))) / lit(1000000.0)
+        val pw = cC * cC + sS * sS
+        struct(lit(p.toLong).as("period"), col("n").as("n_days"),
+          r6(when(varsum > 0.0, pw * lit(2.0) / nD / varsum)).as("var_frac"),
+          r2(when(varsum > 0.0, sqrt(pw) * lit(2.0) / nD / lit(100.0)))
+            .as("amp_dollars"))
+      }
+      g.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.period"), col("r.n_days"), col("r.var_frac"),
+          col("r.amp_dollars"))
+        .orderBy("period")
+    }),
+
     // ---- rolling-window z-score anomaly days (r10) ------------------------
     // The monitoring workhorse q_changepoint (single global shift) and
     // q_page_hinkley (sequential drift) both assume ONE regime change;
@@ -1535,9 +1600,77 @@ object Timeseries {
        |       ELSE 'none' END AS serial_corr
        |FROM fin""".stripMargin
 
+  /** Mirrors q_periodogram: the SAME Scala-computed micro-trig literal
+    * tables (no engine trig anywhere), identical integer moments, and the
+    * identical literal-order final doubles per period row.
+    */
+  private def periodogramOracle: String = {
+    def list(f: (Int, Int) => Long, p: Int): String =
+      (0 until p).map(k => f(k, p)).mkString("list_value(", ", ", ")")
+    val moments = Periods.map { p =>
+      s"""    SUM(CAST(x AS HUGEINT) * list_extract(${list(cosMicro, p)},
+         |      CAST(tt % $p AS INTEGER) + 1)) AS sxc$p,
+         |    SUM(CAST(x AS HUGEINT) * list_extract(${list(sinMicro, p)},
+         |      CAST(tt % $p AS INTEGER) + 1)) AS sxs$p,
+         |    CAST(SUM(list_extract(${list(cosMicro, p)},
+         |      CAST(tt % $p AS INTEGER) + 1)) AS BIGINT) AS sc$p,
+         |    CAST(SUM(list_extract(${list(sinMicro, p)},
+         |      CAST(tt % $p AS INTEGER) + 1)) AS BIGINT) AS ss$p""".stripMargin
+    }.mkString(",\n")
+    val rows = Periods.map { p =>
+      s"""  SELECT CAST($p AS BIGINT) AS period, n AS n_days,
+         |    CASE WHEN varsum > 0.0 THEN
+         |      FLOOR(((CAST(sxc$p AS DOUBLE) - mu * CAST(sc$p AS DOUBLE))
+         |          / 1000000.0 * ((CAST(sxc$p AS DOUBLE)
+         |          - mu * CAST(sc$p AS DOUBLE)) / 1000000.0)
+         |        + (CAST(sxs$p AS DOUBLE) - mu * CAST(ss$p AS DOUBLE))
+         |          / 1000000.0 * ((CAST(sxs$p AS DOUBLE)
+         |          - mu * CAST(ss$p AS DOUBLE)) / 1000000.0))
+         |        * 2.0 / CAST(n AS DOUBLE) / varsum
+         |        * 1000000.0 + 0.500001) / 1000000.0 END AS var_frac,
+         |    CASE WHEN varsum > 0.0 THEN
+         |      FLOOR(sqrt((CAST(sxc$p AS DOUBLE) - mu * CAST(sc$p AS DOUBLE))
+         |          / 1000000.0 * ((CAST(sxc$p AS DOUBLE)
+         |          - mu * CAST(sc$p AS DOUBLE)) / 1000000.0)
+         |        + (CAST(sxs$p AS DOUBLE) - mu * CAST(ss$p AS DOUBLE))
+         |          / 1000000.0 * ((CAST(sxs$p AS DOUBLE)
+         |          - mu * CAST(ss$p AS DOUBLE)) / 1000000.0))
+         |        * 2.0 / CAST(n AS DOUBLE) / 100.0
+         |        * 100.0 + 0.500001) / 100.0 END AS amp_dollars
+         |  FROM f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+       |      AS BIGINT) AS x
+       |  FROM orders GROUP BY 1
+       |), dd AS (
+       |  SELECT x, CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT)
+       |    AS tt
+       |  FROM daily
+       |), g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sx2,
+       |$moments
+       |  FROM dd
+       |), f AS (
+       |  SELECT *, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+       |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS varsum
+       |  FROM g
+       |)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY period""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q_acf" -> acfOracle,
+
+    // Scala-generated shared micro-trig literals, exact integer moments,
+    // identical literal-order finals
+    "q_periodogram" -> periodogramOracle,
 
     // exact integer OLS moments → identical a/b doubles, unit-quantized
     // squared residual terms, den > 0 both-engines-abstain guard

@@ -518,6 +518,49 @@ class IncrementalSpec extends SparkSpec {
       s"exact 2-point fit has zero residual mass - must abstain: $r")
   }
 
+  // ---- q_periodogram ---------------------------------------------------------
+
+  test("periodogram: a pure weekly cosine puts ~all variance at period 7") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgram").toString
+    // 140 days (20 full weeks) of x_t = 1000 + 500*cos(2*pi*t/7) dollars:
+    // over full periods the p=7 harmonic carries the variance exactly
+    // (up to the integer-dollar rounding of the fixture itself)
+    val t0 = java.time.LocalDate.of(1992, 1, 1) // tt = 0 at the anchor
+    (0 until 140).map { i =>
+      (java.sql.Timestamp.valueOf(t0.plusDays(i.toLong).atStartOfDay()),
+        1000.0 + math.round(500.0 * math.cos(2.0 * math.Pi * i / 7)).toDouble)
+    }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_periodogram")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(7L, 30L, 91L))
+    val byP = out.map(r => r.getLong(0) -> r).toMap
+    assert(byP(7L).getDouble(2) > 0.98,
+      s"weekly harmonic must carry the variance: ${byP(7L)}")
+    assert(byP(7L).getDouble(2) > 10.0 * byP(30L).getDouble(2),
+      "period 7 dominates period 30")
+    assert(math.abs(byP(7L).getDouble(3) - 500.0) < 5.0,
+      s"amplitude recovers the planted 500: ${byP(7L)}")
+  }
+
+  test("periodogram abstains on a constant series and emits 3 bounded rows on real data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgram0").toString
+    (0 until 50).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 100.0)
+    }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+    val z = SparkEntry.queries("q_periodogram")(spark, dir).collect()
+    assert(z.length === 3 && z.forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      s"zero variance must abstain: ${z.toSeq}")
+    val real = run("q_periodogram").collect()
+    assert(real.length === 3)
+    real.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0 + 1e-9,
+        s"variance fraction bounded: $r")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("q_durbin_watson plan: broadcast-only, bounded window over the daily frame") {
     val p = plan("q_durbin_watson")
     assert(!p.contains("SortMergeJoin"), s"moment row must broadcast:\n$p")
