@@ -2310,6 +2310,55 @@ object Stats {
         .orderBy("prio")
     }),
 
+    // ---- beta-binomial EB shrinkage for rates (r11) -----------------------
+    // The RATE companion to q_eb_shrinkage's means (Robinson's
+    // empirical-Bayes batting-average construction): fit a Beta(α, β)
+    // prior to the per-customer high-priority-order rates by method of
+    // moments, then shrink every customer's raw k/n toward it as
+    // (k+α)/(n+α+β) — the ranking that stops a 1-for-1 customer from
+    // outranking a 90-for-100 one. The p-moments are micro-quantized
+    // (1e-6 / 1e-12 grids) into exact integer sums; α/β and the shrunk
+    // rates are literal-order doubles of those exact moments; the MoM
+    // collapse cases (zero variance, μ(1−μ) ≤ v) abstain with NULLs on
+    // both engines. Customers with n < 5 are excluded from BOTH the fit
+    // and the ranking (the rate-noise bound, stated in the contract).
+    // Shape: one customer-key shuffle, one broadcast moment row back,
+    // top-10 via TakeOrdered on the r6-pinned shrunk rate.
+    "q_beta_binomial" -> ((s, dir) => {
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(isHigh.cast("long")).as("k"))
+        .where(col("n") >= 5)
+      def d(c: Column): Column = c.cast("double")
+      val p = d(col("k")) / d(col("n"))
+      val terms = cust.select(col("o_custkey"), col("n"), col("k"),
+        floor(p * lit(1000000.0) + lit(0.500001)).cast("long").as("pu"),
+        floor(p * p * lit(1000000000000.0) + lit(0.500001))
+          .cast("decimal(38,0)").as("pu2"))
+      val m0 = terms.agg(count(lit(1)).as("m"),
+        sum(col("pu")).as("spu"), sum(col("pu2")).as("spu2"))
+      val mD = d(col("m"))
+      val mu = d(col("spu")) / lit(1000000.0) / mD
+      val v = d(col("spu2")) / lit(1000000000000.0) / mD - mu * mu
+      val common = when(v > 0.0 && mu > 0.0 && mu < 1.0,
+        mu * (lit(1.0) - mu) / v - lit(1.0))
+      val mom = m0.select(col("m"),
+        when(common > 0.0, mu * common).as("alpha"),
+        when(common > 0.0, (lit(1.0) - mu) * common).as("beta"))
+      val shrunk = (d(col("k")) + col("alpha")) /
+        (d(col("n")) + col("alpha") + col("beta"))
+      terms.crossJoin(broadcast(mom))
+        .withColumn("shrunk_r", r6(shrunk))
+        .orderBy(col("shrunk_r").desc, col("o_custkey"))
+        .limit(10)
+        .select(col("o_custkey").as("custkey"), col("n"), col("k"),
+          r6(d(col("k")) / d(col("n"))).as("raw_rate"),
+          col("shrunk_r").as("shrunk_rate"),
+          r6(col("alpha")).as("alpha"), r6(col("beta")).as("beta"))
+        .orderBy(col("shrunk_rate").desc, col("custkey"))
+    }),
+
     // ---- Kruskal–Wallis rank ANOVA by weekday (r11) -----------------------
     // "Does the daily-revenue DISTRIBUTION differ by day of week?" without
     // q_anova's normality assumption (Kruskal & Wallis 1952): H =
@@ -4787,6 +4836,58 @@ object Stats {
         |  FLOOR(tau2 / 10000.0 * 1000000.0 + 0.500001) / 1000000.0
         |    AS tau2_dollars2
         |FROM f ORDER BY prio""".stripMargin,
+
+    // identical micro-quantized p-moments, the same staged common/alpha/
+    // beta doubles, NULLS LAST made explicit to mirror Spark's desc
+    "q_beta_binomial" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM orders GROUP BY 1 HAVING COUNT(*) >= 5
+        |), terms AS (
+        |  SELECT o_custkey, n, k,
+        |    CAST(FLOOR(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0
+        |      + 0.500001) AS BIGINT) AS pu,
+        |    CAST(FLOOR((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000000.0
+        |      + 0.500001) AS HUGEINT) AS pu2
+        |  FROM cust
+        |), m0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(pu) AS BIGINT)
+        |    AS spu, CAST(SUM(pu2) AS HUGEINT) AS spu2
+        |  FROM terms
+        |), mom0 AS (
+        |  SELECT m, CAST(spu AS DOUBLE) / 1000000.0 / CAST(m AS DOUBLE)
+        |      AS mu,
+        |    CAST(spu2 AS DOUBLE) / 1000000000000.0 / CAST(m AS DOUBLE)
+        |      - (CAST(spu AS DOUBLE) / 1000000.0 / CAST(m AS DOUBLE))
+        |      * (CAST(spu AS DOUBLE) / 1000000.0 / CAST(m AS DOUBLE)) AS v
+        |  FROM m0
+        |), mom1 AS (
+        |  SELECT m, mu,
+        |    CASE WHEN v > 0.0 AND mu > 0.0 AND mu < 1.0
+        |      THEN mu * (1.0 - mu) / v - 1.0 END AS common
+        |  FROM mom0
+        |), mom AS (
+        |  SELECT m,
+        |    CASE WHEN common > 0.0 THEN mu * common END AS alpha,
+        |    CASE WHEN common > 0.0 THEN (1.0 - mu) * common END AS beta
+        |  FROM mom1
+        |), sel AS (
+        |  SELECT t.o_custkey AS custkey, t.n, t.k,
+        |    FLOOR(CAST(t.k AS DOUBLE) / CAST(t.n AS DOUBLE) * 1000000.0
+        |      + 0.500001) / 1000000.0 AS raw_rate,
+        |    FLOOR((CAST(t.k AS DOUBLE) + alpha)
+        |      / (CAST(t.n AS DOUBLE) + alpha + beta) * 1000000.0
+        |      + 0.500001) / 1000000.0 AS shrunk_rate,
+        |    FLOOR(alpha * 1000000.0 + 0.500001) / 1000000.0 AS alpha,
+        |    FLOOR(beta * 1000000.0 + 0.500001) / 1000000.0 AS beta
+        |  FROM terms t CROSS JOIN mom
+        |  ORDER BY shrunk_rate DESC NULLS LAST, custkey LIMIT 10
+        |)
+        |SELECT * FROM sel
+        |ORDER BY shrunk_rate DESC NULLS LAST, custkey""".stripMargin,
 
     // identical midranks off the value-grouped prefix sum, micro-quantized
     // per-group terms, the same engine-neutral weekday and χ² line

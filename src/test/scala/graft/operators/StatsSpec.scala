@@ -1821,6 +1821,58 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(4) === -1.0, s"periodic user is maximally regular: $r")
   }
 
+  // ---- q_beta_binomial -------------------------------------------------------
+
+  test("beta-binomial: the 5-for-5 customer stops outranking the 90-for-100 one") {
+    import spark.implicits._
+    def orders(ck: Long, n: Int, k: Int, base: Int) =
+      (0 until n).map(i => (ck * 1000 + i,
+        java.sql.Timestamp.valueOf("2020-06-01 00:00:00"), 100.0, ck,
+        if (i < k) "1-URGENT" else "3-MEDIUM"))
+    // population: 50 customers, 10 orders each, rates spread over
+    // {0.2 .. 0.8} -> a real Beta prior; plus the two contenders
+    val rows = (1L to 50L).flatMap(ck =>
+      orders(ck, 10, 2 + (ck % 7).toInt, 0)) ++
+      orders(900L, 5, 5, 0) ++ orders(901L, 100, 90, 0)
+    val df = rows.toDF("o_orderkey", "o_orderdate", "o_totalprice",
+      "o_custkey", "o_orderpriority")
+    val dir = fixtureDir("orders" -> df)
+    val out = SparkEntry.queries("q_beta_binomial")(spark, dir).collect()
+    assert(out.length === 10)
+    val byCk = out.map(r => r.getLong(0) -> r).toMap
+    assert(byCk.contains(900L) && byCk.contains(901L),
+      s"both contenders rank in the top 10: ${out.toSeq}")
+    val (a, b) = (byCk(900L), byCk(901L))
+    assert(a.getDouble(3) === 1.0 && b.getDouble(3) === 0.9, "raw rates")
+    assert(b.getDouble(4) > a.getDouble(4),
+      s"evidence must beat a perfect small sample: ${a} vs ${b}")
+    // shrinkage direction: every shrunk rate sits between its raw rate
+    // and the prior mean alpha/(alpha+beta)
+    val mu = a.getDouble(5) / (a.getDouble(5) + a.getDouble(6))
+    out.foreach { r =>
+      val (raw, sh) = (r.getDouble(3), r.getDouble(4))
+      assert((sh >= mu - 1e-6 && sh <= raw + 1e-6) ||
+        (sh <= mu + 1e-6 && sh >= raw - 1e-6),
+        s"shrunk must sit between raw and the prior mean: $r mu=$mu")
+    }
+  }
+
+  test("beta-binomial abstains when every rate is identical (zero variance)") {
+    import spark.implicits._
+    val rows = (1L to 20L).flatMap(ck => (0 until 10).map(i =>
+      (ck * 1000 + i, java.sql.Timestamp.valueOf("2020-06-01 00:00:00"),
+        100.0, ck, if (i < 5) "1-URGENT" else "3-MEDIUM")))
+    val df = rows.toDF("o_orderkey", "o_orderdate", "o_totalprice",
+      "o_custkey", "o_orderpriority")
+    val out = SparkEntry.queries("q_beta_binomial")(
+      spark, fixtureDir("orders" -> df)).collect()
+    assert(out.length === 10)
+    assert(out.forall(r => r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)),
+      s"MoM collapse must abstain: ${out.toSeq}")
+    assert(out.map(_.getLong(0)).toSeq === (1L to 10L).toSeq,
+      "NULLS LAST + custkey tie-break")
+  }
+
   // ---- q_dcor ---------------------------------------------------------------
 
   test("dcor: an exactly linear x-y relation scores 1, a constant series abstains") {
