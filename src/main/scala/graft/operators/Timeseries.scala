@@ -1159,6 +1159,64 @@ object Timeseries {
           .otherwise("none").as("serial_corr"))
     }),
 
+    // ---- Granger causality, 1 lag (r11) -----------------------------------
+    // The predictive-causality upgrade of q_ccf's symmetric correlation
+    // (Granger 1969): does yesterday's ORDER COUNT improve today's
+    // REVENUE forecast beyond yesterday's revenue itself? Restricted
+    // y_t ~ y_{t−1} vs unrestricted y_t ~ y_{t−1} + x_{t−1}, F = (RSS_r −
+    // RSS_u)(n−3)/RSS_u against the asymptotic F(1,∞) = χ²₁ cut (literal
+    // 3.8414…, the q_dickey_fuller simplified-critical-value stance).
+    // Every moment is an exact integer on the calendar-bounded daily
+    // frame (products in decimal-38/HUGEINT); the centered moments,
+    // Cramer solve, and RSS algebra are literal-order doubles of those
+    // exact integers — parity structural. Degenerate frames (constant
+    // regressors, det ≤ 0, RSS_u ≤ 0) abstain with NULLs identically.
+    // "Previous day" = previous OBSERVED day (row lag on the date-ordered
+    // calendar frame), stated contract.
+    "q_granger" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("y"), count(lit(1)).as("x"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val lagged = daily
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("x1", lag(col("x"), 1).over(w))
+        .where(col("y1").isNotNull)
+      def dd(c: Column): Column = c.cast("decimal(38,0)")
+      val m = lagged.agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"), sum(col("y1")).as("sy1"),
+        sum(col("x1")).as("sx1"),
+        sum(dd(col("y")) * col("y")).as("syy"),
+        sum(dd(col("y")) * col("y1")).as("syy1"),
+        sum(dd(col("y")) * col("x1")).as("syx1"),
+        sum(dd(col("y1")) * col("y1")).as("sy1y1"),
+        sum(dd(col("y1")) * col("x1")).as("sy1x1"),
+        sum(dd(col("x1")) * col("x1")).as("sx1x1"))
+      def d(c: Column): Column = c.cast("double")
+      val nD = d(col("n"))
+      val c11 = d(col("sy1y1")) - d(col("sy1")) * d(col("sy1")) / nD
+      val c12 = d(col("sy1x1")) - d(col("sy1")) * d(col("sx1")) / nD
+      val c22 = d(col("sx1x1")) - d(col("sx1")) * d(col("sx1")) / nD
+      val c1y = d(col("syy1")) - d(col("sy1")) * d(col("sy")) / nD
+      val c2y = d(col("syx1")) - d(col("sx1")) * d(col("sy")) / nD
+      val cyy = d(col("syy")) - d(col("sy")) * d(col("sy")) / nD
+      val det = c11 * c22 - c12 * c12
+      val bR = when(c11 > 0.0, c1y / c11)
+      val rssR = cyy - bR * c1y
+      val bU = when(det > 0.0, (c1y * c22 - c2y * c12) / det)
+      val cU = when(det > 0.0, (c2y * c11 - c1y * c12) / det)
+      val rssU = cyy - bU * c1y - cU * c2y
+      val f = when(rssU > 0.0 && nD > 3.0,
+        (rssR - rssU) * (nD - 3.0) / rssU)
+      m.select(col("n").as("n_days"),
+        r6(bU).as("b_ylag"), r6(cU).as("c_xlag"),
+        r6(f).as("f_stat"),
+        coalesce((r6(f) > 3.8414588206941245).cast("long"), lit(0L))
+          .as("x_causes_y_95"))
+    }),
+
     // ---- fixed-frequency periodogram (r11) --------------------------------
     // The frequency-domain seasonality readout behind q_seasonal_strength's
     // time-domain ratio: the DFT power of daily revenue at the three
@@ -1675,6 +1733,79 @@ object Timeseries {
     // exact integer OLS moments → identical a/b doubles, unit-quantized
     // squared residual terms, den > 0 both-engines-abstain guard
     "q_durbin_watson" -> durbinWatsonOracle,
+
+    // identical exact integer moments, staged centered moments, Cramer
+    // solve and RSS algebra in the same literal order, same abstentions
+    "q_granger" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1
+        |), lagged AS (
+        |  SELECT y,
+        |    LAG(y, 1) OVER (ORDER BY day) AS y1,
+        |    LAG(x, 1) OVER (ORDER BY day) AS x1
+        |  FROM daily
+        |), lg AS (
+        |  SELECT * FROM lagged WHERE y1 IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y1) AS BIGINT) AS sy1,
+        |    CAST(SUM(x1) AS BIGINT) AS sx1,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(y AS HUGEINT) * y1) AS syy1,
+        |    SUM(CAST(y AS HUGEINT) * x1) AS syx1,
+        |    SUM(CAST(y1 AS HUGEINT) * y1) AS sy1y1,
+        |    SUM(CAST(y1 AS HUGEINT) * x1) AS sy1x1,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS sx1x1
+        |  FROM lg
+        |), cm AS (
+        |  SELECT n,
+        |    CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c11,
+        |    CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c12,
+        |    CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c22,
+        |    CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c1y,
+        |    CAST(syx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS c2y,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS cyy
+        |  FROM m
+        |), sv AS (
+        |  SELECT n, c1y, c2y, cyy,
+        |    c11 * c22 - c12 * c12 AS det,
+        |    CASE WHEN c11 > 0.0 THEN c1y / c11 END AS br,
+        |    c11, c12, c22
+        |  FROM cm
+        |), sv2 AS (
+        |  SELECT n, c1y, c2y, cyy,
+        |    cyy - br * c1y AS rssr,
+        |    CASE WHEN det > 0.0 THEN (c1y * c22 - c2y * c12) / det END AS bu,
+        |    CASE WHEN det > 0.0 THEN (c2y * c11 - c1y * c12) / det END AS cu
+        |  FROM sv
+        |), sv3 AS (
+        |  SELECT n, bu, cu, rssr,
+        |    cyy - bu * c1y - cu * c2y AS rssu
+        |  FROM sv2
+        |), fin AS (
+        |  SELECT n, bu, cu,
+        |    CASE WHEN rssu > 0.0 AND CAST(n AS DOUBLE) > 3.0
+        |      THEN (rssr - rssu) * (CAST(n AS DOUBLE) - 3.0) / rssu
+        |      END AS f
+        |  FROM sv3
+        |)
+        |SELECT n AS n_days,
+        |  FLOOR(bu * 1000000.0 + 0.500001) / 1000000.0 AS b_ylag,
+        |  FLOOR(cu * 1000000.0 + 0.500001) / 1000000.0 AS c_xlag,
+        |  FLOOR(f * 1000000.0 + 0.500001) / 1000000.0 AS f_stat,
+        |  COALESCE(CAST(FLOOR(f * 1000000.0 + 0.500001) / 1000000.0
+        |    > 3.8414588206941245 AS BIGINT), 0) AS x_causes_y_95
+        |FROM fin""".stripMargin,
 
     // the acfOracle moments, ρ̂ r6-pinned before Q, literal k-order chain
     "q_ljung_box" -> ljungBoxOracle,

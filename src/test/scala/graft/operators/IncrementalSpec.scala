@@ -518,6 +518,47 @@ class IncrementalSpec extends SparkSpec {
       s"exact 2-point fit has zero residual mass - must abstain: $r")
   }
 
+  // ---- q_granger -------------------------------------------------------------
+
+  test("Granger: a planted x->y lead rejects with the planted coefficient") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_granger").toString
+    // day i carries x_i = 1 + (i%5) orders whose total is
+    // 100*x_{i-1} + (i%3) dollars: yesterday's order count determines
+    // today's revenue almost exactly, so F blows past the cut and the
+    // x-lag coefficient recovers ~10000 cents per order
+    def x(i: Int) = 1 + (i % 5)
+    val rows = (1 until 120).flatMap { i =>
+      val total = 100.0 * x(i - 1) + (i % 3)
+      (0 until x(i)).map { k =>
+        (i.toLong * 100 + k, java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong)
+            .atStartOfDay()), total / x(i))
+      }
+    }
+    rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_granger")(spark, dir).head
+    assert(r.getLong(0) === 118L)
+    assert(r.getLong(4) === 1L, s"planted lead must reject: $r")
+    assert(math.abs(r.getDouble(2) - 10000.0) < 100.0,
+      s"x-lag coefficient ~10000 cents/order: $r")
+  }
+
+  test("Granger abstains when the candidate cause never varies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_granger0").toString
+    // exactly one order per day -> x1 is constant -> c22 = 0, det = 0
+    (0 until 60).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 100.0 + (i % 7) * 10.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_granger")(spark, dir).head
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) &&
+      r.getLong(4) === 0L, s"constant x must abstain, not reject: $r")
+  }
+
   // ---- q_periodogram ---------------------------------------------------------
 
   test("periodogram: a pure weekly cosine puts ~all variance at period 7") {
