@@ -399,6 +399,105 @@ object Multimodal {
     }
   }
 
+  /** Encode one mono float32 PCM WAV (WAVE_FORMAT_IEEE_FLOAT, format tag
+    * 3) — the THIRD real audio container path (r11): the same RIFF
+    * layout as [[encodeWav]] but 32-bit IEEE-float samples, written and
+    * read by the JDK's WaveFloatFileWriter/Reader SPI. Lossless for the
+    * integer-valued sample functions the fixtures use (every integer
+    * |v| < 2²⁴ is exact in float32), so decode returns the exact sample
+    * function and the oracle recomputes the stats closed-form.
+    */
+  def encodeWavFloat(nFrames: Int, sampleRate: Float, sample: Int => Float): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 4)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames) { bb.putFloat(i * 4, sample(i)); i += 1 }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_FLOAT, sampleRate, 32, 1,
+      4, sampleRate, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic float32-WAV media table — the [[wavMediaFromDocuments]]
+    * contract with a DISTINCT closed form (n = 256 + id%512 frames at
+    * 16 kHz, sample(i) = (i·29 + id·13) mod 1601 − 800, integer-valued
+    * floats), so a float-path regression breaks only its own query.
+    */
+  def f32MediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { did =>
+        val n = (256 + did % 512).toInt
+        MediaRow(did,
+          encodeWavFloat(n, 16000f,
+            i => (((i.toLong * 29 + did * 13) % 1601) - 800).toFloat),
+          "audio/wav-f32")
+      }
+    }
+  }
+
+  /** Float32 companion of [[decodeAudio]]: REQUIRES mono 32-bit PCM_FLOAT
+    * (format tag 3) and fails loudly on anything else — the PCM16 reader
+    * and this one each own exactly their contract, so a container
+    * regression cannot silently cross paths.
+    */
+  def decodeAudioF32(row: MediaRow): AudioFeatures = {
+    val in: AudioInputStream =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(row.payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"media_id ${row.media_id}: payload is not a decodable audio container", e)
+      }
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 32 &&
+        fmt.getEncoding == AudioFormat.Encoding.PCM_FLOAT &&
+        fmt.getChannels == 1,
+        s"media_id ${row.media_id}: expected mono float32 PCM, got $fmt")
+      val channels = fmt.getChannels
+      val nFrames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      val fb = java.nio.ByteBuffer.wrap(bytes)
+        .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asFloatBuffer()
+      var sum = 0.0; var sumAbs = 0.0; var sumSq = 0.0
+      var minS = Double.MaxValue; var maxS = Double.MinValue
+      var crossings = 0L
+      var prevNonNeg = true
+      val n = fb.remaining()
+      var i = 0
+      while (i < n) {
+        val s = fb.get(i).toDouble
+        sum += s; sumAbs += math.abs(s); sumSq += s * s
+        if (s < minS) minS = s
+        if (s > maxS) maxS = s
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      val nd = math.max(n, 1).toDouble
+      AudioFeatures(row.media_id, row.mime, row.payload.length.toLong,
+        fmt.getSampleRate.toInt, channels, nFrames,
+        Array((math.sqrt(sumSq / nd)).toFloat, (sumAbs / nd).toFloat,
+          math.max(math.abs(minS), math.abs(maxS)).toFloat,
+          minS.toFloat, maxS.toFloat,
+          (crossings / nd).toFloat, (sum / nd).toFloat,
+          (nFrames / fmt.getSampleRate.toDouble).toFloat))
+    } finally in.close()
+  }
+
+  /** Float32 audio extraction — plain per-row map, see
+    * [[extractAudioFeatures]] for why no batch grouping. */
+  def extractAudioF32Features(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeAudioF32))
+  }
+
   /** STUB decode kernel for OPAQUE payloads (text blobs in the plumbing
     * tests — every real media mime has a real decoder above/below).
     * Derives stable pseudo-dimensions and an 8-float pseudo-embedding from

@@ -1505,6 +1505,25 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // REAL float32-WAV decode (r11, the THIRD audio container path):
+    // WAVE_FORMAT_IEEE_FLOAT through the same javax.sound SPI
+    // (WaveFloatFileReader); integer-valued float samples are exact, so
+    // the oracle recomputes rms/mean_abs/peak from the closed form
+    // (n = 256 + id%512 @ 16 kHz, v(i) = (i·29 + id·13) mod 1601 − 800)
+    // without seeing bytes; a non-float payload fails loudly
+    "q_multimodal_f32" -> ((s, dir) => {
+      val media = Multimodal.f32MediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractAudioF32Features(media).toDF()
+        .select(col("media_id"), col("mime"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("n_frames"),
+          r4(element_at(col("feature"), 1)).as("rms"),
+          r4(element_at(col("feature"), 2)).as("mean_abs"),
+          element_at(col("feature"), 3).cast("long").as("peak"))
+        .orderBy("media_id")
+    }),
+
     // REAL WAV decode → fixed-point linear-interp resample 8 kHz → 6 kHz
     // (src/dst = 4/3): every output sample is exact integer arithmetic
     // over the decoded PCM (Multimodal.resamplePcm), so the oracle
@@ -3843,6 +3862,26 @@ object LlmQueries {
         |)
         |SELECT doc_id AS media_id, 'audio/aiff' AS mime,
         |  CAST(11025 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  FLOOR(CAST(CAST(sqrt(SUM(v * v) / n) AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS rms,
+        |  FLOOR(CAST(CAST(SUM(abs(v)) / n AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
+        |    / 10000.0 AS mean_abs,
+        |  CAST(GREATEST(abs(MIN(v)), abs(MAX(v))) AS BIGINT) AS peak
+        |FROM smp GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+
+    // same closed-form amplitude algebra as the wav/aiff oracles, with
+    // the f32 fixture's own sample formula
+    "q_multimodal_f32" ->
+      """WITH f AS (
+        |  SELECT doc_id, 256 + doc_id % 512 AS n FROM documents
+        |), smp AS (
+        |  SELECT f.doc_id, f.n,
+        |    CAST((i.i * 29 + f.doc_id * 13) % 1601 - 800 AS DOUBLE) AS v
+        |  FROM f, LATERAL unnest(generate_series(0, f.n - 1)) AS i(i)
+        |)
+        |SELECT doc_id AS media_id, 'audio/wav-f32' AS mime,
+        |  CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
         |  CAST(n AS BIGINT) AS n_frames,
         |  FLOOR(CAST(CAST(sqrt(SUM(v * v) / n) AS REAL) AS DOUBLE) * 10000.0 + 0.500001)
         |    / 10000.0 AS rms,

@@ -131,6 +131,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real float32 WAV: IEEE-float container round-trips the exact samples") {
+    // WAVE_FORMAT_IEEE_FLOAT (format tag 3) through WaveFloatFileReader:
+    // integer-valued float samples are exact, so every stat matches the
+    // driver recount bit-for-bit
+    val samples = Array.tabulate(77)(i => ((i * 29) % 1601 - 800).toFloat)
+    val wav = Multimodal.encodeWavFloat(77, 16000f, samples(_))
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = Multimodal.decodeAudioF32(Multimodal.MediaRow(9L, wav, "audio/wav-f32"))
+    assert(f.sample_rate == 16000 && f.n_channels == 1 && f.n_frames == 77L)
+    val exp = samples.map(_.toDouble)
+    assert(f.feature(0) == math.sqrt(exp.map(v => v * v).sum / 77.0).toFloat)
+    assert(f.feature(1) == (exp.map(math.abs).sum / 77.0).toFloat)
+    assert(f.feature(2) == exp.map(math.abs).max.toFloat)
+    // a PCM16 container through the float path fails loudly (contract
+    // mismatch), as does a truncated float container
+    val pcm16 = Multimodal.encodeWav(50, 8000f, i => (i * 7).toShort)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudioF32(Multimodal.MediaRow(10L, pcm16, "audio/wav")))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudioF32(Multimodal.MediaRow(11L, wav.take(16), "audio/wav-f32")))
+    // and a float container through the PCM16 path fails loudly too
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudio(Multimodal.MediaRow(12L, wav, "audio/wav-f32")))
+  }
+
   test("resize bounds dimensions (opaque-mime fallback path)") {
     import spark.implicits._
     val docs = Seq((0L, "some media payload"), (1L, "another")).toDF("doc_id", "text")
