@@ -31,6 +31,8 @@ object Curation {
     floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
   private def r4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   /** Chunk size / stride for q_doc_chunk (tokens). 64/48 → 25% overlap,
     * the common context-window packing shape. */
@@ -558,6 +560,65 @@ object Curation {
         .orderBy("file_id")
     }),
 
+    // ---- min/max file-pruning simulation ----------------------------------
+    // The SKIP metric q_zorder's spans imply: how many parquet files does
+    // a range predicate actually prune under (a) the natural arrival
+    // layout (files = equal-width orderkey bins — the insert order) vs
+    // (b) a partkey-clustered layout (files = equal-width partkey bins —
+    // the deterministic face of a sort, the q_zorder no-sampling stance)?
+    // 16 narrow partkey range predicates are checked against each file's
+    // min/max footer stats; a file is skipped iff max < lo OR min > hi —
+    // exactly the parquet row-group pruning rule. Everything is exact
+    // integer/bin arithmetic off one broadcast bounds row; the per-file
+    // census is ≤ 2·16 rows and the predicate check a 512-row literal
+    // cross join. The headline number — clustered layout skips ~15/16 of
+    // files where natural skips ~none — is the 100 TB argument for
+    // layout-aware writes in one row pair.
+    "q_minmax_prune" -> ((s, dir) => {
+      val nFiles = 16L; val nPreds = 16
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val bounds = li.agg(min("ok").as("omn"), max("ok").as("omx"),
+        min("pk").as("pmn"), max("pk").as("pmx"))
+      def bin(c: Column, mn: Column, mx: Column): Column =
+        least(floor((c - mn).cast("double")
+          / (mx - mn + lit(1L)).cast("double") * lit(nFiles.toDouble))
+          .cast("long"), lit(nFiles - 1L))
+      val assigned = li.crossJoin(broadcast(bounds))
+        .select(col("pk"), col("pmn"), col("pmx"),
+          bin(col("ok"), col("omn"), col("omx")).as("f_nat"),
+          bin(col("pk"), col("pmn"), col("pmx")).as("f_srt"))
+      val files = assigned
+        .select(col("pk"), col("pmn"), col("pmx"),
+          explode(array(
+            struct(lit("natural").as("layout"), col("f_nat").as("f")),
+            struct(lit("clustered_pk").as("layout"), col("f_srt").as("f"))))
+            .as("lf"))
+        .groupBy(col("lf.layout").as("layout"), col("lf.f").as("f"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("mn"), max(col("pk")).as("mx"),
+          min(col("pmn")).as("pmn"), min(col("pmx")).as("pmx"))
+      val preds = s.range(nPreds).select(col("id").as("q"))
+      val checked = files.crossJoin(broadcast(preds))
+        .withColumn("span", (col("pmx") - col("pmn") + lit(1L)).cast("double"))
+        .withColumn("lo", col("pmn")
+          + floor(col("span") * col("q").cast("double") / lit(16.0))
+            .cast("long"))
+        .withColumn("hi", col("lo")
+          + floor(col("span") / lit(32.0)).cast("long"))
+        .withColumn("skipped",
+          (col("mx") < col("lo") || col("mn") > col("hi")).cast("long"))
+      checked.groupBy(col("layout"))
+        .agg(countDistinct(col("f")).as("n_files"),
+          count(lit(1)).as("n_checks"),
+          sum(col("skipped")).as("n_skipped"))
+        .select(col("layout"), col("n_files"), col("n_checks"),
+          col("n_skipped"),
+          r6(col("n_skipped").cast("double") / col("n_checks").cast("double"))
+            .as("skip_frac"))
+        .orderBy("layout")
+    }),
+
     // ---- URL canonicalization dedup ---------------------------------------
     // The first stage of every web-corpus pipeline (Common Crawl dedup
     // starts at the URL, before any content hash): canonicalize raw URLs —
@@ -969,6 +1030,50 @@ object Curation {
     // FLOOR pinned explicitly: DuckDB's double→BIGINT cast rounds where
     // Spark's truncates; the z-term tree is generated from the same loop
     // as the Spark column expression
+    // same broadcast bounds row, equal-width bins, footer-rule skip check
+    "q_minmax_prune" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), b AS (
+        |  SELECT CAST(MIN(ok) AS BIGINT) AS omn, CAST(MAX(ok) AS BIGINT)
+        |      AS omx,
+        |    CAST(MIN(pk) AS BIGINT) AS pmn, CAST(MAX(pk) AS BIGINT) AS pmx
+        |  FROM li
+        |), assigned AS (
+        |  SELECT pk, pmn, pmx,
+        |    LEAST(CAST(FLOOR(CAST(ok - omn AS DOUBLE)
+        |      / CAST(omx - omn + 1 AS DOUBLE) * 16.0) AS BIGINT), 15)
+        |      AS f_nat,
+        |    LEAST(CAST(FLOOR(CAST(pk - pmn AS DOUBLE)
+        |      / CAST(pmx - pmn + 1 AS DOUBLE) * 16.0) AS BIGINT), 15)
+        |      AS f_srt
+        |  FROM li, b
+        |), lf AS (
+        |  SELECT 'natural' AS layout, f_nat AS f, pk, pmn, pmx FROM assigned
+        |  UNION ALL
+        |  SELECT 'clustered_pk', f_srt, pk, pmn, pmx FROM assigned
+        |), files AS (
+        |  SELECT layout, f, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(MIN(pk) AS BIGINT) AS mn, CAST(MAX(pk) AS BIGINT) AS mx,
+        |    CAST(MIN(pmn) AS BIGINT) AS pmn, CAST(MIN(pmx) AS BIGINT) AS pmx
+        |  FROM lf GROUP BY 1, 2
+        |), checked AS (
+        |  SELECT layout, f,
+        |    CASE WHEN mx < pmn + CAST(FLOOR(CAST(pmx - pmn + 1 AS DOUBLE)
+        |        * CAST(q.i AS DOUBLE) / 16.0) AS BIGINT)
+        |      OR mn > pmn + CAST(FLOOR(CAST(pmx - pmn + 1 AS DOUBLE)
+        |        * CAST(q.i AS DOUBLE) / 16.0) AS BIGINT)
+        |        + CAST(FLOOR(CAST(pmx - pmn + 1 AS DOUBLE) / 32.0) AS BIGINT)
+        |      THEN 1 ELSE 0 END AS skipped
+        |  FROM files CROSS JOIN range(0, 16) q(i)
+        |)
+        |SELECT layout, CAST(COUNT(DISTINCT f) AS BIGINT) AS n_files,
+        |  CAST(COUNT(*) AS BIGINT) AS n_checks,
+        |  CAST(SUM(skipped) AS BIGINT) AS n_skipped,
+        |  FLOOR(CAST(SUM(skipped) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS skip_frac
+        |FROM checked GROUP BY layout ORDER BY layout""".stripMargin,
+
     "q_zorder" -> {
       val cells = (1L << ZBits) - 1L
       val terms = (0 until ZBits).map { i =>

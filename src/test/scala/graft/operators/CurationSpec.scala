@@ -783,4 +783,37 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(3) === 400.0 && r.getDouble(4) === 200.0)
     assert(r.getDouble(5) === 200.0 && r.getDouble(6) === 200.0)
   }
+
+  // ---- q_minmax_prune -------------------------------------------------------
+
+  test("minmax prune: clustering the predicate column is what makes files skippable") {
+    val out = run("q_minmax_prune").collect()
+    assert(out.length === 2)
+    val byLayout = out.map(r => r.getString(0) -> r).toMap
+    val (nat, cl) = (byLayout("natural"), byLayout("clustered_pk"))
+    Seq(nat, cl).foreach { r =>
+      assert(r.getLong(1) === 16L && r.getLong(2) === 256L, s"census: $r")
+    }
+    assert(cl.getDouble(4) >= 0.8,
+      s"narrow predicates on a clustered column must prune most files: $cl")
+    assert(nat.getDouble(4) <= cl.getDouble(4),
+      s"natural layout cannot out-prune the clustered one: $nat vs $cl")
+    // uncorrelated arrival order leaves every file spanning ~the whole
+    // partkey domain: essentially nothing skips
+    assert(nat.getDouble(4) < 0.2, s"natural layout should barely skip: $nat")
+  }
+
+  test("minmax prune: when arrival order IS the predicate order both layouts skip alike") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    // pk == ok: the natural (orderkey-binned) layout is already clustered
+    (0L until 1600L).map(i => (i, i, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_minmax_prune")(spark, dir).collect()
+    val byLayout = out.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(byLayout("natural") === byLayout("clustered_pk"),
+      s"identical key order must give identical pruning: $byLayout")
+    assert(byLayout("natural") >= 0.8, s"clustered arrival must prune: $byLayout")
+  }
 }
