@@ -318,6 +318,68 @@ object Graph {
   val CoreK = 6
   val CoreRounds = 6
 
+  /** q_ktruss parameters: k = 4 (every surviving edge sits in ≥ 2
+    * triangles of the surviving subgraph) and a fixed 3-round unroll —
+    * measured to reach the fixpoint on the sliced co-purchase graph at
+    * every SF, with the `converged` flag proving it in-band (the
+    * CoreRounds discipline).
+    */
+  val TrussK = 4
+  val TrussRounds = 3
+
+  /** k-truss of an undirected (u < v) edge list via fixed-round support
+    * peeling (Cohen 2008) — the EDGE-level cohesion refinement of
+    * [[kCore]]: a k-core keeps nodes with k neighbours, a k-truss keeps
+    * only edges reinforced by ≥ k−2 triangles, the standard community-
+    * backbone extractor. Per round: triangles of the SURVIVING subgraph
+    * via the [[directedByDegree]] degree-ordered wedge enumeration
+    * (wedge volume bounded by arboricity — the q_triangles scale
+    * argument, paid once per round), each triangle credits its three
+    * edges, edges below support k−2 peel. Lineage truncates per round
+    * (localCheckpoint + block release); survivor cardinality rides the
+    * checkpoint job as an observe() metric — one action per round.
+    * Returns one row: (k, n_truss_edges, n_truss_nodes, converged).
+    */
+  def kTruss(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = und.localCheckpoint()
+    var counts = List(edges.count())
+    for (_ <- 1 to rounds) {
+      val (_, dir) = directedByDegree(edges)
+      val w1 = dir.select(col("s"), col("t").as("x"), col("td").as("xd"))
+      val w2 = dir.select(col("s"), col("t").as("y"), col("td").as("yd"))
+      val wedges = w1.join(w2, Seq("s"))
+        .where(struct(col("xd"), col("x")) < struct(col("yd"), col("y")))
+      val tri = wedges.join(edges,
+        least(col("x"), col("y")) === col("u") &&
+          greatest(col("x"), col("y")) === col("v"), "left_semi")
+      val support = tri.select(explode(array(
+          struct(least(col("s"), col("x")).as("u"),
+            greatest(col("s"), col("x")).as("v")),
+          struct(least(col("s"), col("y")).as("u"),
+            greatest(col("s"), col("y")).as("v")),
+          struct(least(col("x"), col("y")).as("u"),
+            greatest(col("x"), col("y")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      val obs = Observation()
+      val next = edges.join(support, Seq("u", "v"))
+        .where(col("sup") >= k - 2).select(col("u"), col("v"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      Blocks.releaseCheckpoint(edges)
+      edges = next
+      counts ::= Observe.metric(obs, "n").getOrElse(edges.count())
+    }
+    val converged = if (counts.head == counts.tail.head) 1L else 0L
+    val nodes = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct().agg(count(lit(1)).as("n_truss_nodes"))
+    edges.agg(count(lit(1)).as("n_truss_edges"))
+      .crossJoin(broadcast(nodes))
+      .select(lit(k.toLong).as("k"), col("n_truss_edges"),
+        col("n_truss_nodes"), lit(converged).as("converged"))
+  }
+
   /** k-core of an undirected edge list via fixed-round peeling: drop
     * nodes with degree < k within the surviving subgraph, `rounds` times.
     * Per round: two left-semi joins restrict edges to survivors (edges
@@ -461,6 +523,12 @@ object Graph {
     "q_kcore" -> ((s, dir) =>
       kCore(partPairEdges(Sources.table(s, dir, "lineitem")
         .where(col("l_orderkey") % 10 === 0)), CoreK, CoreRounds)),
+
+    // 4-truss of the same slice via fixed-round support peeling — see
+    // kTruss scaladoc for the per-round wedge-volume argument
+    "q_ktruss" -> ((s, dir) =>
+      kTruss(partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)), TrussK, TrussRounds)),
 
     // top-20 nodes by local clustering coefficient on the same slice
     "q_local_cc" -> ((s, dir) =>
@@ -1030,6 +1098,7 @@ object Graph {
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> prOracle(PrIters),
+    "q_ktruss" -> trussOracle(TrussK, TrussRounds),
     "q_sssp" -> bfsOracle(BfsRounds),
     "q_closeness" -> closenessOracle(BfsRounds),
 
@@ -1557,6 +1626,50 @@ object Graph {
   /** The DuckDB oracle: the same 5 iterations UNROLLED as chained CTEs —
     * standard SQL (no vendor recursive-aggregate extension), every term
     * spelled with the same literals the Spark side uses. */
+  /** Mirrors kTruss with the rounds unrolled: per round a plain x<y<z
+    * triangle enumeration (the INDEPENDENT naive form — if the engine's
+    * degree-ordered wedges mishandle any tie, the derivations disagree),
+    * a 3-edge support census, and the ≥ k−2 filter; AS MATERIALIZED per
+    * the kcore/LPA unrolled-oracle lesson.
+    */
+  private def trussOracle(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |  WHERE a.l_partkey < b.l_partkey
+         |)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""t$r AS MATERIALIZED (
+         |  SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM e$p a JOIN e$p b ON b.u = a.v
+         |  JOIN e$p c ON c.u = a.u AND c.v = b.v
+         |), s$r AS MATERIALIZED (
+         |  SELECT u, v, COUNT(*) AS sup FROM (
+         |    SELECT x AS u, y AS v FROM t$r
+         |    UNION ALL SELECT x, z FROM t$r
+         |    UNION ALL SELECT y, z FROM t$r)
+         |  GROUP BY 1, 2
+         |), e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e$p e
+         |  JOIN s$r s ON s.u = e.u AND s.v = e.v
+         |  WHERE s.sup >= ${k - 2}
+         |)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$rounds) AS n_truss_edges,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |     SELECT u AS node FROM e$rounds UNION SELECT v FROM e$rounds))
+         |    AS n_truss_nodes,
+         |  CAST((SELECT COUNT(*) FROM e$rounds)
+         |    = (SELECT COUNT(*) FROM e${rounds - 1}) AS BIGINT) AS converged""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
   private def prOracle(iters: Int): String = {
     val head =
       s"""WITH e0 AS (

@@ -259,6 +259,38 @@ class GraphSpec extends SparkSpec {
       "a tree peels to nothing at k = 2")
   }
 
+  test("kTruss: a K4 survives its own 4-truss, a pendant triangle peels") {
+    // K4 on {1..4}: every edge closes 2 triangles -> survives k = 4.
+    // The triangle {4,5,6} hangs off node 4: its edges have support 1
+    // and peel in round 1, after which nothing else changes.
+    val k4 = for { u <- 1L to 4L; v <- (u + 1) to 4L } yield (u, v)
+    val g = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("u", "v")
+    val r = Graph.kTruss(g, k = 4, rounds = 3).head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 6L && r.getLong(2) === 4L && r.getLong(3) === 1L,
+      s"the 4-truss of K4+pendant-triangle is K4 itself: $r")
+    // a pure triangle chain (every edge support 1) peels to nothing
+    val chain = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L)).toDF("u", "v")
+    val c = Graph.kTruss(chain, k = 4, rounds = 3).head
+    assert(c.getLong(1) === 0L && c.getLong(2) === 0L && c.getLong(3) === 1L,
+      s"support-1 triangles cannot survive k = 4: $c")
+  }
+
+  test("kTruss: fixpoint in-budget on real data, truss edges nest in the graph") {
+    val r = graft.SparkEntry.queries("q_ktruss")(
+      spark, "/root/testdata/sf0.001").head
+    assert(r.getLong(3) === 1L, s"q_ktruss must reach its fixpoint in 3 rounds: $r")
+    assert(r.getLong(1) >= 0L && r.getLong(2) >= 0L)
+    // edge-cohesion nesting: the 4-truss is a subgraph of the 2-core of
+    // the co-purchase slice (every truss edge endpoint has degree >= 2)
+    val und = Graph.partPairEdges(
+      graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
+        .where(col("l_orderkey") % 10 === 0))
+    val core2 = Graph.kCore(und, k = 2, rounds = 6).head.getLong(1)
+    assert(r.getLong(2) <= core2, "truss nodes nest inside the 2-core")
+  }
+
   test("kCore: fixpoint reached in-budget on real data, cores nest") {
     val und = Graph.partPairEdges(
       graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
