@@ -1441,6 +1441,50 @@ object Timeseries {
         r6(tStat).as("df_stat"),
         coalesce((r6(tStat) < lit(-2.86)).cast("long"), lit(0L))
           .as("mean_reverting_95"))
+    }),
+
+    // ---- simplified KPSS level-stationarity test (r11) --------------------
+    // The COMPLEMENT of q_dickey_fuller: DF's null is a unit root (reject ⇒
+    // mean-reverting), KPSS's null is level stationarity (reject ⇒
+    // nonstationary) — running both brackets the series from each side
+    // (Kwiatkowski–Phillips–Schmidt–Shin 1992). Lag-0 long-run variance
+    // (no Newey–West bandwidth — the same simplified-critical-value stance
+    // as DF's constant-only −2.86): η = Σ_t S_t² / (n²·σ̂²) with
+    // S_t = Σ_{i≤t}(x_i − x̄), σ̂² = (1/n)Σ(x_t − x̄)², 5% critical 0.463.
+    // Exactness: residual and partial sum are scaled by n so both stay
+    // INTEGER — d_t = n·x_t − Σx and S̃_t = n·PS_t − t·Σx (BIGINT; ANSI
+    // overflow is the loud guard) — then η = A/(n·B) with A = ΣS̃² and
+    // B = Σd² exact in decimal(38,0)/HUGEINT on the two engines; the n²
+    // scale factors cancel. Calendar-bounded frame, so the ordered window
+    // is a BoundedWindow; a constant series has B = 0 and abstains NULL on
+    // both engines (predicate on the raw factor, the §2.13 discipline).
+    "q_kpss" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val wOrd = BoundedWindow.ordered(col("day"), col("day"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("day"))
+      val scaled = daily
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("ps", sum(col("rev")).over(wRun))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sx", sum(col("rev")).over(wAll))
+        .select(col("n"),
+          (col("n") * col("rev") - col("sx")).cast("decimal(19,0)").as("dd"),
+          (col("n") * col("ps") - col("t") * col("sx"))
+            .cast("decimal(19,0)").as("sp"))
+      val m = scaled.agg(max(col("n")).as("n"),
+        sum(col("sp") * col("sp")).as("a"),
+        sum(col("dd") * col("dd")).as("b"))
+      def d(c: Column): Column = c.cast("double")
+      val eta = when(col("b") > lit(0),
+        d(col("a")) / (d(col("n")) * d(col("b"))))
+      m.select(col("n").as("n_days"), r6(eta).as("kpss_stat"),
+        coalesce((r6(eta) > lit(0.463)).cast("long"), lit(0L))
+          .as("nonstationary_95"))
     })
   )
 
@@ -2662,6 +2706,43 @@ object Timeseries {
         |  CAST(COALESCE(CASE WHEN
         |      FLOOR(gamma / se * 1000000.0 + 0.500001) / 1000000.0 < -2.86
         |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS mean_reverting_95
+        |FROM o""".stripMargin,
+
+    // identical n-scaled integer residual / partial sum, exact HUGEINT
+    // squares, the same lag-0 eta = A/(n*B) and documented 0.463 critical
+    "q_kpss" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT rev,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(SUM(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ps,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(rev) OVER () AS BIGINT) AS sx
+        |  FROM daily
+        |), s AS (
+        |  SELECT n, n * rev - sx AS dd, n * ps - t * sx AS sp FROM w
+        |), m AS (
+        |  SELECT MAX(n) AS n,
+        |    SUM(CAST(sp AS HUGEINT) * sp) AS a,
+        |    SUM(CAST(dd AS HUGEINT) * dd) AS b
+        |  FROM s
+        |), o AS (
+        |  SELECT n, CASE WHEN b > 0 THEN
+        |      CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(b AS DOUBLE))
+        |    END AS eta
+        |  FROM m
+        |)
+        |SELECT n AS n_days,
+        |  FLOOR(eta * 1000000.0 + 0.500001) / 1000000.0 AS kpss_stat,
+        |  CAST(COALESCE(CASE WHEN
+        |      FLOOR(eta * 1000000.0 + 0.500001) / 1000000.0 > 0.463
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS nonstationary_95
         |FROM o""".stripMargin
   )
 }

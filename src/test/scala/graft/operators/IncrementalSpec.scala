@@ -781,6 +781,35 @@ class IncrementalSpec extends SparkSpec {
     assert(rw.getDouble(1) === 0.0 && rw.getLong(4) === 0L, s"$rw")
   }
 
+  test("KPSS: alternation around a constant mean scores exactly 1/80, a ramp rejects") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_kpss").toString
+      vals.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), v)
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // ±50 around 1000 over an even count: residuals alternate ±5000 cents,
+    // partial sums bounce 5000,0,…  ⇒ eta = (20·5000²)/(40·40·5000²) = 1/80
+    // exactly (every intermediate is an exact integer; one double division)
+    val alt = (0 until 40).map(i => if (i % 2 == 0) 1050.0 else 950.0)
+    val ra = SparkEntry.queries("q_kpss")(spark, mk(alt)).head()
+    assert(ra.getLong(0) === 40L)
+    assert(ra.getDouble(1) === 0.0125, s"alternation is level-stationary: $ra")
+    assert(ra.getLong(2) === 0L)
+    // a deterministic ramp drifts: partial sums of t − (n−1)/2 grow as n²,
+    // eta far above the 0.463 critical ⇒ level stationarity rejected
+    val ramp = (0 until 60).map(i => 100.0 + 10.0 * i)
+    val rr = SparkEntry.queries("q_kpss")(spark, mk(ramp)).head()
+    assert(rr.getDouble(1) > 0.463 && rr.getLong(2) === 1L, s"$rr")
+    // a constant series has zero variance: abstains NULL, flag pinned 0
+    val const = (0 until 30).map(_ => 500.0)
+    val rc = SparkEntry.queries("q_kpss")(spark, mk(const)).head()
+    assert(rc.isNullAt(1) && rc.getLong(2) === 0L, s"degenerate abstains: $rc")
+  }
+
   test("rolling anomaly: a planted spike day tops the list and flags") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ra").toString
