@@ -837,6 +837,75 @@ object Analytics {
             tau.cast("double")).as("retained_share"))
     }),
 
+    // ---- log-rank two-group survival test (beyond reference, r11) ---------
+    // The comparison q_survival's single curve can't make: do BUILDING-
+    // segment customers churn on a DIFFERENT schedule than everyone else?
+    // The log-rank test (Mantel 1966) — the standard two-sample survival
+    // comparison, CMH applied at every event time: at each distinct
+    // lifetime t with d events over n at risk (n₁ in group 1), group 1
+    // expects E₁ᵗ = d·n₁/n events with hypergeometric variance Vᵗ =
+    // d·(n₁/n)(1−n₁/n)(n−d)/(n−1); χ² = (O₁−ΣE₁)²/ΣV. Plan shape: the
+    // same ONE customer-key shuffle as q_survival builds lifetimes (the
+    // segment dim attaches by BROADCAST), then the entire test lives on
+    // the calendar-bounded t_days frame — risk sets are the KM prefix
+    // windows, the float term sums ride the ORDERED cumulative window
+    // (identical op sequence both engines, the q_survival ln_s
+    // discipline), and one row survives. O₁ stays exact BIGINT; a
+    // degenerate ΣV = 0 abstains χ² with NULL (§2.13).
+    "q_log_rank" -> ((s, dir) => {
+      val asOf = lit(SegAsOf).cast("date")
+      val life = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("first_d"),
+          to_date(max(col("o_orderdate"))).as("last_d"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          datediff(col("last_d"), col("first_d")).cast("long").as("t_days"),
+          (datediff(asOf, col("last_d")) > lit(ChurnGapDays))
+            .cast("long").as("event"),
+          (col("c_mktsegment") === "BUILDING").cast("long").as("g1"))
+      val byT = life.groupBy("t_days").agg(
+        count(lit(1)).as("n_at"), sum(col("g1")).as("n1_at"),
+        sum(col("event")).as("d"),
+        sum(col("event") * col("g1")).as("d1"))
+      val wOrd = BoundedWindow.ordered(col("t_days"), col("t_days"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = BoundedWindow.whole(col("t_days"))
+      val risk = byT
+        .withColumn("n_tot", sum(col("n_at")).over(wAll))
+        .withColumn("n1_tot", sum(col("n1_at")).over(wAll))
+        .withColumn("n_risk", col("n_tot") -
+          coalesce(sum(col("n_at")).over(wPrev), lit(0L)))
+        .withColumn("n1_risk", col("n1_tot") -
+          coalesce(sum(col("n1_at")).over(wPrev), lit(0L)))
+      val f1 = col("n1_risk").cast("double") / col("n_risk").cast("double")
+      val contrib = col("d") > 0L && col("n_risk") > 1L
+      val eT = when(contrib, col("d").cast("double") * f1)
+        .otherwise(lit(0.0))
+      val vT = when(contrib, col("d").cast("double") * f1 *
+        (lit(1.0) - f1) * (col("n_risk") - col("d")).cast("double") /
+        (col("n_risk") - 1L).cast("double")).otherwise(lit(0.0))
+      val cum = risk.select(col("n_tot"), col("n1_tot"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n_rows"),
+        sum(col("d1")).over(wCum).as("o1"),
+        sum(eT).over(wCum).as("e1"),
+        sum(vT).over(wCum).as("v1"))
+      val dev = col("o1").cast("double") - col("e1")
+      val chi2 = r4(when(col("v1") > 0.0, dev * dev / col("v1")))
+      cum.where(col("rn") === col("n_rows"))
+        .select(col("n1_tot").as("n_grp"),
+          (col("n_tot") - col("n1_tot")).as("n_rest"),
+          col("o1").as("observed"), r6(col("e1")).as("expected"),
+          r6(col("v1")).as("variance"), chi2.as("chi2"),
+          coalesce((chi2 > lit(3.8415)).cast("long"), lit(0L))
+            .as("reject_95"))
+    }),
+
     // ---- market-basket association rules ----------------------------------
     // Top-20 part pairs co-ordered most often, with both rule directions'
     // confidence and the symmetric lift (Agrawal–Imieliński–Swami 1993) —
@@ -1065,6 +1134,74 @@ object Analytics {
         |    ELSE FLOOR(EXP(ln_s) * 1000000.0 + 0.500001) / 1000000.0 END
         |    AS survival
         |FROM s ORDER BY t_days""".stripMargin,
+
+    // identical lifetime frame + segment join, the same prefix-window risk
+    // sets, and the same t-ORDERED cumulative float term sums — op-for-op
+    // identical sequence, so parity is structural; guards mirror (d>0 ∧
+    // n_risk>1 zero-terms, ΣV=0 abstains NULL)
+    "q_log_rank" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    MIN(CAST(o_orderdate AS DATE)) AS first_d,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders GROUP BY 1
+        |), life AS (
+        |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t_days,
+        |    CASE WHEN date_diff('day', last_d, DATE '2001-09-01') > 90
+        |      THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        |  FROM cust JOIN customer c ON cust.o_custkey = c.c_custkey
+        |), byt AS (
+        |  SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_at,
+        |    CAST(SUM(g1) AS BIGINT) AS n1_at,
+        |    CAST(SUM(event) AS BIGINT) AS d,
+        |    CAST(SUM(event * g1) AS BIGINT) AS d1
+        |  FROM life GROUP BY 1
+        |), risk AS (
+        |  SELECT t_days, d, d1,
+        |    CAST(SUM(n_at) OVER () AS BIGINT) AS n_tot,
+        |    CAST(SUM(n1_at) OVER () AS BIGINT) AS n1_tot,
+        |    CAST(SUM(n_at) OVER () AS BIGINT) - CAST(COALESCE(
+        |      SUM(n_at) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk,
+        |    CAST(SUM(n1_at) OVER () AS BIGINT) - CAST(COALESCE(
+        |      SUM(n1_at) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1_risk
+        |  FROM byt
+        |), cum AS (
+        |  SELECT n_tot, n1_tot,
+        |    ROW_NUMBER() OVER (ORDER BY t_days) AS rn,
+        |    COUNT(*) OVER () AS n_rows,
+        |    CAST(SUM(d1) OVER w AS BIGINT) AS o1,
+        |    SUM(CASE WHEN d > 0 AND n_risk > 1 THEN
+        |      CAST(d AS DOUBLE)
+        |        * (CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER w AS e1,
+        |    SUM(CASE WHEN d > 0 AND n_risk > 1 THEN
+        |      CAST(d AS DOUBLE)
+        |        * (CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        * (1.0 - CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        * CAST(n_risk - d AS DOUBLE) / CAST(n_risk - 1 AS DOUBLE)
+        |      ELSE 0.0 END) OVER w AS v1
+        |  FROM risk
+        |  WINDOW w AS (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), fin AS (
+        |  SELECT n1_tot, n_tot, o1, e1, v1,
+        |    CASE WHEN v1 > 0.0 THEN
+        |      FLOOR((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+        |        / v1 * 10000.0 + 0.500001) / 10000.0 END AS chi2
+        |  FROM cum WHERE rn = n_rows
+        |)
+        |SELECT n1_tot AS n_grp, n_tot - n1_tot AS n_rest, o1 AS observed,
+        |  FLOOR(e1 * 1000000.0 + 0.500001) / 1000000.0 AS expected,
+        |  FLOOR(v1 * 1000000.0 + 0.500001) / 1000000.0 AS variance,
+        |  chi2,
+        |  CAST(COALESCE(CASE WHEN chi2 > 3.8415 THEN 1 ELSE 0 END, 0)
+        |    AS BIGINT) AS reject_95
+        |FROM fin""".stripMargin,
 
     // identical (spend DESC, custkey) ranking and INTEGER threshold
     // crossings — no float boundary anywhere

@@ -641,6 +641,49 @@ object Graph {
           r6(lit(1.0) + col("n_tail").cast("double") /
             (col("lsum_micro").cast("double") / lit(1000000.0))))
           .as("alpha"))
+    }),
+
+    // rich-club coefficient (beyond reference, r11): the hub-cohesion
+    // readout behind q_degree_powerlaw's α — do the high-degree parts
+    // preferentially co-purchase with EACH OTHER (Zhou & Mondragón 2004)?
+    // φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1)) — edge density among nodes of
+    // degree > k, swept over k ∈ {2,4,8,16}. Decides whether hub keys
+    // skew-collide under one reducer (a rich club means the hot keys JOIN
+    // each other — salting the hubs individually doesn't help). Plan
+    // shape: one degree aggregate, two node-keyed equi-joins attach du/dv
+    // to edges (the directedByDegree front half), then ONE conditional
+    // aggregate per frame covers all four thresholds — no per-k rescan;
+    // the 4-row unpivot rides explode on the 1×1 joined aggregate row.
+    // All counts exact BIGINT; φ is one division, N≤1 abstains NULL.
+    "q_rich_club" -> ((s, dir) => {
+      val und = partPairEdges(Sources.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)).localCheckpoint()
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val e = und
+        .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      val ks = Seq(2L, 4L, 8L, 16L)
+      val nodeAggs = count(lit(1)).as("n_all") +: ks.map(k =>
+        sum(when(col("d") > k, 1L).otherwise(0L)).as(s"n$k"))
+      val edgeAggs = ks.map(k =>
+        sum(when(col("du") > k && col("dv") > k, 1L).otherwise(0L))
+          .as(s"e$k"))
+      val rows = deg.agg(nodeAggs.head, nodeAggs.tail: _*)
+        .crossJoin(broadcast(e.agg(edgeAggs.head, edgeAggs.tail: _*)))
+        .select(col("n_all"), explode(array(ks.map(k =>
+          struct(lit(k).as("k"), col(s"n$k").as("nn"),
+            col(s"e$k").as("ne"))): _*)).as("r"))
+      def r6(x: Column): Column =
+        floor(x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+      rows.select(col("r.k").as("k"), col("n_all"),
+          col("r.nn").as("n_rich"), col("r.ne").as("e_rich"),
+          when(col("r.nn") > 1L,
+            r6(lit(2.0) * col("r.ne").cast("double") /
+              (col("r.nn").cast("double") *
+                (col("r.nn") - 1L).cast("double")))).as("phi"))
+        .orderBy("k")
     })
   )
 
@@ -1131,6 +1174,44 @@ object Graph {
         |      / (CAST(lsum_micro AS DOUBLE) / 1000000.0))
         |      * 1000000.0 + 0.500001) / 1000000.0 END AS alpha
         |FROM g""".stripMargin,
+
+    // identical sliced projection + degree census; the threshold sweep is
+    // the same single conditional pass (CROSS JOIN against the 4-value
+    // list ≡ the engine's multi-threshold aggregate — exact integers
+    // either way); φ is the identical one-division float
+    "q_rich_club" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), deg AS MATERIALIZED (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node
+        |), e AS (
+        |  SELECT du.d AS du, dv.d AS dv
+        |  FROM und JOIN deg du ON und.u = du.node
+        |    JOIN deg dv ON und.v = dv.node
+        |), ks AS (SELECT * FROM (VALUES (2), (4), (8), (16)) t(k)),
+        |na AS (
+        |  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN deg.d > ks.k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rich
+        |  FROM ks CROSS JOIN deg GROUP BY ks.k
+        |), ea AS (
+        |  SELECT ks.k,
+        |    CAST(SUM(CASE WHEN e.du > ks.k AND e.dv > ks.k
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS e_rich
+        |  FROM ks CROSS JOIN e GROUP BY ks.k
+        |)
+        |SELECT CAST(na.k AS BIGINT) AS k, na.n_all, na.n_rich, ea.e_rich,
+        |  CASE WHEN na.n_rich > 1 THEN
+        |    FLOOR(2.0 * CAST(ea.e_rich AS DOUBLE)
+        |      / (CAST(na.n_rich AS DOUBLE) * CAST(na.n_rich - 1 AS DOUBLE))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS phi
+        |FROM na JOIN ea ON na.k = ea.k ORDER BY k""".stripMargin,
 
     // the deferred-normalization HITS unrolled: every CTE is an exact
     // HUGEINT sum (a1 = in-degree since h0 = 1), the one float op is the

@@ -1154,6 +1154,36 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // ---- Yule's K characteristic per source (r11) --------------------------
+    // The size-INVARIANT vocabulary-richness constant (Yule 1944) that
+    // q_hapax_rate's type-token ratio is not (TTR falls mechanically with
+    // corpus length; K is the repeat-rate rescaled so it doesn't): K =
+    // 10⁴·(Σf² − N)/N² over the term-frequency spectrum — the classic
+    // authorship/contamination fingerprint (boilerplate floods push K up,
+    // OCR noise pushes it toward 0). Same one (source, term) shuffle as
+    // q_simpson_diversity; Σf² exact in decimal(38,0), K is one float
+    // compose of exact integers (N ≥ 1 structurally — every census row
+    // has f ≥ 1 — so the division is total).
+    "q_yule_k" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("source"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      counts.groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("f")).as("n_tokens"),
+          sum(col("f").cast("decimal(19,0)") *
+            col("f").cast("decimal(19,0)")).as("s2"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("s2").cast("long").as("sum_f2"),
+          r4(lit(10000.0) *
+            (col("s2").cast("double") - col("n_tokens").cast("double")) /
+            (col("n_tokens").cast("double") *
+              col("n_tokens").cast("double"))).as("yule_k"))
+        .orderBy("source")
+    }),
+
     // oracle-backed: EXACT set-similarity self-join via prefix filtering
     // (see Dedup.setSimJoinPrefix) — every pair with shingle Jaccard ≥
     // 0.5, no false negatives, candidates from the rarest-first prefix
@@ -3274,6 +3304,26 @@ object LlmQueries {
         |  FLOOR((CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE))
         |      / CAST(SUM(f * (f - 1)) AS DOUBLE)
         |    * 100.0 + 0.500001) / 100.0 AS inv_simpson
+        |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical tokenization + census; Σf² exact in HUGEINT, K the same
+    // left-associated float compose of the exact integers
+    "q_yule_k" ->
+      """WITH counts AS (
+        |  SELECT source, t.x AS term, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT source,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) d, LATERAL unnest(toks) AS t(x)
+        |  WHERE len(t.x) > 0
+        |  GROUP BY source, t.x
+        |)
+        |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(f * f) AS BIGINT) AS sum_f2,
+        |  FLOOR(10000.0
+        |      * (CAST(SUM(f * f) AS DOUBLE) - CAST(SUM(f) AS DOUBLE))
+        |      / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE))
+        |    * 10000.0 + 0.500001) / 10000.0 AS yule_k
         |FROM counts GROUP BY source ORDER BY source""".stripMargin,
 
     // the brute-force all-pairs recount the prefix filter must reproduce

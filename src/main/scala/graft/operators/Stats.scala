@@ -1941,6 +1941,68 @@ object Stats {
           lit(0L)).as("assoc_05"))
     }),
 
+    // ---- Cochran–Mantel–Haenszel stratified 2×2 test (r11) ----------------
+    // The inferential completion of q_simpsons_paradox: that audit FLAGS a
+    // sign flip across segment strata; CMH (Cochran 1954, Mantel &
+    // Haenszel 1959) is what you compute once strata exist — the common
+    // odds ratio ORmh = Σ(aᵏdᵏ/nᵏ)/Σ(bᵏcᵏ/nᵏ) and the continuity-free
+    // χ² = (Σaᵏ − ΣEᵏ)²/ΣVᵏ with Eᵏ = r₁c₁/n, Vᵏ = r₁r₀c₁c₀/(n²(n−1)),
+    // testing urgency × high-value association WITHIN segments (the pooled
+    // q_chi_square is confounded by exactly what Simpson's audit detects).
+    // Same cell build as the audit: one orders scan, BROADCAST segment
+    // dim, partial-agg to the ≤|segments| stratum frame — a, b, c, d exact
+    // BIGINT. Per-stratum E/V/OR terms are closed-form floats of those
+    // integers (products in DOUBLE: r₁r₀c₁c₀ exceeds BIGINT one scale-up);
+    // the cross-stratum sums ride the ORDERED cumulative window over the
+    // bounded frame (the q_survival ln_s discipline — identical float
+    // sequence both engines, parity structural, not rounded away).
+    // Degenerate strata (n < 2) contribute zero V on both sides via the
+    // guard; an all-zero ΣV abstains the statistic with NULL (§2.13).
+    "q_cmh" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val hv = col("o_totalprice") > 240000.0
+      val cells = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(sum(when(urgent && hv, 1L).otherwise(0L)).as("a"),
+          sum(when(urgent && !hv, 1L).otherwise(0L)).as("b"),
+          sum(when(!urgent && hv, 1L).otherwise(0L)).as("c"),
+          sum(when(!urgent && !hv, 1L).otherwise(0L)).as("d"))
+      val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+      val r1 = (col("a") + col("b")).cast("double")
+      val r0 = (col("c") + col("d")).cast("double")
+      val c1 = (col("a") + col("c")).cast("double")
+      val c0 = (col("b") + col("d")).cast("double")
+      val terms = cells.select(col("segment"), col("a"),
+        (r1 * c1 / n).as("e_a"),
+        when(n > 1.0, r1 * r0 * c1 * c0 / (n * n * (n - 1.0)))
+          .otherwise(lit(0.0)).as("v_a"),
+        (col("a").cast("double") * col("d").cast("double") / n).as("ad_n"),
+        (col("b").cast("double") * col("c").cast("double") / n).as("bc_n"))
+      val wCum = BoundedWindow.ordered(col("segment"), col("segment"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("segment"))
+      val acc = terms.select(
+        count(lit(1)).over(wAll).as("n_strata"),
+        row_number().over(BoundedWindow.ordered(col("segment"),
+          col("segment"))).as("rn"),
+        sum(col("a")).over(wCum).as("sa"),
+        sum(col("e_a")).over(wCum).as("se"),
+        sum(col("v_a")).over(wCum).as("sv"),
+        sum(col("ad_n")).over(wCum).as("s_ad"),
+        sum(col("bc_n")).over(wCum).as("s_bc"))
+        .where(col("rn") === col("n_strata"))
+      val dev = col("sa").cast("double") - col("se")
+      val chi2 = r4(when(col("sv") > 0.0, dev * dev / col("sv")))
+      acc.select(col("n_strata").cast("long").as("n_strata"),
+        col("sa").cast("long").as("sum_a"), r6(col("se")).as("sum_e"),
+        r6(col("sv")).as("sum_v"), chi2.as("cmh_chi2"),
+        r6(try_divide(col("s_ad"), col("s_bc"))).as("or_mh"),
+        coalesce((chi2 > lit(3.8415)).cast("long"), lit(0L)).as("reject_95"))
+    }),
+
     // ---- two-sample Poisson rate test (beyond reference, r10) -------------
     // "Does arm A purchase at a higher RATE than arm B?" — the count-data
     // test the t-test family misfits (purchases per user are small
@@ -4518,6 +4580,71 @@ object Stats {
         |        OR EXP(LN(orat) + 1.959963984540054 * se) < 1.0
         |      THEN 1 ELSE 0 END END, 0) AS BIGINT) AS assoc_05
         |FROM e""".stripMargin,
+
+    // identical exact-BIGINT stratum cells (same join + CASE census), the
+    // same left-associated per-stratum float terms, and the same
+    // segment-ORDERED cumulative accumulation — the float sequence is
+    // identical op-for-op, so parity is structural; the guard mirrors
+    // try_divide (s_bc ≠ 0) and the n>1 V clamp
+    "q_cmh" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      AND o.o_totalprice > 240000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      AND NOT o.o_totalprice > 240000.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+        |      ('1-URGENT', '2-HIGH') AND o.o_totalprice > 240000.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+        |      ('1-URGENT', '2-HIGH') AND NOT o.o_totalprice > 240000.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1
+        |), terms AS (
+        |  SELECT segment, a,
+        |    CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE) AS e_a,
+        |    CASE WHEN CAST(a + b + c + d AS DOUBLE) > 1.0 THEN
+        |      CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+        |      / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+        |         * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+        |      ELSE 0.0 END AS v_a,
+        |    CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE) AS ad_n,
+        |    CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE) AS bc_n
+        |  FROM cells
+        |), acc AS (
+        |  SELECT COUNT(*) OVER () AS n_strata,
+        |    ROW_NUMBER() OVER (ORDER BY segment) AS rn,
+        |    SUM(a) OVER w AS sa, SUM(e_a) OVER w AS se,
+        |    SUM(v_a) OVER w AS sv, SUM(ad_n) OVER w AS s_ad,
+        |    SUM(bc_n) OVER w AS s_bc
+        |  FROM terms
+        |  WINDOW w AS (ORDER BY segment
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), fin AS (
+        |  SELECT n_strata, sa, se, sv, s_ad, s_bc,
+        |    CASE WHEN sv > 0.0 THEN
+        |      FLOOR((CAST(sa AS DOUBLE) - se) * (CAST(sa AS DOUBLE) - se)
+        |        / sv * 10000.0 + 0.500001) / 10000.0 END AS chi2
+        |  FROM acc WHERE rn = n_strata
+        |)
+        |SELECT CAST(n_strata AS BIGINT) AS n_strata,
+        |  CAST(sa AS BIGINT) AS sum_a,
+        |  FLOOR(se * 1000000.0 + 0.500001) / 1000000.0 AS sum_e,
+        |  FLOOR(sv * 1000000.0 + 0.500001) / 1000000.0 AS sum_v,
+        |  chi2 AS cmh_chi2,
+        |  CASE WHEN s_bc <> 0.0 THEN
+        |    FLOOR(s_ad / s_bc * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS or_mh,
+        |  CAST(COALESCE(CASE WHEN chi2 > 3.8415 THEN 1 ELSE 0 END, 0)
+        |    AS BIGINT) AS reject_95
+        |FROM fin""".stripMargin,
 
     // identical per-user purchase counts, md5 arms, exact BIGINT cell
     // frame, and the same Wald float sequence (plain / NULLs on zero

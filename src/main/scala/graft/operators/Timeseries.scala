@@ -645,6 +645,53 @@ object Timeseries {
           r4(abs(col("cusum")) / (col("sd") * sqrt(col("n")))).as("stat"))
     }),
 
+    // ---- Pettitt rank change-point test (beyond reference, r11) -----------
+    // The DISTRIBUTION-FREE counterpart of q_changepoint: CUSUM's argmax
+    // assumes a mean shift in the VALUES (one outlier day can own the
+    // peak); Pettitt (1979) ranks instead — U_t = Σ_{i≤t}Σ_{j>t}
+    // sgn(xᵢ−xⱼ), K = max|U_t|, the Mann–Whitney statistic swept over
+    // every split point — so the detected break is robust to the revenue
+    // scale outright. The O(n²) double sum collapses to ONE linear pass
+    // via the antisymmetry identity Σ_{i≤t}Σ_{j≤t} sgn(xᵢ−xⱼ) = 0, giving
+    // U_t = Σ_{i≤t}(aᵢ−bᵢ) with aᵢ/bᵢ the GLOBAL strictly-below/above
+    // census of day i's value — two RANGE frames of one value-ordered
+    // window over the calendar-bounded daily frame (ties contribute 0 to
+    // sgn and sit in neither frame, handling them exactly). Everything is
+    // exact BIGINT through K; the only floats are the closed-form
+    // significance p ≈ 2·exp(−6K²/(n³+n²)) (Pettitt's approximation,
+    // clamped to 1) and its 5% flag on the ROUNDED p.
+    "q_pettitt" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val wVal = BoundedWindow.ordered(col("day"), col("rev"))
+      val below = count(lit(1)).over(
+        wVal.rangeBetween(Window.unboundedPreceding, -1))
+      val above = count(lit(1)).over(
+        wVal.rangeBetween(1, Window.unboundedFollowing))
+      val wCum = BoundedWindow.ordered(col("day"), col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("day"))
+      val u = daily
+        .withColumn("d", below - above)
+        .withColumn("ut", sum(col("d")).over(wCum))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val ranked = u.withColumn("rn", row_number().over(
+        BoundedWindow.ordered(col("day"), abs(col("ut")).desc, col("day"))))
+      val k = abs(col("ut")).cast("double")
+      val nD = col("n").cast("double")
+      val p = least(lit(1.0),
+        lit(2.0) * exp(lit(-6.0) * k * k / (nD * nD * nD + nD * nD)))
+      val pR = r6(p)
+      ranked.where(col("rn") === 1)
+        .select(col("n").as("n_days"), col("day").as("cp_day"),
+          abs(col("ut")).as("k_stat"), col("ut").as("u_at_cp"),
+          pR.as("p_approx"),
+          (pR < lit(0.05)).cast("long").as("reject_95"))
+    }),
+
     "q_drift_psi" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_totalprice").as("v"),
         (to_date(col("o_orderdate")) < lit("1999-01-01").cast("date")).as("is_ref"))
@@ -2156,6 +2203,50 @@ object Timeseries {
         |  FLOOR(ABS(cusum) / 100.0 * 100.0 + 0.500001) / 100.0 AS max_cusum,
         |  FLOOR(ABS(cusum) / (sd * sqrt(n)) * 10000.0 + 0.500001) / 10000.0 AS stat
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // identical daily cents frame, the same two strict RANGE frames of the
+    // value-ordered window (ties in neither — exact sgn census), exact
+    // BIGINT U_t, and the identical closed-form p sequence on the single
+    // surviving row
+    "q_pettitt" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), cnt AS (
+        |  SELECT day,
+        |    CAST(COUNT(*) OVER (ORDER BY rev
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |      AS below,
+        |    CAST(COUNT(*) OVER (ORDER BY rev
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS above
+        |  FROM daily
+        |), u AS (
+        |  SELECT day,
+        |    CAST(SUM(below - above) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ut,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM cnt
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY ABS(ut) DESC, day) AS rn
+        |  FROM u
+        |), fin AS (
+        |  SELECT n, day, ut,
+        |    FLOOR(LEAST(1.0, 2.0 * EXP(-6.0
+        |        * CAST(ABS(ut) AS DOUBLE) * CAST(ABS(ut) AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |           + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS p_approx
+        |  FROM ranked WHERE rn = 1
+        |)
+        |SELECT n AS n_days, day AS cp_day, ABS(ut) AS k_stat,
+        |  ut AS u_at_cp, p_approx,
+        |  CAST(CASE WHEN p_approx < 0.05 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reject_95
+        |FROM fin""".stripMargin,
 
     "q_drift_psi" ->
       """WITH o AS (

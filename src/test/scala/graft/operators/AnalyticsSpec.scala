@@ -872,4 +872,64 @@ class AnalyticsSpec extends SparkSpec {
       s"global/nation moments must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  // ---- q_log_rank -----------------------------------------------------------
+
+  test("log-rank: planted cohort replays the hand-computed chi-square") {
+    import spark.implicits._
+    // BUILDING: c1 censored at t=0, c2 event at t=10; rest: c3 censored
+    // at t=0, c4 event at t=10, c5 CENSORED at t=10. At t=10: n=3, n1=1,
+    // d=2, d1=1 ⇒ E=2/3, V = 2·(1/3)(2/3)·(3−2)/(3−1) = 2/9,
+    // χ² = (1 − 2/3)²/(2/9) = 1/2
+    val orders = Seq(
+      (1L, "2001-07-01"),
+      (2L, "2001-01-01"), (2L, "2001-01-11"),
+      (3L, "2001-07-01"),
+      (4L, "2001-01-01"), (4L, "2001-01-11"),
+      (5L, "2001-06-20"), (5L, "2001-06-30"))
+      .toDF("o_custkey", "o_orderdate")
+    val cust = Seq((1L, "BUILDING"), (2L, "BUILDING"), (3L, "AUTOMOBILE"),
+      (4L, "HOUSEHOLD"), (5L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    orders.write.parquet(s"$dir/orders.parquet")
+    cust.write.parquet(s"$dir/customer.parquet")
+    val r = SparkEntry.queries("q_log_rank")(spark, dir).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L, s"group sizes: $r")
+    assert(r.getLong(2) === 1L, s"observed group-1 events: $r")
+    assert(r.getDouble(3) === 0.666667, s"expected: $r")
+    assert(r.getDouble(4) === 0.222222, s"variance: $r")
+    assert(r.getDouble(5) === 0.5, s"chi2: $r")
+    assert(r.getLong(6) === 0L)
+  }
+
+  test("log-rank: a saturated risk set (d = n) zeroes V and abstains") {
+    import spark.implicits._
+    // both customers churn at t=10 and nothing else is at risk there ⇒
+    // every event time has n_risk = d or n_risk ≤ 1 ⇒ ΣV = 0 ⇒ NULL χ²
+    val orders = Seq(
+      (1L, "2001-01-01"), (1L, "2001-01-11"),
+      (2L, "2001-01-01"), (2L, "2001-01-11"))
+      .toDF("o_custkey", "o_orderdate")
+    val cust = Seq((1L, "BUILDING"), (2L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lr0").toString
+    orders.write.parquet(s"$dir/orders.parquet")
+    cust.write.parquet(s"$dir/customer.parquet")
+    val r = SparkEntry.queries("q_log_rank")(spark, dir).head()
+    assert(r.getLong(2) === 1L && r.isNullAt(5), s"degenerate abstains: $r")
+    assert(r.getLong(6) === 0L, "flag pinned 0 on abstention")
+  }
+
+  test("log-rank on real data: O and E balance across the two groups") {
+    val r = run("q_log_rank").head()
+    val nCust = graft.io.Sources.table(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) === nCust,
+      "lifetimes cover every ordering customer")
+    assert(r.getLong(2) >= 0L && r.getDouble(3) >= 0.0)
+    assert(r.getDouble(4) >= 0.0, s"variance nonneg: $r")
+    if (!r.isNullAt(5))
+      assert(r.getLong(6) === (if (r.getDouble(5) > 3.8415) 1L else 0L))
+  }
 }

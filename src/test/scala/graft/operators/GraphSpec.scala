@@ -684,4 +684,44 @@ class GraphSpec extends SparkSpec {
       assert(want.getLong(4) === ds.map(1000000L / _).sum)
     } finally und.unpersist()
   }
+
+  // ---- rich club ------------------------------------------------------------
+
+  test("rich club: K5 hubs with pendants score φ = 1 above both live thresholds") {
+    // order 10 holds parts 1–5 (a K5); orders 20…60 hang one pendant part
+    // off each hub ⇒ hub degree 5, pendant degree 1. Above k = 2 and
+    // k = 4 the club is exactly the K5 (φ = 1); above 8 it is empty
+    val k5 = (1L to 5L).map(p => (10L, p))
+    val pend = (1L to 5L).flatMap(i =>
+      Seq((10L * (i + 1), i), (10L * (i + 1), 100L + i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rc").toString
+    (k5 ++ pend).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = graft.SparkEntry.queries("q_rich_club")(spark, dir).collect()
+    assert(rows.length === 4)
+    val byK = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byK(2L).getLong(1) === 10L, "5 hubs + 5 pendants")
+    assert(byK(2L).getLong(2) === 5L && byK(2L).getLong(3) === 10L)
+    assert(byK(2L).getDouble(4) === 1.0, s"perfect club: ${byK(2L)}")
+    assert(byK(4L).getLong(2) === 5L && byK(4L).getDouble(4) === 1.0)
+    assert(byK(8L).getLong(2) === 0L && byK(8L).getLong(3) === 0L &&
+      byK(8L).isNullAt(4), "an empty club abstains NULL")
+    assert(byK(16L).getLong(2) === 0L)
+  }
+
+  test("rich club on real data: clubs nest in k, density bounded by 1") {
+    val rows = graft.SparkEntry.queries("q_rich_club")(
+      spark, "/root/testdata/sf0.001").collect().sortBy(_.getLong(0))
+    assert(rows.length === 4)
+    rows.sliding(2).foreach { w =>
+      assert(w(1).getLong(2) <= w(0).getLong(2) &&
+        w(1).getLong(3) <= w(0).getLong(3), "clubs must nest as k grows")
+    }
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      assert(2L * r.getLong(3) <= n * (n - 1L), s"density ≤ 1: $r")
+      if (n > 1)
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"$r")
+    }
+  }
 }

@@ -1316,4 +1316,44 @@ class IncrementalSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Exchange"),
       s"cents partial-aggregate before the daily shuffle:\n$p")
   }
+
+  test("Pettitt: a planted level shift pins K = 900 at the break day exactly") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pt").toString
+      vals.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), v)
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // 30 days at 100 then 30 at 500: every low day has (below, above) =
+    // (0, 30) ⇒ d = −30 (ties count in NEITHER frame — the exact sgn
+    // census), so U_t = −30t bottoms at t = 30: K = 900 exactly, the
+    // break day is the last low day, and p ≈ 2e^(−22.1) rounds to 0
+    val shift = (0 until 60).map(i => if (i < 30) 100.0 else 500.0)
+    val rs = SparkEntry.queries("q_pettitt")(spark, mk(shift)).head()
+    assert(rs.getLong(0) === 60L)
+    assert(rs.getDate(1).toLocalDate === java.time.LocalDate.of(2020, 1, 30),
+      s"break at the last low day: $rs")
+    assert(rs.getLong(2) === 900L && rs.getLong(3) === -900L, s"$rs")
+    assert(rs.getDouble(4) === 0.0 && rs.getLong(5) === 1L)
+    // a constant series: every sgn is 0, U ≡ 0, the approximation clamps
+    // to p = 1, nothing rejects, first day wins the all-tie argmax
+    val const = (0 until 30).map(_ => 500.0)
+    val rc = SparkEntry.queries("q_pettitt")(spark, mk(const)).head()
+    assert(rc.getLong(2) === 0L && rc.getDouble(4) === 1.0 &&
+      rc.getLong(5) === 0L, s"$rc")
+    assert(rc.getDate(1).toLocalDate === java.time.LocalDate.of(2020, 1, 1))
+  }
+
+  test("Pettitt on real data: K bounded by t(n−t), p in [0,1], U telescopes") {
+    val r = SparkEntry.queries("q_pettitt")(spark, sf).head()
+    val n = r.getLong(0)
+    assert(n > 0L && r.getLong(2) <= n * n / 4 + n,
+      s"K exceeds the max-split bound: $r")
+    assert(math.abs(r.getLong(3)) === r.getLong(2), "K = |U at the break|")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    assert(r.getLong(5) === (if (r.getDouble(4) < 0.05) 1L else 0L))
+  }
 }

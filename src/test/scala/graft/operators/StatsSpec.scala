@@ -1946,4 +1946,43 @@ class StatsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"expected a broadcast census:\n$p")
   }
+
+  // ---- q_cmh ----------------------------------------------------------------
+
+  test("q_cmh: two identical strata replay the closed-form MH compose") {
+    import spark.implicits._
+    // each stratum holds the 2×2 (a,b,c,d) = (10,20,30,40): per-stratum
+    // OR = 400/600 = 2/3 and so is ORmh exactly; E = 30·40/100 = 12 per
+    // stratum, V = 30·70·40·60/(100²·99) = 56/11; χ² = (20−24)²/(112/11)
+    // = 11/7 ≈ 1.5714 — not significant
+    def stratum(ck: Long) = {
+      def mk(urgent: Boolean, hv: Boolean, n: Int) =
+        (0 until n).map(_ => (ck, if (urgent) "1-URGENT" else "5-LOW",
+          if (hv) 300000.0 else 100000.0))
+      mk(true, true, 10) ++ mk(true, false, 20) ++
+        mk(false, true, 30) ++ mk(false, false, 40)
+    }
+    val orders = (stratum(1L) ++ stratum(2L)).zipWithIndex.map {
+      case ((ck, p, tp), i) => (i.toLong, ck, p, tp)
+    }.toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val cust = Seq((1L, "S1"), (2L, "S2")).toDF("c_custkey", "c_mktsegment")
+    val dir = fixtureDir("orders" -> orders, "customer" -> cust)
+    val r = SparkEntry.queries("q_cmh")(spark, dir).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 24.0, s"sum_e: $r")
+    assert(r.getDouble(3) === math.floor(112.0 / 11.0 * 1e6 + 0.500001) / 1e6,
+      s"sum_v: $r")
+    assert(r.getDouble(4) === math.floor(11.0 / 7.0 * 1e4 + 0.500001) / 1e4,
+      s"cmh_chi2: $r")
+    assert(r.getDouble(5) === 0.666667, s"or_mh: $r")
+    assert(r.getLong(6) === 0L, "11/7 is below the 5% critical")
+  }
+
+  test("q_cmh on real data: strata cover segments, OR positive, flag consistent") {
+    val r = SparkEntry.queries("q_cmh")(spark, sf).head()
+    assert(r.getLong(0) === 5L, "five market segments")
+    assert(r.getLong(1) >= 0L && r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0)
+    assert(!r.isNullAt(5) && r.getDouble(5) > 0.0, s"or_mh: $r")
+    assert(r.getLong(6) === (if (r.getDouble(4) > 3.8415) 1L else 0L))
+  }
 }

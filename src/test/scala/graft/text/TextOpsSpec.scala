@@ -34,6 +34,12 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(s.getDouble(3) - 8.0 / 42.0) < 1e-6, s"simpson: $s")
     assert(math.abs(s.getDouble(4) - math.floor(42.0 / 8.0 * 100 + 0.500001) / 100)
       < 1e-9, s"inverse: $s")
+    // Yule's K on the same census: Σf² = 9+4+1+1 = 15, N = 7 ⇒
+    // K = 10⁴·(15−7)/49
+    val y = graft.SparkEntry.queries("q_yule_k")(spark, dir).head
+    assert(y.getLong(1) === 7L && y.getLong(2) === 4L && y.getLong(3) === 15L)
+    assert(y.getDouble(4) ===
+      math.floor(10000.0 * 8.0 / 49.0 * 1e4 + 0.500001) / 1e4, s"yule: $y")
   }
 
   test("duplicate 8-gram spans and Kish ESS follow their closed forms") {
