@@ -83,6 +83,42 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // ---- readability scorecard per source (r11) ----------------------------
+    // The classic curation signal q_text_quality's stopword/length ratios
+    // approximate from the side: Flesch reading ease + Flesch–Kincaid
+    // grade (Flesch 1948; Kincaid 1975) from exact integer word /
+    // sentence / syllable censuses — words = nonempty whitespace tokens,
+    // sentences = [.!?]+ runs (≥1 per doc), syllables ≈ [aeiouy]+ vowel
+    // groups (the standard heuristic; ASCII classes, so Java regex and
+    // RE2 count identically — the q_charclass_profile discipline). One
+    // pushed-down documents scan, three per-doc regex counts inside
+    // codegen, one ≤|sources| aggregate; the two scores are closed-form
+    // floats of the exact BIGINT totals (a wordless source abstains NULL).
+    "q_readability" -> ((s, dir) => {
+      val words = size(filter(TextOps.tokens(lower(col("text"))),
+        tk => length(tk) > 0))
+      val sentences = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      val syllables =
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      val g = t(s, dir, "documents")
+        .select(col("source"), words.as("w"), sentences.as("st"),
+          syllables.as("sy"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("nw"),
+          sum(col("st")).as("ns"), sum(col("sy")).as("nsy"))
+      val wps = col("nw").cast("double") / col("ns").cast("double")
+      val spw = col("nsy").cast("double") / col("nw").cast("double")
+      val ok = col("nw") > 0L
+      g.select(col("source"), col("n_docs"), col("nw").as("n_words"),
+          col("ns").as("n_sentences"), col("nsy").as("n_syllables"),
+          when(ok, r4(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
+            .as("flesch_ease"),
+          when(ok, r4(lit(0.39) * wps + lit(11.8) * spw - lit(15.59)))
+            .as("fk_grade"))
+        .orderBy("source")
+    }),
+
     // oracle-backed: blocked record linkage — the entity-resolution shape:
     // block on a coarse key (p_brand), generate candidate pairs WITHIN the
     // block only (each row vs its successor — bounded fan-out, never the
@@ -3305,6 +3341,37 @@ object LlmQueries {
         |      / CAST(SUM(f * (f - 1)) AS DOUBLE)
         |    * 100.0 + 0.500001) / 100.0 AS inv_simpson
         |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical ASCII regex censuses (nonempty whitespace tokens, [.!?]+
+    // runs clamped ≥1, [aeiouy]+ vowel groups), exact BIGINT totals, and
+    // the same left-associated two-score float compose
+    "q_readability" ->
+      """WITH perdoc AS (
+        |  SELECT source,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0)) AS w,
+        |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS st,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS nw, CAST(SUM(st) AS BIGINT) AS ns,
+        |    CAST(SUM(sy) AS BIGINT) AS nsy
+        |  FROM perdoc GROUP BY source
+        |)
+        |SELECT source, n_docs, nw AS n_words, ns AS n_sentences,
+        |  nsy AS n_syllables,
+        |  CASE WHEN nw > 0 THEN
+        |    FLOOR((206.835
+        |      - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      - 84.6 * (CAST(nsy AS DOUBLE) / CAST(nw AS DOUBLE)))
+        |      * 10000.0 + 0.500001) / 10000.0 END AS flesch_ease,
+        |  CASE WHEN nw > 0 THEN
+        |    FLOOR((0.39 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      + 11.8 * (CAST(nsy AS DOUBLE) / CAST(nw AS DOUBLE))
+        |      - 15.59)
+        |      * 10000.0 + 0.500001) / 10000.0 END AS fk_grade
+        |FROM g ORDER BY source""".stripMargin,
 
     // identical tokenization + census; Σf² exact in HUGEINT, K the same
     // left-associated float compose of the exact integers

@@ -692,6 +692,45 @@ object Timeseries {
           (pR < lit(0.05)).cast("long").as("reject_95"))
     }),
 
+    // ---- turning-point randomness test (beyond reference, r11) ------------
+    // Kendall's phase test — the third face of "is this series random?"
+    // next to q_runs_test (sign runs of DIFFS) and q_ljung_box
+    // (autocorrelation): count interior days that are strict local
+    // extrema. Under i.i.d. exchangeability every interior triple is a
+    // turning point with probability 2/3, so E[T] = 2(n−2)/3 and Var =
+    // (16n−29)/90 (Kendall & Stuart) — too few peaks means trend/
+    // persistence, too many means alternation. T and n are EXACT BIGINTs
+    // off one lag/lead window over the calendar-bounded daily frame
+    // (ties break strictness on both engines identically — a tied
+    // neighbour is not an extremum); z is one closed-form float, n < 3
+    // abstains NULL.
+    "q_turning_points" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val lagged = daily
+        .withColumn("p", lag(col("rev"), 1).over(w))
+        .withColumn("nx", lead(col("rev"), 1).over(w))
+      val isTp = when(col("p").isNotNull && col("nx").isNotNull &&
+        ((col("p") < col("rev") && col("nx") < col("rev")) ||
+          (col("p") > col("rev") && col("nx") > col("rev"))), 1L)
+        .otherwise(0L)
+      val g = lagged.agg(count(lit(1)).as("n"), sum(isTp).as("t"))
+      val nD = col("n").cast("double")
+      val e = lit(2.0) * (nD - lit(2.0)) / lit(3.0)
+      val v = (lit(16.0) * nD - lit(29.0)) / lit(90.0)
+      val z = (col("t").cast("double") - e) / sqrt(v)
+      val ok = col("n") >= 3L
+      val zR = when(ok, r6(z))
+      g.select(col("n").as("n_days"), col("t").as("n_turning"),
+        when(ok, r4(e)).as("expected"), zR.as("z_stat"),
+        coalesce((abs(zR) > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("reject_95"))
+    }),
+
     "q_drift_psi" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_totalprice").as("v"),
         (to_date(col("o_orderdate")) < lit("1999-01-01").cast("date")).as("is_ref"))
@@ -1204,6 +1243,127 @@ object Timeseries {
           .when(col("dw") < 1.5, "positive")
           .when(col("dw") > 2.5, "negative")
           .otherwise("none").as("serial_corr"))
+    }),
+
+    // ---- Cook's distance influence diagnostics (r11) -----------------------
+    // WHICH days move the trend line? — the influence question
+    // q_durbin_watson's global DW can't localize (Cook 1977): Dᵢ =
+    // eᵢ²·hᵢ/(p·s²(1−hᵢ)²) with leverage hᵢ = 1/n + (tᵢ−t̄)²/Sₜₜ, p = 2.
+    // Same exact-integer moment row as DW broadcasts back, every residual
+    // is the identical deterministic double, e² quantizes to integer
+    // cents² BEFORE the RSS sum (the DW discipline — aggregation order
+    // cannot diverge engines) and each Dᵢ is then a PER-ROW closed-form
+    // float of broadcast scalars. Top 10 by (r6-rounded D, day); the
+    // influential flag uses the conventional 4/n cut compared rounded-
+    // to-rounded so it cannot flip cross-engine. Degenerate frames
+    // (n ≤ 2, flat calendar) drop to empty output identically.
+    "q_cooks_distance" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .withColumn("tt",
+          datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+      val revd = col("rev").cast("decimal(20,0)")
+      val ttd = col("tt").cast("decimal(20,0)")
+      val m = daily.agg(
+        count(lit(1)).as("n"), sum(col("tt")).as("st"),
+        sum(col("rev")).as("sy"), sum(ttd * ttd).as("stt"),
+        sum(ttd * revd).as("sty"))
+      val nD = col("n").cast("double"); val stD = col("st").cast("double")
+      val syD = col("sy").cast("double")
+      val denom = nD * col("stt").cast("double") - stD * stD
+      val b = when(denom =!= 0.0,
+        (nD * col("sty").cast("double") - stD * syD) / denom)
+      val ab = m.select(col("n"), b.as("b"),
+        ((syD - b * stD) / nD).as("a"),
+        (col("stt").cast("double") - stD * stD / nD).as("s_tt"),
+        (stD / nD).as("tbar"))
+      val resid = daily.crossJoin(broadcast(ab))
+        .withColumn("e",
+          col("rev").cast("double") - col("a") -
+            col("b") * col("tt").cast("double"))
+        .withColumn("u",
+          floor(col("e") * col("e") + lit(0.500001)).cast("decimal(38,0)"))
+      val rss = resid.agg(sum(col("u")).as("rss_q"))
+      val dt = col("tt").cast("double") - col("tbar")
+      val full = resid.crossJoin(broadcast(rss))
+        .withColumn("h", lit(1.0) / col("n").cast("double") +
+          dt * dt / col("s_tt"))
+        .withColumn("s2", col("rss_q").cast("double") /
+          (col("n").cast("double") - lit(2.0)))
+        .withColumn("dcook", when(col("n") > 2L && col("s_tt") > 0.0,
+          col("u").cast("double") * col("h") /
+            (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+              (lit(1.0) - col("h")))))
+        .where(col("dcook").isNotNull)
+      val dR = r6(col("dcook"))
+      val cut = r6(lit(4.0) / col("n").cast("double"))
+      full
+        .withColumn("d_r", dR)
+        .withColumn("rk", row_number().over(
+          BoundedWindow.ordered(col("day"), col("d_r").desc, col("day"))))
+        .where(col("rk") <= 10)
+        .select(col("day"), (col("rev") / lit(100)).as("rev_dollars"),
+          r6(col("h")).as("leverage"), col("d_r").as("cook_d"),
+          (col("d_r") > cut).cast("long").as("influential"))
+        .orderBy(col("cook_d").desc, col("day"))
+    }),
+
+    // ---- Breusch–Pagan heteroscedasticity test (r11) -----------------------
+    // Does the trend fit's residual VARIANCE drift with time? — the
+    // second OLS diagnostic next to DW's serial correlation (Breusch &
+    // Pagan 1979, Koenker's studentized form simplified to the LM = n·R²
+    // of e² on t): growing daily volume means growing absolute noise,
+    // exactly what a homoscedastic forecast interval would understate.
+    // The squared residuals are the SAME integer-cents²-quantized u as
+    // q_cooks_distance (identical doubles both engines, order-free
+    // sums: Σu, Σu², Σt·u all exact in decimal(38,0)); R² is a closed-
+    // form float of those exact moments. Degenerate frames (flat u,
+    // flat t) abstain NULL via the variance guards (§2.13).
+    "q_breusch_pagan" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .withColumn("tt",
+          datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+      val revd = col("rev").cast("decimal(20,0)")
+      val ttd = col("tt").cast("decimal(20,0)")
+      val m = daily.agg(
+        count(lit(1)).as("n"), sum(col("tt")).as("st"),
+        sum(col("rev")).as("sy"), sum(ttd * ttd).as("stt"),
+        sum(ttd * revd).as("sty"))
+      val nD = col("n").cast("double"); val stD = col("st").cast("double")
+      val syD = col("sy").cast("double")
+      val denom = nD * col("stt").cast("double") - stD * stD
+      val b = when(denom =!= 0.0,
+        (nD * col("sty").cast("double") - stD * syD) / denom)
+      val ab = m.select(col("n"), col("st"), col("stt"), b.as("b"),
+        ((syD - b * stD) / nD).as("a"))
+      val resid = daily.crossJoin(broadcast(ab))
+        .withColumn("e",
+          col("rev").cast("double") - col("a") -
+            col("b") * col("tt").cast("double"))
+        .withColumn("u",
+          floor(col("e") * col("e") + lit(0.500001)).cast("decimal(38,0)"))
+      val g = resid.groupBy(col("n"), col("st"), col("stt"))
+        .agg(sum(col("u")).as("su"),
+          sum(col("u") * col("u")).as("suu"),
+          sum(col("tt").cast("decimal(38,0)") * col("u")).as("stu"))
+      val suD = col("su").cast("double")
+      val sut = col("stu").cast("double") - stD * suD / nD
+      val suu = col("suu").cast("double") - suD * suD / nD
+      val sttC = col("stt").cast("double") - stD * stD / nD
+      val ok = suu > 0.0 && sttC > 0.0
+      val lm = when(ok, nD * (sut * sut / (suu * sttC)))
+      val lmR = r4(lm)
+      g.select(col("n").as("n_days"),
+        when(ok, r6(sut / sttC)).as("het_slope"),
+        lmR.as("lm_stat"),
+        coalesce((lmR > lit(3.8415)).cast("long"), lit(0L)).as("reject_95"))
     }),
 
     // ---- Granger causality, 1 lag (r11) -----------------------------------
@@ -2247,6 +2407,203 @@ object Timeseries {
         |  CAST(CASE WHEN p_approx < 0.05 THEN 1 ELSE 0 END AS BIGINT)
         |    AS reject_95
         |FROM fin""".stripMargin,
+
+    // identical daily frame, the same strict-extremum census (ties are
+    // not extrema on either engine), and the identical closed-form
+    // moment sequence
+    "q_turning_points" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), lagged AS (
+        |  SELECT rev,
+        |    LAG(rev, 1) OVER (ORDER BY day) AS p,
+        |    LEAD(rev, 1) OVER (ORDER BY day) AS nx
+        |  FROM daily
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+        |      AND ((p < rev AND nx < rev) OR (p > rev AND nx > rev))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM lagged
+        |)
+        |SELECT n AS n_days, t AS n_turning,
+        |  CASE WHEN n >= 3 THEN
+        |    FLOOR(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0
+        |      * 10000.0 + 0.500001) / 10000.0 END AS expected,
+        |  CASE WHEN n >= 3 THEN
+        |    FLOOR((CAST(t AS DOUBLE)
+        |        - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+        |      / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS z_stat,
+        |  CAST(COALESCE(CASE WHEN n >= 3 THEN
+        |    CASE WHEN ABS(FLOOR((CAST(t AS DOUBLE)
+        |        - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+        |      / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+        |      * 1000000.0 + 0.500001) / 1000000.0) > 1.959963984540054
+        |    THEN 1 ELSE 0 END END, 0) AS BIGINT) AS reject_95
+        |FROM g""".stripMargin,
+
+    // identical daily OLS chain as q_durbin_watson (same moment CTEs,
+    // same deterministic residual doubles, same integer-cents²
+    // quantization before the RSS sum); leverage/D are the identical
+    // per-row closed forms of broadcast scalars, ranking on the ROUNDED
+    // D with day tie-break, the 4/n cut compared rounded-to-rounded
+    "q_cooks_distance" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT day, rev,
+        |    CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS tt
+        |  FROM daily
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(tt) AS BIGINT) AS st, CAST(SUM(rev) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(tt AS HUGEINT) * tt) AS HUGEINT) AS stt,
+        |    CAST(SUM(CAST(tt AS HUGEINT) * rev) AS HUGEINT) AS sty
+        |  FROM dd
+        |), ab0 AS (
+        |  SELECT n, st, sy, stt,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0
+        |      THEN (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+        |      END AS b
+        |  FROM m
+        |), ab AS (
+        |  SELECT n, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS a,
+        |    CAST(stt AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS s_tt,
+        |    CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS tbar
+        |  FROM ab0
+        |), uq AS (
+        |  SELECT dd.day, dd.rev, dd.tt, ab.n, ab.s_tt, ab.tbar,
+        |    CAST(FLOOR(
+        |      (CAST(dd.rev AS DOUBLE) - ab.a - ab.b * CAST(dd.tt AS DOUBLE))
+        |      * (CAST(dd.rev AS DOUBLE) - ab.a - ab.b * CAST(dd.tt AS DOUBLE))
+        |      + 0.500001) AS HUGEINT) AS u
+        |  FROM dd CROSS JOIN ab
+        |), rss AS (SELECT SUM(u) AS rss_q FROM uq),
+        |dk AS (
+        |  SELECT uq.day, uq.rev, uq.n,
+        |    1.0 / CAST(uq.n AS DOUBLE)
+        |      + (CAST(uq.tt AS DOUBLE) - uq.tbar)
+        |        * (CAST(uq.tt AS DOUBLE) - uq.tbar) / uq.s_tt AS h,
+        |    CASE WHEN uq.n > 2 AND uq.s_tt > 0.0 THEN
+        |      CAST(uq.u AS DOUBLE)
+        |        * (1.0 / CAST(uq.n AS DOUBLE)
+        |           + (CAST(uq.tt AS DOUBLE) - uq.tbar)
+        |             * (CAST(uq.tt AS DOUBLE) - uq.tbar) / uq.s_tt)
+        |        / (2.0 * (CAST(rss.rss_q AS DOUBLE)
+        |                  / (CAST(uq.n AS DOUBLE) - 2.0))
+        |           * (1.0 - (1.0 / CAST(uq.n AS DOUBLE)
+        |                + (CAST(uq.tt AS DOUBLE) - uq.tbar)
+        |                  * (CAST(uq.tt AS DOUBLE) - uq.tbar) / uq.s_tt))
+        |           * (1.0 - (1.0 / CAST(uq.n AS DOUBLE)
+        |                + (CAST(uq.tt AS DOUBLE) - uq.tbar)
+        |                  * (CAST(uq.tt AS DOUBLE) - uq.tbar) / uq.s_tt)))
+        |      END AS dcook
+        |  FROM uq CROSS JOIN rss
+        |), rk AS (
+        |  SELECT day, rev, n, h,
+        |    FLOOR(dcook * 1000000.0 + 0.500001) / 1000000.0 AS d_r,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY FLOOR(dcook * 1000000.0 + 0.500001) / 1000000.0 DESC,
+        |        day) AS rk
+        |  FROM dk WHERE dcook IS NOT NULL
+        |)
+        |SELECT day, rev / 100 AS rev_dollars,
+        |  FLOOR(h * 1000000.0 + 0.500001) / 1000000.0 AS leverage,
+        |  d_r AS cook_d,
+        |  CAST(CASE WHEN d_r >
+        |      FLOOR(4.0 / CAST(n AS DOUBLE) * 1000000.0 + 0.500001)
+        |        / 1000000.0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS influential
+        |FROM rk WHERE rk <= 10 ORDER BY cook_d DESC, day""".stripMargin,
+
+    // same OLS + quantized-u chain; the LM compose is the identical
+    // left-associated float sequence of the exact moments, guards mirror
+    // (flat u / flat t abstain NULL, reject pinned 0)
+    "q_breusch_pagan" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT day, rev,
+        |    CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS tt
+        |  FROM daily
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(tt) AS BIGINT) AS st, CAST(SUM(rev) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(tt AS HUGEINT) * tt) AS HUGEINT) AS stt,
+        |    CAST(SUM(CAST(tt AS HUGEINT) * rev) AS HUGEINT) AS sty
+        |  FROM dd
+        |), ab0 AS (
+        |  SELECT n, st, sy, stt,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0
+        |      THEN (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+        |      END AS b
+        |  FROM m
+        |), ab AS (
+        |  SELECT n, st, stt, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS a
+        |  FROM ab0
+        |), uq AS (
+        |  SELECT dd.tt, ab.n, ab.st, ab.stt,
+        |    CAST(FLOOR(
+        |      (CAST(dd.rev AS DOUBLE) - ab.a - ab.b * CAST(dd.tt AS DOUBLE))
+        |      * (CAST(dd.rev AS DOUBLE) - ab.a - ab.b * CAST(dd.tt AS DOUBLE))
+        |      + 0.500001) AS HUGEINT) AS u
+        |  FROM dd CROSS JOIN ab
+        |), g AS (
+        |  SELECT n, st, stt, SUM(u) AS su,
+        |    SUM(CAST(u AS HUGEINT) * u) AS suu,
+        |    SUM(CAST(tt AS HUGEINT) * u) AS stu
+        |  FROM uq GROUP BY n, st, stt
+        |), fin AS (
+        |  SELECT n,
+        |    CAST(stu AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(su AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS sut,
+        |    CAST(suu AS DOUBLE)
+        |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS suu_c,
+        |    CAST(stt AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS sttc
+        |  FROM g
+        |), fin2 AS (
+        |  SELECT n, sut, suu_c, sttc,
+        |    CASE WHEN suu_c > 0.0 AND sttc > 0.0 THEN
+        |      FLOOR(CAST(n AS DOUBLE) * (sut * sut / (suu_c * sttc))
+        |        * 10000.0 + 0.500001) / 10000.0 END AS lm
+        |  FROM fin
+        |)
+        |SELECT n AS n_days,
+        |  CASE WHEN suu_c > 0.0 AND sttc > 0.0 THEN
+        |    FLOOR(sut / sttc * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS het_slope,
+        |  lm AS lm_stat,
+        |  CAST(COALESCE(CASE WHEN lm > 3.8415 THEN 1 ELSE 0 END, 0)
+        |    AS BIGINT) AS reject_95
+        |FROM fin2""".stripMargin,
 
     "q_drift_psi" ->
       """WITH o AS (

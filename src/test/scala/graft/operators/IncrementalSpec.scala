@@ -1347,6 +1347,82 @@ class IncrementalSpec extends SparkSpec {
     assert(rc.getDate(1).toLocalDate === java.time.LocalDate.of(2020, 1, 1))
   }
 
+  test("turning points: alternation saturates T = n−2, a ramp has none") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tp").toString
+      vals.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), v)
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // strict alternation: every interior day is an extremum ⇒ T = 39 vs
+    // E = 26 ⇒ z = 13/√(627/90) ≈ 4.93, far too MANY phases
+    val alt = (0 until 41).map(i => if (i % 2 == 0) 100.0 else 200.0)
+    val ra = SparkEntry.queries("q_turning_points")(spark, mk(alt)).head()
+    assert(ra.getLong(0) === 41L && ra.getLong(1) === 39L)
+    assert(ra.getDouble(2) === 26.0 && ra.getDouble(3) > 1.96 &&
+      ra.getLong(4) === 1L, s"$ra")
+    // a strict ramp has zero extrema ⇒ far too FEW
+    val ramp = (0 until 40).map(i => 100.0 + 10.0 * i)
+    val rr = SparkEntry.queries("q_turning_points")(spark, mk(ramp)).head()
+    assert(rr.getLong(1) === 0L && rr.getDouble(3) < -1.96 &&
+      rr.getLong(4) === 1L, s"$rr")
+  }
+
+  test("Cook's distance: a planted off-line spike day ranks first and flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cd").toString
+    // 40 days exactly on 100 + 10t dollars, except day 20 spiked 100×:
+    // every other residual is small, the spike owns the ranking
+    (0 until 40).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()),
+        if (i == 20) 30000.0 else 100.0 + 10.0 * i)
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q_cooks_distance")(spark, dir).collect()
+    assert(rows.length === 10)
+    val top = rows.head
+    assert(top.getDate(0).toLocalDate ===
+      java.time.LocalDate.of(2020, 1, 21), s"spike day must rank first: $top")
+    assert(top.getLong(4) === 1L, s"spike is influential at 4/n: $top")
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0,
+        s"leverage in (0,1): $r")
+      assert(r.getDouble(3) >= 0.0, s"D nonneg: $r")
+    }
+  }
+
+  test("Breusch–Pagan: growing wobble rejects, exactly-constant wobble abstains") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bp").toString
+      vals.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), v)
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // amplitude grows linearly with t: squared residuals trend up ⇒
+    // positive het slope, LM far past χ²₁
+    val grow = (0 until 80).map(i =>
+      1000.0 + (if (i % 2 == 0) 1.0 else -1.0) * (i + 1))
+    val rg = SparkEntry.queries("q_breusch_pagan")(spark, mk(grow)).head()
+    assert(rg.getLong(0) === 80L)
+    assert(rg.getDouble(1) > 0.0, s"variance grows with t: $rg")
+    assert(rg.getDouble(2) > 3.8415 && rg.getLong(3) === 1L, s"$rg")
+    // the (+,−,−,+) Morse pattern around an exact line: Σε = Σtε = 0 per
+    // 4-block, so OLS recovers the true line EXACTLY and every squared
+    // residual is the same integer ⇒ Suu = 0 ⇒ abstains NULL
+    val morse = Seq(1.0, -1.0, -1.0, 1.0)
+    val const = (0 until 40).map(i => 1000.0 + 2.0 * i + 50.0 * morse(i % 4))
+    val rc = SparkEntry.queries("q_breusch_pagan")(spark, mk(const)).head()
+    assert(rc.isNullAt(1) && rc.isNullAt(2) && rc.getLong(3) === 0L,
+      s"flat u abstains: $rc")
+  }
+
   test("Pettitt on real data: K bounded by t(n−t), p in [0,1], U telescopes") {
     val r = SparkEntry.queries("q_pettitt")(spark, sf).head()
     val n = r.getLong(0)

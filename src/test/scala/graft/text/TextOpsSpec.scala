@@ -42,6 +42,23 @@ class TextOpsSpec extends SparkSpec {
       math.floor(10000.0 * 8.0 / 49.0 * 1e4 + 0.500001) / 1e4, s"yule: $y")
   }
 
+  test("readability: hand-counted words/sentences/syllables hit both scores") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fre").toString
+    // 6 words, 2 sentence runs, 6 vowel groups ⇒ W/S = 3, Syl/W = 1:
+    // FRE = 206.835 − 1.015·3 − 84.6 = 119.19, FKGL = 1.17 + 11.8 − 15.59
+    Seq((0L, "The cat sat. The cat ran!", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("q_readability")(spark, dir).head
+    assert(r.getLong(1) === 1L && r.getLong(2) === 6L &&
+      r.getLong(3) === 2L && r.getLong(4) === 6L, s"censuses: $r")
+    assert(r.getDouble(5) === 119.19, s"flesch: $r")
+    assert(r.getDouble(6) === -2.62, s"fk grade: $r")
+  }
+
   test("duplicate 8-gram spans and Kish ESS follow their closed forms") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dng").toString
