@@ -837,6 +837,65 @@ object Analytics {
             tau.cast("double")).as("retained_share"))
     }),
 
+    // ---- Kaplan–Meier Greenwood confidence bands (r11) ---------------------
+    // The uncertainty q_survival's point curve hides: Greenwood's (1926)
+    // variance V̂[S(t)] = S(t)²·Σ_{i≤t} dᵢ/(nᵢ(nᵢ−dᵢ)), the standard KM
+    // standard error every survival plot shades. Same calendar-bounded
+    // KM frame and ordered-cumulative discipline as q_survival (identical
+    // float term sequence both engines); the Greenwood sum is a SECOND
+    // cumulative over the same ordered window. The d = n tail (S pinned
+    // 0) and d = n partial terms abstain the band with NULL — the
+    // variance formula divides by n−d, so both engines skip those terms
+    // identically and flag the dead tail. Bands clamp to [0, 1].
+    "q_km_ci" -> ((s, dir) => {
+      val asOf = lit(SegAsOf).cast("date")
+      val life = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("first_d"),
+          to_date(max(col("o_orderdate"))).as("last_d"))
+        .select(datediff(col("last_d"), col("first_d")).cast("long")
+          .as("t_days"),
+          (datediff(asOf, col("last_d")) > lit(ChurnGapDays))
+            .cast("long").as("event"))
+      val byT = life.groupBy("t_days")
+        .agg(count(lit(1)).as("n_at_t"), sum(col("event")).as("n_events"))
+      val wOrd = BoundedWindow.ordered(col("t_days"), col("t_days"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = BoundedWindow.whole(col("t_days"))
+      val withRisk = byT.withColumn("n_risk",
+        sum(col("n_at_t")).over(wAll) - coalesce(
+          sum(col("n_at_t")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val lnTerm = when(col("n_events") > 0 &&
+        col("n_events") < col("n_risk"),
+        log(lit(1.0) - col("n_events").cast("double")
+          / col("n_risk").cast("double"))).otherwise(lit(0.0))
+      val gwTerm = when(col("n_events") > 0 &&
+        col("n_events") < col("n_risk"),
+        col("n_events").cast("double") /
+          (col("n_risk").cast("double") *
+            (col("n_risk") - col("n_events")).cast("double")))
+        .otherwise(lit(0.0))
+      val dead = when(col("n_events") >= col("n_risk"), lit(1L))
+        .otherwise(lit(0L))
+      val cum = withRisk
+        .withColumn("ln_s", sum(lnTerm).over(wCum))
+        .withColumn("gw", sum(gwTerm).over(wCum))
+        .withColumn("is_dead", max(dead).over(wCum))
+      val sv = exp(col("ln_s"))
+      val se = sv * sqrt(col("gw"))
+      val z = lit(1.959963984540054)
+      cum.select(col("t_days"), col("n_risk"), col("n_events"),
+          when(col("is_dead") === 1, lit(0.0)).otherwise(r6(sv))
+            .as("survival"),
+          when(col("is_dead") === 0, r6(se)).as("se"),
+          when(col("is_dead") === 0,
+            r6(greatest(sv - z * se, lit(0.0)))).as("ci_lo"),
+          when(col("is_dead") === 0,
+            r6(least(sv + z * se, lit(1.0)))).as("ci_hi"))
+        .orderBy("t_days")
+    }),
+
     // ---- log-rank two-group survival test (beyond reference, r11) ---------
     // The comparison q_survival's single curve can't make: do BUILDING-
     // segment customers churn on a DIFFERENT schedule than everyone else?
@@ -1133,6 +1192,60 @@ object Analytics {
         |  CASE WHEN dead = 1 THEN 0.0
         |    ELSE FLOOR(EXP(ln_s) * 1000000.0 + 0.500001) / 1000000.0 END
         |    AS survival
+        |FROM s ORDER BY t_days""".stripMargin,
+
+    // same KM chain as q_survival plus the Greenwood cumulative — both
+    // ordered float sums replay op-for-op; the d=n dead tail abstains the
+    // band with NULL identically, clamps mirror
+    "q_km_ci" ->
+      """WITH life AS (
+        |  SELECT CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |      MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS t_days,
+        |    CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |      DATE '2001-09-01') > 90 THEN 1 ELSE 0 END AS event
+        |  FROM orders GROUP BY o_custkey
+        |), byt AS (
+        |  SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+        |    CAST(SUM(event) AS BIGINT) AS n_events
+        |  FROM life GROUP BY t_days
+        |), risk AS (
+        |  SELECT t_days, n_at_t, n_events,
+        |    CAST(SUM(n_at_t) OVER () AS BIGINT) - CAST(COALESCE(
+        |      SUM(n_at_t) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt
+        |), s AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN n_events > 0 AND n_events < n_risk
+        |      THEN LN(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER w AS ln_s,
+        |    SUM(CASE WHEN n_events > 0 AND n_events < n_risk
+        |      THEN CAST(n_events AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE)
+        |           * CAST(n_risk - n_events AS DOUBLE))
+        |      ELSE 0.0 END) OVER w AS gw,
+        |    MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+        |      OVER w AS dead
+        |  FROM risk
+        |  WINDOW w AS (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT t_days, n_risk, n_events,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE FLOOR(EXP(ln_s) * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS survival,
+        |  CASE WHEN dead = 0 THEN
+        |    FLOOR(EXP(ln_s) * SQRT(gw) * 1000000.0 + 0.500001) / 1000000.0
+        |    END AS se,
+        |  CASE WHEN dead = 0 THEN
+        |    FLOOR(GREATEST(EXP(ln_s)
+        |        - 1.959963984540054 * (EXP(ln_s) * SQRT(gw)), 0.0)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS ci_lo,
+        |  CASE WHEN dead = 0 THEN
+        |    FLOOR(LEAST(EXP(ln_s)
+        |        + 1.959963984540054 * (EXP(ln_s) * SQRT(gw)), 1.0)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS ci_hi
         |FROM s ORDER BY t_days""".stripMargin,
 
     // identical lifetime frame + segment join, the same prefix-window risk

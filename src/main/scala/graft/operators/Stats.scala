@@ -2035,6 +2035,38 @@ object Stats {
           .as("reject_95"))
     }),
 
+    // ---- Poisson dispersion index (r11) ------------------------------------
+    // The model check BEHIND q_poisson_rate's Wald z: that test assumes
+    // arrivals are Poisson (variance = mean); the index of dispersion
+    // D = s²/x̄ over per-user purchase counts measures whether they are
+    // (Fisher 1950 — D·(n−1) ~ χ²ₙ₋₁ under the null, normal-approximated
+    // as z = (D−1)·√((n−1)/2) at these n). Overdispersion (D ≫ 1,
+    // clumpy users) is the usual finding and invalidates equal-variance
+    // assumptions downstream. One user-keyed shuffle to counts, one
+    // aggregate to exact BIGINTs (Σk, Σk² in decimal); D, z are a
+    // closed-form float sequence; n ≤ 1 or x̄ = 0 abstains NULL.
+    "q_dispersion" -> ((s, dir) => {
+      val byUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum((col("event_type") === "purchase").cast("long")).as("k"))
+      val m = byUser.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("k").cast("decimal(38,0)") * col("k")).as("skk"))
+      val nD = col("n").cast("double")
+      val mean = col("sk").cast("double") / nD
+      val vr = (col("skk").cast("double") -
+        col("sk").cast("double") * col("sk").cast("double") / nD) /
+        (nD - lit(1.0))
+      val ok = col("n") > 1L && col("sk") > 0L
+      val dIdx = vr / mean
+      val z = (dIdx - lit(1.0)) * sqrt((nD - lit(1.0)) / lit(2.0))
+      val zR = when(ok, r6(z))
+      m.select(col("n").as("n_users"), col("sk").as("n_purchases"),
+        when(ok, r6(mean)).as("mean_k"), when(ok, r6(vr)).as("var_k"),
+        when(ok, r6(dIdx)).as("dispersion"), zR.as("z_stat"),
+        coalesce((zR > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("overdispersed_95"))
+    }),
+
     // ---- Wald SPRT: sequential probability ratio test (r10) ---------------
     // The fixed-n tests above answer "significant after seeing it all";
     // the SPRT (Wald 1945) answers "how EARLY could we have stopped?" —
@@ -4645,6 +4677,47 @@ object Stats {
         |  CAST(COALESCE(CASE WHEN chi2 > 3.8415 THEN 1 ELSE 0 END, 0)
         |    AS BIGINT) AS reject_95
         |FROM fin""".stripMargin,
+
+    // identical per-user counts and exact Σk/Σk² (HUGEINT), the same
+    // left-associated D/z float compose; n ≤ 1 or zero purchases
+    // abstains NULL identically
+    "q_dispersion" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(k) AS BIGINT) AS sk,
+        |    SUM(CAST(k AS HUGEINT) * k) AS skk
+        |  FROM u
+        |), fin AS (
+        |  SELECT n, sk, n > 1 AND sk > 0 AS ok,
+        |    CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS mean_k,
+        |    (CAST(skk AS DOUBLE)
+        |      - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS var_k
+        |  FROM m
+        |), fin2 AS (
+        |  SELECT n, sk, ok, mean_k, var_k, var_k / mean_k AS d,
+        |    CASE WHEN ok THEN
+        |      FLOOR((var_k / mean_k - 1.0)
+        |        * SQRT((CAST(n AS DOUBLE) - 1.0) / 2.0)
+        |        * 1000000.0 + 0.500001) / 1000000.0 END AS z
+        |  FROM fin
+        |)
+        |SELECT n AS n_users, sk AS n_purchases,
+        |  CASE WHEN ok THEN FLOOR(mean_k * 1000000.0 + 0.500001)
+        |    / 1000000.0 END AS mean_k,
+        |  CASE WHEN ok THEN FLOOR(var_k * 1000000.0 + 0.500001)
+        |    / 1000000.0 END AS var_k,
+        |  CASE WHEN ok THEN FLOOR(d * 1000000.0 + 0.500001)
+        |    / 1000000.0 END AS dispersion,
+        |  z AS z_stat,
+        |  CAST(COALESCE(CASE WHEN z > 1.959963984540054 THEN 1 ELSE 0 END,
+        |    0) AS BIGINT) AS overdispersed_95
+        |FROM fin2""".stripMargin,
 
     // identical per-user purchase counts, md5 arms, exact BIGINT cell
     // frame, and the same Wald float sequence (plain / NULLs on zero

@@ -1366,6 +1366,146 @@ object Timeseries {
         coalesce((lmR > lit(3.8415)).cast("long"), lit(0L)).as("reject_95"))
     }),
 
+    // ---- Chow structural-break test (r11) ----------------------------------
+    // The KNOWN-date counterpart of q_changepoint/q_pettitt's searched
+    // break (Chow 1960): did the trend line CHANGE at 1998-01-01 (the
+    // same regime boundary q_drift_psi monitors)? F = ((RSS_full −
+    // RSS₁ − RSS₂)/2) / ((RSS₁+RSS₂)/(n−4)) over the daily OLS. ONE
+    // conditional aggregate produces both segments' exact integer moments
+    // (n, Σt, Σy, Σt², Σty, Σy² — decimal(38,0) products); the FULL
+    // moments are their exact integer sums, so all three RSS values are
+    // closed-form doubles of exact integers — no residual pass at all,
+    // parity structural. Simplified critical: F(2,∞) = χ²₂/2 = 2.9957
+    // (the q_dickey_fuller asymptotic-critical stance). Degenerate
+    // segments (n < 3, flat t, zero pooled RSS) abstain NULL. Also
+    // reports the break's effect size (RSS reduction share).
+    "q_chow" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .withColumn("tt",
+          datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+        .withColumn("pre",
+          (col("day") < lit("1998-01-01").cast("date")).cast("long"))
+      val revd = col("rev").cast("decimal(38,0)")
+      val ttd = col("tt").cast("decimal(38,0)")
+      def seg(p: Int, nm: String): Seq[Column] = {
+        val in = col("pre") === p.toLong
+        Seq(sum(when(in, 1L).otherwise(0L)).as(s"n$nm"),
+          sum(when(in, col("tt")).otherwise(0L)).as(s"st$nm"),
+          sum(when(in, col("rev")).otherwise(0L)).as(s"sy$nm"),
+          sum(when(in, ttd * ttd).otherwise(lit(0).cast("decimal(38,0)")))
+            .as(s"stt$nm"),
+          sum(when(in, ttd * revd).otherwise(lit(0).cast("decimal(38,0)")))
+            .as(s"sty$nm"),
+          sum(when(in, revd * revd).otherwise(lit(0).cast("decimal(38,0)")))
+            .as(s"syy$nm"))
+      }
+      val aggs = seg(1, "1") ++ seg(0, "2")
+      val m = daily.agg(aggs.head, aggs.tail: _*)
+      def rss(n: Column, st: Column, sy: Column, stt: Column, sty: Column,
+          syy: Column): (Column, Column) = {
+        val nD = n.cast("double"); val stD = st.cast("double")
+        val syD = sy.cast("double")
+        val sxx = stt.cast("double") - stD * stD / nD
+        val sxy = sty.cast("double") - stD * syD / nD
+        val syyC = syy.cast("double") - syD * syD / nD
+        (sxx, syyC - sxy * sxy / sxx)
+      }
+      def c(nm: String, f: String): Column = col(s"$f$nm")
+      val (sxx1, rss1) = rss(c("1", "n"), c("1", "st"), c("1", "sy"),
+        c("1", "stt"), c("1", "sty"), c("1", "syy"))
+      val (sxx2, rss2) = rss(c("2", "n"), c("2", "st"), c("2", "sy"),
+        c("2", "stt"), c("2", "sty"), c("2", "syy"))
+      val (sxxF, rssF) = rss(c("1", "n") + c("2", "n"),
+        c("1", "st") + c("2", "st"), c("1", "sy") + c("2", "sy"),
+        c("1", "stt") + c("2", "stt"), c("1", "sty") + c("2", "sty"),
+        c("1", "syy") + c("2", "syy"))
+      val nD = (c("1", "n") + c("2", "n")).cast("double")
+      val ok = c("1", "n") >= 3L && c("2", "n") >= 3L &&
+        sxx1 > 0.0 && sxx2 > 0.0 && sxxF > 0.0 && (rss1 + rss2) > 0.0
+      val f = ((rssF - rss1 - rss2) / lit(2.0)) /
+        ((rss1 + rss2) / (nD - lit(4.0)))
+      val fR = r4(when(ok, f))
+      m.select(c("1", "n").as("n_pre"), c("2", "n").as("n_post"),
+        fR.as("f_stat"),
+        when(ok, r6((rssF - rss1 - rss2) / rssF)).as("break_share"),
+        coalesce((fR > lit(2.9957)).cast("long"), lit(0L)).as("reject_95"))
+    }),
+
+    // ---- binary transfer entropy (r11) -------------------------------------
+    // The information-theoretic complement of q_granger's LINEAR one-lag
+    // F-test (Schreiber 2000): TE(X→Y) = Σ p(y_t, y_{t−1}, x_{t−1}) ·
+    // ln[ p(y_t|y_{t−1},x_{t−1}) / p(y_t|y_{t−1}) ] over the BINARIZED
+    // daily moves (up vs not, strict — ties are "not up" on both
+    // engines), which catches nonlinear lead-lag Granger's F misses. The
+    // corpus reduces to TWO ≤8-cell exact-BIGINT censuses (orders→revenue
+    // and the reverse); every marginal is a window sum over the bounded
+    // cell frame, every ln argument is a ratio of positive exact integers
+    // (groupBy cells have c ≥ 1 so the terms are total — no guards
+    // needed), and each TE is the ordered cumulative term sum (identical
+    // float sequence both engines). Net direction flags on the ROUNDED
+    // pair so it cannot flip cross-engine.
+    "q_transfer_entropy" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"), count(lit(1)).as("cnt"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val moves = daily
+        .withColumn("rp", lag(col("rev"), 1).over(w))
+        .withColumn("cp", lag(col("cnt"), 1).over(w))
+        .where(col("rp").isNotNull)
+        .select(col("day"), (col("rev") > col("rp")).cast("long").as("u"),
+          (col("cnt") > col("cp")).cast("long").as("v"))
+      val lagged = moves
+        .withColumn("u1", lag(col("u"), 1).over(w))
+        .withColumn("v1", lag(col("v"), 1).over(w))
+        .where(col("u1").isNotNull)
+        .localCheckpoint()
+      // one ≤8-cell census + window marginals per direction, each
+      // reduced to a 1-row frame; the two directions cross-join
+      def teFrame(yt: String, y1: String, x1: String,
+          out: String): DataFrame = {
+        val cells = lagged
+          .select(col(yt).as("yt"), col(y1).as("y1"), col(x1).as("x1"))
+          .groupBy("yt", "y1", "x1").agg(count(lit(1)).as("c"))
+        val cellsM = cells
+          .withColumn("nn", sum(col("c")).over(
+            BoundedWindow.whole(col("yt"))))
+          .withColumn("n_y1", sum(col("c")).over(
+            Window.partitionBy(col("y1"))))
+          .withColumn("n_y1x1", sum(col("c")).over(
+            Window.partitionBy(col("y1"), col("x1"))))
+          .withColumn("n_yty1", sum(col("c")).over(
+            Window.partitionBy(col("yt"), col("y1"))))
+        val term = (col("c").cast("double") / col("nn").cast("double")) *
+          log(col("c").cast("double") * col("n_y1").cast("double") /
+            (col("n_y1x1").cast("double") * col("n_yty1").cast("double")))
+        val wOrd = BoundedWindow.ordered(col("yt"),
+          col("yt"), col("y1"), col("x1"))
+        cellsM.select(
+            row_number().over(wOrd).as("rn"),
+            count(lit(1)).over(BoundedWindow.whole(col("yt")))
+              .as("n_cells"),
+            sum(term).over(wOrd.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).as(out),
+            col("nn"))
+          .where(col("rn") === col("n_cells"))
+          .select(col("nn"), col(out))
+      }
+      val xy = teFrame("u", "u1", "v1", "te_xy")
+      val yx = teFrame("v", "v1", "u1", "te_yx").drop("nn")
+      val teXy = r6(col("te_xy")); val teYx = r6(col("te_yx"))
+      xy.crossJoin(broadcast(yx))
+        .select(col("nn").as("n_days"), teXy.as("te_orders_to_rev"),
+          teYx.as("te_rev_to_orders"),
+          (teXy > teYx).cast("long").as("orders_lead"))
+    }),
+
     // ---- Granger causality, 1 lag (r11) -----------------------------------
     // The predictive-causality upgrade of q_ccf's symmetric correlation
     // (Granger 1969): does yesterday's ORDER COUNT improve today's
@@ -2530,6 +2670,172 @@ object Timeseries {
         |        / 1000000.0
         |    THEN 1 ELSE 0 END AS BIGINT) AS influential
         |FROM rk WHERE rk <= 10 ORDER BY cook_d DESC, day""".stripMargin,
+
+    // identical one-pass conditional moment census (both segments' exact
+    // integers, FULL = their exact sums), the same closed-form RSS
+    // algebra per segment, and the same left-associated F compose;
+    // guards mirror exactly
+    "q_chow" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT rev,
+        |    CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS tt,
+        |    CASE WHEN day < DATE '1998-01-01' THEN 1 ELSE 0 END AS pre
+        |  FROM daily
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN pre = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN pre = 1 THEN tt ELSE 0 END) AS BIGINT)
+        |      AS st1,
+        |    CAST(SUM(CASE WHEN pre = 1 THEN rev ELSE 0 END) AS BIGINT)
+        |      AS sy1,
+        |    SUM(CASE WHEN pre = 1 THEN CAST(tt AS HUGEINT) * tt
+        |      ELSE 0 END) AS stt1,
+        |    SUM(CASE WHEN pre = 1 THEN CAST(tt AS HUGEINT) * rev
+        |      ELSE 0 END) AS sty1,
+        |    SUM(CASE WHEN pre = 1 THEN CAST(rev AS HUGEINT) * rev
+        |      ELSE 0 END) AS syy1,
+        |    CAST(SUM(CASE WHEN pre = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN pre = 0 THEN tt ELSE 0 END) AS BIGINT)
+        |      AS st2,
+        |    CAST(SUM(CASE WHEN pre = 0 THEN rev ELSE 0 END) AS BIGINT)
+        |      AS sy2,
+        |    SUM(CASE WHEN pre = 0 THEN CAST(tt AS HUGEINT) * tt
+        |      ELSE 0 END) AS stt2,
+        |    SUM(CASE WHEN pre = 0 THEN CAST(tt AS HUGEINT) * rev
+        |      ELSE 0 END) AS sty2,
+        |    SUM(CASE WHEN pre = 0 THEN CAST(rev AS HUGEINT) * rev
+        |      ELSE 0 END) AS syy2
+        |  FROM dd
+        |), r AS (
+        |  SELECT n1, n2,
+        |    CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE) AS sxx1,
+        |    CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE) AS sxy1,
+        |    CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE) AS syc1,
+        |    CAST(stt2 AS DOUBLE) - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE) AS sxx2,
+        |    CAST(sty2 AS DOUBLE) - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE) AS sxy2,
+        |    CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE) AS syc2,
+        |    CAST(stt1 + stt2 AS DOUBLE)
+        |      - CAST(st1 + st2 AS DOUBLE) * CAST(st1 + st2 AS DOUBLE)
+        |      / CAST(n1 + n2 AS DOUBLE) AS sxxf,
+        |    CAST(sty1 + sty2 AS DOUBLE)
+        |      - CAST(st1 + st2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+        |      / CAST(n1 + n2 AS DOUBLE) AS sxyf,
+        |    CAST(syy1 + syy2 AS DOUBLE)
+        |      - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+        |      / CAST(n1 + n2 AS DOUBLE) AS sycf
+        |  FROM m
+        |), rs AS (
+        |  SELECT n1, n2, sxx1, sxx2, sxxf,
+        |    syc1 - sxy1 * sxy1 / sxx1 AS rss1,
+        |    syc2 - sxy2 * sxy2 / sxx2 AS rss2,
+        |    sycf - sxyf * sxyf / sxxf AS rssf
+        |  FROM r
+        |), fin AS (
+        |  SELECT n1, n2, rss1, rss2, rssf,
+        |    n1 >= 3 AND n2 >= 3 AND sxx1 > 0.0 AND sxx2 > 0.0
+        |      AND sxxf > 0.0 AND (rss1 + rss2) > 0.0 AS ok,
+        |    ((rssf - rss1 - rss2) / 2.0)
+        |      / ((rss1 + rss2) / (CAST(n1 + n2 AS DOUBLE) - 4.0)) AS f
+        |  FROM rs
+        |), fin2 AS (
+        |  SELECT n1, n2, rss1, rss2, rssf, ok,
+        |    CASE WHEN ok THEN
+        |      FLOOR(f * 10000.0 + 0.500001) / 10000.0 END AS f_stat
+        |  FROM fin
+        |)
+        |SELECT n1 AS n_pre, n2 AS n_post, f_stat,
+        |  CASE WHEN ok THEN
+        |    FLOOR((rssf - rss1 - rss2) / rssf * 1000000.0 + 0.500001)
+        |      / 1000000.0 END AS break_share,
+        |  CAST(COALESCE(CASE WHEN f_stat > 2.9957 THEN 1 ELSE 0 END, 0)
+        |    AS BIGINT) AS reject_95
+        |FROM fin2""".stripMargin,
+
+    // identical binarized moves (strict >, ties are "not up"), the same
+    // two ≤8-cell exact censuses with window marginals, and the same
+    // cell-ORDERED cumulative ln-term sums; the direction flag compares
+    // rounded-to-rounded
+    "q_transfer_entropy" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1
+        |), mv0 AS (
+        |  SELECT day, rev, cnt,
+        |    LAG(rev, 1) OVER (ORDER BY day) AS rp,
+        |    LAG(cnt, 1) OVER (ORDER BY day) AS cp
+        |  FROM daily
+        |), moves AS (
+        |  SELECT day,
+        |    CAST(CASE WHEN rev > rp THEN 1 ELSE 0 END AS BIGINT) AS u,
+        |    CAST(CASE WHEN cnt > cp THEN 1 ELSE 0 END AS BIGINT) AS v
+        |  FROM mv0 WHERE rp IS NOT NULL
+        |), lagged0 AS (
+        |  SELECT u, v,
+        |    LAG(u, 1) OVER (ORDER BY day) AS u1,
+        |    LAG(v, 1) OVER (ORDER BY day) AS v1
+        |  FROM moves
+        |), lagged AS (SELECT * FROM lagged0 WHERE u1 IS NOT NULL),
+        |ca AS (
+        |  SELECT u AS yt, u1 AS y1, v1 AS x1, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lagged GROUP BY 1, 2, 3
+        |), cam AS (
+        |  SELECT *, CAST(SUM(c) OVER () AS BIGINT) AS nn,
+        |    CAST(SUM(c) OVER (PARTITION BY y1) AS BIGINT) AS n_y1,
+        |    CAST(SUM(c) OVER (PARTITION BY y1, x1) AS BIGINT) AS n_y1x1,
+        |    CAST(SUM(c) OVER (PARTITION BY yt, y1) AS BIGINT) AS n_yty1
+        |  FROM ca
+        |), ta AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY yt, y1, x1) AS rn,
+        |    COUNT(*) OVER () AS n_cells, nn,
+        |    SUM((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * LN(CAST(c AS DOUBLE) * CAST(n_y1 AS DOUBLE)
+        |        / (CAST(n_y1x1 AS DOUBLE) * CAST(n_yty1 AS DOUBLE))))
+        |      OVER (ORDER BY yt, y1, x1
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS te_xy
+        |  FROM cam
+        |), fa AS (SELECT nn, te_xy FROM ta WHERE rn = n_cells),
+        |cb AS (
+        |  SELECT v AS yt, v1 AS y1, u1 AS x1, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lagged GROUP BY 1, 2, 3
+        |), cbm AS (
+        |  SELECT *, CAST(SUM(c) OVER () AS BIGINT) AS nn,
+        |    CAST(SUM(c) OVER (PARTITION BY y1) AS BIGINT) AS n_y1,
+        |    CAST(SUM(c) OVER (PARTITION BY y1, x1) AS BIGINT) AS n_y1x1,
+        |    CAST(SUM(c) OVER (PARTITION BY yt, y1) AS BIGINT) AS n_yty1
+        |  FROM cb
+        |), tb AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY yt, y1, x1) AS rn,
+        |    COUNT(*) OVER () AS n_cells,
+        |    SUM((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * LN(CAST(c AS DOUBLE) * CAST(n_y1 AS DOUBLE)
+        |        / (CAST(n_y1x1 AS DOUBLE) * CAST(n_yty1 AS DOUBLE))))
+        |      OVER (ORDER BY yt, y1, x1
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS te_yx
+        |  FROM cbm
+        |), fb AS (SELECT te_yx FROM tb WHERE rn = n_cells)
+        |SELECT fa.nn AS n_days,
+        |  FLOOR(fa.te_xy * 1000000.0 + 0.500001) / 1000000.0
+        |    AS te_orders_to_rev,
+        |  FLOOR(fb.te_yx * 1000000.0 + 0.500001) / 1000000.0
+        |    AS te_rev_to_orders,
+        |  CAST(CASE WHEN FLOOR(fa.te_xy * 1000000.0 + 0.500001) / 1000000.0
+        |      > FLOOR(fb.te_yx * 1000000.0 + 0.500001) / 1000000.0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS orders_lead
+        |FROM fa CROSS JOIN fb""".stripMargin,
 
     // same OLS + quantized-u chain; the LM compose is the identical
     // left-associated float sequence of the exact moments, guards mirror

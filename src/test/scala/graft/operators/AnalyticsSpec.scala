@@ -873,6 +873,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_km_ci ---------------------------------------------------------------
+
+  test("KM Greenwood bands: planted cohort replays the closed-form se") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmci").toString
+    // the q_survival planted cohort: t=0 censored-only, t=10 one event of
+    // three at risk, t=20 the risk set dies out
+    Seq((1L, "2001-07-01"),
+        (2L, "2001-01-01"), (2L, "2001-01-11"),
+        (3L, "2001-06-20"), (3L, "2001-06-30"),
+        (4L, "2001-01-01"), (4L, "2001-01-21"))
+      .toDF("o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q_km_ci")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // t=0: no events ⇒ S=1, G=0 ⇒ se=0, band collapses to [1,1]
+    assert(rows(0L).getDouble(3) === 1.0 && rows(0L).getDouble(4) === 0.0)
+    assert(rows(0L).getDouble(5) === 1.0 && rows(0L).getDouble(6) === 1.0)
+    // t=10: S = 2/3, G = 1/(3·2) ⇒ se = S·√(1/6), band clamps inside [0,1]
+    val s10 = math.exp(math.log(1.0 - 1.0 / 3.0))
+    val se10 = s10 * math.sqrt(1.0 / (3.0 * 2.0))
+    assert(rows(10L).getDouble(4) ===
+      math.floor(se10 * 1e6 + 0.500001) / 1e6, s"se: ${rows(10L)}")
+    assert(rows(10L).getDouble(5) < rows(10L).getDouble(3) &&
+      rows(10L).getDouble(3) < rows(10L).getDouble(6))
+    // t=20: the risk set dies out ⇒ S pinned 0, the band abstains
+    assert(rows(20L).getDouble(3) === 0.0 && rows(20L).isNullAt(4) &&
+      rows(20L).isNullAt(5) && rows(20L).isNullAt(6))
+  }
+
+  test("KM bands on real data: bands bracket the curve, se nonneg") {
+    val rows = run("q_km_ci").collect()
+    assert(rows.nonEmpty)
+    val surv = run("q_survival").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) === surv(r.getLong(0)),
+        s"survival must match q_survival at t=${r.getLong(0)}")
+      if (!r.isNullAt(4)) {
+        assert(r.getDouble(4) >= 0.0)
+        assert(r.getDouble(5) <= r.getDouble(3) + 1e-9 &&
+          r.getDouble(3) <= r.getDouble(6) + 1e-9, s"band brackets: $r")
+        assert(r.getDouble(5) >= 0.0 && r.getDouble(6) <= 1.0)
+      }
+    }
+  }
+
   // ---- q_log_rank -----------------------------------------------------------
 
   test("log-rank: planted cohort replays the hand-computed chi-square") {

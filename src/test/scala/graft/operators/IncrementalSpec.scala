@@ -1423,6 +1423,71 @@ class IncrementalSpec extends SparkSpec {
       s"flat u abstains: $rc")
   }
 
+  test("Chow: a planted slope break at 1998-01-01 rejects; one line does not") {
+    import spark.implicits._
+    // 32 pre-break days (multiples of 4 keep the Morse blocks whole) +
+    // 32 post; the (+,−,−,+) wobble makes every segment fit EXACT
+    def mk(pre: Int => Double, post: Int => Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_chow").toString
+      val morse = Seq(1.0, -1.0, -1.0, 1.0)
+      (0 until 64).map { i =>
+        val base = if (i < 32) pre(i) else post(i)
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(1997, 11, 30)
+          .plusDays(i.toLong).atStartOfDay()), base + 50.0 * morse(i % 4))
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // slope jumps 2 → 20 and the level jumps: the pooled line cannot fit
+    val rb = SparkEntry.queries("q_chow")(
+      spark, mk(i => 1000.0 + 2.0 * i, i => 5000.0 + 20.0 * i)).head()
+    assert(rb.getLong(0) === 32L && rb.getLong(1) === 32L)
+    assert(rb.getDouble(2) > 2.9957 && rb.getLong(4) === 1L, s"$rb")
+    assert(rb.getDouble(3) > 0.9, s"the break owns the RSS: $rb")
+    // one line throughout: all three fits recover it exactly, the break
+    // explains nothing ⇒ F = 0
+    val one = (i: Int) => 1000.0 + 2.0 * i
+    val rn = SparkEntry.queries("q_chow")(spark, mk(one, one)).head()
+    assert(rn.getDouble(2) < 1.0 && rn.getLong(4) === 0L, s"$rn")
+    assert(math.abs(rn.getDouble(3)) < 1e-6, s"no break share: $rn")
+  }
+
+  test("transfer entropy: a delayed copy channels information, constant v is exactly 0") {
+    import spark.implicits._
+    def write(rows: Seq[(java.time.LocalDate, Double, Int)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_te").toString
+      rows.flatMap { case (d, total, cnt) =>
+        val ts = java.sql.Timestamp.valueOf(d.atStartOfDay())
+        (0 until cnt).map(_ => (ts, total / cnt))
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // order-count moves follow the 3-cycle (1,2,2) ⇒ v = 1,0,0 repeating;
+    // revenue copies v one day late (u_t = v_{t−1}), so conditioning on
+    // x adds real information in BOTH directions of this deterministic
+    // system — the flag just has to agree with the rounded pair
+    val d0 = java.time.LocalDate.of(2020, 1, 1)
+    var rev = 1000.0
+    val rows = (0 until 62).map { t =>
+      val cnt = Seq(1, 2, 2)(t % 3)
+      val vPrev = (t - 1) % 3 == 1 // v_{t−1} = 1 iff (t−1) ≡ 1 (mod 3)
+      if (t > 0) rev = if (vPrev) rev + 1.0 else rev - 0.5
+      (d0.plusDays(t.toLong), rev, cnt)
+    }
+    val rt = SparkEntry.queries("q_transfer_entropy")(spark, write(rows)).head()
+    assert(rt.getLong(0) === 60L, s"N = 62 − 2 lags: $rt")
+    assert(rt.getDouble(1) > 0.3, s"delayed copy must channel info: $rt")
+    assert(rt.getLong(3) ===
+      (if (rt.getDouble(1) > rt.getDouble(2)) 1L else 0L))
+    // constant order count: x1 is a single symbol ⇒ conditioning on it
+    // changes nothing ⇒ TE(X→Y) = 0 exactly; a constant TARGET likewise
+    // zeroes TE(Y→X) term-by-term
+    val flat = (0 until 30).map(t =>
+      (d0.plusDays(t.toLong), 1000.0 + Seq(7, -3, 1)(t % 3) * t, 1))
+    val rf = SparkEntry.queries("q_transfer_entropy")(spark, write(flat)).head()
+    assert(rf.getDouble(1) === 0.0 && rf.getDouble(2) === 0.0 &&
+      rf.getLong(3) === 0L, s"$rf")
+  }
+
   test("Pettitt on real data: K bounded by t(n−t), p in [0,1], U telescopes") {
     val r = SparkEntry.queries("q_pettitt")(spark, sf).head()
     val n = r.getLong(0)

@@ -1978,6 +1978,30 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(6) === 0L, "11/7 is below the 5% critical")
   }
 
+  test("q_dispersion: planted (0,4) counts hit D = 4 exactly; equal counts score 0") {
+    import spark.implicits._
+    // user 1: four purchases, user 2: none ⇒ mean 2, var (16−8)/1 = 8,
+    // D = 4, z = 3·√(1/2) ≈ 2.12 ⇒ overdispersed
+    val ev = (Seq.fill(4)((1L, "purchase")) :+ (2L, "view"))
+      .toDF("user_id", "event_type")
+      .withColumn("ts", lit(1_700_000_000L) * lit(1_000_000_000L))
+    val dir = fixtureDir("events" -> ev)
+    val r = SparkEntry.queries("q_dispersion")(spark, dir).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 8.0)
+    assert(r.getDouble(4) === 4.0, s"dispersion: $r")
+    assert(r.getDouble(5) ===
+      math.floor(3.0 * math.sqrt(1.0 / 2.0) * 1e6 + 0.500001) / 1e6)
+    assert(r.getLong(6) === 1L)
+    // two users with identical counts: var 0 ⇒ D = 0, z < 0 ⇒ flag 0
+    val eq = Seq((1L, "purchase"), (2L, "purchase"))
+      .toDF("user_id", "event_type")
+      .withColumn("ts", lit(1_700_000_000L) * lit(1_000_000_000L))
+    val r2 = SparkEntry.queries("q_dispersion")(spark, fixtureDir("events" -> eq))
+      .head()
+    assert(r2.getDouble(4) === 0.0 && r2.getLong(6) === 0L, s"$r2")
+  }
+
   test("q_cmh on real data: strata cover segments, OR positive, flag consistent") {
     val r = SparkEntry.queries("q_cmh")(spark, sf).head()
     assert(r.getLong(0) === 5L, "five market segments")
