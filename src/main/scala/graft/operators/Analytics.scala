@@ -777,6 +777,44 @@ object Analytics {
         col("rk95"), share("rk95").as("share95"))
     }),
 
+    // ---- Lorenz decile table (beyond reference, r11) -----------------------
+    // The CURVE whose area q_gini reduces to a scalar and whose crossings
+    // q_pareto_8020 picks out: customers ranked by spend ascending, the
+    // revenue share and cumulative share of each spend decile — the
+    // concentration table every revenue review actually reads. Scale
+    // shape: ranks come from Ranks.withGlobalRank (two-level bucketed
+    // exact ranking — NO partition-less window anywhere), the decile is
+    // ntileOf's pure integer arithmetic on (rank, n), and everything
+    // after the customer aggregate lives on the ≤10-row decile frame.
+    // Shares are single divisions of exact BIGINT cents — FP-identical
+    // cross-engine; the oracle's NTILE is provably the same tiling
+    // (RanksSpec pins rank ≡ row_number, ntileOf ≡ NTILE semantics).
+    "q_lorenz" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val feats = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(cents).as("m"))
+      val total = feats.agg(count(lit(1)).as("n_total"))
+      val ranked = Ranks.withGlobalRank(feats, col("m"), col("custkey"), "rk")
+        .crossJoin(broadcast(total))
+        .withColumn("decile", Ranks.ntileOf(col("rk"), col("n_total"), 10))
+      val byD = ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum(col("m")).as("spend"))
+      val wAll = BoundedWindow.whole(col("decile"))
+      val wCum = BoundedWindow.ordered(col("decile"), col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byD
+        .withColumn("mt", sum(col("spend")).over(wAll))
+        .withColumn("cum", sum(col("spend")).over(wCum))
+        .select(col("decile"), col("n_cust"), col("spend").as("spend_cents"),
+          r6(col("spend").cast("double") / col("mt").cast("double"))
+            .as("share"),
+          r6(col("cum").cast("double") / col("mt").cast("double"))
+            .as("cum_share"))
+        .orderBy("decile")
+    }),
+
     // ---- restricted mean survival time (beyond reference, r9) -------------
     // The scalar the KM curve (q_survival) is usually read FOR (Royston &
     // Parmar 2013): RMST(τ) = ∫₀^τ S(t)dt — expected retained lifetime
@@ -1315,6 +1353,33 @@ object Analytics {
         |  CAST(COALESCE(CASE WHEN chi2 > 3.8415 THEN 1 ELSE 0 END, 0)
         |    AS BIGINT) AS reject_95
         |FROM fin""".stripMargin,
+
+    // NTILE over (m, custkey) ascending ≡ ntileOf(two-level exact rank):
+    // same tiling by construction; shares are divisions of exact cents
+    "q_lorenz" ->
+      """WITH feats AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT m, NTILE(10) OVER (ORDER BY m, custkey) AS decile
+        |  FROM feats
+        |), byd AS (
+        |  SELECT CAST(decile AS BIGINT) AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(m) AS BIGINT) AS spend
+        |  FROM ranked GROUP BY 1
+        |)
+        |SELECT decile, n_cust, spend AS spend_cents,
+        |  FLOOR(CAST(spend AS DOUBLE)
+        |      / CAST(SUM(spend) OVER () AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS share,
+        |  FLOOR(CAST(SUM(spend) OVER (ORDER BY decile
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(SUM(spend) OVER () AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS cum_share
+        |FROM byd ORDER BY decile""".stripMargin,
 
     // identical (spend DESC, custkey) ranking and INTEGER threshold
     // crossings — no float boundary anywhere

@@ -799,6 +799,128 @@ object Timeseries {
         .orderBy("lag")
     }),
 
+    // ---- partial autocorrelation (Durbin–Levinson, lags 1–5) (r11) ---------
+    // The other half of the Box–Jenkins identification pair: q_acf says
+    // WHICH lags correlate, PACF says which correlate DIRECTLY (AR-order
+    // reading — φ_kk is lag k's correlation after regressing out lags
+    // 1..k−1). Same exact-integer lag moments as q_acf (pair-window sums,
+    // decimal products), the raw r₁..r₅ doubles feed the Durbin–Levinson
+    // recursion UNROLLED to a fixed dag of named scalar columns on the
+    // 1-row moment frame — both engines replay the identical float
+    // sequence step for step (each CTE-named intermediate mirrors a
+    // withColumn). A constant series (den = 0) or a singular step
+    // (d_k = 0, |r|=1 degenerate) abstains that lag and everything
+    // after it with NULL on both engines (NULL arithmetic propagates
+    // identically through the recursion).
+    "q_pacf" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val lags = (1 to 5).foldLeft(daily) { (d, k) =>
+        d.withColumn(s"l$k", lag(col("rev"), k).over(w)) }
+      val revd = col("rev").cast("decimal(18,0)")
+      val aggCols =
+        Seq(count(lit(1)).as("nn"), sum(col("rev")).as("ss"),
+          sum(revd * revd).as("syy")) ++
+        (1 to 5).flatMap { k =>
+          val lk = col(s"l$k")
+          Seq(count(lk).as(s"n$k"),
+            sum(revd * lk.cast("decimal(18,0)")).as(s"p$k"),
+            sum(when(lk.isNotNull, col("rev"))).as(s"a$k"),
+            sum(lk).as(s"b$k"))
+        }
+      val g = lags.agg(aggCols.head, aggCols.tail: _*)
+      val nnD = col("nn").cast("double"); val ssD = col("ss").cast("double")
+      val m = ssD / nnD
+      val den = col("syy").cast("double") - ssD * ssD / nnD
+      def rk(k: Int): Column = {
+        val num = col(s"p$k").cast("double") - m * col(s"a$k").cast("double") -
+          m * col(s"b$k").cast("double") + col(s"n$k").cast("double") * m * m
+        when(den > 0.0, num / den)
+      }
+      val dl = g
+        .withColumn("r1", rk(1)).withColumn("r2", rk(2))
+        .withColumn("r3", rk(3)).withColumn("r4", rk(4))
+        .withColumn("r5", rk(5))
+        .withColumn("phi11", col("r1"))
+        .withColumn("d2", lit(1.0) - col("phi11") * col("r1"))
+        .withColumn("phi22", when(col("d2") =!= 0.0,
+          (col("r2") - col("phi11") * col("r1")) / col("d2")))
+        .withColumn("phi21",
+          col("phi11") - col("phi22") * col("phi11"))
+        .withColumn("d3", lit(1.0) -
+          (col("phi21") * col("r1") + col("phi22") * col("r2")))
+        .withColumn("phi33", when(col("d3") =!= 0.0,
+          (col("r3") - (col("phi21") * col("r2") +
+            col("phi22") * col("r1"))) / col("d3")))
+        .withColumn("phi31", col("phi21") - col("phi33") * col("phi22"))
+        .withColumn("phi32", col("phi22") - col("phi33") * col("phi21"))
+        .withColumn("d4", lit(1.0) - (col("phi31") * col("r1") +
+          col("phi32") * col("r2") + col("phi33") * col("r3")))
+        .withColumn("phi44", when(col("d4") =!= 0.0,
+          (col("r4") - (col("phi31") * col("r3") + col("phi32") * col("r2") +
+            col("phi33") * col("r1"))) / col("d4")))
+        .withColumn("phi41", col("phi31") - col("phi44") * col("phi33"))
+        .withColumn("phi42", col("phi32") - col("phi44") * col("phi32"))
+        .withColumn("phi43", col("phi33") - col("phi44") * col("phi31"))
+        .withColumn("d5", lit(1.0) - (col("phi41") * col("r1") +
+          col("phi42") * col("r2") + col("phi43") * col("r3") +
+          col("phi44") * col("r4")))
+        .withColumn("phi55", when(col("d5") =!= 0.0,
+          (col("r5") - (col("phi41") * col("r4") + col("phi42") * col("r3") +
+            col("phi43") * col("r2") + col("phi44") * col("r1"))) /
+            col("d5")))
+      val rows = (1 to 5).map(k => struct(lit(k.toLong).as("lag"),
+        r6(col(s"phi$k$k")).as("pacf"), r6(col(s"r$k")).as("acf")))
+      dl.select(col("nn").as("n_days"), explode(array(rows: _*)).as("t"))
+        .select(col("t.lag").as("lag"), col("n_days"),
+          col("t.acf").as("acf"), col("t.pacf").as("pacf"))
+        .orderBy("lag")
+    }),
+
+    // ---- winsorized mean of daily revenue (r11) -----------------------------
+    // The robust-location companion to q_trimmed_mean that KEEPS every
+    // observation: clamp the daily series to its own exact [p05, p95]
+    // (Ranks.exactQuantileCont — the distributed quickselect, so the
+    // fences are the same doubles DuckDB's quantile_cont interpolates,
+    // never an approximate sketch) and average the clamped values. Day-
+    // ORDERED cumulative sum (the q_anova discipline) keeps the float
+    // sequence identical cross-engine; the clip censuses are exact
+    // BIGANTs off strict comparisons against the fence literals.
+    "q_winsorize" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val lo = Ranks.exactQuantileCont(daily, col("rev"), 0.05)
+      val hi = Ranks.exactQuantileCont(daily, col("rev"), 0.95)
+      val wOrd = BoundedWindow.ordered(col("day"), col("day"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = BoundedWindow.whole(col("day"))
+      val acc = daily
+        .withColumn("cl", least(greatest(col("rev").cast("double"),
+          lit(lo)), lit(hi)))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("cl")).over(wCum))
+        .withColumn("n_lo", sum((col("rev").cast("double") < lit(lo))
+          .cast("long")).over(wAll))
+        .withColumn("n_hi", sum((col("rev").cast("double") > lit(hi))
+          .cast("long")).over(wAll))
+      acc.where(col("rn") === col("n"))
+        .select(col("n").as("n_days"),
+          r2(lit(lo) / lit(100.0)).as("fence_lo"),
+          r2(lit(hi) / lit(100.0)).as("fence_hi"),
+          col("n_lo"), col("n_hi"),
+          r4(col("s") / col("n").cast("double") / lit(100.0))
+            .as("winsor_mean"))
+    }),
+
     // ---- seasonal-naive forecast backtest ---------------------------------
     // The q_acf lag-7 signal put to work: hold out the last BacktestDays of
     // the daily revenue series, forecast each held-out day as the revenue 7
@@ -1930,6 +2052,102 @@ object Timeseries {
        |ORDER BY lag""".stripMargin
   }
 
+  /** The acfOracle moment frame (5 lags) feeding the Durbin–Levinson
+    * recursion unrolled CTE-for-withColumn: every named intermediate
+    * (r_k, d_k, φ_kj) is the textually-identical float expression in the
+    * identical order, so the engines replay the same sequence; the
+    * den > 0 / d_k ≠ 0 guards mirror and NULLs propagate identically.
+    */
+  private def pacfOracle: String = {
+    val lagCols = (1 to 5).map(k =>
+      s"    LAG(rev, $k) OVER (ORDER BY day) AS l$k").mkString(",\n")
+    val aggs = (1 to 5).map(k =>
+      s"""    CAST(COUNT(l$k) AS BIGINT) AS n$k,
+         |    CAST(SUM(CAST(rev AS HUGEINT) * l$k) AS DOUBLE) AS p$k,
+         |    CAST(SUM(rev) FILTER (WHERE l$k IS NOT NULL) AS BIGINT) AS a$k,
+         |    CAST(SUM(l$k) AS BIGINT) AS b$k""".stripMargin).mkString(",\n")
+    val rks = (1 to 5).map(k =>
+      s"""    CASE WHEN den > 0.0 THEN
+         |      (p$k - mu * CAST(a$k AS DOUBLE) - mu * CAST(b$k AS DOUBLE)
+         |       + CAST(n$k AS DOUBLE) * mu * mu) / den END AS r$k""".stripMargin)
+      .mkString(",\n")
+    def out(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS lag, nn AS n_days,
+         |  FLOOR(r$k * 1000000.0 + 0.500001) / 1000000.0 AS acf,
+         |  FLOOR(phi$k$k * 1000000.0 + 0.500001) / 1000000.0 AS pacf
+         |FROM l5""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+       |      AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1
+       |), lagged AS (
+       |  SELECT day, rev,
+       |$lagCols
+       |  FROM daily
+       |), g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(rev) AS BIGINT) AS ss,
+       |    CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS syy,
+       |$aggs
+       |  FROM lagged
+       |), m AS (
+       |  SELECT *, CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mu,
+       |    syy - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+       |      AS den
+       |  FROM g
+       |), rr AS (
+       |  SELECT nn,
+       |$rks
+       |  FROM m
+       |), l2 AS (
+       |  SELECT *, r1 AS phi11,
+       |    1.0 - r1 * r1 AS d2
+       |  FROM rr
+       |), l2b AS (
+       |  SELECT *, CASE WHEN d2 <> 0.0 THEN
+       |    (r2 - phi11 * r1) / d2 END AS phi22
+       |  FROM l2
+       |), l3 AS (
+       |  SELECT *, phi11 - phi22 * phi11 AS phi21
+       |  FROM l2b
+       |), l3b AS (
+       |  SELECT *, 1.0 - (phi21 * r1 + phi22 * r2) AS d3
+       |  FROM l3
+       |), l3c AS (
+       |  SELECT *, CASE WHEN d3 <> 0.0 THEN
+       |    (r3 - (phi21 * r2 + phi22 * r1)) / d3 END AS phi33
+       |  FROM l3b
+       |), l4 AS (
+       |  SELECT *, phi21 - phi33 * phi22 AS phi31,
+       |    phi22 - phi33 * phi21 AS phi32
+       |  FROM l3c
+       |), l4b AS (
+       |  SELECT *,
+       |    1.0 - (phi31 * r1 + phi32 * r2 + phi33 * r3) AS d4
+       |  FROM l4
+       |), l4c AS (
+       |  SELECT *, CASE WHEN d4 <> 0.0 THEN
+       |    (r4 - (phi31 * r3 + phi32 * r2 + phi33 * r1)) / d4 END AS phi44
+       |  FROM l4b
+       |), l5a AS (
+       |  SELECT *, phi31 - phi44 * phi33 AS phi41,
+       |    phi32 - phi44 * phi32 AS phi42,
+       |    phi33 - phi44 * phi31 AS phi43
+       |  FROM l4c
+       |), l5b AS (
+       |  SELECT *,
+       |    1.0 - (phi41 * r1 + phi42 * r2 + phi43 * r3 + phi44 * r4) AS d5
+       |  FROM l5a
+       |), l5 AS (
+       |  SELECT *, CASE WHEN d5 <> 0.0 THEN
+       |    (r5 - (phi41 * r4 + phi42 * r3 + phi43 * r2 + phi44 * r1)) / d5
+       |    END AS phi55
+       |  FROM l5b
+       |)
+       |${(1 to 5).map(out).mkString("\nUNION ALL\n")}
+       |ORDER BY lag""".stripMargin
+  }
+
   /** The acfOracle moment frame ending in the single Ljung–Box row: the
     * r6-pinned ρ̂_k's square-sum in the same literal k order as the Spark
     * left-fold, so Q is the identical float sequence.
@@ -2116,6 +2334,44 @@ object Timeseries {
   val oracleSql: Map[String, String] = Map(
 
     "q_acf" -> acfOracle,
+    "q_pacf" -> pacfOracle,
+
+    // quantile_cont interpolates the same fences as exactQuantileCont
+    // (the q_theil_sen precedent); identical clamp, strict censuses, and
+    // day-ordered cumulative mean
+    "q_winsorize" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), q AS (
+        |  SELECT quantile_cont(CAST(rev AS DOUBLE), 0.05) AS lo,
+        |    quantile_cont(CAST(rev AS DOUBLE), 0.95) AS hi
+        |  FROM daily
+        |), c AS (
+        |  SELECT day, lo, hi,
+        |    LEAST(GREATEST(CAST(rev AS DOUBLE), lo), hi) AS cl,
+        |    CASE WHEN CAST(rev AS DOUBLE) < lo THEN 1 ELSE 0 END AS is_lo,
+        |    CASE WHEN CAST(rev AS DOUBLE) > hi THEN 1 ELSE 0 END AS is_hi
+        |  FROM daily CROSS JOIN q
+        |), acc AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    SUM(cl) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    CAST(SUM(is_lo) OVER () AS BIGINT) AS n_lo,
+        |    CAST(SUM(is_hi) OVER () AS BIGINT) AS n_hi,
+        |    lo, hi
+        |  FROM c
+        |)
+        |SELECT n AS n_days,
+        |  FLOOR(lo / 100.0 * 100.0 + 0.500001) / 100.0 AS fence_lo,
+        |  FLOOR(hi / 100.0 * 100.0 + 0.500001) / 100.0 AS fence_hi,
+        |  n_lo, n_hi,
+        |  FLOOR(s / CAST(n AS DOUBLE) / 100.0 * 10000.0 + 0.500001)
+        |    / 10000.0 AS winsor_mean
+        |FROM acc WHERE rn = n""".stripMargin,
 
     // Scala-generated shared micro-trig literals, exact integer moments,
     // identical literal-order finals

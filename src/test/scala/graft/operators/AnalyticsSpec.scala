@@ -873,6 +873,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_lorenz ---------------------------------------------------------------
+
+  test("Lorenz deciles: ten 1..10-dollar customers give one per tile, shares k/55") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lz").toString
+    (1 to 10).map(k => (k.toLong, k.toLong, k * 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q_lorenz")(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) === 1L, s"one customer per tile: $r")
+      assert(r.getLong(2) === k * 100L, s"spend ascends with tile: $r")
+      assert(r.getDouble(3) ===
+        math.floor(k / 55.0 * 1e6 + 0.500001) / 1e6, s"share: $r")
+      assert(r.getDouble(4) ===
+        math.floor(k * (k + 1) / 2 / 55.0 * 1e6 + 0.500001) / 1e6,
+        s"cum share: $r")
+    }
+  }
+
+  test("Lorenz on real data: tiles balanced, cum share monotone to 1") {
+    val rows = run("q_lorenz").collect().sortBy(_.getLong(0))
+    assert(rows.length === 10)
+    val n = rows.map(_.getLong(1)).sum
+    rows.foreach(r => assert(math.abs(r.getLong(1) - n / 10) <= 1,
+      s"NTILE balance: $r"))
+    rows.sliding(2).foreach { w =>
+      assert(w(0).getDouble(4) < w(1).getDouble(4), "cum share monotone")
+    }
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-6)
+  }
+
   // ---- q_km_ci ---------------------------------------------------------------
 
   test("KM Greenwood bands: planted cohort replays the closed-form se") {

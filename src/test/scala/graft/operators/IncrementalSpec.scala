@@ -1488,6 +1488,46 @@ class IncrementalSpec extends SparkSpec {
       rf.getLong(3) === 0L, s"$rf")
   }
 
+  test("PACF: lag-1 equals ACF by definition, constant series abstains, DL identity holds") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_pacf")(spark, sf).collect()
+    assert(rows.length === 5)
+    val byLag = rows.map(r => r.getLong(0) -> r).toMap
+    // Durbin–Levinson base case: φ₁₁ = r₁ exactly (same rounded column)
+    assert(byLag(1L).getDouble(2) === byLag(1L).getDouble(3))
+    // lag-2 identity on the rounded outputs: φ₂₂ = (r₂ − r₁²)/(1 − r₁²)
+    val r1 = byLag(1L).getDouble(2); val r2 = byLag(2L).getDouble(2)
+    assert(math.abs(byLag(2L).getDouble(3) -
+      (r2 - r1 * r1) / (1.0 - r1 * r1)) < 1e-4, s"DL lag-2: ${byLag(2L)}")
+    rows.foreach(r => if (!r.isNullAt(3))
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-6, s"|pacf| ≤ 1: $r"))
+    // constant series: zero variance ⇒ every r_k and φ_kk abstains NULL
+    val dir = java.nio.file.Files.createTempDirectory("graft_pacf").toString
+    (0 until 30).map(i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), 500.0))
+      .toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+    SparkEntry.queries("q_pacf")(spark, dir).collect().foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3), s"degenerate abstains: $r")
+    }
+  }
+
+  test("winsorize: planted 1..20 ramp clips one value per tail to the exact fences") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wz").toString
+    (0 until 20).map(i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i.toLong).atStartOfDay()), (i + 1) * 1.0))
+      .toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+    // cents 100..2000: p05 interpolates 100 + 0.95·100 = 195, p95 = 1905;
+    // winsorized sum = 195 + (200+…+1900) + 1905 = 21000 ⇒ mean $10.50
+    val r = SparkEntry.queries("q_winsorize")(spark, dir).head()
+    assert(r.getLong(0) === 20L)
+    assert(r.getDouble(1) === 1.95 && r.getDouble(2) === 19.05, s"$r")
+    assert(r.getLong(3) === 1L && r.getLong(4) === 1L, s"one clip per tail: $r")
+    assert(r.getDouble(5) === 10.5, s"winsorized mean: $r")
+  }
+
   test("Pettitt on real data: K bounded by t(n−t), p in [0,1], U telescopes") {
     val r = SparkEntry.queries("q_pettitt")(spark, sf).head()
     val n = r.getLong(0)
