@@ -889,7 +889,7 @@ object Timeseries {
     // never an approximate sketch) and average the clamped values. Day-
     // ORDERED cumulative sum (the q_anova discipline) keeps the float
     // sequence identical cross-engine; the clip censuses are exact
-    // BIGANTs off strict comparisons against the fence literals.
+    // BIGINTs off strict comparisons against the fence literals.
     "q_winsorize" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
         .cast("long")
