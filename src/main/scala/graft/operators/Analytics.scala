@@ -815,6 +815,120 @@ object Analytics {
         .orderBy("decile")
     }),
 
+    // ---- Herfindahl–Hirschman concentration (r11) ---------------------------
+    // The market-concentration scalar next to q_gini's inequality and
+    // q_theil_index's decomposition: HHI = Σ share² of revenue across
+    // nations and across segments, plus its inverse (the "effective
+    // number" of markets). Exactness the easy way: HHI = Σvᵢ²/V², so both
+    // numerator and denominator are EXACT decimal(38,0) sums of cents² —
+    // one division per row, zero float-order risk anywhere. One orders
+    // scan, broadcast customer dim, two ≤|groups| aggregates.
+    "q_hhi" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val joined = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nation"), cents.as("v"))
+      def hhiOf(key: Column, name: String): DataFrame = {
+        val dec = "decimal(38,0)"
+        val byG = joined.groupBy(key.as("grp"))
+          .agg(sum(col("v")).as("gv"))
+        byG.agg(count(lit(1)).as("n_groups"),
+            sum(col("gv").cast(dec) * col("gv").cast(dec)).as("s2"),
+            sum(col("gv")).as("tot"))
+          .select(lit(name).as("dim"), col("n_groups"),
+            r6(col("s2").cast("double") /
+              (col("tot").cast(dec) * col("tot").cast(dec)).cast("double"))
+              .as("hhi"),
+            r2((col("tot").cast(dec) * col("tot").cast(dec)).cast("double") /
+              col("s2").cast("double")).as("effective_n"))
+      }
+      hhiOf(col("nation"), "nation")
+        .unionAll(hhiOf(col("segment"), "segment"))
+        .orderBy("dim")
+    }),
+
+    // ---- Laspeyres / Paasche / Fisher price index (r11) ---------------------
+    // Year-over-year price inflation of the part catalog, the classic
+    // index-number triplet (Laspeyres 1871, Paasche 1874, Fisher 1922):
+    // base year 1997 vs 1998 by l_shipdate, per-part unit price pᵧ =
+    // Vᵧ/Qᵧ from exact per-part-year cents/quantity sums. L = Σp₁q₀/Σp₀q₀
+    // and P = Σp₁q₁/Σp₀q₁ over parts traded in BOTH years; the cross
+    // terms p₁q₀ = V₁·Q₀/Q₁ quantize per part to integer micro-cents
+    // BEFORE summing (the q_durbin_watson discipline — order-free exact
+    // sums), while Σp₀q₀ = ΣV₀ and Σp₁q₁ = ΣV₁ are exact outright.
+    // Plan: one lineitem scan partial-aggregates to the part×2-year
+    // frame, one part-keyed self-join (part-bounded), one global
+    // aggregate. Fisher is √(L·P) of the two rounded-from-exact ratios.
+    "q_price_index" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("yr", year(to_date(col("l_shipdate"))))
+        .where(col("yr").isin(1997, 1998))
+      val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val qty = floor(col("l_quantity") + lit(0.500001)).cast("long")
+      val byPy = li.groupBy(col("l_partkey").as("pk"), col("yr"))
+        .agg(sum(cents).as("v"), sum(qty).as("q"))
+      val base = byPy.where(col("yr") === 1997)
+        .select(col("pk"), col("v").as("v0"), col("q").as("q0"))
+      val cur = byPy.where(col("yr") === 1998)
+        .select(col("pk"), col("v").as("v1"), col("q").as("q1"))
+      val both = base.join(cur, Seq("pk"))
+      val p1q0 = floor(col("v1").cast("double") * col("q0").cast("double") /
+        col("q1").cast("double") + lit(0.500001)).cast("long")
+      val p0q1 = floor(col("v0").cast("double") * col("q1").cast("double") /
+        col("q0").cast("double") + lit(0.500001)).cast("long")
+      val g = both.agg(count(lit(1)).as("n_parts"),
+        sum(col("v0")).as("s_p0q0"), sum(col("v1")).as("s_p1q1"),
+        sum(p1q0).as("s_p1q0"), sum(p0q1).as("s_p0q1"))
+      val lasp = r6(col("s_p1q0").cast("double") / col("s_p0q0").cast("double"))
+      val paas = r6(col("s_p1q1").cast("double") / col("s_p0q1").cast("double"))
+      g.select(col("n_parts"), lasp.as("laspeyres"), paas.as("paasche"),
+        r6(sqrt(lasp * paas)).as("fisher"))
+    }),
+
+    // ---- log-log demand elasticity (r11) ------------------------------------
+    // The price-sensitivity readout of the order log: the OLS slope of
+    // ln(quantity) on ln(unit price) across lineitem lines — the
+    // constant-elasticity model's ε (a 1% price increase moves demand
+    // ε%). Per-line unit price = exact cents / exact integer quantity;
+    // both logs quantize to integer MICRO-units per row (the
+    // q_link_prediction Adamic–Adar discipline: sums of quantized ints
+    // are order-free exact, and the 10⁻⁶ grid cancels in the slope since
+    // cov/var rescale identically). One scan, one 1-row moment
+    // aggregate, closed-form slope/r²; flat price or flat quantity
+    // abstains NULL.
+    "q_elasticity" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val qty = floor(col("l_quantity") + lit(0.500001)).cast("long")
+      val u = cents.cast("double") / qty.cast("double")
+      val xq = floor(log(u) * lit(1000000.0)).cast("long")
+      val yq = floor(log(qty.cast("double")) * lit(1000000.0)).cast("long")
+      val dec = "decimal(38,0)"
+      val m = t(s, dir, "lineitem")
+        .select(xq.as("x"), yq.as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+          sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      val nD = col("n").cast("double")
+      val cxx = col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / nD
+      val cyy = col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") / nD
+      val cxy = col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / nD
+      val ok = cxx > 0.0 && cyy > 0.0
+      m.select(col("n").as("n_lines"),
+        when(ok, r6(cxy / cxx)).as("elasticity"),
+        when(ok, r6(cxy * cxy / (cxx * cyy))).as("r2"))
+    }),
+
     // ---- restricted mean survival time (beyond reference, r9) -------------
     // The scalar the KM curve (q_survival) is usually read FOR (Royston &
     // Parmar 2013): RMST(τ) = ∫₀^τ S(t)dt — expected retained lifetime
@@ -1352,6 +1466,124 @@ object Analytics {
         |  chi2,
         |  CAST(COALESCE(CASE WHEN chi2 > 3.8415 THEN 1 ELSE 0 END, 0)
         |    AS BIGINT) AS reject_95
+        |FROM fin""".stripMargin,
+
+    // HHI = Σv²/V² with both sides exact HUGEINT sums of cents² — one
+    // division per output row, no float accumulation anywhere
+    "q_hhi" ->
+      """WITH joined AS (
+        |  SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+        |    CAST(FLOOR(o.o_totalprice * 100.0 + 0.500001) AS BIGINT) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), bn AS (
+        |  SELECT nation AS grp, CAST(SUM(v) AS BIGINT) AS gv
+        |  FROM joined GROUP BY 1
+        |), bs AS (
+        |  SELECT segment AS grp, CAST(SUM(v) AS BIGINT) AS gv
+        |  FROM joined GROUP BY 1
+        |), hn AS (
+        |  SELECT 'nation' AS dim, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    SUM(CAST(gv AS HUGEINT) * gv) AS s2,
+        |    CAST(SUM(gv) AS HUGEINT) AS tot
+        |  FROM bn
+        |), hs AS (
+        |  SELECT 'segment' AS dim, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    SUM(CAST(gv AS HUGEINT) * gv) AS s2,
+        |    CAST(SUM(gv) AS HUGEINT) AS tot
+        |  FROM bs
+        |), u AS (
+        |  SELECT * FROM hn UNION ALL SELECT * FROM hs
+        |)
+        |SELECT dim, n_groups,
+        |  FLOOR(CAST(s2 AS DOUBLE) / CAST(tot * tot AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS hhi,
+        |  FLOOR(CAST(tot * tot AS DOUBLE) / CAST(s2 AS DOUBLE)
+        |    * 100.0 + 0.500001) / 100.0 AS effective_n
+        |FROM u ORDER BY dim""".stripMargin,
+
+    // identical part×year exact sums, the same per-part micro-cents
+    // quantization of the cross terms before summation, Fisher from the
+    // two rounded ratios
+    "q_price_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk,
+        |    EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS yr,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.500001) AS BIGINT) AS v,
+        |    CAST(FLOOR(l_quantity + 0.500001) AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) IN (1997, 1998)
+        |), bypy AS (
+        |  SELECT pk, yr, CAST(SUM(v) AS BIGINT) AS v,
+        |    CAST(SUM(q) AS BIGINT) AS q
+        |  FROM li GROUP BY 1, 2
+        |), pair AS (
+        |  SELECT b.pk, b.v AS v0, b.q AS q0, c.v AS v1, c.q AS q1
+        |  FROM (SELECT * FROM bypy WHERE yr = 1997) b
+        |  JOIN (SELECT * FROM bypy WHERE yr = 1998) c ON b.pk = c.pk
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    CAST(SUM(v0) AS BIGINT) AS s_p0q0,
+        |    CAST(SUM(v1) AS BIGINT) AS s_p1q1,
+        |    CAST(SUM(CAST(FLOOR(CAST(v1 AS DOUBLE) * CAST(q0 AS DOUBLE)
+        |      / CAST(q1 AS DOUBLE) + 0.500001) AS BIGINT)) AS BIGINT)
+        |      AS s_p1q0,
+        |    CAST(SUM(CAST(FLOOR(CAST(v0 AS DOUBLE) * CAST(q1 AS DOUBLE)
+        |      / CAST(q0 AS DOUBLE) + 0.500001) AS BIGINT)) AS BIGINT)
+        |      AS s_p0q1
+        |  FROM pair
+        |), fin AS (
+        |  SELECT n_parts,
+        |    FLOOR(CAST(s_p1q0 AS DOUBLE) / CAST(s_p0q0 AS DOUBLE)
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS laspeyres,
+        |    FLOOR(CAST(s_p1q1 AS DOUBLE) / CAST(s_p0q1 AS DOUBLE)
+        |      * 1000000.0 + 0.500001) / 1000000.0 AS paasche
+        |  FROM g
+        |)
+        |SELECT n_parts, laspeyres, paasche,
+        |  FLOOR(SQRT(laspeyres * paasche) * 1000000.0 + 0.500001)
+        |    / 1000000.0 AS fisher
+        |FROM fin""".stripMargin,
+
+    // identical micro-quantized logs (LN is natural log on both engines,
+    // arguments structurally ≥ 1), exact HUGEINT moments, the same
+    // centered closed form; flat price/quantity abstains NULL
+    "q_elasticity" ->
+      """WITH pts AS (
+        |  SELECT
+        |    CAST(FLOOR(LN(CAST(CAST(FLOOR(l_extendedprice * 100.0
+        |        + 0.500001) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(FLOOR(l_quantity + 0.500001) AS BIGINT) AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS x,
+        |    CAST(FLOOR(LN(CAST(CAST(FLOOR(l_quantity + 0.500001) AS BIGINT)
+        |      AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pts
+        |), fin AS (
+        |  SELECT n,
+        |    CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS cxx,
+        |    CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS cyy,
+        |    CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS cxy
+        |  FROM m
+        |)
+        |SELECT n AS n_lines,
+        |  CASE WHEN cxx > 0.0 AND cyy > 0.0 THEN
+        |    FLOOR(cxy / cxx * 1000000.0 + 0.500001) / 1000000.0 END
+        |    AS elasticity,
+        |  CASE WHEN cxx > 0.0 AND cyy > 0.0 THEN
+        |    FLOOR(cxy * cxy / (cxx * cyy) * 1000000.0 + 0.500001)
+        |      / 1000000.0 END AS r2
         |FROM fin""".stripMargin,
 
     // NTILE over (m, custkey) ascending ≡ ntileOf(two-level exact rank):

@@ -873,6 +873,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // ---- q_hhi / q_price_index / q_elasticity -----------------------------------
+
+  test("HHI: a 3:1 two-group split scores 0.625 exactly on both dims") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hhi").toString
+    Seq((1L, 1L, 3.0), (2L, 2L, 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "S1", 10L), (2L, "S2", 20L))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    val rows = SparkEntry.queries("q_hhi")(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 2L)
+      assert(r.getDouble(2) === 0.625, s"(9+1)/16: $r")
+      assert(r.getDouble(3) === 1.6, s"effective n: $r")
+    }
+  }
+
+  test("price index: hand-priced two-part basket replays L = 17/14, P = 16/13") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    // part 1: $5 → $6 (q 2 → 1); part 2: $4 → $5 (q 1 → 2); part 3 trades
+    // only in the base year and must drop from the common basket
+    Seq((1L, "1997-06-01", 10.0, 2.0), (1L, "1998-06-01", 6.0, 1.0),
+        (2L, "1997-06-01", 4.0, 1.0), (2L, "1998-06-01", 10.0, 2.0),
+        (3L, "1997-06-01", 7.0, 1.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_price_index")(spark, dir).head()
+    assert(r.getLong(0) === 2L, s"common basket: $r")
+    val lasp = math.floor(17.0 / 14.0 * 1e6 + 0.500001) / 1e6
+    val paas = math.floor(16.0 / 13.0 * 1e6 + 0.500001) / 1e6
+    assert(r.getDouble(1) === lasp, s"laspeyres: $r")
+    assert(r.getDouble(2) === paas, s"paasche: $r")
+    assert(r.getDouble(3) ===
+      math.floor(math.sqrt(lasp * paas) * 1e6 + 0.500001) / 1e6)
+  }
+
+  test("elasticity: an exact constant-elasticity demand curve fits slope −1/2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_el").toString
+    // unit price c·q⁻²: ln q = −½·ln u + const exactly, so the micro-
+    // quantized OLS must recover −0.5 to the grid and r² ≈ 1
+    Seq((16.0, 1.0), (8.0, 2.0), (4.0, 4.0))
+      .toDF("l_extendedprice", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_elasticity")(spark, dir).head()
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) + 0.5) < 1e-4, s"slope: $r")
+    assert(r.getDouble(2) > 0.999999, s"r2: $r")
+  }
+
+  test("elasticity on real data: negative slope, r2 in [0,1]") {
+    val r = run("q_elasticity").head()
+    assert(r.getLong(0) > 0L)
+    if (!r.isNullAt(1)) {
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, s"$r")
+    }
+  }
+
   // ---- q_lorenz ---------------------------------------------------------------
 
   test("Lorenz deciles: ten 1..10-dollar customers give one per tile, shares k/55") {
