@@ -238,6 +238,37 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("round-11 closing queries keep the scale contracts (no bare Window, bounded joins)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
+    // q_lorenz ranks through the two-level bucket pattern: any Window in
+    // the plan must carry a partition spec or sit over an
+    // Aggregate-bounded child (the ≤10-row decile frame)
+    Seq("q_lorenz", "q_cmh", "q_log_rank", "q_km_ci", "q_transfer_entropy")
+      .foreach { q =>
+        spark.catalog.clearCache()
+        val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+        val bare = lp.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: LAggregate => a }.isEmpty => w
+        }
+        assert(bare.isEmpty,
+          s"$q plans ${bare.size} partition-less Window over raw data")
+      }
+    // q_hhi: the customer dim attaches by broadcast, never a cartesian
+    val hhi = plan("q_hhi")
+    assert(hhi.contains("BroadcastHashJoin") || hhi.contains("BroadcastExchange"),
+      s"q_hhi customer dim must broadcast:\n$hhi")
+    assert(!hhi.contains("CartesianProduct"), s"q_hhi cartesian:\n$hhi")
+    // q_price_index: ONE part-keyed equi-join between the two year
+    // slices; no cartesian, no nested loop
+    val pi = plan("q_price_index")
+    assert(!pi.contains("CartesianProduct") &&
+      !pi.contains("BroadcastNestedLoopJoin"), s"q_price_index joins:\n$pi")
+    // q_elasticity: join-free — one scan to a 1-row moment aggregate
+    val el = plan("q_elasticity")
+    assert(!el.contains("Join"), s"q_elasticity must be join-free:\n$el")
+  }
+
   test("distribution-rank queries plan NO bounded-small-key Window over data (r11 swap-in)") {
     // q_window_ntile partitioned by c_mktsegment (5 values) and
     // q_window_dist by o_orderstatus (3) — a schema-bounded-small
