@@ -23,6 +23,55 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+
+    // Two-level bucketed ranking (round 11 — the q_window_ntile/q_lorenz
+    // machinery): orders multiplied as fresh keys on the SAME 3-value
+    // o_orderstatus lanes, ranked by (cents, key) through
+    // Ranks.withPartitionedRank. The claim under test: |lanes|·buckets
+    // uniform ranking tasks + Aggregate-bounded offset windows ⇒ wall
+    // time tracks the SCAN, with the fixed boundary/offset jobs flat in
+    // data size — the shape that replaced the widest-segment single-task
+    // Window. Run standalone: `runMain graft.tools.ScaleProbe <dir> ranks`.
+    if (args.length > 1 && args(1) == "ranks") {
+      val ord = Sources.table(spark, dir, "orders")
+      val cents0 = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      graft.operators.Ranks.withPartitionedRank(
+        ord.limit(2000).select(col("o_orderkey").as("ck"),
+          col("o_orderstatus").as("seg"), cents0.as("v")),
+        col("seg"), col("v"), col("ck"), "rk", nOut = "n",
+        checkpoint = false).count()
+      Blocks.releaseAll(spark)
+      for (mult <- Seq(1, 4, 16)) {
+        val big = (0 until mult).map { i =>
+          ord.select(
+            (col("o_orderkey") + lit(i.toLong * 100000000L)).as("ck"),
+            col("o_orderstatus").as("seg"),
+            (cents0 + lit(i.toLong)).as("v"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        val nRows = big.count()
+        val t0 = System.nanoTime()
+        val ranked = graft.operators.Ranks.withPartitionedRank(big,
+          col("seg"), col("v"), col("ck"), "rk", nOut = "n",
+          checkpoint = false)
+        // one action over the FULL ranking; the invariant rides along:
+        // per-lane max rank must equal the lane's row count
+        val bad = ranked.groupBy("seg")
+          .agg(max(col("rk")).as("mx"), count(lit(1)).as("c"),
+            max(col("n")).as("nl"))
+          .where(col("mx") =!= col("c") || col("nl") =!= col("c"))
+          .count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(bad == 0L, "per-lane rank invariant broken")
+        println(f"[scale-ranks] mult=$mult%2d rows=$nRows%9d secs=$secs%.2f")
+        Blocks.releaseAll(spark)
+      }
+      spark.stop()
+      return
+    }
+
     val base = Sources.table(spark, dir, "documents")
     // JIT/codegen warmup so the 1× row measures the engine, not JVM spin-up
     Dedup.minhashNearDuplicates(
