@@ -290,6 +290,61 @@ object StreamingOps {
       }
   }
 
+  final case class PhState(cnt: Long, sumX: Double, m: Double,
+      minM: Double, lastDay: Long)
+  final case class PhPoint(series_id: Long, day: java.sql.Date,
+      rev_dollars: Double, ph: Double, drift_alarm: Long)
+
+  /** Streaming counterpart of q_page_hinkley (r11) — with this chart all
+    * THREE batch drift detectors (CUSUM, Page–Hinkley, rolling z-score)
+    * have checkpoint-exact streaming twins. Page–Hinkley scores drift
+    * against the RUNNING mean, which streams exactly: state is (count,
+    * Σx, m, min m) — four numbers per series forever. The batch
+    * sequence replays bit for bit: runmean_t = Σ_{i≤t}x/t (prefix adds in
+    * date order), m_t = m_{t−1} + (x_t − runmean_t − δ), PH_t = m_t −
+    * min_{i≤t} m_i, δ = 0.05·σ and λ = 3·σ against a FIXED calibration σ
+    * (the cusumChart stance — feeding the batch whole-series σ reproduces
+    * the batch statistic exactly, r4 pins included; the alarm compares
+    * rounded-to-rounded so it cannot flip). Ordering/duplicate contract
+    * identical to [[cusumChart]]: days fold in (day, rev) order within a
+    * trigger, a day at-or-before the newest absorbed day is dropped.
+    */
+  def phChart(daily: Dataset[DailyRev], sigma: Double): Dataset[PhPoint] = {
+    import daily.sparkSession.implicits._
+    require(sigma > 0.0, s"sigma must be positive: $sigma")
+    val delta = 0.05 * sigma
+    val lamR = math.floor(3.0 * sigma * 10000.0 + 0.500001) / 10000.0
+    daily
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState[PhState, PhPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (sid: Long, batch: Iterator[DailyRev], state: GroupState[PhState]) =>
+          var s = state.getOption.getOrElse(
+            PhState(0L, 0.0, 0.0, Double.PositiveInfinity, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhPoint]
+          batch.toSeq
+            .sortBy(d => (d.day.toLocalDate.toEpochDay, d.rev))
+            .foreach { d =>
+              val ed = d.day.toLocalDate.toEpochDay
+              if (ed > s.lastDay) {
+                val x = d.rev.toDouble / 1000000.0
+                val cnt = s.cnt + 1
+                val sumX = s.sumX + x
+                val runmean = sumX / cnt
+                val m = s.m + (x - runmean - delta)
+                val minM = math.min(s.minM, m)
+                val ph = m - minM
+                val phR = math.floor(ph * 10000.0 + 0.500001) / 10000.0
+                out += PhPoint(sid, d.day, d.rev.toDouble / 100.0, phR,
+                  if (phR > lamR) 1L else 0L)
+                s = PhState(cnt, sumX, m, minM, ed)
+              } // else: late or duplicate day — dropped, see contract
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class HhState(ver: Long, counts: Map[String, Long])
   final case class TermCandidate(shard: Int, ver: Long, term: String, count_min: Long)
 

@@ -458,6 +458,89 @@ class StreamingOpsSpec extends SparkSpec {
       "in-control series must never alarm")
   }
 
+  test("Page–Hinkley chart: replay parity across a checkpoint, drift ramp alarms") {
+    // the streaming counterpart of q_page_hinkley: 50 flat days then a
+    // rising ramp on series 1, a flat control series 2, arriving in two
+    // tranches on one checkpoint — the four-number state (count, Σx, m,
+    // min m) must survive the restart so the running mean continues
+    val base = Files.createTempDirectory("graft_ph_s").toString
+    import spark.implicits._
+    def rev(sid: Long, i: Int): Long =
+      if (sid == 1L) { if (i < 50) 10000L else 10000L + (i - 49) * 400L }
+      else 15000L
+    def day(i: Int): java.sql.Date =
+      java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(i))
+    val all = for (sid <- 1L to 2L; i <- 0 until 100)
+      yield StreamingOps.DailyRev(sid, day(i), rev(sid, i))
+    val xs = (0 until 100).map(i => rev(1L, i).toDouble / 1000000.0)
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length)
+    val dir = s"$base/daily"
+    all.filter(_.day.toLocalDate.getDayOfYear <= 70).toDF()
+      .write.mode("append").parquet(dir)
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[StreamingOps.DailyRev]
+    val outDir = s"$base/out"
+    def run(): Unit = {
+      val q = StreamingOps.phChart(stream(), sigma).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "stream did not drain")
+    }
+    run()
+    all.filter(_.day.toLocalDate.getDayOfYear > 70).toDF()
+      .write.mode("append").parquet(dir)
+    run()
+    val combined = spark.read.parquet(outDir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3),
+        r.getLong(4))
+    val got = combined.map(key).toSet
+    assert(combined.length === got.size, "no duplicate emissions")
+    // driver replay of the batch closed form: running mean, m, min m —
+    // the identical float sequence with both rounding pins
+    val delta = 0.05 * sigma
+    val lamR = math.floor(3.0 * sigma * 10000.0 + 0.500001) / 10000.0
+    val want = (for (sid <- 1L to 2L) yield {
+      var (cnt, sumX, m, minM) = (0L, 0.0, 0.0, Double.PositiveInfinity)
+      (0 until 100).map { i =>
+        val x = rev(sid, i).toDouble / 1000000.0
+        cnt += 1; sumX += x
+        m += x - sumX / cnt - delta
+        minM = math.min(minM, m)
+        val phR = math.floor((m - minM) * 10000.0 + 0.500001) / 10000.0
+        (sid, day(i).toString, rev(sid, i).toDouble / 100.0, phR,
+          if (phR > lamR) 1L else 0L)
+      }
+    }).flatten.toSet
+    assert(got === want, s"streamed ${got.size} vs replay ${want.size}")
+    // the ramp's tail must alarm (drift past λ), the control never
+    val tail = combined.filter(r => r.getLong(0) == 1L &&
+      r.getDate(1).toLocalDate.isAfter(day(90).toLocalDate))
+    assert(tail.nonEmpty && tail.forall(_.getLong(4) == 1L),
+      "drift ramp tail must alarm")
+    assert(combined.filter(_.getLong(0) == 2L).forall(_.getLong(4) == 0L),
+      "in-control series must never alarm")
+    // cross-check against the BATCH q_page_hinkley on the same series:
+    // peak PH agrees to the σ-estimator tolerance (batch uses stddev_pop)
+    val odir = Files.createTempDirectory("graft_ph_batch").toString
+    (0 until 100).map(i => (java.sql.Timestamp.valueOf(
+        day(i).toLocalDate.atStartOfDay()), rev(1L, i).toDouble / 100.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$odir/orders.parquet")
+    val batch = graft.SparkEntry.queries("q_page_hinkley")(spark, odir).head()
+    val streamPeak = combined.filter(_.getLong(0) == 1L)
+      .map(_.getDouble(3)).max
+    assert(math.abs(batch.getDouble(2) - streamPeak) < 1e-3,
+      s"batch peak ${batch.getDouble(2)} vs stream peak $streamPeak")
+    assert(batch.getLong(4) === 1L, "batch agrees the ramp drifted")
+  }
+
   test("EWMA anomaly chart matches a driver-side recurrence replay exactly") {
     val base = Files.createTempDirectory("graft_ewma_replay").toString
     import spark.implicits._
