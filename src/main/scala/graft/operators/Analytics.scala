@@ -815,6 +815,40 @@ object Analytics {
         .orderBy("decile")
     }),
 
+    // ---- inter-arrival exponentiality check (r11) ----------------------------
+    // The ARRIVAL-side twin of q_dispersion's count-side Poisson check:
+    // if customer orders form a Poisson process, inter-order gaps are
+    // exponential and the coefficient of variation is exactly 1 (CV ≪ 1
+    // reads scheduled/regular ordering, CV ≫ 1 bursty clumping — the
+    // BG/NBD model's timing assumption made inspectable). One customer-
+    // keyed window (data-scaled partition key — scale-safe) yields exact
+    // integer day gaps; Σg/Σg² exact decimal, CV one closed float with
+    // the raw-moment variance clamped at 0 (§2.13 discipline) and the
+    // verdict flag compared on the ROUNDED CV.
+    "q_interarrival" -> ((s, dir) => {
+      val wC = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("g", datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(wC))).cast("long"))
+        .where(col("g").isNotNull)
+      val dec = "decimal(38,0)"
+      val m = gaps.agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g").cast(dec) * col("g").cast(dec)).as("sgg"))
+      val nD = col("n").cast("double")
+      val mean = col("sg").cast("double") / nD
+      val vr = col("sgg").cast("double") / nD - mean * mean
+      val cv = sqrt(greatest(vr, lit(0.0))) / mean
+      val ok = col("n") > 1L && col("sg") > 0L
+      val cvR = when(ok, r6(cv))
+      m.select(col("n").as("n_gaps"),
+        when(ok, r4(mean)).as("mean_gap_days"),
+        cvR.as("cv"),
+        coalesce((abs(cvR - lit(1.0)) <= lit(0.25)).cast("long"), lit(0L))
+          .as("poissonish"))
+    }),
+
     // ---- Herfindahl–Hirschman concentration (r11) ---------------------------
     // The market-concentration scalar next to q_gini's inequality and
     // q_theil_index's decomposition: HHI = Σ share² of revenue across
@@ -1467,6 +1501,45 @@ object Analytics {
         |  CAST(COALESCE(CASE WHEN chi2 > 3.8415 THEN 1 ELSE 0 END, 0)
         |    AS BIGINT) AS reject_95
         |FROM fin""".stripMargin,
+
+    // identical per-customer LAG gaps (exact integer days), exact HUGEINT
+    // moments, the same clamped-variance CV compose, flag on the rounded
+    // CV
+    "q_interarrival" ->
+      """WITH gaps AS (
+        |  SELECT CAST(date_diff('day',
+        |      LAG(CAST(o_orderdate AS DATE), 1) OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS g
+        |  FROM orders
+        |), gg AS (SELECT g FROM gaps WHERE g IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(g) AS BIGINT) AS sg,
+        |    SUM(CAST(g AS HUGEINT) * g) AS sgg
+        |  FROM gg
+        |), fin AS (
+        |  SELECT n, sg, n > 1 AND sg > 0 AS ok,
+        |    CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean_g,
+        |    CAST(sgg AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS vr
+        |  FROM m
+        |), fin2 AS (
+        |  SELECT n, ok, mean_g,
+        |    CASE WHEN ok THEN
+        |      FLOOR(SQRT(GREATEST(vr, 0.0)) / mean_g * 1000000.0 + 0.500001)
+        |        / 1000000.0 END AS cv
+        |  FROM fin
+        |)
+        |SELECT n AS n_gaps,
+        |  CASE WHEN ok THEN FLOOR(mean_g * 10000.0 + 0.500001) / 10000.0
+        |    END AS mean_gap_days,
+        |  cv,
+        |  CAST(COALESCE(CASE WHEN ABS(cv - 1.0) <= 0.25 THEN 1 ELSE 0 END,
+        |    0) AS BIGINT) AS poissonish
+        |FROM fin2""".stripMargin,
 
     // HHI = Σv²/V² with both sides exact HUGEINT sums of cents² — one
     // division per output row, no float accumulation anywhere

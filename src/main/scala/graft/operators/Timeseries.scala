@@ -881,6 +881,54 @@ object Timeseries {
         .orderBy("lag")
     }),
 
+    // ---- Lo–MacKinlay variance ratio test (r11) ------------------------------
+    // The THIRD unit-root angle after q_dickey_fuller (AR root) and
+    // q_kpss (level stationarity): under a random walk the variance of
+    // q-period changes is exactly q× the 1-period variance, so VR(5) =
+    // Var₅/(5·Var₁) ≈ 1; VR < 1 reads mean reversion, VR > 1 trending
+    // (Lo & MacKinlay 1988; level differences, stated contract). Every
+    // moment is EXACT: daily diffs d_t are BIGINT, the 5-period sums ride
+    // one ordered window and stay BIGINT, and both variances expand from
+    // Σd/Σd²/Σs/Σs² decimal(38,0) sums — the centered forms are closed
+    // floats of exact integers, so parity is structural. z uses the
+    // homoskedastic asymptotic √(2(2q−1)(q−1)/(3qn)); degenerate frames
+    // (constant series, < q+1 days) abstain NULL.
+    "q_variance_ratio" -> ((s, dir) => {
+      val q = 5
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val w = BoundedWindow.ordered(col("day"), col("day"))
+      val diffs = daily
+        .withColumn("d", col("rev") - lag(col("rev"), 1).over(w))
+        .where(col("d").isNotNull)
+      val withS = diffs.withColumn("s5",
+        when(row_number().over(w) >= q,
+          sum(col("d")).over(w.rowsBetween(-(q - 1), 0))))
+      val dec = "decimal(38,0)"
+      val m = withS.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d").cast(dec) * col("d").cast(dec)).as("sdd"),
+        count(col("s5")).as("mm"), sum(col("s5")).as("ss"),
+        sum(col("s5").cast(dec) * col("s5").cast(dec)).as("sss"))
+      val nD = col("n").cast("double"); val mD = col("mm").cast("double")
+      val mu = col("sd").cast("double") / nD
+      val var1 = (col("sdd").cast("double") -
+        col("sd").cast("double") * col("sd").cast("double") / nD) / nD
+      val qmu = lit(q.toDouble) * mu
+      val var5 = (col("sss").cast("double") -
+        lit(2.0) * qmu * col("ss").cast("double") + mD * qmu * qmu) / mD
+      val ok = col("n") > q.toLong && col("mm") > 0L && var1 > 0.0
+      val vr = var5 / (lit(q.toDouble) * var1)
+      val se = sqrt(lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) / nD)
+      val zR = when(ok, r6((vr - lit(1.0)) / se))
+      m.select(col("n").as("n_diffs"),
+        when(ok, r6(vr)).as("vr5"), zR.as("z_stat"),
+        coalesce((abs(zR) > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("reject_rw_95"))
+    }),
+
     // ---- winsorized mean of daily revenue (r11) -----------------------------
     // The robust-location companion to q_trimmed_mean that KEEPS every
     // observation: clamp the daily series to its own exact [p05, p95]
