@@ -9,6 +9,13 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // closeout gate (r12): a full bench run fails loudly when any query
+    // lacks an oracle or a committed baseline envelope — the 3-run
+    // refresh itself runs with SPARK_GRAFT_REFRESH=1 (it CREATES the
+    // envelopes); subset profiling runs are exempt below
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
+      Gate.enforce(checkBaseline = !sys.env.get("SPARK_GRAFT_REFRESH")
+        .exists(_ == "1"))
     val spark = Sessions.local()
     // warmup at the smallest SF: JIT the noop sink, whole-stage codegen
     // infra, parquet readers, and the native kernels once, so the first

@@ -1,0 +1,79 @@
+package graft
+
+/** The closeout-coverage gate, automated (round 12).
+  *
+  * Three consecutive rounds committed a query in the round's last hours
+  * that outran the manual closeout procedure (r9 q_cochran_q/q_mcnemar,
+  * r10 q_rolling_anomaly/q_sax_symbols, r11 q_interarrival/
+  * q_variance_ratio — the last one also missing its ORACLE, the round's
+  * only red correctness row). QueriesSmokeSpec already asserts the
+  * oracle invariant, but only `sbt test` runs it; the driver's own
+  * Verify/Bench runs sailed past. This object runs the same checks —
+  * plus the baseline-coverage twin ScalaTest never had — where the
+  * driver will trip over them: a full Verify or Bench run FAILS (exit 3,
+  * loud stderr) when any `SparkEntry.queries` name is missing from
+  * `SparkEntry.oracleSql` or from BASELINE_VARIANCE.json.
+  *
+  * Escape hatches, both local-only by construction:
+  *  - subset runs (Verify's 3rd arg, SPARK_GRAFT_BENCH_ONLY) skip the
+  *    gate — mid-development iteration predates both the oracle's
+  *    first check and the baseline refresh;
+  *  - SPARK_GRAFT_REFRESH=1 skips only the BASELINE half — the 3-run
+  *    closeout refresh is the thing that CREATES the baseline entries,
+  *    so it cannot require them. The driver sets neither.
+  */
+object Gate {
+
+  def oracleGaps: Set[String] =
+    SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+
+  /** Query names present in the committed BASELINE_VARIANCE.json —
+    * empty on a missing/unparseable file (which then gates as
+    * "everything uncovered": a deleted baseline should be loud, not a
+    * free pass).
+    */
+  def baselineNames(path: java.nio.file.Path): Set[String] =
+    try {
+      if (!java.nio.file.Files.exists(path)) Set.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(path))
+        val out = Set.newBuilder[String]
+        val it = root.path("queries").fieldNames()
+        while (it.hasNext) out += it.next()
+        out.result()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  def baselineGaps(path: java.nio.file.Path): Set[String] =
+    SparkEntry.queries.keySet -- baselineNames(path)
+
+  /** Enforce before doing any work, so the failure is the run's FIRST
+    * line, not noise after 300 query dumps.
+    */
+  def enforce(checkBaseline: Boolean): Unit = {
+    val oracle = oracleGaps
+    if (oracle.nonEmpty) {
+      System.err.println(
+        s"[gate] FATAL: ${oracle.size} quer${if (oracle.size == 1) "y" else "ies"} " +
+          s"in SparkEntry.queries without a DuckDB oracle: " +
+          oracle.toSeq.sorted.mkString(", ") +
+          " — add the oracleSql entry (zero rows-only checks is a repo invariant)")
+      sys.exit(3)
+    }
+    if (checkBaseline) {
+      val path = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_VARIANCE", "BASELINE_VARIANCE.json"))
+      val base = baselineGaps(path)
+      if (base.nonEmpty) {
+        System.err.println(
+          s"[gate] FATAL: ${base.size} quer${if (base.size == 1) "y" else "ies"} " +
+            s"without a BASELINE_VARIANCE.json envelope ($path): " +
+            base.toSeq.sorted.mkString(", ") +
+            " — run the 3-run refresh (SPARK_GRAFT_REFRESH=1) and commit it, " +
+            "or don't add the query")
+        sys.exit(3)
+      }
+    }
+  }
+}

@@ -11,6 +11,11 @@ object Verify {
       case Array(a, b)    => (a, b, None)
       case Array(a, b, c) => (a, b, Some(c.split(",").toSet))
     }
+    // full runs (the driver's shape) enforce the closeout gate BEFORE any
+    // work: a query without an oracle fails here, not as a quiet
+    // rows-only row in the driver's correctness JSON. Baseline coverage
+    // is Bench's half (perf contract, not correctness).
+    if (only.isEmpty) Gate.enforce(checkBaseline = false)
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -25,7 +25,14 @@ object Registry {
   def once(spark: SparkSession)(name: String,
       builder: Seq[Expression] => Expression, source: String): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(name, builder, source)
+    // bare check-then-act would race two threads registering the same name
+    // (both pass the exists check, the second replace fires the WARN this
+    // guard suppresses); serializing on the registry makes the registration
+    // happen exactly once. Behaviour was already correct — builders are
+    // stateless — this pins the clean-log contract too.
+    reg.synchronized {
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, source)
+    }
   }
 }

@@ -131,19 +131,48 @@ object Sources {
       val children = Files.list(root)
       try children.forEach { p =>
         val name = p.getFileName.toString
+        // in-flight vs crashed by the NEWEST mtime anywhere under the
+        // staging tree, not the root's: the root's mtime is its creation
+        // time until Spark's job-commit moves files in, so a live writer
+        // whose parquet write alone exceeds the grace would look crashed
+        // and lose its staging mid-write. Task files keep the deep mtime
+        // fresh for as long as the write is making progress.
         val inFlight = name.startsWith(".tmp-v-") &&
-          (now - Files.getLastModifiedTime(p).toMillis) < StagingGraceMs
+          (now - newestMtimeMillis(p)) < StagingGraceMs
         if (!keep.contains(name) && !inFlight) deleteRecursively(p)
       } finally children.close()
     }
   }
 
-  /** Foreign `.tmp-v-*` staging dirs younger than this survive GC: they
-    * belong to a writer between its parquet write and its commit. A
-    * CRASHED writer's staging ages past the grace and is swept by the
-    * next successful overwrite.
+  /** Foreign `.tmp-v-*` staging dirs whose newest file is younger than
+    * this survive GC: they belong to a writer between (or during) its
+    * parquet write and its commit. A CRASHED writer's staging stops
+    * changing, ages past the grace, and is swept by the next successful
+    * overwrite.
     */
   private[io] val StagingGraceMs: Long = 60L * 60L * 1000L
+
+  /** Newest last-modified time anywhere under `p` (the path itself for a
+    * plain file or an unreadable tree). Races with concurrent deletes and
+    * task-file renames inside a live writer's staging are benign: a
+    * vanished entry is skipped, and any surviving entry a live writer is
+    * still touching keeps the tree young.
+    */
+  private def newestMtimeMillis(p: java.nio.file.Path): Long = {
+    import java.nio.file.Files
+    import scala.util.Try
+    val own = Try(Files.getLastModifiedTime(p).toMillis).getOrElse(0L)
+    if (!Files.isDirectory(p)) own
+    else Try {
+      val children = Files.list(p)
+      try {
+        val it = children.iterator()
+        var mx = own
+        while (it.hasNext) mx = math.max(mx, newestMtimeMillis(it.next()))
+        mx
+      } finally children.close()
+    }.getOrElse(own)
+  }
 
   private val CommitLockName = "COMMIT_LOCK"
 

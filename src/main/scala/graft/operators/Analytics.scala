@@ -1209,8 +1209,11 @@ object Analytics {
     // intersection (a Kendall-flavored footrule — integer-exact). Scale
     // shape: one lineitem scan partial-aggregates to (part × period)
     // revenue, two bounded top-20 heads via row_number over the part
-    // frame, one broadcast self-join of two 20-row lists. Cents BIGINT
-    // end-to-end; the Jaccard is the single float division.
+    // frame, one full-outer self-join of two 20-row lists (UNHINTED:
+    // Spark cannot broadcast a full-outer side, so a broadcast hint here
+    // is dead code that only logs a HintErrorLogger WARN — a sort-merge
+    // of two 20-row frames is already free). Cents BIGINT end-to-end;
+    // the Jaccard is the single float division.
     "q_topk_churn" -> ((s, dir) => {
       val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
         .cast("long")
@@ -1228,7 +1231,7 @@ object Analytics {
         .select(col("part"), col("rk").as("rk_a"))
       val b = top.where(col("period") === 1L)
         .select(col("part"), col("rk").as("rk_b"))
-      val j = a.join(broadcast(b), Seq("part"), "full")
+      val j = a.join(b, Seq("part"), "full")
       // churned_out counts against the period-0 list's ACTUAL size (the
       // count of non-null rk_a), not the literal 20 — on a slice with
       // fewer than 20 ranked parts the literal would overstate churn

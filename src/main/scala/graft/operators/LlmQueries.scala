@@ -1179,10 +1179,14 @@ object LlmQueries {
           sum(col("f")).as("n_tokens"),
           sum(col("f").cast("decimal(19,0)") *
             (col("f") - 1L).cast("decimal(19,0)")).as("coin"))
+        // n_tokens <= 1 makes the denominator 0 (Spark 0/0 = NaN, oracle
+        // NULL) — guard so both engines abstain NULL on the degenerate
+        // source, matching inv_simpson's try_divide
         .select(col("source"), col("n_tokens"), col("vocab"),
-          r6(col("coin").cast("double") /
-            (col("n_tokens").cast("double") *
-              (col("n_tokens") - 1L).cast("double"))).as("simpson"),
+          when(col("n_tokens") > 1L,
+            r6(col("coin").cast("double") /
+              (col("n_tokens").cast("double") *
+                (col("n_tokens") - 1L).cast("double")))).as("simpson"),
           r2(try_divide(
             col("n_tokens").cast("double") *
               (col("n_tokens") - 1L).cast("double"),
@@ -3334,12 +3338,14 @@ object LlmQueries {
         |)
         |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
         |  CAST(COUNT(*) AS BIGINT) AS vocab,
-        |  FLOOR(CAST(SUM(f * (f - 1)) AS DOUBLE)
-        |      / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE))
-        |    * 1000000.0 + 0.500001) / 1000000.0 AS simpson,
-        |  FLOOR((CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE))
-        |      / CAST(SUM(f * (f - 1)) AS DOUBLE)
-        |    * 100.0 + 0.500001) / 100.0 AS inv_simpson
+        |  CASE WHEN SUM(f) > 1 THEN
+        |    FLOOR(CAST(SUM(f * (f - 1)) AS DOUBLE)
+        |        / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE))
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS simpson,
+        |  CASE WHEN SUM(f * (f - 1)) <> 0 THEN
+        |    FLOOR((CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE))
+        |        / CAST(SUM(f * (f - 1)) AS DOUBLE)
+        |      * 100.0 + 0.500001) / 100.0 END AS inv_simpson
         |FROM counts GROUP BY source ORDER BY source""".stripMargin,
 
     // identical ASCII regex censuses (nonempty whitespace tokens, [.!?]+

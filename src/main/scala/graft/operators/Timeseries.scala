@@ -1290,13 +1290,17 @@ object Timeseries {
       val nnD = col("nn").cast("double"); val ssD = col("ss").cast("double")
       val m = ssD / nnD
       val den = col("syy").cast("double") - ssD * ssD / nnD
+      // den = 0 on a constant series: Spark floor(NaN) is 0 but the oracle's
+      // NULL would diverge — the q_pacf/q_durbin_watson den > 0 guard makes
+      // both engines abstain NULL on the degenerate input.
       val rho = (1 to h).map { k =>
         val num = col(s"p$k").cast("double") - m * col(s"a$k").cast("double") -
           m * col(s"b$k").cast("double") + col(s"n$k").cast("double") * m * m
-        floor(num / den * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+        when(den > 0.0,
+          floor(num / den * lit(1000000.0) + lit(0.500001)) / lit(1000000.0))
       }
-      val q = nnD * (nnD + 2.0) * (1 to h).map(k =>
-        rho(k - 1) * rho(k - 1) / (nnD - k.toDouble)).reduce(_ + _)
+      val q = when(den > 0.0, nnD * (nnD + 2.0) * (1 to h).map(k =>
+        rho(k - 1) * rho(k - 1) / (nnD - k.toDouble)).reduce(_ + _))
       g.select(col("nn").as("n_days"), lit(h.toLong).as("h"),
         r6(q).as("q_stat"),
         (r6(q) > 14.067140449340169).cast("long").as("reject_95"))
@@ -2208,10 +2212,14 @@ object Timeseries {
          |    CAST(SUM(CAST(rev AS HUGEINT) * l$k) AS DOUBLE) AS p$k,
          |    CAST(SUM(rev) FILTER (WHERE l$k IS NOT NULL) AS BIGINT) AS a$k,
          |    CAST(SUM(l$k) AS BIGINT) AS b$k""".stripMargin).mkString(",\n")
+    // den > 0 guard mirrors the Spark when(den > 0.0, ...): both engines
+    // abstain NULL on a constant series (rho NULLs propagate into q_stat
+    // and reject identically)
     val rhos = (1 to 7).map(k =>
-      s"""    FLOOR((p$k - mu * CAST(a$k AS DOUBLE) - mu * CAST(b$k AS DOUBLE)
+      s"""    CASE WHEN den > 0.0 THEN
+         |      FLOOR((p$k - mu * CAST(a$k AS DOUBLE) - mu * CAST(b$k AS DOUBLE)
          |      + CAST(n$k AS DOUBLE) * mu * mu) / den * 1000000.0 + 0.500001)
-         |      / 1000000.0 AS r$k""".stripMargin).mkString(",\n")
+         |      / 1000000.0 END AS r$k""".stripMargin).mkString(",\n")
     val chain = (1 to 7).map(k =>
       s"r$k * r$k / (CAST(nn AS DOUBLE) - $k.0)").mkString(" + ")
     s"""WITH daily AS (
@@ -2420,6 +2428,71 @@ object Timeseries {
         |  FLOOR(s / CAST(n AS DOUBLE) / 100.0 * 10000.0 + 0.500001)
         |    / 10000.0 AS winsor_mean
         |FROM acc WHERE rn = n""".stripMargin,
+
+    // identical BIGINT daily diffs + 5-period rolling sums, HUGEINT exact
+    // squares, and the same literal-order mu/var1/var5/vr/se compose; the
+    // constant Spark folds from 2.0*(2q-1)(q-1)/(3.0q) is spelled as its
+    // folded double 4.8 so SQRT sees the same bits
+    "q_variance_ratio" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), lagd AS (
+        |  SELECT day, rev - LAG(rev, 1) OVER (ORDER BY day) AS d
+        |  FROM daily
+        |), diffs AS (
+        |  SELECT day, d FROM lagd WHERE d IS NOT NULL
+        |), withs AS (
+        |  SELECT d,
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY day) >= 5 THEN
+        |      CAST(SUM(d) OVER (ORDER BY day
+        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    END AS s5
+        |  FROM diffs
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(d) AS BIGINT) AS sd,
+        |    SUM(CAST(d AS HUGEINT) * d) AS sdd,
+        |    CAST(COUNT(s5) AS BIGINT) AS mm,
+        |    CAST(SUM(s5) AS BIGINT) AS ss,
+        |    SUM(CAST(s5 AS HUGEINT) * s5) AS sss
+        |  FROM withs
+        |), f1 AS (
+        |  SELECT n, sd, sdd, mm, ss, sss,
+        |    CAST(n AS DOUBLE) AS nd, CAST(mm AS DOUBLE) AS md,
+        |    CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var1
+        |  FROM m
+        |), f2 AS (
+        |  SELECT n, mm, nd, md, var1, 5.0 * mu AS qmu, ss, sss FROM f1
+        |), f3 AS (
+        |  SELECT n, mm, nd, var1,
+        |    (CAST(sss AS DOUBLE) - 2.0 * qmu * CAST(ss AS DOUBLE)
+        |      + md * qmu * qmu) / md AS var5
+        |  FROM f2
+        |), f4 AS (
+        |  SELECT n,
+        |    (n > 5 AND mm > 0 AND var1 > 0.0) AS ok,
+        |    var5 / (5.0 * var1) AS vr,
+        |    SQRT(4.8 / nd) AS se
+        |  FROM f3
+        |), f5 AS (
+        |  SELECT n, ok, vr, se,
+        |    CASE WHEN ok THEN
+        |      FLOOR((vr - 1.0) / se * 1000000.0 + 0.500001) / 1000000.0
+        |    END AS zr
+        |  FROM f4
+        |)
+        |SELECT n AS n_diffs,
+        |  CASE WHEN ok THEN
+        |    FLOOR(vr * 1000000.0 + 0.500001) / 1000000.0 END AS vr5,
+        |  zr AS z_stat,
+        |  CAST(COALESCE(CASE WHEN ABS(zr) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_rw_95
+        |FROM f5""".stripMargin,
 
     // Scala-generated shared micro-trig literals, exact integer moments,
     // identical literal-order finals
