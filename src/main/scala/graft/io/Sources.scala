@@ -83,8 +83,9 @@ object Sources {
     *     writers overlap their cluster work;
     *  3. under the commit lock (a per-root JVM monitor nested with a
     *     `COMMIT_LOCK` file lock — threads and processes both serialize;
-    *     an object store swaps this step for its conditional-put, the
-    *     version-dir + pointer shape unchanged): rename staging →
+    *     an object store swaps this step for its conditional-put via the
+    *     [[PointerStore]] seam, the version-dir + pointer shape
+    *     unchanged): rename staging →
     *     `v-<uuid>`, re-read `CURRENT` (the version in-flight readers may
     *     still hold — NOW, not at entry, so the grace copy is the one
     *     that matters), then commit = write the pointer to a temp file,
@@ -103,8 +104,9 @@ object Sources {
     * Readers go through [[readSnapshot]], which resolves `CURRENT` (and
     * falls back to a plain parquet dir for pre-protocol layouts).
     */
-  def overwriteParquet(df: DataFrame, path: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+  def overwriteParquet(df: DataFrame, path: String,
+      store: PointerStore = LocalPointerStore): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(path)
     Files.createDirectories(root)
     val version = s"v-${java.util.UUID.randomUUID()}"
@@ -113,15 +115,26 @@ object Sources {
     withCommitLock(root) {
       Files.move(root.resolve(staged), root.resolve(version),
         StandardCopyOption.ATOMIC_MOVE)
-      val previous = currentVersion(path) // grace copy for in-flight readers
-      val tmp = root.resolve(s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
-      Files.writeString(tmp, version)
-      // fsync the pointer bytes (and best-effort the dir entries) so the
-      // rename cannot surface a pointer that never hit the disk
-      val ch = java.nio.channels.FileChannel.open(tmp, StandardOpenOption.WRITE)
-      try ch.force(true) finally ch.close()
-      Files.move(tmp, root.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE)
-      fsyncDir(root)
+      // pointer swap through the conditional-put seam: observe the
+      // committed version, then install ours fenced on that observation.
+      // Overwrite semantics make a lost race RETRYABLE (the intent is
+      // "replace whatever is there"), so the loser re-observes and
+      // retries; the version the WINNER installed is what we must keep
+      // as the grace copy — `previous` is the observation of the
+      // successful attempt, not of loop entry. Bounded so a pathological
+      // store turns livelock into a loud failure, never a truncation.
+      val previous = {
+        @annotation.tailrec
+        def commit(attempt: Int): Option[String] = {
+          val observed = store.read(root)
+          if (store.compareAndPut(root, observed, version)) observed
+          else if (attempt >= MaxCommitAttempts) sys.error(
+            s"snapshot commit at $path lost $attempt consecutive pointer " +
+              s"races; version dir $version is committed but unreferenced")
+          else commit(attempt + 1)
+        }
+        commit(1)
+      }
       // GC: everything that is neither the live version, the grace copy,
       // nor a concurrent writer's young staging dir — superseded
       // versions, crashed-write orphans, stray temp pointers, and
@@ -173,6 +186,69 @@ object Sources {
       } finally children.close()
     }.getOrElse(own)
   }
+
+  /** CURRENT-pointer commit seam: [[overwriteParquet]] step 3's swap as
+    * an explicit compare-and-put, so the only store-specific piece of the
+    * snapshot protocol is swappable. The contract an implementation must
+    * satisfy:
+    *
+    *  - `read` returns the committed version name, atomically (a reader
+    *    never sees a partial pointer);
+    *  - `compareAndPut(root, expected, next)` installs `next` iff the
+    *    committed version still equals `expected` (`None` = no pointer
+    *    yet), atomically, returning false on a lost race — it must NEVER
+    *    clobber a pointer that no longer matches `expected`, because the
+    *    caller's grace-copy bookkeeping keys off the version it observed.
+    *
+    * On a real object store this maps 1:1 onto the native conditional
+    * write — S3 `PutObject` with `If-Match: <etag>` (`If-None-Match: *`
+    * for the `expected = None` create), GCS `x-goog-if-generation-match`
+    * (0 for create) — with the version-dir + pointer shape unchanged and
+    * NO commit lock needed for the pointer itself (the lock also fences
+    * local GC; store-side GC wants a lifecycle rule or lease instead).
+    * The local implementation runs under [[withCommitLock]], where the
+    * verify-then-move below is trivially atomic; it still VERIFIES
+    * `expected` so that injected-race tests and conditional-put stores
+    * exercise the identical caller retry path.
+    */
+  trait PointerStore {
+    def read(root: java.nio.file.Path): Option[String]
+    def compareAndPut(root: java.nio.file.Path, expected: Option[String],
+        next: String): Boolean
+  }
+
+  object LocalPointerStore extends PointerStore {
+    def read(root: java.nio.file.Path): Option[String] =
+      currentVersion(root.toString)
+
+    def compareAndPut(root: java.nio.file.Path, expected: Option[String],
+        next: String): Boolean = {
+      import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
+      if (currentVersion(root.toString) != expected) false
+      else {
+        val tmp = root.resolve(s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
+        Files.writeString(tmp, next)
+        // fsync the pointer bytes (and best-effort the dir entries) so the
+        // rename cannot surface a pointer that never hit the disk
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          StandardOpenOption.WRITE)
+        try ch.force(true) finally ch.close()
+        Files.move(tmp, root.resolve("CURRENT"),
+          StandardCopyOption.ATOMIC_MOVE)
+        fsyncDir(root)
+        true
+      }
+    }
+  }
+
+  /** A lost pointer race means another writer committed between our read
+    * and our put — under overwrite semantics we re-observe and retry, and
+    * convergence is immediate unless the store misbehaves; 16 consecutive
+    * losses is a broken store, reported loudly with the orphaned version
+    * named (the data is written and internally consistent, only the
+    * pointer never adopted it).
+    */
+  private val MaxCommitAttempts = 16
 
   private val CommitLockName = "COMMIT_LOCK"
 

@@ -217,6 +217,96 @@ class PipelineSpec extends SparkSpec {
       s"root holds $kept")
   }
 
+  test("pointer commit is a conditional put: a losing CAS re-observes, retries, and never truncates the winner") {
+    // r11 verdict item 6: the CURRENT swap behind the PointerStore seam,
+    // exercised on the path a real object store's conditional write takes —
+    // a writer loses the compare-and-put to an interloper who committed
+    // between its read and its put. Contract under test: the loser RETRIES
+    // fenced on the interloper's version (not its stale observation), its
+    // eventual commit keeps the interloper's dir as the grace copy (the
+    // winner-at-the-time is never truncated), and the twice-superseded
+    // original is the one GC'd.
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft_cas").toString
+    val path = s"$base/snap"
+    val root = java.nio.file.Paths.get(path)
+    Sources.overwriteParquet(
+      spark.range(10).withColumn("gen", lit("A")).toDF(), path)
+    val vA = Files.readString(root.resolve("CURRENT")).trim
+
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      Files.createDirectories(to)
+      val children = Files.list(from)
+      try children.forEach { c =>
+        val t = to.resolve(c.getFileName)
+        if (Files.isDirectory(c)) copyDir(c, t) else Files.copy(c, t)
+      } finally children.close()
+    }
+
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fences =
+      new java.util.concurrent.CopyOnWriteArrayList[Option[String]]()
+    val interloper = "v-interloper"
+    // loses the FIRST put to a simulated concurrent winner whose version
+    // is a real committed dir — exactly the state a raced store exposes
+    val racy = new Sources.PointerStore {
+      def read(r: java.nio.file.Path): Option[String] =
+        Sources.LocalPointerStore.read(r)
+      def compareAndPut(r: java.nio.file.Path, expected: Option[String],
+          next: String): Boolean = {
+        fences.add(expected)
+        if (attempts.incrementAndGet() == 1) {
+          copyDir(r.resolve(vA), r.resolve(interloper))
+          assert(Sources.LocalPointerStore.compareAndPut(r, expected,
+            interloper), "interloper's own put must win")
+          false
+        } else Sources.LocalPointerStore.compareAndPut(r, expected, next)
+      }
+    }
+    Sources.overwriteParquet(
+      spark.range(20).withColumn("gen", lit("B")).toDF(), path, racy)
+
+    // the loser retried once, re-fenced on the interloper's version
+    assert(attempts.get() == 2)
+    assert(fences.asScala.toList == List(Some(vA), Some(interloper)))
+    // its commit landed: CURRENT names a fresh version with gen B data
+    val vB = Files.readString(root.resolve("CURRENT")).trim
+    assert(vB != vA && vB != interloper)
+    assert(Sources.readSnapshot(spark, path).count() == 20L)
+    // the winner-at-the-time survived as the grace copy, un-truncated and
+    // still readable; the twice-superseded vA is the dir GC'd
+    val names = {
+      val s = Files.list(root)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    assert(names.contains(interloper), s"grace copy truncated: $names")
+    assert(!names.contains(vA), s"superseded version not GC'd: $names")
+    assert(spark.read.parquet(s"$path/$interloper").count() == 10L)
+  }
+
+  test("a pathologically losing store fails loudly instead of spinning or truncating") {
+    val base = Files.createTempDirectory("graft_cas_lose").toString
+    val path = s"$base/snap"
+    Sources.overwriteParquet(
+      spark.range(5).withColumn("gen", lit("A")).toDF(), path)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val alwaysLoses = new Sources.PointerStore {
+      def read(r: java.nio.file.Path): Option[String] =
+        Sources.LocalPointerStore.read(r)
+      def compareAndPut(r: java.nio.file.Path, expected: Option[String],
+          next: String): Boolean = { calls.incrementAndGet(); false }
+    }
+    val e = intercept[RuntimeException] {
+      Sources.overwriteParquet(
+        spark.range(9).withColumn("gen", lit("B")).toDF(), path, alwaysLoses)
+    }
+    assert(e.getMessage.contains("lost"), e.getMessage)
+    assert(calls.get() == 16, s"bounded retry, got ${calls.get()}")
+    // the committed snapshot is untouched by the failed commit
+    assert(Sources.readSnapshot(spark, path).count() == 5L)
+  }
+
   test("CSV sink round-trips a generated batch (S1)") {
     val base = Files.createTempDirectory("graft_csv").toString
     val (batch, _) = graft.sim.Generate.dailyBatch(spark, 50, "2026-01-24 00:00:00", 3)
