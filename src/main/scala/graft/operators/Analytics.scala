@@ -1082,6 +1082,54 @@ object Analytics {
         .orderBy("t_days")
     }),
 
+    // ---- Nelson–Aalen cumulative hazard (beyond reference, r12) -----------
+    // The HAZARD-scale twin of q_survival's KM product (Nelson 1972, Aalen
+    // 1978): Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with variance Σ dᵢ/nᵢ² — the estimator
+    // recommended over −ln(KM) in small risk sets, and the base quantity
+    // behind q_log_rank's expected counts. Same ONE customer-key shuffle
+    // to the calendar-bounded lifetime frame as q_survival/q_km_ci; both
+    // cumulatives ride the same t-ORDERED window, so the float term
+    // sequence is identical cross-engine and every term is a single
+    // division of exact BIGINTs (d = n needs no guard here — hazard
+    // increments are finite by construction, unlike KM's ln(1−d/n)).
+    // Log-transformed 95% band H·exp(±z·se/H) (Bie et al. 1987),
+    // abstaining NULL while H = 0 (no events yet: the band is undefined,
+    // and NULL mirrors identically — §2.13 discipline).
+    "q_nelson_aalen" -> ((s, dir) => {
+      val asOf = lit(SegAsOf).cast("date")
+      val life = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(to_date(min(col("o_orderdate"))).as("first_d"),
+          to_date(max(col("o_orderdate"))).as("last_d"))
+        .select(datediff(col("last_d"), col("first_d")).cast("long")
+          .as("t_days"),
+          (datediff(asOf, col("last_d")) > lit(ChurnGapDays))
+            .cast("long").as("event"))
+      val byT = life.groupBy("t_days")
+        .agg(count(lit(1)).as("n_at_t"), sum(col("event")).as("n_events"))
+      val wOrd = BoundedWindow.ordered(col("t_days"), col("t_days"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = BoundedWindow.whole(col("t_days"))
+      val withRisk = byT.withColumn("n_risk",
+        sum(col("n_at_t")).over(wAll) - coalesce(
+          sum(col("n_at_t")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val hTerm = col("n_events").cast("double") /
+        col("n_risk").cast("double")
+      val vTerm = col("n_events").cast("double") /
+        (col("n_risk").cast("double") * col("n_risk").cast("double"))
+      val acc = withRisk
+        .withColumn("h", sum(hTerm).over(wCum))
+        .withColumn("v", sum(vTerm).over(wCum))
+      val se = sqrt(col("v"))
+      val band = exp(lit(1.959963984540054) * se / col("h"))
+      acc.select(col("t_days"), col("n_risk"), col("n_events"),
+          r6(col("h")).as("cum_hazard"), r6(se).as("se"),
+          when(col("h") > 0.0, r6(col("h") / band)).as("ci_lo"),
+          when(col("h") > 0.0, r6(col("h") * band)).as("ci_hi"))
+        .orderBy("t_days")
+    }),
+
     // ---- log-rank two-group survival test (beyond reference, r11) ---------
     // The comparison q_survival's single curve can't make: do BUILDING-
     // segment customers churn on a DIFFERENT schedule than everyone else?
@@ -1434,6 +1482,50 @@ object Analytics {
         |  CASE WHEN dead = 0 THEN
         |    FLOOR(LEAST(EXP(ln_s)
         |        + 1.959963984540054 * (EXP(ln_s) * SQRT(gw)), 1.0)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS ci_hi
+        |FROM s ORDER BY t_days""".stripMargin,
+
+    // same lifetime frame and prefix-window risk sets as q_survival; both
+    // cumulative hazard sums replay the identical t-ordered division
+    // sequence, the log-band composes in the same literal order, and the
+    // H = 0 head abstains NULL on both engines
+    "q_nelson_aalen" ->
+      """WITH life AS (
+        |  SELECT CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+        |      MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS t_days,
+        |    CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |      DATE '2001-09-01') > 90 THEN 1 ELSE 0 END AS event
+        |  FROM orders GROUP BY o_custkey
+        |), byt AS (
+        |  SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+        |    CAST(SUM(event) AS BIGINT) AS n_events
+        |  FROM life GROUP BY t_days
+        |), risk AS (
+        |  SELECT t_days, n_events,
+        |    CAST(SUM(n_at_t) OVER () AS BIGINT) - CAST(COALESCE(
+        |      SUM(n_at_t) OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt
+        |), s AS (
+        |  SELECT *,
+        |    SUM(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      OVER w AS h,
+        |    SUM(CAST(n_events AS DOUBLE)
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+        |      OVER w AS v
+        |  FROM risk
+        |  WINDOW w AS (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT t_days, n_risk, n_events,
+        |  FLOOR(h * 1000000.0 + 0.500001) / 1000000.0 AS cum_hazard,
+        |  FLOOR(SQRT(v) * 1000000.0 + 0.500001) / 1000000.0 AS se,
+        |  CASE WHEN h > 0.0 THEN
+        |    FLOOR(h / EXP(1.959963984540054 * SQRT(v) / h)
+        |      * 1000000.0 + 0.500001) / 1000000.0 END AS ci_lo,
+        |  CASE WHEN h > 0.0 THEN
+        |    FLOOR(h * EXP(1.959963984540054 * SQRT(v) / h)
         |      * 1000000.0 + 0.500001) / 1000000.0 END AS ci_hi
         |FROM s ORDER BY t_days""".stripMargin,
 

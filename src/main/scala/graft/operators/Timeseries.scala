@@ -26,6 +26,17 @@ object Timeseries {
   private def r6(c: Column): Column =
     floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
+  /** Gumbel method-of-moments constants (q_gumbel_max), computed ONCE here
+    * and embedded as the SAME double literals in both the Spark plan and
+    * the DuckDB oracle (the q_periodogram micro-trig discipline —
+    * `Double.toString` emits the shortest round-tripping decimal, so both
+    * engines parse identical bits and cross-engine trig/log never runs).
+    */
+  private val Sqrt6OverPi: Double = math.sqrt(6.0) / math.Pi
+  private val EulerGamma: Double = 0.5772156649015329
+  private val GumbelC12: Double = math.log(-math.log(1.0 - 1.0 / 12.0))
+  private val GumbelC120: Double = math.log(-math.log(1.0 - 1.0 / 120.0))
+
   /** EWMA decay per day. 0.5 is deliberate: the weights (1-α)^k = 2^-k
     * are exact dyadic doubles, so Spark and the oracle compute
     * bit-identical weight products and the only cross-engine float
@@ -291,6 +302,98 @@ object Timeseries {
       g.select(col("n").as("n_days"), col("n_pairs"), col("s"),
         r6(z).as("z_stat"),
         (abs(z) > lit(1.959963984540054)).cast("long").as("trending"))
+    }),
+
+    // ---- seasonal Mann–Kendall trend test (r12) -----------------------------
+    // q_mann_kendall's S mixes Mondays with Sundays, so a strong weekly
+    // cycle (q_periodogram's 7-day harmonic) inflates the pair census
+    // with cross-season comparisons that carry no trend information. The
+    // seasonal variant (Hirsch & Slack 1984) computes S WITHIN each
+    // weekday's own day-ordered series and sums: S' = Σ_s S_s, Var(S') =
+    // Σ_s tie-corrected Var(S_s) (seasons independent under H0). Plan
+    // shape: the same calendar-bounded broadcast pair join as
+    // q_mann_kendall/q_theil_sen with the season equi-key added — the
+    // census SHRINKS ~7× (only same-weekday pairs), stays corpus-
+    // invariant, and S plus every variance term stay exact BIGINT; z is
+    // the same continuity-corrected closed float.
+    "q_mk_seasonal" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val a = daily.select(col("dow"), col("day").as("d1"),
+        col("rev").as("r1"))
+      val b = daily.select(col("dow").as("dow2"), col("day").as("d2"),
+        col("rev").as("r2"))
+      val pairs = a.join(broadcast(b),
+          col("dow") === col("dow2") && col("d1") < col("d2"))
+        .agg(sum(signum(col("r2") - col("r1")).cast("long")).as("s"),
+          count(lit(1)).as("n_pairs"))
+      val perSeason = daily.groupBy(col("dow"), col("rev"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("dow"))
+        .agg(sum(col("t")).as("ns"),
+          sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("tie_s"))
+      val varParts = perSeason.agg(
+        sum(col("ns")).as("n"), count(lit(1)).as("n_seasons"),
+        sum(col("ns") * (col("ns") - 1L) * (lit(2L) * col("ns") + 5L) -
+          col("tie_s")).as("var18"))
+      val g = pairs.crossJoin(broadcast(varParts))
+      val varS = col("var18").cast("double") / lit(18.0)
+      val z = when(col("s") > 0L,
+          (col("s") - 1L).cast("double") / sqrt(varS))
+        .when(col("s") < 0L, (col("s") + 1L).cast("double") / sqrt(varS))
+        .otherwise(lit(0.0))
+      g.select(col("n").as("n_days"), col("n_seasons"), col("n_pairs"),
+        col("s"), r6(z).as("z_stat"),
+        (abs(z) > lit(1.959963984540054)).cast("long").as("trending"))
+    }),
+
+    // ---- Gumbel block-maxima fit + return levels (r12) ----------------------
+    // Extreme-value theory's entry point (Gumbel 1958; the domain q_mad_
+    // outliers/q_rolling_anomaly's z-scores can't reach — they model the
+    // BULK, EVT models the maxima): monthly block maxima of daily revenue
+    // fitted to Gumbel(μ, β) by method of moments (β = s·√6/π, μ = m̄ −
+    // γβ), then the 12- and 120-month return levels x_T = μ −
+    // β·ln(−ln(1−1/T)) — "the daily-revenue peak you should provision
+    // for once a year / once a decade". The block frame is CALENDAR-
+    // bounded (≤ months-of-history rows); block maxima and both moment
+    // sums stay exact BIGINT/decimal(38,0); √6/π, γ, and the two
+    // ln(−ln(·)) constants are computed ONCE in Scala and embedded as
+    // the SAME literals in the plan and the oracle (the q_periodogram
+    // micro-trig discipline), so every output is a literal-order float
+    // compose of exact integers. Degenerate frames (< 12 blocks, zero
+    // variance) abstain NULL.
+    "q_gumbel_max" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val blocks = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .groupBy(trunc(col("day"), "month").as("mon"))
+        .agg(max(col("rev")).as("m"))
+      val md = col("m").cast("decimal(38,0)")
+      val g = blocks.agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        sum(md * md).as("smm"))
+      val nD = col("n").cast("double"); val smD = col("sm").cast("double")
+      val mean = smD / nD
+      val svar = (col("smm").cast("double") - smD * smD / nD) /
+        (nD - lit(1.0))
+      val beta = sqrt(svar) * lit(Sqrt6OverPi)
+      val mu = mean - lit(EulerGamma) * beta
+      val rl12 = mu - beta * lit(GumbelC12)
+      val rl120 = mu - beta * lit(GumbelC120)
+      val ok = col("n") >= 12L && svar > 0.0
+      def dollars(c: Column): Column = r2(c / lit(100.0))
+      g.select(col("n").as("n_blocks"),
+        when(ok, dollars(mean)).as("block_mean"),
+        when(ok, dollars(mu)).as("location"),
+        when(ok, dollars(beta)).as("scale"),
+        when(ok, dollars(rl12)).as("rl_1y"),
+        when(ok, dollars(rl120)).as("rl_10y"))
     }),
 
     // ---- Holt–Winters triple exponential smoothing (beyond ref, r9) -------
@@ -1607,6 +1710,87 @@ object Timeseries {
         fR.as("f_stat"),
         when(ok, r6((rssF - rss1 - rss2) / rssF)).as("break_share"),
         coalesce((fR > lit(2.9957)).cast("long"), lit(0L)).as("reject_95"))
+    }),
+
+    // ---- sharp regression discontinuity at the 1998 boundary (r12) ---------
+    // The LOCAL causal estimand q_chow's global F-test doesn't deliver
+    // (Thistlethwaite & Campbell 1960; Imbens & Lemieux 2008): fit a local
+    // linear trend on each side of the 1998-01-01 cutoff inside a ±365-day
+    // bandwidth and read the JUMP — the difference of the two intercepts
+    // at the cutoff — as the discontinuity effect, with the classic
+    // parametric SE from each side's OLS intercept variance. With the
+    // running variable centered at the cutoff (t = day − cutoff), each
+    // side's intercept IS its limit at the boundary, so the estimate is
+    // two closed-form OLS fits — and like q_chow, ONE conditional
+    // aggregate produces both sides' exact integer moments (t is a
+    // ±365-bounded BIGINT, revenue stays cents, products decimal(38,0)),
+    // making every output a literal-order float compose of exact
+    // integers. Degenerate sides (n < 3, flat t, zero RSS) abstain NULL.
+    "q_rdd" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val cut = lit("1998-01-01").cast("date")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .withColumn("tt", datediff(col("day"), cut).cast("long"))
+        .where(col("tt") >= -365L && col("tt") <= 364L)
+        .withColumn("rgt", (col("tt") >= 0L).cast("long"))
+      val revd = col("rev").cast("decimal(38,0)")
+      val ttd = col("tt").cast("decimal(38,0)")
+      def seg(p: Int, nm: String): Seq[Column] = {
+        val in = col("rgt") === p.toLong
+        Seq(sum(when(in, 1L).otherwise(0L)).as(s"n$nm"),
+          sum(when(in, col("tt")).otherwise(0L)).as(s"st$nm"),
+          sum(when(in, col("rev")).otherwise(0L)).as(s"sy$nm"),
+          sum(when(in, ttd * ttd).otherwise(lit(0).cast("decimal(38,0)")))
+            .as(s"stt$nm"),
+          sum(when(in, ttd * revd).otherwise(lit(0).cast("decimal(38,0)")))
+            .as(s"sty$nm"),
+          sum(when(in, revd * revd).otherwise(lit(0).cast("decimal(38,0)")))
+            .as(s"syy$nm"))
+      }
+      val aggsLR = seg(0, "L") ++ seg(1, "R")
+      val m = daily.agg(aggsLR.head, aggsLR.tail: _*)
+      // per-side closed-form local-linear fit off the exact moments; the
+      // intercept a is the side's limit at the cutoff (t centered there)
+      def fit(nm: String) = {
+        // NULL (not 0.0) when the side is degenerate: the ok guards below
+        // mask every output, but Spark's subexpression elimination hoists
+        // shared divisions OUT of the CaseWhen branches and evaluates them
+        // eagerly — under ANSI a hoisted x/0.0 throws where x/NULL
+        // abstains. n < 3 is already the abstain threshold.
+        val nD = when(col(s"n$nm") >= 3L, col(s"n$nm").cast("double"))
+        val stD = col(s"st$nm").cast("double")
+        val syD = col(s"sy$nm").cast("double")
+        val sxx = col(s"stt$nm").cast("double") - stD * stD / nD
+        val sxy = col(s"sty$nm").cast("double") - stD * syD / nD
+        val syyC = col(s"syy$nm").cast("double") - syD * syD / nD
+        val b = sxy / sxx
+        val a = (syD - b * stD) / nD
+        val rss = syyC - sxy * sxy / sxx
+        val s2 = rss / (nD - lit(2.0))
+        val mt = stD / nD
+        val va = s2 * (lit(1.0) / nD + mt * mt / sxx)
+        (sxx, b, a, rss, va)
+      }
+      val (sxxL, bL, aL, rssL, vaL) = fit("L")
+      val (sxxR, bR, aR, rssR, vaR) = fit("R")
+      val okL = col("nL") >= 3L && sxxL > 0.0
+      val okR = col("nR") >= 3L && sxxR > 0.0
+      val effect = aR - aL
+      val se = sqrt(vaL + vaR)
+      val ok = okL && okR && rssL > 0.0 && rssR > 0.0
+      val zR = when(ok, r4(effect / se))
+      m.select(col("nL").as("n_left"), col("nR").as("n_right"),
+        when(okL, r2(aL / lit(100.0))).as("limit_left"),
+        when(okR, r2(aR / lit(100.0))).as("limit_right"),
+        when(okL && okR, r2(effect / lit(100.0))).as("effect"),
+        when(okL, r6(bL / lit(100.0))).as("slope_left"),
+        when(okR, r6(bR / lit(100.0))).as("slope_right"),
+        zR.as("z_stat"),
+        coalesce((abs(zR) > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("reject_95"))
     }),
 
     // ---- binary transfer entropy (r11) -------------------------------------
@@ -3139,6 +3323,115 @@ object Timeseries {
         |    AS BIGINT) AS reject_95
         |FROM fin2""".stripMargin,
 
+    // identical cutoff-centered BIGINT running variable and ±365 bandwidth,
+    // the q_chow exact-integer side moments, and the same staged
+    // b/a/rss/s2/va literal-order float compose per side
+    "q_rdd" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT rev,
+        |    CAST(datediff('day', DATE '1998-01-01', day) AS BIGINT) AS tt
+        |  FROM daily
+        |  WHERE datediff('day', DATE '1998-01-01', day) BETWEEN -365 AND 364
+        |), dd2 AS (
+        |  SELECT rev, tt, CASE WHEN tt >= 0 THEN 1 ELSE 0 END AS rgt
+        |  FROM dd
+        |), m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN rgt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        |    CAST(SUM(CASE WHEN rgt = 0 THEN tt ELSE 0 END) AS BIGINT) AS stl,
+        |    CAST(SUM(CASE WHEN rgt = 0 THEN rev ELSE 0 END) AS BIGINT) AS syl,
+        |    SUM(CASE WHEN rgt = 0 THEN CAST(tt AS HUGEINT) * tt
+        |      ELSE 0 END) AS sttl,
+        |    SUM(CASE WHEN rgt = 0 THEN CAST(tt AS HUGEINT) * rev
+        |      ELSE 0 END) AS styl,
+        |    SUM(CASE WHEN rgt = 0 THEN CAST(rev AS HUGEINT) * rev
+        |      ELSE 0 END) AS syyl,
+        |    CAST(SUM(CASE WHEN rgt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(SUM(CASE WHEN rgt = 1 THEN tt ELSE 0 END) AS BIGINT) AS str,
+        |    CAST(SUM(CASE WHEN rgt = 1 THEN rev ELSE 0 END) AS BIGINT) AS syr,
+        |    SUM(CASE WHEN rgt = 1 THEN CAST(tt AS HUGEINT) * tt
+        |      ELSE 0 END) AS sttr,
+        |    SUM(CASE WHEN rgt = 1 THEN CAST(tt AS HUGEINT) * rev
+        |      ELSE 0 END) AS styr,
+        |    SUM(CASE WHEN rgt = 1 THEN CAST(rev AS HUGEINT) * rev
+        |      ELSE 0 END) AS syyr
+        |  FROM dd2
+        |), c AS (
+        |  SELECT nl, nr,
+        |    CAST(sttl AS DOUBLE) - CAST(stl AS DOUBLE) * CAST(stl AS DOUBLE)
+        |      / CAST(nl AS DOUBLE) AS sxxl,
+        |    CAST(styl AS DOUBLE) - CAST(stl AS DOUBLE) * CAST(syl AS DOUBLE)
+        |      / CAST(nl AS DOUBLE) AS sxyl,
+        |    CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)
+        |      / CAST(nl AS DOUBLE) AS sycl,
+        |    CAST(sttr AS DOUBLE) - CAST(str AS DOUBLE) * CAST(str AS DOUBLE)
+        |      / CAST(nr AS DOUBLE) AS sxxr,
+        |    CAST(styr AS DOUBLE) - CAST(str AS DOUBLE) * CAST(syr AS DOUBLE)
+        |      / CAST(nr AS DOUBLE) AS sxyr,
+        |    CAST(syyr AS DOUBLE) - CAST(syr AS DOUBLE) * CAST(syr AS DOUBLE)
+        |      / CAST(nr AS DOUBLE) AS sycr,
+        |    stl, syl, str, syr
+        |  FROM m
+        |), f AS (
+        |  SELECT nl, nr, sxxl, sxxr, sxyl, sxyr, sycl, sycr,
+        |    stl, syl, str, syr,
+        |    sxyl / sxxl AS bl, sxyr / sxxr AS br
+        |  FROM c
+        |), f2 AS (
+        |  SELECT nl, nr, sxxl, sxxr, bl, br,
+        |    (CAST(syl AS DOUBLE) - bl * CAST(stl AS DOUBLE))
+        |      / CAST(nl AS DOUBLE) AS al,
+        |    (CAST(syr AS DOUBLE) - br * CAST(str AS DOUBLE))
+        |      / CAST(nr AS DOUBLE) AS ar,
+        |    sycl - sxyl * sxyl / sxxl AS rssl,
+        |    sycr - sxyr * sxyr / sxxr AS rssr,
+        |    CAST(stl AS DOUBLE) / CAST(nl AS DOUBLE) AS mtl,
+        |    CAST(str AS DOUBLE) / CAST(nr AS DOUBLE) AS mtr
+        |  FROM f
+        |), f3 AS (
+        |  SELECT nl, nr, sxxl, sxxr, bl, br, al, ar, rssl, rssr,
+        |    rssl / (CAST(nl AS DOUBLE) - 2.0)
+        |      * (1.0 / CAST(nl AS DOUBLE) + mtl * mtl / sxxl) AS vl,
+        |    rssr / (CAST(nr AS DOUBLE) - 2.0)
+        |      * (1.0 / CAST(nr AS DOUBLE) + mtr * mtr / sxxr) AS vr
+        |  FROM f2
+        |), f4 AS (
+        |  SELECT nl, nr, bl, br, al, ar,
+        |    nl >= 3 AND sxxl > 0.0 AS okl,
+        |    nr >= 3 AND sxxr > 0.0 AS okr,
+        |    nl >= 3 AND sxxl > 0.0 AND nr >= 3 AND sxxr > 0.0
+        |      AND rssl > 0.0 AND rssr > 0.0 AS ok,
+        |    ar - al AS effect, SQRT(vl + vr) AS se
+        |  FROM f3
+        |), f5 AS (
+        |  SELECT *, CASE WHEN ok THEN
+        |      FLOOR(effect / se * 10000.0 + 0.500001) / 10000.0
+        |    END AS z_stat
+        |  FROM f4
+        |)
+        |SELECT nl AS n_left, nr AS n_right,
+        |  CASE WHEN okl THEN
+        |    FLOOR(al / 100.0 * 100.0 + 0.500001) / 100.0 END AS limit_left,
+        |  CASE WHEN okr THEN
+        |    FLOOR(ar / 100.0 * 100.0 + 0.500001) / 100.0 END AS limit_right,
+        |  CASE WHEN okl AND okr THEN
+        |    FLOOR(effect / 100.0 * 100.0 + 0.500001) / 100.0 END AS effect,
+        |  CASE WHEN okl THEN
+        |    FLOOR(bl / 100.0 * 1000000.0 + 0.500001) / 1000000.0
+        |    END AS slope_left,
+        |  CASE WHEN okr THEN
+        |    FLOOR(br / 100.0 * 1000000.0 + 0.500001) / 1000000.0
+        |    END AS slope_right,
+        |  z_stat,
+        |  CAST(COALESCE(CASE WHEN ABS(z_stat) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
+        |FROM f5""".stripMargin,
+
     // identical binarized moves (strict >, ties are "not up"), the same
     // two ≤8-cell exact censuses with window marginals, and the same
     // cell-ORDERED cumulative ln-term sums; the direction flag compares
@@ -3463,6 +3756,99 @@ object Timeseries {
         |      ELSE 0.0 END) > 1.959963984540054
         |    THEN 1 ELSE 0 END AS BIGINT) AS trending
         |FROM g""".stripMargin,
+
+    // same-weekday pair census (Spark dayofweek = DuckDB dayofweek + 1),
+    // identical per-season exact tie terms summed to one BIGINT var18,
+    // the same continuity-corrected z
+    "q_mk_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT day, rev, CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+        |  FROM daily
+        |), pairs AS (
+        |  SELECT CAST(SUM(SIGN(b.rev - a.rev)) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM dd a JOIN dd b ON a.dow = b.dow AND a.day < b.day
+        |), per AS (
+        |  SELECT dow, CAST(SUM(t) AS BIGINT) AS ns,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_s
+        |  FROM (SELECT dow, CAST(COUNT(*) AS BIGINT) AS t FROM dd
+        |    GROUP BY dow, rev)
+        |  GROUP BY dow
+        |), vp AS (
+        |  SELECT CAST(SUM(ns) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_seasons,
+        |    CAST(SUM(ns * (ns - 1) * (2 * ns + 5) - tie_s) AS BIGINT)
+        |      AS var18
+        |  FROM per
+        |), g AS (
+        |  SELECT *, CAST(var18 AS DOUBLE) / 18.0 AS var_s
+        |  FROM pairs, vp
+        |)
+        |SELECT n AS n_days, n_seasons, n_pairs, s,
+        |  FLOOR(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |    ELSE 0.0 END * 1000000.0 + 0.500001) / 1000000.0 AS z_stat,
+        |  CAST(CASE WHEN ABS(CASE WHEN s > 0
+        |      THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |      ELSE 0.0 END) > 1.959963984540054
+        |    THEN 1 ELSE 0 END AS BIGINT) AS trending
+        |FROM g""".stripMargin,
+
+    // identical monthly block maxima, exact BIGINT/HUGEINT moments, and
+    // the Scala-shared √6/π, γ, ln(−ln(·)) literals composed in the same
+    // order
+    "q_gumbel_max" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+         |      AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1
+         |), blocks AS (
+         |  SELECT date_trunc('month', day) AS mon,
+         |    CAST(MAX(rev) AS BIGINT) AS m
+         |  FROM daily GROUP BY 1
+         |), g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(m) AS BIGINT) AS sm,
+         |    SUM(CAST(m AS HUGEINT) * m) AS smm
+         |  FROM blocks
+         |), f1 AS (
+         |  SELECT n,
+         |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    (CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS svar
+         |  FROM g
+         |), f2 AS (
+         |  SELECT n, mean, svar, SQRT(svar) * $Sqrt6OverPi AS beta
+         |  FROM f1
+         |), f3 AS (
+         |  SELECT n, mean, svar, beta, mean - $EulerGamma * beta AS mu
+         |  FROM f2
+         |), f4 AS (
+         |  SELECT n, svar, mean, mu, beta,
+         |    mu - beta * $GumbelC12 AS rl12,
+         |    mu - beta * $GumbelC120 AS rl120,
+         |    n >= 12 AND svar > 0.0 AS ok
+         |  FROM f3
+         |)
+         |SELECT n AS n_blocks,
+         |  CASE WHEN ok THEN
+         |    FLOOR(mean / 100.0 * 100.0 + 0.500001) / 100.0 END AS block_mean,
+         |  CASE WHEN ok THEN
+         |    FLOOR(mu / 100.0 * 100.0 + 0.500001) / 100.0 END AS location,
+         |  CASE WHEN ok THEN
+         |    FLOOR(beta / 100.0 * 100.0 + 0.500001) / 100.0 END AS scale,
+         |  CASE WHEN ok THEN
+         |    FLOOR(rl12 / 100.0 * 100.0 + 0.500001) / 100.0 END AS rl_1y,
+         |  CASE WHEN ok THEN
+         |    FLOOR(rl120 / 100.0 * 100.0 + 0.500001) / 100.0 END AS rl_10y
+         |FROM f4""".stripMargin,
 
     // the recursive-CTE replay of the same 9-field recurrence: identical
     // seasonal CASE chains, the same duplicated-lv float sequence

@@ -524,6 +524,49 @@ class AnalyticsSpec extends SparkSpec {
       rows(20L).getDouble(4) === 0.0)
   }
 
+  test("Nelson-Aalen matches the hand-computed hazard chain on the KM cohort") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_na").toString
+    // the q_survival planted cohort: risk sets 4 → 3 → 1, events at 10, 20
+    Seq((1L, "2001-07-01"),
+        (2L, "2001-01-01"), (2L, "2001-01-11"),
+        (3L, "2001-06-20"), (3L, "2001-06-30"),
+        (4L, "2001-01-01"), (4L, "2001-01-21"))
+      .toDF("o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q_nelson_aalen")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(0L, 10L, 20L))
+    def r6(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.500001) / 1000000.0
+    // t = 0: no events yet — H = 0, the log band is undefined → NULL
+    assert(rows(0L).getLong(1) === 4L && rows(0L).getDouble(3) === 0.0 &&
+      rows(0L).isNullAt(5) && rows(0L).isNullAt(6))
+    // t = 10: H = 1/3, v = 1/9; band replicated op-for-op
+    val h1 = 0.0 + 1.0 / 3.0
+    val v1 = 0.0 + 1.0 / (3.0 * 3.0)
+    val b1 = math.exp(1.959963984540054 * math.sqrt(v1) / h1)
+    assert(rows(10L).getLong(1) === 3L && rows(10L).getDouble(3) === r6(h1))
+    assert(rows(10L).getDouble(4) === r6(math.sqrt(v1)))
+    assert(rows(10L).getDouble(5) === r6(h1 / b1) &&
+      rows(10L).getDouble(6) === r6(h1 * b1), s"${rows(10L)}")
+    // t = 20: the last at-risk customer dies — the hazard increment is a
+    // FINITE d/n = 1 (no KM-style ln(0) tail to pin)
+    val h2 = h1 + 1.0 / 1.0
+    val v2 = v1 + 1.0 / (1.0 * 1.0)
+    val b2 = math.exp(1.959963984540054 * math.sqrt(v2) / h2)
+    assert(rows(20L).getLong(1) === 1L && rows(20L).getDouble(3) === r6(h2))
+    assert(rows(20L).getDouble(5) === r6(h2 / b2) &&
+      rows(20L).getDouble(6) === r6(h2 * b2), s"${rows(20L)}")
+  }
+
+  test("Nelson-Aalen plan: join-free, one customer shuffle + bounded windows") {
+    val p = plan("q_nelson_aalen")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"hazard grew a join:\n$p")
+    assert(p.contains("Window"), s"expected the risk-set windows:\n$p")
+  }
+
   test("KM survival on real data: monotone curve, telescoping risk sets") {
     val rows = run("q_survival").collect()
     assert(rows.nonEmpty)

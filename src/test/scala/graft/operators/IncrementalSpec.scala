@@ -1451,6 +1451,92 @@ class IncrementalSpec extends SparkSpec {
     assert(math.abs(rn.getDouble(3)) < 1e-6, s"no break share: $rn")
   }
 
+  test("RDD: a planted level jump at the cutoff recovers both limits exactly; a missing side abstains") {
+    import spark.implicits._
+    // two exact local lines with the (+,−,−,+) Morse wobble (Σε = Σtε = 0
+    // per 4-block ⇒ OLS recovers each line EXACTLY, rss = 8c² > 0 so the
+    // SE is defined): left y = 1000 + 2t $, right y = 500 + t $ — the
+    // jump at t = 0 is −500 $ by construction
+    def mk(sides: Range*): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rdd").toString
+      val morse = Seq(1.0, -1.0, -1.0, 1.0)
+      sides.flatMap(_.zipWithIndex.map { case (tt, i) =>
+        val base = if (tt < 0) 1000.0 + 2.0 * tt else 500.0 + 1.0 * tt
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(1998, 1, 1)
+          .plusDays(tt.toLong).atStartOfDay()), base + 0.4 * morse(i % 4))
+      }).toDF("o_orderdate", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val r = SparkEntry.queries("q_rdd")(spark, mk(-8 until 0, 0 until 8)).head()
+    assert(r.getLong(0) === 8L && r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 1000.0 && r.getDouble(3) === 500.0, s"$r")
+    assert(r.getDouble(4) === -500.0, s"jump: $r")
+    assert(r.getDouble(5) === 2.0 && r.getDouble(6) === 1.0, s"slopes: $r")
+    assert(r.getDouble(7) < 0.0 && r.getLong(8) === 1L, s"z/reject: $r")
+    // no left-side data inside the bandwidth → that limit (and z) abstain
+    val ra = SparkEntry.queries("q_rdd")(spark, mk(0 until 8)).head()
+    assert(ra.getLong(0) === 0L && ra.isNullAt(2) && ra.isNullAt(4) &&
+      ra.isNullAt(7) && ra.getLong(8) === 0L, s"$ra")
+  }
+
+  test("seasonal MK: planted same-weekday monotone trends sum S across seasons") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mks").toString
+    // 4 Mondays rising + 4 Tuesdays rising (distinct values, no ties):
+    // S = 2 seasons × C(4,2) = 12, var18 = 2 · 4·3·13 = 312
+    val days = Seq("1998-01-05" -> 100.0, "1998-01-06" -> 150.0,
+      "1998-01-12" -> 200.0, "1998-01-13" -> 250.0,
+      "1998-01-19" -> 300.0, "1998-01-20" -> 350.0,
+      "1998-01-26" -> 400.0, "1998-01-27" -> 450.0)
+    days.map { case (d, v) =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.parse(d).atStartOfDay()), v)
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_mk_seasonal")(spark, dir).head()
+    assert(r.getLong(0) === 8L && r.getLong(1) === 2L &&
+      r.getLong(2) === 12L && r.getLong(3) === 12L, s"$r")
+    val z = (12.0 - 1.0) / math.sqrt(312.0 / 18.0)
+    assert(r.getDouble(4) === math.floor(z * 1000000.0 + 0.500001) / 1000000.0,
+      s"$r")
+    assert(r.getLong(5) === 1L, s"monotone seasons must trend: $r")
+  }
+
+  test("Gumbel block maxima: MoM fit replicates the closed form on 12 planted months; short frames abstain") {
+    import spark.implicits._
+    def mk(months: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_gum").toString
+      (0 until months).map { i =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(1998, 1, 15)
+          .plusMonths(i.toLong).atStartOfDay()), 1000.0 + 100.0 * i)
+      }.toDF("o_orderdate", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val r = SparkEntry.queries("q_gumbel_max")(spark, mk(12)).head()
+    assert(r.getLong(0) === 12L)
+    // replicate the engine's exact float sequence off the exact moments
+    val ms = (0 until 12).map(i => 100000L + 10000L * i)
+    val n = 12.0
+    val sm = ms.sum.toDouble
+    val smm = ms.map(m => BigInt(m) * BigInt(m)).sum.toDouble
+    val mean = sm / n
+    val svar = (smm - sm * sm / n) / (n - 1.0)
+    val beta = math.sqrt(svar) * (math.sqrt(6.0) / math.Pi)
+    val mu = mean - 0.5772156649015329 * beta
+    val rl12 = mu - beta * math.log(-math.log(1.0 - 1.0 / 12.0))
+    val rl120 = mu - beta * math.log(-math.log(1.0 - 1.0 / 120.0))
+    def d2(c: Double): Double = math.floor(c / 100.0 * 100.0 + 0.500001) / 100.0
+    assert(r.getDouble(1) === d2(mean) && r.getDouble(2) === d2(mu) &&
+      r.getDouble(3) === d2(beta), s"$r")
+    assert(r.getDouble(4) === d2(rl12) && r.getDouble(5) === d2(rl120), s"$r")
+    assert(r.getDouble(5) > r.getDouble(4) && r.getDouble(4) > r.getDouble(1),
+      s"return levels must order decade > year > mean: $r")
+    // 3 blocks: below the 12-block floor → everything but the count abstains
+    val ra = SparkEntry.queries("q_gumbel_max")(spark, mk(3)).head()
+    assert(ra.getLong(0) === 3L && ra.isNullAt(1) && ra.isNullAt(4), s"$ra")
+  }
+
   test("transfer entropy: a delayed copy channels information, constant v is exactly 0") {
     import spark.implicits._
     def write(rows: Seq[(java.time.LocalDate, Double, Int)]): String = {

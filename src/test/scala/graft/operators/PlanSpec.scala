@@ -269,6 +269,35 @@ class PlanSpec extends SparkSpec {
     assert(!el.contains("Join"), s"q_elasticity must be join-free:\n$el")
   }
 
+  test("round-12 additions keep the scale contracts (bounded windows, broadcast pair joins)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Window => LWindow}
+    // q_nelson_aalen: windows only over the Aggregate-bounded t_days
+    // frame (the q_survival shape); q_rdd / q_gumbel_max: join-free
+    // single-aggregate plans
+    Seq("q_nelson_aalen").foreach { q =>
+      spark.catalog.clearCache()
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val bare = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: LAggregate => a }.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$q plans ${bare.size} partition-less Window over raw data")
+    }
+    Seq("q_rdd", "q_gumbel_max").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free:\n$p")
+    }
+    // q_mk_seasonal: the same-weekday pair census must be a BROADCAST
+    // join on the calendar-bounded daily frame — a SortMergeJoin or
+    // cartesian here would shuffle the census at corpus scale
+    val mks = plan("q_mk_seasonal")
+    assert(mks.contains("BroadcastHashJoin") || mks.contains("BroadcastExchange"),
+      s"q_mk_seasonal pair census must broadcast:\n$mks")
+    assert(!mks.contains("CartesianProduct") && !mks.contains("SortMergeJoin"),
+      s"q_mk_seasonal census join regressed:\n$mks")
+  }
+
   test("distribution-rank queries plan NO bounded-small-key Window over data (r11 swap-in)") {
     // q_window_ntile partitioned by c_mktsegment (5 values) and
     // q_window_dist by o_orderstatus (3) — a schema-bounded-small
