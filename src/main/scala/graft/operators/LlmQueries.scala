@@ -1194,6 +1194,50 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // ---- per-source KL divergence vs the corpus (r12) -----------------------
+    // The distribution-shift readout behind DSIR-style importance weighting
+    // and domain-mix debugging that q_js_divergence's pairwise matrix and
+    // q_token_entropy's per-source H don't give directly: how far is each
+    // SOURCE's unigram distribution from the CORPUS mixture it feeds?
+    // Plug-in KL(Pₛ‖Q) = Σ_{t∈supp(Pₛ)} p·ln(p/q) over the source's own
+    // support (q > 0 structurally — every source term is a corpus term —
+    // so no smoothing is needed), plus the corpus-mass coverage of that
+    // support. Plan shape: ONE (source, term) shuffle to exact counts;
+    // the corpus term frame is vocab-bounded and attaches by BROADCAST
+    // (the q_collocation_pmi unigram-attach stance); the per-source ln
+    // sum rides a source-PARTITIONED term-ordered cumulative window
+    // (identical float sequence cross-engine — every ln argument is a
+    // ratio of exact BIGINTs), keep-last-row.
+    "q_kl_divergence" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("source"),
+          explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      val tm = counts.groupBy("term").agg(sum(col("f")).as("ft"))
+      val tot = tm.agg(sum(col("ft")).as("nn"))
+      val ns = counts.groupBy("source")
+        .agg(sum(col("f")).as("ntok"), count(lit(1)).as("nterms"))
+      val j = counts
+        .join(broadcast(tm), Seq("term"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+      val pd = col("f").cast("double") / col("ntok").cast("double")
+      val qd = col("ft").cast("double") / col("nn").cast("double")
+      val wS = Window.partitionBy(col("source")).orderBy(col("term"))
+      val wCum = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val acc = j
+        .withColumn("rn", row_number().over(wS).cast("long"))
+        .withColumn("kl", sum(pd * log(pd / qd)).over(wCum))
+        .withColumn("cov", sum(col("ft")).over(wCum))
+      acc.where(col("rn") === col("nterms"))
+        .select(col("source"), col("nterms").as("n_terms"),
+          col("ntok").as("n_tokens"), r6(col("kl")).as("kl"),
+          r6(col("cov").cast("double") / col("nn").cast("double"))
+            .as("corpus_coverage"))
+        .orderBy("source")
+    }),
+
     // ---- Yule's K characteristic per source (r11) --------------------------
     // The size-INVARIANT vocabulary-richness constant (Yule 1944) that
     // q_hapax_rate's type-token ratio is not (TTR falls mechanically with
@@ -3347,6 +3391,47 @@ object LlmQueries {
         |        / CAST(SUM(f * (f - 1)) AS DOUBLE)
         |      * 100.0 + 0.500001) / 100.0 END AS inv_simpson
         |FROM counts GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical (source, term) census, the same per-source term-ORDERED
+    // cumulative ln-term sum (each argument a ratio of exact BIGINTs),
+    // keep-last-row; coverage stays BIGINT until one final division
+    "q_kl_divergence" ->
+      """WITH counts AS (
+        |  SELECT source, t.x AS term, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT source,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) d, LATERAL unnest(toks) AS t(x)
+        |  WHERE len(t.x) > 0
+        |  GROUP BY source, t.x
+        |), tm AS (
+        |  SELECT term, CAST(SUM(f) AS BIGINT) AS ft FROM counts GROUP BY term
+        |), tot AS (
+        |  SELECT CAST(SUM(ft) AS BIGINT) AS nn FROM tm
+        |), ns AS (
+        |  SELECT source, CAST(SUM(f) AS BIGINT) AS ntok,
+        |    CAST(COUNT(*) AS BIGINT) AS nterms
+        |  FROM counts GROUP BY source
+        |), j AS (
+        |  SELECT c.source, c.term, c.f, tm.ft, ns.ntok, ns.nterms, tot.nn
+        |  FROM counts c JOIN tm USING (term) JOIN ns USING (source)
+        |  CROSS JOIN tot
+        |), acc AS (
+        |  SELECT source, ntok, nterms, nn,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY term) AS rn,
+        |    SUM((CAST(f AS DOUBLE) / CAST(ntok AS DOUBLE))
+        |      * LN((CAST(f AS DOUBLE) / CAST(ntok AS DOUBLE))
+        |        / (CAST(ft AS DOUBLE) / CAST(nn AS DOUBLE))))
+        |      OVER w AS kl,
+        |    CAST(SUM(ft) OVER w AS BIGINT) AS cov
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY source ORDER BY term
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT source, nterms AS n_terms, ntok AS n_tokens,
+        |  FLOOR(kl * 1000000.0 + 0.500001) / 1000000.0 AS kl,
+        |  FLOOR(CAST(cov AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS corpus_coverage
+        |FROM acc WHERE rn = nterms ORDER BY source""".stripMargin,
 
     // identical ASCII regex censuses (nonempty whitespace tokens, [.!?]+
     // runs clamped ≥1, [aeiouy]+ vowel groups), exact BIGINT totals, and

@@ -393,6 +393,78 @@ object Stats {
         (abs(z) > 1.959963984540054).cast("long").as("reject_95"))
     }),
 
+    // ---- Brunner–Munzel generalized Wilcoxon (r12) --------------------------
+    // q_mann_whitney assumes equal variances under H0 (it tests equal
+    // DISTRIBUTIONS); Brunner & Munzel (2000) test the weaker, usually
+    // intended hypothesis P(X<Y)+½P(X=Y) = ½ WITHOUT that assumption —
+    // the rank-scale analogue of Welch vs Student. Executed entirely on
+    // the VALUE HISTOGRAM (the q_mann_whitney shape: one groupBy(v), then
+    // cumulative windows over the aggregate-bounded frame): with DOUBLED
+    // midranks D = 2·before + c + 1 every rank quantity — combined,
+    // within-group, and the deviation kernel A = D − D_k + (n_k+1) —
+    // stays an exact BIGINT, the rank-variance moments ΣA/ΣA² are exact
+    // decimal(38,0), and S², p̂, W, and the Satterthwaite df are closed
+    // literal-order floats of exact integers. Same bounded-anchor %20
+    // slice as q_mann_whitney; urgent-priority orders vs the rest.
+    "q_brunner_munzel" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 20 === 0)
+        .select((col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH").cast("long").as("g"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long").as("v"))
+      val hist = o.groupBy("v").agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("c2"))
+      val wCum = BoundedWindow.ordered(col("v"), col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("v"))
+      val c = col("c1") + col("c2")
+      val cum = hist.select(col("c1"), col("c2"),
+        sum(col("c1")).over(wAll).as("n1"),
+        sum(col("c2")).over(wAll).as("n2"),
+        (sum(col("c1") + col("c2")).over(wCum) - c).as("bef"),
+        (sum(col("c1")).over(wCum) - col("c1")).as("bef1"),
+        (sum(col("c2")).over(wCum) - col("c2")).as("bef2"))
+      val dAll = lit(2L) * col("bef") + col("c1") + col("c2") + lit(1L)
+      val d1 = lit(2L) * col("bef1") + col("c1") + lit(1L)
+      val d2 = lit(2L) * col("bef2") + col("c2") + lit(1L)
+      val a1 = dAll - d1 + col("n1") + lit(1L)
+      val a2 = dAll - d2 + col("n2") + lit(1L)
+      def dec(x: Column): Column = x.cast("decimal(38,0)")
+      val g = cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("c1") * dAll).as("sd1"), sum(col("c2") * dAll).as("sd2"),
+        sum(col("c1") * a1).as("sa1"), sum(dec(col("c1")) * a1 * a1).as("saa1"),
+        sum(col("c2") * a2).as("sa2"), sum(dec(col("c2")) * a2 * a2).as("saa2"))
+      def d(x: Column): Column = x.cast("double")
+      // NULL (not 0.0) under the abstain threshold: subexpression
+      // elimination hoists the shared divisions out of the CaseWhen
+      // guards, and under ANSI a hoisted x/0.0 throws where x/NULL
+      // abstains (the q_rdd lesson)
+      val n1D = when(col("n1") >= 2L, d(col("n1")))
+      val n2D = when(col("n2") >= 2L, d(col("n2")))
+      val nD = n1D + n2D
+      val m1 = d(col("sd1")) / n1D
+      val m2 = d(col("sd2")) / n2D
+      // Σ(A − D̄ₖ)² expanded off the exact moments; the /4 undoubles ranks
+      val s1q = (d(col("saa1")) - lit(2.0) * m1 * d(col("sa1")) +
+        n1D * m1 * m1) / lit(4.0) / (n1D - lit(1.0))
+      val s2q = (d(col("saa2")) - lit(2.0) * m2 * d(col("sa2")) +
+        n2D * m2 * m2) / lit(4.0) / (n2D - lit(1.0))
+      val vsum = n1D * s1q + n2D * s2q
+      val diff = (m2 - m1) / lit(2.0)
+      val wStat = n1D * n2D * diff / nD / sqrt(vsum)
+      val phat = (m2 / lit(2.0) - (n2D + lit(1.0)) / lit(2.0)) / n1D
+      val dfS = vsum * vsum / ((n1D * s1q) * (n1D * s1q) / (n1D - lit(1.0)) +
+        (n2D * s2q) * (n2D * s2q) / (n2D - lit(1.0)))
+      val ok = col("n1") >= 2L && col("n2") >= 2L && vsum > 0.0
+      val wR = when(ok, r6(wStat))
+      g.select(col("n1").as("n_1"), col("n2").as("n_2"),
+        when(ok, r6(phat)).as("p_hat"), wR.as("w_stat"),
+        when(ok, r2c(dfS)).as("df"),
+        coalesce((abs(wR) > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("reject_95"))
+    }),
+
     // ---- A/B experiment power analysis ------------------------------------
     // The design-side companion to q_ab_ttest: from the same per-user arm
     // moments, the minimal detectable effect at α=0.05 / power 0.8
@@ -2548,6 +2620,56 @@ object Stats {
         (r6(chi) > 12.591587243743977).cast("long").as("reject_95"))
     }),
 
+    // ---- Page's L ordered-trend test (r12) ----------------------------------
+    // q_friedman answers "do weekdays differ AT ALL"; Page's L (Page 1963)
+    // answers the sharper ordered question — do the within-week ranks
+    // FOLLOW the weekday order? — with far more power against monotone
+    // alternatives. Same complete-week midrank frame as q_friedman
+    // (midranks are dyadic halves, so every sum is EXACT in double and
+    // aggregation order cannot matter); L = Σ_j (wd+1)·R_j, and under H0
+    // E[L] = b·k(k+1)²/4, Var(L) = b·k²(k+1)(k²−1)/144 — both closed
+    // forms of exact integers, z two-sided (the weekday labeling fixes
+    // the predicted order up to reversal). One shuffle to the daily
+    // frame; everything after lives on the ≤7-row weekday frame.
+    "q_page_trend" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+        .select(col("day"), col("rev"),
+          floor(datediff(col("day"), lit("1995-01-01").cast("date")) / 7)
+            .cast("long").as("wk"),
+          pmod(datediff(col("day"), lit("1995-01-01").cast("date"))
+            .cast("long"), lit(7L)).as("wd"))
+      val complete = daily
+        .withColumn("wn", count(lit(1)).over(Window.partitionBy(col("wk"))))
+        .where(col("wn") === 7)
+      val ranked = complete
+        .withColumn("rk", rank().over(
+          Window.partitionBy(col("wk")).orderBy(col("rev"))))
+        .withColumn("ties", count(lit(1)).over(
+          Window.partitionBy(col("wk"), col("rev"))))
+        .withColumn("midrank",
+          col("rk").cast("double") +
+            (col("ties") - 1L).cast("double") / 2.0)
+      val byWd = ranked.groupBy("wd")
+        .agg(sum(col("midrank")).as("rj"), count(lit(1)).as("b"))
+      val g = byWd.agg(max(col("b")).as("b"), count(lit(1)).as("k"),
+        sum((col("wd") + 1L).cast("double") * col("rj")).as("l"))
+      def d(c: Column): Column = c.cast("double")
+      val bD = d(col("b")); val kD = d(col("k"))
+      val el = bD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+      val vl = bD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) / 144.0
+      val ok = col("b") >= 2L && col("k") >= 3L
+      val z = when(ok, (col("l") - el) / sqrt(vl))
+      g.select(col("b").as("n_weeks"), col("k").as("k_days"),
+        r2c(col("l")).as("l_stat"), r2c(el).as("l_expected"),
+        r6(z).as("z_stat"),
+        coalesce((abs(r6(z)) > lit(1.959963984540054)).cast("long"),
+          lit(0L)).as("reject_95"))
+    }),
+
     // ---- Cliff's delta effect size (r11) ----------------------------------
     // The nonparametric effect size behind q_mann_whitney's verdict: δ =
     // (#{a > b} − #{a < b}) / (n_a·n_b) over ALL 1998×1997 daily-revenue
@@ -3437,6 +3559,91 @@ object Stats {
         |  CAST(CASE WHEN abs(z) > 1.959963984540054 THEN 1 ELSE 0 END
         |    AS BIGINT) AS reject_95
         |FROM zz""".stripMargin,
+
+    // the q_mann_whitney histogram with DOUBLED midranks: every rank
+    // quantity and the deviation kernel A stay exact BIGINT, the ΣA/ΣA²
+    // moments exact HUGEINT, and S²/p̂/W/df compose in the same literal
+    // order; sub-threshold groups abstain via the same NULL denominators
+    "q_brunner_munzel" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+        |      OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS g,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |), hist AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM o GROUP BY v
+        |), cum AS (
+        |  SELECT c1, c2,
+        |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+        |    CAST(SUM(c2) OVER () AS BIGINT) AS n2,
+        |    CAST(SUM(c1 + c2) OVER w - (c1 + c2) AS BIGINT) AS bef,
+        |    CAST(SUM(c1) OVER w - c1 AS BIGINT) AS bef1,
+        |    CAST(SUM(c2) OVER w - c2 AS BIGINT) AS bef2
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), kern AS (
+        |  SELECT c1, c2, n1, n2,
+        |    2 * bef + c1 + c2 + 1 AS dall,
+        |    (2 * bef + c1 + c2 + 1) - (2 * bef1 + c1 + 1) + n1 + 1 AS a1,
+        |    (2 * bef + c1 + c2 + 1) - (2 * bef2 + c2 + 1) + n2 + 1 AS a2
+        |  FROM cum
+        |), g AS (
+        |  SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * dall) AS BIGINT) AS sd1,
+        |    CAST(SUM(c2 * dall) AS BIGINT) AS sd2,
+        |    CAST(SUM(c1 * a1) AS BIGINT) AS sa1,
+        |    SUM(CAST(c1 AS HUGEINT) * a1 * a1) AS saa1,
+        |    CAST(SUM(c2 * a2) AS BIGINT) AS sa2,
+        |    SUM(CAST(c2 AS HUGEINT) * a2 * a2) AS saa2
+        |  FROM kern
+        |), f1 AS (
+        |  SELECT n1, n2, sd1, sd2, sa1, saa1, sa2, saa2,
+        |    CASE WHEN n1 >= 2 THEN CAST(n1 AS DOUBLE) END AS n1d,
+        |    CASE WHEN n2 >= 2 THEN CAST(n2 AS DOUBLE) END AS n2d
+        |  FROM g
+        |), f2 AS (
+        |  SELECT *, n1d + n2d AS nd,
+        |    CAST(sd1 AS DOUBLE) / n1d AS m1,
+        |    CAST(sd2 AS DOUBLE) / n2d AS m2
+        |  FROM f1
+        |), f3 AS (
+        |  SELECT *,
+        |    (CAST(saa1 AS DOUBLE) - 2.0 * m1 * CAST(sa1 AS DOUBLE)
+        |      + n1d * m1 * m1) / 4.0 / (n1d - 1.0) AS s1q,
+        |    (CAST(saa2 AS DOUBLE) - 2.0 * m2 * CAST(sa2 AS DOUBLE)
+        |      + n2d * m2 * m2) / 4.0 / (n2d - 1.0) AS s2q
+        |  FROM f2
+        |), f4 AS (
+        |  SELECT *, n1d * s1q + n2d * s2q AS vsum,
+        |    (m2 - m1) / 2.0 AS diff
+        |  FROM f3
+        |), f5 AS (
+        |  SELECT n1, n2, n1d, n2d, nd, m1, m2, s1q, s2q, vsum,
+        |    n1 >= 2 AND n2 >= 2 AND vsum > 0.0 AS ok,
+        |    n1d * n2d * diff / nd / SQRT(vsum) AS w,
+        |    (m2 / 2.0 - (n2d + 1.0) / 2.0) / n1d AS phat,
+        |    vsum * vsum / ((n1d * s1q) * (n1d * s1q) / (n1d - 1.0)
+        |      + (n2d * s2q) * (n2d * s2q) / (n2d - 1.0)) AS dfs
+        |  FROM f4
+        |), f6 AS (
+        |  SELECT n1, n2, ok, phat, dfs,
+        |    CASE WHEN ok THEN
+        |      FLOOR(w * 1000000.0 + 0.500001) / 1000000.0 END AS wr
+        |  FROM f5
+        |)
+        |SELECT n1 AS n_1, n2 AS n_2,
+        |  CASE WHEN ok THEN
+        |    FLOOR(phat * 1000000.0 + 0.500001) / 1000000.0 END AS p_hat,
+        |  wr AS w_stat,
+        |  CASE WHEN ok THEN
+        |    FLOOR(dfs * 100.0 + 0.500001) / 100.0 END AS df,
+        |  CAST(COALESCE(CASE WHEN ABS(wr) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
+        |FROM f6""".stripMargin,
 
     // exact .5-grid medians (2·median is BIGINT on both engines), integer
     // deviations, then the q_anova group-ordered float assembly verbatim
@@ -5179,6 +5386,61 @@ object Stats {
         |    * 1000000.0 + 0.500001) / 1000000.0 > 12.591587243743977
         |    AS BIGINT) AS reject_95
         |FROM g""".stripMargin,
+
+    // the q_friedman complete-week midrank frame (dyadic-exact sums, so
+    // aggregation order cannot matter), the same L/E/Var literal-order
+    // closed forms, z on the rounded value
+    "q_page_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), d2 AS (
+        |  SELECT rev,
+        |    CAST(FLOOR((day - DATE '1995-01-01') / 7.0) AS BIGINT) AS wk,
+        |    CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS wd
+        |  FROM daily
+        |), complete AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY wk) AS wn FROM d2)
+        |  WHERE wn = 7
+        |), ranked AS (
+        |  SELECT wd,
+        |    CAST(RANK() OVER (PARTITION BY wk ORDER BY rev) AS DOUBLE)
+        |      + CAST(COUNT(*) OVER (PARTITION BY wk, rev) - 1 AS DOUBLE)
+        |        / 2.0 AS midrank
+        |  FROM complete
+        |), bywd AS (
+        |  SELECT wd, SUM(midrank) AS rj, CAST(COUNT(*) AS BIGINT) AS b
+        |  FROM ranked GROUP BY wd
+        |), g AS (
+        |  SELECT CAST(MAX(b) AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM(CAST(wd + 1 AS DOUBLE) * rj) AS l
+        |  FROM bywd
+        |), f1 AS (
+        |  SELECT b, k, l,
+        |    CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+        |      * (CAST(k AS DOUBLE) + 1.0) / 4.0 AS el,
+        |    CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) + 1.0)
+        |      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) / 144.0 AS vl,
+        |    b >= 2 AND k >= 3 AS ok
+        |  FROM g
+        |), f2 AS (
+        |  SELECT b, k, l, el, ok,
+        |    CASE WHEN ok THEN
+        |      FLOOR((l - el) / SQRT(vl) * 1000000.0 + 0.500001) / 1000000.0
+        |    END AS zr
+        |  FROM f1
+        |)
+        |SELECT b AS n_weeks, k AS k_days,
+        |  FLOOR(l * 100.0 + 0.500001) / 100.0 AS l_stat,
+        |  FLOOR(el * 100.0 + 0.500001) / 100.0 AS l_expected,
+        |  zr AS z_stat,
+        |  CAST(COALESCE(CASE WHEN ABS(zr) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
+        |FROM f2""".stripMargin,
 
     // identical bounded pair census, exact dominance counts, the same
     // r6-rounded |δ| magnitude cuts

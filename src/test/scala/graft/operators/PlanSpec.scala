@@ -296,6 +296,28 @@ class PlanSpec extends SparkSpec {
       s"q_mk_seasonal pair census must broadcast:\n$mks")
     assert(!mks.contains("CartesianProduct") && !mks.contains("SortMergeJoin"),
       s"q_mk_seasonal census join regressed:\n$mks")
+    // q_brunner_munzel: rank math entirely on the value histogram —
+    // join-free, windows only over the Aggregate-bounded frame
+    val bm = plan("q_brunner_munzel")
+    assert(!bm.contains("Join"), s"q_brunner_munzel must be join-free:\n$bm")
+    // q_kl_divergence: the corpus term frame and per-source totals attach
+    // by BROADCAST; the corpus-sized counts frame never sort-merge-joins
+    val kl = plan("q_kl_divergence")
+    assert(!kl.contains("SortMergeJoin") && !kl.contains("CartesianProduct"),
+      s"q_kl_divergence counts must not shuffle-join:\n$kl")
+    assert(kl.contains("BroadcastHashJoin"),
+      s"q_kl_divergence term/source frames must broadcast:\n$kl")
+    // q_page_trend: every window partitioned (by week / weekday) or over
+    // an Aggregate-bounded child
+    spark.catalog.clearCache()
+    val ptLp = SparkEntry.queries("q_page_trend")(spark, sf)
+      .queryExecution.optimizedPlan
+    val ptBare = ptLp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case a: LAggregate => a }.isEmpty => w
+    }
+    assert(ptBare.isEmpty,
+      s"q_page_trend plans ${ptBare.size} partition-less Window over raw data")
   }
 
   test("distribution-rank queries plan NO bounded-small-key Window over data (r11 swap-in)") {

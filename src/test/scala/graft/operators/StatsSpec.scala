@@ -1632,6 +1632,57 @@ class StatsSpec extends SparkSpec {
     assert(win.getDouble(2) > 12.591587 && win.getLong(3) === 1L, s"$win")
   }
 
+  test("Page trend: perfect weekday agreement hits the closed-form L; flat weeks sit at E[L]") {
+    import spark.implicits._
+    def mk(rev: Int => Double) = fixtureDir("orders" ->
+      (0 until 21).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(1995, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), rev(i)))
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice"))
+    // within every week revenue rises with the weekday index ⇒ each
+    // week's ranks are exactly 1..7 in weekday order: L = 3·Σm² = 420,
+    // E[L] = 3·7·64/4 = 336, Var = 3·18816/144 = 392
+    val up = SparkEntry.queries("q_page_trend")(spark,
+      mk(i => 100.0 + (i % 7) * 10.0 + (i / 7))).head
+    assert(up.getLong(0) === 3L && up.getLong(1) === 7L)
+    assert(up.getDouble(2) === 420.0 && up.getDouble(3) === 336.0, s"$up")
+    val z = (420.0 - 336.0) / math.sqrt(392.0)
+    assert(up.getDouble(4) ===
+      math.floor(z * 1000000.0 + 0.500001) / 1000000.0, s"$up")
+    assert(up.getLong(5) === 1L, s"perfect order must reject: $up")
+    // flat weeks: every midrank is 4 ⇒ L = E[L] exactly, z = 0
+    val flat = SparkEntry.queries("q_page_trend")(spark, mk(_ => 100.0)).head
+    assert(flat.getDouble(2) === 336.0 && flat.getDouble(4) === 0.0 &&
+      flat.getLong(5) === 0L, s"$flat")
+  }
+
+  test("Brunner-Munzel: interleaved two-by-two groups hit the hand-worked W, p-hat, df") {
+    import spark.implicits._
+    // g0 = {10, 30} (3-MEDIUM), g1 = {20, 40} (1-URGENT): combined
+    // midranks g0 {1,3} / g1 {2,4} ⇒ p̂ = 0.75, S₁² = S₂² = 0.5,
+    // W = 1/√2, Satterthwaite df = 2
+    val dir = fixtureDir("orders" ->
+      Seq((20L, "3-MEDIUM", 10.0), (40L, "3-MEDIUM", 30.0),
+          (60L, "1-URGENT", 20.0), (80L, "1-URGENT", 40.0))
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val r = SparkEntry.queries("q_brunner_munzel")(spark, dir).head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.75, s"p_hat: $r")
+    assert(r.getDouble(3) ===
+      math.floor(1.0 / math.sqrt(2.0) * 1000000.0 + 0.500001) / 1000000.0,
+      s"w: $r")
+    assert(r.getDouble(4) === 2.0, s"df: $r")
+    assert(r.getLong(5) === 0L, s"$r")
+    // a single-member group sits under the n >= 2 floor → abstains
+    val tiny = fixtureDir("orders" ->
+      Seq((20L, "3-MEDIUM", 10.0), (40L, "1-URGENT", 20.0),
+          (60L, "1-URGENT", 30.0))
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val ra = SparkEntry.queries("q_brunner_munzel")(spark, tiny).head
+    assert(ra.getLong(0) === 1L && ra.isNullAt(2) && ra.isNullAt(3) &&
+      ra.getLong(5) === 0L, s"$ra")
+  }
+
   test("Kruskal-Wallis: flat series gives H = 0 with tie-corrected abstention; " +
       "a planted weekday shift rejects") {
     import spark.implicits._

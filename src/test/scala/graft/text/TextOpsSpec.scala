@@ -42,6 +42,40 @@ class TextOpsSpec extends SparkSpec {
       math.floor(10000.0 * 8.0 / 49.0 * 1e4 + 0.500001) / 1e4, s"yule: $y")
   }
 
+  test("KL divergence vs corpus: two planted sources hit the hand-computed term sums") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
+    // s1: a×2 b×1 (N=3); s2: a×1 c×1 (N=2); corpus: a×3 b×1 c×1 (N=5)
+    Seq((0L, "a a b", "s1"), (1L, "a c", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q_kl_divergence")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r6(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.500001) / 1000000.0
+    // term-ordered (a, then b/c) ln-term sums, replicated op-for-op
+    val kl1 = (2.0 / 3.0) * math.log((2.0 / 3.0) / (3.0 / 5.0)) +
+      (1.0 / 3.0) * math.log((1.0 / 3.0) / (1.0 / 5.0))
+    val kl2 = (1.0 / 2.0) * math.log((1.0 / 2.0) / (3.0 / 5.0)) +
+      (1.0 / 2.0) * math.log((1.0 / 2.0) / (1.0 / 5.0))
+    assert(rows("s1").getLong(1) === 2L && rows("s1").getLong(2) === 3L)
+    assert(rows("s1").getDouble(3) === r6(kl1), s"${rows("s1")}")
+    assert(rows("s2").getDouble(3) === r6(kl2), s"${rows("s2")}")
+    // both supports cover a + one hapax: 4/5 of corpus mass
+    assert(rows("s1").getDouble(4) === 0.8 && rows("s2").getDouble(4) === 0.8)
+    // a source identical to the corpus has KL exactly 0 (single source)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_kl0").toString
+    Seq((0L, "a a b", "only"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir2/documents.parquet")
+    val solo = graft.SparkEntry.queries("q_kl_divergence")(spark, dir2).head
+    assert(solo.getDouble(3) === 0.0 && solo.getDouble(4) === 1.0, s"$solo")
+  }
+
   test("readability: hand-counted words/sentences/syllables hit both scores") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_fre").toString
