@@ -393,6 +393,58 @@ object Stats {
         (abs(z) > 1.959963984540054).cast("long").as("reject_95"))
     }),
 
+    // ---- Jonckheere–Terpstra ordered-alternative test (r12) -----------------
+    // q_kruskal_wallis asks "do the priority groups differ at all";
+    // Jonckheere–Terpstra (1954) asks the sharper ORDERED question — do
+    // order values trend WITH the priority scale? — by summing the
+    // Mann–Whitney dominance count over every ordered group pair: J =
+    // Σ_{g<h} #{x_g < x_h} (+½ ties). Executed on the value HISTOGRAM
+    // with per-group counts (the q_mann_whitney shape — one groupBy(v),
+    // cumulative windows over the aggregate-bounded frame): DOUBLED J =
+    // Σ_v Σ_{g<h} [2·c_h·before_g + c_h·c_g] stays exact (decimal-38
+    // accumulated), E[J] = (N²−Σn_g²)/4 and the standard no-tie Var(J) =
+    // [N²(2N+3) − Σn_g²(2n_g+3)]/72 (the classical normal approximation;
+    // cents values make ties negligible) are closed forms of exact
+    // integers. Same bounded %20 anchor slice.
+    "q_jonckheere" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 20 === 0)
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long").as("v"))
+      val cCols = (1 to 5).map(k =>
+        sum(when(col("g") === k.toLong, 1L).otherwise(0L)).as(s"c$k"))
+      val hist = o.groupBy("v").agg(cCols.head, cCols.tail: _*)
+      val wCum = BoundedWindow.ordered(col("v"), col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withBef = hist.select((col("v") +: (1 to 5).flatMap(k => Seq(
+        col(s"c$k"),
+        (sum(col(s"c$k")).over(wCum) - col(s"c$k")).as(s"b$k")))): _*)
+      val contrib = (for { g <- 1 to 5; h <- (g + 1) to 5 } yield
+        (lit(2L) * col(s"c$h") * col(s"b$g") + col(s"c$h") * col(s"c$g"))
+          .cast("decimal(38,0)")).reduce(_ + _)
+      val aggs = Seq(sum(contrib).as("twoj")) ++
+        (1 to 5).map(k => sum(col(s"c$k")).as(s"n$k"))
+      val gFrame = withBef.agg(aggs.head, aggs.tail: _*)
+      def d(x: Column): Column = x.cast("double")
+      val ns = (1 to 5).map(k => col(s"n$k"))
+      val nTot = ns.reduce(_ + _)
+      val kGroups = ns.map(n => (n > 0L).cast("long")).reduce(_ + _)
+      val sumsq = ns.map(n => n * n).reduce(_ + _)
+      val vterm = ns.map(n => n * n * (lit(2L) * n + 3L)).reduce(_ + _)
+      val nD = d(nTot)
+      val twoE = (nD * nD - d(sumsq)) / lit(2.0)
+      val varJ = (nD * nD * (lit(2.0) * nD + 3.0) - d(vterm)) / lit(72.0)
+      val ok = kGroups >= 3L && varJ > 0.0
+      val z = when(ok,
+        (d(col("twoj")) - twoE) / (lit(2.0) * sqrt(varJ)))
+      gFrame.select(nTot.as("n_total"), kGroups.as("k_groups"),
+        (d(col("twoj")) / lit(2.0)).as("j_stat"),
+        (twoE / lit(2.0)).as("j_expected"),
+        r6(z).as("z_stat"),
+        coalesce((abs(r6(z)) > lit(1.959963984540054)).cast("long"),
+          lit(0L)).as("reject_95"))
+    }),
+
     // ---- Brunner–Munzel generalized Wilcoxon (r12) --------------------------
     // q_mann_whitney assumes equal variances under H0 (it tests equal
     // DISTRIBUTIONS); Brunner & Munzel (2000) test the weaker, usually
@@ -3032,6 +3084,75 @@ object Stats {
     })
   )
 
+  /** q_jonckheere mirror, Scala-generated like the engine's pair loop: the
+    * same 10 ordered-pair dominance terms (each CAST HUGEINT, added in the
+    * same g-major order), identical cumulative befores, and the same
+    * E/Var literal-order closed forms.
+    */
+  private def jonckheereOracle: String = {
+    val cCols = (1 to 5).map(k =>
+      s"    CAST(SUM(CASE WHEN g = $k THEN 1 ELSE 0 END) AS BIGINT) AS c$k")
+      .mkString(",\n")
+    val bCols = (1 to 5).map(k =>
+      s"    CAST(SUM(c$k) OVER w - c$k AS BIGINT) AS b$k").mkString(",\n")
+    val pairTerms = (for { g <- 1 to 5; h <- (g + 1) to 5 } yield
+      s"CAST(2 * c$h * b$g + c$h * c$g AS HUGEINT)").mkString("\n      + ")
+    val nSum = (1 to 5).map(k => s"n$k").mkString(" + ")
+    val sumsq = (1 to 5).map(k => s"n$k * n$k").mkString(" + ")
+    val vterm = (1 to 5).map(k => s"n$k * n$k * (2 * n$k + 3)")
+      .mkString(" + ")
+    val kGroups = (1 to 5).map(k =>
+      s"CASE WHEN n$k > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH o AS (
+       |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+       |    CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) AS v
+       |  FROM orders WHERE o_orderkey % 20 = 0
+       |), hist AS (
+       |  SELECT v,
+       |$cCols
+       |  FROM o GROUP BY v
+       |), bef AS (
+       |  SELECT c1, c2, c3, c4, c5,
+       |$bCols
+       |  FROM hist
+       |  WINDOW w AS (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), g AS (
+       |  SELECT SUM($pairTerms) AS twoj,
+       |${(1 to 5).map(k => s"    CAST(SUM(c$k) AS BIGINT) AS n$k").mkString(",\n")}
+       |  FROM bef
+       |), f1 AS (
+       |  SELECT twoj, CAST($nSum AS BIGINT) AS n_total,
+       |    CAST($kGroups AS BIGINT) AS k_groups,
+       |    CAST($nSum AS DOUBLE) AS nd,
+       |    CAST($sumsq AS DOUBLE) AS sumsq,
+       |    CAST($vterm AS DOUBLE) AS vterm
+       |  FROM g
+       |), f2 AS (
+       |  SELECT twoj, n_total, k_groups, nd,
+       |    (nd * nd - sumsq) / 2.0 AS twoe,
+       |    (nd * nd * (2.0 * nd + 3.0) - vterm) / 72.0 AS varj
+       |  FROM f1
+       |), f3 AS (
+       |  SELECT n_total, k_groups, twoj, twoe,
+       |    k_groups >= 3 AND varj > 0.0 AS ok,
+       |    (CAST(twoj AS DOUBLE) - twoe) / (2.0 * SQRT(varj)) AS z
+       |  FROM f2
+       |), f4 AS (
+       |  SELECT n_total, k_groups, twoj, twoe,
+       |    CASE WHEN ok THEN
+       |      FLOOR(z * 1000000.0 + 0.500001) / 1000000.0 END AS zr
+       |  FROM f3
+       |)
+       |SELECT n_total, k_groups,
+       |  CAST(twoj AS DOUBLE) / 2.0 AS j_stat,
+       |  twoe / 2.0 AS j_expected,
+       |  zr AS z_stat,
+       |  CAST(COALESCE(CASE WHEN ABS(zr) > 1.959963984540054
+       |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS reject_95
+       |FROM f4""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     // same per-user moments as the t-test, r6-pinned before the power math
@@ -3559,6 +3680,11 @@ object Stats {
         |  CAST(CASE WHEN abs(z) > 1.959963984540054 THEN 1 ELSE 0 END
         |    AS BIGINT) AS reject_95
         |FROM zz""".stripMargin,
+
+    // identical per-group histogram with cumulative befores; the doubled
+    // dominance sum accumulates the same 10 exact pair terms (HUGEINT),
+    // E and the no-tie Var compose in the same literal order
+    "q_jonckheere" -> jonckheereOracle,
 
     // the q_mann_whitney histogram with DOUBLED midranks: every rank
     // quantity and the deviation kernel A stay exact BIGINT, the ΣA/ΣA²

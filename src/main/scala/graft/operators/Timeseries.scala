@@ -352,6 +352,57 @@ object Timeseries {
         (abs(z) > lit(1.959963984540054)).cast("long").as("trending"))
     }),
 
+    // ---- Bartels rank von Neumann randomness test (r12) ---------------------
+    // q_runs_test dichotomizes around the median and throws away magnitude
+    // order; Bartels (1982) keeps the full RANK sequence: RVN =
+    // Σ(R_i − R_{i+1})² / Σ(R_i − R̄)² ≈ 2 under randomness, < 2 under
+    // positive serial dependence (sticky/trending), > 2 under
+    // alternation — the rank analogue of the Durbin–Watson ratio, robust
+    // where q_durbin_watson's residual form is not. DOUBLED midranks
+    // D = 2·rank + ties − 1 keep numerator and denominator EXACT
+    // decimal(38,0) integers (the ×4 cancels in the ratio; ΣD = N(N+1)
+    // identically, so Σ(D−D̄)² = ΣD² − N(N+1)² needs no mean pass), and
+    // Bartels' exact H0 variance is a closed form of N. Both windows run
+    // over the calendar-bounded daily frame.
+    "q_bartels_rank" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents).as("rev"))
+      val ranked = daily
+        .withColumn("rk", rank().over(Window.orderBy(col("rev"))).cast("long"))
+        .withColumn("tc", count(lit(1)).over(Window.partitionBy(col("rev"))))
+        .withColumn("dd", lit(2L) * col("rk") + col("tc") - 1L)
+      val wDay = BoundedWindow.ordered(col("day"), col("day"))
+      val diffed = ranked.withColumn("dn", lead(col("dd"), 1).over(wDay))
+      def dec(x: Column): Column = x.cast("decimal(38,0)")
+      val zeroDec = lit(0).cast("decimal(38,0)")
+      val m = diffed.agg(count(lit(1)).as("n"),
+        sum(dec(col("dd")) * col("dd")).as("sdd"),
+        sum(when(col("dn").isNotNull,
+          dec(col("dd") - col("dn")) * (col("dd") - col("dn")))
+          .otherwise(zeroDec)).as("snum"))
+      val nD = col("n").cast("double")
+      // NULL-on-degenerate denominator (constant series): the q_rdd ANSI
+      // hoisted-division lesson
+      val den0 = col("sdd").cast("double") - nD * (nD + 1.0) * (nD + 1.0)
+      val den = when(den0 > 0.0, den0)
+      val rvn = col("snum").cast("double") / den
+      val varR = lit(4.0) * (nD - 2.0) *
+        (lit(5.0) * nD * nD - lit(2.0) * nD - 9.0) /
+        (lit(5.0) * nD * (nD + 1.0) * (nD - 1.0) * (nD - 1.0))
+      val ok = col("n") >= 10L && den0 > 0.0
+      val z = when(ok, (rvn - lit(2.0)) / sqrt(varR))
+      val zR = r6(z)
+      m.select(col("n").as("n_days"), when(ok, r6(rvn)).as("rvn"),
+        zR.as("z_stat"),
+        coalesce((zR < lit(-1.6448536269514722)).cast("long"), lit(0L))
+          .as("sticky_95"),
+        coalesce((zR > lit(1.6448536269514722)).cast("long"), lit(0L))
+          .as("alternating_95"))
+    }),
+
     // ---- Gumbel block-maxima fit + return levels (r12) ----------------------
     // Extreme-value theory's entry point (Gumbel 1958; the domain q_mad_
     // outliers/q_rolling_anomaly's z-scores can't reach — they model the
@@ -3799,6 +3850,57 @@ object Timeseries {
         |      ELSE 0.0 END) > 1.959963984540054
         |    THEN 1 ELSE 0 END AS BIGINT) AS trending
         |FROM g""".stripMargin,
+
+    // identical doubled midranks (2·RANK + ties − 1), exact HUGEINT
+    // Σ(ΔD)² / ΣD² moments (ΣD = N(N+1) identically, so no mean pass),
+    // the same closed-form Bartels variance and NULL-den abstention
+    "q_bartels_rank" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT day,
+        |    CAST(2 * RANK() OVER (ORDER BY rev)
+        |      + COUNT(*) OVER (PARTITION BY rev) - 1 AS BIGINT) AS dd
+        |  FROM daily
+        |), diffed AS (
+        |  SELECT dd, LEAD(dd, 1) OVER (ORDER BY day) AS dn FROM ranked
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(dd AS HUGEINT) * dd) AS sdd,
+        |    SUM(CASE WHEN dn IS NOT NULL
+        |      THEN CAST(dd - dn AS HUGEINT) * (dd - dn) ELSE 0 END) AS snum
+        |  FROM diffed
+        |), f1 AS (
+        |  SELECT n, snum, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sdd AS DOUBLE) - CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + 1.0) * (CAST(n AS DOUBLE) + 1.0) AS den0
+        |  FROM m
+        |), f2 AS (
+        |  SELECT n, nd, den0,
+        |    n >= 10 AND den0 > 0.0 AS ok,
+        |    CAST(snum AS DOUBLE) / CASE WHEN den0 > 0.0 THEN den0 END AS rvn,
+        |    4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+        |      / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0)) AS varr
+        |  FROM f1
+        |), f3 AS (
+        |  SELECT n, ok, rvn,
+        |    CASE WHEN ok THEN
+        |      FLOOR((rvn - 2.0) / SQRT(varr) * 1000000.0 + 0.500001)
+        |        / 1000000.0 END AS zr
+        |  FROM f2
+        |)
+        |SELECT n AS n_days,
+        |  CASE WHEN ok THEN
+        |    FLOOR(rvn * 1000000.0 + 0.500001) / 1000000.0 END AS rvn,
+        |  zr AS z_stat,
+        |  CAST(COALESCE(CASE WHEN zr < -1.6448536269514722
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS sticky_95,
+        |  CAST(COALESCE(CASE WHEN zr > 1.6448536269514722
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS alternating_95
+        |FROM f3""".stripMargin,
 
     // identical monthly block maxima, exact BIGINT/HUGEINT moments, and
     // the Scala-shared √6/π, γ, ln(−ln(·)) literals composed in the same

@@ -1502,6 +1502,42 @@ class IncrementalSpec extends SparkSpec {
     assert(r.getLong(5) === 1L, s"monotone seasons must trend: $r")
   }
 
+  test("Bartels RVN: monotone ranks read sticky, alternation reads alternating, constant abstains") {
+    import spark.implicits._
+    def mk(rev: Int => Double, n: Int = 20) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rvn").toString
+      (0 until n).map { i =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(1998, 1, 1)
+          .plusDays(i.toLong).atStartOfDay()), rev(i))
+      }.toDF("o_orderdate", "o_totalprice").write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // strictly increasing: every rank step is 1 ⇒ RVN = (N−1)·4 / den4,
+    // far below 2 — replicate the doubled-rank float chain exactly
+    val upR = SparkEntry.queries("q_bartels_rank")(spark,
+      mk(i => 100.0 + 10.0 * i)).head
+    val n = 20
+    val sdd = (1 to n).map(i => (2L * i) * (2L * i)).sum.toDouble
+    val den0 = sdd - n.toDouble * (n + 1.0) * (n + 1.0)
+    val rvn = ((n - 1) * 4).toDouble / den0
+    def r6(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.500001) / 1000000.0
+    assert(upR.getLong(0) === 20L && upR.getDouble(1) === r6(rvn), s"$upR")
+    assert(upR.getLong(3) === 1L && upR.getLong(4) === 0L,
+      s"monotone must read sticky: $upR")
+    // strict alternation (low/high interleave): successive rank jumps are
+    // near-maximal ⇒ RVN ≈ 2.6; at N = 60 the z clears the one-sided
+    // critical (Var(RVN) ≈ 4/N shrinks the band)
+    val alt = SparkEntry.queries("q_bartels_rank")(spark,
+      mk(i => if (i % 2 == 0) 100.0 + i else 1000.0 + i, n = 60)).head
+    assert(alt.getDouble(1) > 2.0 && alt.getLong(4) === 1L &&
+      alt.getLong(3) === 0L, s"$alt")
+    // constant series: rank variance is 0 ⇒ abstain NULL
+    val flat = SparkEntry.queries("q_bartels_rank")(spark, mk(_ => 100.0)).head
+    assert(flat.getLong(0) === 20L && flat.isNullAt(1) && flat.isNullAt(2) &&
+      flat.getLong(3) === 0L && flat.getLong(4) === 0L, s"$flat")
+  }
+
   test("Gumbel block maxima: MoM fit replicates the closed form on 12 planted months; short frames abstain") {
     import spark.implicits._
     def mk(months: Int): String = {

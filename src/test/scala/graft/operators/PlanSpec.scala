@@ -296,10 +296,25 @@ class PlanSpec extends SparkSpec {
       s"q_mk_seasonal pair census must broadcast:\n$mks")
     assert(!mks.contains("CartesianProduct") && !mks.contains("SortMergeJoin"),
       s"q_mk_seasonal census join regressed:\n$mks")
-    // q_brunner_munzel: rank math entirely on the value histogram —
-    // join-free, windows only over the Aggregate-bounded frame
-    val bm = plan("q_brunner_munzel")
-    assert(!bm.contains("Join"), s"q_brunner_munzel must be join-free:\n$bm")
+    // q_brunner_munzel / q_jonckheere: rank math entirely on the value
+    // histogram — join-free, windows only over the Aggregate-bounded frame
+    Seq("q_brunner_munzel", "q_jonckheere").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free:\n$p")
+    }
+    // q_bartels_rank: join-free; every window over the Aggregate-bounded
+    // daily frame
+    spark.catalog.clearCache()
+    val brLp = SparkEntry.queries("q_bartels_rank")(spark, sf)
+      .queryExecution.optimizedPlan
+    val brBare = brLp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case a: LAggregate => a }.isEmpty => w
+    }
+    assert(brBare.isEmpty,
+      s"q_bartels_rank plans ${brBare.size} partition-less Window over raw data")
+    assert(!plan("q_bartels_rank").contains("Join"),
+      s"q_bartels_rank must be join-free")
     // q_kl_divergence: the corpus term frame and per-source totals attach
     // by BROADCAST; the corpus-sized counts frame never sort-merge-joins
     val kl = plan("q_kl_divergence")

@@ -1656,6 +1656,34 @@ class StatsSpec extends SparkSpec {
       flat.getLong(5) === 0L, s"$flat")
   }
 
+  test("Jonckheere-Terpstra: perfectly ordered groups hit the closed form; all-tied frame sits at E[J]") {
+    import spark.implicits._
+    def mk(vals: (String, Double)*) = fixtureDir("orders" ->
+      vals.zipWithIndex.map { case ((p, v), i) => ((i + 1) * 20L, p, v) }
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    // three groups of 2, all later-group values above all earlier-group
+    // ones: J = 3 pairs × 4 = 12, E[J] = (36−12)/4 = 6,
+    // Var = (36·15 − 3·4·7)/72 = 456/72
+    val up = SparkEntry.queries("q_jonckheere")(spark, mk(
+      "1-URGENT" -> 10.0, "1-URGENT" -> 20.0,
+      "2-HIGH" -> 30.0, "2-HIGH" -> 40.0,
+      "3-MEDIUM" -> 50.0, "3-MEDIUM" -> 60.0)).head
+    assert(up.getLong(0) === 6L && up.getLong(1) === 3L)
+    assert(up.getDouble(2) === 12.0 && up.getDouble(3) === 6.0, s"$up")
+    val varJ = (36.0 * 15.0 - 84.0) / 72.0
+    val z = (24.0 - 12.0) / (2.0 * math.sqrt(varJ))
+    assert(up.getDouble(4) ===
+      math.floor(z * 1000000.0 + 0.500001) / 1000000.0, s"$up")
+    assert(up.getLong(5) === 1L, s"perfect ordering must reject: $up")
+    // every value identical: all dominance is ties at ½ ⇒ J = E[J], z = 0
+    val flat = SparkEntry.queries("q_jonckheere")(spark, mk(
+      "1-URGENT" -> 10.0, "1-URGENT" -> 10.0,
+      "2-HIGH" -> 10.0, "2-HIGH" -> 10.0,
+      "3-MEDIUM" -> 10.0, "3-MEDIUM" -> 10.0)).head
+    assert(flat.getDouble(2) === flat.getDouble(3) &&
+      flat.getDouble(4) === 0.0 && flat.getLong(5) === 0L, s"$flat")
+  }
+
   test("Brunner-Munzel: interleaved two-by-two groups hit the hand-worked W, p-hat, df") {
     import spark.implicits._
     // g0 = {10, 30} (3-MEDIUM), g1 = {20, 40} (1-URGENT): combined
