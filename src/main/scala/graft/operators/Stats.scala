@@ -393,6 +393,113 @@ object Stats {
         (abs(z) > 1.959963984540054).cast("long").as("reject_95"))
     }),
 
+    // ---- Goodman–Kruskal gamma + Somers' d (r12) ----------------------------
+    // The ordinal-association readouts q_kendall_tau's interval machinery
+    // and q_chi_square's nominal V both miss (Goodman & Kruskal 1954;
+    // Somers 1962): over the quantity × discount ordinal pair, Γ =
+    // (C−D)/(C+D) ignores ties entirely and Somers' d penalizes ties on
+    // the dependent margin — the standard PD-model discrimination stat
+    // (d_yx ≡ Gini/AUC−1 on this frame). Scale shape: ONE lineitem scan
+    // partial-aggregates to the SCHEMA-bounded 50×11 cell frame; the
+    // concordance census is a broadcast self-join over ≤550² cell pairs
+    // (each unordered pair counted once via the strict q_a < q_b key),
+    // every mass product exact decimal(38,0), three single divisions.
+    "q_gk_gamma" -> ((s, dir) => {
+      val cells = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("q"),
+          floor(col("l_discount") * lit(100.0) + lit(0.500001))
+            .cast("long").as("d"))
+        .groupBy("q", "d").agg(count(lit(1)).as("n"))
+      val a = cells.select(col("q").as("qa"), col("d").as("da"),
+        col("n").as("na"))
+      val b = cells.select(col("q").as("qb"), col("d").as("db"),
+        col("n").as("nb"))
+      def dec(x: Column): Column = x.cast("decimal(38,0)")
+      val zeroDec = lit(0).cast("decimal(38,0)")
+      val mass = dec(col("na")) * col("nb")
+      val px = a.crossJoin(broadcast(b)).where(col("qa") < col("qb"))
+        .agg(sum(when(col("da") < col("db"), mass).otherwise(zeroDec))
+          .as("conc"),
+          sum(when(col("da") > col("db"), mass).otherwise(zeroDec))
+            .as("disc"),
+          sum(when(col("da") === col("db"), mass).otherwise(zeroDec))
+            .as("ty"))
+      val ptx = a.join(broadcast(b),
+          col("qa") === col("qb") && col("da") < col("db"))
+        .agg(coalesce(sum(mass), zeroDec).as("tx"))
+      val meta = cells.agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_rows"))
+      val g = px.crossJoin(broadcast(ptx)).crossJoin(broadcast(meta))
+      def d(x: Column): Column = x.cast("double")
+      val cd = d(col("conc")) + d(col("disc"))
+      val num = d(col("conc")) - d(col("disc"))
+      // NULL-guarded denominators (the q_rdd ANSI hoisted-division lesson)
+      val denG = when(cd > 0.0, cd)
+      val denYx = when(cd + d(col("ty")) > 0.0, cd + d(col("ty")))
+      val denXy = when(cd + d(col("tx")) > 0.0, cd + d(col("tx")))
+      g.select(col("n_rows"), col("n_cells"),
+        col("conc").cast("long").as("conc"),
+        col("disc").cast("long").as("disc"),
+        r6(num / denG).as("gamma"),
+        r6(num / denYx).as("somers_dyx"),
+        r6(num / denXy).as("somers_dxy"))
+    }),
+
+    // ---- Ansari–Bradley rank scale test (r12) -------------------------------
+    // The RANK test for equal dispersion (Ansari & Bradley 1960) —
+    // q_levene/q_bartlett test scale through moments of residuals; this
+    // one needs no location estimate and no variance existence: score
+    // each observation by its distance-from-the-extremes rank a(R) =
+    // min(R, N+1−R) (big in the middle, small at both tails) and sum the
+    // urgent group's scores — concentrated-in-the-middle reads as
+    // SMALLER scale. Same q_mann_whitney value-histogram machinery with
+    // DOUBLED midranks: the doubled score min(D, 2(N+1)−D) stays exact
+    // BIGINT, the classical parity-split null moments are closed forms
+    // of exact integers (CASE on N mod 2, mirrored), z two-sided.
+    "q_ansari_bradley" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 20 === 0)
+        .select((col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH").cast("long").as("g"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long").as("v"))
+      val hist = o.groupBy("v").agg(
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("c2"))
+      val wCum = BoundedWindow.ordered(col("v"), col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = BoundedWindow.whole(col("v"))
+      val c = col("c1") + col("c2")
+      val cum = hist.select(col("c1"), col("c2"),
+        sum(col("c1")).over(wAll).as("n1"),
+        sum(col("c2")).over(wAll).as("n2"),
+        (sum(col("c1") + col("c2")).over(wCum) - c).as("bef"))
+      val nTot = col("n1") + col("n2")
+      val dAll = lit(2L) * col("bef") + col("c1") + col("c2") + lit(1L)
+      val score2 = least(dAll, lit(2L) * (nTot + 1L) - dAll)
+      val g = cum.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("c2") * score2).as("ab2"))
+      def d(x: Column): Column = x.cast("double")
+      val n1D = when(col("n1") >= 2L, d(col("n1")))
+      val n2D = when(col("n2") >= 2L, d(col("n2")))
+      val nD = n1D + n2D
+      val even = pmod(col("n1") + col("n2"), lit(2L)) === 0L
+      val e = when(even, n2D * (nD + 2.0) / lit(4.0))
+        .otherwise(n2D * (nD + 1.0) * (nD + 1.0) / (lit(4.0) * nD))
+      val varAb = when(even,
+          n1D * n2D * (nD + 2.0) * (nD - 2.0) / (lit(48.0) * (nD - 1.0)))
+        .otherwise(n1D * n2D * (nD + 1.0) * (lit(3.0) + nD * nD) /
+          (lit(48.0) * nD * nD))
+      val ok = col("n1") >= 2L && col("n2") >= 2L && varAb > 0.0
+      val z = when(ok, (d(col("ab2")) / lit(2.0) - e) / sqrt(varAb))
+      val zR = r6(z)
+      g.select(col("n1").as("n_1"), col("n2").as("n_2"),
+        (d(col("ab2")) / lit(2.0)).as("ab_stat"),
+        when(ok, r2c(e)).as("ab_expected"),
+        zR.as("z_stat"),
+        coalesce((abs(zR) > lit(1.959963984540054)).cast("long"), lit(0L))
+          .as("scale_differs_95"))
+    }),
+
     // ---- Jonckheere–Terpstra ordered-alternative test (r12) -----------------
     // q_kruskal_wallis asks "do the priority groups differ at all";
     // Jonckheere–Terpstra (1954) asks the sharper ORDERED question — do
@@ -3685,6 +3792,116 @@ object Stats {
     // dominance sum accumulates the same 10 exact pair terms (HUGEINT),
     // E and the no-tie Var compose in the same literal order
     "q_jonckheere" -> jonckheereOracle,
+
+    // identical schema-bounded cell census and strict-q pair join; every
+    // concordance mass exact HUGEINT, three single divisions with the
+    // same NULL-guarded denominators
+    "q_gk_gamma" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(FLOOR(l_discount * 100.0 + 0.500001) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), px AS (
+        |  SELECT
+        |    SUM(CASE WHEN a.d < b.d THEN CAST(a.n AS HUGEINT) * b.n
+        |      ELSE 0 END) AS conc,
+        |    SUM(CASE WHEN a.d > b.d THEN CAST(a.n AS HUGEINT) * b.n
+        |      ELSE 0 END) AS disc,
+        |    SUM(CASE WHEN a.d = b.d THEN CAST(a.n AS HUGEINT) * b.n
+        |      ELSE 0 END) AS ty
+        |  FROM cells a JOIN cells b ON a.q < b.q
+        |), ptx AS (
+        |  SELECT COALESCE(SUM(CAST(a.n AS HUGEINT) * b.n), 0) AS tx
+        |  FROM cells a JOIN cells b ON a.q = b.q AND a.d < b.d
+        |), meta AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows
+        |  FROM cells
+        |), f1 AS (
+        |  SELECT n_rows, n_cells,
+        |    CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+        |    CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE) AS cd,
+        |    CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE) AS num,
+        |    CAST(ty AS DOUBLE) AS tyd, CAST(tx AS DOUBLE) AS txd
+        |  FROM px, ptx, meta
+        |)
+        |SELECT n_rows, n_cells, conc, disc,
+        |  FLOOR(num / CASE WHEN cd > 0.0 THEN cd END
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS gamma,
+        |  FLOOR(num / CASE WHEN cd + tyd > 0.0 THEN cd + tyd END
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS somers_dyx,
+        |  FLOOR(num / CASE WHEN cd + txd > 0.0 THEN cd + txd END
+        |    * 1000000.0 + 0.500001) / 1000000.0 AS somers_dxy
+        |FROM f1""".stripMargin,
+
+    // same doubled-midrank histogram as the Brunner–Munzel mirror with
+    // the distance-from-extremes score LEAST(D, 2(N+1)−D) exact BIGINT;
+    // parity-split classical moments in identical literal order
+    "q_ansari_bradley" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+        |      OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS g,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 20 = 0
+        |), hist AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM o GROUP BY v
+        |), cum AS (
+        |  SELECT c1, c2,
+        |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+        |    CAST(SUM(c2) OVER () AS BIGINT) AS n2,
+        |    CAST(SUM(c1 + c2) OVER w - (c1 + c2) AS BIGINT) AS bef
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), kern AS (
+        |  SELECT c2, n1, n2,
+        |    LEAST(2 * bef + c1 + c2 + 1,
+        |      2 * (n1 + n2 + 1) - (2 * bef + c1 + c2 + 1)) AS s2
+        |  FROM cum
+        |), g AS (
+        |  SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+        |    CAST(SUM(c2 * s2) AS BIGINT) AS ab2
+        |  FROM kern
+        |), f1 AS (
+        |  SELECT n1, n2, ab2,
+        |    CASE WHEN n1 >= 2 THEN CAST(n1 AS DOUBLE) END AS n1d,
+        |    CASE WHEN n2 >= 2 THEN CAST(n2 AS DOUBLE) END AS n2d,
+        |    (n1 + n2) % 2 = 0 AS even
+        |  FROM g
+        |), f2 AS (
+        |  SELECT *, n1d + n2d AS nd FROM f1
+        |), f3 AS (
+        |  SELECT n1, n2, ab2, nd, n1d, n2d,
+        |    CASE WHEN even THEN n2d * (nd + 2.0) / 4.0
+        |      ELSE n2d * (nd + 1.0) * (nd + 1.0) / (4.0 * nd) END AS e,
+        |    CASE WHEN even THEN
+        |        n1d * n2d * (nd + 2.0) * (nd - 2.0) / (48.0 * (nd - 1.0))
+        |      ELSE n1d * n2d * (nd + 1.0) * (3.0 + nd * nd)
+        |        / (48.0 * nd * nd) END AS varab
+        |  FROM f2
+        |), f4 AS (
+        |  SELECT n1, n2, ab2, e, varab,
+        |    n1 >= 2 AND n2 >= 2 AND varab > 0.0 AS ok
+        |  FROM f3
+        |), f5 AS (
+        |  SELECT n1, n2, ab2, e, ok,
+        |    CASE WHEN ok THEN
+        |      FLOOR((CAST(ab2 AS DOUBLE) / 2.0 - e) / SQRT(varab)
+        |        * 1000000.0 + 0.500001) / 1000000.0 END AS zr
+        |  FROM f4
+        |)
+        |SELECT n1 AS n_1, n2 AS n_2,
+        |  CAST(ab2 AS DOUBLE) / 2.0 AS ab_stat,
+        |  CASE WHEN ok THEN
+        |    FLOOR(e * 100.0 + 0.500001) / 100.0 END AS ab_expected,
+        |  zr AS z_stat,
+        |  CAST(COALESCE(CASE WHEN ABS(zr) > 1.959963984540054
+        |    THEN 1 ELSE 0 END, 0) AS BIGINT) AS scale_differs_95
+        |FROM f5""".stripMargin,
 
     // the q_mann_whitney histogram with DOUBLED midranks: every rank
     // quantity and the deviation kernel A stay exact BIGINT, the ΣA/ΣA²

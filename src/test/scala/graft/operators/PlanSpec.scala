@@ -296,12 +296,23 @@ class PlanSpec extends SparkSpec {
       s"q_mk_seasonal pair census must broadcast:\n$mks")
     assert(!mks.contains("CartesianProduct") && !mks.contains("SortMergeJoin"),
       s"q_mk_seasonal census join regressed:\n$mks")
-    // q_brunner_munzel / q_jonckheere: rank math entirely on the value
-    // histogram — join-free, windows only over the Aggregate-bounded frame
-    Seq("q_brunner_munzel", "q_jonckheere").foreach { q =>
+    // q_brunner_munzel / q_jonckheere / q_ansari_bradley: rank math
+    // entirely on the value histogram — join-free, windows only over the
+    // Aggregate-bounded frame
+    Seq("q_brunner_munzel", "q_jonckheere", "q_ansari_bradley").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must be join-free:\n$p")
     }
+    // q_gk_gamma: the concordance census self-joins the SCHEMA-bounded
+    // 50×11 cell frame — broadcast only (a bounded nested-loop on the
+    // strict-q key is the plan; a SortMergeJoin or raw cartesian over
+    // lineitem would be the regression)
+    val gk = plan("q_gk_gamma")
+    assert(!gk.contains("SortMergeJoin") && !gk.contains("CartesianProduct"),
+      s"q_gk_gamma census regressed:\n$gk")
+    assert(gk.contains("BroadcastNestedLoopJoin") ||
+      gk.contains("BroadcastHashJoin"),
+      s"q_gk_gamma cell pairs must broadcast:\n$gk")
     // q_bartels_rank: join-free; every window over the Aggregate-bounded
     // daily frame
     spark.catalog.clearCache()

@@ -1656,6 +1656,53 @@ class StatsSpec extends SparkSpec {
       flat.getLong(5) === 0L, s"$flat")
   }
 
+  test("Goodman-Kruskal gamma / Somers' d: hand-counted concordance with both tie margins") {
+    import spark.implicits._
+    def mk(rows: (Double, Double)*) = fixtureDir("lineitem" ->
+      rows.toSeq.toDF("l_quantity", "l_discount"))
+    // cells (q,d,n): (1,1,2), (2,1,1), (2,2,1) ⇒ C = 2, D = 0, T_y = 2
+    // (cross-q discount ties), T_x = 1 (within-q pair): γ = 1,
+    // d_yx = 2/4, d_xy = 2/3
+    val r = SparkEntry.queries("q_gk_gamma")(spark, mk(
+      (1.0, 0.01), (1.0, 0.01), (2.0, 0.01), (2.0, 0.02))).head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 0L, s"$r")
+    assert(r.getDouble(4) === 1.0, s"gamma: $r")
+    assert(r.getDouble(5) === 0.5, s"d_yx: $r")
+    assert(r.getDouble(6) ===
+      math.floor(2.0 / 3.0 * 1000000.0 + 0.500001) / 1000000.0, s"d_xy: $r")
+    // perfect anti-concordance flips every sign
+    val rev = SparkEntry.queries("q_gk_gamma")(spark, mk(
+      (1.0, 0.03), (2.0, 0.02), (3.0, 0.01))).head
+    assert(rev.getDouble(4) === -1.0 && rev.getDouble(5) === -1.0, s"$rev")
+  }
+
+  test("Ansari-Bradley: middle-concentrated group hits the closed-form moments and reads smaller scale") {
+    import spark.implicits._
+    def mk(rows: (String, Double)*) = fixtureDir("orders" ->
+      rows.zipWithIndex.map { case ((p, v), i) => ((i + 1) * 20L, p, v) }
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    // g0 = {1, 4}, urgent g1 = {2, 3}: scores a(R) = min(R, 5−R) =
+    // {1,2,2,1} ⇒ AB = 4, E = 2·6/4 = 3, Var = 2·2·6·2/(48·3) = 1/3
+    val small = SparkEntry.queries("q_ansari_bradley")(spark, mk(
+      "3-MEDIUM" -> 1.0, "1-URGENT" -> 2.0,
+      "1-URGENT" -> 3.0, "3-MEDIUM" -> 4.0)).head
+    assert(small.getLong(0) === 2L && small.getLong(1) === 2L)
+    assert(small.getDouble(2) === 4.0 && small.getDouble(3) === 3.0, s"$small")
+    val z = (4.0 - 3.0) / math.sqrt(2.0 * 2.0 * (4.0 + 2.0) * (4.0 - 2.0) /
+      (48.0 * (4.0 - 1.0)))
+    assert(small.getDouble(4) ===
+      math.floor(z * 1000000.0 + 0.500001) / 1000000.0, s"$small")
+    assert(small.getLong(5) === 0L, s"n = 4 cannot reject: $small")
+    // 10 urgent values packed in the middle of 10 tail values: AB = 80
+    // vs E = 55 ⇒ z ≈ 3.79, scale difference detected
+    val wide = SparkEntry.queries("q_ansari_bradley")(spark, mk(
+      ((1 to 5) ++ (16 to 20)).map(v => "3-MEDIUM" -> v.toDouble) ++
+        (6 to 15).map(v => "1-URGENT" -> v.toDouble): _*)).head
+    assert(wide.getDouble(2) === 80.0 && wide.getDouble(3) === 55.0, s"$wide")
+    assert(wide.getLong(5) === 1L, s"packed middle must reject: $wide")
+  }
+
   test("Jonckheere-Terpstra: perfectly ordered groups hit the closed form; all-tied frame sits at E[J]") {
     import spark.implicits._
     def mk(vals: (String, Double)*) = fixtureDir("orders" ->
