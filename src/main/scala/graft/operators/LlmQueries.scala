@@ -60,6 +60,42 @@ object LlmQueries {
     docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(perturbed)
   }
 
+  /** q_kl_divergence's pipeline over an explicit documents frame — public
+    * so ScaleProbe can run the identical plan at multiplied corpus sizes
+    * (the measured-curve evidence that the one-shuffle + vocab-broadcast +
+    * per-source-window shape tracks the scan). See the q_kl_divergence
+    * scaladoc at the `queries` entry for semantics and float discipline.
+    */
+  def klDivergence(d: DataFrame): DataFrame = {
+    val counts = d
+      .select(col("source"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+    val tm = counts.groupBy("term").agg(sum(col("f")).as("ft"))
+    val tot = tm.agg(sum(col("ft")).as("nn"))
+    val ns = counts.groupBy("source")
+      .agg(sum(col("f")).as("ntok"), count(lit(1)).as("nterms"))
+    val j = counts
+      .join(broadcast(tm), Seq("term"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+    val pd = col("f").cast("double") / col("ntok").cast("double")
+    val qd = col("ft").cast("double") / col("nn").cast("double")
+    val wS = Window.partitionBy(col("source")).orderBy(col("term"))
+    val wCum = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val acc = j
+      .withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("kl", sum(pd * log(pd / qd)).over(wCum))
+      .withColumn("cov", sum(col("ft")).over(wCum))
+    acc.where(col("rn") === col("nterms"))
+      .select(col("source"), col("nterms").as("n_terms"),
+        col("ntok").as("n_tokens"), r6(col("kl")).as("kl"),
+        r6(col("cov").cast("double") / col("nn").cast("double"))
+          .as("corpus_coverage"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis (oracle-backed) ------------------------------------
@@ -1208,35 +1244,7 @@ object LlmQueries {
     // sum rides a source-PARTITIONED term-ordered cumulative window
     // (identical float sequence cross-engine — every ln argument is a
     // ratio of exact BIGINTs), keep-last-row.
-    "q_kl_divergence" -> ((s, dir) => {
-      val counts = docs(s, dir)
-        .select(col("source"),
-          explode(TextOps.tokens(lower(col("text")))).as("term"))
-        .where(length(col("term")) > 0)
-        .groupBy("source", "term").agg(count(lit(1)).as("f"))
-      val tm = counts.groupBy("term").agg(sum(col("f")).as("ft"))
-      val tot = tm.agg(sum(col("ft")).as("nn"))
-      val ns = counts.groupBy("source")
-        .agg(sum(col("f")).as("ntok"), count(lit(1)).as("nterms"))
-      val j = counts
-        .join(broadcast(tm), Seq("term"))
-        .join(broadcast(ns), Seq("source"))
-        .crossJoin(broadcast(tot))
-      val pd = col("f").cast("double") / col("ntok").cast("double")
-      val qd = col("ft").cast("double") / col("nn").cast("double")
-      val wS = Window.partitionBy(col("source")).orderBy(col("term"))
-      val wCum = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val acc = j
-        .withColumn("rn", row_number().over(wS).cast("long"))
-        .withColumn("kl", sum(pd * log(pd / qd)).over(wCum))
-        .withColumn("cov", sum(col("ft")).over(wCum))
-      acc.where(col("rn") === col("nterms"))
-        .select(col("source"), col("nterms").as("n_terms"),
-          col("ntok").as("n_tokens"), r6(col("kl")).as("kl"),
-          r6(col("cov").cast("double") / col("nn").cast("double"))
-            .as("corpus_coverage"))
-        .orderBy("source")
-    }),
+    "q_kl_divergence" -> ((s, dir) => klDivergence(docs(s, dir))),
 
     // ---- Yule's K characteristic per source (r11) --------------------------
     // The size-INVARIANT vocabulary-richness constant (Yule 1944) that

@@ -72,6 +72,44 @@ object ScaleProbe {
       return
     }
 
+    // q_kl_divergence (round 12): documents multiplied with per-copy
+    // SOURCE suffixes (sources grow with the corpus — the realistic
+    // growth mode for a domain-mix pipeline). Claim under test: one
+    // (source, term) shuffle + vocab-bounded broadcast attaches + a
+    // source-PARTITIONED window ⇒ wall time tracks the scan; nothing in
+    // the plan is quadratic in corpus or source count. Run standalone:
+    // `runMain graft.tools.ScaleProbe <dir> kl`.
+    if (args.length > 1 && args(1) == "kl") {
+      val docs0 = Sources.table(spark, dir, "documents")
+        .select(col("source"), col("text"))
+      LlmQueries.klDivergence(
+        docs0.limit(500).withColumn("source", concat(col("source"),
+          lit("_w")))).count()
+      Blocks.releaseAll(spark)
+      for (mult <- Seq(1, 4, 16)) {
+        val big = (0 until mult).map { i =>
+          docs0.select(concat(col("source"), lit(s"_$i")).as("source"),
+            col("text"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        val nRows = big.count()
+        val t0 = System.nanoTime()
+        val out = LlmQueries.klDivergence(big)
+        // one action over the full result; the partition-of-unity
+        // invariant rides along: every per-source coverage ∈ (0, 1]
+        val bad = out.where(col("corpus_coverage") <= 0.0 ||
+          col("corpus_coverage") > 1.0).count()
+        val nSrc = out.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(bad == 0L, "coverage invariant broken")
+        println(f"[scale-kl] mult=$mult%2d rows=$nRows%9d sources=$nSrc%4d secs=$secs%.2f")
+        Blocks.releaseAll(spark)
+      }
+      spark.stop()
+      return
+    }
+
     val base = Sources.table(spark, dir, "documents")
     // JIT/codegen warmup so the 1× row measures the engine, not JVM spin-up
     Dedup.minhashNearDuplicates(
