@@ -1,0 +1,112 @@
+package graft
+
+/** Pure selection logic for the bench's post-sweep contention
+  * adjudication — extracted from Bench.main (round 13) so the trigger
+  * rules are unit-testable with synthetic slowdowns (AdjudicateSpec).
+  *
+  * Three selection rules over the run-ordered (name, seconds) vector and
+  * the committed 3-run medians:
+  *
+  *  1. locally-corrected breach (round 10): a row re-runs in isolation
+  *     when t > lf * max(2·median, median + 1), where lf is the larger of
+  *     the whole-run inflation g and the ±5-run-order-neighbor median
+  *     ratio — a contention window inflates the whole neighborhood, a
+  *     genuine regression moves one query while its neighbors sit at
+  *     baseline.
+  *  2. hard trigger (round 13): ANY row above HardRatio × its median
+  *     re-runs in isolation REGARDLESS of lf. Round 12's
+  *     q_alpha_sampling showed the escape this closes: a 3.29×-median
+  *     row rode a 1.03 local factor past both rule 1 (threshold
+  *     1.45·lf ≈ 1.49 vs t = 1.48) and the 3-slot control backstop.
+  *     The set is capped at HardCap by descending absolute excess
+  *     (t − median) — the rows a reviewer would most want isolated.
+  *  3. controls (round 10 ADVICE): of the rows rules 1–2 did NOT select,
+  *     the ones local_f shielded hardest (lf > max(1.25, g), up to 3,
+  *     slowest-weighted first) also re-run — isolated ≈ median means the
+  *     contention the factor exists to forgive; isolated ≈ in-run means
+  *     a cluster regression lf wrongly absorbed. When any rule-1/2
+  *     re-runs happen, controls are topped up to MinControls so the
+  *     isolation phase always carries a contemporaneous speed reference:
+  *     round 12's sampled controls showed that phase itself running
+  *     ~1.4× slow, silently inflating committed adjudication triples.
+  *     Bench divides each isolated time by the control-derived factor
+  *     and commits it as iso_norm alongside the raw number.
+  */
+object Adjudicate {
+
+  val HardRatio = 2.5
+  val HardCap = 12
+  val MinControls = 2
+
+  /** median of xs; 1.0 on empty (a neutral inflation factor) */
+  def med(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  final case class Selection(
+      g: Double,
+      localF: Vector[Double],
+      breaches: Vector[Int],
+      hard: Vector[Int],
+      controls: Vector[Int])
+
+  def select(ordered: Vector[(String, Double)],
+             medians: Map[String, Double]): Selection = {
+    val ratios: Vector[Option[Double]] = ordered.map { case (n, t) =>
+      medians.get(n).filter(_ > 0).map(m => t / math.max(m, 0.05)) }
+    val g = math.max(1.0, med(ratios.flatten))
+    val localF = ordered.indices.toVector.map { i =>
+      val neigh = ((i - 5) to (i + 5)).filter(j =>
+        j != i && j >= 0 && j < ordered.size).flatMap(j => ratios(j))
+      math.max(1.0, if (neigh.isEmpty) 1.0 else med(neigh))
+    }
+    val breaches = ordered.indices.toVector.filter { i =>
+      val (name, t) = ordered(i)
+      medians.get(name).exists { m =>
+        val lf = math.max(g, localF(i))
+        t > lf * math.max(2.0 * m, m + 1.0)
+      }
+    }
+    val breachSet = breaches.toSet
+    val hard = ordered.indices.toVector
+      .filter { i =>
+        val (name, t) = ordered(i)
+        !breachSet.contains(i) &&
+          medians.get(name).filter(_ > 0)
+            .exists(m => t / math.max(m, 0.05) > HardRatio)
+      }
+      .sortBy { i =>
+        val (name, t) = ordered(i)
+        -(t - medians(name))
+      }
+      .take(HardCap)
+    val selected = breachSet ++ hard
+    val shielded = ordered.indices.toVector
+      .filter { i =>
+        val (name, _) = ordered(i)
+        !selected.contains(i) && medians.contains(name) &&
+          localF(i) > math.max(1.25, g)
+      }
+      .sortBy { i => -localF(i) * ordered(i)._2 }
+      .take(3)
+    // top-up: with isolated re-runs pending, guarantee a contemporaneous
+    // control pair even on a run where nothing crossed the 1.25 shield bar
+    val controls =
+      if (selected.isEmpty || shielded.size >= MinControls) shielded
+      else {
+        val extra = ordered.indices.toVector
+          .filter { i =>
+            val (name, _) = ordered(i)
+            !selected.contains(i) && !shielded.contains(i) &&
+              medians.contains(name)
+          }
+          .sortBy { i => (-localF(i), -ordered(i)._2) }
+          .take(MinControls - shielded.size)
+        shielded ++ extra
+      }
+    Selection(g, localF, breaches, hard, controls)
+  }
+}

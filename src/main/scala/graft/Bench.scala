@@ -138,53 +138,45 @@ object Bench {
       }
     }
     val ordered = inRun.toVector
-    def med(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) 1.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
-    val ratios = ordered.map { case (n, t) =>
-      medians.get(n).filter(_ > 0).map(m => t / math.max(m, 0.05)) }
-    val g = math.max(1.0, med(ratios.flatten))
-    def localFactor(i: Int): Double = {
-      val neigh = ((i - 5) to (i + 5)).filter(j =>
-        j != i && j >= 0 && j < ordered.size).flatMap(j => ratios(j))
-      math.max(1.0, if (neigh.isEmpty) 1.0 else med(neigh))
-    }
-    val adjudicated = ordered.zipWithIndex.flatMap { case ((name, t), i) =>
-      medians.get(name).flatMap { m =>
-        val lf = math.max(g, localFactor(i))
-        val threshold = lf * math.max(2.0 * m, m + 1.0)
-        if (t <= threshold) None
-        else {
-          val iso = runOne(name, SparkEntry.queries(name))
-          Some(name -> (t, iso._2, lf, iso._1.isEmpty))
-        }
-      }
+    // selection rules live in graft.Adjudicate (pure, unit-tested with
+    // synthetic slowdowns — AdjudicateSpec); this block only EXECUTES the
+    // selected isolated re-runs. Round 13 adds the hard trigger (any row
+    // > 2.5× its median re-runs in isolation regardless of local_f — the
+    // q_alpha_sampling escape) and control top-up + normalization (the
+    // isolation phase itself can run ~1.4× slow; committed triples now
+    // carry an iso_norm divided by the contemporaneous control factor).
+    val sel = Adjudicate.select(ordered, medians)
+    val g = sel.g
+    val adjudicated = (sel.breaches ++ sel.hard).map { i =>
+      val (name, t) = ordered(i)
+      val iso = runOne(name, SparkEntry.queries(name))
+      name -> (t, iso._2, math.max(g, sel.localF(i)), iso._1.isEmpty,
+        sel.hard.contains(i))
     }.toMap
     // control re-runs (r10 ADVICE): the local factor cannot distinguish
     // co-tenant contention from a genuine regression hitting a CLUSTER of
-    // run-order-adjacent queries (all q_ann_* share a kernel) — the
-    // neighborhood median rises, local_f absorbs the slowdown, and the
-    // isolated-rerun backstop never fires. So the queries local_f shielded
-    // hardest re-run in isolation too (up to 3, local_f > 1.25, slowest
-    // first): contention vanishes post-sweep (isolated ≈ median) while a
-    // real cluster regression persists (isolated ≈ in_run), and the
-    // committed triple lets the judge tell them apart across rounds.
-    val controls = ordered.zipWithIndex
-      .filter { case ((name, _), i) =>
-        !adjudicated.contains(name) && medians.contains(name) &&
-          localFactor(i) > math.max(1.25, g) }
-      .sortBy { case ((_, t), i) => -localFactor(i) * t }
-      .take(3)
-      .map { case ((name, t), i) =>
-        val iso = runOne(name, SparkEntry.queries(name))
-        name -> (t, iso._2, localFactor(i), iso._1.isEmpty)
-      }.toMap
+    // run-order-adjacent queries (all q_ann_* share a kernel) — so the
+    // queries local_f shielded hardest re-run in isolation too:
+    // contention vanishes post-sweep (isolated ≈ median) while a real
+    // cluster regression persists (isolated ≈ in_run). Selection —
+    // including the r13 top-up to ≥2 whenever isolated re-runs happened —
+    // is in Adjudicate.select.
+    val controls = sel.controls.map { i =>
+      val (name, t) = ordered(i)
+      val iso = runOne(name, SparkEntry.queries(name))
+      name -> (t, iso._2, sel.localF(i), iso._1.isEmpty)
+    }.toMap
+    // contemporaneous isolation-phase speed factor (r12 "Next round" #6):
+    // controls are rows the sweep did NOT flag, so their isolated time
+    // over their 3-run median measures the BOX during the isolation
+    // phase, not the query — divide committed isolated numbers by it
+    val ctlF = math.max(1.0, Adjudicate.med(
+      controls.toSeq.collect { case (name, (_, isoT, _, true))
+        if medians.get(name).exists(_ > 0) =>
+          isoT / math.max(medians(name), 0.05) }))
     val results = ordered.map { case (name, t) =>
       adjudicated.get(name) match {
-        case Some((inT, isoT, _, true)) => name -> math.min(inT, isoT)
+        case Some((inT, isoT, _, true, _)) => name -> math.min(inT, isoT)
         case _ => name -> t
       }
     }
@@ -232,12 +224,18 @@ object Bench {
       val full = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
         .mkString("{", ",", "}")
       // the committed run carries its own contention adjudication: for every
-      // query that breached the locally-corrected rule in-run, the in-run
-      // time, the post-sweep isolated re-run, and the local inflation factor
-      val adj = adjudicated.toSeq.sortBy(_._1).map { case (k, (inT, isoT, lf, ok)) =>
-        "\"" + k + "\":{\"in_run\":" + f2(inT) + ",\"isolated\":" +
-          f2(isoT) + ",\"local_f\":" + f2(lf) +
-          (if (ok) "" else ",\"isolated_failed\":true") + "}"
+      // query the selection rules flagged in-run, the in-run time, the
+      // post-sweep isolated re-run (raw AND control-normalized — iso_norm
+      // divides by ctl_f, the contemporaneous isolation-phase factor), the
+      // local inflation factor, and whether the r13 hard trigger (>2.5×
+      // median regardless of local_f) was what selected it
+      val adj = adjudicated.toSeq.sortBy(_._1).map {
+        case (k, (inT, isoT, lf, ok, hard)) =>
+          "\"" + k + "\":{\"in_run\":" + f2(inT) + ",\"isolated\":" +
+            f2(isoT) + ",\"iso_norm\":" + f2(isoT / ctlF) +
+            ",\"local_f\":" + f2(lf) +
+            (if (hard) ",\"hard\":true" else "") +
+            (if (ok) "" else ",\"isolated_failed\":true") + "}"
       }.mkString("{", ",", "}")
       // control triples are diagnostic only (results keep the in-run
       // times): isolated ≈ in_run across rounds = a real cluster
@@ -251,7 +249,7 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
-        s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"adjudication":$adj,"controls":$ctl,"queries_sec":$full}""" + "\n")
+        s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"ctl_f":${f2(ctlF)},"adjudication":$adj,"controls":$ctl,"queries_sec":$full}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}")
     }

@@ -46,6 +46,16 @@ object Sessions {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // SparkStringUtils.truncatedString WARNs once per JVM when any plan's
+    // DEBUG-STRING rendering exceeds spark.sql.debug.maxToStringFields —
+    // it truncates the string, never the plan, so nothing about execution
+    // changes. The structural guard on plan SHAPE lives in PlanSpec (the
+    // same justification as WindowExec above); the advice-text WARN is the
+    // last non-JSON line in the bench stdout tail (r12 "What's wrong" #2) —
+    // silence exactly this logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils",
+      org.apache.logging.log4j.Level.ERROR)
     // engine extension functions (native codegen expressions)
     graft.clv.Hyp2f1Expression.register(spark)
     graft.similarity.VecOps.register(spark)

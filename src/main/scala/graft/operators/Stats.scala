@@ -5648,7 +5648,7 @@ object Stats {
         |      AS BIGINT) AS rev
         |  FROM orders GROUP BY 1
         |), d2 AS (
-        |  SELECT rev, CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS wd
+        |  SELECT rev, CAST(((day - DATE '1995-01-01') % 7 + 7) % 7 AS BIGINT) AS wd
         |  FROM daily
         |), vals AS (
         |  SELECT rev, CAST(COUNT(*) AS BIGINT) AS cv FROM d2 GROUP BY rev
@@ -5698,7 +5698,7 @@ object Stats {
         |), d2 AS (
         |  SELECT rev,
         |    CAST(FLOOR((day - DATE '1995-01-01') / 7.0) AS BIGINT) AS wk,
-        |    CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS wd
+        |    CAST(((day - DATE '1995-01-01') % 7 + 7) % 7 AS BIGINT) AS wd
         |  FROM daily
         |), complete AS (
         |  SELECT * FROM (
@@ -5742,7 +5742,7 @@ object Stats {
         |), d2 AS (
         |  SELECT rev,
         |    CAST(FLOOR((day - DATE '1995-01-01') / 7.0) AS BIGINT) AS wk,
-        |    CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS wd
+        |    CAST(((day - DATE '1995-01-01') % 7 + 7) % 7 AS BIGINT) AS wd
         |  FROM daily
         |), complete AS (
         |  SELECT * FROM (
@@ -5824,7 +5824,7 @@ object Stats {
         |      AS BIGINT) AS rev
         |  FROM orders GROUP BY 1
         |), d2 AS (
-        |  SELECT rev, CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS wd
+        |  SELECT rev, CAST(((day - DATE '1995-01-01') % 7 + 7) % 7 AS BIGINT) AS wd
         |  FROM daily
         |), med AS (
         |  SELECT quantile_cont(rev, 0.5) AS m,

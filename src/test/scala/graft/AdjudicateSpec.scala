@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Synthetic-slowdown tests for the bench adjudication trigger rules
+  * (r12 "Next round" #2 — the rules must be unit-testable, not only
+  * exercised by live driver runs). No SparkSession needed: the selection
+  * logic is pure.
+  */
+class AdjudicateSpec extends AnyFunSuite {
+
+  /** n queries, every median = m, in-run time = median unless overridden */
+  private def flatRun(n: Int, m: Double,
+                      over: Map[Int, Double] = Map.empty)
+      : (Vector[(String, Double)], Map[String, Double]) = {
+    val names = (0 until n).map(i => f"q_$i%03d")
+    val ordered = names.zipWithIndex.map { case (nm, i) =>
+      nm -> over.getOrElse(i, m) }.toVector
+    (ordered, names.map(_ -> m).toMap)
+  }
+
+  test("locally-corrected breach fires on a lone 3x-median slow row") {
+    // median 2.0 ⇒ threshold max(2m, m+1) = 4.0; a 6.1 s row breaches
+    val (ordered, medians) = flatRun(20, 2.0, Map(7 -> 6.1))
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches == Vector(7))
+    assert(sel.hard.isEmpty) // already selected by rule 1
+  }
+
+  test("hard trigger closes the local_f escape (the q_alpha_sampling case)") {
+    // the r12 escape, reconstructed: median 0.45 ⇒ rule-1 base threshold
+    // m+1 = 1.45; inflate the ±5 neighborhood to 1.03× so local_f ≈ 1.03
+    // and the threshold ≈ 1.49 — a 1.48 s row (3.29× median) slips rule 1.
+    // Rule 2 (t > 2.5×median regardless of lf) must select it.
+    val idx = 10
+    val neighborhood = ((idx - 5) to (idx + 5)).filter(_ != idx)
+      .map(_ -> 0.45 * 1.03).toMap
+    val (ordered, medians) = flatRun(21, 0.45, neighborhood + (idx -> 1.48))
+    val sel = Adjudicate.select(ordered, medians)
+    assert(!sel.breaches.contains(idx),
+      "precondition: rule 1 must NOT fire, or this test is not the escape")
+    assert(sel.hard.contains(idx))
+  }
+
+  test("hard trigger does not fire below 2.5x median") {
+    val (ordered, medians) = flatRun(20, 0.45, Map(7 -> 1.1)) // 2.44x
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.hard.isEmpty && sel.breaches.isEmpty)
+  }
+
+  test("hard set is capped by descending absolute excess") {
+    // 15 rows all at 3x their medians (rule-1 threshold m+1=1.5 vs t=1.5?
+    // use m=1.2 ⇒ rule-1 threshold max(2.4, 2.2)·lf; t=3.6 breaches rule 1,
+    // so push medians down: m=0.2 ⇒ threshold 1.2·lf, t=0.6 does NOT breach
+    // rule 1 (0.6 < 1.2) but 0.6/0.2 = 3 > 2.5 hard-triggers). Stagger the
+    // excesses so the cap keeps the LARGEST.
+    val over = (0 until 15).map(i => i * 2 -> (0.6 + i * 0.01)).toMap
+    val (ordered, medians) = flatRun(40, 0.2, over)
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches.isEmpty)
+    assert(sel.hard.size == Adjudicate.HardCap)
+    val excess = sel.hard.map(i => ordered(i)._2 - 0.2)
+    assert(excess == excess.sorted.reverse, "ordered by excess desc")
+    assert(sel.hard.contains(28), "slowest row kept") // i=14 → idx 28
+    assert(!sel.hard.contains(0) && !sel.hard.contains(2) &&
+      !sel.hard.contains(4), "three smallest excesses dropped by the cap")
+  }
+
+  test("a query with no committed median can neither breach nor hard-trigger") {
+    val (ordered, medians0) = flatRun(10, 0.5, Map(3 -> 9.9))
+    val medians = medians0 - "q_003"
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches.isEmpty && sel.hard.isEmpty)
+  }
+
+  test("controls top up to MinControls when isolated re-runs happen") {
+    // clean neighborhoods (local_f = 1) ⇒ the shield filter selects
+    // nothing, but one breaching row means the isolation phase runs —
+    // so ≥2 controls must still be chosen for the ctl_f reference
+    val (ordered, medians) = flatRun(20, 2.0, Map(7 -> 6.1))
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches == Vector(7))
+    assert(sel.controls.size >= Adjudicate.MinControls)
+    assert(!sel.controls.contains(7), "a selected row is not its own control")
+  }
+
+  test("no re-runs, no forced controls: a clean run stays a clean run") {
+    val (ordered, medians) = flatRun(20, 2.0)
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches.isEmpty && sel.hard.isEmpty && sel.controls.isEmpty)
+  }
+
+  test("contention window: neighborhood inflation shields rule 1, controls watch it") {
+    // a 10-query window all at 2.6x median — local_f ≈ 2.6 absorbs each
+    // row (rule 1 silent), the hard trigger picks them up anyway (they're
+    // >2.5x), which is exactly the r12 design intent: a CLUSTER regression
+    // can no longer hide behind its own neighborhood
+    val over = (5 to 14).map(i => i -> (1.0 * 2.6)).toMap
+    val (ordered, medians) = flatRun(30, 1.0, over)
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches.isEmpty, "local factor absorbs the window for rule 1")
+    assert((5 to 14).forall(sel.hard.contains), "hard trigger sees through it")
+  }
+}

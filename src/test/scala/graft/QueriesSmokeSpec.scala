@@ -56,8 +56,28 @@ class QueriesSmokeSpec extends SparkSpec {
     // builder's own `sbt test` trips first. Remedy: run the refresh
     // (SPARK_GRAFT_REFRESH=1, tools/variance.py) and commit the JSONs —
     // or don't add the query.
-    val gaps = Gate.baselineGaps(
-      java.nio.file.Paths.get("BASELINE_VARIANCE.json"))
-    assert(gaps.isEmpty, s"queries without a baseline envelope: $gaps")
+    Gate.baselineGaps(
+        java.nio.file.Paths.get("BASELINE_VARIANCE.json")) match {
+      case Left(reason) =>
+        fail(s"BASELINE_VARIANCE.json unreadable ($reason) — fix the file, " +
+          "this is not a missing-envelope gap")
+      case Right(gaps) =>
+        assert(gaps.isEmpty, s"queries without a baseline envelope: $gaps")
+    }
+  }
+
+  test("gate distinguishes a corrupt baseline file from missing envelopes") {
+    // r12 ADVICE: NonFatal → Set.empty reported a truncated file as "347
+    // queries without an envelope — run the refresh", misdirecting the
+    // operator away from the real problem. A parse failure must be Left.
+    val corrupt = java.nio.file.Files.createTempFile("graft_corrupt", ".json")
+    try {
+      java.nio.file.Files.writeString(corrupt, "{\"queries\":{\"q_a\":{\"med")
+      assert(Gate.baselineNames(corrupt).isLeft, "truncated JSON → Left")
+      // a genuinely MISSING file stays Right(empty): zero coverage, and
+      // the 3-run refresh is the correct remedy the message points to
+      val missing = corrupt.resolveSibling("graft_no_such_file.json")
+      assert(Gate.baselineNames(missing) == Right(Set.empty[String]))
+    } finally java.nio.file.Files.deleteIfExists(corrupt)
   }
 }
