@@ -110,6 +110,136 @@ object ScaleProbe {
       return
     }
 
+    // q_sssp (round 13): DISJOINT graph copies with the pinned seed kept
+    // in copy 0 — the q_sssp plan is bfsLevels + a node-sized level
+    // histogram, so the claim under test is the frontier property end to
+    // end: per-round cost pays for the FRONTIER's adjacency probes and
+    // the final groupBy pays for REACHED nodes; the unreachable 15/16 of
+    // a 16× graph must cost (at most) the one-time symmetrize/partition
+    // scan, never per-round work. Run standalone:
+    // `runMain graft.tools.ScaleProbe <dir> sssp`.
+    if (args.length > 1 && args(1) == "sssp") {
+      val liSl = Sources.table(spark, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.bfsLevels(
+        graft.operators.Graph.partPairEdges(liSl.limit(2000)), 1L, 2)._1.count()
+      Blocks.releaseAll(spark)
+      for (mult <- Seq(1, 4, 16)) {
+        val liBig = (0 until mult).map { i =>
+          liSl.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+            (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val und = graft.operators.Graph.partPairEdges(liBig).localCheckpoint()
+        val nE = und.count()
+        // copy-0 min node — the same "min(u)" pin q_sssp uses, which the
+        // id offsets keep inside the original component
+        val src = und.agg(min(col("u"))).head.getLong(0)
+        val t0 = System.nanoTime()
+        val (dist, sizes) = graft.operators.Graph.bfsLevels(
+          und, src, graft.operators.Graph.BfsRounds)
+        val hist = dist.groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), min(col("node")), max(col("node")))
+        val levels = hist.count()
+        val reached = dist.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-sssp] mult=$mult%2d edges=$nE%9d reached=$reached%8d " +
+          f"levels=$levels%2d rounds_used=${sizes.takeWhile(_ > 0).length}%2d " +
+          f"secs=$secs%.2f")
+        Blocks.releaseAll(spark)
+      }
+      spark.stop()
+      return
+    }
+
+    // q_hits (round 13): the directed customer→part bipartite graph
+    // multiplied as DISJOINT copies (offset cust AND part keys on both
+    // inputs — more customers and more parts, constant degrees). Rounds
+    // are fixed at HitsRounds, so the claim under test is per-round
+    // linearity: each hub/authority refresh is one edges⋈scores equi-join
+    // + a map-side-combined sum whose output is node-sized; nothing may
+    // scale with edges², and the exact decimal scores must not overflow
+    // into extra passes. Run standalone:
+    // `runMain graft.tools.ScaleProbe <dir> hits`.
+    if (args.length > 1 && args(1) == "hits") {
+      val ordSl = Sources.table(spark, dir, "orders")
+        .where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val liSl = Sources.table(spark, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.hits(graft.operators.Graph.custPartEdges(
+        ordSl.limit(500), liSl), rounds = 1).count()
+      Blocks.releaseAll(spark)
+      for (mult <- Seq(1, 4, 16)) {
+        val oBig = (0 until mult).map { i =>
+          ordSl.select(
+            (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+            (col("o_custkey") + lit(i.toLong * 100000000L)).as("o_custkey"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val liBig = (0 until mult).map { i =>
+          liSl.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+            (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        val edges = graft.operators.Graph.custPartEdges(oBig, liBig)
+          .localCheckpoint()
+        val nE = edges.count()
+        val t0 = System.nanoTime()
+        val n = graft.operators.Graph.hits(
+          edges, graft.operators.Graph.HitsRounds).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-hits] mult=$mult%2d edges=$nE%9d scored=$n%8d " +
+          f"secs=$secs%.2f")
+        Blocks.releaseAll(spark)
+      }
+      spark.stop()
+      return
+    }
+
+    // q_ktruss (round 13): DISJOINT co-purchase copies — constant degrees,
+    // so per-round wedge volume (the arboricity-bounded degree-ordered
+    // enumeration, the q_triangles scale argument) grows LINEARLY with
+    // edges, and TrussRounds is fixed. The claim under test: support
+    // peeling costs rounds × (wedge census + one edge-keyed aggregate +
+    // one semi-join), every piece linear here — a super-linear curve
+    // would mean the wedge join or the per-round checkpoint broke. Run
+    // standalone: `runMain graft.tools.ScaleProbe <dir> ktruss`.
+    if (args.length > 1 && args(1) == "ktruss") {
+      val liSl = Sources.table(spark, dir, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.Graph.kTruss(
+        graft.operators.Graph.partPairEdges(liSl.limit(2000)),
+        graft.operators.Graph.TrussK, rounds = 1).count()
+      Blocks.releaseAll(spark)
+      for (mult <- Seq(1, 4, 16)) {
+        val liBig = (0 until mult).map { i =>
+          liSl.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+            (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val und = graft.operators.Graph.partPairEdges(liBig).localCheckpoint()
+        val nE = und.count()
+        val t0 = System.nanoTime()
+        val r = graft.operators.Graph.kTruss(und,
+          graft.operators.Graph.TrussK,
+          graft.operators.Graph.TrussRounds).head()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-ktruss] mult=$mult%2d edges=$nE%9d " +
+          f"truss_edges=${r.getLong(1)}%9d converged=${r.getLong(3)}%d " +
+          f"secs=$secs%.2f")
+        Blocks.releaseAll(spark)
+      }
+      spark.stop()
+      return
+    }
+
     val base = Sources.table(spark, dir, "documents")
     // JIT/codegen warmup so the 1× row measures the engine, not JVM spin-up
     Dedup.minhashNearDuplicates(
