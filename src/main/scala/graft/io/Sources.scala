@@ -75,8 +75,11 @@ object Sources {
     *
     * Protocol (JDK-only, same-filesystem; MULTI-WRITER safe — r10 verdict
     * gap #3):
-    *  1. the snapshot root holds immutable version dirs `v-<uuid>` plus a
-    *     one-line `CURRENT` pointer file naming the live version;
+    *  1. the snapshot root holds immutable version dirs
+    *     `v-<seq>-<uuid>` (sequence assigned at commit, under the lock —
+    *     the time-travel ordinal [[readSnapshot(spark,path,version)*]]
+    *     resolves) plus a one-line `CURRENT` pointer file naming the
+    *     live version;
     *  2. the new version is written to a staging dir `.tmp-v-<uuid>`
     *     (Spark's own job-commit makes the DIR internally consistent) —
     *     the expensive part, deliberately OUTSIDE any lock so concurrent
@@ -95,24 +98,34 @@ object Sources {
     *     commits; the last to commit wins, and every intermediate state a
     *     reader can observe is a complete committed version;
     *  4. GC — still under the lock — removes superseded/orphaned version
-    *     dirs, keeping the live version, the grace copy, and any FOREIGN
-    *     staging dir younger than [[StagingGraceMs]] (a concurrent
-    *     writer between its write and its commit — distinguishable from
-    *     a crashed writer's leftovers precisely because committed dirs
-    *     are never named `.tmp-*`; stale staging ages out and is swept).
+    *     dirs, keeping the newest `retain` versions by sequence (the
+    *     time-travel window; the live version carries the highest
+    *     sequence so it survives at any retain ≥ 1), the grace copy, and
+    *     any FOREIGN staging dir younger than [[StagingGraceMs]] (a
+    *     concurrent writer between its write and its commit —
+    *     distinguishable from a crashed writer's leftovers precisely
+    *     because committed dirs are never named `.tmp-*`; stale staging
+    *     ages out and is swept).
     *
     * Readers go through [[readSnapshot]], which resolves `CURRENT` (and
     * falls back to a plain parquet dir for pre-protocol layouts).
     */
   def overwriteParquet(df: DataFrame, path: String,
-      store: PointerStore = LocalPointerStore): Unit = {
+      store: PointerStore = LocalPointerStore, retain: Int = 2): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = Paths.get(path)
     Files.createDirectories(root)
-    val version = s"v-${java.util.UUID.randomUUID()}"
-    val staged = s".tmp-$version"
+    val uuid = java.util.UUID.randomUUID().toString
+    val staged = s".tmp-v-$uuid"
     df.write.parquet(s"$path/$staged")
     withCommitLock(root) {
+      // sequence assignment happens HERE, under the lock, where commits
+      // serialize — the staging dir (written lock-free above) only gets
+      // its ordinal when it becomes a committed version. 9 digits cannot
+      // collide with a legacy `v-<uuid>` name (a UUID's first segment is
+      // 8 hex chars), so parseVersionSeq is unambiguous on mixed roots.
+      val version = f"v-${nextSeq(root)}%09d-$uuid"
       Files.move(root.resolve(staged), root.resolve(version),
         StandardCopyOption.ATOMIC_MOVE)
       // pointer swap through the conditional-put seam: observe the
@@ -135,11 +148,18 @@ object Sources {
         }
         commit(1)
       }
-      // GC: everything that is neither the live version, the grace copy,
-      // nor a concurrent writer's young staging dir — superseded
-      // versions, crashed-write orphans, stray temp pointers, and
-      // pre-protocol root-level files
-      val keep = Set("CURRENT", CommitLockName, version) ++ previous
+      // GC: everything that is neither a RETAINED version (the newest
+      // `retain` by sequence — time-travel reads resolve these), the live
+      // version, the grace copy, nor a concurrent writer's young staging
+      // dir — superseded versions past the keep-count, crashed-write
+      // orphans, stray temp pointers, and pre-protocol root-level files.
+      // The live version carries the highest sequence, so it is retained
+      // by construction at ANY retain >= 1; the grace copy is kept
+      // unconditionally (in-flight readers of the pointer we just
+      // replaced may still hold it, even when it is legacy-named).
+      val retained = listVersions(path).takeRight(retain).map(_._2)
+      val keep = Set("CURRENT", CommitLockName, version) ++ previous ++
+        retained
       val now = System.currentTimeMillis()
       val children = Files.list(root)
       try children.forEach { p =>
@@ -287,6 +307,60 @@ object Sources {
       case Some(v) => spark.read.parquet(s"$path/$v")
       case None => spark.read.parquet(path)
     }
+
+  /** Time-travel read (round 13 — the natural completion of the S6 arc):
+    * resolve a RETAINED historical version by its sequence number, as
+    * committed by [[overwriteParquet]] and kept by its `retain` policy.
+    * Fails loudly — naming what IS retained — when the requested version
+    * was pruned by retention or never existed; it never falls back to
+    * CURRENT, because "an old snapshot" silently becoming "the newest
+    * snapshot" is the exact bug a time-travel reader exists to avoid.
+    */
+  def readSnapshot(spark: SparkSession, path: String,
+      version: Long): DataFrame =
+    listVersions(path).find(_._1 == version) match {
+      case Some((_, dir)) => spark.read.parquet(s"$path/$dir")
+      case None =>
+        val have = listVersions(path).map(_._1)
+        sys.error(s"snapshot version $version at $path is not retained " +
+          s"(available: ${if (have.isEmpty) "none" else have.mkString(", ")})" +
+          " — pruned by the overwrite retention policy, or never committed")
+    }
+
+  /** Committed, sequence-named versions under a snapshot root, ascending
+    * by sequence: (sequence, dirName). Legacy `v-<uuid>` dirs (pre-r13
+    * layouts) carry no ordinal and are not listed — they remain readable
+    * through the CURRENT pointer until the next overwrite sweeps them.
+    */
+  def listVersions(path: String): Seq[(Long, String)] = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val children = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        children.iterator().asScala
+          .map(_.getFileName.toString)
+          .flatMap(n => parseVersionSeq(n).map(_ -> n))
+          .toVector.sortBy(_._1)
+      } finally children.close()
+    }
+  }
+
+  /** Sequence of a committed version dir name (`v-<9 digits>-<uuid>`);
+    * None for staging dirs, legacy `v-<uuid>` names (whose first UUID
+    * segment is 8 hex chars, never 9 digits), and foreign files.
+    */
+  private def parseVersionSeq(name: String): Option[Long] = {
+    val m = java.util.regex.Pattern.compile("^v-(\\d{9})-").matcher(name)
+    if (m.find()) Some(m.group(1).toLong) else None
+  }
+
+  /** Next commit ordinal — callers hold the commit lock, where commits
+    * serialize, so max+1 is race-free. */
+  private def nextSeq(root: java.nio.file.Path): Long =
+    listVersions(root.toString).lastOption.map(_._1 + 1L).getOrElse(1L)
 
   private def currentVersion(path: String): Option[String] = {
     val p = java.nio.file.Paths.get(path, "CURRENT")

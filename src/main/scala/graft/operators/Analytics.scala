@@ -25,13 +25,16 @@ object Analytics {
     Sources.table(s, dir, name)
 
   private def r2(c: Column): Column =
-    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(100.0) + lit(0.500001)) / lit(100.0)
 
   private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
   private def r6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   /** Pinned "today" for RFM-style recency — one month past the fixture's
     * max(o_orderdate) (2001-08-01); the reference's CURRENT_DATE() trap

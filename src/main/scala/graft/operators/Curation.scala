@@ -28,11 +28,14 @@ object Curation {
     Sources.table(s, dir, name)
 
   private def r2(c: Column): Column =
-    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(100.0) + lit(0.500001)) / lit(100.0)
   private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
   private def r6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   /** Chunk size / stride for q_doc_chunk (tokens). 64/48 → 25% overlap,
     * the common context-window packing shape. */
@@ -261,7 +264,12 @@ object Curation {
         .agg(count(lit(1)).as("n_kept_dups"))
       corpus.agg(count(lit(1)).as("n_total"))
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
-        .crossJoin(kept.where(col("vec_id") >= 1000000L)
+        // planted detection is a semi-join against the planted id SET,
+        // never an id-range test (`vec_id >= 1e6` counted every real
+        // vector above the fixture's range as planted-kept at 10× corpus
+        // — the r13 sf1 finding, same class as q_containment_exact)
+        .crossJoin(kept.join(planted.select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("n_planted_kept")))
         .crossJoin(keptDups)
         .select(col("n_total"), col("n_planted"),

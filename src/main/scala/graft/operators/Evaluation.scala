@@ -26,10 +26,12 @@ object Evaluation {
     Sources.table(s, dir, name)
 
   private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
   private def r6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   /** Binned (score, label) frame shared by the ROC / PR / calibration
     * evaluators: the stop-ratio "english-ness" score rounded to 4 decimals

@@ -634,7 +634,8 @@ object Graph {
         sum(when(tail, floor(log(col("d").cast("double") / lit(1.5))
           * lit(1000000.0)).cast("long")).otherwise(0L)).as("lsum_micro"))
       def r6(x: Column): Column =
-        floor(x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+        graft.functions.ColumnOps.floorD(
+    x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
       g.select(col("n_nodes"), col("sum_degree"), col("max_degree"),
         col("n_tail"), col("lsum_micro"),
         when(col("lsum_micro") > 0L,
@@ -676,7 +677,8 @@ object Graph {
           struct(lit(k).as("k"), col(s"n$k").as("nn"),
             col(s"e$k").as("ne"))): _*)).as("r"))
       def r6(x: Column): Column =
-        floor(x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+        graft.functions.ColumnOps.floorD(
+    x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
       rows.select(col("r.k").as("k"), col("n_all"),
           col("r.nn").as("n_rich"), col("r.ne").as("e_rich"),
           when(col("r.nn") > 1L,
@@ -725,7 +727,8 @@ object Graph {
     base.crossJoin(broadcast(d2))
       .select(col("m").as("n_edges"), col("e_intra").as("n_intra_edges"),
         col("n_communities"), col("sum_d").as("degree_total"),
-        (floor(q * lit(1000000.0) + lit(0.500001)) / lit(1000000.0))
+        (graft.functions.ColumnOps.floorD(
+    q * lit(1000000.0) + lit(0.500001)) / lit(1000000.0))
           .as("modularity"))
   }
 
@@ -1129,7 +1132,8 @@ object Graph {
     val aTot = auth.agg(sum(col("a")).as("t"))
     val hTot = hub.agg(sum(col("h")).as("t"))
     def r6(x: Column): Column =
-      floor(x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+      graft.functions.ColumnOps.floorD(
+    x * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
     auth.crossJoin(broadcast(aTot))
       .select(lit("auth").as("side"), col("p").as("node"),
         r6(col("a").cast("double") / col("t").cast("double")).as("score"))

@@ -38,12 +38,15 @@ object LlmQueries {
     t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
   private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(100.0) + lit(0.500001)) / lit(100.0)
   private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
   /** k-means geometry for q_kmeans (clusters / Lloyd iterations / dim). */
   val KmeansK = 8
@@ -1307,9 +1310,15 @@ object LlmQueries {
       val d = withPlantedNearDups(docs(s, dir))
       val sets = d.select(col("doc_id"),
         Dedup.shingleHashSet(col("text"), 3).as("sh"))
-      val a = sets.where(col("doc_id") < 1000000L)
-        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = sets.where(col("doc_id") >= 1000000L)
+      // pair reconstruction is STRUCTURAL (the planting offset itself:
+      // planted id = original id + 1e6, and no two corpus ids differ by
+      // exactly 1e6), never an id-range split — the r13 sf1 run caught
+      // the old `doc_id < 1000000` discriminator silently dropping every
+      // pair whose original id exceeded the fixture's range (45k of 50k
+      // pairs at 10× corpus). The shift-join matches originals to their
+      // planted twins at ANY id range; non-pairs find no join partner.
+      val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sets
         .select((col("doc_id") - 1000000L).as("doc_a"), col("sh").as("sh_b"))
       a.join(b, "doc_a")
         .select(col("doc_a"), (col("doc_a") + 1000000L).as("doc_b"),

@@ -29,11 +29,14 @@ object Relational {
     * (.xx5) round identically; the epsilon absorbs sum-order noise.
     */
   private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(100.0) + lit(0.500001)) / lit(100.0)
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
   private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
@@ -116,7 +119,11 @@ object Relational {
       val c = t(s, dir, "customer")
       o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("revenue"))
+        // exact-cents sum — the q_rollup r13 discipline (5-cell sums over
+        // a corpus-sized double column are order-dependent past ~sf1)
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long")).cast("double") / lit(100.0)).as("revenue"))
         .orderBy("c_mktsegment")
     }),
 
@@ -318,7 +325,12 @@ object Relational {
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("revenue"))
+        // exact-cents sum (r13 sf1 finding): r2(sum(double)) over millions
+        // of rows is aggregation-order-dependent — one rollup cell crossed
+        // the 0.01 grid at 10× corpus; per-row cents + BIGINT sum is exact
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long")).cast("double") / lit(100.0)).as("revenue"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -380,7 +392,10 @@ object Relational {
           Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
             Seq(col("o_orderstatus")), Seq.empty),
           col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("revenue"))
+        // exact-cents sum — the q_rollup r13 discipline
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long")).cast("double") / lit(100.0)).as("revenue"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
@@ -875,7 +890,7 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_join_inner" ->
-      """SELECT c_mktsegment, COUNT(*) AS n_orders, FLOOR((SUM(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS revenue
+      """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -996,7 +1011,8 @@ object Relational {
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  FLOOR((SUM(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS revenue
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS revenue
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -1029,7 +1045,8 @@ object Relational {
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  FLOOR((SUM(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS revenue
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS revenue
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,

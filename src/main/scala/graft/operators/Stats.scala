@@ -33,13 +33,16 @@ object Stats {
     Sources.table(s, dir, name)
 
   private def r2c(c: Column): Column =
-    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(100.0) + lit(0.500001)) / lit(100.0)
 
   private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
   private def r6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   /** q_prop_ztest conversion threshold: a user whose purchase-event total
     * reaches these integer cents ($500) counts as a high-value conversion. */
@@ -2607,16 +2610,20 @@ object Stats {
         .withColumn("st", sum(col("sv")).over(wAll))
         .withColumn("jj", count(lit(1)).over(wAll))
       val gm = d(col("st")) / d(col("nn"))
-      // WHOLE-cents² quantization: these moments sit at ~1e17, so unit
-      // granularity is already below double resolution (and Spark floor()
-      // returns LONG — a 1e-6 micro scale would overflow it)
+      // WHOLE-cents² quantization: these moments sit at ~1e17 (sf0.1) to
+      // ~1e20 (sf1), so unit granularity is already below double
+      // resolution — and the floor must stay in the DOUBLE domain
+      // (ColumnOps.floorD): Spark's floor() returns LONG and silently
+      // saturates at 2^63−1, which the r13 sf1 run caught shifting every
+      // shrink weight
       val tot = tot0
         .withColumn("ssw_t",
-          floor(d(col("ssq")) - d(col("sv")) * d(col("sv")) / d(col("n")))
-            .cast("decimal(38,0)"))
+          graft.functions.ColumnOps.toDec38(graft.functions.ColumnOps.floorD(
+            d(col("ssq")) - d(col("sv")) * d(col("sv")) / d(col("n")))))
         .withColumn("sbm_t",
-          floor(d(col("n")) * (d(col("sv")) / d(col("n")) - gm)
-            * (d(col("sv")) / d(col("n")) - gm)).cast("decimal(38,0)"))
+          graft.functions.ColumnOps.toDec38(graft.functions.ColumnOps.floorD(
+            d(col("n")) * (d(col("sv")) / d(col("n")) - gm)
+            * (d(col("sv")) / d(col("n")) - gm))))
         .withColumn("ssw", sum(col("ssw_t")).over(wAll))
         .withColumn("sbm", sum(col("sbm_t")).over(wAll))
       val m = d(col("st")) / d(col("nn"))

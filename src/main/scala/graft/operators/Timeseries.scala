@@ -18,13 +18,16 @@ object Timeseries {
     Sources.table(s, dir, name)
 
   private def r2(c: Column): Column =
-    floor(c * lit(100.0) + lit(0.500001)) / lit(100.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(100.0) + lit(0.500001)) / lit(100.0)
 
   private def r4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(10000.0) + lit(0.500001)) / lit(10000.0)
 
   private def r6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+    graft.functions.ColumnOps.floorD(
+    c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
 
   /** Gumbel method-of-moments constants (q_gumbel_max), computed ONCE here
     * and embedded as the SAME double literals in both the Spark plan and
@@ -1554,10 +1557,12 @@ object Timeseries {
             col("b") * col("tt").cast("double"))
         .withColumn("d", col("e") - lag(col("e"), 1).over(w))
       val terms = resid.select(col("n"), col("b"),
-        floor(col("e") * col("e") + lit(0.500001)).cast("decimal(38,0)")
+        graft.functions.ColumnOps.toDec38(
+          graft.functions.ColumnOps.floorD(col("e") * col("e") + lit(0.500001)))
           .as("den_t"),
         when(col("d").isNotNull,
-          floor(col("d") * col("d") + lit(0.500001)).cast("decimal(38,0)"))
+          graft.functions.ColumnOps.toDec38(
+          graft.functions.ColumnOps.floorD(col("d") * col("d") + lit(0.500001))))
           .as("num_t"))
       val g = terms.groupBy(col("n"), col("b"))
         .agg(sum(col("num_t")).as("num"), sum(col("den_t")).as("den"))
@@ -1613,7 +1618,8 @@ object Timeseries {
           col("rev").cast("double") - col("a") -
             col("b") * col("tt").cast("double"))
         .withColumn("u",
-          floor(col("e") * col("e") + lit(0.500001)).cast("decimal(38,0)"))
+          graft.functions.ColumnOps.toDec38(
+          graft.functions.ColumnOps.floorD(col("e") * col("e") + lit(0.500001))))
       val rss = resid.agg(sum(col("u")).as("rss_q"))
       val dt = col("tt").cast("double") - col("tbar")
       val full = resid.crossJoin(broadcast(rss))
@@ -1676,14 +1682,32 @@ object Timeseries {
           col("rev").cast("double") - col("a") -
             col("b") * col("tt").cast("double"))
         .withColumn("u",
-          floor(col("e") * col("e") + lit(0.500001)).cast("decimal(38,0)"))
+          graft.functions.ColumnOps.toDec38(
+          graft.functions.ColumnOps.floorD(col("e") * col("e") + lit(0.500001))))
+        // Σu² overflows decimal(38,0) past ~sf0.5 (u ~ e² grows with the
+        // SQUARE of daily volume — the round-13 sf1 run hit ANSI
+        // ARITHMETIC_OVERFLOW here). Split u = uh·1e9 + ul and sum the
+        // three part-moments exactly instead: Σuh², Σuh·ul, Σul² each
+        // stay ≤ ~1e25 at sf100, and suu recomposes as a deterministic
+        // double expression mirrored textually in the oracle.
+        .withColumn("uh", expr("u div 1000000000"))
+        .withColumn("ul",
+          (col("u") - col("uh").cast("decimal(38,0)") * lit(1000000000L))
+            .cast("long"))
+      val uhd = col("uh").cast("decimal(38,0)")
+      val uld = col("ul").cast("decimal(38,0)")
       val g = resid.groupBy(col("n"), col("st"), col("stt"))
         .agg(sum(col("u")).as("su"),
-          sum(col("u") * col("u")).as("suu"),
+          sum(uhd * uhd).as("shh"),
+          sum(uhd * uld).as("shl"),
+          sum(uld * uld).as("sll"),
           sum(col("tt").cast("decimal(38,0)") * col("u")).as("stu"))
       val suD = col("su").cast("double")
       val sut = col("stu").cast("double") - stD * suD / nD
-      val suu = col("suu").cast("double") - suD * suD / nD
+      val suuRaw = col("shh").cast("double") * lit(1.0e18) +
+        lit(2.0) * col("shl").cast("double") * lit(1.0e9) +
+        col("sll").cast("double")
+      val suu = suuRaw - suD * suD / nD
       val sttC = col("stt").cast("double") - stD * stD / nD
       val ok = suu > 0.0 && sttC > 0.0
       val lm = when(ok, nD * (sut * sut / (suu * sttC)))
@@ -3599,17 +3623,22 @@ object Timeseries {
         |      * (CAST(dd.rev AS DOUBLE) - ab.a - ab.b * CAST(dd.tt AS DOUBLE))
         |      + 0.500001) AS HUGEINT) AS u
         |  FROM dd CROSS JOIN ab
+        |), uq2 AS (
+        |  SELECT tt, n, st, stt, u,
+        |    u // 1000000000 AS uh, u % 1000000000 AS ul
+        |  FROM uq
         |), g AS (
         |  SELECT n, st, stt, SUM(u) AS su,
-        |    SUM(CAST(u AS HUGEINT) * u) AS suu,
+        |    SUM(uh * uh) AS shh, SUM(uh * ul) AS shl, SUM(ul * ul) AS sll,
         |    SUM(CAST(tt AS HUGEINT) * u) AS stu
-        |  FROM uq GROUP BY n, st, stt
+        |  FROM uq2 GROUP BY n, st, stt
         |), fin AS (
         |  SELECT n,
         |    CAST(stu AS DOUBLE)
         |      - CAST(st AS DOUBLE) * CAST(su AS DOUBLE) / CAST(n AS DOUBLE)
         |      AS sut,
-        |    CAST(suu AS DOUBLE)
+        |    CAST(shh AS DOUBLE) * 1.0e18 + 2.0 * CAST(shl AS DOUBLE) * 1.0e9
+        |      + CAST(sll AS DOUBLE)
         |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) / CAST(n AS DOUBLE)
         |      AS suu_c,
         |    CAST(stt AS DOUBLE)

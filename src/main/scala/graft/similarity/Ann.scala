@@ -768,7 +768,8 @@ object Ann {
   def lof(emb: DataFrame, maxId: Long, k: Int): DataFrame = {
     VecOps.register(emb.sparkSession)
     def r6(c: Column): Column =
-      floor(c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
+      graft.functions.ColumnOps.floorD(
+    c * lit(1000000.0) + lit(0.500001)) / lit(1000000.0)
     val s = emb.where(col("vec_id") < maxId)
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("sq"))

@@ -263,8 +263,13 @@ class PipelineSpec extends SparkSpec {
         } else Sources.LocalPointerStore.compareAndPut(r, expected, next)
       }
     }
+    // retain = 1 pins the old keep-{live, grace} behavior: this test is
+    // about CAS/grace semantics — at the r13 default (retain = 2) the
+    // twice-superseded vA would legitimately survive as time-travel
+    // history, which SnapshotTimeTravel covers instead
     Sources.overwriteParquet(
-      spark.range(20).withColumn("gen", lit("B")).toDF(), path, racy)
+      spark.range(20).withColumn("gen", lit("B")).toDF(), path, racy,
+      retain = 1)
 
     // the loser retried once, re-fenced on the interloper's version
     assert(attempts.get() == 2)
@@ -305,6 +310,62 @@ class PipelineSpec extends SparkSpec {
     assert(calls.get() == 16, s"bounded retry, got ${calls.get()}")
     // the committed snapshot is untouched by the failed commit
     assert(Sources.readSnapshot(spark, path).count() == 5L)
+  }
+
+  test("time travel: read-at-version returns the historical frame; retention prunes only past the keep-count, never CURRENT") {
+    // r12 verdict item 7 (SnapshotTimeTravel): the natural completion of
+    // the S6 arc now that the pointer is a CAS seam
+    val base = Files.createTempDirectory("graft_tt").toString
+    val path = s"$base/snap"
+    (1 to 4).foreach { g =>
+      Sources.overwriteParquet(
+        spark.range(g * 10L).withColumn("gen", lit(s"G$g")).toDF(), path,
+        retain = 3)
+    }
+    // the newest 3 of the 4 committed versions are retained, in order
+    val have = Sources.listVersions(path)
+    assert(have.map(_._1) == Seq(2L, 3L, 4L), s"retained: $have")
+    // read-at-version returns each HISTORICAL frame, not the live one
+    (2 to 4).foreach { g =>
+      val df = Sources.readSnapshot(spark, path, g.toLong)
+      assert(df.count() == g * 10L, s"version $g")
+      assert(df.where(col("gen") =!= s"G$g").isEmpty, s"version $g mixed")
+    }
+    // the pruned version fails loudly, naming what IS retained — never a
+    // silent fallback to CURRENT
+    val e = intercept[RuntimeException] {
+      Sources.readSnapshot(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("not retained") &&
+      e.getMessage.contains("2, 3, 4"), e.getMessage)
+    // CURRENT is never the pruned target, even at retain = 1
+    Sources.overwriteParquet(
+      spark.range(7).withColumn("gen", lit("G5")).toDF(), path, retain = 1)
+    assert(Sources.readSnapshot(spark, path).count() == 7L)
+    assert(Sources.readSnapshot(spark, path, 5L).count() == 7L)
+    // versioned read and pointer read agree on the live version
+    assert(Sources.listVersions(path).last._1 == 5L)
+  }
+
+  test("time travel: GC never breaks an in-flight reader of a retained version") {
+    val base = Files.createTempDirectory("graft_tt_reader").toString
+    val path = s"$base/snap"
+    Sources.overwriteParquet(
+      spark.range(100).withColumn("gen", lit("old")).toDF(), path,
+      retain = 3)
+    // pin a reader to version 1 BEFORE the subsequent overwrites
+    val pinned = Sources.readSnapshot(spark, path, 1L)
+    (2 to 3).foreach { g =>
+      Sources.overwriteParquet(
+        spark.range(g * 5L).withColumn("gen", lit(s"new$g")).toDF(), path,
+        retain = 3)
+    }
+    // two overwrites ran GC; version 1 sits inside the keep-3 window, so
+    // the in-flight reader still scans the FULL historical frame
+    assert(pinned.count() == 100L)
+    assert(pinned.where(col("gen") =!= "old").isEmpty)
+    // and the window itself: 1, 2, 3 all readable
+    assert(Sources.listVersions(path).map(_._1) == Seq(1L, 2L, 3L))
   }
 
   test("CSV sink round-trips a generated batch (S1)") {

@@ -66,6 +66,40 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("floorD equals mathematical floor at every magnitude (no long saturation)") {
+    // the r13 sf1 defect class: Spark floor(double) -> LONG saturates at
+    // 2^63, silently clamping cents^2-scale quantities; floorD must agree
+    // with exact floor everywhere, including past the saturation point
+    import spark.implicits._
+    val xs = Seq(0.0, 0.49, 0.5, 2.3, -2.3, -2.5, 1234567.891,
+      9.007199254740992e15, 4.1e18, 9.9e18, 3.6e19, 1.7e30,
+      -4.1e18, -3.6e19)
+    val got = xs.toDF("x")
+      .select(graft.functions.ColumnOps.floorD(col("x")).as("f"))
+      .collect().map(_.getDouble(0))
+    val want = xs.map(x =>
+      new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.FLOOR)
+        .doubleValue())
+    assert(got.toSeq == want,
+      s"floorD mismatch: ${xs.zip(got).zip(want).filter(p => p._1._2 != p._2)}")
+  }
+
+  test("toDec38 is the EXACT decimal of an integer-valued double above 2^53") {
+    // the second face of the r13 sf1 defect: Spark's Double→Decimal cast
+    // goes through Double.toString (shortest round-trip), losing the low
+    // digits of any integer-valued double past 2^53 — toDec38's two exact
+    // limbs must reproduce the full binary value
+    import spark.implicits._
+    val xs = Seq(0.0, 1.0, 123456.0, 9.007199254740992e15,
+      13145807510254225408.0, 4444232884572139008.0, 7396404959663240192.0,
+      1.2345678901234568e22, -13145807510254225408.0)
+    val got = xs.toDF("x")
+      .select(graft.functions.ColumnOps.toDec38(col("x")).cast("string"))
+      .collect().map(_.getString(0))
+    val want = xs.map(x => new java.math.BigDecimal(x).toBigInteger.toString)
+    assert(got.toSeq == want, got.toSeq.zip(want).filter(p => p._1 != p._2))
+  }
+
   test("gate distinguishes a corrupt baseline file from missing envelopes") {
     // r12 ADVICE: NonFatal → Set.empty reported a truncated file as "347
     // queries without an envelope — run the refresh", misdirecting the

@@ -382,6 +382,83 @@ class StreamingOpsSpec extends SparkSpec {
       day(W - 1).toLocalDate)))
   }
 
+  test("stateful restart at a DIFFERENT shuffle-partition count carries state exactly (state-store rescale trap)") {
+    // The production trap none of the other streaming specs cover: the
+    // state-store partition count is pinned INTO the checkpoint at first
+    // start — a restart under a session whose spark.sql.shuffle.partitions
+    // changed (cluster resize, conf drift) must keep reading the
+    // checkpointed layout and carry every group's state exactly, not
+    // redistribute/lose state or apply the new count. Contract under
+    // test: (a) emissions from a two-tranche run whose second tranche
+    // restarts at a different partition count are EXACTLY the emissions
+    // of a fresh single-pass run; (b) the checkpoint's state directory
+    // keeps its original partition fan-out after the rescaled restart.
+    val base = Files.createTempDirectory("graft_rescale").toString
+    import spark.implicits._
+    def rev(sid: Long, i: Int): Long =
+      if (sid == 1L) { if (i < 60) 10000L else 20000L } else 15000L
+    def day(i: Int): java.sql.Date =
+      java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1).plusDays(i))
+    val all = for (sid <- 1L to 2L; i <- 0 until 100)
+      yield StreamingOps.DailyRev(sid, day(i), rev(sid, i))
+    val xs = (0 until 100).map(i => rev(1L, i).toDouble / 1000000.0)
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length)
+    def runOn(dir: String, ckpt: String, outDir: String): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+        .as[StreamingOps.DailyRev]
+      val q = StreamingOps.cusumChart(src, mu, sigma).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "stream did not drain")
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))
+    val dirA = s"$base/daily_a"
+    all.filter(_.day.toLocalDate.getDayOfYear <= 70).toDF()
+      .write.mode("append").parquet(dirA)
+    runOn(dirA, s"$base/ckptA", s"$base/outA")
+    val originalParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // the "cluster resized between runs" moment
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      all.filter(_.day.toLocalDate.getDayOfYear > 70).toDF()
+        .write.mode("append").parquet(dirA)
+      runOn(dirA, s"$base/ckptA", s"$base/outA")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", originalParts)
+    // (a) exact carry-over: two-tranche rescaled emissions ≡ fresh
+    // single-pass emissions over the identical data
+    val dirB = s"$base/daily_b"
+    all.toDF().write.mode("append").parquet(dirB)
+    runOn(dirB, s"$base/ckptB", s"$base/outB")
+    val got = spark.read.parquet(s"$base/outA").collect()
+    val want = spark.read.parquet(s"$base/outB").collect().map(key).toSet
+    assert(got.length == got.map(key).toSet.size, "no duplicate emissions")
+    assert(got.map(key).toSet == want,
+      s"rescaled restart diverged: ${got.length} vs ${want.size} emissions")
+    // the post-restart tranche really did emit (state crossed the restart)
+    assert(got.exists(_.getDate(1).toLocalDate.getDayOfYear > 70))
+    // (b) the checkpoint kept its original state fan-out — Spark pins the
+    // count at first start; the conf change must NOT re-shard the store
+    val stateDir = java.nio.file.Paths.get(s"$base/ckptA/state/0")
+    val partDirs = {
+      val s = java.nio.file.Files.list(stateDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .count(_.forall(_.isDigit))
+      } finally s.close()
+    }
+    assert(partDirs == originalParts.toInt,
+      s"state store re-sharded: $partDirs dirs vs pinned $originalParts")
+  }
+
   test("CUSUM chart: closed-form parity across a checkpoint, step shift alarms") {
     // the streaming counterpart of q_cusum: the 60-flat/40-stepped
     // fixture from the batch spec, two series, arriving in TWO tranches
