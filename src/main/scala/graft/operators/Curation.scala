@@ -251,9 +251,20 @@ object Curation {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
           col("label"))
       val corpus = emb.unionByName(planted)
+      // nlist ∝ √N (the standard IVF sizing): a FIXED cell count makes
+      // the within-cell pair census Σ|cell|² quadratic in the corpus —
+      // the r13 sf1 timed pass measured 21× wall at 10× vectors with
+      // nlist = 16. √N keeps expected |cell| = √N, so the census grows
+      // ~N^1.5/√N = N and the probe cost tracks the scan. The count is
+      // one aggregate-bounded job on a 1-column frame; the envelope
+      // flags are nlist-independent (identical vectors share a Voronoi
+      // cell under ANY centroid set, and no_dup_kept is measured with
+      // the same cells that did the dropping).
+      val slim = corpus.select(col("vec_id"), col("embedding"))
+      val nVecs = slim.count()
+      val nlist = math.max(16, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
       val (assigned, dropped) = graft.similarity.Ann.semDedupParts(
-        corpus.select(col("vec_id"), col("embedding")),
-        nlist = 16, threshold = 0.99)
+        slim, nlist = nlist, threshold = 0.99)
       val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
       val a = kept.select(col("cell"), col("vec_id").as("id_a"),
         col("embedding").as("vec_a"))
