@@ -392,12 +392,19 @@ object Analytics {
     // applies verbatim at 100 TB); scoring is a pure projection against
     // the broadcast cuts and the output is bounded by 125 segments.
     "q_rfm_segments" -> ((s, dir) => {
+      // mon from exact integer cents (r13 sf1 finding: avg(double) is
+      // summation-order-dependent — a tier boundary or the segment mean
+      // can cross the rounding grid on scan-order luck); the division
+      // chain (Σcents/100)/n is a deterministic double of exact inputs,
+      // mirrored textually in the oracle
       def feats = t(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(
           datediff(lit(SegAsOf).cast("date"), to_date(max(col("o_orderdate"))))
             .cast("double").as("rec"),
           count(lit(1)).cast("double").as("freq"),
-          avg(col("o_totalprice")).as("mon"))
+          (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+            .cast("long")).cast("double") / lit(100.0)
+            / count(lit(1)).cast("double")).as("mon"))
       val cuts = feats.agg(
         expr("percentile(rec, array(0.2,0.4,0.6,0.8))").as("rc"),
         expr("percentile(freq, array(0.2,0.4,0.6,0.8))").as("fc"),
@@ -412,7 +419,13 @@ object Analytics {
           col("mon"))
         .groupBy((col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
           .as("segment"), col("r_score"), col("f_score"), col("m_score"))
-        .agg(count(lit(1)).as("n_customers"), r2(avg(col("mon"))).as("avg_monetary"))
+        // per-customer mon quantized to 1e-4 integer units before the
+        // segment sum (the house cross-frame discipline): the BIGINT sum
+        // is order-free, so the mean is a deterministic double
+        .agg(count(lit(1)).as("n_customers"),
+          r2(sum(floor(col("mon") * lit(10000.0) + lit(0.500001))
+            .cast("long")).cast("double") / lit(10000.0)
+            / count(lit(1)).cast("double")).as("avg_monetary"))
         .orderBy("segment")
     }),
 
@@ -2240,7 +2253,8 @@ object Analytics {
         |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
         |      DATE '2001-09-01') AS DOUBLE) AS rec,
         |    CAST(COUNT(*) AS DOUBLE) AS freq,
-        |    AVG(o_totalprice) AS mon
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |      AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS mon
         |  FROM orders GROUP BY 1
         |), cuts AS (
         |  SELECT quantile_cont(rec, [0.2,0.4,0.6,0.8]) AS rc,
@@ -2258,7 +2272,9 @@ object Analytics {
         |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
         |  CAST(m_score AS BIGINT) AS m_score,
         |  CAST(COUNT(*) AS BIGINT) AS n_customers,
-        |  FLOOR((AVG(mon)) * 100.0 + 0.500001) / 100.0 AS avg_monetary
+        |  FLOOR((CAST(SUM(CAST(FLOOR(mon * 10000.0 + 0.500001) AS BIGINT))
+        |      AS DOUBLE) / 10000.0 / CAST(COUNT(*) AS DOUBLE))
+        |    * 100.0 + 0.500001) / 100.0 AS avg_monetary
         |FROM sc GROUP BY 1, 2, 3, 4 ORDER BY segment""".stripMargin,
 
     // both rankings recomputed from the same three dot products, in the
