@@ -81,12 +81,18 @@ object Relational {
 
     // ---- global aggregates (A2/A3/A6/A8) — single partial+final agg -------
     "q_global_agg" -> ((s, dir) => {
+      // exact-cents sums (r13 discipline): a corpus-sized double sum is
+      // summation-order-dependent, and past ~1e13 its ulp rivals the r2
+      // grid — the q_rollup failure mode at 10× data
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+        .cast("long")
       t(s, dir, "orders").agg(
         max(col("o_custkey")).as("max_cust"),
         count(lit(1)).as("n_rows"),
         countDistinct(col("o_custkey")).as("n_cust"),
-        r2(avg(col("o_totalprice"))).as("avg_price"),
-        r2(sum(col("o_totalprice"))).as("sum_price"))
+        r2(sum(cents).cast("double") / lit(100.0)
+          / count(lit(1)).cast("double")).as("avg_price"),
+        r2(sum(cents).cast("double") / lit(100.0)).as("sum_price"))
     }),
 
     // ---- filtered counts, firewall-style (A4/P6) --------------------------
@@ -102,10 +108,19 @@ object Relational {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // price sums in exact integer units (cents; cents×basis-points
+        // for the discounted price — decimal(38,0) sum, sf100-proof):
+        // the corpus-sized double sums were order-dependent at 10× data.
+        // quantity is integer-valued, so its double sum is exact as-is.
         .agg(
           r2(sum(col("l_quantity"))).as("sum_qty"),
-          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          r2(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+            .cast("long")).cast("double") / lit(100.0)).as("sum_base_price"),
+          r2(sum((floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+              .cast("long") *
+            (lit(10000L) - floor(col("l_discount") * lit(10000.0)
+              + lit(0.500001)).cast("long"))).cast("decimal(38,0)"))
+            .cast("double") / lit(1000000.0)).as("sum_disc_price"),
           r2(avg(col("l_quantity"))).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -180,7 +195,12 @@ object Relational {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        // exact cents×basis-points revenue — the q_group_agg r13 idiom
+        .agg(r2(sum((floor(col("l_extendedprice") * lit(100.0)
+              + lit(0.500001)).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * lit(10000.0)
+              + lit(0.500001)).cast("long"))).cast("decimal(38,0)"))
+            .cast("double") / lit(1000000.0)).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
@@ -349,7 +369,9 @@ object Relational {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(r2(sum(col("o_totalprice"))))
+        // exact-cents sum — the q_rollup r13 discipline
+        .agg(r2(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.500001))
+          .cast("long")).cast("double") / lit(100.0)))
         .orderBy("o_year")
     }),
 
@@ -358,8 +380,11 @@ object Relational {
     "q_unpivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
+        // sum_price in exact cents (r13); qty sums and the small-magnitude
+        // discount mean are order-exact already (integer-valued / tiny Σ)
         .agg(r2(sum(col("l_quantity"))).as("sum_qty"),
-          r2(sum(col("l_extendedprice"))).as("sum_price"),
+          r2(sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.500001))
+            .cast("long")).cast("double") / lit(100.0)).as("sum_price"),
           r4(avg(col("l_discount"))).as("avg_disc"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
@@ -870,8 +895,13 @@ object Relational {
     "q_global_agg" ->
       """SELECT MAX(o_custkey) AS max_cust, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
-        |  FLOOR((AVG(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS avg_price,
-        |  FLOOR((SUM(o_totalprice)) * 100.0 + 0.500001) / 100.0 AS sum_price
+        |  FLOOR((CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |    AS DOUBLE) / 100.0
+        |    / CAST(COUNT(*) AS DOUBLE))
+        |    * 100.0 + 0.500001) / 100.0 AS avg_price,
+        |  FLOOR((CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT))
+        |    AS DOUBLE) / 100.0)
+        |    * 100.0 + 0.500001) / 100.0 AS sum_price
         |FROM orders""".stripMargin,
 
     "q_filtered_count" ->
@@ -882,8 +912,13 @@ object Relational {
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  FLOOR((SUM(l_quantity)) * 100.0 + 0.500001) / 100.0 AS sum_qty,
-        |  FLOOR((SUM(l_extendedprice)) * 100.0 + 0.500001) / 100.0 AS sum_base_price,
-        |  FLOOR((SUM(l_extendedprice * (1.0 - l_discount))) * 100.0 + 0.500001) / 100.0 AS sum_disc_price,
+        |  FLOOR((CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.500001) AS BIGINT))
+        |    AS DOUBLE) / 100.0)
+        |    * 100.0 + 0.500001) / 100.0 AS sum_base_price,
+        |  FLOOR((CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.500001) AS BIGINT)
+        |    * (10000 - CAST(FLOOR(l_discount * 10000.0 + 0.500001) AS BIGINT))
+        |    AS HUGEINT)) AS DOUBLE) / 1000000.0)
+        |    * 100.0 + 0.500001) / 100.0 AS sum_disc_price,
         |  FLOOR((AVG(l_quantity)) * 100.0 + 0.500001) / 100.0 AS avg_qty,
         |  COUNT(*) AS n
         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
@@ -919,7 +954,10 @@ object Relational {
 
     "q_join_star" ->
       """SELECT r_name, n_name,
-        |  FLOOR((SUM(l_extendedprice * (1.0 - l_discount))) * 100.0 + 0.500001) / 100.0 AS revenue,
+        |  FLOOR((CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100.0 + 0.500001) AS BIGINT)
+        |    * (10000 - CAST(FLOOR(l_discount * 10000.0 + 0.500001) AS BIGINT))
+        |    AS HUGEINT)) AS DOUBLE) / 1000000.0)
+        |    * 100.0 + 0.500001) / 100.0 AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1025,16 +1063,27 @@ object Relational {
     // both engines
     "q_pivot" ->
       """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-        |  FLOOR((SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 100.0 + 0.500001) / 100.0 AS "F",
-        |  FLOOR((SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) * 100.0 + 0.500001) / 100.0 AS "O",
-        |  FLOOR((SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)) * 100.0 + 0.500001) / 100.0 AS "P"
+        |  FLOOR((CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) END)
+        |    AS DOUBLE) / 100.0)
+        |    * 100.0 + 0.500001) / 100.0 AS "F",
+        |  FLOOR((CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) END)
+        |    AS DOUBLE) / 100.0)
+        |    * 100.0 + 0.500001) / 100.0 AS "O",
+        |  FLOOR((CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(FLOOR(o_totalprice * 100.0 + 0.500001) AS BIGINT) END)
+        |    AS DOUBLE) / 100.0)
+        |    * 100.0 + 0.500001) / 100.0 AS "P"
         |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     "q_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag,
         |    FLOOR((SUM(l_quantity)) * 100.0 + 0.500001) / 100.0 AS sum_qty,
-        |    FLOOR((SUM(l_extendedprice)) * 100.0 + 0.500001) / 100.0 AS sum_price,
+        |    FLOOR((CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.500001) AS BIGINT))
+        |    AS DOUBLE) / 100.0)
+        |    * 100.0 + 0.500001) / 100.0 AS sum_price,
         |    FLOOR((AVG(l_discount)) * 10000.0 + 0.500001) / 10000.0 AS avg_disc
         |  FROM lineitem GROUP BY 1
         |)
