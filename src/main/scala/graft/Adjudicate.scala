@@ -18,8 +18,13 @@ package graft
   *     q_alpha_sampling showed the escape this closes: a 3.29×-median
   *     row rode a 1.03 local factor past both rule 1 (threshold
   *     1.45·lf ≈ 1.49 vs t = 1.48) and the 3-slot control backstop.
-  *     The set is capped at HardCap by descending absolute excess
-  *     (t − median) — the rows a reviewer would most want isolated.
+  *     Round 14 lowers the trigger to HardRatioSmall for rows under
+  *     SmallAbsSec in-run: both escapes to date were sub-2 s rows just
+  *     under 2.5× (q_alpha_sampling 3.29× pre-trigger in r12, q_chow
+  *     2.49× in r13), and an isolated re-run of a sub-2 s query is
+  *     nearly free — spend it. The set is capped at HardCap by
+  *     descending absolute excess (t − median) — the rows a reviewer
+  *     would most want isolated.
   *  3. controls (round 10 ADVICE): of the rows rules 1–2 did NOT select,
   *     the ones local_f shielded hardest (lf > max(1.25, g), up to 3,
   *     slowest-weighted first) also re-run — isolated ≈ median means the
@@ -35,6 +40,11 @@ package graft
 object Adjudicate {
 
   val HardRatio = 2.5
+  /** tighter trigger for rows whose in-run time is below [[SmallAbsSec]]:
+    * their isolated re-runs cost milliseconds, and both historical
+    * escapes were sub-2 s rows riding just under 2.5× (r14) */
+  val HardRatioSmall = 2.0
+  val SmallAbsSec = 2.0
   val HardCap = 12
   val MinControls = 2
 
@@ -75,8 +85,10 @@ object Adjudicate {
       .filter { i =>
         val (name, t) = ordered(i)
         !breachSet.contains(i) &&
-          medians.get(name).filter(_ > 0)
-            .exists(m => t / math.max(m, 0.05) > HardRatio)
+          medians.get(name).filter(_ > 0).exists { m =>
+            val ratio = t / math.max(m, 0.05)
+            ratio > (if (t < SmallAbsSec) HardRatioSmall else HardRatio)
+          }
       }
       .sortBy { i =>
         val (name, t) = ordered(i)

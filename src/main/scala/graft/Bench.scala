@@ -141,8 +141,9 @@ object Bench {
     // selection rules live in graft.Adjudicate (pure, unit-tested with
     // synthetic slowdowns — AdjudicateSpec); this block only EXECUTES the
     // selected isolated re-runs. Round 13 adds the hard trigger (any row
-    // > 2.5× its median re-runs in isolation regardless of local_f — the
-    // q_alpha_sampling escape) and control top-up + normalization (the
+    // > 2.5× its median — 2.0× when under 2 s in-run, r14 — re-runs in
+    // isolation regardless of local_f: the q_alpha_sampling and q_chow
+    // escapes) and control top-up + normalization (the
     // isolation phase itself can run ~1.4× slow; committed triples now
     // carry an iso_norm divided by the contemporaneous control factor).
     val sel = Adjudicate.select(ordered, medians)
@@ -227,8 +228,8 @@ object Bench {
       // query the selection rules flagged in-run, the in-run time, the
       // post-sweep isolated re-run (raw AND control-normalized — iso_norm
       // divides by ctl_f, the contemporaneous isolation-phase factor), the
-      // local inflation factor, and whether the r13 hard trigger (>2.5×
-      // median regardless of local_f) was what selected it
+      // local inflation factor, and whether the hard trigger (>2.5×
+      // median, 2.0× for sub-2 s rows, regardless of local_f) selected it
       val adj = adjudicated.toSeq.sortBy(_._1).map {
         case (k, (inT, isoT, lf, ok, hard)) =>
           "\"" + k + "\":{\"in_run\":" + f2(inT) + ",\"isolated\":" +

@@ -105,13 +105,22 @@ object Sources {
     *     concurrent writer between its write and its commit —
     *     distinguishable from a crashed writer's leftovers precisely
     *     because committed dirs are never named `.tmp-*`; stale staging
-    *     ages out and is swept).
+    *     ages out and is swept). A committed version that falls OUT of
+    *     the keep-window is not deleted on the spot: it is first marked
+    *     retired (a `.retired-<dir>` tombstone) and deleted only once the
+    *     tombstone is older than `retireGraceMs` — a time-travel reader
+    *     pinned via [[readSnapshot(spark,path,version)*]] on the oldest
+    *     retained version would otherwise have its parquet files deleted
+    *     mid-scan by a concurrent writer's commit (r13 ADVICE). The grace
+    *     is a parameter because it is a READER-LATENCY contract, not a
+    *     protocol constant: 0 restores immediate deletion.
     *
     * Readers go through [[readSnapshot]], which resolves `CURRENT` (and
     * falls back to a plain parquet dir for pre-protocol layouts).
     */
   def overwriteParquet(df: DataFrame, path: String,
-      store: PointerStore = LocalPointerStore, retain: Int = 2): Unit = {
+      store: PointerStore = LocalPointerStore, retain: Int = 2,
+      retireGraceMs: Long = StagingGraceMs): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = Paths.get(path)
@@ -172,7 +181,25 @@ object Sources {
         // fresh for as long as the write is making progress.
         val inFlight = name.startsWith(".tmp-v-") &&
           (now - newestMtimeMillis(p)) < StagingGraceMs
-        if (!keep.contains(name) && !inFlight) deleteRecursively(p)
+        if (name.startsWith(RetiredMarkerPrefix)) {
+          // a tombstone whose version re-entered the keep-window (retain
+          // raised between writes) or whose dir is already gone is stale
+          val target = name.stripPrefix(RetiredMarkerPrefix)
+          if (keep.contains(target) || !Files.exists(root.resolve(target)))
+            Files.deleteIfExists(p)
+        } else if (!keep.contains(name) && !inFlight) {
+          if (parseVersionSeq(name).isDefined) {
+            // committed version leaving the keep-window: tombstone first,
+            // delete only once the tombstone has aged past the reader
+            // grace (both can happen in this one pass when the grace is 0)
+            val marker = root.resolve(RetiredMarkerPrefix + name)
+            if (!Files.exists(marker)) Files.createFile(marker)
+            if (now - newestMtimeMillis(marker) >= retireGraceMs) {
+              deleteRecursively(p)
+              Files.deleteIfExists(marker)
+            }
+          } else deleteRecursively(p)
+        }
       } finally children.close()
     }
   }
@@ -226,6 +253,13 @@ object Sources {
     * (0 for create) — with the version-dir + pointer shape unchanged and
     * NO commit lock needed for the pointer itself (the lock also fences
     * local GC; store-side GC wants a lifecycle rule or lease instead).
+    * That mapping is no longer just documented (r14): the protocol's
+    * CAS/race/grace contracts run against an in-memory store with exactly
+    * those semantics — generation-compared atomic replace, no rename, no
+    * pointer file, plus an injected stale-read (list-after-write lag)
+    * that must resolve as a lost put and a clean fenced retry — in
+    * ObjectStorePointerSpec, with the reader side resolving through
+    * [[readSnapshot(spark,path,store)*]].
     * The local implementation runs under [[withCommitLock]], where the
     * verify-then-move below is trivially atomic; it still VERIFIES
     * `expected` so that injected-race tests and conditional-put stores
@@ -303,7 +337,18 @@ object Sources {
     * later neither corrupts it (grace copy) nor leaks into it.
     */
   def readSnapshot(spark: SparkSession, path: String): DataFrame =
-    currentVersion(path) match {
+    readSnapshot(spark, path, LocalPointerStore)
+
+  /** [[readSnapshot]] resolving the pointer through an explicit
+    * [[PointerStore]] — on a real object store the reader's pointer GET
+    * goes through the same client as the writer's conditional put, not
+    * through a local `CURRENT` file (ObjectStorePointerSpec drives the
+    * whole read-after-racing-commits contract through an in-memory store
+    * with exactly those semantics).
+    */
+  def readSnapshot(spark: SparkSession, path: String,
+      store: PointerStore): DataFrame =
+    store.read(java.nio.file.Paths.get(path)) match {
       case Some(v) => spark.read.parquet(s"$path/$v")
       case None => spark.read.parquet(path)
     }
@@ -315,6 +360,14 @@ object Sources {
     * was pruned by retention or never existed; it never falls back to
     * CURRENT, because "an old snapshot" silently becoming "the newest
     * snapshot" is the exact bug a time-travel reader exists to avoid.
+    *
+    * Reader-vs-GC contract (r14): a version that concurrent overwrites
+    * push out of the retain window is tombstoned and DELISTED at commit
+    * but physically deleted only after the writer's `retireGraceMs`
+    * (default [[StagingGraceMs]], 1 h) — so a reader pinned here keeps
+    * scanning through concurrent commits. A scan still running past the
+    * grace after its version left the window can lose files mid-scan;
+    * size the grace to the slowest expected reader.
     */
   def readSnapshot(spark: SparkSession, path: String,
       version: Long): DataFrame =
@@ -331,6 +384,10 @@ object Sources {
     * by sequence: (sequence, dirName). Legacy `v-<uuid>` dirs (pre-r13
     * layouts) carry no ordinal and are not listed — they remain readable
     * through the CURRENT pointer until the next overwrite sweeps them.
+    * A version that left the retain window is delisted the moment its
+    * `.retired-*` tombstone lands, even though its dir survives the
+    * reader grace — logically pruned at commit, physically deleted after
+    * the grace, so no NEW reader can pin data already scheduled to die.
     */
   def listVersions(path: String): Seq[(Long, String)] = {
     import java.nio.file.{Files, Paths}
@@ -338,22 +395,35 @@ object Sources {
     if (!Files.isDirectory(root)) Seq.empty
     else {
       val children = Files.list(root)
-      try {
+      val names = try {
         import scala.jdk.CollectionConverters._
-        children.iterator().asScala
-          .map(_.getFileName.toString)
-          .flatMap(n => parseVersionSeq(n).map(_ -> n))
-          .toVector.sortBy(_._1)
+        children.iterator().asScala.map(_.getFileName.toString).toSet
       } finally children.close()
+      names.toVector
+        .flatMap(n => parseVersionSeq(n).map(_ -> n))
+        .filterNot { case (_, n) => names.contains(RetiredMarkerPrefix + n) }
+        .sortBy(_._1)
     }
   }
 
-  /** Sequence of a committed version dir name (`v-<9 digits>-<uuid>`);
+  /** Tombstone prefix for a committed version dir that left the retain
+    * window but is inside its reader grace (see [[overwriteParquet]]
+    * step 4). The leading dot keeps Spark's parquet reader from treating
+    * it as data if a root is ever read as a plain directory.
+    */
+  private val RetiredMarkerPrefix = ".retired-"
+
+  /** Sequence of a committed version dir name (`v-<9+ digits>-<uuid>`);
     * None for staging dirs, legacy `v-<uuid>` names (whose first UUID
-    * segment is 8 hex chars, never 9 digits), and foreign files.
+    * segment is 8 hex chars, never 9+ digits), and foreign files.
+    * `{9,}` rather than `{9}`: nextSeq formats with %09d, which emits 10
+    * digits once the sequence passes 999,999,999 — an exact-9 match would
+    * make such a version invisible to listVersions (sequence numbers
+    * would regress and repeat, and the dir would be swept as garbage).
+    * Theoretical at 1e9 commits, but free to close (r13 ADVICE).
     */
   private def parseVersionSeq(name: String): Option[Long] = {
-    val m = java.util.regex.Pattern.compile("^v-(\\d{9})-").matcher(name)
+    val m = java.util.regex.Pattern.compile("^v-(\\d{9,})-").matcher(name)
     if (m.find()) Some(m.group(1).toLong) else None
   }
 

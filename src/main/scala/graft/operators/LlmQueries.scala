@@ -1284,10 +1284,13 @@ object LlmQueries {
     // 0.5, no false negatives, candidates from the rarest-first prefix
     // equi-join instead of minhash banding OR all-pairs. Runs on the
     // even-doc_id half (+ planted copies — parity-preserved by the
-    // +1000000 offset) because the ORACLE is the genuine brute-force
-    // all-pairs recount, quadratic by construction; the engine-side plan
-    // is the corpus-scale path. DuckDB recomputing every pair makes any
-    // prefix-filter unsoundness a red row, not a silent miss.
+    // +1000000 offset); the engine-side plan is the corpus-scale path.
+    // The oracle recounts every qualifying pair through an any-shared-
+    // shingle equi-join — exact (J ≥ 0.5 > 0 requires a shared shingle)
+    // and independent of the engine's prefix/positional filtering, so
+    // any prefix-filter unsoundness is a red row, not a silent miss;
+    // O(Σ df²) cost means it runs at sf1 too (r14 — the old brute-force
+    // all-pairs recount was the one oracle quadratic at the 10× corpus).
     "q_setsim_join" -> ((s, dir) => {
       // pre-kernel spread: the q_lm_perplexity single-input-partition note
       val d = withPlantedNearDups(docs(s, dir)).where(col("doc_id") % 2 === 0)
@@ -3501,8 +3504,17 @@ object LlmQueries {
         |    * 10000.0 + 0.500001) / 10000.0 AS yule_k
         |FROM counts GROUP BY source ORDER BY source""".stripMargin,
 
-    // the brute-force all-pairs recount the prefix filter must reproduce
-    // exactly (MATERIALIZED: corpus feeds the self-join twice)
+    // the exact recount the prefix filter must reproduce. r14: the
+    // all-pairs `a JOIN b ON a.doc_id < b.doc_id` recount was O(n²) —
+    // 1.25e9 pairs at the 10× corpus, the one oracle that could not run
+    // at sf1. This form is still EXACT and still independent of the
+    // engine's candidate logic (no prefix, no positional filter — a pair
+    // with Jaccard ≥ 0.5 > 0 must share a shingle, so the any-shared-
+    // shingle equi-join provably loses nothing), but costs Σ df(g)²
+    // (73k joined rows at sf0.01, ~linear in corpus under disjoint-copy
+    // growth) instead of n²/2: |A∩B| falls out of the per-pair GROUP BY
+    // row count, |A∪B| = n_a + n_b − |A∩B|. Verified row-identical to
+    // the brute recount at sf0.01 before the swap.
     "q_setsim_join" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
@@ -3515,15 +3527,18 @@ object LlmQueries {
         |    range(0, greatest(len(w)-3, 0) + 1),
         |    i -> array_to_string(w[i+1 : i+3], ' '))) AS s
         |  FROM uni WHERE doc_id % 2 = 0
-        |), pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.s, b.s))) AS j
-        |  FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+        |), tok AS MATERIALIZED (
+        |  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM corpus
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
         |)
         |SELECT doc_a, doc_b,
-        |  FLOOR(j * 10000.0 + 0.500001) / 10000.0 AS jaccard
-        |FROM pairs WHERE j >= 0.5
+        |  FLOOR(CAST(inter AS DOUBLE) / (na + nb - inter) * 10000.0 + 0.500001)
+        |    / 10000.0 AS jaccard
+        |FROM cand WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_jaccard_exact" ->

@@ -42,8 +42,32 @@ class AdjudicateSpec extends AnyFunSuite {
     assert(sel.hard.contains(idx))
   }
 
-  test("hard trigger does not fire below 2.5x median") {
-    val (ordered, medians) = flatRun(20, 0.45, Map(7 -> 1.1)) // 2.44x
+  test("sub-2s rows hard-trigger at the tighter 2.0x (the q_chow case)") {
+    // r13's escape replayed: 1.5 s at 2.1× its 0.714 median — under 2.5×
+    // (old trigger silent) but sub-2 s absolute, so the r14 tightening
+    // must select it
+    val (ordered, medians) = flatRun(20, 0.714, Map(7 -> 1.5)) // 2.1x, <2s
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches.isEmpty, "rule-1 additive floor absorbs a sub-2s row")
+    assert(sel.hard == Vector(7))
+  }
+
+  test("at-or-above 2s rows keep the 2.5x trigger (2.44x does not fire)") {
+    // mild neighborhood inflation (1.3x) keeps rule 1 silent (threshold
+    // 2m·lf = 2.6 > 2.44) so only the hard trigger is under test; at
+    // t >= 2 s the threshold stays 2.5x, so 2.44x must NOT fire
+    val idx = 10
+    val neighborhood = ((idx - 5) to (idx + 5)).filter(_ != idx)
+      .map(_ -> 1.3).toMap
+    val (ordered, medians) = flatRun(21, 1.0, neighborhood + (idx -> 2.44))
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches.isEmpty, "precondition: rule 1 shielded by local_f")
+    assert(sel.hard.isEmpty)
+  }
+
+  test("hard trigger does not fire at or below 2.0x in any regime") {
+    val (ordered, medians) =
+      flatRun(20, 0.45, Map(7 -> 0.89, 11 -> 0.9)) // 1.98x and 2.0x, <2s
     val sel = Adjudicate.select(ordered, medians)
     assert(sel.hard.isEmpty && sel.breaches.isEmpty)
   }

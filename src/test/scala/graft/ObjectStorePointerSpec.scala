@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+import java.nio.file.Files
+
+/** The snapshot protocol's [[Sources.PointerStore]] seam exercised against
+  * OBJECT-STORE contract semantics (r13 verdict "missing" #5, the oldest
+  * open item): no atomic rename, no file lock for the pointer — the
+  * pointer is an object whose writes are conditional puts fenced on the
+  * object GENERATION (S3 `PutObject` + `If-Match: <etag>` /
+  * `If-None-Match: *`, GCS `x-goog-if-generation-match`), and reads are
+  * strongly consistent GETs (S3/GCS post-2020 semantics). The in-memory
+  * fake below implements exactly that shape — an atomic
+  * generation-compared replace, never a verify-then-rename — and the
+  * existing CAS/race contracts re-run over it, plus the one failure mode
+  * a local FS cannot produce: a lagging read (stale pointer GET after a
+  * foreign commit), which must surface as a lost conditional put and a
+  * clean retry, never a truncation.
+  */
+class ObjectStorePointerSpec extends SparkSpec {
+
+  /** In-memory pointer store with object-store semantics. One "object"
+    * per snapshot root, carrying (value, generation); `compareAndPut`
+    * GETs the current object, gives up unless the observed VALUE still
+    * matches (the caller's fence), then installs the new value with an
+    * atomic generation-compared replace — the `If-Match` shape: between
+    * the GET and the PUT another writer may commit, and the replace then
+    * fails on the stale generation exactly like a real conditional put.
+    * Version values are UUIDs, so value-equality and generation-equality
+    * fence the same commit.
+    */
+  final class FakeObjectPointerStore extends Sources.PointerStore {
+    private case class Obj(value: String, generation: Long)
+    private val objects =
+      new java.util.concurrent.ConcurrentHashMap[String, Obj]()
+    val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lostPuts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    private def key(root: java.nio.file.Path): String =
+      root.toAbsolutePath.normalize.toString
+
+    def read(root: java.nio.file.Path): Option[String] =
+      Option(objects.get(key(root))).map(_.value)
+
+    def compareAndPut(root: java.nio.file.Path, expected: Option[String],
+        next: String): Boolean = {
+      puts.incrementAndGet()
+      val ok = expected match {
+        // If-None-Match: * — create wins iff no object exists yet
+        case None => objects.putIfAbsent(key(root), Obj(next, 1L)) == null
+        case Some(v) =>
+          val cur = objects.get(key(root)) // the client's GET
+          if (cur == null || cur.value != v) false
+          else // If-Match on the GET's generation: atomic compared replace
+            objects.replace(key(root), cur, Obj(next, cur.generation + 1L))
+      }
+      if (!ok) lostPuts.incrementAndGet()
+      ok
+    }
+  }
+
+  /** Read-lag decorator: the FIRST read after each foreign commit returns
+    * the pre-commit pointer (list-after-write / negative-cache lag on an
+    * eventually-consistent store). The conditional put itself stays
+    * strongly consistent — that is the part the store contract guarantees
+    * — so a stale read MUST convert into a lost put and a retry.
+    */
+  final class LaggingReads(inner: FakeObjectPointerStore)
+      extends Sources.PointerStore {
+    @volatile private var stale: Option[Option[String]] = None
+    val staleReads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** arrange for the next read to observe `old` instead of the truth */
+    def lagNextRead(old: Option[String]): Unit = stale = Some(old)
+
+    def read(root: java.nio.file.Path): Option[String] = stale match {
+      case Some(v) => stale = None; staleReads.incrementAndGet(); v
+      case None => inner.read(root)
+    }
+    def compareAndPut(root: java.nio.file.Path, expected: Option[String],
+        next: String): Boolean = inner.compareAndPut(root, expected, next)
+  }
+
+  test("conditional put: If-None-Match create, value-fenced If-Match replace, stale fence loses") {
+    val store = new FakeObjectPointerStore
+    val root = Files.createTempDirectory("graft_objstore")
+    assert(store.read(root).isEmpty)
+    assert(store.compareAndPut(root, None, "v-1"), "create must win")
+    assert(!store.compareAndPut(root, None, "v-oops"),
+      "second If-None-Match create must lose")
+    assert(store.read(root).contains("v-1"))
+    // A observes v-1; B commits v-2; A's put fenced on v-1 must lose and
+    // must NOT clobber B's pointer
+    assert(store.compareAndPut(root, Some("v-1"), "v-2"))
+    assert(!store.compareAndPut(root, Some("v-1"), "v-a-stale"))
+    assert(store.read(root).contains("v-2"))
+  }
+
+  test("racing writers through the object store: one version chain, every read complete") {
+    // the PipelineSpec racing-writers contract, pointer resolution and
+    // commits all through the fake object store instead of CURRENT+rename
+    val store = new FakeObjectPointerStore
+    val base = Files.createTempDirectory("graft_objstore_race").toString
+    val path = s"$base/snap"
+    val gens = Map("A" -> 100L, "B" -> 250L, "C" -> 400L)
+    Sources.overwriteParquet(
+      spark.range(gens("A")).withColumn("gen", lit("A")).toDF(), path, store)
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def writer(gen: String, rounds: Int): Thread = new Thread(() =>
+      try {
+        (1 to rounds).foreach { _ =>
+          Sources.overwriteParquet(
+            spark.range(gens(gen)).withColumn("gen", lit(gen)).toDF(), path,
+            store)
+          commits.incrementAndGet()
+        }
+      } catch { case e: Throwable =>
+        failure.compareAndSet(null, s"writer $gen: $e")
+      })
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() =>
+      try {
+        while (!stop.get()) {
+          val before = commits.get()
+          try {
+            val rows = Sources.readSnapshot(spark, path, store)
+              .groupBy("gen").count().collect()
+            assert(rows.length == 1, s"mixed generations: ${rows.toSeq}")
+            val (g, n) = (rows(0).getString(0), rows(0).getLong(1))
+            assert(gens(g) == n, s"partial snapshot: gen $g had $n rows")
+          } catch {
+            case e: org.scalatest.exceptions.TestFailedException => throw e
+            case _: Throwable =>
+              assert(commits.get() - before >= 2,
+                "read failed without two intervening commits")
+          }
+        }
+      } catch { case e: Throwable =>
+        failure.compareAndSet(null, s"reader: $e")
+      })
+    val (wa, wb) = (writer("B", 3), writer("C", 3))
+    reader.start(); wa.start(); wb.start()
+    wa.join(120000); wb.join(120000)
+    stop.set(true); reader.join(120000)
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(commits.get() == 6)
+    val finalRows = Sources.readSnapshot(spark, path, store)
+      .groupBy("gen").count().collect()
+    assert(finalRows.length == 1 &&
+      gens(finalRows(0).getString(0)) == finalRows(0).getLong(1))
+    // no CURRENT file exists — the pointer lives entirely in the store
+    assert(!Files.exists(java.nio.file.Paths.get(path, "CURRENT")),
+      "object-store runs must not fall back to a local pointer file")
+    // every commit landed exactly once: 7 winning puts (initial + 6)
+    assert(store.puts.get() - store.lostPuts.get() == 7,
+      s"puts=${store.puts.get()} lost=${store.lostPuts.get()}")
+  }
+
+  test("read lag: a stale pointer GET becomes a lost put and a clean fenced retry") {
+    val inner = new FakeObjectPointerStore
+    val store = new LaggingReads(inner)
+    val base = Files.createTempDirectory("graft_objstore_lag").toString
+    val path = s"$base/snap"
+    Sources.overwriteParquet(
+      spark.range(10).withColumn("gen", lit("A")).toDF(), path, store)
+    val vA = inner.read(java.nio.file.Paths.get(path)).get
+    // a foreign writer commits vB out-of-band (same dir layout a real
+    // concurrent overwrite would leave); our writer's next pointer GET
+    // lags behind it and still observes vA
+    val root = java.nio.file.Paths.get(path)
+    val vB = "v-000000099-foreign"
+    Files.createDirectory(root.resolve(vB))
+    spark.range(33).withColumn("gen", lit("B")).write
+      .mode("overwrite").parquet(s"$path/$vB")
+    assert(inner.compareAndPut(root, Some(vA), vB))
+    store.lagNextRead(Some(vA))
+    Sources.overwriteParquet(
+      spark.range(77).withColumn("gen", lit("C")).toDF(), path, store)
+    // the stale read was consumed, its fenced put lost against the real
+    // generation, and the retry re-read the TRUTH and committed on it
+    assert(store.staleReads.get() == 1)
+    assert(inner.lostPuts.get() == 1, "stale fence must lose exactly once")
+    val now = Sources.readSnapshot(spark, path, store)
+    assert(now.count() == 77L)
+    assert(now.where(col("gen") =!= "C").isEmpty)
+    // the interrupted-commit grace rule holds under lag too: the foreign
+    // winner (what the RETRY observed) survives as the grace copy
+    assert(Files.exists(root.resolve(vB)), "winner's dir truncated")
+    assert(spark.read.parquet(s"$path/$vB").count() == 33L)
+  }
+}

@@ -136,7 +136,9 @@ class PipelineSpec extends SparkSpec {
     assert(Sources.readSnapshot(spark, path).count() == 250L,
       "reader must never see an uncommitted version")
     val c = spark.range(13).withColumn("gen", lit("C"))
-    Sources.overwriteParquet(c.toDF(), path)
+    // retireGraceMs = 0 pins the immediate-sweep layout this test counts;
+    // the r14 reader grace has its own test below
+    Sources.overwriteParquet(c.toDF(), path, retireGraceMs = 0L)
     assert(!Files.exists(java.nio.file.Paths.get(orphan)),
       "GC must sweep crashed-write orphans")
     assert(Sources.readSnapshot(spark, path).count() == 13L)
@@ -204,7 +206,9 @@ class PipelineSpec extends SparkSpec {
     assert(failure.get() == null, String.valueOf(failure.get()))
     assert(commits.get() == 6)
     // exactly one surviving chain: the last committed generation is live,
-    // every loser dir swept, no staging leftovers
+    // every loser LOGICALLY swept (delisted or tombstoned under the r14
+    // reader grace — physical deletion follows the grace), no staging
+    // leftovers
     val finalRows = Sources.readSnapshot(spark, path)
       .groupBy("gen").count().collect()
     assert(finalRows.length == 1 && gens(finalRows(0).getString(0)) ==
@@ -213,8 +217,16 @@ class PipelineSpec extends SparkSpec {
     val kept = Iterator.continually(names).takeWhile(_.hasNext).map(_.next())
       .map(_.getFileName.toString).toList
     assert(kept.count(_ == "CURRENT") == 1 && kept.contains("COMMIT_LOCK") &&
-      kept.size == 4 && !kept.exists(_.startsWith(".tmp-")),
-      s"root holds $kept")
+      !kept.exists(_.startsWith(".tmp-")), s"root holds $kept")
+    // live chain = the retained window (listVersions hides tombstoned
+    // dirs); every other version dir must carry its tombstone
+    val live = Sources.listVersions(path).map(_._2).toSet
+    assert(live.size == 2 && live.contains(
+      Files.readString(java.nio.file.Paths.get(path, "CURRENT")).trim),
+      s"retained window wrong: $live")
+    val zombie = kept.filter(n => n.startsWith("v-") && !live.contains(n) &&
+      !kept.contains(s".retired-$n"))
+    assert(zombie.isEmpty, s"loser dirs neither retained nor tombstoned: $zombie")
   }
 
   test("pointer commit is a conditional put: a losing CAS re-observes, retries, and never truncates the winner") {
@@ -263,13 +275,14 @@ class PipelineSpec extends SparkSpec {
         } else Sources.LocalPointerStore.compareAndPut(r, expected, next)
       }
     }
-    // retain = 1 pins the old keep-{live, grace} behavior: this test is
-    // about CAS/grace semantics — at the r13 default (retain = 2) the
-    // twice-superseded vA would legitimately survive as time-travel
-    // history, which SnapshotTimeTravel covers instead
+    // retain = 1 + retireGraceMs = 0 pin the old keep-{live, grace}
+    // behavior: this test is about CAS/grace semantics — at the r13
+    // default (retain = 2) the twice-superseded vA would legitimately
+    // survive as time-travel history (SnapshotTimeTravel covers that),
+    // and at the r14 default reader grace it would survive tombstoned
     Sources.overwriteParquet(
       spark.range(20).withColumn("gen", lit("B")).toDF(), path, racy,
-      retain = 1)
+      retain = 1, retireGraceMs = 0L)
 
     // the loser retried once, re-fenced on the interloper's version
     assert(attempts.get() == 2)
@@ -366,6 +379,52 @@ class PipelineSpec extends SparkSpec {
     assert(pinned.where(col("gen") =!= "old").isEmpty)
     // and the window itself: 1, 2, 3 all readable
     assert(Sources.listVersions(path).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("time travel: a version leaving the keep-window gets a reader grace — tombstoned and delisted at commit, deleted only after the grace") {
+    // r13 ADVICE: a reader pinned via readSnapshot(path, version) on the
+    // OLDEST retained version used to have its parquet deleted mid-scan by
+    // a concurrent writer's GC the moment newer commits pushed it out of
+    // the window. Now the falling-out version is tombstoned first and only
+    // deleted once the tombstone ages past retireGraceMs.
+    val base = Files.createTempDirectory("graft_tt_grace").toString
+    val path = s"$base/snap"
+    val root = java.nio.file.Paths.get(path)
+    Sources.overwriteParquet(
+      spark.range(100).withColumn("gen", lit("G1")).toDF(), path, retain = 1)
+    val v1 = Files.readString(root.resolve("CURRENT")).trim
+    val pinned = Sources.readSnapshot(spark, path, 1L)
+    // v1 survives overwrite 2 as the grace COPY (in keep); overwrite 3
+    // pushes it out of keep entirely — the case under test
+    (2 to 3).foreach { g =>
+      Sources.overwriteParquet(
+        spark.range(g * 5L).withColumn("gen", lit(s"G$g")).toDF(), path,
+        retain = 1)
+    }
+    // physically present (dir + tombstone), logically pruned (delisted,
+    // un-pinnable for NEW readers), and the pre-pinned scan still runs
+    assert(Files.exists(root.resolve(v1)), "graced dir deleted early")
+    assert(Files.exists(root.resolve(s".retired-$v1")), "tombstone missing")
+    assert(!Sources.listVersions(path).map(_._1).contains(1L),
+      "a retired version must not be pinnable by new readers")
+    val e = intercept[RuntimeException] { Sources.readSnapshot(spark, path, 1L) }
+    assert(e.getMessage.contains("not retained"))
+    assert(pinned.count() == 100L, "pinned reader broken by GC")
+    assert(pinned.where(col("gen") =!= "G1").isEmpty)
+    // an expired grace (0 ms) sweeps dir AND tombstone in one pass
+    Sources.overwriteParquet(
+      spark.range(7).withColumn("gen", lit("G4")).toDF(), path, retain = 1,
+      retireGraceMs = 0L)
+    assert(!Files.exists(root.resolve(v1)), "expired graced dir not swept")
+    val leftover = {
+      val s = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".retired-")).toList
+      } finally s.close()
+    }
+    assert(leftover.isEmpty, s"stale tombstones: $leftover")
   }
 
   test("CSV sink round-trips a generated batch (S1)") {

@@ -13,18 +13,36 @@ import check
 
 
 def main(sf_dir, out_dir, spec):
+    # relative paths would make the symlink targets below resolve inside
+    # the temp dir (dangling links, every query "no spark output")
+    sf_dir, out_dir = os.path.abspath(sf_dir), os.path.abspath(out_dir)
     names = sorted(os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
                    if os.path.isdir(d))
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if spec.startswith("@skip:"):
         skip = set(spec[len("@skip:"):].split(","))
         keep = [n for n in names if n not in skip]
+        keep_oracle = {k: v for k, v in oracle.items()
+                       if k in set(keep) or
+                       (k not in skip and k not in set(names))}
     else:
-        keep = [n for n in names if n in set(spec.split(","))]
+        # keep derives from the REQUESTED names, not the existing output
+        # dirs: a named query whose Verify run errored (no dir) must reach
+        # check.main, which FAILS it loudly via its oracle entry — not be
+        # silently intersected away (the q_fingerprint blind spot, for the
+        # very queries the operator asked to re-check after a fix)
+        requested = [n for n in spec.split(",") if n]
+        unknown = sorted(n for n in requested
+                         if n not in oracle and n not in set(names))
+        if unknown:
+            print(f"FAIL: requested names in neither oracle_sql.json nor "
+                  f"{out_dir}: {','.join(unknown)}")
+            return 1
+        keep = [n for n in names if n in set(requested)]
+        keep_oracle = {k: v for k, v in oracle.items() if k in set(requested)}
     import tempfile, shutil
     tmp = tempfile.mkdtemp(prefix="check_subset_")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    json.dump({k: v for k, v in oracle.items() if k in keep},
-              open(f"{tmp}/oracle_sql.json", "w"))
+    json.dump(keep_oracle, open(f"{tmp}/oracle_sql.json", "w"))
     for n in keep:
         os.symlink(f"{out_dir}/{n}", f"{tmp}/{n}")
     try:
