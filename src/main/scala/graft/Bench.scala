@@ -56,9 +56,14 @@ object Bench {
     // optional subset for local profiling (SPARK_GRAFT_BENCH_ONLY=q_a,q_b);
     // the driver sets nothing and always times the full map
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_TRACE=1: stderr marker per attempt, so asynchronous
+    // task-thread WARNs in a merged 2>&1 capture attribute to a query
+    // (used to root-cause the r13 BlockManager re-add WARN)
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
     def runOne(name: String,
                fn: (org.apache.spark.sql.SparkSession, String) =>
                  org.apache.spark.sql.DataFrame): (Option[String], Double) = {
+      if (trace) System.err.println(s"[bench] >> $name")
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }

@@ -56,6 +56,23 @@ object Sessions {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.SparkStringUtils",
       org.apache.logging.log4j.Level.ERROR)
+    // BlockManager's "Block rdd_N_P already exists on this machine; not
+    // re-adding it" WARN is the designed benign outcome of a
+    // duplicate-compute race: root-caused (r14, SPARK_GRAFT_TRACE=1 merged
+    // capture) to q_hits/q_pagerank, whose freshly-materializing per-round
+    // localCheckpoint RDD is referenced more than once in the same job —
+    // two local-mode tasks can compute the same partition concurrently,
+    // the first put wins, the second finds the block stored and logs this
+    // line. Results are deterministic either way (identical partition
+    // contents; doPutIterator keeps the stored copy). Real block-manager
+    // FAILURES surface as ERRORs or task exceptions, not this WARN, and
+    // the structural guards stay in CI (PlanSpec shapes; BlocksSpec
+    // release discipline) — so the per-run line is pure bench-tail noise
+    // in the bounded stdout window the driver parses (the r10 clean-JSON-
+    // tail arc, round 3).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
     // engine extension functions (native codegen expressions)
     graft.clv.Hyp2f1Expression.register(spark)
     graft.similarity.VecOps.register(spark)
