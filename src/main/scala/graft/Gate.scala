@@ -86,6 +86,28 @@ object Gate {
           sys.exit(3)
         case _ => ()
       }
+      // sf1 (10x-corpus) evidence coverage — WARN, not FATAL: the sf1 gate
+      // (tools/sf1_gate.py) is an opt-in scripted run, but its baseline
+      // must not silently rot as the suite evolves. A query without an sf1
+      // envelope would ship on sf0.1 evidence alone — exactly how the
+      // q_semdedup superlinearity almost shipped in r13.
+      baselineNames(java.nio.file.Paths.get("BASELINE_SF1_VARIANCE.json")) match {
+        case Right(sf1) if sf1.isEmpty =>
+          System.err.println(
+            "[gate] WARN: no committed BASELINE_SF1_VARIANCE.json — the " +
+              "10x-corpus gate has no envelope; run tools/sf1_gate.py " +
+              "--refresh 3 and commit the result")
+        case Right(sf1) =>
+          val gaps = SparkEntry.queries.keySet -- sf1
+          if (gaps.nonEmpty) System.err.println(
+            s"[gate] WARN: ${gaps.size} quer${if (gaps.size == 1) "y" else "ies"} " +
+              "without an sf1 envelope (10x-corpus gate would skip them): " +
+              gaps.toSeq.sorted.mkString(", ") +
+              " — re-run tools/sf1_gate.py --refresh 3")
+        case Left(reason) =>
+          System.err.println(
+            s"[gate] WARN: BASELINE_SF1_VARIANCE.json unreadable ($reason)")
+      }
     }
   }
 }

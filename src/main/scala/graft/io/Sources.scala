@@ -193,8 +193,13 @@ object Sources {
             // delete only once the tombstone has aged past the reader
             // grace (both can happen in this one pass when the grace is 0)
             val marker = root.resolve(RetiredMarkerPrefix + name)
-            if (!Files.exists(marker)) Files.createFile(marker)
-            if (now - newestMtimeMillis(marker) >= retireGraceMs) {
+            // a marker created THIS pass has age exactly 0 (its mtime is
+            // stamped after `now` was captured, so the subtraction would
+            // go spuriously negative and defer a grace-0 sweep by a pass)
+            val existed = Files.exists(marker)
+            if (!existed) Files.createFile(marker)
+            val age = if (existed) now - newestMtimeMillis(marker) else 0L
+            if (age >= retireGraceMs) {
               deleteRecursively(p)
               Files.deleteIfExists(marker)
             }

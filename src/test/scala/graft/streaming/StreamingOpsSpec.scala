@@ -736,6 +736,91 @@ class StreamingOpsSpec extends SparkSpec {
     assert(clean.where(col("batch_id") === 1).count() === 1L)
   }
 
+  test("exactly-once across a mid-batch crash: the restarted stream replays the SAME batch id and heals the partial write") {
+    // The end-to-end production trap the unit-level routeBatch test cannot
+    // cover: foreachBatch dies AFTER one sink's write landed but BEFORE the
+    // batch committed to the checkpoint. Contract under test: (a) the
+    // restarted query re-presents the SAME batch id with the SAME rows (the
+    // checkpoint's offset-log bookkeeping), and (b) the idempotent routing
+    // write overwrites the crashed attempt's partial partition instead of
+    // appending, so the sinks end exactly-once despite at-least-once
+    // execution.
+    val base = Files.createTempDirectory("graft_crash").toString
+    val staging = s"$base/staging"
+    val clean = s"$base/clean"
+    val quar = s"$base/quar"
+    val ckpt = s"$base/ckpt"
+    import spark.implicits._
+    def tx(rows: (java.lang.Long, Double, String)*) =
+      rows.toSeq.toDF("CustomerID", "TotalPurchase", "ts_s")
+        .select(col("CustomerID"), col("TotalPurchase"),
+          col("ts_s").cast("timestamp").as("order_timestamp"))
+    Sources.appendParquet(tx(
+      (1L, 10.0, "2026-01-24 10:00:00"),
+      (2L, 5.0, "2026-01-24 11:00:00"),
+      (3L, -4.0, "2026-01-24 12:00:00")), staging)
+    val pin = java.sql.Timestamp.valueOf("2026-01-24 23:00:00")
+    def stream() = spark.readStream
+      .schema("CustomerID LONG, TotalPurchase DOUBLE, order_timestamp TIMESTAMP")
+      .parquet(staging)
+
+    // attempt 1: the clean sink's write lands, then the batch dies before
+    // the quarantine write / checkpoint commit — a mid-batch kill
+    val crashedId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q1 = StreamingOps.withQualityVerdict(stream(), lit(pin)).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        crashedId.set(id)
+        b.where(col("verdict") === "ok").drop("verdict")
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(clean)
+        throw new RuntimeException("injected mid-batch crash")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(60000); ()
+    }
+    assert(died.getMessage.contains("injected mid-batch crash"))
+    // the crash was genuinely MID-batch: the clean sink holds the partial
+    // write, the quarantine sink does not exist yet
+    assert(spark.read.parquet(clean).count() === 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(quar)))
+
+    // restart on the same checkpoint with the real (idempotent) router
+    val replayedIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = StreamingOps.withQualityVerdict(stream(), lit(pin)).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        replayedIds.add(id)
+        StreamingOps.routeBatch(b, id, clean, quar)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(60000), "restarted stream did not drain")
+    // (a) the uncommitted batch replayed under ITS OWN id — not a new one
+    assert(replayedIds.size() === 1 && replayedIds.peek() === crashedId.get())
+    // (b) exactly-once contents: the partial partition was overwritten in
+    // place — 2 clean + 1 quarantined, zero duplicates
+    val cleanRows = spark.read.parquet(clean).collect()
+    assert(cleanRows.length === 2 &&
+      cleanRows.map(_.getAs[Long]("CustomerID")).toSet === Set(1L, 2L))
+    val quarRows = spark.read.parquet(quar).collect()
+    assert(quarRows.length === 1 &&
+      quarRows.head.getAs[Long]("CustomerID") === 3L &&
+      quarRows.head.getAs[String]("verdict") === "bad_amount")
+
+    // a later delta on the healed checkpoint advances the batch id and
+    // leaves the replayed batch's partitions untouched
+    Sources.appendParquet(tx((4L, 7.0, "2026-01-24 14:00:00")), staging)
+    assert(StreamingOps.routeQuality(stream(), clean, quar, ckpt, now = pin))
+    val after = spark.read.parquet(clean)
+    assert(after.count() === 3L)
+    assert(after.where(col("batch_id") === crashedId.get()).count() === 2L)
+  }
+
   // ---- streaming heavy hitters ---------------------------------------------
 
   private def hhDocs(texts: Seq[String]) = {
