@@ -182,8 +182,11 @@ object Sources {
         val inFlight = name.startsWith(".tmp-v-") &&
           (now - newestMtimeMillis(p)) < StagingGraceMs
         if (name.startsWith(RetiredMarkerPrefix)) {
-          // a tombstone whose version re-entered the keep-window (retain
-          // raised between writes) or whose dir is already gone is stale
+          // a tombstone whose dir is already gone is stale; the keep-set
+          // guard is defensive only (delisting at tombstone time means a
+          // retired version cannot re-enter `retained` even when `retain`
+          // is raised between writes — it could only re-enter keep as the
+          // live/grace target, which GC never tombstones)
           val target = name.stripPrefix(RetiredMarkerPrefix)
           if (keep.contains(target) || !Files.exists(root.resolve(target)))
             Files.deleteIfExists(p)
