@@ -61,7 +61,17 @@ object Adjudicate {
       localF: Vector[Double],
       breaches: Vector[Int],
       hard: Vector[Int],
-      controls: Vector[Int])
+      controls: Vector[Int],
+      /** rows above the BARE rule-1 contract line — t > max(2·median,
+        * median + 1) with NO local_f shield — that rules 1–2 did not
+        * select for isolation (local_f lifted the rule-1 threshold past
+        * them and they sat under the hard trigger). Round 14 proved this
+        * band live: q_assoc_rules at 2.09× median breached the contract
+        * line yet shipped with no adjudication record. Watch rows are NOT
+        * re-run (local_f shielding is usually right); they are COMMITTED
+        * to BENCH_FULL so every row above the bare line carries a record
+        * a reviewer can adjudicate after the fact. */
+      watch: Vector[Int])
 
   def select(ordered: Vector[(String, Double)],
              medians: Map[String, Double]): Selection = {
@@ -119,6 +129,12 @@ object Adjudicate {
           .take(MinControls - shielded.size)
         shielded ++ extra
       }
-    Selection(g, localF, breaches, hard, controls)
+    val isolatedSet = selected
+    val watch = ordered.indices.toVector.filter { i =>
+      val (name, t) = ordered(i)
+      !isolatedSet.contains(i) &&
+        medians.get(name).exists(m => t > math.max(2.0 * m, m + 1.0))
+    }
+    Selection(g, localF, breaches, hard, controls, watch)
   }
 }

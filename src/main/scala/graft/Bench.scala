@@ -16,7 +16,44 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
       Gate.enforce(checkBaseline = !sys.env.get("SPARK_GRAFT_REFRESH")
         .exists(_ == "1"))
-    val spark = Sessions.local()
+    // the clean-tail contract (r13 "next" #4, finished r15): the driver
+    // parses a bounded stdout tail that must be exactly one JSON line, and
+    // session-INIT INFO chatter prints DURING getOrCreate — so logging must
+    // be quiet BEFORE the session exists. Two traps, both measured live in
+    // the r15 runs (and reproduced in a standalone JVM against the Spark
+    // 4.1.2 jars):
+    //  (1) Configurator.setRootLevel alone is undone — SparkContext's
+    //      logging init deems log4j "default-configured" and loads
+    //      org/apache/spark/log4j2-defaults.properties (root = INFO);
+    //  (2) Logging.islog4j2DefaultConfigured reads its config-class probe
+    //      from LogManager.getContext() — the no-arg call resolves the
+    //      DEFAULT LoggerContext, which stays a DefaultConfiguration no
+    //      matter what the classloader context was reconfigured to — so
+    //      the check degenerates to "root has exactly 1 appender at
+    //      ERROR": any minimal quiet config matches it and gets replaced.
+    // Hence: a real config file (console at SYSTEM_ERR) PLUS a Null
+    // appender, so the root carries 2 appenders and the degenerate check
+    // cannot mistake it for log4j's own default. Sessions.local(logLevel)
+    // then keeps setLogLevel from resetting the root to WARN after init.
+    // Real failures still surface: ERRORs log, task exceptions throw, and
+    // Bench itself prints per-query failures to stderr and exits nonzero.
+    val log4jProps = java.nio.file.Files.createTempFile("graft-bench-log4j2",
+      ".properties")
+    java.nio.file.Files.writeString(log4jProps,
+      """rootLogger.level = error
+        |appender.console.type = Console
+        |appender.console.name = console
+        |appender.console.target = SYSTEM_ERR
+        |appender.console.layout.type = PatternLayout
+        |appender.console.layout.pattern = %d{yy/MM/dd HH:mm:ss} %p %c{1}: %m%n
+        |appender.nullap.type = Null
+        |appender.nullap.name = nullap
+        |rootLogger.appenderRef.console.ref = console
+        |rootLogger.appenderRef.nullap.ref = nullap
+        |""".stripMargin)
+    org.apache.logging.log4j.core.config.Configurator.reconfigure(
+      log4jProps.toUri)
+    val spark = Sessions.local(logLevel = "ERROR")
     // warmup at the smallest SF: JIT the noop sink, whole-stage codegen
     // infra, parquet readers, and the native kernels once, so the first
     // timed query measures the engine rather than JVM spin-up
@@ -252,10 +289,19 @@ object Bench {
           f2(isoT) + ",\"local_f\":" + f2(lf) +
           (if (ok) "" else ",\"isolated_failed\":true") + "}"
       }.mkString("{", ",", "}")
+      // watch rows (r14 "missing" #2 — the 2.0–2.5× blind band): above the
+      // bare rule-1 contract line but local_f-shielded out of isolation and
+      // under the hard trigger. No re-run; just the committed record, so
+      // BENCH_FULL accounts for EVERY row above the bare line.
+      val watch = sel.watch.map { i =>
+        val (k, t) = ordered(i)
+        "\"" + k + "\":{\"in_run\":" + f2(t) + ",\"median\":" +
+          f2(medians(k)) + ",\"local_f\":" + f2(sel.localF(i)) + "}"
+      }.sorted.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
-        s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"ctl_f":${f2(ctlF)},"adjudication":$adj,"controls":$ctl,"queries_sec":$full}""" + "\n")
+        s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"ctl_f":${f2(ctlF)},"adjudication":$adj,"controls":$ctl,"watch":$watch,"queries_sec":$full}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}")
     }

@@ -91,12 +91,27 @@ object Gate {
       // must not silently rot as the suite evolves. A query without an sf1
       // envelope would ship on sf0.1 evidence alone — exactly how the
       // q_semdedup superlinearity almost shipped in r13.
-      baselineNames(java.nio.file.Paths.get("BASELINE_SF1_VARIANCE.json")) match {
+      // Path: env-overridable like the sf0.1 half (r14 ADVICE — a driver
+      // run launched outside the repo root must not read a spurious
+      // "no committed file" from a CWD-relative miss).
+      val sf1Path = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_SF1_VARIANCE", "BASELINE_SF1_VARIANCE.json"))
+      // file-missing and parsed-but-empty are DIFFERENT states (r14
+      // ADVICE, the same misdirection the baselineNames doc warns about
+      // on the FATAL path): a corrupt-but-parseable file needs a writer
+      // fix, not a refresh.
+      baselineNames(sf1Path) match {
         case Right(sf1) if sf1.isEmpty =>
-          System.err.println(
-            "[gate] WARN: no committed BASELINE_SF1_VARIANCE.json — the " +
-              "10x-corpus gate has no envelope; run tools/sf1_gate.py " +
-              "--refresh 3 and commit the result")
+          if (java.nio.file.Files.exists(sf1Path))
+            System.err.println(
+              s"[gate] WARN: $sf1Path exists but carries ZERO query " +
+                "envelopes — the file or its writer is broken; a refresh " +
+                "alone won't help if the writer drops the 'queries' object")
+          else
+            System.err.println(
+              s"[gate] WARN: no committed $sf1Path — the " +
+                "10x-corpus gate has no envelope; run tools/sf1_gate.py " +
+                "--refresh 3 and commit the result")
         case Right(sf1) =>
           val gaps = SparkEntry.queries.keySet -- sf1
           if (gaps.nonEmpty) System.err.println(
@@ -106,7 +121,7 @@ object Gate {
               " — re-run tools/sf1_gate.py --refresh 3")
         case Left(reason) =>
           System.err.println(
-            s"[gate] WARN: BASELINE_SF1_VARIANCE.json unreadable ($reason)")
+            s"[gate] WARN: $sf1Path unreadable ($reason)")
       }
     }
   }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+            logLevel: String = "WARN"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -21,7 +22,11 @@ object Sessions {
       // flagged as racey session-state mutation).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // WARN for interactive/verify runs; Bench passes ERROR (and ALSO sets
+    // the root level ERROR *before* the builder call — session-INIT INFO
+    // lines print during getOrCreate, long before this line runs, and the
+    // driver's bounded stdout tail must end as exactly one JSON line)
+    spark.sparkContext.setLogLevel(logLevel)
     // graft.Blocks deliberately unpersists locally-checkpointed frames
     // AFTER their terminal action (the blocks are provably dead); Spark
     // still logs a scary per-RDD "lineage has been truncated and cannot be

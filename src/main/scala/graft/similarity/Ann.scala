@@ -24,6 +24,15 @@ import scala.util.Random
   */
 object Ann {
 
+  /** Largest `nlist` assigned via plan-literal centroids; above it
+    * [[ivfTopK]] switches to the broadcast [[IvfCellsExpression]] kernel
+    * (nlist × dim literal trees stop fitting whole-stage codegen's 64 KB
+    * method budget somewhere past a few hundred cells, and re-analyzing a
+    * multi-thousand-literal plan is driver CPU for nothing). AnnSpec pins
+    * the two forms row-identical on shared centroids.
+    */
+  val LiteralNlistMax = 256
+
   /** Elementwise dot product of two array columns via the native codegen
     * expression (DotProductExpression — registered as `vec_dot`); the HOF
     * form it replaces paid an interpreted lambda per element. Callers going
@@ -178,9 +187,18 @@ object Ann {
     * candidate pairs and no dedup aggregate (cheaper than the LSH path,
     * which must max-merge multi-table collisions).
     *
-    * Literal-centroid assignment is right for nlist ≲ a few hundred; a
-    * 100 TB deployment with nlist ≥ 4096 would broadcast the centroid
-    * matrix and assign in a custom expression instead of plan literals.
+    * Assignment has two equivalent physical forms, switched on `nlist`
+    * (r15, closing the r14 in-code caveat): up to [[LiteralNlistMax]]
+    * cells the centroid matrix is baked into the plan as codegen'd
+    * literals (zero indirection, ideal for the tens-of-cells regime);
+    * above it — semdedup's nlist = √N crosses this by sf1, and a 100 TB
+    * deployment sits at tens of thousands of cells — assignment runs
+    * through the broadcast [[IvfCellsExpression]] kernel, which ships the
+    * matrix once per plan instead of nlist × dim literals (codegen blows
+    * its 64 KB method limit somewhere past a few hundred cells). Both
+    * forms share math and the larger-cid tie-break; AnnSpec proves them
+    * row-identical on the same centroids, so the switch cannot move a
+    * hash.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 10, nlist: Int = 16,
       nprobe: Int = 4, seed: Long = 42L, sampleFraction: Double = 1.0,
@@ -190,6 +208,8 @@ object Ann {
     val probeCells = math.min(nprobe, nlist)
     VecOps.register(corpus.sparkSession)
     val centers = fitCentroids(corpus, nlist, seed, sampleFraction, maxIter)
+    if (nlist > LiteralNlistMax)
+      return ivfTopKWithCenters(corpus, probes, centers, k, probeCells)
     val halfSq = centers.map(c => c.map(x => x * x).sum / 2.0)
     // array of (score, cid) structs; struct ordering = score then cid, so
     // array_max / array_sort give a deterministic larger-cid tie-break

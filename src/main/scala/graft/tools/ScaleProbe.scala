@@ -240,6 +240,51 @@ object ScaleProbe {
       return
     }
 
+    // IVF cell assignment vs nlist (round 15 — the broadcast-kernel scale
+    // story for semdedup's nlist = √N): assign a FIXED 16× jittered corpus
+    // to nlist ∈ {16, 256, 4096} centroids through graft_ivf_cells. The
+    // claim under test: the broadcast form's cost is ONE model ship + a
+    // tight O(nlist·dim) per-row loop — so wall grows far slower than the
+    // 256× naive flop ratio (no codegen re-JIT per cell, no plan-literal
+    // blowup, no shuffle at all: assignment is a shuffle-free projection),
+    // and a √(10⁹)-cell deployment pays compute, not plan machinery.
+    // Run standalone: `runMain graft.tools.ScaleProbe <dir> ivfassign`.
+    if (args.length > 1 && args(1) == "ivfassign") {
+      val emb0 = Sources.table(spark, dir, "embeddings")
+      val corpus16 = (0 until 16).map { i =>
+        emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(i.toFloat * 0.01f)).as("embedding"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val nVecs = corpus16.count()
+      graft.similarity.VecOps.register(spark)
+      graft.functions.Registry.once(spark)("graft_ivf_cells",
+        graft.similarity.IvfModels.factory, "built-in")
+      val rng = new scala.util.Random(42L)
+      val dim = 64
+      for (nlist <- Seq(16, 256, 4096)) {
+        // synthetic centroids: assignment cost does not depend on centroid
+        // quality, and fitting 4096 real cells on a 500-vector base corpus
+        // would only duplicate centers
+        val centers = Array.fill(nlist)(Array.fill(dim)(rng.nextGaussian()))
+        val modelId = graft.similarity.IvfModels.put(
+          new graft.similarity.IvfModel(centers))
+        val t0 = System.nanoTime()
+        val cells = corpus16.select(element_at(call_function("graft_ivf_cells",
+            col("embedding"), lit(modelId), lit(1)), 1).as("cell"))
+          .agg(countDistinct(col("cell"))).head.getLong(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.similarity.IvfModels.remove(modelId)
+        println(f"[scale-ivfassign] nlist=$nlist%5d vecs=$nVecs%8d " +
+          f"cells_hit=$cells%5d secs=$secs%.2f")
+        Blocks.releaseAll(spark)
+      }
+      spark.stop()
+      return
+    }
+
     val base = Sources.table(spark, dir, "documents")
     // JIT/codegen warmup so the 1× row measures the engine, not JVM spin-up
     Dedup.minhashNearDuplicates(

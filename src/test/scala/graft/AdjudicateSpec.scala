@@ -114,6 +114,31 @@ class AdjudicateSpec extends AnyFunSuite {
     assert(sel.breaches.isEmpty && sel.hard.isEmpty && sel.controls.isEmpty)
   }
 
+  test("watch records every bare-line breach that escaped isolation (the q_assoc_rules band)") {
+    // r14's live escape, reconstructed: median 2.01, in-run 4.21 s = 2.09×.
+    // Above the bare rule-1 line (4.02) but: ≥2 s so the hard trigger
+    // needs 2.5× (5.03), and a 1.16× neighborhood lifts rule 1's lf-scaled
+    // threshold past 4.21 — no isolation. The watch set must carry it.
+    val idx = 10
+    val neighborhood = ((idx - 5) to (idx + 5)).filter(_ != idx)
+      .map(_ -> 2.01 * 1.16).toMap
+    val (ordered, medians) = flatRun(21, 2.01, neighborhood + (idx -> 4.21))
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches.isEmpty && sel.hard.isEmpty,
+      "precondition: the row must escape both isolation rules")
+    assert(sel.watch == Vector(idx))
+  }
+
+  test("watch excludes rows already selected for isolation and rows under the bare line") {
+    // one rule-1 breach (clean neighborhood) + one clean row: the breach
+    // is isolated, so watch — records for rows withOUT an adjudication
+    // entry — must be empty
+    val (ordered, medians) = flatRun(20, 2.0, Map(7 -> 6.1))
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches == Vector(7))
+    assert(sel.watch.isEmpty)
+  }
+
   test("contention window: neighborhood inflation shields rule 1, controls watch it") {
     // a 10-query window all at 2.6x median — local_f ≈ 2.6 absorbs each
     // row (rule 1 silent), the hard trigger picks them up anyway (they're

@@ -137,6 +137,20 @@ class AnnSpec extends SparkSpec {
       s"expected 3 results for each of 5 probes: ${got.toSeq}")
   }
 
+  test("ivfTopK auto-switches to the broadcast kernel above LiteralNlistMax") {
+    val probes = emb.where(col("vec_id") < 5)
+    // nlist = 300 > LiteralNlistMax: the literal form would emit 300 × 64
+    // plan literals; the switch must route through the broadcast kernel
+    // and still return exactly k rows per probe. Equality of the two
+    // physical forms is pinned by the parity test above; this pins the
+    // DISPATCH (the entry point users and q_semdedup-scale callers hit).
+    assert(Ann.LiteralNlistMax == 256)
+    val got = Ann.ivfTopK(emb, probes, k = 3, nlist = 300, nprobe = 64)
+      .groupBy("probe_id").count().collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 3L),
+      s"expected 3 results for each of 5 probes: ${got.toSeq}")
+  }
+
   test("ivfTopKBroadcast releases its model registry entry promptly") {
     val probes = emb.where(col("vec_id") < 3)
     val before = IvfModels.size
