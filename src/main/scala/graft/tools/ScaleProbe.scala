@@ -240,6 +240,50 @@ object ScaleProbe {
       return
     }
 
+    // Association rules standalone (round 15 — re-confirm the round-8
+    // catalog-bounded pair-frame claim on each regenerated corpus without
+    // paying for the whole default probe sequence). Same growth mode as
+    // the in-sequence block: order copies with OFFSET orderkeys over the
+    // SAME part catalog — more baskets, fixed assortment. Run:
+    // `runMain graft.tools.ScaleProbe <dir> assoc`.
+    if (args.length > 1 && args(1) == "assoc") {
+      val liPairs0 = Sources.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      liPairs0.limit(2000).distinct().count() // JIT/scan warmup
+      Blocks.releaseAll(spark)
+      for (mult <- Seq(1, 4, 16)) {
+        val liBig = (0 until mult).map { i =>
+          liPairs0.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("ok"),
+            col("l_partkey").as("pk"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        val items = liBig.distinct()
+        val t0 = System.nanoTime()
+        val aa = items.select(col("ok"), col("pk").as("part_a"))
+        val bb = items.select(col("ok"), col("pk").as("part_b"))
+        val pairSupp = aa.join(bb, Seq("ok"))
+          .where(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("supp_ab"))
+        val itemSupp = items.groupBy("pk").agg(count(lit(1)).as("supp"))
+        val top = pairSupp
+          .join(broadcast(itemSupp.select(col("pk").as("part_a"),
+            col("supp").as("supp_a"))), Seq("part_a"))
+          .join(broadcast(itemSupp.select(col("pk").as("part_b"),
+            col("supp").as("supp_b"))), Seq("part_b"))
+          .orderBy(col("supp_ab").desc, col("part_a"), col("part_b"))
+          .limit(20).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val nPairs = pairSupp.count()
+        println(f"[scale-assoc] mult=$mult%2d items=${items.count()}%9d " +
+          f"pairs=$nPairs%9d top=$top%3d secs=$secs%.2f")
+        Blocks.releaseAll(spark)
+      }
+      spark.stop()
+      return
+    }
+
     // IVF cell assignment vs nlist (round 15 — the broadcast-kernel scale
     // story for semdedup's nlist = √N): assign a FIXED 16× jittered corpus
     // to nlist ∈ {16, 256, 4096} centroids through graft_ivf_cells. The
@@ -279,8 +323,11 @@ object ScaleProbe {
         graft.similarity.IvfModels.remove(modelId)
         println(f"[scale-ivfassign] nlist=$nlist%5d vecs=$nVecs%8d " +
           f"cells_hit=$cells%5d secs=$secs%.2f")
-        Blocks.releaseAll(spark)
+        // NO per-iteration block sweep: corpus16 is one localCheckpoint
+        // shared by all three nlist readings — releasing it mid-loop kills
+        // the checkpoint blocks the next reading scans
       }
+      Blocks.releaseAll(spark)
       spark.stop()
       return
     }
