@@ -25,6 +25,12 @@ package graft
   *     nearly free — spend it. The set is capped at HardCap by
   *     descending absolute excess (t − median) — the rows a reviewer
   *     would most want isolated.
+  *  (+watch, round 15): any row above the BARE rule-1 contract line that
+  *     rules 1–2 left un-isolated is returned in `watch` — not re-run,
+  *     but committed to BENCH_FULL so the 2.0–2.5× band between the
+  *     lf-scaled rule-1 threshold and the hard trigger (where r14's
+  *     q_assoc_rules breach shipped recordless) always leaves a record.
+  *
   *  3. controls (round 10 ADVICE): of the rows rules 1–2 did NOT select,
   *     the ones local_f shielded hardest (lf > max(1.25, g), up to 3,
   *     slowest-weighted first) also re-run — isolated ≈ median means the
