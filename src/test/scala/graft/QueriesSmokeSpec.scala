@@ -114,4 +114,21 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(Gate.baselineNames(missing) == Right(Set.empty[String]))
     } finally java.nio.file.Files.deleteIfExists(corrupt)
   }
+
+  test("a parseable baseline with zero envelopes reads as Right(empty) while the file exists") {
+    // r14 ADVICE: Right(empty) covers BOTH file-missing and
+    // parsed-but-empty; the sf1 WARN branch separates them by
+    // Files.exists so a corrupt-but-parseable file (writer dropped the
+    // 'queries' object) is reported as broken, never as "no committed
+    // file — run the refresh". This pins the two inputs that branch
+    // discriminates on.
+    val empty = java.nio.file.Files.createTempFile("graft_empty", ".json")
+    try {
+      java.nio.file.Files.writeString(empty, "{\"runs\": 3}") // no 'queries'
+      assert(Gate.baselineNames(empty) == Right(Set.empty[String]))
+      assert(java.nio.file.Files.exists(empty)) // ⇒ enforce words it as broken-file
+      java.nio.file.Files.writeString(empty, "{\"queries\": {}}")
+      assert(Gate.baselineNames(empty) == Right(Set.empty[String]))
+    } finally java.nio.file.Files.deleteIfExists(empty)
+  }
 }
