@@ -18,6 +18,21 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// .sbtopts pins the console at -error (r15 verdict #4: the driver's tail
+// window must contain ONLY Bench's JSON — sbt's "[info] loading/set/
+// running" preamble prints before build.sbt can say anything, so the
+// level has to come from launcher args). Any explicit CLI level wins
+// over .sbtopts (`sbt --info …` restores full logs). Two things must
+// survive the quiet level:
+//  - `sbt test`'s result summary, which reviewers quote: print it to the
+//    REAL stdout, bypassing the leveled logger (a no-op addition at
+//    --info beyond a 4-line repeat of what the logger already printed);
+//  - failures, which already log at error level and stay visible.
+Test / executeTests := {
+  val r = (Test / executeTests).value
+  r.summaries.foreach(s => println(s.summaryText))
+  r
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

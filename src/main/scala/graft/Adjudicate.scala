@@ -46,6 +46,14 @@ package graft
 object Adjudicate {
 
   val HardRatio = 2.5
+  /** whole-run inflation above which the watch rows re-measure once after
+    * a cooldown (r15 "next" #5): three rounds of end-of-round driver
+    * benches landed on g ≥ 1.13 boxes while morning triples read 1.00, so
+    * every watch row shipped needing a NEXT-round subset-triple
+    * adjudication. On an inflated run the bench now spends one cooldown +
+    * one re-run per watch row and commits both readings — the
+    * adjudication happens in the same run that produced the breach. */
+  val RecheckG = 1.15
   /** tighter trigger for rows whose in-run time is below [[SmallAbsSec]]:
     * their isolated re-runs cost milliseconds, and both historical
     * escapes were sub-2 s rows riding just under 2.5× (r14) */
@@ -71,12 +79,19 @@ object Adjudicate {
       /** rows above the BARE rule-1 contract line — t > max(2·median,
         * median + 1) with NO local_f shield — that rules 1–2 did not
         * select for isolation (local_f lifted the rule-1 threshold past
-        * them and they sat under the hard trigger). Round 14 proved this
-        * band live: q_assoc_rules at 2.09× median breached the contract
-        * line yet shipped with no adjudication record. Watch rows are NOT
-        * re-run (local_f shielding is usually right); they are COMMITTED
-        * to BENCH_FULL so every row above the bare line carries a record
-        * a reviewer can adjudicate after the fact. */
+        * them and they sat under the hard trigger), PLUS hard-trigger
+        * rows the HardCap cut evicted (r15 ADVICE: a cap-evicted sub-2 s
+        * row with median < 1 sits UNDER the bare line — 2.0·m < m+1 — and
+        * would otherwise ship recordless through the very overflow path
+        * the watch rule backstops). Round 14 proved the band live:
+        * q_assoc_rules at 2.09× median breached the contract line yet
+        * shipped with no adjudication record. Watch rows are NOT re-run
+        * by the selection itself (local_f shielding is usually right) —
+        * control rows, which DO re-run and carry their own triple, are
+        * excluded (r15 ADVICE) — but on a run with whole-run inflation
+        * g > [[RecheckG]] the bench re-measures each watch row once after
+        * a cooldown and commits both readings. Either way every row above
+        * the bare line leaves a record a reviewer can adjudicate. */
       watch: Vector[Int])
 
   def select(ordered: Vector[(String, Double)],
@@ -97,7 +112,7 @@ object Adjudicate {
       }
     }
     val breachSet = breaches.toSet
-    val hard = ordered.indices.toVector
+    val hardAll = ordered.indices.toVector
       .filter { i =>
         val (name, t) = ordered(i)
         !breachSet.contains(i) &&
@@ -110,7 +125,13 @@ object Adjudicate {
         val (name, t) = ordered(i)
         -(t - medians(name))
       }
-      .take(HardCap)
+    val hard = hardAll.take(HardCap)
+    // hard-trigger rows the cap evicted: still over their trigger ratio,
+    // just outrun by HardCap larger absolute excesses — they join watch
+    // below REGARDLESS of the bare-line test (r15 ADVICE: for median < 1
+    // the hard trigger 2.0·m sits under the bare line m+1, so a
+    // cap-evicted row there passes neither gate)
+    val capEvicted = hardAll.drop(HardCap)
     val selected = breachSet ++ hard
     val shielded = ordered.indices.toVector
       .filter { i =>
@@ -135,12 +156,56 @@ object Adjudicate {
           .take(MinControls - shielded.size)
         shielded ++ extra
       }
-    val isolatedSet = selected
+    // controls re-run in isolation and commit their own triple, so a
+    // control row above the bare line already carries a record — listing
+    // it in watch too would double-record it AND falsify the "watch rows
+    // are not re-run" contract (r15 ADVICE #1)
+    val recorded = selected ++ controls
     val watch = ordered.indices.toVector.filter { i =>
       val (name, t) = ordered(i)
-      !isolatedSet.contains(i) &&
-        medians.get(name).exists(m => t > math.max(2.0 * m, m + 1.0))
+      !recorded.contains(i) &&
+        (capEvicted.contains(i) ||
+          medians.get(name).exists(m => t > math.max(2.0 * m, m + 1.0)))
     }
     Selection(g, localF, breaches, hard, controls, watch)
+  }
+
+  /** r15 "next" #5 — schedule-proofing against the afternoon box: fire the
+    * in-run watch recheck (cooldown + one re-measurement per watch row,
+    * both readings committed) only when the run itself measured inflated.
+    * On a clean box (g ≤ RecheckG) a watch row's record is already
+    * adjudicable against the committed envelope, and the re-run would be
+    * measuring the same quiet box twice. */
+  def recheckNeeded(g: Double, watch: Vector[Int]): Boolean =
+    g > RecheckG && watch.nonEmpty
+
+  /** Controls for the watch-recheck phase: the recheck re-measures rows
+    * AFTER a cooldown, so it needs its own contemporaneous speed
+    * reference (the original ctl_f measured a phase that ended a cooldown
+    * ago). Prefer the already-chosen control rows (their isolated history
+    * makes cross-phase comparison free); top up to k with rows whose
+    * committed median is closest to 1 s — large enough to be
+    * jitter-resistant, small enough to cost little. Watch rows themselves
+    * are excluded: a control must be a row the rules did NOT flag. */
+  def recheckControls(ordered: Vector[(String, Double)],
+                      medians: Map[String, Double],
+                      watch: Vector[Int],
+                      controls: Vector[Int],
+                      k: Int): Vector[Int] = {
+    val watchSet = watch.toSet
+    val base = controls.filterNot(watchSet).take(k)
+    if (base.size >= k) base
+    else {
+      val taken = base.toSet
+      val extra = ordered.indices.toVector
+        .filter { i =>
+          val (name, _) = ordered(i)
+          !watchSet.contains(i) && !taken.contains(i) &&
+            medians.get(name).exists(_ > 0)
+        }
+        .sortBy(i => math.abs(medians(ordered(i)._1) - 1.0))
+        .take(k - base.size)
+      base ++ extra
+    }
   }
 }

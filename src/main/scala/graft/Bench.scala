@@ -53,6 +53,12 @@ object Bench {
         |""".stripMargin)
     org.apache.logging.log4j.core.config.Configurator.reconfigure(
       log4jProps.toUri)
+    // reconfigure() read the file synchronously; drop it now rather than
+    // leaking one temp file per bench invocation (r15 ADVICE #3). The
+    // deleteOnExit is belt-and-braces for a delete that raced a scanner.
+    try java.nio.file.Files.deleteIfExists(log4jProps)
+    catch { case scala.util.control.NonFatal(_) =>
+      log4jProps.toFile.deleteOnExit() }
     val spark = Sessions.local(logLevel = "ERROR")
     // warmup at the smallest SF: JIT the noop sink, whole-stage codegen
     // infra, parquet readers, and the native kernels once, so the first
@@ -217,10 +223,47 @@ object Bench {
       controls.toSeq.collect { case (name, (_, isoT, _, true))
         if medians.get(name).exists(_ > 0) =>
           isoT / math.max(medians(name), 0.05) }))
+    // ---- watch recheck on an inflated run (r15 "next" #5) ----------------
+    // When the whole run measured inflated (g > RecheckG) every watch row
+    // would otherwise ship needing a NEXT-round subset-triple adjudication
+    // on a box nobody can revisit. Instead: cool down once, re-measure each
+    // watch row, co-measure recheck controls for a contemporaneous speed
+    // factor, and commit BOTH readings — the adjudication record lands in
+    // the same BENCH_FULL as the breach. Results keep the best successful
+    // run, per the bench-wide convention.
+    val recheckFired = Adjudicate.recheckNeeded(g, sel.watch)
+    val (recheck, recheckCtlF) =
+      if (!recheckFired) (Map.empty[String, (Double, Boolean)], 1.0)
+      else {
+        val cooldownSec = sys.env.get("SPARK_GRAFT_RECHECK_COOLDOWN_SEC")
+          .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(60)
+        if (trace) System.err.println(
+          s"[bench] watch recheck: g=$g, cooling down ${cooldownSec}s")
+        if (cooldownSec > 0) Thread.sleep(cooldownSec * 1000L)
+        val rctlIdx = Adjudicate.recheckControls(
+          ordered, medians, sel.watch, sel.controls, Adjudicate.MinControls)
+        val rctl = rctlIdx.map { i =>
+          val name = ordered(i)._1
+          name -> runOne(name, SparkEntry.queries(name))
+        }
+        val rctlF = math.max(1.0, Adjudicate.med(
+          rctl.collect { case (name, (None, isoT))
+            if medians.get(name).exists(_ > 0) =>
+              isoT / math.max(medians(name), 0.05) }))
+        val re = sel.watch.map { i =>
+          val name = ordered(i)._1
+          val r = runOne(name, SparkEntry.queries(name))
+          name -> (r._2, r._1.isEmpty)
+        }.toMap
+        (re, rctlF)
+      }
     val results = ordered.map { case (name, t) =>
       adjudicated.get(name) match {
         case Some((inT, isoT, _, true, _)) => name -> math.min(inT, isoT)
-        case _ => name -> t
+        case _ => recheck.get(name) match {
+          case Some((reT, true)) => name -> math.min(t, reT)
+          case _ => name -> t
+        }
       }
     }
     // The driver captures only the LAST ~2000 chars of stdout; full-precision
@@ -290,18 +333,27 @@ object Bench {
           (if (ok) "" else ",\"isolated_failed\":true") + "}"
       }.mkString("{", ",", "}")
       // watch rows (r14 "missing" #2 — the 2.0–2.5× blind band): above the
-      // bare rule-1 contract line but local_f-shielded out of isolation and
-      // under the hard trigger. No re-run; just the committed record, so
-      // BENCH_FULL accounts for EVERY row above the bare line.
+      // bare rule-1 contract line (or hard-trigger rows the cap evicted)
+      // but not isolated. On a clean run: just the committed record. On an
+      // inflated run (g > RecheckG) each row also carries its post-cooldown
+      // re-measurement, raw and divided by the recheck phase's own control
+      // factor — the same-run adjudication (r15 "next" #5).
       val watch = sel.watch.map { i =>
         val (k, t) = ordered(i)
+        val re = recheck.get(k).map { case (reT, ok) =>
+          ",\"recheck\":" + f2(reT) +
+            ",\"recheck_norm\":" + f2(reT / recheckCtlF) +
+            (if (ok) "" else ",\"recheck_failed\":true")
+        }.getOrElse("")
         "\"" + k + "\":{\"in_run\":" + f2(t) + ",\"median\":" +
-          f2(medians(k)) + ",\"local_f\":" + f2(sel.localF(i)) + "}"
+          f2(medians(k)) + ",\"local_f\":" + f2(sel.localF(i)) + re + "}"
       }.sorted.mkString("{", ",", "}")
+      val recheckField =
+        if (recheckFired) s""","recheck_ctl_f":${f2(recheckCtlF)}""" else ""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
-        s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"ctl_f":${f2(ctlF)},"adjudication":$adj,"controls":$ctl,"watch":$watch,"queries_sec":$full}""" + "\n")
+        s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"ctl_f":${f2(ctlF)}$recheckField,"adjudication":$adj,"controls":$ctl,"watch":$watch,"queries_sec":$full}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}")
     }

@@ -139,6 +139,69 @@ class AdjudicateSpec extends AnyFunSuite {
     assert(sel.watch.isEmpty)
   }
 
+  test("cap-evicted hard-trigger rows land in watch even under the bare line (r15 ADVICE overflow path)") {
+    // the capped scenario again: median 0.2 ⇒ the bare watch line is
+    // m+1 = 1.2, ABOVE the ~0.6 s readings — so a cap-evicted 3×-median
+    // row passes neither the hard gate (evicted) nor the bare-line test,
+    // the exact recordless overflow the advice named. The three smallest
+    // excesses (indices 0, 2, 4) must surface in watch anyway.
+    val over = (0 until 15).map(i => i * 2 -> (0.6 + i * 0.01)).toMap
+    val (ordered, medians) = flatRun(40, 0.2, over)
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.hard.size == Adjudicate.HardCap)
+    val evicted = Vector(0, 2, 4)
+    assert(evicted.forall(i => !sel.hard.contains(i)),
+      "precondition: the three smallest excesses are cap-evicted")
+    assert(evicted.forall(i => ordered(i)._2 <= 0.2 + 1.0),
+      "precondition: evicted rows sit UNDER the bare watch line")
+    assert(evicted.forall(sel.watch.contains),
+      s"cap-evicted rows missing from watch: ${sel.watch}")
+  }
+
+  test("a control row above the bare line is recorded once, as a control, not in watch (r15 ADVICE)") {
+    // median 2.0, one row at 4.3 s (2.15× — above the bare line 4.0,
+    // under the ≥2 s hard trigger 5.0) inside a 1.4×-inflated ±5
+    // neighborhood: rule 1's lf-scaled threshold (5.6) shields it, and
+    // localF 1.4 > 1.25 makes it the heaviest shielded row — a control.
+    // Controls re-run in isolation and commit their own triple, so watch
+    // (whose doc promises "not re-run") must NOT list it again.
+    val idx = 20
+    val neighborhood = ((idx - 5) to (idx + 5)).filter(_ != idx)
+      .map(_ -> 2.0 * 1.4).toMap
+    val (ordered, medians) = flatRun(41, 2.0, neighborhood + (idx -> 4.3))
+    val sel = Adjudicate.select(ordered, medians)
+    assert(sel.breaches.isEmpty && sel.hard.isEmpty,
+      "precondition: the row escapes both isolation rules")
+    assert(sel.controls.contains(idx),
+      s"precondition: the shielded row is chosen as a control: ${sel.controls}")
+    assert(!sel.watch.contains(idx), "control row double-recorded in watch")
+  }
+
+  test("recheck fires only on an inflated run with watch rows") {
+    assert(Adjudicate.recheckNeeded(1.16, Vector(3)))
+    assert(!Adjudicate.recheckNeeded(1.15, Vector(3)), "g must EXCEED RecheckG")
+    assert(!Adjudicate.recheckNeeded(1.3, Vector.empty), "no watch, no recheck")
+    assert(!Adjudicate.recheckNeeded(1.0, Vector.empty))
+  }
+
+  test("recheck controls prefer the selection's controls, then medians nearest 1s, never watch rows") {
+    val ordered = Vector("q_a" -> 0.5, "q_b" -> 1.1, "q_c" -> 3.0,
+      "q_d" -> 0.9, "q_e" -> 2.0)
+    val medians = Map("q_a" -> 0.5, "q_b" -> 1.1, "q_c" -> 3.0,
+      "q_d" -> 0.9, "q_e" -> 1.0)
+    // existing control (idx 2) kept first; top-up picks q_e (median 1.0,
+    // distance 0) over q_b (1.1) and q_d (0.9); the watch row q_b's index
+    // must never be chosen even when its median is competitive
+    val got = Adjudicate.recheckControls(ordered, medians,
+      watch = Vector(1), controls = Vector(2), k = 2)
+    assert(got == Vector(2, 4), s"got $got")
+    // no pre-existing controls: pure nearest-to-1s top-up, watch excluded
+    // (q_e, the true nearest, is the watch row — q_b/q_d at ±0.1 win)
+    val got2 = Adjudicate.recheckControls(ordered, medians,
+      watch = Vector(4), controls = Vector.empty, k = 2)
+    assert(got2.toSet == Set(1, 3), s"got $got2")
+  }
+
   test("contention window: neighborhood inflation shields rule 1, controls watch it") {
     // a 10-query window all at 2.6x median — local_f ≈ 2.6 absorbs each
     // row (rule 1 silent), the hard trigger picks them up anyway (they're

@@ -218,6 +218,101 @@ class ObjectStorePointerSpec extends SparkSpec {
     assert(now.count() == 7L && now.where(col("gen") =!= "G4").isEmpty)
   }
 
+  test("concurrent pinned reader + head reader vs a lagging commit storm: grace holds, every read complete") {
+    // r15 verdict "next" #6 — the lifecycle test above is sequential; this
+    // is the racing variant. A time-travel reader pins G1 while a commit
+    // storm (retain=1, every pointer GET lagged) tombstones and delists it
+    // mid-read; a second reader follows the HEAD through the same churn.
+    // Contracts under race: the pinned view serves EXACTLY G1 for as long
+    // as the grace window holds, every head read is one complete
+    // generation, each lagged GET costs exactly one lost put, and the
+    // post-storm sweep still retires everything on schedule.
+    val inner = new FakeObjectPointerStore
+    val store = new LaggingReads(inner)
+    val base = Files.createTempDirectory("graft_objstore_ccgc").toString
+    val path = s"$base/snap"
+    val root = java.nio.file.Paths.get(path)
+    Sources.overwriteParquet(
+      spark.range(100).withColumn("gen", lit("G1")).toDF(), path, store,
+      retain = 1)
+    val v1 = inner.read(root).get
+    val pinned = Sources.readSnapshot(spark, path, 1L)
+    val storms = 5
+    val gens = (2 to storms + 1).map(i => s"G$i" -> i * 10L).toMap
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() =>
+      try {
+        (2 to storms + 1).foreach { i =>
+          // every commit's first pointer GET observes a phantom pre-create
+          // state: the fenced put must lose once and retry on the truth —
+          // GC decisions may only ever act on the retried (true) view.
+          // Only this thread touches the lagging decorator, so the lag is
+          // consumed by the commit's own fence read, deterministically.
+          store.lagNextRead(None)
+          Sources.overwriteParquet(
+            spark.range(i * 10L).withColumn("gen", lit(s"G$i")).toDF(),
+            path, store, retain = 1)
+        }
+      } catch { case e: Throwable =>
+        failure.compareAndSet(null, s"writer: $e")
+      } finally stop.set(true))
+    val pinnedReader = new Thread(() =>
+      try {
+        while (!stop.get()) {
+          val rows = pinned.groupBy("gen").count().collect()
+          assert(rows.length == 1 && rows(0).getString(0) == "G1" &&
+            rows(0).getLong(1) == 100L, s"pinned view moved: ${rows.toSeq}")
+        }
+      } catch { case e: Throwable =>
+        failure.compareAndSet(null, s"pinned reader: $e")
+      })
+    val headReader = new Thread(() =>
+      try {
+        while (!stop.get()) {
+          try {
+            val rows = Sources.readSnapshot(spark, path, inner)
+              .groupBy("gen").count().collect()
+            assert(rows.length == 1, s"mixed generations: ${rows.toSeq}")
+            val (g, n) = (rows(0).getString(0), rows(0).getLong(1))
+            assert(gens.get(g).contains(n) || (g == "G1" && n == 100L),
+              s"partial snapshot: gen $g had $n rows")
+          } catch {
+            case e: org.scalatest.exceptions.TestFailedException => throw e
+            case _: Throwable => () // resolve/list raced a commit; re-read
+          }
+        }
+      } catch { case e: Throwable =>
+        failure.compareAndSet(null, s"head reader: $e")
+      })
+    pinnedReader.start(); headReader.start(); writer.start()
+    writer.join(120000)
+    pinnedReader.join(120000); headReader.join(120000)
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(store.staleReads.get() == storms,
+      s"every storm commit must consume its lag: ${store.staleReads.get()}")
+    assert(inner.lostPuts.get() == storms,
+      s"each lagged GET must cost exactly one lost put: ${inner.lostPuts.get()}")
+    // post-storm: v1 is out of keep — tombstoned and unpinnable for NEW
+    // readers — but the grace window (default 1 h) kept the dir alive for
+    // the reader that raced it, and keeps serving it even now
+    assert(Files.exists(root.resolve(v1)), "graced dir deleted under race")
+    assert(Files.exists(root.resolve(s".retired-$v1")), "tombstone missing")
+    assert(!Sources.listVersions(path).map(_._1).contains(1L),
+      "a retired version must not be pinnable by new readers")
+    assert(pinned.count() == 100L, "pinned reader broken after the storm")
+    assert(!Files.exists(root.resolve("CURRENT")),
+      "object-store race must not fall back to a local pointer file")
+    // expired grace (0 ms): the next commit sweeps v1's dir and every
+    // expired tombstone left by the storm
+    Sources.overwriteParquet(
+      spark.range(7).withColumn("gen", lit("GF")).toDF(), path, store,
+      retain = 1, retireGraceMs = 0L)
+    assert(!Files.exists(root.resolve(v1)), "expired graced dir not swept")
+    val now = Sources.readSnapshot(spark, path, inner)
+    assert(now.count() == 7L && now.where(col("gen") =!= "GF").isEmpty)
+  }
+
   test("read lag: a stale pointer GET becomes a lost put and a clean fenced retry") {
     val inner = new FakeObjectPointerStore
     val store = new LaggingReads(inner)
