@@ -31,6 +31,19 @@ Global / excludeLintKeys += showSuccess
 Test / executeTests := {
   val r = (Test / executeTests).value
   r.summaries.foreach(s => println(s.summaryText))
+  // sbt's own cross-framework aggregate ("Passed: Total …") is a logger
+  // line too — rebuild it from the suite results so the ScalaCheck
+  // property counts stay visible alongside ScalaTest's summary
+  val srs = r.events.values
+  val passed = srs.map(_.passedCount).sum
+  val failed = srs.map(_.failureCount).sum
+  val errors = srs.map(_.errorCount).sum
+  val skipped = srs.map(_.skippedCount).sum
+  val ignored = srs.map(_.ignoredCount).sum
+  val total = passed + failed + errors + skipped + ignored +
+    srs.map(_.canceledCount).sum + srs.map(_.pendingCount).sum
+  println(s"Passed: Total $total, Failed $failed, Errors $errors, " +
+    s"Passed $passed" + (if (skipped > 0) s", Skipped $skipped" else ""))
   r
 }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
