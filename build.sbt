@@ -42,7 +42,10 @@ Test / executeTests := {
   val ignored = srs.map(_.ignoredCount).sum
   val total = passed + failed + errors + skipped + ignored +
     srs.map(_.canceledCount).sum + srs.map(_.pendingCount).sum
-  println(s"Passed: Total $total, Failed $failed, Errors $errors, " +
+  // prefix from the counts, like sbt's own aggregate (r16 ADVICE: a red
+  // suite must not print a line beginning "Passed: … Failed 3")
+  val label = if (failed + errors > 0) "Failed" else "Passed"
+  println(s"$label: Total $total, Failed $failed, Errors $errors, " +
     s"Passed $passed" + (if (skipped > 0) s", Skipped $skipped" else ""))
   r
 }

@@ -185,12 +185,19 @@ object Adjudicate {
     * ago). Prefer the already-chosen control rows (their isolated history
     * makes cross-phase comparison free); top up to k with rows whose
     * committed median is closest to 1 s — large enough to be
-    * jitter-resistant, small enough to cost little. Watch rows themselves
-    * are excluded: a control must be a row the rules did NOT flag. */
+    * jitter-resistant, small enough to cost little. Watch rows AND the
+    * selection's breach/hard rows are excluded: a control must be a row
+    * the rules did NOT flag — a flagged (possibly genuinely regressed) row
+    * used as the speed reference would absorb the very slowdown the
+    * recheck normalizes away (r16 ADVICE #3: the old top-up only excluded
+    * watch rows, unreachable today solely because controls are topped up
+    * to MinControls == k; `flagged` makes the documented invariant hold
+    * for any future k > MinControls caller). */
   def recheckControls(ordered: Vector[(String, Double)],
                       medians: Map[String, Double],
                       watch: Vector[Int],
                       controls: Vector[Int],
+                      flagged: Set[Int],
                       k: Int): Vector[Int] = {
     val watchSet = watch.toSet
     val base = controls.filterNot(watchSet).take(k)
@@ -201,7 +208,7 @@ object Adjudicate {
         .filter { i =>
           val (name, _) = ordered(i)
           !watchSet.contains(i) && !taken.contains(i) &&
-            medians.get(name).exists(_ > 0)
+            !flagged.contains(i) && medians.get(name).exists(_ > 0)
         }
         .sortBy(i => math.abs(medians(ordered(i)._1) - 1.0))
         .take(k - base.size)

@@ -16,49 +16,19 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
       Gate.enforce(checkBaseline = !sys.env.get("SPARK_GRAFT_REFRESH")
         .exists(_ == "1"))
-    // the clean-tail contract (r13 "next" #4, finished r15): the driver
-    // parses a bounded stdout tail that must be exactly one JSON line, and
-    // session-INIT INFO chatter prints DURING getOrCreate — so logging must
-    // be quiet BEFORE the session exists. Two traps, both measured live in
-    // the r15 runs (and reproduced in a standalone JVM against the Spark
-    // 4.1.2 jars):
-    //  (1) Configurator.setRootLevel alone is undone — SparkContext's
-    //      logging init deems log4j "default-configured" and loads
-    //      org/apache/spark/log4j2-defaults.properties (root = INFO);
-    //  (2) Logging.islog4j2DefaultConfigured reads its config-class probe
-    //      from LogManager.getContext() — the no-arg call resolves the
-    //      DEFAULT LoggerContext, which stays a DefaultConfiguration no
-    //      matter what the classloader context was reconfigured to — so
-    //      the check degenerates to "root has exactly 1 appender at
-    //      ERROR": any minimal quiet config matches it and gets replaced.
-    // Hence: a real config file (console at SYSTEM_ERR) PLUS a Null
-    // appender, so the root carries 2 appenders and the degenerate check
-    // cannot mistake it for log4j's own default. Sessions.local(logLevel)
-    // then keeps setLogLevel from resetting the root to WARN after init.
-    // Real failures still surface: ERRORs log, task exceptions throw, and
-    // Bench itself prints per-query failures to stderr and exits nonzero.
-    val log4jProps = java.nio.file.Files.createTempFile("graft-bench-log4j2",
-      ".properties")
-    java.nio.file.Files.writeString(log4jProps,
-      """rootLogger.level = error
-        |appender.console.type = Console
-        |appender.console.name = console
-        |appender.console.target = SYSTEM_ERR
-        |appender.console.layout.type = PatternLayout
-        |appender.console.layout.pattern = %d{yy/MM/dd HH:mm:ss} %p %c{1}: %m%n
-        |appender.nullap.type = Null
-        |appender.nullap.name = nullap
-        |rootLogger.appenderRef.console.ref = console
-        |rootLogger.appenderRef.nullap.ref = nullap
-        |""".stripMargin)
-    org.apache.logging.log4j.core.config.Configurator.reconfigure(
-      log4jProps.toUri)
-    // reconfigure() read the file synchronously; drop it now rather than
-    // leaking one temp file per bench invocation (r15 ADVICE #3). The
-    // deleteOnExit is belt-and-braces for a delete that raced a scanner.
-    try java.nio.file.Files.deleteIfExists(log4jProps)
-    catch { case scala.util.control.NonFatal(_) =>
-      log4jProps.toFile.deleteOnExit() }
+    // the clean-tail contract (r13 "next" #4, finished structurally r17):
+    // the driver parses a bounded stdout tail that must be exactly one
+    // JSON line, and session-INIT INFO chatter prints DURING getOrCreate —
+    // so logging must be quiet BEFORE the session exists. The r15/r16
+    // runtime Configurator.reconfigure here still leaked two session-init
+    // INFO lines in the driver's environment (Spark's logging init
+    // reinstalled its defaults during getOrCreate); the quiet two-appender
+    // ERROR config now rides the runtime classpath from process start as
+    // src/main/resources/log4j2.properties — see that file for why the
+    // Null appender is load-bearing against Spark 4.1.2's degenerate
+    // islog4j2DefaultConfigured probe. Real failures still surface:
+    // ERRORs log to stderr, task exceptions throw, and Bench itself
+    // prints per-query failures to stderr and exits nonzero.
     val spark = Sessions.local(logLevel = "ERROR")
     // warmup at the smallest SF: JIT the noop sink, whole-stage codegen
     // infra, parquet readers, and the native kernels once, so the first
@@ -241,7 +211,8 @@ object Bench {
           s"[bench] watch recheck: g=$g, cooling down ${cooldownSec}s")
         if (cooldownSec > 0) Thread.sleep(cooldownSec * 1000L)
         val rctlIdx = Adjudicate.recheckControls(
-          ordered, medians, sel.watch, sel.controls, Adjudicate.MinControls)
+          ordered, medians, sel.watch, sel.controls,
+          (sel.breaches ++ sel.hard).toSet, Adjudicate.MinControls)
         val rctl = rctlIdx.map { i =>
           val name = ordered(i)._1
           name -> runOne(name, SparkEntry.queries(name))
@@ -350,9 +321,16 @@ object Bench {
       }.sorted.mkString("{", ",", "}")
       val recheckField =
         if (recheckFired) s""","recheck_ctl_f":${f2(recheckCtlF)}""" else ""
+      // subset/smoke runs (SPARK_GRAFT_BENCH_ONLY) default to a scratch
+      // path: the repo-root BENCH_FULL.json is the committed adjudication
+      // record of the last FULL run, and an r16 forced-breach smoke left a
+      // one-query sf0.001 artifact masquerading as it until the closeout
+      // commit caught up (r16 ADVICE #1). Full runs keep the repo path;
+      // any run can still override explicitly.
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+          if (only.isDefined) "/tmp/bench_full_subset.json"
+          else "BENCH_FULL.json")),
         s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"ctl_f":${f2(ctlF)}$recheckField,"adjudication":$adj,"controls":$ctl,"watch":$watch,"queries_sec":$full}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}")

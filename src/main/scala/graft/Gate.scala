@@ -27,6 +27,67 @@ object Gate {
   def oracleGaps: Set[String] =
     SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
 
+  /** The driver-owned SFs whose parquet bytes the committed envelopes were
+    * measured on (tools/corpus_fp.py hashes the same set; /tmp/sf1 is
+    * derived deterministically from sf0.1 so it needs no separate entry).
+    */
+  private val CorpusSfs = Seq("sf0.001", "sf0.01", "sf0.1")
+
+  /** md5 per parquet under the driver-owned SFs — the JVM twin of
+    * tools/corpus_fp.py fingerprint(), byte-identical keys and digests so
+    * one committed CORPUS_FP.json serves both gates.
+    */
+  def corpusFingerprint(testdata: java.nio.file.Path): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    CorpusSfs.flatMap { sf =>
+      val d = testdata.resolve(sf)
+      if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+      else {
+        val files = java.nio.file.Files.list(d)
+        try files.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toVector.sortBy(_.getFileName.toString)
+          .map { p =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString
+            s"$sf/${p.getFileName}" -> hex
+          }
+        finally files.close()
+      }
+    }.toMap
+  }
+
+  /** Compare the live corpus against the committed fingerprint.
+    * Left(reason) on an unreadable/format-drifted fingerprint file (the
+    * caller must say "the file is broken", not "the corpus moved" — the
+    * same misdirection rule baselineNames documents); Right(changed keys,
+    * sorted) otherwise — empty means the committed envelopes are still
+    * measuring the corpus they were cut on. A missing fingerprint file is
+    * the CALLER's branch (warn: detection off), not an error here.
+    */
+  def corpusMoved(testdata: java.nio.file.Path,
+                  fpFile: java.nio.file.Path): Either[String, Seq[String]] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(fpFile))
+      val files = root.path("files")
+      if (!files.isObject)
+        Left(s"$fpFile carries no 'files' object — rerun tools/corpus_fp.py record")
+      else {
+        val recorded = Map.newBuilder[String, String]
+        val it = files.fieldNames()
+        while (it.hasNext) {
+          val k = it.next(); recorded += k -> files.get(k).asText()
+        }
+        val rec = recorded.result()
+        val cur = corpusFingerprint(testdata)
+        Right((rec.keySet ++ cur.keySet).toSeq.sorted
+          .filter(k => rec.get(k) != cur.get(k)))
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+
   /** Query names present in the committed BASELINE_VARIANCE.json.
     * Left(reason) on a read/parse FAILURE — the caller must report "the
     * baseline file is broken", not "N queries lack an envelope" (the r12
@@ -66,6 +127,44 @@ object Gate {
       sys.exit(3)
     }
     if (checkBaseline) {
+      // corpus-regen detection FIRST (r16 verdict "next" #2): every
+      // envelope checked below was measured on specific parquet bytes, and
+      // the driver regenerates /root/testdata at SOME round starts (r14,
+      // r15) but not others (r16) — a full gated bench on a silently-
+      // regenerated corpus would adjudicate breaches against stale
+      // envelopes (r14 burned a re-baseline discovering q_brier_
+      // decomposition move 0.48→0.73 s purely from the data swap). The
+      // refresh runs that CREATE envelopes pass checkBaseline=false and
+      // are exempt, as are subset runs (which never reach enforce).
+      val fpPath = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_CORPUS_FP", "CORPUS_FP.json"))
+      val testdata = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_TESTDATA", "/root/testdata"))
+      if (!java.nio.file.Files.exists(fpPath))
+        System.err.println(
+          s"[gate] WARN: no committed $fpPath — corpus-regen detection is " +
+            "OFF; run tools/corpus_fp.py record on a corpus with valid " +
+            "envelopes and commit it")
+      else corpusMoved(testdata, fpPath) match {
+        case Left(reason) =>
+          System.err.println(
+            s"[gate] FATAL: corpus fingerprint $fpPath exists but is " +
+              s"UNREADABLE ($reason) — fix or re-record it; judging " +
+              "envelope breaches without regen detection re-opens the r14 " +
+              "stale-envelope trap")
+          sys.exit(3)
+        case Right(moved) if moved.nonEmpty =>
+          System.err.println(
+            s"[gate] FATAL: corpus MOVED — ${moved.size} parquet file" +
+              s"${if (moved.size == 1) " differs" else "s differ"} from the " +
+              s"committed $fpPath (first: ${moved.take(5).mkString(", ")})" +
+              " — the committed envelopes are stale; re-cut them " +
+              "(SPARK_GRAFT_REFRESH=1 triple + tools/sf1_gate.py " +
+              "--refresh 3), run tools/corpus_fp.py record, and commit " +
+              "BEFORE judging any breach")
+          sys.exit(3)
+        case _ => ()
+      }
       val path = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_VARIANCE", "BASELINE_VARIANCE.json"))
       baselineGaps(path) match {

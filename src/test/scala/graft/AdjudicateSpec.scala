@@ -193,13 +193,28 @@ class AdjudicateSpec extends AnyFunSuite {
     // distance 0) over q_b (1.1) and q_d (0.9); the watch row q_b's index
     // must never be chosen even when its median is competitive
     val got = Adjudicate.recheckControls(ordered, medians,
-      watch = Vector(1), controls = Vector(2), k = 2)
+      watch = Vector(1), controls = Vector(2), flagged = Set.empty, k = 2)
     assert(got == Vector(2, 4), s"got $got")
     // no pre-existing controls: pure nearest-to-1s top-up, watch excluded
     // (q_e, the true nearest, is the watch row — q_b/q_d at ±0.1 win)
     val got2 = Adjudicate.recheckControls(ordered, medians,
-      watch = Vector(4), controls = Vector.empty, k = 2)
+      watch = Vector(4), controls = Vector.empty, flagged = Set.empty, k = 2)
     assert(got2.toSet == Set(1, 3), s"got $got2")
+  }
+
+  test("recheck-control top-up never picks a breach/hard-flagged row (r16 ADVICE)") {
+    val ordered = Vector("q_a" -> 0.5, "q_b" -> 1.1, "q_c" -> 3.0,
+      "q_d" -> 0.9, "q_e" -> 2.0)
+    val medians = Map("q_a" -> 0.5, "q_b" -> 1.1, "q_c" -> 3.0,
+      "q_d" -> 0.9, "q_e" -> 1.0)
+    // q_e (median 1.0, distance 0) is the top-up's first choice — but it
+    // is breach/hard-flagged, so a k > MinControls caller must get the
+    // unflagged runners-up instead: a flagged (possibly regressed) row as
+    // the speed reference would normalize away the regression under test
+    val got = Adjudicate.recheckControls(ordered, medians,
+      watch = Vector(0), controls = Vector.empty, flagged = Set(4), k = 2)
+    assert(!got.contains(4), s"flagged row chosen as recheck control: $got")
+    assert(got.toSet == Set(1, 3), s"got $got")
   }
 
   test("contention window: neighborhood inflation shields rule 1, controls watch it") {

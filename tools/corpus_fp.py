@@ -23,9 +23,14 @@ import json
 import os
 import sys
 
-TESTDATA = "/root/testdata"
+# env-overridable like the JVM twin (graft.Gate.corpusMoved reads
+# SPARK_GRAFT_TESTDATA / SPARK_GRAFT_CORPUS_FP): smoke tests point the
+# fingerprint at a doctored copy without touching the committed file
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
-FP_FILE = os.path.join(os.path.dirname(__file__), "..", "CORPUS_FP.json")
+FP_FILE = os.environ.get(
+    "SPARK_GRAFT_CORPUS_FP",
+    os.path.join(os.path.dirname(__file__), "..", "CORPUS_FP.json"))
 
 
 def fingerprint():

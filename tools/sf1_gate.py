@@ -88,6 +88,31 @@ def main(argv):
         if refresh < 3:
             raise SystemExit("--refresh needs >= 3 passes for medians")
 
+    # corpus-regen detection first (r16 verdict "next" #2): the committed
+    # sf1 envelopes are only valid for the /root/testdata bytes they were
+    # derived from (gen_sf.py is deterministic IN its sf0.1 input, so a
+    # driver-side regen silently shifts the 10x corpus too — and makes a
+    # --reuse-corpus /tmp/sf1 stale besides). Gate mode FAILS on a moved
+    # corpus; refresh mode proceeds (it is the re-cut) with a reminder.
+    fp_rc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "corpus_fp.py"), "check"]).returncode
+    if fp_rc == 1:
+        if refresh:
+            print("[sf1_gate] corpus MOVED — refresh will re-cut the sf1 "
+                  "envelopes; ALSO re-cut sf0.1 (SPARK_GRAFT_REFRESH=1 "
+                  "triple), run tools/corpus_fp.py record, and drop any "
+                  "--reuse-corpus /tmp/sf1 from the old bytes", flush=True)
+        else:
+            raise SystemExit(
+                "[sf1_gate] FAIL: corpus fingerprint mismatch — the "
+                "committed sf1 envelopes were measured on different "
+                "/root/testdata bytes; run --refresh 3 (plus the sf0.1 "
+                "refresh + corpus_fp.py record) before judging any breach")
+    elif fp_rc == 2:
+        print("[sf1_gate] WARN: no CORPUS_FP.json recorded — corpus-regen "
+              "detection is OFF (tools/corpus_fp.py record)", flush=True)
+
     if not ("--reuse-corpus" in argv and os.path.isdir(SF_DIR)):
         if run(["python3", "tools/gen_sf.py", "/root/testdata/sf0.1",
                 SF_DIR, "10"]) != 0:
