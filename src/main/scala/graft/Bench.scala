@@ -254,6 +254,14 @@ object Bench {
     // basename only: every byte of this line competes with the query map
     // for the driver's ~2000-char stdout tail window
     val sfName = new java.io.File(sfDir).getName
+    // one resolved record path for BOTH the truncated line's "full" pointer
+    // and the write below — subset/smoke runs default to a scratch path so
+    // they can never overwrite the committed full-run adjudication record
+    // (r16 ADVICE #1: a one-query forced-breach artifact shipped as the
+    // repo's BENCH_FULL.json), and the printed pointer must name the file
+    // actually written, not assume the repo default
+    val benchFullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "/tmp/bench_full_subset.json" else "BENCH_FULL.json")
     def assemble(dp: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v, dp) }
         .mkString("{", ",", "}")
@@ -269,7 +277,7 @@ object Bench {
         if (used + e.length + 1 <= budget - overhead) { kept += e; used += e.length + 1 }
       }
       val omitted = results.size - kept.size
-      s"""{"metric":"total","value":${sec(results.map(_._2).sum, 2)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted,"full":"BENCH_FULL.json","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${sec(results.map(_._2).sum, 2)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted,"full":"$benchFullPath","sf":"$sfName"}"""
     }
     val line2 = assemble(2)
     val line =
@@ -321,16 +329,8 @@ object Bench {
       }.sorted.mkString("{", ",", "}")
       val recheckField =
         if (recheckFired) s""","recheck_ctl_f":${f2(recheckCtlF)}""" else ""
-      // subset/smoke runs (SPARK_GRAFT_BENCH_ONLY) default to a scratch
-      // path: the repo-root BENCH_FULL.json is the committed adjudication
-      // record of the last FULL run, and an r16 forced-breach smoke left a
-      // one-query sf0.001 artifact masquerading as it until the closeout
-      // commit caught up (r16 ADVICE #1). Full runs keep the repo path;
-      // any run can still override explicitly.
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-          if (only.isDefined) "/tmp/bench_full_subset.json"
-          else "BENCH_FULL.json")),
+        java.nio.file.Paths.get(benchFullPath),
         s"""{"total_sec":${f2(results.map(_._2).sum)},"sf":"$sfName","run_g":${f2(g)},"ctl_f":${f2(ctlF)}$recheckField,"adjudication":$adj,"controls":$ctl,"watch":$watch,"queries_sec":$full}""" + "\n")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCH_FULL write failed: ${e.getMessage}")
