@@ -72,6 +72,25 @@ def main(paths: list[str]) -> None:
     for q in worst:
         v = variance[q]
         print(f"  spread {q}: {v['min']:.2f} / {v['median']:.2f} / {v['max']:.2f}")
+    # envelope<->corpus coupling (r17): if these envelopes were re-cut
+    # because the corpus moved, the fingerprint must be re-recorded — but
+    # only AFTER the sf1 envelopes are re-cut too (recording between the
+    # two would let the sf1 gate pass its corpus check against stale sf1
+    # medians). Remind, don't auto-record.
+    import os
+    import subprocess
+    rc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "corpus_fp.py"), "check"],
+        stdout=subprocess.DEVNULL).returncode
+    if rc == 1:
+        print("NOTE: corpus fingerprint mismatch — these envelopes are the "
+              "sf0.1 half of a re-cut; finish with tools/sf1_gate.py "
+              "--refresh 3, THEN tools/corpus_fp.py record, and commit all "
+              "three")
+    elif rc == 2:
+        print("NOTE: no CORPUS_FP.json — run tools/corpus_fp.py record "
+              "(after the sf1 refresh) so gated runs detect future regens")
 
 
 if __name__ == "__main__":
