@@ -391,15 +391,28 @@ object Graph {
     * (k, n_core_nodes, n_core_edges, converged).
     */
   def kCore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // r17: the edge list is referenced by EVERY round's two semi-joins
+    // plus the final core-edge count, and each of those is a separate
+    // action — without a checkpoint the upstream subtree (at the call
+    // sites: a lineitem scan + self-join + distinct) re-executes 7 times
+    // (kTruss has always checkpointed; kCore had not). One eager
+    // localCheckpoint makes every round read node/edge-sized RAM blocks.
+    val edges = und.localCheckpoint()
     // survivor cardinality rides each round's (eager) checkpoint job as an
     // observe() metric — ONE action per round, the connectedComponents
     // convergence-metric discipline
-    var active = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
+    var active = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
       .distinct().localCheckpoint()
     var counts = List(active.count())
-    for (_ <- 1 to rounds) {
-      val filtered = und
+    var round = 0
+    while (round < rounds && (counts.tail.isEmpty || counts.head != counts.tail.head)) {
+      // fixpoint early-exit (r17): peeling is monotone (activeₖ ⊆ activeₖ₋₁),
+      // so equal consecutive cardinalities mean equal SETS — every further
+      // round recomputes the identical frame. Skipping them changes no
+      // output: counts stay equal, so `converged` and `n_core_nodes` are
+      // bitwise what the full unroll produced.
+      val filtered = edges
         .join(active.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(active.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       val obs = Observation()
@@ -412,9 +425,10 @@ object Graph {
       Blocks.releaseCheckpoint(active)
       active = next
       counts ::= Observe.metric(obs, "n").getOrElse(active.count())
+      round += 1
     }
     val converged = if (counts.head == counts.tail.head) 1L else 0L
-    val coreEdges = und
+    val coreEdges = edges
       .join(active.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
       .join(active.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       .agg(count(lit(1)).as("n_core_edges"))
@@ -437,7 +451,8 @@ object Graph {
     * smallest label — a total, deterministic rule, so the result is a
     * pure function of the graph. Per round: one edge⋈label join (edges
     * symmetrized once up front), a map-side-combined (node, label) count,
-    * and a per-node argmax window over that count table — label-table
+    * and a per-node max(struct(c, −label)) argmax aggregate over that
+    * count table (partial-aggregated, sort-free — r17) — label-table
     * shuffles only, the edge table is partitioned once; localCheckpoint
     * per round with released blocks (the kCore discipline). Returns
     * (node, label) after `rounds` rounds.
@@ -469,9 +484,16 @@ object Graph {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val next = counted.withColumn("rn", row_number().over(
-          Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))))
-        .where(col("rn") === 1).select(col("node"), col("label"))
+      // argmax by (count desc, label asc) as ONE map-side-combined
+      // aggregate (r17): the r16 row_number window re-shuffled the count
+      // table by node AND sorted every partition; max(struct(c, −label))
+      // picks the identical winner (lexicographic struct order: highest
+      // count, then smallest label) with partial aggregation and no sort.
+      val next = counted
+        .groupBy("node")
+        .agg(max(struct(col("c").as("c"),
+          (lit(0L) - col("label")).as("nl"))).as("pick"))
+        .select(col("node"), (lit(0L) - col("pick.nl")).as("label"))
         .join(prev, "node") // same node set every round: inner = full
         .observe(cObs, sum((col("label") =!= col("__prev")).cast("long")).as("changed"))
         .select(col("node"), col("label"))
@@ -551,8 +573,12 @@ object Graph {
     // BFS distance histogram from the minimum node of the same slice —
     // see bfsLevels scaladoc for the frontier-expansion plan
     "q_sssp" -> ((s, dir) => {
+      // r17: checkpoint the sliced projection ONCE — the source-picking
+      // scalar job and bfsLevels' symmetrize pass each re-ran the full
+      // lineitem self-join + distinct before (two computations of the
+      // edge list per query; now one materialization feeds both)
       val und = partPairEdges(Sources.table(s, dir, "lineitem")
-        .where(col("l_orderkey") % 10 === 0))
+        .where(col("l_orderkey") % 10 === 0)).localCheckpoint()
       // one tiny bounded job picks the pinned source (u < v ⇒ min u is the
       // global min node) — the codebook-training precedent: a driver-side
       // scalar, never row data
@@ -584,9 +610,11 @@ object Graph {
 
     // edge reciprocity of the DIRECTED temporal co-purchase graph (part of
     // order k → part of the same customer's order k+1) — see
-    // temporalCopurchaseEdges/reciprocity scaladocs
+    // temporalCopurchaseEdges/reciprocity scaladocs. Feeds the PRE-distinct
+    // pair stream: reciprocity's unordered-pair census collapses repeats
+    // itself, so the edge list crosses the network once, not twice (r17)
     "q_reciprocity" -> ((s, dir) =>
-      reciprocity(temporalCopurchaseEdges(
+      reciprocity(temporalCopurchasePairs(
         Sources.table(s, dir, "orders"),
         Sources.table(s, dir, "lineitem")))),
 
@@ -792,7 +820,17 @@ object Graph {
     * cardinality with map-side combine; nothing is quadratic in the
     * catalog.
     */
-  def temporalCopurchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  def temporalCopurchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    temporalCopurchasePairs(orders, lineitem).distinct()
+
+  /** [[temporalCopurchaseEdges]] before its distinct — the multiplicity-
+    * bearing pair stream. Consumers whose first operator is itself a
+    * pair-keyed aggregate (reciprocity's unordered-pair census) read this
+    * directly: the distinct would be a redundant full shuffle of the pair
+    * stream ahead of an aggregation that already collapses repeats
+    * (guide §2.4 — two operations keyed the same way share one exchange).
+    */
+  def temporalCopurchasePairs(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val consec = orders
@@ -807,23 +845,39 @@ object Graph {
       .join(li.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("dst")),
         Seq("ok_b"))
       .where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst"))
   }
 
   /** Edge reciprocity of a directed graph: |E ∩ Eᵀ| / |E| — the classic
     * directed-graph symmetry scalar (1.0 = every edge answered, 0.0 =
-    * none). One left-semi self-join on the reversed edge set (key
-    * equi-join — the seen-set BFS discipline), then both counts
-    * partial-aggregate; the division is the only float op, over two exact
-    * BIGINTs. Empty edge set abstains with NULL.
+    * none). One unordered-pair aggregate with direction flags (both
+    * counts fall out of the same map-side-combined exchange); the
+    * division is the only float op, over two exact BIGINTs. Edge
+    * multiplicity collapses (set semantics — the same answer the r16
+    * distinct + reversed-semi-join shape produced, minus two shuffles and
+    * two extra actions). Empty edge set abstains with NULL.
     */
   def reciprocity(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
-    val recip = e.join(
-      e.select(col("dst").as("src"), col("src").as("dst")),
-      Seq("src", "dst"), "left_semi")
-    e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+    // ONE map-side-combined aggregate (r17, guide §2.4): group by the
+    // UNORDERED pair and record which directions appear — an edge is
+    // reciprocated iff its pair carries both. The r16 shape (eager
+    // localCheckpoint → reversed left-semi self-join → two counting jobs
+    // cross-joined) shuffled the edge list three times and ran three
+    // actions; this is one exchange, one action, and the input stream may
+    // even carry duplicate rows (max() absorbs multiplicity), so callers
+    // need no distinct of their own. Self-loops count as reciprocal,
+    // matching the semi-join semantics ((a,a) reversed is itself).
+    val pairs = edges
+      .groupBy(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .agg(max((col("src") < col("dst")).cast("long")).as("fwd"),
+        max((col("src") > col("dst")).cast("long")).as("rev"),
+        max((col("src") === col("dst")).cast("long")).as("slf"))
+    pairs
+      .agg(coalesce(sum(col("fwd") + col("rev") + col("slf")), lit(0L))
+          .as("n_edges"),
+        coalesce(sum(lit(2L) * col("fwd") * col("rev") + col("slf")), lit(0L))
+          .as("n_reciprocal"))
       .select(col("n_edges"), col("n_reciprocal"),
         when(col("n_edges") > 0,
           floor(col("n_reciprocal").cast("double") / col("n_edges")
@@ -1017,7 +1071,9 @@ object Graph {
       .localCheckpoint()
     var frontier = dist.select(col("node"))
     val sizes = Vector.newBuilder[Long]
-    for (k <- 1 to rounds) {
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
       val obs = Observation()
       val next = frontier
         .join(sym, col("node") === col("src"))
@@ -1031,8 +1087,17 @@ object Graph {
       Blocks.releaseCheckpoint(dist)
       dist = merged
       frontier = dist.where(col("dist") === k).select("node")
-      sizes += Observe.metric(obs, "f").getOrElse(-1L)
+      val f = Observe.metric(obs, "f").getOrElse(-1L)
+      sizes += f
+      // frontier-exhaustion early-exit (r17): an empty frontier makes every
+      // remaining round a no-op (empty join → empty next → dist unchanged,
+      // size 0). Skip those rounds and pad the trace with the zeros they
+      // would have observed — dist and sizes are bitwise what the full
+      // unroll produced, including the callers' `converged` flag.
+      exhausted = f == 0L
+      k += 1
     }
+    while (k <= rounds) { sizes += 0L; k += 1 }
     (dist, sizes.result())
   }
 
