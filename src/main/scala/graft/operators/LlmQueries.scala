@@ -1551,11 +1551,22 @@ object LlmQueries {
           transform(sequence(lit(1), size(w) - 1),
             i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
           .otherwise(array().cast("array<string>"))
-      def hist(col2: org.apache.spark.sql.Column, side: String): DataFrame =
-        base.select(col("doc_id"), explode(bigrams(col2)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as(s"c_$side"))
-      val ov = hist(col("w"), "ref")
-        .join(hist(col("w2"), "cand"), Seq("doc_id", "g"))
+      // ONE side-tagged explode + ONE (doc_id, gram) exchange (r17): the
+      // r16 shape built two separate gram histograms and sort-merge-joined
+      // them back on (doc_id, g) — three shuffles of the exploded gram
+      // stream where one suffices. Both sides' grams ride the same
+      // map-side-combined aggregate as conditional counts; "gram present
+      // in both" (the old inner join) is the two-counts-positive filter.
+      val tagged = base.select(col("doc_id"), explode(concat(
+          transform(bigrams(col("w")),
+            g => struct(g.as("g"), lit(0).as("side"))),
+          transform(bigrams(col("w2")),
+            g => struct(g.as("g"), lit(1).as("side"))))).as("e"))
+      val ov = tagged
+        .groupBy(col("doc_id"), col("e.g").as("g"))
+        .agg(sum(when(col("e.side") === 0, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("e.side") === 1, 1L).otherwise(0L)).as("c_cand"))
+        .where(col("c_ref") > 0 && col("c_cand") > 0)
         .groupBy("doc_id")
         .agg(sum(least(col("c_ref"), col("c_cand"))).as("overlap"))
       val sized = base.select(col("doc_id"),
@@ -1916,19 +1927,39 @@ object LlmQueries {
     // the oracle (concat_ws ' ' ≡ array_to_string ' ').
     "q_dup_ngram_spans" -> ((s, dir) => {
       val toks = TextOps.tokens(lower(col("text")))
-      val grams = docs(s, dir)
+      // ONE tokenize pass (the q_rouge_overlap checkpoint discipline): the
+      // token frame feeds the gram census AND the per-source doc count.
+      val base = docs(s, dir)
         .select(col("doc_id"), col("source"), toks.as("w"))
         .where(size(col("w")) >= 8)
+        .localCheckpoint()
+      // TWO gram-keyed exchanges replace the r16 four (distinct → per-gram
+      // doc count → join the count back onto the full gram set → a
+      // countDistinct Expand over the joined stream): (1) the per-(gram,
+      // source) distinct-doc count partial-aggregates — map-side dedup of
+      // (g, source, doc) before anything crosses the network; (2) the
+      // per-gram rollup carries its per-source breakdown in a bounded
+      // collect_list (≤|sources| entries), so the duplicate census falls
+      // out of a projection-only explode + a ≤|sources|-row aggregate —
+      // the gram stream is never join-shuffled back.
+      val bySrc = base
         .select(col("doc_id"), col("source"),
           explode(transform(sequence(lit(0), size(col("w")) - 8),
             i => concat_ws(" ", slice(col("w"), i + 1, lit(8))))).as("g"))
-        .distinct()
-      val gramDocs = grams.groupBy("g").agg(count(lit(1)).as("docs"))
-      grams.join(gramDocs, Seq("g"))
-        .groupBy("source")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_grams"),
-          sum((col("docs") >= 2L).cast("long")).as("dup_grams"))
+        .groupBy(col("g"), col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_sg"))
+      val perSrc = bySrc
+        .groupBy("g")
+        .agg(sum(col("n_sg")).as("docs"),
+          collect_list(struct(col("source"), col("n_sg"))).as("srcs"))
+        .select(col("docs"), explode(col("srcs")).as("e"))
+        .groupBy(col("e.source").as("source"))
+        .agg(sum(col("e.n_sg")).as("n_grams"),
+          sum(when(col("docs") >= 2L, col("e.n_sg")).otherwise(0L))
+            .as("dup_grams"))
+      // base has one row per doc, so the doc census is a plain count
+      base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(perSrc, Seq("source"))
         .select(col("source"), col("n_docs"), col("n_grams"),
           col("dup_grams"),
           r6(col("dup_grams").cast("double") / col("n_grams").cast("double"))
@@ -2074,15 +2105,22 @@ object LlmQueries {
     // division.
     "q_ngram_novelty" -> ((s, dir) => {
       val n = 8
-      val grams = t(s, dir, "documents").select(col("source"),
+      // ONE gram-keyed exchange (r17): the r16 shape shuffled the exploded
+      // gram stream three times (distinct → per-gram spread count → join
+      // the spread back onto the gram set). collect_set(source) per gram
+      // dedups map-side AND carries the whole per-gram source census in a
+      // schema-bounded set (|sources| is a small enum), so novelty falls
+      // out of a projection-only explode + a ≤|sources|-row aggregate.
+      val perGram = t(s, dir, "documents").select(col("source"),
           explode(graft.functions.ColumnOps.bind(TextOps.tokens(col("text"))) {
             toks => transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
               i => concat_ws(" ", slice(toks, i + 1, lit(n))))
           }).as("gram"))
-        .distinct()
-      val spread = grams.groupBy("gram")
-        .agg(count(lit(1)).as("n_sources"))
-      grams.join(spread, "gram")
+        .groupBy("gram")
+        .agg(collect_set(col("source")).as("srcs"))
+      perGram
+        .select(size(col("srcs")).cast("long").as("n_sources"),
+          explode(col("srcs")).as("source"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_grams"),
           sum((col("n_sources") === 1L).cast("long")).as("n_unique"))

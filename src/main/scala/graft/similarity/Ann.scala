@@ -668,23 +668,19 @@ object Ann {
     */
   def maxSimTopK(emb: DataFrame, probeMaxId: Long, m: Int, k: Int): DataFrame = {
     VecOps.register(emb.sparkSession)
-    def sub(v: Column, i: Column, subLen: Int): Column =
-      slice(v, i * lit(subLen) + 1, lit(subLen))
-    // the native codegen kernel accumulates in index order — the same
-    // double sequence DuckDB's list_dot_product runs (q_ann_brute)
-    def dotSub(a: Column, b: Column): Column = dot(a, b)
     val c = emb.select(col("vec_id"), col("embedding"))
     val p = emb.where(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    // ONE native codegen kernel per pair (r17): the m×m sub-dot grid runs
+    // as a tight triple loop over the two original array buffers — the
+    // previous HOF tower (nested transform(sequence) lambdas, 8 probe +
+    // 64 candidate `slice` array copies per pair, array_max, aggregate
+    // fold) allocated ~72 arrays per scored pair. Same double sequence
+    // bit-for-bit: see MaxSimExpression scaladoc.
     val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), {
-        val dim = 64 // embeddings table contract; checked by vec_dot elsewhere
-        val subLen = dim / m
-        val perQuery = transform(sequence(lit(0), lit(m - 1)), i =>
-          array_max(transform(sequence(lit(0), lit(m - 1)), j =>
-            dotSub(sub(col("pvec"), i, subLen), sub(col("embedding"), j, subLen)))))
-        aggregate(perQuery, lit(0.0), (acc, x) => acc + x).as("maxsim")
-      })
+      .select(col("probe_id"), col("vec_id"),
+        call_function("vec_maxsim", col("pvec"), col("embedding"),
+          lit(m)).as("maxsim"))
     graft.operators.TopK.topKPerGroup(scored, Seq("probe_id"), "maxsim", "vec_id", k)
       .select(col("probe_id"), col("vec_id"),
         (floor(col("maxsim") * lit(10000.0) + lit(0.500001)) / lit(10000.0))

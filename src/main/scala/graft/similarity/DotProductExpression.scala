@@ -54,8 +54,45 @@ object VecOps {
     acc
   }
 
-  /** Register `vec_dot` in a session's function registry. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Chunked late-interaction MaxSim: Σᵢ maxⱼ of the (i,j) sub-vector dots,
+    * s = n/m elements per chunk. Shared by MaxSimExpression's interpreted
+    * eval and generated code. Bit-identical to the HOF formulation it
+    * replaced (sub-dots in index order; Double.compare max = Catalyst
+    * array_max ordering; left fold from 0.0 in i order).
+    */
+  def maxsim(a: ArrayData, b: ArrayData, m: Int,
+      aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vec_maxsim: embedding dimension mismatch ($n vs ${b.numElements()})")
+    if (m <= 0 || n % m != 0) throw new IllegalArgumentException(
+      s"vec_maxsim: m=$m must divide dim=$n")
+    val s = n / m
+    var total = 0.0
+    var i = 0
+    while (i < m) {
+      var best = 0.0
+      var j = 0
+      while (j < m) {
+        var d = 0.0
+        var t = 0
+        while (t < s) {
+          val x = if (aFloat) a.getFloat(i * s + t).toDouble else a.getDouble(i * s + t)
+          val y = if (bFloat) b.getFloat(j * s + t).toDouble else b.getDouble(j * s + t)
+          d += x * y
+          t += 1
+        }
+        if (j == 0 || java.lang.Double.compare(d, best) > 0) best = d
+        j += 1
+      }
+      total += best
+      i += 1
+    }
+    total
+  }
+
+  /** Register `vec_dot` + `vec_maxsim` in a session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.Registry.once(spark)(
       "vec_dot",
       { exprs: Seq[Expression] =>
@@ -63,4 +100,12 @@ object VecOps {
         DotProductExpression(exprs(0), exprs(1))
       },
       "built-in")
+    graft.functions.Registry.once(spark)(
+      "vec_maxsim",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "vec_maxsim(a, b, m) takes 3 arguments")
+        MaxSimExpression(exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
+  }
 }
