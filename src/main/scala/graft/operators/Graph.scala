@@ -951,18 +951,25 @@ object Graph {
     * variant, disconnection-safe) and harmonic = Σ 1/dist, the
     * Boldi–Vigna measure that needs no connectivity caveat at all.
     *
-    * Scale shape — the r9 rewrite that took the sf0.1 wall-time from
-    * 18 s to the graph family's norm: seeds get bit positions from ONE
-    * bounded driver collect (≤4096, loud cap — the codebook precedent),
-    * and BFS state becomes (node, chunk, 64-seed bitmask) rows — NODE-
-    * sized, never |seeds|·|nodes|. Each round is one frontier⋈edges
-    * equi-join (≤ |edges|·chunks rows) merged by the map-side-combining
-    * bit_or aggregate, one (node, chunk) equi-join against the seen
-    * masks for new = arr & ~seen, and a projection-only bit-explode of
-    * the NEW pairs into the per-(seed, dist) count frame — the total
-    * explode work over the whole run is exactly the number of reached
-    * (seed, node) pairs, paid once. Per-round frames localCheckpoint
-    * with release (the bfsLevels discipline); the loop exits early the
+    * Scale shape — the r9 rewrite took the sf0.1 wall-time from 18 s to
+    * the graph family's norm; r17 packs it tighter: seeds get bit
+    * positions from ONE bounded driver collect (≤4096, loud cap — the
+    * codebook precedent), and BFS state is ONE row per reached node
+    * carrying a fixed C-chunk ARRAY of 64-seed bitmasks (C = ⌈seeds/64⌉,
+    * a driver constant) — node-sized, never |seeds|·|nodes|, and never
+    * the r9–r16 (node, chunk) row-per-chunk shape whose frontier⋈edges
+    * join emitted one row per ACTIVE CHUNK per edge (≤ C× the edge
+    * count). Each round is now: one frontier⋈edges equi-join emitting
+    * exactly Σdeg(frontier) rows merged by C map-side-combining
+    * element-wise bit_or aggregates, one full-outer (node) equi-join
+    * against the packed seen state computing BOTH newᵢ = arrᵢ & ~seenᵢ
+    * and the merged seen in a single projection, ONE localCheckpoint
+    * action per round (the r16 shape ran two: new-frontier + merged-seen,
+    * plus an isEmpty job — the frontier size now rides the checkpoint as
+    * an observe() metric, the kCore discipline), and a projection-only
+    * bit-explode of the NEW masks into the per-(seed, dist) count frame —
+    * total explode work over the whole run is exactly the number of
+    * reached (seed, node) pairs, paid once. The loop exits early the
     * round the frontier empties.
     *
     * Cross-engine exactness: everything after the scan is BIT ALGEBRA
@@ -985,49 +992,67 @@ object Graph {
       .orderBy("src").collect().map(_.getLong(0))
     require(seedIds.length <= 4096,
       s"closeness: ${seedIds.length} seeds exceed the bounded-fit cap 4096")
+    val nChunks = math.max(1, (seedIds.length + 63) / 64)
+    val chunkIdx = 0 until nChunks
     val bitLits = array((0 until 64).map(i =>
       struct(lit(i.toLong).as("i"), lit(1L << i).as("mask"))): _*)
     val seedArr = array(seedIds.map(lit).toSeq: _*)
-    var seen = seedIds.zipWithIndex.toSeq
-      .map { case (s, i) => (s, (i / 64).toLong, 1L << (i % 64)) }
-      .toDF("node", "chunk", "seen")
+    // packed state: ONE row per reached node — `seen` and `new` are
+    // C-chunk bitmask arrays (C is a driver constant), so every join and
+    // aggregate below is keyed on the bare node
+    val initRows = seedIds.zipWithIndex.map { case (s, i) =>
+      val arr = Array.fill(nChunks)(0L)
+      arr(i / 64) |= 1L << (i % 64)
+      (s, arr.toSeq)
+    }.toSeq
+    var state = initRows.toDF("node", "seen")
+      .select(col("node"), col("seen"), col("seen").as("new"))
       .repartition(col("node")).localCheckpoint()
-    var frontier = seen.select(col("node"), col("chunk"),
-      col("seen").as("bits"))
+    def anyNew = chunkIdx.map(i => col("new")(i) =!= 0L).reduce(_ || _)
     val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var k = 1
     var done = false
     while (k <= rounds && !done) {
+      val frontier = state.where(anyNew)
+        .select(col("node"), col("new").as("bits"))
+      val orAggs = chunkIdx.map(i => bit_or(col("bits")(i)).as(s"b$i"))
       val arrived = frontier
         .join(sym, col("node") === col("src"))
-        .groupBy(col("dst").as("node2"), col("chunk"))
-        .agg(bit_or(col("bits")).as("arr"))
-      val newf = arrived
-        .join(seen.select(col("node").as("node3"), col("chunk").as("chunk3"),
-          col("seen")), col("node2") === col("node3") &&
-          col("chunk") === col("chunk3"), "left")
-        .select(col("node2").as("node"), col("chunk"),
-          col("arr").bitwiseAND(bitwise_not(coalesce(col("seen"), lit(0L))))
-            .as("bits"))
-        .where(col("bits") =!= 0L)
+        .groupBy(col("dst"))
+        .agg(orAggs.head, orAggs.tail: _*)
+        .select(col("dst").as("anode"),
+          array(chunkIdx.map(i => col(s"b$i")): _*).as("arr"))
+      // one full-outer pass computes the merged seen AND the new masks;
+      // the frontier cardinality rides the checkpoint as an observation —
+      // one action per round, no separate merge job, no isEmpty job
+      val obs = Observation()
+      val next = state.select(col("node"), col("seen"))
+        .join(arrived, col("node") === col("anode"), "full")
+        .select(coalesce(col("node"), col("anode")).as("node"),
+          array(chunkIdx.map(i =>
+            coalesce(col("seen")(i), lit(0L))
+              .bitwiseOR(coalesce(col("arr")(i), lit(0L)))): _*).as("seen"),
+          array(chunkIdx.map(i =>
+            coalesce(col("arr")(i), lit(0L)).bitwiseAND(
+              bitwise_not(coalesce(col("seen")(i), lit(0L))))): _*).as("new"))
+        .observe(obs, sum(anyNew.cast("long")).as("nf"))
         .localCheckpoint()
-      val mergedSeen = seen
-        .unionAll(newf.select(col("node"), col("chunk"),
-          col("bits").as("seen")))
-        .groupBy("node", "chunk").agg(bit_or(col("seen")).as("seen"))
-        .localCheckpoint()
-      Blocks.releaseCheckpoint(seen)
-      seen = mergedSeen
-      frontier = newf
-      // projection-only bit explode of the NEW pairs → (seed, dist) counts
-      counts += newf
-        .select(col("chunk"), col("bits"), explode(bitLits).as("b"))
-        .where(col("bits").bitwiseAND(col("b.mask")) =!= 0L)
-        .groupBy((col("chunk") * 64L + col("b.i")).as("idx"))
+      // NOTE: per-round checkpoints are NOT released here — each round's
+      // count frame below reads its round's `new` masks at the terminal
+      // action (callers sweep via Blocks.releaseAll, the SparkEntry
+      // block-manager contract)
+      state = next
+      // projection-only bit explode of the NEW masks → (seed, dist) counts
+      counts += next
+        .select(posexplode(col("new")).as(Seq("ci", "b")))
+        .where(col("b") =!= 0L)
+        .select(col("ci"), col("b"), explode(bitLits).as("bl"))
+        .where(col("b").bitwiseAND(col("bl.mask")) =!= 0L)
+        .groupBy((col("ci") * 64L + col("bl.i")).as("idx"))
         .agg(count(lit(1)).as("n"))
         .select(element_at(seedArr, (col("idx") + 1L).cast("int"))
           .as("seed"), lit(k.toLong).as("dist"), col("n"))
-      done = newf.isEmpty
+      done = Observe.metric(obs, "nf").getOrElse(-1L) == 0L
       k += 1
     }
     val all = counts.reduce(_ unionAll _)
