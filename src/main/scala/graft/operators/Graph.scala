@@ -343,7 +343,14 @@ object Graph {
   def kTruss(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = und.localCheckpoint()
     var counts = List(edges.count())
-    for (_ <- 1 to rounds) {
+    var round = 0
+    // fixpoint early-exit (r17, the kCore argument): peeling is monotone
+    // (edge sets only shrink), so equal consecutive counts mean equal
+    // SETS — every further round re-enumerates the identical wedge census
+    // to delete nothing. Skipping those rounds changes no output.
+    while (round < rounds &&
+        (counts.tail.isEmpty || counts.head != counts.tail.head)) {
+      round += 1
       val (_, dir) = directedByDegree(edges)
       val w1 = dir.select(col("s"), col("t").as("x"), col("td").as("xd"))
       val w2 = dir.select(col("s"), col("t").as("y"), col("td").as("yd"))

@@ -193,10 +193,18 @@ object LlmQueries {
     // char-level DP over full documents is a per-pair VERIFY step, never
     // a corpus-wide sweep (that's what Jaccard/simhash candidates are for)
     "q_edit_distance" -> ((s, dir) => {
+      // r17: the graft lev_banded kernel replaces Spark's levenshtein —
+      // same contract (exact distance when ≤ band, −1 past it), but with
+      // common-prefix/suffix pruning, which provably preserves the
+      // distance and collapses the O(len·band) DP to O(tail²) on this
+      // candidate = doc-minus-last-two-tokens shape (the shared prefix is
+      // nearly the whole document). Values are bitwise-unchanged; the
+      // DuckDB oracle still recomputes the unbounded distance itself.
+      graft.text.StringSimilarity.register(s)
       val toks = TextOps.tokens(col("text"))
-      val banded = levenshtein(col("text"),
+      val banded = call_function("lev_banded", col("text"),
         concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))),
-        100).cast("long")
+        lit(100)).cast("long")
       // the band-never-clips invariant is enforced, not assumed (r3
       // ADVICE): a -1 from the banded DP means a generator change pushed
       // the perturbation past 100 chars — fail loudly instead of silently
@@ -879,8 +887,36 @@ object LlmQueries {
         .join(broadcast(core.select(col("cid").as("a"))), Seq("a"))
         .join(broadcast(core.select(col("cid").as("b"))), Seq("b"))
         .where(col("a") < col("b")).select(col("a"), col("b"))
-      val cc = Dedup.connectedComponents(coreEdges)
-        .select(col("doc_id").as("cid"), col("component"))
+      // r17: the probe set is contract-bounded (vec_id < 200), so the
+      // core graph fits a driver union-find — ≤ C(200,2) rows, loud cap,
+      // the codebook/closeness bounded-collect precedent. Replaces the
+      // iterative distributed CC (sym + label checkpoints, one job per
+      // propagation round) whose per-round scheduling dwarfed this tiny
+      // graph; labels keep the identical min-id-per-component semantics.
+      // Corpus-scale cluster resolution still runs the distributed
+      // Dedup.connectedComponents (q_dedup_clusters).
+      val ccRows = coreEdges.collect()
+      require(ccRows.length <= 200 * 199 / 2,
+        s"q_dbscan: ${ccRows.length} core edges exceed the bounded-probe cap")
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      ccRows.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = ccRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val minLabel = nodes.groupBy(find).map { case (root, ns) =>
+        root -> ns.min
+      }
+      val ccSeq = nodes.toSeq.map(v => (v, minLabel(find(v))))
+      import s.implicits._
+      val cc = ccSeq.toDF("cid", "component")
       val coreLab = core.join(broadcast(cc), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("component"), col("cid"))
           .as("cluster"))

@@ -84,7 +84,62 @@ object StringSimilarity {
     } else j
   }
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Banded Levenshtein with common-prefix/suffix pruning (r17): the same
+    * contract as Spark's `levenshtein(l, r, threshold)` — the exact edit
+    * distance when ≤ band, −1 otherwise — but the DP runs only on the
+    * strings' DIFFERING core. Stripping a shared prefix (first DP
+    * row/column) and then a shared suffix of the remainders (reversal
+    * symmetry) provably preserves the distance — the standard pruning
+    * every native edit-distance library applies, which Spark's builtin
+    * does not. For q_edit_distance's candidate = document-minus-last-two-
+    * tokens shape the shared prefix IS nearly the whole document, so the
+    * O(len·band) per-row DP collapses to O(tail²). Distances are computed
+    * over UTF-16 code units (the jaro() caveat: identical to Spark's
+    * code-point count on the BMP/ASCII domain the oracle gates).
+    */
+  def levBanded(a: UTF8String, b: UTF8String, band: Int): Int = {
+    val s = a.toString
+    val t = b.toString
+    var p = 0
+    val minLen = math.min(s.length, t.length)
+    while (p < minLen && s.charAt(p) == t.charAt(p)) p += 1
+    var se = s.length
+    var te = t.length
+    while (se > p && te > p && s.charAt(se - 1) == t.charAt(te - 1)) {
+      se -= 1; te -= 1
+    }
+    val n = se - p
+    val m = te - p
+    if (n == 0) return if (m <= band) m else -1
+    if (m == 0) return if (n <= band) n else -1
+    if (math.abs(n - m) > band) return -1
+    val inf = Int.MaxValue / 2
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= band) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      cur(0) = if (i <= band) i else inf
+      val from = math.max(1, i - band)
+      val to = math.min(m, i + band)
+      j = from
+      while (j <= to) {
+        val cost = if (s.charAt(p + i - 1) == t.charAt(p + j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        cur(j) = v
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(m) <= band) prev(m) else -1
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.Registry.once(spark)(
       "jaro_winkler",
       { exprs: Seq[Expression] =>
@@ -92,6 +147,14 @@ object StringSimilarity {
         JaroWinklerExpression(exprs(0), exprs(1))
       },
       "built-in")
+    graft.functions.Registry.once(spark)(
+      "lev_banded",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "lev_banded(a, b, band)")
+        LevBandedExpression(exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
+  }
 }
 
 case class JaroWinklerExpression(left: Expression, right: Expression)
@@ -110,4 +173,24 @@ case class JaroWinklerExpression(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class LevBandedExpression(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, band: Any): Any =
+    StringSimilarity.levBanded(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], band.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, band) =>
+      s"graft.text.StringSimilarity.levBanded($a, $b, $band)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }

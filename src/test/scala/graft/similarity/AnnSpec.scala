@@ -602,4 +602,28 @@ class AnnSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0)
     }
   }
+
+  test("vec_maxsim kernel is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    VecOps.register(spark)
+    val rnd = new scala.util.Random(7)
+    val dim = 64; val m = 8; val subLen = dim / m
+    val rows = (1 to 64).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    import org.apache.spark.sql.functions._
+    def sub(v: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      slice(v, i * lit(subLen) + 1, lit(subLen))
+    val hof = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), i =>
+        array_max(transform(sequence(lit(0), lit(m - 1)), j =>
+          call_function("vec_dot", sub(col("a"), i), sub(col("b"), j))))),
+      lit(0.0), (acc, x) => acc + x)
+    val kernel = call_function("vec_maxsim", col("a"), col("b"), lit(m))
+    // exact bitwise equality, not approximate: the kernel must replay the
+    // identical double sequence the HOF tower (and the DuckDB oracle) runs
+    assert(df.where(hof =!= kernel).count() === 0L)
+  }
 }

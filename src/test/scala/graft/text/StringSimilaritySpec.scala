@@ -69,4 +69,48 @@ class StringSimilaritySpec extends SparkSpec {
       assert(r.getLong(3) === (if (s >= 0.85) 1L else 0L))
     }
   }
+
+  private def lev(a: String, b: String, band: Int): Int =
+    StringSimilarity.levBanded(
+      UTF8String.fromString(a), UTF8String.fromString(b), band)
+
+  test("lev_banded matches Spark's levenshtein(threshold) contract") {
+    // reference distances: kitten->sitting 3 (the textbook pair),
+    // identity 0, pure insert/delete = length delta
+    assert(lev("kitten", "sitting", 100) === 3)
+    assert(lev("same text", "same text", 100) === 0)
+    assert(lev("abc", "", 100) === 3)
+    assert(lev("", "abcd", 100) === 4)
+    assert(lev("abc", "abc xyz", 100) === 4)
+    // over-band returns -1, at-band returns the distance (Spark semantics)
+    assert(lev("abc", "abcdefg", 3) === -1)
+    assert(lev("abc", "abcdef", 3) === 3)
+  }
+
+  test("lev_banded prefix/suffix pruning preserves the distance") {
+    // shared prefix AND suffix around a differing core - the pruning must
+    // not change the answer vs the unpruned DP
+    assert(lev("xxx CAT yyy", "xxx DOG yyy", 100) === 3)
+    // the q_edit_distance shape: candidate = text minus trailing tokens
+    assert(lev("a b c d e f", "a b c d", 100) === 4)
+    // suffix-only overlap
+    assert(lev("111 tail", "222 tail", 100) === 3)
+  }
+
+  test("lev_banded agrees with Spark's builtin levenshtein on random pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def word() = (0 until (1 + rnd.nextInt(12)))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val pairs = (1 to 200).map { _ =>
+      val a = (0 until rnd.nextInt(8)).map(_ => word()).mkString(" ")
+      val b = (0 until rnd.nextInt(8)).map(_ => word()).mkString(" ")
+      (a, b)
+    }
+    StringSimilarity.register(spark)
+    val df = pairs.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"), 100).as("builtin"),
+        call_function("lev_banded", col("a"), col("b"), lit(100)).as("kernel"))
+    assert(df.where(col("builtin") =!= col("kernel")).count() === 0L)
+  }
 }
