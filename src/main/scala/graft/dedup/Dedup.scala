@@ -126,12 +126,14 @@ object Dedup {
       col("doc_id").as("doc_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_b"), col("signature").as("sig_b"))
+    // r17: native lane-agreement kernel — the zip_with/aggregate HOF pair
+    // allocated an array and dispatched interpreted lambdas per lane for
+    // every candidate row; same integer count, same single division
     a.join(b, Seq("band_id", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+        (call_function("lanes_equal", col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
       .groupBy("doc_a", "doc_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
@@ -196,13 +198,18 @@ object Dedup {
     * LSH subtree in the plan twice — at 100 TB, materialize `candidates`
     * first and semi-join, but never fork an unmaterialized LSH lineage.
     */
-  def verifyJaccardSets(sets: DataFrame, candidates: DataFrame): DataFrame =
+  def verifyJaccardSets(sets: DataFrame, candidates: DataFrame): DataFrame = {
+    // r17: |A∩B| via the sorted-merge kernel (shingle hash sets are sorted
+    // distinct by construction) and |A∪B| = |A|+|B|−|A∩B| — one scan per
+    // pair, no hash-set build, no union array; identical exact integers
+    val inter = call_function("sorted_inter_size", col("sh_a"), col("sh_b"))
     candidates
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+  }
 
   /** Exact set-similarity SELF-join (all pairs with shingle Jaccard ≥
     * `threshold`) via prefix filtering — the SSJoin/PPJoin family
@@ -260,12 +267,15 @@ object Dedup {
         lit(1) + least(col("len_a") - col("pos_a"),
           col("len_b") - col("pos_b")) >= alpha)
       .select(col("doc_a"), col("doc_b")).distinct()
+    // r17: same sorted-merge intersection + derived union as
+    // verifyJaccardSets — identical exact integers, one array pass
+    val inter = call_function("sorted_inter_size", col("sh_a"), col("sh_b"))
     cands
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sets.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -192,6 +192,50 @@ object DedupKernels {
     new GenericArrayData(out)
   }
 
+  /** Count of positionally equal lanes between two equal-length signature
+    * arrays (r17): the per-candidate-pair MinHash agreement count as one
+    * tight loop — replaces the interpreted
+    * `aggregate(zip_with(sig_a, sig_b, when(=,1,0)))` HOF tower, which
+    * allocated a 64-element array and dispatched two lambdas per lane for
+    * EVERY candidate pair. Integer count; the caller divides by the lane
+    * total, so est_jaccard is bitwise what the HOF form produced.
+    */
+  def lanesEqual(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"lanes_equal: signature length mismatch ($n vs ${b.numElements()})")
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Intersection size of two SORTED distinct long arrays (r17): one
+    * merge scan, no hash-set build, no output array — the candidate-pair
+    * verify replacement for `size(array_intersect(...))` on
+    * [[shingleHashes]] sets (which the kernel emits sorted distinct).
+    * |A∪B| then falls out as |A|+|B|−|A∩B| without a second array build;
+    * both counts are the exact integers the builtin computed.
+    */
+  def sortedInterSize(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Register `minhash_sig` and `simhash64` in a session's registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.Registry.once(spark)(
@@ -229,7 +273,56 @@ object DedupKernels {
         WinnowFingerprintExpression(exprs(0), exprs(1), exprs(2))
       },
       "built-in")
+    graft.functions.Registry.once(spark)(
+      "lanes_equal",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "lanes_equal(sig_a, sig_b)")
+        LanesEqualExpression(exprs(0), exprs(1))
+      },
+      "built-in")
+    graft.functions.Registry.once(spark)(
+      "sorted_inter_size",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "sorted_inter_size(a, b)")
+        SortedInterSizeExpression(exprs(0), exprs(1))
+      },
+      "built-in")
   }
+}
+
+case class LanesEqualExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.lanesEqual(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.dedup.DedupKernels.lanesEqual($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class SortedInterSizeExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.sortedInterSize(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.dedup.DedupKernels.sortedInterSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 case class MinHashSignatureExpression(first: Expression, second: Expression,

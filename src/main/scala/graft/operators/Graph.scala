@@ -183,7 +183,10 @@ object Graph {
     * wedge and closure shuffles carry edge-order cardinality.
     */
   def triangleStats(und: DataFrame): DataFrame = {
-    val (deg, dir) = directedByDegree(und)
+    // r17: materialize the edge list once (the linkPrediction rationale —
+    // five subtrees of this plan re-derive it otherwise)
+    val edges = und.localCheckpoint()
+    val (deg, dir) = directedByDegree(edges)
     val w1 = dir.select(col("s"), col("t").as("x"), col("td").as("xd"))
     val w2 = dir.select(col("s"), col("t").as("y"), col("td").as("yd"))
     val wedges = w1.join(w2, Seq("s"))
@@ -193,7 +196,7 @@ object Graph {
       Seq("x", "y"), "left_semi")
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"),
       sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
-    und.agg(count(lit(1)).as("n_edges"))
+    edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(nNodes))
       .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
@@ -231,7 +234,8 @@ object Graph {
     * heap; exact integer t_v and d_v, cc is the one rounded float.
     */
   def localClustering(und: DataFrame, k: Int): DataFrame = {
-    val (deg, dir) = directedByDegree(und)
+    // r17: same single-materialization rationale as triangleStats
+    val (deg, dir) = directedByDegree(und.localCheckpoint())
     val w1 = dir.select(col("s"), col("t").as("x"), col("td").as("xd"))
     val w2 = dir.select(col("s"), col("t").as("y"), col("td").as("yd"))
     val wedges = w1.join(w2, Seq("s"))
@@ -1156,11 +1160,18 @@ object Graph {
     * and NO float accumulation.
     */
   def linkPrediction(und: DataFrame, k: Int): DataFrame = {
-    val deg = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v").as("node")))
+    // r17: the edge list feeds SEVEN subtrees of this one plan (deg via a
+    // two-direction union, both wedge arms, the open-pair anti-join, two
+    // degree attaches) — materialize it once so each reference reads RAM
+    // blocks instead of re-running the caller's scan + self-join +
+    // distinct (exchange reuse only dedups identical exchange subtrees,
+    // not the reduce-side aggregates above them). The kCore discipline.
+    val edges = und.localCheckpoint()
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    val adj = und.select(col("u").as("w"), col("v").as("x"))
-      .unionAll(und.select(col("v").as("w"), col("u").as("x")))
+    val adj = edges.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(edges.select(col("v").as("w"), col("u").as("x")))
     val adjd = adj.join(
       deg.withColumnRenamed("node", "w").withColumnRenamed("d", "dw"), Seq("w"))
     val a2 = adj.select(col("w"), col("x").as("y"))
@@ -1169,7 +1180,7 @@ object Graph {
     val pairs = adjd.join(a2, Seq("w")).where(col("x") < col("y"))
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("cn"), sum(aaTerm).as("aa_micro"))
-    val open = pairs.join(und.select(col("u").as("x"), col("v").as("y")),
+    val open = pairs.join(edges.select(col("u").as("x"), col("v").as("y")),
       Seq("x", "y"), "left_anti")
     open
       .join(deg.withColumnRenamed("node", "x").withColumnRenamed("d", "dx"), Seq("x"))

@@ -1361,7 +1361,10 @@ object LlmQueries {
         .select((col("doc_id") - 1000000L).as("doc_a"), col("sh").as("sh_b"))
       a.join(b, "doc_a")
         .select(col("doc_a"), (col("doc_a") + 1000000L).as("doc_b"),
-          r4(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          // r17: sorted-merge intersection kernel (sh sets are sorted
+          // distinct) — same exact integer as size(array_intersect)
+          r4(call_function("sorted_inter_size", col("sh_a"), col("sh_b"))
+            .cast("double")
             / greatest(size(col("sh_b")), lit(1)).cast("double"))
             .as("containment"))
         .orderBy("doc_a")

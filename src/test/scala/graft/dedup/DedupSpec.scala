@@ -257,4 +257,29 @@ class DedupSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidates must come from the prefix equi-join:\n$p")
   }
+
+  test("lanes_equal and sorted_inter_size kernels match their HOF/builtin forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    DedupKernels.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(64)(rnd.nextInt(8).toLong)
+      val b = Seq.fill(64)(rnd.nextInt(8).toLong)
+      val sa = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val sb = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (i.toLong, a, b, sa, sb)
+    }
+    val df = rows.toDF("id", "siga", "sigb", "seta", "setb")
+    val hofLanes = aggregate(zip_with(col("siga"), col("sigb"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    val mismatch = df.where(
+      hofLanes =!= call_function("lanes_equal", col("siga"), col("sigb")) ||
+      size(array_intersect(col("seta"), col("setb"))) =!=
+        call_function("sorted_inter_size", col("seta"), col("setb")) ||
+      size(array_union(col("seta"), col("setb"))) =!=
+        (size(col("seta")) + size(col("setb")) -
+          call_function("sorted_inter_size", col("seta"), col("setb"))))
+    assert(mismatch.count() === 0L)
+  }
 }
