@@ -65,6 +65,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GC selectable for A/B runs (SPARK_GRAFT_GC=Parallel|G1|Z); G1 default
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "G1")}GC",
   // ~100 queries × whole-stage-codegen classes exceed the default 240 MB
   // JIT code cache during a full bench sweep; once it fills, HotSpot stops
   // compiling and the codegen-kernel-heavy queries (shingle/minhash/text)

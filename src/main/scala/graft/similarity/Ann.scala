@@ -747,16 +747,16 @@ object Ann {
     val c = emb.select(col("vec_id"), codes(col("embedding")).as("qc"))
     val p = emb.where(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("probe_id"), codes(col("embedding")).as("pc"))
+    // centered = the proper SQ8 inner-product estimator: without the 128
+    // shift the dot is dominated by the affine offset (≈ 16384·d +
+    // 128·(Σa+Σb)) and ranks by vector NORM, not by the probe —
+    // q_quantization_recall measures exactly that. r17: the per-pair
+    // zip_with/aggregate HOF became the vec_qdot codegen kernel (same
+    // exact integers, no per-element lambda dispatch).
     val scored = c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        aggregate(zip_with(col("qc"), col("pc"),
-            // centered = the proper SQ8 inner-product estimator: without
-            // the 128 shift the dot is dominated by the affine offset
-            // (≈ 16384·d + 128·(Σa+Σb)) and ranks by vector NORM, not by
-            // the probe — q_quantization_recall measures exactly that
-            (a, b) => if (centered) (a - lit(128L)) * (b - lit(128L))
-              else a * b), lit(0L),
-          (acc, v) => acc + v).as("qdot"))
+        call_function("vec_qdot", col("qc"), col("pc"),
+          lit(if (centered) 128L else 0L)).as("qdot"))
     graft.operators.TopK.topKPerGroup(scored, Seq("probe_id"), "qdot", "vec_id", k)
       .select(col("probe_id"), col("vec_id"), col("qdot"),
         col("rank").cast("long").as("rank"))

@@ -91,6 +91,25 @@ object VecOps {
     total
   }
 
+  /** Integer (quantization-code) dot with an optional affine shift (r17):
+    * Σᵢ (aᵢ−s)(bᵢ−s) over two long arrays — the SQ8 scoring loop as one
+    * tight kernel, replacing the per-pair `aggregate(zip_with(...))` HOF
+    * (interpreted lambda dispatch per element per candidate pair). Exact
+    * integer arithmetic: bitwise the HOF result.
+    */
+  def qdot(a: ArrayData, b: ArrayData, shift: Long): Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vec_qdot: code length mismatch ($n vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += (a.getLong(i) - shift) * (b.getLong(i) - shift)
+      i += 1
+    }
+    acc
+  }
+
   /** Register `vec_dot` + `vec_maxsim` in a session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.Registry.once(spark)(
@@ -107,5 +126,32 @@ object VecOps {
         MaxSimExpression(exprs(0), exprs(1), exprs(2))
       },
       "built-in")
+    graft.functions.Registry.once(spark)(
+      "vec_qdot",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "vec_qdot(a, b, shift) takes 3 arguments")
+        QdotExpression(exprs(0), exprs(1), exprs(2))
+      },
+      "built-in")
   }
+}
+
+case class QdotExpression(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, s: Any): Any =
+    VecOps.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      s.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, s) =>
+      s"graft.similarity.VecOps.qdot($a, $b, $s)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
