@@ -60,6 +60,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "shingle_hashes(text, k) takes 2 arguments")
         graft.dedup.ShingleHashesExpression(exprs(0), exprs(1))
       }))
+    ext.injectFunction((FunctionIdentifier("vec_maxsim"),
+      info("vec_maxsim", "vec_maxsim(a, b, m) - chunked late-interaction MaxSim over m sub-vectors"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "vec_maxsim(a, b, m) takes 3 arguments")
+        graft.similarity.MaxSimExpression(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((FunctionIdentifier("vec_qdot"),
+      info("vec_qdot", "vec_qdot(a, b, shift) - integer dot of code arrays with affine shift"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "vec_qdot(a, b, shift) takes 3 arguments")
+        graft.similarity.QdotExpression(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((FunctionIdentifier("lanes_equal"),
+      info("lanes_equal", "lanes_equal(sig_a, sig_b) - count of positionally equal signature lanes"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "lanes_equal(sig_a, sig_b) takes 2 arguments")
+        graft.dedup.LanesEqualExpression(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("sorted_inter_size"),
+      info("sorted_inter_size", "sorted_inter_size(a, b) - intersection size of two sorted distinct long arrays"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "sorted_inter_size(a, b) takes 2 arguments")
+        graft.dedup.SortedInterSizeExpression(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("lev_banded"),
+      info("lev_banded", "lev_banded(a, b, band) - banded Levenshtein with prefix/suffix pruning (-1 past band)"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "lev_banded(a, b, band) takes 3 arguments")
+        graft.text.LevBandedExpression(exprs(0), exprs(1), exprs(2))
+      }))
     // model-backed scorers: the modelId argument is a literal resolved
     // against the driver-side registry at analysis time. SQL callers
     // register a model THEMSELVES — e.g. `LangModels.put(model)` /
