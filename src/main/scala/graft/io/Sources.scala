@@ -25,7 +25,30 @@ object Sources {
     * TIMESTAMP_NTZ). Both normalize to a session-UTC TIMESTAMP here, so
     * every downstream query sees one canonical type regardless of which
     * generator wrote the files.
+    *
+    * Schema-inference memo (r18, guide §6 metadata cost): a bare
+    * `read.parquet(path)` runs a footer-read JOB per call to infer the
+    * schema — ~30 ms of pure driver/scheduler overhead that every query
+    * paid once per table it touches (a 5-table star query paid five).
+    * Corpus table schemas are immutable within a JVM (paths are versioned
+    * test fixtures or generated SF dirs; appends never change a schema),
+    * so the STRUCTTYPE — metadata only, never data or results — is memoized
+    * per path and handed to the reader, which then skips the inference job.
+    * Every scan still reads the parquet data itself on every invocation.
     */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readTable(spark: SparkSession, path: String): DataFrame = {
+    val cached = schemaMemo.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      if (schemaMemo.size < 256) schemaMemo.put(path, df.schema)
+      df
+    }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // nanosAsLong is set at session build (graft.Sessions); this is an
@@ -33,7 +56,7 @@ object Sources {
       // query in this lineage executes (not flipped mid-flight).
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = readTable(spark, s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -43,7 +66,7 @@ object Sources {
           df.withColumn("ts", col("ts").cast("timestamp"))
         case _ => df
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else readTable(spark, s"$dir/$name.parquet")
   }
 
   /** Ingest the reference CSV corpus (S3): explicit schema, header skipped,
