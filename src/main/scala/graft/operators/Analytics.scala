@@ -1234,9 +1234,16 @@ object Analytics {
     // uses the unrounded doubles (identical IEEE ops both engines) with a
     // (part_a, part_b) tie-break for full determinism.
     "q_assoc_rules" -> ((s, dir) => {
+      // r18: the distinct item frame feeds FOUR subtrees (both self-join
+      // arms, item supports, the order count) — materialize it once so
+      // each reads RAM blocks instead of re-running the scan + distinct
+      // (the kCore/linkPrediction single-materialization discipline;
+      // ReuseExchange only dedups identical exchanges, not the distinct's
+      // reduce side re-keyed by ok)
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint()
       val a = items.select(col("ok"), col("pk").as("part_a"))
       val b = items.select(col("ok"), col("pk").as("part_b"))
       val pairSupp = a.join(b, Seq("ok"))

@@ -97,6 +97,16 @@ object Graph {
       .localCheckpoint()
     val n = Observe.metric(nObs, "n").getOrElse(nodes.count())
     require(n > 0, "pagerank on an empty graph")
+    // Per-round join strategy, picked DELIBERATELY from the measured node
+    // count (guide §3.1) instead of Catalyst's size estimate (which read
+    // the persisted agg as large and planned a sort-merge join — two sorts
+    // of the edge table per round, measured 44 s of task time vs 23 s
+    // hinted at sf0.1). The rank table is node-sized: when it provably
+    // fits a broadcast (≤4M nodes ≈ ~130 MB relation) broadcast it and
+    // the edge side never moves; beyond that, shuffled-hash — node-sized
+    // exchange, no sort, no 8 GB/512M-row broadcast cap, the edge side
+    // stays on its checkpoint partitioning either way.
+    val rankHint = if (n <= (4L << 20)) "BROADCAST" else "SHUFFLE_HASH"
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rounds = scala.collection.mutable.ArrayBuffer(ranks)
@@ -104,7 +114,7 @@ object Graph {
     for (k <- 1 to iters) {
       val rObs = Observation()
       val contribs = adj
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint(rankHint), "src")
         .select(col("dst").as("node"), (col("pr") / col("odeg")).as("m"),
           lit(null).cast("double").as("p"))
       val carrier = ranks
@@ -423,9 +433,14 @@ object Graph {
       // round recomputes the identical frame. Skipping them changes no
       // output: counts stay equal, so `converged` and `n_core_nodes` are
       // bitwise what the full unroll produced.
+      // the observed survivor count picks the semi-join strategy
+      // deliberately (guide §3.1): broadcast the node-sized active set
+      // while it provably fits so the edge table never moves per round,
+      // shuffled-hash beyond the bound
+      val aHint = if (counts.head <= (4L << 20)) "BROADCAST" else "SHUFFLE_HASH"
       val filtered = edges
-        .join(active.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(active.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .join(active.withColumnRenamed("node", "u").hint(aHint), Seq("u"), "left_semi")
+        .join(active.withColumnRenamed("node", "v").hint(aHint), Seq("v"), "left_semi")
       val obs = Observation()
       val next = filtered.select(col("u").as("node"))
         .unionAll(filtered.select(col("v").as("node")))
@@ -439,9 +454,10 @@ object Graph {
       round += 1
     }
     val converged = if (counts.head == counts.tail.head) 1L else 0L
+    val finalHint = if (counts.head <= (4L << 20)) "BROADCAST" else "SHUFFLE_HASH"
     val coreEdges = edges
-      .join(active.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-      .join(active.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .join(active.withColumnRenamed("node", "u").hint(finalHint), Seq("u"), "left_semi")
+      .join(active.withColumnRenamed("node", "v").hint(finalHint), Seq("v"), "left_semi")
       .agg(count(lit(1)).as("n_core_edges"))
     coreEdges.select(lit(k.toLong).as("k"),
       lit(counts.head).as("n_core_nodes"),
@@ -484,15 +500,27 @@ object Graph {
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
+    // the node count rides the init checkpoint action (zero extra jobs)
+    // and picks every round's join strategy deliberately (guide §3.1, the
+    // pagerank/closeness discipline): the label table is node-sized —
+    // broadcast while it provably fits so the edge table never moves,
+    // shuffled-hash beyond the bound (node-sized exchange, no sort, no
+    // broadcast cap); Catalyst's checkpoint-size estimates planned
+    // sort-merge joins that re-sorted the edge table every round.
+    val nObs = Observation()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+      .observe(nObs, count(lit(1)).as("n"))
       .localCheckpoint()
+    val labHint =
+      if (Observe.metric(nObs, "n").getOrElse(Long.MaxValue) <= (4L << 20))
+        "BROADCAST" else "SHUFFLE_HASH"
     val changes = Vector.newBuilder[Long]
     for (_ <- 1 to rounds) {
       val cObs = Observation()
       val prev = labels.select(col("node"), col("label").as("__prev"))
       val counted = sym
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .join(labels.withColumnRenamed("node", "dst").hint(labHint), Seq("dst"))
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc) as ONE map-side-combined
@@ -505,7 +533,10 @@ object Graph {
         .agg(max(struct(col("c").as("c"),
           (lit(0L) - col("label")).as("nl"))).as("pick"))
         .select(col("node"), (lit(0L) - col("pick.nl")).as("label"))
-        .join(prev, "node") // same node set every round: inner = full
+        // same node set every round: inner = full; shuffled-hash skips the
+        // two node-sized sorts SMJ would add (full-row broadcast would
+        // re-collect the node table per round for no shuffle saving)
+        .join(prev.hint("SHUFFLE_HASH"), "node")
         .observe(cObs, sum((col("label") =!= col("__prev")).cast("long")).as("changed"))
         .select(col("node"), col("label"))
         .localCheckpoint()
@@ -743,16 +774,26 @@ object Graph {
     * shuffles carry edge/node cardinality with map-side combine.
     */
   def modularity(und: DataFrame, labels: DataFrame): DataFrame = {
-    val lab = labels.select(col("node"), col("label")).localCheckpoint()
+    // node count rides the checkpoint action; the label attach is
+    // broadcast while the node table provably fits (guide §3.1, the
+    // labelPropagation labHint discipline), shuffled-hash beyond — the
+    // edge list is attached THREE times below and never needs to move
+    val lObs = Observation()
+    val lab = labels.select(col("node"), col("label"))
+      .observe(lObs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val labHint =
+      if (Observe.metric(lObs, "n").getOrElse(Long.MaxValue) <= (4L << 20))
+        "BROADCAST" else "SHUFFLE_HASH"
     val e = und
-      .join(lab.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
-      .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .join(lab.select(col("node").as("u"), col("label").as("lu")).hint(labHint), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("lv")).hint(labHint), Seq("v"))
     val base = e.agg(count(lit(1)).as("m"),
       sum((col("lu") === col("lv")).cast("long")).as("e_intra"))
     // d_c = Σ_{node∈c} deg(node) via the both-direction edge list
     val degSum = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
-      .join(lab, Seq("node"))
+      .join(lab.hint(labHint), Seq("node"))
       .groupBy("label").agg(count(lit(1)).as("dc"))
     val dec = "decimal(38,0)"
     val d2 = degSum.agg(
@@ -1023,11 +1064,19 @@ object Graph {
     val counts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var k = 1
     var done = false
+    // the previous round's OBSERVED frontier size picks the frontier⋈edges
+    // strategy deliberately (guide §3.1, the pagerank rankHint discipline):
+    // Catalyst's estimate read the checkpointed state as large and planned
+    // a sort-merge join that re-sorted the EDGE table every round. A
+    // bounded frontier broadcasts (zero edge movement); a huge one falls
+    // back to shuffled-hash (node-sized exchange, no sort, no broadcast cap).
+    var prevNf: Long = seedIds.length.toLong
     while (k <= rounds && !done) {
+      val frontHint = if (prevNf <= (4L << 20)) "BROADCAST" else "SHUFFLE_HASH"
       val frontier = state.where(anyNew)
         .select(col("node"), col("new").as("bits"))
       val orAggs = chunkIdx.map(i => bit_or(col("bits")(i)).as(s"b$i"))
-      val arrived = frontier
+      val arrived = frontier.hint(frontHint)
         .join(sym, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(orAggs.head, orAggs.tail: _*)
@@ -1036,9 +1085,13 @@ object Graph {
       // one full-outer pass computes the merged seen AND the new masks;
       // the frontier cardinality rides the checkpoint as an observation —
       // one action per round, no separate merge job, no isEmpty job
+      // full-outer merge: shuffled-hash, not sort-merge — both sides are
+      // node-sized and already partitioned on the join key (state by its
+      // checkpoint, arrived by its groupBy), so the only thing SMJ added
+      // was two node-sized sorts per round (full outer cannot broadcast)
       val obs = Observation()
       val next = state.select(col("node"), col("seen"))
-        .join(arrived, col("node") === col("anode"), "full")
+        .join(arrived.hint("SHUFFLE_HASH"), col("node") === col("anode"), "full")
         .select(coalesce(col("node"), col("anode")).as("node"),
           array(chunkIdx.map(i =>
             coalesce(col("seen")(i), lit(0L))
@@ -1063,7 +1116,9 @@ object Graph {
         .agg(count(lit(1)).as("n"))
         .select(element_at(seedArr, (col("idx") + 1L).cast("int"))
           .as("seed"), lit(k.toLong).as("dist"), col("n"))
-      done = Observe.metric(obs, "nf").getOrElse(-1L) == 0L
+      val nf = Observe.metric(obs, "nf").getOrElse(-1L)
+      done = nf == 0L
+      prevNf = if (nf >= 0L) nf else Long.MaxValue
       k += 1
     }
     val all = counts.reduce(_ unionAll _)
@@ -1109,12 +1164,20 @@ object Graph {
     val sizes = Vector.newBuilder[Long]
     var k = 1
     var exhausted = false
+    // observed frontier/reached counts pick each round's join strategies
+    // deliberately (guide §3.1, the closeness frontHint discipline):
+    // broadcast the provably-bounded side instead of letting Catalyst's
+    // checkpoint-size estimates plan edge-table re-sorts; shuffled-hash
+    // past the bound (no sort, no broadcast cap)
+    var frontN = 1L
+    var reachedN = 1L
+    def hintFor(n: Long) = if (n <= (4L << 20)) "BROADCAST" else "SHUFFLE_HASH"
     while (k <= rounds && !exhausted) {
       val obs = Observation()
-      val next = frontier
+      val next = frontier.hint(hintFor(frontN))
         .join(sym, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node").as("seen")),
+        .join(dist.select(col("node").as("seen")).hint(hintFor(reachedN)),
           col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(k.toLong).as("dist"))
       val merged = dist.unionAll(next)
@@ -1125,6 +1188,8 @@ object Graph {
       frontier = dist.where(col("dist") === k).select("node")
       val f = Observe.metric(obs, "f").getOrElse(-1L)
       sizes += f
+      frontN = if (f >= 0L) f else Long.MaxValue
+      reachedN = if (f >= 0L) reachedN + f else Long.MaxValue
       // frontier-exhaustion early-exit (r17): an empty frontier makes every
       // remaining round a no-op (empty join → empty next → dist unchanged,
       // size 0). Skip those rounds and pad the trace with the zeros they
@@ -1226,15 +1291,30 @@ object Graph {
     */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
     val dec = "decimal(38,0)"
-    val e = edges.select(col("c"), col("p")).localCheckpoint()
+    // node counts ride the checkpoint action (zero extra jobs) so the
+    // per-round join strategy is picked DELIBERATELY from measured size
+    // (guide §3.1, the pagerank rankHint discipline): Catalyst's estimate
+    // read the persisted node-sized vectors as large and planned
+    // sort-merge joins that re-shuffled + re-sorted the EDGE table every
+    // half-round. Broadcast the vector when it provably fits; beyond
+    // ~4M nodes, shuffled-hash — no sort, no broadcast cap.
+    val eObs = Observation()
+    val e = edges.select(col("c"), col("p"))
+      .observe(eObs, approx_count_distinct(col("c")).as("nc"),
+        approx_count_distinct(col("p")).as("np"))
+      .localCheckpoint()
+    val maxSide = math.max(
+      Observe.metric(eObs, "nc").getOrElse(Long.MaxValue),
+      Observe.metric(eObs, "np").getOrElse(Long.MaxValue))
+    val vecHint = if (maxSide <= (4L << 20)) "BROADCAST" else "SHUFFLE_HASH"
     var hub = e.select(col("c")).distinct()
       .select(col("c"), lit(1L).cast(dec).as("h"))
     var auth = e.groupBy("p").agg(count(lit(1)).cast(dec).as("a"))
     for (r <- 1 to rounds) {
       if (r > 1) // round 1's authority vector IS the in-degree table above
-        auth = e.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a"))
+        auth = e.join(hub.hint(vecHint), "c").groupBy("p").agg(sum(col("h")).as("a"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-      hub = e.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h"))
+      hub = e.join(auth.hint(vecHint), "p").groupBy("c").agg(sum(col("a")).as("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     val aTot = auth.agg(sum(col("a")).as("t"))

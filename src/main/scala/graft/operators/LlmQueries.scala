@@ -1509,9 +1509,9 @@ object LlmQueries {
     "q_ppl_buckets" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      val scored = TextOps.lmScore(d, d.where(col("doc_id") % 10 < 8))
-        .select(col("doc_id"), r4(col("avg_logprob")).as("lp"))
-        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val scored = TextOps.lmScore(d, d.where(col("doc_id") % 10 < 8),
+          keep = Seq("source"))
+        .select(col("doc_id"), r4(col("avg_logprob")).as("lp"), col("source"))
       val ranked = Ranks.withPartitionedRank(scored, col("source"),
         -col("lp"), col("doc_id"), "rk", nOut = "n_src", checkpoint = false)
       val tiled = ranked.withColumn("tile",

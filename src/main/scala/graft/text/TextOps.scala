@@ -303,7 +303,8 @@ object TextOps {
     * collect), ships inside a codegen expression, and scoring is a
     * shuffle-free projection — the corpus never explodes into grams.
     */
-  def lmScore(docs: DataFrame, train: DataFrame, n: Int = 3): DataFrame = {
+  def lmScore(docs: DataFrame, train: DataFrame, n: Int = 3,
+              keep: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     // vocab-bounded: at most the distinct-gram count of the training set
     val counts = train.select(explode(charNgrams(col("text"), n)).as("g"))
@@ -323,9 +324,14 @@ object TextOps {
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     val nGrams = greatest(length(norm) - (n - 1), lit(1)).cast("long")
     val lnNV = math.log((total + model.vocab).toDouble)
-    val scored = docs.select(col("doc_id"), nGrams.as("n_grams"),
+    // `keep` passes caller columns through the scoring projection so
+    // downstream consumers need no join-back on doc_id (r18: q_ppl_buckets
+    // re-joined the full document table just to recover `source` — two
+    // exchanges and a join for a column already present on the input row)
+    val scored = docs.select(col("doc_id") +: nGrams.as("n_grams") +:
       ((call_function("graft_lm_logcount", col("text"), lit(modelId))
-        - nGrams.cast("double") * lit(lnNV)) / nGrams.cast("double")).as("avg_logprob"))
+        - nGrams.cast("double") * lit(lnNV)) / nGrams.cast("double")).as("avg_logprob") +:
+      keep.map(col): _*)
     // eager analysis already embedded the model in the plan
     LmModels.remove(modelId)
     scored
