@@ -115,26 +115,46 @@ object Dedup {
     * `bucketCap` bounds per-bucket membership (see [[capBuckets]]).
     */
   def minhashCandidates(signatures: DataFrame, bands: Int = 16, numHashes: Int = 64,
-      bucketCap: Int = 10000): DataFrame = {
+      bucketCap: Int = 10000, attachHint: String = "SHUFFLE_HASH"): DataFrame = {
     val rows = numHashes / bands
-    val banded0 = signatures.select(col("doc_id"), col("signature"),
+    // r18 (guide §2.3/§8: shuffle keys, not payloads): banding previously
+    // carried the FULL signature on every exploded band row — ~8·numHashes
+    // bytes × bands per doc through the bucket-cap window exchange and BOTH
+    // self-join sides (67 MB written / 135 MB read at sf0.1), and scored
+    // every band COLLISION of a pair before max-collapsing identical
+    // values. The band stream is now skinny (doc_id, band_id, band_hash);
+    // pairs dedup FIRST, then the two signature attaches read the callers'
+    // doc-sized checkpoint and lanes_equal runs ONCE per distinct pair.
+    // est_jaccard is a pure function of the pair, so distinct-then-score
+    // is bitwise the old max-over-collisions.
+    val banded0 = signatures.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows))))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
     val banded = capBuckets(banded0, Seq("band_id", "band_hash"), bucketCap)
     val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("signature").as("sig_a"))
+      col("doc_id").as("doc_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("signature").as("sig_b"))
+      col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
     // r17: native lane-agreement kernel — the zip_with/aggregate HOF pair
     // allocated an array and dispatched interpreted lambdas per lane for
-    // every candidate row; same integer count, same single division
-    a.join(b, Seq("band_id", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
+    // every candidate row; same integer count, same single division.
+    // attachHint: entry points gate it on the OBSERVED doc count (guide
+    // §3.1) — broadcast while the doc-sized signature frame provably
+    // fits, shuffled-hash beyond (no sort, no broadcast cap)
+    val sigs = signatures.select(col("doc_id"), col("signature"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("signature").as("sig_a")).hint(attachHint), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("signature").as("sig_b")).hint(attachHint), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (call_function("lanes_equal", col("sig_a"), col("sig_b"))
           .cast("double") / numHashes).as("est_jaccard"))
-      .groupBy("doc_a", "doc_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** Near-duplicate pairs: LSH candidates ≥ estimated-Jaccard threshold. */
@@ -151,9 +171,15 @@ object Dedup {
     // The blocks must outlive this call (the result is lazy); release
     // them after the terminal action via graft.Blocks.releaseAll —
     // Bench/Verify do so between queries.
-    minhashCandidates(minhashSignatures(docs, numHashes, k).localCheckpoint(),
-        bands, numHashes, bucketCap)
-      .where(col("est_jaccard") >= threshold)
+    {
+      val obs = Observation()
+      val sigs = minhashSignatures(docs, numHashes, k)
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      minhashCandidates(sigs, bands, numHashes, bucketCap,
+          attachHint = sigAttachHint(obs))
+        .where(col("est_jaccard") >= threshold)
+    }
 
   /** The materialized per-doc shingle hash-set frame — the ONE corpus text
     * scan a combined LSH + exact-verify pipeline needs. Signatures derive
@@ -175,14 +201,24 @@ object Dedup {
     * no text scan; the derived signature projection is checkpointed for
     * the same self-join-fork reason as the text path above. */
   def minhashNearDuplicatesFromSets(sets: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16, bucketCap: Int = 10000): DataFrame =
-    minhashCandidates(
-      sets.select(col("doc_id"),
-          call_function("minhash_from_hashes", col("sh"), lit(numHashes))
-            .as("signature"))
-        .localCheckpoint(),
-      bands, numHashes, bucketCap)
+      numHashes: Int = 64, bands: Int = 16, bucketCap: Int = 10000): DataFrame = {
+    val obs = Observation()
+    val sigs = sets.select(col("doc_id"),
+        call_function("minhash_from_hashes", col("sh"), lit(numHashes))
+          .as("signature"))
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    minhashCandidates(sigs, bands, numHashes, bucketCap,
+        attachHint = sigAttachHint(obs))
       .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Attach strategy for the doc-sized signature frame, gated on the doc
+    * count OBSERVED on the checkpoint action (guide §3.1): broadcast while
+    * it provably fits, shuffled-hash beyond (no sort, no broadcast cap). */
+  private def sigAttachHint(obs: Observation): String =
+    if (Observe.metric(obs, "n").getOrElse(Long.MaxValue) <= (4L << 20))
+      "BROADCAST" else "SHUFFLE_HASH"
 
   /** Exact n-gram Jaccard verification over candidate pairs only (the
     * expensive exact measure runs on the tiny LSH-filtered set, not n²).

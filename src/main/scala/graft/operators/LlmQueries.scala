@@ -1968,6 +1968,10 @@ object LlmQueries {
       val toks = TextOps.tokens(lower(col("text")))
       // ONE tokenize pass (the q_rouge_overlap checkpoint discipline): the
       // token frame feeds the gram census AND the per-source doc count.
+      // (r18: a pre-tokenize core-count repartition was measured here and
+      // on trainBpe — noise-to-negative both, unlike q_ngram_novelty where
+      // the same spread halves the wall; the checkpoint build here is
+      // filter-bounded and cheaper than the exchange it would add.)
       val base = docs(s, dir)
         .select(col("doc_id"), col("source"), toks.as("w"))
         .where(size(col("w")) >= 8)
@@ -2150,7 +2154,17 @@ object LlmQueries {
       // dedups map-side AND carries the whole per-gram source census in a
       // schema-bounded set (|sources| is a small enum), so novelty falls
       // out of a projection-only explode + a ≤|sources|-row aggregate.
-      val perGram = t(s, dir, "documents").select(col("source"),
+      // r18: spread the text across the session's cores before the
+      // tokenize/8-gram explode — the corpus arrives as one split at bench
+      // SFs, serializing ~1 s of pure string CPU into a single task. The
+      // exchange moves the text ONCE; work-per-byte here is far above the
+      // scan heuristic AQE sizes for (guide §2.5). At corpus scale the
+      // input arrives in many splits and the exchange is a no-op cost-wise
+      // relative to the gram shuffle that follows.
+      val perGram = t(s, dir, "documents")
+        .select(col("source"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"),
           explode(graft.functions.ColumnOps.bind(TextOps.tokens(col("text"))) {
             toks => transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
               i => concat_ws(" ", slice(toks, i + 1, lit(n))))

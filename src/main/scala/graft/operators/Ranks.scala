@@ -279,7 +279,9 @@ object Ranks {
     // pairs its own join condition excludes)
     val vals = df.select(c.cast("double").as("__qv")).localCheckpoint()
       .where(col("__qv").isNotNull)
-    val n = vals.count()
+    // one pass for count AND extrema (r18: these were two separate jobs)
+    val cmm = vals.agg(count(lit(1)), min(col("__qv")), max(col("__qv"))).head
+    val n = cmm.getLong(0)
     require(n > 0, "exactQuantileCont on an empty frame")
     val pos = (n - 1) * p
     val k1 = math.floor(pos).toLong
@@ -293,9 +295,8 @@ object Ranks {
     // predicate — a float edge in the bucket arithmetic then cannot
     // desync the rank bookkeeping from band membership: the histogram
     // partitions the predicate's rows exactly, whatever the edges do.
-    val mm = vals.agg(min(col("__qv")), max(col("__qv"))).head
-    var lo = mm.getDouble(0)
-    var hi = mm.getDouble(1)
+    var lo = cmm.getDouble(1)
+    var hi = cmm.getDouble(2)
     var pred: Column = lit(true)
     var below = 0L
     var inBand = n

@@ -1146,7 +1146,14 @@ object Stats {
           lit("1995-01-01").cast("date")).as("x"))
         .agg(sum(cents).as("y"))
         .localCheckpoint()
-      val a = daily.select(col("x").as("x1"), col("y").as("y1"))
+      // r18: spread the STREAM side of the pair join across the session's
+      // cores — the calendar frame materializes on one partition, so the
+      // ~3M-slope NL-join output (and every quickselect counting pass over
+      // its checkpoint) ran as single serial tasks. The exchange moves
+      // ~2.4k calendar rows (trivial at any SF — days grow with time, not
+      // volume); the slope stream itself never shuffles.
+      val a = daily.repartition(s.sparkContext.defaultParallelism)
+        .select(col("x").as("x1"), col("y").as("y1"))
       val b = daily.select(col("x").as("x2"), col("y").as("y2"))
       val slopes = a.join(broadcast(b), col("x1") < col("x2"))
         .select(((col("y2") - col("y1")).cast("double") /
