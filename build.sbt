@@ -65,8 +65,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // GC selectable for A/B runs (SPARK_GRAFT_GC=Parallel|G1|Z); G1 default
-  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "G1")}GC",
+  // GC selectable for A/B runs (SPARK_GRAFT_GC=Parallel|G1|Z); G1 default.
+  // r18 (ADVICE): validate the value — anything else produced a JVM that
+  // failed to start with an opaque flag error
+  s"-XX:+Use${
+    val gc = sys.env.getOrElse("SPARK_GRAFT_GC", "G1")
+    require(Set("Parallel", "G1", "Z").contains(gc),
+      s"SPARK_GRAFT_GC must be one of Parallel|G1|Z (got '$gc')")
+    gc
+  }GC",
   // ~100 queries × whole-stage-codegen classes exceed the default 240 MB
   // JIT code cache during a full bench sweep; once it fills, HotSpot stops
   // compiling and the codegen-kernel-heavy queries (shingle/minhash/text)

@@ -296,6 +296,21 @@ case class LanesEqualExpression(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
 
+  // r18 (ADVICE): the kernel reads long lanes via ArrayData.getLong — an
+  // int-backed array from a SQL caller would be garbage reads; reject at
+  // analysis like MaxSimExpression does
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "lanes_equal(a: array<bigint>, b: array<bigint>)")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     DedupKernels.lanesEqual(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -312,6 +327,22 @@ case class SortedInterSizeExpression(left: Expression, right: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
+
+  // r18 (ADVICE): long-lane reads, same rationale as LanesEqualExpression.
+  // NB the SEMANTIC precondition — both arrays sorted distinct ascending —
+  // cannot be type-checked; it is documented on the SQL registration and
+  // guaranteed by every internal producer (shingle_hashes TreeSet output).
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "sorted_inter_size(a: array<bigint> sorted distinct, b: array<bigint> sorted distinct)")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     DedupKernels.sortedInterSize(a.asInstanceOf[ArrayData],

@@ -1101,13 +1101,22 @@ object Graph {
               bitwise_not(coalesce(col("seen")(i), lit(0L))))): _*).as("new"))
         .observe(obs, sum(anyNew.cast("long")).as("nf"))
         .localCheckpoint()
-      // NOTE: per-round checkpoints are NOT released here — each round's
-      // count frame below reads its round's `new` masks at the terminal
-      // action (callers sweep via Blocks.releaseAll, the SparkEntry
-      // block-manager contract)
+      // r18 (ADVICE): the count frame reads a NEW-MASKS-ONLY checkpoint
+      // (frontier-sized rows, built from the full state's RAM blocks in
+      // one small job), so the PREVIOUS round's full packed state — no
+      // longer referenced by anything once `next` is materialized — is
+      // released here instead of accumulating until the terminal action.
+      // Peak block-manager footprint drops from O(rounds × reached-nodes)
+      // to O(one full state + Σ new-frontier rows); the last state and
+      // the new-only checkpoints are swept by callers via
+      // Blocks.releaseAll (the SparkEntry block-manager contract).
+      val newOnly = next.where(anyNew)
+        .select(col("node"), col("new"))
+        .localCheckpoint()
+      Blocks.releaseCheckpoint(state)
       state = next
       // projection-only bit explode of the NEW masks → (seed, dist) counts
-      counts += next
+      counts += newOnly
         .select(posexplode(col("new")).as(Seq("ci", "b")))
         .where(col("b") =!= 0L)
         .select(col("ci"), col("b"), explode(bitLits).as("bl"))

@@ -143,6 +143,22 @@ case class QdotExpression(first: Expression, second: Expression,
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
 
+  // r18 (ADVICE): long-lane reads via ArrayData.getLong, and an int shift
+  // ClassCastExceptions in interpreted eval while silently widening in
+  // codegen — reject both at analysis instead
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val arrOk = Seq(first, second).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (arrOk && third.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "vec_qdot(a: array<bigint>, b: array<bigint>, shift: bigint)")
+  }
+
   override def nullSafeEval(a: Any, b: Any, s: Any): Any =
     VecOps.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       s.asInstanceOf[Long])

@@ -182,6 +182,19 @@ case class LevBandedExpression(first: Expression, second: Expression,
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
 
+  // r18 (ADVICE): reject non-string/int inputs at analysis (the eval casts
+  // would CCE at runtime); the BMP caveat stays documented at registration
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType == org.apache.spark.sql.types.StringType &&
+      second.dataType == org.apache.spark.sql.types.StringType &&
+      third.dataType == org.apache.spark.sql.types.IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "lev_banded(a: string, b: string, band: int) — BMP code units; " +
+        "supplementary-plane strings diverge from levenshtein()")
+  }
+
   override def nullSafeEval(a: Any, b: Any, band: Any): Any =
     StringSimilarity.levBanded(a.asInstanceOf[UTF8String],
       b.asInstanceOf[UTF8String], band.asInstanceOf[Int])

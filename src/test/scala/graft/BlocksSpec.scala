@@ -22,16 +22,20 @@ class BlocksSpec extends SparkSpec {
     assert(persistedCount == 0, s"sweep left $persistedCount persisted RDDs")
   }
 
-  test("q_clv_scores leaves zero persisted blocks after its own cleanup") {
+  test("q_clv_scores feature checkpoint rides the caller-sweep contract") {
     Blocks.releaseAll(spark)
     val df = graft.clv.ClvQueries.clvScores(spark, "/root/testdata/sf0.001")
-    // build-time fits cache + unpersist internally; the finally releases
-    // the feature cache — nothing should be pinned before OR after the sink
-    assert(persistedCount == 0,
-      s"clvScores pinned $persistedCount RDDs at build time")
+    // r18: the RFM feature frame is localCheckpointed ONCE and serves the
+    // guards, both fit compressions AND the returned lazy projection (the
+    // r17 cache+unpersist-in-finally shape recomputed the whole aggregate
+    // at sink time). Like the LSH signature checkpoints, the blocks must
+    // outlive the call — the SparkEntry contract makes callers sweep.
+    assert(persistedCount > 0,
+      "expected the feature checkpoint to be pinned for the lazy projection")
     assert(df.count() > 0)
+    Blocks.releaseAll(spark)
     assert(persistedCount == 0,
-      s"clvScores pinned $persistedCount RDDs after the action")
+      s"sweep left $persistedCount persisted RDDs")
   }
 
   test("connectedComponents releases per-round state once the result is consumed") {
